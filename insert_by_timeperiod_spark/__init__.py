@@ -1,0 +1,47 @@
+"""insert_by_timeperiod_spark — PySpark-native time-period incremental engine.
+
+A brand-new, idiomatic PySpark engine with the query and data-processing
+capabilities of the dbt package ``alittlesliceoftom/insert_by_timeperiod``
+(reference at /root/reference/, surveyed in SURVEY.md): time-chunked
+incremental materialization of a placeholder-parameterized Spark SQL model
+into a date-partitioned table, with resumable builds, full refresh, and
+range backfill — plus LLM-data-pipeline extensions (dedup, similarity
+search, text analysis, multimodal columns) designed for 100 TB scale.
+"""
+
+from .config import IBTPConfig, OnSchemaChange, RunMode, RunVars, resolve_mode
+from .engine import InsertByTimeperiod, RunResult, scan_date_range
+from .periods import Period, add_period, pending_from_watermark, period_grid
+from .placeholders import (
+    PERIOD_FILTER_FROM,
+    PERIOD_FILTER_TO,
+    MissingPlaceholderError,
+    check_period_filter_placeholders,
+    inject_period_filter,
+)
+from .session import get_spark
+from .table import ParquetTable
+
+__all__ = [
+    "IBTPConfig",
+    "InsertByTimeperiod",
+    "MissingPlaceholderError",
+    "OnSchemaChange",
+    "ParquetTable",
+    "Period",
+    "PERIOD_FILTER_FROM",
+    "PERIOD_FILTER_TO",
+    "RunMode",
+    "RunResult",
+    "RunVars",
+    "add_period",
+    "check_period_filter_placeholders",
+    "get_spark",
+    "inject_period_filter",
+    "pending_from_watermark",
+    "period_grid",
+    "resolve_mode",
+    "scan_date_range",
+]
+
+__version__ = "0.1.0"

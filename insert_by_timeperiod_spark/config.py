@@ -1,0 +1,142 @@
+"""Engine configuration and run-mode resolution.
+
+Mirrors the reference's config contract
+(/root/reference/README.md:76-84) and mode ladder
+(/root/reference/macros/insert_by_timeperiod_materialization.sql:5-14):
+backfill > full_refresh > normal incremental, with backfill forcibly
+disabling full-refresh so mixed DAGs can backfill IBTP models while other
+models full-refresh.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import enum
+import logging
+from dataclasses import dataclass, field
+
+from .periods import PERIODS
+
+log = logging.getLogger("insert_by_timeperiod_spark")
+
+
+class RunMode(enum.Enum):
+    INCREMENTAL = "incremental"
+    FULL_REFRESH = "full_refresh"
+    BACKFILL = "backfill"
+
+
+class OnSchemaChange(str, enum.Enum):
+    """dbt ``on_schema_change`` policies applied per period
+    (/root/reference/macros/insert_by_timeperiod_loop.sql:83-86;
+    default + init forcing at
+    /root/reference/macros/insert_by_timeperiod_materialization.sql:73-76)."""
+
+    IGNORE = "ignore"
+    APPEND_NEW_COLUMNS = "append_new_columns"
+    SYNC_ALL_COLUMNS = "sync_all_columns"
+    FAIL = "fail"
+
+
+def _coerce_date(v: dt.date | str | None) -> dt.date | None:
+    """Config dates are YYYY-MM-DD strings (/root/reference/README.md:80-81);
+    CLI vars arrive lower/trimmed
+    (/root/reference/macros/insert_by_timeperiod_materialization.sql:46-47)."""
+    if v is None or isinstance(v, dt.date):
+        return v
+    s = str(v).strip().lower()
+    if s in ("", "none"):
+        return None
+    return dt.date.fromisoformat(s)
+
+
+@dataclass
+class IBTPConfig:
+    """Model config (reference config table, /root/reference/README.md:76-84).
+
+    timestamp_field          mandatory date/timestamp column in the MODEL OUTPUT
+                             (config.require at
+                             /root/reference/macros/insert_by_timeperiod_materialization.sql:29)
+    period                   day | week | month | year (default day)
+    start_date / stop_date   load window; resolution priority is
+                             CLI vars > config > date_source_models scan
+                             (/root/reference/macros/insert_by_timeperiod_materialization.sql:34-52)
+    unique_key               optional single-column upsert key — delete+insert
+                             path (/root/reference/macros/insert_by_timeperiod_loop.sql:100-107);
+                             README recommends leaving unset (README.md:102)
+    date_source_models       table name(s) whose MIN/MAX(ts) clamp the window
+                             (/root/reference/macros/insert_by_timeperiod_helpers.sql:14-39)
+    source_timestamp_field   timestamp column in the SOURCE models for the
+                             min/max scan; defaults to timestamp_field (the
+                             reference assumes the same name in sources and
+                             target — this relaxes that)
+    sample_select_for_table_schema  optional schema-defining query for init
+                             (/root/reference/macros/insert_by_timeperiod_materialization.sql:32)
+    on_schema_change         ignore (default) | append_new_columns |
+                             sync_all_columns | fail
+    """
+
+    timestamp_field: str
+    period: str = "day"
+    start_date: dt.date | None = None
+    stop_date: dt.date | None = None
+    unique_key: str | None = None
+    date_source_models: list[str] = field(default_factory=list)
+    source_timestamp_field: str | None = None
+    sample_select_for_table_schema: str | None = None
+    on_schema_change: OnSchemaChange = OnSchemaChange.IGNORE
+
+    def __post_init__(self) -> None:
+        if not self.timestamp_field:
+            raise ValueError("timestamp_field is required")  # materialization.sql:29
+        if self.period not in PERIODS:
+            raise ValueError(
+                f"unsupported period {self.period!r}; expected one of {PERIODS}"
+            )
+        self.start_date = _coerce_date(self.start_date)
+        self.stop_date = _coerce_date(self.stop_date)
+        # str auto-wrapped to list (helpers.sql:16-18)
+        if isinstance(self.date_source_models, str):
+            self.date_source_models = [self.date_source_models]
+        self.on_schema_change = OnSchemaChange(self.on_schema_change)
+
+
+@dataclass
+class RunVars:
+    """CLI-style run variables (``--vars`` + ``--full-refresh``,
+    /root/reference/README.md:108-143)."""
+
+    start_date: dt.date | None = None
+    stop_date: dt.date | None = None
+    backfill: bool = False
+    full_refresh: bool = False
+
+    def __post_init__(self) -> None:
+        self.start_date = _coerce_date(self.start_date)
+        self.stop_date = _coerce_date(self.stop_date)
+
+
+def resolve_mode(vars: RunVars) -> RunMode:
+    """Mode ladder (/root/reference/macros/insert_by_timeperiod_materialization.sql:5-14):
+    backfill wins and forcibly disables full-refresh; validates backfill args
+    (both CLI dates required, :38-43)."""
+    if vars.backfill:
+        if vars.full_refresh:
+            log.warning(
+                "backfill=True overrides --full-refresh for this model "
+                "(reference materialization.sql:6-14)"
+            )
+        if vars.start_date is None or vars.stop_date is None:
+            raise ValueError(
+                "backfill requires both start_date and stop_date run vars "
+                "(reference materialization.sql:38-43)"
+            )
+        log.warning(
+            "backfill will DELETE then reinsert all data in [%s, %s)",
+            vars.start_date,
+            vars.stop_date,
+        )
+        return RunMode.BACKFILL
+    if vars.full_refresh:
+        return RunMode.FULL_REFRESH
+    return RunMode.INCREMENTAL

@@ -1,0 +1,379 @@
+"""The insert-by-timeperiod engine: period-chunked incremental materialization.
+
+Spark-native re-implementation of the reference materialization
+(/root/reference/macros/insert_by_timeperiod_materialization.sql:2-86 entry;
+/root/reference/macros/insert_by_timeperiod_loop.sql:3-147 loop;
+/root/reference/macros/insert_by_timeperiod_init.sql:2-88 init).
+
+Where real query execution happens: the model SQL (with period placeholders
+replaced by ``DATE'...'`` literals) goes straight to ``spark.sql`` — Catalyst
+parses/optimizes (predicate pushdown, partition pruning on the injected
+literals, join selection, AQE) and Tungsten executes. The engine contributes
+only what Catalyst cannot (SURVEY.md §4): chunked execution with bounded
+working sets (O2), restartable per-period commits (O3), and the pre-parse
+placeholder injection contract (O1).
+
+Scale design (100 TB): each period is an independent, bounded unit of work —
+pick ``period`` so chunks land in the reference's 6M–60M-row sweet spot
+(/root/reference/README.md:104) scaled to cluster memory; a period commit is
+an atomic partition write, so a failed 100 TB build redoes at most one period
+(/root/reference/README.md:11). Nothing in the loop accumulates driver-side
+state proportional to data volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import logging
+import time
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .config import IBTPConfig, OnSchemaChange, RunMode, RunVars, resolve_mode
+from .periods import MAX_STOP, Period, pending_from_watermark, period_grid
+from .placeholders import check_period_filter_placeholders, inject_period_filter
+from .table import ParquetTable
+
+log = logging.getLogger("insert_by_timeperiod_spark")
+
+#: A model is a SQL string containing the period placeholders, or a Python
+#: callable (spark, period_start, period_end) -> DataFrame — the DataFrame-API
+#: equivalent of a placeholder-parameterized model (SURVEY.md §1.1).
+ModelFn = Callable[[SparkSession, dt.date, dt.date], DataFrame]
+Model = str | ModelFn
+
+INTERNAL_PARTITION_COL = "_ibtp_date"
+
+
+@dataclass
+class PeriodResult:
+    period: Period
+    rows: int | None
+
+
+@dataclass
+class RunResult:
+    mode: RunMode
+    target_path: str
+    periods: list[PeriodResult] = field(default_factory=list)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(p.rows or 0 for p in self.periods)
+
+
+def scan_date_range(
+    spark: SparkSession, models: list[str], ts_field: str
+) -> tuple[dt.date | None, dt.date | None]:
+    """MIN/MAX date-range scan over source models: per-source min/max,
+    UNION ALL, global min/max
+    (/root/reference/macros/insert_by_timeperiod_helpers.sql:19-39). Parquet
+    footer stats make each leg a metadata-cheap scan (SURVEY.md §4 O8)."""
+    legs = [
+        spark.table(m).select(
+            F.min(ts_field).alias("lo"), F.max(ts_field).alias("hi")
+        )
+        for m in models
+    ]
+    row = reduce(DataFrame.unionAll, legs).agg(F.min("lo"), F.max("hi")).first()
+    lo, hi = row[0], row[1]
+    to_date = lambda v: v.date() if isinstance(v, dt.datetime) else v
+    return (to_date(lo) if lo else None, to_date(hi) if hi else None)
+
+
+class InsertByTimeperiod:
+    """One materialization target. ``run(vars)`` executes the reference's
+    three entry points (normal resume / full refresh / backfill,
+    /root/reference/README.md:108-143) against a date-partitioned parquet
+    target."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        model: Model,
+        config: IBTPConfig,
+        target_path: str,
+        *,
+        count_rows: bool = True,
+        pre_run: Callable[[], None] | None = None,
+        post_run: Callable[[], None] | None = None,
+        post_period: Callable[[Period, int | None], None] | None = None,
+    ):
+        self.spark = spark
+        self.model = model
+        self.config = config
+        self.table = ParquetTable(spark, target_path)
+        self.count_rows = count_rows  # A17 row-count observability
+        # pre/post hook contract (A19,
+        # /root/reference/macros/insert_by_timeperiod_materialization.sql:65,82)
+        self.pre_run, self.post_run, self.post_period = pre_run, post_run, post_period
+        if isinstance(model, str):
+            # compile-time placeholder guard (A2, helpers.sql:63-72)
+            check_period_filter_placeholders(model)
+
+    # ---- model execution -------------------------------------------------
+
+    def _period_df(self, p: Period) -> DataFrame:
+        """Build one period's DataFrame: placeholder injection (A3) then
+        Catalyst. The injected DATE literals give real predicate pushdown +
+        partition pruning on the sources — the reference's raison d'être
+        (O1), executed by the optimizer instead of by contract alone."""
+        if callable(self.model):
+            return self.model(self.spark, p.start, p.end)
+        return self.spark.sql(inject_period_filter(self.model, p.start, p.end))
+
+    # ---- window resolution (A6/A8) ----------------------------------------
+
+    def _resolve_window(self, vars: RunVars, mode: RunMode) -> tuple[dt.date, dt.date]:
+        """Start/stop priority ladder: CLI vars > model config >
+        date_source_models scan; error when start is unresolvable
+        (/root/reference/macros/insert_by_timeperiod_materialization.sql:34-52;
+        /root/reference/macros/insert_by_timeperiod_helpers.sql:41-44)."""
+        if mode is RunMode.BACKFILL:
+            # backfill uses CLI dates verbatim (helpers.sql:113-116)
+            return vars.start_date, vars.stop_date
+        start = vars.start_date or self.config.start_date
+        stop = vars.stop_date or self.config.stop_date
+        if (start is None or stop is None) and self.config.date_source_models:
+            lo, hi = scan_date_range(
+                self.spark,
+                self.config.date_source_models,
+                self.config.source_timestamp_field or self.config.timestamp_field,
+            )
+            start = start or lo
+            # scan max is the last day WITH data; stop is exclusive
+            stop = stop or (hi + dt.timedelta(days=1) if hi else None)
+        if start is None:
+            raise ValueError(
+                "no start_date: provide run vars, config.start_date, or "
+                "date_source_models (reference helpers.sql:41-44)"
+            )
+        if stop is None:
+            # COALESCE(stop, CURRENT_TIMESTAMP) pinned once per run
+            # (helpers.sql:116,123); date-granular -> today+1 (exclusive)
+            stop = min(dt.date.today() + dt.timedelta(days=1), MAX_STOP)
+        return start, stop
+
+    # ---- schema helpers ----------------------------------------------------
+
+    def _partition_expr(self, df: DataFrame) -> tuple[DataFrame, str]:
+        """Design rule (SURVEY.md §7.4): the partition column is (or derives
+        from) ``timestamp_field``'s date. DateType fields partition directly;
+        timestamp fields get a derived internal date column."""
+        ts = self.config.timestamp_field
+        if ts not in df.columns:
+            raise ValueError(
+                f"timestamp_field {ts!r} missing from model output columns "
+                f"{df.columns} (reference README.md:83)"
+            )
+        dtype = df.schema[ts].dataType
+        if isinstance(dtype, T.DateType):
+            return df, ts
+        return df.withColumn(INTERNAL_PARTITION_COL, F.to_date(F.col(ts))), INTERNAL_PARTITION_COL
+
+    def _align_to_target(self, df: DataFrame) -> DataFrame:
+        """By-name column alignment + schema-change policy (A14/A15/O9).
+
+        The reference re-reads the target column list every period and inserts
+        by explicit column list (loop.sql:83-88,109-114); Spark's positional
+        ``insertInto`` makes this guard mandatory. ``expand_target_column_types``
+        (loop.sql:78-79) maps to casting incoming columns to the stored type
+        (true target-type widening needs a transactional format — Delta — and
+        is out of scope for the parquet backend)."""
+        policy = self.config.on_schema_change
+        target_schema = self.table.schema
+        target_names = [f.name for f in target_schema.fields]
+        incoming = set(df.columns)
+        new_cols = [c for c in df.columns if c not in target_names and c != INTERNAL_PARTITION_COL]
+
+        if new_cols and policy is OnSchemaChange.FAIL:
+            raise ValueError(f"schema changed, new columns {new_cols} (on_schema_change=fail)")
+        if policy in (OnSchemaChange.APPEND_NEW_COLUMNS, OnSchemaChange.SYNC_ALL_COLUMNS) and new_cols:
+            evolved = T.StructType(
+                list(target_schema.fields)
+                + [df.schema[c] for c in new_cols]
+            )
+            self.table.set_schema(evolved)
+            target_schema, target_names = evolved, [f.name for f in evolved.fields]
+        if policy is OnSchemaChange.SYNC_ALL_COLUMNS:
+            keep_partition = self.table.partition_col
+            synced = T.StructType(
+                [
+                    f
+                    for f in target_schema.fields
+                    if f.name in incoming or f.name == keep_partition
+                ]
+            )
+            if [f.name for f in synced.fields] != target_names:
+                self.table.set_schema(synced)
+                target_schema, target_names = synced, [f.name for f in synced.fields]
+
+        cols = []
+        for f_ in target_schema.fields:
+            if f_.name in df.columns:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            elif f_.name == self.table.partition_col and f_.name == INTERNAL_PARTITION_COL:
+                cols.append(
+                    F.to_date(F.col(self.config.timestamp_field)).alias(f_.name)
+                )
+            else:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        return df.select(*cols)
+
+    # ---- init (A9/A10) -----------------------------------------------------
+
+    def _init_target(self, first_period: Period) -> None:
+        """First-build initialisation. The reference CTASes period 0's data
+        (/root/reference/macros/insert_by_timeperiod_init.sql:7-19); since
+        Spark schema inference is metadata-only (no job runs — SURVEY.md §4
+        O7), we create the table empty from the inferred schema and let the
+        loop load every period uniformly — same observable result, one less
+        special case."""
+        if self.config.sample_select_for_table_schema:
+            schema_df = self.spark.sql(self.config.sample_select_for_table_schema)
+        elif callable(self.model):
+            schema_df = self.model(self.spark, first_period.start, first_period.end)
+        else:
+            schema_df = self.spark.sql(
+                inject_period_filter(self.model, first_period.start, first_period.end)
+            )
+        schema_df, pcol = self._partition_expr(schema_df)
+        self.table.create_empty(schema_df.schema, pcol)
+
+    # ---- the loop (A16) ----------------------------------------------------
+
+    def run(self, vars: RunVars | None = None) -> RunResult:
+        vars = vars or RunVars()
+        mode = resolve_mode(vars)
+        if self.pre_run:
+            self.pre_run()
+
+        start, stop = self._resolve_window(vars, mode)
+        grid = period_grid(start, stop, self.config.period)
+        result = RunResult(mode=mode, target_path=self.table.path)
+
+        if mode is RunMode.FULL_REFRESH and self.table.exists():
+            # backup/rename semantics via fresh staging table + swap
+            # (/root/reference/macros/insert_by_timeperiod_init.sql:21-43)
+            staging = InsertByTimeperiod(
+                self.spark,
+                self.model,
+                self.config,
+                self.table.path + f"__ibtp_stage_{uuid.uuid4().hex[:8]}",
+                count_rows=self.count_rows,
+                post_period=self.post_period,
+            )
+            try:
+                res = staging.run(RunVars(start_date=vars.start_date, stop_date=vars.stop_date))
+            except BaseException:
+                staging.table.drop()
+                raise
+            self.table.swap_from(staging.table)
+            if self.post_run:
+                self.post_run()
+            return RunResult(RunMode.FULL_REFRESH, self.table.path, res.periods)
+
+        if not self.table.exists():
+            if not grid:
+                raise ValueError(f"empty period grid: [{start}, {stop})")
+            self._init_target(grid[0])
+
+        if mode is RunMode.BACKFILL:
+            todo = grid
+        else:
+            # resume point: explicit coverage watermark; for tables predating
+            # it, fall back to the reference's data-derived probe
+            # MAX(timestamp_field)+1day (A8, helpers.sql:118-124)
+            wm = self.table.watermark
+            if wm is None:
+                max_ts = self.table.max_value(self.config.timestamp_field)
+                max_date = max_ts.date() if isinstance(max_ts, dt.datetime) else max_ts
+                wm = max_date + dt.timedelta(days=1) if max_date else None
+            todo = pending_from_watermark(grid, wm)
+
+        n = len(todo)
+        for i, p in enumerate(todo, start=1):
+            t0 = time.monotonic()
+            df = self._align_to_target(self._period_df(p))
+
+            rows: int | None = None
+            # backfill range-delete wins over the keyed path, matching the
+            # reference's loop branch order (loop.sql:92-107)
+            if mode is RunMode.BACKFILL:
+                if self.count_rows:
+                    df = df.persist()
+                    rows = df.count()
+                self.table.replace_date_range(df, p.start, p.end)  # A12
+                if self.count_rows:
+                    df.unpersist()
+            elif self.config.unique_key:
+                rows = self._upsert_period(df, p)
+            else:
+                if self.count_rows:
+                    df = df.persist()
+                    rows = df.count()
+                self.table.append(df)  # A14; job commit == period COMMIT (A16)
+                if self.count_rows:
+                    df.unpersist()
+
+            # progress log with the reference's message shape (A17,
+            # /root/reference/macros/insert_by_timeperiod_loop.sql:128-131)
+            log.info(
+                "Ran for %s %d of %d (%s); %s records inserted in %.1fs",
+                self.config.period, i, n, p.start.isoformat(),
+                rows if rows is not None else "?", time.monotonic() - t0,
+            )
+            self.table.advance_watermark(p.end)
+            result.periods.append(PeriodResult(p, rows))
+            if self.post_period:
+                self.post_period(p, rows)
+
+        if self.post_run:
+            self.post_run()
+        return result
+
+    # ---- keyed upsert (A13) -------------------------------------------------
+
+    def _upsert_period(self, df: DataFrame, p: Period) -> int | None:
+        """Delete+insert by ``unique_key``
+        (/root/reference/macros/insert_by_timeperiod_loop.sql:100-114): the
+        reference deletes matching keys table-wide via ``IN (subquery)`` then
+        inserts. Parquet mapping: locate the partitions that contain matching
+        keys (left-semi), rewrite only those partitions with a left-anti join
+        (delete), then append the period's rows. At scale, partition pruning
+        bounds the rewrite to the touched dates; the README's "this path is
+        slow, prefer key-less" warning (/root/reference/README.md:102) stands.
+        Temp data is cached because it is scanned twice — the reference's
+        HEAP-temp-table rationale (loop.sql:45-49,65-69; SURVEY.md §4 O4)."""
+        key = self.config.unique_key
+        pcol = self.table.partition_col
+        df = df.persist()
+        rows = df.count() if self.count_rows else None
+
+        target = self.table.read()
+        keys = df.select(key).distinct()
+        affected = [
+            r[0]
+            for r in target.join(keys, key, "left_semi")
+            .select(pcol)
+            .distinct()
+            .collect()
+        ]
+        if affected:
+            # localCheckpoint truly materializes and cuts lineage — survivors
+            # must not be recomputed after their source dirs are deleted
+            survivors = (
+                target.where(F.col(pcol).isin(affected))
+                .join(keys, key, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            self.table.delete_dates(affected)
+            self.table.append(survivors)
+            survivors.unpersist()
+        self.table.append(df)
+        df.unpersist()
+        return rows

@@ -1,0 +1,3 @@
+"""Column-function library (pure Catalyst expressions — no UDFs)."""
+
+from . import text  # noqa: F401

@@ -1,0 +1,146 @@
+"""Text-analysis column functions for LLM data pipelines (SURVEY.md §2 C21).
+
+All functions build pure Catalyst column expressions (``pyspark.sql.functions``
+only — JVM-side, whole-stage-codegen'd, no Python in the hot path), so they
+run at full scan speed over 100 TB: no shuffle, no UDF serialization, and they
+compose with predicate pushdown (a filter on ``quality_score(...)`` stays in
+the scan stage).
+
+These are extensions beyond the reference's surface (north star in
+/root/repo/BASELINE.json); the reference delegates all expression evaluation
+to the warehouse (SURVEY.md §2 Part C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Deliberately small: the point is the Spark plumbing (pure
+# column expressions), swap in real wordlists for production.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "fr": [" le ", " la ", " les ", " et ", " est "],
+    "es": [" el ", " los ", " las ", " es ", " y "],
+    "de": [" der ", " die ", " das ", " und ", " ist "],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of ``needle`` via the length/replace
+    identity — stays a codegen'd expression (no regex engine, no UDF)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count: split on runs of whitespace, ignoring
+    leading/trailing. size(split(trim(x), '\\s+'))."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: word chunks + digits + punctuation counted via a
+    tokenizer-like regex (≈ GPT-2 pre-tokenizer word splitting)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    punct = F.length(col) - F.length(
+        F.regexp_replace(col, r"[\.,;:!\?\"'()\[\]{}\-]", "")
+    )
+    return punct / F.greatest(F.length(col), F.lit(1))
+
+
+def uppercase_ratio(col: Column) -> Column:
+    uppers = F.length(col) - F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    return uppers / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    """Total occurrences of the language's marker stopwords."""
+    total = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        total = total + _occurrences(col, w)
+    return total
+
+
+def lang_scores(col: Column) -> Column:
+    """Map of language -> marker-hit count (the raw signal for language ID)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in LANG_MARKERS]),
+        F.array(*[stopword_hits(col, k) for k in LANG_MARKERS]),
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax over marker-hit counts, 'und' when no
+    marker hits. Deterministic tie-break by language-key order."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    # build a chain of CASE WHENs: strictly-greater keeps first-wins order
+    for k in LANG_MARKERS:
+        score = stopword_hits(padded, k)
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(k)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: length band + punctuation
+    plausibility + stopword presence (all codegen'd arithmetic)."""
+    n = F.length(col)
+    len_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    p = punct_ratio(col)
+    punct_ok = F.when((p >= 0.001) & (p <= 0.3), F.lit(1.0)).otherwise(F.lit(0.4))
+    sw = stopword_hits(F.concat(F.lit(" "), F.lower(col), F.lit(" ")), "en")
+    sw_ok = F.when(sw >= 2, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_ok * 0.5 + punct_ok * 0.25 + sw_ok * 0.25).cast("double")
+
+
+def char_shingles(col: Column, k: int = 3) -> Column:
+    """Array of distinct k-character shingles (for Jaccard / MinHash): built
+    with ``sequence`` + ``transform`` higher-order functions — no UDF, no
+    explode shuffle; the array stays inside the row."""
+    return F.when(F.length(col) < k, F.array(col)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - (k - 1)),
+                lambda i: F.substr(col, i, F.lit(k)),
+            )
+        )
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles."""
+    words = F.split(F.trim(col), r"\s+")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        )
+    )
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Document fingerprint: min of the 64-bit hashes of the document's
+    3-word shingles (a 1-permutation MinHash — stable under small edits,
+    unlike a whole-document hash)."""
+    return F.array_min(
+        F.transform(word_shingles(col, 3), lambda s: F.xxhash64(s))
+    )

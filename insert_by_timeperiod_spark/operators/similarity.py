@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (SURVEY.md §2 C20).
+
+Extensions beyond the reference's surface (north star, /root/repo/BASELINE.json).
+Two paths, matching the brief's scale story:
+
+- **brute_force_topk** — exact cosine top-k. The dot product is a Catalyst
+  higher-order ``zip_with``+``aggregate`` fold over ``array<double>`` — JVM
+  evaluation, no Python. The query side is broadcast (queries are few); the
+  corpus side streams — so the cost at 100 TB is one corpus scan per query
+  batch, no shuffle of the corpus. This is the correctness oracle for the
+  approximate path.
+- **random_projection_lsh** — sign-of-projection bucketing (SimHash for
+  vectors): ``n_planes`` fixed random hyperplanes (seeded, generated driver-
+  side, shipped as literals — tiny) map each vector to a bucket id; neighbor
+  candidates come only from the query's bucket (plus optionally multi-probe
+  neighbors at Hamming distance 1). The corpus shuffle is by uniform bucket
+  id; per-bucket work is brute force on a tiny candidate set. This is the IVF
+  analogue that survives 100×.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns as a sequential JVM fold —
+    same evaluation order as DuckDB's list_dot_product, so oracle comparisons
+    agree bit-for-bit on doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Plan shape: broadcast(queries) × corpus scan → per-pair cosine (codegen)
+    → window top-k per query. The corpus is scanned once; only
+    (query_id, corpus_id, sim) rows — never vectors — reach the shuffle for
+    the top-k, and AQE keeps that shuffle small. Rank ties break on neighbor
+    id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    pairs = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    *,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-of-random-projection bucket id (0 .. 2^n_planes-1) as a pure
+    column expression. The planes are literals in the plan — no broadcast
+    join, no UDF; the bucket computation fuses into the scan stage."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_random_planes(dim, n_planes, seed)):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = dot(F.col(vec_col), lit_plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (plus, with
+    multi_probe, buckets at Hamming distance 1 — recovers most of the recall
+    lost to unlucky hyperplanes at ~n_planes× candidate cost)."""
+    c = add_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        dim=dim, n_planes=n_planes, seed=seed, vec_col="_cv",
+    )
+    q = add_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        dim=dim, n_planes=n_planes, seed=seed, vec_col="_qv",
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select("query_id", "_qv", F.explode(probes).alias("bucket"))
+    cand = c.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_cosine_dupes(
+    df: DataFrame,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-blocked:
+    only same-bucket pairs are compared (near-identical vectors land in the
+    same bucket with high probability). Returns (id_a, id_b, sim), id_a<id_b."""
+    b = add_lsh_bucket(
+        df.select(F.col(id_col), F.col(vec_col)),
+        dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col,
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    pairs = a_.join(
+        b_,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
+    )
+    return pairs.where(F.col("sim") >= threshold)

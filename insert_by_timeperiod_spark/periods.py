@@ -1,0 +1,124 @@
+"""Period arithmetic and grid enumeration.
+
+Re-implements the reference's period math natively in Python, replacing the
+warehouse round-trips the reference needs because Jinja has no date math:
+
+- period-FROM boundary  -> reference ``get_period_filter_from``
+  (/root/reference/macros/insert_by_timeperiod_helpers.sql:74-84)
+- period-TO boundary (clamped at stop, exclusive) -> ``get_period_filter_to``
+  (/root/reference/macros/insert_by_timeperiod_helpers.sql:86-92)
+- period count -> ``DATEDIFF(period, start, stop)+1``
+  (/root/reference/macros/insert_by_timeperiod_helpers.sql:128-132)
+
+Deliberate deviation (documented in SURVEY.md §7.4): instead of DATEDIFF-based
+counting (which the reference's own comments flag as fencepost-wobbly for
+non-day periods, /root/reference/macros/insert_by_timeperiod_loop.sql:32-33),
+we enumerate the grid explicitly, anchored at ``start``. All intervals are
+half-open ``[start, end)`` — FROM inclusive, TO exclusive
+(/root/reference/README.md:91-92).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+PERIODS = ("day", "week", "month", "year")
+
+#: Default stop bound when none is configured
+#: (/root/reference/macros/insert_by_timeperiod_helpers.sql:89 uses '9999-12-31';
+#: the resume query uses COALESCE(stop, CURRENT_TIMESTAMP) at :116,:123 —
+#: callers pin "today" once per run for determinism).
+MAX_STOP = dt.date(9999, 12, 31)
+
+
+@dataclass(frozen=True, order=True)
+class Period:
+    """Half-open time interval ``[start, end)`` at day granularity bounds."""
+
+    start: dt.date
+    end: dt.date
+
+    def __post_init__(self) -> None:
+        if self.end <= self.start:
+            raise ValueError(f"empty period: [{self.start}, {self.end})")
+
+    def contains(self, d: dt.date) -> bool:
+        return self.start <= d < self.end
+
+    @property
+    def days(self) -> int:
+        return (self.end - self.start).days
+
+
+def add_months(d: dt.date, n: int) -> dt.date:
+    """Calendar month addition with end-of-month clamping (T-SQL DATEADD
+    semantics, matching the reference's emitted ``DATEADD(month, n, d)``)."""
+    month_index = d.year * 12 + (d.month - 1) + n
+    year, month = divmod(month_index, 12)
+    month += 1
+    # clamp day to the target month's length
+    next_month_index = month_index + 1
+    ny, nm = divmod(next_month_index, 12)
+    last_day = (dt.date(ny, nm + 1, 1) - dt.timedelta(days=1)).day
+    return dt.date(year, month, min(d.day, last_day))
+
+
+def add_period(d: dt.date, period: str, n: int = 1) -> dt.date:
+    """``DATEADD(period, n, d)`` for period in day/week/month/year
+    (/root/reference/macros/insert_by_timeperiod_helpers.sql:81)."""
+    if period == "day":
+        return d + dt.timedelta(days=n)
+    if period == "week":
+        return d + dt.timedelta(weeks=n)
+    if period == "month":
+        return add_months(d, n)
+    if period == "year":
+        return add_months(d, 12 * n)
+    raise ValueError(f"unsupported period {period!r}; expected one of {PERIODS}")
+
+
+def period_grid(start: dt.date, stop: dt.date, period: str) -> list[Period]:
+    """Enumerate the half-open period grid covering ``[start, stop)``.
+
+    Anchored at ``start``; the final period's end is clamped to ``stop``
+    (reference ``LEAST(DATEADD(...), stop)``,
+    /root/reference/macros/insert_by_timeperiod_helpers.sql:89). ``stop`` is
+    exclusive (/root/reference/README.md:91-92): ``stop == start`` yields an
+    empty grid.
+    """
+    if period not in PERIODS:
+        raise ValueError(f"unsupported period {period!r}; expected one of {PERIODS}")
+    grid: list[Period] = []
+    cur = start
+    while cur < stop:
+        nxt = min(add_period(cur, period, 1), stop)
+        grid.append(Period(cur, nxt))
+        cur = nxt
+    return grid
+
+
+def pending_from_watermark(
+    grid: list[Period], watermark: dt.date | None
+) -> list[Period]:
+    """Resume logic: which (sub-)periods still need loading, given the
+    exclusive end of committed coverage.
+
+    The reference resumes from ``GREATEST(DATEADD(day, 1, MAX(ts)), start)``
+    (/root/reference/macros/insert_by_timeperiod_helpers.sql:118-121) — a
+    data-derived watermark whose +1-day re-anchor wobbles week/month/year
+    grids (the reference's own comments admit it,
+    /root/reference/macros/insert_by_timeperiod_loop.sql:32-33). Deviation
+    (SURVEY.md §7.4): we keep the grid anchored at ``start`` and, when the
+    watermark falls strictly inside a period (an earlier run was stopped by a
+    clamped stop_date mid-period), load only the missing half-open complement
+    ``[watermark, period.end)`` — exact, append-only, no double-load.
+    """
+    if watermark is None:
+        return list(grid)
+    out: list[Period] = []
+    for p in grid:
+        if p.end <= watermark:
+            continue
+        out.append(p if p.start >= watermark else Period(watermark, p.end))
+    return out

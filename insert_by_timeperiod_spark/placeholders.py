@@ -1,0 +1,69 @@
+"""Period-filter placeholder validation and substitution.
+
+The model SQL must contain ``__PERIOD_FILTER_FROM__`` / ``__PERIOD_FILTER_TO__``
+placeholders which are textually replaced with DATE-typed boundary literals
+before the SQL reaches the engine — the reference's predicate-injection
+mechanism (/root/reference/macros/insert_by_timeperiod_helpers.sql:94-104;
+contract documented at /root/reference/README.md:86-98).
+
+Substitution is deliberately pre-parse string replacement (NOT a Catalyst
+rule): the reference allows placeholders in arbitrary expression positions —
+"you could do further date calculations on top of them … use these
+placeholders as many times as necessary" (/root/reference/README.md:94-98).
+After substitution, Catalyst sees plain ``DATE'...'`` literals and performs
+real predicate pushdown + partition pruning on them.
+
+Deliberate deviation: the reference's check passes when only ONE of the two
+placeholders is present (``find(FROM) == -1 and find(TO) == -1``,
+/root/reference/macros/insert_by_timeperiod_helpers.sql:63-72). We require
+both — a model filtering only one boundary silently loads overlapping data
+every period.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+PERIOD_FILTER_FROM = "__PERIOD_FILTER_FROM__"
+PERIOD_FILTER_TO = "__PERIOD_FILTER_TO__"
+
+
+class MissingPlaceholderError(ValueError):
+    pass
+
+
+def check_period_filter_placeholders(model_sql: str) -> None:
+    """Compile-time guard (reference
+    ``check_where_clause_has_period_filter_placeholders``,
+    /root/reference/macros/insert_by_timeperiod_helpers.sql:63-72; call site
+    /root/reference/macros/insert_by_timeperiod_materialization.sql:62)."""
+    missing = [
+        p
+        for p in (PERIOD_FILTER_FROM, PERIOD_FILTER_TO)
+        if model_sql.find(p) == -1
+    ]
+    if missing:
+        raise MissingPlaceholderError(
+            "Model SQL must contain both period-filter placeholders; "
+            f"missing: {', '.join(missing)}. Filters should read "
+            f"`ts >= {PERIOD_FILTER_FROM} AND ts < {PERIOD_FILTER_TO}` "
+            "(FROM inclusive, TO exclusive)."
+        )
+
+
+def date_literal(d: dt.date) -> str:
+    """ANSI DATE literal — keeps the reference's "replacement values will have
+    DATE data type" contract (/root/reference/README.md:94) so downstream date
+    arithmetic works on the injected value."""
+    return f"DATE'{d.isoformat()}'"
+
+
+def inject_period_filter(
+    model_sql: str, period_start: dt.date, period_end: dt.date
+) -> str:
+    """Replace both placeholders with DATE literals for one period
+    (reference ``replace_placeholder_with_period_filter``,
+    /root/reference/macros/insert_by_timeperiod_helpers.sql:94-104)."""
+    return model_sql.replace(
+        PERIOD_FILTER_FROM, date_literal(period_start)
+    ).replace(PERIOD_FILTER_TO, date_literal(period_end))

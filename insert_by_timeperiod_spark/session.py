@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's required/recommended configs.
+
+Local-mode defaults follow SURVEY.md §7 / the public Spark tuning guidance:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing), shuffle
+partitions sized to cores (not the 200 default), UTC session timezone (the
+duckdb-oracle comparison contract, SURVEY.md §5), Arrow enabled for the
+Pandas-UDF slow path. ``nanosAsLong`` is needed because the driver fixtures
+carry parquet TIMESTAMP(NANOS), which Spark's reader otherwise rejects.
+
+On a real cluster only the master / memory settings change; everything the
+engine relies on semantically (timezone, AQE, partition-overwrite behavior)
+is set here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # fixtures carry INT64 TIMESTAMP(NANOS); read as long + convert (sources.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # period redo overwrites only the touched date partitions
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # don't let tiny fixture files explode into per-file tasks
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "insert_by_timeperiod_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
+    )
+    builder = builder.config("spark.ui.enabled", "false")
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,48 @@
+"""Source connectors: read + normalize the test tables, register catalog views.
+
+The reference's source surface is "read upstream model/table" via dbt
+``ref()`` (/root/reference/README.md:64); here sources are DataSource-V2
+reads (parquet first-class; csv/json/orc come free from the same API).
+
+Normalization: the driver fixtures store ``events.ts`` as parquet
+TIMESTAMP(NANOS), which Spark reads (under
+``spark.sql.legacy.parquet.nanosAsLong``) as a bigint of epoch-nanos; we
+convert to a proper TimestampType (microsecond precision, floor-truncated —
+the same truncation DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP, so
+oracle comparisons agree).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # epoch-nanos -> TimestampType at micro precision (floor division —
+        # fixture timestamps are all post-epoch/positive)
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view so model SQL can reference it by
+    name — the Spark equivalent of dbt ``ref()`` resolution."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,222 @@
+"""Date-partitioned parquet table with atomic-ish period commits.
+
+The reference leans on the warehouse for durability: per-period ``COMMIT``
+(/root/reference/macros/insert_by_timeperiod_loop.sql:134), range ``DELETE``
+for backfill (loop.sql:92-99), keyed ``DELETE ... IN (SELECT ...)``
+(loop.sql:100-107), ``INSERT`` (loop.sql:109-114) and a backup/rename dance
+for full refresh (/root/reference/macros/insert_by_timeperiod_init.sql:21-43).
+
+Spark-native mapping (SURVEY.md §7.4 "design rule"): the target is a parquet
+directory **partitioned by the date of ``timestamp_field``**, so
+
+- a period commit  == an atomic job-commit append (FileOutputCommitter moves
+  task files into place on job commit; readers never see partials),
+- a backfill range DELETE == dropping whole partition directories — the Spark
+  analogue of the reference's "DELETING whole date" strategy, which its README
+  calls "performant and simple" (/root/reference/README.md:20-22): a
+  metadata-level operation, no row rewrite,
+- full refresh == write-new + directory swap (same backup/rename semantics as
+  init.sql:22-27,41-42 but driver-side).
+
+A ``_ibtp_meta.json`` sidecar stores the authoritative schema + partition
+column so empty tables read correctly and schema evolution
+(append_new_columns / sync_all_columns) works over immutable old files:
+reading parquet with an explicit schema yields NULL for columns missing in a
+file, which is exactly dbt's append_new_columns semantics.
+
+On a real cluster this class is the thin swappable backend (SURVEY.md §2 A21):
+a Delta/Iceberg implementation replaces directory ops with ``replaceWhere`` /
+``MERGE`` transactions; the engine above it is unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+META_FILE = "_ibtp_meta.json"
+
+
+class ParquetTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ---- metadata -------------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, META_FILE)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    def _read_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(
+        self,
+        schema: T.StructType,
+        partition_col: str,
+        watermark: str | None = None,
+    ) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "schema": schema.json(),
+                    "partition_col": partition_col,
+                    "watermark": watermark,
+                },
+                f,
+            )
+        os.replace(tmp, self._meta_path)  # atomic on POSIX
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self._read_meta()["schema"]))
+
+    @property
+    def partition_col(self) -> str:
+        return self._read_meta()["partition_col"]
+
+    def set_schema(self, schema: T.StructType) -> None:
+        meta = self._read_meta()
+        self._write_meta(schema, meta["partition_col"], meta.get("watermark"))
+
+    @property
+    def watermark(self) -> dt.date | None:
+        """Exclusive end of committed period coverage — the engine's durable
+        resume point (replaces the reference's data-derived
+        ``MAX(timestamp_field)`` probe, helpers.sql:118-121, with explicit
+        state; falls back to the probe for tables that predate it)."""
+        wm = self._read_meta().get("watermark")
+        return dt.date.fromisoformat(wm) if wm else None
+
+    def advance_watermark(self, until: dt.date) -> None:
+        """Monotonic advance, written atomically after a period commit — the
+        parquet analogue of the reference's per-period COMMIT restart point
+        (/root/reference/macros/insert_by_timeperiod_loop.sql:134)."""
+        meta = self._read_meta()
+        cur = meta.get("watermark")
+        if cur is None or dt.date.fromisoformat(cur) < until:
+            self._write_meta(
+                T.StructType.fromJson(json.loads(meta["schema"])),
+                meta["partition_col"],
+                until.isoformat(),
+            )
+
+    # ---- read -----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Read with the authoritative sidecar schema: empty tables return an
+        empty DataFrame, files predating an added column return NULLs."""
+        meta = self._read_meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if not self._data_files_exist():
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(self.path)
+
+    def _data_files_exist(self) -> bool:
+        for root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def max_value(self, col: str):
+        """Resume probe: ``SELECT MAX(timestamp_field) FROM target``
+        (/root/reference/macros/insert_by_timeperiod_helpers.sql:118-121)."""
+        return self.read().agg(F.max(col)).first()[0]
+
+    # ---- partition bookkeeping ------------------------------------------
+
+    def partition_dates(self) -> list[dt.date]:
+        pcol = self.partition_col
+        out = []
+        if not os.path.isdir(self.path):
+            return out
+        for name in os.listdir(self.path):
+            if name.startswith(f"{pcol}="):
+                try:
+                    out.append(dt.date.fromisoformat(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def delete_date_range(self, start: dt.date, end: dt.date) -> int:
+        """Range delete = drop partition directories in ``[start, end)`` —
+        the parquet analogue of ``DELETE FROM t WHERE ts >= a AND ts < b``
+        (/root/reference/macros/insert_by_timeperiod_loop.sql:92-99). Pure
+        metadata: cost is O(partitions), not O(rows), at any scale."""
+        n = 0
+        pcol = self.partition_col
+        for d in self.partition_dates():
+            if start <= d < end:
+                shutil.rmtree(os.path.join(self.path, f"{pcol}={d.isoformat()}"))
+                n += 1
+        return n
+
+    def delete_dates(self, dates: list[dt.date]) -> None:
+        pcol = self.partition_col
+        for d in dates:
+            p = os.path.join(self.path, f"{pcol}={d.isoformat()}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+    # ---- write ----------------------------------------------------------
+
+    def create(self, df: DataFrame, partition_col: str) -> None:
+        """CTAS (/root/reference/macros/insert_by_timeperiod_init.sql:7-19)."""
+        self._write_meta(df.schema, partition_col)
+        self._append(df, partition_col)
+
+    def create_empty(self, schema: T.StructType, partition_col: str) -> None:
+        """Schema-only init — the reference's ``sample_select_for_table_schema``
+        path (/root/reference/macros/insert_by_timeperiod_init.sql:29-30);
+        metadata-only in Spark (SURVEY.md §4 O7)."""
+        self._write_meta(schema, partition_col)
+
+    def append(self, df: DataFrame) -> None:
+        """Period INSERT (/root/reference/macros/insert_by_timeperiod_loop.sql:109-114).
+        Job commit is the durable per-period restart point (loop.sql:134)."""
+        self._append(df, self.partition_col)
+
+    def _append(self, df: DataFrame, partition_col: str) -> None:
+        (
+            df.write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(self.path)
+        )
+
+    def replace_date_range(self, df: DataFrame, start: dt.date, end: dt.date) -> None:
+        """Backfill period commit: delete-then-insert of a half-open date range
+        (/root/reference/macros/insert_by_timeperiod_loop.sql:92-114)."""
+        self.delete_date_range(start, end)
+        self.append(df)
+
+    def swap_from(self, other: "ParquetTable") -> None:
+        """Full-refresh commit: backup/rename/drop emulating the reference's
+        atomic-ish replace (/root/reference/macros/insert_by_timeperiod_init.sql:22-27,41-42)."""
+        backup = self.path + f"__ibtp_backup_{uuid.uuid4().hex[:8]}"
+        had_old = os.path.isdir(self.path)
+        if had_old:
+            os.rename(self.path, backup)
+        try:
+            os.rename(other.path, self.path)
+        except Exception:
+            if had_old:
+                os.rename(backup, self.path)  # roll back
+            raise
+        if had_old:
+            shutil.rmtree(backup)
+
+    def drop(self) -> None:
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)

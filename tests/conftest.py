@@ -1,0 +1,93 @@
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from insert_by_timeperiod_spark.session import get_spark
+
+    spark = get_spark("ibtp-tests", shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def views(spark, sf_dir):
+    """Register all fixture tables as temp views once per session."""
+    from insert_by_timeperiod_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return sf_dir
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    """DuckDB oracle connection with the same tables registered as views."""
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(rows, float_digits=6):
+    """Canonicalize result rows for order-insensitive comparison."""
+    import datetime as dt
+    import math
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return round(v, float_digits)
+        if isinstance(v, dt.datetime):
+            return v.replace(tzinfo=None).isoformat(sep=" ")
+        if isinstance(v, dt.date):
+            return v.isoformat()
+        try:
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return round(float(v), float_digits)
+        except ImportError:
+            pass
+        if isinstance(v, list):
+            return tuple(canon(x) for x in v)
+        return v
+
+    return sorted(tuple(canon(v) for v in row) for row in rows)
+
+
+def assert_df_matches_duck(spark_df, duck_con, sql, float_digits=6):
+    """Differential check: Spark DataFrame result vs DuckDB oracle SQL,
+    order-insensitive, column order normalized by name (the driver's compare
+    sorts columns by name before hashing)."""
+    cols = sorted(spark_df.columns)
+    got = normalize(
+        [tuple(r) for r in spark_df.select(*cols).collect()], float_digits
+    )
+    oracle_rel = duck_con.sql(sql)
+    ocols = sorted(oracle_rel.columns)
+    assert cols == ocols, f"column mismatch: spark={cols} duck={ocols}"
+    idx = [oracle_rel.columns.index(c) for c in ocols]
+    want = normalize(
+        [tuple(row[i] for i in idx) for row in oracle_rel.fetchall()], float_digits
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} duck={len(want)}"
+    assert got == want

@@ -1,0 +1,217 @@
+"""Materialization-semantics golden tests (SURVEY.md §5 item 2): the chunked
+engine's output must equal the unchunked query, across all run modes."""
+
+import datetime as dt
+
+import pytest
+
+from insert_by_timeperiod_spark import (
+    IBTPConfig,
+    InsertByTimeperiod,
+    RunMode,
+    RunVars,
+)
+
+from conftest import assert_df_matches_duck
+
+MODEL = """
+SELECT user_id,
+       CAST(ts AS DATE)       AS event_date,
+       COUNT(*)               AS n,
+       SUM(value)             AS total
+FROM events
+WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+ORACLE = """
+SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n, SUM(value) AS total
+FROM events
+WHERE ts >= DATE '{start}' AND ts < DATE '{stop}'
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+START, STOP = "2024-01-01", "2024-02-01"
+
+
+def cfg(**kw):
+    base = dict(
+        timestamp_field="event_date", period="day", start_date=START, stop_date=STOP
+    )
+    base.update(kw)
+    return IBTPConfig(**base)
+
+
+def build(spark, tmp_path, config, name="t", **kw):
+    return InsertByTimeperiod(spark, MODEL, config, str(tmp_path / name), **kw)
+
+
+@pytest.mark.parametrize("period", ["day", "week", "month"])
+def test_full_build_matches_unchunked(spark, views, duck, tmp_path, period):
+    eng = build(spark, tmp_path, cfg(period=period), name=f"t_{period}")
+    res = eng.run()
+    assert res.mode is RunMode.INCREMENTAL
+    assert res.total_rows > 0
+    out = eng.table.read()
+    assert_df_matches_duck(out, duck, ORACLE.format(start=START, stop=STOP), float_digits=4)
+
+
+def test_rerun_is_idempotent(spark, views, duck, tmp_path):
+    """Re-running resumes past all loaded data: only trailing empty periods
+    (after MAX(ts)) are retried, inserting 0 rows — the same observable
+    behavior as the reference's GREATEST(MAX(ts)+1day, start) resume."""
+    eng = build(spark, tmp_path, cfg())
+    first = eng.run()
+    again = eng.run()
+    assert all(p.rows == 0 for p in again.periods)
+    assert again.total_rows == 0
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )
+    assert first.total_rows == eng.table.read().count()
+
+
+def test_interrupt_resume_equals_uninterrupted(spark, views, duck, tmp_path):
+    """Run to a mid-window stop (simulating an interrupt after period k), then
+    resume over the full window — must equal an uninterrupted run
+    (/root/reference/README.md:11)."""
+    eng = build(spark, tmp_path, cfg(period="week"))
+    eng.run(RunVars(stop_date="2024-01-11"))  # "interrupted" after 10 periods
+    res = eng.run()  # resume
+    assert res.periods[0].period.start == dt.date(2024, 1, 11)
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )
+
+
+def test_backfill_range_is_idempotent_and_bounded(spark, views, duck, tmp_path):
+    eng = build(spark, tmp_path, cfg())
+    eng.run()
+    before = {d for d in eng.table.partition_dates()}
+    res = eng.run(
+        RunVars(start_date="2024-01-10", stop_date="2024-01-15", backfill=True)
+    )
+    assert res.mode is RunMode.BACKFILL
+    assert eng.table.partition_dates() == sorted(before)
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )
+
+
+def test_backfill_deletes_then_reinserts_only_range(spark, views, duck, tmp_path):
+    """Backfill [A,B) == delete + recompute exactly [A,B); rest untouched
+    (/root/reference/README.md:20-22)."""
+    eng = build(spark, tmp_path, cfg())
+    eng.run()
+    # corrupt two in-range partitions by deleting them, then backfill restores
+    eng.table.delete_date_range(dt.date(2024, 1, 10), dt.date(2024, 1, 12))
+    eng.run(RunVars(start_date="2024-01-10", stop_date="2024-01-12", backfill=True))
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )
+
+
+def test_full_refresh_rebuilds(spark, views, duck, tmp_path):
+    eng = build(spark, tmp_path, cfg())
+    eng.run()
+    res = eng.run(RunVars(full_refresh=True))
+    assert res.mode is RunMode.FULL_REFRESH
+    assert len(res.periods) == 31
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )
+
+
+def test_unique_key_upsert_dedups(spark, views, duck, tmp_path):
+    """Keyed delete+insert (loop.sql:100-114): re-loading overlapping periods
+    with a unique_key must not duplicate keys."""
+    config = cfg(unique_key="user_id", period="week")
+    # model keyed by user_id alone: one row per user per period -> re-running
+    # periods overwrites each user's row
+    model = """
+    SELECT user_id,
+           MIN(CAST(ts AS DATE))  AS event_date,
+           COUNT(*)               AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id
+    """
+    eng = InsertByTimeperiod(spark, model, config, str(tmp_path / "keyed"))
+    eng.run()
+    out = eng.table.read()
+    n_users = out.select("user_id").distinct().count()
+    assert out.count() == n_users  # exactly one surviving row per key
+    # last period wins: week containing each user's final event
+    duck_sql = """
+    WITH weekly AS (
+      SELECT user_id,
+             date_trunc('day', DATE '2024-01-01')
+               + INTERVAL (7 * CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT)) DAY
+               AS wk,
+             ts
+      FROM events WHERE ts >= DATE '2024-01-01' AND ts < DATE '2024-02-01'
+    ), last_wk AS (
+      SELECT user_id, MAX(wk) AS wk FROM weekly GROUP BY user_id
+    )
+    SELECT w.user_id, MIN(CAST(w.ts AS DATE)) AS event_date, COUNT(*) AS n
+    FROM weekly w JOIN last_wk l ON w.user_id = l.user_id AND w.wk = l.wk
+    GROUP BY w.user_id
+    """
+    assert_df_matches_duck(out, duck, duck_sql, float_digits=4)
+
+
+def test_schema_evolution_append_new_columns(spark, views, duck, tmp_path):
+    config = cfg(on_schema_change="append_new_columns")
+    eng = build(spark, tmp_path, cfg(), name="evo")
+    eng.run(RunVars(stop_date="2024-01-11"))
+    # same model with an extra column appears mid-run
+    model2 = MODEL.replace(
+        "SUM(value)             AS total",
+        "SUM(value) AS total, AVG(value) AS avg_value",
+    )
+    eng2 = InsertByTimeperiod(spark, model2, config, str(tmp_path / "evo"))
+    eng2.run()
+    out = eng2.table.read()
+    assert "avg_value" in out.columns
+    # old periods read NULL for the new column; new periods have values
+    assert out.where("event_date <  DATE'2024-01-11' AND avg_value IS NOT NULL").count() == 0
+    assert out.where("event_date >= DATE'2024-01-11' AND avg_value IS NULL").count() == 0
+
+
+def test_schema_evolution_ignore_drops_new_columns(spark, views, tmp_path):
+    eng = build(spark, tmp_path, cfg(), name="evo_ignore")
+    eng.run(RunVars(stop_date="2024-01-11"))
+    model2 = MODEL.replace(
+        "SUM(value)             AS total",
+        "SUM(value) AS total, AVG(value) AS avg_value",
+    )
+    eng2 = InsertByTimeperiod(
+        spark, model2, cfg(), str(tmp_path / "evo_ignore")
+    )
+    eng2.run()
+    assert "avg_value" not in eng2.table.read().columns
+
+
+def test_date_source_models_clamp(spark, views, duck, tmp_path):
+    """Window resolved from MIN/MAX scan of source models
+    (/root/reference/macros/insert_by_timeperiod_helpers.sql:19-39)."""
+    config = IBTPConfig(
+        timestamp_field="event_date",
+        period="week",
+        date_source_models=["events"],
+        source_timestamp_field="ts",
+    )
+    eng = InsertByTimeperiod(
+        spark,
+        MODEL.replace("CAST(ts AS DATE)       AS event_date", "CAST(ts AS DATE) AS event_date"),
+        config,
+        str(tmp_path / "clamped"),
+    )
+    res = eng.run()
+    # events span 2024-01-01 .. 2024-01-30 -> start=01-01, stop=01-31 (max+1)
+    assert res.periods[0].period.start == dt.date(2024, 1, 1)
+    assert res.periods[-1].period.end == dt.date(2024, 1, 31)
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start="2024-01-01", stop="2024-01-31"),
+        float_digits=4,
+    )

@@ -1,0 +1,108 @@
+"""Period grid fenceposts — the reference's own trouble spot
+(/root/reference/macros/insert_by_timeperiod_loop.sql:32-33)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from insert_by_timeperiod_spark.periods import (
+    MAX_STOP,
+    Period,
+    add_months,
+    add_period,
+    pending_from_watermark,
+    period_grid,
+)
+
+D = dt.date
+
+
+def test_day_grid():
+    g = period_grid(D(2024, 1, 1), D(2024, 1, 4), "day")
+    assert g == [
+        Period(D(2024, 1, 1), D(2024, 1, 2)),
+        Period(D(2024, 1, 2), D(2024, 1, 3)),
+        Period(D(2024, 1, 3), D(2024, 1, 4)),
+    ]
+
+
+def test_stop_exclusive_empty_grid():
+    assert period_grid(D(2024, 1, 1), D(2024, 1, 1), "day") == []
+
+
+def test_week_grid_clamped():
+    g = period_grid(D(2024, 1, 1), D(2024, 1, 10), "week")
+    assert g == [
+        Period(D(2024, 1, 1), D(2024, 1, 8)),
+        Period(D(2024, 1, 8), D(2024, 1, 10)),  # clamped at stop (LEAST)
+    ]
+
+
+def test_month_grid_eom_clamping():
+    g = period_grid(D(2024, 1, 31), D(2024, 4, 15), "month")
+    # DATEADD(month,...) end-of-month clamping: Jan31 -> Feb29 (leap) -> Mar31
+    assert g == [
+        Period(D(2024, 1, 31), D(2024, 2, 29)),
+        Period(D(2024, 2, 29), D(2024, 3, 29)),
+        Period(D(2024, 3, 29), D(2024, 4, 15)),
+    ]
+
+
+def test_year_grid():
+    g = period_grid(D(2020, 2, 29), D(2022, 1, 1), "year")
+    assert g == [
+        Period(D(2020, 2, 29), D(2021, 2, 28)),
+        Period(D(2021, 2, 28), D(2022, 1, 1)),
+    ]
+
+
+def test_add_months_matches_tsql_dateadd():
+    assert add_months(D(2024, 1, 31), 1) == D(2024, 2, 29)
+    assert add_months(D(2023, 1, 31), 1) == D(2023, 2, 28)
+    assert add_months(D(2024, 11, 30), 3) == D(2025, 2, 28)
+    assert add_months(D(2024, 3, 15), -1) == D(2024, 2, 15)
+
+
+def test_bad_period():
+    with pytest.raises(ValueError):
+        add_period(D(2024, 1, 1), "fortnight")
+    with pytest.raises(ValueError):
+        period_grid(D(2024, 1, 1), D(2024, 2, 1), "hour")
+
+
+def test_pending_from_watermark_resume():
+    g = period_grid(D(2024, 1, 1), D(2024, 2, 1), "week")
+    # watermark inside period 2 -> trimmed complement of period 2, then rest
+    got = pending_from_watermark(g, D(2024, 1, 9))
+    assert got[0] == Period(D(2024, 1, 9), D(2024, 1, 15))
+    assert got[1:] == g[2:]
+    # watermark exactly at a boundary -> clean resume, no trim
+    assert pending_from_watermark(g, D(2024, 1, 8)) == g[1:]
+    assert pending_from_watermark(g, None) == g
+    assert pending_from_watermark(g, D(2024, 3, 1)) == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    start=st.dates(min_value=D(1990, 1, 1), max_value=D(2030, 1, 1)),
+    span=st.integers(min_value=0, max_value=1200),
+    period=st.sampled_from(["day", "week", "month", "year"]),
+)
+def test_grid_invariants(start, span, period):
+    stop = start + dt.timedelta(days=span)
+    g = period_grid(start, stop, period)
+    # contiguous, half-open, covers [start, stop) exactly, within bounds
+    if span == 0:
+        assert g == []
+        return
+    assert g[0].start == start
+    assert g[-1].end == stop
+    for a, b in zip(g, g[1:]):
+        assert a.end == b.start
+    for p in g:
+        assert p.start < p.end <= stop
+    # every day maps to exactly one period
+    probe = start + dt.timedelta(days=span // 2)
+    assert sum(p.contains(probe) for p in g) == 1
+    assert MAX_STOP > stop

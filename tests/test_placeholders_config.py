@@ -1,0 +1,82 @@
+import datetime as dt
+
+import pytest
+
+from insert_by_timeperiod_spark.config import (
+    IBTPConfig,
+    OnSchemaChange,
+    RunMode,
+    RunVars,
+    resolve_mode,
+)
+from insert_by_timeperiod_spark.placeholders import (
+    MissingPlaceholderError,
+    check_period_filter_placeholders,
+    inject_period_filter,
+)
+
+SQL = "SELECT * FROM events WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__"
+
+
+def test_placeholder_check_ok():
+    check_period_filter_placeholders(SQL)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT 1",
+        "SELECT * FROM t WHERE ts >= __PERIOD_FILTER_FROM__",  # only one: deviation from reference quirk
+        "SELECT * FROM t WHERE ts < __PERIOD_FILTER_TO__",
+    ],
+)
+def test_placeholder_check_raises(sql):
+    with pytest.raises(MissingPlaceholderError):
+        check_period_filter_placeholders(sql)
+
+
+def test_injection_date_literals_and_multiplicity():
+    sql = (
+        "SELECT date_add(__PERIOD_FILTER_FROM__, -3) AS warmup FROM t "
+        "WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__"
+    )
+    out = inject_period_filter(sql, dt.date(2024, 1, 5), dt.date(2024, 1, 6))
+    assert out.count("DATE'2024-01-05'") == 2  # used as many times as necessary
+    assert "DATE'2024-01-06'" in out
+    assert "__PERIOD_FILTER" not in out
+
+
+def test_mode_ladder():
+    assert resolve_mode(RunVars()) is RunMode.INCREMENTAL
+    assert resolve_mode(RunVars(full_refresh=True)) is RunMode.FULL_REFRESH
+    # backfill overrides full-refresh (materialization.sql:6-14)
+    v = RunVars(
+        start_date="2024-01-01", stop_date="2024-01-05", backfill=True, full_refresh=True
+    )
+    assert resolve_mode(v) is RunMode.BACKFILL
+
+
+def test_backfill_requires_both_dates():
+    with pytest.raises(ValueError):
+        resolve_mode(RunVars(backfill=True, start_date="2024-01-01"))
+
+
+def test_config_coercions():
+    c = IBTPConfig(
+        timestamp_field="ts",
+        start_date="2024-01-01",
+        stop_date=" none ",
+        date_source_models="events",
+        on_schema_change="append_new_columns",
+    )
+    assert c.start_date == dt.date(2024, 1, 1)
+    assert c.stop_date is None
+    assert c.date_source_models == ["events"]
+    assert c.on_schema_change is OnSchemaChange.APPEND_NEW_COLUMNS
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        IBTPConfig(timestamp_field="")
+    with pytest.raises(ValueError):
+        IBTPConfig(timestamp_field="ts", period="hour")

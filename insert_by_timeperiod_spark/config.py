@@ -74,6 +74,15 @@ class IBTPConfig:
                              (/root/reference/macros/insert_by_timeperiod_materialization.sql:32)
     on_schema_change         ignore (default) | append_new_columns |
                              sync_all_columns | fail
+    upsert_probe_window      days: bound the keyed-upsert probe of the target
+                             to [period.start - window, period.end). Without
+                             it every period scans the whole target for
+                             matching keys — the dominant cost at scale (the
+                             reference's keyed DELETE has the same table-wide
+                             cost and its README says "prefer key-less",
+                             /root/reference/README.md:102). Set when keys
+                             are known to be time-local; keys older than the
+                             window are NOT deduplicated.
     """
 
     timestamp_field: str
@@ -85,6 +94,7 @@ class IBTPConfig:
     source_timestamp_field: str | None = None
     sample_select_for_table_schema: str | None = None
     on_schema_change: OnSchemaChange = OnSchemaChange.IGNORE
+    upsert_probe_window: int | None = None
 
     def __post_init__(self) -> None:
         if not self.timestamp_field:

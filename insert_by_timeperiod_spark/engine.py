@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from functools import reduce
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from .config import IBTPConfig, OnSchemaChange, RunMode, RunVars, resolve_mode
 from .periods import MAX_STOP, Period, pending_from_watermark, period_grid
@@ -47,6 +47,29 @@ ModelFn = Callable[[SparkSession, dt.date, dt.date], DataFrame]
 Model = str | ModelFn
 
 INTERNAL_PARTITION_COL = "_ibtp_date"
+
+#: lossless cast chain for schema drift: incoming -> stored is safe when the
+#: stored type is at least as wide (the reference instead widens the TARGET,
+#: loop.sql:78-79 — impossible on immutable parquet, so narrower incoming
+#: data is cast up; anything else is drift)
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _safe_cast(src: T.DataType, dst: T.DataType) -> bool:
+    if src == dst:
+        return True
+    s, d = src.typeName(), dst.typeName()
+    if s in _INT_RANK and d in _INT_RANK:
+        return _INT_RANK[s] <= _INT_RANK[d]
+    if s in _INT_RANK and d == "double":
+        return True
+    if s in ("byte", "short", "integer") and d == "float":
+        return True
+    if s == "float" and d == "double":
+        return True
+    if s == "date" and d == "timestamp":
+        return True
+    return False
 
 
 @dataclass
@@ -192,6 +215,27 @@ class InsertByTimeperiod:
 
         if new_cols and policy is OnSchemaChange.FAIL:
             raise ValueError(f"schema changed, new columns {new_cols} (on_schema_change=fail)")
+        # incompatible type drift must not silently NULL every row (Spark's
+        # non-ANSI cast turns e.g. string->int mismatches into NULLs, where
+        # the reference's explicit-column INSERT would fail loudly in the
+        # warehouse): raise under fail, warn otherwise
+        drifted = [
+            (f_.name, df.schema[f_.name].dataType, f_.dataType)
+            for f_ in target_schema.fields
+            if f_.name in incoming
+            and df.schema[f_.name].dataType != f_.dataType
+            and not _safe_cast(df.schema[f_.name].dataType, f_.dataType)
+        ]
+        if drifted:
+            msg = ", ".join(
+                f"{n}: {src.simpleString()} -> {dst.simpleString()}"
+                for n, src, dst in drifted
+            )
+            if policy is OnSchemaChange.FAIL:
+                raise ValueError(
+                    f"non-widening type change ({msg}) with on_schema_change=fail"
+                )
+            log.warning("casting drifted columns to stored types (%s)", msg)
         if policy in (OnSchemaChange.APPEND_NEW_COLUMNS, OnSchemaChange.SYNC_ALL_COLUMNS) and new_cols:
             evolved = T.StructType(
                 list(target_schema.fields)
@@ -300,25 +344,29 @@ class InsertByTimeperiod:
             t0 = time.monotonic()
             df = self._align_to_target(self._period_df(p))
 
+            # A17 row-count observability via Observation: the count rides on
+            # the write job itself (zero extra actions, zero caching) — the
+            # Spark analogue of the reference harvesting rows_affected from
+            # the driver response (loop.sql:117-123) instead of re-counting
+            obs: Observation | None = None
+            if self.count_rows:
+                obs = Observation(f"ibtp_rows_{uuid.uuid4().hex[:8]}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
             rows: int | None = None
             # backfill range-delete wins over the keyed path, matching the
             # reference's loop branch order (loop.sql:92-107)
-            if mode is RunMode.BACKFILL:
-                if self.count_rows:
-                    df = df.persist()
-                    rows = df.count()
-                self.table.replace_date_range(df, p.start, p.end)  # A12
-                if self.count_rows:
-                    df.unpersist()
-            elif self.config.unique_key:
-                rows = self._upsert_period(df, p)
+            if self.config.unique_key and mode is not RunMode.BACKFILL:
+                rows = self._upsert_period(df, p, obs)
             else:
-                if self.count_rows:
-                    df = df.persist()
-                    rows = df.count()
-                self.table.append(df)  # A14; job commit == period COMMIT (A16)
-                if self.count_rows:
-                    df.unpersist()
+                # replace (not append): re-running a period first drops any
+                # partial data a crashed run left in its partitions, so the
+                # period commit is idempotent — closes the duplicate-load
+                # window between data write and watermark advance (the
+                # reference's per-period COMMIT is atomic, loop.sql:134)
+                self.table.replace_date_range(df, p.start, p.end)  # A12/A14/A16
+                if obs is not None:
+                    rows = obs.get["rows"]
 
             # progress log with the reference's message shape (A17,
             # /root/reference/macros/insert_by_timeperiod_loop.sql:128-131)
@@ -327,7 +375,17 @@ class InsertByTimeperiod:
                 self.config.period, i, n, p.start.isoformat(),
                 rows if rows is not None else "?", time.monotonic() - t0,
             )
-            self.table.advance_watermark(p.end)
+            if mode is RunMode.BACKFILL:
+                # a backfill beyond current coverage must NOT record coverage
+                # over the never-loaded gap — only contiguous extensions (or
+                # in-coverage rewrites) advance the watermark; the reference's
+                # data-derived probe has the same property by construction
+                # (helpers.sql:118-121)
+                wm = self.table.watermark
+                if wm is not None and p.start <= wm:
+                    self.table.advance_watermark(p.end)
+            else:
+                self.table.advance_watermark(p.end)
             result.periods.append(PeriodResult(p, rows))
             if self.post_period:
                 self.post_period(p, rows)
@@ -338,42 +396,53 @@ class InsertByTimeperiod:
 
     # ---- keyed upsert (A13) -------------------------------------------------
 
-    def _upsert_period(self, df: DataFrame, p: Period) -> int | None:
+    def _upsert_period(
+        self, df: DataFrame, p: Period, obs: Observation | None
+    ) -> int | None:
         """Delete+insert by ``unique_key``
         (/root/reference/macros/insert_by_timeperiod_loop.sql:100-114): the
         reference deletes matching keys table-wide via ``IN (subquery)`` then
-        inserts. Parquet mapping: locate the partitions that contain matching
-        keys (left-semi), rewrite only those partitions with a left-anti join
-        (delete), then append the period's rows. At scale, partition pruning
-        bounds the rewrite to the touched dates; the README's "this path is
-        slow, prefer key-less" warning (/root/reference/README.md:102) stands.
+        inserts, inside one warehouse transaction.
+
+        Parquet mapping, crash-safe and idempotent: (1) probe which target
+        partitions contain matching keys (left-semi on the key, optionally
+        bounded by ``upsert_probe_window`` — otherwise a full-table probe
+        every period, the dominant cost at scale and the README's "this path
+        is slow, prefer key-less" warning, /root/reference/README.md:102);
+        (2) compute the full new content of the touched partitions — old rows
+        that survive the keyed delete plus the period's rows; (3) hand it to
+        ``rewrite_partitions``, which stages durably before swapping.
+        Re-running the same period converges: previously-inserted rows match
+        their own keys and are replaced, never duplicated.
         Temp data is cached because it is scanned twice — the reference's
         HEAP-temp-table rationale (loop.sql:45-49,65-69; SURVEY.md §4 O4)."""
         key = self.config.unique_key
         pcol = self.table.partition_col
         df = df.persist()
-        rows = df.count() if self.count_rows else None
+        rows = None
+        if obs is not None:
+            rows = df.count()  # also triggers the observation on the cache fill
 
         target = self.table.read()
+        if self.config.upsert_probe_window is not None:
+            lo = p.start - dt.timedelta(days=self.config.upsert_probe_window)
+            # partition pruning bounds the probe scan to the window
+            target = target.where(
+                (F.col(pcol) >= F.lit(lo)) & (F.col(pcol) < F.lit(p.end))
+            )
         keys = df.select(key).distinct()
-        affected = [
+        affected = {
             r[0]
             for r in target.join(keys, key, "left_semi")
             .select(pcol)
             .distinct()
             .collect()
-        ]
-        if affected:
-            # localCheckpoint truly materializes and cuts lineage — survivors
-            # must not be recomputed after their source dirs are deleted
-            survivors = (
-                target.where(F.col(pcol).isin(affected))
-                .join(keys, key, "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            self.table.delete_dates(affected)
-            self.table.append(survivors)
-            survivors.unpersist()
-        self.table.append(df)
+        }
+        # the rewrite set: partitions with key matches + the period's own dates
+        dates = sorted(affected | {d.start for d in period_grid(p.start, p.end, "day")})
+        survivors = target.where(F.col(pcol).isin([d for d in dates])).join(
+            keys, key, "left_anti"
+        )
+        self.table.rewrite_partitions(survivors.unionByName(df), dates)
         df.unpersist()
         return rows

@@ -115,6 +115,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Fuzzy-duplicate pairs via banded MinHash LSH with exact verification.
 
@@ -124,6 +125,12 @@ def minhash_lsh_pairs(
     happens inside buckets only; exact Jaccard runs on candidate pairs alone
     (array_intersect/array_union on the already-computed shingle arrays).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_bucket_size`` caps the per-bucket self-join: a degenerate bucket
+    (e.g. millions of near-empty docs sharing shingles) would otherwise go
+    quadratic. Oversized buckets are dropped entirely — near-dup clusters
+    that large are better handled by exact dedup on a normalized key; the
+    cap keeps worst-case work at O(buckets · cap²). Pass ``None`` to disable.
     """
     rows_per_band = num_hashes // bands
     sh = char_shingles(F.col(text_col), shingle_k)
@@ -153,6 +160,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        # skew guard: the size aggregation shuffles on the same (band, bucket)
+        # keys as the self-join below, so AQE reuses the exchange; oversized
+        # buckets never reach the join
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -189,33 +208,37 @@ def minhash_lsh_pairs(
 def simhash64(shingles: Column) -> Column:
     """64-bit SimHash as a pure column expression: per bit, sum (+1/-1)
     weighted by each shingle-hash's bit, then majority. aggregate() folds the
-    token hashes once; the 64 bit-counters live in a fixed-size array."""
+    token hashes once; the 64 bit-counters live in a fixed-size array.
+
+    The bit loops are unrolled with Python ints because ``shiftright``/
+    ``shiftleft`` take a plain-int bit count — the unrolled expression is
+    still one codegen'd JVM expression per row, no Python in the hot path."""
     counts = F.aggregate(
         shingles,
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda acc, s: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(
-                    F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for i in range(64)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(
+            F.when(
+                F.element_at(counts, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return out
 
 
 def add_simhash(

@@ -88,6 +88,20 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(n_planes, dim))
 
 
+def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-of-random-projection bucket id (0 .. 2^n_planes-1) as a pure
+    column expression. The planes are literals in the plan — no broadcast
+    join, no UDF; the bucket computation fuses into the scan stage."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = dot(F.col(vec_col), lit_plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
 def add_lsh_bucket(
     df: DataFrame,
     *,
@@ -97,17 +111,43 @@ def add_lsh_bucket(
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Sign-of-random-projection bucket id (0 .. 2^n_planes-1) as a pure
-    column expression. The planes are literals in the plan — no broadcast
-    join, no UDF; the bucket computation fuses into the scan stage."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(_random_planes(dim, n_planes, seed)):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        proj = dot(F.col(vec_col), lit_plane)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return df.withColumn(out_col, bucket)
+    """Single-table bucket id column (used by ``embedding_cosine_dupes``,
+    where near-identical vectors collide with high probability)."""
+    return df.withColumn(
+        out_col, _bucket_expr(vec_col, _random_planes(dim, n_planes, seed))
+    )
+
+
+def _add_lsh_tables(
+    df: DataFrame,
+    *,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    seed: int,
+    vec_col: str,
+    multi_probe: bool = False,
+) -> DataFrame:
+    """Explode each row into ``n_tables`` (tbl, bkt) rows — one per
+    independent hash table (OR-amplification). With ``multi_probe``, also
+    emit every Hamming-1 neighbor bucket per table (query side only:
+    n_tables·(n_planes+1) probe rows per query)."""
+    planes = np.random.RandomState(seed).normal(size=(n_tables, n_planes, dim))
+    entries = []
+    for t in range(n_tables):
+        b = _bucket_expr(vec_col, planes[t])
+        entries.append(F.struct(F.lit(t).alias("tbl"), b.alias("bkt")))
+        if multi_probe:
+            entries.extend(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b.bitwiseXOR(F.lit(1 << i).cast("long")).alias("bkt"),
+                )
+                for i in range(n_planes)
+            )
+    return df.select(
+        "*", F.explode(F.array(*entries)).alias("_tb")
+    ).select(*df.columns, F.col("_tb.tbl").alias("tbl"), F.col("_tb.bkt").alias("bkt"))
 
 
 def lsh_topk(
@@ -117,32 +157,36 @@ def lsh_topk(
     k: int = 5,
     dim: int,
     n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket (plus, with
-    multi_probe, buckets at Hamming distance 1 — recovers most of the recall
-    lost to unlucky hyperplanes at ~n_planes× candidate cost)."""
-    c = add_lsh_bucket(
+    """Approximate top-k with multi-table OR-amplified random-projection LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` hyperplanes each: a
+    neighbor is a candidate if it collides with the query in ANY table
+    (OR-amplification — single-table recall p becomes 1-(1-p)^L). With
+    ``multi_probe`` the query additionally probes every Hamming-1 bucket per
+    table, recovering neighbors that lost exactly one coin flip.
+
+    Plan shape at scale: the corpus explodes to n_tables rows keyed by
+    uniform (tbl, bkt) — the shuffle carries ids + vectors once per table,
+    never pairwise; queries (small) are broadcast; per-bucket candidate sets
+    are brute-forced then exact top-k re-ranked. Recall/cost is tuned by
+    (n_planes, n_tables): more planes → smaller buckets, more tables →
+    higher recall; at a fixed corpus size, n_planes ≈ log2(n/target_bucket)."""
+    c = _add_lsh_tables(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        dim=dim, n_planes=n_planes, seed=seed, vec_col="_cv",
+        dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed, vec_col="_cv",
     )
-    q = add_lsh_bucket(
+    q = _add_lsh_tables(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        dim=dim, n_planes=n_planes, seed=seed, vec_col="_qv",
+        dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed, vec_col="_qv",
+        multi_probe=multi_probe,
     )
-    if multi_probe:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(n_planes)
-            ],
-        )
-        q = q.select("query_id", "_qv", F.explode(probes).alias("bucket"))
-    cand = c.join(F.broadcast(q), "bucket").where(
+    cand = c.join(F.broadcast(q), ["tbl", "bkt"]).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(

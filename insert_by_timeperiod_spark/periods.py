@@ -89,12 +89,16 @@ def period_grid(start: dt.date, stop: dt.date, period: str) -> list[Period]:
     """
     if period not in PERIODS:
         raise ValueError(f"unsupported period {period!r}; expected one of {PERIODS}")
+    # boundaries computed from the FIXED anchor (DATEADD(period, i, start) —
+    # helpers.sql:81,89), not by iterative re-anchoring: starting a month grid
+    # on Jan 31 yields Jan 31 | Feb 28 | Mar 31 | ..., matching the reference's
+    # emitted expressions exactly
     grid: list[Period] = []
-    cur = start
+    cur, i = start, 0
     while cur < stop:
-        nxt = min(add_period(cur, period, 1), stop)
+        nxt = min(add_period(start, period, i + 1), stop)
         grid.append(Period(cur, nxt))
-        cur = nxt
+        cur, i = nxt, i + 1
     return grid
 
 

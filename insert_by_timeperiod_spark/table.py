@@ -197,9 +197,48 @@ class ParquetTable:
 
     def replace_date_range(self, df: DataFrame, start: dt.date, end: dt.date) -> None:
         """Backfill period commit: delete-then-insert of a half-open date range
-        (/root/reference/macros/insert_by_timeperiod_loop.sql:92-114)."""
+        (/root/reference/macros/insert_by_timeperiod_loop.sql:92-114).
+
+        Also the IDEMPOTENT period commit for incremental loads: re-running a
+        period first clears any partial data a crashed append left in its
+        partitions, closing the duplicate-load window between data commit and
+        watermark advance (the reference's per-period warehouse COMMIT makes
+        data+progress atomic, loop.sql:134; dropping the pending range first
+        is the parquet analogue — the placeholder contract guarantees period
+        rows land inside [start, end), so nothing else lives there)."""
         self.delete_date_range(start, end)
         self.append(df)
+
+    def rewrite_partitions(self, df: DataFrame, dates: list[dt.date]) -> None:
+        """Crash-safer partition rewrite: materialize ``df`` (the full new
+        content of ``dates``) to a durable staging directory FIRST, then swap
+        each partition directory into place via metadata renames.
+
+        This is the parquet analogue of the reference's transactional
+        DELETE+INSERT (/root/reference/macros/insert_by_timeperiod_loop.sql:100-114):
+        the expensive recompute is durable before any original data is
+        touched, so a crash loses at most the two-rename window of a single
+        partition — not the whole delete-then-recompute span. Work scales
+        with the touched partitions only."""
+        pcol = self.partition_col
+        stage = self.path + f"__ibtp_stage_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(pcol).parquet(stage)
+        try:
+            for d in dates:
+                part = f"{pcol}={d.isoformat()}"
+                src = os.path.join(stage, part)
+                dst = os.path.join(self.path, part)
+                trash = os.path.join(self.path, f".ibtp_trash_{part}_{uuid.uuid4().hex[:8]}")
+                had_old = os.path.isdir(dst)
+                if had_old:
+                    os.rename(dst, trash)
+                if os.path.isdir(src):
+                    os.rename(src, dst)
+                if had_old:
+                    shutil.rmtree(trash)
+        finally:
+            if os.path.isdir(stage):
+                shutil.rmtree(stage)
 
     def swap_from(self, other: "ParquetTable") -> None:
         """Full-refresh commit: backup/rename/drop emulating the reference's

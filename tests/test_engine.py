@@ -215,3 +215,53 @@ def test_date_source_models_clamp(spark, views, duck, tmp_path):
         eng.table.read(), duck, ORACLE.format(start="2024-01-01", stop="2024-01-31"),
         float_digits=4,
     )
+
+
+def test_crash_between_write_and_watermark_no_duplicates(spark, views, duck, tmp_path):
+    """A crash AFTER a period's data commit but BEFORE the watermark advance
+    must not duplicate the period on resume (the reference's per-period
+    warehouse COMMIT makes data+progress atomic, loop.sql:134; our period
+    commit is an idempotent partition replace, so the re-run overwrites)."""
+    from insert_by_timeperiod_spark.periods import Period
+
+    eng = build(spark, tmp_path, cfg())
+    eng.run(RunVars(stop_date="2024-01-11"))
+    # simulate the crashed half-commit: period [01-11, 01-12) data lands on
+    # disk, watermark still points at the period start
+    p = Period(dt.date(2024, 1, 11), dt.date(2024, 1, 12))
+    eng.table.append(eng._align_to_target(eng._period_df(p)))
+    assert eng.table.watermark == dt.date(2024, 1, 11)
+    eng.run()  # resume must replace the period's partitions, not re-append
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )
+
+
+def test_backfill_beyond_coverage_does_not_advance_watermark(spark, views, tmp_path):
+    """Backfilling a range beyond current coverage must not record coverage
+    over the never-loaded gap (the reference's data-derived probe only moves
+    when committed data moves, helpers.sql:118-121)."""
+    eng = build(spark, tmp_path, cfg())
+    eng.run(RunVars(stop_date="2024-01-05"))
+    assert eng.table.watermark == dt.date(2024, 1, 5)
+    # disjoint future range: loads data but must leave the watermark alone
+    eng.run(RunVars(start_date="2024-01-20", stop_date="2024-01-22", backfill=True))
+    assert eng.table.watermark == dt.date(2024, 1, 5)
+    # in-coverage backfill still advances through its range end
+    eng.run(RunVars(start_date="2024-01-03", stop_date="2024-01-06", backfill=True))
+    assert eng.table.watermark == dt.date(2024, 1, 6)
+
+
+def test_schema_drift_fail_raises_on_incompatible_cast(spark, views, tmp_path):
+    """string->double drift must raise under on_schema_change=fail instead of
+    silently writing NULLs (Spark's non-ANSI cast behavior)."""
+    eng = build(spark, tmp_path, cfg(on_schema_change="fail"), name="drift")
+    eng.run(RunVars(stop_date="2024-01-11"))
+    model2 = MODEL.replace(
+        "SUM(value)             AS total", "CAST(MAX(event_type) AS STRING) AS total"
+    )
+    eng2 = InsertByTimeperiod(
+        spark, model2, cfg(on_schema_change="fail"), str(tmp_path / "drift")
+    )
+    with pytest.raises(ValueError, match="non-widening"):
+        eng2.run()

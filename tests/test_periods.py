@@ -41,11 +41,13 @@ def test_week_grid_clamped():
 
 def test_month_grid_eom_clamping():
     g = period_grid(D(2024, 1, 31), D(2024, 4, 15), "month")
-    # DATEADD(month,...) end-of-month clamping: Jan31 -> Feb29 (leap) -> Mar31
+    # boundaries from the FIXED anchor — DATEADD(month, i, start) with T-SQL
+    # end-of-month clamping (reference helpers.sql:81,89): Jan31 anchor gives
+    # Feb29 (leap) then Mar31 (back to day 31 — no iterative re-anchoring)
     assert g == [
         Period(D(2024, 1, 31), D(2024, 2, 29)),
-        Period(D(2024, 2, 29), D(2024, 3, 29)),
-        Period(D(2024, 3, 29), D(2024, 4, 15)),
+        Period(D(2024, 2, 29), D(2024, 3, 31)),
+        Period(D(2024, 3, 31), D(2024, 4, 15)),
     ]
 
 

@@ -1,38 +1,886 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Coverage map (SURVEY.md §2): the ``engine_*`` entries exercise Part A
+(orchestration/materialization) end-to-end — each runs the chunked engine
+into a temp target and returns the materialized table, with the UNCHUNKED
+ANSI SQL as the DuckDB oracle. The plain-SQL entries cover Parts B/C (the
+delegated model-body surface: joins, windows, grouping sets, set ops,
+scalars, JSON/arrays). The ``dedup_*`` / ``sim_*`` / ``text_*`` /
+``multimodal_*`` entries cover the C19-C22 LLM-pipeline extensions;
+non-SQL-expressible ones (minhash banding, simhash, LSH ANN, xxhash
+fingerprints, Arrow-batched feature extraction) carry no oracle and get the
+driver's rows-only check.
+
+Cross-engine float determinism contract: every aggregated double is cast
+per-row to DECIMAL (identical half-up rounding in both engines), summed
+exactly, then cast back to DOUBLE (magnitudes stay under 2^53 so the cast is
+exact); cosines are computed with the identical dot/(sqrt*sqrt) expression
+shape on both sides — verified bit-equal. Integer outputs are cast to BIGINT
+on both sides (Spark and DuckDB default integer widths differ).
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
+from insert_by_timeperiod_spark.functions import text as TX
+from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
+from insert_by_timeperiod_spark.operators import dedup, joins, multimodal, similarity
+from insert_by_timeperiod_spark.sources import load_table, register_views
+
+START, STOP = "2024-01-01", "2024-02-01"  # events span Jan 2024 at every sf
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    """Make any driver-supplied session safe for the fixtures: UTC (date
+    casts are session-tz-sensitive), nanosAsLong (fixtures carry parquet
+    TIMESTAMP(NANOS)), then register the table views."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    register_views(spark, sf_dir)
+
+
+def _sql(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Part A — engine scenarios (SURVEY §2 A1-A21). Each runs the chunked engine
+# into a fresh temp target; oracle = the equivalent UNCHUNKED SQL.
+# ---------------------------------------------------------------------------
+
+MODEL_DAILY = """
+SELECT user_id,
+       CAST(ts AS DATE) AS event_date,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+ORACLE_DAILY = """
+SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+WHERE ts >= DATE '{start}' AND ts < DATE '{stop}'
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+# window functions INSIDE an engine model (the reference's headline use case,
+# /root/reference/README.md:23): with period=day the window sees exactly one
+# period's rows, so the oracle partitions by (user, day)
+MODEL_WINDOWED = """
+SELECT event_id, user_id, CAST(ts AS DATE) AS event_date, value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id) AS INT) AS rn,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id) AS prev_value
+FROM events
+WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+"""
+
+ORACLE_WINDOWED = """
+SELECT event_id, user_id, CAST(ts AS DATE) AS event_date, value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY epoch_us(ts), event_id) AS INT) AS rn,
+       LAG(value) OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY epoch_us(ts), event_id) AS prev_value
+FROM events
+WHERE ts >= DATE '{start}' AND ts < DATE '{stop}'
+"""
+
+# a dimension join INSIDE an engine model (C5 through the engine)
+MODEL_JOINED = """
+SELECT c.c_mktsegment AS segment, CAST(e.ts AS DATE) AS event_date,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.ts >= __PERIOD_FILTER_FROM__ AND e.ts < __PERIOD_FILTER_TO__
+GROUP BY c.c_mktsegment, CAST(e.ts AS DATE)
+"""
+
+ORACLE_JOINED = """
+SELECT c.c_mktsegment AS segment, CAST(e.ts AS DATE) AS event_date,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.ts >= DATE '{start}' AND e.ts < DATE '{stop}'
+GROUP BY c.c_mktsegment, CAST(e.ts AS DATE)
+"""
+
+MODEL_KEYED = """
+SELECT user_id,
+       MIN(CAST(ts AS DATE)) AS event_date,
+       COUNT(*) AS n
+FROM events
+WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+GROUP BY user_id
+"""
+
+# keyed upsert: one row per user per week, later weeks overwrite -> each
+# user's surviving row comes from the week of their LAST event
+ORACLE_KEYED = """
+WITH weekly AS (
+  SELECT user_id,
+         DATE '{start}' + INTERVAL (7 * CAST(floor(date_diff('day', DATE '{start}', CAST(ts AS DATE)) / 7) AS INT)) DAY AS wk,
+         ts
+  FROM events WHERE ts >= DATE '{start}' AND ts < DATE '{stop}'
+), last_wk AS (
+  SELECT user_id, MAX(wk) AS wk FROM weekly GROUP BY user_id
+)
+SELECT w.user_id, MIN(CAST(w.ts AS DATE)) AS event_date, COUNT(*) AS n
+FROM weekly w JOIN last_wk l ON w.user_id = l.user_id AND w.wk = l.wk
+GROUP BY w.user_id
+"""
+
+MODEL_EVOLVED = MODEL_DAILY.replace(
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total",
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,\n"
+    "       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value",
+)
+
+ORACLE_EVOLVED = """
+SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       CAST(NULL AS DOUBLE) AS avg_value
+FROM events WHERE ts >= DATE '2024-01-01' AND ts < DATE '2024-01-11'
+GROUP BY user_id, CAST(ts AS DATE)
+UNION ALL
+SELECT user_id, CAST(ts AS DATE), COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+FROM events WHERE ts >= DATE '2024-01-11' AND ts < DATE '2024-02-01'
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+def _engine(
+    model: str,
+    runs: list[RunVars],
+    name: str,
+    **cfg_kw,
+) -> Callable[[SparkSession, str], DataFrame]:
+    base = dict(timestamp_field="event_date", period="week", start_date=START, stop_date=STOP)
+    base.update(cfg_kw)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark, sf_dir)
+        tgt = os.path.join(tempfile.mkdtemp(prefix=f"ibtp_{name}_"), "t")
+        eng = InsertByTimeperiod(spark, model, IBTPConfig(**base), tgt, count_rows=False)
+        for rv in runs:
+            eng.run(rv)
+        return eng.table.read()
+
+    return run
+
+
+def _engine_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: new column appears mid-run under on_schema_change=append_new_columns;
+    old periods read NULL for it (sidecar-schema read semantics)."""
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_evo_"), "t")
+    cfg = dict(timestamp_field="event_date", period="week", start_date=START, stop_date=STOP)
+    InsertByTimeperiod(spark, MODEL_DAILY, IBTPConfig(**cfg), tgt, count_rows=False).run(
+        RunVars(stop_date="2024-01-11")
+    )
+    eng2 = InsertByTimeperiod(
+        spark,
+        MODEL_EVOLVED,
+        IBTPConfig(**cfg, on_schema_change="append_new_columns"),
+        tgt,
+        count_rows=False,
+    )
+    eng2.run()
+    return eng2.table.read()
+
+
+ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # A1/A9/A14/A16: fresh chunked build, day grid (the flagship)
+    "engine_daily_full_build": _engine(MODEL_DAILY, [RunVars()], "daily", period="day"),
+    # A8: interrupt after 10 days, resume — must equal an uninterrupted run
+    "engine_resume": _engine(
+        MODEL_DAILY, [RunVars(stop_date="2024-01-11"), RunVars()], "resume"
+    ),
+    # A12/A20: backfill delete+reinsert of a sub-range after a full build
+    "engine_backfill": _engine(
+        MODEL_DAILY,
+        [RunVars(), RunVars(start_date="2024-01-10", stop_date="2024-01-17", backfill=True)],
+        "backfill",
+    ),
+    # A9/A10: full refresh rebuild (backup/swap semantics)
+    "engine_full_refresh": _engine(
+        MODEL_DAILY, [RunVars(stop_date="2024-01-15"), RunVars(full_refresh=True)], "refresh"
+    ),
+    # A13: keyed upsert — later periods overwrite matching keys
+    "engine_upsert": _engine(MODEL_KEYED, [RunVars()], "upsert", unique_key="user_id"),
+    # A5/B2/B4: month-period grid with stop clamping
+    "engine_month_grid": _engine(MODEL_DAILY, [RunVars()], "month", period="month"),
+    # A6/A7/B9/B10: window resolved from MIN/MAX scan of date_source_models
+    "engine_source_scan": _engine(
+        MODEL_DAILY,
+        [RunVars()],
+        "srcscan",
+        start_date=None,
+        stop_date=None,
+        date_source_models=["events"],
+        source_timestamp_field="ts",
+    ),
+    # C10 through the engine: window functions inside a period-chunked model
+    "engine_windowed_model": _engine(MODEL_WINDOWED, [RunVars()], "windowed", period="day"),
+    # C5 through the engine: dimension join inside the model
+    "engine_joined_model": _engine(MODEL_JOINED, [RunVars()], "joined"),
+    # A15: schema evolution mid-run
+    "engine_schema_evolution": _engine_evolution,
+}
+
+ENGINE_ORACLES: dict[str, str] = {
+    "engine_daily_full_build": ORACLE_DAILY.format(start=START, stop=STOP),
+    "engine_resume": ORACLE_DAILY.format(start=START, stop=STOP),
+    "engine_backfill": ORACLE_DAILY.format(start=START, stop=STOP),
+    "engine_full_refresh": ORACLE_DAILY.format(start=START, stop=STOP),
+    "engine_upsert": ORACLE_KEYED.format(start=START, stop=STOP),
+    "engine_month_grid": ORACLE_DAILY.format(start=START, stop=STOP),
+    # the source scan resolves [min(ts), max(ts)+1d) which covers everything
+    "engine_source_scan": """
+        SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    "engine_windowed_model": ORACLE_WINDOWED.format(start=START, stop=STOP),
+    "engine_joined_model": ORACLE_JOINED.format(start=START, stop=STOP),
+    "engine_schema_evolution": ORACLE_EVOLVED,
+}
+
+# ---------------------------------------------------------------------------
+# Parts B/C — the delegated SQL surface, as direct queries over the views.
+# Where Spark and DuckDB dialects agree the same text serves both sides.
+# ---------------------------------------------------------------------------
+
+Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_TOP_REVENUE = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+REGION_REVENUE = """
+SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+SEMI_JOIN = """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ANTI_JOIN = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+IN_SUBQUERY = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderpriority
+"""
+
+WINDOW_RUNNING_SPARK = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       LAG(value) OVER w AS prev_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM (SELECT event_id, user_id, value, unix_micros(ts) AS ts_us FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+WINDOW_RUNNING_DUCK = WINDOW_RUNNING_SPARK.replace("unix_micros(ts)", "epoch_us(ts)")
+
+ROLLUP_SQL = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(GROUPING(r.r_name) AS INT) AS g_region,
+       CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+GROUPING_SETS_SQL = """
+SELECT event_type, d AS event_date, COUNT(*) AS n
+FROM (SELECT event_type, CAST(ts AS DATE) AS d FROM events) t
+GROUP BY GROUPING SETS ((event_type), (d), ())
+"""
+
+SET_OPS_SQL = """
+SELECT 'both' AS tag, k FROM (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey AS k FROM orders
+) t1
+UNION ALL
+SELECT 'no_orders' AS tag, k FROM (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey AS k FROM orders
+) t2
+"""
+
+DATE_SCALARS_SPARK = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS od,
+       date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+       add_months(CAST(o_orderdate AS DATE), 2) AS plus2m,
+       CAST(datediff(DATE '2002-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_to_2002,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       least(CAST(o_orderdate AS DATE), DATE '1998-01-01') AS lo_date,
+       greatest(CAST(o_orderdate AS DATE), DATE '1998-01-01') AS hi_date,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+DATE_SCALARS_DUCK = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS od,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       least(CAST(o_orderdate AS DATE), DATE '1998-01-01') AS lo_date,
+       greatest(CAST(o_orderdate AS DATE), DATE '1998-01-01') AS hi_date,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+STRING_SCALARS_SPARK = """
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       lower(p_brand) AS lbrand,
+       substr(p_name, 1, 8) AS prefix8,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       replace(p_type, ' ', '_') AS type_u,
+       regexp_extract(p_name, '^(\\\\w+)', 1) AS first_word,
+       lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
+       concat_ws('-', p_brand, p_type) AS brand_type
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+STRING_SCALARS_DUCK = """
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       lower(p_brand) AS lbrand,
+       substr(p_name, 1, 8) AS prefix8,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       replace(p_type, ' ', '_') AS type_u,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       concat_ws('-', p_brand, p_type) AS brand_type
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+CASE_BUCKETS = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'large' END AS bucket,
+       o_orderstatus, COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+"""
+
+JSON_SPARK = """
+SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE event_id % 11 = 0
+"""
+JSON_DUCK = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE event_id % 11 = 0
+"""
+
+ARRAY_OPS_SPARK = """
+SELECT vec_id,
+       CAST(size(embedding) AS BIGINT) AS dim,
+       CAST(element_at(embedding, 1) AS DOUBLE) AS first_val,
+       aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) AS vec_sum,
+       sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS l2
+FROM embeddings WHERE vec_id % 5 = 0
+"""
+ARRAY_OPS_DUCK = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       list_sum(embedding::DOUBLE[]) AS vec_sum,
+       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
+FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+CTE_MINMAX = """
+WITH legs AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders
+  UNION ALL
+  SELECT MIN(CAST(l_shipdate AS DATE)), MAX(CAST(l_shipdate AS DATE)) FROM lineitem
+)
+SELECT MIN(lo) AS lo, MAX(hi) AS hi FROM legs
+"""
+
+DISTINCT_TOPK = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY active_days DESC, user_id
+LIMIT 5
+"""
+
+
+def _range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 range/interval join via the broadcast band-join operator."""
+    _prep(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("high", 60000.0, 1e15)],
+        "band string, lo double, hi double",
+    )
+    out = joins.range_join(spark.table("lineitem"), bands, value_col="l_extendedprice")
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+RANGE_BANDS_DUCK = """
+WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 60000.0), ('high', 60000.0, 1e15))
+SELECT band, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+"""
+
+
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 as-of join: each sampled event matched to the user's most recent
+    STRICTLY-earlier event (union-tag + window carry-forward — one shuffle,
+    no range explosion; see operators/joins.py)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    left = ev.where("event_id % 37 = 0").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    right = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("r_ts_us"),
+        F.unix_micros("ts").alias("prev_ts_us"),
+        F.col("value").alias("prev_value"),
+    )
+    out = joins.asof_join(
+        left, right, "user_id",
+        left_ts="ts_us", right_ts="r_ts_us",
+        right_cols=["prev_ts_us", "prev_value"], strict=True,
+    )
+    return out.select("event_id", "ts_us", "prev_ts_us", "prev_value")
+
+
+ASOF_DUCK = """
+SELECT l.event_id, l.ts_us, r.ts_us AS prev_ts_us, r.value AS prev_value
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_id % 37 = 0) l
+ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events) r
+  ON l.user_id = r.user_id AND r.ts_us < l.ts_us
+"""
+
+# ---------------------------------------------------------------------------
+# EXT — LLM-pipeline operators (C19-C22)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return dedup.exact_dedup(spark.table("documents")).select("doc_id")
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return dedup.exact_dup_clusters(spark.table("documents"))
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        spark.table("documents"), shingle_k=3, threshold=0.6, block_cols=["lang"]
+    )
+
+
+JACCARD_DUCK = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(text) < 3 THEN [text]
+              ELSE list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i::INT, 3)))
+         END AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (banded minhash is not SQL-expressible): plant near-dup
+    copies and return the LSH-found pairs."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    near = (
+        docs.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xyzzy")))
+    )
+    return dedup.minhash_lsh_pairs(docs.unionByName(near), jaccard_threshold=0.7)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: simhash fingerprints + planted near-dup Hamming pairs."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    near = (
+        docs.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    h = dedup.add_simhash(docs.unionByName(near)).select("doc_id", "simhash")
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + 2_000_000 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 16)
+    )
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    t = F.col("text")
+    return spark.table("documents").select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(t).cast("long").alias("n_bpe"),
+        TX.punct_ratio(t).cast("double").alias("punct"),
+        TX.uppercase_ratio(t).cast("double").alias("upper_r"),
+        TX.lang_id(t).alias("lang_guess"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def _occ_sql(col: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"CAST((length({col}) - length(replace({col}, '{n}', ''))) / {len(needle)} AS INT)"
+
+
+def _lang_id_duck() -> str:
+    """Replicates functions/text.py lang_id: strictly-greater first-wins
+    argmax over the marker-hit counts, on ' '||lower(text)||' '."""
+    score_cols = ", ".join(
+        "(" + " + ".join(_occ_sql("p", w) for w in ws) + f") AS s_{k}"
+        for k, ws in LANG_MARKERS.items()
+    )
+    best_l, best_s = "'und'", "0"
+    for k in LANG_MARKERS:
+        best_l = f"CASE WHEN s_{k} > {best_s} THEN '{k}' ELSE {best_l} END"
+        best_s = f"CASE WHEN s_{k} > {best_s} THEN s_{k} ELSE {best_s} END"
+    return score_cols, best_l
+
+
+def _text_stats_duck() -> str:
+    score_cols, lang_expr = _lang_id_duck()
+    punct = r"(length(text) - length(regexp_replace(text, '[\.,;:!\?\"''()\[\]{}\-]', '', 'g'))) / greatest(length(text), 1)"
+    upper = r"(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / greatest(length(text), 1)"
+    return f"""
+WITH padded AS (
+  SELECT doc_id, text, concat(' ', lower(text), ' ') AS p FROM documents
+), scored AS (
+  SELECT doc_id, text, {score_cols} FROM padded
+)
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+  CAST({punct} AS DOUBLE) AS punct,
+  CAST({upper} AS DOUBLE) AS upper_r,
+  {lang_expr} AS lang_guess,
+  CAST(
+    (CASE WHEN length(text) >= 50 AND length(text) <= 20000 THEN 1.0
+          WHEN length(text) > 0 THEN 0.3 ELSE 0.0 END) * 0.5
+    + (CASE WHEN {punct} >= 0.001 AND {punct} <= 0.3 THEN 1.0 ELSE 0.4 END) * 0.25
+    + (CASE WHEN s_en >= 2 THEN 1.0 ELSE 0.5 END) * 0.25
+  AS DOUBLE) AS quality
+FROM scored
+"""
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (xxhash64 has no DuckDB equivalent)."""
+    _prep(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def _sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    embs = spark.table("embeddings")
+    out = similarity.brute_force_topk(embs, embs.where("vec_id < 10"), k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SIM_BRUTE_DUCK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS.format(a='qv', b='cv')} AS sim
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) z
+WHERE rn <= 3
+"""
+
+
+def _sim_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    embs = spark.table("embeddings")
+    planted = embs.where("vec_id < 5").withColumn("vec_id", F.col("vec_id") + 10_000)
+    return similarity.embedding_cosine_dupes(
+        embs.unionByName(planted), dim=64, threshold=0.999
+    )
+
+
+SIM_DUPES_DUCK = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 5
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS.format(a='a.embedding', b='b.embedding')} AS sim
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.999
+"""
+
+
+def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate NN (multi-table LSH) — by construction not
+    equal to the exact oracle; recall is tested against brute force in CI."""
+    _prep(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.lsh_topk(embs, embs.where("vec_id < 10"), k=3, dim=64)
+
+
+def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    assets = multimodal.attach_fake_payload(spark.table("documents"), "doc_id", "text")
+    return multimodal.asset_metadata(assets).select(
+        "asset_id", "media_type", F.col("byte_len").cast("long").alias("byte_len")
+    )
+
+
+MULTIMODAL_META_DUCK = """
+SELECT doc_id AS asset_id, 'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+"""
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Arrow-batched mapInPandas decode plumbing (stub codec)."""
+    _prep(spark, sf_dir)
+    assets = multimodal.attach_fake_payload(spark.table("documents"), "doc_id", "text")
+    return multimodal.extract_features(assets)
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the §7.1 daily_user_stats model run end-to-end through the
+    chunked engine on sf0.001, returning the materialized table."""
+    return ENGINE_QUERIES["engine_daily_full_build"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(ENGINE_QUERIES)
+    q.update(
+        {
+            # Part C: aggregation / joins / subqueries
+            "q1_pricing_summary": _sql(Q1_PRICING),
+            "q3_top_revenue": _sql(Q3_TOP_REVENUE),
+            "region_revenue": _sql(REGION_REVENUE),
+            "semi_join_customers": _sql(SEMI_JOIN),
+            "anti_join_customers": _sql(ANTI_JOIN),
+            "in_subquery_orders": _sql(IN_SUBQUERY),
+            "range_band_join": _range_bands,
+            "asof_prev_event": _asof,
+            # windows / grouping
+            "window_running": _sql(WINDOW_RUNNING_SPARK),
+            "rollup_acctbal": _sql(ROLLUP_SQL),
+            "grouping_sets_events": _sql(GROUPING_SETS_SQL),
+            "set_ops_customers": _sql(SET_OPS_SQL),
+            # scalar surfaces
+            "date_scalars": _sql(DATE_SCALARS_SPARK),
+            "string_scalars": _sql(STRING_SCALARS_SPARK),
+            "case_buckets": _sql(CASE_BUCKETS),
+            "json_props": _sql(JSON_SPARK),
+            "array_ops": _sql(ARRAY_OPS_SPARK),
+            "cte_union_minmax": _sql(CTE_MINMAX),
+            "distinct_days_topk": _sql(DISTINCT_TOPK),
+            # EXT: dedup
+            "dedup_exact": _dedup_exact,
+            "dedup_clusters": _dedup_clusters,
+            "dedup_ngram_jaccard": _dedup_jaccard,
+            "dedup_minhash_planted": _dedup_minhash,
+            "dedup_simhash_planted": _dedup_simhash,
+            # EXT: text
+            "text_stats": _text_stats,
+            "text_fingerprint": _text_fingerprint,
+            # EXT: similarity
+            "sim_bruteforce_topk": _sim_bruteforce,
+            "sim_cosine_dupes": _sim_dupes,
+            "sim_ann_topk": _sim_ann,
+            # EXT: multimodal
+            "multimodal_meta": _multimodal_meta,
+            "multimodal_features": _multimodal_features,
+        }
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o.update(ENGINE_ORACLES)
+    o.update(
+        {
+            "q1_pricing_summary": Q1_PRICING,
+            "q3_top_revenue": Q3_TOP_REVENUE,
+            "region_revenue": REGION_REVENUE,
+            "semi_join_customers": SEMI_JOIN,
+            "anti_join_customers": ANTI_JOIN,
+            "in_subquery_orders": IN_SUBQUERY,
+            "range_band_join": RANGE_BANDS_DUCK,
+            "asof_prev_event": ASOF_DUCK,
+            "window_running": WINDOW_RUNNING_DUCK,
+            "rollup_acctbal": ROLLUP_SQL,
+            "grouping_sets_events": GROUPING_SETS_SQL,
+            "set_ops_customers": SET_OPS_SQL,
+            "date_scalars": DATE_SCALARS_DUCK,
+            "string_scalars": STRING_SCALARS_DUCK,
+            "case_buckets": CASE_BUCKETS,
+            "json_props": JSON_DUCK,
+            "array_ops": ARRAY_OPS_DUCK,
+            "cte_union_minmax": CTE_MINMAX,
+            "distinct_days_topk": DISTINCT_TOPK,
+            "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+            "dedup_clusters": (
+                "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, "
+                "COUNT(*) AS n_copies FROM documents GROUP BY text"
+            ),
+            "dedup_ngram_jaccard": JACCARD_DUCK,
+            "text_stats": _text_stats_duck(),
+            "sim_bruteforce_topk": SIM_BRUTE_DUCK,
+            "sim_cosine_dupes": SIM_DUPES_DUCK,
+            "multimodal_meta": MULTIMODAL_META_DUCK,
+            # rows-only (no oracle): dedup_minhash_planted, dedup_simhash_planted,
+            # text_fingerprint, sim_ann_topk, multimodal_features
+        }
+    )
+    return o
+
+
+if __name__ == "__main__":
+    # self-check at sf0.001: run every query, compare to its oracle via DuckDB
+    import duckdb
+
+    from insert_by_timeperiod_spark.session import get_spark
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("entry-selfcheck", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracles = oracle_sql()
+    fails = []
+    for name, fn in queries().items():
+        try:
+            df = fn(spark, sf)
+            n = df.count()
+            if name in oracles:
+                want = con.execute(oracles[name]).df()
+                status = "ORACLE" if len(want) == n else f"ROWS {n} != {len(want)}"
+                if len(want) != n:
+                    fails.append(name)
+            else:
+                status = "rows-only"
+            print(f"{name:32s} {n:7d} rows  {status}")
+        except Exception as e:  # noqa: BLE001
+            fails.append(name)
+            print(f"{name:32s} FAIL: {type(e).__name__}: {str(e)[:120]}")
+    print("FAILURES:", fails or "none")

@@ -1,0 +1,103 @@
+"""Temporal join operators: as-of and range/interval joins (SURVEY.md §2 C7).
+
+The reference's model-body SQL delegates joins to the warehouse; Spark has no
+built-in AS OF join, so ``asof_join`` composes one from existing DataFrame
+ops — the union-tag + windowed carry-forward idiom:
+
+  tag left/right rows, union them, sort by (key, ts, side), then for every
+  left row take the last non-null right value seen so far in its key
+  partition.
+
+Plan shape at scale: ONE shuffle (by the join key, for the window sort) over
+left ∪ right — no range-explosion, no per-row probe, no skew beyond what the
+key distribution already has. This beats the naive
+``join(l.ts >= r.ts) -> groupBy(max)`` plan, which materializes O(|L|·|R|)
+intermediate pairs per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_SIDE = "_asof_side"
+_TS = "_asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = True,
+    tolerance_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` that is ``< left_ts`` (``strict=True``, DuckDB
+    ``ASOF JOIN ... AND r.ts < l.ts``) or ``<= left_ts`` (``strict=False``).
+
+    ``right_cols`` are the right-side columns to carry (returned with the
+    same names — they must not collide with left's columns).
+    ``tolerance_tiebreak``: optional right column ordering ties on equal
+    ``right_ts`` (last one wins deterministically).
+    Left rows with no match keep NULLs — left-outer semantics.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for c in right_cols:
+        if c in left.columns:
+            raise ValueError(f"right_col {c!r} collides with a left column")
+
+    l_tagged = left.select(
+        *left.columns,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *right_cols,
+    ).select(*left.columns, _TS, _SIDE, *right_cols)
+
+    unioned = l_tagged.unionByName(r_tagged)
+    # at equal ts: strict -> left sorts BEFORE right (side desc: 1 then 0) so
+    # the carry-forward excludes equal-ts right rows; non-strict -> right first
+    side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+    order = [F.col(_TS).asc(), side_order]
+    if tolerance_tiebreak:
+        order.append(F.col(tolerance_tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in left.columns],
+        F.col(_SIDE),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return carried.where(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Interval-containment join: each fact row matched to the band(s) with
+    ``lo <= value < hi``. The band table is broadcast (bands are small by
+    construction); Catalyst turns this into a BroadcastNestedLoopJoin whose
+    inner loop is a few comparisons per row — a single corpus scan, no
+    shuffle of the fact side."""
+    return fact.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+        "inner",
+    )

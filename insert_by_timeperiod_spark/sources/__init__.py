@@ -35,9 +35,11 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # epoch-nanos -> TimestampType at micro precision (floor division —
-        # fixture timestamps are all post-epoch/positive)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # epoch-nanos -> TimestampType at micro precision. Integer division:
+        # epoch-ns (~1.7e18) exceeds 2^53, so float division would be off by
+        # ±1 µs — `div` stays in long arithmetic (floor; fixtures are
+        # post-epoch/positive), matching DuckDB's epoch_us() truncation
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

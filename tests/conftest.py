@@ -71,7 +71,9 @@ def normalize(rows, float_digits=6):
             return tuple(canon(x) for x in v)
         return v
 
-    return sorted(tuple(canon(v) for v in row) for row in rows)
+    # key=repr: rows may mix None with values (rollup/grouping-sets NULLs),
+    # which plain tuple comparison cannot order
+    return sorted((tuple(canon(v) for v in row) for row in rows), key=repr)
 
 
 def assert_df_matches_duck(spark_df, duck_con, sql, float_digits=6):

@@ -1,0 +1,44 @@
+"""Driver-gate mirror: every ``__spark_entry__.queries()`` entry with an
+oracle must match DuckDB on rows, column names, and values — the same
+comparison the driver runs at sf0.01 (SURVEY.md §5 item 1). Rows-only
+entries are smoke-checked for executability and stable schema."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+from conftest import assert_df_matches_duck
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+ORACLED = sorted(n for n in QUERIES if n in ORACLES)
+ROWS_ONLY = sorted(n for n in QUERIES if n not in ORACLES)
+
+
+def test_every_query_has_callable_and_oracle_keys_match():
+    assert set(ORACLES) <= set(QUERIES), "oracle without a query"
+    assert len(QUERIES) >= 30
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert_df_matches_duck(df, duck, ORACLES[name], float_digits=6)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    out = entrymod.entry(spark)
+    assert out.count() > 0

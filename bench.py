@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: each query is fully evaluated into the `noop` sink
+(compute + shuffle, no serialization back to the driver, no disk on the read
+side); engine scenarios time the real end-to-end chunked materialization
+including their parquet writes. Spark/JVM startup is excluded; a warm-up
+query runs first so classloading/codegen don't land in q1's time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from insert_by_timeperiod_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: engine materialization + the heavy Part-C shapes + EXT ops
+HEADLINE = [
+    "engine_daily_full_build",
+    "engine_upsert",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "region_revenue",
+    "window_running",
+    "rollup_acctbal",
+    "asof_prev_event",
+    "json_props",
+    "dedup_exact",
+    "dedup_minhash_planted",
+    "text_stats",
+    "sim_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("ibtp-bench")
+    queries = entrymod.queries()
+
+    # warm-up: classloading, codegen, parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries["cte_union_minmax"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = queries[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -75,12 +75,23 @@ def minhash_signature(
 ) -> Column:
     """k-permutation MinHash over a shingle array, as a pure column expression:
     for each seed, min(xxhash64(shingle, seed)). JVM-side per row — the 100 TB
-    cost is one scan, zero shuffle."""
+    cost is one scan, zero shuffle.
+
+    Shape note (measured at sf0.1, 5k docs): the per-seed
+    ``array_min(transform(...))`` form evaluates ~3× faster than a single
+    ``aggregate``+``zip_with(least)`` fold — the fold allocates a fresh
+    64-long array per shingle, while per-seed transforms stay allocation-flat.
+    Callers must reference the returned column ONCE (it embeds the shingle
+    expression; multiple references inline it multiple times)."""
+    def hasher(seed_i: int):
+        # single-arg lambda: transform() passes (element, index) to TWO-arg
+        # lambdas, so a `lambda s, i=i:` default would silently receive the
+        # array index instead of the seed
+        return lambda s: F.xxhash64(s, F.lit(seed_i))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i)))
-            )
+            F.array_min(F.transform(shingles, hasher(seed + i)))
             for i in range(num_hashes)
         ]
     )
@@ -134,32 +145,38 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = char_shingles(F.col(text_col), shingle_k)
-    sigs = (
-        df.select(F.col(id_col), sh.alias("_sh"))
-        .withColumn("minhash", minhash_signature(F.col("_sh"), num_hashes, seed))
-    )
 
+    # MATERIALIZE the signature through a shuffle boundary before banding.
+    # Referencing the signature expression from inside the per-band transform
+    # would re-evaluate the whole 64-hash-over-shingles tree once per band
+    # (and push the expression past the codegen size limit into interpreted
+    # eval — measured as a >50× slowdown). After the exchange the bands slice
+    # a materialized 64-long array, which is negligible. Shuffle volume is
+    # (id, 512-byte sig) per doc — tiny relative to the documents themselves.
+    sigs = df.select(
+        F.col(id_col), minhash_signature(sh, num_hashes, seed).alias("_sig")
+    ).repartition(id_col)
+
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+    # band rows carry ONLY (id, band, bucket): the banding shuffle moves
+    # `bands` tiny rows per doc, never shingle arrays
     banded = sigs.select(
-        id_col,
-        "_sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
         # skew guard: the size aggregation shuffles on the same (band, bucket)
@@ -185,17 +202,40 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # two-stage verify, both joined back BY ID so the banding shuffle never
+    # carries arrays: (1) CHEAP prefilter on signature agreement (64 longs;
+    # the minhash Jaccard estimate has σ≈sqrt(j(1-j)/64)≈0.06, so a
+    # threshold-3σ floor keeps essentially all true pairs while discarding
+    # the bulk of low-jaccard bucket collisions), then (2) exact Jaccard on
+    # the survivors' shingle sets (the expensive array_intersect touches
+    # only near-threshold pairs).
+    sig_tbl = sigs.select(F.col(id_col).alias("_sid"), "_sig")
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+        / F.lit(num_hashes)
+    )
+    est_floor = max(0.0, jaccard_threshold - 3 * (jaccard_threshold * (1 - jaccard_threshold) / num_hashes) ** 0.5 - 0.05)
+    prefiltered = (
+        cand.join(sig_tbl.select(F.col("_sid").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a")
+        .join(sig_tbl.select(F.col("_sid").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
+        .where(est >= est_floor)
+        .select("id_a", "id_b")
+    )
+
+    sh_tbl = df.select(F.col(id_col).alias("_sid"), sh.alias("_sh"))
+    pairs = (
+        prefiltered.join(sh_tbl.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh_tbl.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.withColumn("jaccard", jac.cast("double"))
+        pairs.withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -230,15 +270,21 @@ def simhash64(shingles: Column) -> Column:
             lambda a, b: a + b,
         ),
     )
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        out = out.bitwiseOR(
-            F.when(
-                F.element_at(counts, i + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
+    # assemble the word with TWO references to `counts` (32-bit halves, each
+    # an MSB-first fold), not 64 — Catalyst's projection collapse inlines the
+    # whole counts aggregate once per reference, so a 64-way OR chain would
+    # evaluate the fold 64 times per row
+    def word32(bits_lsb_first: Column) -> Column:
+        return F.aggregate(
+            F.reverse(bits_lsb_first),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
         )
-    return out
+
+    bit = lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    lo = word32(F.transform(F.slice(counts, 1, 32), bit))
+    hi = word32(F.transform(F.slice(counts, 33, 32), bit))
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def add_simhash(

@@ -18,26 +18,32 @@ directory **partitioned by the date of ``timestamp_field``**, so
 - full refresh == write-new + directory swap (same backup/rename semantics as
   init.sql:22-27,41-42 but driver-side).
 
+All path operations go through :class:`~insert_by_timeperiod_spark.fs.HadoopFS`
+— the Hadoop ``FileSystem`` resolved from the target's scheme — so the same
+code drives ``file://``, ``hdfs://``, ``s3a://`` or ``abfss://`` targets
+(SURVEY.md §2 A21). Driver-side work everywhere here is O(partitions)
+metadata calls, never O(rows).
+
 A ``_ibtp_meta.json`` sidecar stores the authoritative schema + partition
 column so empty tables read correctly and schema evolution
 (append_new_columns / sync_all_columns) works over immutable old files:
 reading parquet with an explicit schema yields NULL for columns missing in a
 file, which is exactly dbt's append_new_columns semantics.
 
-On a real cluster this class is the thin swappable backend (SURVEY.md §2 A21):
-a Delta/Iceberg implementation replaces directory ops with ``replaceWhere`` /
-``MERGE`` transactions; the engine above it is unchanged.
+A Delta/Iceberg implementation can replace this class behind the same
+interface (``replaceWhere`` / ``MERGE`` instead of directory swaps); the
+engine above it is unchanged.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import json
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .fs import HadoopFS
 
 META_FILE = "_ibtp_meta.json"
 
@@ -46,19 +52,19 @@ class ParquetTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
+        self.fs = HadoopFS(spark, self.path)
 
     # ---- metadata -------------------------------------------------------
 
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.path, META_FILE)
+        return f"{self.path}/{META_FILE}"
 
     def exists(self) -> bool:
-        return os.path.exists(self._meta_path)
+        return self.fs.exists(self._meta_path)
 
     def _read_meta(self) -> dict:
-        with open(self._meta_path) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(self._meta_path))
 
     def _write_meta(
         self,
@@ -66,18 +72,17 @@ class ParquetTable:
         partition_col: str,
         watermark: str | None = None,
     ) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        self.fs.mkdirs(self.path)
+        self.fs.write_text_atomic(
+            self._meta_path,
+            json.dumps(
                 {
                     "schema": schema.json(),
                     "partition_col": partition_col,
                     "watermark": watermark,
-                },
-                f,
-            )
-        os.replace(tmp, self._meta_path)  # atomic on POSIX
+                }
+            ),
+        )
 
     @property
     def schema(self) -> T.StructType:
@@ -125,10 +130,7 @@ class ParquetTable:
         return self.spark.read.schema(schema).parquet(self.path)
 
     def _data_files_exist(self) -> bool:
-        for root, _dirs, files in os.walk(self.path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return self.fs.contains_file_with_suffix(self.path, ".parquet")
 
     def max_value(self, col: str):
         """Resume probe: ``SELECT MAX(timestamp_field) FROM target``
@@ -137,12 +139,13 @@ class ParquetTable:
 
     # ---- partition bookkeeping ------------------------------------------
 
+    def _partition_dir(self, d: dt.date) -> str:
+        return f"{self.path}/{self.partition_col}={d.isoformat()}"
+
     def partition_dates(self) -> list[dt.date]:
         pcol = self.partition_col
         out = []
-        if not os.path.isdir(self.path):
-            return out
-        for name in os.listdir(self.path):
+        for name in self.fs.listdir(self.path):
             if name.startswith(f"{pcol}="):
                 try:
                     out.append(dt.date.fromisoformat(name.split("=", 1)[1]))
@@ -156,19 +159,15 @@ class ParquetTable:
         (/root/reference/macros/insert_by_timeperiod_loop.sql:92-99). Pure
         metadata: cost is O(partitions), not O(rows), at any scale."""
         n = 0
-        pcol = self.partition_col
         for d in self.partition_dates():
             if start <= d < end:
-                shutil.rmtree(os.path.join(self.path, f"{pcol}={d.isoformat()}"))
+                self.fs.delete(self._partition_dir(d))
                 n += 1
         return n
 
     def delete_dates(self, dates: list[dt.date]) -> None:
-        pcol = self.partition_col
         for d in dates:
-            p = os.path.join(self.path, f"{pcol}={d.isoformat()}")
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            self.fs.delete(self._partition_dir(d))
 
     # ---- write ----------------------------------------------------------
 
@@ -226,36 +225,34 @@ class ParquetTable:
         try:
             for d in dates:
                 part = f"{pcol}={d.isoformat()}"
-                src = os.path.join(stage, part)
-                dst = os.path.join(self.path, part)
-                trash = os.path.join(self.path, f".ibtp_trash_{part}_{uuid.uuid4().hex[:8]}")
-                had_old = os.path.isdir(dst)
+                src = f"{stage}/{part}"
+                dst = f"{self.path}/{part}"
+                trash = f"{self.path}/.ibtp_trash_{part}_{uuid.uuid4().hex[:8]}"
+                had_old = self.fs.is_dir(dst)
                 if had_old:
-                    os.rename(dst, trash)
-                if os.path.isdir(src):
-                    os.rename(src, dst)
+                    self.fs.rename(dst, trash)
+                if self.fs.is_dir(src):
+                    self.fs.rename(src, dst)
                 if had_old:
-                    shutil.rmtree(trash)
+                    self.fs.delete(trash)
         finally:
-            if os.path.isdir(stage):
-                shutil.rmtree(stage)
+            self.fs.delete(stage)
 
     def swap_from(self, other: "ParquetTable") -> None:
         """Full-refresh commit: backup/rename/drop emulating the reference's
         atomic-ish replace (/root/reference/macros/insert_by_timeperiod_init.sql:22-27,41-42)."""
         backup = self.path + f"__ibtp_backup_{uuid.uuid4().hex[:8]}"
-        had_old = os.path.isdir(self.path)
+        had_old = self.fs.is_dir(self.path)
         if had_old:
-            os.rename(self.path, backup)
+            self.fs.rename(self.path, backup)
         try:
-            os.rename(other.path, self.path)
+            self.fs.rename(other.path, self.path)
         except Exception:
             if had_old:
-                os.rename(backup, self.path)  # roll back
+                self.fs.rename(backup, self.path)  # roll back
             raise
         if had_old:
-            shutil.rmtree(backup)
+            self.fs.delete(backup)
 
     def drop(self) -> None:
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+        self.fs.delete(self.path)

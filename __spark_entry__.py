@@ -37,7 +37,9 @@ from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import dedup, joins, multimodal, similarity
+from insert_by_timeperiod_spark.operators.sessions import session_stats, sessionize
 from insert_by_timeperiod_spark.sources import load_table, register_views
+from insert_by_timeperiod_spark.streaming import StreamToPeriodTable, event_time_windowed
 
 START, STOP = "2024-01-01", "2024-02-01"  # events span Jan 2024 at every sf
 
@@ -748,6 +750,151 @@ FROM documents
 """
 
 
+def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Re-land the (nanos-normalized) events view as a parquet directory —
+    the file-stream source watches directories, and the fixture is one file."""
+    src = os.path.join(tempfile.mkdtemp(prefix="ibtp_streamsrc_"), "events")
+    spark.table("events").write.parquet(src)
+    return src
+
+
+def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: event-time tumbling-window aggregation executed as a REAL stream
+    (file source -> AvailableNow -> complete mode), equated against the
+    unwindowed batch SQL oracle."""
+    import uuid as _uuid
+
+    _prep(spark, sf_dir)
+    src = _stream_events_dir(spark, sf_dir)
+    stream = spark.readStream.schema(spark.table("events").schema).parquet(src)
+    agged = event_time_windowed(
+        stream, "ts", "1 day", group_cols=["event_type"]
+    )
+    sink = f"ibtp_win_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("win_start").cast("date").alias("win_date"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+STREAM_WINDOWED_DUCK = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS win_date, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def _stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: foreachBatch + Trigger.AvailableNow micro-batch ingestion into
+    the SAME date-partitioned table shape the batch engine writes."""
+    _prep(spark, sf_dir)
+    src = _stream_events_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ibtp_streamtgt_")
+    cfg = IBTPConfig(timestamp_field="ts", period="day")
+    sink = StreamToPeriodTable(
+        spark, cfg, os.path.join(root, "t"),
+        transform=lambda df: df.select("event_id", "user_id", "ts", "value"),
+    )
+    stream = spark.readStream.schema(spark.table("events").schema).parquet(src)
+    sink.run_available_now(stream, os.path.join(root, "ckpt"))
+    return sink.table.read().select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+
+STREAM_INGEST_DUCK = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+"""
+
+_SESSION_GAP_MIN = 24 * 60.0  # 1 day: events average ~1 per user-day
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    out = sessionize(
+        spark.table("events"), gap_minutes=_SESSION_GAP_MIN, tiebreak="event_id"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("session_seq").cast("long").alias("session_seq"),
+    )
+
+
+SESSIONIZE_DUCK = """
+WITH flagged AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 86400000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT event_id, user_id, ts_us,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM flagged
+"""
+
+
+def _session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    out = session_stats(
+        spark.table("events"), gap_minutes=_SESSION_GAP_MIN, tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        F.col("duration_sec").cast("double").alias("duration_sec"),
+    )
+
+
+SESSION_STATS_DUCK = f"""
+WITH s AS ({SESSIONIZE_DUCK})
+SELECT user_id, session_seq,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       COUNT(*) AS n_events,
+       CAST((MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS DOUBLE) AS duration_sec
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16/C18: per-user session state carried across micro-batches via
+    applyInPandasWithState; equals the batch window-function oracle because
+    the AvailableNow file replay delivers event-time order per user."""
+    from insert_by_timeperiod_spark.streaming import sessionize_stream
+
+    _prep(spark, sf_dir)
+    src = _stream_events_dir(spark, sf_dir)
+    stream = spark.readStream.schema(spark.table("events").schema).parquet(src)
+    out = sessionize_stream(
+        stream, gap_minutes=_SESSION_GAP_MIN, carry_cols=["event_id"]
+    )
+    import uuid as _uuid
+
+    sink = f"ibtp_sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "event_id", "user_id", "ts_us", F.col("session_seq").cast("long").alias("session_seq")
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Arrow-batched mapInPandas decode plumbing (stub codec)."""
     _prep(spark, sf_dir)
@@ -809,6 +956,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # EXT: multimodal
             "multimodal_meta": _multimodal_meta,
             "multimodal_features": _multimodal_features,
+            # sessionization (batch window fns + stateful streaming)
+            "sessionize_events": _sessionize,
+            "session_stats_events": _session_stats,
+            "streaming_sessionize": _streaming_sessionize,
+            # C16/C17: Structured Streaming
+            "streaming_windowed_counts": _stream_windowed,
+            "streaming_ingest_table": _stream_ingest,
         }
     )
     return q
@@ -848,6 +1002,11 @@ def oracle_sql() -> dict[str, str]:
             "sim_bruteforce_topk": SIM_BRUTE_DUCK,
             "sim_cosine_dupes": SIM_DUPES_DUCK,
             "multimodal_meta": MULTIMODAL_META_DUCK,
+            "streaming_windowed_counts": STREAM_WINDOWED_DUCK,
+            "streaming_ingest_table": STREAM_INGEST_DUCK,
+            "sessionize_events": SESSIONIZE_DUCK,
+            "session_stats_events": SESSION_STATS_DUCK,
+            "streaming_sessionize": SESSIONIZE_DUCK,
             # rows-only (no oracle): dedup_minhash_planted, dedup_simhash_planted,
             # text_fingerprint, sim_ann_topk, multimodal_features
         }

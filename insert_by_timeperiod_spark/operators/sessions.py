@@ -1,0 +1,84 @@
+"""Sessionization: gap-based session assignment over event streams.
+
+A training-data-pipeline staple (user activity segmentation, conversation
+threading) and the canonical window-function showcase the reference's README
+names as the reason to materialize with this engine
+(/root/reference/README.md:23 "window functions over the full history").
+
+Batch form: two stacked window projections — ``lag`` to detect gaps, then a
+running ``sum`` of gap flags to number sessions. Both windows share one
+``(user, ts)`` ordering, so Catalyst plans a SINGLE sort+shuffle on the user
+key and evaluates both frames in one Window node pass each — no extra
+exchange for the second projection (verify with ``.explain``: one Exchange,
+two Window operators back-to-back).
+
+Scale: the shuffle is by user key — millions of small groups, no global
+sort. Skewed mega-users bound the per-partition sort; they are rare in
+practice and AQE's skew handling splits oversized partitions.
+
+The streaming counterpart (cross-batch session state) lives in
+``streaming/stateful.py``; its golden test equates the two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap_minutes: float = 30.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign 1-based ``session_seq`` per user: a new session starts when the
+    gap since the user's previous event exceeds ``gap_minutes``.
+
+    ``tiebreak`` (e.g. an event id) makes the within-timestamp order — and
+    therefore the output — deterministic when timestamps collide.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    ts_us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(ts_us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+
+    # window-over-window needs two projections; same ordering -> one shuffle
+    flagged = df.withColumn("_new_s", new_session)
+    return flagged.withColumn(
+        "session_seq",
+        F.sum("_new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new_s")
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap_minutes: float = 30.0,
+    tiebreak: str | None = None,
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Per-session summary: bounds, event count, duration seconds."""
+    s = sessionize(
+        df, user_col, ts_col, gap_minutes=gap_minutes, tiebreak=tiebreak
+    )
+    return s.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / F.lit(1_000_000.0)
+        ).alias("duration_sec"),
+        *(extra_aggs or []),
+    )

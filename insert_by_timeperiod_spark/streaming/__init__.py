@@ -1,0 +1,21 @@
+"""Structured Streaming surface (SURVEY.md §2 C16/C17).
+
+The reference's batch loop IS the micro-batch idiom done by hand — each
+period is a bounded unit committed independently
+(/root/reference/macros/insert_by_timeperiod_loop.sql:31-136). This package
+provides the genuine Structured Streaming counterparts:
+
+- :class:`StreamToPeriodTable` — ``foreachBatch`` + ``Trigger.AvailableNow``
+  adapter that lands a stream into the same date-partitioned
+  :class:`~insert_by_timeperiod_spark.table.ParquetTable` the batch engine
+  writes, with batch-id replay protection.
+- :func:`event_time_windowed` — event-time window aggregation with an
+  optional late-data watermark; one code path for batch and streaming
+  DataFrames (the golden tests equate the two).
+"""
+
+from .micro_batch import StreamToPeriodTable
+from .stateful import sessionize_stream
+from .windows import event_time_windowed
+
+__all__ = ["StreamToPeriodTable", "event_time_windowed", "sessionize_stream"]

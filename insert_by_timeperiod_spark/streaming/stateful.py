@@ -1,0 +1,90 @@
+"""Custom stateful streaming: cross-batch sessionization via
+``applyInPandasWithState`` (C18 meets C16 — the "custom stateful operator"
+slot from the build brief).
+
+The batch version (``operators/sessions.py``) sees all history in one sort;
+a stream sees it one micro-batch at a time. Per-user state —
+``(last_ts_us, session_seq)`` — carries the session boundary across batches,
+so a user whose events span many micro-batches gets the SAME session
+numbering the batch engine would produce, provided batches arrive in
+event-time order per user (the file-source + AvailableNow replay case; for
+out-of-order sources pair this with a watermark upstream).
+
+Scale: state is two longs per active user, stored in the executor state
+store (RocksDB on real clusters); per batch each user group is a small
+pandas frame — Arrow moves it once, numpy does the gap scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap_minutes: float = 30.0,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming gap-sessionization. Output columns: ``user_col``,
+    ``carry_cols...``, ``ts_us`` (event time, epoch micros) and 1-based
+    ``session_seq`` — matching ``operators.sessions.sessionize`` applied to
+    the concatenated batches."""
+    carry = carry_cols or []
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    in_schema = stream_df.schema
+    out_fields = [in_schema[user_col]] + [in_schema[c] for c in carry]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("session_seq", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts_us", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, seq = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+            seqs = []
+            for t in ts_us:
+                if last_ts is None or (t - last_ts) > gap_us:
+                    seq += 1
+                last_ts = int(t)
+                seqs.append(seq)
+            out = pd.DataFrame({user_col: pdf[user_col].to_numpy()})
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            out["ts_us"] = ts_us
+            out["session_seq"] = seqs
+            yield out
+        state.update((last_ts, seq))
+
+    return (
+        stream_df.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,49 @@
+"""Event-time window aggregation with late-data watermarks (C17).
+
+The reference handles late data by re-running periods (backfill,
+/root/reference/README.md:20-22); Structured Streaming's native answer is an
+event-time watermark bounding how late a row may arrive before its window
+state is finalized and dropped. One function serves batch AND streaming
+DataFrames so the golden tests can equate the two executions — on a batch
+DataFrame ``withWatermark`` is a no-op and the aggregation is an ordinary
+hash aggregate.
+
+Scale: streaming state is O(open windows × groups), bounded by the
+watermark horizon — the delay controls the state-store footprint, the same
+knob the reference's period size turns for working-set size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def event_time_windowed(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    *,
+    slide: str | None = None,
+    watermark: str | None = None,
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, with ``slide``) event-time window aggregation.
+
+    Returns columns: ``win_start``, ``win_end``, ``group_cols...``, then the
+    aggregate columns (default: ``n`` = COUNT(*)). ``watermark`` (e.g.
+    ``"1 day"``) enables append-mode emission and late-row dropping on
+    streaming inputs.
+    """
+    out = df
+    if watermark is not None and df.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    gb = out.groupBy(win.alias("_w"), *(group_cols or []))
+    agged = gb.agg(*(aggs or [F.count(F.lit(1)).alias("n")]))
+    return agged.select(
+        F.col("_w.start").alias("win_start"),
+        F.col("_w.end").alias("win_end"),
+        *(group_cols or []),
+        *[c for c in agged.columns if c != "_w" and c not in (group_cols or [])],
+    )

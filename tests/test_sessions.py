@@ -1,0 +1,122 @@
+"""Sessionization: batch window-function version vs an independent Python
+oracle, and the stateful streaming version vs the batch version (golden),
+including cross-micro-batch session continuity."""
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators.sessions import session_stats, sessionize
+from insert_by_timeperiod_spark.sources import load_table
+from insert_by_timeperiod_spark.streaming import sessionize_stream
+
+
+def _py_sessions(rows, gap_us):
+    """Independent oracle: per-user 1-based session numbering."""
+    out = {}
+    by_user = {}
+    for uid, ts_us, eid in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        last, seq = by_user.get(uid, (None, 0))
+        if last is None or ts_us - last > gap_us:
+            seq += 1
+        by_user[uid] = (ts_us, seq)
+        out[eid] = seq
+    return out
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_sessionize_matches_python_oracle(spark, events):
+    gap_min = 24 * 60.0
+    got = {
+        r.event_id: r.session_seq
+        for r in sessionize(
+            events, gap_minutes=gap_min, tiebreak="event_id"
+        ).collect()
+    }
+    rows = [
+        (r.user_id, r.ts_us, r.event_id)
+        for r in events.select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+        ).collect()
+    ]
+    assert got == _py_sessions(rows, int(gap_min * 60e6))
+
+
+def test_sessionize_plan_has_single_exchange(spark, events):
+    """Both window projections must share one shuffle (same partitioning)."""
+    plan = sessionize(events, gap_minutes=60.0)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_session_stats(spark, events):
+    stats = session_stats(events, gap_minutes=24 * 60.0)
+    row = stats.agg(F.sum("n_events")).first()
+    assert row[0] == events.count()  # every event lands in exactly one session
+    assert stats.where("session_end < session_start").count() == 0
+
+
+def test_stateful_stream_equals_batch(spark, events):
+    src = os.path.join(tempfile.mkdtemp(prefix="ibtp_sess_src_"), "events")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = sessionize_stream(
+        stream, gap_minutes=24 * 60.0, carry_cols=["event_id"]
+    )
+    import uuid
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.session_seq for r in spark.table(name).collect()}
+    want = {
+        r.event_id: r.session_seq
+        for r in sessionize(events, gap_minutes=24 * 60.0, tiebreak="event_id").collect()
+    }
+    assert got == want
+
+
+def test_stateful_state_carries_across_batches(spark):
+    """Two files forced into separate micro-batches: a session spanning the
+    file boundary must NOT restart, and a later gap must."""
+    root = tempfile.mkdtemp(prefix="ibtp_sess2_")
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    # file 1: two events 10 min apart; file 2: +10 min (same session), then +3h (new)
+    mk([(1, 1, t0), (1, 2, t0 + dt.timedelta(minutes=10))]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    mk(
+        [
+            (1, 3, t0 + dt.timedelta(minutes=20)),
+            (1, 4, t0 + dt.timedelta(hours=3, minutes=20)),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_minutes=30.0, carry_cols=["event_id"])
+    import uuid
+
+    name = f"sess2_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.session_seq for r in spark.table(name).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2}

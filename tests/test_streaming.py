@@ -1,0 +1,143 @@
+"""C16/C17 golden tests: the streaming path must equal the batch path.
+
+- foreachBatch + AvailableNow adapter lands a stream into the same
+  partitioned table shape the batch engine writes; contents must match the
+  batch write of the same source.
+- Re-running over the same checkpoint must be a no-op (no duplicates).
+- event_time_windowed on a stream (complete mode) must equal the same
+  function on the batch DataFrame.
+- A watermark must drop rows that arrive later than the delay.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark import IBTPConfig
+from insert_by_timeperiod_spark.sources import load_table
+from insert_by_timeperiod_spark.streaming import StreamToPeriodTable, event_time_windowed
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, sf_dir):
+    """Events re-landed as a plain parquet DIRECTORY (the file-stream source
+    wants a directory it can watch)."""
+    d = os.path.join(tempfile.mkdtemp(prefix="ibtp_stream_src_"), "events")
+    load_table(spark, sf_dir, "events").write.parquet(d)
+    return d
+
+
+def _read_stream(spark, src):
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def test_stream_append_equals_batch(spark, events_src):
+    root = tempfile.mkdtemp(prefix="ibtp_stream_tgt_")
+    tgt, ckpt = os.path.join(root, "t"), os.path.join(root, "ckpt")
+    cfg = IBTPConfig(timestamp_field="ts", period="day")
+    transform = lambda df: df.select("event_id", "user_id", "ts", "value")
+
+    sink = StreamToPeriodTable(spark, cfg, tgt, transform=transform)
+    sink.run_available_now(_read_stream(spark, events_src), ckpt)
+
+    got = sink.table.read()
+    want = transform(spark.read.parquet(events_src))
+    assert got.count() == want.count()
+    # same content: anti-joins empty both ways on the full row
+    cols = ["event_id", "user_id", "value"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+    # partition layout matches the batch engine's (date dirs exist)
+    assert len(sink.table.partition_dates()) > 0
+
+    # restart over the same checkpoint: no new data -> no duplicates
+    sink2 = StreamToPeriodTable(spark, cfg, tgt, transform=transform)
+    sink2.run_available_now(_read_stream(spark, events_src), ckpt)
+    assert sink2.table.read().count() == want.count()
+
+
+def test_replayed_batch_id_is_skipped(spark, events_src):
+    root = tempfile.mkdtemp(prefix="ibtp_replay_")
+    tgt = os.path.join(root, "t")
+    cfg = IBTPConfig(timestamp_field="ts", period="day")
+    sink = StreamToPeriodTable(spark, cfg, tgt)
+    batch = spark.read.parquet(events_src).limit(100)
+    sink.foreach_batch(batch, 0)
+    n1 = sink.table.read().count()
+    sink.foreach_batch(batch, 0)  # replay of committed id: must be a no-op
+    assert sink.table.read().count() == n1
+    sink.foreach_batch(batch, 1)  # a NEW id appends
+    assert sink.table.read().count() == 2 * n1
+
+
+def test_windowed_stream_equals_batch(spark, events_src):
+    stream = _read_stream(spark, events_src)
+    agg = lambda df: event_time_windowed(
+        df, "ts", "1 day", group_cols=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.win_start, r.event_type): r.n
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): r.n
+        for r in agg(spark.read.parquet(events_src)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_watermark_drops_late_rows(spark):
+    """Feed two file batches through one checkpoint: second batch carries a
+    row 10 days older than the advanced watermark — its window must never be
+    (re-)emitted, while the fresh row's window is."""
+    root = tempfile.mkdtemp(prefix="ibtp_wm_")
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "ts timestamp, k string")
+    ts = lambda s: __import__("datetime").datetime.fromisoformat(s)
+
+    mk([(ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-20 10:00:00"), "a")]).write.mode(
+        "append"
+    ).parquet(src)
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, k string").parquet(src)
+        agged = event_time_windowed(stream, "ts", "1 day", watermark="1 day", group_cols=["k"])
+        q = (
+            agged.writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(
+                    (r.win_start.date().isoformat(), r.k, r.n) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # watermark advances to 2024-01-19; Jan 1 window emitted
+    assert ("2024-01-01", "a", 1) in emitted
+    before = list(emitted)
+
+    # late row (Jan 2, far below watermark) + fresh row (Jan 25)
+    mk([(ts("2024-01-02 10:00:00"), "late"), (ts("2024-01-25 10:00:00"), "a")]).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    new = [e for e in emitted if e not in before]
+    assert all(e[1] != "late" for e in new)  # late row dropped by watermark
+    assert ("2024-01-20", "a", 1) in emitted  # Jan 20 finalized once Jan 25 arrived

@@ -1,0 +1,26 @@
+"""Physical-plan inspection: make "would this survive 100×?" checkable.
+
+The scale properties that matter at 100 TB — filters reaching the parquet
+scan, scans reading only needed columns, small dimensions broadcast instead
+of shuffled, partition pruning on injected period literals, no redundant
+exchanges — are all visible in the executed plan string. This module turns
+them into assertions so tests (and users) pin the plan shape, not just the
+result: a refactor that silently turns a broadcast join into a sort-merge
+join or drops a pushed filter fails CI here before it melts a cluster.
+"""
+
+from .inspect import (
+    exchange_count,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+
+__all__ = [
+    "explain_str",
+    "pushed_filters",
+    "scan_columns",
+    "has_broadcast_join",
+    "exchange_count",
+]

@@ -1,0 +1,58 @@
+"""Plan-string probes used by tests and by users tuning at scale.
+
+All probes parse ``queryExecution.executedPlan`` (post-AQE-compile, the plan
+that actually runs). They are deliberately string-level: the JVM plan tree
+classes are not a stable API surface, the formatted plan is.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, formatted: bool = True) -> str:
+    """The formatted physical plan (what ``df.explain("formatted")`` prints)."""
+    qe = df._jdf.queryExecution()
+    if formatted:
+        return qe.explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return qe.executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan (``PushedFilters: [...]``) —
+    empty means every row is read and filtered post-scan."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """Column sets actually read from each parquet scan (``ReadSchema``) —
+    a scan reading 16 columns for a 2-column projection is a pruning bug."""
+    out: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", explain_str(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    """True when at least one join executes as a broadcast (hash or
+    nested-loop) — the no-shuffle join for small dimension sides."""
+    plan = explain_str(df, formatted=False)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the compiled plan (AQE may remove more
+    at runtime). Every exchange is a full materialize+network pass at scale —
+    the first number to check on any new operator."""
+    plan = explain_str(df, formatted=False)
+    return len(re.findall(r"Exchange (?:hash|range|rebalance|SinglePartition)", plan))

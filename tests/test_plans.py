@@ -1,0 +1,81 @@
+"""Plan-shape pins: the scale properties the 100-TB design depends on must
+be visible in the executed plan, and must not regress silently.
+
+Each test names the property, the operator that must exhibit it, and why it
+matters at scale.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from insert_by_timeperiod_spark.placeholders import inject_period_filter
+from insert_by_timeperiod_spark.plans import (
+    exchange_count,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+from insert_by_timeperiod_spark.sources import register_views
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+def test_period_filter_is_pushed_to_scan(spark):
+    """O1: the engine's injected DATE literals must reach the parquet scan —
+    predicate pushdown is the whole point of the placeholder contract."""
+    model = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= __PERIOD_FILTER_FROM__
+      AND CAST(o_orderdate AS DATE) <  __PERIOD_FILTER_TO__
+    """
+    df = spark.sql(inject_period_filter(model, dt.date(1995, 1, 1), dt.date(1995, 2, 1)))
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, f"period filter not pushed: {pushed!r}"
+
+
+def test_projection_prunes_scan_columns(spark):
+    """Column pruning: a 2-column projection over 16-column lineitem must
+    read only those columns (plus filter refs) from parquet."""
+    df = spark.table("lineitem").where("l_quantity > 49").select("l_orderkey")
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """region/nation/customer joins must broadcast the small sides — a
+    shuffle join on a 5-row region table would shuffle the fact table."""
+    df = entry.queries()["region_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q3_exchange_budget(spark, sf_dir):
+    """TPCH Q3 (3-way join + agg + top-k): broadcast both dimension sides
+    -> the only shuffles are the aggregation and the final ordering."""
+    df = entry.queries()["q3_top_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert exchange_count(df) <= 3, exchange_count(df)
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    """The dedup shuffle must carry the 16-byte digest, never document text:
+    no scan feeding the aggregation may read the text column."""
+    from insert_by_timeperiod_spark.operators import dedup
+
+    out = dedup.exact_dedup(spark.table("documents"))
+    # the grouping branch prunes to (digest, id); the final semi-join branch
+    # re-reads text only to RETURN it, which is partition-local
+    assert exchange_count(out) <= 2
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both session window projections share one (user) exchange."""
+    from insert_by_timeperiod_spark.operators.sessions import sessionize
+
+    df = sessionize(spark.table("events"), gap_minutes=60.0)
+    assert exchange_count(df) == 1

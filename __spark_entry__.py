@@ -735,6 +735,14 @@ def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(embs, embs.where("vec_id < 10"), k=3, dim=64)
 
 
+def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF (spherical-k-means cells + nprobe probing) ANN — by
+    construction approximate; recall vs brute force is tested in CI."""
+    _prep(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.ivf_topk(embs, embs.where("vec_id < 10"), k=3, k_cells=32, nprobe=8)
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     assets = multimodal.attach_fake_payload(spark.table("documents"), "doc_id", "text")
@@ -953,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_bruteforce_topk": _sim_bruteforce,
             "sim_cosine_dupes": _sim_dupes,
             "sim_ann_topk": _sim_ann,
+            "sim_ivf_topk": _sim_ivf,
             # EXT: multimodal
             "multimodal_meta": _multimodal_meta,
             "multimodal_features": _multimodal_features,

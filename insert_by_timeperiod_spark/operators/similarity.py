@@ -21,6 +21,7 @@ Two paths, matching the brief's scale story:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -192,6 +193,105 @@ def lsh_topk(
     scored = cand.select(
         "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
     ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    k_cells: int = 32,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sample_limit: int = 20_000,
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded corpus sample.
+
+    Training is driver-side numpy over at most ``sample_limit`` vectors — at
+    100 TB the sample is still ``sample_limit`` rows (LIMIT short-circuits
+    the scan), and centroid quality depends on sample size, not corpus size.
+    Returns an (k_cells, dim) array of unit-norm centroids."""
+    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def _cell_assign_udf(cents: np.ndarray, nprobe: int):
+    """Vectorized cell assignment: batch (n, dim) @ centroids.T, top-nprobe
+    cells by cosine. Centroids ride in the UDF closure (k_cells × dim floats
+    — broadcast once per executor by task serialization)."""
+    ct = cents.T
+
+    @F.pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ ct
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    k_cells: int = 32,
+    nprobe: int = 8,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 20_000,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: spherical-k-means
+    cells over the corpus, queries probe their ``nprobe`` nearest cells, and
+    only the probed cells' vectors are scored exactly.
+
+    Plan shape at scale: one corpus pass assigns each vector its single
+    nearest cell (Arrow-batched matrix multiply); the candidate join is
+    corpus ⋈ broadcast(query probes) on the cell id — the corpus shuffles at
+    most once by cell, candidate work is ~nprobe/k_cells of brute force.
+    Recall/cost is the (k_cells, nprobe) dial; unlike LSH there is no
+    per-table corpus duplication, which makes IVF the cheaper scale path
+    when one corpus pass must serve many queries."""
+    cents = train_ivf_centroids(
+        corpus, k_cells=k_cells, iters=iters, seed=seed,
+        vec_col=vec_col, sample_limit=sample_limit,
+    )
+    assign1 = _cell_assign_udf(cents, 1)
+    assignN = _cell_assign_udf(cents, nprobe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("cell", assign1(F.col("_cv"))[0])
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("cell", F.explode(assignN(F.col("_qv"))))
+    )
+    cand = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -122,6 +122,28 @@ def test_lsh_topk_recall(spark, embs):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall(spark, embs):
+    queries = embs.where("vec_id < 20")
+    exact = similarity.brute_force_topk(embs, queries, k=5).collect()
+    approx = similarity.ivf_topk(
+        embs, queries, k=5, k_cells=32, nprobe=8
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_self_probe_finds_identical_vector(spark, embs):
+    """A vector planted twice must find its copy: both land in the same cell
+    by construction (identical assignment), sim == 1."""
+    dup = embs.where("vec_id < 3").withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = embs.unionByName(dup)
+    out = similarity.ivf_topk(both, both.where("vec_id >= 10000"), k=1).collect()
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert {(i + 10_000, i) for i in range(3)} <= got
+
+
 def test_embedding_cosine_dupes_finds_planted(spark, embs):
     dup = embs.limit(5).withColumn("vec_id", F.col("vec_id") + 10_000)
     both = embs.unionByName(dup)

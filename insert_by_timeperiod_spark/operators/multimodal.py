@@ -3,10 +3,11 @@ opaque ``binary`` columns with typed metadata.
 
 Extensions beyond the reference's surface (north star, /root/repo/BASELINE.json).
 The Spark-side plumbing is real and tested — schema contract, Arrow-batched
-``mapInPandas`` operators, partition-count preservation; the actual
-image/audio decode is STUBBED (the codec libraries are not in this container)
-behind ``decode_image_stub``: swap in PIL/torchaudio in ``_decode_payload``
-and nothing else changes.
+``mapInPandas`` operators, partition-count preservation. Header decode
+(type sniffing + dimensions + channels for PNG/GIF/JPEG/BMP) is REAL,
+stdlib-only (``parse_image_header``); full pixel decode needs a codec
+library not present in this container — swap PIL/torchaudio into
+``_decode_payload`` and nothing else changes.
 
 Scale design: decode/feature-extract is embarrassingly parallel per row —
 ``mapInPandas`` streams Arrow batches through Python with zero shuffle; at
@@ -19,6 +20,7 @@ skips them unless selected) or be late-materialized via a path column +
 
 from __future__ import annotations
 
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -31,8 +33,52 @@ ASSET_META_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "asset_id long, byte_len long, checksum long, width int, height int, n_channels int"
+    "asset_id long, byte_len long, checksum long, detected_type string, "
+    "width int, height int, n_channels int"
 )
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> channels
+
+
+def parse_image_header(b: bytes) -> dict | None:
+    """Real (stdlib-only) container-header parse for PNG/GIF/JPEG/BMP:
+    returns ``{media_type, width, height, n_channels}`` or ``None`` for
+    unrecognized payloads. This is a genuine decode of the format headers —
+    full pixel decode still needs a codec library, but dimensioning,
+    type-sniffing and corrupt-header rejection work on real files."""
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return {
+            "media_type": "image/png", "width": w, "height": h,
+            "n_channels": _PNG_CHANNELS.get(b[25], 3),
+        }
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"media_type": "image/gif", "width": w, "height": h, "n_channels": 3}
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return {
+            "media_type": "image/bmp", "width": w, "height": abs(h), "n_channels": 3,
+        }
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # walk JPEG segments to a start-of-frame marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None  # corrupt segment stream
+            marker = b[i + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return {
+                    "media_type": "image/jpeg", "width": w, "height": h,
+                    "n_channels": b[i + 9],
+                }
+            i += 2 + seg_len
+    return None
 
 
 def attach_fake_payload(
@@ -60,15 +106,19 @@ def asset_metadata(df: DataFrame) -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> dict:
-    """STUB decoder. Replace with e.g. PIL.Image.open(io.BytesIO(payload)).
-
-    The deterministic fake derives plausible dimensions from the payload so
-    tests exercise the full plumbing (schema, batching, null handling).
-    """
+    """Header decode: REAL for PNG/GIF/JPEG/BMP (``parse_image_header``);
+    unrecognized payloads fall back to a deterministic fake so the plumbing
+    (schema, batching, null handling) is exercised by text-derived fixture
+    payloads too. Full pixel decode (PIL/torchaudio) slots in here —
+    nothing else changes."""
     if payload is None:
         raise NotImplementedError("real decode not available in this container")
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        return parsed
     h = zlib.crc32(payload)
     return {
+        "media_type": "application/octet-stream",
         "width": 64 + (h % 512),
         "height": 64 + ((h >> 9) % 512),
         "n_channels": 1 + (h % 3),
@@ -89,6 +139,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "asset_id": pdf["asset_id"],
                     "byte_len": pdf["payload"].map(len),
                     "checksum": [zlib.crc32(p) for p in pdf["payload"]],
+                    "detected_type": [f["media_type"] for f in feats],
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],
                     "n_channels": [f["n_channels"] for f in feats],

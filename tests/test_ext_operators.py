@@ -220,6 +220,40 @@ def test_multimodal_metadata_and_features(spark, docs):
     assert jvm == py
 
 
+def _png(w, h, color_type=6):
+    import struct
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 8
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _jpeg(w, h, nc=3):
+    import struct
+    # SOI, APP0 stub segment, SOF0 with dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_image_header_parse_real_formats(spark):
+    rows = [
+        (1, _png(640, 480)),            # RGBA png
+        (2, _gif(320, 200)),
+        (3, _jpeg(1024, 768)),
+        (4, b"not an image at all....."),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    feats = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
+    assert (feats[1].detected_type, feats[1].width, feats[1].height, feats[1].n_channels) == ("image/png", 640, 480, 4)
+    assert (feats[2].detected_type, feats[2].width, feats[2].height) == ("image/gif", 320, 200)
+    assert (feats[3].detected_type, feats[3].width, feats[3].height, feats[3].n_channels) == ("image/jpeg", 1024, 768, 3)
+    assert feats[4].detected_type == "application/octet-stream"
+
+
 def test_frame_sample_plan(spark, docs):
     assets = multimodal.attach_fake_payload(docs.limit(3), "doc_id", "text")
     plan = multimodal.frame_sample_plan(assets, every_n=1)

@@ -48,3 +48,37 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     name — the Spark equivalent of dbt ``ref()`` resolution."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: formats the generic reader accepts out of the box (DataSource V2)
+SOURCE_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Generic source connector: one entry point over the DataSource V2
+    formats. The reference reads only warehouse tables (`ref()`); a Spark
+    pipeline ingests files — schema-on-read for csv/json (pass ``schema`` to
+    avoid an inference scan at 100 TB; inference reads the data twice),
+    self-describing parquet/orc.
+
+    csv defaults: header on, timestamps parsed. All extra ``options`` pass
+    through to the reader (``sep``, ``multiLine``, ``compression``...).
+    """
+    if fmt not in SOURCE_FORMATS:
+        raise ValueError(f"unsupported source format {fmt!r}; one of {SOURCE_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        opts = {"header": "true", "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+        opts.update(options)
+        options = opts
+    elif schema is None and fmt == "json":
+        options = {"primitivesAsString": "false", **options}
+    return reader.options(**options).format(fmt).load(path)

@@ -1,0 +1,75 @@
+"""C1 source-format breadth: the same table round-trips through every
+DataSource V2 format the generic reader supports, and the engine runs a
+model over a csv-registered source."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod
+from insert_by_timeperiod_spark.sources import SOURCE_FORMATS, load_table, read_source
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+#: csv/json serialize timestamps as text — default format is millis, so a
+#: microsecond format must be pinned on BOTH sides for lossless roundtrip
+_TS_FMT = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+_TEXT_OPTS = {"csv": {"header": "true", **_TS_FMT}, "json": _TS_FMT}
+
+
+@pytest.mark.parametrize("fmt", SOURCE_FORMATS)
+def test_roundtrip_preserves_rows(spark, events, fmt):
+    d = os.path.join(tempfile.mkdtemp(prefix=f"ibtp_src_{fmt}_"), "t")
+    src = events.select("event_id", "user_id", "ts", "value")
+    src.write.format(fmt).options(**_TEXT_OPTS.get(fmt, {})).save(d)
+    back = read_source(spark, d, fmt, schema=src.schema, **_TEXT_OPTS.get(fmt, {}))
+    assert back.count() == src.count()
+    # values survive: compare checksums of a stable projection
+    canon = lambda df: df.select(
+        F.sum("event_id"), F.sum("user_id"),
+        F.sum(F.unix_micros("ts")), F.sum(F.col("value").cast("decimal(28,6)")),
+    ).first()
+    assert canon(back) == canon(src)
+
+
+def test_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="unsupported source format"):
+        read_source(spark, "/tmp/x", "avrox")
+
+
+def test_engine_runs_over_csv_source(spark, events):
+    """The engine is source-format-agnostic: a model over a csv-backed view
+    produces the same table as one over the parquet view."""
+    d = os.path.join(tempfile.mkdtemp(prefix="ibtp_src_csv_"), "events_csv")
+    events.write.format("csv").options(
+        header="true", timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).save(d)
+    read_source(spark, d, "csv", schema=events.schema).createOrReplaceTempView(
+        "events_csv"
+    )
+    model = """
+    SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+    FROM {src}
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id, CAST(ts AS DATE)
+    """
+    outs = []
+    events.createOrReplaceTempView("events_pq")
+    for src in ("events_csv", "events_pq"):
+        tgt = os.path.join(tempfile.mkdtemp(prefix=f"ibtp_tgt_{src}_"), "t")
+        cfg = IBTPConfig(
+            timestamp_field="event_date", period="week",
+            start_date="2024-01-01", stop_date="2024-01-29",
+        )
+        eng = InsertByTimeperiod(spark, model.format(src=src), cfg, tgt, count_rows=False)
+        eng.run()
+        outs.append(eng.table.read())
+    a, b = outs
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

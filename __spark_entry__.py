@@ -37,6 +37,7 @@ from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import dedup, joins, multimodal, similarity
+from insert_by_timeperiod_spark.operators.pipeline import clean_documents
 from insert_by_timeperiod_spark.operators.sessions import session_stats, sessionize
 from insert_by_timeperiod_spark.sources import load_table, register_views
 from insert_by_timeperiod_spark.streaming import StreamToPeriodTable, event_time_windowed
@@ -671,6 +672,25 @@ FROM scored
 """
 
 
+def _pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleaning pass: dedup + token band + quality floor in
+    one Catalyst plan (operators/pipeline.py)."""
+    _prep(spark, sf_dir)
+    return clean_documents(
+        spark.table("documents"), min_quality=0.5, min_tokens=5, max_tokens=100_000
+    ).select("doc_id", "n_tokens", "lang_guess", "quality")
+
+
+def _pipeline_clean_duck() -> str:
+    return f"""
+WITH stats AS ({_text_stats_duck()}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT s.doc_id, s.n_tokens, s.lang_guess, s.quality
+FROM stats s JOIN keep k ON s.doc_id = k.doc_id
+WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 5 AND 100000
+"""
+
+
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (xxhash64 has no DuckDB equivalent)."""
     _prep(spark, sf_dir)
@@ -957,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # EXT: text
             "text_stats": _text_stats,
             "text_fingerprint": _text_fingerprint,
+            "pipeline_clean_documents": _pipeline_clean,
             # EXT: similarity
             "sim_bruteforce_topk": _sim_bruteforce,
             "sim_cosine_dupes": _sim_dupes,
@@ -1008,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "dedup_ngram_jaccard": JACCARD_DUCK,
             "text_stats": _text_stats_duck(),
+            "pipeline_clean_documents": _pipeline_clean_duck(),
             "sim_bruteforce_topk": SIM_BRUTE_DUCK,
             "sim_cosine_dupes": SIM_DUPES_DUCK,
             "multimodal_meta": MULTIMODAL_META_DUCK,

@@ -1,0 +1,53 @@
+"""Composed training-data pipeline: the operators assembled the way a real
+corpus-prep job uses them (north star, /root/repo/BASELINE.json).
+
+``clean_documents`` is one declarative plan — dedup, quality/text analysis
+and filtering fuse into a single Catalyst query, so the corpus is scanned
+ONCE for the text features (all codegen'd column expressions, functions/
+text.py) and shuffled once for the digest-based dedup. The filters are
+plain column predicates, so Catalyst pushes them below everything that
+doesn't need the dropped rows.
+
+Scale shape at 100 TB: scan → digest-groupBy (16-byte keys) → semi-join
+back → feature projection + filter. No UDFs, no per-row Python, nothing
+driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as TX
+from .dedup import exact_dedup
+
+
+def clean_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Standard corpus-cleaning pass: exact-dedup (min-id representative),
+    token-count band, quality floor, optional language allowlist. Returns
+    the surviving documents with their computed features."""
+    t = F.col(text_col)
+    deduped = exact_dedup(df, text_col, id_col)
+    feats = deduped.select(
+        F.col(id_col),
+        t.alias(text_col),
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.lang_id(t).alias("lang_guess"),
+        TX.quality_score(t).alias("quality"),
+    )
+    out = feats.where(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+    )
+    if langs:
+        out = out.where(F.col("lang_guess").isin(langs))
+    return out

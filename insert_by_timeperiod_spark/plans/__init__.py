@@ -13,6 +13,7 @@ from .inspect import (
     exchange_count,
     explain_str,
     has_broadcast_join,
+    partition_filters,
     pushed_filters,
     scan_columns,
 )
@@ -20,6 +21,7 @@ from .inspect import (
 __all__ = [
     "explain_str",
     "pushed_filters",
+    "partition_filters",
     "scan_columns",
     "has_broadcast_join",
     "exchange_count",

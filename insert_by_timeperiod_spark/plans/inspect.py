@@ -43,6 +43,16 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Filters applied at directory-listing time (``PartitionFilters``) —
+    these prune entire partitions before any file is opened; empty on a
+    partitioned-table scan means the whole table is listed and read."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", explain_str(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     """True when at least one join executes as a broadcast (hash or
     nested-loop) — the no-shuffle join for small dimension sides."""

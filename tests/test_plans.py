@@ -6,15 +6,19 @@ matters at scale.
 """
 
 import datetime as dt
+import os
+import tempfile
 
 import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
+from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod
 from insert_by_timeperiod_spark.placeholders import inject_period_filter
 from insert_by_timeperiod_spark.plans import (
     exchange_count,
     has_broadcast_join,
+    partition_filters,
     pushed_filters,
     scan_columns,
 )
@@ -79,3 +83,54 @@ def test_sessionize_single_shuffle(spark):
 
     df = sessionize(spark.table("events"), gap_minutes=60.0)
     assert exchange_count(df) == 1
+
+
+def test_target_table_scan_prunes_partitions(spark):
+    """A date predicate on the engine's target table must prune at
+    directory-listing time (PartitionFilters) — this is what bounds the
+    keyed-upsert probe under upsert_probe_window and makes backfill reads
+    O(touched partitions) at 100 TB."""
+    model = """
+    SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id, CAST(ts AS DATE)
+    """
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_prune_"), "t")
+    cfg = IBTPConfig(
+        timestamp_field="event_date", period="week",
+        start_date="2024-01-01", stop_date="2024-01-15",
+    )
+    eng = InsertByTimeperiod(spark, model, cfg, tgt, count_rows=False)
+    eng.run()
+    probe = eng.table.read().where(F.col("event_date") >= F.lit(dt.date(2024, 1, 8)))
+    pf = " ".join(partition_filters(probe))
+    assert "event_date" in pf, f"no partition pruning: {pf!r}"
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    """Pre-bucketing both sides on the join key makes the join co-located:
+    the compiled plan has ZERO shuffle exchanges — the 100 TB answer for a
+    repeated big-big join (bucket once, join many times)."""
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    try:
+        for name, df in (("ibtp_b_events", ev), ("ibtp_b_cust", cust)):
+            df.write.mode("overwrite").bucketBy(8, "user_id").sortBy(
+                "user_id"
+            ).saveAsTable(name)
+        joined = spark.table("ibtp_b_events").join(
+            spark.table("ibtp_b_cust").hint("merge"), "user_id"
+        )
+        assert exchange_count(joined) == 0, explain_str_short(joined)
+    finally:
+        for name in ("ibtp_b_events", "ibtp_b_cust"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def explain_str_short(df):
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    return explain_str(df, formatted=False)[:800]

@@ -1,0 +1,105 @@
+"""CLI entry point — the ``dbt run --vars`` equivalent for this engine.
+
+The reference is driven entirely from the dbt CLI
+(/root/reference/README.md:108-143):
+
+    dbt run -s model                                          # incremental
+    dbt run -s model --full-refresh                           # rebuild
+    dbt run -s model --vars "{start_date:'A', stop_date:'B', backfill: true}"
+
+The mapping here:
+
+    python -m insert_by_timeperiod_spark \
+        --model model.sql --target /path/to/table \
+        --timestamp-field event_date --period week \
+        [--start-date A] [--stop-date B] [--backfill] [--full-refresh] \
+        [--unique-key k] [--on-schema-change policy] \
+        [--view name=path.parquet ...]
+
+``--view`` registers parquet paths as temp views so the model SQL can
+reference them by name (the ``ref()`` substitute). Exit code 0 on success;
+period/row stats print one line per period via the engine's standard log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from . import IBTPConfig, InsertByTimeperiod, RunVars
+from .session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m insert_by_timeperiod_spark",
+        description="Period-chunked incremental materialization of a Spark SQL model.",
+    )
+    p.add_argument("--model", required=True, help="path to the model SQL file")
+    p.add_argument("--target", required=True, help="target table path (file://, hdfs://, s3a://, ...)")
+    p.add_argument("--timestamp-field", required=True)
+    p.add_argument("--period", default="day", choices=["day", "week", "month", "year"])
+    p.add_argument("--start-date", default=None)
+    p.add_argument("--stop-date", default=None)
+    p.add_argument("--unique-key", default=None)
+    p.add_argument("--on-schema-change", default="ignore",
+                   choices=["ignore", "append_new_columns", "sync_all_columns", "fail"])
+    p.add_argument("--upsert-probe-window", type=int, default=None, metavar="DAYS")
+    p.add_argument("--date-source-model", action="append", default=[],
+                   help="table whose MIN/MAX timestamp clamps the window (repeatable)")
+    p.add_argument("--source-timestamp-field", default=None)
+    p.add_argument("--backfill", action="store_true")
+    p.add_argument("--full-refresh", action="store_true")
+    p.add_argument("--view", action="append", default=[], metavar="NAME=PATH",
+                   help="register NAME as a temp view over parquet PATH (repeatable)")
+    p.add_argument("--no-count-rows", action="store_true",
+                   help="skip per-period row-count observation")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    with open(args.model) as f:
+        model_sql = f.read()
+
+    spark = get_spark("ibtp-cli")
+    for spec in args.view:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--view expects NAME=PATH, got {spec!r}")
+        spark.read.parquet(path).createOrReplaceTempView(name)
+
+    cfg = IBTPConfig(
+        timestamp_field=args.timestamp_field,
+        period=args.period,
+        start_date=args.start_date,
+        stop_date=args.stop_date,
+        unique_key=args.unique_key,
+        on_schema_change=args.on_schema_change,
+        upsert_probe_window=args.upsert_probe_window,
+        date_source_models=args.date_source_model,
+        source_timestamp_field=args.source_timestamp_field,
+    )
+    eng = InsertByTimeperiod(
+        spark, model_sql, cfg, args.target, count_rows=not args.no_count_rows
+    )
+    result = eng.run(
+        RunVars(
+            start_date=args.start_date if args.backfill else None,
+            stop_date=args.stop_date if args.backfill else None,
+            backfill=args.backfill,
+            full_refresh=args.full_refresh,
+        )
+    )
+    print(
+        f"{result.mode.value}: {len(result.periods)} period(s), "
+        f"{result.total_rows} row(s) -> {result.target_path}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

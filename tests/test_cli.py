@@ -1,0 +1,47 @@
+"""CLI parity: the dbt-CLI-style entry point drives the same engine paths
+(incremental, resume no-op, backfill) in-process via main(argv)."""
+
+import os
+import tempfile
+
+from insert_by_timeperiod_spark.__main__ import main
+from insert_by_timeperiod_spark.sources import load_table
+
+
+def test_cli_incremental_then_backfill(spark, sf_dir, capsys):
+    root = tempfile.mkdtemp(prefix="ibtp_cli_")
+    # the raw fixture stores TIMESTAMP(NANOS); give the CLI a normalized copy
+    # (real deployments point --view at ordinary timestamp parquet)
+    events_pq = os.path.join(root, "events")
+    load_table(spark, sf_dir, "events").write.parquet(events_pq)
+    model = os.path.join(root, "model.sql")
+    with open(model, "w") as f:
+        f.write(
+            """
+            SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+            FROM events
+            WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+            GROUP BY user_id, CAST(ts AS DATE)
+            """
+        )
+    tgt = os.path.join(root, "t")
+    base = [
+        "--model", model, "--target", tgt,
+        "--timestamp-field", "event_date", "--period", "week",
+        "--view", f"events={events_pq}",
+        "--no-count-rows",
+    ]
+    assert main(base + ["--start-date", "2024-01-01", "--stop-date", "2024-01-29"]) == 0
+    out1 = capsys.readouterr().out
+    assert "incremental: 4 period(s)" in out1
+
+    # re-run: watermark makes it a no-op
+    assert main(base + ["--start-date", "2024-01-01", "--stop-date", "2024-01-29"]) == 0
+    assert "incremental: 0 period(s)" in capsys.readouterr().out
+
+    # backfill a sub-range
+    assert (
+        main(base + ["--backfill", "--start-date", "2024-01-08", "--stop-date", "2024-01-15"])
+        == 0
+    )
+    assert "backfill: 1 period(s)" in capsys.readouterr().out

@@ -83,6 +83,38 @@ def asof_join(
     return carried.where(F.col(_SIDE) == 1).drop(_SIDE)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: break hot keys across ``n_salts`` shuffle
+    partitions.
+
+    Left rows get a random salt in ``[0, n_salts)``; the right side is
+    replicated ``n_salts`` times (one row per salt) so every salted left row
+    still finds its match. A key holding 30% of the table — which would pin
+    one reducer in a plain shuffle join — now spreads over ``n_salts``
+    reducers at the cost of an n_salts× blow-up of the RIGHT side only, so
+    put the smaller input on the right.
+
+    AQE's skew-join splitting (enabled in session.py) handles most skew at
+    runtime; explicit salting remains the answer when a single key exceeds
+    what one task can hold even after AQE splits, or when the join is
+    followed by an aggregation on the same key (salt once, aggregate
+    partially per salt, merge). Result equals the unsalted join exactly.
+    """
+    salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
+    l_s = left.withColumn("_salt", salt)
+    r_s = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_s.join(r_s, [on, "_salt"], how).drop("_salt")
+
+
 def range_join(
     fact: DataFrame,
     bands: DataFrame,

@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from insert_by_timeperiod_spark.functions import text as TX
-from insert_by_timeperiod_spark.operators import dedup, multimodal, similarity
+from insert_by_timeperiod_spark.operators import dedup, joins, multimodal, similarity
 from insert_by_timeperiod_spark.sources import load_table
 
 
@@ -201,6 +201,21 @@ def test_fingerprint_stable_under_small_edit(spark):
     }
     assert out[1] == out[2]  # min-shingle-hash survives a suffix edit
     assert out[1] != out[3]
+
+
+# -------------------------------------------------------------- salted join
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change results — only the shuffle distribution. One
+    hot key (90% of rows) stands in for production skew."""
+    left = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 5).alias("k"),
+        "id",
+    )
+    right = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string")
+    got = sorted(map(tuple, joins.salted_join(left, right, "k", n_salts=8).collect()))
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == want
 
 
 # ---------------------------------------------------------------- multimodal

@@ -12,16 +12,22 @@ SAME target table.
 
 Delivery semantics: ``foreachBatch`` is at-least-once — after a restart,
 Structured Streaming may re-run the last un-checkpointed batch with the same
-``batch_id``. The adapter records the highest committed batch id in a
-sidecar (written via the same atomic-rename machinery as the table's
-watermark) and skips replayed ids, which removes duplicates in the
-checkpoint-replay case. A crash in the narrow window between the data append
-and the sidecar write still re-appends one micro-batch; on a transactional
-backend (Delta) the txnAppId/txnVersion write options close that window —
-on raw parquet it is the documented residual, bounded to a single
-micro-batch (the batch engine's period commits close the analogous window
-via idempotent partition replacement; micro-batches are not period-aligned,
-so that trick does not transfer).
+``batch_id``. The adapter makes the batch commit IDEMPOTENT, so replays
+(with or without the sidecar record) produce no duplicates:
+
+1. the batch is written to a staging directory keyed by ``batch_id``
+   (overwrite mode — re-running an attempt re-stages cleanly);
+2. staged files move into the target partitions under a deterministic
+   ``b{batch_id}-`` filename prefix, after deleting any files with that
+   prefix left by a crashed earlier attempt of the SAME batch;
+3. the highest committed batch id is recorded in a sidecar (atomic rename)
+   as the fast-path skip for clean replays.
+
+A crash at any point re-runs the batch; step 2's delete-by-prefix removes
+partial output from the dead attempt before its replacement lands. This is
+the micro-batch analogue of the batch engine's idempotent period
+replacement (periods aren't batch-aligned, so the replacement key is the
+batch id, not the date).
 
 Scale: per micro-batch work is one partitioned append — no state grows with
 stream length; the partition layout stays identical to the batch engine's,
@@ -97,13 +103,33 @@ class StreamToPeriodTable:
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self._last_batch_id():
-            return  # checkpoint replay of an already-committed batch
+            return  # fast path: clean replay of a recorded batch
         if self.transform is not None:
             batch_df = self.transform(batch_df)
         batch_df, pcol = self._partitioned(batch_df)
         if not self.table.exists():
             self.table.create_empty(batch_df.schema, pcol)
-        self.table.append(batch_df)
+
+        # idempotent commit: stage keyed by batch id, then prefix-rename
+        stage = f"{self.table.path}__stream_stage_{batch_id}"
+        batch_df.write.mode("overwrite").partitionBy(pcol).parquet(stage)
+        try:
+            for part in self._fs.listdir(stage):
+                if not part.startswith(f"{pcol}="):
+                    continue
+                dst_dir = f"{self.table.path}/{part}"
+                # clear partial output of a crashed attempt of THIS batch
+                for f in self._fs.listdir(dst_dir):
+                    if f.startswith(f"b{batch_id}-"):
+                        self._fs.delete(f"{dst_dir}/{f}")
+                self._fs.mkdirs(dst_dir)
+                for f in self._fs.listdir(f"{stage}/{part}"):
+                    if f.endswith(".parquet"):
+                        self._fs.rename(
+                            f"{stage}/{part}/{f}", f"{dst_dir}/b{batch_id}-{f}"
+                        )
+        finally:
+            self._fs.delete(stage)
         self._record_batch_id(batch_id)
 
     def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:

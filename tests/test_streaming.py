@@ -73,6 +73,26 @@ def test_replayed_batch_id_is_skipped(spark, events_src):
     assert sink.table.read().count() == 2 * n1
 
 
+def test_crash_between_data_and_record_is_idempotent(spark, events_src):
+    """Simulate the worst crash: data landed but the batch-id record did not
+    (sidecar wiped). Replaying the same batch id must REPLACE that batch's
+    files, not duplicate them — the b{batch_id}- prefix commit is idempotent."""
+    import json
+
+    root = tempfile.mkdtemp(prefix="ibtp_crash_")
+    tgt = os.path.join(root, "t")
+    cfg = IBTPConfig(timestamp_field="ts", period="day")
+    sink = StreamToPeriodTable(spark, cfg, tgt)
+    batch = spark.read.parquet(events_src).limit(200)
+    sink.foreach_batch(batch, 0)
+    n1 = sink.table.read().count()
+    # crash simulation: the batch-id record never made it to disk
+    sink._fs.write_text_atomic(sink._stream_meta_path, json.dumps({"last_batch_id": -1}))
+    sink.foreach_batch(batch, 0)  # Structured Streaming re-runs batch 0
+    assert sink.table.read().count() == n1  # replaced, not duplicated
+    assert sink._last_batch_id() == 0
+
+
 def test_windowed_stream_equals_batch(spark, events_src):
     stream = _read_stream(spark, events_src)
     agg = lambda df: event_time_windowed(

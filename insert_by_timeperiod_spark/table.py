@@ -238,6 +238,48 @@ class ParquetTable:
         finally:
             self.fs.delete(stage)
 
+    def compact_partitions(
+        self,
+        dates: list[dt.date] | None = None,
+        *,
+        files_per_partition: int = 1,
+    ) -> None:
+        """Maintenance: rewrite partitions down to ``files_per_partition``
+        files each. Incremental appends (and streaming micro-batches)
+        accumulate one-file-per-commit; at scale the file count — not the
+        byte count — dominates list/open cost on every later scan. Uses the
+        same staged ``rewrite_partitions`` commit as the upsert path, so a
+        crash mid-compaction never loses data.
+
+        Bound the work with ``dates`` (e.g. yesterday's partitions after the
+        daily load); default compacts the whole table."""
+        dates = dates if dates is not None else self.partition_dates()
+        if not dates:
+            return
+        pcol = self.partition_col
+        df = self.read().where(F.col(pcol).isin(list(dates)))
+        # (date, salt) repartition → ~files_per_partition output files per
+        # date; hash collisions can only merge groups (fewer, larger files)
+        salted = df.withColumn(
+            "_c", F.floor(F.rand(seed=42) * files_per_partition).cast("int")
+        )
+        packed = salted.repartition(
+            max(len(dates) * files_per_partition, 1), F.col(pcol), F.col("_c")
+        ).drop("_c")
+        self.rewrite_partitions(packed, list(dates))
+
+    def partition_file_counts(self) -> dict[dt.date, int]:
+        """Parquet file count per partition (the compaction signal)."""
+        pcol = self.partition_col
+        return {
+            d: sum(
+                1
+                for f in self.fs.listdir(f"{self.path}/{pcol}={d.isoformat()}")
+                if f.endswith(".parquet")
+            )
+            for d in self.partition_dates()
+        }
+
     def swap_from(self, other: "ParquetTable") -> None:
         """Full-refresh commit: backup/rename/drop emulating the reference's
         atomic-ish replace (/root/reference/macros/insert_by_timeperiod_init.sql:22-27,41-42)."""

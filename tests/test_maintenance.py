@@ -1,0 +1,42 @@
+"""Table maintenance: partition compaction preserves data and collapses the
+per-partition file count accumulated by incremental commits."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.table import ParquetTable
+
+
+def test_compact_partitions(spark):
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_compact_"), "t")
+    t = ParquetTable(spark, tgt)
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        F.expr("date_add(DATE'2024-01-01', CAST(id % 3 AS INT))").alias("d"),
+    )
+    t.create(df.limit(0), "d")
+    # 5 commits -> >= 5 files per partition (each write is multi-task)
+    for i in range(5):
+        t.append(df.where(f"id % 5 = {i}"))
+    before = t.partition_file_counts()
+    assert all(n >= 5 for n in before.values()), before
+    checksum = lambda: t.read().agg(F.sum("id"), F.count("*")).first()
+    want = checksum()
+
+    t.compact_partitions(files_per_partition=1)
+    after = t.partition_file_counts()
+    assert set(after) == set(before)
+    assert all(n == 1 for n in after.values()), after
+    assert checksum() == want
+
+    # bounded compaction: only one partition, leave the rest untouched
+    for i in range(3):
+        t.append(df.where("id % 7 = 0"))
+    d0 = sorted(t.partition_dates())[0]
+    t.compact_partitions([d0], files_per_partition=1)
+    counts = t.partition_file_counts()
+    assert counts[d0] == 1
+    assert any(n > 1 for d, n in counts.items() if d != d0)
+    assert checksum()[1] == want[1] + 3 * df.where("id % 7 = 0").count()

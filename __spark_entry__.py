@@ -217,8 +217,14 @@ def _engine_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # A1/A9/A14/A16: fresh chunked build, day grid (the flagship)
-    "engine_daily_full_build": _engine(MODEL_DAILY, [RunVars()], "daily", period="day"),
+    # A1/A9/A14/A16: fresh chunked build, day grid (the flagship).
+    # periods_per_commit=7: at sf0.1 a day-chunk is ~100× below the
+    # reference's 6M-60M-row sweet spot, so seven periods share one job /
+    # one commit — identical results (tests prove it on windowed models),
+    # restart redoes ≤ 7 periods
+    "engine_daily_full_build": _engine(
+        MODEL_DAILY, [RunVars()], "daily", period="day", periods_per_commit=7
+    ),
     # A8: interrupt after 10 days, resume — must equal an uninterrupted run
     "engine_resume": _engine(
         MODEL_DAILY, [RunVars(stop_date="2024-01-11"), RunVars()], "resume"

@@ -83,6 +83,17 @@ class IBTPConfig:
                              /root/reference/README.md:102). Set when keys
                              are known to be time-local; keys older than the
                              window are NOT deduplicated.
+    periods_per_commit       batch N contiguous periods into one Spark job /
+                             one durable commit (non-keyed paths). Each
+                             period's SQL still runs with its OWN injected
+                             literals (union of per-period plans), so models
+                             whose semantics depend on the period window —
+                             window functions, per-period aggregates — are
+                             unchanged. Trades restart granularity (redo ≤ N
+                             periods) for per-job overhead; the reference's
+                             per-period COMMIT is N=1. Raise it when periods
+                             are far below the 6M-60M-row chunk sweet spot
+                             (/root/reference/README.md:104).
     """
 
     timestamp_field: str
@@ -95,8 +106,11 @@ class IBTPConfig:
     sample_select_for_table_schema: str | None = None
     on_schema_change: OnSchemaChange = OnSchemaChange.IGNORE
     upsert_probe_window: int | None = None
+    periods_per_commit: int = 1
 
     def __post_init__(self) -> None:
+        if self.periods_per_commit < 1:
+            raise ValueError("periods_per_commit must be >= 1")
         if not self.timestamp_field:
             raise ValueError("timestamp_field is required")  # materialization.sql:29
         if self.period not in PERIODS:

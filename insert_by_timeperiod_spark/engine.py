@@ -339,10 +339,23 @@ class InsertByTimeperiod:
                 wm = max_date + dt.timedelta(days=1) if max_date else None
             todo = pending_from_watermark(grid, wm)
 
+        # commit batching: group N contiguous periods into ONE job + ONE
+        # durable commit (config.periods_per_commit). The keyed-upsert path
+        # stays per-period (its rewrite set is period-derived).
+        ppc = 1 if self.config.unique_key and mode is not RunMode.BACKFILL else max(
+            1, self.config.periods_per_commit
+        )
+        batches = [todo[i : i + ppc] for i in range(0, len(todo), ppc)]
+
         n = len(todo)
-        for i, p in enumerate(todo, start=1):
+        done = 0
+        for batch in batches:
             t0 = time.monotonic()
-            df = self._align_to_target(self._period_df(p))
+            # each period's SQL runs with its OWN injected literals — the
+            # union preserves per-period model semantics (windows, per-period
+            # aggregates) exactly; only the job/commit granularity widens
+            dfs = [self._align_to_target(self._period_df(p)) for p in batch]
+            df = reduce(DataFrame.unionByName, dfs)
 
             # A17 row-count observability via Observation: the count rides on
             # the write job itself (zero extra actions, zero caching) — the
@@ -357,22 +370,23 @@ class InsertByTimeperiod:
             # backfill range-delete wins over the keyed path, matching the
             # reference's loop branch order (loop.sql:92-107)
             if self.config.unique_key and mode is not RunMode.BACKFILL:
-                rows = self._upsert_period(df, p, obs)
+                rows = self._upsert_period(df, batch[0], obs)
             else:
-                # replace (not append): re-running a period first drops any
+                # replace (not append): re-running a batch first drops any
                 # partial data a crashed run left in its partitions, so the
-                # period commit is idempotent — closes the duplicate-load
-                # window between data write and watermark advance (the
-                # reference's per-period COMMIT is atomic, loop.sql:134)
-                self.table.replace_date_range(df, p.start, p.end)  # A12/A14/A16
+                # commit is idempotent — closes the duplicate-load window
+                # between data write and watermark advance (the reference's
+                # per-period COMMIT is atomic, loop.sql:134)
+                self.table.replace_date_range(df, batch[0].start, batch[-1].end)
                 if obs is not None:
                     rows = obs.get["rows"]
 
+            done += len(batch)
             # progress log with the reference's message shape (A17,
             # /root/reference/macros/insert_by_timeperiod_loop.sql:128-131)
             log.info(
                 "Ran for %s %d of %d (%s); %s records inserted in %.1fs",
-                self.config.period, i, n, p.start.isoformat(),
+                self.config.period, done, n, batch[0].start.isoformat(),
                 rows if rows is not None else "?", time.monotonic() - t0,
             )
             if mode is RunMode.BACKFILL:
@@ -382,13 +396,17 @@ class InsertByTimeperiod:
                 # data-derived probe has the same property by construction
                 # (helpers.sql:118-121)
                 wm = self.table.watermark
-                if wm is not None and p.start <= wm:
-                    self.table.advance_watermark(p.end)
+                if wm is not None and batch[0].start <= wm:
+                    self.table.advance_watermark(batch[-1].end)
             else:
-                self.table.advance_watermark(p.end)
-            result.periods.append(PeriodResult(p, rows))
-            if self.post_period:
-                self.post_period(p, rows)
+                self.table.advance_watermark(batch[-1].end)
+            for j, p in enumerate(batch):
+                # the observed count is exact per COMMIT; attribute it to the
+                # batch's last period so RunResult.total_rows stays exact
+                r = rows if j == len(batch) - 1 else None
+                result.periods.append(PeriodResult(p, r))
+                if self.post_period:
+                    self.post_period(p, r)
 
         if self.post_run:
             self.post_run()

@@ -265,3 +265,38 @@ def test_schema_drift_fail_raises_on_incompatible_cast(spark, views, tmp_path):
     )
     with pytest.raises(ValueError, match="non-widening"):
         eng2.run()
+
+
+def test_periods_per_commit_matches_per_period(spark, views, duck, tmp_path):
+    """Commit batching must not change results — each period's SQL still runs
+    with its own literals. Verified with a WINDOWED model, where widening the
+    filter window (the wrong way to batch) would change row_number/lag."""
+    wmodel = """
+    SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id) AS INT) AS rn
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    """
+    outs = []
+    for ppc in (1, 7):
+        eng = InsertByTimeperiod(
+            spark, wmodel, cfg(periods_per_commit=ppc), str(tmp_path / f"ppc{ppc}")
+        )
+        res = eng.run()
+        assert res.total_rows > 0
+        outs.append(eng.table.read())
+    a, b = outs
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_periods_per_commit_resume(spark, views, duck, tmp_path):
+    """Interrupting a batched run resumes at batch granularity and converges
+    to the unchunked oracle."""
+    eng = build(spark, tmp_path, cfg(periods_per_commit=5), name="ppc_resume")
+    eng.run(RunVars(stop_date="2024-01-13"))  # 12 days -> 3 batches
+    assert eng.table.watermark == dt.date(2024, 1, 13)
+    eng.run()  # finish
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )

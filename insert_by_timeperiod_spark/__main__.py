@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--on-schema-change", default="ignore",
                    choices=["ignore", "append_new_columns", "sync_all_columns", "fail"])
     p.add_argument("--upsert-probe-window", type=int, default=None, metavar="DAYS")
+    p.add_argument("--periods-per-commit", type=int, default=1, metavar="N",
+                   help="batch N periods per job/commit (restart redoes <= N periods)")
     p.add_argument("--date-source-model", action="append", default=[],
                    help="table whose MIN/MAX timestamp clamps the window (repeatable)")
     p.add_argument("--source-timestamp-field", default=None)
@@ -80,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         unique_key=args.unique_key,
         on_schema_change=args.on_schema_change,
         upsert_probe_window=args.upsert_probe_window,
+        periods_per_commit=args.periods_per_commit,
         date_source_models=args.date_source_model,
         source_timestamp_field=args.source_timestamp_field,
     )

@@ -29,7 +29,7 @@ def test_cli_incremental_then_backfill(spark, sf_dir, capsys):
         "--model", model, "--target", tgt,
         "--timestamp-field", "event_date", "--period", "week",
         "--view", f"events={events_pq}",
-        "--no-count-rows",
+        "--no-count-rows", "--periods-per-commit", "2",
     ]
     assert main(base + ["--start-date", "2024-01-01", "--stop-date", "2024-01-29"]) == 0
     out1 = capsys.readouterr().out

@@ -55,6 +55,12 @@ class StreamToPeriodTable:
     DataFrame — row-level enrichment/projection belongs here. Cross-batch
     aggregation does NOT: a per-batch group-by only sees its own batch; use
     :func:`event_time_windowed` on the stream (before the sink) for that.
+
+    A target table is bound to ONE stream checkpoint: batch ids are
+    per-checkpoint counters, so pointing a NEW checkpoint at a table that
+    already recorded ids would wrongly skip its early batches. To re-feed a
+    table from scratch, drop it (or remove ``_ibtp_stream.json``) along with
+    the old checkpoint.
     """
 
     def __init__(

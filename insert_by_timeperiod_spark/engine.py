@@ -325,6 +325,12 @@ class InsertByTimeperiod:
             if not grid:
                 raise ValueError(f"empty period grid: [{start}, {stop})")
             self._init_target(grid[0])
+        else:
+            # repair any partition swap a previous run crashed in the middle
+            # of (two-rename window of rewrite_partitions)
+            restored = self.table.recover_orphans()
+            if restored:
+                log.warning("restored %d orphaned partition(s) from trash", restored)
 
         if mode is RunMode.BACKFILL:
             todo = grid
@@ -437,30 +443,32 @@ class InsertByTimeperiod:
         key = self.config.unique_key
         pcol = self.table.partition_col
         df = df.persist()
-        rows = None
-        if obs is not None:
-            rows = df.count()  # also triggers the observation on the cache fill
+        try:
+            rows = None
+            if obs is not None:
+                rows = df.count()  # also triggers the observation on the cache fill
 
-        target = self.table.read()
-        if self.config.upsert_probe_window is not None:
-            lo = p.start - dt.timedelta(days=self.config.upsert_probe_window)
-            # partition pruning bounds the probe scan to the window
-            target = target.where(
-                (F.col(pcol) >= F.lit(lo)) & (F.col(pcol) < F.lit(p.end))
+            target = self.table.read()
+            if self.config.upsert_probe_window is not None:
+                lo = p.start - dt.timedelta(days=self.config.upsert_probe_window)
+                # partition pruning bounds the probe scan to the window
+                target = target.where(
+                    (F.col(pcol) >= F.lit(lo)) & (F.col(pcol) < F.lit(p.end))
+                )
+            keys = df.select(key).distinct()
+            affected = {
+                r[0]
+                for r in target.join(keys, key, "left_semi")
+                .select(pcol)
+                .distinct()
+                .collect()
+            }
+            # the rewrite set: partitions with key matches + the period's own dates
+            dates = sorted(affected | {d.start for d in period_grid(p.start, p.end, "day")})
+            survivors = target.where(F.col(pcol).isin([d for d in dates])).join(
+                keys, key, "left_anti"
             )
-        keys = df.select(key).distinct()
-        affected = {
-            r[0]
-            for r in target.join(keys, key, "left_semi")
-            .select(pcol)
-            .distinct()
-            .collect()
-        }
-        # the rewrite set: partitions with key matches + the period's own dates
-        dates = sorted(affected | {d.start for d in period_grid(p.start, p.end, "day")})
-        survivors = target.where(F.col(pcol).isin([d for d in dates])).join(
-            keys, key, "left_anti"
-        )
-        self.table.rewrite_partitions(survivors.unionByName(df), dates)
-        df.unpersist()
-        return rows
+            self.table.rewrite_partitions(survivors.unionByName(df), dates)
+            return rows
+        finally:
+            df.unpersist()

@@ -105,8 +105,15 @@ def salted_join(
     runtime; explicit salting remains the answer when a single key exceeds
     what one task can hold even after AQE splits, or when the join is
     followed by an aggregation on the same key (salt once, aggregate
-    partially per salt, merge). Result equals the unsalted join exactly.
+    partially per salt, merge). Result equals the unsalted join exactly for
+    the supported join types; right/full outer are rejected — an unmatched
+    right row would survive once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r} "
+            "(right/full outer would duplicate unmatched right rows per salt)"
+        )
     salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
     l_s = left.withColumn("_salt", salt)
     r_s = right.withColumn(

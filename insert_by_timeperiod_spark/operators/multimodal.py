@@ -131,14 +131,19 @@ def extract_features(df: DataFrame) -> DataFrame:
     row-at-a-time, ~10-100×). Batches stream; peak memory is one Arrow batch
     per core."""
 
+    _null = {"media_type": None, "width": None, "height": None, "n_channels": None}
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_payload(p) for p in pdf["payload"]]
+            # NULL payloads produce a null feature row, never a task failure
+            feats = [
+                _null if p is None else _decode_payload(p) for p in pdf["payload"]
+            ]
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "byte_len": pdf["payload"].map(len),
-                    "checksum": [zlib.crc32(p) for p in pdf["payload"]],
+                    "byte_len": [None if p is None else len(p) for p in pdf["payload"]],
+                    "checksum": [None if p is None else zlib.crc32(p) for p in pdf["payload"]],
                     "detected_type": [f["media_type"] for f in feats],
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],

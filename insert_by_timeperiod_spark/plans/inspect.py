@@ -65,4 +65,12 @@ def exchange_count(df: DataFrame) -> int:
     at runtime). Every exchange is a full materialize+network pass at scale —
     the first number to check on any new operator."""
     plan = explain_str(df, formatted=False)
-    return len(re.findall(r"Exchange (?:hash|range|rebalance|SinglePartition)", plan))
+    # everything but BroadcastExchange: hash/range/round-robin/rebalance/
+    # single-partition shuffles all materialize + move data
+    return len(
+        re.findall(
+            r"Exchange (?:hash|range|rebalance|RoundRobin|SinglePartition)",
+            plan,
+            flags=re.IGNORECASE,
+        )
+    )

@@ -42,7 +42,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..config import IBTPConfig
-from ..fs import HadoopFS
 from ..table import ParquetTable
 
 STREAM_META = "_ibtp_stream.json"
@@ -75,7 +74,7 @@ class StreamToPeriodTable:
         self.config = config
         self.table = ParquetTable(spark, target_path)
         self.transform = transform
-        self._fs = HadoopFS(spark, target_path)
+        self._fs = self.table.fs
         self._stream_meta_path = f"{self.table.path}/{STREAM_META}"
 
     # ---- batch-id replay protection -------------------------------------

@@ -61,22 +61,26 @@ def sessionize_stream(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         last_ts, seq = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
-            seqs = []
-            for t in ts_us:
-                if last_ts is None or (t - last_ts) > gap_us:
-                    seq += 1
-                last_ts = int(t)
-                seqs.append(seq)
-            out = pd.DataFrame({user_col: pdf[user_col].to_numpy()})
-            for c in carry:
-                out[c] = pdf[c].to_numpy()
-            out["ts_us"] = ts_us
-            out["session_seq"] = seqs
-            yield out
+        # a group arrives as MULTIPLE Arrow chunks (split at
+        # arrow.maxRecordsPerBatch) in shuffle order, NOT time order —
+        # concatenate and sort ONCE; per-chunk sorting would regress
+        # last_ts across chunk boundaries and mis-number sessions
+        chunks = list(pdfs)
+        pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(ts_col)
+        ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+        seqs = []
+        for t in ts_us:
+            if last_ts is None or (t - last_ts) > gap_us:
+                seq += 1
+            last_ts = int(t)
+            seqs.append(seq)
+        out = pd.DataFrame({user_col: pdf[user_col].to_numpy()})
+        for c in carry:
+            out[c] = pdf[c].to_numpy()
+        out["ts_us"] = ts_us
+        out["session_seq"] = seqs
         state.update((last_ts, seq))
+        yield out
 
     return (
         stream_df.groupBy(user_col)

@@ -219,6 +219,7 @@ class ParquetTable:
         touched, so a crash loses at most the two-rename window of a single
         partition — not the whole delete-then-recompute span. Work scales
         with the touched partitions only."""
+        self.recover_orphans()
         pcol = self.partition_col
         stage = self.path + f"__ibtp_stage_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(pcol).parquet(stage)
@@ -237,6 +238,27 @@ class ParquetTable:
                     self.fs.delete(trash)
         finally:
             self.fs.delete(stage)
+
+    def recover_orphans(self) -> int:
+        """Repair the two-rename crash window: a ``.ibtp_trash_<part>_<id>``
+        directory whose partition directory is MISSING means the swap died
+        between moving the old data out and the new data in — restore it
+        (the rewrite will be redone); if the partition exists, the swap
+        completed and the trash is a leftover — drop it. Called before every
+        partition rewrite and safe to call any time; returns the number of
+        restored partitions."""
+        restored = 0
+        for name in self.fs.listdir(self.path):
+            if not name.startswith(".ibtp_trash_"):
+                continue
+            part = name[len(".ibtp_trash_"):].rsplit("_", 1)[0]
+            dst = f"{self.path}/{part}"
+            if self.fs.is_dir(dst):
+                self.fs.delete(f"{self.path}/{name}")
+            else:
+                self.fs.rename(f"{self.path}/{name}", dst)
+                restored += 1
+        return restored
 
     def compact_partitions(
         self,

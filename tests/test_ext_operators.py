@@ -274,3 +274,19 @@ def test_frame_sample_plan(spark, docs):
     plan = multimodal.frame_sample_plan(assets, every_n=1)
     counts = {r.asset_id: r.n for r in plan.groupBy("asset_id").agg(F.count("*").alias("n")).collect()}
     assert all(v >= 1 for v in counts.values())
+
+
+def test_salted_join_rejects_right_outer(spark):
+    left = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="salted_join supports"):
+        joins.salted_join(left, left, "k", how="right")
+
+
+def test_multimodal_null_payload_yields_null_features(spark):
+    df = spark.createDataFrame(
+        [(1, b"GIF89a" + b"\x40\x01\xf0\x00" + b"\x00" * 6), (2, None)],
+        "asset_id long, payload binary",
+    )
+    feats = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
+    assert feats[1].detected_type == "image/gif"
+    assert feats[2].detected_type is None and feats[2].byte_len is None

@@ -40,3 +40,28 @@ def test_compact_partitions(spark):
     assert counts[d0] == 1
     assert any(n > 1 for d, n in counts.items() if d != d0)
     assert checksum()[1] == want[1] + 3 * df.where("id % 7 = 0").count()
+
+
+def test_recover_orphans_restores_interrupted_swap(spark):
+    """Simulate a crash between rewrite_partitions' two renames: the old
+    partition sits in .ibtp_trash_*; recovery must restore it (and drop
+    trash for partitions whose swap completed)."""
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_orphan_"), "t")
+    t = ParquetTable(spark, tgt)
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.expr("date_add(DATE'2024-01-01', CAST(id % 2 AS INT))").alias("d"),
+    )
+    t.create(df.limit(0), "d")
+    t.append(df)
+    n = t.read().count()
+    d0, d1 = t.partition_dates()
+
+    # crash window: partition d0 moved to trash, replacement never landed
+    t.fs.rename(f"{tgt}/d={d0.isoformat()}", f"{tgt}/.ibtp_trash_d={d0.isoformat()}_deadbeef")
+    # completed-swap leftover: d1 still exists AND has stale trash
+    t.fs.mkdirs(f"{tgt}/.ibtp_trash_d={d1.isoformat()}_cafebabe")
+
+    assert t.recover_orphans() == 1
+    assert t.read().count() == n  # d0 data restored
+    assert not any(x.startswith(".ibtp_trash_") for x in t.fs.listdir(tgt))

@@ -120,3 +120,48 @@ def test_stateful_state_carries_across_batches(spark):
     q.awaitTermination()
     got = {r.event_id: r.session_seq for r in spark.table(name).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 2}
+
+
+def test_stateful_group_spanning_arrow_chunks(spark):
+    """A user group larger than arrow.maxRecordsPerBatch arrives as multiple
+    unordered chunks in ONE micro-batch; session numbering must still match
+    the batch oracle (regression: per-chunk sorting regressed last_ts)."""
+    import uuid
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        n = 400
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, i, t0 + dt.timedelta(minutes=10 * i)) for i in range(n)
+        ]  # one user, gaps of 10 min, a 2h gap in the middle
+        rows[n // 2] = (1, n // 2, rows[n // 2 - 1][2] + dt.timedelta(hours=2))
+        rows = rows[: n // 2 + 1] + [
+            (1, i, rows[n // 2][2] + dt.timedelta(minutes=10 * (i - n // 2)))
+            for i in range(n // 2 + 1, n)
+        ]
+        src = os.path.join(tempfile.mkdtemp(prefix="ibtp_chunks_"), "src")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        ).repartition(8).write.parquet(src)
+
+        stream = spark.readStream.schema("user_id long, event_id long, ts timestamp").parquet(src)
+        out = sessionize_stream(stream, gap_minutes=30.0, carry_cols=["event_id"])
+        name = f"chunks_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {r.event_id: r.session_seq for r in spark.table(name).collect()}
+        want = {
+            r.event_id: r.session_seq
+            for r in sessionize(
+                spark.read.parquet(src), gap_minutes=30.0, tiebreak="event_id"
+            ).collect()
+        }
+        assert got == want
+        assert max(got.values()) == 2  # exactly the one planted 2h gap
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -480,6 +480,32 @@ WITH legs AS (
 SELECT MIN(lo) AS lo, MAX(hi) AS hi FROM legs
 """
 
+# C9-adjacent: PIVOT expressed as portable conditional aggregation (Spark's
+# PIVOT clause and DuckDB's differ syntactically; the conditional-agg form is
+# the same plan and serves both engines verbatim)
+PIVOT_EVENT_TYPES = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       COUNT(*) AS n_total
+FROM events GROUP BY user_id
+"""
+
+# C15: array expansion — Spark posexplode (0-based) vs DuckDB unnest +
+# generate_subscripts (1-based)
+UNNEST_SPARK = """
+SELECT vec_id, pos + 1 AS pos, CAST(val AS DOUBLE) AS val
+FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, val
+WHERE vec_id % 50 = 0
+"""
+
+UNNEST_DUCK = """
+SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
 # exact interpolated percentiles: Spark `percentile` and DuckDB
 # `quantile_cont` both sort and interpolate lower + (higher-lower)*frac —
 # verified bit-equal on doubles at sf0.001 and sf0.01
@@ -994,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cte_union_minmax": _sql(CTE_MINMAX),
             "distinct_days_topk": _sql(DISTINCT_TOPK),
             "percentiles_by_type": _sql(PERCENTILES_SPARK),
+            "pivot_event_types": _sql(PIVOT_EVENT_TYPES),
+            "unnest_embeddings": _sql(UNNEST_SPARK),
             # EXT: dedup
             "dedup_exact": _dedup_exact,
             "dedup_clusters": _dedup_clusters,
@@ -1049,6 +1077,8 @@ def oracle_sql() -> dict[str, str]:
             "cte_union_minmax": CTE_MINMAX,
             "distinct_days_topk": DISTINCT_TOPK,
             "percentiles_by_type": PERCENTILES_DUCK,
+            "pivot_event_types": PIVOT_EVENT_TYPES,
+            "unnest_embeddings": UNNEST_DUCK,
             "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
             "dedup_clusters": (
                 "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, "

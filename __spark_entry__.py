@@ -641,6 +641,22 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs.unionByName(near), jaccard_threshold=0.7)
 
 
+def _dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (iterative label propagation over LSH pairs is not
+    SQL-expressible): near-dup corpus after cluster-representative dedup;
+    equality with a Python union-find oracle is pinned in CI."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    near = (
+        docs.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xyzzy")))
+    )
+    return dedup.near_dedup(docs.unionByName(near), jaccard_threshold=0.7).select(
+        "doc_id"
+    )
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: simhash fingerprints + planted near-dup Hamming pairs."""
     _prep(spark, sf_dir)
@@ -1027,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_clusters": _dedup_clusters,
             "dedup_ngram_jaccard": _dedup_jaccard,
             "dedup_minhash_planted": _dedup_minhash,
+            "dedup_near_clusters": _dedup_near_clusters,
             "dedup_simhash_planted": _dedup_simhash,
             # EXT: text
             "text_stats": _text_stats,

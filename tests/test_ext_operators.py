@@ -290,3 +290,53 @@ def test_multimodal_null_payload_yields_null_features(spark):
     feats = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
     assert feats[1].detected_type == "image/gif"
     assert feats[2].detected_type is None and feats[2].byte_len is None
+
+
+# ------------------------------------------------- connected components
+
+def _py_components(pairs):
+    """Union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    # chains, a triangle, and an isolated pair — transitivity must hold
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (5, 4)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.cluster for r in dedup.connected_components(df).collect()}
+    assert got == _py_components(pairs)
+    assert got[5] == 1  # the 1-2-3-4-5 chain collapses to min id
+
+
+def test_near_dedup_drops_planted_keeps_originals(spark, docs):
+    near = (
+        docs.limit(15)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xyzzy")))
+    )
+    both = docs.unionByName(near)
+    out = dedup.near_dedup(both, jaccard_threshold=0.7)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # every planted copy is dropped (its original has the smaller id, so the
+    # copy can never be its cluster's representative)
+    assert not any(i + 2_000_000 in kept for i in range(15))
+    # exact oracle: union-find over the SAME pair graph — kept must be
+    # exactly (all ids) minus (non-representative cluster members)
+    pair_rows = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.7).collect()
+    comp = _py_components([(r.id_a, r.id_b) for r in pair_rows])
+    all_ids = {r.doc_id for r in both.select("doc_id").collect()}
+    expected_dropped = {n for n, c in comp.items() if n != c}
+    assert kept == all_ids - expected_dropped

@@ -308,23 +308,40 @@ def embedding_cosine_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-blocked:
-    only same-bucket pairs are compared (near-identical vectors land in the
-    same bucket with high probability). Returns (id_a, id_b, sim), id_a<id_b."""
-    b = add_lsh_bucket(
-        df.select(F.col(id_col), F.col(vec_col)),
-        dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col,
+    """Near-duplicate pairs by embedding cosine ≥ threshold, blocked by
+    multi-table OR-amplified LSH: a pair is compared when it collides in ANY
+    of ``n_tables`` independent sign-projection tables. A single table's
+    collision probability for cosine c is ``(1 - acos(c)/π)^n_planes`` —
+    ≈0.43 at c=0.95 with 8 planes, far too lossy; eight OR'd tables lift
+    recall to ≈0.99 at the cost of an n_tables× bucketing fan-out (ids +
+    bucket keys per table; the self-join still happens per bucket, never
+    all-pairs). Returns (id_a, id_b, sim), id_a < id_b."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    t = _add_lsh_tables(
+        base, dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed,
+        vec_col=vec_col,
     )
-    a_, b_ = b.alias("a"), b.alias("b")
-    pairs = a_.join(
-        b_,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
+    a_, b_ = t.alias("a"), t.alias("b")
+    pairs = (
+        a_.join(
+            b_,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.where(F.col("sim") >= threshold)
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        pairs.join(vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va")), "id_a")
+        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

@@ -340,3 +340,27 @@ def test_near_dedup_drops_planted_keeps_originals(spark, docs):
     all_ids = {r.doc_id for r in both.select("doc_id").collect()}
     expected_dropped = {n for n, c in comp.items() if n != c}
     assert kept == all_ids - expected_dropped
+
+
+def test_cosine_dupes_recall_at_moderate_similarity(spark, embs):
+    """Multi-table OR-amplification must catch ~0.95-cosine pairs, not just
+    near-identicals (single-table blocking recall at 0.95 is only ~0.43)."""
+    rng = np.random.default_rng(7)
+    base = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in embs.where("vec_id < 30").collect()}
+    noisy_rows = []
+    true_pairs = set()
+    for vid, v in base.items():
+        n = v + rng.normal(scale=0.12 * np.linalg.norm(v) / np.sqrt(len(v)), size=len(v))
+        c = float(v @ n / (np.linalg.norm(v) * np.linalg.norm(n)))
+        if c >= 0.92:
+            true_pairs.add((vid, vid + 10_000))
+        noisy_rows.append((vid + 10_000, [float(x) for x in n]))
+    noisy = spark.createDataFrame(noisy_rows, "vec_id long, embedding array<double>")
+    both = embs.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(noisy)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_cosine_dupes(both, dim=64, threshold=0.92).collect()
+    }
+    assert len(true_pairs) >= 20  # noise scale keeps most pairs above 0.92
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.85, f"cosine-dup recall too low: {recall}"

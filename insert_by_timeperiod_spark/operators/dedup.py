@@ -24,11 +24,15 @@ Every operator here is designed scale-first:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import char_shingles, word_shingles
+
+log = logging.getLogger("insert_by_timeperiod_spark")
 
 
 # --------------------------------------------------------------------------
@@ -302,31 +306,60 @@ def connected_components(
     The iterative min-label propagation (each round every node takes the
     min of its own and its neighbors' labels) converges in O(diameter)
     rounds; near-dup graphs are unions of small cliques, so 3-5 rounds is
-    typical and ``max_iter`` is a safety bound. Each round is one shuffle
-    (edges ⋈ labels, groupBy min); ``localCheckpoint`` truncates the plan
-    between rounds — without it the lineage doubles per iteration and
-    planning time explodes. This is the genuinely iterative operator the
-    brief's "connected components for clusters" slot calls for — not
-    SQL-expressible, verified against a Python union-find in tests."""
-    edges = (
+    typical and ``max_iter`` is a safety bound — exhausting it with changes
+    still pending logs a loud warning (the labels would be silently wrong
+    for nodes farther than ``max_iter`` hops from their component's min).
+    Each round is one shuffle (edges ⋈ labels, groupBy min);
+    ``localCheckpoint`` truncates the plan between rounds — without it the
+    lineage doubles per iteration and planning time explodes — and each
+    superseded round's materialized blocks are unpersisted so executor
+    storage holds O(1) label snapshots, not O(rounds). This is the
+    genuinely iterative operator the brief's "connected components for
+    clusters" slot calls for — not SQL-expressible, verified against a
+    Python union-find in tests."""
+    sc = pairs.sparkSession.sparkContext
+
+    def ckpt(df: DataFrame) -> tuple[DataFrame, list[int]]:
+        """localCheckpoint + the ids of the RDD blocks it materialized, so
+        a superseded round can be freed (DataFrame.localCheckpoint exposes
+        no unpersist handle of its own)."""
+        before = {i for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        out = df.localCheckpoint()
+        after = sc._jsc.getPersistentRDDs()
+        return out, [i for i in after.keySet().toArray() if i not in before]
+
+    def free(rdd_ids: list[int]) -> None:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for i in rdd_ids:
+                jrdd = jmap.get(i)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 - freeing is best-effort
+            pass
+
+    # materialize the (expensive) pair pipeline ONCE; both edge directions
+    # then read the checkpointed blocks instead of re-running the pipeline
+    pairs, _pair_ids = ckpt(pairs.select(F.col(id_a), F.col(id_b)))
+    edges, _edge_ids = ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    free(_pair_ids)
+    labels, label_ids = ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels, new_ids = ckpt(
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
@@ -334,7 +367,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -342,9 +374,17 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        free(label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
+            converged = True
             break
+    free(_edge_ids)
+    if not converged:
+        log.warning(
+            "connected_components stopped at max_iter=%d with labels still "
+            "changing — clusters may be split; raise max_iter", max_iter,
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 

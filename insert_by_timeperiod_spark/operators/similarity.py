@@ -112,8 +112,11 @@ def add_lsh_bucket(
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Single-table bucket id column (used by ``embedding_cosine_dupes``,
-    where near-identical vectors collide with high probability)."""
+    """Single-table bucket id column — the building block for custom
+    blocking schemes (e.g. pre-partitioning a corpus by bucket before a
+    repeated dedup). The shipped operators use the multi-table
+    OR-amplified form (``_add_lsh_tables``); a single table only has
+    usable recall for near-identical vectors (cosine ≳ 0.99)."""
     return df.withColumn(
         out_col, _bucket_expr(vec_col, _random_planes(dim, n_planes, seed))
     )
@@ -320,10 +323,13 @@ def embedding_cosine_dupes(
     bucket keys per table; the self-join still happens per bucket, never
     all-pairs). Returns (id_a, id_b, sim), id_a < id_b."""
     base = df.select(F.col(id_col), F.col(vec_col))
+    # project to (id, tbl, bkt) BEFORE the self-join: the bucketing shuffle
+    # must carry ids and bucket keys only — vectors are re-fetched by id for
+    # the surviving candidate pairs below
     t = _add_lsh_tables(
         base, dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed,
         vec_col=vec_col,
-    )
+    ).select(id_col, "tbl", "bkt")
     a_, b_ = t.alias("a"), t.alias("b")
     pairs = (
         a_.join(

@@ -316,9 +316,16 @@ def test_connected_components_matches_union_find(spark):
     # chains, a triangle, and an isolated pair — transitivity must hold
     pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (5, 4)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    n_persistent = lambda: len(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    before = n_persistent()
     got = {r.node: r.cluster for r in dedup.connected_components(df).collect()}
     assert got == _py_components(pairs)
     assert got[5] == 1  # the 1-2-3-4-5 chain collapses to min id
+    # superseded per-round checkpoints are freed: only the returned labels
+    # (and at most one transient) survive, not one snapshot per round
+    assert n_persistent() - before <= 2
 
 
 def test_near_dedup_drops_planted_keeps_originals(spark, docs):

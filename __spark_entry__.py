@@ -485,9 +485,9 @@ SELECT MIN(lo) AS lo, MAX(hi) AS hi FROM legs
 # the same plan and serves both engines verbatim)
 PIVOT_EVENT_TYPES = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
        COUNT(*) AS n_total
 FROM events GROUP BY user_id
 """
@@ -845,11 +845,20 @@ FROM documents
 """
 
 
+_STREAM_SRC_CACHE: dict[str, str] = {}
+
+
 def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Re-land the (nanos-normalized) events view as a parquet directory —
-    the file-stream source watches directories, and the fixture is one file."""
+    the file-stream source watches directories, and the fixture is one file.
+    Staged ONCE per sf_dir and shared by every streaming entry so the three
+    stream queries don't each pay the landing write."""
+    cached = _STREAM_SRC_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     src = os.path.join(tempfile.mkdtemp(prefix="ibtp_streamsrc_"), "events")
     spark.table("events").write.parquet(src)
+    _STREAM_SRC_CACHE[sf_dir] = src
     return src
 
 
@@ -1038,6 +1047,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "percentiles_by_type": _sql(PERCENTILES_SPARK),
             "pivot_event_types": _sql(PIVOT_EVENT_TYPES),
             "unnest_embeddings": _sql(UNNEST_SPARK),
+            # C16/C17: Structured Streaming — placed BEFORE the EXT entries so
+            # a time-truncated driver run still records their correctness rows
+            # (round-2 lesson: the last dict entries were cut off).
+            "streaming_windowed_counts": _stream_windowed,
+            "streaming_ingest_table": _stream_ingest,
+            # sessionization (batch window fns + stateful streaming)
+            "sessionize_events": _sessionize,
+            "session_stats_events": _session_stats,
+            "streaming_sessionize": _streaming_sessionize,
             # EXT: dedup
             "dedup_exact": _dedup_exact,
             "dedup_clusters": _dedup_clusters,
@@ -1057,13 +1075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # EXT: multimodal
             "multimodal_meta": _multimodal_meta,
             "multimodal_features": _multimodal_features,
-            # sessionization (batch window fns + stateful streaming)
-            "sessionize_events": _sessionize,
-            "session_stats_events": _session_stats,
-            "streaming_sessionize": _streaming_sessionize,
-            # C16/C17: Structured Streaming
-            "streaming_windowed_counts": _stream_windowed,
-            "streaming_ingest_table": _stream_ingest,
         }
     )
     return q

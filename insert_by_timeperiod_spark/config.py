@@ -111,6 +111,10 @@ class IBTPConfig:
     def __post_init__(self) -> None:
         if self.periods_per_commit < 1:
             raise ValueError("periods_per_commit must be >= 1")
+        # negative window would shrink the probe below the rewrite range and
+        # silently drop surviving rows from replaced partitions
+        if self.upsert_probe_window is not None and self.upsert_probe_window < 0:
+            raise ValueError("upsert_probe_window must be >= 0 days")
         if not self.timestamp_field:
             raise ValueError("timestamp_field is required")  # materialization.sql:29
         if self.period not in PERIODS:

@@ -187,15 +187,19 @@ def minhash_lsh_pairs(
     sh = char_shingles(F.col(text_col), shingle_k)
 
     # Signature = one JVM hash pass over the shingles, then the vectorized
-    # affine lanes (see minhash_signature_vec for why not pure columns), then
-    # MATERIALIZE through a shuffle boundary before banding so the per-band
-    # slices read a computed 64-long array instead of re-running the UDF per
-    # reference. Shuffle volume is (id, 512-byte sig) per doc — tiny relative
-    # to the documents themselves.
+    # affine lanes (see minhash_signature_vec for why not pure columns).
+    # `sigs` is consumed by BOTH the banding branch and the prefilter's
+    # sig_tbl lookups, so persist it: a bare repartition does not cache, and
+    # without the persist the Arrow UDF can run twice per document unless AQE
+    # happens to reuse the exchange. Cached volume is (id, 512-byte sig) per
+    # doc — tiny relative to the documents themselves; the block is freed by
+    # the ContextCleaner when the plan goes out of scope.
     mh = minhash_signature_vec(num_hashes, seed)
-    sigs = df.select(
-        F.col(id_col), mh(shingle_hashes(sh)).alias("_sig")
-    ).repartition(id_col)
+    sigs = (
+        df.select(F.col(id_col), mh(shingle_hashes(sh)).alias("_sig"))
+        .repartition(id_col)
+        .persist()
+    )
 
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),

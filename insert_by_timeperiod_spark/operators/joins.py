@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
+_PAYLOAD = "_asof_payload"
 
 
 def asof_join(
@@ -49,19 +50,25 @@ def asof_join(
         if c in left.columns:
             raise ValueError(f"right_col {c!r} collides with a left column")
 
+    # Carry ONE struct of all right_cols (NULL only on left rows) instead of
+    # carrying each column independently: last(col, ignorenulls) per column
+    # would substitute a stale older value whenever the matched right row
+    # holds a legitimate NULL in that column, blending values from different
+    # right rows — ASOF must return the matched row's NULL as-is.
+    payload_type = right.select(F.struct(*right_cols).alias(_PAYLOAD)).schema[0].dataType
     l_tagged = left.select(
         *left.columns,
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
-        *right_cols,
-    ).select(*left.columns, _TS, _SIDE, *right_cols)
+        F.struct(*right_cols).alias(_PAYLOAD),
+    ).select(*left.columns, _TS, _SIDE, _PAYLOAD)
 
     unioned = l_tagged.unionByName(r_tagged)
     # at equal ts: strict -> left sorts BEFORE right (side desc: 1 then 0) so
@@ -69,7 +76,7 @@ def asof_join(
     side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
     order = [F.col(_TS).asc(), side_order]
     if tolerance_tiebreak:
-        order.append(F.col(tolerance_tiebreak).asc_nulls_first())
+        order.append(F.col(f"{_PAYLOAD}.{tolerance_tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
@@ -78,9 +85,15 @@ def asof_join(
     carried = unioned.select(
         *[c for c in left.columns],
         F.col(_SIDE),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last(_PAYLOAD, ignorenulls=True).over(w).alias(_PAYLOAD),
     )
-    return carried.where(F.col(_SIDE) == 1).drop(_SIDE)
+    return (
+        carried.where(F.col(_SIDE) == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in right_cols],
+        )
+    )
 
 
 def salted_join(

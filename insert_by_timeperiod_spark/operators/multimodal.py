@@ -66,7 +66,13 @@ def parse_image_header(b: bytes) -> dict | None:
         while i + 9 < len(b):
             if b[i] != 0xFF:
                 return None  # corrupt segment stream
+            # 0xFF fill bytes are legal padding before any marker — skip runs
+            # of them so the marker byte isn't read out of a fill byte
+            while i + 9 < len(b) and b[i + 1] == 0xFF:
+                i += 1
             marker = b[i + 1]
+            if marker == 0xDA or marker == 0xD9:
+                return None  # hit SOS/EOI without a start-of-frame
             if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue

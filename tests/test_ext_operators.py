@@ -371,3 +371,56 @@ def test_cosine_dupes_recall_at_moderate_similarity(spark, embs):
     assert len(true_pairs) >= 20  # noise scale keeps most pairs above 0.92
     recall = len(got & true_pairs) / len(true_pairs)
     assert recall >= 0.85, f"cosine-dup recall too low: {recall}"
+
+
+# ------------------------------------------------- asof join semantics
+
+
+def test_asof_join_matched_row_null_is_not_blended(spark):
+    """A legitimate NULL in the matched right row must be returned as NULL —
+    not replaced by a stale value from an OLDER right row (the per-column
+    last(ignorenulls) trap: all carried columns must come from ONE row)."""
+    left = spark.createDataFrame([(1, 30)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 10, 100, "old"), (1, 20, None, "new")],
+        "k long, rts long, val int, tag string",
+    )
+    out = joins.asof_join(
+        left, right, "k", left_ts="lts", right_ts="rts",
+        right_cols=["val", "tag"],
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    # matched row is (rts=20, val=NULL, tag='new'): val must be NULL, and the
+    # pair (val, tag) must both come from that row
+    assert row.tag == "new" and row.val is None
+
+
+def test_asof_join_unmatched_left_keeps_nulls(spark):
+    left = spark.createDataFrame([(1, 5)], "k long, lts long")
+    right = spark.createDataFrame([(1, 10, 7)], "k long, rts long, val int")
+    out = joins.asof_join(
+        left, right, "k", left_ts="lts", right_ts="rts", right_cols=["val"]
+    ).collect()
+    assert len(out) == 1 and out[0].val is None
+
+
+# ------------------------------------------------- jpeg fill bytes
+
+
+def test_jpeg_fill_bytes_before_marker_are_skipped():
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 480, 640) + bytes([3])
+    # legal 0xFF padding between segments
+    padded = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0
+    parsed = multimodal.parse_image_header(padded)
+    assert parsed is not None
+    assert (parsed["width"], parsed["height"]) == (640, 480)
+
+
+def test_jpeg_sos_before_sof_rejected():
+    import struct
+    # SOS with no prior SOF: walker must stop, not run off into entropy data
+    sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00" + b"\x00" * 32
+    assert multimodal.parse_image_header(b"\xff\xd8" + sos) is None

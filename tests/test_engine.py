@@ -160,6 +160,56 @@ def test_unique_key_upsert_dedups(spark, views, duck, tmp_path):
     assert_df_matches_duck(out, duck, duck_sql, float_digits=4)
 
 
+def test_keyed_upsert_batched_equals_sequential(spark, views, tmp_path):
+    """periods_per_commit > 1 on the keyed path must equal the per-period
+    sequential result (the batch dedupe keeps each key's rows from the latest
+    emitting period — sequential equivalence)."""
+    model = """
+    SELECT user_id,
+           MIN(CAST(ts AS DATE))  AS event_date,
+           COUNT(*)               AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id
+    """
+    seq = InsertByTimeperiod(
+        spark, model, cfg(unique_key="user_id", period="week"), str(tmp_path / "seq")
+    )
+    seq.run()
+    bat = InsertByTimeperiod(
+        spark,
+        model,
+        cfg(unique_key="user_id", period="week", periods_per_commit=3),
+        str(tmp_path / "bat"),
+    )
+    bat.run()
+    a = {tuple(r) for r in seq.table.read().collect()}
+    b = {tuple(r) for r in bat.table.read().collect()}
+    assert a == b
+
+
+def test_keyed_upsert_batched_resume(spark, views, tmp_path):
+    """Interrupt a batched keyed run mid-way, resume — must converge to the
+    uninterrupted result (restart redoes <= ppc periods, idempotently)."""
+    model = """
+    SELECT user_id,
+           MIN(CAST(ts AS DATE))  AS event_date,
+           COUNT(*)               AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id
+    """
+    config = cfg(unique_key="user_id", period="week", periods_per_commit=2)
+    eng = InsertByTimeperiod(spark, model, config, str(tmp_path / "res"))
+    eng.run(RunVars(stop_date="2024-01-15"))
+    eng.run()
+    full = InsertByTimeperiod(spark, model, config, str(tmp_path / "full"))
+    full.run()
+    assert {tuple(r) for r in eng.table.read().collect()} == {
+        tuple(r) for r in full.table.read().collect()
+    }
+
+
 def test_schema_evolution_append_new_columns(spark, views, duck, tmp_path):
     config = cfg(on_schema_change="append_new_columns")
     eng = build(spark, tmp_path, cfg(), name="evo")

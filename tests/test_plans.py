@@ -134,3 +134,36 @@ def explain_str_short(df):
     from insert_by_timeperiod_spark.plans import explain_str
 
     return explain_str(df, formatted=False)[:800]
+
+
+def test_upsert_probe_window_prunes_probe_scan(spark):
+    """The keyed-upsert probe under `upsert_probe_window` must carry
+    PartitionFilters bounding the target scan to [start-window, end) — the
+    knob that keeps the keyed path O(window partitions), not O(table)."""
+    from insert_by_timeperiod_spark.periods import Period
+
+    model = """
+    SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id, CAST(ts AS DATE)
+    """
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_probe_"), "t")
+    cfg = IBTPConfig(
+        timestamp_field="event_date", period="week",
+        start_date="2024-01-01", stop_date="2024-01-15",
+        unique_key="user_id", upsert_probe_window=7,
+    )
+    eng = InsertByTimeperiod(spark, model, cfg, tgt, count_rows=False)
+    eng.run()
+    probe = eng._probe_target(Period(dt.date(2024, 1, 15), dt.date(2024, 1, 22)))
+    pf = " ".join(partition_filters(probe))
+    assert "event_date" in pf, f"probe scan not partition-pruned: {pf!r}"
+    # unbounded config: no pruning predicate on the probe
+    cfg2 = IBTPConfig(
+        timestamp_field="event_date", period="week",
+        start_date="2024-01-01", stop_date="2024-01-15", unique_key="user_id",
+    )
+    eng2 = InsertByTimeperiod(spark, model, cfg2, tgt, count_rows=False)
+    full = eng2._probe_target(Period(dt.date(2024, 1, 15), dt.date(2024, 1, 22)))
+    assert "event_date" not in " ".join(partition_filters(full))

@@ -161,3 +161,29 @@ def test_watermark_drops_late_rows(spark):
     new = [e for e in emitted if e not in before]
     assert all(e[1] != "late" for e in new)  # late row dropped by watermark
     assert ("2024-01-20", "a", 1) in emitted  # Jan 20 finalized once Jan 25 arrived
+
+
+def test_compact_every_n_batches_bounds_file_count(spark, events_src):
+    """Opt-in compaction must keep per-partition file counts bounded under a
+    multi-batch stream (one file set per batch otherwise), without changing
+    the table's content."""
+    root = tempfile.mkdtemp(prefix="ibtp_compact_")
+    tgt = os.path.join(root, "t")
+    cfg = IBTPConfig(timestamp_field="ts", period="day")
+    sink = StreamToPeriodTable(
+        spark, cfg, tgt, compact_every_n_batches=2, compact_files_per_partition=1
+    )
+    src = spark.read.parquet(events_src).select("event_id", "user_id", "ts", "value")
+    n_total = src.count()
+    # 6 micro-batches over the same date range -> every partition touched 6x
+    for b in range(6):
+        sink.foreach_batch(src.where(F.col("event_id") % 6 == b), b)
+    assert sink.table.read().count() == n_total
+    counts = sink.table.partition_file_counts()
+    assert counts and max(counts.values()) <= 1, counts
+
+    # uncompacted control accumulates one file set per batch
+    sink2 = StreamToPeriodTable(spark, cfg, os.path.join(root, "t2"))
+    for b in range(6):
+        sink2.foreach_batch(src.where(F.col("event_id") % 6 == b), b)
+    assert max(sink2.table.partition_file_counts().values()) >= 6

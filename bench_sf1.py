@@ -1,0 +1,143 @@
+"""Supplementary scale bench: Spark vs DuckDB at an sf1-equivalent size.
+
+The per-round bench (bench.py, sf0.1) is dominated by Spark's fixed per-job
+cost (~0.5-1.5s) against an embedded engine on sub-second data — the ratio
+there measures overhead, not plan quality. This script scales the volume
+tables 10x (events 100k -> 1M, lineitem 600k -> 6M, orders 150k -> 1.5M; key
+spaces shifted per replica so join fan-outs stay realistic) into /tmp, then
+times the DuckDB-comparable headline queries on BOTH engines at that size,
+where fixed overhead amortizes and the measured quantity is the plan.
+
+Run: python bench_sf1.py   (writes BENCH_SF1.json at the repo root)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from insert_by_timeperiod_spark.session import get_spark
+from insert_by_timeperiod_spark.sources import load_table
+
+SRC = "/root/testdata/sf0.1"
+COPIES = int(os.environ.get("IBTP_SCALE_COPIES", "10"))
+DST = f"/tmp/ibtp_sf{COPIES // 10}"
+SHIFT = 10_000_000  # key shift per replica (above every sf0.1 key domain)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: DuckDB-comparable headline queries whose inputs scale with sf
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "region_revenue",
+    "window_running",
+    "asof_prev_event",
+    "json_props",
+    "engine_daily_full_build",
+    "engine_upsert",
+]
+
+
+def generate(spark) -> None:
+    if os.path.isdir(DST) and os.path.exists(os.path.join(DST, "_DONE")):
+        return
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    from pyspark.sql import functions as F
+
+    shifts = {  # per-table key columns shifted per replica
+        "events": ["event_id"],
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+    }
+    for t in TABLES:
+        if t in shifts:
+            base = load_table(spark, SRC, t)
+            parts = []
+            for i in range(COPIES):
+                d = base
+                for c in shifts[t]:
+                    d = d.withColumn(c, F.col(c) + F.lit(i * SHIFT))
+                parts.append(d)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(32).write.mode("overwrite").parquet(
+                os.path.join(DST, f"{t}.parquet")
+            )
+        else:
+            shutil.copy(os.path.join(SRC, f"{t}.parquet"), DST)
+    open(os.path.join(DST, "_DONE"), "w").write("ok")
+
+
+def main() -> None:
+    spark = get_spark("ibtp-bench-sf1")
+    generate(spark)
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    # warm both engines (classload/codegen for Spark, buffer pool for DuckDB)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries["cte_union_minmax"](spark, DST).write.mode("overwrite").format("noop").save()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{DST}/{t}.parquet/*.parquet')"
+            if os.path.isdir(os.path.join(DST, f"{t}.parquet"))
+            else f"CREATE VIEW {t} AS SELECT * FROM '{DST}/{t}.parquet'"
+        )
+
+    # min-of-N per engine: the host shows multi-x intermittent contention, and
+    # a single sample can land entirely inside a noise burst; the minimum is
+    # the contention-free estimate for both engines alike
+    repeat = int(os.environ.get("IBTP_BENCH_REPEAT", "3"))
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        spark_s, duck_s = [], []
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            queries[name](spark, DST).write.mode("overwrite").format("noop").save()
+            spark_s.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            con.sql(oracles[name]).fetchall()
+            duck_s.append(time.monotonic() - t0)
+        out[name] = {"spark": round(min(spark_s), 3), "duck": round(min(duck_s), 3)}
+
+    total_spark = round(sum(v["spark"] for v in out.values()), 3)
+    total_duck = round(sum(v["duck"] for v in out.values()), 3)
+    # the engine_* entries MATERIALIZE (partitioned parquet writes + commit
+    # protocol); their DuckDB oracle only computes the query — so also report
+    # the apples-to-apples ratio over the pure-query entries
+    q_only = {k: v for k, v in out.items() if not k.startswith("engine_")}
+    qs, qd = sum(v["spark"] for v in q_only.values()), sum(v["duck"] for v in q_only.values())
+    result = {
+        "metric": f"sf{COPIES // 10}_spark_vs_duckdb",
+        "sf": COPIES / 10,
+        "rows": {"events": 100_000 * COPIES, "lineitem": 600_000 * COPIES, "orders": 150_000 * COPIES},
+        "queries": out,
+        "total_spark_sec": total_spark,
+        "total_duck_sec": total_duck,
+        "ratio": round(total_spark / total_duck, 2) if total_duck else None,
+        "query_only_ratio": round(qs / qd, 2) if qd else None,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_SF{COPIES // 10}.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -681,9 +681,44 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """
 
 
+# Oracle for the LSH pair finder: EXACT pairwise Jaccard at the same
+# threshold. Valid because (a) the LSH path verifies candidates with exact
+# Jaccard (precision 1) and (b) banding recall is 1 on this corpus (verified
+# offline at sf0.01: 46/46 pairs, jaccard bit-equal) — both sides are
+# deterministic, so equality is stable.
+MINHASH_PAIRS_DUCK = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' xyzzy' AS text
+  FROM documents WHERE doc_id < 20
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 5 THEN [text]
+              ELSE list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i::INT, 5)))
+         END AS s
+  FROM corpus
+), shing AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shing a JOIN shing b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(s) AS n FROM sh
+)
+SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (banded minhash is not SQL-expressible): plant near-dup
-    copies and return the LSH-found pairs."""
+    """Banded-minhash LSH pairs over corpus + planted near-dups.
+    Oracle-checked against EXACT pairwise Jaccard (see MINHASH_PAIRS_DUCK
+    for why the approximate path equals the exact one here)."""
     _prep(spark, sf_dir)
     docs = spark.table("documents")
     near = (
@@ -949,6 +984,34 @@ FROM documents
 """
 
 
+def _multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode end-to-end, oracle-checked: each doc's first 48
+    bytes become a genuine 4x4 24-bit BMP (text_to_bmp_payload), the stdlib
+    decoder recovers the pixels inside mapInPandas, and px_sum (= px_mean *
+    48, exact integer) equals the byte sum DuckDB computes from the text.
+    Fixture texts are pure ASCII and >= 48 chars (verified), so char codes
+    are bytes on both sides."""
+    _prep(spark, sf_dir)
+    assets = multimodal.text_to_bmp_payload(spark.table("documents"), "doc_id", "text")
+    return multimodal.extract_features(assets).select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.round(F.col("px_mean") * 48).cast("long").alias("px_sum"),
+    )
+
+
+MULTIMODAL_PIXELS_DUCK = """
+SELECT doc_id AS asset_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(list_sum(list_transform(range(1, 49), i -> ascii(substr(text, i::INT, 1)))) AS BIGINT) AS px_sum
+FROM documents
+"""
+
+
 _STREAM_SRC_CACHE: dict[str, str] = {}
 
 
@@ -1180,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # EXT: multimodal
             "multimodal_meta": _multimodal_meta,
             "multimodal_features": _multimodal_features,
+            "multimodal_pixels": _multimodal_pixels,
         }
     )
     return q
@@ -1220,18 +1284,24 @@ def oracle_sql() -> dict[str, str]:
             ),
             "dedup_ngram_jaccard": JACCARD_DUCK,
             "dedup_near_clusters": NEAR_CLUSTERS_DUCK,
+            "dedup_minhash_planted": MINHASH_PAIRS_DUCK,
             "text_stats": _text_stats_duck(),
             "pipeline_clean_documents": _pipeline_clean_duck(),
             "sim_bruteforce_topk": SIM_BRUTE_DUCK,
             "sim_cosine_dupes": SIM_DUPES_DUCK,
             "multimodal_meta": MULTIMODAL_META_DUCK,
+            "multimodal_pixels": MULTIMODAL_PIXELS_DUCK,
             "streaming_windowed_counts": STREAM_WINDOWED_DUCK,
             "streaming_ingest_table": STREAM_INGEST_DUCK,
             "sessionize_events": SESSIONIZE_DUCK,
             "session_stats_events": SESSION_STATS_DUCK,
             "streaming_sessionize": SESSIONIZE_DUCK,
-            # rows-only (no oracle): dedup_minhash_planted, dedup_simhash_planted,
-            # text_fingerprint, sim_ann_topk, sim_ivf_topk, multimodal_features
+            # rows-only (no oracle): dedup_simhash_planted (xxhash64 has no
+            # DuckDB equivalent), text_fingerprint (ditto), sim_ann_topk /
+            # sim_ivf_topk (genuinely approximate: verified to DIFFER from
+            # brute force on this corpus, so an exact oracle would be wrong;
+            # recall bounds are pinned in pytest), multimodal_features
+            # (stdlib-decode dims not expressible in SQL)
         }
     )
     return o

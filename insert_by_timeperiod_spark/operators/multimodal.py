@@ -5,9 +5,12 @@ Extensions beyond the reference's surface (north star, /root/repo/BASELINE.json)
 The Spark-side plumbing is real and tested — schema contract, Arrow-batched
 ``mapInPandas`` operators, partition-count preservation. Header decode
 (type sniffing + dimensions + channels for PNG/GIF/JPEG/BMP) is REAL,
-stdlib-only (``parse_image_header``); full pixel decode needs a codec
-library not present in this container — swap PIL/torchaudio into
-``_decode_payload`` and nothing else changes.
+stdlib-only (``parse_image_header``). FULL PIXEL DECODE is real for PNG
+(8-bit gray/RGB/RGBA/gray+alpha, non-interlaced: zlib inflate + the five
+scanline unfilters) and uncompressed 24-bit BMP (``decode_pixels``) — no
+codec library needed. JPEG (DCT) and GIF (LZW) pixel decode still need a
+codec library; swap PIL/torchaudio into ``_decode_payload`` and nothing
+else changes.
 
 Scale design: decode/feature-extract is embarrassingly parallel per row —
 ``mapInPandas`` streams Arrow batches through Python with zero shuffle; at
@@ -24,6 +27,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -34,7 +38,7 @@ ASSET_META_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "asset_id long, byte_len long, checksum long, detected_type string, "
-    "width int, height int, n_channels int"
+    "width int, height int, n_channels int, px_mean double, px_std double"
 )
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> channels
@@ -85,6 +89,163 @@ def parse_image_header(b: bytes) -> dict | None:
                 }
             i += 2 + seg_len
     return None
+
+
+def decode_png_pixels(b: bytes) -> "np.ndarray | None":
+    """Real stdlib PNG pixel decode: 8-bit depth, color types 0/2/4/6
+    (gray/RGB/gray+alpha/RGBA), non-interlaced. Concatenates IDAT chunks,
+    zlib-inflates, then applies the five scanline unfilters (None/Sub/Up/
+    Average/Paeth). Palette (3), 16-bit, and Adam7 images return ``None``
+    (rare in training corpora; a codec lib covers them).
+
+    Returns ``(height, width, channels)`` uint8, or ``None`` if unsupported/
+    corrupt. Sub/Average/Paeth are sequential in x by definition, so those
+    rows decode in a Python loop — per-image cost only; across a corpus the
+    work is embarrassingly parallel inside ``mapInPandas``."""
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    if bit_depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
+        return None
+    nch = _PNG_CHANNELS[color_type]
+    # walk chunks, concatenating IDAT payloads
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat += b[i + 8 : i + 8 + clen]
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.intp)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = line.copy()
+            for x in range(nch, stride):
+                rec[x] = (rec[x] + rec[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                c = prev[x - nch] if x >= nch else 0
+                p = a + prev[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, nch)
+
+
+def decode_bmp_pixels(b: bytes) -> "np.ndarray | None":
+    """Real stdlib BMP pixel decode: uncompressed (BI_RGB) 24-bit. Rows are
+    4-byte aligned and stored bottom-up (negative height = top-down); BGR is
+    reordered to RGB. Returns ``(height, width, 3)`` uint8 or ``None``."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", b[10:14])
+    w, h = struct.unpack("<ii", b[18:26])
+    (bpp,) = struct.unpack("<H", b[28:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if len(b) < data_off + row_bytes * h:
+        return None
+    rows = np.frombuffer(
+        b[data_off : data_off + row_bytes * h], dtype=np.uint8
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_pixels(b: bytes) -> "np.ndarray | None":
+    """Dispatch pixel decode by magic bytes. PNG/BMP are REAL stdlib decodes;
+    JPEG/GIF return ``None`` (DCT/LZW need a codec lib — the documented
+    remaining swap point)."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(b)
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    return None
+
+
+def resize_nearest(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an ``(h, w, c)`` array — the thumbnail step
+    of a decode pipeline, pure numpy indexing."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+def encode_bmp24(px: "np.ndarray") -> bytes:
+    """Minimal uncompressed 24-bit BMP encoder (bottom-up, 4-byte row
+    padding). Used to build REAL image payloads from deterministic bytes in
+    fixtures/demos — the decode side then exercises the genuine format
+    round-trip rather than a fake."""
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += px[y][:, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * (row_bytes - w * 3)
+    off = 54
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return bytes(header + dib) + bytes(body)
+
+
+def text_to_bmp_payload(
+    df: DataFrame, id_col: str, text_col: str, *, w: int = 4, h: int = 4
+) -> DataFrame:
+    """Derive a REAL (decodable) BMP payload per row from the first
+    ``w*h*3`` text bytes — deterministic image fixtures for corpora that
+    carry no binary column. Arrow-batched; zero shuffle."""
+    n = w * h * 3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")[:n].ljust(n, b"\x00")
+                payloads.append(
+                    encode_bmp24(np.frombuffer(b, dtype=np.uint8).reshape(h, w, 3))
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col], "media_type": "image/bmp", "payload": payloads}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(op, "asset_id long, media_type string, payload binary")
 
 
 def attach_fake_payload(
@@ -145,6 +306,9 @@ def extract_features(df: DataFrame) -> DataFrame:
             feats = [
                 _null if p is None else _decode_payload(p) for p in pdf["payload"]
             ]
+            # real pixel stats where the stdlib decoder covers the format
+            # (PNG/BMP); NULL for formats that still need a codec lib
+            pxs = [None if p is None else decode_pixels(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -154,6 +318,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],
                     "n_channels": [f["n_channels"] for f in feats],
+                    "px_mean": [None if px is None else float(px.mean()) for px in pxs],
+                    "px_std": [None if px is None else float(px.std()) for px in pxs],
                 }
             )
             yield out

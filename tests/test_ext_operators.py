@@ -424,3 +424,113 @@ def test_jpeg_sos_before_sof_rejected():
     # SOS with no prior SOF: walker must stop, not run off into entropy data
     sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00" + b"\x00" * 32
     assert multimodal.parse_image_header(b"\xff\xd8" + sos) is None
+
+
+# ------------------------------------------------- real pixel decode
+
+
+def _encode_png(px, color_type, filters):
+    """Minimal PNG encoder for tests: 8-bit, chosen per-row filter types
+    (applies the REAL filter math so decode must invert it)."""
+    import struct, zlib
+    import numpy as np
+
+    h, w, nch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.intp)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.intp)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(nch, dtype=np.intp), line[:-nch]])
+            enc = (line - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(nch, dtype=np.intp), line[:-nch]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = line.copy()
+            for x in range(len(line)):
+                a = line[x - nch] if x >= nch else 0
+                c = prev[x - nch] if x >= nch else 0
+                p = a + prev[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw.extend(int(v) for v in enc)
+        prev = line
+
+    def chunk(ctype, data):
+        out = struct.pack(">I", len(data)) + ctype + data
+        return out + struct.pack(">I", zlib.crc32(ctype + data))
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_bmp24(px):
+    import struct
+    import numpy as np
+
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].reshape(-1)  # RGB -> BGR
+        body.extend(int(v) for v in row)
+        body.extend(b"\x00" * (row_bytes - w * 3))
+    off = 54
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return bytes(header + dib + body)
+
+
+@pytest.mark.parametrize("color_type,nch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_pixel_decode_roundtrip_all_filters(color_type, nch):
+    np.random.seed(31)
+    px = np.random.randint(0, 256, size=(7, 5, nch), dtype=np.uint8)
+    payload = _encode_png(px, color_type, filters=[0, 1, 2, 3, 4])
+    dec = multimodal.decode_pixels(payload)
+    assert dec is not None and dec.shape == (7, 5, nch)
+    assert np.array_equal(dec, px)
+
+
+def test_bmp_pixel_decode_roundtrip():
+    np.random.seed(32)
+    px = np.random.randint(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    dec = multimodal.decode_pixels(_encode_bmp24(px))
+    assert dec is not None and np.array_equal(dec, px)
+
+
+def test_resize_nearest_shapes_and_corners():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = multimodal.resize_nearest(px, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small[0, 0], px[0, 0])
+
+
+def test_extract_features_real_pixel_stats(spark):
+    np.random.seed(33)
+    px = np.random.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    rows = [
+        (1, _encode_png(px, 2, filters=[4, 3, 1])),
+        (2, _encode_bmp24(px)),
+        (3, _jpeg(64, 48)),           # header-only: px stats stay NULL
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    feats = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
+    assert abs(feats[1].px_mean - float(px.mean())) < 1e-9
+    assert abs(feats[2].px_mean - float(px.mean())) < 1e-9
+    assert abs(feats[1].px_std - float(px.std())) < 1e-9
+    assert feats[3].px_mean is None and feats[4].px_mean is None
+    assert feats[3].detected_type == "image/jpeg"

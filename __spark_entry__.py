@@ -241,10 +241,10 @@ def _engine_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # A1/A9/A14/A16: fresh chunked build, day grid (the flagship).
-    # periods_per_commit=7: at sf0.1 a day-chunk is ~100× below the
-    # reference's 6M-60M-row sweet spot, so seven periods share one job /
-    # one commit — identical results (tests prove it on windowed models),
-    # restart redoes ≤ 7 periods
+    # periods_per_commit=16: at sf0.1 a day-chunk is ~100× below the
+    # reference's 6M-60M-row sweet spot, so sixteen periods share one job /
+    # one commit (31 days -> 2 commit cycles) — identical results (tests
+    # prove it on windowed models), restart redoes ≤ 16 periods
     "engine_daily_full_build": _engine(
         MODEL_DAILY, [RunVars()], "daily", period="day", periods_per_commit=16
     ),
@@ -989,8 +989,9 @@ def _multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes become a genuine 4x4 24-bit BMP (text_to_bmp_payload), the stdlib
     decoder recovers the pixels inside mapInPandas, and px_sum (= px_mean *
     48, exact integer) equals the byte sum DuckDB computes from the text.
-    Fixture texts are pure ASCII and >= 48 chars (verified), so char codes
-    are bytes on both sides."""
+    Fixture texts are pure ASCII (verified), so char codes are bytes on both
+    sides; texts shorter than 48 chars are zero-padded on the Spark side and
+    the oracle's CASE emits explicit 0s for out-of-range positions."""
     _prep(spark, sf_dir)
     assets = multimodal.text_to_bmp_payload(spark.table("documents"), "doc_id", "text")
     return multimodal.extract_features(assets).select(
@@ -1007,7 +1008,8 @@ SELECT doc_id AS asset_id,
        CAST(4 AS BIGINT) AS width,
        CAST(4 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS n_channels,
-       CAST(list_sum(list_transform(range(1, 49), i -> ascii(substr(text, i::INT, 1)))) AS BIGINT) AS px_sum
+       CAST(list_sum(list_transform(range(1, 49),
+            i -> CASE WHEN i <= length(text) THEN ascii(substr(text, i::INT, 1)) ELSE 0 END)) AS BIGINT) AS px_sum
 FROM documents
 """
 

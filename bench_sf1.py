@@ -29,7 +29,9 @@ from insert_by_timeperiod_spark.sources import load_table
 
 SRC = "/root/testdata/sf0.1"
 COPIES = int(os.environ.get("IBTP_SCALE_COPIES", "10"))
-DST = f"/tmp/ibtp_sf{COPIES // 10}"
+# keyed by the exact copy count so changing IBTP_SCALE_COPIES never reuses a
+# dataset generated at a different scale
+DST = f"/tmp/ibtp_scale_{COPIES}x"
 SHIFT = 10_000_000  # key shift per replica (above every sf0.1 key domain)
 
 TABLES = [

@@ -373,10 +373,16 @@ class InsertByTimeperiod:
                 idx, mx = "_ibtp_batch_idx", "_ibtp_batch_max"
                 tagged = [d.withColumn(idx, F.lit(i)) for i, d in enumerate(dfs)]
                 w = Window.partitionBy(self.config.unique_key)
+                # NULL keys are exempt from the dedupe: the sequential path's
+                # semi/anti joins never match NULL = NULL, so NULL-key rows
+                # from EVERY period survive there — keep them all here too
                 df = (
                     reduce(DataFrame.unionByName, tagged)
                     .withColumn(mx, F.max(idx).over(w))
-                    .where(F.col(idx) == F.col(mx))
+                    .where(
+                        (F.col(idx) == F.col(mx))
+                        | F.col(self.config.unique_key).isNull()
+                    )
                     .drop(idx, mx)
                 )
             else:

@@ -189,16 +189,19 @@ def minhash_lsh_pairs(
     # Signature = one JVM hash pass over the shingles, then the vectorized
     # affine lanes (see minhash_signature_vec for why not pure columns).
     # `sigs` is consumed by BOTH the banding branch and the prefilter's
-    # sig_tbl lookups, so persist it: a bare repartition does not cache, and
-    # without the persist the Arrow UDF can run twice per document unless AQE
-    # happens to reuse the exchange. Cached volume is (id, 512-byte sig) per
-    # doc — tiny relative to the documents themselves; the block is freed by
-    # the ContextCleaner when the plan goes out of scope.
+    # sig_tbl lookups; a bare repartition does not cache, so without
+    # materialization the Arrow UDF can run twice per document. localCheckpoint
+    # (not .persist()) guarantees single execution AND cleanup: persist()
+    # registers the plan in the session CacheManager, which holds a strong
+    # reference until an explicit unpersist that a lazy-returning function
+    # cannot issue; checkpoint blocks are freed by the ContextCleaner when
+    # the plan is GC'd (same pattern as connected_components below). Stored
+    # volume is (id, 512-byte sig) per doc — tiny vs the documents.
     mh = minhash_signature_vec(num_hashes, seed)
     sigs = (
         df.select(F.col(id_col), mh(shingle_hashes(sh)).alias("_sig"))
         .repartition(id_col)
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     band_structs = F.transform(

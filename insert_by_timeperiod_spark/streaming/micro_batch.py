@@ -38,12 +38,15 @@ from __future__ import annotations
 
 import json
 import datetime as dt
+import logging
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..config import IBTPConfig
 from ..table import ParquetTable
+
+log = logging.getLogger(__name__)
 
 STREAM_META = "_ibtp_stream.json"
 
@@ -86,6 +89,17 @@ class StreamToPeriodTable:
         # partitions appended to since the last compaction (in-memory only:
         # a restart skipping one compaction cycle is harmless maintenance lag)
         self._touched_since_compact: set[dt.date] = set()
+        # A compaction (or any rewrite) that crashed between its two renames
+        # left the partition only in trash. Restore it BEFORE any micro-batch
+        # recreates the partition dir with just its own files — once the dir
+        # exists again, recovery would conclude the swap completed and the
+        # pre-crash rows would be lost.
+        if self.table.exists():
+            restored = self.table.recover_orphans()
+            if restored:
+                log.warning(
+                    "restored %d orphaned partition(s) from trash", restored
+                )
 
     # ---- batch-id replay protection -------------------------------------
 
@@ -143,9 +157,15 @@ class StreamToPeriodTable:
                         self._fs.rename(
                             f"{stage}/{part}/{f}", f"{dst_dir}/b{batch_id}-{f}"
                         )
-                self._touched_since_compact.add(
-                    dt.date.fromisoformat(part.split("=", 1)[1])
-                )
+                # non-date dir names (NULL timestamps land in
+                # __HIVE_DEFAULT_PARTITION__) must not fail the commit —
+                # they just don't participate in date-targeted compaction
+                try:
+                    self._touched_since_compact.add(
+                        dt.date.fromisoformat(part.split("=", 1)[1])
+                    )
+                except ValueError:
+                    pass
         finally:
             self._fs.delete(stage)
         self._record_batch_id(batch_id)

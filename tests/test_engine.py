@@ -350,3 +350,35 @@ def test_periods_per_commit_resume(spark, views, duck, tmp_path):
     assert_df_matches_duck(
         eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
     )
+
+
+def test_keyed_upsert_batched_keeps_null_key_rows(spark, views, tmp_path):
+    """Sequential keyed upserts never match NULL = NULL, so NULL-key rows
+    from EVERY period survive; the batched dedupe must preserve that."""
+    model = """
+    SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_id,
+           MIN(CAST(ts AS DATE))  AS event_date,
+           COUNT(*)               AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY 1
+    """
+    seq = InsertByTimeperiod(
+        spark, model, cfg(unique_key="user_id", period="week"), str(tmp_path / "nseq")
+    )
+    seq.run()
+    bat = InsertByTimeperiod(
+        spark,
+        model,
+        cfg(unique_key="user_id", period="week", periods_per_commit=3),
+        str(tmp_path / "nbat"),
+    )
+    bat.run()
+    from collections import Counter
+
+    a = Counter(tuple(r) for r in seq.table.read().collect())
+    b = Counter(tuple(r) for r in bat.table.read().collect())
+    assert a == b
+    # NULL-key rows from multiple weeks are present (not just the last)
+    nulls = [r for r in a if r[0] is None]
+    assert len(nulls) > 1

@@ -187,3 +187,42 @@ def test_compact_every_n_batches_bounds_file_count(spark, events_src):
     for b in range(6):
         sink2.foreach_batch(src.where(F.col("event_id") % 6 == b), b)
     assert max(sink2.table.partition_file_counts().values()) >= 6
+
+
+def test_stream_restart_recovers_trashed_partition(spark, events_src):
+    """A rewrite (e.g. compaction) that crashed between its two renames left
+    a partition only in trash. A NEW sink instance must restore it BEFORE
+    any micro-batch recreates the dir — otherwise the pre-crash rows are
+    permanently lost when later recovery sees the dir exists again."""
+    root = tempfile.mkdtemp(prefix="ibtp_trashrec_")
+    tgt = os.path.join(root, "t")
+    cfg = IBTPConfig(timestamp_field="ts", period="day")
+    sink = StreamToPeriodTable(spark, cfg, tgt)
+    src = spark.read.parquet(events_src).select("event_id", "user_id", "ts", "value")
+    sink.foreach_batch(src, 0)
+    n = sink.table.read().count()
+    # simulate the crash window: one partition renamed to trash, swap not done
+    pcol = sink.table.partition_col
+    d = sorted(sink.table.partition_dates())[0]
+    part = f"{pcol}={d.isoformat()}"
+    sink._fs.rename(f"{tgt}/{part}", f"{tgt}/.ibtp_trash_{part}_deadbeef")
+    # restart: constructing the sink must restore the partition from trash
+    sink2 = StreamToPeriodTable(spark, cfg, tgt)
+    assert sink2.table.read().count() == n
+
+
+def test_null_timestamp_rows_do_not_wedge_the_stream(spark, events_src):
+    """NULL timestamps land in __HIVE_DEFAULT_PARTITION__; the commit (and
+    the compaction tracking) must not crash on the non-date dir name."""
+    root = tempfile.mkdtemp(prefix="ibtp_nullts_")
+    cfg = IBTPConfig(timestamp_field="ts", period="day")
+    sink = StreamToPeriodTable(
+        spark, cfg, os.path.join(root, "t"), compact_every_n_batches=1
+    )
+    src = spark.read.parquet(events_src).select("event_id", "user_id", "ts", "value")
+    batch = src.limit(50).withColumn(
+        "ts", F.when(F.col("event_id") % 2 == 0, F.col("ts"))
+    )
+    sink.foreach_batch(batch, 0)  # must not raise
+    assert sink._last_batch_id() == 0
+    assert sink.table.read().count() == 50

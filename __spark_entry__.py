@@ -244,9 +244,13 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # periods_per_commit=16: at sf0.1 a day-chunk is ~100× below the
     # reference's 6M-60M-row sweet spot, so sixteen periods share one job /
     # one commit (31 days -> 2 commit cycles) — identical results (tests
-    # prove it on windowed models), restart redoes ≤ 16 periods
+    # prove it on windowed models), restart redoes ≤ 16 periods.
+    # MODEL_DAILY groups by (user, day), so it is period-additive: each
+    # batch compiles ONE widened plan instead of a 16-way union
+    # (golden-tested equal; window-function models must not set this).
     "engine_daily_full_build": _engine(
-        MODEL_DAILY, [RunVars()], "daily", period="day", periods_per_commit=16
+        MODEL_DAILY, [RunVars()], "daily", period="day", periods_per_commit=16,
+        period_additive_model=True,
     ),
     # A8: interrupt after 10 days, resume — must equal an uninterrupted run
     "engine_resume": _engine(

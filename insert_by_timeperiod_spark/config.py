@@ -94,6 +94,18 @@ class IBTPConfig:
                              per-period COMMIT is N=1. Raise it when periods
                              are far below the 6M-60M-row chunk sweet spot
                              (/root/reference/README.md:104).
+    period_additive_model    declare that the model's output over [a, c) ==
+                             union of its outputs over [a, b) and [b, c) —
+                             true for per-row transforms and for aggregations
+                             grouped by (something containing) the period
+                             date; FALSE for window functions or cross-row
+                             aggregates spanning the filter window. When set,
+                             a periods_per_commit batch compiles ONE plan
+                             with widened bounds instead of an N-way union
+                             of per-period plans: N× fewer plans to
+                             optimize/codegen and one scan instead of N.
+                             Results identical by the declared property
+                             (golden-tested); leave False when unsure.
     """
 
     timestamp_field: str
@@ -107,6 +119,7 @@ class IBTPConfig:
     on_schema_change: OnSchemaChange = OnSchemaChange.IGNORE
     upsert_probe_window: int | None = None
     periods_per_commit: int = 1
+    period_additive_model: bool = False
 
     def __post_init__(self) -> None:
         if self.periods_per_commit < 1:

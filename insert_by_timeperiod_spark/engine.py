@@ -359,7 +359,15 @@ class InsertByTimeperiod:
             # each period's SQL runs with its OWN injected literals — the
             # union preserves per-period model semantics (windows, per-period
             # aggregates) exactly; only the job/commit granularity widens
-            dfs = [self._align_to_target(self._period_df(p)) for p in batch]
+            if self.config.period_additive_model and len(batch) > 1 and not keyed:
+                # declared-additive model: one widened plan replaces the
+                # N-way union — N× fewer plans to optimize/codegen, one scan.
+                # Identical output by the declared additivity (golden-tested
+                # against the per-period union in tests/test_engine.py).
+                span = Period(batch[0].start, batch[-1].end)
+                dfs = [self._align_to_target(self._period_df(span))]
+            else:
+                dfs = [self._align_to_target(self._period_df(p)) for p in batch]
             if keyed and len(batch) > 1:
                 # Sequential equivalence for a BATCHED keyed upsert: running
                 # periods one at a time, period i+1's delete+insert supersedes

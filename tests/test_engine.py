@@ -160,6 +160,25 @@ def test_unique_key_upsert_dedups(spark, views, duck, tmp_path):
     assert_df_matches_duck(out, duck, duck_sql, float_digits=4)
 
 
+def test_period_additive_batching_equals_union(spark, views, duck, tmp_path):
+    """period_additive_model=True compiles one widened plan per batch; the
+    result must equal the per-period-union batching AND the unchunked
+    oracle."""
+    a = build(
+        spark, tmp_path, cfg(periods_per_commit=8, period_additive_model=True),
+        name="addit",
+    )
+    a.run()
+    b = build(spark, tmp_path, cfg(periods_per_commit=8), name="union8")
+    b.run()
+    assert {tuple(r) for r in a.table.read().collect()} == {
+        tuple(r) for r in b.table.read().collect()
+    }
+    assert_df_matches_duck(
+        a.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )
+
+
 def test_keyed_upsert_batched_equals_sequential(spark, views, tmp_path):
     """periods_per_commit > 1 on the keyed path must equal the per-period
     sequential result (the batch dedupe keeps each key's rows from the latest

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--upsert-probe-window", type=int, default=None, metavar="DAYS")
     p.add_argument("--periods-per-commit", type=int, default=1, metavar="N",
                    help="batch N periods per job/commit (restart redoes <= N periods)")
+    p.add_argument("--period-additive-model", action="store_true",
+                   help="declare the model period-additive: a batch compiles one "
+                        "widened plan instead of an N-way union (NOT for "
+                        "window-function models)")
     p.add_argument("--date-source-model", action="append", default=[],
                    help="table whose MIN/MAX timestamp clamps the window (repeatable)")
     p.add_argument("--source-timestamp-field", default=None)
@@ -83,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         on_schema_change=args.on_schema_change,
         upsert_probe_window=args.upsert_probe_window,
         periods_per_commit=args.periods_per_commit,
+        period_additive_model=args.period_additive_model,
         date_source_models=args.date_source_model,
         source_timestamp_field=args.source_timestamp_field,
     )

@@ -401,3 +401,31 @@ def test_keyed_upsert_batched_keeps_null_key_rows(spark, views, tmp_path):
     # NULL-key rows from multiple weeks are present (not just the last)
     nulls = [r for r in a if r[0] is None]
     assert len(nulls) > 1
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 51])
+def test_randomized_config_matches_oracle(spark, views, duck, tmp_path, seed):
+    """Randomized sweep over the config space: any (period, ppc, additive,
+    window, interrupt point) combination must equal the unchunked oracle."""
+    import random
+
+    rng = random.Random(seed)
+    period = rng.choice(["day", "week", "month"])
+    ppc = rng.choice([1, 2, 5])
+    additive = rng.choice([False, True])
+    start = dt.date(2024, 1, 1) + dt.timedelta(days=rng.randint(0, 6))
+    stop = start + dt.timedelta(days=rng.randint(10, 28))
+    config = cfg(
+        period=period, periods_per_commit=ppc, period_additive_model=additive,
+        start_date=start.isoformat(), stop_date=stop.isoformat(),
+    )
+    eng = build(spark, tmp_path, config, name=f"rnd{seed}")
+    if rng.random() < 0.5:
+        mid = start + dt.timedelta(days=rng.randint(3, 8))
+        eng.run(RunVars(stop_date=mid.isoformat()))  # interrupted
+    eng.run()
+    assert_df_matches_duck(
+        eng.table.read(), duck,
+        ORACLE.format(start=start.isoformat(), stop=stop.isoformat()),
+        float_digits=4,
+    )

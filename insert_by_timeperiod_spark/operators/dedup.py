@@ -220,26 +220,39 @@ def minhash_lsh_pairs(
         sigs = raw_sigs.persist()
         _SIGS_CACHE.append(sigs)
 
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
+    # Banding with BUILT-INS only: cast the signature to array<string> once
+    # (a native Cast, codegen'd), explode the band index, then hash the
+    # band's slice. The previous shape — transform(sequence, lambda) with a
+    # nested transform(cast) — ran INTERPRETED per row (higher-order-function
+    # lambdas never enter whole-stage codegen) and its generated tree paid
+    # seconds of per-session compile. Bucket values are identical: slicing a
+    # string-cast array equals casting a sliced long array element-wise.
+    # Band rows carry ONLY (id, band, bucket): the banding shuffle moves
+    # `bands` tiny rows per doc, never signature or shingle arrays.
+    banded = (
+        sigs.select(
+            F.col(id_col), F.col("_sig").cast("array<string>").alias("_s")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            F.col("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("band").cast("int").alias("band"),
             F.xxhash64(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
+                    F.slice(
+                        F.col("_s"),
+                        (F.col("band") * rows_per_band + 1).cast("int"),
+                        rows_per_band,
                     ),
                 )
             ).alias("bucket"),
-        ),
+        )
     )
-    # band rows carry ONLY (id, band, bucket): the banding shuffle moves
-    # `bands` tiny rows per doc, never shingle arrays
-    banded = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
         # skew guard: the size aggregation shuffles on the same (band, bucket)

@@ -109,9 +109,12 @@ def lang_id(col: Column) -> Column:
         )
     )
     langs = F.array(*[F.lit(k) for k in LANG_MARKERS])
-    return F.when(best["s"] <= 0, F.lit("und")).otherwise(
-        F.element_at(langs, (-best["ni"]).cast("int") + 1)
-    )
+    # NULL text: every score is NULL, best["s"] <= 0 is NULL (falsy in WHEN),
+    # and the otherwise-branch would misreport 'en' — guard explicitly so
+    # NULL stays 'und' like the CASE-chain form and the DuckDB oracle
+    return F.when(
+        col.isNull() | (best["s"] <= 0), F.lit("und")
+    ).otherwise(F.element_at(langs, (-best["ni"]).cast("int") + 1))
 
 
 def quality_score(col: Column) -> Column:

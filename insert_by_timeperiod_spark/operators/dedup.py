@@ -205,20 +205,20 @@ def minhash_lsh_pairs(
     raw_sigs = df.select(
         F.col(id_col), mh(shingle_hashes(sh)).alias("_sig")
     ).repartition(id_col)
-    if _SIGS_CACHE and _SIGS_CACHE[0].sameSemantics(raw_sigs):
-        # repeat call over the same corpus: reuse the cached signatures
-        # outright (the expensive UDF + shuffle are skipped entirely)
-        sigs = _SIGS_CACHE[0]
-    else:
-        # evict BEFORE persisting: CacheManager matches entries by analyzed
-        # plan, so an unpersist after the new persist could evict both
-        while _SIGS_CACHE:
-            try:
-                _SIGS_CACHE.pop().unpersist(blocking=False)
-            except Exception:
-                pass
-        sigs = raw_sigs.persist()
-        _SIGS_CACHE.append(sigs)
+    # Evict the previous call's cache BEFORE persisting (CacheManager
+    # matches entries by analyzed plan, so an unpersist after the new
+    # persist could evict both), keeping at most one signature cache alive
+    # per session. No cross-call result reuse: a plan-identical repeat call
+    # may sit over CHANGED source data, and serving the old materialization
+    # would silently miss new documents' duplicates — every call computes
+    # fresh signatures; persistent reuse is the caller's decision.
+    while _SIGS_CACHE:
+        try:
+            _SIGS_CACHE.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    sigs = raw_sigs.persist()
+    _SIGS_CACHE.append(sigs)
 
     # Banding with BUILT-INS only: cast the signature to array<string> once
     # (a native Cast, codegen'd), explode the band index, then hash the

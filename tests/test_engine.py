@@ -171,9 +171,15 @@ def test_period_additive_batching_equals_union(spark, views, duck, tmp_path):
     a.run()
     b = build(spark, tmp_path, cfg(periods_per_commit=8), name="union8")
     b.run()
-    assert {tuple(r) for r in a.table.read().collect()} == {
-        tuple(r) for r in b.table.read().collect()
-    }
+    # round the float aggregate: the widened scan and the 8-way union can
+    # merge partial sums in different orders (last-ulp differences)
+    def rows(t):
+        return sorted(
+            (r.user_id, r.event_date, r.n, round(r.total, 4))
+            for r in t.read().collect()
+        )
+
+    assert rows(a.table) == rows(b.table)
     assert_df_matches_duck(
         a.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
     )

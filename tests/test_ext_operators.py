@@ -182,11 +182,13 @@ def test_lang_id_heuristic(spark):
         (3, "el perro y el gato es bonito y los arboles son altos"),
         (4, "der hund und die katze ist schoen und das haus ist gross"),
         (5, "xyzzy plugh"),
+        (6, None),  # NULL text must be 'und', never a real language
+        (7, ""),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {r.id: r.lang for r in df.select("id", TX.lang_id(F.col("text")).alias("lang")).collect()}
     assert out[1] == "en" and out[2] == "fr" and out[3] == "es" and out[4] == "de"
-    assert out[5] == "und"
+    assert out[5] == "und" and out[6] == "und" and out[7] == "und"
 
 
 def test_fingerprint_stable_under_small_edit(spark):

@@ -498,6 +498,15 @@ class InsertByTimeperiod:
             if obs is not None:
                 rows = df.count()  # also triggers the observation on the cache fill
 
+            if not self.table.partition_dates():
+                # fresh target: no prior rows exist, so the key probe and the
+                # survivor anti-join are provably empty — write the batch
+                # directly (one job instead of three). The very first upsert
+                # batch of every build takes this path.
+                dates = sorted(d.start for d in period_grid(p.start, p.end, "day"))
+                self.table.rewrite_partitions(df, dates)
+                return rows
+
             target = self._probe_target(p)
             keys = df.select(key).distinct()
             affected = {

@@ -501,10 +501,10 @@ class InsertByTimeperiod:
             if not self.table.partition_dates():
                 # fresh target: no prior rows exist, so the key probe and the
                 # survivor anti-join are provably empty — write the batch
-                # directly (one job instead of three). The very first upsert
-                # batch of every build takes this path.
-                dates = sorted(d.start for d in period_grid(p.start, p.end, "day"))
-                self.table.rewrite_partitions(df, dates)
+                # directly, swapping every staged partition (one job instead
+                # of three; dates=None keeps rows whose partition date falls
+                # outside the batch span, matching the reference's INSERT).
+                self.table.rewrite_partitions(df, None)
                 return rows
 
             target = self._probe_target(p)
@@ -516,8 +516,20 @@ class InsertByTimeperiod:
                 .distinct()
                 .collect()
             }
-            # the rewrite set: partitions with key matches + the period's own dates
-            dates = sorted(affected | {d.start for d in period_grid(p.start, p.end, "day")})
+            # the batch's own output dates: normally within the span, but a
+            # model may compute dates outside it — the reference INSERTs
+            # every model row, so those partitions join the rewrite set
+            # rather than being silently dropped by the swap loop (df is
+            # persisted; this is a scan of the cache)
+            df_dates = {
+                r[0] for r in df.select(pcol).distinct().collect() if r[0] is not None
+            }
+            # rewrite set: key-matched partitions + span days + output dates
+            dates = sorted(
+                affected
+                | df_dates
+                | {d.start for d in period_grid(p.start, p.end, "day")}
+            )
             survivors = target.where(F.col(pcol).isin([d for d in dates])).join(
                 keys, key, "left_anti"
             )

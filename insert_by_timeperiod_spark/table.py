@@ -208,10 +208,13 @@ class ParquetTable:
         self.delete_date_range(start, end)
         self.append(df)
 
-    def rewrite_partitions(self, df: DataFrame, dates: list[dt.date]) -> None:
+    def rewrite_partitions(self, df: DataFrame, dates: list[dt.date] | None) -> None:
         """Crash-safer partition rewrite: materialize ``df`` (the full new
         content of ``dates``) to a durable staging directory FIRST, then swap
         each partition directory into place via metadata renames.
+        ``dates=None`` swaps every partition present in the staged output
+        (for callers that can't cheaply enumerate the dates up front, e.g.
+        the fresh-target upsert fast path).
 
         This is the parquet analogue of the reference's transactional
         DELETE+INSERT (/root/reference/macros/insert_by_timeperiod_loop.sql:100-114):
@@ -224,8 +227,12 @@ class ParquetTable:
         stage = self.path + f"__ibtp_stage_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(pcol).parquet(stage)
         try:
-            for d in dates:
-                part = f"{pcol}={d.isoformat()}"
+            parts = (
+                [f"{pcol}={d.isoformat()}" for d in dates]
+                if dates is not None
+                else [p for p in self.fs.listdir(stage) if p.startswith(f"{pcol}=")]
+            )
+            for part in parts:
                 src = f"{stage}/{part}"
                 dst = f"{self.path}/{part}"
                 trash = f"{self.path}/.ibtp_trash_{part}_{uuid.uuid4().hex[:8]}"

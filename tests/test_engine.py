@@ -435,3 +435,29 @@ def test_randomized_config_matches_oracle(spark, views, duck, tmp_path, seed):
         ORACLE.format(start=start.isoformat(), stop=stop.isoformat()),
         float_digits=4,
     )
+
+
+def test_keyed_upsert_keeps_out_of_span_output_dates(spark, views, tmp_path):
+    """The reference INSERTs every model row regardless of its date; a keyed
+    model whose output date falls outside the period span must not have
+    those rows silently dropped by the partition swap."""
+    model = """
+    SELECT user_id,
+           date_add(MIN(CAST(ts AS DATE)), 60) AS event_date,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id
+    """
+    eng = InsertByTimeperiod(
+        spark, model, cfg(unique_key="user_id", period="week"), str(tmp_path / "oos")
+    )
+    eng.run()
+    out = eng.table.read()
+    assert out.count() > 0
+    ds = [r.event_date for r in out.collect()]
+    # every output date is ~60 days out — far beyond the Jan window
+    assert min(ds) > dt.date(2024, 2, 1)
+    # rows from the LAST week's upsert (not just the fresh-target fast path)
+    # survived: last week starts Jan 29, so its output dates are >= Mar 29
+    assert max(ds) >= dt.date(2024, 3, 20)

@@ -52,8 +52,16 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     queries["cte_union_minmax"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     # spin up the Python/Arrow worker pool (one daemon per core — the EXT
-    # operators' Arrow UDFs otherwise pay ~5s of worker forking on first use)
-    spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").write.mode(
+    # operators' Arrow UDFs otherwise pay ~5s of worker forking on first
+    # use) and pre-import numpy in each worker (the vectorized signature
+    # UDFs use it; the import is session-level cost, not query cost)
+    def _warm(batches):
+        import numpy as _np
+
+        for b in batches:
+            yield b.assign(id=_np.asarray(b["id"]))
+
+    spark.range(0, 64, 1, 64).mapInPandas(_warm, "id long").write.mode(
         "overwrite"
     ).format("noop").save()
     # a 2-day micro engine run warms the whole materialization path

@@ -52,6 +52,10 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # Spark 4 infers parquet isAdjustedToUTC=false timestamps as NTZ,
+        # which breaks unix_micros(); load_table also casts NTZ away, this
+        # conf just keeps ad-hoc reads consistent
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
     ):
         try:
@@ -1191,7 +1195,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # Dict order = driver execution order. The multimodal / ANN entries lead:
+    # rounds 3-4 showed the driver caps/timeouts at ~50 recorded rows, and
+    # these five were the ones repeatedly truncated — the engine rows they
+    # displace are cheap, long-stable, and safe to lose to a truncation.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "multimodal_meta": _multimodal_meta,
+        "multimodal_pixels": _multimodal_pixels,
+        "multimodal_features": _multimodal_features,
+        "sim_ann_topk": _sim_ann,
+        "sim_ivf_topk": _sim_ivf,
+    }
     q.update(ENGINE_QUERIES)
     q.update(
         {
@@ -1244,12 +1258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # EXT: similarity
             "sim_bruteforce_topk": _sim_bruteforce,
             "sim_cosine_dupes": _sim_dupes,
-            "sim_ann_topk": _sim_ann,
-            "sim_ivf_topk": _sim_ivf,
-            # EXT: multimodal
-            "multimodal_meta": _multimodal_meta,
-            "multimodal_features": _multimodal_features,
-            "multimodal_pixels": _multimodal_pixels,
         }
     )
     return q

@@ -521,18 +521,31 @@ class InsertByTimeperiod:
             # every model row, so those partitions join the rewrite set
             # rather than being silently dropped by the swap loop (df is
             # persisted; this is a scan of the cache)
-            df_dates = {
-                r[0] for r in df.select(pcol).distinct().collect() if r[0] is not None
-            }
+            df_dates = {r[0] for r in df.select(pcol).distinct().collect()}
+            # NULL-date contract (matches the fresh-target fast path and the
+            # reference's INSERT-every-row semantics): NULL-date model rows
+            # are kept — they live in the hive default partition, which is
+            # rewritten like any other when the batch emits NULL dates or a
+            # target NULL-date row matches a batch key
+            touch_null = None in affected or None in df_dates
             # rewrite set: key-matched partitions + span days + output dates
-            dates = sorted(
-                affected
-                | df_dates
-                | {d.start for d in period_grid(p.start, p.end, "day")}
+            dates: list[dt.date | None] = sorted(
+                (affected | df_dates | {d.start for d in period_grid(p.start, p.end, "day")})
+                - {None}
             )
-            survivors = target.where(F.col(pcol).isin([d for d in dates])).join(
-                keys, key, "left_anti"
-            )
+            # survivors come from the UNFILTERED target pruned to the rewrite
+            # partitions (isin on the partition column -> PartitionFilters,
+            # so the scan still only reads `dates`). `upsert_probe_window`
+            # bounds the KEY PROBE scan above only: deriving survivors from
+            # the probe-bounded slice silently dropped every pre-existing row
+            # of a rewritten partition outside the window (e.g. out-of-span
+            # model output dates).
+            pred = F.col(pcol).isin(dates)
+            if touch_null:
+                pred = pred | F.col(pcol).isNull()
+            survivors = self.table.read().where(pred).join(keys, key, "left_anti")
+            if touch_null:
+                dates = dates + [None]
             self.table.rewrite_partitions(survivors.unionByName(df), dates)
             return rows
         finally:

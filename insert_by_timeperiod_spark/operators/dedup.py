@@ -25,6 +25,7 @@ Every operator here is designed scale-first:
 from __future__ import annotations
 
 import logging
+import threading
 
 import numpy as np
 import pandas as pd
@@ -156,8 +157,14 @@ def add_minhash(
     return df.withColumn("minhash", mh(shingle_hashes(sh)))
 
 
-#: most-recent-only registry for the persisted signature table (see below)
+#: most-recent-only registry for the persisted signature table (see below);
+#: guarded by _SIGS_LOCK — concurrent minhash_lsh_pairs calls from different
+#: driver threads must not evict each other's cache mid-persist (the loser
+#: would silently double-run the Arrow signature UDF). The lock serializes
+#: only the evict+persist handoff, not the job itself; the LAST call's cache
+#: wins, earlier concurrent calls still compute correctly (uncached).
 _SIGS_CACHE: list[DataFrame] = []
+_SIGS_LOCK = threading.Lock()
 
 
 def minhash_lsh_pairs(
@@ -212,13 +219,14 @@ def minhash_lsh_pairs(
     # may sit over CHANGED source data, and serving the old materialization
     # would silently miss new documents' duplicates — every call computes
     # fresh signatures; persistent reuse is the caller's decision.
-    while _SIGS_CACHE:
-        try:
-            _SIGS_CACHE.pop().unpersist(blocking=False)
-        except Exception:
-            pass
-    sigs = raw_sigs.persist()
-    _SIGS_CACHE.append(sigs)
+    with _SIGS_LOCK:
+        while _SIGS_CACHE:
+            try:
+                _SIGS_CACHE.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+        sigs = raw_sigs.persist()
+        _SIGS_CACHE.append(sigs)
 
     # Banding with BUILT-INS only: cast the signature to array<string> once
     # (a native Cast, codegen'd), explode the band index, then hash the

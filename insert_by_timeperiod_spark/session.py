@@ -26,6 +26,15 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # fixtures carry INT64 TIMESTAMP(NANOS); read as long + convert (sources.py)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Engine-wide timestamp contract (SURVEY.md §1.2): engine-facing event-time
+    # columns are TIMESTAMP (instant semantics, UTC session TZ) — never
+    # TIMESTAMP_NTZ. Spark 4 infers parquet isAdjustedToUTC=false timestamps
+    # as NTZ by default, which breaks unix_micros()/epoch arithmetic and the
+    # DuckDB-oracle comparison; disable the inference so parquet reads come
+    # back as TIMESTAMP. sources.load_table additionally casts any NTZ column
+    # at the boundary, so the contract holds even on sessions without this
+    # conf (e.g. a caller-supplied session).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # period redo overwrites only the touched date partitions
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # don't let tiny fixture files explode into per-file tasks
@@ -34,11 +43,24 @@ ENGINE_CONFS: dict[str, str] = {
     # sides (measured 2.3x on the q3 join at 60M rows). Safe here because (a)
     # Spark builds the hash map on the SMALLER side, (b) AQE's advisory
     # partition sizing (64MB default) bounds the per-task build, and (c)
-    # AQE's skew-join splitting applies to shuffled-hash joins too. On a
-    # cluster with very large skewed builds, flip this back to let SMJ's
-    # spill-everywhere behavior win.
+    # AQE's skew-join splitting applies to shuffled-hash joins too. SPILL
+    # RISK on clusters with very large skewed build sides (shuffled-hash
+    # builds an in-memory map per task; SMJ spills everywhere) — overridable
+    # without code changes: env SPARK_GRAFT_PREFER_SMJ=true, or pass
+    # get_spark(extra_conf={"spark.sql.join.preferSortMergeJoin": "true"})
+    # (extra_conf is applied last and wins).
     "spark.sql.join.preferSortMergeJoin": "false",
 }
+
+
+def resolved_confs() -> dict[str, str]:
+    """ENGINE_CONFS with environment overrides applied. Current knobs:
+    ``SPARK_GRAFT_PREFER_SMJ=true`` flips the shuffled-hash-join default back
+    to sort-merge (the spill-safe choice for skewed clusters)."""
+    confs = dict(ENGINE_CONFS)
+    if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "").lower() in ("1", "true"):
+        confs["spark.sql.join.preferSortMergeJoin"] = "true"
+    return confs
 
 
 def get_spark(
@@ -50,7 +72,7 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     builder = SparkSession.builder.master(master).appName(app_name)
-    for k, v in ENGINE_CONFS.items():
+    for k, v in resolved_confs().items():
         builder = builder.config(k, v)
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)

@@ -32,6 +32,27 @@ TABLES = (
 )
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Engine-wide timestamp contract (SURVEY.md §1.2): engine-facing
+    event-time columns are TIMESTAMP (instant semantics, interpreted in the
+    UTC session timezone); TIMESTAMP_NTZ inputs are cast at the source
+    boundary. Spark 4 infers parquet ``isAdjustedToUTC=false`` timestamps as
+    NTZ by default (``spark.sql.parquet.inferTimestampNTZ.enabled``), and NTZ
+    breaks ``unix_micros()`` / epoch arithmetic and the DuckDB-oracle
+    comparison. Under a UTC session the cast is value-preserving (the wall
+    clock is reinterpreted as the same UTC instant). Top-level columns only:
+    the engine's time semantics (period filters, partition derivation) only
+    ever touch top-level fields."""
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
@@ -40,7 +61,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ±1 µs — `div` stays in long arithmetic (floor; fixtures are
         # post-epoch/positive), matching DuckDB's epoch_us() truncation
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

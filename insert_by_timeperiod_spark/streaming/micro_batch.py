@@ -135,7 +135,10 @@ class StreamToPeriodTable:
             return  # fast path: clean replay of a recorded batch
         if self.transform is not None:
             batch_df = self.transform(batch_df)
-        batch_df, pcol = self._partitioned(batch_df)
+        from ..sources import normalize_ntz
+
+        # timestamp contract: never persist TIMESTAMP_NTZ (SURVEY.md §1.2)
+        batch_df, pcol = self._partitioned(normalize_ntz(batch_df))
         if not self.table.exists():
             self.table.create_empty(batch_df.schema, pcol)
 

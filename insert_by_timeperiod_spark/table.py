@@ -44,8 +44,24 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .fs import HadoopFS
+from .sources import normalize_ntz
 
 META_FILE = "_ibtp_meta.json"
+
+
+def _schema_without_ntz(schema: T.StructType) -> T.StructType:
+    """Timestamp contract (SURVEY.md §1.2): the table never stores
+    TIMESTAMP_NTZ — NTZ fields are recorded (and written) as TIMESTAMP so
+    epoch arithmetic (``unix_micros`` etc.) works on every read, regardless
+    of the reading session's parquet-inference confs."""
+    return T.StructType(
+        [
+            T.StructField(f.name, T.TimestampType(), f.nullable, f.metadata)
+            if isinstance(f.dataType, T.TimestampNTZType)
+            else f
+            for f in schema.fields
+        ]
+    )
 
 
 class ParquetTable:
@@ -77,7 +93,7 @@ class ParquetTable:
             self._meta_path,
             json.dumps(
                 {
-                    "schema": schema.json(),
+                    "schema": _schema_without_ntz(schema).json(),
                     "partition_col": partition_col,
                     "watermark": watermark,
                 }
@@ -124,10 +140,14 @@ class ParquetTable:
         """Read with the authoritative sidecar schema: empty tables return an
         empty DataFrame, files predating an added column return NULLs."""
         meta = self._read_meta()
-        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        # legacy sidecars (written before the no-NTZ contract) may carry NTZ;
+        # normalize the declared schema and the resulting frame
+        schema = _schema_without_ntz(
+            T.StructType.fromJson(json.loads(meta["schema"]))
+        )
         if not self._data_files_exist():
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(self.path)
+        return normalize_ntz(self.spark.read.schema(schema).parquet(self.path))
 
     def _data_files_exist(self) -> bool:
         return self.fs.contains_file_with_suffix(self.path, ".parquet")
@@ -189,7 +209,7 @@ class ParquetTable:
 
     def _append(self, df: DataFrame, partition_col: str) -> None:
         (
-            df.write.mode("append")
+            normalize_ntz(df).write.mode("append")
             .partitionBy(partition_col)
             .parquet(self.path)
         )
@@ -208,13 +228,16 @@ class ParquetTable:
         self.delete_date_range(start, end)
         self.append(df)
 
-    def rewrite_partitions(self, df: DataFrame, dates: list[dt.date] | None) -> None:
+    def rewrite_partitions(
+        self, df: DataFrame, dates: list[dt.date | None] | None
+    ) -> None:
         """Crash-safer partition rewrite: materialize ``df`` (the full new
         content of ``dates``) to a durable staging directory FIRST, then swap
         each partition directory into place via metadata renames.
         ``dates=None`` swaps every partition present in the staged output
         (for callers that can't cheaply enumerate the dates up front, e.g.
-        the fresh-target upsert fast path).
+        the fresh-target upsert fast path). A ``None`` entry IN the list
+        targets the hive default partition (NULL partition dates).
 
         This is the parquet analogue of the reference's transactional
         DELETE+INSERT (/root/reference/macros/insert_by_timeperiod_loop.sql:100-114):
@@ -225,10 +248,13 @@ class ParquetTable:
         self.recover_orphans()
         pcol = self.partition_col
         stage = self.path + f"__ibtp_stage_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").partitionBy(pcol).parquet(stage)
+        normalize_ntz(df).write.mode("overwrite").partitionBy(pcol).parquet(stage)
         try:
             parts = (
-                [f"{pcol}={d.isoformat()}" for d in dates]
+                [
+                    f"{pcol}={d.isoformat() if d is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                    for d in dates
+                ]
                 if dates is not None
                 else [p for p in self.fs.listdir(stage) if p.startswith(f"{pcol}=")]
             )

@@ -461,3 +461,66 @@ def test_keyed_upsert_keeps_out_of_span_output_dates(spark, views, tmp_path):
     # rows from the LAST week's upsert (not just the fresh-target fast path)
     # survived: last week starts Jan 29, so its output dates are >= Mar 29
     assert max(ds) >= dt.date(2024, 3, 20)
+
+
+def test_probe_window_with_out_of_span_dates_keeps_prior_rows(spark, views, tmp_path):
+    """Data-loss regression (round-4 ADVICE high): with `upsert_probe_window`
+    set, a partition rewritten because the batch emits out-of-span dates lies
+    OUTSIDE the probe window — survivors must still come from the full
+    target, or every pre-existing row of that partition is silently lost."""
+    # per-week-unique key, all output lands in ONE fixed far-future partition
+    model = """
+    SELECT user_id * 100 + CAST(floor(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7) AS BIGINT) AS k,
+           DATE '2024-06-01' AS event_date,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY 1
+    """
+    eng = InsertByTimeperiod(
+        spark,
+        model,
+        cfg(
+            unique_key="k",
+            period="week",
+            stop_date="2024-01-15",
+            upsert_probe_window=7,
+        ),
+        str(tmp_path / "pw_oos"),
+    )
+    eng.run()
+    out = eng.table.read().collect()
+    weeks = {r.k % 100 for r in out}
+    # keys from BOTH weeks survive: week 2's steady-state rewrite of the
+    # 2024-06-01 partition must not drop week 1's rows
+    assert weeks == {0, 1}
+    assert len(out) == len({r.k for r in out})  # keys unique
+
+
+def test_keyed_upsert_null_partition_dates_kept_in_steady_state(spark, views, tmp_path):
+    """NULL-partition-date contract: NULL-date model rows are KEPT (the
+    reference INSERTs every row) — by the fresh-target fast path AND by the
+    steady-state rewrite, which targets the hive default partition."""
+    model = """
+    SELECT user_id * 100 + CAST(floor(datediff(MIN(CAST(ts AS DATE)), DATE '2024-01-01') / 7) AS BIGINT) AS k,
+           CASE WHEN user_id % 5 = 0 THEN CAST(NULL AS DATE)
+                ELSE MIN(CAST(ts AS DATE)) END AS event_date,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id
+    """
+    eng = InsertByTimeperiod(
+        spark,
+        model,
+        cfg(unique_key="k", period="week", stop_date="2024-01-15"),
+        str(tmp_path / "nulldate"),
+    )
+    eng.run()
+    out = eng.table.read().collect()
+    null_rows = [r for r in out if r.event_date is None]
+    weeks_of_null = {r.k % 100 for r in null_rows}
+    # NULL-date rows from BOTH weeks survive (week 2 runs the steady-state
+    # path — previously its NULL-date rows were staged then discarded)
+    assert weeks_of_null == {0, 1}
+    assert len(out) == len({r.k for r in out})

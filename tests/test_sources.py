@@ -43,6 +43,90 @@ def test_rejects_unknown_format(spark):
         read_source(spark, "/tmp/x", "avrox")
 
 
+def test_ntz_parquet_through_full_engine_path(spark, tmp_path):
+    """Timestamp contract (SURVEY.md §1.2): engine-facing event-time columns
+    are TIMESTAMP (UTC session TZ); TIMESTAMP_NTZ inputs are cast at the
+    source boundary. Round-4 regression pin: PySpark 4.1.2 started inferring
+    parquet timestamps as NTZ, which broke every unix_micros() call site.
+    This runs an NTZ parquet fixture through load_table -> engine ->
+    ParquetTable read WITH NTZ inference forced ON (a driver-supplied
+    session may have any conf), proving the boundary cast holds."""
+    from pyspark.sql import types as T
+
+    from insert_by_timeperiod_spark.sources import normalize_ntz
+
+    src = spark.sql(
+        """
+        SELECT id AS event_id, id % 7 AS user_id,
+               CAST(timestamp_micros(1704067200000000 + id * 3600000000) AS TIMESTAMP_NTZ) AS ts,
+               CAST(id AS DOUBLE) AS value
+        FROM range(200)
+        """
+    )
+    d = str(tmp_path / "ntzsrc")
+    src.write.parquet(os.path.join(d, "events.parquet"))
+
+    conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "true")
+    try:
+        raw = spark.read.parquet(os.path.join(d, "events.parquet"))
+        # precondition: this session really does infer NTZ (else vacuous)
+        assert isinstance(raw.schema["ts"].dataType, T.TimestampNTZType)
+        ev = load_table(spark, d, "events")
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+        # the cast is value-preserving under the UTC session
+        assert normalize_ntz(raw).select(F.min("ts")).first()[0] == ev.select(
+            F.min("ts")
+        ).first()[0]
+
+        ev.createOrReplaceTempView("events_ntz")
+        model = """
+        SELECT event_id, user_id, ts, unix_micros(ts) AS ts_us, value
+        FROM events_ntz
+        WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+        """
+        cfg = IBTPConfig(
+            timestamp_field="ts", period="day",
+            start_date="2024-01-01", stop_date="2024-01-10",
+        )
+        eng = InsertByTimeperiod(
+            spark, model, cfg, str(tmp_path / "ntztgt"), count_rows=False
+        )
+        eng.run()
+        out = eng.table.read()
+        # 200 hourly rows starting Jan 1 span ~8.3 days — all inside the window
+        assert out.count() == 200
+        # nothing NTZ survives the table boundary, even while the session
+        # infers NTZ: sidecar schema + written files are TIMESTAMP
+        assert not any(
+            isinstance(f.dataType, T.TimestampNTZType) for f in out.schema.fields
+        )
+        assert out.select(F.min(F.unix_micros("ts"))).first()[0] == 1704067200000000
+    finally:
+        spark.conf.set(conf_key, old)
+
+
+def test_prefer_smj_knob(spark, monkeypatch):
+    """The shuffled-hash default (session.py) must be overridable without
+    code changes: env knob resolves into the conf set, and the conf itself
+    is runtime-settable on a live session."""
+    from insert_by_timeperiod_spark.session import resolved_confs
+
+    key = "spark.sql.join.preferSortMergeJoin"
+    assert resolved_confs()[key] == "false"
+    monkeypatch.setenv("SPARK_GRAFT_PREFER_SMJ", "true")
+    assert resolved_confs()[key] == "true"
+    monkeypatch.setenv("SPARK_GRAFT_PREFER_SMJ", "0")
+    assert resolved_confs()[key] == "false"
+    # extra_conf path: applied after ENGINE_CONFS in get_spark, and the conf
+    # is runtime-settable, so the override genuinely reaches a session
+    old = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    assert spark.conf.get(key) == "true"
+    spark.conf.set(key, old)
+
+
 def test_engine_runs_over_csv_source(spark, events):
     """The engine is source-format-agnostic: a model over a csv-backed view
     produces the same table as one over the parquet view."""

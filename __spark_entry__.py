@@ -36,7 +36,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
-from insert_by_timeperiod_spark.operators import dedup, joins, multimodal, similarity
+from insert_by_timeperiod_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    packing,
+    similarity,
+)
 from insert_by_timeperiod_spark.operators.pipeline import clean_documents
 from insert_by_timeperiod_spark.operators.sessions import session_stats, sessionize
 from insert_by_timeperiod_spark.sources import load_table, register_views
@@ -905,6 +911,34 @@ WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 5 AND 100000
 """
 
 
+def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
+    (hash-bucketed parallel streams — no global sort; operators/packing.py).
+    Token counts use length(text) so the oracle is an exact window-SQL
+    mirror; real pipelines pass their tokenizer's count column instead."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").withColumn("n", F.length("text"))
+    return packing.concat_chunk_packing(docs, "n", max_tokens=2048, buckets=64)
+
+
+PACK_CONCAT_DUCK = """
+WITH t AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok,
+         CAST(doc_id % 64 AS INT) AS bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok, bucket,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tok, bucket, "offset",
+       bucket * 4294967296 + "offset" // 2048 AS pack_first,
+       bucket * 4294967296 + ("offset" + greatest(n_tok, 1) - 1) // 2048 AS pack_last
+FROM c
+"""
+
+
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (xxhash64 has no DuckDB equivalent)."""
     _prep(spark, sf_dir)
@@ -1195,10 +1229,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order = driver execution order. The multimodal / ANN entries lead:
-    # rounds 3-4 showed the driver caps/timeouts at ~50 recorded rows, and
-    # these five were the ones repeatedly truncated — the engine rows they
-    # displace are cheap, long-stable, and safe to lose to a truncation.
+    # Dict order = driver execution order. Rounds 3-4 showed the driver
+    # caps/timeouts at ~50 recorded rows (of 55 declared), silently dropping
+    # the TAIL of this dict. Two-part mitigation: (a) the five entries that
+    # kept being truncated (multimodal_*, ANN) now LEAD; (b) the tail is five
+    # redundant engine-lifecycle rows (resume/backfill/refresh/month/srcscan
+    # all validate against the same ORACLE_DAILY as engine_daily_full_build,
+    # and each is additionally golden-tested in tests/test_engine.py) — if
+    # anything must be truncated, it's the rows with independent pytest
+    # coverage, not unique oracle signal.
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_meta": _multimodal_meta,
         "multimodal_pixels": _multimodal_pixels,
@@ -1206,7 +1245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk": _sim_ann,
         "sim_ivf_topk": _sim_ivf,
     }
-    q.update(ENGINE_QUERIES)
+    deferred = (
+        "engine_resume",
+        "engine_backfill",
+        "engine_full_refresh",
+        "engine_month_grid",
+        "engine_source_scan",
+    )
+    q.update({k: v for k, v in ENGINE_QUERIES.items() if k not in deferred})
     q.update(
         {
             # Part C: aggregation / joins / subqueries
@@ -1255,11 +1301,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_stats": _text_stats,
             "text_fingerprint": _text_fingerprint,
             "pipeline_clean_documents": _pipeline_clean,
+            # EXT: sequence packing (greedy no-straddle variant is
+            # pytest-pinned; the inherently-sequential reset has no window-SQL
+            # oracle)
+            "pack_concat_chunk": _pack_concat,
             # EXT: similarity
             "sim_bruteforce_topk": _sim_bruteforce,
             "sim_cosine_dupes": _sim_dupes,
         }
     )
+    q.update({k: ENGINE_QUERIES[k] for k in deferred})
     return q
 
 
@@ -1301,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_planted": MINHASH_PAIRS_DUCK,
             "text_stats": _text_stats_duck(),
             "pipeline_clean_documents": _pipeline_clean_duck(),
+            "pack_concat_chunk": PACK_CONCAT_DUCK,
             "sim_bruteforce_topk": SIM_BRUTE_DUCK,
             "sim_cosine_dupes": SIM_DUPES_DUCK,
             "multimodal_meta": MULTIMODAL_META_DUCK,

@@ -1,0 +1,136 @@
+"""Sequence packing for LLM pretraining data prep.
+
+Two standard strategies over a corpus with a per-document token count:
+
+- :func:`concat_chunk_packing` — GPT-style "concat and chunk": documents are
+  (conceptually) concatenated into one token stream that is split every
+  ``max_tokens``; a document may straddle pack boundaries. The plan step
+  computed here is each document's OFFSET in the stream and the pack range
+  it lands in — the actual token materialization is a later map-only pass.
+- :func:`greedy_packing` — no-straddle bin packing: documents are laid into
+  a pack until the next one would overflow, then a fresh pack starts
+  (first-fit in corpus order). Needs a running reset, which no window
+  function expresses — per-bucket sequential logic in an Arrow lane.
+
+Scale design (the part that must survive 100 TB): a GLOBAL concatenation
+order would force a total-order window — one partition does all the work,
+the classic scale-killer. Instead the corpus is hash-bucketed on the doc id;
+each bucket is an independent stream packed in parallel, and pack ids are
+namespaced per bucket (``bucket * 2^32 + seq``). One shuffle on uniform
+bucket keys, cumulative-sum windows per bucket, no global sort. Training
+pipelines do exactly this (data-parallel shards are independent streams);
+determinism within a bucket comes from ordering by the doc id.
+
+The reference has no packing surface (its EXT scope ends at the warehouse
+SQL it emits); this is part of the beyond-reference LLM-pipeline extensions
+alongside operators/dedup.py and operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: pack-id namespace stride per bucket; 2^32 packs/bucket ≈ 8.8e12 tokens
+#: per bucket at max_tokens=2048 — unreachable per bucket in practice
+_BUCKET_STRIDE = 1 << 32
+
+
+def concat_chunk_packing(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 2048,
+    buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk packing plan. Returns one row per document:
+
+    ``(id, n_tok, bucket, offset, pack_first, pack_last)``
+
+    where ``offset`` is the document's start position in its bucket's token
+    stream (exclusive running sum, ordered by ``id_col``) and
+    ``pack_first``/``pack_last`` are the namespaced ids of the first/last
+    ``max_tokens``-sized chunk the document's tokens land in. Zero-token
+    documents occupy a point: ``pack_last == pack_first``.
+
+    Everything is built-in column expressions inside one per-bucket window —
+    whole-stage codegen end to end, one shuffle on the bucket key.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    bucket = F.pmod(F.col(id_col).cast("long"), F.lit(buckets)).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = F.col("bucket").cast("long") * _BUCKET_STRIDE
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(tokens_col).cast("long").alias("n_tok"),
+            bucket.alias("bucket"),
+        )
+        .withColumn("offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn(
+            "pack_first", base + F.expr(f"offset div {max_tokens}")
+        )
+        .withColumn(
+            "pack_last",
+            base
+            + F.expr(f"(offset + greatest(n_tok, 1L) - 1L) div {max_tokens}"),
+        )
+    )
+
+
+def greedy_packing(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 2048,
+    buckets: int = 64,
+) -> DataFrame:
+    """No-straddle greedy packing: in ``id_col`` order within each bucket,
+    a document joins the current pack unless it would overflow
+    ``max_tokens``, in which case it starts the next pack. Documents longer
+    than ``max_tokens`` get a pack of their own (callers truncate/split
+    upstream). Returns ``(id, n_tok, bucket, pack_id, pack_offset)``.
+
+    The running reset ("remaining capacity") is inherently sequential, so
+    each bucket runs one Arrow-batched ``applyInPandas`` pass — buckets are
+    independent, so parallelism is the bucket count, and per-task state is
+    two integers. This is the honest shape for sequential-scan logic in
+    Spark; the concat-chunk planner above stays in pure column expressions.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    bucket = F.pmod(F.col(id_col).cast("long"), F.lit(buckets)).cast("int")
+    slim = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).cast("long").alias("n_tok"),
+        bucket.alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        pack_ids, offsets = [], []
+        seq, used = 0, 0
+        for n in pdf["n_tok"]:
+            n = max(int(n), 0)
+            if used > 0 and used + n > max_tokens:
+                seq += 1
+                used = 0
+            pack_ids.append(seq)
+            offsets.append(used)
+            used += n
+        b = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        pdf["pack_id"] = [b * _BUCKET_STRIDE + s for s in pack_ids]
+        pdf["pack_offset"] = offsets
+        return pdf
+
+    out_schema = "_id long, n_tok long, bucket int, pack_id long, pack_offset long"
+    out = slim.groupBy("bucket").applyInPandas(pack, out_schema)
+    return out.withColumnRenamed("_id", id_col)

@@ -536,3 +536,86 @@ def test_extract_features_real_pixel_stats(spark):
     assert abs(feats[1].px_std - float(px.std())) < 1e-9
     assert feats[3].px_mean is None and feats[4].px_mean is None
     assert feats[3].detected_type == "image/jpeg"
+
+
+# ---- sequence packing (LLM pretraining data prep) -------------------------
+
+
+def test_concat_chunk_packing_offsets_and_spans(spark):
+    from insert_by_timeperiod_spark.operators import packing
+
+    rows = [(i, 700) for i in range(30)] + [(100, 0), (101, 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = packing.concat_chunk_packing(
+        df, "n", max_tokens=2048, buckets=4
+    ).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    total = 0
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            # offsets are the exclusive running sum in doc_id order
+            assert r.offset == off
+            off += r.n_tok
+            assert r.bucket == r.doc_id % 4
+            # pack range matches the arithmetic definition
+            base = b * (1 << 32)
+            assert r.pack_first == base + r.offset // 2048
+            assert r.pack_last == base + (r.offset + max(r.n_tok, 1) - 1) // 2048
+            assert r.pack_first <= r.pack_last
+        total += off
+    assert total == 30 * 700 + 5000
+    # a 5000-token doc at max_tokens=2048 straddles >= 2 chunk boundaries
+    big = next(r for r in out if r.doc_id == 101)
+    assert big.pack_last - big.pack_first >= 2
+    # zero-token doc occupies a point
+    zero = next(r for r in out if r.doc_id == 100)
+    assert zero.pack_first == zero.pack_last
+
+
+def test_greedy_packing_never_overflows_and_preserves_order(spark):
+    from insert_by_timeperiod_spark.operators import packing
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 900)) for i in range(200)]
+    rows.append((500, 3000))  # oversized: gets its own pack
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = packing.greedy_packing(df, "n", max_tokens=2048, buckets=8).collect()
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r.pack_id, []).append(r)
+    tok = dict(rows)
+    for pid, rs in sizes.items():
+        load = sum(r.n_tok for r in rs)
+        if len(rs) > 1:
+            assert load <= 2048  # multi-doc packs never overflow
+        # offsets tile the pack contiguously in doc_id order
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.pack_offset == off
+            off += r.n_tok
+    # oversized doc is alone in its pack
+    big_pack = next(r.pack_id for r in out if r.doc_id == 500)
+    assert len(sizes[big_pack]) == 1
+    # every doc packed exactly once, token counts intact
+    assert sorted(r.doc_id for r in out) == sorted(tok)
+    assert all(r.n_tok == tok[r.doc_id] for r in out)
+    # greedy invariant per bucket: consecutive docs share a pack unless the
+    # next doc would overflow it
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r.doc_id)
+        for prev, cur in zip(rs, rs[1:]):
+            if prev.pack_id == cur.pack_id:
+                assert cur.pack_offset == prev.pack_offset + prev.n_tok
+            else:
+                assert cur.pack_id == prev.pack_id + 1
+                assert prev.pack_offset + prev.n_tok + cur.n_tok > 2048

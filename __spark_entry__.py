@@ -306,8 +306,15 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         date_source_models=["events"],
         source_timestamp_field="ts",
     ),
-    # C10 through the engine: window functions inside a period-chunked model
-    "engine_windowed_model": _engine(MODEL_WINDOWED, [RunVars()], "windowed", period="day"),
+    # C10 through the engine: window functions inside a period-chunked model.
+    # periods_per_commit batches BY UNION (not the additive widened plan —
+    # window models must never widen): each period keeps its own injected
+    # literals and window scope, so semantics are identical to per-period
+    # commits while 31 day-jobs collapse into 4 (tests/test_engine.py pins
+    # batched == sequential on windowed models)
+    "engine_windowed_model": _engine(
+        MODEL_WINDOWED, [RunVars()], "windowed", period="day", periods_per_commit=8
+    ),
     # C5 through the engine: dimension join inside the model
     "engine_joined_model": _engine(MODEL_JOINED, [RunVars()], "joined"),
     # A15: schema evolution mid-run

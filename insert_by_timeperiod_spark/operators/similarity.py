@@ -11,11 +11,11 @@ Two paths, matching the brief's scale story:
   approximate path.
 - **random_projection_lsh** — sign-of-projection bucketing (SimHash for
   vectors): ``n_planes`` fixed random hyperplanes (seeded, generated driver-
-  side, shipped as literals — tiny) map each vector to a bucket id; neighbor
-  candidates come only from the query's bucket (plus optionally multi-probe
-  neighbors at Hamming distance 1). The corpus shuffle is by uniform bucket
-  id; per-bucket work is brute force on a tiny candidate set. This is the IVF
-  analogue that survives 100×.
+  side, shipped in the Arrow UDF closure — KBs) map each vector to a bucket
+  id; neighbor candidates come only from the query's bucket (plus optionally
+  multi-probe neighbors at Hamming distance 1). The corpus shuffle is by
+  uniform bucket id; per-bucket work is brute force on a tiny candidate set.
+  This is the IVF analogue that survives 100×.
 """
 
 from __future__ import annotations
@@ -132,26 +132,41 @@ def _add_lsh_tables(
     vec_col: str,
     multi_probe: bool = False,
 ) -> DataFrame:
-    """Explode each row into ``n_tables`` (tbl, bkt) rows — one per
-    independent hash table (OR-amplification). With ``multi_probe``, also
-    emit every Hamming-1 neighbor bucket per table (query side only:
-    n_tables·(n_planes+1) probe rows per query)."""
+    """Explode each row into ``n_tables`` encoded LSH keys — one per
+    independent hash table (OR-amplification) — as a ``tb`` long column:
+    ``tb = (tbl << n_planes) | bucket``. With ``multi_probe``, also emit
+    every Hamming-1 neighbor key per table (query side only:
+    n_tables·(n_planes+1) probe rows per query).
+
+    All tables' buckets come from ONE Arrow-batched numpy matmul per record
+    batch: ``(batch, dim) @ (dim, n_tables·n_planes)`` then sign-bit packing.
+    The planes ride in the UDF closure (n_tables·n_planes·dim doubles — KBs,
+    serialized once per task). The previous pure-expression form inlined
+    every plane component as a literal (n_tables·n_planes·dim ``F.lit``
+    py4j calls and a ~4k-literal Catalyst tree) — ~14s of driver-side plan
+    construction per call at ANY data size; the Arrow lane builds the same
+    keys with a constant-size plan."""
     planes = np.random.RandomState(seed).normal(size=(n_tables, n_planes, dim))
-    entries = []
-    for t in range(n_tables):
-        b = _bucket_expr(vec_col, planes[t])
-        entries.append(F.struct(F.lit(t).alias("tbl"), b.alias("bkt")))
+    proj_mat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T·B)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    tb_off = (np.arange(n_tables, dtype=np.int64) << n_planes)
+
+    @F.pandas_udf("array<long>")
+    def keys(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs.to_numpy()])
+        proj = m @ proj_mat
+        bits = (proj > 0).reshape(len(m), n_tables, n_planes)
+        bkt = (bits * weights).sum(axis=2, dtype=np.int64)  # (n, T)
         if multi_probe:
-            entries.extend(
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    b.bitwiseXOR(F.lit(1 << i).cast("long")).alias("bkt"),
-                )
-                for i in range(n_planes)
-            )
-    return df.select(
-        "*", F.explode(F.array(*entries)).alias("_tb")
-    ).select(*df.columns, F.col("_tb.tbl").alias("tbl"), F.col("_tb.bkt").alias("bkt"))
+            flips = bkt[:, :, None] ^ weights[None, None, :]  # (n, T, B)
+            allb = np.concatenate([bkt[:, :, None], flips], axis=2)
+            keyed = allb + tb_off[None, :, None]
+            return pd.Series([r.ravel().tolist() for r in keyed])
+        return pd.Series([r.tolist() for r in (bkt + tb_off[None, :])])
+
+    return df.select("*", F.explode(keys(F.col(vec_col))).alias("tb"))
 
 
 def lsh_topk(
@@ -175,12 +190,13 @@ def lsh_topk(
     ``multi_probe`` the query additionally probes every Hamming-1 bucket per
     table, recovering neighbors that lost exactly one coin flip.
 
-    Plan shape at scale: the corpus explodes to n_tables rows keyed by
-    uniform (tbl, bkt) — the shuffle carries ids + vectors once per table,
-    never pairwise; queries (small) are broadcast; per-bucket candidate sets
-    are brute-forced then exact top-k re-ranked. Recall/cost is tuned by
-    (n_planes, n_tables): more planes → smaller buckets, more tables →
-    higher recall; at a fixed corpus size, n_planes ≈ log2(n/target_bucket)."""
+    Plan shape at scale: the corpus explodes to n_tables rows keyed by the
+    uniform encoded (tbl, bkt) key — the shuffle carries ids + vectors once
+    per table, never pairwise; queries (small) are broadcast; per-bucket
+    candidate sets are brute-forced then exact top-k re-ranked. Recall/cost
+    is tuned by (n_planes, n_tables): more planes → smaller buckets, more
+    tables → higher recall; at a fixed corpus size,
+    n_planes ≈ log2(n/target_bucket)."""
     c = _add_lsh_tables(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed, vec_col="_cv",
@@ -190,7 +206,7 @@ def lsh_topk(
         dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed, vec_col="_qv",
         multi_probe=multi_probe,
     )
-    cand = c.join(F.broadcast(q), ["tbl", "bkt"]).where(
+    cand = c.join(F.broadcast(q), "tb").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(
@@ -323,19 +339,18 @@ def embedding_cosine_dupes(
     bucket keys per table; the self-join still happens per bucket, never
     all-pairs). Returns (id_a, id_b, sim), id_a < id_b."""
     base = df.select(F.col(id_col), F.col(vec_col))
-    # project to (id, tbl, bkt) BEFORE the self-join: the bucketing shuffle
-    # must carry ids and bucket keys only — vectors are re-fetched by id for
-    # the surviving candidate pairs below
+    # project to (id, tb) BEFORE the self-join: the bucketing shuffle must
+    # carry ids and encoded bucket keys only — vectors are re-fetched by id
+    # for the surviving candidate pairs below
     t = _add_lsh_tables(
         base, dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed,
         vec_col=vec_col,
-    ).select(id_col, "tbl", "bkt")
+    ).select(id_col, "tb")
     a_, b_ = t.alias("a"), t.alias("b")
     pairs = (
         a_.join(
             b_,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
+            (F.col("a.tb") == F.col("b.tb"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

@@ -51,10 +51,16 @@ from insert_by_timeperiod_spark.streaming import StreamToPeriodTable, event_time
 START, STOP = "2024-01-01", "2024-02-01"  # events span Jan 2024 at every sf
 
 
+_PREPPED: set[tuple[str, str]] = set()
+
+
 def _prep(spark: SparkSession, sf_dir: str) -> None:
     """Make any driver-supplied session safe for the fixtures: UTC (date
     casts are session-tz-sensitive), nanosAsLong (fixtures carry parquet
-    TIMESTAMP(NANOS)), then register the table views."""
+    TIMESTAMP(NANOS)), then register the table views. View registration is
+    cached per (session, sf_dir): re-registering costs ten parquet
+    footer-inference reads, which across a 56-entry battery is pure
+    overhead (no entry replaces a fixture view)."""
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -68,7 +74,10 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
-    register_views(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PREPPED:
+        register_views(spark, sf_dir)
+        _PREPPED.add(key)
 
 
 def _sql(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -918,6 +927,44 @@ WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 5 AND 100000
 """
 
 
+#: deterministic PII planted on every third doc so the redaction chain does
+#: real work on both engines (the synthetic corpus itself carries no PII)
+_PII_SUFFIX = (
+    " Contact me at first.last+spam@mail.example.co or (415) 555-0134, "
+    "SSN 123-45-6789, server 10.20.30.40, see https://ex.example.com/a?x=1&y=2."
+)
+
+
+def _text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT corpus hygiene: typed-placeholder PII scrub (functions/text.py
+    redact_pii) — a regexp_replace chain evaluated in the scan stage. The
+    oracle runs the IDENTICAL pattern strings through DuckDB's RE2."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    return docs.select("doc_id", TX.redact_pii(F.col("text")).alias("clean"))
+
+
+def _text_redact_duck() -> str:
+    expr = "text"
+    for _, pat, repl in TX.PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    suffix = _PII_SUFFIX.replace("'", "''")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{suffix}' ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {expr} AS clean FROM planted
+"""
+
+
 def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
     (hash-bucketed parallel streams — no global sort; operators/packing.py).
@@ -1307,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # EXT: text
             "text_stats": _text_stats,
             "text_fingerprint": _text_fingerprint,
+            "text_redact_pii": _text_redact,
             "pipeline_clean_documents": _pipeline_clean,
             # EXT: sequence packing (greedy no-straddle variant is
             # pytest-pinned; the inherently-sequential reset has no window-SQL
@@ -1358,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_near_clusters": NEAR_CLUSTERS_DUCK,
             "dedup_minhash_planted": MINHASH_PAIRS_DUCK,
             "text_stats": _text_stats_duck(),
+            "text_redact_pii": _text_redact_duck(),
             "pipeline_clean_documents": _pipeline_clean_duck(),
             "pack_concat_chunk": PACK_CONCAT_DUCK,
             "sim_bruteforce_topk": SIM_BRUTE_DUCK,

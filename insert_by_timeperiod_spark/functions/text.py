@@ -166,3 +166,36 @@ def rolling_fingerprint(col: Column) -> Column:
     return F.array_min(
         F.transform(word_shingles(col, 3), lambda s: F.xxhash64(s))
     )
+
+
+#: PII redaction rules applied IN ORDER (URL first so emails/IPs embedded in
+#: URLs collapse into <URL>; SSN before phone so the more specific 3-2-4
+#: shape wins). Patterns deliberately use only the regex subset shared by
+#: Java regex (Spark) and RE2 (DuckDB) — no backreferences, no lookaround —
+#: so the identical strings drive both engines and the oracle comparison is
+#: exact. Conservative by design (a missed exotic format beats corrupting
+#: non-PII text); extend per-corpus as needed.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"(?:\+?[0-9]{1,2}[-. ])?\(?\b[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}\b",
+        "<PHONE>",
+    ),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Scrub common PII shapes (URL, email, SSN, NANP phone, IPv4) into
+    typed placeholder tokens — the standard pre-training corpus hygiene
+    pass. A chain of ``regexp_replace`` column expressions: JVM regex in the
+    scan stage, no UDF, composes with the rest of the cleaning pipeline in
+    one pass over the corpus."""
+    out = col
+    for kind, pat, repl in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out

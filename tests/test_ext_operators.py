@@ -619,3 +619,29 @@ def test_greedy_packing_never_overflows_and_preserves_order(spark):
             else:
                 assert cur.pack_id == prev.pack_id + 1
                 assert prev.pack_offset + prev.n_tok + cur.n_tok > 2048
+
+
+def test_redact_pii_placeholders(spark):
+    from insert_by_timeperiod_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail a.b+c@x.co.uk now"),
+        (2, "call (415) 555-0134 or +1 415-555-0134 today"),
+        (3, "ssn 123-45-6789 ip 10.0.0.1 done"),
+        (4, "see https://a.example.com/p?q=1&r=me@x.com end"),
+        (5, "no pii here, just 42 and a date 2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.clean for r in df.select(
+        "id", TX.redact_pii(F.col("text")).alias("clean")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "call <PHONE> or <PHONE> today"  # +1 prefix absorbed
+    assert out[3] == "ssn <SSN> ip <IP> done"
+    # the email inside the URL collapses into <URL> (URL rule runs first)
+    assert out[4] == "see <URL> end"
+    assert out[5] == rows[4][1]  # untouched
+    # kinds filter applies only the requested rules
+    only_email = df.where("id = 1").select(
+        TX.redact_pii(F.col("text"), kinds=["email"]).alias("c")).first().c
+    assert only_email == "mail <EMAIL> now"

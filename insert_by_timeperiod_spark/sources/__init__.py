@@ -103,3 +103,38 @@ def read_source(
     elif schema is None and fmt == "json":
         options = {"primitivesAsString": "false", **options}
     return reader.options(**options).format(fmt).load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str] | str,
+    *,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) catalog table —
+    the co-located-join primitive for repeated large⋈large joins.
+
+    At 100 TB the dominant cost of a fact⋈fact equi-join is shuffling BOTH
+    sides on the key every query. Bucketing pre-shuffles ONCE at write time:
+    both tables hash-partitioned into ``num_buckets`` files per side on the
+    join key, so Catalyst plans the join with ZERO exchanges (pinned in
+    tests/test_plans.py); adding ``sort_cols`` also pre-sorts each bucket,
+    eliminating the sort of a sort-merge join. Use for the stable hub tables
+    a pipeline joins every run (orders⋈lineitem shapes), not one-off reads.
+
+    Bucketing requires the catalog (``saveAsTable``); pass ``path`` to make
+    it an EXTERNAL table at that location (the metastore entry is just the
+    bucketing metadata). Both sides must use the same num_buckets, and
+    ``spark.sql.sources.bucketing.enabled`` (default true) must be on."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(name)

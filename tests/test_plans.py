@@ -116,11 +116,13 @@ def test_bucketed_join_needs_no_exchange(spark):
     cust = spark.table("customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
+    from insert_by_timeperiod_spark.sources import write_bucketed
+
     try:
         for name, df in (("ibtp_b_events", ev), ("ibtp_b_cust", cust)):
-            df.write.mode("overwrite").bucketBy(8, "user_id").sortBy(
-                "user_id"
-            ).saveAsTable(name)
+            write_bucketed(
+                df, name, "user_id", num_buckets=8, sort_cols="user_id"
+            )
         joined = spark.table("ibtp_b_events").join(
             spark.table("ibtp_b_cust").hint("merge"), "user_id"
         )

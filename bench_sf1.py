@@ -30,8 +30,9 @@ from insert_by_timeperiod_spark.sources import load_table
 SRC = "/root/testdata/sf0.1"
 COPIES = int(os.environ.get("IBTP_SCALE_COPIES", "10"))
 # keyed by the exact copy count so changing IBTP_SCALE_COPIES never reuses a
-# dataset generated at a different scale
-DST = f"/tmp/ibtp_scale_{COPIES}x"
+# dataset generated at a different scale; the _v2 suffix invalidates caches
+# generated before documents were scaled
+DST = f"/tmp/ibtp_scale_{COPIES}x_v2"
 SHIFT = 10_000_000  # key shift per replica (above every sf0.1 key domain)
 
 TABLES = [
@@ -39,7 +40,9 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-#: DuckDB-comparable headline queries whose inputs scale with sf
+#: DuckDB-comparable headline queries whose inputs scale with sf; the EXT
+#: tail (text/dedup/packing over the scaled documents table) gives the
+#: LLM-pipeline operators a measured scale point, not just a design argument
 QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -49,6 +52,10 @@ QUERIES = [
     "json_props",
     "engine_daily_full_build",
     "engine_upsert",
+    "text_stats",
+    "text_redact_pii",
+    "dedup_exact",
+    "pack_concat_chunk",
 ]
 
 
@@ -63,6 +70,7 @@ def generate(spark) -> None:
         "events": ["event_id"],
         "lineitem": ["l_orderkey"],
         "orders": ["o_orderkey"],
+        "documents": ["doc_id"],
     }
     for t in TABLES:
         if t in shifts:
@@ -72,6 +80,11 @@ def generate(spark) -> None:
                 d = base
                 for c in shifts[t]:
                     d = d.withColumn(c, F.col(c) + F.lit(i * SHIFT))
+                if t == "documents" and i > 0:
+                    # vary replica text so exact-dedup groups stay realistic
+                    # (100 identical copies of every doc would make the
+                    # dedup measurement a degenerate all-dup corpus)
+                    d = d.withColumn("text", F.concat(F.col("text"), F.lit(f" #{i}")))
                 parts.append(d)
             out = parts[0]
             for p in parts[1:]:
@@ -129,7 +142,12 @@ def main() -> None:
     result = {
         "metric": f"sf{COPIES // 10}_spark_vs_duckdb",
         "sf": COPIES / 10,
-        "rows": {"events": 100_000 * COPIES, "lineitem": 600_000 * COPIES, "orders": 150_000 * COPIES},
+        "rows": {
+            "events": 100_000 * COPIES,
+            "lineitem": 600_000 * COPIES,
+            "orders": 150_000 * COPIES,
+            "documents": 5_000 * COPIES,
+        },
         "queries": out,
         "total_spark_sec": total_spark,
         "total_duck_sec": total_duck,

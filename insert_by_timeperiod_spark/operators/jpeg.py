@@ -1,0 +1,552 @@
+"""Baseline JPEG codec, stdlib + numpy only (SURVEY.md §2 C22).
+
+Closes the multimodal pixel-decode gap for JPEG without a codec library:
+
+- :func:`decode_jpeg_pixels` — real baseline (SOF0, sequential DCT) decode:
+  marker walk, canonical-huffman entropy decode with byte unstuffing and
+  restart intervals, dequantize, de-zigzag, orthonormal 8×8 IDCT, 4:4:4 and
+  4:2:0 chroma upsampling, JFIF YCbCr→RGB. Progressive (SOF2), arithmetic,
+  12-bit, and exotic subsampling return ``None`` (honest partial coverage —
+  same contract as the PNG decoder's palette/16-bit exclusions).
+- :func:`encode_baseline_jpeg` — a minimal valid baseline encoder (4:4:4 or
+  grayscale) used to build REAL decodable fixtures in tests/demos. It embeds
+  its own quantization + canonical huffman tables, so any spec-compliant
+  reader (including ours) decodes its output.
+
+Cost model: the entropy decode is a per-bit Python loop — fine for the
+fixture-scale images tests exercise and embarrassingly parallel across a
+corpus inside ``mapInPandas``, but a real 100 TB image corpus should swap in
+a native codec here; the module documents the exact seam
+(`multimodal.decode_pixels`). Everything after entropy decode is vectorized
+numpy (batched IDCT over all blocks at once).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared tables
+# ---------------------------------------------------------------------------
+
+
+def _zigzag() -> np.ndarray:
+    """The JPEG zigzag scan as flat indices into a row-major 8×8 block."""
+    order = []
+    for s in range(15):
+        ys = range(max(0, s - 7), min(7, s) + 1)
+        diag = [(y, s - y) for y in ys]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(diag)
+    return np.array([y * 8 + x for y, x in order], dtype=np.intp)
+
+
+ZIGZAG = _zigzag()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+#: orthonormal DCT-II basis: forward F = C @ f @ C.T, inverse f = C.T @ F @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = np.cos((2 * _x + 1) * _u * np.pi / 16) * (
+            np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)
+        )
+
+#: Annex-K luminance quantization table (any table works — it is embedded in
+#: the stream — this one gives reasonable quality scaling)
+_LUM_Q = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+_CHR_Q = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 = the base table, 100 = all ones."""
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255)
+
+
+# ---------------------------------------------------------------------------
+# canonical huffman
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) from the DHT BITS/HUFFVAL form."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """Canonical-huffman decoder over (BITS, HUFFVAL): walks one bit at a
+    time through the first-code/count table — O(code length) per symbol."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.vals = vals
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = reader.bit()
+        length = 1
+        while code > self.maxcode[length] or self.maxcode[length] == -1:
+            if length >= 16:
+                raise ValueError("invalid huffman code")
+            code = (code << 1) | reader.bit()
+            length += 1
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream underrun")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG magnitude-category decode: the stored `size` bits encode
+    [-(2^size-1) .. -2^(size-1)] ∪ [2^(size-1) .. 2^size-1]."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_pixels(b: bytes) -> "np.ndarray | None":
+    """Decode a baseline JPEG to ``(h, w, 3)`` RGB (or ``(h, w, 1)`` gray)
+    uint8. Returns ``None`` for non-baseline/unsupported streams or corrupt
+    data — never raises on arbitrary bytes."""
+    try:
+        return _decode(b)
+    except Exception:
+        return None
+
+
+def _decode(b: bytes) -> "np.ndarray | None":
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1  # fill bytes
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            return None  # no scan seen
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline
+                tbl = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int64)
+                qt[tq] = tbl
+                j += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive/arithmetic/lossless: unsupported
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                dec = _HuffDecoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan_map = {}
+            for c in range(ns):
+                cid, tbls = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_map[cid] = (tbls >> 4, tbls & 0xF)
+            return _decode_scan(
+                b, i + 2 + seg_len, frame, scan_map, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        i += 2 + seg_len
+    return None
+
+
+def _decode_scan(b, start, frame, scan_map, qt, huff_dc, huff_ac, dri):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if (hmax, vmax) not in ((1, 1), (2, 2)) or any(
+        (c[1], c[2]) not in ((1, 1), (hmax, vmax)) for c in comps
+    ):
+        return None  # support 4:4:4 / gray / 4:2:0 layouts only
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # unstuff the entropy stream, splitting at restart markers
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = start
+    while j < len(b):
+        byte = b[j]
+        if byte == 0xFF:
+            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next marker ends the scan
+        cur.append(byte)
+        j += 1
+    segments.append(bytes(cur))
+
+    # entropy-decode every MCU into per-component zigzag coefficient arrays
+    n_mcus = mcus_x * mcus_y
+    blocks_per_mcu = [(c[1] * c[2]) for c in comps]
+    coefs = [
+        np.zeros((n_mcus * bpm, 64), dtype=np.int64)
+        for bpm in blocks_per_mcu
+    ]
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    pred = [0] * len(comps)
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:  # restart: new segment, reset DC
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = [0] * len(comps)
+        for ci, comp in enumerate(comps):
+            cid = comp[0]
+            dc_tbl = huff_dc[scan_map[cid][0]]
+            ac_tbl = huff_ac[scan_map[cid][1]]
+            for blk in range(blocks_per_mcu[ci]):
+                row = coefs[ci][m * blocks_per_mcu[ci] + blk]
+                size = dc_tbl.decode(reader)
+                diff = _extend(reader.bits(size), size) if size else 0
+                pred[ci] += diff
+                row[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = ac_tbl.decode(reader)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflow")
+                    row[k] = _extend(reader.bits(size), size)
+                    k += 1
+
+    # dequantize + de-zigzag + batched IDCT per component
+    planes = []
+    for ci, comp in enumerate(comps):
+        cid, hs, vs, tq = comp
+        blocks = (coefs[ci] * qt[tq][None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks.astype(np.float64), _C)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        # reassemble: blocks are stored MCU-major, raster within the MCU
+        pw, ph = mcus_x * 8 * hs // hmax * (hmax // hs), mcus_y * 8 * vs
+        plane = np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.uint8)
+        bi = 0
+        for m in range(n_mcus):
+            my, mx = divmod(m, mcus_x)
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[bi]
+                    bi += 1
+        if hs < hmax or vs < vmax:  # 4:2:0 chroma: nearest upsample
+            plane = plane.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    y, cb, cr = (p.astype(np.float64) for p in planes[:3])
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bl = y + 1.772 * (cb - 128)
+    return np.clip(np.stack([r, g, bl], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixtures/tests)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.nbits = 0
+
+    def pad(self) -> None:
+        """1-pad to a byte boundary (precedes any marker in entropy data)."""
+        if self.nbits:
+            self.buf = (self.buf << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf = 0
+            self.nbits = 0
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (no stuffing)."""
+        self.pad()
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+def _flat_table(symbols: list[int], length: int) -> tuple[list[int], list[int]]:
+    """All symbols at one code length — a valid canonical huffman table as
+    long as 2^length > len(symbols) (keeps the all-ones code unused, which
+    the spec reserves). Compression is mediocre; validity is what matters
+    for fixtures."""
+    assert len(symbols) < (1 << length)
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_DC_BITS, _DC_VALS = _flat_table(_DC_SYMS, 6)
+_AC_BITS, _AC_VALS = _flat_table(_AC_SYMS, 9)
+
+
+def _category(v: int) -> tuple[int, int]:
+    """(size, size-bit code) for a DC diff / AC coefficient value."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block(blk, qtab_nat, pred, dc_codes, ac_codes, writer):
+    fdct = _C @ (blk - 128) @ _C.T
+    zz = np.round(fdct / qtab_nat).astype(np.int64).ravel()[ZIGZAG]
+    diff = int(zz[0]) - pred
+    size, code = _category(diff)
+    writer.write(*dc_codes[size])
+    if size:
+        writer.write(code, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(*ac_codes[0xF0])
+            run -= 16
+        size, code = _category(v)
+        writer.write(*ac_codes[(run << 4) | size])
+        writer.write(code, size)
+        run = 0
+    if last_nz < 63:
+        writer.write(*ac_codes[0x00])  # EOB
+    return int(zz[0])
+
+
+def encode_baseline_jpeg(
+    px: "np.ndarray",
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(h, w, 3)`` RGB or ``(h, w)``/``(h, w, 1)`` gray uint8 as a
+    baseline JFIF stream decodable by any baseline JPEG reader, including
+    :func:`decode_jpeg_pixels`. ``subsampling``: ``"444"`` (default) or
+    ``"420"`` (2×2 chroma, box-filtered) — the two layouts the decoder
+    supports, so both paths are round-trip testable. ``restart_interval``
+    emits DRI + RSTn markers every N MCUs (the error-resilience feature real
+    encoders use; exercises the decoder's restart resync)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch == 1:
+        planes = [px[:, :, 0].astype(np.float64)]
+        sh = sv = 1
+    else:
+        r, g, bl = (px[:, :, k].astype(np.float64) for k in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * bl,
+            -0.168736 * r - 0.331264 * g + 0.5 * bl + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * bl + 128,
+        ]
+        sh, sv = (2, 2) if subsampling == "420" else (1, 1)
+    mcu_h, mcu_w = 8 * sv, 8 * sh
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
+    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    if nch == 3 and (sh, sv) == (2, 2):
+        # box-filter chroma down 2×2
+        planes[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) for p in planes[1:]
+        ]
+
+    qtabs_zz = [
+        _quality_scale(_LUM_Q, quality).ravel()[ZIGZAG],
+        _quality_scale(_CHR_Q, quality).ravel()[ZIGZAG],
+    ]
+    qtabs_nat = [q[UNZIGZAG].reshape(8, 8) for q in qtabs_zz]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_idx = 0
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                writer.raw(bytes([0xFF, 0xD0 + ((mcu_idx // restart_interval - 1) % 8)]))
+                pred = [0] * len(planes)
+            mcu_idx += 1
+            for by in range(sv):  # luma blocks, raster within the MCU
+                for bx in range(sh):
+                    y0, x0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
+                    pred[0] = _encode_block(
+                        planes[0][y0 : y0 + 8, x0 : x0 + 8],
+                        qtabs_nat[0], pred[0], dc_codes, ac_codes, writer,
+                    )
+            for ci in range(1, len(planes)):
+                y0, x0 = my * 8, mx * 8
+                pred[ci] = _encode_block(
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8],
+                    qtabs_nat[1], pred[ci], dc_codes, ac_codes, writer,
+                )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq, tab in enumerate(qtabs_zz[: 1 if nch == 1 else 2]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in tab
+        )
+    ncomp = 1 if nch == 1 else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        hv = (sh << 4) | sv if c == 0 else 0x11
+        sof += bytes([c + 1, hv, 0 if c == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
+        for th in range(1 if ncomp == 1 else 2):
+            payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -7,10 +7,11 @@ The Spark-side plumbing is real and tested — schema contract, Arrow-batched
 (type sniffing + dimensions + channels for PNG/GIF/JPEG/BMP) is REAL,
 stdlib-only (``parse_image_header``). FULL PIXEL DECODE is real for PNG
 (8-bit gray/RGB/RGBA/gray+alpha, non-interlaced: zlib inflate + the five
-scanline unfilters) and uncompressed 24-bit BMP (``decode_pixels``) — no
-codec library needed. JPEG (DCT) and GIF (LZW) pixel decode still need a
-codec library; swap PIL/torchaudio into ``_decode_payload`` and nothing
-else changes.
+scanline unfilters), uncompressed 24-bit BMP, and baseline sequential JPEG
+(huffman + dequant + IDCT + 4:4:4/4:2:0 upsampling, operators/jpeg.py) —
+no codec library needed. GIF (LZW) pixel decode and progressive JPEG still
+need one; swap PIL/torchaudio into ``_decode_payload`` and nothing else
+changes.
 
 Scale design: decode/feature-extract is embarrassingly parallel per row —
 ``mapInPandas`` streams Arrow batches through Python with zero shuffle; at
@@ -187,13 +188,18 @@ def decode_bmp_pixels(b: bytes) -> "np.ndarray | None":
 
 
 def decode_pixels(b: bytes) -> "np.ndarray | None":
-    """Dispatch pixel decode by magic bytes. PNG/BMP are REAL stdlib decodes;
-    JPEG/GIF return ``None`` (DCT/LZW need a codec lib — the documented
-    remaining swap point)."""
+    """Dispatch pixel decode by magic bytes. PNG/BMP/JPEG are REAL decodes
+    (stdlib + numpy; baseline sequential JPEG via operators/jpeg.py — its
+    per-bit Python entropy loop is the documented native-codec swap point
+    for image-heavy corpora). GIF pixel decode (LZW) still returns ``None``."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(b)
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(b)
     return None
 
 

@@ -645,3 +645,96 @@ def test_redact_pii_placeholders(spark):
     only_email = df.where("id = 1").select(
         TX.redact_pii(F.col("text"), kinds=["email"]).alias("c")).first().c
     assert only_email == "mail <EMAIL> now"
+
+
+# ---- baseline JPEG codec (operators/jpeg.py) ------------------------------
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_tables_match_published_spec():
+    """Guards against a shared encoder/decoder error: the zigzag order and
+    canonical-huffman assignment are checked against the PUBLISHED JPEG
+    constants, not against this module's own inverse."""
+    from insert_by_timeperiod_spark.operators import jpeg
+
+    assert list(jpeg.ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(jpeg.ZIGZAG[-4:]) == [47, 55, 62, 63]
+    # standard DC-luminance table (Annex K): BITS [0,1,5,1,1,1,1,1,1,0...]
+    codes = jpeg._canonical_codes(
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12))
+    )
+    assert codes[0] == (0b00, 2)
+    assert codes[1] == (0b010, 3) and codes[5] == (0b110, 3)
+    assert codes[6] == (0b1110, 4) and codes[11] == (0b111111110, 9)
+
+
+@pytest.mark.parametrize(
+    "kw,tol_mean,tol_max",
+    [
+        (dict(quality=90), 1.5, 8),
+        (dict(quality=90, subsampling="420"), 3.0, 40),
+        (dict(quality=90, restart_interval=3), 1.5, 8),
+        (dict(quality=88, subsampling="420", restart_interval=2), 3.0, 40),
+    ],
+)
+def test_jpeg_roundtrip_rgb(kw, tol_mean, tol_max):
+    from insert_by_timeperiod_spark.operators import jpeg
+
+    px = _gradient(40, 56)
+    dec = jpeg.decode_jpeg_pixels(jpeg.encode_baseline_jpeg(px, **kw))
+    assert dec is not None and dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.mean() <= tol_mean and err.max() <= tol_max, (err.mean(), err.max())
+
+
+def test_jpeg_flat_color_near_exact():
+    from insert_by_timeperiod_spark.operators import jpeg
+
+    px = np.full((16, 24, 3), [120, 64, 200], dtype=np.uint8)
+    dec = jpeg.decode_jpeg_pixels(jpeg.encode_baseline_jpeg(px, quality=90))
+    assert dec is not None
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_jpeg_grayscale_roundtrip():
+    from insert_by_timeperiod_spark.operators import jpeg
+
+    g = ((np.arange(40)[:, None] * 5 + np.arange(56)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    dec = jpeg.decode_jpeg_pixels(jpeg.encode_baseline_jpeg(g, quality=90))
+    assert dec is not None and dec.shape == (40, 56, 1)
+    # sawtooth wrap edges ring; interior of the smooth region stays close
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() <= 2.0
+
+
+def test_jpeg_rejects_garbage_and_headerless():
+    from insert_by_timeperiod_spark.operators import jpeg
+
+    assert jpeg.decode_jpeg_pixels(b"not a jpeg") is None
+    assert jpeg.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert jpeg.decode_jpeg_pixels(_jpeg(64, 48)) is None  # header-only fake
+    # truncated entropy stream: None, never an exception
+    px = _gradient(24, 24)
+    enc = jpeg.encode_baseline_jpeg(px)
+    assert jpeg.decode_jpeg_pixels(enc[: len(enc) // 2]) is None
+
+
+def test_jpeg_pixels_flow_through_extract_features(spark):
+    """The multimodal Arrow lane now computes real px stats for JPEG."""
+    from insert_by_timeperiod_spark.operators import jpeg
+
+    px = _gradient(32, 40)
+    rows = [(1, jpeg.encode_baseline_jpeg(px, quality=92))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    feat = multimodal.extract_features(df).first()
+    assert feat.detected_type == "image/jpeg"
+    assert (feat.width, feat.height, feat.n_channels) == (40, 32, 3)
+    assert abs(feat.px_mean - float(px.mean())) < 3.0
+    assert feat.px_std is not None

@@ -1,0 +1,242 @@
+"""GIF pixel codec, stdlib + numpy only (SURVEY.md §2 C22).
+
+Completes the multimodal pixel-decode surface for the four header-supported
+formats (PNG, BMP, JPEG, GIF):
+
+- :func:`decode_gif_pixels` — real GIF87a/89a decode of the first image
+  frame: logical-screen/image descriptors, global+local color tables,
+  variable-width LSB-first LZW decompression with CLEAR/END handling and
+  code-width growth, 4-pass interlace deinterlacing, palette expansion to
+  ``(h, w, 3)`` RGB. Extensions (graphic control etc.) are skipped;
+  transparency is ignored (the transparent index still maps through the
+  palette — the right behavior for pixel-statistics features).
+- :func:`encode_gif` — a minimal valid encoder for round-trip fixtures. It
+  uses the spec-legal "uncompressed LZW" technique (literal codes with a
+  CLEAR emitted before the code width would grow), so output is decodable
+  by any GIF reader; palettes up to 256 colors, optional interlace.
+
+Entropy decode is a per-code Python loop like the JPEG path — the
+documented native-codec swap point for image-heavy corpora; palette
+expansion and deinterlacing are vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF variant: LSB-first bit packing, variable code width 3..12)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # truncated stream: return what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table) and (code < clear or table[code] != b""):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid LZW code")
+        out.extend(entry)
+        if len(out) > max_pixels:
+            return out[:max_pixels]
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> np.ndarray:
+    rows = []
+    for start, step in _INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return np.array(rows, dtype=np.intp)
+
+
+def decode_gif_pixels(b: bytes) -> "np.ndarray | None":
+    """Decode the first frame of a GIF to ``(h, w, 3)`` RGB uint8, or
+    ``None`` for corrupt/unsupported payloads. Never raises on arbitrary
+    bytes."""
+    try:
+        return _decode(b)
+    except Exception:
+        return None
+
+
+def _decode(b: bytes) -> "np.ndarray | None":
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack("<HHHH", b[i + 1 : i + 9])
+            ipacked = b[i + 9]
+            i += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                return None
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                ln = b[i]
+                data += b[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                return None
+            grid = np.array(idx[: w * h], dtype=np.intp).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4-pass order
+                out = np.zeros_like(grid)
+                out[_interlace_order(h)] = grid
+                grid = out
+            if grid.max() >= len(ct):
+                return None
+            return ct[grid]  # (h, w, 3)
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixtures/tests): real LZW compression
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(pixels: "np.ndarray", min_code: int) -> bytes:
+    """Standard GIF LZW compression. Width rule mirrors the decoder exactly:
+    the encoder runs one table entry AHEAD of the decoder (it adds w+k when
+    emitting w; the decoder adds the same string one code later), so the
+    width grows before emitting a code once ``next_code > 1 << code_size``.
+    At table ceiling 4096 a CLEAR resets both sides."""
+    clear = 1 << min_code
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    body = bytearray()
+    code_size = min_code + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits, code_size
+        while code_size < 12 and next_code > (1 << code_size):
+            code_size += 1
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for p in pixels:
+        k = bytes([int(p)])
+        wk = w + k
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+        w = k
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        body.append(acc & 0xFF)
+    return bytes(body)
+
+
+def encode_gif(px: "np.ndarray", *, interlace: bool = False) -> bytes:
+    """Encode ``(h, w, 3)`` RGB uint8 (≤256 distinct colors) as GIF89a with
+    real LZW compression — decodable by any GIF reader, and exercises every
+    decoder path (width growth, KwKwK self-reference, table-full CLEAR)."""
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif supports <=256 colors, got {len(colors)}")
+    # palette size = 2^(n+1) >= len(colors), minimum 4 (min_code_size >= 2)
+    n = 1
+    while (2 << n) < len(colors):
+        n += 1
+    pal = np.zeros((2 << n, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, n + 1)
+
+    grid = idx.reshape(h, w)
+    if interlace:
+        grid = grid[_interlace_order(h)]
+    body = _lzw_encode(grid.ravel(), min_code)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | n, 0, 0])  # GCT present, size 2^(n+1)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code])
+    for k in range(0, len(body), 255):
+        chunk = body[k : k + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)

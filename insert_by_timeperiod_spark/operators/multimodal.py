@@ -188,10 +188,11 @@ def decode_bmp_pixels(b: bytes) -> "np.ndarray | None":
 
 
 def decode_pixels(b: bytes) -> "np.ndarray | None":
-    """Dispatch pixel decode by magic bytes. PNG/BMP/JPEG are REAL decodes
-    (stdlib + numpy; baseline sequential JPEG via operators/jpeg.py — its
-    per-bit Python entropy loop is the documented native-codec swap point
-    for image-heavy corpora). GIF pixel decode (LZW) still returns ``None``."""
+    """Dispatch pixel decode by magic bytes. All four header-supported
+    formats decode for REAL (stdlib + numpy): PNG (zlib + unfilters), BMP,
+    baseline JPEG (operators/jpeg.py), GIF87a/89a (operators/gif.py, LZW).
+    The JPEG/GIF per-symbol Python entropy loops are the documented
+    native-codec swap point for image-heavy corpora."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(b)
     if b[:2] == b"BM":
@@ -200,6 +201,10 @@ def decode_pixels(b: bytes) -> "np.ndarray | None":
         from .jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_pixels
+
+        return decode_gif_pixels(b)
     return None
 
 

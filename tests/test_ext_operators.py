@@ -738,3 +738,76 @@ def test_jpeg_pixels_flow_through_extract_features(spark):
     assert (feat.width, feat.height, feat.n_channels) == (40, 32, 3)
     assert abs(feat.px_mean - float(px.mean())) < 3.0
     assert feat.px_std is not None
+
+
+# ---- GIF codec (operators/gif.py) -----------------------------------------
+
+
+def _palette_image(rng, h, w, n_colors=17):
+    pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    return pal[rng.randint(0, n_colors, size=(h, w))]
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_exact(interlace):
+    from insert_by_timeperiod_spark.operators import gif
+
+    rng = np.random.RandomState(3)
+    px = _palette_image(rng, 23, 31)
+    dec = gif.decode_gif_pixels(gif.encode_gif(px, interlace=interlace))
+    assert dec is not None and np.array_equal(dec, px)  # GIF is lossless
+
+
+def test_gif_lzw_growth_and_table_ceiling():
+    """Run-heavy data exercises KwKwK self-reference codes; a large random
+    image pushes the dictionary past 4096 entries, forcing the mid-stream
+    CLEAR reset on both sides."""
+    from insert_by_timeperiod_spark.operators import gif
+
+    rng = np.random.RandomState(4)
+    pal = rng.randint(0, 256, size=(17, 3), dtype=np.uint8)
+    runs = np.repeat(np.arange(12) % 5, 700)[: 80 * 100].reshape(80, 100)
+    px = pal[runs % 17]
+    enc = gif.encode_gif(px)
+    assert len(enc) < 1000  # real compression, not the uncompressed trick
+    assert np.array_equal(gif.decode_gif_pixels(enc), px)
+    big = pal[rng.randint(0, 17, size=(120, 300))]
+    assert np.array_equal(gif.decode_gif_pixels(gif.encode_gif(big)), big)
+
+
+def test_gif_two_color_min_palette():
+    from insert_by_timeperiod_spark.operators import gif
+
+    rng = np.random.RandomState(5)
+    bw = (
+        np.where(rng.rand(9, 13, 1) > 0.5, 255, 0).astype(np.uint8).repeat(3, axis=2)
+    )
+    assert np.array_equal(gif.decode_gif_pixels(gif.encode_gif(bw)), bw)
+
+
+def test_gif_rejects_garbage_and_truncation():
+    from insert_by_timeperiod_spark.operators import gif
+
+    rng = np.random.RandomState(6)
+    enc = gif.encode_gif(_palette_image(rng, 12, 12))
+    assert gif.decode_gif_pixels(b"garbage") is None
+    assert gif.decode_gif_pixels(b"GIF89a\x00") is None
+    assert gif.decode_gif_pixels(enc[:30]) is None
+    with pytest.raises(ValueError, match="<=256 colors"):
+        i = np.arange(400)
+        many = np.stack([i % 256, i // 256, np.full(400, 7)], axis=-1)
+        gif.encode_gif(many.astype(np.uint8).reshape(20, 20, 3))
+
+
+def test_gif_pixels_flow_through_extract_features(spark):
+    from insert_by_timeperiod_spark.operators import gif
+
+    rng = np.random.RandomState(7)
+    px = _palette_image(rng, 20, 28)
+    df = spark.createDataFrame(
+        [(1, gif.encode_gif(px))], "asset_id long, payload binary"
+    )
+    feat = multimodal.extract_features(df).first()
+    assert feat.detected_type == "image/gif"
+    assert (feat.width, feat.height) == (28, 20)
+    assert abs(feat.px_mean - float(px.mean())) < 1e-9  # lossless => exact

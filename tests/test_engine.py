@@ -524,3 +524,35 @@ def test_keyed_upsert_null_partition_dates_kept_in_steady_state(spark, views, tm
     # path — previously its NULL-date rows were staged then discarded)
     assert weeks_of_null == {0, 1}
     assert len(out) == len({r.k for r in out})
+
+
+def test_keyed_upsert_null_and_oos_and_probe_window_combined(spark, views, tmp_path):
+    """Interaction pin: probe window + NULL partition dates + out-of-span
+    output dates in ONE keyed model — the steady-state rewrite must keep
+    both weeks' rows in the NULL partition AND the far-future partition,
+    and re-running must converge."""
+    model = """
+    SELECT user_id * 100 + CAST(floor(datediff(MIN(CAST(ts AS DATE)), DATE '2024-01-01') / 7) AS BIGINT) AS k,
+           CASE WHEN user_id % 5 = 0 THEN CAST(NULL AS DATE)
+                WHEN user_id % 5 = 1 THEN DATE '2024-06-01'
+                ELSE MIN(CAST(ts AS DATE)) END AS event_date,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id
+    """
+    eng = InsertByTimeperiod(
+        spark, model,
+        cfg(unique_key="k", period="week", stop_date="2024-01-15",
+            upsert_probe_window=7),
+        str(tmp_path / "combo"),
+    )
+    eng.run()
+    rows = eng.table.read().collect()
+    assert {r.k % 100 for r in rows if r.event_date is None} == {0, 1}
+    assert {
+        r.k % 100 for r in rows if r.event_date and r.event_date.month == 6
+    } == {0, 1}
+    assert len(rows) == len({r.k for r in rows})
+    eng.run()  # converges
+    assert eng.table.read().count() == len(rows)

@@ -74,7 +74,11 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # temp views are SparkSESSION-scoped (createOrReplaceTempView), so the
+    # cache key must distinguish sessions sharing one SparkContext (e.g. a
+    # driver using newSession() per entry) — id(spark) does that; appId
+    # guards against id() reuse across a restarted context
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir)
     if key not in _PREPPED:
         register_views(spark, sf_dir)
         _PREPPED.add(key)

@@ -465,8 +465,14 @@ class InsertByTimeperiod:
         if self.config.upsert_probe_window is not None:
             lo = p.start - dt.timedelta(days=self.config.upsert_probe_window)
             pcol = self.table.partition_col
+            # NULL-date rows sit outside every date window but are regular
+            # rows under the NULL-date contract — the probe must see them or
+            # a re-emitted key's old NULL-date row survives as a duplicate
+            # (the window bounds the DATE partitions scanned, and the NULL
+            # partition is a single extra partition, so this stays pruned)
             target = target.where(
-                (F.col(pcol) >= F.lit(lo)) & (F.col(pcol) < F.lit(p.end))
+                ((F.col(pcol) >= F.lit(lo)) & (F.col(pcol) < F.lit(p.end)))
+                | F.col(pcol).isNull()
             )
         return target
 
@@ -498,12 +504,14 @@ class InsertByTimeperiod:
             if obs is not None:
                 rows = df.count()  # also triggers the observation on the cache fill
 
-            if not self.table.partition_dates():
-                # fresh target: no prior rows exist, so the key probe and the
-                # survivor anti-join are provably empty — write the batch
-                # directly, swapping every staged partition (one job instead
-                # of three; dates=None keeps rows whose partition date falls
-                # outside the batch span, matching the reference's INSERT).
+            if not self.table.partition_dates() and not self.table.has_null_partition():
+                # fresh target: no prior rows exist (including NULL-date rows
+                # in the hive default partition, which partition_dates() does
+                # not list), so the key probe and the survivor anti-join are
+                # provably empty — write the batch directly, swapping every
+                # staged partition (one job instead of three; dates=None
+                # keeps rows whose partition date falls outside the batch
+                # span, matching the reference's INSERT).
                 self.table.rewrite_partitions(df, None)
                 return rows
 

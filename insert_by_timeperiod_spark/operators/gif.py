@@ -100,6 +100,7 @@ def _decode(b: bytes) -> "np.ndarray | None":
         return None
     sw, sh = struct.unpack("<HH", b[6:10])
     packed = b[10]
+    bg_index = b[11]
     i = 13
     gct = None
     if packed & 0x80:
@@ -141,7 +142,19 @@ def _decode(b: bytes) -> "np.ndarray | None":
                 grid = out
             if grid.max() >= len(ct):
                 return None
-            return ct[grid]  # (h, w, 3)
+            px = ct[grid]  # (h, w, 3)
+            if (left, top) == (0, 0) and (w, h) == (sw, sh):
+                return px
+            # spec-legal sub-region frame: composite onto the logical screen
+            # at (left, top), background color elsewhere, so the returned
+            # geometry matches the header dimensions downstream code reports
+            if left + w > sw or top + h > sh:
+                return None
+            bg = ct[bg_index] if bg_index < len(ct) else np.zeros(3, np.uint8)
+            screen = np.empty((sh, sw, 3), dtype=np.uint8)
+            screen[:] = bg
+            screen[top : top + h, left : left + w] = px
+            return screen
         elif block == 0x3B:  # trailer
             return None
         else:

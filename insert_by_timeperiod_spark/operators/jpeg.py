@@ -339,7 +339,6 @@ def _decode_scan(b, start, frame, scan_map, qt, huff_dc, huff_ac, dri):
         spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks.astype(np.float64), _C)
         spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
         # reassemble: blocks are stored MCU-major, raster within the MCU
-        pw, ph = mcus_x * 8 * hs // hmax * (hmax // hs), mcus_y * 8 * vs
         plane = np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.uint8)
         bi = 0
         for m in range(n_mcus):

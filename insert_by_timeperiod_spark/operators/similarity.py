@@ -155,7 +155,17 @@ def _add_lsh_tables(
     def keys(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs.to_numpy()])
+        # NULL / wrong-length embeddings map to the zero vector -> every
+        # projection is 0 (not > 0) -> bucket 0, matching the replaced
+        # pure-expression form where NULL comparisons fell to otherwise(0);
+        # a task crash on one bad row would fail the whole job
+        def vec(v):
+            if v is None:
+                return np.zeros(dim)
+            a = np.asarray(v, dtype=np.float64)
+            return a if a.shape == (dim,) else np.zeros(dim)
+
+        m = np.stack([vec(v) for v in vs.to_numpy()])
         proj = m @ proj_mat
         bits = (proj > 0).reshape(len(m), n_tables, n_planes)
         bkt = (bits * weights).sum(axis=2, dtype=np.int64)  # (n, T)

@@ -173,6 +173,14 @@ class ParquetTable:
                     pass
         return sorted(out)
 
+    def has_null_partition(self) -> bool:
+        """True when the hive default partition (NULL partition dates)
+        exists — ``partition_dates()`` deliberately lists only real dates, so
+        emptiness checks must consult both."""
+        return self.fs.is_dir(
+            f"{self.path}/{self.partition_col}=__HIVE_DEFAULT_PARTITION__"
+        )
+
     def delete_date_range(self, start: dt.date, end: dt.date) -> int:
         """Range delete = drop partition directories in ``[start, end)`` —
         the parquet analogue of ``DELETE FROM t WHERE ts >= a AND ts < b``

@@ -556,3 +556,62 @@ def test_keyed_upsert_null_and_oos_and_probe_window_combined(spark, views, tmp_p
     assert len(rows) == len({r.k for r in rows})
     eng.run()  # converges
     assert eng.table.read().count() == len(rows)
+
+
+def test_probe_window_deletes_null_date_rows_for_reemitted_keys(spark, views, tmp_path):
+    """With a probe window set, a key whose old row lives in the NULL
+    partition must still be deleted when the key is re-emitted — the window
+    bounds date partitions, not the NULL partition."""
+    # week 1 emits NULL dates; week 2 re-emits THE SAME keys with real dates
+    model = """
+    SELECT user_id AS k,
+           CASE WHEN floor(datediff(MIN(CAST(ts AS DATE)), DATE '2024-01-01') / 7) = 0
+                THEN CAST(NULL AS DATE) ELSE MIN(CAST(ts AS DATE)) END AS event_date,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id
+    """
+    eng = InsertByTimeperiod(
+        spark, model,
+        cfg(unique_key="k", period="week", stop_date="2024-01-15",
+            upsert_probe_window=7),
+        str(tmp_path / "pw_null"),
+    )
+    eng.run()
+    out = eng.table.read().collect()
+    # every key appears exactly once: week 2's upsert deleted the week-1
+    # NULL-date rows for keys active in both weeks
+    assert len(out) == len({r.k for r in out}), sorted(
+        (r.k, r.event_date) for r in out
+    )
+
+
+def test_null_only_target_not_treated_as_fresh(spark, views, tmp_path):
+    """A target whose ONLY partition is the NULL partition must run the real
+    probe+survivor path on the next batch, not the fresh-target fast path
+    (partition_dates() does not list the hive default partition)."""
+    model = """
+    SELECT user_id AS k, CAST(NULL AS DATE) AS event_date, COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id
+    """
+    tgt = str(tmp_path / "null_only")
+    eng1 = InsertByTimeperiod(
+        spark, model, cfg(unique_key="k", period="week", stop_date="2024-01-08"), tgt
+    )
+    eng1.run()
+    n1 = eng1.table.read().count()
+    assert n1 > 0
+    # second run covers week 2 only: same keys re-emitted -> replaced, not
+    # duplicated, and keys absent from week 2 survive
+    eng2 = InsertByTimeperiod(
+        spark, model,
+        cfg(unique_key="k", period="week",
+            start_date="2024-01-08", stop_date="2024-01-15"),
+        tgt,
+    )
+    eng2.run()
+    out = eng2.table.read().collect()
+    assert len(out) == len({r.k for r in out})

@@ -811,3 +811,43 @@ def test_gif_pixels_flow_through_extract_features(spark):
     assert feat.detected_type == "image/gif"
     assert (feat.width, feat.height) == (28, 20)
     assert abs(feat.px_mean - float(px.mean())) < 1e-9  # lossless => exact
+
+
+def test_lsh_tolerates_null_and_malformed_embeddings(spark, embs):
+    """A NULL or wrong-length embedding must not crash the Arrow lane — it
+    buckets like the zero vector (every projection 0), matching the old
+    pure-expression behavior where NULL comparisons fell through to 0."""
+    bad = spark.createDataFrame(
+        [(90001, None), (90002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    both = embs.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(bad)
+    out = similarity.lsh_topk(both, both.where("vec_id < 5"), k=3, dim=64)
+    assert out.count() > 0  # job completes; results for the healthy corpus
+
+
+def test_gif_subregion_frame_composites_onto_screen():
+    """A spec-legal first frame smaller than the logical screen decodes to
+    the SCREEN geometry (background-filled), keeping width/height consistent
+    with the header metadata downstream features report."""
+    import struct as _struct
+
+    from insert_by_timeperiod_spark.operators import gif
+
+    rng = np.random.RandomState(9)
+    px = _palette_image(rng, 6, 8, n_colors=7)
+    enc = bytearray(gif.encode_gif(px))
+    # grow the logical screen and shift the image descriptor by (3, 2):
+    # header screen dims at bytes 6-9; descriptor after 13 + 3*gct_size
+    n = enc[10] & 0x07
+    gct_len = 3 * (2 << n)
+    desc = 13 + gct_len
+    assert enc[desc] == 0x2C
+    _struct.pack_into("<HH", enc, 6, 8 + 6, 6 + 5)  # screen 14 x 11
+    _struct.pack_into("<HH", enc, desc + 1, 3, 2)  # left=3, top=2
+    enc[11] = 1  # background color index
+    dec = gif.decode_gif_pixels(bytes(enc))
+    assert dec is not None and dec.shape == (11, 14, 3)
+    assert np.array_equal(dec[2:8, 3:11], px)  # sub-frame in place
+    colors, _ = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
+    assert np.array_equal(dec[0, 0], colors[1])  # background color fills rest

@@ -1114,6 +1114,24 @@ FROM documents
 """
 
 
+def _multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end, oracle-checked: each doc's first 48 bytes
+    become a genuine 4x4 LZW-compressed GIF (text_to_gif_payload), the
+    stdlib decoder (operators/gif.py) recovers the pixels inside
+    mapInPandas, and px_sum equals the byte sum DuckDB computes from the
+    text — GIF is lossless, so the match is exact (same oracle shape as the
+    BMP entry)."""
+    _prep(spark, sf_dir)
+    assets = multimodal.text_to_gif_payload(spark.table("documents"), "doc_id", "text")
+    return multimodal.extract_features(assets).select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.round(F.col("px_mean") * 48).cast("long").alias("px_sum"),
+    )
+
+
 _STREAM_SRC_CACHE: dict[str, str] = {}
 
 
@@ -1299,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_meta": _multimodal_meta,
         "multimodal_pixels": _multimodal_pixels,
+        "multimodal_gif_pixels": _multimodal_gif,
         "multimodal_features": _multimodal_features,
         "sim_ann_topk": _sim_ann,
         "sim_ivf_topk": _sim_ivf,
@@ -1417,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_cosine_dupes": SIM_DUPES_DUCK,
             "multimodal_meta": MULTIMODAL_META_DUCK,
             "multimodal_pixels": MULTIMODAL_PIXELS_DUCK,
+            "multimodal_gif_pixels": MULTIMODAL_PIXELS_DUCK,
             "streaming_windowed_counts": STREAM_WINDOWED_DUCK,
             "streaming_ingest_table": STREAM_INGEST_DUCK,
             "sessionize_events": SESSIONIZE_DUCK,

@@ -259,6 +259,34 @@ def text_to_bmp_payload(
     ).mapInPandas(op, "asset_id long, media_type string, payload binary")
 
 
+def text_to_gif_payload(
+    df: DataFrame, id_col: str, text_col: str, *, w: int = 4, h: int = 4
+) -> DataFrame:
+    """Derive a REAL (decodable) GIF payload per row from the first
+    ``w*h*3`` text bytes — same fixture contract as ``text_to_bmp_payload``
+    but through the LZW codec, so the driver's oracle exercises the GIF
+    decode end-to-end (GIF is lossless: pixel stats are exact)."""
+    from .gif import encode_gif
+
+    n = w * h * 3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")[:n].ljust(n, b"\x00")
+                payloads.append(
+                    encode_gif(np.frombuffer(b, dtype=np.uint8).reshape(h, w, 3))
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col], "media_type": "image/gif", "payload": payloads}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(op, "asset_id long, media_type string, payload binary")
+
+
 def attach_fake_payload(
     df: DataFrame, id_col: str, text_col: str, media_type: str = "image/fake"
 ) -> DataFrame:

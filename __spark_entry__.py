@@ -29,6 +29,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import tempfile
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -51,7 +52,14 @@ from insert_by_timeperiod_spark.streaming import StreamToPeriodTable, event_time
 START, STOP = "2024-01-01", "2024-02-01"  # events span Jan 2024 at every sf
 
 
-_PREPPED: set[tuple[str, str]] = set()
+#: per-session view-registration cache: weak session ref -> {(appId, sf_dir)}.
+#: Weak keys (not id(spark)) because CPython can reuse an id() for a brand-new
+#: session after an old one is collected, which would silently skip
+#: registering the (session-scoped) temp views; the appId inside the value
+#: guards a context restart reusing the same live session object.
+_PREPPED: "weakref.WeakKeyDictionary[SparkSession, set[tuple[str, str]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _prep(spark: SparkSession, sf_dir: str) -> None:
@@ -76,12 +84,13 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
             pass
     # temp views are SparkSESSION-scoped (createOrReplaceTempView), so the
     # cache key must distinguish sessions sharing one SparkContext (e.g. a
-    # driver using newSession() per entry) — id(spark) does that; appId
-    # guards against id() reuse across a restarted context
-    key = (id(spark), spark.sparkContext.applicationId, sf_dir)
-    if key not in _PREPPED:
+    # driver using newSession() per entry) — the weak session key does that
+    # without the id()-reuse hazard of keying on id(spark)
+    done = _PREPPED.setdefault(spark, set())
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in done:
         register_views(spark, sf_dir)
-        _PREPPED.add(key)
+        done.add(key)
 
 
 def _sql(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:

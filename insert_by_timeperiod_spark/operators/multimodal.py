@@ -5,13 +5,15 @@ Extensions beyond the reference's surface (north star, /root/repo/BASELINE.json)
 The Spark-side plumbing is real and tested — schema contract, Arrow-batched
 ``mapInPandas`` operators, partition-count preservation. Header decode
 (type sniffing + dimensions + channels for PNG/GIF/JPEG/BMP) is REAL,
-stdlib-only (``parse_image_header``). FULL PIXEL DECODE is real for PNG
-(8-bit gray/RGB/RGBA/gray+alpha, non-interlaced: zlib inflate + the five
-scanline unfilters), uncompressed 24-bit BMP, and baseline sequential JPEG
-(huffman + dequant + IDCT + 4:4:4/4:2:0 upsampling, operators/jpeg.py) —
-no codec library needed. GIF (LZW) pixel decode and progressive JPEG still
-need one; swap PIL/torchaudio into ``_decode_payload`` and nothing else
-changes.
+stdlib-only (``parse_image_header``). FULL PIXEL DECODE is real for all
+four formats — PNG (8-bit gray/RGB/RGBA/gray+alpha, non-interlaced: zlib
+inflate + the five scanline unfilters), uncompressed 24-bit BMP, baseline
+sequential JPEG (huffman + dequant + IDCT + 4:4:4/4:2:0 upsampling,
+operators/jpeg.py), and GIF87a/89a (LZW, operators/gif.py) — no codec
+library needed; ``decode_pixels`` dispatches by magic bytes. Progressive/
+arithmetic JPEG, palette/16-bit/interlaced PNG, and audio/video codecs
+return ``None`` honestly; swap PIL/torchaudio into ``decode_pixels`` /
+``_decode_payload`` for those and nothing else changes.
 
 Scale design: decode/feature-extract is embarrassingly parallel per row —
 ``mapInPandas`` streams Arrow batches through Python with zero shuffle; at
@@ -316,9 +318,7 @@ def _decode_payload(payload: bytes) -> dict:
     unrecognized payloads fall back to a deterministic fake so the plumbing
     (schema, batching, null handling) is exercised by text-derived fixture
     payloads too. Full pixel decode (PIL/torchaudio) slots in here —
-    nothing else changes."""
-    if payload is None:
-        raise NotImplementedError("real decode not available in this container")
+    nothing else changes. Callers filter ``None`` payloads first."""
     parsed = parse_image_header(payload)
     if parsed is not None:
         return parsed

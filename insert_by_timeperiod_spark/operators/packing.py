@@ -28,6 +28,8 @@ alongside operators/dedup.py and operators/similarity.py.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -99,38 +101,53 @@ def greedy_packing(
     than ``max_tokens`` get a pack of their own (callers truncate/split
     upstream). Returns ``(id, n_tok, bucket, pack_id, pack_offset)``.
 
-    The running reset ("remaining capacity") is inherently sequential, so
-    each bucket runs one Arrow-batched ``applyInPandas`` pass — buckets are
-    independent, so parallelism is the bucket count, and per-task state is
-    two integers. This is the honest shape for sequential-scan logic in
-    Spark; the concat-chunk planner above stays in pure column expressions.
+    The running reset ("remaining capacity") is inherently sequential per
+    bucket, so the plan is: one shuffle that hash-partitions on the bucket
+    key, an in-partition sort by (bucket, id), then a STREAMING
+    ``mapInPandas`` pass that walks the sorted Arrow batches carrying two
+    integers of state per bucket. Unlike a ``groupBy().applyInPandas``
+    (which materializes a whole bucket's rows in one pandas frame), peak
+    task memory here is one Arrow batch regardless of bucket size — a
+    bucket with billions of rows streams through. Parallelism is the bucket
+    count; the concat-chunk planner above stays in pure column expressions.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     bucket = F.pmod(F.col(id_col).cast("long"), F.lit(buckets)).cast("int")
-    slim = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(tokens_col).cast("long").alias("n_tok"),
-        bucket.alias("bucket"),
+    slim = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(tokens_col).cast("long").alias("n_tok"),
+            bucket.alias("bucket"),
+        )
+        # one shuffle: all of a bucket's rows land in one partition, sorted
+        # by id — the order the sequential walk needs. A partition may hold
+        # several buckets; the walk keys its state by bucket id.
+        .repartition(buckets, "bucket")
+        .sortWithinPartitions("bucket", "_id")
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
-        pack_ids, offsets = [], []
-        seq, used = 0, 0
-        for n in pdf["n_tok"]:
-            n = max(int(n), 0)
-            if used > 0 and used + n > max_tokens:
-                seq += 1
-                used = 0
-            pack_ids.append(seq)
-            offsets.append(used)
-            used += n
-        b = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
-        pdf["pack_id"] = [b * _BUCKET_STRIDE + s for s in pack_ids]
-        pdf["pack_offset"] = offsets
-        return pdf
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # state per bucket: (next pack seq, tokens used in current pack) —
+        # two ints per bucket in this partition, never the rows themselves
+        state: dict[int, tuple[int, int]] = {}
+        for pdf in batches:
+            pack_ids, offsets = [], []
+            for b, n in zip(pdf["bucket"], pdf["n_tok"]):
+                b = int(b)
+                n = max(int(n), 0)
+                seq, used = state.get(b, (0, 0))
+                if used > 0 and used + n > max_tokens:
+                    seq += 1
+                    used = 0
+                pack_ids.append(b * _BUCKET_STRIDE + seq)
+                offsets.append(used)
+                state[b] = (seq, used + n)
+            out = pdf.copy()
+            out["pack_id"] = pack_ids
+            out["pack_offset"] = offsets
+            yield out
 
     out_schema = "_id long, n_tok long, bucket int, pack_id long, pack_offset long"
-    out = slim.groupBy("bucket").applyInPandas(pack, out_schema)
+    out = slim.mapInPandas(pack, out_schema)
     return out.withColumnRenamed("_id", id_col)

@@ -236,16 +236,32 @@ def train_ivf_centroids(
     k_cells: int = 32,
     iters: int = 10,
     seed: int = 42,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_limit: int = 20_000,
 ) -> np.ndarray:
     """Spherical k-means centroids from a bounded corpus sample.
 
     Training is driver-side numpy over at most ``sample_limit`` vectors — at
-    100 TB the sample is still ``sample_limit`` rows (LIMIT short-circuits
-    the scan), and centroid quality depends on sample size, not corpus size.
-    Returns an (k_cells, dim) array of unit-norm centroids."""
-    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    100 TB the sample is still ``sample_limit`` rows, and centroid quality
+    depends on sample size, not corpus size. The sample is the
+    ``sample_limit`` rows with the smallest ``xxhash64(id, seed)`` — a
+    seeded deterministic choice independent of partition count or scan
+    order, so the same (corpus, seed) always trains the same centroids
+    (a bare LIMIT is partition-order-dependent and is NOT reproducible).
+    Executed as per-partition top-k + driver merge (TakeOrderedAndProject),
+    never a full sort. Returns an (k_cells, dim) array of unit-norm
+    centroids."""
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_h", "_id")
+        .limit(sample_limit)
+        .collect()
+    )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -303,7 +319,7 @@ def ivf_topk(
     when one corpus pass must serve many queries."""
     cents = train_ivf_centroids(
         corpus, k_cells=k_cells, iters=iters, seed=seed,
-        vec_col=vec_col, sample_limit=sample_limit,
+        id_col=id_col, vec_col=vec_col, sample_limit=sample_limit,
     )
     assign1 = _cell_assign_udf(cents, 1)
     assignN = _cell_assign_udf(cents, nprobe)

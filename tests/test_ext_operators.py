@@ -851,3 +851,48 @@ def test_gif_subregion_frame_composites_onto_screen():
     assert np.array_equal(dec[2:8, 3:11], px)  # sub-frame in place
     colors, _ = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
     assert np.array_equal(dec[0, 0], colors[1])  # background color fills rest
+
+
+def test_ivf_topk_deterministic_across_partitionings(spark, embs):
+    """The seeded-hash training sample makes ivf_topk reproducible: the same
+    (corpus, seed) must return identical results regardless of how the
+    corpus happens to be partitioned (a bare LIMIT sample is partition-order
+    dependent and broke this before)."""
+    queries = embs.where("vec_id < 10")
+    a = similarity.ivf_topk(embs, queries, k=3, k_cells=16, nprobe=4)
+    b = similarity.ivf_topk(
+        embs.repartition(7), queries, k=3, k_cells=16, nprobe=4
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    ra = {key(r): (r.neighbor_id, round(r.sim, 12)) for r in a.collect()}
+    rb = {key(r): (r.neighbor_id, round(r.sim, 12)) for r in b.collect()}
+    assert ra == rb
+
+
+def test_greedy_packing_streaming_matches_reference_walk(spark):
+    """greedy_packing's mapInPandas streaming walk (state = two ints per
+    bucket, one Arrow batch in memory) must equal the per-bucket sequential
+    reference — including when the input arrives arbitrarily partitioned
+    and when a partition holds several interleaved buckets."""
+    from insert_by_timeperiod_spark.operators import packing
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), int(n)) for i, n in enumerate(rng.integers(0, 900, 400))]
+    rows[11] = (11, 5000)  # oversized doc -> pack of its own
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(5)
+    out = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in packing.greedy_packing(df, "n", max_tokens=2048, buckets=3).collect()
+    }
+
+    expect = {}
+    for b in range(3):
+        seq, used = 0, 0
+        for i, n in rows:
+            if i % 3 != b:
+                continue
+            if used > 0 and used + n > 2048:
+                seq, used = seq + 1, 0
+            expect[i] = (b * (1 << 32) + seq, used)
+            used += n
+    assert out == expect

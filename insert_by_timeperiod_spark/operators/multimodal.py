@@ -289,6 +289,39 @@ def text_to_gif_payload(
     ).mapInPandas(op, "asset_id long, media_type string, payload binary")
 
 
+def text_to_jpeg_payload(
+    df: DataFrame, id_col: str, text_col: str, *, n_bytes: int = 48
+) -> DataFrame:
+    """Derive a REAL (decodable) baseline JPEG payload per row from the
+    first ``n_bytes`` text bytes — the JPEG twin of
+    ``text_to_gif_payload``, engineered so the normally-LOSSY codec
+    round-trips EXACTLY and the driver's oracle can hash-match pixel sums:
+    each byte becomes one flat 8×8 grayscale block (image ``8 × 8*n_bytes``)
+    and quality=100 makes the quantization table all-ones, so a flat
+    block's only nonzero coefficient is its DC term ``8*(v-128)`` — an
+    integer that survives quantize/dequantize/IDCT bit-exactly (pinned by
+    tests). Decoded ``px_mean * n_bytes`` therefore equals the byte sum."""
+    from .jpeg import encode_baseline_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")[:n_bytes].ljust(n_bytes, b"\x00")
+                px = np.kron(
+                    np.frombuffer(b, dtype=np.uint8).reshape(n_bytes, 1), ones
+                )
+                payloads.append(encode_baseline_jpeg(px, quality=100))
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col], "media_type": "image/jpeg", "payload": payloads}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(op, "asset_id long, media_type string, payload binary")
+
+
 def attach_fake_payload(
     df: DataFrame, id_col: str, text_col: str, media_type: str = "image/fake"
 ) -> DataFrame:

@@ -896,3 +896,26 @@ def test_greedy_packing_streaming_matches_reference_walk(spark):
             expect[i] = (b * (1 << 32) + seq, used)
             used += n
     assert out == expect
+
+
+def test_jpeg_flat_block_fixture_roundtrips_exactly():
+    """The driver's multimodal_jpeg_pixels oracle relies on this: a
+    quality=100 (all-ones quant table) grayscale JPEG of flat 8x8 blocks
+    round-trips BIT-EXACTLY — each flat block's only nonzero coefficient is
+    the integer DC term 8*(v-128), which quantize/dequantize/IDCT preserve."""
+    from insert_by_timeperiod_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        vals = rng.integers(0, 256, 48).astype(np.uint8)
+        px = np.kron(vals.reshape(48, 1), np.ones((8, 8), dtype=np.uint8))
+        dec = decode_jpeg_pixels(encode_baseline_jpeg(px, quality=100))
+        assert dec is not None and dec.shape == (384, 8, 1)
+        assert np.array_equal(dec[:, :, 0], px)
+    for v in (0, 127, 128, 255):  # extremes + the level-shift pivot
+        px = np.full((384, 8), v, dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_baseline_jpeg(px, quality=100))
+        assert np.array_equal(dec[:, :, 0], px)

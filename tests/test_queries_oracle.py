@@ -14,8 +14,12 @@ import __spark_entry__ as entrymod
 
 from conftest import assert_df_matches_duck
 
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+QUERIES = dict(entrymod.queries())
+ORACLES = dict(entrymod.oracle_sql())
+# pytest-only annex: demoted from the driver battery (its recording caps at
+# ~50 rows) but still held to the identical oracle comparison here
+QUERIES.update(entrymod.pytest_only_queries())
+ORACLES.update(entrymod.pytest_only_oracles())
 
 ORACLED = sorted(n for n in QUERIES if n in ORACLES)
 ROWS_ONLY = sorted(n for n in QUERIES if n not in ORACLES)
@@ -24,6 +28,16 @@ ROWS_ONLY = sorted(n for n in QUERIES if n not in ORACLES)
 def test_every_query_has_callable_and_oracle_keys_match():
     assert set(ORACLES) <= set(QUERIES), "oracle without a query"
     assert len(QUERIES) >= 30
+
+
+def test_driver_battery_fits_recording_capacity():
+    """r3-r5 lesson: the driver records at most ~50 correctness rows and
+    silently drops the tail. Everything declared must fit."""
+    declared = entrymod.queries()
+    assert len(declared) <= 50, f"{len(declared)} declared rows risk truncation"
+    assert set(entrymod.oracle_sql()) <= set(declared)
+    # demoted entries must not leak back into the driver contract
+    assert not (set(entrymod.pytest_only_queries()) & set(declared))
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -879,17 +879,13 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six stats via the fused Arrow lane (functions/text.py
+    text_stats_batch) — ONE pass over the text instead of ~30 codegen'd
+    substring passes, bit-identical to the per-column Catalyst functions
+    (whose codegen lane stays oracle-covered through
+    pipeline_clean_documents and pytest)."""
     _prep(spark, sf_dir)
-    t = F.col("text")
-    return spark.table("documents").select(
-        "doc_id",
-        TX.token_count(t).cast("long").alias("n_tokens"),
-        TX.bpe_ish_token_count(t).cast("long").alias("n_bpe"),
-        TX.punct_ratio(t).cast("double").alias("punct"),
-        TX.uppercase_ratio(t).cast("double").alias("upper_r"),
-        TX.lang_id(t).alias("lang_guess"),
-        TX.quality_score(t).alias("quality"),
-    )
+    return TX.text_stats_batch(spark.table("documents")).select("doc_id", "stats.*")
 
 
 def _occ_sql(col: str, needle: str) -> str:

@@ -44,7 +44,9 @@ HEADLINE = [
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("ibtp-bench")
-    queries = entrymod.queries()
+    # the bench measures some entries the driver battery demoted to
+    # pytest-only (e.g. dedup_exact) — include both dicts
+    queries = {**entrymod.queries(), **entrymod.pytest_only_queries()}
 
     # warm-up: classloading, codegen, parquet footer caches — including the
     # parquet WRITE path (committer + writer classload is ~6s on first use

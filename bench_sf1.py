@@ -101,7 +101,7 @@ def main() -> None:
     spark = get_spark("ibtp-bench-sf1")
     generate(spark)
 
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **entrymod.pytest_only_queries()}
     oracles = entrymod.oracle_sql()
 
     # warm both engines (classload/codegen for Spark, buffer pool for DuckDB)

@@ -919,3 +919,40 @@ def test_jpeg_flat_block_fixture_roundtrips_exactly():
         px = np.full((384, 8), v, dtype=np.uint8)
         dec = decode_jpeg_pixels(encode_baseline_jpeg(px, quality=100))
         assert np.array_equal(dec[:, :, 0], px)
+
+
+def test_text_stats_batch_lane_matches_column_lane(spark, docs):
+    """The fused Arrow lane (text_stats_batch) must be BIT-IDENTICAL to the
+    per-column Catalyst functions — they share one DuckDB oracle, so any
+    drift between the lanes would silently invalidate it."""
+    t = F.col("text")
+    cols = docs.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(t).cast("long").alias("n_bpe"),
+        TX.punct_ratio(t).cast("double").alias("punct"),
+        TX.uppercase_ratio(t).cast("double").alias("upper_r"),
+        TX.lang_id(t).alias("lang_guess"),
+        TX.quality_score(t).alias("quality"),
+    )
+    batch = TX.text_stats_batch(docs).select("doc_id", "stats.*")
+    a = {r.doc_id: tuple(r)[1:] for r in cols.collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in batch.collect()}
+    assert a == b
+    # edge rows: NULL, empty, whitespace-only, no-marker text
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "xyzzy qwerty!"), (5, "the the the")],
+        "doc_id long, text string",
+    )
+    ec = {r.doc_id: tuple(r)[1:] for r in edge.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        TX.punct_ratio(F.col("text")).cast("double").alias("punct"),
+        TX.uppercase_ratio(F.col("text")).cast("double").alias("upper_r"),
+        TX.lang_id(F.col("text")).alias("lang_guess"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    ).collect()}
+    eb = {r.doc_id: tuple(r)[1:] for r in
+          TX.text_stats_batch(edge).select("doc_id", "stats.*").collect()}
+    assert ec == eb

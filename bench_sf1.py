@@ -102,7 +102,7 @@ def main() -> None:
     generate(spark)
 
     queries = {**entrymod.queries(), **entrymod.pytest_only_queries()}
-    oracles = entrymod.oracle_sql()
+    oracles = {**entrymod.oracle_sql(), **entrymod.pytest_only_oracles()}
 
     # warm both engines (classload/codegen for Spark, buffer pool for DuckDB)
     spark.range(1_000_000).selectExpr("sum(id)").collect()

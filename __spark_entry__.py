@@ -35,6 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
+from insert_by_timeperiod_spark.functions import quality as QL
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
@@ -42,6 +43,7 @@ from insert_by_timeperiod_spark.operators import (
     joins,
     multimodal,
     packing,
+    sampling,
     similarity,
 )
 from insert_by_timeperiod_spark.operators.pipeline import clean_documents
@@ -991,6 +993,167 @@ SELECT doc_id, {expr} AS clean FROM planted
 """
 
 
+#: structured junk planted on every fourth doc so the Gopher repetition /
+#: structure metrics (dup lines, bullets, ellipsis, symbol density) measure
+#: real variation — the synthetic corpus is single-line prose
+_QUALITY_SUFFIX = (
+    "\nintro line\n- bullet one\n- bullet two\n* bullet three\nrepeat me"
+    "\nrepeat me\nrepeat me\nwait for it...\n# # heading # #\nthe end…"
+)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C25: Gopher/C4-style quality-filter stats + composite verdict
+    (functions/quality.py) — all per-row higher-order-function expressions,
+    zero shuffle; the DuckDB oracle recomputes every metric exactly with its
+    list lambdas. The pass flag is evaluated over the metric COLUMNS (same
+    expressions; pytest pins passes_gopher(col) == this recomposition)."""
+    _prep(spark, sf_dir)
+    t = F.col("text")
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(t, F.lit(_QUALITY_SUFFIX))
+        ).otherwise(t),
+    )
+    m = docs.select(
+        "doc_id",
+        QL.word_count(t).cast("bigint").alias("n_words"),
+        QL.dup_line_frac(t).alias("dup_line_frac"),
+        QL.bullet_line_frac(t).alias("bullet_line_frac"),
+        QL.ellipsis_line_frac(t).alias("ellipsis_line_frac"),
+        QL.symbol_word_ratio(t).alias("symbol_word_ratio"),
+        QL.alpha_word_frac(t).alias("alpha_word_frac"),
+        QL.mean_word_len(t).alias("mean_word_len"),
+        QL.top_ngram_frac(t, 2).alias("top_bigram_frac"),
+    )
+    g = QL.GOPHER_THRESHOLDS
+    return m.withColumn(
+        "passes_gopher",
+        (F.col("n_words") >= g["min_words"])
+        & (F.col("n_words") <= g["max_words"])
+        & (F.col("dup_line_frac") <= g["max_dup_line_frac"])
+        & (F.col("symbol_word_ratio") <= g["max_symbol_word_ratio"])
+        & (F.col("bullet_line_frac") <= g["max_bullet_line_frac"])
+        & (F.col("ellipsis_line_frac") <= g["max_ellipsis_line_frac"])
+        & (F.col("alpha_word_frac") >= g["min_alpha_word_frac"])
+        & (F.col("mean_word_len") >= g["min_mean_word_len"])
+        & (F.col("mean_word_len") <= g["max_mean_word_len"])
+        & (F.col("top_bigram_frac") <= g["max_top_bigram_frac"]),
+    )
+
+
+def _text_quality_duck() -> str:
+    suffix = _QUALITY_SUFFIX.replace("'", "''")
+    bullets = " OR ".join(
+        f"starts_with(ltrim(x), '{p}')" for p in QL.BULLET_PREFIXES
+    )
+    ells = " OR ".join(
+        f"ends_with(rtrim(x), '{s}')" for s in QL.ELLIPSIS_SUFFIXES
+    )
+    sym = " + ".join(
+        f"(length(text) - length(replace(text, '{s}', '')))" for s in QL.SYMBOLS
+    )
+    g = QL.GOPHER_THRESHOLDS
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || '{suffix}' ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM planted
+), wrk AS (
+  SELECT *, len(words) AS nw, len(lines) AS nl,
+         CASE WHEN len(list_slice(words, 1, 256)) < 2 THEN NULL
+              ELSE list_transform(
+                     generate_series(1, len(list_slice(words, 1, 256)) - 1),
+                     i -> array_to_string(
+                            list_slice(list_slice(words, 1, 256), i, i + 1), ' '))
+         END AS bigrams
+  FROM base
+), metrics AS (
+  SELECT doc_id,
+    CAST(nw AS BIGINT) AS n_words,
+    CAST(1.0 - len(list_distinct(lines)) / nl AS DOUBLE) AS dup_line_frac,
+    CAST(len(list_filter(lines, x -> {bullets})) / nl AS DOUBLE) AS bullet_line_frac,
+    CAST(len(list_filter(lines, x -> {ells})) / nl AS DOUBLE) AS ellipsis_line_frac,
+    CAST(({sym}) / greatest(nw, 1) AS DOUBLE) AS symbol_word_ratio,
+    CAST(CASE WHEN nw = 0 THEN 0.0
+         ELSE len(list_filter(words, x -> regexp_matches(x, '{QL.ALPHA_SRC}'))) / nw
+         END AS DOUBLE) AS alpha_word_frac,
+    CAST(CASE WHEN nw = 0 THEN 0.0
+         ELSE list_sum(list_transform(words, x -> length(x))) / nw
+         END AS DOUBLE) AS mean_word_len,
+    CAST(CASE WHEN bigrams IS NULL THEN 0.0
+         ELSE list_max(list_transform(list_distinct(bigrams),
+                g -> len(list_filter(bigrams, x -> x = g)))) / len(bigrams)
+         END AS DOUBLE) AS top_bigram_frac
+  FROM wrk
+)
+SELECT *,
+  (n_words >= {g["min_words"]} AND n_words <= {g["max_words"]}
+   AND dup_line_frac <= {g["max_dup_line_frac"]}
+   AND symbol_word_ratio <= {g["max_symbol_word_ratio"]}
+   AND bullet_line_frac <= {g["max_bullet_line_frac"]}
+   AND ellipsis_line_frac <= {g["max_ellipsis_line_frac"]}
+   AND alpha_word_frac >= {g["min_alpha_word_frac"]}
+   AND mean_word_len >= {g["min_mean_word_len"]}
+   AND mean_word_len <= {g["max_mean_word_len"]}
+   AND top_bigram_frac <= {g["max_top_bigram_frac"]}) AS passes_gopher
+FROM metrics
+"""
+
+
+def _sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C26: deterministic stratified sampling + split assignment
+    (operators/sampling.py). Top-20 docs per language by md5-prefix draw
+    (one shuffle by stratum), each labeled train/valid/test by a second
+    independent draw — the DuckDB oracle replays the identical md5
+    arithmetic, proving the sample is engine-portable."""
+    _prep(spark, sf_dir)
+    s = sampling.stratified_sample(
+        spark.table("documents").select("doc_id", "lang"),
+        ["lang"],
+        20,
+        ["doc_id"],
+        seed="r6",
+        rank_col="rk",
+    )
+    s = sampling.assign_splits(
+        s,
+        ["doc_id"],
+        weights={"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed="split",
+    )
+    return s.select("doc_id", "lang", F.col("rk").cast("bigint").alias("rk"), "split")
+
+
+def _sample_strat_duck() -> str:
+    t_train = sampling._hex_threshold(0.8)
+    t_valid = sampling._hex_threshold(0.9)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(concat('r6', chr(31), doc_id)), 1, 8), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk,
+       CASE WHEN substr(md5(concat('split', chr(31), doc_id)), 1, 8) < '{t_train}'
+              THEN 'train'
+            WHEN substr(md5(concat('split', chr(31), doc_id)), 1, 8) < '{t_valid}'
+              THEN 'valid'
+            ELSE 'test' END AS split
+FROM ranked WHERE rk <= 20
+"""
+
+
 def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
     (hash-bucketed parallel streams — no global sort; operators/packing.py).
@@ -1398,8 +1561,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order = driver execution order. The driver records AT MOST ~50
     # rows (r3-r5 evidence: 58 declared -> exactly 50 recorded, tail
-    # silently dropped), so this battery declares 48 — every declared entry
-    # gets a recorded correctness row, with headroom. Entries that were
+    # silently dropped), so this battery declares exactly 50 — every
+    # declared entry gets a recorded correctness row. Entries that were
     # truncated in r5 (pack_concat_chunk, sim_bruteforce_topk,
     # sim_cosine_dupes) now LEAD. Redundant-signal entries moved to
     # pytest_only_queries() below (still oracle-checked every CI run, just
@@ -1464,7 +1627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # EXT: text
             "text_stats": _text_stats,
             "text_redact_pii": _text_redact,
+            "text_quality_gopher": _text_quality,
             "pipeline_clean_documents": _pipeline_clean,
+            # EXT: deterministic sampling / split assignment
+            "sample_stratified": _sample_strat,
             # EXT: similarity, rows-only ANN representative — LAST so any
             # truncation costs the weakest row
             "sim_ann_topk": _sim_ann,
@@ -1493,6 +1659,12 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "case_buckets": _sql(CASE_BUCKETS),
         "sessionize_events": _sessionize,
         "dedup_exact": _dedup_exact,
+        "sample_hash_frac": lambda spark, sf_dir: (
+            _prep(spark, sf_dir),
+            sampling.hash_sample(
+                spark.table("documents"), 0.25, ["doc_id"], seed="pyt"
+            ).select("doc_id"),
+        )[1],
         # rows-only in the driver contract; their REAL checks are pytest
         # (recall / stability / determinism / pixel-stat assertions)
         "multimodal_features": _multimodal_features,
@@ -1515,6 +1687,12 @@ def pytest_only_oracles() -> dict[str, str]:
         "case_buckets": CASE_BUCKETS,
         "sessionize_events": SESSIONIZE_DUCK,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        # the sampling module's own SQL-twin helper IS the oracle here, so
+        # this row proves sample_sql_predicate() is literally true
+        "sample_hash_frac": (
+            "SELECT doc_id FROM documents WHERE "
+            + sampling.sample_sql_predicate(0.25, "doc_id", seed="pyt")
+        ),
     }
 
 
@@ -1553,7 +1731,9 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_planted": MINHASH_PAIRS_DUCK,
             "text_stats": _text_stats_duck(),
             "text_redact_pii": _text_redact_duck(),
+            "text_quality_gopher": _text_quality_duck(),
             "pipeline_clean_documents": _pipeline_clean_duck(),
+            "sample_stratified": _sample_strat_duck(),
             "pack_concat_chunk": PACK_CONCAT_DUCK,
             "pack_greedy": PACK_GREEDY_DUCK,
             "sim_bruteforce_topk": SIM_BRUTE_DUCK,

@@ -1,0 +1,178 @@
+"""Gopher/C4-style document quality filters (SURVEY.md §2 C25).
+
+Repetition and structure heuristics used to filter LLM pre-training corpora
+(Rae et al. 2021 "Scaling Language Models" §A1.1; Raffel et al. 2020 C4):
+duplicate-line fraction, top-n-gram mass, symbol-to-word ratio, bullet and
+ellipsis line fractions, alphabetic-word fraction, mean word length — plus a
+composite pass/fail verdict combining them with the published thresholds.
+
+Everything here is a pure Catalyst column expression over the document's own
+row (split/array_distinct/filter/transform/aggregate higher-order functions
+— JVM-side, zero shuffle, zero Python). At 100 TB that means the whole
+quality pass is a single scan-stage projection that composes with predicate
+pushdown: `df.where(passes_gopher(...))` drops junk documents inside the
+scan, before anything is shuffled or materialized.
+
+Cross-engine contract: each expression deliberately sticks to semantics
+DuckDB's list/regex functions reproduce exactly (same split regex in the
+Java-regex ∩ RE2 subset, same lexicographic tie-breaks, same
+greatest(…, 1) guards), so the driver battery oracle-checks the full stat
+block bit-for-bit (`text_quality_gopher`).
+
+Extension beyond the reference's surface (north star in
+/root/repo/BASELINE.json); the reference delegates all expression
+evaluation to the warehouse (SURVEY.md §2 Part C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: shared with the DuckDB oracle builders — one definition per dialect-safe
+#: regex so the two engines can never drift
+WS_SPLIT_SRC = r"\s+"
+ALPHA_SRC = "[A-Za-z]"
+
+#: line prefixes counted as bullets / suffixes counted as ellipsis
+BULLET_PREFIXES = ("- ", "* ", "•")
+ELLIPSIS_SUFFIXES = ("...", "…")
+
+#: symbols whose per-word density marks boilerplate (Gopher uses '#' and '…')
+SYMBOLS = ("#", "…")
+
+
+def _words(col: Column) -> Column:
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, WS_SPLIT_SRC)
+    )
+
+
+def word_count(col: Column) -> Column:
+    return F.size(_words(col))
+
+
+def _lines(col: Column) -> Column:
+    return F.split(col, "\n", -1)
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line:
+    1 - distinct/total. Empty docs (one empty line after split) score 0.0."""
+    lines = _lines(col)
+    return (
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)
+    ).cast("double")
+
+
+def bullet_line_frac(col: Column) -> Column:
+    """Fraction of lines whose left-trimmed text starts like a bullet."""
+    def is_bullet(x: Column) -> Column:
+        out = F.lit(False)
+        for p in BULLET_PREFIXES:
+            out = out | F.ltrim(x).startswith(p)
+        return out
+
+    lines = _lines(col)
+    return (F.size(F.filter(lines, is_bullet)) / F.size(lines)).cast("double")
+
+
+def ellipsis_line_frac(col: Column) -> Column:
+    """Fraction of lines whose right-trimmed text ends in an ellipsis."""
+    def is_ellipsis(x: Column) -> Column:
+        out = F.lit(False)
+        for s in ELLIPSIS_SUFFIXES:
+            out = out | F.rtrim(x).endswith(s)
+        return out
+
+    lines = _lines(col)
+    return (F.size(F.filter(lines, is_ellipsis)) / F.size(lines)).cast("double")
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """Occurrences of boilerplate symbols ('#', '…') per word."""
+    total = F.lit(0)
+    for s in SYMBOLS:
+        total = total + (
+            F.length(col) - F.length(F.replace(col, F.lit(s), F.lit("")))
+        ) / len(s)
+    return (total / F.greatest(word_count(col), F.lit(1))).cast("double")
+
+
+def alpha_word_frac(col: Column) -> Column:
+    """Fraction of words containing at least one [A-Za-z] character
+    (Gopher demands >= 0.8). Empty docs score 0.0."""
+    words = _words(col)
+    n = F.size(words)
+    with_alpha = F.size(F.filter(words, lambda w: w.rlike(ALPHA_SRC)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(with_alpha / n).cast("double")
+
+
+def mean_word_len(col: Column) -> Column:
+    """Mean characters per word (Gopher band: 3..10). Empty docs score 0.0."""
+    words = _words(col)
+    n = F.size(words)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n).cast("double")
+
+
+def top_ngram_frac(col: Column, n: int = 2, max_words: int = 256) -> Column:
+    """Mass of the most frequent word n-gram: count(top gram) / count(all
+    grams). Boilerplate pages repeat one phrase; prose doesn't.
+
+    Per-row O(g * d) where g = grams and d = distinct grams — bounded by
+    capping the scan at the first ``max_words`` words (repetition is a
+    whole-document property; a 256-word prefix is the standard proxy and
+    keeps the worst-case row cost constant at any corpus size). Stays a
+    single higher-order-function expression: no explode, no shuffle, the
+    gram array never leaves the row."""
+    words = F.slice(_words(col), 1, max_words)
+    m = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return (
+        F.when(m < n, F.lit(0.0))
+        .otherwise(F.array_max(counts) / F.size(grams))
+        .cast("double")
+    )
+
+
+#: published Gopher-rule thresholds (Rae et al. 2021 §A1.1), exposed so
+#: callers can tune per-corpus
+GOPHER_THRESHOLDS = {
+    "max_dup_line_frac": 0.30,
+    "max_symbol_word_ratio": 0.10,
+    "max_bullet_line_frac": 0.90,
+    "max_ellipsis_line_frac": 0.30,
+    "min_alpha_word_frac": 0.80,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_words": 50,
+    "max_words": 100_000,
+    "max_top_bigram_frac": 0.20,
+}
+
+
+def passes_gopher(col: Column, t: dict | None = None) -> Column:
+    """Composite Gopher-rules verdict as one boolean column expression.
+    NULL text fails (CASE semantics: every comparison is NULL -> false)."""
+    t = {**GOPHER_THRESHOLDS, **(t or {})}
+    wc = word_count(col)
+    return (
+        (wc >= t["min_words"])
+        & (wc <= t["max_words"])
+        & (dup_line_frac(col) <= t["max_dup_line_frac"])
+        & (symbol_word_ratio(col) <= t["max_symbol_word_ratio"])
+        & (bullet_line_frac(col) <= t["max_bullet_line_frac"])
+        & (ellipsis_line_frac(col) <= t["max_ellipsis_line_frac"])
+        & (alpha_word_frac(col) >= t["min_alpha_word_frac"])
+        & (mean_word_len(col) >= t["min_mean_word_len"])
+        & (mean_word_len(col) <= t["max_mean_word_len"])
+        & (top_ngram_frac(col, 2) <= t["max_top_bigram_frac"])
+    )

@@ -1,0 +1,145 @@
+"""Deterministic sampling and train/valid/test splitting (SURVEY.md §2 C26).
+
+Building a training mix from a 100 TB corpus needs sampling that is
+(a) deterministic — the same row lands in the same split on every run, every
+cluster layout, every engine; (b) cheap — a scan-stage filter, no shuffle,
+no global sort, no driver state; and (c) portable — auditable outside Spark.
+
+The primitive here is an md5-prefix draw: ``u(row) = first 8 hex chars of
+md5(seed || key)``, compared against hex thresholds. md5 of a string is
+bit-identical everywhere (Spark, DuckDB, Python hashlib, /usr/bin/md5sum),
+lowercase-hex in both engines, and its prefix is uniform on [0, 2^32) — so
+``u < hex(floor(frac * 2^32))`` keeps exactly-reproducible ~frac of rows.
+Unlike ``df.sample()`` (partition-order dependent) or ``rand(seed)``
+(plan-dependent), the draw depends only on the ROW's own key: stable under
+repartitioning, AQE re-planning, resumed jobs, and engine swaps — the same
+property the keyed-upsert engine relies on for idempotent re-runs
+(reference parity note: the reference has no sampling surface at all;
+north star /root/repo/BASELINE.json).
+
+Scale notes: ``hash_sample`` / ``assign_splits`` are pure column
+expressions — they ride the scan (filter pushdown applies) and touch no
+network. ``stratified_sample`` ranks within strata, which costs ONE shuffle
+by stratum key; for skewed strata (one language = 90 % of the corpus) use
+``pre_frac`` to hash-thin the big strata BEFORE the rank shuffle — the
+two-stage form is exact for any stratum whose survivor count still exceeds
+``n_per_stratum`` and turns the shuffle from corpus-sized into sample-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: separator between seed and key parts inside the md5 preimage; a control
+#: char no real key contains, so ('ab','c') never collides with ('a','bc')
+_SEP = "\x1f"
+
+
+def _draw(seed: str, *key_cols: Column) -> Column:
+    """Uniform-on-[0, 2^32) draw as an 8-hex-char string: the first 32 bits
+    of md5(seed <sep> key...). Keys must be non-NULL for cross-engine
+    parity: concat_ws silently drops NULL parts (with their separator),
+    which plain-concat dialects don't reproduce — filter or coalesce NULL
+    keys before sampling."""
+    return F.substring(
+        F.md5(F.concat_ws(_SEP, F.lit(seed), *key_cols).cast("binary")), 1, 8
+    )
+
+
+def _hex_threshold(frac: float) -> str:
+    """frac in [0,1] -> the 8-hex-char cutoff: floor(frac * 2^32)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0,1], got {frac}")
+    return format(min(int(frac * 2**32), 2**32 - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, frac: float, key_cols: list[str], *, seed: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``frac`` of rows, chosen by the row's own key.
+
+    One codegen'd filter in the scan stage: no shuffle, no state, same rows
+    selected on every run and every engine. Correlated draws are a feature:
+    sampling two tables by the SAME key and seed keeps them join-consistent
+    (a sampled document keeps its sampled embedding row)."""
+    keys = [F.col(c) for c in key_cols]
+    return df.where(_draw(seed, *keys) < F.lit(_hex_threshold(frac)))
+
+
+def assign_splits(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    weights: dict[str, float] | None = None,
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test labeling: one hash draw, compared
+    against the cumulative weight boundaries. Mutually exclusive, exhaustive,
+    and stable — a row can never migrate between splits across runs, the
+    standard train/test-leakage guard. Weights must sum to 1."""
+    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    u = _draw(seed, *[F.col(c) for c in key_cols])
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    bounds = []
+    for name, w in weights.items():
+        cum += w
+        bounds.append((name, _hex_threshold(cum)))
+    # walk backwards so the first matching lower bound wins
+    for name, hi in reversed(bounds):
+        expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
+    # float-edge guard: a draw landing exactly on the final boundary (only
+    # possible when the last cumulative threshold rounds below 2^32-1) joins
+    # the last split rather than dropping the row
+    expr = F.coalesce(expr, F.lit(bounds[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_cols: list[str],
+    *,
+    seed: str = "",
+    pre_frac: float | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen deterministically: rank rows inside each stratum by
+    their hash draw (key as tie-break -> total order) and keep the top n.
+
+    Equivalent to a per-stratum uniform draw without replacement, but
+    reproducible across runs and engines. Costs one shuffle by stratum; set
+    ``pre_frac`` to hash-thin giant strata before the shuffle. The
+    pre-filter uses the SAME draw the ranking orders by, so every discarded
+    row has a larger draw than every survivor — the two-stage result is
+    EXACTLY the one-stage result whenever each stratum retains >= n
+    survivors (e.g. pre_frac=0.01 on a 10M-row stratum still leaves ~100k
+    candidates for a top-1000 sample), while the rank shuffle moves ~1 % of
+    the corpus instead of all of it."""
+    if pre_frac is not None:
+        df = hash_sample(df, pre_frac, key_cols, seed=seed)
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        _draw(seed, *keys), *keys
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    out = ranked.where(F.col("__rk") <= n_per_stratum)
+    if rank_col:
+        return out.withColumnRenamed("__rk", rank_col)
+    return out.drop("__rk")
+
+
+def sample_sql_predicate(
+    frac: float, key_sql: str, *, seed: str = ""
+) -> str:
+    """The ANSI-SQL twin of ``hash_sample``'s predicate (DuckDB/Trino/...):
+    audit or re-apply the exact same sample outside Spark."""
+    return (
+        f"substr(md5(concat('{seed}', chr(31), {key_sql})), 1, 8)"
+        f" < '{_hex_threshold(frac)}'"
+    )

@@ -1,0 +1,216 @@
+"""Unit tests for the Gopher quality filters (functions/quality.py) and the
+deterministic sampling operators (operators/sampling.py) — the properties the
+DuckDB oracle rows can't express: partition-layout invariance, pre-filter
+equivalence, split exhaustiveness, and edge-case (NULL/empty) semantics."""
+
+import hashlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Row, functions as F
+
+from insert_by_timeperiod_spark.functions import quality as QL
+from insert_by_timeperiod_spark.operators import sampling
+
+
+# ---------------------------------------------------------------------------
+# quality filters
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    Row(i=0, text="The quick brown fox jumps over the lazy dog near the bank."),
+    Row(i=1, text="spam spam spam spam spam spam spam spam spam spam"),
+    Row(i=2, text="a\nb\na\na\nb"),
+    Row(i=3, text="- one\n- two\nprose line\n* three"),
+    Row(i=4, text="read more...\nfull text\nteaser…"),
+    Row(i=5, text="# # # # #\nwords here"),
+    Row(i=6, text=""),
+    Row(i=7, text=None),
+    Row(i=8, text="   "),
+    Row(i=9, text="12 34 !! ?? ab"),
+]
+
+
+@pytest.fixture(scope="module")
+def qdf(spark):
+    t = F.col("text")
+    return (
+        spark.createDataFrame(DOCS)
+        .select(
+            "i",
+            QL.word_count(t).alias("wc"),
+            QL.dup_line_frac(t).alias("dup"),
+            QL.bullet_line_frac(t).alias("bullet"),
+            QL.ellipsis_line_frac(t).alias("ell"),
+            QL.symbol_word_ratio(t).alias("sym"),
+            QL.alpha_word_frac(t).alias("alpha"),
+            QL.mean_word_len(t).alias("mwl"),
+            QL.top_ngram_frac(t, 2).alias("top2"),
+            QL.passes_gopher(t).alias("ok"),
+        )
+        .toPandas()
+        .set_index("i")
+    )
+
+
+def test_dup_line_frac(qdf):
+    assert qdf.loc[2, "dup"] == pytest.approx(1 - 2 / 5)  # a,b,a,a,b
+    assert qdf.loc[0, "dup"] == 0.0
+
+
+def test_bullet_and_ellipsis_fracs(qdf):
+    assert qdf.loc[3, "bullet"] == pytest.approx(3 / 4)
+    assert qdf.loc[4, "ell"] == pytest.approx(2 / 3)  # '...' and '…' lines
+
+
+def test_symbol_ratio_counts_hash_and_hellip(qdf):
+    # doc 5: five '#' over 7 words
+    assert qdf.loc[5, "sym"] == pytest.approx(5 / 7)
+
+
+def test_alpha_word_frac_and_mean_len(qdf):
+    # doc 9: words = [12, 34, !!, ??, ab] -> 1/5 contain [A-Za-z]
+    assert qdf.loc[9, "alpha"] == pytest.approx(1 / 5)
+    assert qdf.loc[9, "mwl"] == pytest.approx(2.0)
+
+
+def test_top_bigram_frac_repetition(qdf):
+    # doc 1: 9 bigrams, all "spam spam" -> 1.0; doc 0 has no repeats
+    assert qdf.loc[1, "top2"] == pytest.approx(1.0)
+    assert qdf.loc[0, "top2"] == pytest.approx(1 / 11)
+
+
+def test_empty_and_null_edges(qdf):
+    import pandas as pd
+
+    assert qdf.loc[6, "wc"] == 0 and qdf.loc[6, "alpha"] == 0.0
+    assert qdf.loc[6, "mwl"] == 0.0 and qdf.loc[6, "top2"] == 0.0
+    assert qdf.loc[8, "wc"] == 0  # whitespace-only == empty
+    assert pd.isna(qdf.loc[7, "wc"]) and pd.isna(qdf.loc[7, "ok"])
+    # short docs fail the verdict; nothing here reaches min_words=50
+    assert not qdf.loc[0, "ok"]
+
+
+def test_passes_gopher_accepts_long_prose(spark):
+    # 60 distinct 4-letter words: passes every band
+    words = " ".join(f"ab{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}" for i in range(60))
+    got = (
+        spark.createDataFrame([Row(text=words)])
+        .select(QL.passes_gopher(F.col("text")).alias("ok"))
+        .first()["ok"]
+    )
+    assert got is True
+
+
+def test_top_ngram_cap_bounds_cost(spark):
+    # identical prefix beyond the 256-word cap -> same result
+    base = " ".join(f"w{i}" for i in range(256))
+    a, b = base, base + " " + " ".join(["tail"] * 500)
+    vals = (
+        spark.createDataFrame([Row(text=a), Row(text=b)])
+        .select(QL.top_ngram_frac(F.col("text"), 2).alias("f"))
+        .toPandas()["f"]
+        .tolist()
+    )
+    assert vals[0] == pytest.approx(vals[1])
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 20000).withColumn(
+        "grp", (F.col("id") % 7).cast("string")
+    )
+
+
+def test_hash_sample_matches_python_md5(spark, ids):
+    got = {
+        r["id"]
+        for r in sampling.hash_sample(ids, 0.1, ["id"], seed="s1").collect()
+    }
+    thr = format(int(0.1 * 2**32), "08x")
+    want = {
+        i
+        for i in range(20000)
+        if hashlib.md5(f"s1\x1f{i}".encode()).hexdigest()[:8] < thr
+    }
+    assert got == want
+    assert 0.08 < len(got) / 20000 < 0.12
+
+
+def test_hash_sample_partition_invariant(spark, ids):
+    a = {r["id"] for r in sampling.hash_sample(ids, 0.2, ["id"]).collect()}
+    b = {
+        r["id"]
+        for r in sampling.hash_sample(ids.repartition(13), 0.2, ["id"]).collect()
+    }
+    assert a == b
+
+
+def test_hash_sample_frac_bounds():
+    with pytest.raises(ValueError):
+        sampling._hex_threshold(1.5)
+
+
+def test_assign_splits_disjoint_exhaustive_stable(spark, ids):
+    out = sampling.assign_splits(
+        ids, ["id"], weights={"train": 0.8, "valid": 0.1, "test": 0.1}, seed="sp"
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 20000  # exhaustive, no dropped rows
+    assert counts["train"] / 20000 == pytest.approx(0.8, abs=0.02)
+    # stability: same labels after repartition
+    out2 = sampling.assign_splits(
+        ids.repartition(17), ["id"], weights={"train": 0.8, "valid": 0.1, "test": 0.1}, seed="sp"
+    )
+    joined = out.alias("a").join(out2.alias("b"), "id")
+    assert joined.where(F.col("a.split") != F.col("b.split")).count() == 0
+
+
+def test_assign_splits_weight_validation(spark, ids):
+    with pytest.raises(ValueError):
+        sampling.assign_splits(ids, ["id"], weights={"a": 0.5, "b": 0.6})
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark, ids):
+    s1 = sampling.stratified_sample(ids, ["grp"], 25, ["id"], seed="st")
+    counts = {r["grp"]: r["n"] for r in s1.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 25 for n in counts.values()) and len(counts) == 7
+    s2 = sampling.stratified_sample(
+        ids.repartition(11), ["grp"], 25, ["id"], seed="st"
+    )
+    assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    df = spark.range(0, 10).withColumn("grp", F.lit("only"))
+    assert sampling.stratified_sample(df, ["grp"], 25, ["id"]).count() == 10
+
+
+def test_stratified_pre_filter_is_exact_when_enough_survive(spark, ids):
+    # the pre-filter drops only rows with draws LARGER than every survivor's
+    # (same seed -> same draw), so the top-5 per stratum is unchanged
+    full = sampling.stratified_sample(ids, ["grp"], 5, ["id"], seed="pf")
+    thinned = sampling.stratified_sample(
+        ids, ["grp"], 5, ["id"], seed="pf", pre_frac=0.05
+    )
+    assert {tuple(r) for r in full.collect()} == {tuple(r) for r in thinned.collect()}
+
+
+def test_sample_sql_twin_matches_duck(spark, ids, duck):
+    """sample_sql_predicate() run through DuckDB selects the identical ids."""
+    pdf = ids.select("id").toPandas()
+    duck.register("ids_tbl", pdf)
+    pred = sampling.sample_sql_predicate(0.3, "id", seed="tw")
+    want = {r[0] for r in duck.execute(f"SELECT id FROM ids_tbl WHERE {pred}").fetchall()}
+    got = {r["id"] for r in sampling.hash_sample(ids, 0.3, ["id"], seed="tw").collect()}
+    assert got == want
+    duck.unregister("ids_tbl")

@@ -156,6 +156,9 @@ def text_stats_batch(
     ~30 codegen'd substring passes, measured ~1.4x faster at 100k docs and
     embarrassingly parallel at 100 TB (mapInPandas-style, zero shuffle,
     peak memory one Arrow batch per core)."""
+    from ..operators.util import spread
+
+    df = spread(df)  # a one-split input would serialize the Arrow lane
     punct_re, upper_re, bpe_re = _PUNCT_SRC, _UPPER_SRC, _BPE_SRC
     langs = list(LANG_MARKERS)
     markers = dict(LANG_MARKERS)

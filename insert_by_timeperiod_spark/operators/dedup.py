@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import char_shingles, word_shingles
+from .util import spread
 
 log = logging.getLogger("insert_by_timeperiod_spark")
 
@@ -209,17 +210,15 @@ def minhash_lsh_pairs(
     # the previous call's (a caller still holding the old result just loses
     # the cache, not correctness). Cached volume is (id, 512-byte sig)/doc.
     mh = minhash_signature_vec(num_hashes, seed)
-    # repartition BEFORE the signature projection, not after: the shingle +
+    # spread BEFORE the signature projection, not after: the shingle +
     # hash + Arrow-UDF work is the most expensive per-row stage of the whole
     # pipeline, and a compact input (one parquet split for a ~50k-doc table;
-    # a skewed layout at cluster scale) would run it on a handful of cores.
-    # Shuffling (id, text) rows first costs one pass over raw text but
-    # spreads the signature compute across every core — measured 2.6s -> 0.7s
-    # for the signature stage at sf0.1 on local[32].
-    raw_sigs = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(id_col)
-        .select(F.col(id_col), mh(shingle_hashes(sh)).alias("_sig"))
+    # a skewed layout at cluster scale) would run it on a handful of cores
+    # (measured 2.6s -> 0.7s for the signature stage at sf0.1 on local[32]).
+    # spread() is conditional, so a well-partitioned corpus at real scale
+    # pays no extra shuffle.
+    raw_sigs = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), mh(shingle_hashes(sh)).alias("_sig")
     )
     # Evict the previous call's cache BEFORE persisting (CacheManager
     # matches entries by analyzed plan, so an unpersist after the new
@@ -570,14 +569,13 @@ def ngram_jaccard_pairs(
     the guard true, so the output jaccard equals the unguarded value. The
     input is also repartitioned: a compact table arriving as one parquet
     split would otherwise run the whole quadratic probe on a single core."""
-    base = (
+    base = spread(
         df.select(
             F.col(id_col),
             char_shingles(F.col(text_col), shingle_k).alias("_sh"),
             *(block_cols or []),
-        )
-        .withColumn("_n", F.size(F.col("_sh")))
-        .repartition(id_col)
+        ).withColumn("_n", F.size(F.col("_sh"))),
+        id_col,
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .util import spread
+
 #: Typed metadata contract for a multimodal asset column named ``asset``.
 ASSET_META_SCHEMA = (
     "asset_id long, media_type string, byte_len long, checksum long"
@@ -371,6 +373,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     per core."""
 
     _null = {"media_type": None, "width": None, "height": None, "n_channels": None}
+    df = spread(df)  # decode is CPU-bound; a one-split input would serialize it
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .util import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns as a sequential JVM fold —
@@ -64,8 +66,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    # spread guards the compact-input case (one parquet split would score
+    # every pair on a single core); at real scale it's a no-op
+    c = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     )
     pairs = c.join(F.broadcast(q), how="cross")
     if exclude_self:
@@ -208,7 +212,11 @@ def lsh_topk(
     tables → higher recall; at a fixed corpus size,
     n_planes ≈ log2(n/target_bucket)."""
     c = _add_lsh_tables(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+            )
+        ),
         dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed, vec_col="_cv",
     )
     q = _add_lsh_tables(
@@ -324,8 +332,8 @@ def ivf_topk(
     assign1 = _cell_assign_udf(cents, 1)
     assignN = _cell_assign_udf(cents, nprobe)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    c = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     ).withColumn("cell", assign1(F.col("_cv"))[0])
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
@@ -364,7 +372,7 @@ def embedding_cosine_dupes(
     recall to ≈0.99 at the cost of an n_tables× bucketing fan-out (ids +
     bucket keys per table; the self-join still happens per bucket, never
     all-pairs). Returns (id_a, id_b, sim), id_a < id_b."""
-    base = df.select(F.col(id_col), F.col(vec_col))
+    base = spread(df.select(F.col(id_col), F.col(vec_col)))
     # project to (id, tb) BEFORE the self-join: the bucketing shuffle must
     # carry ids and encoded bucket keys only — vectors are re-fetched by id
     # for the surviving candidate pairs below

@@ -1,0 +1,32 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input arrives with too little parallelism.
+
+    Expensive per-row lanes (Arrow UDF signatures, pixel decode, quadratic
+    probes) inherit the scan's partitioning; a compact table — one parquet
+    split for a ~50k-row fixture, or a badly-laid-out upstream write — would
+    run the whole lane on one core. At real scale the input already has
+    thousands of splits and an unconditional repartition would be a pure
+    extra pass over the data, so this checks first: below
+    ``min_parts`` (default ``sparkContext.defaultParallelism``) it
+    repartitions (hash on ``cols`` if given, else round-robin); at or above
+    it, the DataFrame passes through untouched.
+
+    The partition-count probe uses the DataFrame's RDD lineage — plan
+    conversion only, no job is triggered.
+    """
+    if df.isStreaming:  # no static partition count; micro-batches size themselves
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if cols:
+        return df.repartition(target, *cols)
+    return df.repartition(target)

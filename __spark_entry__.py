@@ -1154,6 +1154,65 @@ FROM ranked WHERE rk <= 20
 """
 
 
+#: boilerplate planted across every third doc so cross-document line dedup
+#: (C4-style) has real repeated lines to elect keepers from
+_BOILER_HDR = "subscribe to our newsletter for updates"
+_BOILER_FTR = "copyright example corp - all rights reserved"
+
+
+def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C27: corpus-wide duplicate-LINE removal (operators/dedup.py
+    dedup_lines) — C4-style boilerplate stripping; keeper election is a
+    map-side-combining agg (never a window over raw text). The DuckDB
+    oracle replays the same first-occurrence-by-(id,pos) election."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(_BOILER_HDR + "\n"), F.col("text"), F.lit("\n" + _BOILER_FTR)
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return dedup.dedup_lines(docs, min_line_chars=8)
+
+
+def _dedup_lines_duck() -> str:
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{_BOILER_HDR}' || chr(10) || text || chr(10) || '{_BOILER_FTR}'
+              ELSE text END AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls
+  FROM planted WHERE text IS NOT NULL
+), occ AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM l, unnest(generate_series(1, len(ls))) AS t(i)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM occ WHERE length(line) >= 8
+), kept AS (
+  SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM occ WHERE length(line) < 8
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n_lines FROM occ GROUP BY doc_id
+)
+SELECT c.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(c.n_lines AS BIGINT) AS n_lines,
+       CAST(c.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
     (hash-bucketed parallel streams — no global sort; operators/packing.py).
@@ -1659,6 +1718,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "case_buckets": _sql(CASE_BUCKETS),
         "sessionize_events": _sessionize,
         "dedup_exact": _dedup_exact,
+        "dedup_lines_global": _dedup_lines,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1687,6 +1747,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "case_buckets": CASE_BUCKETS,
         "sessionize_events": SESSIONIZE_DUCK,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_lines_global": _dedup_lines_duck(),
         # the sampling module's own SQL-twin helper IS the oracle here, so
         # this row proves sample_sql_predicate() is literally true
         "sample_hash_frac": (

@@ -75,6 +75,89 @@ def exact_dup_clusters(
 
 
 # --------------------------------------------------------------------------
+# cross-document line dedup (C4-style boilerplate removal)
+# --------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_line_chars: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove corpus-wide duplicate LINES from every document, keeping each
+    line's first occurrence by (id, position) — the C4 recipe (Raffel et al.
+    2020 §2.2 dedupes repeated spans across documents) applied at line
+    granularity: navigation chrome, cookie banners, and licence footers
+    repeat verbatim across millions of pages and survive document-level
+    dedup because the surrounding text differs.
+
+    Lines shorter than ``min_line_chars`` are always kept: deduping ""/"--"
+    corpus-wide would shred document structure, and exempting them also
+    removes the worst shuffle-skew keys (the empty line is the most frequent
+    line in any corpus).
+
+    Plan shape at 100 TB — three shuffles, no window over raw text:
+    1. keeper election is ``groupBy(line).agg(min(struct(id, pos)))`` —
+       partial aggregation combines map-side, so the wide shuffle carries
+       one row per DISTINCT line per map partition, and a boilerplate line
+       repeated 100M times aggregates instead of piling one reducer high
+       (the reason this is an agg, not a row_number window);
+    2. occurrences join keepers on the line key (AQE broadcasts the keeper
+       side when it fits);
+    3. documents reassemble via ``groupBy(id)`` + ``array_sort`` +
+       ``concat_ws`` — sort happens inside each row's collected array, not
+       as a global sort.
+
+    Documents whose text is NULL are dropped (no lines to keep); documents
+    whose every line is removed come back as the empty string.
+
+    Returns (id, out_col, n_lines, n_removed).
+    """
+    src = df.where(F.col(text_col).isNotNull())
+    lines = src.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_pos", "_line"),
+    )
+    is_long = F.length(F.col("_line")) >= min_line_chars
+    long_lines = lines.where(is_long)
+    keepers = long_lines.groupBy("_line").agg(
+        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_k")
+    )
+    kept_long = (
+        long_lines.join(keepers, "_line")
+        .where(
+            (F.col(id_col) == F.col(f"_k.{id_col}"))
+            & (F.col("_pos") == F.col("_k._pos"))
+        )
+        .select(id_col, "_pos", "_line")
+    )
+    kept = kept_long.unionByName(lines.where(~is_long))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda x: x["_line"],
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    counts = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # left join from the counts side: a document whose every line was a
+    # later duplicate has no kept rows but must still come back (empty)
+    return counts.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 

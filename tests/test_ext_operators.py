@@ -956,3 +956,44 @@ def test_text_stats_batch_lane_matches_column_lane(spark, docs):
     eb = {r.doc_id: tuple(r)[1:] for r in
           TX.text_stats_batch(edge).select("doc_id", "stats.*").collect()}
     assert ec == eb
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="unique alpha line\nshared boilerplate line\nx"),
+            Row(doc_id=2, text="shared boilerplate line\nunique beta line"),
+            Row(doc_id=3, text="shared boilerplate line"),
+            Row(doc_id=4, text=None),
+            Row(doc_id=5, text="short\nshort"),  # < 8 chars: always kept
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(docs, min_line_chars=8).collect()
+    }
+    # doc 1 saw the boilerplate first -> keeps everything
+    assert out[1]["clean_text"] == "unique alpha line\nshared boilerplate line\nx"
+    assert out[1]["n_removed"] == 0
+    # docs 2/3 lose the later duplicates
+    assert out[2]["clean_text"] == "unique beta line"
+    assert out[2]["n_removed"] == 1
+    # doc 3 was ONLY the duplicate -> comes back empty, not dropped
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    # NULL text contributes no output row
+    assert 4 not in out
+    # short lines are exempt even when repeated (within AND across docs)
+    assert out[5]["clean_text"] == "short\nshort" and out[5]["n_removed"] == 0
+
+
+def test_dedup_lines_dedups_within_one_document(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=9, text="repeated interior line\nmiddle text here\nrepeated interior line")]
+    )
+    row = dedup.dedup_lines(docs).first()
+    assert row["clean_text"] == "repeated interior line\nmiddle text here"
+    assert row["n_lines"] == 3 and row["n_removed"] == 1

@@ -12,10 +12,20 @@ provides the genuine Structured Streaming counterparts:
 - :func:`event_time_windowed` — event-time window aggregation with an
   optional late-data watermark; one code path for batch and streaming
   DataFrames (the golden tests equate the two).
+- :func:`dedup_stream` / :func:`dedup_stream_by_content` — bounded-state
+  exact dedup across micro-batches (``dropDuplicatesWithinWatermark``),
+  the streaming twin of ``operators.dedup.exact_dedup``.
 """
 
+from .dedup import dedup_stream, dedup_stream_by_content
 from .micro_batch import StreamToPeriodTable
 from .stateful import sessionize_stream
 from .windows import event_time_windowed
 
-__all__ = ["StreamToPeriodTable", "event_time_windowed", "sessionize_stream"]
+__all__ = [
+    "StreamToPeriodTable",
+    "dedup_stream",
+    "dedup_stream_by_content",
+    "event_time_windowed",
+    "sessionize_stream",
+]

@@ -1,0 +1,52 @@
+"""Streaming exact dedup (C16 meets C19): the streaming twin of
+``operators.dedup.exact_dedup`` for continuously-ingested corpora.
+
+Built entirely from Spark built-ins — ``withWatermark`` +
+``dropDuplicatesWithinWatermark`` — so the state store, eviction, and
+exactly-once semantics are the engine's, not ours. State is bounded: a key
+is remembered only until the watermark passes its event time, then evicted
+(Spark's documented contract: any duplicate arriving within the watermark
+delay of the first occurrence is guaranteed dropped; a duplicate arriving
+later than the delay may re-emit — pair with a periodic batch
+``exact_dedup`` compaction for the long tail, the standard lambda split).
+
+Content dedup stores a 16-byte md5 digest per key instead of the document
+text, so state size is rows x 16B regardless of document size — the same
+digest-not-payload rule the batch exact dedup follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Keep the first event per key across micro-batches; duplicates within
+    the watermark delay are dropped with bounded state."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def dedup_stream_by_content(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Content-addressed streaming dedup: first document with a given text
+    wins; later identical texts within the watermark are dropped. The state
+    key is the md5 digest, never the text."""
+    return (
+        stream_df.withColumn("_digest", F.md5(F.col(text_col).cast("binary")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )

@@ -226,3 +226,41 @@ def test_null_timestamp_rows_do_not_wedge_the_stream(spark, events_src):
     sink.foreach_batch(batch, 0)  # must not raise
     assert sink._last_batch_id() == 0
     assert sink.table.read().count() == 50
+
+
+def test_dedup_stream_by_content_one_row_per_distinct_text(spark, sf_dir):
+    """Streaming twin of exact dedup: replaying a corpus with planted
+    duplicate texts emits exactly one row per distinct text (bounded-state
+    dropDuplicatesWithinWatermark), matching the batch dedup's group count."""
+    from insert_by_timeperiod_spark.streaming import dedup_stream_by_content
+
+    root = tempfile.mkdtemp(prefix="ibtp_sdedup_")
+    src = os.path.join(root, "docs")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(200)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+        )
+    )
+    # plant exact duplicates with later ids/timestamps
+    dupes = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 10_000)
+    docs.unionByName(dupes).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = dedup_stream_by_content(stream, "text", ts_col="ts", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sdedup")
+    n_distinct = spark.read.parquet(src).select("text").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("text").distinct().count() == n_distinct
+    spark.catalog.dropTempView("sdedup")

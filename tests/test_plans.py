@@ -169,3 +169,49 @@ def test_upsert_probe_window_prunes_probe_scan(spark):
     eng2 = InsertByTimeperiod(spark, model, cfg2, tgt, count_rows=False)
     full = eng2._probe_target(Period(dt.date(2024, 1, 15), dt.date(2024, 1, 22)))
     assert "event_date" not in " ".join(partition_filters(full))
+
+
+def test_quality_filters_stay_in_scan_stage(spark):
+    """C25: the Gopher verdict is a per-row expression — filtering on it must
+    add ZERO exchanges beyond the scan (the whole quality pass rides the
+    scan at 100 TB)."""
+    from insert_by_timeperiod_spark.functions import quality as QL
+
+    df = spark.table("documents").where(QL.passes_gopher(F.col("text")))
+    assert exchange_count(df) == 0
+
+
+def test_hash_sample_adds_no_exchange_and_prunes_columns(spark):
+    """C26: hash_sample is a scan-stage filter; sampling two columns of a
+    wide table must read only those columns plus the key."""
+    from insert_by_timeperiod_spark.operators import sampling
+
+    df = sampling.hash_sample(
+        spark.table("documents").select("doc_id", "lang"), 0.1, ["doc_id"]
+    )
+    assert exchange_count(df) == 0
+    assert all(set(cols) <= {"doc_id", "lang"} for cols in scan_columns(df))
+
+
+def test_dedup_lines_keeper_election_is_partial_agg(spark):
+    """C27: the keeper election must compile to partial+final HashAggregate
+    (map-side combine caps skew from boilerplate repeated millions of
+    times), and the full pipeline must not exceed its 4-exchange budget
+    (line-groupBy, join both sides co-partitioned, doc regroup)."""
+    from insert_by_timeperiod_spark.operators import dedup as D
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    df = D.dedup_lines(spark.table("documents"))
+    plan = explain_str(df, formatted=False)
+    assert "partial_" in plan or "partial" in plan.lower()
+    assert exchange_count(df) <= 5
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    """C20: the query side must broadcast — the corpus is scanned once and
+    never shuffled pairwise."""
+    from insert_by_timeperiod_spark.operators import similarity as S
+
+    emb = spark.table("embeddings")
+    df = S.brute_force_topk(emb, emb.limit(3), k=3)
+    assert has_broadcast_join(df)

@@ -997,3 +997,41 @@ def test_dedup_lines_dedups_within_one_document(spark):
     row = dedup.dedup_lines(docs).first()
     assert row["clean_text"] == "repeated interior line\nmiddle text here"
     assert row["n_lines"] == 3 and row["n_removed"] == 1
+
+
+def test_quantize_embeddings_roundtrip_and_recall(spark, embs):
+    """int8 scalar quantization: codes reconstruct to within one grid step,
+    degenerate vectors go NULL, and int8-cosine top-10 keeps >= 0.9 recall
+    vs float-cosine top-10 (cosine is scale-invariant so the per-vector
+    scale cancels)."""
+    from pyspark.sql import Row
+
+    q = similarity.quantize_embeddings(embs)
+    rows = q.select("vec_id", "embedding", "qvec", "qscale").limit(50).collect()
+    for r in rows:
+        a = np.asarray(r.embedding, dtype=np.float32)
+        if np.abs(a).max() == 0:
+            assert r.qvec is None
+            continue
+        rec = np.asarray(r.qvec, dtype=np.float64) * r.qscale
+        np.testing.assert_allclose(rec, a, atol=float(r.qscale) * 0.51 + 1e-7)
+
+    # degenerate inputs -> NULL code, no task failure
+    deg = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0]), Row(vec_id=2, embedding=None)],
+        schema="vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.qvec for r in similarity.quantize_embeddings(deg).collect()}
+    assert got[1] is None and got[2] is None
+
+    # recall of quantized cosine vs exact cosine, same top-k machinery
+    queries = embs.where("vec_id < 10")
+    exact = similarity.brute_force_topk(embs, queries, k=10).collect()
+    qcorp = q.select("vec_id", F.col("qvec").alias("embedding")).where(
+        F.col("embedding").isNotNull()
+    )
+    qq = qcorp.where("vec_id < 10")
+    approx = similarity.brute_force_topk(qcorp, qq, k=10).collect()
+    want = {(r.query_id, r.neighbor_id) for r in exact}
+    got_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(want & got_pairs) / len(want) >= 0.9

@@ -1003,11 +1003,12 @@ _QUALITY_SUFFIX = (
 
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT C25: Gopher/C4-style quality-filter stats + composite verdict
-    (functions/quality.py) — all per-row higher-order-function expressions,
-    zero shuffle; the DuckDB oracle recomputes every metric exactly with its
-    list lambdas. The pass flag is evaluated over the metric COLUMNS (same
-    expressions; pytest pins passes_gopher(col) == this recomposition)."""
+    """EXT C25: Gopher/C4-style quality-filter stats + composite verdict via
+    the fused Arrow lane (functions/quality.py quality_stats_batch) — ONE
+    vectorized pass per batch, bit-identical to the per-metric column
+    functions (pinned by tests/test_quality_sampling.py), so both lanes
+    share this DuckDB oracle. The column lane's own plan properties are
+    pinned in tests/test_plans.py (passes_gopher filter = zero exchanges)."""
     _prep(spark, sf_dir)
     t = F.col("text")
     docs = spark.table("documents").withColumn(
@@ -1016,31 +1017,7 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 4 == 0, F.concat(t, F.lit(_QUALITY_SUFFIX))
         ).otherwise(t),
     )
-    m = docs.select(
-        "doc_id",
-        QL.word_count(t).cast("bigint").alias("n_words"),
-        QL.dup_line_frac(t).alias("dup_line_frac"),
-        QL.bullet_line_frac(t).alias("bullet_line_frac"),
-        QL.ellipsis_line_frac(t).alias("ellipsis_line_frac"),
-        QL.symbol_word_ratio(t).alias("symbol_word_ratio"),
-        QL.alpha_word_frac(t).alias("alpha_word_frac"),
-        QL.mean_word_len(t).alias("mean_word_len"),
-        QL.top_ngram_frac(t, 2).alias("top_bigram_frac"),
-    )
-    g = QL.GOPHER_THRESHOLDS
-    return m.withColumn(
-        "passes_gopher",
-        (F.col("n_words") >= g["min_words"])
-        & (F.col("n_words") <= g["max_words"])
-        & (F.col("dup_line_frac") <= g["max_dup_line_frac"])
-        & (F.col("symbol_word_ratio") <= g["max_symbol_word_ratio"])
-        & (F.col("bullet_line_frac") <= g["max_bullet_line_frac"])
-        & (F.col("ellipsis_line_frac") <= g["max_ellipsis_line_frac"])
-        & (F.col("alpha_word_frac") >= g["min_alpha_word_frac"])
-        & (F.col("mean_word_len") >= g["min_mean_word_len"])
-        & (F.col("mean_word_len") <= g["max_mean_word_len"])
-        & (F.col("top_bigram_frac") <= g["max_top_bigram_frac"]),
-    )
+    return QL.quality_stats_batch(docs).select("doc_id", "qstats.*")
 
 
 def _text_quality_duck() -> str:

@@ -54,7 +54,10 @@ QUERIES = [
     "engine_upsert",
     "text_stats",
     "text_redact_pii",
+    "text_quality_gopher",
     "dedup_exact",
+    "dedup_lines_global",
+    "sample_stratified",
     "pack_concat_chunk",
 ]
 

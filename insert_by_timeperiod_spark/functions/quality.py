@@ -26,6 +26,11 @@ evaluation to the warehouse (SURVEY.md §2 Part C).
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 
 #: shared with the DuckDB oracle builders — one definition per dialect-safe
@@ -176,3 +181,105 @@ def passes_gopher(col: Column, t: dict | None = None) -> Column:
         & (mean_word_len(col) <= t["max_mean_word_len"])
         & (top_ngram_frac(col, 2) <= t["max_top_bigram_frac"])
     )
+
+
+def quality_stats_batch(df, text_col: str = "text", *, out_col: str = "qstats"):
+    """All eight Gopher metrics + the composite verdict in ONE Arrow-batched
+    pass, appended as a struct column — the scale lane for whole-corpus
+    quality scoring.
+
+    The column functions above are the right tool when ONE metric feeds a
+    filter (they ride the scan in codegen); computing the WHOLE block via
+    columns costs interpreted higher-order-function evaluation per array
+    element — top_ngram_frac alone is O(grams x distinct) interpreted
+    tree-walks per document, measured minutes-not-seconds at 500k docs. This
+    lane does the same arithmetic in one Python pass per Arrow batch
+    (Counter-based bigram mode at C speed), embarrassingly parallel, zero
+    shuffle.
+
+    Semantics are BIT-IDENTICAL to the column lane (pinned by a dedicated
+    test): same ASCII \\s+ split on space-trimmed text, same space-only
+    ltrim/rtrim for bullet/ellipsis lines (Spark/DuckDB trim strips 0x20
+    only — NOT Python's default .strip()), same int/int -> float64 IEEE
+    divisions, same NULL propagation (NULL text -> every field NULL), same
+    published thresholds.
+    """
+    from ..operators.util import spread
+
+    df = spread(df)
+    ws = re.compile(r"\s+", re.ASCII)  # Java/RE2 \s is ASCII-only
+    alpha = re.compile(ALPHA_SRC)
+    t = dict(GOPHER_THRESHOLDS)
+
+    @F.pandas_udf(
+        "struct<n_words:bigint,dup_line_frac:double,bullet_line_frac:double,"
+        "ellipsis_line_frac:double,symbol_word_ratio:double,"
+        "alpha_word_frac:double,mean_word_len:double,top_bigram_frac:double,"
+        "passes_gopher:boolean>"
+    )
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        nulls = dict.fromkeys(
+            (
+                "n_words", "dup_line_frac", "bullet_line_frac",
+                "ellipsis_line_frac", "symbol_word_ratio", "alpha_word_frac",
+                "mean_word_len", "top_bigram_frac", "passes_gopher",
+            )
+        )
+        for s in texts:
+            if s is None:
+                rows.append(dict(nulls))
+                continue
+            # match F.trim (strips 0x20 only) + F.split(.., '\s+', -1):
+            # Java's negative-limit split and Python's re.split agree
+            # exactly, including leading/trailing "" for non-space ws
+            trimmed = s.strip(" ")
+            words = ws.split(trimmed) if trimmed else []
+            nw = len(words)
+            lines = s.split("\n")
+            nl = len(lines)
+            dup = 1.0 - len(set(lines)) / nl
+            bullet = sum(
+                1 for x in lines
+                if any(x.lstrip(" ").startswith(p) for p in BULLET_PREFIXES)
+            ) / nl
+            ell = sum(
+                1 for x in lines
+                if any(x.rstrip(" ").endswith(sfx) for sfx in ELLIPSIS_SUFFIXES)
+            ) / nl
+            sym = sum(s.count(c) for c in SYMBOLS) / max(nw, 1)
+            alpha_frac = (
+                0.0 if nw == 0 else sum(1 for w in words if alpha.search(w)) / nw
+            )
+            mwl = 0.0 if nw == 0 else sum(len(w) for w in words) / nw
+            cap = words[:256]
+            if len(cap) < 2:
+                top2 = 0.0
+            else:
+                grams = [cap[i] + " " + cap[i + 1] for i in range(len(cap) - 1)]
+                top2 = Counter(grams).most_common(1)[0][1] / len(grams)
+            rows.append(
+                {
+                    "n_words": nw,
+                    "dup_line_frac": dup,
+                    "bullet_line_frac": bullet,
+                    "ellipsis_line_frac": ell,
+                    "symbol_word_ratio": sym,
+                    "alpha_word_frac": alpha_frac,
+                    "mean_word_len": mwl,
+                    "top_bigram_frac": top2,
+                    "passes_gopher": (
+                        t["min_words"] <= nw <= t["max_words"]
+                        and dup <= t["max_dup_line_frac"]
+                        and sym <= t["max_symbol_word_ratio"]
+                        and bullet <= t["max_bullet_line_frac"]
+                        and ell <= t["max_ellipsis_line_frac"]
+                        and alpha_frac >= t["min_alpha_word_frac"]
+                        and t["min_mean_word_len"] <= mwl <= t["max_mean_word_len"]
+                        and top2 <= t["max_top_bigram_frac"]
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return df.withColumn(out_col, stats(F.col(text_col)))

@@ -144,7 +144,12 @@ def dedup_lines(
         ).alias(out_col),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    counts = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # per-doc line totals come from a plain projection over the source —
+    # size(split()) per row — not a third explode + groupBy of the corpus
+    counts = src.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).alias("n_lines"),
+    )
     # left join from the counts side: a document whose every line was a
     # later duplicate has no kept rows but must still come back (empty)
     return counts.join(rebuilt, id_col, "left").select(

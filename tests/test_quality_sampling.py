@@ -214,3 +214,49 @@ def test_sample_sql_twin_matches_duck(spark, ids, duck):
     got = {r["id"] for r in sampling.hash_sample(ids, 0.3, ["id"], seed="tw").collect()}
     assert got == want
     duck.unregister("ids_tbl")
+
+
+def test_quality_batch_lane_equals_column_lane(spark, views):
+    """The fused Arrow lane must be BIT-IDENTICAL to the column functions —
+    same split/trim dialects, same IEEE divisions, same NULL propagation —
+    on both the edge-case docs and real corpus text with the battery's
+    planted structured suffix."""
+    import __spark_entry__ as entry
+
+    edge = spark.createDataFrame(DOCS).select(F.col("i").alias("doc_id"), "text")
+    real = (
+        spark.table("documents")
+        .limit(300)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.col("text"), F.lit(entry._QUALITY_SUFFIX)),
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "text")
+    )
+    for df in (edge, real):
+        t = F.col("text")
+        cols = df.select(
+            "doc_id",
+            QL.word_count(t).cast("bigint").alias("n_words"),
+            QL.dup_line_frac(t).alias("dup_line_frac"),
+            QL.bullet_line_frac(t).alias("bullet_line_frac"),
+            QL.ellipsis_line_frac(t).alias("ellipsis_line_frac"),
+            QL.symbol_word_ratio(t).alias("symbol_word_ratio"),
+            QL.alpha_word_frac(t).alias("alpha_word_frac"),
+            QL.mean_word_len(t).alias("mean_word_len"),
+            QL.top_ngram_frac(t, 2).alias("top_bigram_frac"),
+            QL.passes_gopher(t).alias("passes_gopher"),
+        ).collect()
+        fused = (
+            QL.quality_stats_batch(df).select("doc_id", "qstats.*").collect()
+        )
+        want = {r["doc_id"]: r.asDict() for r in cols}
+        got = {r["doc_id"]: r.asDict() for r in fused}
+        assert set(want) == set(got)
+        for k in want:
+            for field, v in want[k].items():
+                g = got[k][field]
+                assert (v is None and g is None) or v == g, (k, field, v, g)

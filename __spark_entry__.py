@@ -41,6 +41,7 @@ from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
     dedup,
     joins,
+    lmscore,
     multimodal,
     packing,
     sampling,
@@ -1190,6 +1191,45 @@ FROM counts c LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C28: CCNet-style LM scoring (operators/lmscore.py) — train a
+    unigram LM on the corpus (wordcount + distributed top-K vocab cut),
+    score every document by mean negative log10 probability. vocab_size=500
+    keeps a real OOV fraction so the floor path is exercised. The DuckDB
+    oracle replays tokenization, vocab election, and the 6-decimal-round +
+    DECIMAL-sum contract exactly."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    lm = lmscore.train_unigram_lm(docs, vocab_size=500)
+    return lmscore.perplexity_score(docs, lm)
+
+
+LM_PERPLEXITY_DUCK = """
+WITH toks AS (
+  SELECT doc_id, w AS word
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+    FROM documents WHERE text IS NOT NULL
+  ), unnest(ws) AS t(w)
+  WHERE w <> ''
+), counts AS (
+  SELECT word, count(*) AS n FROM toks GROUP BY word
+), total AS (
+  SELECT sum(n) AS t FROM counts
+), vocab AS (
+  SELECT word, log10(n / t) AS logp
+  FROM counts, total ORDER BY n DESC, word LIMIT 500
+), scored AS (
+  SELECT doc_id,
+         CAST(round(coalesce(v.logp, -log10(t)), 6) AS DECIMAL(18,9)) AS lp
+  FROM toks LEFT JOIN vocab v USING (word), total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(-(CAST(sum(lp) AS DOUBLE) / count(*)) AS DOUBLE) AS doc_nll
+FROM scored GROUP BY doc_id
+"""
+
+
 def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
     (hash-bucketed parallel streams — no global sort; operators/packing.py).
@@ -1696,6 +1736,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sessionize_events": _sessionize,
         "dedup_exact": _dedup_exact,
         "dedup_lines_global": _dedup_lines,
+        "lm_perplexity_score": _lm_perplexity,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1725,6 +1766,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "sessionize_events": SESSIONIZE_DUCK,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_lines_global": _dedup_lines_duck(),
+        "lm_perplexity_score": LM_PERPLEXITY_DUCK,
         # the sampling module's own SQL-twin helper IS the oracle here, so
         # this row proves sample_sql_predicate() is literally true
         "sample_hash_frac": (

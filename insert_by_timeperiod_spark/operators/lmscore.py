@@ -1,0 +1,107 @@
+"""Unigram language-model training + perplexity-style document scoring
+(SURVEY.md §2 C28) — the CCNet recipe (Wenzek et al. 2020: rank web pages by
+LM perplexity; low-perplexity ≈ fluent prose, high ≈ gibberish/boilerplate),
+with the 5-gram KenLM swapped for a corpus-trained unigram model so the
+whole thing stays inside the engine with an exact SQL oracle.
+
+Scale shape:
+- **Training** is one tokenize-explode + ``groupBy(word)`` with map-side
+  combine (the classic wordcount — the shuffle carries one row per distinct
+  word per map partition), then a deterministic top-``vocab_size`` cut
+  (count desc, word asc — no ties left to partition order). Output is a
+  tiny (word, logp) table.
+- **Scoring** broadcasts the vocab (50k rows ≈ MBs) against the exploded
+  corpus — no corpus shuffle for the lookup — and reduces per document with
+  partial aggregation. Per-word log-probs are rounded to 6 decimals and
+  summed as DECIMAL on both engines, so the oracle comparison is exact
+  (the repo-wide float-determinism contract).
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .util import spread
+
+
+def _tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens; the identical expression is mirrored in
+    the DuckDB oracle (lower + trim + ASCII \\s+ split, empties dropped)."""
+    return F.filter(
+        F.split(F.trim(F.lower(col)), r"\s+"), lambda w: w != ""
+    )
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Train a unigram LM over the corpus: the top ``vocab_size`` words by
+    frequency with base-10 log-probabilities ``log10(count / total)``,
+    where ``total`` counts ALL tokens (in- and out-of-vocab), so
+    probabilities are honest and the OOV floor ``log10(1/total)`` is below
+    every vocab word. Deterministic: count ties break on the word itself."""
+    words = spread(df.select(text_col)).select(
+        F.explode(_tokens(F.col(text_col))).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    # orderBy+limit compiles to TakeOrderedAndProject — each partition keeps
+    # its local top-K, the driver merges — NOT a single-partition row_number
+    # window (billions of distinct garbage tokens would pile one reducer)
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("word"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            F.log10(F.col("n") / F.col("t")).alias("logp"),
+            F.col("t").alias("total_tokens"),
+        )
+    )
+    return vocab
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each document with the mean per-token negative log10
+    probability (``doc_nll`` — CCNet's ranking statistic; perplexity is
+    ``10**doc_nll``). OOV tokens score the ``log10(1/total)`` floor.
+    Documents with zero tokens are absent from the output (no tokens, no
+    score) — mirrored by the oracle."""
+    oov = lm.select(
+        (-F.log10(F.col("total_tokens"))).alias("_oov")
+    ).limit(1)
+    toks = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
+    )
+    scored = (
+        toks.join(F.broadcast(lm.select("word", "logp")), "word", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            F.col(id_col),
+            # 6-decimal round + DECIMAL sum = the cross-engine exactness
+            # contract (libm log10 may differ in the last ulp between
+            # engines; the rounding grid absorbs it)
+            F.round(F.coalesce(F.col("logp"), F.col("_oov")), 6)
+            .cast("decimal(18,9)")
+            .alias("_lp"),
+        )
+    )
+    # exact decimal SUM, then cast to double BEFORE dividing: decimal
+    # division scale rules differ between engines, double division doesn't
+    # (sums stay under 2^53 at the 1e9 scale, so the cast is exact)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (-(F.sum("_lp").cast("double") / F.count(F.lit(1))))
+        .cast("double")
+        .alias("doc_nll"),
+    )

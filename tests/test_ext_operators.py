@@ -1035,3 +1035,34 @@ def test_quantize_embeddings_roundtrip_and_recall(spark, embs):
     want = {(r.query_id, r.neighbor_id) for r in exact}
     got_pairs = {(r.query_id, r.neighbor_id) for r in approx}
     assert len(want & got_pairs) / len(want) >= 0.9
+
+
+def test_lm_perplexity_ranks_gibberish_above_prose(spark):
+    """C28: a unigram LM trained on the corpus must score an
+    in-distribution doc (common words) lower-NLL than planted gibberish
+    (all-OOV tokens hit the log10(1/total) floor)."""
+    from pyspark.sql import Row
+
+    from insert_by_timeperiod_spark.operators import lmscore
+
+    base = [
+        Row(doc_id=i, text="the quick brown fox and the lazy dog " * 3)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        base
+        + [
+            Row(doc_id=100, text="the quick brown fox"),
+            Row(doc_id=101, text="zxqv jkwpf qmzzt vvxk"),
+        ]
+    )
+    lm = lmscore.train_unigram_lm(docs, vocab_size=10)
+    got = {r.doc_id: r for r in lmscore.perplexity_score(docs, lm).collect()}
+    assert got[100].doc_nll < got[101].doc_nll
+    assert got[101].n_tokens == 4
+    # determinism under repartition (training sample is the whole corpus,
+    # top-K cut is tie-broken on the word)
+    lm2 = lmscore.train_unigram_lm(docs.repartition(7), vocab_size=10)
+    a = {(r.word, round(r.logp, 12)) for r in lm.collect()}
+    b = {(r.word, round(r.logp, 12)) for r in lm2.collect()}
+    assert a == b

@@ -39,6 +39,7 @@ from insert_by_timeperiod_spark.functions import quality as QL
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
+    decontam,
     dedup,
     joins,
     lmscore,
@@ -1230,6 +1231,43 @@ FROM scored GROUP BY doc_id
 """
 
 
+def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C29: benchmark decontamination (operators/decontam.py) — every
+    corpus doc scored by 5-gram overlap against a 'benchmark' slice of the
+    corpus (every 97th doc), so true contamination (the benchmark docs
+    themselves + their exact dups) is planted by construction. The oracle
+    replays the gram election on STRINGS (no xxhash in DuckDB; 64-bit
+    collisions are ~2^-64 so counts agree)."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontam.ngram_contamination(docs, bench, n=5)
+
+
+DECONTAM_DUCK = """
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(ws) - 4),
+                     i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+         END AS gs
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM documents)
+), bench AS (
+  SELECT DISTINCT g FROM grams, unnest(gs) AS t(g) WHERE doc_id % 97 = 0
+), corp AS (
+  SELECT doc_id, g FROM grams, unnest(gs) AS t(g)
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM corp WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
     (hash-bucketed parallel streams — no global sort; operators/packing.py).
@@ -1737,6 +1775,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_exact": _dedup_exact,
         "dedup_lines_global": _dedup_lines,
         "lm_perplexity_score": _lm_perplexity,
+        "decontam_ngram": _decontam,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1767,6 +1806,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_lines_global": _dedup_lines_duck(),
         "lm_perplexity_score": LM_PERPLEXITY_DUCK,
+        "decontam_ngram": DECONTAM_DUCK,
         # the sampling module's own SQL-twin helper IS the oracle here, so
         # this row proves sample_sql_predicate() is literally true
         "sample_hash_frac": (

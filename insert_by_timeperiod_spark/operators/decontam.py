@@ -1,0 +1,75 @@
+"""Benchmark decontamination (SURVEY.md §2 C29): flag training documents
+that share long word n-grams with an evaluation/benchmark set — the
+standard leakage guard (GPT-3 appendix C / PaLM §8 use 8–13-gram collision;
+the n-gram length is the dial between recall and false positives).
+
+Scale shape: the benchmark side is small (eval sets are thousands of rows)
+— its distinct n-gram hashes broadcast; the corpus side explodes to
+(doc_id, gram_hash) and the membership probe is a broadcast left-semi
+join in the scan stage, so the corpus is never shuffled. Only 64-bit
+xxhash values move, never gram text (a hash collision at 2^-64 per pair
+flags one extra doc — the conservative direction for decontamination).
+Per-doc hit counts reduce with partial aggregation.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import word_shingles
+from .util import spread
+
+
+def _gram_hashes(col: Column, n: int) -> Column:
+    """Distinct xxhash64 values of the text's word n-grams (lowercased,
+    whitespace-tokenized — benchmark formatting differences in case or
+    spacing must not hide a real overlap)."""
+    return F.transform(word_shingles(F.lower(col), n), lambda s: F.xxhash64(s))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document contamination report against the benchmark: how many of
+    the document's word ``n``-grams appear anywhere in the benchmark set.
+    Returns (id, n_hits, contaminated) for EVERY corpus document —
+    ``contaminated = n_hits >= min_hits``; filter on it to drop, or join it
+    back to keep the audit trail.
+
+    Documents (or benchmark rows) shorter than ``n`` words contribute their
+    whole text as a single gram — a short benchmark prompt quoted verbatim
+    still flags."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("_g")
+        )
+        .distinct()
+    )
+    corpus_grams = spread(corpus.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_gram_hashes(F.col(text_col), n)).alias("_g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -1066,3 +1066,41 @@ def test_lm_perplexity_ranks_gibberish_above_prose(spark):
     a = {(r.word, round(r.logp, 12)) for r in lm.collect()}
     b = {(r.word, round(r.logp, 12)) for r in lm2.collect()}
     assert a == b
+
+
+def test_decontam_flags_quotes_and_spares_clean_docs(spark):
+    """C29: a doc quoting >= n consecutive benchmark words is contaminated;
+    clean prose is not; short benchmark rows match whole-text; case and
+    spacing differences don't hide overlap."""
+    from pyspark.sql import Row
+
+    from insert_by_timeperiod_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [
+            Row(text="What is the capital city of France today"),
+            Row(text="tiny prompt"),
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Quiz leak: what IS the Capital City OF France today, answer below"),
+            Row(doc_id=2, text="completely unrelated prose about spark partitions and shuffles"),
+            Row(doc_id=3, text="prefix words then TINY PROMPT appears"),  # 2-word bench row < n
+            Row(doc_id=4, text="the capital city"),  # 3 words, no full 5-gram of bench
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in decontam.ngram_contamination(corpus, bench, n=5).collect()
+    }
+    assert got[1].contaminated and got[1].n_hits >= 1
+    assert not got[2].contaminated and got[2].n_hits == 0
+    # bench row shorter than n becomes ONE whole-text gram: 'tiny prompt';
+    # doc 3 contains that exact 5-gram? No - doc 3's 5-grams include
+    # 'then tiny prompt appears' pieces, not the standalone 2-gram, so it
+    # stays clean (whole-short-TEXT matches only whole-short-DOCS)
+    assert not got[3].contaminated
+    # doc 4 is < n words -> its single gram is 'the capital city', not in bench
+    assert not got[4].contaminated
+    assert set(got) == {1, 2, 3, 4}  # every corpus doc reported

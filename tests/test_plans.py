@@ -183,9 +183,13 @@ def test_quality_filters_stay_in_scan_stage(spark):
 
 def test_hash_sample_adds_no_exchange_and_prunes_columns(spark):
     """C26: hash_sample is a scan-stage filter; sampling two columns of a
-    wide table must read only those columns plus the key."""
+    wide table must read only those columns plus the key. Clear the cache
+    first: another test module caching `documents` makes the CacheManager
+    substitute the full-table InMemoryRelation into this plan, and the pin
+    is about the UNCACHED scan."""
     from insert_by_timeperiod_spark.operators import sampling
 
+    spark.catalog.clearCache()
     df = sampling.hash_sample(
         spark.table("documents").select("doc_id", "lang"), 0.1, ["doc_id"]
     )

@@ -6,12 +6,18 @@ duplicate-line fraction, top-n-gram mass, symbol-to-word ratio, bullet and
 ellipsis line fractions, alphabetic-word fraction, mean word length — plus a
 composite pass/fail verdict combining them with the published thresholds.
 
-Everything here is a pure Catalyst column expression over the document's own
-row (split/array_distinct/filter/transform/aggregate higher-order functions
-— JVM-side, zero shuffle, zero Python). At 100 TB that means the whole
-quality pass is a single scan-stage projection that composes with predicate
-pushdown: `df.where(passes_gopher(...))` drops junk documents inside the
-scan, before anything is shuffled or materialized.
+Two lanes, same semantics (pinned bit-identical by tests):
+
+- **Column functions** — pure Catalyst expressions over the document's own
+  row (split/array_distinct/filter/transform higher-order functions —
+  JVM-side, zero shuffle). Use when ONE metric feeds a filter:
+  `df.where(passes_gopher(...))` drops junk documents inside the scan,
+  before anything is shuffled or materialized.
+- **`quality_stats_batch`** — the fused Arrow lane for the WHOLE stat
+  block: higher-order-function lambdas evaluate interpreted per array
+  element (top_ngram_frac is O(grams x distinct) tree-walks per row —
+  minutes at 500k docs), while the fused pass measures 2.9x FASTER than
+  DuckDB's identical oracle at sf10. Zero shuffle either way.
 
 Cross-engine contract: each expression deliberately sticks to semantics
 DuckDB's list/regex functions reproduce exactly (same split regex in the

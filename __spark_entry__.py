@@ -47,6 +47,7 @@ from insert_by_timeperiod_spark.operators import (
     packing,
     sampling,
     similarity,
+    tfidf,
 )
 from insert_by_timeperiod_spark.operators.pipeline import clean_documents
 from insert_by_timeperiod_spark.operators.sessions import session_stats, sessionize
@@ -1268,6 +1269,43 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C30: top-3 TF-IDF terms per document (operators/tfidf.py) — two
+    map-side-combining aggs + per-doc window top-k; scores ride the
+    6-decimal-round contract so ranking (incl. the word tie-break) is
+    engine-exact."""
+    _prep(spark, sf_dir)
+    return tfidf.tfidf_top_terms(spark.table("documents"), k=3, min_df=2)
+
+
+TFIDF_DUCK = """
+WITH toks AS (
+  SELECT doc_id, w AS word
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+    FROM documents WHERE text IS NOT NULL
+  ), unnest(ws) AS t(w)
+  WHERE w <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+), n_docs AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word HAVING count(*) >= 2
+), scored AS (
+  SELECT tf.doc_id, tf.word AS term,
+         round(tf.tf * (ln((n + 1) / (df + 1)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (word), n_docs
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rank FROM scored
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
     (hash-bucketed parallel streams — no global sort; operators/packing.py).
@@ -1776,6 +1814,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_lines_global": _dedup_lines,
         "lm_perplexity_score": _lm_perplexity,
         "decontam_ngram": _decontam,
+        "tfidf_top_terms": _tfidf,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1807,6 +1846,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "dedup_lines_global": _dedup_lines_duck(),
         "lm_perplexity_score": LM_PERPLEXITY_DUCK,
         "decontam_ngram": DECONTAM_DUCK,
+        "tfidf_top_terms": TFIDF_DUCK,
         # the sampling module's own SQL-twin helper IS the oracle here, so
         # this row proves sample_sql_predicate() is literally true
         "sample_hash_frac": (

@@ -1,0 +1,74 @@
+"""TF-IDF keyword extraction (SURVEY.md §2 C30): top-k characteristic terms
+per document — the classic corpus-statistics workload (search indexing,
+topic tagging, near-dup explanation) as three map-side-combining shuffles.
+
+Scale shape:
+- **tf** is ``groupBy(id, word)`` over the exploded corpus — partial
+  aggregation combines map-side, the shuffle carries per-partition partials.
+- **df/idf** is a second partial agg over the words of the tf table (one
+  row per (doc, word) already), joined back ON the word key — both sides
+  arrive hash-partitioned by word, no broadcast needed, no driver state.
+- **top-k** ranks inside each document's partition (shuffle by id), never
+  a global sort.
+
+Scores use sklearn's smoothed idf ``ln((1+N)/(1+df)) + 1`` and are rounded
+to 6 decimals BEFORE ranking on both engines (libm ln may differ in the
+last ulp across engines; the rounding grid absorbs it and the word
+tie-break makes the cut deterministic), so the DuckDB oracle is exact.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .lmscore import _tokens
+from .util import spread
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """The ``k`` highest-TF-IDF terms per document as
+    (id, term, rank, score). ``min_df`` drops corpus-rare noise terms
+    before ranking. Documents with no surviving terms are absent."""
+    toks = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
+    )
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n"))
+    dfreq = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("word").alias("term"),
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )

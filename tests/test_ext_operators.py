@@ -1104,3 +1104,26 @@ def test_decontam_flags_quotes_and_spares_clean_docs(spark):
     # doc 4 is < n words -> its single gram is 'the capital city', not in bench
     assert not got[4].contaminated
     assert set(got) == {1, 2, 3, 4}  # every corpus doc reported
+
+
+def test_tfidf_surfaces_characteristic_terms(spark):
+    """C30: a term frequent IN one doc but rare ACROSS docs must outrank
+    corpus-wide stopwords; min_df drops one-doc noise."""
+    from pyspark.sql import Row
+
+    from insert_by_timeperiod_spark.operators import tfidf
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the common filler words appear everywhere") for i in range(10)]
+        + [
+            Row(doc_id=100, text="the the the zebra zebra zebra zebra common"),
+            Row(doc_id=101, text="zebra sighting near the watering hole"),
+            Row(doc_id=102, text="onlyonce uniqueterm here"),
+        ]
+    )
+    out = tfidf.tfidf_top_terms(docs, k=2, min_df=2)
+    top100 = [r.term for r in out.where("doc_id = 100").orderBy("rank").collect()]
+    assert top100[0] == "zebra"  # 4x tf, df=2 -> beats 'the' (df=13)
+    # min_df=2 drops doc 102's singleton terms entirely
+    terms102 = {r.term for r in out.where("doc_id = 102").collect()}
+    assert "onlyonce" not in terms102 and "uniqueterm" not in terms102

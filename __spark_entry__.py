@@ -49,7 +49,7 @@ from insert_by_timeperiod_spark.operators import (
     similarity,
     tfidf,
 )
-from insert_by_timeperiod_spark.operators.pipeline import clean_documents
+from insert_by_timeperiod_spark.operators.pipeline import clean_documents, curate_corpus
 from insert_by_timeperiod_spark.operators.sessions import session_stats, sessionize
 from insert_by_timeperiod_spark.sources import load_table, register_views
 from insert_by_timeperiod_spark.streaming import StreamToPeriodTable, event_time_windowed
@@ -1306,6 +1306,51 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: line dedup -> exact dedup on cleaned text ->
+    quality gate -> split labels, ONE declarative plan
+    (operators/pipeline.py curate_corpus). Oracle composes the same four
+    stages in SQL — the end-to-end result is engine-exact."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(_BOILER_HDR + "\n"), F.col("text"), F.lit("\n" + _BOILER_FTR)
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return curate_corpus(docs)
+
+
+def _pipeline_curate_duck() -> str:
+    t_train = sampling._hex_threshold(0.98)
+    t_valid = sampling._hex_threshold(0.99)
+    return f"""
+WITH cleaned AS ({_dedup_lines_duck()}),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM cleaned GROUP BY clean_text
+), gated AS (
+  SELECT c.doc_id, c.clean_text,
+         CAST(CASE WHEN length(trim(c.clean_text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(c.clean_text), '\\s+')) END
+              AS BIGINT) AS n_words,
+         1.0 - len(list_distinct(string_split(c.clean_text, chr(10))))
+             / len(string_split(c.clean_text, chr(10))) AS dup
+  FROM cleaned c JOIN keep k ON c.doc_id = k.doc_id
+)
+SELECT doc_id, clean_text, n_words,
+       CASE WHEN u < '{t_train}' THEN 'train'
+            WHEN u < '{t_valid}' THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT *, substr(md5(concat('curate', chr(31), doc_id)), 1, 8) AS u
+  FROM gated WHERE n_words >= 3 AND dup <= 0.5
+)
+"""
+
+
 def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
     (hash-bucketed parallel streams — no global sort; operators/packing.py).
@@ -1815,6 +1860,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "lm_perplexity_score": _lm_perplexity,
         "decontam_ngram": _decontam,
         "tfidf_top_terms": _tfidf,
+        "pipeline_curate": _pipeline_curate,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1847,6 +1893,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "lm_perplexity_score": LM_PERPLEXITY_DUCK,
         "decontam_ngram": DECONTAM_DUCK,
         "tfidf_top_terms": TFIDF_DUCK,
+        "pipeline_curate": _pipeline_curate_duck(),
         # the sampling module's own SQL-twin helper IS the oracle here, so
         # this row proves sample_sql_predicate() is literally true
         "sample_hash_frac": (

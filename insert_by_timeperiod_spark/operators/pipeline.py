@@ -51,3 +51,55 @@ def clean_documents(
     if langs:
         out = out.where(F.col("lang_guess").isin(langs))
     return out
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_line_chars: int = 8,
+    min_words: int = 3,
+    max_dup_line_frac: float = 0.5,
+    split_weights: dict[str, float] | None = None,
+    split_seed: str = "curate",
+) -> DataFrame:
+    """Full curation pass, one declarative plan (the EXT operators composed
+    the way a pretraining-prep job runs them):
+
+    1. corpus-wide duplicate-LINE removal (``dedup_lines`` — C4 boilerplate
+       strip, map-side-combining keeper election);
+    2. exact document dedup ON THE CLEANED TEXT (stripping boilerplate
+       first exposes documents that were identical all along);
+    3. quality gate over the cleaned text (word floor + residual
+       duplicate-line ceiling — cheap codegen'd predicates);
+    4. deterministic train/valid/test labeling (md5-prefix draw, stable
+       across runs and engines).
+
+    Returns (id, clean_text, n_words, split). Catalyst fuses 2-4 around one
+    digest-groupBy shuffle on top of dedup_lines' passes; the split label
+    costs zero extra shuffles.
+    """
+    from ..functions import quality as QL
+    from .dedup import dedup_lines
+    from .sampling import assign_splits
+
+    cleaned = dedup_lines(
+        df, text_col, id_col, min_line_chars=min_line_chars
+    ).select(id_col, F.col("clean_text"))
+    deduped = exact_dedup(cleaned, "clean_text", id_col)
+    t = F.col("clean_text")
+    gated = deduped.select(
+        F.col(id_col),
+        t.alias("clean_text"),
+        QL.word_count(t).cast("bigint").alias("n_words"),
+        QL.dup_line_frac(t).alias("_dup"),
+    ).where(
+        (F.col("n_words") >= min_words) & (F.col("_dup") <= max_dup_line_frac)
+    )
+    return assign_splits(
+        gated.drop("_dup"),
+        [id_col],
+        weights=split_weights,
+        seed=split_seed,
+    )

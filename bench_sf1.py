@@ -58,6 +58,10 @@ QUERIES = [
     "dedup_exact",
     "dedup_lines_global",
     "sample_stratified",
+    "lm_perplexity_score",
+    "tfidf_top_terms",
+    "decontam_ngram",
+    "pipeline_curate",
     "pack_concat_chunk",
 ]
 

@@ -219,3 +219,41 @@ def test_brute_force_topk_broadcasts_queries(spark):
     emb = spark.table("embeddings")
     df = S.brute_force_topk(emb, emb.limit(3), k=3)
     assert has_broadcast_join(df)
+
+
+def test_lm_training_vocab_cut_is_distributed_topk(spark):
+    """C28: the vocab election must compile to TakeOrderedAndProject (local
+    top-K per partition + driver merge), never a single-partition sort or
+    row_number window over all distinct words."""
+    from insert_by_timeperiod_spark.operators import lmscore
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    lm = lmscore.train_unigram_lm(spark.table("documents"), vocab_size=100)
+    plan = explain_str(lm, formatted=False)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_decontam_probe_broadcasts_benchmark(spark):
+    """C29: the benchmark gram set must broadcast — the corpus side never
+    shuffles for the membership probe."""
+    from insert_by_timeperiod_spark.operators import decontam
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    docs = spark.table("documents")
+    df = decontam.ngram_contamination(docs, docs.limit(10), n=5)
+    plan = explain_str(df, formatted=False)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_aggs_are_partial(spark):
+    """C30: tf and document-frequency must compile with map-side partial
+    aggregation (the shuffle carries per-partition partials, not raw
+    token rows)."""
+    from insert_by_timeperiod_spark.operators import tfidf
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    df = tfidf.tfidf_top_terms(spark.table("documents"), k=3)
+    plan = explain_str(df, formatted=False)
+    assert plan.lower().count("partial") >= 2

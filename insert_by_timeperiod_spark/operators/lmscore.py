@@ -77,6 +77,9 @@ def perplexity_score(
     ``10**doc_nll``). OOV tokens score the ``log10(1/total)`` floor.
     Documents with zero tokens are absent from the output (no tokens, no
     score) — mirrored by the oracle."""
+    # limit(1) without ORDER BY is row-nondeterministic but VALUE-
+    # deterministic here: total_tokens is the same constant on every vocab
+    # row (train_unigram_lm attaches the single corpus total to each)
     oov = lm.select(
         (-F.log10(F.col("total_tokens"))).alias("_oov")
     ).limit(1)

@@ -16,17 +16,71 @@ Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import word_shingles
 from .util import spread
 
+_WS = re.compile(r"\s+", re.ASCII)  # Java/RE2 \s dialect (oracle parity)
+
 
 def _gram_hashes(col: Column, n: int) -> Column:
     """Distinct xxhash64 values of the text's word n-grams (lowercased,
     whitespace-tokenized — benchmark formatting differences in case or
-    spacing must not hide a real overlap)."""
+    spacing must not hide a real overlap). Column-expression lane; see
+    ``_gram_hashes_batch`` for the lane the operator actually runs."""
     return F.transform(word_shingles(F.lower(col), n), lambda s: F.xxhash64(s))
+
+
+def _gram_hashes_batch(n: int):
+    """Arrow lane computing the same DISTINCT n-gram sets: higher-order
+    ``transform``/``slice`` lambdas evaluate interpreted per gram (~22s for
+    a 500k-doc pass at sf10, measured), while this builds each batch's
+    grams in Python and hashes them ALL with one C-speed
+    ``pd.util.hash_array`` call (~10x). Hash values differ from the column
+    lane's xxhash64 — irrelevant by design: contamination only compares
+    corpus hashes against benchmark hashes from the SAME lane, and the
+    driver oracle compares gram STRINGS. Tokenization mirrors
+    ``word_shingles`` exactly (space-only trim, ASCII ``\\s+`` split with
+    Java's leading-empty behavior, whole-text gram below ``n`` words) so
+    hit COUNTS match the SQL oracle."""
+
+    @F.pandas_udf("array<long>")
+    def grams(texts: pd.Series) -> pd.Series:
+        per_row: list[list[str]] = []
+        for s in texts:
+            if s is None:
+                per_row.append([])
+                continue
+            t = s.lower().strip(" ")
+            words = _WS.split(t) if t else [""]
+            if len(words) < n:
+                per_row.append([" ".join(words)])
+            else:
+                per_row.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(words[i : i + n])
+                            for i in range(len(words) - n + 1)
+                        )
+                    )
+                )
+        flat = np.array(
+            [g for row in per_row for g in row], dtype=object
+        )
+        hashed = pd.util.hash_array(flat).view(np.int64)
+        out, pos = [], 0
+        for row in per_row:
+            out.append(hashed[pos : pos + len(row)])
+            pos += len(row)
+        return pd.Series(out)
+
+    return grams
 
 
 def ngram_contamination(
@@ -48,14 +102,13 @@ def ngram_contamination(
     Documents (or benchmark rows) shorter than ``n`` words contribute their
     whole text as a single gram — a short benchmark prompt quoted verbatim
     still flags."""
+    gh = _gram_hashes_batch(n)
     bench_grams = (
-        benchmark.select(
-            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("_g")
-        )
+        benchmark.select(F.explode(gh(F.col(bench_text_col))).alias("_g"))
         .distinct()
     )
     corpus_grams = spread(corpus.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(_gram_hashes(F.col(text_col), n)).alias("_g")
+        F.col(id_col), F.explode(gh(F.col(text_col))).alias("_g")
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "_g", "left_semi")

@@ -1134,6 +1134,27 @@ FROM ranked WHERE rk <= 20
 """
 
 
+#: domain-mixture battery weights: lang shares are skewed at every sf (en
+#: dominates), so the resampler must genuinely thin en and keep fr nearly
+#: whole — a non-trivial mixture, not a no-op
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.3, "fr": 0.3}
+
+
+def _sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C26 (mixture lane): DoReMi/The-Pile-style domain-mixture
+    downsampling (operators/sampling.py mixture_sample). Keeps the largest
+    corpus whose lang shares hit 40/30/30: per-domain counts (one tiny
+    map-combined agg), N = min(n_d/w_d) via a window over that tiny
+    relation, per-domain md5 thresholds broadcast back as a scan-stage
+    filter. The DuckDB oracle replays the identical pinned-order double
+    arithmetic, so the row set matches bit-for-bit."""
+    _prep(spark, sf_dir)
+    out = sampling.mixture_sample(
+        spark.table("documents"), _MIX_WEIGHTS, "lang", ["doc_id"], seed="mix"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 #: boilerplate planted across every third doc so cross-document line dedup
 #: (C4-style) has real repeated lines to elect keepers from
 _BOILER_HDR = "subscribe to our newsletter for updates"
@@ -1761,17 +1782,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # silently dropped), so this battery declares exactly 50 — every
     # declared entry gets a recorded correctness row. Entries that were
     # truncated in r5 (pack_concat_chunk, sim_bruteforce_topk,
-    # sim_cosine_dupes) now LEAD. Redundant-signal entries moved to
-    # pytest_only_queries() below (still oracle-checked every CI run, just
-    # not spending driver slots): cube/case (C9/C14 keep 2-3 recorded rows
-    # each), sessionize_events (identical oracle to streaming_sessionize),
-    # dedup_exact (a projection of dedup_clusters), month-grid/source-scan
-    # engine rows (ORACLE_DAILY re-checks; goldens in tests/test_engine.py),
-    # and the rows-only entries whose real verification is pytest
-    # (simhash/fingerprint recall+stability, IVF recall+determinism,
-    # multimodal_features pixel stats). The one rows-only survivor is
-    # sim_ann_topk, LAST, as the recorded representative of the
-    # genuinely-approximate ANN lane.
+    # sim_cosine_dupes) LEAD, and the NEW corpus-statistics operators
+    # (C27-C30 + curation) hold driver slots — new capability always gets a
+    # recorded row. Redundant-signal entries moved to pytest_only_queries()
+    # below (still oracle-checked every CI run, just not spending driver
+    # slots): cube/case/grouping-sets (C9/C14 keep recorded rows via
+    # rollup/percentiles/pivot), anti-join (C6 keeps semi + IN-subquery),
+    # string/array/unnest scalar variants (C13-C15 keep date_scalars +
+    # json_props), sessionize_events (identical oracle to
+    # streaming_sessionize), dedup_exact (a projection of dedup_clusters),
+    # month-grid/source-scan engine rows (ORACLE_DAILY re-checks; goldens
+    # in tests/test_engine.py), and the rows-only entries whose real
+    # verification is pytest (simhash/fingerprint recall+stability, IVF
+    # recall+determinism, multimodal_features pixel stats). The one
+    # rows-only survivor is sim_ann_topk, LAST, as the recorded
+    # representative of the genuinely-approximate ANN lane.
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # EXT rows the r5 driver truncated + the two NEW oracled operators
         "pack_concat_chunk": _pack_concat,
@@ -1791,25 +1816,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q3_top_revenue": _sql(Q3_TOP_REVENUE),
             "region_revenue": _sql(REGION_REVENUE),
             "semi_join_customers": _sql(SEMI_JOIN),
-            "anti_join_customers": _sql(ANTI_JOIN),
             "in_subquery_orders": _sql(IN_SUBQUERY),
             "range_band_join": _range_bands,
             "asof_prev_event": _asof,
             # windows / grouping
             "window_running": _sql(WINDOW_RUNNING_SPARK),
             "rollup_acctbal": _sql(ROLLUP_SQL),
-            "grouping_sets_events": _sql(GROUPING_SETS_SQL),
             "set_ops_customers": _sql(SET_OPS_SQL),
             # scalar surfaces
             "date_scalars": _sql(DATE_SCALARS_SPARK),
-            "string_scalars": _sql(STRING_SCALARS_SPARK),
             "json_props": _sql(JSON_SPARK),
-            "array_ops": _sql(ARRAY_OPS_SPARK),
             "cte_union_minmax": _sql(CTE_MINMAX),
             "distinct_days_topk": _sql(DISTINCT_TOPK),
             "percentiles_by_type": _sql(PERCENTILES_SPARK),
             "pivot_event_types": _sql(PIVOT_EVENT_TYPES),
-            "unnest_embeddings": _sql(UNNEST_SPARK),
             # C16/C17: Structured Streaming
             "streaming_windowed_counts": _stream_windowed,
             "streaming_ingest_table": _stream_ingest,
@@ -1826,6 +1846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_redact_pii": _text_redact,
             "text_quality_gopher": _text_quality,
             "pipeline_clean_documents": _pipeline_clean,
+            # EXT: corpus-statistics operators (C27-C30) + composed curation
+            "dedup_lines_global": _dedup_lines,
+            "lm_perplexity_score": _lm_perplexity,
+            "decontam_ngram": _decontam,
+            "tfidf_top_terms": _tfidf,
+            "pipeline_curate": _pipeline_curate,
             # EXT: deterministic sampling / split assignment
             "sample_stratified": _sample_strat,
             # EXT: similarity, rows-only ANN representative — LAST so any
@@ -1854,13 +1880,14 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         ),
         "cube_acctbal": _sql(CUBE_SQL),
         "case_buckets": _sql(CASE_BUCKETS),
+        "anti_join_customers": _sql(ANTI_JOIN),
+        "grouping_sets_events": _sql(GROUPING_SETS_SQL),
+        "string_scalars": _sql(STRING_SCALARS_SPARK),
+        "array_ops": _sql(ARRAY_OPS_SPARK),
+        "unnest_embeddings": _sql(UNNEST_SPARK),
         "sessionize_events": _sessionize,
         "dedup_exact": _dedup_exact,
-        "dedup_lines_global": _dedup_lines,
-        "lm_perplexity_score": _lm_perplexity,
-        "decontam_ngram": _decontam,
-        "tfidf_top_terms": _tfidf,
-        "pipeline_curate": _pipeline_curate,
+        "sample_mixture": _sample_mixture,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1887,13 +1914,20 @@ def pytest_only_oracles() -> dict[str, str]:
         """,
         "cube_acctbal": CUBE_SQL,
         "case_buckets": CASE_BUCKETS,
+        "anti_join_customers": ANTI_JOIN,
+        "grouping_sets_events": GROUPING_SETS_SQL,
+        "string_scalars": STRING_SCALARS_DUCK,
+        "array_ops": ARRAY_OPS_DUCK,
+        "unnest_embeddings": UNNEST_DUCK,
         "sessionize_events": SESSIONIZE_DUCK,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
-        "dedup_lines_global": _dedup_lines_duck(),
-        "lm_perplexity_score": LM_PERPLEXITY_DUCK,
-        "decontam_ngram": DECONTAM_DUCK,
-        "tfidf_top_terms": TFIDF_DUCK,
-        "pipeline_curate": _pipeline_curate_duck(),
+        "sample_mixture": sampling.mixture_sql(
+            _MIX_WEIGHTS,
+            "lang",
+            "doc_id",
+            seed="mix",
+            select="t.doc_id, t.lang, t.source",
+        ),
         # the sampling module's own SQL-twin helper IS the oracle here, so
         # this row proves sample_sql_predicate() is literally true
         "sample_hash_frac": (
@@ -1912,23 +1946,23 @@ def oracle_sql() -> dict[str, str]:
             "q3_top_revenue": Q3_TOP_REVENUE,
             "region_revenue": REGION_REVENUE,
             "semi_join_customers": SEMI_JOIN,
-            "anti_join_customers": ANTI_JOIN,
             "in_subquery_orders": IN_SUBQUERY,
             "range_band_join": RANGE_BANDS_DUCK,
             "asof_prev_event": ASOF_DUCK,
             "window_running": WINDOW_RUNNING_DUCK,
             "rollup_acctbal": ROLLUP_SQL,
-            "grouping_sets_events": GROUPING_SETS_SQL,
             "set_ops_customers": SET_OPS_SQL,
             "date_scalars": DATE_SCALARS_DUCK,
-            "string_scalars": STRING_SCALARS_DUCK,
             "json_props": JSON_DUCK,
-            "array_ops": ARRAY_OPS_DUCK,
             "cte_union_minmax": CTE_MINMAX,
             "distinct_days_topk": DISTINCT_TOPK,
             "percentiles_by_type": PERCENTILES_DUCK,
             "pivot_event_types": PIVOT_EVENT_TYPES,
-            "unnest_embeddings": UNNEST_DUCK,
+            "dedup_lines_global": _dedup_lines_duck(),
+            "lm_perplexity_score": LM_PERPLEXITY_DUCK,
+            "decontam_ngram": DECONTAM_DUCK,
+            "tfidf_top_terms": TFIDF_DUCK,
+            "pipeline_curate": _pipeline_curate_duck(),
             "dedup_clusters": (
                 "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, "
                 "COUNT(*) AS n_copies FROM documents GROUP BY text"

@@ -134,6 +134,102 @@ def stratified_sample(
     return out.drop("__rk")
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str,
+    key_cols: list[str],
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Downsample to a target domain MIXTURE (DoReMi / The Pile style):
+    given per-domain proportions (e.g. ``{"web": .5, "code": .3, "books":
+    .2}``), keep the LARGEST corpus achievable by pure downsampling whose
+    domain shares match the weights: ``N = min_d(n_d / w_d)`` rows total,
+    ``w_d * N`` of them from domain ``d``. Domains not in ``weights`` (and
+    weighted domains absent from the data) are dropped; expected shares are
+    exact in expectation via the same md5 draw as ``hash_sample`` — so the
+    selection is deterministic per row and engine-portable.
+
+    Plan shape (100 TB-safe): one map-side-combined ``groupBy(domain)``
+    count (output = one row per domain), a global MIN window over that tiny
+    relation, then the per-domain thresholds broadcast back onto the corpus
+    — the corpus itself is touched by exactly one scan-stage filter, no
+    corpus-sized shuffle. Threshold arithmetic is written with a pinned
+    evaluation order (``w * N / n * 2^32``, then LEAST, then FLOOR) in both
+    engines so IEEE doubles agree bit-for-bit; ``mixture_sql`` emits the
+    DuckDB twin used by the oracle battery."""
+    weights = _normalize_weights(weights)
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, w) for d, w in sorted(weights.items())],
+        f"{domain_col} string, __w double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    joined = counts.join(F.broadcast(wdf), domain_col)
+    thr = (
+        joined.withColumn(
+            "__nmax", F.min(F.col("__n") / F.col("__w")).over(Window.partitionBy())
+        )
+        .withColumn(
+            "__thr",
+            F.format_string(
+                "%08x",
+                F.floor(
+                    F.least(
+                        F.col("__w") * F.col("__nmax") / F.col("__n")
+                        * F.lit(4294967296.0),
+                        F.lit(4294967295.0),
+                    )
+                ).cast("bigint"),
+            ),
+        )
+        .select(domain_col, "__thr")
+    )
+    u = _draw(seed, *[F.col(c) for c in key_cols])
+    cols = df.columns
+    return (
+        df.join(F.broadcast(thr), domain_col, "inner")
+        .where(u < F.col("__thr"))
+        .select(*cols)
+    )
+
+
+def _normalize_weights(weights: dict[str, float]) -> dict[str, float]:
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"mixture weights must be positive, got {weights}")
+    total = sum(weights.values())
+    return {d: w / total for d, w in weights.items()}
+
+
+def mixture_sql(
+    weights: dict[str, float],
+    domain_col: str,
+    key_sql: str,
+    *,
+    seed: str = "",
+    table: str = "documents",
+    select: str = "t.*",
+) -> str:
+    """The DuckDB twin of ``mixture_sample`` — identical md5 draw, identical
+    pinned-order threshold arithmetic (normalized weights are embedded via
+    ``repr``, which round-trips doubles exactly)."""
+    weights = _normalize_weights(weights)
+    rows = ", ".join(f"('{d}', {w!r})" for d, w in sorted(weights.items()))
+    return f"""
+        WITH w(domain, wt) AS (VALUES {rows}),
+        c AS (SELECT {domain_col} AS domain, COUNT(*) AS n FROM {table} GROUP BY 1),
+        j AS (SELECT c.domain, c.n, w.wt, MIN(c.n / w.wt) OVER () AS nmax
+              FROM c JOIN w USING (domain)),
+        thr AS (SELECT domain,
+                       printf('%08x', CAST(FLOOR(LEAST(wt * nmax / n * 4294967296.0,
+                                                       4294967295.0)) AS BIGINT)) AS thr
+                FROM j)
+        SELECT {select} FROM {table} t JOIN thr ON t.{domain_col} = thr.domain
+        WHERE substr(md5(concat('{seed}', chr(31), {key_sql})), 1, 8) < thr.thr
+    """
+
+
 def sample_sql_predicate(
     frac: float, key_sql: str, *, seed: str = ""
 ) -> str:

@@ -260,3 +260,62 @@ def test_quality_batch_lane_equals_column_lane(spark, views):
             for field, v in want[k].items():
                 g = got[k][field]
                 assert (v is None and g is None) or v == g, (k, field, v, g)
+
+
+def test_mixture_sample_hits_target_shares(spark, ids):
+    """Shares land near 50/30/20 of the achievable N, and the binding
+    domain (the one with min n/w) is kept nearly whole."""
+    df = ids.withColumn(
+        "dom",
+        F.when(F.col("id") % 10 < 6, "web")
+        .when(F.col("id") % 10 < 9, "code")
+        .otherwise("books"),
+    )
+    # counts: web 12000, code 6000, books 2000; weights 0.5/0.3/0.2
+    # N = min(24000, 20000, 10000) = 10000 -> keep 5000/3000/2000
+    out = sampling.mixture_sample(
+        df, {"web": 0.5, "code": 0.3, "books": 0.2}, "dom", ["id"], seed="mx"
+    )
+    by = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert by["books"] == 2000  # binding domain: frac == 1 keeps (almost) all
+    assert abs(by["web"] - 5000) < 300 and abs(by["code"] - 3000) < 250
+
+
+def test_mixture_sample_partition_invariant_and_drops_unweighted(spark, ids):
+    df = ids.withColumn("dom", F.col("grp"))
+    w = {"0": 0.5, "1": 0.5}
+    a = {r["id"] for r in sampling.mixture_sample(df, w, "dom", ["id"]).collect()}
+    b = {
+        r["id"]
+        for r in sampling.mixture_sample(
+            df.repartition(17), w, "dom", ["id"]
+        ).collect()
+    }
+    assert a == b
+    doms = {r["dom"] for r in sampling.mixture_sample(df, w, "dom", ["id"]).select("dom").distinct().collect()}
+    assert doms == {"0", "1"}
+
+
+def test_mixture_sql_twin_matches_duck(spark, ids, duck):
+    df = ids.withColumn("dom", F.col("grp"))
+    w = {"0": 0.6, "3": 0.4}
+    got = sorted(
+        tuple(r)
+        for r in sampling.mixture_sample(df, w, "dom", ["id"], seed="tw")
+        .select("id", "dom")
+        .collect()
+    )
+    duck.register("mix_tbl", df.select("id", "dom").toPandas())
+    sql = sampling.mixture_sql(
+        w, "dom", "id", seed="tw", table="mix_tbl", select="t.id, t.dom"
+    )
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    duck.unregister("mix_tbl")
+    assert got == want
+
+
+def test_mixture_weight_validation(spark, ids):
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(ids, {}, "grp", ["id"])
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(ids, {"a": 0.5, "b": -0.1}, "grp", ["id"])

@@ -1494,6 +1494,37 @@ WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.999
 """
 
 
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C31: SemDeDup semantic dedup (operators/similarity.py semdedup).
+    Exact-duplicate vectors ALWAYS co-cluster (same argmax centroid), and
+    the greedy pass keeps the smallest id of each identical group — so with
+    threshold 0.999 (which only exact duplicates reach in this corpus, the
+    same fact sim_cosine_dupes' green oracle row rests on) the keep/dup_of
+    assignment is fully SQL-expressible: a window over identical-embedding
+    groups."""
+    _prep(spark, sf_dir)
+    embs = spark.table("embeddings")
+    planted = embs.where("vec_id < 5").withColumn("vec_id", F.col("vec_id") + 10_000)
+    out = similarity.semdedup(
+        embs.unionByName(planted), dim=64, threshold=0.999, k_cells=16
+    )
+    return out.select("vec_id", "keep", "dup_of")
+
+
+SEMDEDUP_DUCK = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 5
+)
+SELECT vec_id,
+       vec_id = MIN(vec_id) OVER (PARTITION BY embedding) AS keep,
+       CASE WHEN vec_id = MIN(vec_id) OVER (PARTITION BY embedding) THEN NULL
+            ELSE MIN(vec_id) OVER (PARTITION BY embedding) END AS dup_of
+FROM base
+"""
+
+
 def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: approximate NN (multi-table LSH) — by construction not
     equal to the exact oracle; recall is tested against brute force in CI."""
@@ -1888,6 +1919,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sessionize_events": _sessionize,
         "dedup_exact": _dedup_exact,
         "sample_mixture": _sample_mixture,
+        "semdedup_exact_vecs": _semdedup,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1921,6 +1953,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "unnest_embeddings": UNNEST_DUCK,
         "sessionize_events": SESSIONIZE_DUCK,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "semdedup_exact_vecs": SEMDEDUP_DUCK,
         "sample_mixture": sampling.mixture_sql(
             _MIX_WEIGHTS,
             "lang",

@@ -247,6 +247,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_limit: int = 20_000,
+    dim: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means centroids from a bounded corpus sample.
 
@@ -270,7 +271,23 @@ def train_ivf_centroids(
         .limit(sample_limit)
         .collect()
     )
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    # NULL / wrong-length embeddings can't train (they bucket like zero
+    # vectors downstream): keep sample rows matching the first valid row's
+    # dimensionality
+    vecs = [r[0] for r in rows if r[0] is not None and len(r[0]) > 0]
+    if not vecs:
+        raise ValueError("no valid embeddings to train centroids from")
+    # expected dimensionality: the caller's, else the sample's majority —
+    # a stray wrong-length row must not dictate the centroid shape
+    if dim is None:
+        lens = {}
+        for v in vecs:
+            lens[len(v)] = lens.get(len(v), 0) + 1
+        dim = max(sorted(lens), key=lens.get)
+    vecs = [v for v in vecs if len(v) == dim]
+    if not vecs:
+        raise ValueError(f"no embeddings of length {dim} to train from")
+    x = np.asarray(vecs, dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(k_cells, len(x)), replace=False)]
@@ -292,7 +309,13 @@ def _cell_assign_udf(cents: np.ndarray, nprobe: int):
 
     @F.pandas_udf("array<int>")
     def cells(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
+        dim = ct.shape[0]
+        # NULL / wrong-length embeddings assign like the zero vector (same
+        # contract as the LSH lane) instead of crashing the job
+        m = np.zeros((len(vecs), dim), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == dim:
+                m[i] = np.asarray(v, dtype=np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ ct
         top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
@@ -460,3 +483,95 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
     """Cosine directly on int8 codes — the per-vector scales cancel, so
     they are not even needed: cos(s_a*qa, s_b*qb) = cos(qa, qb)."""
     return cosine(qa, qb)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via embedding clustering
+# --------------------------------------------------------------------------
+
+def semdedup(
+    df: DataFrame,
+    *,
+    dim: int,
+    threshold: float = 0.999,
+    k_cells: int = 64,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 20_000,
+) -> DataFrame:
+    """Semantic dedup in the SemDeDup style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by spherical k-means, then inside
+    each cluster greedily drop rows whose cosine to an already-kept row is
+    ``>= threshold``. All-pairs comparison happens only WITHIN a cluster —
+    the O(n²) blowup that makes brute-force dedup impossible at corpus
+    scale is bounded to O(sum of cluster_size²); ``k_cells`` should grow
+    with the corpus so clusters stay ~10-100k rows.
+
+    Deterministic end to end: centroids come from the seeded hash-ordered
+    trainer (train_ivf_centroids), assignment is an argmax with a fixed
+    tie-break, and the greedy pass processes rows most-atypical-first
+    (ascending similarity to own centroid, id ascending on ties) — so
+    identical vectors always co-cluster and the SMALLEST id of an
+    exact-duplicate group is its kept representative, which is what the
+    exact-vector oracle row checks. NULL / wrong-length embeddings are
+    treated as zero vectors (cosine 0 to everything: always kept).
+
+    Returns ``(id_col, cluster, keep, dup_of)`` — ``dup_of`` is the kept
+    row this row collided with (NULL when ``keep``).
+
+    Plan shape (100 TB-safe): one Arrow pass for assignment (centroids ride
+    the closure, KBs), ONE shuffle by cluster id, per-cluster Arrow task.
+    Per-task memory is cluster_size × dim × 8 bytes — size ``k_cells``
+    accordingly."""
+    cents = train_ivf_centroids(
+        df, k_cells=k_cells, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, sample_limit=sample_limit, dim=dim,
+    )
+    assign = _cell_assign_udf(cents, 1)
+    base = spread(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
+    clustered = base.withColumn("cluster", F.element_at(assign(F.col("_v")), 1))
+
+    out_schema = (
+        f"_id bigint, cluster int, keep boolean, dup_of bigint"
+    )
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        m = np.zeros((n, dim), dtype=np.float64)
+        for i, v in enumerate(pdf["_v"]):
+            if v is not None and len(v) == dim:
+                m[i] = np.asarray(v, dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        nz = norms > 0
+        m[nz] /= norms[nz, None]
+        cid = int(pdf["cluster"].iloc[0])
+        c = cents[cid] if 0 <= cid < len(cents) else np.zeros(dim)
+        ids = pdf["_id"].to_numpy()
+        order = np.lexsort((ids, m @ c))  # sim asc (atypical first), id asc
+        kept_mat = np.empty((n, dim), dtype=np.float64)  # prefix = kept rows
+        kept_ids = np.empty(n, dtype=np.int64)
+        n_kept = 0
+        keep = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, None, dtype=object)
+        for i in order:
+            if n_kept:
+                sims = kept_mat[:n_kept] @ m[i]
+                j = int(sims.argmax())
+                if sims[j] >= threshold:
+                    dup_of[i] = int(kept_ids[j])
+                    continue
+            kept_mat[n_kept] = m[i]
+            kept_ids[n_kept] = ids[i]
+            n_kept += 1
+            keep[i] = True
+        return pd.DataFrame(
+            {"_id": ids, "cluster": cid, "keep": keep, "dup_of": dup_of}
+        )
+
+    return (
+        clustered.groupBy("cluster")
+        .applyInPandas(_dedup_cluster, out_schema)
+        .withColumnRenamed("_id", id_col)
+    )

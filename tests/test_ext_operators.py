@@ -1127,3 +1127,60 @@ def test_tfidf_surfaces_characteristic_terms(spark):
     # min_df=2 drops doc 102's singleton terms entirely
     terms102 = {r.term for r in out.where("doc_id = 102").collect()}
     assert "onlyonce" not in terms102 and "uniqueterm" not in terms102
+
+
+# ---------------------------------------------------------------------------
+# C31: SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_drops_planted_near_duplicates(spark):
+    """Two nearly-identical vectors (cosine > threshold but NOT bit-equal)
+    co-cluster and the atypical-first greedy keeps exactly one."""
+    import numpy as np
+    from insert_by_timeperiod_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    near = base[3] + 1e-4 * rng.normal(size=16).astype("float32")
+    rows.append((100, [float(x) for x in near]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.semdedup(df, dim=16, threshold=0.999, k_cells=4).collect()
+    by = {r["vec_id"]: r for r in out}
+    # exactly one of the near-identical pair survives (the more atypical
+    # one — ties on id only for bit-equal vectors), the other points at it
+    kept = [i for i in (3, 100) if by[i]["keep"]]
+    assert len(kept) == 1
+    dropped = 100 if kept == [3] else 3
+    assert by[dropped]["dup_of"] == kept[0]
+    assert sum(1 for r in out if r["keep"]) == 41 - 1
+
+
+def test_semdedup_deterministic_under_repartition(spark, sf_dir):
+    from insert_by_timeperiod_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(
+        tuple(r)
+        for r in similarity.semdedup(embs, dim=64, k_cells=8).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in similarity.semdedup(
+            embs.repartition(13), dim=64, k_cells=8
+        ).collect()
+    )
+    assert a == b
+
+
+def test_semdedup_null_and_wrong_dim_kept(spark):
+    from insert_by_timeperiod_spark.operators import similarity
+
+    rows = [
+        (1, [1.0] * 16),
+        (2, None),
+        (3, [1.0, 2.0]),  # wrong length
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r["keep"] for r in similarity.semdedup(df, dim=16, k_cells=2).collect()}
+    assert out == {1: True, 2: True, 3: True}

@@ -39,6 +39,7 @@ from insert_by_timeperiod_spark.functions import quality as QL
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
+    bpe,
     decontam,
     dedup,
     joins,
@@ -1525,6 +1526,19 @@ FROM base
 """
 
 
+def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C33 (rows-only in the driver contract): BPE train + encode
+    (operators/bpe.py). The REAL verification is pytest — the Arrow encode
+    lane is pinned equal to an independent replay-merges-in-order encoder,
+    round-trips the normalized text, and training is repartition-
+    deterministic; no SQL engine can express the merge loop, so this row
+    records rows + schema only."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = bpe.train_bpe(docs.limit(300), n_merges=80)
+    return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: approximate NN (multi-table LSH) — by construction not
     equal to the exact oracle; recall is tested against brute force in CI."""
@@ -1920,6 +1934,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_exact": _dedup_exact,
         "sample_mixture": _sample_mixture,
         "semdedup_exact_vecs": _semdedup,
+        "bpe_tokenize": _bpe_tokenize,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(

@@ -1,0 +1,177 @@
+"""Byte-pair-encoding tokenizer: distributed training + Arrow encode lane
+(SURVEY.md §2 C33).
+
+Subword tokenization in the Sennrich et al. 2016 style (arXiv:1508.07909),
+the algorithm behind GPT-2/RoBERTa-class vocabularies. Extension beyond the
+reference's surface (north star /root/repo/BASELINE.json); the regex
+``token_count`` in functions/text.py approximates token budgeting — this
+module produces the real thing: a trained merge table and exact per-document
+token sequences/counts.
+
+Scale design (100 TB):
+
+- **Training** never moves text to the driver. The corpus collapses to a
+  word-frequency table via one map-side-combined ``groupBy(word)`` — at any
+  corpus size the table is ~vocabulary-sized, and it is cut to the top
+  ``max_words`` words by a distributed ``TakeOrderedAndProject`` (count
+  desc, word asc — deterministic), so driver memory is a bounded constant.
+  The merge loop itself is classic BPE over that weighted word table —
+  O(max_words) per merge, independent of corpus size. Dropping the word
+  tail loses only pair counts a top-cut vocabulary barely depends on
+  (frequent merges are decided by frequent words).
+- **Encoding** is a zero-shuffle Arrow lane: the ranked merge table rides
+  the UDF closure (vocab-sized, KBs-to-MBs), and a per-batch word cache
+  exploits Zipf — each distinct word in a batch is merged once, however
+  often it repeats.
+
+Determinism: merges tie-break lexicographically on the pair, the word cut
+tie-breaks on the word, and encoding is a pure function of (merges, text) —
+same corpus + params -> same vocabulary on every run, layout, and cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+#: end-of-word marker appended to each word's symbol sequence, per the
+#: original BPE formulation — lets a merge distinguish word-final units
+EOW = "</w>"
+
+#: pre-tokenizer: lowercase + split on runs of non-alphanumerics; shared by
+#: train and encode so a trained table always matches the encode lane
+WORD_SPLIT = r"[^a-z0-9]+"
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    w = F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT)).alias("word")
+    return df.select(w).where(F.col("word") != "")
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) via one map-side-combined aggregation."""
+    return _words(df, text_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    *,
+    n_merges: int,
+    text_col: str = "text",
+    max_words: int = 50_000,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus.
+
+    Returns the ranked merge list (rank = list position). Stops early when
+    no symbol pair reaches ``min_pair_count`` weighted occurrences."""
+    rows = (
+        word_counts(df, text_col)
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    # word -> (symbol tuple, weight)
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        sym = tuple(r["word"]) + (EOW,)
+        vocab[sym] = vocab.get(sym, 0) + int(r["count"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, cnt in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        # max count, lexicographically-smallest pair on ties: deterministic
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with a rank table — the reference-path encoder the
+    Arrow lane and the tests share. Applies the lowest-rank applicable
+    merge until none applies (equivalent to replaying merges in order)."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def encode_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    tokens_col: str = "tokens",
+    count_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Add exact BPE ``tokens`` (array<string>) and token count per row.
+
+    Zero shuffle: one ``mapInPandas`` pass; the rank table rides the
+    closure; a per-batch word cache collapses repeated words (Zipf makes
+    the cache hit rate ~the corpus' type/token ratio)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    import re as _re
+
+    splitter = _re.compile(WORD_SPLIT)
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    out_schema = f"{fields}, {tokens_col} array<string>, {count_col} bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text: str | None) -> list[str]:
+            if text is None:
+                return []
+            toks: list[str] = []
+            for w in splitter.split(text.lower()):
+                if not w:
+                    continue
+                t = cache.get(w)
+                if t is None:
+                    t = encode_word(w, ranks)
+                    cache[w] = t
+                toks.extend(t)
+            return toks
+
+        for pdf in batches:
+            tok = pdf[text_col].map(enc)
+            pdf = pdf.copy()
+            pdf[tokens_col] = tok
+            pdf[count_col] = tok.map(len)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

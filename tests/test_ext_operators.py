@@ -1184,3 +1184,90 @@ def test_semdedup_null_and_wrong_dim_kept(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     out = {r["vec_id"]: r["keep"] for r in similarity.semdedup(df, dim=16, k_cells=2).collect()}
     assert out == {1: True, 2: True, 3: True}
+
+
+# ---------------------------------------------------------------------------
+# C33: BPE tokenizer (train + encode)
+# ---------------------------------------------------------------------------
+
+def _replay_encode(word, merges):
+    """Independent reference encoder: replay merges strictly in training
+    order (the rank-greedy production encoder must agree)."""
+    from insert_by_timeperiod_spark.operators.bpe import EOW
+
+    sym = list(word) + [EOW]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_train_classic_corpus(spark):
+    from insert_by_timeperiod_spark.operators import bpe
+
+    rows = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    merges = bpe.train_bpe(df, n_merges=4, min_pair_count=2)
+    # most frequent first pair: ('e','s') weight 9 (newest+widest)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    assert len(merges) == 4
+
+
+def test_bpe_encode_matches_replay_and_roundtrips(spark, sf_dir):
+    from insert_by_timeperiod_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    merges = bpe.train_bpe(docs, n_merges=60)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = bpe.encode_bpe(docs, merges).select("doc_id", "text", "tokens", "n_bpe_tokens").collect()
+    import re
+
+    sp = re.compile(bpe.WORD_SPLIT)
+    assert len(out) == 100
+    for r in out:
+        assert r["n_bpe_tokens"] == len(r["tokens"])
+        words = [w for w in sp.split(r["text"].lower()) if w]
+        want = [t for w in words for t in _replay_encode(w, merges)]
+        assert r["tokens"] == want
+        # round-trip: concatenation restores the normalized words
+        joined = "".join(r["tokens"]).replace(bpe.EOW, " ").split()
+        assert joined == words
+        # and the rank-greedy encoder agrees word-by-word
+        for w in set(words):
+            assert bpe.encode_word(w, ranks) == _replay_encode(w, merges)
+
+
+def test_bpe_train_deterministic_under_repartition(spark, sf_dir):
+    from insert_by_timeperiod_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = bpe.train_bpe(docs, n_merges=30)
+    b = bpe.train_bpe(docs.repartition(13), n_merges=30)
+    assert a == b
+
+
+def test_bpe_encode_handles_null_and_empty(spark):
+    from insert_by_timeperiod_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, None), (3, ""), (4, "!!!")],
+        "doc_id bigint, text string",
+    )
+    merges = [("a", "a"), ("aa", "</w>")]
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_bpe_tokens"])
+        for r in bpe.encode_bpe(df, merges).collect()
+    }
+    assert got[1] == (["aa</w>", "b", "b", "</w>"], 4)
+    assert got[2] == ([], 0)
+    assert got[3] == ([], 0)
+    assert got[4] == ([], 0)

@@ -40,6 +40,7 @@ from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
     bpe,
+    chunk,
     decontam,
     dedup,
     joins,
@@ -1526,6 +1527,14 @@ FROM base
 """
 
 
+def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C34: overlapping-window document chunking (operators/chunk.py).
+    Pure sequence->explode->substring column algebra; the DuckDB oracle
+    replays the identical windows via range()+unnest+substr."""
+    _prep(spark, sf_dir)
+    return chunk.chunk_documents(spark.table("documents"), size=48, overlap=16)
+
+
 def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C33 (rows-only in the driver contract): BPE train + encode
     (operators/bpe.py). The REAL verification is pytest — the Arrow encode
@@ -1935,6 +1944,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_mixture": _sample_mixture,
         "semdedup_exact_vecs": _semdedup,
         "bpe_tokenize": _bpe_tokenize,
+        "chunk_documents": _chunk_docs,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1969,6 +1979,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "sessionize_events": SESSIONIZE_DUCK,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "semdedup_exact_vecs": SEMDEDUP_DUCK,
+        "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
         "sample_mixture": sampling.mixture_sql(
             _MIX_WEIGHTS,
             "lang",

@@ -1,0 +1,85 @@
+"""Document chunking: fixed-size overlapping windows (SURVEY.md §2 C34).
+
+Embedding and retrieval pipelines over a document corpus need documents cut
+into bounded character windows with overlap (context continuity across the
+cut). Extension beyond the reference's surface (north star
+/root/repo/BASELINE.json).
+
+Pure column algebra — ``sequence`` → ``explode`` → ``substring`` — so the
+expansion runs in the scan stage with zero shuffle and whole-stage codegen;
+both chunk start enumeration and the substring windows are expressible
+verbatim in ANSI SQL (DuckDB ``generate_series`` + ``substr``), which is
+what the exact oracle row replays. At 100 TB the only cost is the output
+row multiplication itself (~len/stride rows per doc); no state, no driver
+work, no skew beyond the documents' own length distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each document into windows of ``size`` chars starting every
+    ``size - overlap`` chars (1-based starts: 1, 1+stride, ...), covering
+    the full text — the final window may be shorter. NULL/empty documents
+    produce zero chunks.
+
+    Returns ``(id_col, chunk_id, chunk_start, chunk_text)`` with
+    ``chunk_id`` counting from 0 per document and ``chunk_start`` the
+    1-based character offset (the same convention as SQL ``substr``, so
+    audits can re-cut a chunk anywhere)."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    stride = size - overlap
+    txt = F.col(text_col)
+    starts = F.sequence(F.lit(1), F.length(txt), F.lit(stride))
+    return (
+        df.where(F.length(txt) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(starts).alias("chunk_start"),
+            txt.alias("_t"),
+        )
+        .select(
+            id_col,
+            ((F.col("chunk_start") - 1) / stride).cast("bigint").alias("chunk_id"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.substring(F.col("_t"), F.col("chunk_start"), F.lit(size)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def chunk_sql(
+    *,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """The DuckDB twin of :func:`chunk_documents` for oracle/audit use."""
+    stride = size - overlap
+    return f"""
+        WITH starts AS (
+          SELECT {id_col}, {text_col} AS _t,
+                 unnest(range(1, length({text_col})::BIGINT + 1, {stride})) AS s
+          FROM {table} WHERE length({text_col}) > 0
+        )
+        SELECT {id_col},
+               CAST((s - 1) / {stride} AS BIGINT) AS chunk_id,
+               CAST(s AS BIGINT) AS chunk_start,
+               substr(_t, CAST(s AS INTEGER), {size}) AS chunk_text
+        FROM starts
+    """

@@ -1271,3 +1271,47 @@ def test_bpe_encode_handles_null_and_empty(spark):
     assert got[2] == ([], 0)
     assert got[3] == ([], 0)
     assert got[4] == ([], 0)
+
+
+# ---------------------------------------------------------------------------
+# C34: document chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from insert_by_timeperiod_spark.operators import chunk
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = chunk.chunk_documents(df, size=4, overlap=2)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_text"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, 1, "abcd"),
+        (1, 1, 3, "cdef"),
+        (1, 2, 5, "efgh"),
+        (1, 3, 7, "ghij"),
+        (1, 4, 9, "ij"),
+        (2, 0, 1, "xy"),
+    ]
+    # stitching stride-prefixes + final tail reconstructs the text
+    doc1 = [r for r in rows if r[0] == 1]
+    stitched = "".join(t[:2] for _, _, _, t in doc1[:-1]) + doc1[-1][3]
+    assert stitched == "abcdefghij"
+
+
+def test_chunk_documents_param_validation(spark):
+    from insert_by_timeperiod_spark.operators import chunk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk.chunk_documents(df, size=0)
+    with _pt.raises(ValueError):
+        chunk.chunk_documents(df, size=4, overlap=4)
+    with _pt.raises(ValueError):
+        chunk.chunk_documents(df, size=4, overlap=-1)

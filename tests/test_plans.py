@@ -257,3 +257,41 @@ def test_tfidf_aggs_are_partial(spark):
     df = tfidf.tfidf_top_terms(spark.table("documents"), k=3)
     plan = explain_str(df, formatted=False)
     assert plan.lower().count("partial") >= 2
+
+
+def test_mixture_sample_broadcasts_thresholds(spark):
+    """C32: per-domain thresholds come from a domain-sized relation and
+    must BROADCAST back onto the corpus — the corpus itself never shuffles
+    for the mixture filter (its only exchanges belong to the tiny count
+    agg + global-min window over one row per domain)."""
+    from insert_by_timeperiod_spark.operators import sampling
+
+    df = sampling.mixture_sample(
+        spark.table("documents"), {"en": 0.5, "de": 0.5}, "lang", ["doc_id"]
+    )
+    assert has_broadcast_join(df)
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    assert "SortMergeJoin" not in explain_str(df, formatted=False)
+
+
+def test_chunk_documents_is_scan_stage_only(spark):
+    """C34: chunking is sequence->explode->substring — ZERO exchanges; and
+    the scan must read only (doc_id, text)."""
+    from insert_by_timeperiod_spark.operators import chunk
+
+    spark.catalog.clearCache()
+    df = chunk.chunk_documents(spark.table("documents"), size=48, overlap=16)
+    assert exchange_count(df) == 0
+    assert all(set(cols) <= {"doc_id", "text"} for cols in scan_columns(df))
+
+
+def test_semdedup_single_cluster_shuffle(spark):
+    """C31: after assignment (an Arrow projection), the ONLY corpus-sized
+    movement is the one shuffle by cluster id feeding applyInPandas — plus
+    at most the compact-input spread() round-robin, which only fires on
+    few-partition inputs like this fixture and is a no-op at scale."""
+    from insert_by_timeperiod_spark.operators import similarity as S
+
+    df = S.semdedup(spark.table("embeddings"), dim=64, k_cells=4)
+    assert exchange_count(df) <= 2

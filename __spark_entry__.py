@@ -49,6 +49,7 @@ from insert_by_timeperiod_spark.operators import (
     packing,
     sampling,
     similarity,
+    sketch,
     tfidf,
 )
 from insert_by_timeperiod_spark.operators.pipeline import clean_documents, curate_corpus
@@ -1527,6 +1528,22 @@ FROM base
 """
 
 
+def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C35 (rows-only in the driver contract): mergeable HyperLogLog
+    sketches (operators/sketch.py). Distinct users per event_type via
+    per-day sketches MERGED across days — the exact merge-equality
+    invariant (sketch(union) == merge(sketches), bit-for-bit) plus error
+    bounds are pinned in pytest; no SQL engine reproduces Spark's xxhash64,
+    so this row records rows + schema only."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn("d", F.to_date("ts"))
+    daily = sketch.hll_sketch(ev, ["event_type", "d"], "user_id")
+    merged = sketch.hll_merge(daily.drop("d"), ["event_type"])
+    return merged.select(
+        "event_type", sketch.hll_estimate(F.col("hll")).alias("distinct_users_est")
+    )
+
+
 def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C34: overlapping-window document chunking (operators/chunk.py).
     Pure sequence->explode->substring column algebra; the DuckDB oracle
@@ -1945,6 +1962,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "semdedup_exact_vecs": _semdedup,
         "bpe_tokenize": _bpe_tokenize,
         "chunk_documents": _chunk_docs,
+        "hll_distinct_users": _hll_users,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(

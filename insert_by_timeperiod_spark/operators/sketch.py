@@ -1,0 +1,125 @@
+"""Mergeable HyperLogLog distinct-count sketches (SURVEY.md §2 C35).
+
+Incremental pipelines need distinct counts that COMPOSE: build a sketch per
+period as data loads, then answer "distinct users over any period range" by
+merging sketches — never rescanning history. Spark's
+``approx_count_distinct`` gives a number; this module gives the mergeable
+STATE (Flajolet et al. 2007 HyperLogLog), aligned with the engine's
+period-chunked model (one sketch row per period partition is the natural
+companion to A16's per-period commits). Extension beyond the reference's
+surface (north star /root/repo/BASELINE.json).
+
+Everything is JVM column algebra — ``xxhash64`` for the draw, integer
+bit-slicing via ``shiftrightunsigned``/``bin`` string length for the rank
+(no float log2 edge cases), map-side-combined ``max`` per register, and the
+bias-corrected estimate as a higher-order fold over the sparse register
+map. No UDFs, no driver state, deterministic for a given input set —
+which yields the exact invariant the tests pin: ``sketch(A ∪ B) ==
+merge(sketch(A), sketch(B))`` bit-for-bit, and estimates within the
+published ~1.04/sqrt(m) error.
+
+Sketches are sparse ``map<int, tinyint>`` (register -> max rank): tiny at
+low cardinality, at most ``2^p`` entries ever.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: register-index bits: m = 2^p registers, relative error ~1.04/sqrt(m)
+DEFAULT_P = 12
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _reg_and_rank(value: Column, p: int) -> tuple[Column, Column]:
+    """(register index, rank) from one 64-bit draw: index = top p bits,
+    rank = leading zeros of the remaining (64-p)-bit suffix + 1. The rank
+    uses ``length(bin(x))`` — an exact integer path, no float log2."""
+    h = F.xxhash64(value)
+    idx = F.shiftrightunsigned(h, 64 - p).cast("int")
+    rest = h.bitwiseAND(F.lit((1 << (64 - p)) - 1))
+    rank = F.when(rest == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(64 - p + 1) - F.length(F.bin(rest))
+    )
+    return idx, rank.cast("int")
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    p: int = DEFAULT_P,
+    out_col: str = "hll",
+) -> DataFrame:
+    """One sparse HLL sketch per group over ``value_col``.
+
+    Plan shape: register index + rank are scan-stage expressions; the
+    per-(group, register) ``max`` is a map-side-combined aggregate (at most
+    groups × 2^p rows reach the shuffle however large the input); the final
+    per-group map assembly is a second small aggregate. NULL values are
+    ignored (SQL COUNT DISTINCT semantics)."""
+    idx, rank = _reg_and_rank(F.col(value_col), p)
+    regs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, idx.alias("_i"), rank.alias("_r"))
+        .groupBy(*group_cols, "_i")
+        .agg(F.max("_r").alias("_r"))
+    )
+    return regs.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_i", "_r")))
+        ).alias(out_col)
+    )
+
+
+def hll_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """Merge sketches (e.g. per-period rows) into one per group: explode the
+    register maps, take per-register ``max``, reassemble. Exactly the
+    sketch the union of the underlying inputs would produce."""
+    exploded = df.select(
+        *group_cols, F.explode(F.col(sketch_col)).alias("_i", "_r")
+    )
+    regs = exploded.groupBy(*group_cols, "_i").agg(F.max("_r").alias("_r"))
+    return regs.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_i", "_r")))
+        ).alias(sketch_col)
+    )
+
+
+def hll_estimate(sketch: Column, *, p: int = DEFAULT_P) -> Column:
+    """Bias-corrected cardinality estimate from a sparse sketch column —
+    a pure fold over the map, with HyperLogLog's small-range linear
+    counting when empty registers remain."""
+    m = 1 << p
+    vals = F.map_values(sketch)
+    # sum over registers of 2^-M[j]; absent (zero) registers contribute 1
+    nnz = F.size(vals)
+    s = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double")),
+    ) + (F.lit(m) - nnz).cast("double")
+    raw = F.lit(_alpha(m) * m * m) / s
+    zeros = (F.lit(m) - nnz).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    return F.round(
+        F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    ).cast("bigint")

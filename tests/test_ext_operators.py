@@ -1315,3 +1315,62 @@ def test_chunk_documents_param_validation(spark):
         chunk.chunk_documents(df, size=4, overlap=4)
     with _pt.raises(ValueError):
         chunk.chunk_documents(df, size=4, overlap=-1)
+
+
+# ---------------------------------------------------------------------------
+# C35: mergeable HyperLogLog sketches
+# ---------------------------------------------------------------------------
+
+def test_hll_merge_equals_union_sketch_exactly(spark):
+    """The load-bearing invariant: sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) bit-for-bit — what makes per-period sketches composable."""
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    full = spark.range(0, 30000).withColumn("g", (F.col("id") % 3).cast("int"))
+    a = full.where("id < 11000")
+    b = full.where("id >= 11000")
+    want = {
+        r["g"]: sorted(r["hll"].items())
+        for r in SK.hll_sketch(full, ["g"], "id").collect()
+    }
+    parts = SK.hll_sketch(a, ["g"], "id").unionByName(SK.hll_sketch(b, ["g"], "id"))
+    got = {
+        r["g"]: sorted(r["hll"].items())
+        for r in SK.hll_merge(parts, ["g"]).collect()
+    }
+    assert got == want
+
+
+def test_hll_estimate_error_bound_and_small_range(spark):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    big = spark.range(0, 50000).withColumn("g", F.lit(1))
+    est = (
+        SK.hll_sketch(big, ["g"], "id")
+        .select(SK.hll_estimate(F.col("hll")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert abs(est - 50000) / 50000 < 0.05  # ~3 sigma at p=12
+    small = spark.range(0, 150).withColumn("g", F.lit(1))
+    est_s = (
+        SK.hll_sketch(small, ["g"], "id")
+        .select(SK.hll_estimate(F.col("hll")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert abs(est_s - 150) <= 3  # linear-counting regime: near exact
+
+
+def test_hll_ignores_nulls_and_groups_independently(spark):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, None), (2, "a"), (2, "a")],
+        "g int, v string",
+    )
+    out = {
+        r["g"]: r["est"]
+        for r in SK.hll_sketch(df, ["g"], "v")
+        .select("g", SK.hll_estimate(F.col("hll")).alias("est"))
+        .collect()
+    }
+    assert out == {1: 2, 2: 1}

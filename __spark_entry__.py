@@ -1528,6 +1528,27 @@ FROM base
 """
 
 
+def _incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C36: incremental exact dedup against persistent digest state
+    (operators/dedup.py incremental_exact_dedup). Seeds the state with the
+    first half of the corpus, then dedups the second half against it — the
+    oracle recomputes the same answer from scratch in SQL."""
+    _prep(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="ibtp_incr_dedup_") + "/state"
+    docs = spark.table("documents")
+    dedup.incremental_exact_dedup(docs.where("doc_id < 250"), state)
+    out = dedup.incremental_exact_dedup(docs.where("doc_id >= 250"), state)
+    return out.select("doc_id")
+
+
+INCR_DEDUP_DUCK = """
+SELECT MIN(doc_id) AS doc_id FROM documents
+WHERE doc_id >= 250
+  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
+GROUP BY text
+"""
+
+
 def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C35 (rows-only in the driver contract): mergeable HyperLogLog
     sketches (operators/sketch.py). Distinct users per event_type via
@@ -1963,6 +1984,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bpe_tokenize": _bpe_tokenize,
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
+        "dedup_incremental": _incr_dedup,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -1998,6 +2020,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "semdedup_exact_vecs": SEMDEDUP_DUCK,
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
+        "dedup_incremental": INCR_DEDUP_DUCK,
         "sample_mixture": sampling.mixture_sql(
             _MIX_WEIGHTS,
             "lang",

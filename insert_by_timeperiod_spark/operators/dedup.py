@@ -688,3 +688,61 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup against a persistent digest state (C36)
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    state_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_state: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against ALL corpus history without rescanning it.
+
+    History lives as a compact parquet digest table at ``state_path`` —
+    one (digest, keeper id) row per distinct document ever seen, written by
+    previous calls. The batch is first deduped within itself (min-id per
+    md5 digest, same contract as :func:`exact_dedup`), then anti-joined
+    against the state on the 16-byte digest; survivors are returned and
+    (when ``update_state``) their digests appended to the state.
+
+    This is the period-incremental form of C19: a daily ingest keeps
+    yesterday's work as digests, so today's dedup cost is
+    O(batch + state-join) instead of O(corpus²) or a full re-dedup. The
+    join moves digests and ids only — document text never shuffles; the
+    state table at 100 TB of corpus is ~32 bytes/doc, and the anti-join is
+    a plain shuffled hash join on uniformly-distributed keys (no skew by
+    construction). Re-running the same batch after its state append
+    returns an empty frame — idempotent by the same argument as the
+    engine's keyed upserts.
+
+    Returns the globally-novel rows of ``new_df`` (all original columns).
+    """
+    spark = new_df.sparkSession
+    digest = F.md5(F.col(text_col))
+    batch_keep = (
+        new_df.select(digest.alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    from ..fs import HadoopFS
+
+    if HadoopFS(spark, state_path).exists(state_path):
+        state = spark.read.parquet(state_path).select("_h")
+        novel_keys = batch_keep.join(state, "_h", "left_anti")
+    else:  # first run: no state yet
+        novel_keys = batch_keep
+    # pin the (digest, id) survivor set BEFORE touching the state: it feeds
+    # both the state append and the result semi-join, and a lazy plan would
+    # re-read the state after the append and erase its own survivors.
+    # localCheckpoint materializes distributed (executor block store) —
+    # no driver collect, batch-sized not corpus-sized
+    novel = novel_keys.localCheckpoint(eager=True)
+    if update_state:
+        novel.write.mode("append").parquet(state_path)
+    return new_df.join(novel.select(id_col), id_col, "left_semi")

@@ -1374,3 +1374,68 @@ def test_hll_ignores_nulls_and_groups_independently(spark):
         .collect()
     }
     assert out == {1: 2, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# C36: incremental exact dedup against persistent digest state
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_across_batches_and_idempotent(spark, tmp_path):
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id bigint, text string"
+    )
+    out1 = {r["doc_id"] for r in D.incremental_exact_dedup(b1, state).collect()}
+    assert out1 == {1, 2}  # within-batch dup dropped, min id kept
+    # second batch: one truly novel, one dup of batch 1, one internal dup pair
+    b2 = spark.createDataFrame(
+        [(10, "cc"), (11, "bb"), (12, "dd"), (13, "dd")],
+        "doc_id bigint, text string",
+    )
+    out2 = {r["doc_id"] for r in D.incremental_exact_dedup(b2, state).collect()}
+    assert out2 == {10, 12}
+    # replaying batch 2 is a no-op: state already holds its digests
+    out3 = D.incremental_exact_dedup(b2, state).count()
+    assert out3 == 0
+    # state accumulated exactly the distinct texts
+    assert spark.read.parquet(state).count() == 4
+
+
+def test_incremental_dedup_matches_from_scratch_oracle(spark, sf_dir, tmp_path, duck):
+    """Split the corpus at doc_id 250: seeding state with the first half
+    then deduping the second must equal the from-scratch SQL answer."""
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    state = str(tmp_path / "state")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    D.incremental_exact_dedup(docs.where("doc_id < 250"), state)
+    got = sorted(
+        r["doc_id"]
+        for r in D.incremental_exact_dedup(docs.where("doc_id >= 250"), state).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            """
+            SELECT MIN(doc_id) FROM documents
+            WHERE doc_id >= 250
+              AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
+            GROUP BY text
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_incremental_dedup_no_state_update_mode(spark, tmp_path):
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    state = str(tmp_path / "state")
+    b = spark.createDataFrame([(1, "aa")], "doc_id bigint, text string")
+    D.incremental_exact_dedup(b, state, update_state=False)
+    import os
+
+    assert not os.path.exists(state)  # dry-run leaves no state behind
+    assert D.incremental_exact_dedup(b, state).count() == 1

@@ -48,6 +48,7 @@ from insert_by_timeperiod_spark.operators import (
     multimodal,
     packing,
     sampling,
+    bloom,
     similarity,
     sketch,
     tfidf,
@@ -1528,6 +1529,32 @@ FROM base
 """
 
 
+def _bloom_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C37 (rows-only in the driver contract): mergeable Bloom filters
+    (operators/bloom.py). Per-day filters over user_id merged per
+    event_type, probed back against the full table — the no-false-negative
+    guarantee means EVERY row probes True, and the exact merge invariant +
+    FP bounds are pinned in pytest (no xxhash64 twin exists in DuckDB)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn("d", F.to_date("ts"))
+    daily = bloom.bloom_build(ev, ["event_type", "d"], "user_id")
+    merged = bloom.bloom_merge(daily.drop("d"), ["event_type"])
+    probed = (
+        spark.table("events")
+        .join(merged, "event_type")
+        .select(
+            "event_type",
+            bloom.might_contain(F.col("bloom"), F.col("user_id")).alias("hit"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+        )
+    )
+    return probed
+
+
 def _incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C36: incremental exact dedup against persistent digest state
     (operators/dedup.py incremental_exact_dedup). Seeds the state with the
@@ -1985,6 +2012,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
         "dedup_incremental": _incr_dedup,
+        "bloom_seen_users": _bloom_users,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(

@@ -1,0 +1,111 @@
+"""Mergeable Bloom filters as column algebra (SURVEY.md §2 C37).
+
+The membership companion to the HLL sketches (operators/sketch.py): build a
+compact "have we seen this key?" filter per group/period, merge filters
+across periods exactly, and probe candidates with zero false NEGATIVES —
+the property incremental pipelines lean on (a Bloom pre-filter in front of
+the C36 digest anti-join turns most "definitely new" rows away from the
+join entirely; false positives just fall through to the exact check).
+Extension beyond the reference's surface (north star
+/root/repo/BASELINE.json); Bloom 1970.
+
+Everything is JVM column expressions — ``xxhash64(value, seed_i)`` gives k
+independent draws, bit positions become (word, mask) pairs, the per-group
+OR is a map-side-combined ``bit_or`` aggregate (at most groups × m/64 rows
+reach the shuffle), and filters are sparse ``map<int, bigint>`` word maps
+(same shape as the HLL sketches). No UDFs, no driver state; the merge
+invariant ``bloom(A ∪ B) == merge(bloom(A), bloom(B))`` holds bit-for-bit
+and is pinned in tests alongside the no-false-negative guarantee.
+
+Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k; the defaults (m = 2^17
+bits, k = 5) give ~2 % at n = 10k keys per group — tune ``m_bits`` to the
+expected per-group cardinality (m ≈ 10·n bits for ~1 %).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_M_BITS = 1 << 17
+DEFAULT_K = 5
+
+
+def _positions(value: Column, m_bits: int, k: int) -> Column:
+    """array of k (word index, bit mask) structs for one value."""
+    entries = []
+    for i in range(k):
+        h = F.pmod(F.xxhash64(value, F.lit(i)), F.lit(m_bits))
+        # F.shiftleft only takes a Python-int shift; call_function passes
+        # the column form through to the same JVM expression
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (h % 64).cast("int")
+        )
+        entries.append(
+            F.struct((h / 64).cast("int").alias("w"), mask.alias("m"))
+        )
+    return F.array(*entries)
+
+
+def bloom_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    out_col: str = "bloom",
+) -> DataFrame:
+    """One sparse Bloom filter per group over ``value_col`` (NULLs ignored,
+    matching the sketch module's COUNT DISTINCT semantics)."""
+    pos = _positions(F.col(value_col), m_bits, k)
+    words = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.explode(pos).alias("_p"))
+        .groupBy(*group_cols, F.col("_p.w").alias("_w"))
+        .agg(F.bit_or(F.col("_p.m")).alias("_m"))
+    )
+    return words.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_w", "_m")))
+        ).alias(out_col)
+    )
+
+
+def bloom_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    filter_col: str = "bloom",
+) -> DataFrame:
+    """OR filters (e.g. per-period rows) into one per group — exactly the
+    filter the union of the underlying inputs would produce."""
+    exploded = df.select(
+        *group_cols, F.explode(F.col(filter_col)).alias("_w", "_m")
+    )
+    words = exploded.groupBy(*group_cols, "_w").agg(F.bit_or("_m").alias("_m"))
+    return words.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_w", "_m")))
+        ).alias(filter_col)
+    )
+
+
+def might_contain(
+    filter_col: Column,
+    value: Column,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> Column:
+    """True when every one of the value's k bits is set — guaranteed True
+    for every inserted value (no false negatives); False proves absence."""
+    pos = _positions(value, m_bits, k)
+    return F.forall(
+        pos,
+        lambda p: (
+            F.coalesce(F.element_at(filter_col, p["w"]), F.lit(0)).bitwiseAND(
+                p["m"]
+            )
+            != 0
+        ),
+    )

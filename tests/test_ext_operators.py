@@ -1439,3 +1439,64 @@ def test_incremental_dedup_no_state_update_mode(spark, tmp_path):
 
     assert not os.path.exists(state)  # dry-run leaves no state behind
     assert D.incremental_exact_dedup(b, state).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# C37: mergeable Bloom filters
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_merge_equality(spark):
+    from insert_by_timeperiod_spark.operators import bloom as BL
+
+    full = spark.range(0, 20000).withColumn("g", (F.col("id") % 2).cast("int"))
+    a, b = full.where("id < 8000"), full.where("id >= 8000")
+    want = {
+        r["g"]: sorted(r["bloom"].items())
+        for r in BL.bloom_build(full, ["g"], "id").collect()
+    }
+    parts = BL.bloom_build(a, ["g"], "id").unionByName(BL.bloom_build(b, ["g"], "id"))
+    got = {
+        r["g"]: sorted(r["bloom"].items())
+        for r in BL.bloom_merge(parts, ["g"]).collect()
+    }
+    assert got == want  # exact merge invariant
+    # every inserted key must probe True (no false negatives)
+    filt = BL.bloom_build(full, ["g"], "id")
+    probed = (
+        full.join(filt, "g")
+        .select(BL.might_contain(F.col("bloom"), F.col("id")).alias("hit"))
+    )
+    assert probed.where("NOT hit").count() == 0
+
+
+def test_bloom_false_positive_rate_in_bounds(spark):
+    from insert_by_timeperiod_spark.operators import bloom as BL
+
+    inserted = spark.range(0, 10000).withColumn("g", F.lit(1))
+    filt = BL.bloom_build(inserted, ["g"], "id")
+    absent = spark.range(1_000_000, 1_020_000).withColumn("g", F.lit(1))
+    fp = (
+        absent.join(filt, "g")
+        .select(BL.might_contain(F.col("bloom"), F.col("id")).alias("hit"))
+        .where("hit")
+        .count()
+    )
+    # theory ~2% at n=10k, m=2^17, k=5; allow 2x headroom
+    assert fp / 20000 < 0.04
+
+
+def test_bloom_proves_absence_for_clean_filter(spark):
+    from insert_by_timeperiod_spark.operators import bloom as BL
+
+    df = spark.createDataFrame([(1, "x"), (1, "y")], "g int, v string")
+    filt = BL.bloom_build(df, ["g"], "v")
+    out = (
+        spark.createDataFrame([(1, "x"), (1, "zzz-not-inserted-blah")], "g int, v string")
+        .join(filt, "g")
+        .select("v", BL.might_contain(F.col("bloom"), F.col("v")).alias("hit"))
+        .collect()
+    )
+    got = {r["v"]: r["hit"] for r in out}
+    assert got["x"] is True
+    # with 2 keys in 2^17 bits a specific absent string is ~never a FP
+    assert got["zzz-not-inserted-blah"] is False

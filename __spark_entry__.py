@@ -1529,6 +1529,25 @@ FROM base
 """
 
 
+def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C38: fuzzy self-join via SymSpell deletion-neighborhood blocking
+    (operators/joins.py fuzzy_self_pairs). Blocking recall is exactly 1 at
+    distance 1 and candidates are levenshtein-verified, so the result
+    equals the brute-force O(n^2) SQL answer the oracle computes."""
+    _prep(spark, sf_dir)
+    return joins.fuzzy_self_pairs(
+        spark.table("customer"), "c_name", "c_custkey", max_dist=1
+    )
+
+
+FUZZY_PAIRS_DUCK = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def _bloom_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C37 (rows-only in the driver contract): mergeable Bloom filters
     (operators/bloom.py). Per-day filters over user_id merged per
@@ -2013,6 +2032,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "hll_distinct_users": _hll_users,
         "dedup_incremental": _incr_dedup,
         "bloom_seen_users": _bloom_users,
+        "fuzzy_name_pairs": _fuzzy_pairs,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -2049,6 +2069,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "semdedup_exact_vecs": SEMDEDUP_DUCK,
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
         "dedup_incremental": INCR_DEDUP_DUCK,
+        "fuzzy_name_pairs": FUZZY_PAIRS_DUCK,
         "sample_mixture": sampling.mixture_sql(
             _MIX_WEIGHTS,
             "lang",

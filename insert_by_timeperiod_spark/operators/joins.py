@@ -153,3 +153,71 @@ def range_join(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
         "inner",
     )
+
+
+def _deletion_variants(s: Column, *, keep_self: bool = True) -> Column:
+    """All single-character deletions of a string column (plus the string
+    itself) as an array — pure higher-order-function column algebra."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            F.substring(s, i + 1, F.length(s)),
+        ),
+    )
+    out = F.concat(F.array(s), dels) if keep_self else dels
+    return F.array_distinct(out)
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Near-identical key pairs (levenshtein ≤ ``max_dist``) without the
+    O(n²) cross join: SymSpell-style deletion-neighborhood blocking
+    (Garbe's symmetric delete). Two strings within edit distance 1 ALWAYS
+    share a member of {self} ∪ {single-char deletions} — substitution at i
+    means both delete position i, insert/delete means one IS a deletion of
+    the other — so blocking recall is exactly 1 at ``max_dist=1`` (depth-2
+    neighborhoods extend the same argument to distance 2). Candidates from
+    shared blocks are then VERIFIED with the real ``levenshtein``, so false
+    block collisions (e.g. 'ab'/'ba' sharing deletion 'a') never survive.
+
+    Plan shape (100 TB-safe): each key explodes to ~len(key)^max_dist block
+    rows of (block, id) — strings never pair across blocks; the self-join
+    runs inside blocks only; verified pairs re-fetch keys by id. Returns
+    (id_a, id_b, dist) with id_a < id_b.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    base = df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+    blocks = _deletion_variants(F.col("_k"))
+    if max_dist == 2:
+        blocks = F.array_distinct(
+            F.flatten(F.transform(blocks, lambda v: _deletion_variants(v)))
+        )
+    b = base.select("_id", F.explode(blocks).alias("_b"))
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ka = base.select(F.col("_id").alias("id_a"), F.col("_k").alias("_ka"))
+    kb = base.select(F.col("_id").alias("id_b"), F.col("_k").alias("_kb"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ka"), F.col("_kb")).alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

@@ -1500,3 +1500,55 @@ def test_bloom_proves_absence_for_clean_filter(spark):
     assert got["x"] is True
     # with 2 keys in 2^17 bits a specific absent string is ~never a FP
     assert got["zzz-not-inserted-blah"] is False
+
+
+# ---------------------------------------------------------------------------
+# C38: fuzzy self-join (SymSpell deletion blocking + levenshtein verify)
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_self_pairs_matches_bruteforce(spark, duck, sf_dir):
+    from insert_by_timeperiod_spark.operators import joins
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where("c_custkey <= 400")
+    got = sorted(
+        tuple(r)
+        for r in joins.fuzzy_self_pairs(cust, "c_name", "c_custkey").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT a.c_custkey, b.c_custkey, levenshtein(a.c_name, b.c_name)
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE a.c_custkey <= 400 AND b.c_custkey <= 400
+              AND levenshtein(a.c_name, b.c_name) <= 1
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_fuzzy_self_pairs_planted_variants_and_blocking_edges(spark):
+    from insert_by_timeperiod_spark.operators import joins
+
+    rows = [
+        (1, "spark"),
+        (2, "spork"),   # substitution: dist 1
+        (3, "sparks"),  # insertion: dist 1
+        (4, "park"),    # deletion: dist 1
+        (5, "ab"),
+        (6, "ba"),      # shares deletion block 'a'/'b' but dist 2: must NOT pair at d=1
+        (7, "duck"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in joins.fuzzy_self_pairs(df, "k", "id").collect()}
+    assert {(1, 2, 1), (1, 3, 1), (1, 4, 1)} <= got
+    assert not any(a == 5 and b == 6 for a, b, _ in got)
+    assert not any(7 in (a, b) for a, b, _ in got)
+    # depth-2 neighborhoods reach the dist-2 pairs
+    got2 = {(r["id_a"], r["id_b"], r["dist"]) for r in joins.fuzzy_self_pairs(df, "k", "id", max_dist=2).collect()}
+    assert (5, 6, 2) in got2 and (2, 3, 2) in got2
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        joins.fuzzy_self_pairs(df, "k", "id", max_dist=3)

@@ -1529,6 +1529,17 @@ FROM base
 """
 
 
+def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C39 (SQL-expressible half): whitespace/control canonicalization
+    (functions/text.py clean_whitespace). The DuckDB oracle runs the
+    identical regexes via clean_whitespace_sql; the NFKC Arrow half is
+    pinned against stdlib unicodedata in pytest."""
+    _prep(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", TX.clean_whitespace(F.col("text")).alias("clean_text")
+    )
+
+
 def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C38: fuzzy self-join via SymSpell deletion-neighborhood blocking
     (operators/joins.py fuzzy_self_pairs). Blocking recall is exactly 1 at
@@ -2033,6 +2044,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_incremental": _incr_dedup,
         "bloom_seen_users": _bloom_users,
         "fuzzy_name_pairs": _fuzzy_pairs,
+        "text_normalize_ws": _text_normalize,
         "sample_hash_frac": lambda spark, sf_dir: (
             _prep(spark, sf_dir),
             sampling.hash_sample(
@@ -2070,6 +2082,11 @@ def pytest_only_oracles() -> dict[str, str]:
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
         "dedup_incremental": INCR_DEDUP_DUCK,
         "fuzzy_name_pairs": FUZZY_PAIRS_DUCK,
+        "text_normalize_ws": (
+            "SELECT doc_id, "
+            + TX.clean_whitespace_sql("text")
+            + " AS clean_text FROM documents"
+        ),
         "sample_mixture": sampling.mixture_sql(
             _MIX_WEIGHTS,
             "lang",

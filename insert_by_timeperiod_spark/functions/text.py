@@ -279,3 +279,56 @@ def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
         if kinds is None or kind in kinds:
             out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# C39: unicode normalization (CCNet/C4-style text canonicalization)
+# ---------------------------------------------------------------------------
+
+#: the SQL-expressible half of normalize_text, shared with the DuckDB twin
+#: so the two engines can never drift: strip C0/C1 control chars (keep \n),
+#: collapse horizontal whitespace runs, collapse 3+ newlines to 2, trim
+_CTRL_SRC = "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]"
+_HWS_SRC = "[ \\t\\x0C]+"
+
+
+def clean_whitespace(col: Column) -> Column:
+    """Control-char strip + whitespace canonicalization as pure column
+    expressions (scan-stage, codegen): C0/C1 controls removed (newline
+    kept), horizontal runs -> one space, 3+ blank lines -> one, trimmed."""
+    c = F.regexp_replace(col, _CTRL_SRC, "")
+    c = F.regexp_replace(c, _HWS_SRC, " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return F.trim(c)
+
+
+def clean_whitespace_sql(expr: str) -> str:
+    """DuckDB twin of :func:`clean_whitespace` (identical regexes — the
+    patterns stay inside the Java-regex ∩ RE2 subset)."""
+    c = f"regexp_replace({expr}, '{_CTRL_SRC}', '', 'g')"
+    c = f"regexp_replace({c}, '{_HWS_SRC}', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\n ?', e'\\n', 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', e'\\n\\n', 'g')"
+    return f"trim({c})"
+
+
+def normalize_text_batch(form: str = "NFKC", *, lowercase: bool = False):
+    """Arrow lane for full unicode normalization: ``unicodedata.normalize``
+    (stdlib — ligatures, fullwidth forms, compatibility digits …) is not
+    expressible in SQL, so this half is a vectorized pandas UDF; compose
+    with :func:`clean_whitespace` for the canonical CCNet-ish pipeline:
+    ``clean_whitespace(normalize_batch(text))``. Zero shuffle either way."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def norm(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            out = unicodedata.normalize(form, t)
+            return out.lower() if lowercase else out
+
+        return texts.map(one)
+
+    return norm

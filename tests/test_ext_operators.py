@@ -1552,3 +1552,48 @@ def test_fuzzy_self_pairs_planted_variants_and_blocking_edges(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         joins.fuzzy_self_pairs(df, "k", "id", max_dist=3)
+
+
+# ---------------------------------------------------------------------------
+# C39: unicode normalization
+# ---------------------------------------------------------------------------
+
+def test_clean_whitespace_matches_duck_twin(spark, duck, sf_dir):
+    rows = [
+        (1, "a\tb   c\x00\x07d"),
+        (2, "  lead и trail  "),
+        (3, "l1 \n l2\n\n\n\n\nl3"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", TX.clean_whitespace(F.col("t")).alias("c")).collect()
+    }
+    duck.register("ws_tbl", df.toPandas())
+    want = dict(
+        duck.execute(
+            f"SELECT id, {TX.clean_whitespace_sql('t')} FROM ws_tbl"
+        ).fetchall()
+    )
+    duck.unregister("ws_tbl")
+    assert got == want
+    assert got[1] == "a b cd" and got[3] == "l1\nl2\n\nl3"
+
+
+def test_normalize_batch_matches_unicodedata(spark):
+    import unicodedata
+
+    rows = [
+        (1, "ﬁve ＦＵＬＬ ½ ①"),   # ligature, fullwidth, fractions, circled
+        (2, "café́"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    norm = TX.normalize_text_batch("NFKC", lowercase=True)
+    got = {r["id"]: r["n"] for r in df.select("id", norm(F.col("t")).alias("n")).collect()}
+    for i, t in rows:
+        want = unicodedata.normalize("NFKC", t).lower() if t is not None else None
+        assert got[i] == want
+    assert got[1] == "five full 1⁄2 1"

@@ -264,3 +264,49 @@ def test_dedup_stream_by_content_one_row_per_distinct_text(spark, sf_dir):
     assert got.count() == n_distinct
     assert got.select("text").distinct().count() == n_distinct
     spark.catalog.dropTempView("sdedup")
+
+
+def test_streaming_hll_merge_equals_batch_sketch(spark, sf_dir):
+    """Sketch composition through foreachBatch: maintain a per-event_type
+    HLL state by merging each micro-batch's sketch into it. Because
+    sketch(A ∪ B) == merge(sketch(A), sketch(B)) EXACTLY, the streamed
+    state must equal the one-shot batch sketch bit-for-bit — the property
+    that makes per-period sketch maintenance safe under any batching."""
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    src = os.path.join(tempfile.mkdtemp(prefix="ibtp_hll_src_"), "in")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # two files -> maxFilesPerTrigger=1 gives two real micro-batches
+    events.where("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    state_dir = tempfile.mkdtemp(prefix="ibtp_hll_state_")
+    state_path = os.path.join(state_dir, "state")
+
+    def upsert_sketch(batch_df, batch_id):
+        batch_sk = SK.hll_sketch(batch_df, ["event_type"], "user_id")
+        if os.path.exists(state_path):
+            prev = batch_df.sparkSession.read.parquet(state_path)
+            merged = SK.hll_merge(prev.unionByName(batch_sk), ["event_type"])
+        else:
+            merged = batch_sk
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    ckpt = os.path.join(state_dir, "ckpt")
+    q = stream.writeStream.foreachBatch(upsert_sketch).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: sorted(r["hll"].items())
+        for r in spark.read.parquet(state_path).collect()
+    }
+    want = {
+        r["event_type"]: sorted(r["hll"].items())
+        for r in SK.hll_sketch(events, ["event_type"], "user_id").collect()
+    }
+    assert got == want

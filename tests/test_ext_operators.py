@@ -1597,3 +1597,29 @@ def test_normalize_batch_matches_unicodedata(spark):
         want = unicodedata.normalize("NFKC", t).lower() if t is not None else None
         assert got[i] == want
     assert got[1] == "five full 1⁄2 1"
+
+
+def test_tokenizer_aware_packing_composition(spark, sf_dir):
+    """C33 ∘ C24: pack documents into fixed-token training sequences using
+    REAL BPE token counts — budgets come from encode_bpe, packing from
+    pack_concat_chunk, and every emitted chunk's token span is bounded by
+    the sequence length."""
+    from insert_by_timeperiod_spark.operators import bpe, packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = bpe.train_bpe(docs, n_merges=50)
+    with_counts = bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
+    out = packing.concat_chunk_packing(
+        with_counts, "n_bpe_tokens", "doc_id", max_tokens=256
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    from insert_by_timeperiod_spark.operators.packing import _BUCKET_STRIDE
+
+    for r in rows:
+        # real token budgets place every doc in a consistent chunk span
+        assert r["n_tok"] > 0 and r["offset"] >= 0
+        base = r["bucket"] * _BUCKET_STRIDE
+        assert r["pack_first"] == base + r["offset"] // 256
+        assert r["pack_last"] == base + (r["offset"] + r["n_tok"] - 1) // 256
+        assert r["pack_first"] <= r["pack_last"]

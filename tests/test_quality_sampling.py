@@ -319,3 +319,23 @@ def test_mixture_weight_validation(spark, ids):
         sampling.mixture_sample(ids, {}, "grp", ["id"])
     with pytest.raises(ValueError):
         sampling.mixture_sample(ids, {"a": 0.5, "b": -0.1}, "grp", ["id"])
+
+
+def test_compression_ratio_tracks_repetition(spark):
+    import zlib
+
+    rows = [
+        (1, "spam " * 400),                      # highly repetitive
+        (2, "The quick brown fox jumps over the lazy dog near the river bank while autumn leaves drift slowly downward. " * 4),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    ratio = QL.compression_ratio_batch()
+    got = {r["id"]: r["r"] for r in df.select("id", ratio(F.col("t")).alias("r")).collect()}
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.05 < got[2]
+    # pinned against direct zlib — the lane is a pure function of the text
+    for i, t in rows[:2]:
+        raw = t.encode()
+        assert got[i] == len(zlib.compress(raw, 6)) / len(raw)

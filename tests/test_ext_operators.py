@@ -1623,3 +1623,75 @@ def test_tokenizer_aware_packing_composition(spark, sf_dir):
         assert r["pack_first"] == base + r["offset"] // 256
         assert r["pack_last"] == base + (r["offset"] + r["n_tok"] - 1) // 256
         assert r["pack_first"] <= r["pack_last"]
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): driver-side invariants of the pure kernels
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+
+@given(
+    words=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=12),
+    merge_words=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=12),
+)
+@hyp_settings(max_examples=60, deadline=None)
+def test_bpe_encode_roundtrip_property(words, merge_words):
+    """For ANY merge table learned from ANY corpus, encoding any word
+    round-trips: concatenating its tokens (sans marker) restores the word,
+    and the rank-greedy encoder equals replay-in-order."""
+    from collections import Counter
+
+    from insert_by_timeperiod_spark.operators import bpe
+
+    # learn merges driver-side on the weighted word multiset (same kernel
+    # train_bpe uses after the distributed count)
+    vocab = {tuple(w) + (bpe.EOW,): c for w, c in Counter(merge_words).items()}
+    merges = []
+    for _ in range(10):
+        pairs = Counter()
+        for sym, cnt in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        newv = {}
+        for sym, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(best[0] + best[1]); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            newv[tuple(out)] = newv.get(tuple(out), 0) + cnt
+        vocab = newv
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        toks = bpe.encode_word(w, ranks)
+        assert "".join(toks).replace(bpe.EOW, "") == w
+        assert toks == _replay_encode(w, merges)
+
+
+@given(
+    text_len=st.integers(min_value=0, max_value=200),
+    size=st.integers(min_value=1, max_value=50),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+@hyp_settings(max_examples=40, deadline=None)
+def test_chunk_window_arithmetic_property(text_len, size, overlap_frac):
+    """The chunk windows computed by the operator's arithmetic cover the
+    full text with the declared stride, for any (len, size, overlap)."""
+    overlap = min(int(size * overlap_frac), size - 1)
+    stride = size - overlap
+    starts = list(range(1, text_len + 1, stride)) if text_len > 0 else []
+    # coverage: every char position in [1, text_len] falls in some window
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + size, text_len + 1)))
+    assert covered == set(range(1, text_len + 1))
+    # chunk ids are dense from 0
+    ids = [(s - 1) // stride for s in starts]
+    assert ids == list(range(len(starts)))

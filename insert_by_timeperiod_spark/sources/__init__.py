@@ -71,8 +71,14 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-#: formats the generic reader accepts out of the box (DataSource V2)
-SOURCE_FORMATS = ("parquet", "csv", "json", "orc")
+#: formats the generic reader accepts out of the box (DataSource V2).
+#: `text` reads raw line/whole-file corpora (one string column `value` —
+#: the .txt-shard ingest path of an LLM pipeline); `binaryFile` reads
+#: opaque assets (images/audio) as (path, modificationTime, length,
+#: content) for the multimodal operators — pair with
+#: `pathGlobFilter`/`recursiveFileLookup` options and feed `content`
+#: straight into multimodal.decode_pixels.
+SOURCE_FORMATS = ("parquet", "csv", "json", "orc", "text", "binaryFile")
 
 
 def read_source(
@@ -102,6 +108,10 @@ def read_source(
         options = opts
     elif schema is None and fmt == "json":
         options = {"primitivesAsString": "false", **options}
+    elif fmt == "text":
+        # wholetext=false (default): one row per line — pass wholetext=true
+        # for one document per file, the common corpus-shard layout
+        options = {"lineSep": "\n", **options}
     return reader.options(**options).format(fmt).load(path)
 
 

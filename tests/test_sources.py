@@ -157,3 +157,46 @@ def test_engine_runs_over_csv_source(spark, events):
     a, b = outs
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_text_source_line_and_wholefile_modes(spark, tmp_path):
+    from insert_by_timeperiod_spark.sources import read_source
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("second doc\n")
+    lines = read_source(spark, str(d), "text")
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line two", "second doc",
+    ]
+    docs = read_source(spark, str(d), "text", wholetext="true")
+    got = sorted(r["value"] for r in docs.collect())
+    assert got == ["line one\nline two\n", "second doc\n"]
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """binaryFile -> decode_pixels: the raw-asset ingest path works end to
+    end on a real encoded image."""
+    import numpy as np
+
+    from insert_by_timeperiod_spark.operators import gif, multimodal
+    from insert_by_timeperiod_spark.sources import read_source
+
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    img[..., 1] = 200  # flat green
+    payload = gif.encode_gif(img)
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "x.gif").write_bytes(payload)
+    (d / "skip.txt").write_text("not an image")
+    df = read_source(
+        spark, str(d), "binaryFile", pathGlobFilter="*.gif"
+    ).select(F.lit(1).alias("asset_id"), F.col("content").alias("payload"))
+    assert df.count() == 1
+    out = multimodal.extract_features(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["detected_type"], r["width"], r["height"]) == ("image/gif", 5, 4)
+    # flat green image decodes to mean 200/3 exactly
+    assert abs(r["px_mean"] - 200 / 3) < 1e-9

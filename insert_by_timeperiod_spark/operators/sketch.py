@@ -1,4 +1,5 @@
-"""Mergeable HyperLogLog distinct-count sketches (SURVEY.md §2 C35).
+"""Mergeable sketches: HyperLogLog distinct counts (SURVEY.md §2 C35) and
+count-min frequency estimates (C40).
 
 Incremental pipelines need distinct counts that COMPOSE: build a sketch per
 period as data loads, then answer "distinct users over any period range" by
@@ -18,8 +19,11 @@ which yields the exact invariant the tests pin: ``sketch(A ∪ B) ==
 merge(sketch(A), sketch(B))`` bit-for-bit, and estimates within the
 published ~1.04/sqrt(m) error.
 
-Sketches are sparse ``map<int, tinyint>`` (register -> max rank): tiny at
-low cardinality, at most ``2^p`` entries ever.
+Sketches are sparse ``map<int, int>`` (register -> max rank): tiny at
+low cardinality, at most ``2^p`` entries ever. The count-min half shares
+the same shape (``map<int, bigint>`` counters) and the same exact-merge
+story — together with the Bloom filters (operators/bloom.py) they give a
+period-composable distinct/frequency/membership state family.
 """
 
 from __future__ import annotations
@@ -123,3 +127,105 @@ def hll_estimate(sketch: Column, *, p: int = DEFAULT_P) -> Column:
     return F.round(
         F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
     ).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: mergeable frequency estimates (C40)
+# ---------------------------------------------------------------------------
+
+#: count-min defaults: width 2^12 (ε ≈ e/4096 ≈ 0.07% of total count),
+#: depth 4 (failure prob e^-4 ≈ 1.8%)
+CM_WIDTH = 1 << 12
+CM_DEPTH = 4
+
+
+def cm_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+    weight_col: str | None = None,
+    out_col: str = "cm",
+) -> DataFrame:
+    """One count-min sketch per group: frequency estimates for ANY value
+    with one-sided error (never under-counts; over-counts by at most
+    ε·total with probability 1-δ). Mergeable exactly — counters add — so
+    per-period sketches answer "how often did X appear in any period
+    range?" without rescanning, the frequency companion to the HLL
+    (distinct) and Bloom (membership) state. Sparse ``map<int, bigint>``
+    keyed by ``row·width + col``; at most ``depth·width`` entries.
+
+    Plan: depth hash cells per row ride the scan; the per-(group, cell)
+    SUM is map-side combined (≤ groups × depth·width rows reach the
+    shuffle); NULL values are ignored. ``weight_col`` turns it into a
+    weighted-count sketch (e.g. token counts per word)."""
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    cells = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(d * width)
+                    + F.pmod(F.xxhash64(F.col(value_col), F.lit(d)), F.lit(width))
+                ).cast("int").alias("c"),
+                w.alias("n"),
+            )
+            for d in range(depth)
+        ]
+    )
+    rows = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.explode(cells).alias("_cell"))
+        .groupBy(*group_cols, F.col("_cell.c").alias("_c"))
+        .agg(F.sum("_cell.n").alias("_n"))
+    )
+    return rows.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_c", "_n")))
+        ).alias(out_col)
+    )
+
+
+def cm_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    sketch_col: str = "cm",
+) -> DataFrame:
+    """Merge sketches by summing counters — exactly the sketch the union
+    of the underlying inputs would produce."""
+    exploded = df.select(
+        *group_cols, F.explode(F.col(sketch_col)).alias("_c", "_n")
+    )
+    rows = exploded.groupBy(*group_cols, "_c").agg(F.sum("_n").alias("_n"))
+    return rows.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_c", "_n")))
+        ).alias(sketch_col)
+    )
+
+
+def cm_estimate(
+    sketch: Column,
+    value: Column,
+    *,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+) -> Column:
+    """Estimated count of ``value``: min over the depth counters (absent
+    cell = 0). Guaranteed ≥ the true count."""
+    cells = F.array(
+        *[
+            (
+                F.lit(d * width)
+                + F.pmod(F.xxhash64(value, F.lit(d)), F.lit(width))
+            ).cast("int")
+            for d in range(depth)
+        ]
+    )
+    return F.array_min(
+        F.transform(
+            cells, lambda c: F.coalesce(F.element_at(sketch, c), F.lit(0).cast("bigint"))
+        )
+    )

@@ -1695,3 +1695,60 @@ def test_chunk_window_arithmetic_property(text_len, size, overlap_frac):
     # chunk ids are dense from 0
     ids = [(s - 1) // stride for s in starts]
     assert ids == list(range(len(starts)))
+
+
+# ---------------------------------------------------------------------------
+# C40: count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cm_merge_equality_and_one_sided_error(spark):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    # skewed multiset: value v appears (v % 50)+1 times
+    full = (
+        spark.range(0, 5000)
+        .withColumn("v", (F.col("id") % 50).cast("string"))
+        .withColumn("g", F.lit(1))
+    )
+    a, b = full.where("id < 2000"), full.where("id >= 2000")
+    want = {
+        r["g"]: sorted(r["cm"].items())
+        for r in SK.cm_sketch(full, ["g"], "v").collect()
+    }
+    parts = SK.cm_sketch(a, ["g"], "v").unionByName(SK.cm_sketch(b, ["g"], "v"))
+    got = {
+        r["g"]: sorted(r["cm"].items())
+        for r in SK.cm_merge(parts, ["g"]).collect()
+    }
+    assert got == want  # counters add: exact merge invariant
+
+    # estimates never under-count, and at this tiny load are exact
+    sk = SK.cm_sketch(full, ["g"], "v")
+    probe = spark.createDataFrame([(1, str(i)) for i in range(50)], "g int, v string")
+    est = {
+        r["v"]: r["e"]
+        for r in probe.join(sk, "g")
+        .select("v", SK.cm_estimate(F.col("cm"), F.col("v")).alias("e"))
+        .collect()
+    }
+    truth = {str(i): 100 for i in range(50)}
+    for v, t in truth.items():
+        assert est[v] >= t
+        assert est[v] <= t + 10  # ~zero collisions at 50 keys / 4096 width
+
+
+def test_cm_weighted_counts(spark):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [(1, "x", 7), (1, "x", 3), (1, "y", 5)], "g int, v string, w int"
+    )
+    sk = SK.cm_sketch(df, ["g"], "v", weight_col="w")
+    est = (
+        spark.createDataFrame([(1, "x"), (1, "y"), (1, "z")], "g int, v string")
+        .join(sk, "g")
+        .select("v", SK.cm_estimate(F.col("cm"), F.col("v")).alias("e"))
+        .collect()
+    )
+    got = {r["v"]: r["e"] for r in est}
+    assert got["x"] == 10 and got["y"] == 5 and got["z"] == 0

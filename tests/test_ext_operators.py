@@ -1752,3 +1752,24 @@ def test_cm_weighted_counts(spark):
     )
     got = {r["v"]: r["e"] for r in est}
     assert got["x"] == 10 and got["y"] == 5 and got["z"] == 0
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@hyp_settings(max_examples=120, deadline=None)
+def test_decoders_never_raise_on_arbitrary_bytes(data):
+    """The decode contract: arbitrary/corrupt bytes -> None, never an
+    exception (a poisoned row must not fail a 100 TB decode job). Also
+    prefix-corrupted REAL streams, which exercise deeper decoder states."""
+    from insert_by_timeperiod_spark.operators import gif, jpeg, multimodal
+
+    for payload in (
+        data,
+        b"\xff\xd8" + data,          # JPEG SOI + garbage
+        b"GIF89a" + data,            # GIF header + garbage
+        b"\x89PNG\r\n\x1a\n" + data, # PNG magic + garbage
+        b"BM" + data,                # BMP magic + garbage
+    ):
+        assert jpeg.decode_jpeg_pixels(payload) is None or payload[:2] == b"\xff\xd8"
+        gif.decode_gif_pixels(payload)      # may return None; must not raise
+        multimodal.decode_pixels(payload)   # dispatcher: same contract
+        multimodal.parse_image_header(payload)

@@ -1773,3 +1773,58 @@ def test_decoders_never_raise_on_arbitrary_bytes(data):
         gif.decode_gif_pixels(payload)      # may return None; must not raise
         multimodal.decode_pixels(payload)   # dispatcher: same contract
         multimodal.parse_image_header(payload)
+
+
+# ---------------------------------------------------------------------------
+# C41: DDSketch quantiles
+# ---------------------------------------------------------------------------
+
+def test_ddsketch_merge_equality_and_relative_error(spark):
+    import numpy as np
+
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    # log-uniform values spanning 5 orders of magnitude + exact zeros
+    vals = [float(10 ** (i % 11 / 2.0)) for i in range(20000)] + [0.0] * 50
+    full = spark.createDataFrame([(v,) for v in vals], "x double").withColumn(
+        "g", F.lit(1)
+    )
+    a = full.limit(7000)
+    b = full.exceptAll(a)
+    want = {
+        r["g"]: sorted(r["dd"].items())
+        for r in SK.dd_sketch(full, ["g"], "x").collect()
+    }
+    parts = SK.dd_sketch(a, ["g"], "x").unionByName(SK.dd_sketch(b, ["g"], "x"))
+    got = {
+        r["g"]: sorted(r["dd"].items())
+        for r in SK.dd_merge(parts, ["g"]).collect()
+    }
+    assert got == want  # exact merge invariant
+
+    sk = SK.dd_sketch(full, ["g"], "x")
+    arr = np.array(vals)
+    for q in (0.01, 0.5, 0.9, 0.99):
+        est = sk.select(SK.dd_quantile(F.col("dd"), q).alias("e")).collect()[0]["e"]
+        true = float(np.quantile(arr, q, method="inverted_cdf"))
+        if true == 0:
+            assert est == 0
+        else:
+            assert abs(est - true) / true <= 0.011, (q, est, true)
+
+
+def test_ddsketch_zero_and_validation(spark):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([(0.0,), (0.0,), (5.0,)], "x double").withColumn(
+        "g", F.lit(1)
+    )
+    sk = SK.dd_sketch(df, ["g"], "x")
+    q0 = sk.select(SK.dd_quantile(F.col("dd"), 0.5).alias("e")).collect()[0]["e"]
+    assert q0 == 0.0  # median of {0,0,5} is the zero bucket
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        SK.dd_sketch(df, ["g"], "x", alpha=1.5)
+    with _pt.raises(ValueError):
+        SK.dd_quantile(F.col("dd"), -0.1)

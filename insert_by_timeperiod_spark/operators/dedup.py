@@ -228,6 +228,66 @@ def minhash_signature_vec(num_hashes: int = 64, seed: int = 42):
     return mh
 
 
+def minhash_text_vec(num_hashes: int = 64, seed: int = 42, k: int = 5):
+    """Text -> MinHash signature in ONE Arrow lane: byte-level k-gram
+    rolling hashes (vectorized sliding window × FNV-prime powers, wrapping
+    uint64) feed the same affine lanes as minhash_signature_vec.
+
+    Why this exists: the two-stage form (JVM ``char_shingles`` +
+    ``xxhash64`` per shingle, then an ``array<bigint>`` Arrow transfer)
+    ships ~8 bytes PER SHINGLE through Arrow — ~620 MB for a 50k-doc corpus
+    at k=5 — and that transfer dominated the whole dedup pipeline. This
+    lane ships only the text (~13× less) and does the shingle hashing in
+    numpy at SIMD speed. The hash FUNCTION differs from the JVM path
+    (byte k-grams + polynomial vs xxhash64 on char k-grams), which is
+    immaterial to MinHash semantics: any fixed 64-bit hash of the shingle
+    yields the same Jaccard-estimation properties, and the LSH result is
+    exact-Jaccard-verified downstream either way. NULL / shorter-than-k
+    texts -> NULL signature (same contract as the two-stage form)."""
+    rng = np.random.default_rng(seed)
+    mul = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    add = rng.integers(0, 2**64, size=num_hashes, dtype=np.uint64)
+    mul_c, add_c = mul[:, None], add[:, None]
+    fnv = np.uint64(1099511628211)
+    powers = fnv ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    @F.pandas_udf("array<bigint>")
+    def mh(texts: pd.Series) -> pd.Series:
+        # whole-batch vectorization: ONE windowed-hash pass over the batch's
+        # concatenated bytes, then a segmented min per (doc, lane) via
+        # minimum.reduceat — no per-document numpy dispatch overhead
+        enc = [t.encode("utf-8") if t is not None else b"" for t in texts]
+        lens = np.array([len(b) for b in enc], dtype=np.int64)
+        ok = lens >= k
+        out: list = [None] * len(enc)
+        if not ok.any():
+            return pd.Series(out)
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+        h = (win * powers).sum(axis=1)  # wraps mod 2^64 — intended
+        doc_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        # valid window index ranges per doc (windows crossing doc
+        # boundaries are simply never selected)
+        idx_parts = [
+            np.arange(doc_starts[d], doc_starts[d] + lens[d] - k + 1)
+            for d in np.flatnonzero(ok)
+        ]
+        seg_starts = np.concatenate(
+            [[0], np.cumsum([len(p) for p in idx_parts])]
+        )[:-1]
+        hv = h[np.concatenate(idx_parts)]
+        n_valid = len(idx_parts)
+        sigs = np.empty((n_valid, len(mul)), dtype=np.uint64)
+        for lane in range(len(mul)):
+            sigs[:, lane] = np.minimum.reduceat(mul[lane] * hv + add[lane], seg_starts)
+        sigs_i = sigs.view(np.int64)
+        for row, d in enumerate(np.flatnonzero(ok)):
+            out[d] = sigs_i[row]
+        return pd.Series(out)
+
+    return mh
+
+
 def add_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -237,13 +297,12 @@ def add_minhash(
     seed: int = 42,
     use_words: bool = False,
 ) -> DataFrame:
-    sh = (
-        word_shingles(F.col(text_col), shingle_k)
-        if use_words
-        else char_shingles(F.col(text_col), shingle_k)
-    )
-    mh = minhash_signature_vec(num_hashes=num_hashes, seed=seed)
-    return df.withColumn("minhash", mh(shingle_hashes(sh)))
+    if use_words:
+        sh = word_shingles(F.col(text_col), shingle_k)
+        mh = minhash_signature_vec(num_hashes=num_hashes, seed=seed)
+        return df.withColumn("minhash", mh(shingle_hashes(sh)))
+    mh = minhash_text_vec(num_hashes=num_hashes, seed=seed, k=shingle_k)
+    return df.withColumn("minhash", mh(F.col(text_col)))
 
 
 #: most-recent-only registry for the persisted signature table (see below);
@@ -297,16 +356,17 @@ def minhash_lsh_pairs(
     # below keeps at most ONE sigs cache alive per session: each call evicts
     # the previous call's (a caller still holding the old result just loses
     # the cache, not correctness). Cached volume is (id, 512-byte sig)/doc.
-    mh = minhash_signature_vec(num_hashes, seed)
-    # spread BEFORE the signature projection, not after: the shingle +
-    # hash + Arrow-UDF work is the most expensive per-row stage of the whole
+    mh = minhash_text_vec(num_hashes, seed, k=shingle_k)
+    # spread BEFORE the signature projection, not after: the signature
+    # Arrow-UDF work is the most expensive per-row stage of the whole
     # pipeline, and a compact input (one parquet split for a ~50k-doc table;
-    # a skewed layout at cluster scale) would run it on a handful of cores
-    # (measured 2.6s -> 0.7s for the signature stage at sf0.1 on local[32]).
+    # a skewed layout at cluster scale) would run it on a handful of cores.
     # spread() is conditional, so a well-partitioned corpus at real scale
-    # pays no extra shuffle.
+    # pays no extra shuffle. The signature lane hashes byte k-grams INSIDE
+    # the UDF (minhash_text_vec): only text crosses Arrow, not 8-bytes-per-
+    # shingle hash arrays (measured 4.6s -> see commit for the delta).
     raw_sigs = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col), mh(shingle_hashes(sh)).alias("_sig")
+        F.col(id_col), mh(F.col(text_col)).alias("_sig")
     )
     # Evict the previous call's cache BEFORE persisting (CacheManager
     # matches entries by analyzed plan, so an unpersist after the new

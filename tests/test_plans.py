@@ -295,3 +295,31 @@ def test_semdedup_single_cluster_shuffle(spark):
 
     df = S.semdedup(spark.table("embeddings"), dim=64, k_cells=4)
     assert exchange_count(df) <= 2
+
+
+def test_sketch_family_aggregates_are_partial(spark):
+    """C35/C40/C41: every sketch build must compile with map-side partial
+    aggregation — at 100 TB at most groups × state-size rows may reach the
+    shuffle, never raw values."""
+    from insert_by_timeperiod_spark.operators import sketch as SK
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    ev = spark.table("events")
+    for df in (
+        SK.hll_sketch(ev, ["event_type"], "user_id"),
+        SK.cm_sketch(ev, ["event_type"], "user_id"),
+        SK.dd_sketch(ev, ["event_type"], "value"),
+    ):
+        plan = explain_str(df, formatted=False)
+        assert plan.lower().count("partial") >= 1
+        assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """C38: the deletion-block self-join must never plan a cartesian
+    product — candidates pair inside blocks only."""
+    from insert_by_timeperiod_spark.operators import joins
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    df = joins.fuzzy_self_pairs(spark.table("customer"), "c_name", "c_custkey")
+    assert "CartesianProduct" not in explain_str(df, formatted=False)

@@ -23,7 +23,13 @@ _TS_FMT = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
 _TEXT_OPTS = {"csv": {"header": "true", **_TS_FMT}, "json": _TS_FMT}
 
 
-@pytest.mark.parametrize("fmt", SOURCE_FORMATS)
+#: text/binaryFile are read-oriented (a text write keeps one string column;
+#: binaryFile has no writer) — their read paths are covered by the dedicated
+#: tests below, not the tabular round-trip
+_ROUNDTRIP_FORMATS = tuple(f for f in SOURCE_FORMATS if f not in ("text", "binaryFile"))
+
+
+@pytest.mark.parametrize("fmt", _ROUNDTRIP_FORMATS)
 def test_roundtrip_preserves_rows(spark, events, fmt):
     d = os.path.join(tempfile.mkdtemp(prefix=f"ibtp_src_{fmt}_"), "t")
     src = events.select("event_id", "user_id", "ts", "value")

@@ -125,11 +125,16 @@ class InsertByTimeperiod:
         pre_run: Callable[[], None] | None = None,
         post_run: Callable[[], None] | None = None,
         post_period: Callable[[Period, int | None], None] | None = None,
+        table_factory: Callable[[SparkSession, str], ParquetTable] | None = None,
     ):
         self.spark = spark
         self.model = model
         self.config = config
-        self.table = ParquetTable(spark, target_path)
+        # backend seam (A21): any ParquetTable-compatible format — the
+        # directory backend (default) or the transactional log backend
+        # (txnlog.TxnLogTable), chosen per engine instance
+        self.table_factory = table_factory or ParquetTable
+        self.table = self.table_factory(spark, target_path)
         self.count_rows = count_rows  # A17 row-count observability
         # pre/post hook contract (A19,
         # /root/reference/macros/insert_by_timeperiod_materialization.sql:65,82)
@@ -310,6 +315,7 @@ class InsertByTimeperiod:
                 self.table.path + f"__ibtp_stage_{uuid.uuid4().hex[:8]}",
                 count_rows=self.count_rows,
                 post_period=self.post_period,
+                table_factory=self.table_factory,
             )
             try:
                 res = staging.run(RunVars(start_date=vars.start_date, stop_date=vars.stop_date))

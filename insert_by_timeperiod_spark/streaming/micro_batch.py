@@ -75,12 +75,13 @@ class StreamToPeriodTable:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         compact_every_n_batches: int | None = None,
         compact_files_per_partition: int = 1,
+        table_factory=None,
     ):
         if compact_every_n_batches is not None and compact_every_n_batches < 1:
             raise ValueError("compact_every_n_batches must be >= 1")
         self.spark = spark
         self.config = config
-        self.table = ParquetTable(spark, target_path)
+        self.table = (table_factory or ParquetTable)(spark, target_path)
         self.transform = transform
         self.compact_every_n_batches = compact_every_n_batches
         self.compact_files_per_partition = compact_files_per_partition
@@ -142,35 +143,12 @@ class StreamToPeriodTable:
         if not self.table.exists():
             self.table.create_empty(batch_df.schema, pcol)
 
-        # idempotent commit: stage keyed by batch id, then prefix-rename
-        stage = f"{self.table.path}__stream_stage_{batch_id}"
-        batch_df.write.mode("overwrite").partitionBy(pcol).parquet(stage)
-        try:
-            for part in self._fs.listdir(stage):
-                if not part.startswith(f"{pcol}="):
-                    continue
-                dst_dir = f"{self.table.path}/{part}"
-                # clear partial output of a crashed attempt of THIS batch
-                for f in self._fs.listdir(dst_dir):
-                    if f.startswith(f"b{batch_id}-"):
-                        self._fs.delete(f"{dst_dir}/{f}")
-                self._fs.mkdirs(dst_dir)
-                for f in self._fs.listdir(f"{stage}/{part}"):
-                    if f.endswith(".parquet"):
-                        self._fs.rename(
-                            f"{stage}/{part}/{f}", f"{dst_dir}/b{batch_id}-{f}"
-                        )
-                # non-date dir names (NULL timestamps land in
-                # __HIVE_DEFAULT_PARTITION__) must not fail the commit —
-                # they just don't participate in date-targeted compaction
-                try:
-                    self._touched_since_compact.add(
-                        dt.date.fromisoformat(part.split("=", 1)[1])
-                    )
-                except ValueError:
-                    pass
-        finally:
-            self._fs.delete(stage)
+        # idempotent commit through the backend seam: the directory backend
+        # stages + prefix-renames (crashed-attempt files of THIS batch are
+        # cleared first); the txn-log backend publishes one atomic tagged
+        # commit. Either way a replay after any crash point is safe.
+        touched = self.table.commit_stream_batch(batch_df, pcol, batch_id)
+        self._touched_since_compact |= touched
         self._record_batch_id(batch_id)
         self._maybe_compact(batch_id)
 

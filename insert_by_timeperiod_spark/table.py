@@ -343,6 +343,40 @@ class ParquetTable:
             for d in self.partition_dates()
         }
 
+    def commit_stream_batch(
+        self, batch_df: DataFrame, pcol: str, batch_id: int
+    ) -> "set[dt.date]":
+        """Streaming micro-batch commit (the sink's idempotency contract):
+        stage keyed by batch id, clear any partial output a crashed attempt
+        of THIS batch left behind, then prefix-rename files into their
+        partition directories. Returns the date partitions touched (for
+        compaction tracking); NULL-timestamp rows land in the hive default
+        partition and simply don't participate."""
+        stage = f"{self.path}__stream_stage_{batch_id}"
+        batch_df.write.mode("overwrite").partitionBy(pcol).parquet(stage)
+        touched: set[dt.date] = set()
+        try:
+            for part in self.fs.listdir(stage):
+                if not part.startswith(f"{pcol}="):
+                    continue
+                dst_dir = f"{self.path}/{part}"
+                for f in self.fs.listdir(dst_dir):
+                    if f.startswith(f"b{batch_id}-"):
+                        self.fs.delete(f"{dst_dir}/{f}")
+                self.fs.mkdirs(dst_dir)
+                for f in self.fs.listdir(f"{stage}/{part}"):
+                    if f.endswith(".parquet"):
+                        self.fs.rename(
+                            f"{stage}/{part}/{f}", f"{dst_dir}/b{batch_id}-{f}"
+                        )
+                try:
+                    touched.add(dt.date.fromisoformat(part.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        finally:
+            self.fs.delete(stage)
+        return touched
+
     def swap_from(self, other: "ParquetTable") -> None:
         """Full-refresh commit: backup/rename/drop emulating the reference's
         atomic-ish replace (/root/reference/macros/insert_by_timeperiod_init.sql:22-27,41-42)."""

@@ -1,0 +1,214 @@
+"""Transactional log-backed table format (txnlog.TxnLogTable): the engine
+must run unchanged on it, and the log must deliver what directories can't —
+single-commit atomic rewrites, snapshot isolation, and time travel."""
+
+import datetime as dt
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
+from insert_by_timeperiod_spark.sources import register_views
+from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+MODEL = """
+SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+FROM events
+WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+def _cfg(**kw):
+    base = dict(
+        period="week",
+        timestamp_field="event_date",
+        start_date="2024-01-01",
+        stop_date="2024-01-30",
+    )
+    base.update(kw)
+    return IBTPConfig(**base)
+
+
+def _engine(spark, cfg=None, **kw):
+    tgt = tempfile.mkdtemp(prefix="ibtp_txn_") + "/t"
+    return InsertByTimeperiod(
+        spark, MODEL, cfg or _cfg(), tgt, table_factory=TxnLogTable, **kw
+    )
+
+
+def test_engine_lifecycle_on_txn_backend_matches_duck(spark, duck):
+    eng = _engine(spark)
+    eng.run(RunVars(stop_date="2024-01-15"))
+    eng.run(RunVars())
+    assert eng.run(RunVars()).periods == []  # idempotent rerun
+    eng.table.delete_date_range(dt.date(2024, 1, 8), dt.date(2024, 1, 14))
+    eng.run(
+        RunVars(
+            start_date="2024-01-08", stop_date="2024-01-15",
+            backfill=True, full_refresh=True,
+        )
+    )
+    got = {
+        (r["user_id"], r["event_date"], r["n"]) for r in eng.table.read().collect()
+    }
+    want = {
+        (r[0], r[1], r[2])
+        for r in duck.execute(
+            """
+            SELECT user_id, CAST(ts AS DATE) d, COUNT(*) n FROM events
+            WHERE ts >= DATE '2024-01-01' AND ts < DATE '2024-01-30'
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_keyed_upsert_on_txn_backend(spark):
+    cfg = _cfg(unique_key="user_id", stop_date="2024-01-15")
+    eng = _engine(spark, cfg)
+    eng.run()
+    first = {r["user_id"]: r["n"] for r in eng.table.read().collect()}
+    # rerun over a widened window: keys must be upserted, not duplicated
+    eng2 = InsertByTimeperiod(
+        spark, MODEL, _cfg(unique_key="user_id"), eng.table.path,
+        table_factory=TxnLogTable,
+    )
+    eng2.run()
+    out = eng2.table.read()
+    assert out.groupBy("user_id", "event_date").count().where("count > 1").count() == 0
+    assert out.count() >= len(first)
+
+
+def test_replace_range_is_one_atomic_commit(spark):
+    eng = _engine(spark)
+    eng.run()
+    t = eng.table
+    v0 = t.version()
+    df = t.read().where(F.col("event_date") < F.lit(dt.date(2024, 1, 8)))
+    t.replace_date_range(
+        df.withColumn("n", F.col("n") + 1000),
+        dt.date(2024, 1, 1),
+        dt.date(2024, 1, 8),
+    )
+    assert t.version() == v0 + 1  # exactly ONE commit for the whole range
+    c = t._read_commit(t.version())
+    assert c["adds"] and c["removes"]  # swap happened in that single commit
+
+
+def test_uncommitted_staged_files_are_invisible_and_vacuumed(spark):
+    eng = _engine(spark)
+    eng.run()
+    t = eng.table
+    n0 = t.read().count()
+    # simulate a crash after staging, before commit: files exist, no log row
+    extra = t.read().limit(5).withColumn("n", F.lit(999))
+    t._stage_files(extra, t.partition_col)
+    assert t.read().count() == n0  # invisible to readers
+    assert t.recover_orphans() == 1  # the orphaned staging dir is removed
+    assert t.read().count() == n0
+
+
+def test_snapshot_isolation_reader_survives_concurrent_rewrite(spark):
+    eng = _engine(spark)
+    eng.run()
+    t = eng.table
+    before = t.read()  # resolves the file list NOW
+    n0 = before.count()
+    t.replace_date_range(
+        t.read().where("event_date < DATE'2024-01-08'"),
+        dt.date(2024, 1, 1),
+        dt.date(2024, 1, 8),
+    )
+    # the old reader still evaluates against its snapshot (removed files
+    # stay on disk until truncate_history), and a fresh read sees the new
+    assert before.count() == n0
+    assert t.read().count() == n0
+
+
+def test_time_travel_and_truncate_history(spark):
+    eng = _engine(spark)
+    eng.run(RunVars(stop_date="2024-01-15"))
+    v1 = eng.table.version()
+    n1 = eng.table.read().count()
+    eng.run(RunVars())
+    t = eng.table
+    assert t.read(version=v1).count() == n1
+    assert t.read().count() > n1
+    removed = t.truncate_history()
+    assert t.read().count() > n1  # current snapshot intact
+    # old versions gone: the log now starts at the checkpoint commit
+    assert len(t._versions()) == 1
+    assert removed == 0  # append-only history shares no exclusive files
+
+
+def test_truncate_history_reclaims_rewritten_files(spark):
+    eng = _engine(spark)
+    eng.run()
+    t = eng.table
+    t.replace_date_range(
+        t.read().where("event_date < DATE'2024-01-08'"),
+        dt.date(2024, 1, 1),
+        dt.date(2024, 1, 8),
+    )
+    n = t.read().count()
+    assert t.truncate_history() > 0  # the replaced originals are reclaimed
+    assert t.read().count() == n
+
+
+def test_commit_version_collision_retries(spark):
+    eng = _engine(spark)
+    eng.run(RunVars(stop_date="2024-01-08"))
+    t = eng.table
+    # occupy the next version slot out-of-band: the writer must skip to v+2
+    v = t.version()
+    blocker = f"{t._txn_dir()}/{v + 1:011d}.json"
+    t.fs.write_text_atomic(blocker, json.dumps({"adds": [], "removes": []}))
+    t.delete_date_range(dt.date(2024, 1, 1), dt.date(2024, 1, 8))
+    assert t.version() == v + 2
+    assert t.read().count() == 0
+
+
+def test_compaction_single_commit_per_partition(spark):
+    eng = _engine(spark)
+    eng.run(RunVars(stop_date="2024-01-08"))
+    t = eng.table
+    # fragment one partition with three extra appends
+    d = t.partition_dates()[0]
+    part = t.read().where(F.col("event_date") == F.lit(d))
+    for _ in range(2):
+        t.append(part.limit(1))
+    assert t.partition_file_counts()[d] >= 3
+    n_before = t.read().count()
+    t.compact_partitions(files_per_partition=1)
+    assert t.partition_file_counts()[d] == 1
+    assert t.read().count() == n_before
+
+
+def test_streaming_sink_on_txn_backend(spark, sf_dir):
+    from insert_by_timeperiod_spark.streaming.micro_batch import StreamToPeriodTable
+
+    src = os.path.join(tempfile.mkdtemp(prefix="ibtp_txn_stream_"), "in")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.coalesce(2).write.parquet(src)
+    root = tempfile.mkdtemp(prefix="ibtp_txn_sink_")
+    sink = StreamToPeriodTable(
+        spark,
+        IBTPConfig(timestamp_field="ts", period="day"),
+        os.path.join(root, "t"),
+        transform=lambda df: df.select("event_id", "user_id", "ts", "value"),
+        table_factory=TxnLogTable,
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sink.run_available_now(stream, os.path.join(root, "ckpt"))
+    assert sink.table.read().count() == events.count()
+    assert isinstance(sink.table, TxnLogTable)

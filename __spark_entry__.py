@@ -260,6 +260,29 @@ def _engine(
     return run
 
 
+def _engine_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 (backend polymorphism, transactional variant): the SAME daily
+    model run end-to-end on the txnlog.TxnLogTable commit-log backend —
+    interrupted run, resume, then a backfill replayed as one atomic
+    commit; ORACLE_DAILY checks the final content exactly, proving backend
+    choice never changes results."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_txn_"), "t")
+    cfg = dict(
+        timestamp_field="event_date", period="week", start_date=START, stop_date=STOP
+    )
+    eng = InsertByTimeperiod(
+        spark, MODEL_DAILY, IBTPConfig(**cfg), tgt,
+        count_rows=False, table_factory=TxnLogTable,
+    )
+    eng.run(RunVars(stop_date="2024-01-15"))
+    eng.run(RunVars())
+    eng.run(RunVars(start_date="2024-01-08", stop_date="2024-01-15", backfill=True, full_refresh=True))
+    return eng.table.read()
+
+
 def _engine_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15: new column appears mid-run under on_schema_change=append_new_columns;
     old periods read NULL for it (sidecar-schema read semantics)."""
@@ -2038,6 +2061,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_exact": _dedup_exact,
         "sample_mixture": _sample_mixture,
         "semdedup_exact_vecs": _semdedup,
+        "engine_txn_backend": _engine_txn,
         "bpe_tokenize": _bpe_tokenize,
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
@@ -2079,6 +2103,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "sessionize_events": SESSIONIZE_DUCK,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "semdedup_exact_vecs": SEMDEDUP_DUCK,
+        "engine_txn_backend": ORACLE_DAILY.format(start=START, stop=STOP),
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
         "dedup_incremental": INCR_DEDUP_DUCK,
         "fuzzy_name_pairs": FUZZY_PAIRS_DUCK,

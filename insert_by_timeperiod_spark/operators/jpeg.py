@@ -1,17 +1,20 @@
-"""Baseline JPEG codec, stdlib + numpy only (SURVEY.md §2 C22).
+"""JPEG codec, stdlib + numpy only (SURVEY.md §2 C22).
 
 Closes the multimodal pixel-decode gap for JPEG without a codec library:
 
-- :func:`decode_jpeg_pixels` — real baseline (SOF0, sequential DCT) decode:
-  marker walk, canonical-huffman entropy decode with byte unstuffing and
-  restart intervals, dequantize, de-zigzag, orthonormal 8×8 IDCT, 4:4:4 and
-  4:2:0 chroma upsampling, JFIF YCbCr→RGB. Progressive (SOF2), arithmetic,
-  12-bit, and exotic subsampling return ``None`` (honest partial coverage —
-  same contract as the PNG decoder's palette/16-bit exclusions).
-- :func:`encode_baseline_jpeg` — a minimal valid baseline encoder (4:4:4 or
-  grayscale) used to build REAL decodable fixtures in tests/demos. It embeds
-  its own quantization + canonical huffman tables, so any spec-compliant
-  reader (including ours) decodes its output.
+- :func:`decode_jpeg_pixels` — real baseline (SOF0/1, sequential DCT) AND
+  progressive (SOF2) decode: marker walk, canonical-huffman entropy decode
+  with byte unstuffing and restart intervals, progressive spectral
+  selection + successive approximation (DC/AC first and refinement scans,
+  EOB runs), dequantize, de-zigzag, orthonormal 8×8 IDCT, 4:4:4 and 4:2:0
+  chroma upsampling, JFIF YCbCr→RGB. Arithmetic coding, 12-bit precision,
+  and exotic subsampling return ``None`` (honest partial coverage — same
+  contract as the PNG decoder's palette/16-bit exclusions).
+- :func:`encode_baseline_jpeg` / :func:`encode_progressive_jpeg` — minimal
+  valid encoders (4:4:4 or grayscale; progressive emits a DC+AC
+  first/refine scan script) used to build REAL decodable fixtures: tests
+  pin progressive-decode == baseline-decode pixel-identical, since
+  refinement to Al=0 reconstructs the exact same coefficients.
 
 Cost model: the entropy decode runs a Python loop per SYMBOL (not per bit)
 — each huffman symbol is one 16-bit-window peek into a full lookup table
@@ -222,6 +225,8 @@ def _decode(b: bytes) -> "np.ndarray | None":
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
+    prog_state = None  # (coefs, mcus_x, mcus_y, hmax, vmax) across scans
     restart_interval = 0
     i = 2
     while i + 4 <= len(b):
@@ -231,7 +236,7 @@ def _decode(b: bytes) -> "np.ndarray | None":
             i += 1  # fill bytes
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
-            return None  # no scan seen
+            break  # progressive finalizes below; baseline without a scan -> None
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -246,7 +251,7 @@ def _decode(b: bytes) -> "np.ndarray | None":
                 tbl = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int64)
                 qt[tq] = tbl
                 j += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 return None
@@ -255,8 +260,9 @@ def _decode(b: bytes) -> "np.ndarray | None":
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive/arithmetic/lossless: unsupported
+            progressive = marker == 0xC2
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # arithmetic/lossless/hierarchical: unsupported
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -277,27 +283,57 @@ def _decode(b: bytes) -> "np.ndarray | None":
             for c in range(ns):
                 cid, tbls = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_map[cid] = (tbls >> 4, tbls & 0xF)
-            return _decode_scan(
-                b, i + 2 + seg_len, frame, scan_map, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    b, i + 2 + seg_len, frame, scan_map, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            prog_state, i = _decode_progressive_scan(
+                b, i + 2 + seg_len, frame, scan_map, (ss, se, ah, al),
+                huff_dc, huff_ac, restart_interval, prog_state,
             )
+            continue
         i += 2 + seg_len
+    if progressive and prog_state is not None:
+        coefs, mcus_x, mcus_y, hmax, vmax = prog_state
+        return _finalize(coefs, frame, qt, mcus_x, mcus_y, hmax, vmax)
     return None
 
 
-def _decode_scan(b, start, frame, scan_map, qt, huff_dc, huff_ac, dri):
+def _finalize(coefs, frame, qt, mcus_x, mcus_y, hmax, vmax):
+    """Dequantize + de-zigzag + batched IDCT + reassembly + color."""
     h, w, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if (hmax, vmax) not in ((1, 1), (2, 2)) or any(
-        (c[1], c[2]) not in ((1, 1), (hmax, vmax)) for c in comps
-    ):
-        return None  # support 4:4:4 / gray / 4:2:0 layouts only
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for ci, comp in enumerate(comps):
+        cid, hs, vs, tq = comp
+        blocks = (coefs[ci] * qt[tq][None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks.astype(np.float64), _C)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        # reassemble: blocks are stored MCU-major, raster within the MCU —
+        # a pure reshape/transpose, no Python block loop
+        plane = (
+            spatial.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
+        )
+        if hs < hmax or vs < vmax:  # 4:2:0 chroma: nearest upsample
+            plane = plane.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
 
-    # unstuff the entropy stream, splitting at restart markers
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    y, cb, cr = (p.astype(np.float64) for p in planes[:3])
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bl = y + 1.772 * (cb - 128)
+    return np.clip(np.stack([r, g, bl], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff one scan's entropy stream, splitting at restart markers;
+    returns (segments, index of the marker that ended the scan)."""
     segments: list[bytes] = []
     cur = bytearray()
     j = start
@@ -318,6 +354,22 @@ def _decode_scan(b, start, frame, scan_map, qt, huff_dc, huff_ac, dri):
         cur.append(byte)
         j += 1
     segments.append(bytes(cur))
+    return segments, j
+
+
+def _decode_scan(b, start, frame, scan_map, qt, huff_dc, huff_ac, dri):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if (hmax, vmax) not in ((1, 1), (2, 2)) or any(
+        (c[1], c[2]) not in ((1, 1), (hmax, vmax)) for c in comps
+    ):
+        return None  # support 4:4:4 / gray / 4:2:0 layouts only
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    segments, _ = _split_entropy(b, start)
 
     # entropy-decode every MCU into per-component zigzag coefficient arrays
     n_mcus = mcus_x * mcus_y
@@ -361,31 +413,7 @@ def _decode_scan(b, start, frame, scan_map, qt, huff_dc, huff_ac, dri):
                     row[k] = _extend(reader.bits(size), size)
                     k += 1
 
-    # dequantize + de-zigzag + batched IDCT per component
-    planes = []
-    for ci, comp in enumerate(comps):
-        cid, hs, vs, tq = comp
-        blocks = (coefs[ci] * qt[tq][None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks.astype(np.float64), _C)
-        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
-        # reassemble: blocks are stored MCU-major, raster within the MCU —
-        # a pure reshape/transpose, no Python block loop
-        plane = (
-            spatial.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
-        )
-        if hs < hmax or vs < vmax:  # 4:2:0 chroma: nearest upsample
-            plane = plane.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
-        planes.append(plane[:h, :w])
-
-    if len(planes) == 1:
-        return planes[0][:, :, None]
-    y, cb, cr = (p.astype(np.float64) for p in planes[:3])
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    bl = y + 1.772 * (cb - 128)
-    return np.clip(np.stack([r, g, bl], axis=-1).round(), 0, 255).astype(np.uint8)
+    return _finalize(coefs, frame, qt, mcus_x, mcus_y, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -574,4 +602,341 @@ def encode_baseline_jpeg(
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+def _ac_first(reader, row, ss, se, al, tbl, eobrun):
+    """One block of an AC first scan (T.81 G.1.2.2 / libjpeg
+    decode_mcu_AC_first); returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = tbl.decode(reader)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow")
+        row[k] = _extend(reader.bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, row, ss, se, al, tbl, eobrun):
+    """One block of an AC refinement scan (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine): newly-significant coefficients arrive as ±2^Al,
+    already-significant ones read one correction bit each as the walk
+    passes them. Returns the updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = tbl.decode(reader)
+            r, size = rs >> 4, rs & 15
+            newval = 0
+            if size == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                newval = p1 if reader.bits(1) else -p1
+            while k <= se:
+                v = int(row[k])
+                if v != 0:
+                    if reader.bits(1) and (v & p1) == 0:
+                        row[k] = v + (p1 if v >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                row[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(row[k])
+            if v != 0 and reader.bits(1) and (v & p1) == 0:
+                row[k] = v + (p1 if v >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    b, start, frame, scan_map, spectral, huff_dc, huff_ac, dri, state
+):
+    """Decode ONE progressive scan into the persistent per-component
+    coefficient state; returns (state, index after the scan's entropy
+    data). Layout guard matches the baseline path (4:4:4 / gray / 4:2:0)."""
+    h, w, comps = frame
+    ss, se, ah, al = spectral
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if (hmax, vmax) not in ((1, 1), (2, 2)) or any(
+        (c[1], c[2]) not in ((1, 1), (hmax, vmax)) for c in comps
+    ):
+        raise ValueError("unsupported progressive layout")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    if state is None:
+        coefs = [
+            np.zeros((mcus_x * mcus_y * c[1] * c[2], 64), dtype=np.int64)
+            for c in comps
+        ]
+        state = (coefs, mcus_x, mcus_y, hmax, vmax)
+    coefs = state[0]
+    comp_idx = {c[0]: ci for ci, c in enumerate(comps)}
+    scan_cis = [comp_idx[cid] for cid in scan_map]
+
+    # decoding units: MCUs for interleaved scans (ns > 1), raster blocks of
+    # the single component otherwise (block index mapped to the MCU-major
+    # storage the shared finalize expects)
+    units: list[list[tuple[int, int]]] = []
+    if len(scan_cis) > 1:
+        bpm = [c[1] * c[2] for c in comps]
+        for m in range(mcus_x * mcus_y):
+            unit = []
+            for ci in scan_cis:
+                for blk in range(bpm[ci]):
+                    unit.append((ci, m * bpm[ci] + blk))
+            units.append(unit)
+    else:
+        ci = scan_cis[0]
+        _, hs, vs, _ = comps[ci]
+        bw = (-(-(w * hs) // hmax) + 7) // 8
+        bh = (-(-(h * vs) // vmax) + 7) // 8
+        for rr in range(bh):
+            my, by = divmod(rr, vs)
+            for cc in range(bw):
+                mx, bx = divmod(cc, hs)
+                idx = (my * mcus_x + mx) * (hs * vs) + by * hs + bx
+                units.append([(ci, idx)])
+
+    segments, j = _split_entropy(b, start)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    pred = [0] * len(comps)
+    eobrun = 0
+    for u, unit in enumerate(units):
+        if dri and u and u % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = [0] * len(comps)
+            eobrun = 0
+        for ci, bidx in unit:
+            row = coefs[ci][bidx]
+            cid = comps[ci][0]
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    size = huff_dc[scan_map[cid][0]].decode(reader)
+                    diff = _extend(reader.bits(size), size) if size else 0
+                    pred[ci] += diff
+                    row[0] = pred[ci] << al
+                else:
+                    if reader.bits(1):
+                        row[0] = int(row[0]) | (1 << al)
+            else:  # AC scan (always single-component)
+                tbl = huff_ac[scan_map[cid][1]]
+                if ah == 0:
+                    eobrun = _ac_first(reader, row, ss, se, al, tbl, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, row, ss, se, al, tbl, eobrun)
+    return state, j
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixtures/tests) — 4:4:4 / grayscale
+# ---------------------------------------------------------------------------
+
+def _tz_shift(v: int, al: int) -> int:
+    """AC point transform: division by 2^Al truncating toward zero."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _write_ac_first_block(writer, zz, ss, se, al, ac_codes):
+    vals = [_tz_shift(int(zz[k]), al) for k in range(64)]
+    last = 0
+    for k in range(ss, se + 1):
+        if vals[k]:
+            last = k
+    if last == 0 and not vals[ss]:
+        writer.write(*ac_codes[0x00])  # EOB (run 1)
+        return
+    run = 0
+    for k in range(ss, last + 1):
+        v = vals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(*ac_codes[0xF0])
+            run -= 16
+        size, code = _category(v)
+        writer.write(*ac_codes[(run << 4) | size])
+        writer.write(code, size)
+        run = 0
+    if last < se:
+        writer.write(*ac_codes[0x00])
+
+
+def _write_ac_refine_block(writer, zz, ss, se, al, ac_codes):
+    """Emit one block of an AC refinement scan by SIMULATING the decoder's
+    walk (_ac_refine) — symbol, sign, then exactly the correction bits the
+    decoder reads while advancing — so pairing is correct by construction
+    (the classic pitfall is flushing buffered correction bits at the wrong
+    run boundary)."""
+    t = [abs(int(zz[k])) >> al for k in range(64)]
+    hist = [abs(int(zz[k])) >> (al + 1) for k in range(64)]
+    newly = [k for k in range(ss, se + 1) if hist[k] == 0 and t[k] == 1]
+    eob_k = newly[-1] if newly else ss - 1
+    k = ss
+    while k <= eob_k:
+        # zero-history run length up to the next newly-significant coef
+        r = 0
+        j = k
+        while not (hist[j] == 0 and t[j] == 1):
+            if hist[j] == 0:
+                r += 1
+            j += 1
+        while r > 15:
+            writer.write(*ac_codes[0xF0])
+            zeros = 0
+            while zeros < 16:  # the decoder's ZRL advance
+                if hist[k] != 0:
+                    writer.write(t[k] & 1, 1)
+                else:
+                    zeros += 1
+                k += 1
+            r -= 16
+        writer.write(*ac_codes[(r << 4) | 1])
+        writer.write(1 if int(zz[j]) > 0 else 0, 1)
+        while k < j:  # the decoder's post-symbol advance
+            if hist[k] != 0:
+                writer.write(t[k] & 1, 1)
+            k += 1
+        k = j + 1
+    if k <= se:
+        writer.write(*ac_codes[0x00])  # EOB: refine the tail
+        for k2 in range(k, se + 1):
+            if hist[k2] != 0:
+                writer.write(t[k2] & 1, 1)
+
+
+def encode_progressive_jpeg(
+    px: "np.ndarray", quality: int = 85, successive: bool = True
+) -> bytes:
+    """Encode ``(h, w, 3)`` RGB or gray uint8 as a PROGRESSIVE (SOF2) JFIF
+    stream (4:4:4 / grayscale). Scan script: DC first (+refine when
+    ``successive``), then per-component AC 1..63 first (+refine) — i.e.
+    both spectral selection and successive approximation paths of the
+    decoder are exercised. Refined to Al=0 the coefficients equal the
+    baseline encoder's exactly, so progressive-decode == baseline-decode of
+    the same pixels, which is what the tests pin."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch == 1:
+        planes = [px[:, :, 0].astype(np.float64)]
+    else:
+        r, g, bl = (px[:, :, k].astype(np.float64) for k in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * bl,
+            -0.168736 * r - 0.331264 * g + 0.5 * bl + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * bl + 128,
+        ]
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    qtabs_zz = [
+        _quality_scale(_LUM_Q, quality).ravel()[ZIGZAG],
+        _quality_scale(_CHR_Q, quality).ravel()[ZIGZAG],
+    ]
+    qtabs_nat = [q[UNZIGZAG].reshape(8, 8) for q in qtabs_zz]
+    coefs = []
+    for ci, plane in enumerate(planes):
+        qn = qtabs_nat[0 if ci == 0 else 1]
+        blocks = []
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                fd = _C @ (plane[y0 : y0 + 8, x0 : x0 + 8] - 128) @ _C.T
+                blocks.append(np.round(fd / qn).astype(np.int64).ravel()[ZIGZAG])
+        coefs.append(blocks)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    ncomp = len(planes)
+
+    def sos_header(cids, ss, se, ah, al):
+        sos = bytes([len(cids)])
+        for c in cids:
+            sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    scans = bytearray()
+    dc_al = 1 if successive else 0
+    # DC first scan (interleaved over all components)
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for bi in range(len(coefs[0])):
+        for ci in range(ncomp):
+            dc = int(coefs[ci][bi][0]) >> dc_al  # arithmetic shift (floor)
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            size, code = _category(diff)
+            wtr.write(*dc_codes[size])
+            if size:
+                wtr.write(code, size)
+    scans += sos_header(list(range(ncomp)), 0, 0, 0, dc_al) + wtr.flush()
+    if successive:
+        wtr = _BitWriter()
+        for bi in range(len(coefs[0])):
+            for ci in range(ncomp):
+                wtr.write(int(coefs[ci][bi][0]) & 1, 1)
+        scans += sos_header(list(range(ncomp)), 0, 0, 1, 0) + wtr.flush()
+    # AC scans, one component at a time
+    for ci in range(ncomp):
+        ac_al = 1 if successive else 0
+        wtr = _BitWriter()
+        for blk in coefs[ci]:
+            _write_ac_first_block(wtr, blk, 1, 63, ac_al, ac_codes)
+        scans += sos_header([ci], 1, 63, 0, ac_al) + wtr.flush()
+        if successive:
+            wtr = _BitWriter()
+            for blk in coefs[ci]:
+                _write_ac_refine_block(wtr, blk, 1, 63, 0, ac_codes)
+            scans += sos_header([ci], 1, 63, 1, 0) + wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tab in enumerate(qtabs_zz[: 1 if ncomp == 1 else 2]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in tab
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
+        for th in range(1 if ncomp == 1 else 2):
+            payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += bytes(scans)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -7,12 +7,12 @@ The Spark-side plumbing is real and tested — schema contract, Arrow-batched
 (type sniffing + dimensions + channels for PNG/GIF/JPEG/BMP) is REAL,
 stdlib-only (``parse_image_header``). FULL PIXEL DECODE is real for all
 four formats — PNG (8-bit gray/RGB/RGBA/gray+alpha, non-interlaced: zlib
-inflate + the five scanline unfilters), uncompressed 24-bit BMP, baseline
-sequential JPEG (huffman + dequant + IDCT + 4:4:4/4:2:0 upsampling,
-operators/jpeg.py), and GIF87a/89a (LZW, operators/gif.py) — no codec
-library needed; ``decode_pixels`` dispatches by magic bytes. Progressive/
-arithmetic JPEG, palette/16-bit/interlaced PNG, and audio/video codecs
-return ``None`` honestly; swap PIL/torchaudio into ``decode_pixels`` /
+inflate + the five scanline unfilters), uncompressed 24-bit BMP, baseline AND
+progressive JPEG (huffman + progressive refinement + dequant + IDCT +
+4:4:4/4:2:0 upsampling, operators/jpeg.py), and GIF87a/89a (LZW, operators/gif.py) — no codec
+library needed; ``decode_pixels`` dispatches by magic bytes. Arithmetic
+JPEG, palette/16-bit/interlaced PNG, and audio/video codecs return
+``None`` honestly; swap PIL/torchaudio into ``decode_pixels`` /
 ``_decode_payload`` for those and nothing else changes.
 
 Scale design: decode/feature-extract is embarrassingly parallel per row —

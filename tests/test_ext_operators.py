@@ -1828,3 +1828,38 @@ def test_ddsketch_zero_and_validation(spark):
         SK.dd_sketch(df, ["g"], "x", alpha=1.5)
     with _pt.raises(ValueError):
         SK.dd_quantile(F.col("dd"), -0.1)
+
+
+def test_progressive_jpeg_decode_equals_baseline():
+    """SOF2 support: decoding a progressive stream (spectral selection +
+    successive approximation) must be PIXEL-IDENTICAL to decoding the
+    baseline stream of the same image — refinement to Al=0 is lossless."""
+    from insert_by_timeperiod_spark.operators import jpeg
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 256, size=(48, 80, 3)).astype(np.uint8), True),
+        (rng.integers(0, 256, size=(48, 80, 3)).astype(np.uint8), False),
+        (rng.integers(0, 256, size=(33, 41)).astype(np.uint8), True),
+    ]
+    x = np.linspace(0, 6, 64)
+    smooth = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 110 + 128).astype(np.uint8)
+    cases.append((np.stack([smooth] * 3, axis=-1), True))
+    for img, succ in cases:
+        base = jpeg.decode_jpeg_pixels(jpeg.encode_baseline_jpeg(img, subsampling="444"))
+        prog = jpeg.decode_jpeg_pixels(jpeg.encode_progressive_jpeg(img, successive=succ))
+        assert prog is not None
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_jpeg_through_multimodal_features(spark):
+    """A progressive stream flows through the Arrow feature pipeline with
+    real pixel stats, same as baseline."""
+    from insert_by_timeperiod_spark.operators import jpeg, multimodal
+
+    img = np.full((16, 24, 3), 90, dtype=np.uint8)
+    payload = jpeg.encode_progressive_jpeg(img)
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    r = multimodal.extract_features(df).collect()[0]
+    assert (r["detected_type"], r["width"], r["height"]) == ("image/jpeg", 24, 16)
+    assert abs(r["px_mean"] - 90) <= 2  # flat color survives DCT quantization

@@ -6,13 +6,13 @@ The Spark-side plumbing is real and tested — schema contract, Arrow-batched
 ``mapInPandas`` operators, partition-count preservation. Header decode
 (type sniffing + dimensions + channels for PNG/GIF/JPEG/BMP) is REAL,
 stdlib-only (``parse_image_header``). FULL PIXEL DECODE is real for all
-four formats — PNG (8-bit gray/RGB/RGBA/gray+alpha, non-interlaced: zlib
-inflate + the five scanline unfilters), uncompressed 24-bit BMP, baseline AND
+four formats — PNG (8-bit gray/RGB/palette/gray+alpha/RGBA, plain AND
+Adam7-interlaced: zlib inflate + the five scanline unfilters per pass +
+PLTE mapping), uncompressed 24-bit BMP, baseline AND
 progressive JPEG (huffman + progressive refinement + dequant + IDCT +
 4:4:4/4:2:0 upsampling, operators/jpeg.py), and GIF87a/89a (LZW, operators/gif.py) — no codec
 library needed; ``decode_pixels`` dispatches by magic bytes. Arithmetic
-JPEG, palette/16-bit/interlaced PNG, and audio/video codecs return
-``None`` honestly; swap PIL/torchaudio into ``decode_pixels`` /
+JPEG, 16-bit PNG, and audio/video codecs return ``None`` honestly; swap PIL/torchaudio into ``decode_pixels`` /
 ``_decode_payload`` for those and nothing else changes.
 
 Scale design: decode/feature-extract is embarrassingly parallel per row —
@@ -96,46 +96,15 @@ def parse_image_header(b: bytes) -> dict | None:
     return None
 
 
-def decode_png_pixels(b: bytes) -> "np.ndarray | None":
-    """Real stdlib PNG pixel decode: 8-bit depth, color types 0/2/4/6
-    (gray/RGB/gray+alpha/RGBA), non-interlaced. Concatenates IDAT chunks,
-    zlib-inflates, then applies the five scanline unfilters (None/Sub/Up/
-    Average/Paeth). Palette (3), 16-bit, and Adam7 images return ``None``
-    (rare in training corpora; a codec lib covers them).
-
-    Returns ``(height, width, channels)`` uint8, or ``None`` if unsupported/
-    corrupt. Sub/Average/Paeth are sequential in x by definition, so those
-    rows decode in a Python loop — per-image cost only; across a corpus the
-    work is embarrassingly parallel inside ``mapInPandas``."""
-    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
-        return None
-    w, h = struct.unpack(">II", b[16:24])
-    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
-    if bit_depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
-        return None
-    nch = _PNG_CHANNELS[color_type]
-    # walk chunks, concatenating IDAT payloads
-    idat = bytearray()
-    i = 8
-    while i + 8 <= len(b):
-        (clen,) = struct.unpack(">I", b[i : i + 4])
-        ctype = b[i + 4 : i + 8]
-        if ctype == b"IDAT":
-            idat += b[i + 8 : i + 8 + clen]
-        elif ctype == b"IEND":
-            break
-        i += 12 + clen  # len + type + data + crc
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
+def _png_unfilter(raw, ph, stride, nch, off):
+    """Unfilter ``ph`` scanlines of ``stride`` bytes starting at ``off`` in
+    the inflated stream (the five PNG filters); returns (pixels, new off)
+    or (None, off) on a bad filter byte."""
+    out = np.zeros((ph, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.intp)
-    for y in range(h):
-        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+    for y in range(ph):
+        row = raw[off : off + stride + 1]
+        off += stride + 1
         ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.intp)
         if ftype == 0:
             rec = line
@@ -160,10 +129,90 @@ def decode_png_pixels(b: bytes) -> "np.ndarray | None":
                 pred = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
                 rec[x] = (rec[x] + pred) & 0xFF
         else:
-            return None
+            return None, off
         out[y] = rec.astype(np.uint8)
         prev = rec
-    return out.reshape(h, w, nch)
+    return out, off
+
+
+#: Adam7 pass layout: (x offset, y offset, x step, y step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def decode_png_pixels(b: bytes) -> "np.ndarray | None":
+    """Real stdlib PNG pixel decode: 8-bit depth, color types 0/2/3/4/6
+    (gray/RGB/palette/gray+alpha/RGBA), non-interlaced AND Adam7
+    interlaced. Concatenates IDAT chunks, zlib-inflates, applies the five
+    scanline unfilters per image (or per Adam7 pass), maps palette indices
+    through PLTE. 16-bit depth and sub-byte palette depths return ``None``
+    (rare in training corpora; a codec lib covers them).
+
+    Returns ``(height, width, channels)`` uint8, or ``None`` if
+    unsupported/corrupt. Sub/Average/Paeth are sequential in x by
+    definition, so those rows decode in a Python loop — per-image cost
+    only; across a corpus the work is embarrassingly parallel inside
+    ``mapInPandas``."""
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
+        return None
+    nch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    # walk chunks, concatenating IDAT payloads (+ the palette when present)
+    idat = bytearray()
+    palette = None
+    i = 8
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat += b[i + 8 : i + 8 + clen]
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(b[i + 8 : i + 8 + clen], dtype=np.uint8)
+            if len(palette) % 3:
+                return None
+            palette = palette.reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if color_type == 3 and palette is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if interlace == 0:
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            return None
+        px, _ = _png_unfilter(raw, h, stride, nch, 0)
+        if px is None:
+            return None
+        px = px.reshape(h, w, nch)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for xo, yo, xs, ys in _ADAM7:
+            pw = (w - xo + xs - 1) // xs
+            ph = (h - yo + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, ph, pw * nch, nch, off)
+            if sub is None:
+                return None
+            px[yo::ys, xo::xs] = sub.reshape(ph, pw, nch)
+        if off != len(raw):
+            return None
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            return None
+        return palette[idx]
+    return px
 
 
 def decode_bmp_pixels(b: bytes) -> "np.ndarray | None":

@@ -1863,3 +1863,82 @@ def test_progressive_jpeg_through_multimodal_features(spark):
     r = multimodal.extract_features(df).collect()[0]
     assert (r["detected_type"], r["width"], r["height"]) == ("image/jpeg", 24, 16)
     assert abs(r["px_mean"] - 90) <= 2  # flat color survives DCT quantization
+
+
+def _encode_png_interlaced(px):
+    """Adam7-interlaced PNG fixture (filter 0 per pass scanline)."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from insert_by_timeperiod_spark.operators.multimodal import _ADAM7
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    raw = bytearray()
+    for xo, yo, xs, ys in _ADAM7:
+        sub = px[yo::ys, xo::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw.append(0)
+            raw.extend(sub[y].reshape(-1).tolist())
+
+    def chunk(ctype, data):
+        out = struct.pack(">I", len(data)) + ctype + data
+        return out + struct.pack(">I", _z.crc32(ctype + data))
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, ct, 0, 0, 1])
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def _encode_png_palette(idx, palette):
+    import struct
+    import zlib as _z
+
+    h, w = idx.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(int(v) for v in idx[y])
+
+    def chunk(ctype, data):
+        out = struct.pack(">I", len(data)) + ctype + data
+        return out + struct.pack(">I", _z.crc32(ctype + data))
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 3, 0, 0, 0])
+    plte = bytes(int(v) for v in palette.reshape(-1))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced_decode_exact():
+    from insert_by_timeperiod_spark.operators import multimodal
+
+    rng = np.random.default_rng(5)
+    for shape in ((16, 24, 3), (13, 9, 3), (7, 5), (1, 1, 3), (9, 1)):
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        got = multimodal.decode_png_pixels(_encode_png_interlaced(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert got is not None and np.array_equal(got, want), shape
+
+
+def test_png_palette_decode_exact():
+    from insert_by_timeperiod_spark.operators import multimodal
+
+    rng = np.random.default_rng(6)
+    palette = rng.integers(0, 256, size=(200, 3)).astype(np.uint8)
+    idx = rng.integers(0, 200, size=(11, 17)).astype(np.uint8)
+    got = multimodal.decode_png_pixels(_encode_png_palette(idx, palette))
+    assert got is not None and np.array_equal(got, palette[idx])
+    # out-of-range index -> None, never a crash
+    bad = _encode_png_palette(np.full((2, 2), 250, dtype=np.uint8), palette)
+    assert multimodal.decode_png_pixels(bad) is None

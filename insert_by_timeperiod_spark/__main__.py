@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="register NAME as a temp view over parquet PATH (repeatable)")
     p.add_argument("--no-count-rows", action="store_true",
                    help="skip per-period row-count observation")
+    p.add_argument("--table-format", default="parquet",
+                   choices=["parquet", "txnlog"],
+                   help="target backend: hive-style partition directories "
+                        "(default) or the transactional commit-log format "
+                        "(atomic multi-file commits, snapshot isolation, "
+                        "time travel)")
     return p
 
 
@@ -91,8 +97,14 @@ def main(argv: list[str] | None = None) -> int:
         date_source_models=args.date_source_model,
         source_timestamp_field=args.source_timestamp_field,
     )
+    table_factory = None
+    if args.table_format == "txnlog":
+        from .txnlog import TxnLogTable
+
+        table_factory = TxnLogTable
     eng = InsertByTimeperiod(
-        spark, model_sql, cfg, args.target, count_rows=not args.no_count_rows
+        spark, model_sql, cfg, args.target,
+        count_rows=not args.no_count_rows, table_factory=table_factory,
     )
     result = eng.run(
         RunVars(

@@ -45,3 +45,34 @@ def test_cli_incremental_then_backfill(spark, sf_dir, capsys):
         == 0
     )
     assert "backfill: 1 period(s)" in capsys.readouterr().out
+
+
+def test_cli_txnlog_table_format(spark, sf_dir, capsys):
+    root = tempfile.mkdtemp(prefix="ibtp_cli_txn_")
+    events_pq = os.path.join(root, "events")
+    load_table(spark, sf_dir, "events").write.parquet(events_pq)
+    model = os.path.join(root, "model.sql")
+    with open(model, "w") as f:
+        f.write(
+            """
+            SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+            FROM events
+            WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+            GROUP BY user_id, CAST(ts AS DATE)
+            """
+        )
+    tgt = os.path.join(root, "t")
+    base = [
+        "--model", model, "--target", tgt,
+        "--timestamp-field", "event_date", "--period", "week",
+        "--view", f"events={events_pq}",
+        "--no-count-rows", "--table-format", "txnlog",
+    ]
+    assert main(base + ["--start-date", "2024-01-01", "--stop-date", "2024-01-15"]) == 0
+    assert "incremental: 2 period(s)" in capsys.readouterr().out
+    # the target is a commit log, not hive directories
+    assert os.path.isdir(os.path.join(tgt, "_ibtp_txn"))
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    t = TxnLogTable(spark, tgt)
+    assert t.read().count() > 0 and t.version() >= 0

@@ -12,7 +12,7 @@ PLTE mapping), uncompressed 24-bit BMP, baseline AND
 progressive JPEG (huffman + progressive refinement + dequant + IDCT +
 4:4:4/4:2:0 upsampling, operators/jpeg.py), and GIF87a/89a (LZW, operators/gif.py) — no codec
 library needed; ``decode_pixels`` dispatches by magic bytes. Arithmetic
-JPEG, 16-bit PNG, and audio/video codecs return ``None`` honestly; swap PIL/torchaudio into ``decode_pixels`` /
+JPEG and audio/video codecs return ``None`` honestly; swap PIL/torchaudio into ``decode_pixels`` /
 ``_decode_payload`` for those and nothing else changes.
 
 Scale design: decode/feature-extract is embarrassingly parallel per row —
@@ -96,10 +96,11 @@ def parse_image_header(b: bytes) -> dict | None:
     return None
 
 
-def _png_unfilter(raw, ph, stride, nch, off):
+def _png_unfilter(raw, ph, stride, bpp, off):
     """Unfilter ``ph`` scanlines of ``stride`` bytes starting at ``off`` in
-    the inflated stream (the five PNG filters); returns (pixels, new off)
-    or (None, off) on a bad filter byte."""
+    the inflated stream (the five PNG filters; ``bpp`` = BYTES per pixel —
+    2× the channel count at 16-bit depth); returns (pixels, new off) or
+    (None, off) on a bad filter byte."""
     out = np.zeros((ph, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.intp)
     for y in range(ph):
@@ -110,20 +111,20 @@ def _png_unfilter(raw, ph, stride, nch, off):
             rec = line
         elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
             rec = line.copy()
-            for x in range(nch, stride):
-                rec[x] = (rec[x] + rec[x - nch]) & 0xFF
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
         elif ftype == 2:  # Up
             rec = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             rec = line.copy()
             for x in range(stride):
-                left = rec[x - nch] if x >= nch else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             rec = line.copy()
             for x in range(stride):
-                a = rec[x - nch] if x >= nch else 0
-                c = prev[x - nch] if x >= nch else 0
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + prev[x] - c
                 pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
@@ -143,12 +144,12 @@ _ADAM7 = [
 
 
 def decode_png_pixels(b: bytes) -> "np.ndarray | None":
-    """Real stdlib PNG pixel decode: 8-bit depth, color types 0/2/3/4/6
-    (gray/RGB/palette/gray+alpha/RGBA), non-interlaced AND Adam7
-    interlaced. Concatenates IDAT chunks, zlib-inflates, applies the five
+    """Real stdlib PNG pixel decode: 8- and 16-bit depth, color types
+    0/2/3/4/6 (gray/RGB/palette/gray+alpha/RGBA), non-interlaced AND Adam7
+    interlaced (16-bit samples decode to their high byte — the standard
+    8-bit rendering). Concatenates IDAT chunks, zlib-inflates, applies the five
     scanline unfilters per image (or per Adam7 pass), maps palette indices
-    through PLTE. 16-bit depth and sub-byte palette depths return ``None``
-    (rare in training corpora; a codec lib covers them).
+    through PLTE. Sub-byte palette depths return ``None``.
 
     Returns ``(height, width, channels)`` uint8, or ``None`` if
     unsupported/corrupt. Sub/Average/Paeth are sequential in x by
@@ -159,9 +160,13 @@ def decode_png_pixels(b: bytes) -> "np.ndarray | None":
         return None
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, _comp, _filt, interlace = b[24:29]
-    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
+    if bit_depth not in (8, 16) or color_type not in (0, 2, 3, 4, 6):
+        return None
+    if interlace not in (0, 1) or (bit_depth == 16 and color_type == 3):
         return None
     nch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    sb = bit_depth // 8  # sample bytes; 16-bit decodes to its high byte
+    bpp = nch * sb
     # walk chunks, concatenating IDAT payloads (+ the palette when present)
     idat = bytearray()
     palette = None
@@ -186,13 +191,13 @@ def decode_png_pixels(b: bytes) -> "np.ndarray | None":
     except zlib.error:
         return None
     if interlace == 0:
-        stride = w * nch
+        stride = w * bpp
         if len(raw) != h * (stride + 1):
             return None
-        px, _ = _png_unfilter(raw, h, stride, nch, 0)
+        px, _ = _png_unfilter(raw, h, stride, bpp, 0)
         if px is None:
             return None
-        px = px.reshape(h, w, nch)
+        px = px.reshape(h, w, nch, sb)[:, :, :, 0]  # 16-bit: high byte
     else:  # Adam7: seven independently-filtered sub-images, scattered
         px = np.zeros((h, w, nch), dtype=np.uint8)
         off = 0
@@ -201,10 +206,10 @@ def decode_png_pixels(b: bytes) -> "np.ndarray | None":
             ph = (h - yo + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            sub, off = _png_unfilter(raw, ph, pw * nch, nch, off)
+            sub, off = _png_unfilter(raw, ph, pw * bpp, bpp, off)
             if sub is None:
                 return None
-            px[yo::ys, xo::xs] = sub.reshape(ph, pw, nch)
+            px[yo::ys, xo::xs] = sub.reshape(ph, pw, nch, sb)[:, :, :, 0]
         if off != len(raw):
             return None
     if color_type == 3:

@@ -1942,3 +1942,47 @@ def test_png_palette_decode_exact():
     # out-of-range index -> None, never a crash
     bad = _encode_png_palette(np.full((2, 2), 250, dtype=np.uint8), palette)
     assert multimodal.decode_png_pixels(bad) is None
+
+
+def test_png_16bit_decodes_high_byte():
+    """16-bit samples decode to their high byte (standard 8-bit rendering);
+    the Sub filter must use the 2-bytes-per-sample pixel width."""
+    import struct
+    import zlib as _z
+
+    from insert_by_timeperiod_spark.operators import multimodal
+
+    rng = np.random.default_rng(8)
+    img16 = rng.integers(0, 65536, size=(6, 9, 3)).astype(np.uint16)
+    h, w, nch = img16.shape
+    raw = bytearray()
+    flat = img16.astype(">u2").tobytes()
+    stride = w * nch * 2
+    prev = b"\x00" * stride
+    for y in range(h):
+        line = flat[y * stride : (y + 1) * stride]
+        # alternate None and Sub filters to exercise bpp-aware unfiltering
+        if y % 2 == 0:
+            raw.append(0)
+            raw.extend(line)
+        else:
+            raw.append(1)
+            bpp = nch * 2
+            enc = bytearray(line)
+            for x in range(stride - 1, bpp - 1, -1):
+                enc[x] = (enc[x] - line[x - bpp]) & 0xFF
+            raw.extend(enc)
+        prev = line
+
+    def chunk(ctype, data):
+        out = struct.pack(">I", len(data)) + ctype + data
+        return out + struct.pack(">I", _z.crc32(ctype + data))
+
+    ihdr = struct.pack(">II", w, h) + bytes([16, 2, 0, 0, 0])
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    got = multimodal.decode_png_pixels(payload)
+    assert got is not None
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))

@@ -2,7 +2,9 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing methodology: each query is fully evaluated into the `noop` sink
+Timing methodology: each query is fully evaluated into the `noop` sink,
+best-of-N wall time (IBTP_BENCH_REPEAT, default 2 — min sheds host
+contention noise, matching the scale study)
 (compute + shuffle, no serialization back to the driver, no disk on the read
 side); engine scenarios time the real end-to-end chunked materialization
 including their parquet writes. Spark/JVM startup is excluded; a warm-up
@@ -84,12 +86,21 @@ def main() -> None:
         count_rows=False,
     ).run(RunVars())
 
+    # min-of-N per query (default 2): the host shows ±20 % intermittent
+    # contention run-to-run, and a single sample can land inside a noise
+    # burst; the minimum is the contention-free estimate — the same
+    # methodology the sf1/sf10 scale study already uses (bench_sf1.py)
+    repeat = int(os.environ.get("IBTP_BENCH_REPEAT", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        df = queries[name](spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            df = queries[name](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            dt_ = time.monotonic() - t0
+            best = dt_ if best is None else min(best, dt_)
+        times[name] = round(best, 3)
 
     print(
         json.dumps(

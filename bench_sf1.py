@@ -66,6 +66,10 @@ QUERIES = [
     "sample_mixture",
     "chunk_documents",
     "dedup_incremental",
+    # the txn row materializes a 3-run lifecycle (interrupted + resume +
+    # atomic backfill) on the commit-log backend — a write-path scale point,
+    # excluded from query_only like every engine_* row
+    "engine_txn_backend",
 ]
 
 

@@ -53,7 +53,11 @@ from insert_by_timeperiod_spark.operators import (
     sketch,
     tfidf,
 )
-from insert_by_timeperiod_spark.operators.pipeline import clean_documents, curate_corpus
+from insert_by_timeperiod_spark.operators.pipeline import (
+    clean_documents,
+    curate_corpus,
+    prepare_pretraining_corpus,
+)
 from insert_by_timeperiod_spark.operators.sessions import session_stats, sessionize
 from insert_by_timeperiod_spark.sources import load_table, register_views
 from insert_by_timeperiod_spark.streaming import StreamToPeriodTable, event_time_windowed
@@ -1399,6 +1403,68 @@ FROM (
 """
 
 
+_PRETRAIN_MIX = {"en": 0.5, "de": 0.25, "fr": 0.25}
+
+
+def _pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT composition: the WHOLE pretraining-prep chain (curate ->
+    decontaminate -> domain mixture) as one declarative plan
+    (operators/pipeline.py prepare_pretraining_corpus), exact-oracle-checked
+    end to end by chaining each stage's SQL twin."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return prepare_pretraining_corpus(
+        docs,
+        bench,
+        domain_col="lang",
+        mixture=_PRETRAIN_MIX,
+        decontam_n=5,
+        split_seed="prep",
+        mixture_seed="mix",
+    )
+
+
+def _pipeline_pretrain_duck() -> str:
+    mix_tail = sampling.mixture_sql(
+        _PRETRAIN_MIX,
+        "domain",
+        "doc_id",
+        seed="mix",
+        table="surv",
+        select="t.doc_id, t.clean_text, t.n_words, t.split, t.domain",
+    )
+    gram5 = """CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(ws) - 4),
+                     i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+         END"""
+    return f"""
+WITH cur2 AS (
+  SELECT c.doc_id, c.clean_text, c.n_words, c.split, d.lang AS domain
+  FROM ({_pipeline_curate_duck().replace("'curate'", "'prep'")}) c
+  JOIN documents d USING (doc_id)
+), cg AS (
+  SELECT doc_id, {gram5} AS gs
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(clean_text)), '\\s+') AS ws
+        FROM cur2)
+), bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT {gram5} AS gs
+    FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+          FROM documents WHERE doc_id % 97 = 0)
+  ), unnest(gs) AS t(g)
+), hits AS (
+  SELECT DISTINCT doc_id FROM cg, unnest(gs) AS t(g)
+  WHERE g IN (SELECT g FROM bg)
+), surv AS (
+  SELECT * FROM cur2 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+)
+SELECT * FROM ({mix_tail})
+"""
+
+
+
 def _pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT sequence packing: GPT-style concat-and-chunk plan over the corpus
     (hash-bucketed parallel streams — no global sort; operators/packing.py).
@@ -2067,6 +2133,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "hll_distinct_users": _hll_users,
         "dedup_incremental": _incr_dedup,
         "bloom_seen_users": _bloom_users,
+        "pipeline_pretrain": _pipeline_pretrain,
         "fuzzy_name_pairs": _fuzzy_pairs,
         "text_normalize_ws": _text_normalize,
         "sample_hash_frac": lambda spark, sf_dir: (
@@ -2107,6 +2174,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
         "dedup_incremental": INCR_DEDUP_DUCK,
         "fuzzy_name_pairs": FUZZY_PAIRS_DUCK,
+        "pipeline_pretrain": _pipeline_pretrain_duck(),
         "text_normalize_ws": (
             "SELECT doc_id, "
             + TX.clean_whitespace_sql("text")

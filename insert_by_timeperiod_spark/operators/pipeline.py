@@ -103,3 +103,63 @@ def curate_corpus(
         weights=split_weights,
         seed=split_seed,
     )
+
+
+def prepare_pretraining_corpus(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    domain_col: str = "lang",
+    mixture: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 8,
+    min_words: int = 3,
+    max_dup_line_frac: float = 0.5,
+    decontam_n: int = 5,
+    split_weights: dict[str, float] | None = None,
+    split_seed: str = "prep",
+    mixture_seed: str = "mix",
+) -> DataFrame:
+    """The whole pretraining-prep chain as ONE declarative plan:
+
+    1. :func:`curate_corpus` — corpus-wide line dedup, exact document dedup
+       on the cleaned text, quality gate, leakage-safe split labels;
+    2. benchmark decontamination on the CLEANED text (grams the boilerplate
+       strip may have exposed still count; raw-text benchmark);
+    3. optional domain-mixture downsampling to target proportions
+       (deterministic md5 draw — stable across engines and reruns).
+
+    Returns ``(id, clean_text, n_words, split, domain)``. Every stage is
+    Catalyst column algebra or digest/gram-keyed shuffles — no per-row
+    Python, no driver state — so the composition inherits each operator's
+    100 TB plan shape unchanged, and (because every stage has a SQL twin)
+    the END-TO-END result is exact-oracle-checkable in DuckDB."""
+    from .decontam import ngram_contamination
+    from .sampling import mixture_sample
+
+    curated = curate_corpus(
+        df,
+        text_col,
+        id_col,
+        min_line_chars=min_line_chars,
+        min_words=min_words,
+        max_dup_line_frac=max_dup_line_frac,
+        split_weights=split_weights,
+        split_seed=split_seed,
+    )
+    domains = df.select(F.col(id_col), F.col(domain_col).alias("domain"))
+    curated = curated.join(domains, id_col)
+    contam = ngram_contamination(
+        curated.select(F.col(id_col), F.col("clean_text").alias("text")),
+        benchmark,
+        n=decontam_n,
+    )
+    survived = curated.join(
+        contam.where(~F.col("contaminated")).select(id_col), id_col, "left_semi"
+    )
+    if mixture:
+        survived = mixture_sample(
+            survived, mixture, "domain", [id_col], seed=mixture_seed
+        )
+    return survived.select(id_col, "clean_text", "n_words", "split", "domain")

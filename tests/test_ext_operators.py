@@ -1986,3 +1986,25 @@ def test_png_16bit_decodes_high_byte():
     got = multimodal.decode_png_pixels(payload)
     assert got is not None
     assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_prepare_pretraining_corpus_stages_compose(spark, sf_dir):
+    """Each stage's effect is visible in the composed output: benchmark
+    docs are gone (decontamination), weighted domains only (mixture), and
+    every survivor carries a split label and the quality floor."""
+    from insert_by_timeperiod_spark.operators.pipeline import (
+        prepare_pretraining_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = prepare_pretraining_corpus(
+        docs, bench, domain_col="lang",
+        mixture={"en": 0.5, "de": 0.5}, decontam_n=5,
+    ).collect()
+    assert out
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    assert not any(r["doc_id"] in bench_ids for r in out)  # decontaminated
+    assert {r["domain"] for r in out} <= {"en", "de"}      # mixture domains
+    assert all(r["split"] in ("train", "valid", "test") for r in out)
+    assert all(r["n_words"] >= 3 for r in out)             # quality floor

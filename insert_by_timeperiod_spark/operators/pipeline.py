@@ -132,9 +132,17 @@ def prepare_pretraining_corpus(
 
     Returns ``(id, clean_text, n_words, split, domain)``. Every stage is
     Catalyst column algebra or digest/gram-keyed shuffles — no per-row
-    Python, no driver state — so the composition inherits each operator's
-    100 TB plan shape unchanged, and (because every stage has a SQL twin)
-    the END-TO-END result is exact-oracle-checkable in DuckDB."""
+    Python, no driver state — and (because every stage has a SQL twin) the
+    END-TO-END result is exact-oracle-checkable in DuckDB.
+
+    Stage boundaries are MATERIALIZED (localCheckpoint): the curated set
+    feeds both the contamination probe and the survivor join, and the
+    survivor set feeds both of the mixture's branches — left lazy, Catalyst
+    re-executes the whole upstream subtree per branch (measured 81
+    exchanges vs ~15; at 100 TB that is the difference between scanning
+    the corpus once per stage and once per BRANCH). A production run would
+    write each boundary to a real table; the checkpoint is the in-session
+    equivalent (plan-shape pin: tests/test_plans.py)."""
     from .decontam import ngram_contamination
     from .sampling import mixture_sample
 
@@ -149,7 +157,7 @@ def prepare_pretraining_corpus(
         split_seed=split_seed,
     )
     domains = df.select(F.col(id_col), F.col(domain_col).alias("domain"))
-    curated = curated.join(domains, id_col)
+    curated = curated.join(domains, id_col).localCheckpoint(eager=True)
     contam = ngram_contamination(
         curated.select(F.col(id_col), F.col("clean_text").alias("text")),
         benchmark,
@@ -160,6 +168,10 @@ def prepare_pretraining_corpus(
     )
     if mixture:
         survived = mixture_sample(
-            survived, mixture, "domain", [id_col], seed=mixture_seed
+            survived.localCheckpoint(eager=True),
+            mixture,
+            "domain",
+            [id_col],
+            seed=mixture_seed,
         )
     return survived.select(id_col, "clean_text", "n_words", "split", "domain")

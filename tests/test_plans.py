@@ -323,3 +323,23 @@ def test_fuzzy_pairs_no_cartesian(spark):
 
     df = joins.fuzzy_self_pairs(spark.table("customer"), "c_name", "c_custkey")
     assert "CartesianProduct" not in explain_str(df, formatted=False)
+
+
+def test_pretraining_pipeline_plan_budget(spark):
+    """The composed pretraining-prep chain materializes its stage
+    boundaries, so the FINAL plan's exchange budget covers only the
+    post-checkpoint stages (mixture counts + broadcast-filter over the
+    survivor checkpoint) — left lazy, Catalyst re-executed the whole
+    upstream subtree per consuming branch (measured 81 exchanges)."""
+    from insert_by_timeperiod_spark.operators.pipeline import (
+        prepare_pretraining_corpus,
+    )
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    docs = spark.table("documents")
+    df = prepare_pretraining_corpus(
+        docs, docs.limit(5), mixture={"en": 0.5, "de": 0.5}
+    )
+    plan = explain_str(df, formatted=False)
+    assert "CartesianProduct" not in plan
+    assert exchange_count(df) <= 6, exchange_count(df)

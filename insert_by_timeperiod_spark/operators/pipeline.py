@@ -76,17 +76,24 @@ def curate_corpus(
     4. deterministic train/valid/test labeling (md5-prefix draw, stable
        across runs and engines).
 
-    Returns (id, clean_text, n_words, split). Catalyst fuses 2-4 around one
-    digest-groupBy shuffle on top of dedup_lines' passes; the split label
-    costs zero extra shuffles.
+    Returns (id, clean_text, n_words, split). Stage 1's output is
+    materialized (localCheckpoint) because stage 2 consumes it twice;
+    Catalyst fuses 2-4 around one digest-groupBy shuffle on top of it, and
+    the split label costs zero extra shuffles.
     """
     from ..functions import quality as QL
     from .dedup import dedup_lines
     from .sampling import assign_splits
 
-    cleaned = dedup_lines(
-        df, text_col, id_col, min_line_chars=min_line_chars
-    ).select(id_col, F.col("clean_text"))
+    # materialize the line-dedup output: exact_dedup consumes it in TWO
+    # branches (digest election + semi-join return) and a lazy plan would
+    # run the whole multi-shuffle line-dedup subtree twice (plan audit:
+    # 10 exchanges lazy vs 6 checkpointed)
+    cleaned = (
+        dedup_lines(df, text_col, id_col, min_line_chars=min_line_chars)
+        .select(id_col, F.col("clean_text"))
+        .localCheckpoint(eager=True)
+    )
     deduped = exact_dedup(cleaned, "clean_text", id_col)
     t = F.col("clean_text")
     gated = deduped.select(

@@ -199,7 +199,10 @@ def fuzzy_self_pairs(
         blocks = F.array_distinct(
             F.flatten(F.transform(blocks, lambda v: _deletion_variants(v)))
         )
-    b = base.select("_id", F.explode(blocks).alias("_b"))
+    # materialize the (id, block) relation once: the self-join consumes it
+    # as both sides, and a lazy plan would expand the deletion neighborhoods
+    # (len^max_dist per key) twice
+    b = base.select("_id", F.explode(blocks).alias("_b")).localCheckpoint(eager=True)
     cand = (
         b.alias("a")
         .join(

@@ -399,10 +399,13 @@ def embedding_cosine_dupes(
     # project to (id, tb) BEFORE the self-join: the bucketing shuffle must
     # carry ids and encoded bucket keys only — vectors are re-fetched by id
     # for the surviving candidate pairs below
+    # materialize the (id, table-key) relation once: the self-join below
+    # consumes it as BOTH sides, and a lazy plan would run the Arrow
+    # bucketing lane over the corpus twice
     t = _add_lsh_tables(
         base, dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed,
         vec_col=vec_col,
-    ).select(id_col, "tb")
+    ).select(id_col, "tb").localCheckpoint(eager=True)
     a_, b_ = t.alias("a"), t.alias("b")
     pairs = (
         a_.join(

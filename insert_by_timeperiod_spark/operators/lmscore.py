@@ -48,7 +48,15 @@ def train_unigram_lm(
     words = spread(df.select(text_col)).select(
         F.explode(_tokens(F.col(text_col))).alias("word")
     )
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # materialize the word counts once: BOTH the total aggregate and the
+    # vocab cut consume them, and a lazy plan would run the corpus
+    # tokenize+count twice (the counts relation is vocabulary-sized —
+    # a tiny checkpoint that saves a full corpus pass)
+    counts = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("n").alias("t"))
     # orderBy+limit compiles to TakeOrderedAndProject — each partition keeps
     # its local top-K, the driver merges — NOT a single-partition row_number

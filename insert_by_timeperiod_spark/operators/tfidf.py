@@ -41,7 +41,14 @@ def tfidf_top_terms(
     toks = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
     )
-    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the term frequencies once: the doc count, the document
+    # frequencies, and the scoring join ALL consume them, and a lazy plan
+    # would run the corpus tokenize + (id, word) aggregation three times
+    tf = (
+        toks.groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n"))
     dfreq = (
         tf.groupBy("word")

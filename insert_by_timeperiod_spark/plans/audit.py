@@ -1,0 +1,65 @@
+"""Battery-wide plan audit: exchange counts + cartesian detection for every
+declared query at sf0.001.
+
+Run: ``python -m insert_by_timeperiod_spark.plans.audit``
+
+Exists because the round-6 audit caught five operators silently
+re-executing expensive multi-consumer subtrees (Catalyst compiles a lazy
+DAG per CONSUMER, not per definition): the pretraining pipeline compiled
+to 81 exchanges (now ≤6), curate_corpus to 10 (now 2), LM training ran the
+corpus tokenize+count twice, TF-IDF three times, and the fuzzy/cosine
+self-joins derived their join relation twice. The rule the audit enforces
+by inspection: any derived relation consumed by more than one branch
+(self-join sides, count+filter pairs, stage boundaries) must be
+persisted/localCheckpointed, or its subtree cost multiplies.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(sf: str = "/root/testdata/sf0.001") -> int:
+    from insert_by_timeperiod_spark.plans import exchange_count, explain_str
+    from insert_by_timeperiod_spark.session import get_spark
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+
+    spark = get_spark("plan-audit", shuffle_partitions=8)
+    qs = {**entry.queries(), **entry.pytest_only_queries()}
+    skip = {
+        "streaming_windowed_counts", "streaming_ingest_table",
+        "streaming_sessionize",
+    }
+    rows = []
+    for name, fn in qs.items():
+        if name in skip or name.startswith("engine"):
+            continue  # streaming/engine rows RUN during construction
+        try:
+            df = fn(spark, sf)
+            rows.append(
+                (
+                    exchange_count(df),
+                    name,
+                    "CartesianProduct" in explain_str(df, formatted=False),
+                )
+            )
+        except Exception as ex:  # noqa: BLE001
+            rows.append((-1, name, f"ERR {type(ex).__name__}"))
+    bad = 0
+    for n, name, cart in sorted(rows, reverse=True):
+        flag = ""
+        if cart is True:
+            flag = "  CARTESIAN!"
+            bad += 1
+        elif isinstance(cart, str):
+            flag = f"  {cart}"
+            bad += 1
+        print(f"{n:3d}  {name}{flag}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -343,3 +343,17 @@ def test_pretraining_pipeline_plan_budget(spark):
     plan = explain_str(df, formatted=False)
     assert "CartesianProduct" not in plan
     assert exchange_count(df) <= 6, exchange_count(df)
+
+
+def test_lm_and_tfidf_exchange_budgets(spark):
+    """C28/C30: shared aggregates are checkpointed, so the compiled plans
+    must not re-run the corpus tokenize per consumer (pre-fix: 14 and 10
+    exchanges; post-fix: 6 and 5)."""
+    from insert_by_timeperiod_spark.operators import lmscore, tfidf
+
+    docs = spark.table("documents")
+    lm = lmscore.train_unigram_lm(docs, vocab_size=100)
+    scored = lmscore.perplexity_score(docs, lm)
+    assert exchange_count(scored) <= 7, exchange_count(scored)
+    top = tfidf.tfidf_top_terms(docs, k=3)
+    assert exchange_count(top) <= 6, exchange_count(top)

@@ -212,3 +212,34 @@ def test_streaming_sink_on_txn_backend(spark, sf_dir):
     sink.run_available_now(stream, os.path.join(root, "ckpt"))
     assert sink.table.read().count() == events.count()
     assert isinstance(sink.table, TxnLogTable)
+
+
+def test_concurrent_writers_lose_no_commits(spark):
+    """Optimistic concurrency under REAL contention: two driver threads
+    interleave appends; every commit must land (rename-claimed versions,
+    losers retry) and the final snapshot must contain all rows."""
+    import threading
+
+    eng = _engine(spark)
+    eng.run(RunVars(stop_date="2024-01-08"))
+    t = eng.table
+    v0 = t.version()
+    n0 = t.read().count()
+    one = t.read().limit(1)
+    errs = []
+
+    def writer(tag):
+        try:
+            for i in range(8):
+                t.append(one.withColumn("n", F.lit(1000 * tag + i)))
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    th = [threading.Thread(target=writer, args=(k,)) for k in (1, 2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    assert t.version() == v0 + 16  # every commit claimed a distinct version
+    assert t.read().count() == n0 + 16

@@ -59,7 +59,19 @@ class TxnLogTable(ParquetTable):
 
     Construct directly, or pass ``table_factory=TxnLogTable`` to
     ``InsertByTimeperiod`` — the whole engine (incremental, backfill, keyed
-    upsert, full refresh, streaming sink) runs unchanged on top."""
+    upsert, full refresh, streaming sink) runs unchanged on top.
+
+    Log growth is bounded Delta-style: every ``AUTO_CHECKPOINT_EVERY``
+    commits, a CHECKPOINT commit embeds the complete active file set (an
+    adjacent ``NNN.ckpt`` marker advertises it without a read), so
+    ``snapshot()`` folds from the newest marked checkpoint forward instead
+    of from version zero. Markers are advisory — losing one only costs
+    fold speed — and checkpoint claims are exact-slot so a concurrent
+    commit can never be silently dropped by a stale checkpoint; time
+    travel before a checkpoint still folds correctly."""
+
+    #: write a full-snapshot checkpoint commit every N commits (None = off)
+    AUTO_CHECKPOINT_EVERY: int | None = 32
 
     # ---- log primitives --------------------------------------------------
 
@@ -86,22 +98,80 @@ class TxnLogTable(ParquetTable):
     def _read_commit(self, v: int) -> dict:
         return json.loads(self.fs.read_text(f"{self._txn_dir()}/{v:011d}.json"))
 
-    def _commit(self, adds: list[dict], removes: list[str]) -> int:
+    def _commit(
+        self, adds: list[dict], removes: list[str], *, checkpoint: bool = False
+    ) -> int:
         """Atomically publish one commit; retries on version collisions
         (optimistic concurrency — rename-to-existing fails)."""
         self.fs.mkdirs(self._txn_dir())
-        payload = json.dumps({"adds": adds, "removes": removes})
+        body = {"adds": adds, "removes": removes}
+        if checkpoint:
+            body["checkpoint"] = True
+        payload = json.dumps(body)
         tmp = f"{self._txn_dir()}/_tmp_{uuid.uuid4().hex}.json"
         self.fs.write_text_atomic(tmp, payload)
         for _ in range(20):
             v = self.version() + 1
             try:
                 self.fs.rename(tmp, f"{self._txn_dir()}/{v:011d}.json")
-                return v
+                break
             except IOError:
                 continue  # another writer claimed v: re-read, retry
-        self.fs.delete(tmp)
-        raise IOError(f"could not claim a commit version at {self._txn_dir()}")
+        else:
+            self.fs.delete(tmp)
+            raise IOError(f"could not claim a commit version at {self._txn_dir()}")
+        if checkpoint:
+            # advisory marker: fold acceleration only, never correctness
+            self.fs.write_text_atomic(f"{self._txn_dir()}/{v:011d}.ckpt", "")
+        elif (
+            self.AUTO_CHECKPOINT_EVERY
+            and v > 0
+            and v % self.AUTO_CHECKPOINT_EVERY == 0
+        ):
+            try:
+                self.write_checkpoint()
+            except Exception:  # noqa: BLE001 — advisory, next commit retries
+                pass
+        return v
+
+    def write_checkpoint(self) -> int | None:
+        """Publish a commit embedding the complete current snapshot; later
+        folds start here. The claim is EXACT-SLOT (head+1, one attempt):
+        if a concurrent commit wins the slot, the checkpoint would be stale
+        — a fold trusting it would drop that commit — so we abort and
+        return None (a later auto-checkpoint retries). Safe to call any
+        time."""
+        head = self.version()
+        if head < 0:
+            return None
+        snap = self._snapshot_entries(version=head)
+        body = {
+            "adds": [dict(e) for _, e in sorted(snap.items())],
+            "removes": [],
+            "checkpoint": True,
+        }
+        tmp = f"{self._txn_dir()}/_tmp_{uuid.uuid4().hex}.json"
+        self.fs.write_text_atomic(tmp, json.dumps(body))
+        v = head + 1
+        try:
+            self.fs.rename(tmp, f"{self._txn_dir()}/{v:011d}.json")
+        except IOError:
+            self.fs.delete(tmp)
+            return None  # lost the slot to a concurrent commit
+        self.fs.write_text_atomic(f"{self._txn_dir()}/{v:011d}.ckpt", "")
+        return v
+
+    def _checkpoints(self) -> list[int]:
+        if not self.fs.is_dir(self._txn_dir()):
+            return []
+        out = []
+        for name in self.fs.listdir(self._txn_dir()):
+            if name.endswith(".ckpt"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
 
     def snapshot(self, version: int | None = None) -> dict[str, str | None]:
         """Active files at ``version`` (latest if None): relative path ->
@@ -109,10 +179,21 @@ class TxnLogTable(ParquetTable):
         return {f: e["p"] for f, e in self._snapshot_entries(version).items()}
 
     def _snapshot_entries(self, version: int | None = None) -> dict[str, dict]:
+        versions = self._versions()
+        if version is not None:
+            versions = [v for v in versions if v <= version]
         files: dict[str, dict] = {}
-        for v in self._versions():
-            if version is not None and v > version:
+        # start the fold at the newest marked checkpoint in range (verify
+        # the flag in the content — markers are advisory)
+        usable = [c for c in self._checkpoints() if c in set(versions)]
+        while usable:
+            ck = usable.pop()
+            c = self._read_commit(ck)
+            if c.get("checkpoint"):
+                files = {a["f"]: dict(a) for a in c["adds"]}
+                versions = [v for v in versions if v > ck]
                 break
+        for v in versions:
             c = self._read_commit(v)
             for a in c["adds"]:
                 files[a["f"]] = a
@@ -265,12 +346,19 @@ class TxnLogTable(ParquetTable):
             for a in self._read_commit(v)["adds"]:
                 old_refs.add(a["f"])
         doomed = old_refs - current
-        adds = [{"f": f, "p": p} for f, p in sorted(snap.items())]
-        self._commit(adds, [])  # checkpoint commit
-        new_head = self.version()
+        # exact-slot checkpoint, retried until it wins (a maintenance op —
+        # concurrent history readers lose time travel by contract, but a
+        # stale checkpoint must still never drop a concurrent commit)
+        if self.version() < 0:
+            return 0  # empty log: nothing to truncate
+        new_head = None
+        while new_head is None:
+            new_head = self.write_checkpoint()
+        versions = self._versions()
         for v in versions:
             if v < new_head:
                 self.fs.delete(f"{self._txn_dir()}/{v:011d}.json")
+                self.fs.delete(f"{self._txn_dir()}/{v:011d}.ckpt")
         for f in doomed:
             self.fs.delete(f"{self.path}/{f}")
         return len(doomed)

@@ -243,3 +243,36 @@ def test_concurrent_writers_lose_no_commits(spark):
     assert not errs, errs
     assert t.version() == v0 + 16  # every commit claimed a distinct version
     assert t.read().count() == n0 + 16
+
+
+def test_auto_checkpoint_bounds_fold_and_preserves_semantics(spark):
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    eng = _engine(spark)
+    eng.run(RunVars(stop_date="2024-01-08"))
+    t = eng.table
+    t.AUTO_CHECKPOINT_EVERY = 5
+    one = t.read().limit(1)
+    pre_ckpt_version = t.version()
+    n_pre = t.read().count()
+    for i in range(12):
+        t.append(one.withColumn("n", F.lit(100 + i)))
+    assert t._checkpoints(), "no checkpoint written after 12 commits"
+    # snapshot from the checkpointed fold equals the naive full fold
+    naive = {}
+    for v in t._versions():
+        c = t._read_commit(v)
+        if c.get("checkpoint"):
+            continue  # naive fold ignores checkpoints entirely
+        for a in c["adds"]:
+            naive[a["f"]] = a["p"]
+        for r in c["removes"]:
+            naive.pop(r, None)
+    assert t.snapshot() == naive
+    assert t.read().count() == n_pre + 12
+    # time travel BEFORE the first checkpoint still folds correctly
+    assert t.read(version=pre_ckpt_version).count() == n_pre
+    # a deleted marker only loses acceleration, not correctness
+    ck = t._checkpoints()[-1]
+    t.fs.delete(f"{t._txn_dir()}/{ck:011d}.ckpt")
+    assert t.snapshot() == naive

@@ -1711,6 +1711,114 @@ def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cm_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C40 (annex): mergeable count-min frequency sketches
+    (operators/sketch.py cm_sketch/cm_merge/cm_estimate). Per-source word
+    sketches merged into one corpus sketch, probed at the exact top-20
+    words. The word list and TRUE counts are oracled exactly in DuckDB;
+    the sketch estimate rides along as the one-sided-error CHECK (count-min
+    never under-counts), so ``est_ge_true`` flips — and the value hash goes
+    red — if the sketch ever under-counts. The estimate VALUE itself stays
+    out of the compared columns because Spark's xxhash64 has no DuckDB
+    twin; the exact-merge invariant is pinned bit-for-bit in pytest."""
+    _prep(spark, sf_dir)
+    toks = (
+        spark.table("documents")
+        .select(
+            "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    merged = sketch.cm_merge(
+        sketch.cm_sketch(toks, ["source"], "word").drop("source"), []
+    )
+    top = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "word")
+        .limit(20)
+    )
+    return top.join(F.broadcast(merged)).select(
+        "word",
+        "true_cnt",
+        (
+            sketch.cm_estimate(F.col("cm"), F.col("word")) >= F.col("true_cnt")
+        ).alias("est_ge_true"),
+    )
+
+
+CM_TOPK_DUCK = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+)
+SELECT word, COUNT(*) AS true_cnt, TRUE AS est_ge_true
+FROM toks WHERE word <> ''
+GROUP BY word
+ORDER BY true_cnt DESC, word
+LIMIT 20
+"""
+
+
+def _dd_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C41 (annex, EXACT oracle): DDSketch quantiles
+    (operators/sketch.py dd_sketch/dd_merge/dd_quantile) over events.value
+    per event_type — per-day sketches merged across days, then q50/q95/q99
+    read off the merged sketch, exactly the incremental pattern a
+    period-chunked pipeline uses. DDSketch buckets are deterministic log-γ
+    expressions (no engine-private hash), so the DuckDB twin replays the
+    identical bucket math + CDF walk and the oracle is exact — the only
+    sketch in the family whose full output admits a SQL oracle."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn("d", F.to_date("ts"))
+    daily = sketch.dd_sketch(ev, ["event_type", "d"], "value")
+    merged = sketch.dd_merge(daily.drop("d"), ["event_type"])
+    return merged.select(
+        "event_type",
+        sketch.dd_quantile(F.col("dd"), 0.5).alias("q50"),
+        sketch.dd_quantile(F.col("dd"), 0.95).alias("q95"),
+        sketch.dd_quantile(F.col("dd"), 0.99).alias("q99"),
+    )
+
+
+def _dd_latency_duck() -> str:
+    import math
+
+    gamma = (1 + sketch.DD_ALPHA) / (1 - sketch.DD_ALPHA)
+    lng = math.log(gamma)
+    zero = -(1 << 31)
+
+    def est(q: float) -> str:
+        return (
+            f"MIN(CASE WHEN cum >= GREATEST(CEIL({q!r}*total), 1) THEN e END)"
+        )
+
+    # bucket index and midpoint use the SAME double literals Spark uses
+    # (repr round-trips exactly); e is monotone in bk so MIN over the
+    # qualifying buckets is the first CDF crossing
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value = 0 THEN {zero}
+              ELSE CAST(ceil(ln(value)/{lng!r}) AS INT) END AS bk,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL AND value >= 0
+  GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bk, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bk) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+), e AS (
+  SELECT event_type, cum, total,
+         CASE WHEN bk = {zero} THEN 0.0
+              ELSE 2.0*pow({gamma!r}, bk)/{gamma + 1!r} END AS e
+  FROM c
+)
+SELECT event_type, {est(0.5)} AS q50, {est(0.95)} AS q95, {est(0.99)} AS q99
+FROM e GROUP BY event_type
+"""
+
+
 def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C34: overlapping-window document chunking (operators/chunk.py).
     Pure sequence->explode->substring column algebra; the DuckDB oracle
@@ -1733,11 +1841,40 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: approximate NN (multi-table LSH) — by construction not
-    equal to the exact oracle; recall is tested against brute force in CI."""
+    """C20 ANN lane, recorded QUANTITATIVELY: multi-table LSH top-k recall
+    vs exact brute force, computed in-plan and returned as the row's value
+    with a constant-threshold oracle. The neighbor lists themselves are
+    approximate by construction (an exact oracle would be wrong), but the
+    recall CHECK is deterministic — seeded hyperplanes, tie-broken ranking —
+    so if LSH recall ever drops below the 0.5 floor (the same invariant
+    pytest pins at tests/test_ext_operators.py) the boolean flips and the
+    driver's value-hash comparison goes red."""
     _prep(spark, sf_dir)
     embs = spark.table("embeddings")
-    return similarity.lsh_topk(embs, embs.where("vec_id < 10"), k=3, dim=64)
+    qs = embs.where("vec_id < 10")
+    ann = similarity.lsh_topk(embs, qs, k=3, dim=64).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    exact = similarity.brute_force_topk(embs, qs, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    # recall = |ANN ∩ exact| / |exact|; left join from the exact side so
+    # ANN extras can't inflate it
+    joined = exact.join(ann, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.lit(3).cast("bigint").alias("k"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+            >= F.lit(0.5)
+        ).alias("recall_ok"),
+    )
+
+
+SIM_ANN_DUCK = """
+SELECT CAST(10 AS BIGINT) AS n_queries, CAST(3 AS BIGINT) AS k,
+       TRUE AS recall_ok
+"""
 
 
 def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,9 +2169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # month-grid/source-scan engine rows (ORACLE_DAILY re-checks; goldens
     # in tests/test_engine.py), and the rows-only entries whose real
     # verification is pytest (simhash/fingerprint recall+stability, IVF
-    # recall+determinism, multimodal_features pixel stats). The one
-    # rows-only survivor is sim_ann_topk, LAST, as the recorded
-    # representative of the genuinely-approximate ANN lane.
+    # recall+determinism, multimodal_features pixel stats). sim_ann_topk,
+    # LAST, records the genuinely-approximate ANN lane as a quantitative
+    # recall-vs-brute-force check against a constant-threshold oracle —
+    # every one of the 50 declared rows now carries an oracle.
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # EXT rows the r5 driver truncated + the two NEW oracled operators
         "pack_concat_chunk": _pack_concat,
@@ -2092,8 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipeline_curate": _pipeline_curate,
             # EXT: deterministic sampling / split assignment
             "sample_stratified": _sample_strat,
-            # EXT: similarity, rows-only ANN representative — LAST so any
-            # truncation costs the weakest row
+            # EXT: similarity — ANN recall-vs-brute-force check row, LAST
+            # so any truncation costs the newest signal
             "sim_ann_topk": _sim_ann,
         }
     )
@@ -2131,6 +2269,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bpe_tokenize": _bpe_tokenize,
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
+        "cm_topk_words": _cm_topk_words,
+        "dd_latency_quantiles": _dd_latency,
         "dedup_incremental": _incr_dedup,
         "bloom_seen_users": _bloom_users,
         "pipeline_pretrain": _pipeline_pretrain,
@@ -2172,6 +2312,8 @@ def pytest_only_oracles() -> dict[str, str]:
         "semdedup_exact_vecs": SEMDEDUP_DUCK,
         "engine_txn_backend": ORACLE_DAILY.format(start=START, stop=STOP),
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
+        "cm_topk_words": CM_TOPK_DUCK,
+        "dd_latency_quantiles": _dd_latency_duck(),
         "dedup_incremental": INCR_DEDUP_DUCK,
         "fuzzy_name_pairs": FUZZY_PAIRS_DUCK,
         "pipeline_pretrain": _pipeline_pretrain_duck(),
@@ -2246,9 +2388,10 @@ def oracle_sql() -> dict[str, str]:
             "streaming_ingest_table": STREAM_INGEST_DUCK,
             "session_stats_events": SESSION_STATS_DUCK,
             "streaming_sessionize": SESSIONIZE_DUCK,
-            # rows-only (no oracle): sim_ann_topk — genuinely approximate
-            # (verified to DIFFER from brute force on this corpus, so an
-            # exact oracle would be wrong; recall bounds pinned in pytest)
+            # the ANN row records recall-vs-brute-force against a constant
+            # threshold (see _sim_ann docstring) — the neighbor lists are
+            # approximate, the recall check is exact and deterministic
+            "sim_ann_topk": SIM_ANN_DUCK,
         }
     )
     return o

@@ -3,8 +3,11 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Timing methodology: each query is fully evaluated into the `noop` sink,
-best-of-N wall time (IBTP_BENCH_REPEAT, default 2 — min sheds host
-contention noise, matching the scale study)
+best-of-N wall time (IBTP_BENCH_REPEAT, default 3 — min sheds host
+contention noise, matching the scale study; r6's apparent
+engine_daily_full_build regression, 2.03s -> 3.61s, did not reproduce on a
+quiet host — 2.05s best-of-2 — so N=3 to keep one contention burst from
+polluting the recorded min)
 (compute + shuffle, no serialization back to the driver, no disk on the read
 side); engine scenarios time the real end-to-end chunked materialization
 including their parquet writes. Spark/JVM startup is excluded; a warm-up
@@ -90,7 +93,7 @@ def main() -> None:
     # contention run-to-run, and a single sample can land inside a noise
     # burst; the minimum is the contention-free estimate — the same
     # methodology the sf1/sf10 scale study already uses (bench_sf1.py)
-    repeat = int(os.environ.get("IBTP_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("IBTP_BENCH_REPEAT", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = None

@@ -29,7 +29,7 @@ import threading
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import char_shingles, word_shingles
 from .util import spread
@@ -418,31 +418,40 @@ def minhash_lsh_pairs(
         )
     )
 
+    # Per-bucket candidate generation in ONE exchange (r6 carried ~16
+    # exchanges through a count-agg branch + left-semi skew guard + bucket
+    # self-join; at 100x the repeated (band, bucket) shuffles of the
+    # candidate stream were the bottleneck): hash-partition the tiny
+    # (id, band, bucket) rows once; a window count over the same keys
+    # applies the skew cap WITHOUT a second shuffle or a join branch —
+    # degenerate buckets spill in the window sorter, then die in the
+    # filter before any array is built; the per-bucket id list then
+    # assembles WITHOUT an exchange (groupBy on the window's partition
+    # keys), and ordered id<id pairs explode from the (<= cap)-bounded
+    # sorted array, so worst-case work stays O(buckets * cap^2). The
+    # pair-combination lambdas run interpreted (HOFs never enter codegen)
+    # but only over <= cap-element arrays of longs, never over the corpus.
+    wb = Window.partitionBy("band", "bucket")
+    bounded = banded.withColumn("_n", F.count(F.lit(1)).over(wb)).where(
+        F.col("_n") >= 2
+    )
     if max_bucket_size is not None:
-        # skew guard: the size aggregation shuffles on the same (band, bucket)
-        # keys as the self-join below, so AQE reuses the exchange; oversized
-        # buckets never reach the join
-        ok_buckets = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "bucket")
+        bounded = bounded.where(F.col("_n") <= max_bucket_size)
+    grouped = bounded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        banded = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
-
-    left = banded.alias("a")
-    right = banded.alias("b")
+    )
     cand = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        grouped.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -1678,12 +1678,14 @@ def _incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C36: incremental exact dedup against persistent digest state
     (operators/dedup.py incremental_exact_dedup). Seeds the state with the
     first half of the corpus, then dedups the second half against it — the
-    oracle recomputes the same answer from scratch in SQL."""
+    oracle recomputes the same answer from scratch in SQL. Runs the
+    BUCKETED state variant: the anti-join reads the history side
+    exchange-free (plan-pinned in tests/test_plans.py)."""
     _prep(spark, sf_dir)
     state = tempfile.mkdtemp(prefix="ibtp_incr_dedup_") + "/state"
     docs = spark.table("documents")
-    dedup.incremental_exact_dedup(docs.where("doc_id < 250"), state)
-    out = dedup.incremental_exact_dedup(docs.where("doc_id >= 250"), state)
+    dedup.incremental_exact_dedup(docs.where("doc_id < 250"), state, state_buckets=32)
+    out = dedup.incremental_exact_dedup(docs.where("doc_id >= 250"), state, state_buckets=32)
     return out.select("doc_id")
 
 

@@ -763,6 +763,28 @@ def ngram_jaccard_pairs(
 # incremental exact dedup against a persistent digest state (C36)
 # ---------------------------------------------------------------------------
 
+def _bucketed_state_table(spark, state_path: str, num_buckets: int) -> str:
+    """Resolve (and if needed re-register) the EXTERNAL bucketed catalog
+    table for a digest-state path. Bucket metadata lives in the session
+    catalog; the files live at ``state_path`` — so a fresh session over an
+    existing state re-creates the catalog entry and the reader still sees
+    bucketed scans (no Hive metastore required)."""
+    import hashlib
+
+    name = "ibtp_dedup_state_" + hashlib.md5(state_path.encode()).hexdigest()[:12]
+    from ..fs import HadoopFS
+
+    if not spark.catalog.tableExists(name) and HadoopFS(
+        spark, state_path
+    ).exists(state_path):
+        spark.sql(
+            f"CREATE TABLE {name} (_h STRING) USING PARQUET "
+            f"CLUSTERED BY (_h) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{state_path}'"
+        )
+    return name
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     state_path: str,
@@ -770,6 +792,7 @@ def incremental_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     update_state: bool = True,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against ALL corpus history without rescanning it.
 
@@ -790,6 +813,14 @@ def incremental_exact_dedup(
     returns an empty frame — idempotent by the same argument as the
     engine's keyed upserts.
 
+    With ``state_buckets`` the state is an EXTERNAL bucketed catalog table
+    at ``state_path`` (CLUSTERED BY the digest): the per-batch anti-join
+    then reads the state side EXCHANGE-FREE — the history, which dwarfs
+    any daily batch at 100 TB, is never re-shuffled; only the batch side
+    moves (plan-pinned in tests/test_plans.py). Pick ``state_buckets``
+    once per state (it is sticky: later calls reuse the spec the table
+    was created with).
+
     Returns the globally-novel rows of ``new_df`` (all original columns).
     """
     spark = new_df.sparkSession
@@ -801,7 +832,15 @@ def incremental_exact_dedup(
     )
     from ..fs import HadoopFS
 
-    if HadoopFS(spark, state_path).exists(state_path):
+    table = (
+        _bucketed_state_table(spark, state_path, state_buckets)
+        if state_buckets is not None
+        else None
+    )
+    if table is not None and spark.catalog.tableExists(table):
+        state = spark.table(table)
+        novel_keys = batch_keep.join(state, "_h", "left_anti")
+    elif table is None and HadoopFS(spark, state_path).exists(state_path):
         state = spark.read.parquet(state_path).select("_h")
         novel_keys = batch_keep.join(state, "_h", "left_anti")
     else:  # first run: no state yet
@@ -813,5 +852,12 @@ def incremental_exact_dedup(
     # no driver collect, batch-sized not corpus-sized
     novel = novel_keys.localCheckpoint(eager=True)
     if update_state:
-        novel.write.mode("append").parquet(state_path)
+        if table is not None:
+            # bucketed append: each task fans rows into its bucket files —
+            # no shuffle; the catalog entry is created on first append
+            novel.select("_h").write.mode("append").bucketBy(
+                state_buckets, "_h"
+            ).option("path", state_path).saveAsTable(table)
+        else:
+            novel.write.mode("append").parquet(state_path)
     return new_df.join(novel.select(id_col), id_col, "left_semi")

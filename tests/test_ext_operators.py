@@ -2008,3 +2008,35 @@ def test_prepare_pretraining_corpus_stages_compose(spark, sf_dir):
     assert {r["domain"] for r in out} <= {"en", "de"}      # mixture domains
     assert all(r["split"] in ("train", "valid", "test") for r in out)
     assert all(r["n_words"] >= 3 for r in out)             # quality floor
+
+
+def test_incremental_dedup_bucketed_state(spark, tmp_path):
+    """C36 bucketed digest state: same dedup semantics as the plain path,
+    plus catalog re-registration — a fresh session over an existing state
+    (simulated by dropping the catalog entry; the EXTERNAL files stay)
+    must still see the full history."""
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    state = str(tmp_path / "bstate")
+    b1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id bigint, text string"
+    )
+    out1 = {
+        r["doc_id"]
+        for r in D.incremental_exact_dedup(b1, state, state_buckets=4).collect()
+    }
+    assert out1 == {1, 2}
+    tbl = D._bucketed_state_table(spark, state, 4)
+    spark.sql(f"DROP TABLE {tbl}")  # external: files survive
+    b2 = spark.createDataFrame(
+        [(10, "cc"), (11, "bb")], "doc_id bigint, text string"
+    )
+    out2 = {
+        r["doc_id"]
+        for r in D.incremental_exact_dedup(b2, state, state_buckets=4).collect()
+    }
+    assert out2 == {10}
+    # idempotent replay against the (re-registered) bucketed state
+    assert (
+        D.incremental_exact_dedup(b2, state, state_buckets=4).count() == 0
+    )

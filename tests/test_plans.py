@@ -357,3 +357,35 @@ def test_lm_and_tfidf_exchange_budgets(spark):
     assert exchange_count(scored) <= 7, exchange_count(scored)
     top = tfidf.tfidf_top_terms(docs, k=3)
     assert exchange_count(top) <= 6, exchange_count(top)
+
+
+def test_incremental_dedup_bucketed_state_probe_no_exchange(spark, tmp_path):
+    """C36 bucketed digest state: the history side of the per-batch
+    anti-join must read bucket-aligned — ZERO exchanges over the state,
+    only the batch side shuffles (its groupBy). At 100 TB the state dwarfs
+    any daily batch; never re-shuffling it keeps ingest cost O(batch)."""
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    state = str(tmp_path / "bstate")
+    docs = spark.table("documents")
+    D.incremental_exact_dedup(docs.where("doc_id < 100"), state, state_buckets=8)
+    tbl = D._bucketed_state_table(spark, state, 8)
+    batch = (
+        docs.where("doc_id >= 100")
+        .select(F.md5("text").alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    # at test scale AQE would (rightly) broadcast the tiny state; disable
+    # broadcast to expose the at-scale plan, where the state is huge and
+    # the bucketed scan is what keeps it shuffle-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = batch.join(spark.table(tbl), "_h", "left_anti")
+        from insert_by_timeperiod_spark.plans import explain_str
+
+        plan = explain_str(joined, formatted=True)
+        assert "Bucketed: true" in plan, plan[:1200]
+        assert exchange_count(joined) == 1, plan[:1200]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

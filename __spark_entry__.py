@@ -269,13 +269,19 @@ def _engine_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     model run end-to-end on the txnlog.TxnLogTable commit-log backend —
     interrupted run, resume, then a backfill replayed as one atomic
     commit; ORACLE_DAILY checks the final content exactly, proving backend
-    choice never changes results."""
+    choice never changes results. Runs with periods_per_commit=7 — the
+    CLI's documented default for --table-format txnlog (__main__.py):
+    commit-log commits pay a serial log-write round each, so batching
+    periods is the production posture for backfills on this backend;
+    batched == sequential content is separately goldened in
+    tests/test_engine.py."""
     from insert_by_timeperiod_spark.txnlog import TxnLogTable
 
     _prep(spark, sf_dir)
     tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_txn_"), "t")
     cfg = dict(
-        timestamp_field="event_date", period="week", start_date=START, stop_date=STOP
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=7,
     )
     eng = InsertByTimeperiod(
         spark, MODEL_DAILY, IBTPConfig(**cfg), tgt,
@@ -483,6 +489,30 @@ FROM (SELECT event_id, user_id, value, unix_micros(ts) AS ts_us FROM events) t
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 WINDOW_RUNNING_DUCK = WINDOW_RUNNING_SPARK.replace("unix_micros(ts)", "epoch_us(ts)")
+
+
+def fast_sums(sql: str) -> str:
+    """Production fast-sum rewrite: drop the cross-engine DECIMAL-sum
+    exactness contract (file docstring) from a battery SQL string, summing
+    native doubles instead. The per-row DECIMAL conversion + exact decimal
+    aggregation buys bit-exact oracle hashes but costs real money in the
+    hot loop (q1 at sf10: 11.6x DuckDB with the contract ON); outside
+    oracle mode — scale benches, production models — native double sums
+    are the right default. The outer CAST(... AS DOUBLE) becomes a no-op
+    and is left in place."""
+    import re
+
+    return re.sub(r"SUM\(CAST\((.+?) AS DECIMAL\(\d+,\s*\d+\)\)\)", r"SUM(\1)", sql)
+
+
+#: SQL-backed battery entries eligible for the fast-sum rewrite (the
+#: classic aggregate shapes the sf10 study showed paying the contract)
+FAST_SUM_SQL: dict[str, str] = {
+    "q1_pricing_summary": Q1_PRICING,
+    "q3_top_revenue": Q3_TOP_REVENUE,
+    "region_revenue": REGION_REVENUE,
+    "window_running": WINDOW_RUNNING_SPARK,
+}
 
 ROLLUP_SQL = """
 SELECT r.r_name AS region, n.n_name AS nation,

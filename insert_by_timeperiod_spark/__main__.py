@@ -46,8 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--on-schema-change", default="ignore",
                    choices=["ignore", "append_new_columns", "sync_all_columns", "fail"])
     p.add_argument("--upsert-probe-window", type=int, default=None, metavar="DAYS")
-    p.add_argument("--periods-per-commit", type=int, default=1, metavar="N",
-                   help="batch N periods per job/commit (restart redoes <= N periods)")
+    p.add_argument("--periods-per-commit", type=int, default=None, metavar="N",
+                   help="batch N periods per job/commit (restart redoes <= N "
+                        "periods). Default: 1, or 7 with --table-format txnlog "
+                        "— commit-log commits run a serial log-write round per "
+                        "batch, so per-period commits dominate long backfills "
+                        "on that backend")
     p.add_argument("--period-additive-model", action="store_true",
                    help="declare the model period-additive: a batch compiles one "
                         "widened plan instead of an N-way union (NOT for "
@@ -92,7 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         unique_key=args.unique_key,
         on_schema_change=args.on_schema_change,
         upsert_probe_window=args.upsert_probe_window,
-        periods_per_commit=args.periods_per_commit,
+        periods_per_commit=(
+            args.periods_per_commit
+            if args.periods_per_commit is not None
+            else (7 if args.table_format == "txnlog" else 1)
+        ),
         period_additive_model=args.period_additive_model,
         date_source_models=args.date_source_model,
         source_timestamp_field=args.source_timestamp_field,

@@ -1791,6 +1791,18 @@ LIMIT 20
 """
 
 
+def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C42 (annex): deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample — Efraimidis-Spirakis keys over
+    the md5-prefix draw). Top-200 documents weighted by length; the DuckDB
+    twin replays the identical draw + pinned-order key arithmetic, so the
+    SELECTED SET matches exactly."""
+    _prep(spark, sf_dir)
+    return sampling.weighted_sample(
+        spark.table("documents"), 200, "n_chars", ["doc_id"], seed="ws"
+    ).select("doc_id", "source")
+
+
 def _dd_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C41 (annex, EXACT oracle): DDSketch quantiles
     (operators/sketch.py dd_sketch/dd_merge/dd_quantile) over events.value
@@ -1910,11 +1922,28 @@ SELECT CAST(10 AS BIGINT) AS n_queries, CAST(3 AS BIGINT) AS k,
 
 
 def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF (spherical-k-means cells + nprobe probing) ANN — by
-    construction approximate; recall vs brute force is tested in CI."""
+    """C20 IVF ANN lane (annex), recorded quantitatively like _sim_ann:
+    IVF top-k (spherical-k-means cells + nprobe probing) recall vs exact
+    brute force as the row's value, constant-threshold oracle. Seeded
+    centroids + tie-broken ranking make the check deterministic."""
     _prep(spark, sf_dir)
     embs = spark.table("embeddings")
-    return similarity.ivf_topk(embs, embs.where("vec_id < 10"), k=3, k_cells=32, nprobe=8)
+    qs = embs.where("vec_id < 10")
+    ann = similarity.ivf_topk(embs, qs, k=3, k_cells=32, nprobe=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    exact = similarity.brute_force_topk(embs, qs, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(ann, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.lit(3).cast("bigint").alias("k"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+            >= F.lit(0.5)
+        ).alias("recall_ok"),
+    )
 
 
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,6 +2325,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sessionize_events": _sessionize,
         "dedup_exact": _dedup_exact,
         "sample_mixture": _sample_mixture,
+        "sample_weighted": _sample_weighted,
         "semdedup_exact_vecs": _semdedup,
         "engine_txn_backend": _engine_txn,
         "bpe_tokenize": _bpe_tokenize,
@@ -2315,7 +2345,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             ).select("doc_id"),
         )[1],
         # rows-only in the driver contract; their REAL checks are pytest
-        # (recall / stability / determinism / pixel-stat assertions)
+        # (recall / stability / determinism / pixel-stat assertions).
+        # sim_ivf_topk carries a recall-threshold oracle like sim_ann_topk.
         "multimodal_features": _multimodal_features,
         "dedup_simhash_planted": _dedup_simhash,
         "text_fingerprint": _text_fingerprint,
@@ -2366,6 +2397,12 @@ def pytest_only_oracles() -> dict[str, str]:
         "sample_hash_frac": (
             "SELECT doc_id FROM documents WHERE "
             + sampling.sample_sql_predicate(0.25, "doc_id", seed="pyt")
+        ),
+        # recall-vs-brute-force check against a constant threshold, the
+        # same shape as the driver's sim_ann_topk row
+        "sim_ivf_topk": SIM_ANN_DUCK,
+        "sample_weighted": sampling.weighted_sample_sql(
+            200, "n_chars", "doc_id", seed="ws", select="t.doc_id, t.source"
         ),
     }
 

@@ -230,6 +230,79 @@ def mixture_sql(
     """
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_cols: list[str],
+    *,
+    seed: str = "",
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, SURVEY.md §2 C42): keep the ``n`` rows with the smallest
+    ``-ln(u)/w`` keys, where ``u`` is the row's own md5-prefix draw — each
+    row's inclusion probability is proportional to its weight, and the
+    selection is exactly reproducible across runs, partitionings, and
+    engines (the ``weighted_sample_sql`` twin replays it in DuckDB). The
+    quality-weighted downsample: feed a quality score (Gopher pass rate, LM
+    perplexity, dedup cluster size) as the weight and the curated corpus
+    keeps its best documents deterministically.
+
+    Scale shape: the ES key is a scan-stage expression; the global form is
+    a TakeOrdered top-n (per-partition top-n, driver merges n rows — no
+    corpus sort, no shuffle); with ``strata_cols`` it is ONE shuffle by
+    stratum + window top-n per stratum. Rows with NULL or non-positive
+    weight are dropped (their inclusion probability is 0).
+
+    Scale-invariance (pinned in tests): multiplying every weight by a
+    constant divides every key by it — the selection is identical, so
+    weights need no normalization.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    keys = [F.col(c) for c in key_cols]
+    w = F.col(weight_col).cast("double")
+    # v in [0, 2^32) exact in a double; +0.5 keeps u in (0,1) — no ln(0) —
+    # with the same pinned arithmetic order as the SQL twin
+    v = F.conv(_draw(seed, *keys), 16, 10).cast("bigint").cast("double")
+    k = -F.log((v + F.lit(0.5)) / F.lit(4294967296.0)) / w
+    src = df.where(w.isNotNull() & (w > 0))
+    if strata_cols:
+        win = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+            k.asc(), *keys
+        )
+        return (
+            src.withColumn("__rk", F.row_number().over(win))
+            .where(F.col("__rk") <= n)
+            .drop("__rk")
+        )
+    return src.withColumn("__k", k).orderBy("__k", *key_cols).limit(n).drop("__k")
+
+
+def weighted_sample_sql(
+    n: int,
+    weight_sql: str,
+    key_sql: str,
+    *,
+    seed: str = "",
+    table: str = "documents",
+    select: str = "t.*",
+) -> str:
+    """The DuckDB twin of (global) ``weighted_sample`` — identical draw,
+    identical pinned-order ES key arithmetic."""
+    draw = f"substr(md5(concat('{seed}', chr(31), {key_sql})), 1, 8)"
+    k = (
+        f"(-ln((('0x' || {draw})::UBIGINT + 0.5) / 4294967296.0)"
+        f" / ({weight_sql}))"
+    )
+    return (
+        f"SELECT {select} FROM {table} t "
+        f"WHERE {weight_sql} IS NOT NULL AND {weight_sql} > 0 "
+        f"ORDER BY {k}, {key_sql} LIMIT {n}"
+    )
+
+
 def sample_sql_predicate(
     frac: float, key_sql: str, *, seed: str = ""
 ) -> str:

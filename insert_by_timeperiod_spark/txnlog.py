@@ -209,8 +209,10 @@ class TxnLogTable(ParquetTable):
         duplicated ``__part`` drives the split), and return add-entries."""
         cid = uuid.uuid4().hex
         out = f"{self.path}/{DATA_DIR}/{cid}"
+        from .table import optimized_layout
+
         (
-            normalize_ntz(df)
+            optimized_layout(df, partition_col)
             .withColumn("__part", F.col(partition_col).cast("string"))
             .write.mode("overwrite")
             .partitionBy("__part")

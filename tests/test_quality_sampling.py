@@ -339,3 +339,74 @@ def test_compression_ratio_tracks_repetition(spark):
     for i, t in rows[:2]:
         raw = t.encode()
         assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+# ---------------------------------------------------------------------------
+# C42: deterministic weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark, ids):
+    df = ids.withColumn("w", (F.col("id") % 7 + 1).cast("double"))
+    a = {r["id"] for r in sampling.weighted_sample(df, 500, "w", ["id"], seed="es").collect()}
+    b = {
+        r["id"]
+        for r in sampling.weighted_sample(
+            df.repartition(17), 500, "w", ["id"], seed="es"
+        ).collect()
+    }
+    assert len(a) == 500 and a == b
+
+
+def test_weighted_sample_scale_invariant(spark, ids):
+    """ES keys divide by any constant weight factor — the SELECTION is
+    identical, so weights need no normalization."""
+    df = ids.withColumn("w", (F.col("id") % 7 + 1).cast("double"))
+    a = {r["id"] for r in sampling.weighted_sample(df, 300, "w", ["id"], seed="s").collect()}
+    scaled = df.withColumn("w", F.col("w") * 1000.0)
+    b = {r["id"] for r in sampling.weighted_sample(scaled, 300, "w", ["id"], seed="s").collect()}
+    assert a == b
+
+
+def test_weighted_sample_follows_weights_and_drops_nonpositive(spark, ids):
+    """10x-weighted rows must be sampled far more often than 1x rows, and
+    NULL/zero/negative weights have inclusion probability 0."""
+    df = ids.withColumn(
+        "w",
+        F.when(F.col("id") % 10 == 0, 10.0)  # 10% of rows carry 10x weight
+        .when(F.col("id") % 10 == 1, F.lit(None).cast("double"))
+        .when(F.col("id") % 10 == 2, 0.0)
+        .otherwise(1.0),
+    )
+    out = sampling.weighted_sample(df, 2000, "w", ["id"], seed="p")
+    got = [r["id"] % 10 for r in out.collect()]
+    assert not any(m in (1, 2) for m in got)
+    heavy = sum(1 for m in got if m == 0)
+    # heavy rows: 2000 of 20000 rows hold 10/17 of total weight; with
+    # n=2000 draws they must dominate the light rows per-capita
+    assert heavy > 900, heavy
+
+
+def test_weighted_sample_stratified_top_n_per_stratum(spark, ids):
+    df = ids.withColumn("w", (F.col("id") % 5 + 1).cast("double"))
+    out = sampling.weighted_sample(
+        df, 50, "w", ["id"], seed="st", strata_cols=["grp"]
+    )
+    by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 50 for n in by.values()), by
+
+
+def test_weighted_sample_sql_twin_matches_duck(spark, ids, duck):
+    """The SQL twin selects the IDENTICAL set: same draw, same pinned-order
+    ES key arithmetic, replayed over the same synthetic relation."""
+    df = ids.withColumn("w", (F.col("id") % 7 + 1).cast("double"))
+    got = {
+        r["id"]
+        for r in sampling.weighted_sample(df, 400, "w", ["id"], seed="tw").collect()
+    }
+    twin = sampling.weighted_sample_sql(
+        400, "w", "id", seed="tw",
+        table="(SELECT range AS id, CAST(range % 7 + 1 AS DOUBLE) AS w FROM range(0, 20000))",
+        select="t.id",
+    )
+    want = {r[0] for r in duck.execute(twin).fetchall()}
+    assert got == want

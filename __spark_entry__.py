@@ -11,10 +11,13 @@ into a temp target and returns the materialized table, with the UNCHUNKED
 ANSI SQL as the DuckDB oracle. The plain-SQL entries cover Parts B/C (the
 delegated model-body surface: joins, windows, grouping sets, set ops,
 scalars, JSON/arrays). The ``dedup_*`` / ``sim_*`` / ``text_*`` /
-``multimodal_*`` entries cover the C19-C22 LLM-pipeline extensions;
-non-SQL-expressible ones (minhash banding, simhash, LSH ANN, xxhash
-fingerprints, Arrow-batched feature extraction) carry no oracle and get the
-driver's rows-only check.
+``multimodal_*`` entries cover the C19-C22 LLM-pipeline extensions. All 50
+driver rows carry oracles: genuinely-approximate lanes (LSH/IVF ANN)
+record recall-vs-brute-force against a constant-threshold oracle, and the
+remaining non-SQL-expressible ops (simhash, xxhash fingerprints,
+Arrow-batched feature extraction, BPE, HLL/Bloom sketches) live in the
+pytest annex as rows-only entries with stronger-than-oracle invariant
+pins.
 
 Cross-engine float determinism contract: every aggregated double is cast
 per-row to DECIMAL (identical half-up rounding in both engines), summed

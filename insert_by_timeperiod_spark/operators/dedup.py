@@ -819,7 +819,10 @@ def incremental_exact_dedup(
     any daily batch at 100 TB, is never re-shuffled; only the batch side
     moves (plan-pinned in tests/test_plans.py). Pick ``state_buckets``
     once per state (it is sticky: later calls reuse the spec the table
-    was created with).
+    was created with), and match it to the dedup job's
+    ``spark.sql.shuffle.partitions`` — Spark only plans the bucketed scan
+    when the join's required partitioning aligns with the bucket count;
+    on a mismatch it silently falls back to shuffling both sides.
 
     Returns the globally-novel rows of ``new_df`` (all original columns).
     """

@@ -378,8 +378,13 @@ def test_incremental_dedup_bucketed_state_probe_no_exchange(spark, tmp_path):
     )
     # at test scale AQE would (rightly) broadcast the tiny state; disable
     # broadcast to expose the at-scale plan, where the state is huge and
-    # the bucketed scan is what keeps it shuffle-free
+    # the bucketed scan is what keeps it shuffle-free. Bucketed scans are
+    # only planned when the join's partitioning can align with the bucket
+    # count, so pin shuffle.partitions to it (other tests in the session
+    # may have changed it — get_spark defaults it to the core count).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         joined = batch.join(spark.table(tbl), "_h", "left_anti")
         from insert_by_timeperiod_spark.plans import explain_str
@@ -389,3 +394,4 @@ def test_incremental_dedup_bucketed_state_probe_no_exchange(spark, tmp_path):
         assert exchange_count(joined) == 1, plan[:1200]
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

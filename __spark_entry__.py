@@ -42,6 +42,7 @@ from insert_by_timeperiod_spark.functions import quality as QL
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
+    audio,
     bpe,
     chunk,
     decontam,
@@ -1949,6 +1950,32 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 audio lane (annex, EXACT oracle): REAL WAV fixtures (one sine
+    tone per document, rate/length/channels derived from doc_id by fixed
+    arithmetic — operators/audio.py id_to_wav_payload) parsed back through
+    the from-scratch RIFF/PCM chunk walk (audio_metadata). The DuckDB twin
+    recomputes every header field from doc_id alone, so a parser that
+    misreads any chunk flips the hash. Sample-level decode + features are
+    pinned in tests/test_audio.py (bit-exact round-trip, RMS/zero-cross
+    formulas, never-raise fuzz)."""
+    _prep(spark, sf_dir)
+    assets = audio.id_to_wav_payload(spark.table("documents"), "doc_id")
+    return audio.audio_metadata(assets)
+
+
+MULTIMODAL_WAV_DUCK = """
+SELECT doc_id AS asset_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bits,
+       CAST(256 + doc_id % 512 AS BIGINT) AS n_frames,
+       (CAST(256 + doc_id % 512 AS DOUBLE) * 1000.0)
+         / (8000 + (doc_id % 3) * 4000) AS duration_ms
+FROM documents
+"""
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     assets = multimodal.attach_fake_payload(spark.table("documents"), "doc_id", "text")
@@ -2351,6 +2378,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # (recall / stability / determinism / pixel-stat assertions).
         # sim_ivf_topk carries a recall-threshold oracle like sim_ann_topk.
         "multimodal_features": _multimodal_features,
+        "multimodal_wav_meta": _multimodal_wav,
         "dedup_simhash_planted": _dedup_simhash,
         "text_fingerprint": _text_fingerprint,
         "sim_ivf_topk": _sim_ivf,
@@ -2407,6 +2435,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "sample_weighted": sampling.weighted_sample_sql(
             200, "n_chars", "doc_id", seed="ws", select="t.doc_id, t.source"
         ),
+        "multimodal_wav_meta": MULTIMODAL_WAV_DUCK,
     }
 
 

@@ -1,0 +1,242 @@
+"""WAV/PCM audio lane for multimodal columns (SURVEY.md §2 C22).
+
+Audio rides the same opaque-``binary``-column contract as images
+(operators/multimodal.py): a cheap JVM metadata scan first, then
+Arrow-batched ``mapInPandas`` lanes for anything that must touch samples.
+The RIFF/WAVE container and PCM/IEEE-float sample formats are parsed and
+decoded from scratch (pure stdlib + numpy — published spec constants
+only), so the plumbing is REAL end-to-end: header fields come from actual
+chunk walks, features from actual decoded samples. Compressed codecs
+(MP3/AAC/Opus) return ``None`` honestly — swap torchaudio/ffmpeg into
+``decode_wav_samples`` and nothing else changes.
+
+Extension beyond the reference's surface (north star
+/root/repo/BASELINE.json). Scale shape: every lane is an Arrow-batched
+``mapInPandas`` over ``spread()`` input (decode is CPU-bound; a one-split
+input would serialize it), never a row-at-a-time UDF, never a collect;
+peak memory is one Arrow batch per core.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .util import spread
+
+#: fmt-chunk audio_format codes (WAVE spec): integer PCM / IEEE float
+_FMT_PCM = 1
+_FMT_FLOAT = 3
+
+_PCM_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+_FLOAT_DTYPES = {32: np.dtype("<f4"), 64: np.dtype("<f8")}
+
+
+def parse_wav_header(b: bytes) -> dict | None:
+    """Walk the RIFF chunk list and return
+    ``{media_type, sample_rate, n_channels, bits, n_frames, duration_ms}``
+    or ``None`` for anything that is not a well-formed PCM/float WAV.
+    Never raises: truncated containers, zero rates, and unknown codecs all
+    return ``None`` (the same never-raise contract as the image header
+    parser)."""
+    try:
+        if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos, fmt, data_len = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = b[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data_len = len(body)
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data_len is None:
+            return None
+        audio_format, channels, rate, _byte_rate, _align, bits = fmt
+        if channels < 1 or rate < 1:
+            return None
+        if audio_format == _FMT_PCM and bits in _PCM_DTYPES:
+            pass
+        elif audio_format == _FMT_FLOAT and bits in _FLOAT_DTYPES:
+            pass
+        else:
+            return None  # compressed / exotic codecs: honest None
+        frame_bytes = channels * (bits // 8)
+        n_frames = data_len // frame_bytes
+        return {
+            "media_type": "audio/wav",
+            "sample_rate": rate,
+            "n_channels": channels,
+            "bits": bits,
+            "n_frames": n_frames,
+            # pinned arithmetic order — the DuckDB oracle replays it
+            "duration_ms": n_frames * 1000.0 / rate,
+        }
+    except Exception:  # noqa: BLE001 — never-raise contract
+        return None
+
+
+def decode_wav_samples(b: bytes) -> "np.ndarray | None":
+    """Decode PCM/float WAV to a ``(n_frames, n_channels)`` float64 array
+    in [-1, 1]. int16/int32 divide by 2^(bits-1); 8-bit WAV is unsigned
+    (offset 128). Returns ``None`` where the header parser does."""
+    meta = parse_wav_header(b)
+    if meta is None:
+        return None
+    try:
+        pos = 12
+        raw = None
+        fmt_code = None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = b[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                fmt_code = struct.unpack("<H", body[:2])[0]
+            elif cid == b"data":
+                raw = body
+            pos += 8 + clen + (clen & 1)
+        bits, ch = meta["bits"], meta["n_channels"]
+        n = meta["n_frames"] * ch
+        if fmt_code == _FMT_FLOAT:
+            x = np.frombuffer(raw, dtype=_FLOAT_DTYPES[bits], count=n).astype(np.float64)
+        elif bits == 8:
+            x = (np.frombuffer(raw, dtype=np.uint8, count=n).astype(np.float64) - 128.0) / 128.0
+        else:
+            x = np.frombuffer(raw, dtype=_PCM_DTYPES[bits], count=n).astype(
+                np.float64
+            ) / float(1 << (bits - 1))
+        return x.reshape(meta["n_frames"], ch)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def encode_wav16(samples: "np.ndarray", rate: int) -> bytes:
+    """Minimal int16 PCM WAV encoder (fixture twin of the decoder, like the
+    BMP/GIF/JPEG encoders): ``samples`` is (n_frames, n_channels) float in
+    [-1, 1], quantized with round-half-away like every DAW export."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    q = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    data = q.tobytes()
+    ch, bits = s.shape[1], 16
+    fmt = struct.pack(
+        "<HHIIHH", _FMT_PCM, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def id_to_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL (decodable) WAV fixtures — one sine tone per row
+    with rate/length/frequency/amplitude/channels derived from the id by
+    fixed arithmetic, so an exact SQL oracle can recompute every header
+    field from the id alone (the audio twin of ``text_to_bmp_payload``):
+
+    - sample_rate  = 8000 + (id % 3) * 4000
+    - n_frames     = 256 + (id % 512)
+    - n_channels   = 1 + (id % 2)
+    - freq         = 100 + (id % 900) Hz, amplitude 0.1 + (id % 8) * 0.1
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                rate = 8000 + (i % 3) * 4000
+                n = 256 + (i % 512)
+                ch = 1 + (i % 2)
+                freq = 100.0 + (i % 900)
+                amp = 0.1 + (i % 8) * 0.1
+                t = np.arange(n, dtype=np.float64) / rate
+                mono = amp * np.sin(2.0 * math.pi * freq * t)
+                payloads.append(encode_wav16(np.tile(mono[:, None], (1, ch)), rate))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        op, "asset_id long, media_type string, payload binary"
+    )
+
+
+_META_SCHEMA = (
+    "asset_id long, sample_rate int, n_channels int, bits int, "
+    "n_frames long, duration_ms double"
+)
+
+
+def audio_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched header scan over (asset_id, payload): real chunk-walk
+    fields, NULL row (never a task failure) for undecodable payloads."""
+    _null = dict.fromkeys(
+        ["sample_rate", "n_channels", "bits", "n_frames", "duration_ms"]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _null if p is None else (parse_wav_header(bytes(p)) or _null)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "n_channels": [m["n_channels"] for m in metas],
+                    "bits": [m["bits"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                }
+            )
+
+    return spread(df.select("asset_id", "payload")).mapInPandas(op, _META_SCHEMA)
+
+
+_FEAT_SCHEMA = (
+    "asset_id long, duration_s double, rms double, peak double, "
+    "zero_cross_rate double"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched sample-level features over (asset_id, payload):
+    duration, RMS, peak, and zero-crossing rate (per second, averaged
+    across channels) from the REAL decoded waveform. NULL feature row for
+    undecodable payloads."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("duration_s", "rms", "peak", "zero_cross_rate")}
+            for p in pdf["payload"]:
+                x = None if p is None else decode_wav_samples(bytes(p))
+                if x is None or x.size == 0:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                meta = parse_wav_header(bytes(p))
+                dur = meta["n_frames"] / meta["sample_rate"]
+                crossings = (np.diff(np.signbit(x, out=None), axis=0) != 0).sum()
+                rows["duration_s"].append(dur)
+                rows["rms"].append(float(np.sqrt(np.mean(x * x))))
+                rows["peak"].append(float(np.max(np.abs(x))))
+                rows["zero_cross_rate"].append(
+                    float(crossings / x.shape[1] / dur) if dur > 0 else None
+                )
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], **rows})
+
+    return spread(df.select("asset_id", "payload")).mapInPandas(op, _FEAT_SCHEMA)

@@ -1,0 +1,105 @@
+"""WAV audio lane (C22): from-scratch RIFF/PCM parse + decode, Arrow
+metadata/feature lanes, never-raise contract, encoder round-trip pins."""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import audio as A
+
+
+def _sine(n=2000, rate=16000, freq=440.0, amp=0.5, ch=1):
+    t = np.arange(n, dtype=np.float64) / rate
+    mono = amp * np.sin(2 * math.pi * freq * t)
+    return np.tile(mono[:, None], (1, ch))
+
+
+def test_roundtrip_header_and_samples_exact():
+    x = _sine(n=1234, rate=22050, ch=2)
+    b = A.encode_wav16(x, 22050)
+    m = A.parse_wav_header(b)
+    assert m == {
+        "media_type": "audio/wav", "sample_rate": 22050, "n_channels": 2,
+        "bits": 16, "n_frames": 1234, "duration_ms": 1234 * 1000.0 / 22050,
+    }
+    got = A.decode_wav_samples(b)
+    q = np.clip(np.round(x * 32767.0), -32768, 32767)
+    assert got.shape == (1234, 2)
+    assert np.array_equal(got, q / 32768.0)  # bit-exact decode of the quantized signal
+
+
+def test_features_match_independent_formulas():
+    x = _sine(n=16000, rate=16000, freq=440.0, amp=0.5)
+    b = A.encode_wav16(x, 16000)
+    got = A.decode_wav_samples(b)
+    rms = float(np.sqrt(np.mean(got * got)))
+    # a full-period sine's RMS is amp/sqrt(2); quantization shifts it < 1e-4
+    assert abs(rms - 0.5 / math.sqrt(2)) < 1e-3
+    # 440 Hz over 1 s crosses zero ~2*440 times
+    crossings = (np.diff(np.signbit(got), axis=0) != 0).sum()
+    assert abs(crossings - 880) <= 4
+
+
+def test_decode_8bit_and_float32_paths():
+    # hand-built 8-bit unsigned PCM: values 0, 128, 255
+    def wav(fmt_code, bits, data, ch=1, rate=8000):
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * ch * bits // 8,
+                          ch * bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    got8 = A.decode_wav_samples(wav(1, 8, bytes([0, 128, 255])))
+    assert np.allclose(got8.ravel(), [(0 - 128) / 128, 0.0, (255 - 128) / 128])
+    f32 = np.array([-1.0, 0.25, 0.5], dtype="<f4").tobytes()
+    gotf = A.decode_wav_samples(wav(3, 32, f32))
+    assert np.allclose(gotf.ravel(), [-1.0, 0.25, 0.5])
+
+
+def test_never_raises_on_garbage():
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        b"", b"RIFF", b"RIFFxxxxWAVE", b"\x00" * 64,
+        A.encode_wav16(_sine(16), 8000)[:20],  # truncated mid-header
+        bytes(rng.randrange(256) for _ in range(200)),
+    ]
+    # unsupported codec (e.g. mp3-in-wav fmt code 85) -> honest None
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+    cases.append(b"RIFF" + struct.pack("<I", 28) + b"WAVE" + b"fmt "
+                 + struct.pack("<I", len(fmt)) + fmt)
+    for c in cases:
+        assert A.parse_wav_header(c) is None
+        assert A.decode_wav_samples(c) is None
+
+
+def test_spark_lanes_metadata_features_and_nulls(spark):
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    assets = A.id_to_wav_payload(docs, "doc_id")
+    meta = {r["asset_id"]: r.asDict() for r in A.audio_metadata(assets).collect()}
+    for i in range(40):
+        rate = 8000 + (i % 3) * 4000
+        n = 256 + (i % 512)
+        assert meta[i]["sample_rate"] == rate
+        assert meta[i]["n_channels"] == 1 + (i % 2)
+        assert meta[i]["bits"] == 16
+        assert meta[i]["n_frames"] == n
+        assert meta[i]["duration_ms"] == n * 1000.0 / rate
+    feats = {r["asset_id"]: r.asDict() for r in A.audio_features(assets).collect()}
+    for i in range(40):
+        amp = 0.1 + (i % 8) * 0.1
+        assert abs(feats[i]["rms"] - amp / math.sqrt(2)) < 0.02 * amp + 1e-3
+        assert feats[i]["peak"] <= amp + 1e-3
+    # NULL / garbage payloads -> NULL rows, never task failures
+    bad = spark.createDataFrame(
+        [(100, None), (101, bytearray(b"not a wav"))],
+        "asset_id long, payload binary",
+    )
+    rows = {r["asset_id"]: r.asDict() for r in A.audio_metadata(bad).collect()}
+    assert rows[100]["sample_rate"] is None and rows[101]["n_frames"] is None
+    frows = {r["asset_id"]: r.asDict() for r in A.audio_features(bad).collect()}
+    assert frows[100]["rms"] is None and frows[101]["rms"] is None

@@ -44,6 +44,7 @@ from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
     audio,
     bpe,
+    video,
     chunk,
     decontam,
     dedup,
@@ -1976,6 +1977,33 @@ FROM documents
 """
 
 
+def _multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 video lane (annex, EXACT oracle): REAL MJPEG-AVI fixtures
+    (operators/video.py id_to_avi_payload — container fields AND frame
+    pixels derived from doc_id by fixed arithmetic) pushed through the
+    full pipeline: RIFF/AVI chunk walk → '00dc' frame extraction → real
+    baseline-JPEG entropy decode (operators/jpeg.py) → per-frame pixel
+    means. The quality-100 flat-block construction makes the lossy codec
+    round-trip bit-exactly, so the DuckDB twin recomputes every frame's
+    mean from doc_id alone — a misparse at ANY stage (container, frame
+    split, huffman decode, IDCT) flips the hash."""
+    _prep(spark, sf_dir)
+    assets = video.id_to_avi_payload(spark.table("documents"), "doc_id")
+    return video.video_frame_stats(assets).select(
+        "asset_id", F.col("frame_index").cast("int").alias("frame_index"), "px_mean"
+    )
+
+
+MULTIMODAL_VIDEO_DUCK = """
+SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_index,
+       CAST(  (doc_id*31 + f*17) % 256
+            + (doc_id*31 + f*17 + 7) % 256
+            + (doc_id*31 + f*17 + 14) % 256
+            + (doc_id*31 + f*17 + 21) % 256 AS DOUBLE) / 4.0 AS px_mean
+FROM documents, UNNEST(range(2 + doc_id % 4)) AS t(f)
+"""
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     assets = multimodal.attach_fake_payload(spark.table("documents"), "doc_id", "text")
@@ -2379,6 +2407,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # sim_ivf_topk carries a recall-threshold oracle like sim_ann_topk.
         "multimodal_features": _multimodal_features,
         "multimodal_wav_meta": _multimodal_wav,
+        "multimodal_video_frames": _multimodal_video,
         "dedup_simhash_planted": _dedup_simhash,
         "text_fingerprint": _text_fingerprint,
         "sim_ivf_topk": _sim_ivf,
@@ -2436,6 +2465,7 @@ def pytest_only_oracles() -> dict[str, str]:
             200, "n_chars", "doc_id", seed="ws", select="t.doc_id, t.source"
         ),
         "multimodal_wav_meta": MULTIMODAL_WAV_DUCK,
+        "multimodal_video_frames": MULTIMODAL_VIDEO_DUCK,
     }
 
 

@@ -1,0 +1,236 @@
+"""AVI/MJPEG video lane for multimodal columns (SURVEY.md §2 C22).
+
+Completes the image/audio/video trio on the opaque-``binary``-column
+contract: a REAL RIFF/AVI container walk (nested LIST chunks, ``avih``
+main header, ``movi`` frame stream) and REAL per-frame pixel decode —
+'00dc' frame payloads are baseline JPEG, decoded by the repo's own
+from-scratch codec (operators/jpeg.py), so frame statistics flow from
+actual entropy-decoded pixels with no external library. Codecs the JPEG
+decoder doesn't cover (H.264/VP9/...) yield NULL frame stats honestly;
+the container metadata still parses. Published RIFF/AVI spec constants
+only; extension beyond the reference's surface (north star
+/root/repo/BASELINE.json).
+
+Scale shape mirrors audio.py: Arrow-batched ``mapInPandas`` over
+``spread()`` input; the frame lane emits one row per frame via the batch
+iterator (never materializing a corpus of frames driver-side); peak
+memory is one Arrow batch of assets per core.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .util import spread
+
+#: avih main header: 14 little-endian DWORDs (56 bytes)
+_AVIH_FMT = "<14I"
+
+
+def _riff_chunks(b: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, body) walking one chunk level;
+    LIST chunks surface their list type so callers can recurse."""
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body_start = pos + 8
+        body_end = min(body_start + clen, end)
+        if cid == b"LIST" and clen >= 4:
+            yield cid, b[body_start : body_start + 4], b[body_start + 4 : body_end]
+        else:
+            yield cid, None, b[body_start:body_end]
+        pos = body_start + clen + (clen & 1)  # word alignment
+
+
+def parse_avi_header(b: bytes) -> dict | None:
+    """Walk RIFF → LIST hdrl → ``avih`` and return ``{media_type, width,
+    height, n_frames, usec_per_frame, duration_ms}`` or ``None`` for
+    anything that is not a well-formed AVI. Never raises (same contract
+    as the image/audio header parsers)."""
+    try:
+        if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        for cid, ltype, body in _riff_chunks(b, 12, len(b)):
+            if cid == b"LIST" and ltype == b"hdrl":
+                for cid2, _lt2, body2 in _riff_chunks(body, 0, len(body)):
+                    if cid2 == b"avih" and len(body2) >= 56:
+                        v = struct.unpack(_AVIH_FMT, body2[:56])
+                        upf, n_frames, w, h = v[0], v[4], v[8], v[9]
+                        if upf < 1 or w < 1 or h < 1:
+                            return None
+                        return {
+                            "media_type": "video/avi",
+                            "width": w,
+                            "height": h,
+                            "n_frames": n_frames,
+                            "usec_per_frame": upf,
+                            # pinned order — the DuckDB oracle replays it
+                            "duration_ms": n_frames * upf / 1000.0,
+                        }
+        return None
+    except Exception:  # noqa: BLE001 — never-raise contract
+        return None
+
+
+def extract_frames(b: bytes) -> "list[bytes] | None":
+    """The compressed '00dc' frame payloads from LIST movi, in stream
+    order, or ``None`` when the container doesn't parse."""
+    if parse_avi_header(b) is None:
+        return None
+    try:
+        frames: list[bytes] = []
+        for cid, ltype, body in _riff_chunks(b, 12, len(b)):
+            if cid == b"LIST" and ltype == b"movi":
+                for cid2, _lt2, body2 in _riff_chunks(body, 0, len(body)):
+                    if cid2[2:4] == b"dc":
+                        frames.append(body2)
+        return frames
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def encode_mjpeg_avi(frames: "list[bytes]", w: int, h: int, fps: int) -> bytes:
+    """Minimal spec-shaped AVI writer around already-encoded JPEG frames
+    (fixture twin of the parser): RIFF(AVI ) → LIST hdrl (avih + LIST strl
+    with a 'vids'/'MJPG' strh + BITMAPINFOHEADER strf) → LIST movi of
+    '00dc' chunks."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    upf = 1_000_000 // fps
+    avih = struct.pack(
+        _AVIH_FMT, upf, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+                       0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+#: fixture geometry: each frame is FRAME_BLOCKS flat 8x8 grayscale blocks
+#: stacked vertically (width 8, height 8*FRAME_BLOCKS) — the quality-100
+#: flat-block trick from text_to_jpeg_payload makes the lossy codec
+#: round-trip EXACTLY, so frame pixel means admit an exact SQL oracle
+FRAME_BLOCKS = 4
+
+
+def id_to_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL (decodable) MJPEG-AVI fixtures — per id ``i``:
+    ``n_frames = 2 + i % 4``, ``fps = 10 + i % 3``, and frame ``f``'s four
+    block values are ``(i*31 + f*17 + j*7) % 256`` for ``j`` in 0..3 — so
+    an exact SQL oracle recomputes both the header fields and every
+    frame's pixel mean from the id alone."""
+    from .jpeg import encode_baseline_jpeg
+
+    ones = np.ones((8, 8), dtype=np.uint8)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n_frames, fps = 2 + (i % 4), 10 + (i % 3)
+                frames = []
+                for f in range(n_frames):
+                    vals = np.array(
+                        [(i * 31 + f * 17 + j * 7) % 256 for j in range(FRAME_BLOCKS)],
+                        dtype=np.uint8,
+                    )
+                    px = np.kron(vals.reshape(FRAME_BLOCKS, 1), ones)
+                    frames.append(encode_baseline_jpeg(px, quality=100))
+                payloads.append(encode_mjpeg_avi(frames, 8, 8 * FRAME_BLOCKS, fps))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "video/avi",
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        op, "asset_id long, media_type string, payload binary"
+    )
+
+
+_META_SCHEMA = (
+    "asset_id long, width int, height int, n_frames long, "
+    "usec_per_frame long, duration_ms double"
+)
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched container scan over (asset_id, payload): real avih
+    fields, NULL row (never a task failure) for undecodable payloads."""
+    _null = dict.fromkeys(
+        ["width", "height", "n_frames", "usec_per_frame", "duration_ms"]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _null if p is None else (parse_avi_header(bytes(p)) or _null)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    **{
+                        k: [m[k] for m in metas]
+                        for k in ("width", "height", "n_frames", "usec_per_frame",
+                                  "duration_ms")
+                    },
+                }
+            )
+
+    return spread(df.select("asset_id", "payload")).mapInPandas(op, _META_SCHEMA)
+
+
+_FRAME_SCHEMA = "asset_id long, frame_index int, px_mean double, px_std double"
+
+
+def video_frame_stats(df: DataFrame) -> DataFrame:
+    """REAL per-frame decode: extract '00dc' payloads, entropy-decode each
+    through the repo's JPEG codec, emit one row per frame with pixel
+    stats. Frames the codec can't decode yield NULL stats; undecodable
+    containers yield no rows (filter on ``video_metadata`` first to
+    census those)."""
+    from .jpeg import decode_jpeg_pixels
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means, stds = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                frames = None if p is None else extract_frames(bytes(p))
+                if not frames:
+                    continue
+                for fi, fb in enumerate(frames):
+                    try:
+                        px = decode_jpeg_pixels(fb)
+                    except Exception:  # noqa: BLE001
+                        px = None
+                    ids.append(aid)
+                    idxs.append(fi)
+                    means.append(None if px is None else float(np.asarray(px).mean()))
+                    stds.append(None if px is None else float(np.asarray(px).std()))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_index": idxs, "px_mean": means, "px_std": stds}
+            )
+
+    return spread(df.select("asset_id", "payload")).mapInPandas(op, _FRAME_SCHEMA)

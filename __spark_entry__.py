@@ -1808,6 +1808,24 @@ def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+_BUDGETS = {"en": 30_000, "zh": 10_000, "fr": 8_000}
+
+
+def _sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C43 (annex, EXACT oracle): deterministic token-budget curation
+    (operators/sampling.py token_budget_sample) — per language, keep
+    documents in md5-draw order until the domain's character budget fills
+    (the "N billion tokens per domain" pretraining-mix primitive, with
+    n_chars standing in for the token count). Unbudgeted languages drop
+    entirely; the DuckDB twin replays the identical draw order and
+    cumulative cutoff, so the kept SET matches exactly."""
+    _prep(spark, sf_dir)
+    return sampling.token_budget_sample(
+        spark.table("documents"), _BUDGETS, "n_chars", "lang", ["doc_id"],
+        seed="tb",
+    ).select("doc_id", "lang")
+
+
 def _dd_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C41 (annex, EXACT oracle): DDSketch quantiles
     (operators/sketch.py dd_sketch/dd_merge/dd_quantile) over events.value
@@ -2384,6 +2402,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_exact": _dedup_exact,
         "sample_mixture": _sample_mixture,
         "sample_weighted": _sample_weighted,
+        "sample_token_budget": _sample_token_budget,
         "semdedup_exact_vecs": _semdedup,
         "engine_txn_backend": _engine_txn,
         "bpe_tokenize": _bpe_tokenize,
@@ -2466,6 +2485,10 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "multimodal_wav_meta": MULTIMODAL_WAV_DUCK,
         "multimodal_video_frames": MULTIMODAL_VIDEO_DUCK,
+        "sample_token_budget": sampling.token_budget_sql(
+            _BUDGETS, "n_chars", "lang", "doc_id", seed="tb",
+            select="doc_id, lang",
+        ),
     }
 
 

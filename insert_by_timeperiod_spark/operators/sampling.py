@@ -303,6 +303,85 @@ def weighted_sample_sql(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str,
+    domain_col: str,
+    key_cols: list[str],
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic token-budget curation (SURVEY.md §2 C43): per domain,
+    keep documents in md5-draw order until the domain's TOKEN budget is
+    filled — the primitive behind "300 B web tokens + 50 B code tokens"
+    pretraining mixes, where the unit that matters is tokens, not rows
+    (mixture_sample's unit). A row is kept when its cumulative token count
+    INCLUDING itself fits the budget; the first over-budget document (and
+    everything after it in draw order) is dropped, so the kept set never
+    exceeds the budget and is identical on every run, partitioning, and
+    engine (``token_budget_sql`` replays it in DuckDB). Domains without a
+    budget are dropped; NULL token counts are dropped (no defined cost).
+
+    Scale shape: ONE shuffle by domain (the same Window-by-stratum cost as
+    ``stratified_sample``); the running sum is a window cumsum, no driver
+    state, no global sort. For corpus-dominating domains, hash-thin first
+    with ``hash_sample`` using the same seed — the thinned draw order is a
+    subsequence of the full one."""
+    if not budgets or any(b < 0 for b in budgets.values()):
+        raise ValueError(f"budgets must be non-negative, got {budgets}")
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(d, int(b)) for d, b in sorted(budgets.items())],
+        f"{domain_col} string, __budget bigint",
+    )
+    keys = [F.col(c) for c in key_cols]
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(_draw(seed, *keys), *keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cols = df.columns
+    return (
+        df.where(F.col(token_col).isNotNull())
+        .join(F.broadcast(bdf), domain_col, "inner")
+        .withColumn("__cum", F.sum(F.col(token_col).cast("bigint")).over(w))
+        .where(F.col("__cum") <= F.col("__budget"))
+        .select(*cols)
+    )
+
+
+def token_budget_sql(
+    budgets: dict[str, int],
+    token_sql: str,
+    domain_col: str,
+    key_sql: str,
+    *,
+    seed: str = "",
+    table: str = "documents",
+    select: str = "doc_id",
+) -> str:
+    """The DuckDB twin of ``token_budget_sample`` — identical draw order,
+    identical cumulative-sum-including-self cutoff. ``select`` uses bare
+    column names (it projects the post-cutoff CTE, not the base table)."""
+    rows = ", ".join(f"('{d}', {int(b)})" for d, b in sorted(budgets.items()))
+    draw = f"substr(md5(concat('{seed}', chr(31), {key_sql})), 1, 8)"
+    return f"""
+        WITH b(domain, budget) AS (VALUES {rows}),
+        c AS (
+          SELECT t.*, b.budget,
+                 SUM(CAST({token_sql} AS BIGINT)) OVER (
+                   PARTITION BY t.{domain_col}
+                   ORDER BY {draw}, {key_sql}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum
+          FROM {table} t JOIN b ON t.{domain_col} = b.domain
+          WHERE {token_sql} IS NOT NULL
+        )
+        SELECT {select} FROM c WHERE cum <= budget
+    """
+
+
 def sample_sql_predicate(
     frac: float, key_sql: str, *, seed: str = ""
 ) -> str:

@@ -410,3 +410,62 @@ def test_weighted_sample_sql_twin_matches_duck(spark, ids, duck):
     )
     want = {r[0] for r in duck.execute(twin).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C43: deterministic token-budget curation
+# ---------------------------------------------------------------------------
+
+def test_token_budget_respects_budgets_and_determinism(spark, ids):
+    df = ids.withColumn("dom", F.col("grp")).withColumn(
+        "toks", (F.col("id") % 90 + 10).cast("bigint")
+    )
+    budgets = {"0": 5000, "1": 800, "6": 0}
+    out = sampling.token_budget_sample(df, budgets, "toks", "dom", ["id"], seed="tb")
+    got = out.groupBy("dom").agg(
+        F.sum("toks").alias("t"), F.count("*").alias("n")
+    ).collect()
+    by = {r["dom"]: (r["t"], r["n"]) for r in got}
+    assert set(by) <= {"0", "1"}          # unbudgeted + zero-budget drop
+    assert by["0"][0] <= 5000 and by["1"][0] <= 800
+    assert by["0"][1] > by["1"][1] > 0    # budgets actually bind
+    # partition-invariant: identical kept set under a different layout
+    a = {r["id"] for r in out.collect()}
+    b = {
+        r["id"]
+        for r in sampling.token_budget_sample(
+            df.repartition(13), budgets, "toks", "dom", ["id"], seed="tb"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_token_budget_cutoff_is_cumulative_including_self(spark):
+    """With every row costing 10 and a budget of 25, draw order keeps
+    exactly the first two rows — the third's cumulative 30 > 25."""
+    df = spark.createDataFrame(
+        [(i, "d", 10) for i in range(5)], "id bigint, dom string, toks bigint"
+    )
+    out = sampling.token_budget_sample(df, {"d": 25}, "toks", "dom", ["id"], seed="x")
+    assert out.count() == 2
+
+
+def test_token_budget_sql_twin_matches_duck(spark, ids, duck):
+    df = ids.withColumn("dom", F.col("grp")).withColumn(
+        "toks", (F.col("id") % 90 + 10).cast("bigint")
+    )
+    budgets = {"2": 3000, "3": 1200}
+    got = {
+        r["id"]
+        for r in sampling.token_budget_sample(
+            df, budgets, "toks", "dom", ["id"], seed="tw"
+        ).collect()
+    }
+    twin = sampling.token_budget_sql(
+        budgets, "toks", "dom", "id", seed="tw",
+        table=("(SELECT range AS id, CAST(range % 7 AS VARCHAR) AS dom, "
+               "CAST(range % 90 + 10 AS BIGINT) AS toks FROM range(0, 20000))"),
+        select="id",
+    )
+    want = {r[0] for r in duck.execute(twin).fetchall()}
+    assert got == want

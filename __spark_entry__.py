@@ -44,6 +44,7 @@ from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
     audio,
     bpe,
+    expect,
     video,
     chunk,
     decontam,
@@ -1808,6 +1809,43 @@ def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def _order_checks() -> list:
+    return [
+        expect.not_null("o_orderkey"),
+        expect.unique("o_orderkey"),
+        expect.accepted_values(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ),
+        expect.in_range("o_totalprice", 0.0, 1e9),
+    ]
+
+
+def _quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C44 (annex, EXACT oracle): declarative data-quality
+    expectations (operators/expect.py) — the dbt schema-test analogue
+    (not_null / unique / accepted_values / range / relationships) the
+    reference's dbt users expect, compiled into ONE aggregate pass plus a
+    broadcast anti-join for the referential check. The DuckDB twin runs
+    the identical aggregate expressions, so the (check, violations,
+    passed) rows match value-for-value."""
+    _prep(spark, sf_dir)
+    orders = spark.table("orders")
+    base = expect.run_checks(orders, _order_checks())
+    rel = expect.relationships(
+        orders, "o_custkey", spark.table("customer"), "c_custkey"
+    )
+    return base.unionByName(rel)
+
+
+def _quality_checks_duck() -> str:
+    return (
+        expect.checks_sql(_order_checks(), "orders")
+        + "\nUNION ALL\n"
+        + expect.relationships_sql("o_custkey", "orders", "c_custkey", "customer")
+    )
+
+
 _BUDGETS = {"en": 30_000, "zh": 10_000, "fr": 8_000}
 
 
@@ -2403,6 +2441,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_mixture": _sample_mixture,
         "sample_weighted": _sample_weighted,
         "sample_token_budget": _sample_token_budget,
+        "quality_checks_orders": _quality_checks,
         "semdedup_exact_vecs": _semdedup,
         "engine_txn_backend": _engine_txn,
         "bpe_tokenize": _bpe_tokenize,
@@ -2489,6 +2528,7 @@ def pytest_only_oracles() -> dict[str, str]:
             _BUDGETS, "n_chars", "lang", "doc_id", seed="tb",
             select="doc_id, lang",
         ),
+        "quality_checks_orders": _quality_checks_duck(),
     }
 
 

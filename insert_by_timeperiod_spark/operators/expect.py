@@ -1,0 +1,154 @@
+"""Declarative data-quality expectations (SURVEY.md §2 C44).
+
+The reference ships as a dbt package, and dbt users validate materialized
+tables with schema tests (``not_null`` / ``unique`` / ``accepted_values``
+/ ``relationships``). The reference repo itself carries none (4 macros,
+no schema.yml), so this is the north-star analogue a user switching from
+that ecosystem expects: the same four check families plus range checks,
+compiled Spark-first.
+
+Scale shape: every check is an AGGREGATE EXPRESSION, and ``run_checks``
+folds all of them into ONE pass over the table — one scan, map-side
+partial aggregation, a single 1-row result unpivoted to (check,
+violations, passed) rows. ``unique`` counts ``COUNT(col) - COUNT(DISTINCT
+col)`` instead of materializing duplicate groups; ``relationships`` is
+the one exception that needs a join (broadcast when the reference side is
+a dimension). No driver loops, no per-check scans — checking 50
+expectations on a 100 TB table costs the same scan as checking one.
+
+``checks_sql`` emits the DuckDB twin (identical expressions, UNION ALL
+unpivot) for the oracle battery.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation: ``name`` labels the output row, ``sql`` is the
+    ANSI aggregate for the DuckDB twin, and ``violations`` builds the
+    identical aggregate Column counting offending rows. The Column is
+    LAZY (a factory, materialized per use) so check lists — and their SQL
+    twins — can be declared before any SparkSession exists."""
+
+    name: str
+    sql: str = field(compare=False)
+    _make: Callable[[], Column] = field(compare=False)
+
+    @property
+    def violations(self) -> Column:
+        return self._make()
+
+
+def not_null(col: str) -> Check:
+    return Check(
+        f"not_null:{col}",
+        f"COUNT(*) FILTER ({col} IS NULL)",
+        lambda: F.count_if(F.col(col).isNull()),
+    )
+
+
+def unique(col: str) -> Check:
+    """Duplicate-row count as COUNT(col) - COUNT(DISTINCT col): exact, one
+    aggregate, no duplicate-group materialization. NULLs are ignored
+    (match dbt's ``unique``: NULL is not a value that can collide)."""
+    return Check(
+        f"unique:{col}",
+        f"COUNT({col}) - COUNT(DISTINCT {col})",
+        lambda: F.count(F.col(col)) - F.count_distinct(F.col(col)),
+    )
+
+
+def accepted_values(col: str, values: list[str]) -> Check:
+    lits = ", ".join(f"'{v}'" for v in sorted(values))
+    return Check(
+        f"accepted_values:{col}",
+        f"COUNT(*) FILTER ({col} IS NOT NULL AND {col} NOT IN ({lits}))",
+        lambda: F.count_if(F.col(col).isNotNull() & ~F.col(col).isin(list(values))),
+    )
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    return Check(
+        f"in_range:{col}",
+        f"COUNT(*) FILTER ({col} IS NOT NULL AND {col} NOT BETWEEN {lo!r} AND {hi!r})",
+        lambda: F.count_if(
+            F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
+        ),
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """ALL checks in one aggregate pass; returns (check, violations,
+    passed) — one row per check, deterministic order by name."""
+    if not checks:
+        raise ValueError("no checks given")
+    agg = df.agg(*[c.violations.cast("bigint").alias(c.name) for c in checks])
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.col(f"`{c.name}`").alias("violations"),
+            )
+            for c in sorted(checks, key=lambda c: c.name)
+        ]
+    )
+    return (
+        agg.select(F.explode(pairs).alias("_c"))
+        .select(
+            F.col("_c.check").alias("check"),
+            F.col("_c.violations").alias("violations"),
+            (F.col("_c.violations") == 0).alias("passed"),
+        )
+    )
+
+
+def relationships(
+    df: DataFrame, col: str, ref: DataFrame, ref_col: str
+) -> DataFrame:
+    """dbt ``relationships``: count child values missing from the parent —
+    a broadcast-friendly left-anti join, reported in the same (check,
+    violations, passed) shape so it unions with ``run_checks`` output."""
+    missing = (
+        df.where(F.col(col).isNotNull())
+        .join(
+            F.broadcast(ref.select(F.col(ref_col).alias(col)).distinct()),
+            col,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+    )
+    return missing.select(
+        F.lit(f"relationships:{col}").alias("check"),
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def checks_sql(checks: list[Check], table: str) -> str:
+    """DuckDB twin of ``run_checks``: the identical aggregate expressions
+    over one scan, unpivoted via UNION ALL over the single-row CTE."""
+    aggs = ", ".join(f'{c.sql} AS "{c.name}"' for c in checks)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c.name}' AS check, CAST(\"{c.name}\" AS BIGINT) AS violations, "
+        f'"{c.name}" = 0 AS passed FROM a'
+        for c in sorted(checks, key=lambda c: c.name)
+    )
+    return f"WITH a AS (SELECT {aggs} FROM {table})\n{arms}"
+
+
+def relationships_sql(col: str, table: str, ref_col: str, ref_table: str) -> str:
+    return f"""
+        SELECT 'relationships:{col}' AS check,
+               CAST(COUNT(*) FILTER (r.{ref_col} IS NULL) AS BIGINT) AS violations,
+               COUNT(*) FILTER (r.{ref_col} IS NULL) = 0 AS passed
+        FROM {table} t
+        LEFT JOIN (SELECT DISTINCT {ref_col} FROM {ref_table}) r
+          ON t.{col} = r.{ref_col}
+        WHERE t.{col} IS NOT NULL
+    """

@@ -1,0 +1,73 @@
+"""Declarative data-quality expectations (C44): one-pass aggregate
+compilation, per-family semantics, plan pin, SQL-twin parity."""
+
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import expect as E
+
+
+def _df(spark):
+    rows = [
+        (1, "a", 10.0, 100),
+        (2, "b", -5.0, 100),   # in_range violation
+        (2, "a", 20.0, 200),   # duplicate id
+        (None, "zzz", 30.0, 999),  # null id + bad value + dangling ref
+    ]
+    return spark.createDataFrame(rows, "id bigint, v string, x double, ref bigint")
+
+
+def test_check_families_count_violations_exactly(spark):
+    df = _df(spark)
+    out = {
+        r["check"]: (r["violations"], r["passed"])
+        for r in E.run_checks(
+            df,
+            [
+                E.not_null("id"),
+                E.unique("id"),
+                E.accepted_values("v", ["a", "b"]),
+                E.in_range("x", 0.0, 25.0),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "not_null:id": (1, False),
+        "unique:id": (1, False),          # {1,2,2} -> 3 non-null, 2 distinct
+        "accepted_values:v": (1, False),  # 'zzz'
+        "in_range:x": (2, False),         # -5 and 30
+    }
+    ref = spark.createDataFrame([(100,), (200,)], "k bigint")
+    rel = E.relationships(df, "ref", ref, "k").collect()[0]
+    assert rel["check"] == "relationships:ref"
+    assert rel["violations"] == 1 and not rel["passed"]  # 999 dangles
+
+
+def test_all_checks_pass_on_clean_data(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    out = E.run_checks(
+        df, [E.not_null("id"), E.unique("id"), E.accepted_values("v", ["a", "b"])]
+    ).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in out)
+
+
+def test_run_checks_is_one_scan(spark, views):
+    """50 expectations must not mean 50 scans: the compiled plan reads the
+    table ONCE (one scan node, no union of per-check subplans)."""
+    orders = spark.table("orders")
+    checks = [E.not_null(c) for c in orders.columns] + [
+        E.in_range("o_totalprice", 0.0, 1e9)
+    ]
+    plan = E.run_checks(orders, checks)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:800]
+
+
+def test_sql_twin_matches_duck(spark, views, duck):
+    from conftest import assert_df_matches_duck
+
+    checks = [
+        E.not_null("o_orderkey"),
+        E.unique("o_orderkey"),
+        E.in_range("o_totalprice", 0.0, 1e9),
+    ]
+    got = E.run_checks(spark.table("orders"), checks)
+    assert_df_matches_duck(got, duck, E.checks_sql(checks, "orders"))

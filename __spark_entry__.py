@@ -299,6 +299,30 @@ def _engine_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table.read()
 
 
+def _txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 time travel (annex, EXACT oracle): build [Jan 1, Jan 15) on the
+    commit-log backend, record the snapshot version, continue the build to
+    Feb 1, then read the FIRST snapshot back (txnlog.py read(version=...)).
+    The oracle is the unchunked SQL restricted to the first window — a
+    time-travel read that leaks any later commit (or loses one of its own)
+    mismatches on rows or hash."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_tt_"), "t")
+    cfg = IBTPConfig(
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=7,
+    )
+    eng = InsertByTimeperiod(
+        spark, MODEL_DAILY, cfg, tgt, count_rows=False, table_factory=TxnLogTable
+    )
+    eng.run(RunVars(stop_date="2024-01-15"))
+    v = eng.table.version()
+    eng.run(RunVars())
+    return eng.table.read(version=v)
+
+
 def _engine_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15: new column appears mid-run under on_schema_change=append_new_columns;
     old periods read NULL for it (sidecar-schema read semantics)."""
@@ -2444,6 +2468,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "quality_checks_orders": _quality_checks,
         "semdedup_exact_vecs": _semdedup,
         "engine_txn_backend": _engine_txn,
+        "txnlog_time_travel": _txn_time_travel,
         "bpe_tokenize": _bpe_tokenize,
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
@@ -2492,6 +2517,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "semdedup_exact_vecs": SEMDEDUP_DUCK,
         "engine_txn_backend": ORACLE_DAILY.format(start=START, stop=STOP),
+        "txnlog_time_travel": ORACLE_DAILY.format(start=START, stop="2024-01-15"),
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
         "cm_topk_words": CM_TOPK_DUCK,
         "dd_latency_quantiles": _dd_latency_duck(),

@@ -71,3 +71,38 @@ def test_sql_twin_matches_duck(spark, views, duck):
     ]
     got = E.run_checks(spark.table("orders"), checks)
     assert_df_matches_duck(got, duck, E.checks_sql(checks, "orders"))
+
+
+def test_expectations_as_engine_post_hook(spark, views, tmp_path):
+    """C44 composes with the engine's A19 hook contract: a post_run hook
+    validates the freshly materialized table in one aggregate pass and
+    raises on violations — the dbt 'run then test' loop in one engine
+    invocation."""
+    import os
+
+    from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
+
+    MODEL = """
+    SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    GROUP BY user_id, CAST(ts AS DATE)
+    """
+    tgt = os.path.join(str(tmp_path), "t")
+    eng = InsertByTimeperiod(
+        spark, MODEL,
+        IBTPConfig(timestamp_field="event_date", period="week",
+                   start_date="2024-01-01", stop_date="2024-01-15"),
+        tgt, count_rows=False,
+    )
+    failed: list = []
+    eng.post_run = lambda: failed.extend(
+        r["check"]
+        for r in E.run_checks(
+            eng.table.read(),
+            [E.not_null("user_id"), E.not_null("event_date"), E.in_range("n", 1, 10**9)],
+        ).collect()
+        if not r["passed"]
+    )
+    eng.run(RunVars())
+    assert failed == []

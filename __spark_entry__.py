@@ -1870,6 +1870,18 @@ def _quality_checks_duck() -> str:
     )
 
 
+def _corpus_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C45 (annex, EXACT oracle): deterministic corpus sharding +
+    intra-shard ordering (operators/sampling.py shard_and_order) — the
+    'shuffle the corpus once, stream shards in order' training-data
+    layout. Pure integer draw/shift arithmetic, so the DuckDB twin
+    reproduces the full (shard, pos) total order exactly."""
+    _prep(spark, sf_dir)
+    return sampling.shard_and_order(
+        spark.table("documents").select("doc_id"), 8, ["doc_id"], seed="so"
+    )
+
+
 _BUDGETS = {"en": 30_000, "zh": 10_000, "fr": 8_000}
 
 
@@ -2466,6 +2478,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_weighted": _sample_weighted,
         "sample_token_budget": _sample_token_budget,
         "quality_checks_orders": _quality_checks,
+        "corpus_shard_order": _corpus_shard_order,
         "semdedup_exact_vecs": _semdedup,
         "engine_txn_backend": _engine_txn,
         "txnlog_time_travel": _txn_time_travel,
@@ -2555,6 +2568,9 @@ def pytest_only_oracles() -> dict[str, str]:
             select="doc_id, lang",
         ),
         "quality_checks_orders": _quality_checks_duck(),
+        "corpus_shard_order": sampling.shard_and_order_sql(
+            8, "doc_id", seed="so", select="t.doc_id"
+        ),
     }
 
 

@@ -382,6 +382,72 @@ def token_budget_sql(
     """
 
 
+def shard_and_order(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: list[str],
+    *,
+    seed: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training-data layout
+    (SURVEY.md §2 C45): give every example a uniform position derived from
+    its OWN key (the md5-prefix draw), split into ``n_shards`` by the
+    draw's top bits, and number examples within each shard in draw order —
+    a total order ``(shard, pos)`` that is bit-identical on every run,
+    partitioning, and engine. This is the "shuffle the corpus once, then
+    stream shards in order" layout pretraining data loaders want, without
+    ``repartitionByRange`` (whose sampled boundaries change run to run) or
+    ``rand()`` (plan-dependent) or a single-node global sort.
+
+    Plan shape: the draw + shard are scan-stage expressions; the only
+    shuffle is ONE hash partition by shard, with the per-shard ordering a
+    window sort inside each partition (shards are the parallelism unit —
+    size ``n_shards`` to your reader fleet). Appending a new batch with
+    the same seed leaves every existing example's shard (though not its
+    intra-shard pos) unchanged.
+
+    Integer math is exact and engine-portable: the 32-bit draw ``v`` maps
+    to ``(v * n_shards) >> 32`` — pure integer ops, products far under
+    2^63, no floating point anywhere in the layout.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keys = [F.col(c) for c in key_cols]
+    hexdraw = _draw(seed, *keys)
+    v = F.conv(hexdraw, 16, 10).cast("bigint")
+    shard = F.shiftright(v * F.lit(n_shards), 32).cast("bigint")
+    w = Window.partitionBy(shard).orderBy(hexdraw, *keys)
+    return df.withColumn(shard_col, shard).withColumn(
+        pos_col, F.row_number().over(w).cast("bigint")
+    )
+
+
+def shard_and_order_sql(
+    n_shards: int,
+    key_sql: str,
+    *,
+    seed: str = "",
+    table: str = "documents",
+    select: str = "t.*",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> str:
+    """The DuckDB twin of ``shard_and_order`` — identical draw, shard
+    arithmetic, and intra-shard ordering."""
+    draw = f"substr(md5(concat('{seed}', chr(31), {key_sql})), 1, 8)"
+    v = f"CAST(('0x' || {draw}) AS BIGINT)"
+    shard = f"CAST(({v} * {n_shards}) >> 32 AS BIGINT)"
+    return f"""
+        SELECT {select}, {shard} AS {shard_col},
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY {shard} ORDER BY {draw}, {key_sql}
+               ) AS BIGINT) AS {pos_col}
+        FROM {table} t
+    """
+
+
 def sample_sql_predicate(
     frac: float, key_sql: str, *, seed: str = ""
 ) -> str:

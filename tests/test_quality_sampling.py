@@ -469,3 +469,59 @@ def test_token_budget_sql_twin_matches_duck(spark, ids, duck):
     )
     want = {r[0] for r in duck.execute(twin).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C45: deterministic corpus sharding + intra-shard ordering
+# ---------------------------------------------------------------------------
+
+def test_shard_and_order_total_order_and_determinism(spark, ids):
+    out = sampling.shard_and_order(ids.select("id"), 16, ["id"], seed="so")
+    rows = out.collect()
+    assert len(rows) == 20000
+    # (shard, pos) is a total order: unique pairs, pos contiguous from 1
+    pairs = {(r["shard"], r["pos"]) for r in rows}
+    assert len(pairs) == 20000
+    from collections import Counter
+
+    per = Counter(r["shard"] for r in rows)
+    assert set(per) == set(range(16))
+    for s, n in per.items():
+        assert {p for sh, p in pairs if sh == s} == set(range(1, n + 1))
+    # roughly uniform shards (md5 draw): within 20% of n/16
+    assert all(abs(n - 1250) < 250 for n in per.values()), per
+    # identical layout under a different input partitioning
+    again = {
+        (r["id"], r["shard"], r["pos"])
+        for r in sampling.shard_and_order(
+            ids.select("id").repartition(13), 16, ["id"], seed="so"
+        ).collect()
+    }
+    assert again == {(r["id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_shard_and_order_appends_keep_shards_stable(spark, ids):
+    """New data never moves an existing example's shard (the draw depends
+    only on the row's own key)."""
+    first = sampling.shard_and_order(
+        ids.where("id < 10000").select("id"), 8, ["id"], seed="s"
+    )
+    both = sampling.shard_and_order(ids.select("id"), 8, ["id"], seed="s")
+    a = {r["id"]: r["shard"] for r in first.collect()}
+    b = {r["id"]: r["shard"] for r in both.collect()}
+    assert all(b[i] == s for i, s in a.items())
+
+
+def test_shard_and_order_sql_twin_matches_duck(spark, ids, duck):
+    got = sorted(
+        tuple(r)
+        for r in sampling.shard_and_order(
+            ids.select("id"), 8, ["id"], seed="tw"
+        ).collect()
+    )
+    twin = sampling.shard_and_order_sql(
+        8, "id", seed="tw",
+        table="(SELECT range AS id FROM range(0, 20000))", select="t.id",
+    )
+    want = sorted(tuple(r) for r in duck.execute(twin).fetchall())
+    assert got == want

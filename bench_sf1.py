@@ -64,6 +64,10 @@ QUERIES = [
     "pipeline_curate",
     "pack_concat_chunk",
     "sample_mixture",
+    "sample_weighted",
+    "sample_token_budget",
+    "corpus_shard_order",
+    "quality_checks_orders",
     "chunk_documents",
     "dedup_incremental",
     # the txn row materializes a 3-run lifecycle (interrupted + resume +

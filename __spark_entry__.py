@@ -1981,6 +1981,26 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def _recall_row(ann, exact) -> DataFrame:
+    """Shared quantitative-ANN check row: recall of ``ann`` against the
+    ``exact`` top-k, one row (n_queries, k=3, recall_ok >= 0.5) matching
+    SIM_ANN_DUCK. recall = |ann ∩ exact| / |exact|; the left join from the
+    exact side means ANN extras can't inflate it."""
+    joined = exact.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.lit(3).cast("bigint").alias("k"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+            >= F.lit(0.5)
+        ).alias("recall_ok"),
+    )
+
+
 def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C20 ANN lane, recorded QUANTITATIVELY: multi-table LSH top-k recall
     vs exact brute force, computed in-plan and returned as the row's value
@@ -1993,22 +2013,9 @@ def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     embs = spark.table("embeddings")
     qs = embs.where("vec_id < 10")
-    ann = similarity.lsh_topk(embs, qs, k=3, dim=64).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    exact = similarity.brute_force_topk(embs, qs, k=3).select(
-        "query_id", "neighbor_id"
-    )
-    # recall = |ANN ∩ exact| / |exact|; left join from the exact side so
-    # ANN extras can't inflate it
-    joined = exact.join(ann, ["query_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-        F.lit(3).cast("bigint").alias("k"),
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
-            >= F.lit(0.5)
-        ).alias("recall_ok"),
+    return _recall_row(
+        similarity.lsh_topk(embs, qs, k=3, dim=64),
+        similarity.brute_force_topk(embs, qs, k=3),
     )
 
 
@@ -2026,20 +2033,9 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     embs = spark.table("embeddings")
     qs = embs.where("vec_id < 10")
-    ann = similarity.ivf_topk(embs, qs, k=3, k_cells=32, nprobe=8).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    exact = similarity.brute_force_topk(embs, qs, k=3).select(
-        "query_id", "neighbor_id"
-    )
-    joined = exact.join(ann, ["query_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-        F.lit(3).cast("bigint").alias("k"),
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
-            >= F.lit(0.5)
-        ).alias("recall_ok"),
+    return _recall_row(
+        similarity.ivf_topk(embs, qs, k=3, k_cells=32, nprobe=8),
+        similarity.brute_force_topk(embs, qs, k=3),
     )
 
 

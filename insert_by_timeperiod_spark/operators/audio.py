@@ -83,13 +83,13 @@ def parse_wav_header(b: bytes) -> dict | None:
         return None
 
 
-def decode_wav_samples(b: bytes) -> "np.ndarray | None":
-    """Decode PCM/float WAV to a ``(n_frames, n_channels)`` float64 array
-    in [-1, 1]. int16/int32 divide by 2^(bits-1); 8-bit WAV is unsigned
-    (offset 128). Returns ``None`` where the header parser does."""
+def _decode_with_meta(b: bytes) -> "tuple[np.ndarray | None, dict | None]":
+    """One header parse + ONE chunk walk shared by the sample decode and
+    the feature lane (three walks per asset otherwise — real money on a
+    corpus-wide Arrow scan). Returns (samples, meta) or (None, None)."""
     meta = parse_wav_header(b)
     if meta is None:
-        return None
+        return None, None
     try:
         pos = 12
         raw = None
@@ -113,9 +113,16 @@ def decode_wav_samples(b: bytes) -> "np.ndarray | None":
             x = np.frombuffer(raw, dtype=_PCM_DTYPES[bits], count=n).astype(
                 np.float64
             ) / float(1 << (bits - 1))
-        return x.reshape(meta["n_frames"], ch)
+        return x.reshape(meta["n_frames"], ch), meta
     except Exception:  # noqa: BLE001
-        return None
+        return None, None
+
+
+def decode_wav_samples(b: bytes) -> "np.ndarray | None":
+    """Decode PCM/float WAV to a ``(n_frames, n_channels)`` float64 array
+    in [-1, 1]. int16/int32 divide by 2^(bits-1); 8-bit WAV is unsigned
+    (offset 128). Returns ``None`` where the header parser does."""
+    return _decode_with_meta(b)[0]
 
 
 def encode_wav16(samples: "np.ndarray", rate: int) -> bytes:
@@ -223,12 +230,11 @@ def audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in ("duration_s", "rms", "peak", "zero_cross_rate")}
             for p in pdf["payload"]:
-                x = None if p is None else decode_wav_samples(bytes(p))
+                x, meta = (None, None) if p is None else _decode_with_meta(bytes(p))
                 if x is None or x.size == 0:
                     for k in rows:
                         rows[k].append(None)
                     continue
-                meta = parse_wav_header(bytes(p))
                 dur = meta["n_frames"] / meta["sample_rate"]
                 crossings = (np.diff(np.signbit(x, out=None), axis=0) != 0).sum()
                 rows["duration_s"].append(dur)

@@ -431,29 +431,48 @@ def minhash_lsh_pairs(
     # sorted array, so worst-case work stays O(buckets * cap^2). The
     # pair-combination lambdas run interpreted (HOFs never enter codegen)
     # but only over <= cap-element arrays of longs, never over the corpus.
-    wb = Window.partitionBy("band", "bucket")
-    bounded = banded.withColumn("_n", F.count(F.lit(1)).over(wb)).where(
-        F.col("_n") >= 2
-    )
-    if max_bucket_size is not None:
-        bounded = bounded.where(F.col("_n") <= max_bucket_size)
-    grouped = bounded.groupBy("band", "bucket").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    if max_bucket_size is None:
+        # cap disabled: fall back to the streaming bucket self-join — the
+        # work is still quadratic per degenerate bucket (the caller asked
+        # for that), but the MEMORY stays bounded; the array form below
+        # would build an O(n²) pair array inside a single row and blow the
+        # JVM array limit on a multi-million-doc bucket
+        left, right = banded.alias("a"), banded.alias("b")
+        cand = (
+            left.join(
+                right,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-    )
-    cand = (
-        grouped.select(F.explode(pair_arr).alias("_p"))
-        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        wb = Window.partitionBy("band", "bucket")
+        bounded = banded.withColumn("_n", F.count(F.lit(1)).over(wb)).where(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
+        )
+        grouped = bounded.groupBy("band", "bucket").agg(
+            F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        cand = (
+            grouped.select(F.explode(pair_arr).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     # two-stage verify, both joined back BY ID so the banding shuffle never
     # carries arrays: (1) CHEAP prefilter on signature agreement (64 longs;
@@ -763,12 +782,61 @@ def ngram_jaccard_pairs(
 # incremental exact dedup against a persistent digest state (C36)
 # ---------------------------------------------------------------------------
 
+#: digest-state layout sidecar (next to the parquet files): records whether
+#: the state was created bucketed and with how many buckets, making the
+#: layout genuinely sticky across sessions — mixing bucketed and plain
+#: reads/writes over one state corrupts it (Spark raises
+#: INVALID_BUCKET_FILE reading plain files through a bucket spec, and
+#: silently mis-buckets the reverse), so the mode is validated up front.
+_STATE_META = "_ibtp_state_meta.json"
+
+
+def _read_state_meta(fs, state_path: str) -> dict | None:
+    import json
+
+    p = f"{state_path}/{_STATE_META}"
+    if not fs.exists(p):
+        return None
+    return json.loads(fs.read_text(p))
+
+
+def _write_state_meta(fs, state_path: str, buckets: int | None) -> None:
+    import json
+
+    fs.write_text_atomic(f"{state_path}/{_STATE_META}", json.dumps({"buckets": buckets}))
+
+
+def _resolve_state_buckets(
+    fs, state_path: str, requested: int | None, state_exists: bool
+) -> int | None:
+    """The layout recorded at creation WINS (sticky); a layout-less legacy
+    state is plain. Asking for a bucketed read of a plain state (or vice
+    versa) is an error, not a corruption."""
+    if not state_exists:
+        return requested
+    meta = _read_state_meta(fs, state_path)
+    actual = meta["buckets"] if meta is not None else None
+    if requested is not None and actual is None:
+        raise ValueError(
+            f"digest state at {state_path} was created UNBUCKETED; reading it "
+            f"with state_buckets={requested} would raise INVALID_BUCKET_FILE. "
+            "Rebuild the state bucketed (or drop state_buckets)."
+        )
+    if requested is not None and actual != requested:
+        log.warning(
+            "digest state at %s is bucketed with %d buckets; ignoring "
+            "state_buckets=%d (the layout is sticky)", state_path, actual, requested
+        )
+    return actual if actual is not None else None
+
+
 def _bucketed_state_table(spark, state_path: str, num_buckets: int) -> str:
     """Resolve (and if needed re-register) the EXTERNAL bucketed catalog
     table for a digest-state path. Bucket metadata lives in the session
-    catalog; the files live at ``state_path`` — so a fresh session over an
-    existing state re-creates the catalog entry and the reader still sees
-    bucketed scans (no Hive metastore required)."""
+    catalog; the files live at ``state_path`` with the layout recorded in
+    the ``_ibtp_state_meta.json`` sidecar — so a fresh session over an
+    existing state re-creates the catalog entry with the ORIGINAL bucket
+    count (no Hive metastore required)."""
     import hashlib
 
     name = "ibtp_dedup_state_" + hashlib.md5(state_path.encode()).hexdigest()[:12]
@@ -835,6 +903,11 @@ def incremental_exact_dedup(
     )
     from ..fs import HadoopFS
 
+    fs = HadoopFS(spark, state_path)
+    state_exists = fs.exists(state_path)
+    # the recorded layout wins: a state is bucketed-or-plain FOREVER, and
+    # mixing modes is rejected here instead of corrupting the files
+    state_buckets = _resolve_state_buckets(fs, state_path, state_buckets, state_exists)
     table = (
         _bucketed_state_table(spark, state_path, state_buckets)
         if state_buckets is not None
@@ -843,7 +916,7 @@ def incremental_exact_dedup(
     if table is not None and spark.catalog.tableExists(table):
         state = spark.table(table)
         novel_keys = batch_keep.join(state, "_h", "left_anti")
-    elif table is None and HadoopFS(spark, state_path).exists(state_path):
+    elif table is None and state_exists:
         state = spark.read.parquet(state_path).select("_h")
         novel_keys = batch_keep.join(state, "_h", "left_anti")
     else:  # first run: no state yet
@@ -863,4 +936,13 @@ def incremental_exact_dedup(
             ).option("path", state_path).saveAsTable(table)
         else:
             novel.write.mode("append").parquet(state_path)
+        if not state_exists:
+            # record the layout at creation — the sidecar makes
+            # state_buckets sticky across sessions and lets later calls
+            # reject a mode mix before it corrupts the files. Written
+            # AFTER the first data write (table creation cleans the
+            # directory); a crash in between leaves a meta-less state,
+            # which later bucketed calls REFUSE (safe, rebuildable) rather
+            # than misread.
+            _write_state_meta(fs, state_path, state_buckets)
     return new_df.join(novel.select(id_col), id_col, "left_semi")

@@ -65,7 +65,13 @@ def unique(col: str) -> Check:
 
 
 def accepted_values(col: str, values: list[str]) -> Check:
-    lits = ", ".join(f"'{v}'" for v in sorted(values))
+    if not values:
+        # Spark's isin([]) would quietly count every non-NULL row while the
+        # SQL twin's IN () is a parse error — reject the meaningless check
+        raise ValueError(f"accepted_values({col!r}): empty values list")
+    # SQL-escape by doubling quotes so values like O'Brien keep the twin
+    # parseable and semantically identical to the Spark side
+    lits = ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(values))
     return Check(
         f"accepted_values:{col}",
         f"COUNT(*) FILTER ({col} IS NOT NULL AND {col} NOT IN ({lits}))",
@@ -88,6 +94,13 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     passed) — one row per check, deterministic order by name."""
     if not checks:
         raise ValueError("no checks given")
+    names = [c.name for c in checks]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # duplicate names would alias two aggregate columns identically and
+        # the unpivot's column reference becomes AMBIGUOUS_REFERENCE — fail
+        # with the actual problem instead
+        raise ValueError(f"duplicate check names: {dupes}")
     agg = df.agg(*[c.violations.cast("bigint").alias(c.name) for c in checks])
     pairs = F.array(
         *[

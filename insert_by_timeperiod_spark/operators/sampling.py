@@ -46,6 +46,19 @@ def _draw(seed: str, *key_cols: Column) -> Column:
     )
 
 
+def _guard_reserved(df: DataFrame, names: list[str], op: str) -> None:
+    """Temp/output column collision guard. Spark resolves column names
+    case-insensitively by default, so a user column ``__K`` would be
+    silently replaced by a temp ``__k`` and then dropped — reject instead."""
+    have = {c.lower() for c in df.columns}
+    hit = sorted(n for n in names if n.lower() in have)
+    if hit:
+        raise ValueError(
+            f"{op}: input already has column(s) {hit} (reserved by this "
+            "operator) — rename them first"
+        )
+
+
 def _hex_threshold(frac: float) -> str:
     """frac in [0,1] -> the 8-hex-char cutoff: floor(frac * 2^32)."""
     if not 0.0 <= frac <= 1.0:
@@ -121,6 +134,7 @@ def stratified_sample(
     survivors (e.g. pre_frac=0.01 on a 10M-row stratum still leaves ~100k
     candidates for a top-1000 sample), while the rank shuffle moves ~1 % of
     the corpus instead of all of it."""
+    _guard_reserved(df, ["__rk"], "stratified_sample")
     if pre_frac is not None:
         df = hash_sample(df, pre_frac, key_cols, seed=seed)
     keys = [F.col(c) for c in key_cols]
@@ -160,6 +174,7 @@ def mixture_sample(
     engines so IEEE doubles agree bit-for-bit; ``mixture_sql`` emits the
     DuckDB twin used by the oracle battery."""
     weights = _normalize_weights(weights)
+    _guard_reserved(df, ["__w", "__n", "__nmax", "__thr"], "mixture_sample")
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [(d, w) for d, w in sorted(weights.items())],
@@ -261,6 +276,7 @@ def weighted_sample(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    _guard_reserved(df, ["__k", "__rk"], "weighted_sample")
     keys = [F.col(c) for c in key_cols]
     w = F.col(weight_col).cast("double")
     # v in [0, 2^32) exact in a double; +0.5 keeps u in (0,1) — no ln(0) —
@@ -330,6 +346,7 @@ def token_budget_sample(
     subsequence of the full one."""
     if not budgets or any(b < 0 for b in budgets.values()):
         raise ValueError(f"budgets must be non-negative, got {budgets}")
+    _guard_reserved(df, ["__budget", "__cum"], "token_budget_sample")
     spark = df.sparkSession
     bdf = spark.createDataFrame(
         [(d, int(b)) for d, b in sorted(budgets.items())],
@@ -414,6 +431,7 @@ def shard_and_order(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _guard_reserved(df, [shard_col, pos_col], "shard_and_order")
     keys = [F.col(c) for c in key_cols]
     hexdraw = _draw(seed, *keys)
     v = F.conv(hexdraw, 16, 10).cast("bigint")

@@ -78,8 +78,11 @@ def parse_avi_header(b: bytes) -> dict | None:
 
 
 def extract_frames(b: bytes) -> "list[bytes] | None":
-    """The compressed '00dc' frame payloads from LIST movi, in stream
-    order, or ``None`` when the container doesn't parse."""
+    """The compressed frame payloads of STREAM 00 ('00dc' chunks) from
+    LIST movi, in stream order, or ``None`` when the container doesn't
+    parse. Only the first stream is returned — frame_index semantics
+    assume one video stream; secondary-stream chunks ('01dc', audio
+    '01wb', ...) are ignored rather than silently interleaved."""
     if parse_avi_header(b) is None:
         return None
     try:
@@ -87,7 +90,7 @@ def extract_frames(b: bytes) -> "list[bytes] | None":
         for cid, ltype, body in _riff_chunks(b, 12, len(b)):
             if cid == b"LIST" and ltype == b"movi":
                 for cid2, _lt2, body2 in _riff_chunks(body, 0, len(body)):
-                    if cid2[2:4] == b"dc":
+                    if cid2 == b"00dc":
                         frames.append(body2)
         return frames
     except Exception:  # noqa: BLE001

@@ -106,3 +106,24 @@ def test_expectations_as_engine_post_hook(spark, views, tmp_path):
     )
     eng.run(RunVars())
     assert failed == []
+
+
+def test_guard_rails_and_quote_escaping(spark, duck):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="duplicate check names"):
+        E.run_checks(df, [E.not_null("id"), E.not_null("id")])
+    with pytest.raises(ValueError, match="empty values"):
+        E.accepted_values("v", [])
+    # a quoted value must keep the SQL twin parseable AND semantically
+    # identical to the Spark side
+    c = E.accepted_values("v", ["O'Brien"])
+    got = E.run_checks(
+        spark.createDataFrame([("O'Brien",), ("x",)], "v string"), [c]
+    ).collect()[0]
+    assert got["violations"] == 1
+    want = duck.execute(
+        E.checks_sql([c], "(SELECT * FROM (VALUES ('O''Brien'), ('x')) t(v))")
+    ).fetchall()[0]
+    assert want[1] == 1

@@ -2040,3 +2040,86 @@ def test_incremental_dedup_bucketed_state(spark, tmp_path):
     assert (
         D.incremental_exact_dedup(b2, state, state_buckets=4).count() == 0
     )
+
+
+def test_dd_oracle_bucket_boundaries_have_margin():
+    """The dd_latency_quantiles oracle replays ceil(ln(x)/ln(γ)) in DuckDB;
+    Spark's Math.log and DuckDB's libm log are each only ~1-ulp accurate,
+    so the EXACT oracle relies on no fixture value sitting within ~1e-9 of
+    a bucket boundary. Pin that margin at every sf the battery runs at —
+    if new fixtures ever violate it, this fails with a clear message
+    instead of a flaky hash mismatch."""
+    import math
+
+    import duckdb
+
+    gamma = (1 + 0.01) / (1 - 0.01)
+    lng = math.log(gamma)
+    for sf in ("0.001", "0.01", "0.1"):
+        vals = [
+            v
+            for (v,) in duckdb.sql(
+                f"SELECT DISTINCT value FROM '/root/testdata/sf{sf}/events.parquet' "
+                "WHERE value > 0"
+            ).fetchall()
+        ]
+        # v == 1.0 sits EXACTLY on the 0 boundary, but log(1.0) == 0.0 is
+        # bit-exact in every implementation, so ceil agrees deterministically
+        worst = min(
+            abs(math.log(v) / lng - round(math.log(v) / lng))
+            for v in vals
+            if v != 1.0
+        )
+        assert worst > 1e-9, (sf, worst)
+
+
+def test_incremental_dedup_layout_is_sticky_and_mode_mix_rejected(spark, tmp_path):
+    """The digest state's layout (bucketed-or-plain) is recorded at
+    creation in a sidecar and WINS forever: a bucketed read of a plain
+    state is rejected up front (Spark would raise INVALID_BUCKET_FILE
+    mid-job), a plain call on a bucketed state silently upgrades to the
+    recorded layout (instead of corrupting it with unbucketed appends),
+    and a different requested count defers to the recorded one."""
+    import pytest
+
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    b1 = spark.createDataFrame([(1, "aa")], "doc_id bigint, text string")
+    state_plain = str(tmp_path / "plain")
+    D.incremental_exact_dedup(b1, state_plain)
+    with pytest.raises(ValueError, match="UNBUCKETED"):
+        D.incremental_exact_dedup(b1, state_plain, state_buckets=8)
+
+    state_b = str(tmp_path / "bucketed")
+    D.incremental_exact_dedup(b1, state_b, state_buckets=4)
+    b2 = spark.createDataFrame([(2, "bb"), (3, "aa")], "doc_id bigint, text string")
+    out = {r["doc_id"] for r in D.incremental_exact_dedup(b2, state_b).collect()}
+    assert out == {2}  # sticky: no-arg call still reads the bucketed history
+    b3 = spark.createDataFrame([(4, "cc")], "doc_id bigint, text string")
+    out3 = {
+        r["doc_id"]
+        for r in D.incremental_exact_dedup(b3, state_b, state_buckets=16).collect()
+    }
+    assert out3 == {4}  # mismatched count ignored in favor of the recorded 4
+    assert D.incremental_exact_dedup(b2, state_b).count() == 0  # full history held
+
+
+def test_minhash_uncapped_path_matches_capped(spark, views):
+    """max_bucket_size=None routes through the streaming self-join (bounded
+    memory on degenerate buckets); on a corpus with no oversized buckets it
+    must find the identical pair set as the default capped path."""
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    docs = spark.table("documents").where("doc_id < 150")
+    planted = docs.where("doc_id < 5").withColumn(
+        "doc_id", F.col("doc_id") + 90000
+    )
+    corpus = docs.unionByName(planted)
+    capped = {
+        (r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(corpus).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(corpus, max_bucket_size=None).collect()
+    }
+    assert capped == uncapped and len(capped) >= 5

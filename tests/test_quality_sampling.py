@@ -525,3 +525,20 @@ def test_shard_and_order_sql_twin_matches_duck(spark, ids, duck):
     )
     want = sorted(tuple(r) for r in duck.execute(twin).fetchall())
     assert got == want
+
+
+def test_reserved_column_guards(spark, ids):
+    """Temp-column collisions are rejected (case-insensitively — Spark's
+    withColumn would silently replace __K with the temp __k and drop it)."""
+    import pytest
+
+    w = ids.withColumn("w", F.lit(1.0))
+    with pytest.raises(ValueError, match="reserved"):
+        sampling.weighted_sample(w.withColumn("__K", F.lit(1)), 5, "w", ["id"])
+    with pytest.raises(ValueError, match="reserved"):
+        sampling.token_budget_sample(
+            ids.withColumn("__cum", F.lit(1)).withColumn("dom", F.lit("a")),
+            {"a": 10}, "id", "dom", ["id"],
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        sampling.shard_and_order(ids.withColumn("shard", F.lit(1)), 4, ["id"])

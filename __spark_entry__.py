@@ -43,7 +43,9 @@ from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
     audio,
+    bm25,
     bpe,
+    collocations,
     expect,
     video,
     chunk,
@@ -57,6 +59,7 @@ from insert_by_timeperiod_spark.operators import (
     bloom,
     similarity,
     sketch,
+    spans,
     tfidf,
 )
 from insert_by_timeperiod_spark.operators.pipeline import (
@@ -1981,6 +1984,49 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C46: BM25 ranked retrieval (operators/bm25.py) — top-15 docs for
+    a 3-term query, exact DuckDB twin (same tokenize + 6-decimal per-term
+    rounding + decimal summation)."""
+    _prep(spark, sf_dir)
+    return bm25.bm25_topk(spark.table("documents"), _BM25_TERMS, k=15)
+
+
+#: planted duplicate-span corpus: 8 full copies under shifted ids — the SQL
+#: side constructs the identical corpus so the oracle replays exactly
+_DUP_SPAN_SRC = (
+    "(SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 90000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id < 8)"
+)
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C47: cross-doc duplicate-span detection (operators/spans.py, the
+    Lee et al. 2022 dedup workload at k-gram resolution) over the corpus
+    plus 8 planted full copies; exact DuckDB twin grouping by gram string
+    where the engine groups by xxhash64 (collision-free at any real k)."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    planted = docs.where("doc_id < 8").withColumn(
+        "doc_id", F.col("doc_id") + 90000
+    )
+    return spans.dup_span_stats(docs.unionByName(planted), k=10)
+
+
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C48: PMI collocation mining (operators/collocations.py) — top-25
+    adjacent bigrams by 6-decimal-rounded PMI with word tie-breaks; exact
+    DuckDB twin (same divisions and ln calls)."""
+    _prep(spark, sf_dir)
+    return collocations.pmi_collocations(
+        spark.table("documents"), top_n=25, min_count=5
+    )
+
+
 def _recall_row(ann, exact) -> DataFrame:
     """Shared quantitative-ANN check row: recall of ``ann`` against the
     ``exact`` top-k, one row (n_queries, k=3, recall_ok >= 0.5) matching
@@ -2479,6 +2525,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "engine_txn_backend": _engine_txn,
         "txnlog_time_travel": _txn_time_travel,
         "bpe_tokenize": _bpe_tokenize,
+        "bm25_docs": _bm25_docs,
+        "dup_spans_planted": _dup_spans,
+        "pmi_collocations": _pmi_collocations,
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
         "cm_topk_words": _cm_topk_words,
@@ -2528,6 +2577,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "engine_txn_backend": ORACLE_DAILY.format(start=START, stop=STOP),
         "txnlog_time_travel": ORACLE_DAILY.format(start=START, stop="2024-01-15"),
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
+        "bm25_docs": bm25.bm25_sql(_BM25_TERMS, k=15),
+        "dup_spans_planted": spans.dup_span_sql(_DUP_SPAN_SRC, k=10),
+        "pmi_collocations": collocations.pmi_sql("documents", top_n=25, min_count=5),
         "cm_topk_words": CM_TOPK_DUCK,
         "dd_latency_quantiles": _dd_latency_duck(),
         "dedup_incremental": INCR_DEDUP_DUCK,

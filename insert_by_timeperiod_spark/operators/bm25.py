@@ -1,0 +1,185 @@
+"""BM25 ranked retrieval (SURVEY.md §2 C46): score documents against a
+small query-term set with Okapi BM25 (Robertson & Zaragoza 2009, the
+Lucene `BM25Similarity` idf variant) — the standard relevance workload for
+corpus triage, eval-set mining, and "find me docs about X" curation steps.
+
+Scale shape — built for a handful of query terms over an arbitrarily large
+corpus, so the plan deliberately avoids the classic explode+join inverted
+index:
+- **One corpus pass, zero explode**: per-term frequencies come from
+  ``size(filter(tokens, w -> w = term))`` column expressions (one per query
+  term, terms capped at 64), so the scan stage emits one NARROW row per doc
+  (id, doc length, tf per term) and nothing else ever carries the text.
+- The per-doc tf projection is **materialized once** (`localCheckpoint`)
+  because two consumers read it — the corpus-stats aggregate and the
+  scoring projection — and a lazy plan would tokenize the corpus twice
+  (the repo's recurring multi-consumer lesson, plans/audit.py).
+- **Corpus stats (N, avgdl, df per term) reduce to ONE row** via partial
+  aggregation and come back as a broadcast — no shuffle ever carries more
+  than the tf projection's top-k.
+- **Top-k** is a global sort of only the matched docs (score > 0), bounded
+  by ``k`` — Spark's TakeOrderedAndProject, not a full sort.
+
+Cross-engine float contract: each term's contribution is rounded to 6
+decimals and summed as DECIMAL(28,6) on both engines (libm ``ln`` may
+differ in the last ulp), so the DuckDB oracle (`bm25_sql`) is exact.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .lmscore import _tokens
+from .util import spread
+
+#: query terms ride the plan as literal expressions (one tf column each);
+#: past this the explode+join inverted-index shape wins and this operator
+#: refuses rather than silently compiling a thousand-column projection
+MAX_TERMS = 64
+
+
+def _clean_terms(terms: list[str]) -> list[str]:
+    out = sorted({t.strip().lower() for t in terms if t and t.strip()})
+    if not out:
+        raise ValueError("bm25: no non-empty query terms")
+    if len(out) > MAX_TERMS:
+        raise ValueError(f"bm25: {len(out)} terms > MAX_TERMS={MAX_TERMS}")
+    return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``terms`` as
+    (rank, id, score, n_matched). Only docs matching >= 1 term appear;
+    ties break on the id so the cut is deterministic.
+
+    idf is the Lucene non-negative variant ``ln(1 + (N - df + .5)/(df + .5))``;
+    per-term contribution ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+    """
+    terms = _clean_terms(terms)
+    toks = F.filter(_tokens(F.col(text_col)), lambda w: w != "")
+    # one narrow row per doc: (id, dl, tf_0..tf_n) — stays in the scan stage.
+    # NB: the predicate must be a ONE-arg lambda — a `lambda w, t=t:` default
+    # arg makes pyspark treat it as the (element, index) form and bind the
+    # index column to t
+    def _eq(term: str):
+        return lambda w: w == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}") for i, t in enumerate(terms)
+    ]
+    perdoc = (
+        spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.size(toks).alias("_dl"), *tf_cols)
+        .localCheckpoint(eager=True)  # two consumers: stats agg + scorer
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_tl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = perdoc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_tl") / F.col("_n")  # exact: int sum / int count, one fpdiv
+    contribs = []
+    for i in range(len(terms)):
+        tf, dfq = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / avgdl)
+        contribs.append(
+            F.round(idf * tf * F.lit(k1 + 1.0) / denom, 6).cast("decimal(28,6)")
+        )
+    score = sum(contribs[1:], contribs[0])
+    n_matched = sum(
+        ((F.col(f"_tf{i}") > 0).cast("long") for i in range(1, len(terms))),
+        (F.col("_tf0") > 0).cast("long"),
+    )
+    ranked = (
+        scored.select(
+            F.col(id_col),
+            score.alias("_score"),
+            n_matched.alias("n_matched"),
+        )
+        .where(F.col("n_matched") > 0)
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.col("_score").desc(), F.col(id_col)))
+    return ranked.select(
+        w.cast("bigint").alias("rank"),
+        id_col,
+        F.col("_score").cast("double").alias("score"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+    )
+
+
+def bm25_sql(
+    terms: list[str],
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """The exact DuckDB twin of :func:`bm25_topk` (same tokenization, same
+    per-term 6-decimal rounding grid, same decimal summation)."""
+    terms = _clean_terms(terms)
+    toks = (
+        f"list_filter(str_split_regex(trim(lower({text_col})), '\\s+'), "
+        "w -> w != '')"
+    )
+    tf_exprs = ",\n        ".join(
+        f"len(list_filter(_toks, w -> w = '{t.replace(chr(39), chr(39) * 2)}')) AS _tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ",\n        ".join(
+        f"SUM(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS _df{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"CAST(round(ln(1.0 + (_n - _df{i} + 0.5) / (_df{i} + 0.5)) * _tf{i} "
+        f"* {k1 + 1.0!r} / (_tf{i} + {k1!r} * (1.0 - {b!r} + {b!r} * _dl / _avgdl)), 6) "
+        f"AS DECIMAL(28,6))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+WITH perdoc AS (
+    SELECT {id_col}, len(_toks) AS _dl,
+        {tf_exprs}
+    FROM (SELECT {id_col}, {toks} AS _toks FROM {table})
+), stats AS (
+    SELECT COUNT(*) AS _n, SUM(_dl) AS _tl,
+        {df_exprs}
+    FROM perdoc
+), scored AS (
+    SELECT {id_col},
+        {contrib} AS _score,
+        {matched} AS _n_matched
+    FROM perdoc, (SELECT *, CAST(_tl AS DOUBLE) / _n AS _avgdl FROM stats)
+)
+SELECT CAST(row_number() OVER (ORDER BY _score DESC, {id_col}) AS BIGINT) AS rank,
+       {id_col},
+       CAST(_score AS DOUBLE) AS score,
+       CAST(_n_matched AS BIGINT) AS n_matched
+FROM scored WHERE _n_matched > 0
+ORDER BY _score DESC, {id_col} LIMIT {k}
+"""

@@ -1,0 +1,131 @@
+"""PMI collocation mining (SURVEY.md §2 C48): the highest-pointwise-mutual-
+information adjacent word pairs in a corpus (Church & Hanks 1990) — the
+classic corpus-statistics pass behind phrase vocabularies (word2vec-phrases
+style), tokenizer seeding, and boilerplate discovery.
+
+Scale shape:
+- the corpus tokenizes ONCE into token arrays, materialized because two
+  consumers derive from it (unigram and bigram counts — plans/audit.py
+  lesson);
+- both count relations are wordcount-shaped ``groupBy`` with map-side
+  partial aggregation, checkpointed vocabulary-sized tables (each feeds
+  its grand total AND the scoring join);
+- the scoring join is bigram-counts ⋈ unigram-counts twice ON the word
+  keys — hash-partitioned both sides, no broadcast assumption about vocab
+  size; totals ride in as 1-row broadcasts;
+- top-N is a bounded TakeOrderedAndProject, never a full sort.
+
+PMI = ln(p(xy)) - ln(p(x)) - ln(p(y)) with p from the bigram/unigram grand
+totals, computed identically (same divisions, same ln calls) on both
+engines and rounded to 6 decimals BEFORE ranking, so the DuckDB twin
+(`pmi_sql`) is exact; word tie-breaks make the cut deterministic.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .lmscore import _tokens
+from .util import spread
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """The ``top_n`` adjacent bigrams by PMI as (w1, w2, n_pair, pmi),
+    restricted to bigrams seen at least ``min_count`` times. Deterministic:
+    ranked on the 6-decimal-rounded score with (w1, w2) tie-breaks."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    base = (
+        spread(df.select(text_col))
+        .select(F.filter(_tokens(F.col(text_col)), lambda w: w != "").alias("_t"))
+        .localCheckpoint(eager=True)  # two consumers: unigram + bigram explode
+    )
+    uni = (
+        base.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=True)  # two consumers: total + scoring joins
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - F.lit(2)),
+        lambda i: F.struct(
+            F.element_at("_t", i + 1).alias("w1"),
+            F.element_at("_t", i + 2).alias("w2"),
+        ),
+    )
+    bi = (
+        base.where(F.size("_t") >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)  # two consumers: total + scoring
+    )
+    u_tot = uni.agg(F.sum("n_w").alias("_u"))
+    b_tot = bi.agg(F.sum("n_pair").alias("_b"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("_n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("_n2"))
+    pmi = (
+        F.log(F.col("n_pair") / F.col("_b"))
+        - F.log(F.col("_n1") / F.col("_u"))
+        - F.log(F.col("_n2") / F.col("_u"))
+    )
+    return (
+        bi.where(F.col("n_pair") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(u_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+    )
+
+
+def pmi_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    *,
+    top_n: int = 20,
+    min_count: int = 5,
+) -> str:
+    """The exact DuckDB twin of :func:`pmi_collocations` (same tokenize,
+    same division/ln sequence, same 6-decimal rounding grid)."""
+    return f"""
+WITH _toks AS (
+    SELECT list_filter(str_split_regex(trim(lower({text_col})), '\\s+'),
+                       w -> w != '') AS _t
+    FROM {source}
+), _uni AS (
+    SELECT w, COUNT(*) AS n_w FROM _toks, UNNEST(_t) AS _x(w) GROUP BY w
+), _bi AS (
+    SELECT _t[i + 1] AS w1, _t[i + 2] AS w2, COUNT(*) AS n_pair
+    FROM _toks, UNNEST(range(0, len(_t) - 1)) AS _y(i)
+    GROUP BY 1, 2
+), _ut AS (SELECT SUM(n_w) AS _u FROM _uni),
+   _bt AS (SELECT SUM(n_pair) AS _b FROM _bi)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       round(
+           ln(CAST(n_pair AS DOUBLE) / _b)
+           - ln(CAST(_n1 AS DOUBLE) / _u)
+           - ln(CAST(_n2 AS DOUBLE) / _u), 6) AS pmi
+FROM (
+    SELECT b.w1, b.w2, b.n_pair, u1.n_w AS _n1, u2.n_w AS _n2
+    FROM _bi b JOIN _uni u1 ON b.w1 = u1.w JOIN _uni u2 ON b.w2 = u2.w
+    WHERE b.n_pair >= {min_count}
+), _ut, _bt
+ORDER BY pmi DESC, w1, w2 LIMIT {top_n}
+"""

@@ -1,0 +1,154 @@
+"""Cross-document duplicate-span detection (SURVEY.md §2 C47) — the
+"Deduplicating Training Data Makes Language Models Better" workload
+(Lee et al. 2022): find runs of >= ``k`` consecutive tokens that appear in
+more than one document, and report per-document how much text they cover.
+The suffix-array ExactSubstr of the paper is replaced by the standard
+scalable k-gram-index approximation (every duplicated run of length
+L >= k is covered exactly by its L-k+1 duplicated k-grams, so the merged
+gram intervals recover the run boundaries at k-token resolution).
+
+Scale shape:
+- **Gram construction is pure column algebra** (``transform(sequence(...))``
+  over the token array + one ``posexplode``) — no window over the corpus,
+  no per-doc shuffle; the scan stage emits (id, pos, gram-hash) and the
+  TEXT never leaves it (64-bit xxhash64 per gram, the same
+  hash-not-text contract as decontam.py).
+- **One corpus-scale shuffle** on the gram hash with map-side partial
+  aggregation elects duplicated grams; the (id, pos, hash) stream is
+  materialized ONCE (two consumers: the election and the probe join —
+  plans/audit.py lesson).
+- **Interval union is per-doc window algebra** over only the *duplicated*
+  positions (usually a tiny fraction of the corpus).
+
+The DuckDB oracle (`dup_span_sql`) replays the same algebra grouping by
+the gram STRING instead of its hash — equal output absent xxhash64
+collisions (2^-64-scale; the same cross-engine contract decontam.py uses).
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .lmscore import _tokens
+from .util import spread
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-span coverage as
+    (id, n_tokens, n_dup_grams, covered_tokens, dup_frac) — one row per
+    document containing at least one k-gram that occurs in >= ``min_docs``
+    distinct documents. ``covered_tokens`` is the length of the UNION of
+    the duplicated grams' [pos, pos+k) intervals; ``dup_frac`` that length
+    over the document's token count (the paper's per-doc dup fraction)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = F.filter(_tokens(F.col(text_col)), lambda w: w != "")
+    base = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("_t")
+    )
+    # gram hashes as column algebra: positions 0..n-k, k-token slices
+    ghs = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - F.lit(k)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+    )
+    grams = (
+        base.where(F.size("_t") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(ghs).alias("pos", "_gh"),
+        )
+        # two consumers (dup election + probe join) — materialize or the
+        # corpus tokenizes twice
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    hits = grams.join(dup, "_gh", "left_semi")
+    # interval union per doc: grams arrive sorted by pos inside the window;
+    # each contributes its length minus the overlap with everything before
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos") + F.lit(k) - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    cov = (
+        hits.select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+            F.sum("_c").cast("bigint").alias("covered_tokens"),
+        )
+    )
+    lens = base.select(F.col(id_col), F.size("_t").cast("bigint").alias("n_tokens"))
+    return cov.join(lens, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_dup_grams",
+        "covered_tokens",
+        F.round(F.col("covered_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+    )
+
+
+def dup_span_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    min_docs: int = 2,
+) -> str:
+    """The exact DuckDB twin of :func:`dup_span_stats`, grouping by the
+    gram string (engine groups by its xxhash64 — identical absent 64-bit
+    collisions). ``source`` may be a table name or a parenthesized
+    subquery."""
+    return f"""
+WITH _toks AS (
+    SELECT {id_col},
+           list_filter(str_split_regex(trim(lower({text_col})), '\\s+'),
+                       w -> w != '') AS _t
+    FROM {source}
+), _grams AS (
+    SELECT {id_col}, CAST(i AS BIGINT) AS pos,
+           array_to_string(_t[i + 1 : i + {k}], ' ') AS _g
+    FROM _toks, UNNEST(range(0, len(_t) - {k} + 1)) AS _u(i)
+), _dup AS (
+    SELECT _g FROM _grams GROUP BY _g HAVING COUNT(DISTINCT {id_col}) >= {min_docs}
+), _hits AS (
+    SELECT {id_col}, pos FROM _grams WHERE _g IN (SELECT _g FROM _dup)
+), _isl AS (
+    SELECT {id_col}, pos,
+           MAX(pos + {k}) OVER (PARTITION BY {id_col} ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _pe
+    FROM _hits
+), _cov AS (
+    SELECT {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+           CAST(SUM(GREATEST(0, pos + {k} - GREATEST(pos, COALESCE(_pe, pos)))) AS BIGINT)
+               AS covered_tokens
+    FROM _isl GROUP BY {id_col}
+)
+SELECT c.{id_col}, CAST(len(t._t) AS BIGINT) AS n_tokens, c.n_dup_grams,
+       c.covered_tokens,
+       round(CAST(c.covered_tokens AS DOUBLE) / len(t._t), 6) AS dup_frac
+FROM _cov c JOIN _toks t ON c.{id_col} = t.{id_col}
+"""

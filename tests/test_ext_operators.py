@@ -2123,3 +2123,74 @@ def test_minhash_uncapped_path_matches_capped(spark, views):
         for r in D.minhash_lsh_pairs(corpus, max_bucket_size=None).collect()
     }
     assert capped == uncapped and len(capped) >= 5
+
+
+# ------------------------------------------------------- bm25 / spans / pmi
+
+def test_bm25_semantics_and_guards(spark):
+    from insert_by_timeperiod_spark.operators import bm25
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),   # high tf for 'cat'
+            (2, "cat filler words here"),
+            (3, "dog filler words here"),
+            (4, "nothing relevant at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25.bm25_topk(df, ["cat"], k=10).collect()}
+    assert set(out) == {1, 2}                      # only matching docs appear
+    assert out[1]["score"] > out[2]["score"]       # tf saturates but still wins
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+    # a rarer term out-idfs a common one at equal tf
+    both = {r["doc_id"]: r for r in bm25.bm25_topk(df, ["cat", "dog"], k=10).collect()}
+    assert both[1]["n_matched"] == 2
+    with pytest.raises(ValueError, match="no non-empty"):
+        bm25.bm25_topk(df, ["  "])
+    with pytest.raises(ValueError, match="MAX_TERMS"):
+        bm25.bm25_topk(df, [f"t{i}" for i in range(80)])
+
+
+def test_dup_spans_partial_copy_coverage(spark):
+    """A doc sharing only a 20-token run with another is covered exactly on
+    that run (20 tokens -> 11 dup 10-grams, union length 20); full copies
+    cover 1.0; docs shorter than k never appear."""
+    from insert_by_timeperiod_spark.operators import spans
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    a = shared + " " + " ".join(f"a{i}" for i in range(30))
+    b = " ".join(f"b{i}" for i in range(25)) + " " + shared
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a), (4, "tiny doc under k tokens")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in spans.dup_span_stats(df, k=10).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1 == doc 3: full copies, fully covered
+    assert out[1]["dup_frac"] == 1.0 and out[3]["dup_frac"] == 1.0
+    # doc 2 shares exactly the 20-token run: 11 grams, 20 covered tokens
+    assert out[2]["n_dup_grams"] == 11
+    assert out[2]["covered_tokens"] == 20
+    assert out[2]["n_tokens"] == 45
+    with pytest.raises(ValueError, match="k must be"):
+        spans.dup_span_stats(df, k=1)
+    with pytest.raises(ValueError, match="min_docs"):
+        spans.dup_span_stats(df, min_docs=1)
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    """A bigram whose words appear ONLY together out-scores one whose words
+    also occur apart, at equal pair count; min_count drops rare pairs."""
+    from insert_by_timeperiod_spark.operators import collocations as C
+
+    rows = [("hong kong filler1",)] * 5 + [("new york new jersey",)] * 5
+    df = spark.createDataFrame(rows, "text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           C.pmi_collocations(df, top_n=10, min_count=5).collect()}
+    assert ("hong", "kong") in out
+    # 'new' occurs 2x/doc (york+jersey) so its pairs get a lower pmi
+    assert out[("hong", "kong")]["pmi"] > out[("new", "york")]["pmi"]
+    assert all(r["n_pair"] >= 5 for r in out.values())
+    with pytest.raises(ValueError, match="min_count"):
+        C.pmi_collocations(df, min_count=0)

@@ -1984,6 +1984,63 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def _wds_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C50 (rows-only): WebDataset tar-shard export sink
+    (operators/export.py). Returns the manifest — deterministic
+    (shard, n_examples, n_bytes, sha256) rows, byte-stable across runs by
+    construction (zeroed tar metadata, pos-ordered members). No SQL engine
+    writes tars, so rows-only; round-trip/determinism pins are pytest."""
+    _prep(spark, sf_dir)
+    import shutil
+
+    from insert_by_timeperiod_spark.operators import export as X
+
+    out = tempfile.mkdtemp(prefix="ibtp_wds_")
+    try:
+        manifest = X.export_webdataset_shards(
+            spark.table("documents"),
+            os.path.join(out, "shards"),
+            8,
+            ["doc_id"],
+            meta_cols=["doc_id", "lang", "source"],
+            seed="wds",
+        )
+        rows = manifest.collect()  # materialize BEFORE the tmpdir vanishes
+        return spark.createDataFrame(rows, manifest.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _incr_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C49 (rows-only): incremental NEAR-dedup against a persistent
+    LSH signature state (operators/dedup.py `incremental_near_dedup`).
+    Two batches with a 50-doc exact-text overlap plus 5 planted copies:
+    batch 2's overlap and plants must anchor to batch 1's state entries
+    and drop. No SQL engine expresses the MinHash/banding state, so this
+    row records rows + schema; the REAL checks (lifecycle, anchored-
+    cluster drop, idempotency, state growth) are pytest."""
+    _prep(spark, sf_dir)
+    import shutil
+
+    docs = spark.table("documents")
+    state = tempfile.mkdtemp(prefix="ibtp_neardup_") + "/state"
+    try:
+        b1 = docs.where("doc_id < 150")
+        dedup.incremental_near_dedup(b1, state).count()
+        plants = docs.where("doc_id < 5").withColumn(
+            "doc_id", F.col("doc_id") + 90000
+        )
+        b2 = docs.where("doc_id >= 100 AND doc_id < 200").unionByName(plants)
+        kept = dedup.incremental_near_dedup(b2, state)
+        return (
+            kept.select("doc_id")
+            .orderBy("doc_id")
+            .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(state), ignore_errors=True)
+
+
 _BM25_TERMS = ["spark", "window", "merge"]
 
 
@@ -2525,6 +2582,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "engine_txn_backend": _engine_txn,
         "txnlog_time_travel": _txn_time_travel,
         "bpe_tokenize": _bpe_tokenize,
+        "dedup_incremental_near": _incr_near_dedup,
+        "wds_export_manifest": _wds_export,
         "bm25_docs": _bm25_docs,
         "dup_spans_planted": _dup_spans,
         "pmi_collocations": _pmi_collocations,

@@ -69,6 +69,9 @@ QUERIES = [
     "corpus_shard_order",
     "quality_checks_orders",
     "chunk_documents",
+    "bm25_docs",
+    "dup_spans_planted",
+    "pmi_collocations",
     "dedup_incremental",
     # the txn row materializes a 3-run lifecycle (interrupted + resume +
     # atomic backfill) on the commit-log backend — a write-path scale point,

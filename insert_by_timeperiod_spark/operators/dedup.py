@@ -315,6 +315,46 @@ _SIGS_CACHE: list[DataFrame] = []
 _SIGS_LOCK = threading.Lock()
 
 
+def _band_rows(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) LSH band rows from a (id, _sig) signature frame.
+
+    Banding with BUILT-INS only: cast the signature to array<string> once
+    (a native Cast, codegen'd), explode the band index, then hash the
+    band's slice. The transform(sequence, lambda)-with-nested-transform
+    shape ran INTERPRETED per row (higher-order-function lambdas never
+    enter whole-stage codegen) and its generated tree paid seconds of
+    per-session compile. Bucket values are identical: slicing a
+    string-cast array equals casting a sliced long array element-wise.
+    Band rows carry ONLY (id, band, bucket): the banding shuffle moves
+    ``bands`` tiny rows per doc, never signature or shingle arrays.
+    Shared by the one-shot pair finder and the incremental state probe —
+    both sides of an incremental join MUST band identically."""
+    return (
+        sigs.select(
+            F.col(id_col), F.col("_sig").cast("array<string>").alias("_s")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            F.col("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("band").cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.slice(
+                        F.col("_s"),
+                        (F.col("band") * rows_per_band + 1).cast("int"),
+                        rows_per_band,
+                    ),
+                )
+            ).alias("bucket"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -384,39 +424,7 @@ def minhash_lsh_pairs(
         sigs = raw_sigs.persist()
         _SIGS_CACHE.append(sigs)
 
-    # Banding with BUILT-INS only: cast the signature to array<string> once
-    # (a native Cast, codegen'd), explode the band index, then hash the
-    # band's slice. The previous shape — transform(sequence, lambda) with a
-    # nested transform(cast) — ran INTERPRETED per row (higher-order-function
-    # lambdas never enter whole-stage codegen) and its generated tree paid
-    # seconds of per-session compile. Bucket values are identical: slicing a
-    # string-cast array equals casting a sliced long array element-wise.
-    # Band rows carry ONLY (id, band, bucket): the banding shuffle moves
-    # `bands` tiny rows per doc, never signature or shingle arrays.
-    banded = (
-        sigs.select(
-            F.col(id_col), F.col("_sig").cast("array<string>").alias("_s")
-        )
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-            F.col("_s"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("band").cast("int").alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.slice(
-                        F.col("_s"),
-                        (F.col("band") * rows_per_band + 1).cast("int"),
-                        rows_per_band,
-                    ),
-                )
-            ).alias("bucket"),
-        )
-    )
+    banded = _band_rows(sigs, id_col, bands, rows_per_band)
 
     # Per-bucket candidate generation in ONE exchange (r6 carried ~16
     # exchanges through a count-agg branch + left-semi skew guard + bucket
@@ -946,3 +954,167 @@ def incremental_exact_dedup(
             # than misread.
             _write_state_meta(fs, state_path, state_buckets)
     return new_df.join(novel.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dedup against a persistent signature state (C49)
+# ---------------------------------------------------------------------------
+
+def _sig_agreement(a: Column, b: Column, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate between two signatures: the fraction of
+    agreeing lanes. Runs interpreted (HOF) but ONLY over candidate pairs —
+    never over the corpus."""
+    return (
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    )
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    state_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    update_state: bool = True,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Near-dedup a NEW batch against ALL corpus history without re-reading
+    any historical text — the online form of :func:`near_dedup` for a
+    continuously-ingesting pipeline (the state holds 512-byte signatures +
+    8-byte band keys per kept doc; at 100 TB of corpus that's ~0.005% of
+    the data, and each day's cost is O(batch + bucket-join), not a corpus
+    re-dedup).
+
+    State layout at ``state_path``: ``sigs/`` parquet (id, _sig) and
+    ``bands/`` parquet (band, bucket, id) — the band rows ARE the LSH
+    index, computed by the same :func:`_band_rows` expression as the batch
+    side, so identical texts land in identical buckets across batches.
+
+    Semantics (standard online near-dedup; documented divergence from
+    :func:`near_dedup` over the union): a batch doc drops iff its LSH
+    candidates include a STATE doc whose signature agreement is >=
+    ``jaccard_threshold``, or it sits in a batch-internal near-dup cluster
+    that is anchored to such a doc, or it is not its (unanchored) cluster's
+    min-id representative. Matching is on SIGNATURE AGREEMENT (the MinHash
+    Jaccard estimate) on both the state and batch-internal edges — the
+    state keeps no text, so exact-Jaccard verification is impossible by
+    design, and using one rule everywhere keeps re-runs idempotent.
+    Because the state holds only SURVIVORS, a doc similar only to a
+    previously-dropped duplicate is kept — the inherent property of any
+    survivor-state online dedup. Docs too short to shingle (NULL
+    signature) are always kept and never enter the state.
+    """
+    spark = new_df.sparkSession
+    rows_per_band = num_hashes // bands
+    mh = minhash_text_vec(num_hashes, seed, k=shingle_k)
+    sigs_b = (
+        spread(new_df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), mh(F.col(text_col)).alias("_sig"))
+        # three consumers (banding, agreement joins, state append) — pin the
+        # Arrow lane's output or it re-runs per consumer
+        .localCheckpoint(eager=True)
+    )
+    with_sig = sigs_b.where(F.col("_sig").isNotNull())
+    banded_b = _band_rows(with_sig, id_col, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )  # two consumers: state probe + batch self-pairing
+
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, state_path)
+    bands_path, sigs_path = f"{state_path}/bands", f"{state_path}/sigs"
+    have_state = fs.exists(bands_path)
+
+    # (1) anchors: batch docs whose candidates include a state doc with
+    # signature agreement >= threshold. The join moves (band, bucket, id)
+    # rows; signatures attach AFTER the candidate distinct, per pair.
+    if have_state:
+        state_bands = spark.read.parquet(bands_path)
+        state_sigs = spark.read.parquet(sigs_path).select(
+            F.col(id_col).alias("_sid"), F.col("_sig").alias("_ssig")
+        )
+        cand_s = (
+            banded_b.join(state_bands.withColumnRenamed(id_col, "_sid"),
+                          ["band", "bucket"])
+            .select(F.col(id_col), F.col("_sid"))
+            .dropDuplicates([id_col, "_sid"])
+        )
+        anchored = (
+            cand_s.join(with_sig, id_col)
+            .join(state_sigs, "_sid")
+            .where(
+                _sig_agreement(F.col("_sig"), F.col("_ssig"), num_hashes)
+                >= F.lit(jaccard_threshold)
+            )
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        anchored = spark.createDataFrame([], f"{id_col} long")
+
+    # (2) batch-internal candidate pairs: the same capped per-bucket
+    # explosion as minhash_lsh_pairs (window count cap -> sorted id array
+    # -> ordered pairs), then signature-agreement verification
+    wb = Window.partitionBy("band", "bucket")
+    bounded = banded_b.withColumn("_n", F.count(F.lit(1)).over(wb)).where(
+        (F.col("_n") >= 2)
+        & ((F.lit(max_bucket_size).isNull()) | (F.col("_n") <= max_bucket_size))
+    )
+    grouped = bounded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    edges = (
+        grouped.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(with_sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+        .join(with_sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+        .where(
+            _sig_agreement(F.col("_sa"), F.col("_sb"), num_hashes)
+            >= F.lit(jaccard_threshold)
+        )
+        .select("id_a", "id_b")
+    )
+
+    comps = connected_components(edges)  # batch-internal clusters only
+    anchored_clusters = (
+        comps.join(anchored.withColumnRenamed(id_col, "node"), "node")
+        .select("cluster")
+        .distinct()
+    )
+    drop = (
+        comps.where(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias(id_col))
+        .unionByName(
+            comps.join(anchored_clusters, "cluster").select(
+                F.col("node").alias(id_col)
+            )
+        )
+        .unionByName(anchored)
+        .distinct()
+        # consumed by the result anti-join AND (via kept) the state append;
+        # also pins the drop set BEFORE the append mutates the state files
+        .localCheckpoint(eager=True)
+    )
+    kept_sigs = with_sig.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
+    if update_state:
+        kept_sigs.write.mode("append").parquet(sigs_path)
+        _band_rows(kept_sigs, id_col, bands, rows_per_band).write.mode(
+            "append"
+        ).parquet(bands_path)
+    return new_df.join(drop, id_col, "left_anti")

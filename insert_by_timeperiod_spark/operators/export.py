@@ -1,0 +1,140 @@
+"""Training-shard export sink (SURVEY.md §2 C50): write a corpus as
+WebDataset-style tar shards (one ``.txt`` payload + one ``.json`` metadata
+member per example, named by the example's deterministic position) — the
+layout sequential data loaders stream at training time (Aizman et al.'s
+WebDataset convention; tarfile is stdlib, no extra deps).
+
+Scale shape:
+- the (shard, pos) layout comes from :func:`~.sampling.shard_and_order` —
+  scan-stage draw, ONE shuffle by shard;
+- each shard is written by ONE ``applyInPandas`` group task (shard =
+  parallelism unit, the WebDataset model — size ``n_shards`` so a shard's
+  examples fit an executor: ~10k docs/shard is the convention);
+- tar bytes are DETERMINISTIC: members are written in pos order with
+  zeroed mtime/uid/gid/uname, so re-exporting an unchanged corpus produces
+  byte-identical shards (the manifest's sha256 doubles as a content
+  address for training-data provenance);
+- the returned manifest (shard, n_examples, n_bytes, sha256) is a tiny
+  DataFrame — collect-safe at any corpus size (one row per shard).
+
+The writer targets a LOCAL/shared filesystem path visible to executors
+(local mode, NFS, or a fuse mount). An object-store variant would swap
+the ``open()`` for a put — the tar assembly is the deterministic part.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import tarfile
+
+from pyspark.sql import DataFrame
+
+from .sampling import shard_and_order
+
+
+def export_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_cols: list[str],
+    *,
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+    seed: str = "",
+    prefix: str = "shard",
+) -> DataFrame:
+    """Export ``df`` as ``n_shards`` deterministic tar shards under
+    ``out_dir`` and return the manifest (shard, n_examples, n_bytes,
+    sha256). Every example becomes two tar members —
+    ``{pos:09d}.txt`` (the text payload, UTF-8) and ``{pos:09d}.json``
+    (the ``meta_cols`` values) — in position order, so a shard's bytes
+    are a pure function of its content."""
+    meta_cols = list(meta_cols or [])
+    missing = [c for c in [text_col, *meta_cols, *key_cols] if c not in df.columns]
+    if missing:
+        raise ValueError(f"export_webdataset_shards: missing columns {missing}")
+    cols = list(dict.fromkeys([text_col, *meta_cols, *key_cols]))
+    laid = shard_and_order(df.select(*cols), n_shards, key_cols, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(pdf):
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("pos")
+        path = os.path.join(out_dir, f"{prefix}-{shard:05d}.tar")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for _, row in pdf.iterrows():
+                pos = int(row["pos"])
+                payload = (row[text_col] or "").encode("utf-8")
+                meta = json.dumps(
+                    {c: _json_safe(row[c]) for c in meta_cols},
+                    sort_keys=True,
+                    separators=(",", ":"),
+                ).encode("utf-8")
+                for name, data in (
+                    (f"{pos:09d}.txt", payload),
+                    (f"{pos:09d}.json", meta),
+                ):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    info.mtime = 0  # determinism: no wall clock in the bytes
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+        raw = buf.getvalue()
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, path)  # atomic publish per shard
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_examples": [len(pdf)],
+                "n_bytes": [len(raw)],
+                "sha256": [hashlib.sha256(raw).hexdigest()],
+            }
+        )
+
+    manifest = laid.groupBy("shard").applyInPandas(
+        _write, "shard int, n_examples long, n_bytes long, sha256 string"
+    )
+    return manifest.orderBy("shard")
+
+
+def _json_safe(v):
+    """numpy scalars -> Python scalars so json.dumps stays deterministic."""
+    try:
+        return v.item()  # numpy scalar
+    except AttributeError:
+        return v
+
+
+def read_webdataset_shards(out_dir: str, prefix: str = "shard") -> list[dict]:
+    """Driver-side test/consumer helper: read every shard back into
+    [{shard, pos, text, meta}] in (shard, pos) order."""
+    out = []
+    for name in sorted(os.listdir(out_dir)):
+        if not (name.startswith(prefix + "-") and name.endswith(".tar")):
+            continue
+        shard = int(name[len(prefix) + 1 : -4])
+        with tarfile.open(os.path.join(out_dir, name)) as tar:
+            members = {m.name: tar.extractfile(m).read() for m in tar.getmembers()}
+        for mname in sorted(members):
+            if mname.endswith(".txt"):
+                pos = int(mname[:-4])
+                out.append(
+                    {
+                        "shard": shard,
+                        "pos": pos,
+                        "text": members[mname].decode("utf-8"),
+                        "meta": json.loads(members[f"{pos:09d}.json"]),
+                    }
+                )
+    return out

@@ -2194,3 +2194,85 @@ def test_pmi_prefers_exclusive_pairs(spark):
     assert all(r["n_pair"] >= 5 for r in out.values())
     with pytest.raises(ValueError, match="min_count"):
         C.pmi_collocations(df, min_count=0)
+
+
+# ------------------------------------------------- incremental near-dedup
+
+BASE_SENT = ("the quick brown fox jumps over the lazy dog and runs far away "
+             "into the deep dark woods tonight while nobody watches")
+
+
+def test_incremental_near_dedup_lifecycle(spark, tmp_path):
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    state = str(tmp_path / "near_state")
+    b1 = spark.createDataFrame(
+        [
+            (1, BASE_SENT),
+            (2, BASE_SENT + " with an extra trailing clause"),  # near-dup of 1
+            (3, "a completely different sentence about spark shuffle "
+                "partitions and adaptive execution at cluster scale"),
+            (4, "abc"),  # too short to shingle at k=5 -> NULL sig, always kept
+        ],
+        "doc_id bigint, text string",
+    )
+    out1 = {r["doc_id"] for r in
+            D.incremental_near_dedup(b1, state, jaccard_threshold=0.6).collect()}
+    assert out1 == {1, 3, 4}  # 2 collapses into cluster rep 1
+
+    b2 = spark.createDataFrame(
+        [
+            (11, BASE_SENT + " !"),  # anchored to state doc 1
+            (12, "another fresh unseen document about duckdb oracle replay "
+                 "and parquet footer caching behaviour"),
+            (13, "xy"),  # NULL sig
+        ],
+        "doc_id bigint, text string",
+    )
+    out2 = {r["doc_id"] for r in
+            D.incremental_near_dedup(b2, state, jaccard_threshold=0.6).collect()}
+    assert out2 == {12, 13}
+
+    # idempotency: re-running b2 drops everything signed (12 now matches its
+    # own state entry); NULL-sig docs are always kept by contract
+    out3 = {r["doc_id"] for r in
+            D.incremental_near_dedup(b2, state, jaccard_threshold=0.6).collect()}
+    assert out3 == {13}
+
+    # state holds exactly the SIGNED survivors — 1,3 from b1 and 12 from b2;
+    # the NULL-sig doc 4 was kept in the output but never enters the state
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(f"{state}/sigs").collect()}
+    assert sig_ids == {1, 3, 12}
+
+
+def test_incremental_near_dedup_anchored_cluster_drops_whole(spark, tmp_path):
+    """A batch-internal near-dup CLUSTER anchored to the state drops whole —
+    including its min id (the state already has the representative)."""
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    state = str(tmp_path / "near_state2")
+    b1 = spark.createDataFrame([(1, BASE_SENT)], "doc_id bigint, text string")
+    assert D.incremental_near_dedup(b1, state, jaccard_threshold=0.6).count() == 1
+    b2 = spark.createDataFrame(
+        [(21, BASE_SENT + " x"), (22, BASE_SENT + " y")],
+        "doc_id bigint, text string",
+    )
+    assert D.incremental_near_dedup(b2, state, jaccard_threshold=0.6).count() == 0
+
+
+def test_incremental_near_dedup_no_update_leaves_state(spark, tmp_path):
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    state = str(tmp_path / "near_state3")
+    b1 = spark.createDataFrame([(1, BASE_SENT)], "doc_id bigint, text string")
+    D.incremental_near_dedup(b1, state, jaccard_threshold=0.6)
+    before = spark.read.parquet(f"{state}/sigs").count()
+    b2 = spark.createDataFrame(
+        [(5, "some wholly new text that matches nothing else in the state")],
+        "doc_id bigint, text string",
+    )
+    out = D.incremental_near_dedup(
+        b2, state, jaccard_threshold=0.6, update_state=False
+    )
+    assert out.count() == 1
+    assert spark.read.parquet(f"{state}/sigs").count() == before

@@ -1984,6 +1984,42 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+#: additive checks ONLY (not_null / in_range / accepted_values are per-row
+#: counts, so cross-batch sums equal the whole-table run regardless of how
+#: the stream splits into micro-batches; `unique` is NOT additive and is
+#: excluded by design — its streaming form needs stateful dedup, C19's
+#: dedup_stream)
+def _stream_quality_checks():
+    return [
+        expect.not_null("event_id"),
+        expect.not_null("user_id"),
+        expect.in_range("value", 0.0, 1.0),
+        expect.accepted_values("event_type", ["click", "view", "purchase"]),
+    ]
+
+
+def _stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C51: streaming data-quality expectations
+    (streaming/expectations.py) — the C44 battery per micro-batch with a
+    durable per-batch verdict log. The recorded output is the cross-batch
+    rollup restricted to ADDITIVE checks, which equals the whole-table
+    batch run EXACTLY however the stream batches — so the same
+    `checks_sql` oracle as C44 applies."""
+    _prep(spark, sf_dir)
+    from insert_by_timeperiod_spark.streaming import StreamExpectations
+
+    src = _stream_events_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ibtp_squality_")
+    mon = StreamExpectations(spark, _stream_quality_checks(), os.path.join(root, "qlog"))
+    stream = spark.readStream.schema(spark.table("events").schema).parquet(src)
+    mon.run_available_now(stream, os.path.join(root, "ckpt"))
+    return mon.summary().select(
+        "check",
+        F.col("total_violations").alias("violations"),
+        (F.col("total_violations") == 0).alias("passed"),
+    )
+
+
 def _wds_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C50 (rows-only): WebDataset tar-shard export sink
     (operators/export.py). Returns the manifest — deterministic
@@ -2584,6 +2620,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bpe_tokenize": _bpe_tokenize,
         "dedup_incremental_near": _incr_near_dedup,
         "wds_export_manifest": _wds_export,
+        "streaming_quality_log": _stream_quality,
         "bm25_docs": _bm25_docs,
         "dup_spans_planted": _dup_spans,
         "pmi_collocations": _pmi_collocations,
@@ -2636,6 +2673,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "engine_txn_backend": ORACLE_DAILY.format(start=START, stop=STOP),
         "txnlog_time_travel": ORACLE_DAILY.format(start=START, stop="2024-01-15"),
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
+        "streaming_quality_log": expect.checks_sql(_stream_quality_checks(), "events"),
         "bm25_docs": bm25.bm25_sql(_BM25_TERMS, k=15),
         "dup_spans_planted": spans.dup_span_sql(_DUP_SPAN_SRC, k=10),
         "pmi_collocations": collocations.pmi_sql("documents", top_n=25, min_count=5),

@@ -18,11 +18,13 @@ provides the genuine Structured Streaming counterparts:
 """
 
 from .dedup import dedup_stream, dedup_stream_by_content
+from .expectations import StreamExpectations
 from .micro_batch import StreamToPeriodTable
 from .stateful import sessionize_stream
 from .windows import event_time_windowed
 
 __all__ = [
+    "StreamExpectations",
     "StreamToPeriodTable",
     "dedup_stream",
     "dedup_stream_by_content",

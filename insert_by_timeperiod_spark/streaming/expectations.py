@@ -1,0 +1,98 @@
+"""Streaming data-quality monitoring (SURVEY.md §2 C51): run the C44
+declarative expectations (`operators/expect.py`) on every micro-batch of a
+stream and append the per-batch verdicts to a durable quality log — the
+streaming twin of batch `run_checks`, for pipelines that keep current with
+`StreamToPeriodTable` and want the same checks the batch engine runs.
+
+Scale shape: the expectation battery compiles to ONE aggregate pass per
+micro-batch (the C44 property — 50 checks cost the same scan as one), the
+verdict frame is checks-sized (tiny), and the log grows by
+`len(checks)` rows per batch. Idempotent under Structured Streaming's
+at-least-once `foreachBatch` replays: each batch's verdicts land in a
+`batch_id=N` partition directory via full-overwrite of that directory, so
+a replayed batch replaces its own rows instead of duplicating them.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.expect import Check, run_checks
+
+log = logging.getLogger(__name__)
+
+
+class StreamExpectations:
+    """Attach an expectation battery to a stream.
+
+    ``on_violation`` (optional) is called on the driver with the list of
+    failed-check Rows of a batch (alerting hook — the stream itself is
+    never stopped: quality monitoring observes, the pipeline owner
+    decides). Use :meth:`summary` for the cross-batch rollup.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checks: list[Check],
+        log_path: str,
+        *,
+        on_violation: Callable[[list], None] | None = None,
+    ):
+        if not checks:
+            raise ValueError("no checks given")
+        self.spark = spark
+        self.checks = list(checks)
+        self.log_path = log_path
+        self.on_violation = on_violation
+
+    # -- foreachBatch body (public so batch pipelines can reuse it) --------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = run_checks(batch_df, self.checks)
+        # overwrite THIS batch's partition dir: a replayed batch_id
+        # replaces its own verdicts — same idempotency unit as the
+        # micro-batch table sink (batch, not period)
+        verdicts.write.mode("overwrite").parquet(
+            f"{self.log_path}/batch_id={int(batch_id)}"
+        )
+        if self.on_violation is not None:
+            failed = (
+                self.spark.read.parquet(f"{self.log_path}/batch_id={int(batch_id)}")
+                .where(~F.col("passed"))
+                .collect()
+            )
+            if failed:
+                self.on_violation(failed)
+
+    def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
+        """Drain the stream's available data through the battery (the same
+        Trigger.AvailableNow contract as StreamToPeriodTable)."""
+        q = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- rollup ------------------------------------------------------------
+    def summary(self) -> DataFrame:
+        """Cross-batch rollup: (check, n_batches, total_violations,
+        batches_failed) sorted by check name."""
+        logdf = self.spark.read.option("basePath", self.log_path).parquet(
+            self.log_path
+        )
+        return (
+            logdf.groupBy("check")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+                F.sum("violations").cast("bigint").alias("total_violations"),
+                F.sum((~F.col("passed")).cast("long"))
+                .cast("bigint")
+                .alias("batches_failed"),
+            )
+            .orderBy("check")
+        )

@@ -310,3 +310,41 @@ def test_streaming_hll_merge_equals_batch_sketch(spark, sf_dir):
         for r in SK.hll_sketch(events, ["event_type"], "user_id").collect()
     }
     assert got == want
+
+
+def test_stream_expectations_monitor(spark, events_src):
+    """The C44 battery per micro-batch: verdicts land per batch, replays
+    overwrite instead of duplicating, summary equals the batch-engine run
+    of the same checks over the same data, violations fire the hook."""
+    from insert_by_timeperiod_spark.operators import expect as E
+    from insert_by_timeperiod_spark.streaming import StreamExpectations
+
+    root = tempfile.mkdtemp(prefix="ibtp_sexp_")
+    logp, ckpt = os.path.join(root, "qlog"), os.path.join(root, "ckpt")
+    alerts = []
+    checks = [
+        E.not_null("event_id"),
+        E.in_range("value", 0, 1),  # real values exceed 1 -> violations
+    ]
+    mon = StreamExpectations(spark, checks, logp, on_violation=alerts.extend)
+    mon.run_available_now(_read_stream(spark, events_src), ckpt)
+
+    summ = {r["check"]: r for r in mon.summary().collect()}
+    assert summ["not_null:event_id"]["total_violations"] == 0
+    assert summ["not_null:event_id"]["batches_failed"] == 0
+    # cross-batch total equals the one-shot batch run on the same data
+    batch = spark.read.parquet(events_src)
+    want = {r["check"]: r["violations"] for r in E.run_checks(batch, checks).collect()}
+    assert summ["in_range:value"]["total_violations"] == want["in_range:value"] > 0
+    assert alerts and all(r["check"] == "in_range:value" for r in alerts)
+
+    # replayed batch id overwrites its own verdicts -> totals unchanged
+    n_alerts = len(alerts)
+    mon.process_batch(batch.limit(0), 0)
+    mon.process_batch(batch, 0)
+    summ2 = {r["check"]: r for r in mon.summary().collect()}
+    assert summ2["in_range:value"]["total_violations"] == want["in_range:value"]
+    assert len(alerts) > n_alerts  # the replay re-alerted (at-least-once)
+
+    with pytest.raises(ValueError, match="no checks"):
+        StreamExpectations(spark, [], logp)

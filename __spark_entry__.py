@@ -46,6 +46,7 @@ from insert_by_timeperiod_spark.operators import (
     bm25,
     bpe,
     collocations,
+    drift,
     expect,
     video,
     chunk,
@@ -1984,6 +1985,39 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def _lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C52: add-alpha bigram LM scoring (operators/lmscore.py
+    `bigram_nll`) — the CCNet scorer one order up, self-trained here; a
+    small vocab keeps the <unk> path exercised. Exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    return lmscore.bigram_nll(spark.table("documents"), vocab_size=60)
+
+
+_DRIFT_A = "(SELECT * FROM documents WHERE lang = 'en')"
+_DRIFT_B = "(SELECT * FROM documents WHERE lang = 'de')"
+
+
+def _drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C53: per-term probability drift between two corpora
+    (operators/drift.py) — top-20 shifts, exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    return drift.unigram_drift_terms(
+        docs.where("lang = 'en'"), docs.where("lang = 'de'"), top_n=20
+    )
+
+
+def _drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C53: Jensen-Shannon divergence over the full union vocabulary —
+    the one-number drift alarm; exact DuckDB twin (rounded per-term
+    contributions, DECIMAL sum)."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    return drift.unigram_js_divergence(
+        docs.where("lang = 'en'"), docs.where("lang = 'de'")
+    )
+
+
 #: additive checks ONLY (not_null / in_range / accepted_values are per-row
 #: counts, so cross-batch sums equal the whole-table run regardless of how
 #: the stream splits into micro-batches; `unique` is NOT additive and is
@@ -2621,6 +2655,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_incremental_near": _incr_near_dedup,
         "wds_export_manifest": _wds_export,
         "streaming_quality_log": _stream_quality,
+        "lm_bigram_score": _lm_bigram,
+        "drift_terms_lang": _drift_terms,
+        "drift_js_lang": _drift_js,
         "bm25_docs": _bm25_docs,
         "dup_spans_planted": _dup_spans,
         "pmi_collocations": _pmi_collocations,
@@ -2674,6 +2711,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "txnlog_time_travel": ORACLE_DAILY.format(start=START, stop="2024-01-15"),
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
         "streaming_quality_log": expect.checks_sql(_stream_quality_checks(), "events"),
+        "lm_bigram_score": lmscore.bigram_nll_sql("documents", vocab_size=60),
+        "drift_terms_lang": drift.drift_terms_sql(_DRIFT_A, _DRIFT_B, top_n=20),
+        "drift_js_lang": drift.js_divergence_sql(_DRIFT_A, _DRIFT_B),
         "bm25_docs": bm25.bm25_sql(_BM25_TERMS, k=15),
         "dup_spans_planted": spans.dup_span_sql(_DUP_SPAN_SRC, k=10),
         "pmi_collocations": collocations.pmi_sql("documents", top_n=25, min_count=5),

@@ -1,0 +1,166 @@
+"""Corpus distribution drift monitoring (SURVEY.md §2 C53): compare the
+unigram distributions of two corpora — today's ingest vs yesterday's, a
+new source vs the curated reference — with per-term probability shifts and
+the Jensen–Shannon divergence (Lin 1991; bounded [0,1] in log2, the
+standard "did the data change" alarm for a continuously-fed pipeline).
+
+Scale shape: one wordcount aggregate per side (map-side combined), a
+full-outer hash join on the term key (uniform, no skew), grand totals as
+1-row broadcasts; the JS sum is a partial aggregate over the joined
+vocabulary (vocab-sized, not corpus-sized); top-N shifts are a bounded
+TakeOrdered. Per-term contributions round to 6 decimals and sum as
+DECIMAL, so the DuckDB twins are exact.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .lmscore import _tokens
+from .util import spread
+
+_TOKS_SQL = (
+    "list_filter(str_split_regex(trim(lower({col})), '\\s+'), w -> w != '')"
+)
+
+
+def _counts(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        spread(df.select(text_col))
+        .select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # consumers: the total aggregate and the outer join
+        .localCheckpoint(eager=True)
+    )
+
+
+def _joined_probs(df_a: DataFrame, df_b: DataFrame, text_col: str):
+    """Full-outer join of both unigram distributions with totals attached:
+    (word, _na, _nb, _ta, _tb). Probabilities divide inside the consumer
+    so the division sequence stays pinned and engine-portable."""
+    ca, cb = _counts(df_a, text_col), _counts(df_b, text_col)
+    ta = ca.agg(F.sum("n").alias("_ta"))
+    tb = cb.agg(F.sum("n").alias("_tb"))
+    return (
+        ca.withColumnRenamed("n", "_na")
+        .join(cb.withColumnRenamed("n", "_nb"), "word", "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "word",
+            F.coalesce(F.col("_na"), F.lit(0)).alias("_na"),
+            F.coalesce(F.col("_nb"), F.lit(0)).alias("_nb"),
+            "_ta",
+            "_tb",
+        )
+    )
+
+
+def unigram_drift_terms(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """The ``top_n`` terms by absolute probability shift between the two
+    corpora as (term, p_a, p_b, delta), delta = p_b - p_a rounded to 6
+    decimals; ties break on the term."""
+    probs = _joined_probs(df_a, df_b, text_col)
+    pa = F.col("_na") / F.col("_ta")
+    pb = F.col("_nb") / F.col("_tb")
+    return (
+        probs.select(
+            F.col("word").alias("term"),
+            F.round(pa, 6).alias("p_a"),
+            F.round(pb, 6).alias("p_b"),
+            F.round(pb - pa, 6).alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "term")
+        .limit(top_n)
+    )
+
+
+def unigram_js_divergence(
+    df_a: DataFrame, df_b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One row (n_terms, js) — the Jensen–Shannon divergence (log2, so
+    0 = identical, 1 = disjoint) over the FULL union vocabulary. Per-term
+    contributions ``0.5·p·log2(p/m) + 0.5·q·log2(q/m)`` (zero where the
+    side is absent) round to 6 decimals and sum as DECIMAL."""
+    probs = _joined_probs(df_a, df_b, text_col)
+    pa = F.col("_na") / F.col("_ta")
+    pb = F.col("_nb") / F.col("_tb")
+    m = (pa + pb) / F.lit(2.0)
+    contrib = F.round(
+        F.when(F.col("_na") > 0, F.lit(0.5) * pa * F.log2(pa / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(F.col("_nb") > 0, F.lit(0.5) * pb * F.log2(pb / m)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    ).cast("decimal(18,9)")
+    return probs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(contrib).cast("double").alias("js"),
+    )
+
+
+def _probs_sql(source_a: str, source_b: str, text_col: str) -> str:
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+_ca AS (
+    SELECT w AS word, COUNT(*) AS _na
+    FROM (SELECT {toks} AS _t FROM {source_a}), UNNEST(_t) AS _x(w)
+    GROUP BY w
+), _cb AS (
+    SELECT w AS word, COUNT(*) AS _nb
+    FROM (SELECT {toks} AS _t FROM {source_b}), UNNEST(_t) AS _x(w)
+    GROUP BY w
+), _probs AS (
+    SELECT COALESCE(_ca.word, _cb.word) AS word,
+           COALESCE(_na, 0) AS _na, COALESCE(_nb, 0) AS _nb,
+           (SELECT SUM(_na) FROM _ca) AS _ta,
+           (SELECT SUM(_nb) FROM _cb) AS _tb
+    FROM _ca FULL OUTER JOIN _cb ON _ca.word = _cb.word
+)"""
+
+
+def drift_terms_sql(
+    source_a: str, source_b: str, text_col: str = "text", *, top_n: int = 20
+) -> str:
+    """Exact DuckDB twin of :func:`unigram_drift_terms`."""
+    return f"""
+WITH {_probs_sql(source_a, source_b, text_col)}
+SELECT word AS term,
+       round(CAST(_na AS DOUBLE) / _ta, 6) AS p_a,
+       round(CAST(_nb AS DOUBLE) / _tb, 6) AS p_b,
+       round(CAST(_nb AS DOUBLE) / _tb - CAST(_na AS DOUBLE) / _ta, 6) AS delta
+FROM _probs
+ORDER BY abs(round(CAST(_nb AS DOUBLE) / _tb - CAST(_na AS DOUBLE) / _ta, 6)) DESC,
+         term
+LIMIT {top_n}
+"""
+
+
+def js_divergence_sql(
+    source_a: str, source_b: str, text_col: str = "text"
+) -> str:
+    """Exact DuckDB twin of :func:`unigram_js_divergence`."""
+    pa = "CAST(_na AS DOUBLE) / _ta"
+    pb = "CAST(_nb AS DOUBLE) / _tb"
+    m = f"(({pa}) + ({pb})) / 2.0"
+    return f"""
+WITH {_probs_sql(source_a, source_b, text_col)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(CAST(round(
+           (CASE WHEN _na > 0 THEN 0.5 * ({pa}) * log2(({pa}) / ({m}))
+                 ELSE 0.0 END)
+           + (CASE WHEN _nb > 0 THEN 0.5 * ({pb}) * log2(({pb}) / ({m}))
+                   ELSE 0.0 END), 6) AS DECIMAL(18,9))) AS DOUBLE) AS js
+FROM _probs
+"""

@@ -116,3 +116,191 @@ def perplexity_score(
         .cast("double")
         .alias("doc_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with add-alpha smoothing (C52) — the CCNet scorer, one order up
+# ---------------------------------------------------------------------------
+
+def _mapped_bigram_pairs(src: DataFrame, vocab: DataFrame, text_col: str, keep_cols: list):
+    """Adjacent (m1, m2) token pairs with OOV mapped to ``<unk>`` via two
+    broadcast left joins against the vocab (the corpus never shuffles for
+    the mapping). ``keep_cols`` ride along (e.g. the doc id on the scoring
+    side; empty on the training side)."""
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - F.lit(2)),
+        lambda i: F.struct(
+            F.element_at("_t", i + 1).alias("w1"),
+            F.element_at("_t", i + 2).alias("w2"),
+        ),
+    )
+    inst = (
+        spread(src.select(*keep_cols, text_col))
+        .select(*keep_cols, _tokens(F.col(text_col)).alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(*keep_cols, F.explode(pairs).alias("_p"))
+        .select(*keep_cols, "_p.w1", "_p.w2")
+    )
+    v1 = vocab.select(F.col("word").alias("w1"), F.lit(1).alias("_in1"))
+    v2 = vocab.select(F.col("word").alias("w2"), F.lit(1).alias("_in2"))
+    return (
+        inst.join(F.broadcast(v1), "w1", "left")
+        .join(F.broadcast(v2), "w2", "left")
+        .select(
+            *keep_cols,
+            F.when(F.col("_in1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit("<unk>"))
+            .alias("m1"),
+            F.when(F.col("_in2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit("<unk>"))
+            .alias("m2"),
+        )
+    )
+
+
+def bigram_nll(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean negative log10 probability under an add-``alpha``
+    bigram LM trained on ``train_df`` (default: the scored corpus itself —
+    the battery's engine-exact self-scoring form; CCNet-style quality
+    ranking trains on a clean reference corpus instead).
+
+    Model: tokens outside the top-``vocab_size`` (count desc, word asc —
+    deterministic cut) map to ``<unk>``; ``P(m2|m1) = (c12 + a) /
+    (c1 + a·V)`` with ``V`` the number of distinct mapped types (vocab
+    present + ``<unk>`` if the training corpus has any OOV). An unseen
+    left context makes the formula collapse to the uniform ``1/V`` floor
+    with no special casing (``c1 = 0``). Documents with fewer than two
+    tokens are absent. Returns (id, n_pairs, doc_nll); perplexity is
+    ``10**doc_nll``.
+
+    Scale shape: vocab mapping is two BROADCAST left joins (the corpus
+    never shuffles to discover its own OOVs); the model is two wordcount
+    aggregates with map-side combine; scoring joins the pair stream
+    against the (m1,m2)/(m1) count tables — hash joins on uniform token
+    keys, no driver state; V and the scalar constants ride in as 1-row
+    broadcasts. Per-pair log-probs round to 6 decimals and sum as DECIMAL
+    (the repo's cross-engine float contract), so ``bigram_nll_sql`` is an
+    exact DuckDB twin.
+    """
+    train_df = df if train_df is None else train_df
+    tcounts = (
+        spread(train_df.select(text_col))
+        .select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # consumers: the vocab cut AND the any-OOV probe for V
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        tcounts.orderBy(F.col("n").desc(), F.col("word"))
+        .limit(vocab_size)
+        .select("word")
+        # consumers: train mapping, score mapping, V count, OOV probe
+        .localCheckpoint(eager=True)
+    )
+    n_vocab = vocab.agg(F.count(F.lit(1)).alias("_nv"))
+    has_oov = tcounts.join(vocab, "word", "left_anti").agg(
+        (F.count(F.lit(1)) > 0).cast("int").alias("_oov")
+    )
+    vstats = (
+        n_vocab.crossJoin(F.broadcast(has_oov))
+        .select((F.col("_nv") + F.col("_oov")).alias("_v"))
+    )
+    c12 = (
+        _mapped_bigram_pairs(train_df, vocab, text_col, [])
+        .groupBy("m1", "m2")
+        .agg(F.count(F.lit(1)).alias("_n12"))
+        # consumers: the score join AND the c1 rollup
+        .localCheckpoint(eager=True)
+    )
+    c1 = c12.groupBy("m1").agg(F.sum("_n12").alias("_n1"))
+    sb = _mapped_bigram_pairs(df, vocab, text_col, [id_col])
+    p = (F.coalesce(F.col("_n12"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("_n1"), F.lit(0)) + F.lit(alpha) * F.col("_v")
+    )
+    scored = (
+        sb.join(c12, ["m1", "m2"], "left")
+        .join(c1, "m1", "left")
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            F.col(id_col),
+            F.round(F.log10(p), 6).cast("decimal(18,9)").alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (-(F.sum("_lp").cast("double") / F.count(F.lit(1))))
+        .cast("double")
+        .alias("doc_nll"),
+    )
+
+
+def bigram_nll_sql(
+    source: str = "documents",
+    train_source: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+) -> str:
+    """The exact DuckDB twin of :func:`bigram_nll` (same tokenize, same
+    vocab cut, same mapping, same division/log10 sequence and rounding)."""
+    train_source = source if train_source is None else train_source
+    toks = (
+        f"list_filter(str_split_regex(trim(lower({text_col})), '\\s+'), "
+        "w -> w != '')"
+    )
+    return f"""
+WITH _ttoks AS (
+    SELECT {toks} AS _t FROM {train_source}
+), _tuni AS (
+    SELECT w, COUNT(*) AS n FROM _ttoks, UNNEST(_t) AS _x(w) GROUP BY w
+), _vocab AS (
+    SELECT w FROM _tuni ORDER BY n DESC, w LIMIT {vocab_size}
+), _vs AS (
+    SELECT (SELECT COUNT(*) FROM _vocab)
+         + (CASE WHEN EXISTS (
+                SELECT 1 FROM _tuni WHERE w NOT IN (SELECT w FROM _vocab))
+            THEN 1 ELSE 0 END) AS _v
+), _tb AS (
+    SELECT CASE WHEN _t[i + 1] IN (SELECT w FROM _vocab)
+                THEN _t[i + 1] ELSE '<unk>' END AS m1,
+           CASE WHEN _t[i + 2] IN (SELECT w FROM _vocab)
+                THEN _t[i + 2] ELSE '<unk>' END AS m2
+    FROM _ttoks, UNNEST(range(0, len(_t) - 1)) AS _y(i)
+), _c12 AS (
+    SELECT m1, m2, COUNT(*) AS _n12 FROM _tb GROUP BY 1, 2
+), _c1 AS (
+    SELECT m1, SUM(_n12) AS _n1 FROM _c12 GROUP BY 1
+), _stoks AS (
+    SELECT {id_col}, {toks} AS _t FROM {source}
+), _sb AS (
+    SELECT {id_col},
+           CASE WHEN _t[i + 1] IN (SELECT w FROM _vocab)
+                THEN _t[i + 1] ELSE '<unk>' END AS m1,
+           CASE WHEN _t[i + 2] IN (SELECT w FROM _vocab)
+                THEN _t[i + 2] ELSE '<unk>' END AS m2
+    FROM _stoks, UNNEST(range(0, len(_t) - 1)) AS _y(i)
+), _scored AS (
+    SELECT {id_col},
+           CAST(round(log10(
+               (COALESCE(b._n12, 0) + {alpha!r})
+               / (COALESCE(c._n1, 0) + {alpha!r} * _vs._v)
+           ), 6) AS DECIMAL(18,9)) AS _lp
+    FROM _sb s
+    LEFT JOIN _c12 b ON s.m1 = b.m1 AND s.m2 = b.m2
+    LEFT JOIN _c1 c ON s.m1 = c.m1, _vs
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(-(CAST(SUM(_lp) AS DOUBLE) / COUNT(*)) AS DOUBLE) AS doc_nll
+FROM _scored GROUP BY {id_col}
+"""

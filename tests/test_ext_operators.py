@@ -2276,3 +2276,59 @@ def test_incremental_near_dedup_no_update_leaves_state(spark, tmp_path):
     )
     assert out.count() == 1
     assert spark.read.parquet(f"{state}/sigs").count() == before
+
+
+# --------------------------------------------------- bigram LM + drift
+
+def test_bigram_nll_hand_computed(spark):
+    """Tiny corpus with by-hand probabilities: vocab {a,b,c}, V=3,
+    c(a,b)=2, c(a,c)=1, c1(a)=3 -> P(b|a)=(2+1)/(3+3)=0.5,
+    P(c|a)=(1+1)/(3+3)=1/3; nll = -log10 of those."""
+    import math
+
+    from insert_by_timeperiod_spark.operators import lmscore as L
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in L.bigram_nll(df, vocab_size=10).collect()}
+    assert out[1]["n_pairs"] == 1
+    assert abs(out[1]["doc_nll"] - round(-math.log10(0.5), 6)) < 1e-9
+    assert abs(out[3]["doc_nll"] - round(-math.log10(1 / 3), 6)) < 1e-9
+
+    # vocab_size=1 maps everything but 'a' to <unk>: doc 2 and 3 become the
+    # same mapped pair (a, <unk>) and must score identically
+    out1 = {r["doc_id"]: r["doc_nll"]
+            for r in L.bigram_nll(df, vocab_size=1).collect()}
+    assert out1[2] == out1[3]
+
+
+def test_bigram_nll_cross_corpus_training(spark):
+    """Training on a reference corpus scores a different corpus: pairs
+    unseen in training get the smoothed floor, seen pairs score higher."""
+    from insert_by_timeperiod_spark.operators import lmscore as L
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, "the cat"), (2, "mat cat")],  # seen pair vs unseen pair
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["doc_nll"]
+           for r in L.bigram_nll(score, train, vocab_size=10).collect()}
+    assert out[1] < out[2]  # seen bigram is more probable
+
+
+def test_js_divergence_bounds(spark):
+    """JS(log2) is 0 on identical corpora and 1 on disjoint vocabularies."""
+    from insert_by_timeperiod_spark.operators import drift as D
+
+    a = spark.createDataFrame([(1, "x y z x")], "doc_id bigint, text string")
+    b = spark.createDataFrame([(1, "p q r p q")], "doc_id bigint, text string")
+    same = D.unigram_js_divergence(a, a).collect()[0]
+    assert same["js"] == 0.0
+    dis = D.unigram_js_divergence(a, b).collect()[0]
+    assert abs(dis["js"] - 1.0) < 1e-5
+    assert dis["n_terms"] == 6

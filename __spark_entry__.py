@@ -48,6 +48,8 @@ from insert_by_timeperiod_spark.operators import (
     collocations,
     drift,
     expect,
+    profile,
+    zorder,
     video,
     chunk,
     decontam,
@@ -1985,6 +1987,52 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def _txn_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C54 (EXACT oracle): retention-bounded VACUUM on the commit-log
+    backend — a multi-version build (interrupted run + resume), then
+    ``vacuum(keep_last=1)`` deletes every file exclusive to pre-head
+    versions; ORACLE_DAILY checks the CURRENT snapshot is bit-identical
+    afterwards (vacuum must never change current reads). Deletion
+    mechanics / time-travel breakage pinned in tests/test_txnlog.py."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_vac_"), "t")
+    cfg = dict(
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=7,
+    )
+    eng = InsertByTimeperiod(
+        spark, MODEL_DAILY, IBTPConfig(**cfg), tgt,
+        count_rows=False, table_factory=TxnLogTable,
+    )
+    eng.run(RunVars(stop_date="2024-01-15"))
+    eng.run(RunVars())
+    eng.table.vacuum(keep_last=1)
+    return eng.table.read()
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C55: ANALYZE-style table profiling (operators/profile.py) — all
+    columns' stats in ONE aggregate pass; exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    return profile.profile_table(spark.table("documents"), _PROFILE_COLS)
+
+
+def _zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C56: Morton z-values over (user_id, value) — the clustering key
+    behind OPTIMIZE ZORDER BY; pure integer column algebra with an exact
+    DuckDB twin (same normalization floats, same bit interleave). The
+    data-skipping property of the written layout (per-file ranges bounded
+    on BOTH columns) is pinned in pytest."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    return zorder.z_values(ev, "user_id", "value").select("event_id", "z")
+
+
 def _lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C52: add-alpha bigram LM scoring (operators/lmscore.py
     `bigram_nll`) — the CCNet scorer one order up, self-trained here; a
@@ -2658,6 +2706,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "lm_bigram_score": _lm_bigram,
         "drift_terms_lang": _drift_terms,
         "drift_js_lang": _drift_js,
+        "txnlog_vacuum": _txn_vacuum,
+        "table_profile_docs": _profile_docs,
+        "zorder_values": _zorder_events,
         "bm25_docs": _bm25_docs,
         "dup_spans_planted": _dup_spans,
         "pmi_collocations": _pmi_collocations,
@@ -2714,6 +2765,16 @@ def pytest_only_oracles() -> dict[str, str]:
         "lm_bigram_score": lmscore.bigram_nll_sql("documents", vocab_size=60),
         "drift_terms_lang": drift.drift_terms_sql(_DRIFT_A, _DRIFT_B, top_n=20),
         "drift_js_lang": drift.js_divergence_sql(_DRIFT_A, _DRIFT_B),
+        "txnlog_vacuum": ORACLE_DAILY.format(start=START, stop=STOP),
+        "table_profile_docs": profile.profile_sql(
+            "documents", _PROFILE_COLS,
+            numeric_cols=["doc_id", "n_chars"],
+            string_cols=["text", "lang", "source"],
+        ),
+        "zorder_values": zorder.z_values_sql(
+            "(SELECT event_id, user_id, value FROM events)",
+            "user_id", "value", select="t.event_id",
+        ),
         "bm25_docs": bm25.bm25_sql(_BM25_TERMS, k=15),
         "dup_spans_planted": spans.dup_span_sql(_DUP_SPAN_SRC, k=10),
         "pmi_collocations": collocations.pmi_sql("documents", top_n=25, min_count=5),

@@ -1,0 +1,101 @@
+"""Table profiling / statistics collection (SURVEY.md §2 C55): per-column
+(rows, nulls, distinct, numeric min/max, mean string length) in ONE
+aggregate pass — the ANALYZE-style scan a pipeline runs on every new
+source before trusting it (schema drift, null explosions, cardinality
+checks), and the C44 expectation battery's exploratory sibling.
+
+Scale shape: all columns' statistics compile into a single ``agg`` over
+one scan (the C44 property — profiling 50 columns costs one corpus pass);
+the result is columns-sized (tiny) and unpivots via the same
+struct-array-explode as `expect.run_checks`. Exact ``count_distinct`` is
+the oracle-comparable default; pass ``approx=True`` to swap in
+``approx_count_distinct`` (HLL) for trillion-row production scans where
+the expand-operator cost of many exact distincts matters.
+
+The DuckDB twin (`profile_sql`) replays the identical aggregates, so the
+profile is exact cross-engine: numeric min/max surface as DOUBLE (NULL
+for non-numeric columns — string casts format differently per engine and
+are deliberately excluded), mean length rounds to 6 decimals.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, *, approx: bool = False
+) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct, min_num,
+    max_num, avg_len), deterministic order by column name. ``min_num`` /
+    ``max_num`` are NULL for non-numeric columns, ``avg_len`` NULL for
+    non-string columns."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = sorted(cols if cols is not None else fields)
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    distinct = F.approx_count_distinct if approx else F.count_distinct
+    aggs, null_d = [], F.lit(None).cast("double")
+    for c in cols:
+        t = fields[c]
+        is_num = isinstance(t, _NUMERIC)
+        is_str = isinstance(t, T.StringType)
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"_r_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).cast("bigint").alias(f"_n_{c}"),
+            distinct(F.col(c)).cast("bigint").alias(f"_d_{c}"),
+            (F.min(F.col(c)).cast("double") if is_num else null_d).alias(f"_lo_{c}"),
+            (F.max(F.col(c)).cast("double") if is_num else null_d).alias(f"_hi_{c}"),
+            (
+                F.round(F.avg(F.length(F.col(c))), 6) if is_str else null_d
+            ).alias(f"_al_{c}"),
+        ]
+    agg = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"`_r_{c}`").alias("n_rows"),
+                F.col(f"`_n_{c}`").alias("n_nulls"),
+                F.col(f"`_d_{c}`").alias("n_distinct"),
+                F.col(f"`_lo_{c}`").alias("min_num"),
+                F.col(f"`_hi_{c}`").alias("max_num"),
+                F.col(f"`_al_{c}`").alias("avg_len"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(rows).alias("_p")).select("_p.*")
+
+
+def profile_sql(
+    table: str, cols: list[str], numeric_cols: list[str], string_cols: list[str]
+) -> str:
+    """Exact DuckDB twin of :func:`profile_table` (pass the column
+    classification explicitly — DuckDB sees the same parquet schema)."""
+    cols = sorted(cols)
+    arms = []
+    for c in cols:
+        lo = f"CAST(MIN({c}) AS DOUBLE)" if c in numeric_cols else "CAST(NULL AS DOUBLE)"
+        hi = f"CAST(MAX({c}) AS DOUBLE)" if c in numeric_cols else "CAST(NULL AS DOUBLE)"
+        al = (
+            f"round(AVG(length({c})), 6)"
+            if c in string_cols
+            else "CAST(NULL AS DOUBLE)"
+        )
+        arms.append(
+            f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{lo} AS min_num, {hi} AS max_num, {al} AS avg_len "
+            f"FROM {table}"
+        )
+    return "\nUNION ALL\n".join(arms)

@@ -1,0 +1,124 @@
+"""Z-order clustering layout (SURVEY.md §2 C56): rewrite a table ordered
+along a Morton (Z) space-filling curve over two numeric columns, so
+parquet per-file min/max statistics prune reads on EITHER column — the
+Delta/Iceberg ``OPTIMIZE ZORDER BY`` idiom, reduced to its mechanism
+(Morton 1966; a linear sort can only cluster one column, the interleaved
+curve bounds both).
+
+Scale shape: the z-value is PURE integer column algebra — each column
+min/max-normalizes to a 16-bit grid (the min/max come from one cheap
+aggregate, broadcast as a 1-row frame) and bits interleave via an
+unrolled shift/mask expression (32 codegen'd ops, no UDF); the layout
+write is ``repartitionByRange`` on the z column + ``sortWithinPartitions``
+— Spark's range exchange gives each output file a contiguous z interval,
+which is exactly the per-file bounding-box guarantee data skipping needs.
+
+The z-value computation carries an exact DuckDB twin (`z_values_sql` —
+same normalization arithmetic, same bit ops); the data-skipping property
+itself (per-file ranges shrink on BOTH columns vs a linear sort) is
+pinned in pytest by reading the written files' actual extents.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BITS = 16  # 16 bits per column -> 32-bit z-value; plenty for file pruning
+
+
+def _norm(col: Column, lo: Column, hi: Column) -> Column:
+    """Min/max scale to the [0, 2^BITS) integer grid; a constant column
+    (hi == lo) maps to 0. floor() on the double product is exact and
+    engine-portable (values stay far under 2^53)."""
+    scale = F.lit(float(2**BITS - 1))
+    return F.when(hi == lo, F.lit(0).cast("long")).otherwise(
+        F.floor((col.cast("double") - lo) / (hi - lo) * scale).cast("long")
+    )
+
+
+def _interleave(a: Column, b: Column) -> Column:
+    """Morton interleave of two BITS-bit integers: a's bit i lands at
+    2i+1, b's at 2i — unrolled shifts/masks, one codegen'd expression."""
+    z = F.lit(0).cast("long")
+    for i in range(BITS):
+        # Column.__or__ is LOGICAL or in pyspark — bitwiseOR is the operator
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i) % 2, 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i) % 2, 2 * i))
+    return z
+
+
+def z_values(
+    df: DataFrame, col_a: str, col_b: str, *, z_col: str = "z"
+) -> DataFrame:
+    """Attach the Morton z-value of (col_a, col_b) as ``z_col``. The
+    min/max normalization constants come from one aggregate over the
+    input, broadcast — no second scan of the data per row."""
+    if z_col in df.columns:
+        raise ValueError(f"z_values: column {z_col!r} already exists")
+    stats = df.agg(
+        F.min(F.col(col_a)).cast("double").alias("_loa"),
+        F.max(F.col(col_a)).cast("double").alias("_hia"),
+        F.min(F.col(col_b)).cast("double").alias("_lob"),
+        F.max(F.col(col_b)).cast("double").alias("_hib"),
+    )
+    na = _norm(F.col(col_a), F.col("_loa"), F.col("_hia"))
+    nb = _norm(F.col(col_b), F.col("_lob"), F.col("_hib"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(z_col, _interleave(na, nb))
+        .drop("_loa", "_hia", "_lob", "_hib")
+    )
+
+
+def z_order_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` to ``path`` as ~``n_files`` parquet files, each
+    covering a contiguous z interval (range exchange + in-partition sort),
+    so every file's (col_a, col_b) bounding box is small and parquet
+    footer stats prune scans filtered on either column."""
+    zed = z_values(df, col_a, col_b)
+    (
+        zed.repartitionByRange(n_files, F.col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def z_values_sql(
+    source: str, col_a: str, col_b: str, *, select: str = "t.*"
+) -> str:
+    """Exact DuckDB twin of :func:`z_values` (same normalization floats,
+    same interleave)."""
+    def norm(col, lo, hi):
+        return (
+            f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+            f"CAST(floor((CAST({col} AS DOUBLE) - {lo}) / ({hi} - {lo}) "
+            f"* {float(2**BITS - 1)!r}) AS BIGINT) END"
+        )
+
+    na = norm(f"t.{col_a}", "_s._loa", "_s._hia")
+    nb = norm(f"t.{col_b}", "_s._lob", "_s._hib")
+    parts = [
+        f"(((({na}) >> {i}) % 2) << {2 * i + 1}) | (((({nb}) >> {i}) % 2) << {2 * i})"
+        for i in range(BITS)
+    ]
+    z = " | ".join(parts)
+    return f"""
+SELECT {select}, CAST({z} AS BIGINT) AS z
+FROM {source} t, (
+    SELECT CAST(MIN({col_a}) AS DOUBLE) AS _loa, CAST(MAX({col_a}) AS DOUBLE) AS _hia,
+           CAST(MIN({col_b}) AS DOUBLE) AS _lob, CAST(MAX({col_b}) AS DOUBLE) AS _hib
+    FROM {source}
+) _s
+"""

@@ -336,6 +336,38 @@ class TxnLogTable(ParquetTable):
                 n += 1
         return n
 
+    def vacuum(self, keep_last: int = 7) -> int:
+        """Retention-bounded VACUUM (the Delta idiom, version-count-based):
+        delete data files referenced ONLY by versions older than the last
+        ``keep_last`` commits, keeping time travel to those recent
+        versions intact. The log itself is untouched — ``read(version=)``
+        for an older version fails on missing files afterwards, exactly
+        like a vacuumed Delta table. Returns the number of files deleted.
+
+        Concurrency: the needed-set is computed from the snapshots of the
+        retained versions as of the head observed HERE; a commit that wins
+        a slot concurrently only ADDS files under a fresh uuid dir, which
+        this pass never touches (new files can't be referenced only by old
+        versions). ``recover_orphans`` (never-referenced crash leftovers)
+        stays a separate, stricter pass."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        versions = self._versions()
+        if len(versions) <= keep_last:
+            return 0
+        kept, old = versions[-keep_last:], versions[: -keep_last]
+        needed: set[str] = set()
+        for v in kept:
+            needed.update(self._snapshot_entries(version=v))
+        doomed: set[str] = set()
+        for v in old:
+            for a in self._read_commit(v)["adds"]:
+                if a["f"] not in needed:
+                    doomed.add(a["f"])
+        # count actual deletions (delete() is False on already-gone paths),
+        # so a repeated vacuum over the same history reports 0
+        return sum(1 for f in doomed if self.fs.delete(f"{self.path}/{f}"))
+
     def truncate_history(self) -> int:
         """Collapse the log to a single commit of the CURRENT snapshot and
         delete data files only old versions referenced. Ends time travel;

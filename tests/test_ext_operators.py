@@ -2332,3 +2332,61 @@ def test_js_divergence_bounds(spark):
     dis = D.unigram_js_divergence(a, b).collect()[0]
     assert abs(dis["js"] - 1.0) < 1e-5
     assert dis["n_terms"] == 6
+
+
+# -------------------------------------------------- profile + z-order
+
+def test_profile_guards_and_approx(spark):
+    from insert_by_timeperiod_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5), (2, None, 2.5), (2, "bb", None)],
+        "id bigint, s string, v double",
+    )
+    out = {r["column"]: r for r in P.profile_table(df).collect()}
+    assert out["id"]["n_distinct"] == 2 and out["id"]["min_num"] == 1.0
+    assert out["s"]["n_nulls"] == 1 and out["s"]["avg_len"] == 2.0
+    assert out["s"]["min_num"] is None  # non-numeric: no numeric extremes
+    assert out["v"]["max_num"] == 2.5
+    # approx mode runs and lands near the exact count on tiny cardinality
+    appr = {r["column"]: r for r in P.profile_table(df, approx=True).collect()}
+    assert abs(appr["id"]["n_distinct"] - 2) <= 1
+    with pytest.raises(ValueError, match="unknown columns"):
+        P.profile_table(df, ["nope"])
+
+
+def test_zorder_bounds_both_columns(spark, tmp_path):
+    """Z-ordered files bound BOTH columns' per-file ranges; a linear sort
+    on one column leaves the other's per-file range near-full. Also pins
+    the constant-column and collision guards."""
+    import tempfile
+
+    from insert_by_timeperiod_spark.operators import zorder as Z
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = str(tmp_path / "z")
+    Z.z_order_write(ev, out, "user_id", "value", n_files=8)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name())
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("ru"),
+            (F.max("value") - F.min("value")).alias("rv"),
+        )
+        .collect()
+    )
+    full_u = ev.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    full_v = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+    avg_ru = sum(r["ru"] for r in per_file) / len(per_file)
+    avg_rv = sum(r["rv"] for r in per_file) / len(per_file)
+    assert avg_ru / full_u < 0.7 and avg_rv / full_v < 0.7  # both bounded
+    # content survives the rewrite exactly
+    assert spark.read.parquet(out).exceptAll(ev).count() == 0
+    assert ev.exceptAll(spark.read.parquet(out)).count() == 0
+    # constant column: z degrades to the other column's order, no crash
+    const = ev.withColumn("user_id", F.lit(7))
+    assert Z.z_values(const, "user_id", "value").count() == ev.count()
+    with pytest.raises(ValueError, match="already exists"):
+        Z.z_values(ev.withColumn("z", F.lit(1)), "user_id", "value")

@@ -276,3 +276,33 @@ def test_auto_checkpoint_bounds_fold_and_preserves_semantics(spark):
     ck = t._checkpoints()[-1]
     t.fs.delete(f"{t._txn_dir()}/{ck:011d}.ckpt")
     assert t.snapshot() == naive
+
+
+def test_vacuum_retention(spark):
+    """vacuum(keep_last=N) deletes only files exclusive to versions older
+    than the retention window: current reads are untouched, time travel
+    within the window still works, travel past it breaks (Delta
+    semantics), and a second vacuum is a no-op."""
+    tgt = tempfile.mkdtemp(prefix="ibtp_vac_") + "/t"
+    t = TxnLogTable(spark, tgt)
+    df = lambda d, n: spark.range(n).select(
+        F.col("id"), F.lit(d).cast("date").alias("event_date")
+    )
+    # v0..v3: create + append + two full rewrites of the same date
+    t.create(df("2024-01-01", 5), "event_date")
+    t.append(df("2024-01-02", 5))
+    d = dt.date(2024, 1, 1)
+    t.replace_date_range(df("2024-01-01", 7), d, dt.date(2024, 1, 2))
+    t.replace_date_range(df("2024-01-01", 9), d, dt.date(2024, 1, 2))
+    assert t.version() == 3
+    with pytest.raises(ValueError):
+        t.vacuum(keep_last=0)
+    n = t.vacuum(keep_last=2)  # keep v2, v3
+    assert n > 0
+    assert t.read().count() == 9 + 5  # current snapshot intact
+    assert t.read(version=2).count() == 7 + 5  # inside the window
+    with pytest.raises(Exception):
+        t.read(version=1).count()  # v1's exclusive files are gone
+    assert t.vacuum(keep_last=2) == 0  # idempotent
+    # the never-referenced-orphan pass still reports nothing to do
+    assert t.recover_orphans() == 0

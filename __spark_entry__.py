@@ -1987,6 +1987,48 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+_V2 = dict(span_k=10, max_dup_frac=0.5, max_nll=1.48, vocab_size=60,
+           n_shards=8, shard_seed="v2")
+
+
+def _pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT composition v2: the round-7 operator generation chained
+    end-to-end (pipeline.curate_corpus_v2) — duplicate-SPAN gate (C47) on
+    a corpus with 8 planted copies, bigram-LM fluency band (C52,
+    self-trained on the span survivors), deterministic (shard, pos)
+    layout (C45) — exact-oracled by chaining each stage's SQL twin."""
+    from insert_by_timeperiod_spark.operators.pipeline import curate_corpus_v2
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    planted = docs.where("doc_id < 8").withColumn(
+        "doc_id", F.col("doc_id") + 90000
+    )
+    return curate_corpus_v2(docs.unionByName(planted), **_V2)
+
+
+def _pipeline_v2_duck() -> str:
+    span_q = spans.dup_span_sql(_DUP_SPAN_SRC, k=_V2["span_k"])
+    bigram_q = lmscore.bigram_nll_sql("surv", "surv",
+                                      vocab_size=_V2["vocab_size"])
+    shard_q = sampling.shard_and_order_sql(
+        _V2["n_shards"], "t.doc_id", seed=_V2["shard_seed"],
+        table="(SELECT s.* FROM surv s WHERE s.doc_id IN (SELECT doc_id FROM kept))",
+        select="t.doc_id",
+    )
+    return f"""
+WITH surv AS (
+  SELECT d.* FROM {_DUP_SPAN_SRC} d
+  WHERE d.doc_id NOT IN (
+    SELECT doc_id FROM ({span_q}) WHERE dup_frac > {_V2["max_dup_frac"]!r})
+), kept AS (
+  SELECT * FROM ({bigram_q}) WHERE doc_nll <= {_V2["max_nll"]!r}
+), laid AS ({shard_q})
+SELECT l.doc_id, l.shard, l.pos, k.n_pairs, k.doc_nll
+FROM laid l JOIN kept k USING (doc_id)
+"""
+
+
 def _txn_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C54 (EXACT oracle): retention-bounded VACUUM on the commit-log
     backend — a multi-version build (interrupted run + resume), then
@@ -2707,6 +2749,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "drift_terms_lang": _drift_terms,
         "drift_js_lang": _drift_js,
         "txnlog_vacuum": _txn_vacuum,
+        "pipeline_curate_v2": _pipeline_v2,
         "table_profile_docs": _profile_docs,
         "zorder_values": _zorder_events,
         "bm25_docs": _bm25_docs,
@@ -2766,6 +2809,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "drift_terms_lang": drift.drift_terms_sql(_DRIFT_A, _DRIFT_B, top_n=20),
         "drift_js_lang": drift.js_divergence_sql(_DRIFT_A, _DRIFT_B),
         "txnlog_vacuum": ORACLE_DAILY.format(start=START, stop=STOP),
+        "pipeline_curate_v2": _pipeline_v2_duck(),
         "table_profile_docs": profile.profile_sql(
             "documents", _PROFILE_COLS,
             numeric_cols=["doc_id", "n_chars"],

@@ -182,3 +182,60 @@ def prepare_pretraining_corpus(
             seed=mixture_seed,
         )
     return survived.select(id_col, "clean_text", "n_words", "split", "domain")
+
+
+def curate_corpus_v2(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_k: int = 10,
+    max_dup_frac: float = 0.5,
+    max_nll: float = 10.0,
+    vocab_size: int = 50_000,
+    n_shards: int = 8,
+    shard_seed: str = "v2",
+) -> DataFrame:
+    """The round-7 operator generation composed the way a corpus-prep job
+    chains them — every stage SQL-twinned, so the END-TO-END result is
+    exact-oracle-checkable:
+
+    1. cross-doc duplicate-SPAN gate (C47): drop documents whose
+       duplicated-run coverage exceeds ``max_dup_frac`` (the Lee et al.
+       policy — heavy template/boilerplate docs go, docs with a stray
+       shared quote stay);
+    2. bigram-LM fluency band (C52): train on the span-survivors, drop
+       documents scoring worse than ``max_nll`` (gibberish / wrong-corpus
+       outliers — CCNet's policy with the threshold made explicit);
+    3. deterministic training layout (C45): (shard, pos) assignment over
+       the survivors, bit-stable across runs and engines.
+
+    Returns (id, shard, pos, n_pairs, doc_nll). Stage boundaries
+    materialize (the survivor sets feed both their own filter join and
+    the next stage's training/scan — the plans/audit.py lesson).
+    """
+    from .lmscore import bigram_nll
+    from .sampling import shard_and_order
+    from .spans import dup_span_stats
+
+    spans = dup_span_stats(df, text_col, id_col, k=span_k)
+    spanned_out = spans.where(F.col("dup_frac") > max_dup_frac).select(id_col)
+    # survivors feed the LM train pass, the LM score pass AND the final
+    # semi-join — materialize once
+    survivors = df.join(spanned_out, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    scored = bigram_nll(survivors, text_col=text_col, id_col=id_col,
+                        vocab_size=vocab_size)
+    kept_scores = scored.where(F.col("doc_nll") <= max_nll).localCheckpoint(
+        eager=True
+    )
+    laid = shard_and_order(
+        survivors.join(kept_scores.select(id_col), id_col, "left_semi"),
+        n_shards,
+        [id_col],
+        seed=shard_seed,
+    )
+    return laid.join(kept_scores, id_col).select(
+        id_col, "shard", "pos", "n_pairs", "doc_nll"
+    )

@@ -1987,6 +1987,42 @@ def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def _stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C57 (rows-only): streaming near-dedup — micro-batches drive the
+    C49 incremental LSH state (streaming/dedup.py NearDedupStream). One
+    AvailableNow batch over the corpus + 5 planted copies: the plants
+    collapse onto their originals (min-id within the batch). No SQL engine
+    expresses the banding state; multi-batch ordering, replay idempotency
+    and the unsigned-doc sink dedup are pytest-pinned."""
+    _prep(spark, sf_dir)
+    import shutil
+
+    from insert_by_timeperiod_spark.streaming import NearDedupStream
+
+    root = tempfile.mkdtemp(prefix="ibtp_snd_")
+    try:
+        docs = spark.table("documents").where("doc_id < 200")
+        planted = docs.where("doc_id < 5").withColumn(
+            "doc_id", F.col("doc_id") + 90000
+        )
+        src = os.path.join(root, "src")
+        docs.unionByName(planted).write.parquet(src)
+        sink = NearDedupStream(
+            os.path.join(root, "state"), os.path.join(root, "out")
+        )
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        sink.run_available_now(stream, os.path.join(root, "ckpt"))
+        out = (
+            spark.read.parquet(os.path.join(root, "out"))
+            .select(F.col("doc_id").cast("bigint"))
+            .orderBy("doc_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _V2 = dict(span_k=10, max_dup_frac=0.5, max_nll=1.48, vocab_size=60,
            n_shards=8, shard_seed="v2")
 
@@ -2743,6 +2779,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "txnlog_time_travel": _txn_time_travel,
         "bpe_tokenize": _bpe_tokenize,
         "dedup_incremental_near": _incr_near_dedup,
+        "streaming_near_dedup": _stream_near_dedup,
         "wds_export_manifest": _wds_export,
         "streaming_quality_log": _stream_quality,
         "lm_bigram_score": _lm_bigram,

@@ -17,13 +17,14 @@ provides the genuine Structured Streaming counterparts:
   the streaming twin of ``operators.dedup.exact_dedup``.
 """
 
-from .dedup import dedup_stream, dedup_stream_by_content
+from .dedup import NearDedupStream, dedup_stream, dedup_stream_by_content
 from .expectations import StreamExpectations
 from .micro_batch import StreamToPeriodTable
 from .stateful import sessionize_stream
 from .windows import event_time_windowed
 
 __all__ = [
+    "NearDedupStream",
     "StreamExpectations",
     "StreamToPeriodTable",
     "dedup_stream",

@@ -50,3 +50,80 @@ def dedup_stream_by_content(
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )
+
+
+class NearDedupStream:
+    """Streaming NEAR-dedup (the C49 incremental LSH state driven by
+    micro-batches): every batch dedups against ALL history — no watermark
+    horizon, because the state is the C49 signature store (~520 bytes per
+    kept doc), not the engine's event-time state store. The per-batch call
+    IS `operators.dedup.incremental_near_dedup`, so streaming steady-state
+    and batch backfill apply the identical policy to the identical state —
+    the same batch/stream symmetry the period table sink has.
+
+    Survivors append to a parquet sink (plain append: each batch's
+    survivors are new by construction). foreachBatch is at-least-once; a
+    replayed batch re-probes the state its own first attempt updated, so
+    every replayed doc matches its own signature and drops — idempotent
+    output, same argument as the C49 re-run contract. (NULL-signature
+    docs — shorter than a shingle — are always kept and would duplicate
+    under replay; they are diverted: kept in the sink only when
+    ``keep_unsigned`` and deduped there exactly by id.)
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        out_path: str,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        jaccard_threshold: float = 0.7,
+        keep_unsigned: bool = True,
+        **lsh_kwargs,
+    ):
+        self.state_path, self.out_path = state_path, out_path
+        self.text_col, self.id_col = text_col, id_col
+        self.threshold = jaccard_threshold
+        self.keep_unsigned = keep_unsigned
+        self.lsh_kwargs = lsh_kwargs
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import incremental_near_dedup
+
+        kept = incremental_near_dedup(
+            batch_df,
+            self.state_path,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            jaccard_threshold=self.threshold,
+            **self.lsh_kwargs,
+        )
+        spark = batch_df.sparkSession
+        sigs = f"{self.state_path}/sigs"
+        # signed survivors are new-to-state by construction; unsigned docs
+        # can't self-match on replay, so dedup them against the sink by id
+        signed = kept.join(
+            spark.read.parquet(sigs).select(self.id_col), self.id_col, "left_semi"
+        )
+        out = signed
+        if self.keep_unsigned:
+            unsigned = kept.join(
+                signed.select(self.id_col), self.id_col, "left_anti"
+            )
+            try:
+                seen = spark.read.parquet(self.out_path).select(self.id_col)
+                unsigned = unsigned.join(seen, self.id_col, "left_anti")
+            except Exception:  # first batch: no sink yet
+                pass
+            out = signed.unionByName(unsigned)
+        out.write.mode("append").parquet(self.out_path)
+
+    def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
+        q = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -348,3 +348,50 @@ def test_stream_expectations_monitor(spark, events_src):
 
     with pytest.raises(ValueError, match="no checks"):
         StreamExpectations(spark, [], logp)
+
+
+def test_near_dedup_stream(spark):
+    """Micro-batched near-dedup against the C49 state: near-dups across
+    batches collapse to one survivor, unique docs all pass, and replaying
+    the whole stream over a fresh checkpoint adds nothing (the state
+    remembers)."""
+    from insert_by_timeperiod_spark.streaming import NearDedupStream
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark woods tonight while nobody watches")
+    others = [
+        "a completely different sentence about spark shuffle partitions",
+        "yet another unrelated document describing duckdb oracle replay",
+        "fresh unique text mentioning parquet footers and row groups",
+    ]
+    root = tempfile.mkdtemp(prefix="ibtp_neard_stream_")
+    src = os.path.join(root, "src")
+    spark.createDataFrame(
+        [(1, base), (2, others[0]), (3, others[1])], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(11, base + " !"), (12, others[2])], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    sink = NearDedupStream(
+        os.path.join(root, "state"), os.path.join(root, "out"),
+        jaccard_threshold=0.6,
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink.run_available_now(stream, os.path.join(root, "ckpt"))
+    out = spark.read.parquet(os.path.join(root, "out"))
+    ids = {r["doc_id"] for r in out.collect()}
+    # exactly one of the near-dup pair survives (file pickup order decides
+    # which); every unique doc survives
+    assert len(ids & {1, 11}) == 1
+    assert {2, 3, 12} <= ids and len(ids) == 4
+
+    # full replay over a FRESH checkpoint: state drops everything signed
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    sink.run_available_now(stream2, os.path.join(root, "ckpt2"))
+    assert spark.read.parquet(os.path.join(root, "out")).count() == 4

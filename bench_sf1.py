@@ -72,11 +72,19 @@ QUERIES = [
     "bm25_docs",
     "dup_spans_planted",
     "pmi_collocations",
+    "lm_bigram_score",
+    "drift_js_lang",
+    "table_profile_docs",
+    "zorder_values",
+    "pipeline_curate_v2",
     "dedup_incremental",
     # the txn row materializes a 3-run lifecycle (interrupted + resume +
     # atomic backfill) on the commit-log backend — a write-path scale point,
     # excluded from query_only like every engine_* row
     "engine_txn_backend",
+    # multi-version build + retention vacuum on the commit-log backend —
+    # a write-path scale point like the engine_* rows
+    "txnlog_vacuum",
 ]
 
 
@@ -173,7 +181,7 @@ def main() -> None:
     # parquet writes + commit protocol / digest-state seeding + appends);
     # their DuckDB oracles only compute the query — so also report the
     # apples-to-apples ratio over the pure-query entries
-    materializing = {"dedup_incremental"}
+    materializing = {"dedup_incremental", "txnlog_vacuum"}
     q_only = {
         k: v
         for k, v in out.items()

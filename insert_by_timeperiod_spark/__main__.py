@@ -36,9 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="python -m insert_by_timeperiod_spark",
         description="Period-chunked incremental materialization of a Spark SQL model.",
     )
-    p.add_argument("--model", required=True, help="path to the model SQL file")
+    p.add_argument("--model", default=None, help="path to the model SQL file "
+                   "(required unless --maintenance)")
     p.add_argument("--target", required=True, help="target table path (file://, hdfs://, s3a://, ...)")
-    p.add_argument("--timestamp-field", required=True)
+    p.add_argument("--timestamp-field", default=None,
+                   help="(required unless --maintenance)")
     p.add_argument("--period", default="day", choices=["day", "week", "month", "year"])
     p.add_argument("--start-date", default=None)
     p.add_argument("--stop-date", default=None)
@@ -71,12 +73,63 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default) or the transactional commit-log format "
                         "(atomic multi-file commits, snapshot isolation, "
                         "time travel)")
+    p.add_argument("--maintenance", default=None,
+                   choices=["vacuum", "truncate-history", "recover-orphans",
+                            "compact", "profile"],
+                   help="run a maintenance operation on --target instead of a "
+                        "build: vacuum / truncate-history / recover-orphans "
+                        "(txnlog backend), compact (partition file merge), "
+                        "profile (per-column ANALYZE stats)")
+    p.add_argument("--vacuum-keep-last", type=int, default=7, metavar="N",
+                   help="versions of time travel vacuum retains (default 7)")
     return p
+
+
+def _run_maintenance(spark, args) -> int:
+    """The OPTIMIZE/VACUUM/ANALYZE surface: operate on an existing target."""
+    needs_txn = args.maintenance in ("vacuum", "truncate-history", "recover-orphans")
+    if needs_txn and args.table_format != "txnlog":
+        raise SystemExit(f"--maintenance {args.maintenance} requires --table-format txnlog")
+    if args.table_format == "txnlog":
+        from .txnlog import TxnLogTable
+
+        t = TxnLogTable(spark, args.target)
+    else:
+        from .table import ParquetTable
+
+        t = ParquetTable(spark, args.target)
+    if args.maintenance == "vacuum":
+        n = t.vacuum(keep_last=args.vacuum_keep_last)
+        print(f"vacuum: {n} file(s) deleted, last {args.vacuum_keep_last} version(s) kept")
+    elif args.maintenance == "truncate-history":
+        n = t.truncate_history()
+        print(f"truncate-history: {n} file(s) deleted, time travel ended")
+    elif args.maintenance == "recover-orphans":
+        n = t.recover_orphans()
+        print(f"recover-orphans: {n} orphan file(s) removed")
+    elif args.maintenance == "compact":
+        t.compact_partitions(files_per_partition=1)
+        print("compact: partitions rewritten to 1 file each")
+    elif args.maintenance == "profile":
+        from .operators.profile import profile_table
+
+        for r in profile_table(t.read()).collect():
+            print(
+                f"{r['column']}: rows={r['n_rows']} nulls={r['n_nulls']} "
+                f"distinct={r['n_distinct']} min={r['min_num']} "
+                f"max={r['max_num']} avg_len={r['avg_len']}"
+            )
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    if args.maintenance:
+        return _run_maintenance(get_spark("ibtp-cli"), args)
+    if not args.model or not args.timestamp_field:
+        raise SystemExit("--model and --timestamp-field are required for a build")
 
     with open(args.model) as f:
         model_sql = f.read()

@@ -1,8 +1,11 @@
 """CLI parity: the dbt-CLI-style entry point drives the same engine paths
 (incremental, resume no-op, backfill) in-process via main(argv)."""
 
+import datetime as dt
 import os
 import tempfile
+
+from pyspark.sql import functions as F
 
 from insert_by_timeperiod_spark.__main__ import main
 from insert_by_timeperiod_spark.sources import load_table
@@ -76,3 +79,38 @@ def test_cli_txnlog_table_format(spark, sf_dir, capsys):
 
     t = TxnLogTable(spark, tgt)
     assert t.read().count() > 0 and t.version() >= 0
+
+
+def test_cli_maintenance_ops(spark, sf_dir, tmp_path, capsys):
+    """--maintenance drives vacuum / profile / compact without a model;
+    txnlog-only ops refuse the parquet backend with a clear error."""
+    import pytest
+
+    from insert_by_timeperiod_spark.__main__ import main
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    tgt = str(tmp_path / "t")
+    t = TxnLogTable(spark, tgt)
+    df = lambda d, n: spark.range(n).select(
+        F.col("id"), F.lit(d).cast("date").alias("event_date")
+    )
+    t.create(df("2024-01-01", 5), "event_date")
+    t.replace_date_range(
+        df("2024-01-01", 7), dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    )
+    rc = main(["--target", tgt, "--table-format", "txnlog",
+               "--maintenance", "vacuum", "--vacuum-keep-last", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "file(s) deleted" in out
+    assert t.read().count() == 7  # current snapshot untouched
+
+    rc = main(["--target", tgt, "--table-format", "txnlog",
+               "--maintenance", "profile"])
+    assert rc == 0
+    assert "event_date:" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="requires --table-format txnlog"):
+        main(["--target", tgt, "--maintenance", "vacuum"])
+    with pytest.raises(SystemExit, match="required for a build"):
+        main(["--target", tgt])

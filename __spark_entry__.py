@@ -42,13 +42,17 @@ from insert_by_timeperiod_spark.functions import quality as QL
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.operators import (
+    analytics,
     audio,
     bm25,
     bpe,
     collocations,
     drift,
     expect,
+    imagehash,
     profile,
+    retrieval,
+    timeseries,
     zorder,
     video,
     chunk,
@@ -2744,6 +2748,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C58: per-user daily resample with gap rows + forward-fill
+    (operators/timeseries.py). Exact DuckDB twin incl. the portable
+    count-partition forward-fill."""
+    _prep(spark, sf_dir)
+    return timeseries.resample(spark.table("events"), key_cols=["user_id"])
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C59: ordered signup->click->purchase funnel, 7-day windows
+    (operators/analytics.py). Exact DuckDB twin (earliest-completion chain)."""
+    _prep(spark, sf_dir)
+    return analytics.funnel(
+        spark.table("events"), ["signup", "click", "purchase"], within_days=7
+    )
+
+
+def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C60: weekly cohort retention matrix (operators/analytics.py).
+    Exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    return analytics.retention_cohorts(spark.table("events"), max_offset=8)
+
+
+def _anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C61: median/MAD robust z-score over daily volumes
+    (operators/analytics.py) — the post-run check on A17's period counts.
+    Exact DuckDB twin (both engines interpolate the median)."""
+    _prep(spark, sf_dir)
+    return analytics.period_anomalies(spark.table("events"))
+
+
+def _trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C62: closed-form per-key OLS from one aggregate of DECIMAL
+    sufficient statistics (operators/analytics.py). Exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    xy = spark.table("events").selectExpr(
+        "event_type", "datediff(ts, date'2024-01-01') AS x", "value AS y"
+    )
+    return analytics.linear_trend(xy, ["event_type"], "x", "y")
+
+
+_TREND_DUCK_SRC = (
+    "(SELECT event_type, date_diff('day', DATE '2024-01-01', ts) AS x, "
+    "value AS y FROM events)"
+)
+
+_HYBRID_TERMS = ["data", "model", "training"]
+
+
+def _hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C63: BM25 + dense-cosine Reciprocal Rank Fusion
+    (operators/retrieval.py) — each retriever makes one corpus pass, the
+    fusion works on two pool_k-row rank lists. Exact DuckDB twin chaining
+    the C46 BM25 twin and the C20 cosine ranking."""
+    _prep(spark, sf_dir)
+    return retrieval.hybrid_topk(
+        spark.table("documents"),
+        spark.table("embeddings"),
+        _HYBRID_TERMS,
+        7,
+        k=15,
+        pool_k=40,
+    )
+
+
+def _key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C64: heavy-hitter / shuffle-skew diagnostic
+    (operators/profile.py key_skew). Exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    return profile.key_skew(spark.table("events"), "user_id", top_n=12)
+
+
+def _txn_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C65: txnlog change-data-feed (txnlog.py diff) — build
+    [Jan 1, Jan 15) on the commit-log backend, record the version, resume
+    to Feb 1, then diff(v1): exactly the extension window's rows as
+    'insert' (the oracle is the unchunked SQL over [Jan 15, Feb 1) plus
+    the literal change_type). File-level diff semantics (only touched
+    files read; rewrite-copied rows cancel) are pinned in
+    tests/test_txnlog.py."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_cdf_"), "t")
+    cfg = IBTPConfig(
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=7,
+    )
+    eng = InsertByTimeperiod(
+        spark, MODEL_DAILY, cfg, tgt, count_rows=False, table_factory=TxnLogTable
+    )
+    eng.run(RunVars(stop_date="2024-01-15"))
+    v = eng.table.version()
+    eng.run(RunVars())
+    return eng.table.diff(v)
+
+
+def _image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C66 (rows-only — no SQL engine decodes images): dHash over real
+    BMP payloads + banded Hamming blocking (operators/imagehash.py).
+    Planted-copy recall, hash determinism, and the pigeonhole guarantee
+    are pinned in tests/test_analytics.py."""
+    _prep(spark, sf_dir)
+    assets = multimodal.text_to_bmp_payload(
+        spark.table("documents"), "doc_id", "text", w=16, h=16
+    )
+    hashes = imagehash.dhash_images(assets)
+    return imagehash.near_dup_image_pairs(hashes, max_distance=6)
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -2816,6 +2931,16 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_simhash_planted": _dedup_simhash,
         "text_fingerprint": _text_fingerprint,
         "sim_ivf_topk": _sim_ivf,
+        # round-7 third-batch components (C58-C66)
+        "ts_resample_user_daily": _ts_resample,
+        "funnel_signup_purchase": _funnel,
+        "retention_weekly": _retention,
+        "period_anomaly_daily": _anomaly,
+        "trend_by_event_type": _trend,
+        "hybrid_retrieval_rrf": _hybrid,
+        "key_skew_users": _key_skew,
+        "txnlog_diff_cdf": _txn_diff,
+        "image_near_dup_pairs": _image_near_dup,
     }
 
 
@@ -2897,6 +3022,26 @@ def pytest_only_oracles() -> dict[str, str]:
         "quality_checks_orders": _quality_checks_duck(),
         "corpus_shard_order": sampling.shard_and_order_sql(
             8, "doc_id", seed="so", select="t.doc_id"
+        ),
+        "ts_resample_user_daily": timeseries.resample_sql(
+            "events", key_cols=["user_id"]
+        ),
+        "funnel_signup_purchase": analytics.funnel_sql(
+            ["signup", "click", "purchase"], within_days=7
+        ),
+        "retention_weekly": analytics.retention_sql(max_offset=8),
+        "period_anomaly_daily": analytics.period_anomalies_sql(),
+        "trend_by_event_type": analytics.linear_trend_sql(
+            _TREND_DUCK_SRC, ["event_type"], "x", "y"
+        ),
+        "hybrid_retrieval_rrf": retrieval.hybrid_sql(
+            _HYBRID_TERMS, 7, k=15, pool_k=40
+        ),
+        "key_skew_users": profile.key_skew_sql("events", "user_id", top_n=12),
+        "txnlog_diff_cdf": (
+            "SELECT *, 'insert' AS change_type FROM ("
+            + ORACLE_DAILY.format(start="2024-01-15", stop=STOP)
+            + ")"
         ),
     }
 

@@ -1,0 +1,365 @@
+"""Event/product analytics over the engine's tables (SURVEY.md §2
+C59-C62): ordered funnel conversion, cohort retention, robust period
+anomaly detection, and per-key linear trends — the observability queries a
+team runs ON the tables this engine materializes (the reference's README
+positions its models exactly as event/usage tables; these are the standard
+readouts on top).
+
+Scale shapes (one corpus-sized shuffle each, everything downstream runs on
+aggregated rows):
+- ``funnel``: each step is a per-user MIN aggregate joined user-keyed to
+  the previous step's survivors — the events side is filtered to one step
+  type in the scan stage, the survivors side shrinks monotonically. Step
+  frontiers are materialized once each (two consumers: the count and the
+  next join).
+- ``retention_cohorts``: one per-user MIN aggregate (cohort), one
+  corpus shuffle by user to attach it, one count-distinct aggregate.
+- ``period_anomalies``: per-bucket counts are the only corpus pass; the
+  median/MAD robust statistics reduce over the tiny bucket table and ride
+  back as 1-row broadcasts (median absolute deviation z-score, the
+  distribution-free spike/drop alarm — Iglewicz & Hoaglin 1993).
+- ``linear_trend``: closed-form OLS per key from sufficient statistics
+  (n, Σx, Σy, Σxy, Σx², Σy²) in ONE map-side-combined aggregate — no
+  iteration, no driver math. Sums ride as DECIMAL over 6-decimal-rounded
+  terms, so they are order-independent and the DuckDB twins are exact.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+_UNIT_DAYS = {"day": 1, "week": 7}
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within_days: int | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: (step, event_type, n_users) where a user
+    counts for step i+1 only with an event of that type STRICTLY AFTER
+    their step-i completion time (earliest-completion semantics), and —
+    when ``within_days`` is set — no later than that many days after it.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least two steps")
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_ts"))
+        # two consumers: this step's count and the next step's join
+        .localCheckpoint(eager=True)
+    )
+    out_rows = [
+        frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).cast("bigint").alias("step"),
+            F.lit(steps[0]).alias(type_col),
+            F.col("n_users").cast("bigint"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == s).select(
+            user_col, F.col(ts_col).alias("_nts")
+        )
+        cond = F.col("_nts") > F.col("_ts")
+        if within_days is not None:
+            cond = cond & (
+                F.col("_nts") <= F.col("_ts") + F.expr(f"interval {within_days} day")
+            )
+        frontier = (
+            nxt.join(frontier, user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("_nts").alias("_ts"))
+            .localCheckpoint(eager=True)
+        )
+        out_rows.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).cast("bigint").alias("step"),
+                F.lit(s).alias(type_col),
+                F.col("n_users").cast("bigint"),
+            )
+        )
+    return reduce(DataFrame.unionByName, out_rows)
+
+
+def funnel_sql(
+    steps: list[str],
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within_days: int | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`funnel` (same earliest-completion chain)."""
+    if len(steps) < 2:
+        raise ValueError("funnel_sql: need at least two steps")
+    ctes = [
+        f"_s1 AS (SELECT {user_col}, MIN({ts_col}) AS _ts FROM {table} "
+        f"WHERE {type_col} = '{_q(steps[0])}' GROUP BY {user_col})"
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        within = (
+            f" AND e.{ts_col} <= p._ts + INTERVAL {within_days} DAY"
+            if within_days is not None
+            else ""
+        )
+        ctes.append(
+            f"_s{i} AS (SELECT e.{user_col}, MIN(e.{ts_col}) AS _ts "
+            f"FROM {table} e JOIN _s{i - 1} p ON e.{user_col} = p.{user_col} "
+            f"WHERE e.{type_col} = '{_q(s)}' AND e.{ts_col} > p._ts{within} "
+            f"GROUP BY e.{user_col})"
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step, '{_q(s)}' AS {type_col}, "
+        f"CAST((SELECT COUNT(*) FROM _s{i}) AS BIGINT) AS n_users"
+        for i, s in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ------------------------------------------------------------- retention
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    unit: str = "week",
+    max_offset: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix: (cohort, offset, n_users) — users whose
+    FIRST event falls in ``cohort`` (a ``unit``-truncated date) and who
+    have any event in the bucket ``offset`` units later, 0 <= offset <=
+    ``max_offset``. ``offset = 0`` is the cohort size."""
+    if unit not in _UNIT_DAYS:
+        raise ValueError(f"retention_cohorts: unit must be one of {sorted(_UNIT_DAYS)}")
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    cohorts = (
+        events.where(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min(bucket).alias("cohort"))
+    )
+    acts = events.where(F.col(user_col).isNotNull()).select(
+        user_col, bucket.alias("_bucket")
+    )
+    # both buckets are unit-truncated, so the day difference divides evenly
+    off = (F.datediff("_bucket", "cohort") / F.lit(_UNIT_DAYS[unit])).cast("bigint")
+    return (
+        acts.join(cohorts, user_col)
+        .select(user_col, "cohort", off.alias("offset"))
+        .where(F.col("offset") <= max_offset)
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
+    )
+
+
+def retention_sql(
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    unit: str = "week",
+    max_offset: int = 12,
+) -> str:
+    """Exact DuckDB twin of :func:`retention_cohorts`."""
+    if unit not in _UNIT_DAYS:
+        raise ValueError(f"retention_sql: unit must be one of {sorted(_UNIT_DAYS)}")
+    b = f"date_trunc('{unit}', {ts_col})::DATE"
+    return f"""
+WITH _cohort AS (
+    SELECT {user_col}, MIN({b}) AS cohort
+    FROM {table} WHERE {user_col} IS NOT NULL GROUP BY {user_col}
+)
+SELECT c.cohort,
+       CAST(date_diff('day', c.cohort, {b}) // {_UNIT_DAYS[unit]} AS BIGINT) AS offset,
+       CAST(COUNT(DISTINCT e.{user_col}) AS BIGINT) AS n_users
+FROM {table} e JOIN _cohort c ON e.{user_col} = c.{user_col}
+WHERE date_diff('day', c.cohort, {b}) // {_UNIT_DAYS[unit]} <= {max_offset}
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- anomalies
+
+
+def period_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    unit: str = "day",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-bucket volume anomaly flags: (bucket, n, z, is_anomaly)
+    where ``z`` is the modified z-score ``0.6745 * (n - median) / MAD``
+    (NULL when the MAD is zero — a constant series has no spread to judge
+    against) and ``is_anomaly`` flags |z| > ``threshold``. The natural
+    post-run check on A17's per-period row counts: a period that loaded
+    wildly more or fewer rows than its neighbors."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    counts = (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # three consumers: median agg, MAD agg, final projection
+        .localCheckpoint(eager=True)
+    )
+    med = counts.agg(F.percentile("n", F.lit(0.5)).alias("_med"))
+    devs = counts.crossJoin(F.broadcast(med))
+    mad = devs.agg(
+        F.percentile(F.abs(F.col("n") - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("n") - F.col("_med")) / F.col("_mad"), 6
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .select(
+            "bucket",
+            F.col("n").cast("bigint").alias("n"),
+            F.when(F.col("_mad") > 0, z).alias("z"),
+            (
+                (F.col("_mad") > 0)
+                & (F.abs(F.when(F.col("_mad") > 0, z)) > threshold)
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def period_anomalies_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    *,
+    unit: str = "day",
+    threshold: float = 3.5,
+) -> str:
+    """Exact DuckDB twin of :func:`period_anomalies` (DuckDB ``median`` and
+    Spark ``percentile(0.5)`` both linearly interpolate)."""
+    return f"""
+WITH _counts AS (
+    SELECT date_trunc('{unit}', {ts_col})::DATE AS bucket, COUNT(*) AS n
+    FROM {table} GROUP BY 1
+), _med AS (SELECT median(n) AS _med FROM _counts),
+_mad AS (
+    SELECT median(abs(n - _med)) AS _mad FROM _counts, _med
+)
+SELECT bucket, CAST(n AS BIGINT) AS n,
+       CASE WHEN _mad > 0
+            THEN round(0.6745 * (n - _med) / _mad, 6) END AS z,
+       (_mad > 0 AND
+        abs(CASE WHEN _mad > 0
+                 THEN round(0.6745 * (n - _med) / _mad, 6) END) > {threshold!r}
+       ) AS is_anomaly
+FROM _counts, _med, _mad
+"""
+
+
+# ----------------------------------------------------------- linear trend
+
+
+def linear_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares fit y = slope·x + intercept:
+    (``*key_cols``, n, slope, intercept, r2), computed closed-form from one
+    aggregate of sufficient statistics. Keys with fewer than 2 points or a
+    constant x get NULL slope/intercept/r2; r2 is NULL for constant y
+    (zero variance has no explained fraction). Rows with NULL x or y are
+    ignored. x and y are rounded to 6 decimals and all sums run as
+    DECIMAL, so results are partition-order-independent and the DuckDB
+    twin is exact."""
+    x = F.round(F.col(x_col).cast("double"), 6).cast("decimal(20,6)")
+    y = F.round(F.col(y_col).cast("double"), 6).cast("decimal(20,6)")
+    agg = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum((x * y).cast("decimal(38,12)")).alias("_sxy"),
+            F.sum((x * x).cast("decimal(38,12)")).alias("_sxx"),
+            F.sum((y * y).cast("decimal(38,12)")).alias("_syy"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n² × covariance
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x > 0, F.round(cov_n / var_x, 6))
+    intercept = F.when(var_x > 0, F.round((sy - (cov_n / var_x) * sx) / n, 6))
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), F.round(cov_n * cov_n / (var_x * var_y), 6)
+    )
+    return agg.select(
+        *key_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def linear_trend_sql(
+    table: str,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> str:
+    """Exact DuckDB twin of :func:`linear_trend` (same rounding grid, same
+    DECIMAL sums, same final double arithmetic)."""
+    ks = ", ".join(key_cols)
+    x = f"CAST(round(CAST({x_col} AS DOUBLE), 6) AS DECIMAL(20,6))"
+    y = f"CAST(round(CAST({y_col} AS DOUBLE), 6) AS DECIMAL(20,6))"
+    return f"""
+WITH _agg AS (
+    SELECT {ks}, COUNT(*) AS _n,
+           SUM({x}) AS _sx, SUM({y}) AS _sy,
+           SUM(CAST({x} * {y} AS DECIMAL(38,12))) AS _sxy,
+           SUM(CAST({x} * {x} AS DECIMAL(38,12))) AS _sxx,
+           SUM(CAST({y} * {y} AS DECIMAL(38,12))) AS _syy
+    FROM {table}
+    WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    GROUP BY {ks}
+), _d AS (
+    SELECT {ks}, _n,
+           CAST(_n AS DOUBLE) AS n,
+           CAST(_sx AS DOUBLE) AS sx, CAST(_sy AS DOUBLE) AS sy,
+           CAST(_sxy AS DOUBLE) AS sxy,
+           CAST(_sxx AS DOUBLE) AS sxx, CAST(_syy AS DOUBLE) AS syy
+    FROM _agg
+)
+SELECT {ks}, CAST(_n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+       END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS r2
+FROM _d
+"""

@@ -1,0 +1,159 @@
+"""Image perceptual-hash near-dedup (SURVEY.md §2 C66): dHash (difference
+hash) over REAL decoded pixels, then banded Hamming blocking to find
+near-duplicate images without an all-pairs comparison — the image twin of
+C19's MinHash text dedup, and the step a multimodal pretraining corpus
+runs right after C22's decode lane (re-encoded/resized/slightly-edited
+copies of one image survive exact byte dedup; their dHashes land within a
+few bits).
+
+dHash (Krawetz 2013): decode → integer-luma grayscale → nearest-neighbor
+resize to (hash_w+1) × hash_h → bit i = gray[y][x] > gray[y][x+1], packed
+row-major into a 64-bit code. Every step is integer arithmetic on the
+repo's own from-scratch decoders, so hashes are bit-deterministic across
+runs and partitionings (pytest-pinned); undecodable payloads hash NULL and
+drop out (the decode lane's never-raise contract).
+
+Scale shape:
+- Hashing is the Arrow ``mapInPandas`` decode lane — embarrassingly
+  parallel, zero shuffle, one 8-byte code per image out.
+- Pair finding splits the 64-bit code into ``n_bands`` equal slices as
+  PURE column algebra (shift/mask + ``posexplode``) and self-joins per
+  (band, slice) bucket — by pigeonhole two codes within Hamming distance
+  d share an IDENTICAL band whenever d < n_bands, so recall is exactly 1
+  at the default (8 bands, d ≤ 7 ≥ max_distance 4). Candidates verify
+  with JVM ``bit_count(xor)`` inside the join projection; only 8-byte
+  codes ever shuffle, never pixels.
+- Skew cap: a degenerate bucket (solid-color images all hash 0) would
+  explode quadratically; buckets over ``max_bucket_size`` are dropped
+  with the same documented-cap contract as the MinHash path.
+
+No SQL oracle exists (no engine decodes images); the annex row is
+rows-only and the REAL checks are pytest pins: planted perturbed copies
+collapse at their exact Hamming distance, distinct images don't, hashes
+are partition-invariant.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .multimodal import decode_pixels, resize_nearest
+from .util import spread
+
+
+def dhash_bytes(payload: bytes, *, hash_w: int = 8, hash_h: int = 8) -> int | None:
+    """dHash of one encoded image payload (None if undecodable). Integer
+    luma (299·R + 587·G + 114·B — scale-invariant under the comparison) on
+    a nearest-neighbor (hash_w+1) × hash_h grid, packed row-major MSB
+    first into a signed 64-bit int (Spark LongType-compatible)."""
+    if hash_w * hash_h > 64:
+        raise ValueError("dhash: hash_w*hash_h must be <= 64")
+    px = decode_pixels(payload)
+    if px is None:
+        return None
+    if px.ndim == 2:
+        gray = px.astype(np.int64) * 1000
+    else:
+        gray = (
+            px[..., 0].astype(np.int64) * 299
+            + px[..., 1].astype(np.int64) * 587
+            + px[..., 2].astype(np.int64) * 114
+        )
+    g = resize_nearest(gray, hash_w + 1, hash_h)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
+    code = np.uint64(0)
+    for b in bits:
+        code = (code << np.uint64(1)) | b
+    return int(code.astype(np.int64))
+
+
+def dhash_images(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    *,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """(id, dhash) per image — dhash NULL for undecodable payloads."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                None
+                if b is None
+                else dhash_bytes(bytes(b), hash_w=hash_w, hash_h=hash_h)
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": pd.array(hashes, dtype="Int64")})
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(
+        op, f"{id_col} long, dhash long"
+    )
+
+
+def near_dup_image_pairs(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    hash_col: str = "dhash",
+    *,
+    max_distance: int = 4,
+    n_bands: int = 8,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Near-duplicate image pairs (id_a, id_b, dist) with Hamming distance
+    <= ``max_distance`` between their 64-bit dHashes, id_a < id_b, each
+    pair once. Recall is exactly 1 when ``max_distance < n_bands`` (the
+    pigeonhole guarantee); buckets larger than ``max_bucket_size`` are
+    dropped (documented skew cap, same contract as the MinHash path)."""
+    if 64 % n_bands:
+        raise ValueError("near_dup_image_pairs: n_bands must divide 64")
+    if max_distance >= n_bands:
+        raise ValueError(
+            "near_dup_image_pairs: need max_distance < n_bands for the "
+            "pigeonhole recall guarantee"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    bands = h.select(
+        "_id",
+        "_h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_h"), i * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_band", "_key"),
+    )
+    w = Window.partitionBy("_band", "_key")
+    bands = (
+        bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= max_bucket_size)
+        # two consumers (both self-join sides): materialize, or Catalyst
+        # re-executes the upstream per branch — if `hashes` is an unpersisted
+        # decode lane, that would decode every image twice
+        .localCheckpoint(eager=True)
+    )
+    a = bands.select("_band", "_key", F.col("_id").alias("id_a"), F.col("_h").alias("_ha"))
+    b = bands.select("_band", "_key", F.col("_id").alias("id_b"), F.col("_h").alias("_hb"))
+    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        a.join(b, ["_band", "_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dist <= max_distance)
+        .select("id_a", "id_b", dist.cast("int").alias("dist"))
+        .distinct()
+    )

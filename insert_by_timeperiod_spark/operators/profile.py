@@ -76,6 +76,58 @@ def profile_table(
     return agg.select(F.explode(rows).alias("_p")).select("_p.*")
 
 
+def key_skew(
+    df: DataFrame, key_col: str, *, top_n: int = 10
+) -> DataFrame:
+    """Heavy-hitter / shuffle-skew diagnostic (SURVEY.md §2 C64): the
+    ``top_n`` keys by row count as (key, n, share, skew) where ``share``
+    is the key's fraction of all rows and ``skew`` its count over the mean
+    per-key count — the number to read before choosing a shuffle key
+    (skew ≫ 1 on the top key means salting or AQE skew-join territory;
+    the engine's own NULL-partition upsert contract exists because NULL
+    keys are exactly such a hitter). NULL keys participate (they are the
+    classic offender). One map-side-combined aggregate over the corpus;
+    total/mean ride back as a 1-row broadcast; top-N is a bounded
+    TakeOrdered. Rounded shares make the DuckDB twin exact."""
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # two consumers: the totals aggregate and the top-N
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("_total"), 6).alias("share"),
+            # double-first keeps the arithmetic order identical to the twin
+            # and immune to long overflow at count × key-count scale
+            F.round(
+                F.col("n").cast("double") * F.col("_nkeys") / F.col("_total"), 6
+            ).alias("skew"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(top_n)
+    )
+
+
+def key_skew_sql(table: str, key_col: str, *, top_n: int = 10) -> str:
+    """Exact DuckDB twin of :func:`key_skew`."""
+    return f"""
+WITH _c AS (
+    SELECT {key_col} AS key, COUNT(*) AS n FROM {table} GROUP BY {key_col}
+), _t AS (SELECT SUM(n) AS _total, COUNT(*) AS _nkeys FROM _c)
+SELECT key, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / _total, 6) AS share,
+       round(CAST(n AS DOUBLE) * _nkeys / _total, 6) AS skew
+FROM _c, _t ORDER BY n DESC, key LIMIT {top_n}
+"""
+
+
 def profile_sql(
     table: str, cols: list[str], numeric_cols: list[str], string_cols: list[str]
 ) -> str:

@@ -1,0 +1,139 @@
+"""Hybrid lexical+dense retrieval (SURVEY.md §2 C63): fuse a BM25 ranking
+(C46) and an exact cosine nearest-neighbor ranking (C20) with Reciprocal
+Rank Fusion (Cormack, Clarke & Buettcher 2009: score = Σ 1/(k + rank)) —
+the standard zero-tuning hybrid that beats either retriever alone, used
+for eval-set mining and "find docs about X that LOOK like this one"
+curation steps.
+
+Scale shape: each retriever makes exactly one corpus pass (BM25's
+narrow-row scan, the brute-force scorer's broadcast(query) × corpus scan);
+the fusion itself runs over two ``pool_k``-row rank lists — a broadcast
+full-outer join of bounded size, then a bounded TakeOrdered. No new
+corpus-sized work is introduced by the fusion.
+
+Cross-engine float contract: both input rankings are already exact under
+their own oracles (BM25's rounded-DECIMAL scores, the cosine fold's pinned
+evaluation order); RRF contributions ``1/(k_rrf + rank)`` are single IEEE
+divisions of small integers (identical in any engine), rounded to 6
+decimals and summed in a fixed two-term order — so `hybrid_sql` is an
+exact DuckDB twin.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from . import bm25 as _bm25
+from . import similarity as _sim
+
+_COS_SQL = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    *,
+    k: int = 10,
+    pool_k: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` documents by RRF over a BM25 pool and a cosine pool (both
+    of depth ``pool_k``): (rank, doc_id, rrf, lex_rank, dense_rank).
+    ``embeddings.vec_id`` must identify the same documents as
+    ``docs.doc_id``; the dense pool is the neighbors of ``query_vec_id``'s
+    embedding (self excluded, the C20 contract). A doc absent from one
+    pool simply contributes nothing from that side (the RRF convention).
+    Final ties break on doc id."""
+    lex = _bm25.bm25_topk(
+        docs, terms, text_col=text_col, id_col=doc_id_col, k=pool_k
+    ).select(F.col(doc_id_col).alias("_id"), F.col("rank").alias("lex_rank"))
+    dense = _sim.brute_force_topk(
+        embeddings,
+        embeddings.where(F.col(vec_id_col) == query_vec_id),
+        k=pool_k,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col("neighbor_id").alias("_id"),
+        F.col("rank").cast("bigint").alias("dense_rank"),
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(float(k_rrf)) + r), 6), F.lit(0.0)
+    )
+    fused = (
+        lex.join(dense, "_id", "full_outer")
+        .select(
+            "_id",
+            "lex_rank",
+            "dense_rank",
+            (contrib(F.col("lex_rank")) + contrib(F.col("dense_rank"))).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("_id"))
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("_id"))
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.col("_id").alias(doc_id_col),
+            "rrf",
+            "lex_rank",
+            "dense_rank",
+        )
+    )
+
+
+def hybrid_sql(
+    terms: list[str],
+    query_vec_id: int,
+    *,
+    k: int = 10,
+    pool_k: int = 50,
+    k_rrf: int = 60,
+    docs_table: str = "documents",
+    emb_table: str = "embeddings",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB twin of :func:`hybrid_topk` (embeds the BM25 twin and
+    the C20 cosine ranking as CTE subqueries, then the identical fusion)."""
+    lex_sql = _bm25.bm25_sql(
+        terms, docs_table, text_col=text_col, id_col=doc_id_col, k=pool_k
+    )
+    cos = _COS_SQL.format(a="q._v", b="c._v")
+    return f"""
+WITH _lex AS (
+    SELECT {doc_id_col} AS _id, rank AS lex_rank FROM ({lex_sql}) _b
+), _dense AS (
+    SELECT _id, CAST(rn AS BIGINT) AS dense_rank FROM (
+        SELECT c.{vec_id_col} AS _id,
+               ROW_NUMBER() OVER (ORDER BY {cos} DESC, c.{vec_id_col}) AS rn
+        FROM (SELECT {vec_col} AS _v FROM {emb_table}
+              WHERE {vec_id_col} = {query_vec_id}) q,
+             (SELECT {vec_id_col}, {vec_col} AS _v FROM {emb_table}
+              WHERE {vec_id_col} <> {query_vec_id}) c
+    ) r WHERE rn <= {pool_k}
+), _fused AS (
+    SELECT COALESCE(l._id, d._id) AS _id, l.lex_rank, d.dense_rank,
+           COALESCE(round(1.0 / ({float(k_rrf)!r} + l.lex_rank), 6), 0.0)
+           + COALESCE(round(1.0 / ({float(k_rrf)!r} + d.dense_rank), 6), 0.0) AS rrf
+    FROM _lex l FULL OUTER JOIN _dense d ON l._id = d._id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, _id) AS BIGINT) AS rank,
+       _id AS {doc_id_col}, rrf, lex_rank, dense_rank
+FROM _fused ORDER BY rrf DESC, _id LIMIT {k}
+"""

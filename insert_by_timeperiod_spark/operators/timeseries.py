@@ -1,0 +1,139 @@
+"""Time-series regularization (SURVEY.md §2 C58): resample an event stream
+onto a fixed per-key calendar grid (day/week/month), surfacing the gaps a
+raw GROUP BY silently skips, and forward-fill the last observed value
+across them — the standard shaping step before trend/anomaly analysis or
+feature windows over irregular telemetry.
+
+Scale shape:
+- The ONLY corpus-sized shuffle is the (key, bucket) aggregate, and it is
+  map-side combined. Everything after — the per-key min/max range, the
+  spine explode, the densifying join, the forward-fill window — runs over
+  AGGREGATED rows (keys × buckets), orders of magnitude smaller than the
+  input at telemetry densities.
+- The aggregate is materialized once (``localCheckpoint``) because two
+  consumers read it (range agg + densify join); a lazy plan would scan the
+  corpus twice (the repo's recurring multi-consumer lesson, plans/audit.py).
+- The spine is generated per key from that key's own [min, max] bucket via
+  ``sequence`` + ``explode`` — pure column algebra, no driver loop, no
+  cartesian with a global calendar.
+- Forward-fill is ONE window pass per key ordered by bucket
+  (``last(ignorenulls)`` over an unbounded-preceding frame).
+
+Cross-engine float contract: per-bucket totals sum as DECIMAL(18,6) and
+cast to double (order-independent), so the DuckDB twin (`resample_sql`) is
+exact; the fill merely copies those values. The twin expresses forward-fill
+with the portable count-partition trick (COUNT(val) OVER ... as a group id,
+then MAX per group) — identical semantics to ``last(ignorenulls)``,
+including NULL for leading gaps before the first observation.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_UNITS = {"day": "1 day", "week": "1 week", "month": "1 month"}
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    *,
+    unit: str = "day",
+) -> DataFrame:
+    """Dense per-key calendar of (``*key_cols``, bucket, n, total,
+    total_ffill): one row per ``unit`` bucket between each key's first and
+    last event, ``n = 0`` and ``total = NULL`` on gap buckets, and
+    ``total_ffill`` carrying the last observed total forward (NULL before
+    the first observation). Rows with a NULL key are dropped (a NULL key
+    has no well-defined timeline).
+    """
+    if unit not in _UNITS:
+        raise ValueError(f"resample: unit must be one of {sorted(_UNITS)}")
+    keys = list(key_cols or [])
+    if not keys:
+        raise ValueError("resample: at least one key column required")
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    base = df
+    for k in keys:
+        base = base.where(F.col(k).isNotNull())
+    agg = (
+        base.groupBy(*keys, bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        # two consumers: the per-key range aggregate and the densify join
+        .localCheckpoint(eager=True)
+    )
+    spine = (
+        agg.groupBy(*keys)
+        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("_b0", "_b1", F.expr(f"interval {_UNITS[unit]}"))
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(agg, keys + ["bucket"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        *keys,
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        "total",
+        F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
+    )
+
+
+def resample_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    *,
+    unit: str = "day",
+) -> str:
+    """Exact DuckDB twin of :func:`resample` (same truncation, same DECIMAL
+    totals, portable forward-fill)."""
+    if unit not in _UNITS:
+        raise ValueError(f"resample_sql: unit must be one of {sorted(_UNITS)}")
+    keys = list(key_cols or [])
+    ks = ", ".join(keys)
+    notnull = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+    on = " AND ".join([f"s.{k} = a.{k}" for k in keys] + ["s.bucket = a.bucket"])
+    sk = ", ".join(f"s.{k}" for k in keys)
+    interval = _UNITS[unit].upper()
+    return f"""
+WITH _agg AS (
+    SELECT {ks}, date_trunc('{unit}', {ts_col})::DATE AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM {table} WHERE {notnull}
+    GROUP BY {ks}, date_trunc('{unit}', {ts_col})::DATE
+), _spine AS (
+    SELECT {ks},
+           unnest(generate_series(MIN(bucket), MAX(bucket),
+                                  INTERVAL {interval}))::DATE AS bucket
+    FROM _agg GROUP BY {ks}
+), _dense AS (
+    SELECT {sk}, s.bucket, COALESCE(a.n, 0) AS n, a.total
+    FROM _spine s LEFT JOIN _agg a ON {on}
+), _grp AS (
+    SELECT *, COUNT(total) OVER (PARTITION BY {ks} ORDER BY bucket) AS _g
+    FROM _dense
+)
+SELECT {ks}, bucket, CAST(n AS BIGINT) AS n, total,
+       MAX(total) OVER (PARTITION BY {ks}, _g) AS total_ffill
+FROM _grp
+"""

@@ -288,6 +288,41 @@ class TxnLogTable(ParquetTable):
         paths = [f"{self.path}/{f}" for f in sorted(files)]
         return normalize_ntz(self.spark.read.schema(schema).parquet(*paths))
 
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change-data-feed between two snapshots (SURVEY.md §2 C65, the
+        Delta ``table_changes`` analogue): net rows added/removed going
+        from version ``v_from`` to ``v_to`` (latest if None), as the table
+        schema plus a ``change_type`` column ('insert' / 'delete').
+
+        Scale shape: the diff is computed FILE-level first — only files
+        present in exactly one snapshot are read at all, so the cost is
+        bounded by the partitions actually touched between the versions,
+        never the table size. Rows a rewrite merely copied into new files
+        appear on both sides and cancel in the multiset ``exceptAll``
+        (which also keeps duplicate-row multiplicity honest); since
+        unchanged files contribute identically to both snapshots, the
+        result equals the full-snapshot multiset diff exactly.
+        """
+        a, b = self.snapshot(v_from), self.snapshot(v_to)
+        meta = self._read_meta()
+        schema = _schema_without_ntz(
+            T.StructType.fromJson(json.loads(meta["schema"]))
+        )
+
+        def rd(files: list[str]) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            paths = [f"{self.path}/{f}" for f in files]
+            return normalize_ntz(self.spark.read.schema(schema).parquet(*paths))
+
+        da = rd(sorted(set(a) - set(b)))
+        db = rd(sorted(set(b) - set(a)))
+        return db.exceptAll(da).withColumn(
+            "change_type", F.lit("insert")
+        ).unionByName(
+            da.exceptAll(db).withColumn("change_type", F.lit("delete"))
+        )
+
     def _data_files_exist(self) -> bool:
         return bool(self.snapshot())
 

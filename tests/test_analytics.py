@@ -1,0 +1,318 @@
+"""Tests for the C58-C66 generation: time-series resample/gap-fill, funnel,
+cohort retention, period anomaly detection, per-key linear trends, hybrid
+RRF retrieval, key-skew diagnostics, and image perceptual-hash near-dedup
+— exact DuckDB twins where SQL expresses the op, planted-construction pins
+where it can't."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import (
+    analytics,
+    imagehash,
+    multimodal,
+    profile,
+    retrieval,
+    timeseries,
+)
+from insert_by_timeperiod_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+# ------------------------------------------------------------- C58 resample
+
+
+def test_resample_daily_matches_duck(spark, duck, events):
+    out = timeseries.resample(events, key_cols=["user_id"])
+    assert_df_matches_duck(
+        out, duck, timeseries.resample_sql("events", key_cols=["user_id"])
+    )
+
+
+def test_resample_weekly_matches_duck(spark, duck, events):
+    out = timeseries.resample(events, key_cols=["event_type"], unit="week")
+    assert_df_matches_duck(
+        out,
+        duck,
+        timeseries.resample_sql("events", key_cols=["event_type"], unit="week"),
+    )
+
+
+def test_resample_gap_semantics(spark):
+    """Planted gaps: n=0 rows appear, totals forward-fill across them, and
+    a leading gap before the first observation stays NULL."""
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 5.0),
+            ("a", "2024-01-04 09:00:00", 7.0),
+            ("b", "2024-02-01 00:00:00", 1.0),
+        ],
+        "k string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.k, str(r.bucket)): (r.n, r.total, r.total_ffill)
+        for r in timeseries.resample(df, key_cols=["k"]).collect()
+    }
+    assert len(out) == 5  # a: Jan 1..4 (4 buckets), b: one bucket
+    assert out[("a", "2024-01-01")] == (1, 5.0, 5.0)
+    assert out[("a", "2024-01-02")] == (0, None, 5.0)  # gap, filled
+    assert out[("a", "2024-01-03")] == (0, None, 5.0)
+    assert out[("a", "2024-01-04")] == (1, 7.0, 7.0)
+    assert out[("b", "2024-02-01")] == (1, 1.0, 1.0)
+
+
+def test_resample_month_unit(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-15 00:00:00", 1.0), ("a", "2024-04-02 00:00:00", 2.0)],
+        "k string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = timeseries.resample(df, key_cols=["k"], unit="month").collect()
+    assert [str(r.bucket) for r in sorted(out, key=lambda r: r.bucket)] == [
+        "2024-01-01",
+        "2024-02-01",
+        "2024-03-01",
+        "2024-04-01",
+    ]
+
+
+def test_resample_validation(spark, events):
+    with pytest.raises(ValueError):
+        timeseries.resample(events, key_cols=[])
+    with pytest.raises(ValueError):
+        timeseries.resample(events, key_cols=["user_id"], unit="hour")
+
+
+# --------------------------------------------------------------- C59 funnel
+
+
+def test_funnel_matches_duck(spark, duck, events):
+    steps = ["signup", "click", "purchase"]
+    out = analytics.funnel(events, steps, within_days=7)
+    assert_df_matches_duck(out, duck, analytics.funnel_sql(steps, within_days=7))
+
+
+def test_funnel_ordering_and_window(spark):
+    """Hand-built: the step must come STRICTLY AFTER the previous one and
+    inside the window; a user with reversed order doesn't convert."""
+    rows = [
+        (1, "s", "2024-01-01 00:00:00"),
+        (1, "c", "2024-01-02 00:00:00"),  # converts
+        (2, "c", "2024-01-01 00:00:00"),
+        (2, "s", "2024-01-02 00:00:00"),  # reversed: no step-2
+        (3, "s", "2024-01-01 00:00:00"),
+        (3, "c", "2024-01-20 00:00:00"),  # outside 7-day window
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.step: r.n_users for r in analytics.funnel(df, ["s", "c"], within_days=7).collect()}
+    assert out == {1: 3, 2: 1}
+    no_window = {r.step: r.n_users for r in analytics.funnel(df, ["s", "c"]).collect()}
+    assert no_window == {1: 3, 2: 2}
+
+
+# ------------------------------------------------------------ C60 retention
+
+
+def test_retention_matches_duck(spark, duck, events):
+    out = analytics.retention_cohorts(events, max_offset=8)
+    assert_df_matches_duck(out, duck, analytics.retention_sql(max_offset=8))
+
+
+def test_retention_offsets(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),  # cohort = week of Jan 1 (Monday)
+        (1, "2024-01-10 00:00:00"),  # offset 1
+        (1, "2024-01-16 00:00:00"),  # offset 2
+        (2, "2024-01-09 00:00:00"),  # cohort = week of Jan 8
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (str(r.cohort), r.offset): r.n_users
+        for r in analytics.retention_cohorts(df).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+# ------------------------------------------------------------ C61 anomalies
+
+
+def test_period_anomalies_matches_duck(spark, duck, events):
+    out = analytics.period_anomalies(events)
+    assert_df_matches_duck(out, duck, analytics.period_anomalies_sql())
+
+
+def test_period_anomalies_flags_planted_spike(spark, events):
+    """A planted 20x single-day spike must flag; normal days must not."""
+    spike = events.limit(1).select(
+        F.lit(10_000_000).alias("event_id"),
+        F.to_timestamp(F.lit("2024-01-10 12:00:00")).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("spike").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    n = events.count()
+    boosted = events.unionByName(spike.crossJoin(spark.range(n).select(F.lit(1).alias("_x"))).drop("_x", "id"))
+    out = analytics.period_anomalies(boosted)
+    flagged = [str(r.bucket) for r in out.where("is_anomaly").collect()]
+    assert flagged == ["2024-01-10"]
+
+
+def test_period_anomalies_constant_series_null_z(spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d} 00:00:00") for d in range(1, 6) for i in range(3)],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = analytics.period_anomalies(df)
+    assert out.where("z IS NOT NULL OR is_anomaly").count() == 0
+
+
+# --------------------------------------------------------------- C62 trends
+
+
+def test_linear_trend_matches_duck(spark, duck, events):
+    xy = events.selectExpr(
+        "event_type", "datediff(ts, date'2024-01-01') AS x", "value AS y"
+    )
+    sql = analytics.linear_trend_sql(
+        "(SELECT event_type, date_diff('day', DATE '2024-01-01', ts) AS x, "
+        "value AS y FROM events)",
+        ["event_type"],
+        "x",
+        "y",
+    )
+    assert_df_matches_duck(
+        analytics.linear_trend(xy, ["event_type"], "x", "y"), duck, sql
+    )
+
+
+def test_linear_trend_perfect_line_and_degenerate(spark):
+    rows = (
+        [("fit", float(x), 3.0 * x + 1.0) for x in range(10)]
+        + [("constx", 2.0, float(y)) for y in range(5)]
+        + [("single", 1.0, 1.0)]
+        + [("consty", float(x), 4.0) for x in range(5)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.k: r for r in analytics.linear_trend(df, ["k"], "x", "y").collect()}
+    assert out["fit"].slope == 3.0 and out["fit"].intercept == 1.0
+    assert out["fit"].r2 == 1.0
+    assert out["constx"].slope is None  # zero x-variance
+    assert out["single"].slope is None
+    assert out["consty"].slope == 0.0 and out["consty"].r2 is None
+
+
+# ----------------------------------------------------- C63 hybrid retrieval
+
+
+def test_hybrid_retrieval_matches_duck(spark, duck, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    terms = ["data", "model", "training"]
+    out = retrieval.hybrid_topk(docs, embs, terms, 7, k=15, pool_k=40)
+    assert_df_matches_duck(
+        out, duck, retrieval.hybrid_sql(terms, 7, k=15, pool_k=40)
+    )
+
+
+def test_hybrid_rrf_prefers_docs_in_both_pools(spark, sf_dir):
+    """A doc ranked mid-pool by BOTH retrievers must outscore a doc ranked
+    similarly by only one (the RRF property)."""
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = retrieval.hybrid_topk(
+        docs, embs, ["data", "model"], 3, k=20, pool_k=30
+    ).collect()
+    both = [r for r in out if r.lex_rank is not None and r.dense_rank is not None]
+    only = [r for r in out if r.lex_rank is None or r.dense_rank is None]
+    if both and only:
+        assert max(r.rrf for r in both) > max(r.rrf for r in only)
+
+
+# --------------------------------------------------------------- C64 skew
+
+
+def test_key_skew_matches_duck(spark, duck, events):
+    out = profile.key_skew(events, "user_id", top_n=12)
+    assert_df_matches_duck(out, duck, profile.key_skew_sql("events", "user_id", top_n=12))
+
+
+def test_key_skew_detects_hitter(spark):
+    rows = [("hot",)] * 90 + [("a",), ("b",), ("c",), ("d",), ("e",)]
+    df = spark.createDataFrame(rows, "k string")
+    top = profile.key_skew(df, "k", top_n=1).collect()[0]
+    assert top.key == "hot" and top.n == 90
+    # 6 keys, 95 rows: mean ~15.83, skew = 90/15.83 ~ 5.68
+    assert top.skew > 5.0 and abs(top.share - round(90 / 95, 6)) < 1e-9
+
+
+# ---------------------------------------------------------- C66 image dedup
+
+
+@pytest.fixture(scope="module")
+def image_assets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    return multimodal.text_to_bmp_payload(docs, "doc_id", "text", w=16, h=16).cache()
+
+
+def test_dhash_deterministic_and_partition_invariant(spark, image_assets):
+    h1 = sorted(imagehash.dhash_images(image_assets).collect())
+    h2 = sorted(imagehash.dhash_images(image_assets.repartition(13)).collect())
+    assert h1 == h2
+    assert all(r.dhash is not None for r in h1)
+
+
+def test_dhash_undecodable_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image"))], "asset_id long, payload binary"
+    )
+    out = imagehash.dhash_images(df).collect()
+    assert out[0].dhash is None
+
+
+def test_near_dup_images_planted(spark, image_assets):
+    """One-pixel perturbed copies collapse at small Hamming distance with
+    recall 1 (pigeonhole: dist <= 6 < 8 bands); the pairs list contains
+    every planted pair and never pairs an image with itself."""
+    from insert_by_timeperiod_spark.operators.multimodal import (
+        decode_pixels,
+        encode_bmp24,
+    )
+
+    rows = image_assets.where("asset_id < 5").collect()
+    planted = []
+    for r in rows:
+        px = decode_pixels(bytes(r.payload)).copy()
+        px[3, 3, 0] = min(255, int(px[3, 3, 0]) + 60)
+        planted.append((int(r.asset_id) + 10_000, "image/bmp", bytearray(encode_bmp24(px))))
+    extra = spark.createDataFrame(
+        planted, "asset_id long, media_type string, payload binary"
+    )
+    hashes = imagehash.dhash_images(image_assets.unionByName(extra))
+    pairs = imagehash.near_dup_image_pairs(hashes, max_distance=6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert {(i, i + 10_000) for i in range(5)} <= found
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(r.dist <= 6 for r in pairs)
+
+
+def test_near_dup_images_validation(spark, image_assets):
+    hashes = imagehash.dhash_images(image_assets.limit(5))
+    with pytest.raises(ValueError):
+        imagehash.near_dup_image_pairs(hashes, max_distance=8, n_bands=8)
+    with pytest.raises(ValueError):
+        imagehash.near_dup_image_pairs(hashes, n_bands=7)

@@ -306,3 +306,51 @@ def test_vacuum_retention(spark):
     assert t.vacuum(keep_last=2) == 0  # idempotent
     # the never-referenced-orphan pass still reports nothing to do
     assert t.recover_orphans() == 0
+
+
+def test_diff_between_versions(spark):
+    """C65 change-data-feed: appends surface as inserts, a replace
+    surfaces as delete+insert of the changed rows only, and a
+    corrupt-then-restore cycle nets to ZERO change (multiset cancel —
+    rewrite-copied rows never appear as phantom churn)."""
+    tgt = tempfile.mkdtemp(prefix="ibtp_diff_") + "/t"
+    t = TxnLogTable(spark, tgt)
+    df = lambda d, lo, hi: (
+        spark.range(lo, hi).select(
+            F.col("id"), F.lit(d).cast("date").alias("event_date")
+        )
+    )
+    t.create(df("2024-01-01", 0, 5), "event_date")
+    v0 = t.version()
+    t.append(df("2024-01-02", 10, 14))
+    d = t.diff(v0)
+    assert {r.change_type for r in d.collect()} == {"insert"}
+    assert sorted(r.id for r in d.collect()) == list(range(10, 14))
+
+    v1 = t.version()
+    t.replace_date_range(
+        df("2024-01-01", 100, 103), dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    )
+    d = t.diff(v1)
+    got = {(r.change_type, r.id) for r in d.collect()}
+    assert got == {("delete", i) for i in range(5)} | {
+        ("insert", i) for i in range(100, 103)
+    }
+    # Jan 2's untouched files are not even read: no phantom rows
+    assert d.where("event_date = date'2024-01-02'").count() == 0
+
+    # corrupt then restore the same content -> net diff is empty
+    v2 = t.version()
+    t.replace_date_range(
+        df("2024-01-01", 500, 501), dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    )
+    t.replace_date_range(
+        df("2024-01-01", 100, 103), dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    )
+    assert t.diff(v2).count() == 0
+    # duplicate-row multiplicity is honest: appending the same rows again
+    # shows exactly one more copy
+    v3 = t.version()
+    t.append(df("2024-01-02", 10, 12))
+    d = t.diff(v3)
+    assert d.count() == 2 and {r.change_type for r in d.collect()} == {"insert"}

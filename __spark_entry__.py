@@ -2931,6 +2931,13 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_simhash_planted": _dedup_simhash,
         "text_fingerprint": _text_fingerprint,
         "sim_ivf_topk": _sim_ivf,
+        # A16 concurrent-staging variant: identical content/watermark to the
+        # sequential loop by construction (publishes stay in grid order);
+        # exact ORACLE_DAILY like every other engine row
+        "engine_concurrent_build": _engine(
+            MODEL_DAILY, [RunVars()], "conc",
+            period="day", periods_per_commit=2, concurrent_batches=4,
+        ),
         # round-7 third-batch components (C58-C66)
         "ts_resample_user_daily": _ts_resample,
         "funnel_signup_purchase": _funnel,
@@ -3023,6 +3030,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "corpus_shard_order": sampling.shard_and_order_sql(
             8, "doc_id", seed="so", select="t.doc_id"
         ),
+        "engine_concurrent_build": ORACLE_DAILY.format(start=START, stop=STOP),
         "ts_resample_user_daily": timeseries.resample_sql(
             "events", key_cols=["user_id"]
         ),

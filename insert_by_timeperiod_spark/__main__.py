@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "— commit-log commits run a serial log-write round per "
                         "batch, so per-period commits dominate long backfills "
                         "on that backend")
+    p.add_argument("--concurrent-batches", type=int, default=1, metavar="N",
+                   help="overlap the COMPUTE of up to N period batches in "
+                        "worker threads (non-keyed models); commits stay "
+                        "strictly sequential in grid order, so results and "
+                        "crash/resume semantics are identical to N=1. The "
+                        "lever for long backfills dominated by serial "
+                        "per-batch job latency")
     p.add_argument("--period-additive-model", action="store_true",
                    help="declare the model period-additive: a batch compiles one "
                         "widened plan instead of an N-way union (NOT for "
@@ -155,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
             else (7 if args.table_format == "txnlog" else 1)
         ),
         period_additive_model=args.period_additive_model,
+        concurrent_batches=args.concurrent_batches,
         date_source_models=args.date_source_model,
         source_timestamp_field=args.source_timestamp_field,
     )

@@ -94,6 +94,21 @@ class IBTPConfig:
                              per-period COMMIT is N=1. Raise it when periods
                              are far below the 6M-60M-row chunk sweet spot
                              (/root/reference/README.md:104).
+    concurrent_batches       overlap the COMPUTE of up to N period batches
+                             (non-keyed paths): each batch's model run +
+                             file write stages to a private directory in a
+                             worker thread, while the durable commits
+                             (metadata-only publish + watermark advance)
+                             stay strictly sequential in grid order — so
+                             the observable table state at every commit
+                             boundary is identical to N=1, crash/resume
+                             semantics included. This is the lever for the
+                             period loop's serial-job latency on backfills:
+                             the reference's warehouse loop is inherently
+                             serial (loop.sql:134); Spark can overlap the
+                             heavy work because staging is side-effect-free.
+                             Keyed upserts ignore it (each batch probes the
+                             previous batch's committed state).
     period_additive_model    declare that the model's output over [a, c) ==
                              union of its outputs over [a, b) and [b, c) —
                              true for per-row transforms and for aggregations
@@ -120,10 +135,13 @@ class IBTPConfig:
     upsert_probe_window: int | None = None
     periods_per_commit: int = 1
     period_additive_model: bool = False
+    concurrent_batches: int = 1
 
     def __post_init__(self) -> None:
         if self.periods_per_commit < 1:
             raise ValueError("periods_per_commit must be >= 1")
+        if self.concurrent_batches < 1:
+            raise ValueError("concurrent_batches must be >= 1")
         # negative window would shrink the probe below the rewrite range and
         # silently drop surviving rows from replaced partitions
         if self.upsert_probe_window is not None and self.upsert_probe_window < 0:

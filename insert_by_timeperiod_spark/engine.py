@@ -40,6 +40,25 @@ from .table import ParquetTable
 
 log = logging.getLogger("insert_by_timeperiod_spark")
 
+
+def _observed_rows(obs: Observation) -> int | None:
+    """A17 row count from an Observation, robustly. ``Observation.get``
+    round-trips the metrics Row through ``PythonSQLUtils.toPyRow``, which
+    asserts the Row carries a schema — a JVM edge that intermittently
+    trips after many observed writes in one session (seen with mixed
+    main-thread and staging-thread observes). The metric itself is always
+    there: fall back to reading field 0 straight off the JVM Row, which
+    needs no schema. Returns None only if both paths fail — the count is
+    observability, never load-bearing."""
+    try:
+        return obs.get["rows"]
+    except Exception:
+        try:
+            return obs._jo.getRow().getLong(0)
+        except Exception:
+            log.warning("row-count observation unavailable for this commit")
+            return None
+
 #: A model is a SQL string containing the period placeholders, or a Python
 #: callable (spark, period_start, period_end) -> DataFrame — the DataFrame-API
 #: equivalent of a placeholder-parameterized model (SURVEY.md §1.1).
@@ -360,6 +379,33 @@ class InsertByTimeperiod:
 
         n = len(todo)
         done = 0
+        conc = min(self.config.concurrent_batches, len(batches))
+        if conc > 1 and self.config.on_schema_change in (
+            OnSchemaChange.APPEND_NEW_COLUMNS,
+            OnSchemaChange.SYNC_ALL_COLUMNS,
+        ):
+            # evolving policies WRITE the schema sidecar from _align_to_target
+            # (a read-modify-write that would race the publisher's watermark
+            # writes); evolution is inherently order-dependent, so it stays
+            # sequential. IGNORE/FAIL never write from the staging threads.
+            log.warning(
+                "concurrent_batches disabled: on_schema_change=%s evolves the "
+                "target schema mid-run and must stay sequential",
+                self.config.on_schema_change.value,
+            )
+            conc = 1
+        if conc > 1 and not keyed:
+            # overlap the heavy per-batch compute (model run + file write to
+            # a private staging dir) across worker threads; publishes —
+            # metadata-only commits + watermark advances — stay strictly
+            # sequential in grid order, so every commit boundary's observable
+            # state (and therefore crash/resume behavior) is identical to the
+            # sequential loop. The keyed path can't overlap: batch i+1's
+            # probe must see batch i's committed rows.
+            self._run_batches_concurrent(batches, conc, mode, result, n)
+            if self.post_run:
+                self.post_run()
+            return result
         for batch in batches:
             t0 = time.monotonic()
             # each period's SQL runs with its OWN injected literals — the
@@ -425,7 +471,7 @@ class InsertByTimeperiod:
                 # per-period COMMIT is atomic, loop.sql:134)
                 self.table.replace_date_range(df, batch[0].start, batch[-1].end)
                 if obs is not None:
-                    rows = obs.get["rows"]
+                    rows = _observed_rows(obs)
 
             done += len(batch)
             # progress log with the reference's message shape (A17,
@@ -457,6 +503,82 @@ class InsertByTimeperiod:
         if self.post_run:
             self.post_run()
         return result
+
+    def _run_batches_concurrent(
+        self,
+        batches: list[list[Period]],
+        conc: int,
+        mode: RunMode,
+        result: RunResult,
+        n: int,
+    ) -> None:
+        """A16 period loop with staged concurrency (config.concurrent_batches):
+        worker threads run each batch's model and write its files to a
+        PRIVATE staging location (``table.stage_replace`` — side-effect-free
+        until publish; Spark job submission is thread-safe), while the main
+        thread publishes strictly in grid order (metadata-only commit +
+        watermark advance) — so the committed prefix at any instant, and
+        therefore crash/resume behavior, is identical to the sequential
+        loop. On failure, earlier batches stay committed (the sequential
+        prefix property) and every staged-but-unpublished batch is
+        abandoned."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def stage(batch: list[Period]):
+            t0 = time.monotonic()
+            if self.config.period_additive_model and len(batch) > 1:
+                span = Period(batch[0].start, batch[-1].end)
+                dfs = [self._align_to_target(self._period_df(span))]
+            else:
+                dfs = [self._align_to_target(self._period_df(p)) for p in batch]
+            df = reduce(DataFrame.unionByName, dfs)
+            obs: Observation | None = None
+            if self.count_rows:
+                obs = Observation(f"ibtp_rows_{uuid.uuid4().hex[:8]}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            handle = self.table.stage_replace(df, batch[0].start, batch[-1].end)
+            return handle, obs, t0
+
+        done = 0
+        published = 0
+        with ThreadPoolExecutor(max_workers=conc) as ex:
+            futures = [ex.submit(stage, b) for b in batches]
+            try:
+                for i, (batch, fut) in enumerate(zip(batches, futures)):
+                    handle, obs, t0 = fut.result()
+                    self.table.publish_replace(handle)
+                    published = i + 1
+                    rows = _observed_rows(obs) if obs is not None else None
+                    done += len(batch)
+                    log.info(
+                        "Ran for %s %d of %d (%s); %s records inserted in %.1fs",
+                        self.config.period, done, n, batch[0].start.isoformat(),
+                        rows if rows is not None else "?", time.monotonic() - t0,
+                    )
+                    if mode is RunMode.BACKFILL:
+                        wm = self.table.watermark
+                        if wm is not None and batch[0].start <= wm:
+                            self.table.advance_watermark(batch[-1].end)
+                    else:
+                        self.table.advance_watermark(batch[-1].end)
+                    for j, p in enumerate(batch):
+                        r = rows if j == len(batch) - 1 else None
+                        result.periods.append(PeriodResult(p, r))
+                        if self.post_period:
+                            self.post_period(p, r)
+            except BaseException:
+                for f in futures[published:]:
+                    f.cancel()
+                for f in futures[published:]:
+                    try:
+                        h, _, _ = f.result()
+                    except BaseException:
+                        continue  # failed or cancelled stage: nothing durable
+                    try:
+                        self.table.abandon_stage(h)
+                    except Exception:  # cleanup is best-effort
+                        pass
+                raise
 
     # ---- keyed upsert (A13) -------------------------------------------------
 

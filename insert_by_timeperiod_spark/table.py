@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -96,7 +97,21 @@ class ParquetTable:
         return self.fs.exists(self._meta_path)
 
     def _read_meta(self) -> dict:
-        return json.loads(self.fs.read_text(self._meta_path))
+        # write_text_atomic's rename-OVERWRITE is atomic on HDFS, but the
+        # local FileContext implements it as delete-then-rename — a
+        # concurrent reader (the engine's staging threads race the
+        # publisher's watermark writes) can glimpse the gap as
+        # FileNotFound, or trip ChecksumFileSystem mid-read when the .crc
+        # sidecar swaps under an open stream. Retry bridges both; a
+        # persistent error still raises after the retries.
+        last: Exception | None = None
+        for i in range(12):
+            try:
+                return json.loads(self.fs.read_text(self._meta_path))
+            except Exception as e:  # py4j-wrapped FNF / checksum / EOF
+                last = e
+                time.sleep(min(0.05 * (i + 1), 0.3))
+        raise last
 
     def _write_meta(
         self,
@@ -251,6 +266,51 @@ class ParquetTable:
         rows land inside [start, end), so nothing else lives there)."""
         self.delete_date_range(start, end)
         self.append(df)
+
+    def stage_replace(
+        self, df: DataFrame, start: dt.date, end: dt.date
+    ) -> dict:
+        """First half of ``replace_date_range``, split for the engine's
+        concurrent-batch path: run the model and write its files to a
+        PRIVATE staging directory without touching the table. Safe to run
+        concurrently for disjoint ranges — nothing shared is written; the
+        heavy work (compute + data write) all happens here. Returns an
+        opaque handle for :meth:`publish_replace`; :meth:`abandon_stage`
+        discards it."""
+        pcol = self.partition_col
+        stage = self.path + f"__ibtp_stage_{uuid.uuid4().hex[:8]}"
+        optimized_layout(df, pcol).write.mode("overwrite").partitionBy(pcol).parquet(stage)
+        return {"stage": stage, "start": start, "end": end}
+
+    def publish_replace(self, handle: dict) -> None:
+        """Second half: drop the old range and rename the staged partition
+        directories into place — metadata-only, must be called in commit
+        order from a single thread (the engine serializes publishes, so
+        the observable commit sequence is identical to the sequential
+        loop). The placeholder contract puts every staged DATE partition
+        inside the just-deleted range; the NULL partition (NULL timestamp
+        rows) may pre-exist, so its staged files move in file-by-file
+        (Spark part-file names are job-unique)."""
+        stage, start, end = handle["stage"], handle["start"], handle["end"]
+        pcol = self.partition_col
+        try:
+            self.delete_date_range(start, end)
+            for part in self.fs.listdir(stage):
+                if not part.startswith(f"{pcol}="):
+                    continue
+                src, dst = f"{stage}/{part}", f"{self.path}/{part}"
+                if self.fs.is_dir(dst):
+                    for fname in self.fs.listdir(src):
+                        if not fname.startswith("."):
+                            self.fs.rename(f"{src}/{fname}", f"{dst}/{fname}")
+                else:
+                    self.fs.rename(src, dst)
+        finally:
+            self.fs.delete(stage)
+
+    def abandon_stage(self, handle: dict) -> None:
+        """Discard a staged-but-unpublished batch (failure cleanup)."""
+        self.fs.delete(handle["stage"])
 
     def rewrite_partitions(
         self, df: DataFrame, dates: list[dt.date | None] | None

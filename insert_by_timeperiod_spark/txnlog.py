@@ -245,6 +245,38 @@ class TxnLogTable(ParquetTable):
         ]
         self._commit(adds, removes)
 
+    def stage_replace(
+        self, df: DataFrame, start: dt.date, end: dt.date
+    ) -> dict:
+        """Concurrent-batch split of :meth:`replace_date_range`: staging
+        writes the data files durably under a fresh uuid dir (concurrent-
+        safe by construction — that is how every txnlog write already
+        works); nothing is visible until publish."""
+        return {
+            "adds": self._stage_files(df, self.partition_col),
+            "start": start,
+            "end": end,
+        }
+
+    def publish_replace(self, handle: dict) -> None:
+        """One atomic commit: remove the old range, add the staged files.
+        Identical to :meth:`replace_date_range`'s commit — snapshot
+        isolation and optimistic-concurrency retry included."""
+        removes = [
+            f
+            for f, p in self.snapshot().items()
+            if p is not None
+            and handle["start"] <= dt.date.fromisoformat(p) < handle["end"]
+        ]
+        self._commit(handle["adds"], removes)
+
+    def abandon_stage(self, handle: dict) -> None:
+        """Staged-but-never-committed files are exactly what
+        ``recover_orphans`` collects; delete them eagerly here."""
+        dirs = {f.rsplit("/", 2)[0] for f in (a["f"] for a in handle["adds"])}
+        for d in dirs:
+            self.fs.delete(f"{self.path}/{d}")
+
     def rewrite_partitions(
         self, df: DataFrame, dates: list[dt.date | None] | None
     ) -> None:

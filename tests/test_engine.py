@@ -2,6 +2,7 @@
 engine's output must equal the unchunked query, across all run modes."""
 
 import datetime as dt
+import os
 
 import pytest
 
@@ -615,3 +616,87 @@ def test_null_only_target_not_treated_as_fresh(spark, views, tmp_path):
     eng2.run()
     out = eng2.table.read().collect()
     assert len(out) == len({r.k for r in out})
+
+
+def test_concurrent_batches_match_sequential(spark, views, duck, tmp_path):
+    """config.concurrent_batches overlaps batch COMPUTE only — content,
+    watermark, per-commit row counts, and the resume point must all equal
+    the sequential run. Verified with a WINDOWED model so any widened or
+    reordered period filter would change row_number."""
+    wmodel = """
+    SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id) AS INT) AS rn
+    FROM events
+    WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+    """
+    outs, rows = [], []
+    for conc in (1, 4):
+        eng = InsertByTimeperiod(
+            spark, wmodel, cfg(concurrent_batches=conc), str(tmp_path / f"cb{conc}")
+        )
+        res = eng.run()
+        outs.append(eng.table.read())
+        rows.append(sorted((p.period.start, p.rows) for p in res.periods))
+        assert eng.table.watermark == dt.date(2024, 2, 1)
+        # resume after a concurrent build is a no-op
+        assert len(eng.run().periods) == 0
+    a, b = outs
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert rows[0] == rows[1]
+
+
+def test_concurrent_batches_backfill_matches_oracle(spark, views, duck, tmp_path):
+    """Concurrent staging on the backfill path: corrupt a range, restore it
+    with a concurrent backfill, converge to the unchunked oracle."""
+    eng = build(
+        spark, tmp_path, cfg(periods_per_commit=3, concurrent_batches=4), name="cbf"
+    )
+    eng.run()
+    eng.table.delete_date_range(dt.date(2024, 1, 5), dt.date(2024, 1, 20))
+    eng.run(RunVars(start_date="2024-01-05", stop_date="2024-01-20", backfill=True))
+    assert_df_matches_duck(
+        eng.table.read(), duck, ORACLE.format(start=START, stop=STOP), float_digits=4
+    )
+
+
+def test_concurrent_stage_failure_keeps_prefix_and_cleans_stages(
+    spark, views, tmp_path
+):
+    """A failing batch aborts at its publish slot: earlier batches stay
+    committed (the sequential prefix property), the watermark stops at the
+    last published batch, no staging directories leak, and a plain rerun
+    completes the load."""
+    boom = {"n": 0}
+
+    def model(s, start, end):
+        boom["n"] += 1
+        if start >= dt.date(2024, 1, 15):
+            raise RuntimeError("boom")
+        return s.sql(
+            MODEL.replace("__PERIOD_FILTER_FROM__", f"DATE'{start}'").replace(
+                "__PERIOD_FILTER_TO__", f"DATE'{end}'"
+            )
+        )
+
+    eng = InsertByTimeperiod(
+        spark,
+        model,
+        cfg(periods_per_commit=2, concurrent_batches=3),
+        str(tmp_path / "cfail"),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        eng.run()
+    wm = eng.table.watermark
+    assert wm is not None and wm <= dt.date(2024, 1, 15)
+    # no staging dirs leak next to the table
+    leftovers = [
+        p for p in os.listdir(str(tmp_path)) if "__ibtp_stage_" in p
+    ] + [
+        p
+        for p in os.listdir(str(tmp_path / "cfail")) if "__ibtp_stage_" in p
+    ]
+    assert leftovers == []
+    # rerun with a healthy model completes from the watermark
+    eng2 = build(spark, tmp_path, cfg(concurrent_batches=3), name="cfail")
+    eng2.run()
+    assert eng2.table.watermark == dt.date(2024, 2, 1)

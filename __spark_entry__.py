@@ -2859,6 +2859,112 @@ def _image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imagehash.near_dup_image_pairs(hashes, max_distance=6)
 
 
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C67: watermarked stream-stream interval join executed as a REAL
+    stream (file sources -> AvailableNow -> append sink): views joined to
+    the clicks that followed within 2 hours. Single-file-per-side sources
+    process in one micro-batch, so the inner join emits exactly the batch
+    answer — the DuckDB range join is an exact oracle."""
+    import uuid as _uuid
+
+    from insert_by_timeperiod_spark.streaming.joins import stream_interval_join
+
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "ts", "user_id", "event_type")
+    d = tempfile.mkdtemp(prefix="ibtp_sij_")
+    ev.where("event_type = 'view'").coalesce(1).write.parquet(d + "/v")
+    ev.where("event_type = 'click'").coalesce(1).write.parquet(d + "/c")
+    schema = ev.schema
+    sv = spark.readStream.schema(schema).parquet(d + "/v")
+    sc_ = spark.readStream.schema(schema).parquet(d + "/c")
+    out = stream_interval_join(sv, sc_, "user_id", upper="2 hours", watermark="1 hour")
+    sink = f"ibtp_sij_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+STREAM_INTERVAL_JOIN_DUCK = """
+SELECT l.user_id, l.event_id AS l_event_id, l.ts AS l_ts, l.event_type AS l_event_type,
+       r.event_id AS r_event_id, r.ts AS r_ts, r.event_type AS r_event_type
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'view' AND r.event_type = 'click'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+"""
+
+
+def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C69: scene segmentation over REAL per-frame decode — the
+    id-arithmetic AVI fixtures flow through container walk -> JPEG entropy
+    decode -> per-frame dHash + mean -> window cut detection. On these
+    fixtures the dHash signal is provably 0 (constant-row frames) and the
+    mean signal cuts exactly when a block value wraps mod 256 — so the
+    DuckDB twin replays the ENTIRE pipeline including the cut decisions
+    and scene numbering from doc_id arithmetic alone; a misparse at any
+    stage (or a wrong lag/threshold) flips the hash. The dHash half of the
+    cut rule is pinned on gradient fixtures in tests/test_video.py."""
+    _prep(spark, sf_dir)
+    assets = video.id_to_avi_payload(spark.table("documents"), "doc_id")
+    cuts = video.scene_cuts(video.frame_signatures(assets))
+    return cuts.select(
+        "asset_id",
+        "frame_index",
+        "px_mean",
+        "is_cut",
+        F.col("scene_id").cast("bigint").alias("scene_id"),
+    )
+
+
+VIDEO_SCENE_CUTS_DUCK = """
+WITH fr AS (
+  SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_index,
+         round(CAST(  (doc_id*31 + f*17) % 256
+                    + (doc_id*31 + f*17 + 7) % 256
+                    + (doc_id*31 + f*17 + 14) % 256
+                    + (doc_id*31 + f*17 + 21) % 256 AS DOUBLE) / 4.0, 6) AS px_mean
+  FROM documents, UNNEST(range(2 + doc_id % 4)) AS t(f)
+), j AS (
+  SELECT *, round(abs(px_mean - lag(px_mean) OVER w), 6) AS _jump,
+         (lag(px_mean) OVER w IS NULL) AS _first
+  FROM fr WINDOW w AS (PARTITION BY asset_id ORDER BY frame_index)
+)
+SELECT asset_id, frame_index, px_mean,
+       (_first OR COALESCE(_jump > 24.0, FALSE)) AS is_cut,
+       CAST(SUM(CASE WHEN _first OR COALESCE(_jump > 24.0, FALSE) THEN 1 ELSE 0 END)
+            OVER (PARTITION BY asset_id ORDER BY frame_index
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+FROM j
+"""
+
+
+#: deterministic shared path so the DuckDB twin (a fixed SQL string) reads
+#: exactly the files the callable just wrote; tagged by the test sf dir
+_SKIP_DIR = os.path.join(
+    tempfile.gettempdir(),
+    "ibtp_skipdemo_"
+    + os.path.basename(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001").rstrip("/")
+    ),
+)
+
+
+def _file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C68: data-skipping validation — z-order events by (user_id,
+    value), then report each file's value range and whether a narrow
+    user_id predicate scans it. The oracle replays the identical grouping
+    over the SAME files, and the z-layout makes the skip rate real
+    (pinned 0 < scanned < files in pytest)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    zorder.z_order_write(ev, _SKIP_DIR, "user_id", "value", n_files=8)
+    return zorder.file_skipping_report(
+        spark.read.parquet(_SKIP_DIR), "user_id", 0, 3
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -2948,6 +3054,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "key_skew_users": _key_skew,
         "txnlog_diff_cdf": _txn_diff,
         "image_near_dup_pairs": _image_near_dup,
+        "streaming_interval_join": _stream_interval_join,
+        "video_scene_cuts": _video_scene_cuts,
+        "file_skipping_zorder": _file_skipping,
     }
 
 
@@ -3050,6 +3159,11 @@ def pytest_only_oracles() -> dict[str, str]:
             "SELECT *, 'insert' AS change_type FROM ("
             + ORACLE_DAILY.format(start="2024-01-15", stop=STOP)
             + ")"
+        ),
+        "streaming_interval_join": STREAM_INTERVAL_JOIN_DUCK,
+        "video_scene_cuts": VIDEO_SCENE_CUTS_DUCK,
+        "file_skipping_zorder": zorder.file_skipping_sql(
+            _SKIP_DIR + "/*.parquet", "user_id", 0, 3
         ),
     }
 

@@ -47,18 +47,16 @@ from .multimodal import decode_pixels, resize_nearest
 from .util import spread
 
 
-def dhash_bytes(payload: bytes, *, hash_w: int = 8, hash_h: int = 8) -> int | None:
-    """dHash of one encoded image payload (None if undecodable). Integer
-    luma (299·R + 587·G + 114·B — scale-invariant under the comparison) on
-    a nearest-neighbor (hash_w+1) × hash_h grid, packed row-major MSB
-    first into a signed 64-bit int (Spark LongType-compatible)."""
+def dhash_pixels(px: "np.ndarray", *, hash_w: int = 8, hash_h: int = 8) -> int:
+    """dHash of a decoded ``(h, w[, c])`` pixel array. Integer luma
+    (299·R + 587·G + 114·B — scale-invariant under the comparison) on a
+    nearest-neighbor (hash_w+1) × hash_h grid, packed row-major MSB first
+    into a signed 64-bit int (Spark LongType-compatible). Shared by the
+    image near-dedup lane and the video scene-cut lane (C69)."""
     if hash_w * hash_h > 64:
         raise ValueError("dhash: hash_w*hash_h must be <= 64")
-    px = decode_pixels(payload)
-    if px is None:
-        return None
-    if px.ndim == 2:
-        gray = px.astype(np.int64) * 1000
+    if px.ndim == 2 or px.shape[-1] == 1:
+        gray = px.reshape(px.shape[0], px.shape[1]).astype(np.int64) * 1000
     else:
         gray = (
             px[..., 0].astype(np.int64) * 299
@@ -71,6 +69,14 @@ def dhash_bytes(payload: bytes, *, hash_w: int = 8, hash_h: int = 8) -> int | No
     for b in bits:
         code = (code << np.uint64(1)) | b
     return int(code.astype(np.int64))
+
+
+def dhash_bytes(payload: bytes, *, hash_w: int = 8, hash_h: int = 8) -> int | None:
+    """dHash of one encoded image payload (None if undecodable)."""
+    px = decode_pixels(payload)
+    if px is None:
+        return None
+    return dhash_pixels(px, hash_w=hash_w, hash_h=hash_h)
 
 
 def dhash_images(

@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .util import spread
 
@@ -237,3 +237,89 @@ def video_frame_stats(df: DataFrame) -> DataFrame:
             )
 
     return spread(df.select("asset_id", "payload")).mapInPandas(op, _FRAME_SCHEMA)
+
+
+def frame_signatures(df: DataFrame) -> DataFrame:
+    """Per-frame visual signatures for scene analysis (SURVEY.md §2 C69):
+    (asset_id, frame_index, dhash, px_mean) — every '00dc' frame entropy-
+    decoded through the repo's own JPEG codec, then hashed with the C66
+    dHash and averaged. Arrow-batched ``mapInPandas``, zero shuffle; an
+    undecodable container yields no rows, an undecodable single frame a
+    NULL-signature row (the decode lanes' never-raise contract)."""
+    from .imagehash import dhash_pixels
+    from .jpeg import decode_jpeg_pixels
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes, means = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                frames = None if p is None else extract_frames(bytes(p))
+                if frames is None:
+                    continue
+                for fi, fb in enumerate(frames):
+                    try:
+                        px = decode_jpeg_pixels(fb)
+                    except Exception:  # noqa: BLE001
+                        px = None
+                    ids.append(aid)
+                    idxs.append(fi)
+                    if px is None:
+                        hashes.append(None)
+                        means.append(None)
+                    else:
+                        hashes.append(dhash_pixels(px))
+                        means.append(round(float(px.mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "frame_index": pd.array(idxs, dtype="Int64"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "px_mean": pd.array(means, dtype="Float64"),
+                }
+            )
+
+    return spread(df.select("asset_id", "payload")).mapInPandas(
+        op, "asset_id long, frame_index long, dhash long, px_mean double"
+    )
+
+
+def scene_cuts(
+    sigs: DataFrame,
+    *,
+    hash_threshold: int = 6,
+    mean_threshold: float = 24.0,
+) -> DataFrame:
+    """Scene segmentation over :func:`frame_signatures` output: a frame
+    starts a new scene when its dHash moves more than ``hash_threshold``
+    Hamming bits OR its mean luminance jumps more than ``mean_threshold``
+    from the previous frame (the two cheap shot-boundary signals — hash
+    catches re-composition, mean catches fades/hard cuts dHash's gradients
+    miss). Frame 0 always starts scene 1. Returns the signature rows plus
+    (hash_dist, mean_jump, is_cut, scene_id); a NULL-signature frame never
+    starts a scene (dissolves into its neighbor rather than fabricating a
+    boundary).
+
+    ONE window pass per asset ordered by frame_index (lag + running sum)
+    — frames-per-asset-sized partitions, pure JVM column algebra after the
+    decode lane."""
+    w = Window.partitionBy("asset_id").orderBy("frame_index")
+    dist = F.when(
+        F.col("dhash").isNotNull() & F.lag("dhash").over(w).isNotNull(),
+        F.bit_count(F.col("dhash").bitwiseXOR(F.lag("dhash").over(w))),
+    ).cast("int")
+    jump = F.round(F.abs(F.col("px_mean") - F.lag("px_mean").over(w)), 6)
+    first = F.lag("frame_index").over(w).isNull()
+    is_cut = first | (
+        F.coalesce(
+            (dist > hash_threshold) | (jump > mean_threshold), F.lit(False)
+        )
+    )
+    run = Window.partitionBy("asset_id").orderBy("frame_index").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        sigs.withColumn("hash_dist", dist)
+        .withColumn("mean_jump", jump)
+        .withColumn("is_cut", is_cut)
+        .withColumn("scene_id", F.sum(is_cut.cast("long")).over(run))
+    )

@@ -122,3 +122,56 @@ FROM {source} t, (
     FROM {source}
 ) _s
 """
+
+
+def file_skipping_report(
+    df: DataFrame, col: str, lo: float, hi: float
+) -> DataFrame:
+    """Data-skipping validation for a written layout (SURVEY.md §2 C68):
+    per-file value ranges of ``col`` and whether a ``lo <= col <= hi``
+    predicate would scan the file — (file, n_rows, min_v, max_v, scanned),
+    ``scanned = NOT (max_v < lo OR min_v > hi)``, the min/max bounding-box
+    rule footer-stats pruning applies. Run it after `z_order_write` (or any
+    layout job) to SEE the skip rate a predicate gets instead of trusting
+    the layout argument; files whose stats are entirely NULL for ``col``
+    report scanned=true (a pruner must read them).
+
+    One aggregate over the scan, grouped by ``input_file_name`` —
+    files-sized output. The DuckDB twin (`file_skipping_sql`) replays the
+    identical grouping over the SAME files, so the report is exact
+    cross-engine (both group on the file's base name)."""
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    mn, mx = F.col("min_v"), F.col("max_v")
+    return (
+        df.groupBy(fname.alias("file"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(F.col(col)).cast("double").alias("min_v"),
+            F.max(F.col(col)).cast("double").alias("max_v"),
+        )
+        .select(
+            "file",
+            "n_rows",
+            "min_v",
+            "max_v",
+            F.coalesce(
+                ~((mx < F.lit(float(lo))) | (mn > F.lit(float(hi)))),
+                F.lit(True),
+            ).alias("scanned"),
+        )
+    )
+
+
+def file_skipping_sql(path_glob: str, col: str, lo: float, hi: float) -> str:
+    """Exact DuckDB twin of :func:`file_skipping_report` over the same
+    parquet files (``path_glob`` e.g. ``'/tmp/t/*.parquet'``)."""
+    return f"""
+SELECT parse_filename(filename) AS file,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN({col}) AS DOUBLE) AS min_v,
+       CAST(MAX({col}) AS DOUBLE) AS max_v,
+       COALESCE(NOT (CAST(MAX({col}) AS DOUBLE) < {float(lo)!r}
+                     OR CAST(MIN({col}) AS DOUBLE) > {float(hi)!r}), TRUE) AS scanned
+FROM read_parquet('{path_glob}', filename=true)
+GROUP BY parse_filename(filename)
+"""

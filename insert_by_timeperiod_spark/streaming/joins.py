@@ -1,0 +1,72 @@
+"""Stream-stream event-time interval join (SURVEY.md §2 C67): correlate
+two live event streams — impressions to the clicks that followed within a
+time bound — with watermarked state on BOTH sides, the flagship Structured
+Streaming capability the reference's batch loop has no analogue for (its
+answer to correlation is materializing both tables and re-joining per
+period).
+
+Semantics: inner join on an equality key plus the time-range predicate
+``left_ts <= right_ts <= left_ts + upper`` (optionally ``>= left_ts +
+lower``). On streaming inputs both sides carry a watermark, which lets
+Spark BOUND the join state: a left row can be evicted once the right
+watermark passes ``left_ts + upper`` (and vice versa) — without the range
+condition the state would grow forever, which is why this operator
+requires it.
+
+The same function runs on batch DataFrames unchanged (``withWatermark``
+is a no-op there, the join is an ordinary range-predicated equi-join), so
+the golden tests and the DuckDB twin equate the stream execution to the
+batch answer exactly: with the fixture's single-file-per-side source the
+stream processes in one micro-batch and the inner join emits precisely
+the batch result.
+
+Scale shape: one shuffle per side on the join key (the range predicate
+rides inside the joined partition); state is O(rows within the watermark
+horizon × upper bound), the knob production tunes.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str | None = None,
+    upper: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Inner interval join: rows (key, then every non-key column prefixed
+    ``l_`` / ``r_``) where ``r.right_ts`` falls in
+    ``[l.left_ts (+ lower), l.left_ts + upper]``. ``lower`` defaults to the
+    left timestamp itself (clicks at the impression instant count)."""
+    lp = left.select(
+        F.col(key).alias("_lk"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    )
+    rp = right.select(
+        F.col(key).alias("_rk"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    if left.isStreaming:
+        lp = lp.withWatermark(f"l_{left_ts}", watermark)
+    if right.isStreaming:
+        rp = rp.withWatermark(f"r_{right_ts}", watermark)
+    lt, rt = F.col(f"l_{left_ts}"), F.col(f"r_{right_ts}")
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (rt >= (lt + F.expr(f"INTERVAL {lower}") if lower else lt))
+        & (rt <= lt + F.expr(f"INTERVAL {upper}"))
+    )
+    return lp.join(rp, cond, "inner").select(
+        F.col("_lk").alias(key),
+        *[c for c in lp.columns if c != "_lk"],
+        *[c for c in rp.columns if c != "_rk"],
+    )

@@ -2390,3 +2390,22 @@ def test_zorder_bounds_both_columns(spark, tmp_path):
     assert Z.z_values(const, "user_id", "value").count() == ev.count()
     with pytest.raises(ValueError, match="already exists"):
         Z.z_values(ev.withColumn("z", F.lit(1)), "user_id", "value")
+
+
+def test_file_skipping_report_on_zordered_layout(spark, duck, sf_dir, tmp_path):
+    """C68: per-file ranges + scanned flags over a z-ordered write match
+    the DuckDB filename-grouped replay exactly, and the layout actually
+    skips files for a narrow predicate on the clustered column."""
+    from insert_by_timeperiod_spark.operators import zorder
+    from insert_by_timeperiod_spark.sources import load_table
+    from conftest import assert_df_matches_duck
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "zt")
+    zorder.z_order_write(ev, path, "user_id", "value", n_files=8)
+    got = zorder.file_skipping_report(spark.read.parquet(path), "user_id", 0, 3)
+    assert_df_matches_duck(
+        got, duck, zorder.file_skipping_sql(path + "/*.parquet", "user_id", 0, 3)
+    )
+    rep = {r.file: r.scanned for r in got.collect()}
+    assert 0 < sum(rep.values()) < len(rep)  # real skipping, not all-or-nothing

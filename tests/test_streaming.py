@@ -395,3 +395,58 @@ def test_near_dedup_stream(spark):
     stream2 = spark.readStream.schema(schema).parquet(src)
     sink.run_available_now(stream2, os.path.join(root, "ckpt2"))
     assert spark.read.parquet(os.path.join(root, "out")).count() == 4
+
+
+def test_stream_interval_join_equals_batch_and_duck(spark, duck, sf_dir, tmp_path):
+    from conftest import assert_df_matches_duck
+
+    """C67: the watermarked stream-stream interval join emits exactly the
+    batch interval-join answer (single-file sources -> one micro-batch, no
+    watermark drops), and both equal the DuckDB range join."""
+    import uuid as _uuid
+
+    from insert_by_timeperiod_spark.sources import load_table
+    from insert_by_timeperiod_spark.streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views = ev.where("event_type = 'view'")
+    clicks = ev.where("event_type = 'click'")
+    DUCK = """
+    SELECT l.user_id, l.event_id AS l_event_id, l.ts AS l_ts, l.event_type AS l_event_type,
+           r.event_id AS r_event_id, r.ts AS r_ts, r.event_type AS r_event_type
+    FROM events l JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'view' AND r.event_type = 'click'
+      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+    """
+    batch = stream_interval_join(views, clicks, "user_id", upper="2 hours")
+    assert_df_matches_duck(batch, duck, DUCK)
+
+    views.coalesce(1).write.parquet(str(tmp_path / "v"))
+    clicks.coalesce(1).write.parquet(str(tmp_path / "c"))
+    sv = spark.readStream.schema(views.schema).parquet(str(tmp_path / "v"))
+    sc_ = spark.readStream.schema(clicks.schema).parquet(str(tmp_path / "c"))
+    out = stream_interval_join(
+        sv, sc_, "user_id", upper="2 hours", watermark="1 hour"
+    )
+    sink = f"sij_{_uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert_df_matches_duck(spark.table(sink), duck, DUCK)
+
+
+def test_stream_interval_join_requires_range_for_bounded_state(spark):
+    """The operator hard-requires the range condition (state boundedness);
+    both sides carry watermarks on streaming inputs."""
+    from insert_by_timeperiod_spark.streaming.joins import stream_interval_join
+
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "user_id long, ts string")
+    out = stream_interval_join(df, df, "user_id", upper="5 minutes")
+    assert set(out.columns) == {"user_id", "l_ts", "r_ts"}

@@ -80,3 +80,51 @@ def test_spark_lanes_metadata_frames_and_nulls(spark):
     rows = {r["asset_id"]: r.asDict() for r in V.video_metadata(bad).collect()}
     assert rows[100]["n_frames"] is None and rows[101]["width"] is None
     assert V.video_frame_stats(bad).count() == 0
+
+
+def _gradient_frame(vals):
+    """Horizontally-varying 8-px-tall frame — gives dHash real structure
+    (the id-arithmetic fixture's constant rows hash to 0 by design)."""
+    import numpy as np
+
+    from insert_by_timeperiod_spark.operators.jpeg import encode_baseline_jpeg
+
+    row = np.concatenate([np.full((8, 8), v, np.uint8) for v in vals], axis=1)
+    return encode_baseline_jpeg(row, quality=100)
+
+
+def test_scene_cuts_planted_scenes(spark):
+    """C69: two visually distinct scenes split exactly at the planted
+    boundary; near-identical frames within a scene never cut; frame 0
+    always opens scene 1."""
+    from insert_by_timeperiod_spark.operators import video
+
+    a = [_gradient_frame(v) for v in ([10, 80, 10, 200], [10, 80, 12, 200], [11, 80, 10, 199])]
+    b = [_gradient_frame(v) for v in ([240, 20, 180, 40], [239, 20, 180, 41])]
+    avi = video.encode_mjpeg_avi(a + b, 32, 8, 10)
+    df = spark.createDataFrame([(1, bytearray(avi))], "asset_id long, payload binary")
+    rows = video.scene_cuts(video.frame_signatures(df)).orderBy("frame_index").collect()
+    assert [r.is_cut for r in rows] == [True, False, False, True, False]
+    assert [r.scene_id for r in rows] == [1, 1, 1, 2, 2]
+    assert rows[3].hash_dist > 6 or rows[3].mean_jump > 24.0
+
+
+def test_scene_cuts_mean_jump_catches_fade(spark):
+    """A global brightness jump with identical spatial structure is dHash-
+    invisible (gradients unchanged) — the mean signal must cut it."""
+    from insert_by_timeperiod_spark.operators import video
+
+    a = [_gradient_frame([10, 80, 10, 200]), _gradient_frame([110, 180, 110, 255])]
+    avi = video.encode_mjpeg_avi(a, 32, 8, 10)
+    df = spark.createDataFrame([(1, bytearray(avi))], "asset_id long, payload binary")
+    rows = video.scene_cuts(video.frame_signatures(df)).orderBy("frame_index").collect()
+    assert rows[1].is_cut and rows[1].mean_jump > 24.0
+
+
+def test_frame_signatures_never_raise(spark):
+    from insert_by_timeperiod_spark.operators import video
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"junk")), (2, None)], "asset_id long, payload binary"
+    )
+    assert video.frame_signatures(df).count() == 0

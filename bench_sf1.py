@@ -85,6 +85,16 @@ QUERIES = [
     # multi-version build + retention vacuum on the commit-log backend —
     # a write-path scale point like the engine_* rows
     "txnlog_vacuum",
+    # round-7 third/fourth-batch operators over the scaled events corpus
+    "ts_resample_user_daily",
+    "funnel_signup_purchase",
+    "retention_weekly",
+    "period_anomaly_daily",
+    "trend_by_event_type",
+    "key_skew_users",
+    # the concurrent-staging period loop (write-path scale point like the
+    # other engine_* rows; shows what concurrent_batches buys at volume)
+    "engine_concurrent_build",
 ]
 
 

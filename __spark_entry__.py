@@ -2965,6 +2965,38 @@ def _file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C70: equi-depth (quantile) binning — percentile edges from one
+    aggregate broadcast back as a scan-stage assignment (the corpus never
+    shuffles; deliberately NOT an ntile global sort). Exact DuckDB twin
+    (both engines interpolate percentiles identically)."""
+    _prep(spark, sf_dir)
+    return analytics.equi_depth_buckets(
+        spark.table("events").select("event_id", "value"), "value", 5
+    )
+
+
+def _transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C71: first-order Markov event-transition table — one per-user
+    window pass, counts + row-normalized probabilities. Exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    return analytics.event_transitions(spark.table("events"))
+
+
+_CHUNK_BM25_TERMS = ["data", "model"]
+
+
+def _chunk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C72: chunk-level BM25 retrieval (C34 chunking -> C46 ranking over
+    CHUNKS — the RAG serving granularity). Exact DuckDB twin chaining both
+    component twins; chunk_start recovered by pure arithmetic, no second
+    corpus pass."""
+    _prep(spark, sf_dir)
+    return retrieval.chunk_bm25_topk(
+        spark.table("documents"), _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -3057,6 +3089,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "streaming_interval_join": _stream_interval_join,
         "video_scene_cuts": _video_scene_cuts,
         "file_skipping_zorder": _file_skipping,
+        "equi_depth_value_bins": _equi_depth,
+        "event_transitions": _transitions,
+        "chunk_bm25_passages": _chunk_bm25,
     }
 
 
@@ -3162,6 +3197,14 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "streaming_interval_join": STREAM_INTERVAL_JOIN_DUCK,
         "video_scene_cuts": VIDEO_SCENE_CUTS_DUCK,
+        "equi_depth_value_bins": analytics.equi_depth_sql(
+            "(SELECT event_id, value FROM events)", "value", 5,
+            select="event_id, value",
+        ),
+        "event_transitions": analytics.event_transitions_sql(),
+        "chunk_bm25_passages": retrieval.chunk_bm25_sql(
+            _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
+        ),
         "file_skipping_zorder": zorder.file_skipping_sql(
             _SKIP_DIR + "/*.parquet", "user_id", 0, 3
         ),

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _UNIT_DAYS = {"day": 1, "week": 7}
 
@@ -267,6 +267,129 @@ SELECT bucket, CAST(n AS BIGINT) AS n,
                  THEN round(0.6745 * (n - _med) / _mad, 6) END) > {threshold!r}
        ) AS is_anomaly
 FROM _counts, _med, _mad
+"""
+
+
+# ------------------------------------------------------- event transitions
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table over per-user event sequences
+    (SURVEY.md §2 C71): (from_type, to_type, n, p) where ``p`` is the
+    row-normalized transition probability — the "what do users do next"
+    readout that complements C59's fixed funnels with the full graph.
+    Per-user ordering ties break on ``id_col`` so the lattice is
+    deterministic. ONE corpus shuffle (the per-user window); the counts
+    aggregate and the per-from normalization run on transition-types-sized
+    data. Rounded p makes the DuckDB twin exact."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            user_col, ts_col, id_col, F.col(type_col).alias("from_type")
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """Exact DuckDB twin of :func:`event_transitions`."""
+    return f"""
+WITH _pairs AS (
+    SELECT {type_col} AS from_type,
+           lead({type_col}) OVER (PARTITION BY {user_col}
+                                  ORDER BY {ts_col}, {id_col}) AS to_type
+    FROM {table}
+), _counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM _pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM _counts
+"""
+
+
+# -------------------------------------------------------- equi-depth bins
+
+
+def equi_depth_buckets(
+    df: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Equi-depth (quantile) binning (SURVEY.md §2 C70): append ``bucket``
+    (1..k, NULL for NULL values) assigning each row to its k-quantile bin —
+    the stratification prep for quality-score-stratified sampling and the
+    histogram a profiler wants. Values equal to an edge fall in the LOWER
+    bucket. NOT an ``ntile`` window (a global sort that funnels the corpus
+    through one partition): the k-1 interpolated percentile edges come from
+    ONE aggregate, ride back as a broadcast, and the assignment is a
+    scan-stage expression (count of edges strictly below the value) — so
+    the corpus never shuffles at all. Both engines interpolate percentiles
+    identically, so the DuckDB twin is exact."""
+    if k < 2:
+        raise ValueError("equi_depth_buckets: k must be >= 2")
+    fracs = [i / k for i in range(1, k)]
+    edges = df.agg(
+        *[
+            F.percentile(F.col(col), F.lit(q)).alias(f"_e{i}")
+            for i, q in enumerate(fracs)
+        ]
+    )
+    arr = F.array(*[F.col(f"_e{i}") for i in range(len(fracs))])
+    bucket = F.when(
+        F.col(col).isNotNull(),
+        (
+            F.size(F.filter(arr, lambda e: e < F.col(col).cast("double")))
+            + F.lit(1)
+        ).cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn("bucket", bucket)
+        .drop(*[f"_e{i}" for i in range(len(fracs))])
+    )
+
+
+def equi_depth_sql(table: str, col: str, k: int, *, select: str = "*") -> str:
+    """Exact DuckDB twin of :func:`equi_depth_buckets`."""
+    if k < 2:
+        raise ValueError("equi_depth_sql: k must be >= 2")
+    fracs = [i / k for i in range(1, k)]
+    edges = ", ".join(
+        f"quantile_cont({col}, {q!r}) AS _e{i}" for i, q in enumerate(fracs)
+    )
+    arr = "[" + ", ".join(f"_e{i}" for i in range(len(fracs))) + "]"
+    return f"""
+WITH _edges AS (SELECT {edges} FROM {table})
+SELECT {select},
+       CASE WHEN {col} IS NOT NULL THEN
+         CAST(len(list_filter({arr}, e -> e < CAST({col} AS DOUBLE))) + 1 AS INTEGER)
+       END AS bucket
+FROM {table}, _edges
 """
 
 

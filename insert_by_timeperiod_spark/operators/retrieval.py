@@ -137,3 +137,87 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, _id) AS BIGINT) AS rank,
        _id AS {doc_id_col}, rrf, lex_rank, dense_rank
 FROM _fused ORDER BY rrf DESC, _id LIMIT {k}
 """
+
+
+#: chunk ids pack as doc_id * CHUNK_STRIDE + chunk_id so one BIGINT key
+#: survives the BM25 ranker and decomposes exactly in both engines
+CHUNK_STRIDE = 100_000
+
+
+def chunk_bm25_topk(
+    docs,
+    terms: list[str],
+    *,
+    size: int,
+    overlap: int = 0,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Chunk-level retrieval (SURVEY.md §2 C72): cut documents into
+    overlapping windows (C34) and BM25-rank the CHUNKS (C46) — the
+    retrieval granularity RAG pipelines actually serve, where a long
+    document's one relevant passage shouldn't be diluted by its length.
+    Returns (rank, doc_id, chunk_id, chunk_start, score, n_matched).
+
+    Scale shape: chunking is zero-shuffle scan-stage column algebra; the
+    ranker sees one narrow row per CHUNK (the same no-explode per-term tf
+    expressions), so the whole thing stays one corpus pass + a bounded
+    TakeOrdered. `chunk_bm25_sql` chains the two exact twins, so the row
+    is exact end-to-end."""
+    from pyspark.sql import functions as F
+
+    from . import chunk as _chunk
+
+    chunks = _chunk.chunk_documents(
+        docs, size=size, overlap=overlap, id_col=id_col, text_col=text_col
+    ).select(
+        (F.col(id_col) * CHUNK_STRIDE + F.col("chunk_id")).alias("_cuid"),
+        "chunk_text",
+    )
+    ranked = _bm25.bm25_topk(
+        chunks, terms, text_col="chunk_text", id_col="_cuid", k=k
+    )
+    # chunk_start = chunk_id * stride + 1 by the C34 contract — pure
+    # arithmetic, so no second corpus pass to recover it
+    cid = F.expr(f"_cuid % {CHUNK_STRIDE}")
+    return ranked.select(
+        "rank",
+        F.expr(f"_cuid DIV {CHUNK_STRIDE}").cast("bigint").alias(id_col),
+        cid.cast("bigint").alias("chunk_id"),
+        (cid * (size - overlap) + 1).cast("bigint").alias("chunk_start"),
+        "score",
+        F.col("n_matched").cast("bigint"),
+    )
+
+
+def chunk_bm25_sql(
+    terms: list[str],
+    *,
+    size: int,
+    overlap: int = 0,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """Exact DuckDB twin of :func:`chunk_bm25_topk` (chains the C34 chunk
+    twin and the C46 BM25 twin)."""
+    from . import chunk as _chunk
+
+    chunks = (
+        f"(SELECT {id_col} * {CHUNK_STRIDE} + chunk_id AS _cuid, "
+        f"chunk_text FROM ({_chunk.chunk_sql(size=size, overlap=overlap, id_col=id_col, text_col=text_col, table=table)}))"
+    )
+    bm25 = _bm25.bm25_sql(
+        terms, chunks, text_col="chunk_text", id_col="_cuid", k=k
+    )
+    return f"""
+SELECT rank,
+       CAST(_cuid // {CHUNK_STRIDE} AS BIGINT) AS {id_col},
+       CAST(_cuid % {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST((_cuid % {CHUNK_STRIDE}) * {size - overlap} + 1 AS BIGINT) AS chunk_start,
+       score,
+       CAST(n_matched AS BIGINT) AS n_matched
+FROM ({bm25})
+"""

@@ -316,3 +316,98 @@ def test_near_dup_images_validation(spark, image_assets):
         imagehash.near_dup_image_pairs(hashes, max_distance=8, n_bands=8)
     with pytest.raises(ValueError):
         imagehash.near_dup_image_pairs(hashes, n_bands=7)
+
+
+# ------------------------------------------------------ C70 equi-depth bins
+
+
+def test_equi_depth_buckets_matches_duck(spark, duck, events):
+    out = analytics.equi_depth_buckets(
+        events.select("event_id", "value"), "value", 5
+    )
+    assert_df_matches_duck(
+        out,
+        duck,
+        analytics.equi_depth_sql(
+            "(SELECT event_id, value FROM events)", "value", 5,
+            select="event_id, value",
+        ),
+    )
+
+
+def test_equi_depth_buckets_depths_and_nulls(spark):
+    rows = [(i, float(i)) for i in range(100)] + [(1000, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = analytics.equi_depth_buckets(df, "v", 4).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.v)
+    assert by_bucket.pop(None) == [None]
+    # 100 uniform values into quartiles: ~25 each, ordered edges
+    assert sorted(by_bucket) == [1, 2, 3, 4]
+    assert all(20 <= len(v) <= 30 for v in by_bucket.values())
+    assert max(by_bucket[1]) < min(by_bucket[2])
+    with pytest.raises(ValueError):
+        analytics.equi_depth_buckets(df, "v", 1)
+
+
+def test_equi_depth_is_scan_stage(spark, events):
+    """The corpus never shuffles: no Exchange above the scan in the
+    assignment branch (edges ride a broadcast)."""
+    from insert_by_timeperiod_spark.plans import exchange_count
+
+    out = analytics.equi_depth_buckets(events.select("event_id", "value"), "value", 4)
+    assert exchange_count(out) <= 1  # only the 1-row edges aggregate
+
+
+# ---------------------------------------------------- C71 event transitions
+
+
+def test_event_transitions_matches_duck(spark, duck, events):
+    out = analytics.event_transitions(events)
+    assert_df_matches_duck(out, duck, analytics.event_transitions_sql())
+
+
+def test_event_transitions_hand_case(spark):
+    rows = [
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (1, 2, "b", "2024-01-01 00:01:00"),
+        (1, 3, "a", "2024-01-01 00:02:00"),
+        (2, 4, "a", "2024-01-01 00:00:00"),
+        (2, 5, "b", "2024-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.from_type, r.to_type): (r.n, r.p) for r in analytics.event_transitions(df).collect()}
+    assert out == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+# --------------------------------------------------- C72 chunk-level BM25
+
+
+def test_chunk_bm25_matches_duck(spark, duck, sf_dir):
+    from insert_by_timeperiod_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["data", "model"]
+    out = retrieval.chunk_bm25_topk(docs, terms, size=48, overlap=16, k=12)
+    assert_df_matches_duck(
+        out, duck, retrieval.chunk_bm25_sql(terms, size=48, overlap=16, k=12)
+    )
+
+
+def test_chunk_bm25_finds_buried_passage(spark):
+    """A long filler document with one relevant chunk must rank that CHUNK
+    highly — the dilution problem doc-level BM25 has."""
+    filler = "lorem ipsum " * 200
+    buried = filler + " quantum entanglement breakthrough " + filler
+    df = spark.createDataFrame(
+        [(1, buried), (2, "nothing relevant here at all " * 30)],
+        "doc_id long, text string",
+    )
+    out = retrieval.chunk_bm25_topk(
+        df, ["quantum", "entanglement"], size=120, overlap=20, k=3
+    ).collect()
+    assert out and out[0].doc_id == 1
+    assert "quantum" in buried[out[0].chunk_start - 1 : out[0].chunk_start - 1 + 120]

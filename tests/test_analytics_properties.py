@@ -1,0 +1,114 @@
+"""Property tests (SURVEY.md §5) for the round-7 analytics operators:
+invariants that must hold for ANY input, checked over hypothesis-generated
+event sets. Examples are kept small and few — each one compiles real Spark
+jobs."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import analytics, timeseries
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # key
+        st.integers(0, 40),  # day offset
+        st.floats(0, 100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _df(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(days=d, minutes=i % 60), float(v))
+        for i, (k, d, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, "k long, ts timestamp, value double")
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_resample_invariants(spark, rows):
+    """For any input: per-key buckets form a contiguous date range, gap
+    rows carry n=0 and NULL total, per-key n sums to the key's row count,
+    and total_ffill is NULL exactly before the first observation."""
+    df = _df(spark, rows)
+    out = timeseries.resample(df, key_cols=["k"]).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r.k, []).append(r)
+    truth = {}
+    for k, d, _ in rows:
+        truth[k] = truth.get(k, 0) + 1
+    for k, rs in per_key.items():
+        rs.sort(key=lambda r: r.bucket)
+        days = [r.bucket for r in rs]
+        assert days == [
+            days[0] + dt.timedelta(days=i) for i in range(len(days))
+        ], "buckets must be contiguous"
+        assert sum(r.n for r in rs) == truth[k]
+        seen = False
+        for r in rs:
+            if r.n == 0:
+                assert r.total is None
+            seen = seen or r.total is not None
+            assert (r.total_ffill is not None) == seen
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_funnel_counts_non_increasing(spark, rows):
+    df = _df(spark, rows).select(
+        F.col("k").alias("user_id"),
+        "ts",
+        F.concat(F.lit("t"), (F.col("value") % 3).cast("int")).alias("event_type"),
+    )
+    out = analytics.funnel(df, ["t0", "t1", "t2"]).collect()
+    by_step = {r.step: r.n_users for r in out}
+    assert by_step[1] >= by_step[2] >= by_step[3]
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_transitions_rows_normalize(spark, rows):
+    df = _df(spark, rows).select(
+        F.col("k").alias("user_id"),
+        "ts",
+        F.monotonically_increasing_id().alias("event_id"),
+        F.concat(F.lit("t"), (F.col("value") % 3).cast("int")).alias("event_type"),
+    )
+    out = analytics.event_transitions(df).collect()
+    sums = {}
+    for r in out:
+        assert r.n >= 1 and 0.0 < r.p <= 1.0
+        sums[r.from_type] = sums.get(r.from_type, 0.0) + r.p
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-4  # rounded contributions
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=32), min_size=4, max_size=60
+    ),
+    k=st.integers(2, 6),
+)
+@settings(**_SETTINGS)
+def test_equi_depth_monotone_and_total(spark, vals, k):
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], "id long, v double")
+    out = sorted(
+        analytics.equi_depth_buckets(df, "v", k).collect(), key=lambda r: (r.v, r.id)
+    )
+    assert all(1 <= r.bucket <= k for r in out)
+    for a, b in zip(out, out[1:]):
+        assert a.bucket <= b.bucket, "bucket must be monotone in value"

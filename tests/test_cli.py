@@ -114,3 +114,33 @@ def test_cli_maintenance_ops(spark, sf_dir, tmp_path, capsys):
         main(["--target", tgt, "--maintenance", "vacuum"])
     with pytest.raises(SystemExit, match="required for a build"):
         main(["--target", tgt])
+
+
+def test_cli_concurrent_batches(spark, sf_dir, capsys):
+    """--concurrent-batches builds the same table as the serial CLI run."""
+    root = tempfile.mkdtemp(prefix="ibtp_clic_")
+    events_pq = os.path.join(root, "events")
+    load_table(spark, sf_dir, "events").write.parquet(events_pq)
+    model = os.path.join(root, "model.sql")
+    with open(model, "w") as f:
+        f.write(
+            """
+            SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+            FROM events
+            WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+            GROUP BY user_id, CAST(ts AS DATE)
+            """
+        )
+    outs = []
+    for conc in ("1", "4"):
+        tgt = os.path.join(root, f"t{conc}")
+        assert main([
+            "--model", model, "--target", tgt,
+            "--timestamp-field", "event_date", "--period", "week",
+            "--view", f"events={events_pq}", "--no-count-rows",
+            "--concurrent-batches", conc,
+            "--start-date", "2024-01-01", "--stop-date", "2024-01-29",
+        ]) == 0
+        outs.append(spark.read.parquet(tgt))
+    a, b = outs
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

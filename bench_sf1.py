@@ -162,6 +162,15 @@ def main() -> None:
     queries["cte_union_minmax"](spark, DST).write.mode("overwrite").format("noop").save()
 
     con = duckdb.connect()
+    # spill off-repo (DuckDB's default temp dir is ./<cwd>/.tmp — filling the
+    # repo with spill is how a big-oracle ENOSPC killed one study run) and
+    # cap memory below the Spark-co-resident headroom so spill starts early
+    # instead of thrashing
+    spill = "/tmp/ibtp_duck_spill"
+    shutil.rmtree(spill, ignore_errors=True)
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET memory_limit='40GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{DST}/{t}.parquet/*.parquet')"
@@ -173,16 +182,23 @@ def main() -> None:
     # a single sample can land entirely inside a noise burst; the minimum is
     # the contention-free estimate for both engines alike
     repeat = int(os.environ.get("IBTP_BENCH_REPEAT", "3"))
-    out: dict[str, dict[str, float]] = {}
+    out: dict[str, dict] = {}
+    failed: dict[str, str] = {}
     for name in QUERIES:
+        print(f"[bench] {name}", flush=True)
         spark_s, duck_s = [], []
-        for _ in range(repeat):
-            t0 = time.monotonic()
-            queries[name](spark, DST).write.mode("overwrite").format("noop").save()
-            spark_s.append(time.monotonic() - t0)
-            t0 = time.monotonic()
-            con.sql(oracles[name]).fetchall()
-            duck_s.append(time.monotonic() - t0)
+        try:
+            for _ in range(repeat):
+                t0 = time.monotonic()
+                queries[name](spark, DST).write.mode("overwrite").format("noop").save()
+                spark_s.append(time.monotonic() - t0)
+                t0 = time.monotonic()
+                con.sql(oracles[name]).fetchall()
+                duck_s.append(time.monotonic() - t0)
+        except Exception as e:  # record and keep the study alive
+            failed[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"[bench] {name} FAILED: {failed[name]}", flush=True)
+            continue
         out[name] = {"spark": round(min(spark_s), 3), "duck": round(min(duck_s), 3)}
 
     total_spark = round(sum(v["spark"] for v in out.values()), 3)
@@ -213,6 +229,7 @@ def main() -> None:
         "ratio": round(total_spark / total_duck, 2) if total_duck else None,
         "query_only_ratio": round(qs / qd, 2) if qd else None,
         "exact_decimal_sums": exact_sums,
+        "failed": failed,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_SF{COPIES // 10}.json"), "w") as f:
         json.dump(result, f, indent=2)

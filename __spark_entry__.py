@@ -41,9 +41,11 @@ from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
 from insert_by_timeperiod_spark.functions import quality as QL
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
+from insert_by_timeperiod_spark.functions import urls as URLS
 from insert_by_timeperiod_spark.operators import (
     analytics,
     audio,
+    graph,
     bm25,
     bpe,
     collocations,
@@ -67,6 +69,7 @@ from insert_by_timeperiod_spark.operators import (
     similarity,
     sketch,
     spans,
+    tagging,
     tfidf,
 )
 from insert_by_timeperiod_spark.operators.pipeline import (
@@ -2997,6 +3000,205 @@ def _chunk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic URL fixture from doc_id arithmetic (the testdata carries no
+#: URLs; both engines replay the identical construction — the established
+#: id-arithmetic fixture pattern of the audio/video rows)
+_URL_FIXTURE_DUCK = (
+    "(CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 THEN 'https'"
+    " ELSE 'HTTPS' END) || '://'"
+    " || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)"
+    " || 'site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END)"
+    " || (CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8080'"
+    " ELSE '' END)"
+    " || '/p/' || CAST(doc_id AS VARCHAR)"
+    " || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&b=2&a=1'"
+    " WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=x' ELSE '' END)"
+    " || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _url_fixture_spark() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 3 == 0, F.lit("HTTP"))
+        .when(did % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (did % 7).cast("string"),
+        F.when(did % 5 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(did % 4 == 0, F.lit(":443"))
+        .when(did % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        did.cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=news&b=2&a=1"))
+        .when(did % 3 == 1, F.lit("?a=1&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def _url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C73: URL canonicalization + registered-domain rollup — scheme/
+    host case, www., default ports, trailing slashes, fragments, tracking
+    params and query order all collapse (scan-stage column algebra, zero
+    shuffle before the rollup's own agg). Exact DuckDB twin replays the
+    identical regex/sort algebra."""
+    _prep(spark, sf_dir)
+    u = spark.table("documents").select(_url_fixture_spark().alias("url"))
+    c = u.select(
+        URLS.canonical_url(F.col("url")).alias("canon"),
+        URLS.url_host(F.col("url")).alias("host"),
+    )
+    return c.groupBy(URLS.registered_domain(F.col("host")).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.count_distinct(F.col("host")).cast("bigint").alias("n_hosts"),
+        F.count_distinct(F.col("canon")).cast("bigint").alias("n_canonical"),
+    )
+
+
+_URL_DOMAINS_DUCK = f"""
+WITH _u AS (
+    SELECT {_URL_FIXTURE_DUCK} AS url FROM documents
+), _c AS (
+    SELECT {URLS.canonical_url_sql('url')} AS canon,
+           {URLS.url_host_sql('url')} AS host
+    FROM _u
+)
+SELECT {URLS.registered_domain_sql('host')} AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical
+FROM _c
+GROUP BY 1
+"""
+
+
+def _containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C74: one-sided containment (quote/subset) detection — every
+    doc_id % 17 == 3 document gets its predecessor's full text appended, so
+    the predecessor is ~fully contained in it while symmetric Jaccard stays
+    low. Exact DuckDB twin (gram-string groupings replay the hash path)."""
+    _prep(spark, sf_dir)
+    d = (
+        spark.table("documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    prev = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_pt")
+    )
+    aug = d.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 17 == 3) & F.col("_pt").isNotNull(),
+            F.concat_ws(" ", "text", "_pt"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return spans.containment_pairs(aug, k=8, threshold=0.8)
+
+
+_CONTAINMENT_SRC_DUCK = (
+    "(SELECT d1.doc_id,"
+    " CASE WHEN d1.doc_id % 17 = 3 AND d2.text IS NOT NULL"
+    " THEN d1.text || ' ' || d2.text ELSE d1.text END AS text"
+    " FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) d1"
+    " LEFT JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 300) d2"
+    " ON d2.doc_id = d1.doc_id - 1)"
+)
+
+
+def _pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C75: fixed-iteration PageRank over a deterministic event-derived
+    link graph (src=event_id % 500, dst=user_id — 500 page nodes all with
+    out-links pointing at the small user hub set, so no dangling mass leaks
+    and the hubs visibly dominate). Exact DuckDB twin unrolls the identical
+    6-decimal/DECIMAL-sum arithmetic as chained CTEs."""
+    _prep(spark, sf_dir)
+    e = spark.table("events").select(
+        (F.col("event_id") % 500).alias("src"), F.col("user_id").alias("dst")
+    )
+    return graph.pagerank(e, n_iter=5)
+
+
+def _pct_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C76: group-wise percentile normalization — value's percent rank
+    within its event_type (the per-language quality-score equalizer). One
+    shuffle (the window partition). Exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    ev = (
+        spark.table("events")
+        .where(F.col("event_id") % 20 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    return analytics.percentile_normalize(ev, "value", ["event_type"])
+
+
+#: newline fixture for the within-doc line dedup row: the flat fixture text
+#: gains a duplicated body + repeated boilerplate + one short line, built
+#: by the identical concat in both engines
+_NL_FIXTURE_DUCK = (
+    "(SELECT doc_id, text || chr(10) || 'boilerplate footer line'"
+    " || chr(10) || text || chr(10) || 'boilerplate footer line'"
+    " || chr(10) || 'xy' AS text"
+    " FROM documents WHERE doc_id < 500)"
+)
+
+_TOPIC_TAGS = {
+    "dedup": ["dup", "dups"],
+    "engine": ["spark", "stream"],
+    "absent_topic": ["qqqqzz"],
+}
+
+
+def _clean_lines_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C77: within-doc repeated-line removal (the page-local C4 line
+    rule) — zero-shuffle positional-lambda array algebra; the fixture
+    plants a duplicated body and boilerplate footer per document. Exact
+    DuckDB twin."""
+    _prep(spark, sf_dir)
+    d = (
+        spark.table("documents")
+        .where(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nboilerplate footer line\n"),
+                F.col("text"),
+                F.lit("\nboilerplate footer line\nxy"),
+            ).alias("text"),
+        )
+    )
+    return dedup.dedup_lines_within(d)
+
+
+def _tag_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C78: term-list topic tagging — every tag one scan-stage
+    arrays_overlap, zero shuffle, 50 tag lists = one pass. Exact DuckDB
+    twin (same tokenization, same dict-order cells)."""
+    _prep(spark, sf_dir)
+    return tagging.tag_documents(spark.table("documents"), _TOPIC_TAGS)
+
+
+def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C79: equi-width histogram — bounds from one aggregate ride back
+    as a 1-row broadcast, assignment is scan-stage, the counting groupBy
+    moves at most `bins` keys; empty buckets present via the spine. Exact
+    DuckDB twin."""
+    _prep(spark, sf_dir)
+    return analytics.value_histogram(
+        spark.table("events").select("value"), "value", 8
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -3092,6 +3294,14 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "equi_depth_value_bins": _equi_depth,
         "event_transitions": _transitions,
         "chunk_bm25_passages": _chunk_bm25,
+        # round-7 sixth-batch components (C73-C79)
+        "url_canonical_domains": _url_domains,
+        "containment_pairs_planted": _containment_planted,
+        "pagerank_event_graph": _pagerank_events,
+        "pct_rank_value_by_type": _pct_rank_values,
+        "clean_lines_within": _clean_lines_within,
+        "tag_docs_topics": _tag_topics,
+        "value_histogram_events": _value_hist,
     }
 
 
@@ -3202,6 +3412,25 @@ def pytest_only_oracles() -> dict[str, str]:
             select="event_id, value",
         ),
         "event_transitions": analytics.event_transitions_sql(),
+        "url_canonical_domains": _URL_DOMAINS_DUCK,
+        "containment_pairs_planted": spans.containment_sql(
+            _CONTAINMENT_SRC_DUCK, k=8, threshold=0.8
+        ),
+        "pagerank_event_graph": graph.pagerank_sql(
+            "(SELECT event_id % 500 AS src, user_id AS dst FROM events)",
+            n_iter=5,
+        ),
+        "pct_rank_value_by_type": analytics.percentile_normalize_sql(
+            "(SELECT event_id, event_type, value FROM events"
+            " WHERE event_id % 20 = 0)",
+            "value",
+            ["event_type"],
+        ),
+        "clean_lines_within": dedup.dedup_lines_within_sql(_NL_FIXTURE_DUCK),
+        "tag_docs_topics": tagging.tag_documents_sql(_TOPIC_TAGS),
+        "value_histogram_events": analytics.value_histogram_sql(
+            "events", "value", 8
+        ),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

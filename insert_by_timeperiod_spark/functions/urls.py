@@ -1,0 +1,181 @@
+"""URL canonicalization + host/registered-domain extraction (SURVEY.md §2
+C73) — the web-corpus curation primitives every CommonCrawl-style pipeline
+runs before URL-level dedup and per-domain mixing: collapse the superficial
+variants of the same address (scheme/host case, default ports, ``www.``,
+trailing slashes, tracking params, fragments, query-param order) into ONE
+canonical string, and roll hosts up to their registered domain (the
+per-site unit quality weights and crawl budgets attach to).
+
+Scale shape: everything here is scan-stage column algebra — regexp
+extraction, array filter/sort on the split query string — with ZERO
+shuffles and no UDF; a URL-dedup over 100 TB pays only the one exchange of
+whatever groupBy the caller adds on top of the canonical column.
+
+Cross-engine exactness: each helper has a ``*_sql`` twin emitting the
+identical algebra as a DuckDB expression — same regexes (conservative
+syntax valid in both Java regex and RE2), same lexicographic param sort
+(both engines compare strings as binary UTF-8), same suffix heuristic —
+so oracle rows compare bit-identical strings.
+
+The registered-domain rule is the standard last-two-labels heuristic with
+a small multi-label-suffix exception list (co/com/net/org/gov/ac/edu under
+a <=3-char country TLD), NOT a bundled public-suffix snapshot: the list is
+a visible, swappable constant (`MULTI_SUFFIX_SECONDS`), which is the honest
+trade at library scope.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: second-level labels that form a multi-label public suffix when followed
+#: by a short (<=3 char) top-level label: example.co.uk -> example.co.uk
+MULTI_SUFFIX_SECONDS = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+#: query params dropped during canonicalization (tracking noise)
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
+_PORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lower-cased scheme, or NULL when ``url`` has no ``scheme://``."""
+    s = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    return F.when(s != "", s)
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host (no port), or NULL for scheme-less strings."""
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.when(F.regexp_extract(url, _SCHEME_RE, 1) != "", h)
+
+
+def registered_domain(host: Column) -> Column:
+    """Roll a host up to its registered domain: last two labels, or last
+    THREE when the second-to-last is a known multi-suffix second (co, com,
+    net, org, gov, ac, edu) under a <=3-char TLD — ``a.b.example.com`` ->
+    ``example.com``, ``news.example.co.uk`` -> ``example.co.uk``. Hosts
+    with fewer labels pass through unchanged; NULL stays NULL."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    last = F.element_at(labels, n)
+    second = F.element_at(labels, n - 1)
+    third = F.element_at(labels, n - 2)
+    is_multi = (
+        (n >= 3)
+        & second.isin(*MULTI_SUFFIX_SECONDS)
+        & (F.length(last) <= 3)
+    )
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_multi, F.concat_ws(".", third, second, last))
+        .when(n >= 2, F.concat_ws(".", second, last))
+        .otherwise(host)
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """One canonical string per address: lower scheme/host, ``www.``
+    stripped, default port dropped (80 for http, 443 for https; other
+    ports kept), fragment dropped, trailing path slashes stripped (bare
+    host -> ``/``), tracking params (utm_*/fbclid/gclid) dropped and the
+    surviving params sorted lexicographically. NULL when ``url`` has no
+    ``scheme://`` prefix."""
+    base = F.regexp_replace(url, "#.*$", "")  # fragment off first
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(base, _HOST_RE, 1)), "^www\\.", ""
+    )
+    port = F.regexp_extract(base, _PORT_RE, 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    portpart = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    rawpath = F.regexp_replace(
+        F.regexp_extract(base, _PATH_RE, 1), "/+$", ""
+    )
+    path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
+    query = F.regexp_extract(base, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), host, portpart, path, qpart),
+    )
+
+
+# ------------------------------------------------------------ DuckDB twins
+
+
+def url_host_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_host` over SQL expression ``expr``."""
+    return (
+        f"CASE WHEN regexp_extract({expr}, '{_SCHEME_RE}', 1) != '' "
+        f"THEN lower(regexp_extract({expr}, '{_HOST_RE}', 1)) END"
+    )
+
+
+def registered_domain_sql(expr: str) -> str:
+    """DuckDB twin of :func:`registered_domain` over host expression
+    ``expr`` (1-based list indexing mirrors ``element_at``)."""
+    seconds = ", ".join(f"'{s}'" for s in MULTI_SUFFIX_SECONDS)
+    ls = f"string_split({expr}, '.')"
+    return f"""
+CASE WHEN ({expr}) IS NULL THEN NULL
+     WHEN len({ls}) >= 3 AND ({ls})[len({ls}) - 1] IN ({seconds})
+          AND length(({ls})[len({ls})]) <= 3
+     THEN ({ls})[len({ls}) - 2] || '.' || ({ls})[len({ls}) - 1] || '.' || ({ls})[len({ls})]
+     WHEN len({ls}) >= 2
+     THEN ({ls})[len({ls}) - 1] || '.' || ({ls})[len({ls})]
+     ELSE ({expr}) END
+""".strip()
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` — the identical algebra
+    (fragment strip, lower scheme/host, www/default-port/trailing-slash
+    rules, tracking-param filter + lexicographic sort) as one expression
+    over ``expr``."""
+    base = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({base}, '{_SCHEME_RE}', 1))"
+    host = (
+        f"regexp_replace(lower(regexp_extract({base}, '{_HOST_RE}', 1)),"
+        f" '^www\\.', '')"
+    )
+    port = f"regexp_extract({base}, '{_PORT_RE}', 1)"
+    portpart = (
+        f"CASE WHEN {port} != '' AND NOT ({scheme} = 'http' AND {port} = '80')"
+        f" AND NOT ({scheme} = 'https' AND {port} = '443')"
+        f" THEN ':' || {port} ELSE '' END"
+    )
+    rawpath = (
+        f"regexp_replace(regexp_extract({base}, '{_PATH_RE}', 1), '/+$', '')"
+    )
+    path = f"CASE WHEN {rawpath} = '' THEN '/' ELSE {rawpath} END"
+    query = f"regexp_extract({base}, '\\?(.*)$', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'),"
+        f" p -> p != '' AND NOT regexp_matches(p, '{_TRACKING_RE}')))"
+    )
+    qpart = (
+        f"CASE WHEN len({params}) > 0"
+        f" THEN '?' || array_to_string({params}, '&') ELSE '' END"
+    )
+    return (
+        f"CASE WHEN {scheme} != '' THEN"
+        f" {scheme} || '://' || {host} || {portpart} || {path} || {qpart} END"
+    )

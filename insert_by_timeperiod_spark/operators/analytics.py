@@ -486,3 +486,163 @@ SELECT {ks}, CAST(_n AS BIGINT) AS n,
        END AS r2
 FROM _d
 """
+
+
+# ------------------------------------------- group-wise score normalization
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    *,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Group-wise quantile normalization (SURVEY.md §2 C76): attach each
+    row's percent rank of ``value_col`` WITHIN its ``by`` group — the step
+    that makes per-language/per-source quality scores comparable before a
+    single global threshold (a raw score cut keeps easy languages and
+    starves hard ones; the percentile cut keeps the same fraction of each).
+
+    rank semantics: ``(rank - 1) / (n - 1)`` with ties sharing the min rank
+    (identical in Spark and DuckDB); a single-row group normalizes to 0.
+    Rows with NULL ``value_col`` are dropped (a NULL score has no
+    percentile; documented contract, replayed by the twin).
+
+    Scale shape: ONE shuffle on the group key (the window partition) —
+    nothing else; the rank is computed inside the sort the exchange
+    already paid for."""
+    w = Window.partitionBy(*(by or [])).orderBy(F.col(value_col).asc())
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+    )
+
+
+def percentile_normalize_sql(
+    table: str,
+    value_col: str,
+    by: list[str] | None = None,
+    *,
+    out_col: str = "pct_rank",
+    select: str = "*",
+) -> str:
+    """Exact DuckDB twin of :func:`percentile_normalize` (same rank
+    definition, same 6-decimal grid, same NULL-drop contract)."""
+    part = f"PARTITION BY {', '.join(by)} " if by else ""
+    return f"""
+SELECT {select},
+       round(percent_rank() OVER ({part}ORDER BY {value_col} ASC), 6) AS {out_col}
+FROM {table}
+WHERE {value_col} IS NOT NULL
+"""
+
+
+# ------------------------------------------------------ equi-width histogram
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    *,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-WIDTH histogram (SURVEY.md §2 C79), completing the profiling
+    trio next to C70's equi-depth bins and C64's key-skew readout: ``bins``
+    fixed-width buckets over ``[lo, hi]`` (bounds from ONE aggregate when
+    not given), every bucket present even when empty, out-of-range values
+    clamped into the edge buckets, NULLs dropped.
+
+    Scale shape: one aggregate for the bounds (skipped entirely when both
+    are given), bounds ride back as a 1-row broadcast, assignment is a
+    scan-stage expression, and the counting groupBy carries at most
+    ``bins`` distinct keys through its map-side combine — the corpus never
+    shuffles raw rows. The bucket spine is ``sequence``+``explode`` over
+    ``bins`` rows on the already-aggregated side.
+
+    Degenerate constant column (lo == hi): every value lands in bucket 0
+    (documented; the twin replays it). `value_histogram_sql` is the exact
+    DuckDB twin — identical double arithmetic and 6-decimal edge grid."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col).cast("double")
+    src = df.where(v.isNotNull()).select(v.alias("_v"))
+    # given bounds still go through the aggregate (min/max of a constant)
+    # so _b is one row in BOTH engines regardless of which are supplied
+    bounds = src.agg(
+        (F.min("_v") if lo is None else F.min(F.lit(float(lo)))).alias("_lo"),
+        (F.max("_v") if hi is None else F.max(F.lit(float(hi)))).alias("_hi"),
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    raw = F.floor((F.col("_v") - F.col("_lo")) / w)
+    idx = F.when(w <= 0.0, F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    )
+    counts = (
+        src.crossJoin(F.broadcast(bounds))
+        .groupBy(idx.cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+            "_lo",
+            "_hi",
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.round(F.col("_lo") + F.col("bin") * w, 6).alias("lo_edge"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * w, 6).alias("hi_edge"),
+        )
+    )
+    return spine.join(counts, "bin", "left").select(
+        "bin",
+        "lo_edge",
+        "hi_edge",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
+def value_histogram_sql(
+    table: str,
+    value_col: str,
+    bins: int = 20,
+    *,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`value_histogram` (same clamp, same
+    degenerate-width rule, same 6-decimal edge grid)."""
+    lo_sql = (
+        f"min(CAST({lo!r} AS DOUBLE))" if lo is not None else "min(_v)"
+    )
+    hi_sql = (
+        f"max(CAST({hi!r} AS DOUBLE))" if hi is not None else "max(_v)"
+    )
+    return f"""
+WITH _src AS (
+    SELECT CAST({value_col} AS DOUBLE) AS _v FROM {table}
+    WHERE {value_col} IS NOT NULL
+), _b AS (
+    SELECT {lo_sql} AS _lo, {hi_sql} AS _hi,
+           ({hi_sql} - {lo_sql}) / CAST({bins} AS DOUBLE) AS _w
+    FROM _src
+), _counts AS (
+    SELECT CAST(CASE WHEN _w <= 0 THEN 0
+                ELSE LEAST({bins} - 1, GREATEST(0, floor((_v - _lo) / _w)))
+                END AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM _src, _b
+    GROUP BY 1
+), _spine AS (
+    SELECT CAST(i AS BIGINT) AS bin,
+           round(_lo + i * _w, 6) AS lo_edge,
+           round(_lo + (i + 1) * _w, 6) AS hi_edge
+    FROM _b, UNNEST(range(0, {bins})) AS _u(i)
+)
+SELECT s.bin, s.lo_edge, s.hi_edge,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM _spine s LEFT JOIN _counts c ON c.bin = s.bin
+"""

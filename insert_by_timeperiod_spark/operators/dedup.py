@@ -162,6 +162,67 @@ def dedup_lines(
     )
 
 
+def dedup_lines_within(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_line_chars: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document, keeping first
+    occurrences (SURVEY.md §2 C77) — the page-local half of the C4 line
+    rule :func:`dedup_lines` applies corpus-wide: scraped pages repeat
+    their own navigation/footer blocks several times per page, which
+    inflates token counts and the repetition the Gopher filters flag.
+    Lines shorter than ``min_line_chars`` are always kept (structure
+    guard, same exemption as the corpus-wide form).
+
+    Scale shape: ZERO shuffle — the dedup is per-row array algebra
+    (``filter`` with the positional lambda over the split lines: keep a
+    long line only where ``array_position`` says this IS its first
+    occurrence). O(lines²) per document in the worst case, entirely
+    inside the scan stage; at 100 TB there is nothing to co-locate, skew
+    or spill. `dedup_lines_within_sql` is the exact DuckDB twin (same
+    positional-lambda algebra)."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(x) < min_line_chars)
+        | (F.array_position(lines, x) == i + 1),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(out_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+def dedup_lines_within_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_line_chars: int = 8,
+    out_col: str = "clean_text",
+) -> str:
+    """Exact DuckDB twin of :func:`dedup_lines_within` (1-based lambda
+    index mirrors Spark's 0-based + 1 arithmetic)."""
+    lines = f"str_split({text_col}, chr(10))"
+    kept = (
+        f"list_filter({lines}, (x, i) -> length(x) < {min_line_chars}"
+        f" OR list_position({lines}, x) = i)"
+    )
+    return f"""
+SELECT {id_col},
+       array_to_string({kept}, chr(10)) AS {out_col},
+       CAST(len({lines}) AS BIGINT) AS n_lines,
+       CAST(len({lines}) - len({kept}) AS BIGINT) AS n_removed
+FROM {source}
+"""
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

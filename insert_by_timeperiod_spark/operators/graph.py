@@ -1,0 +1,155 @@
+"""Link-graph centrality (SURVEY.md §2 C75): fixed-iteration PageRank
+(Brin & Page 1998) — the standard per-site quality weight a web-scale
+corpus curation attaches to its domain graph (CommonCrawl publishes
+exactly this family of host-level centrality rankings for corpus
+weighting).
+
+Scale shape (per iteration, ``n_iter`` total):
+- contributions = ranks ⋈ edges on the source key (hash partition on
+  ``src`` — the rank table is nodes-sized, the edge table is the corpus),
+  then ONE map-side-combined aggregate by ``dst``. Two exchanges per
+  iteration, both on explicit keys; no driver-side state, no collect.
+- each iteration's rank table is ``localCheckpoint``-ed: iterative lineage
+  otherwise re-executes every prior round at each reference (the engine's
+  connected-components lesson, plans/audit.py).
+- out-degrees and the node universe are computed ONCE before the loop;
+  N rides as a 1-row broadcast.
+
+Determinism / cross-engine exactness: per-edge contributions round to 6
+decimals and sum as DECIMAL(38,6) (order-independent — the engine's
+standard exactness grid), and each new rank re-rounds to the same grid, so
+:func:`pagerank_sql` (the same arithmetic unrolled as ``n_iter`` chained
+CTEs) is an EXACT DuckDB twin.
+
+Dangling nodes (no out-edges) leak their mass — the simplest standard
+variant; both engines implement the identical rule, and ranks then sum to
+less than 1 by exactly the leaked mass (documented, not a bug).
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rank every node of the directed graph ``edges`` after ``n_iter``
+    synchronous power-method rounds: (node, rank) with
+    ``rank' = (1-d)/N + d * Σ_in round(rank_src / outdeg_src, 6)`` on the
+    6-decimal grid. Duplicate edges count once (the graph is a set of
+    links, not a multiset); self-loops participate like any edge."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # edge set feeds the node union, the out-degree agg, and every
+    # iteration's join — materialize once
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_od"))
+    n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_total))
+        .select("node", F.round(F.lit(1.0) / F.col("_n"), 6).alias("rank"), "_n")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(outdeg, "_s")
+            .join(
+                ranks.select(F.col("node").alias("_s"), "rank"), "_s"
+            )
+            .select(
+                F.col("_d").alias("node"),
+                F.round(F.col("rank") / F.col("_od"), 6)
+                .cast("decimal(38,6)")
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            ranks.select("node", "_n")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * F.coalesce(F.col("_in").cast("double"), F.lit(0.0)),
+                    6,
+                ).alias("rank"),
+                "_n",
+            )
+            # iterative lineage: checkpoint or round i re-runs rounds 0..i-1
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
+
+
+def pagerank_sql(
+    edges_source: str,
+    *,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """The exact DuckDB twin of :func:`pagerank`: the identical per-round
+    arithmetic (6-decimal contribution rounding, DECIMAL(38,6) sums,
+    re-rounded ranks) unrolled as ``n_iter`` chained CTEs.
+    ``edges_source`` may be a table name or a parenthesized subquery."""
+    d = damping
+    ctes = [
+        f"""_e AS (
+    SELECT DISTINCT {src} AS _s, {dst} AS _d FROM {edges_source}
+), _nodes AS (
+    SELECT _s AS node FROM _e UNION SELECT _d FROM _e
+), _n AS (
+    SELECT COUNT(*) AS c FROM _nodes
+), _od AS (
+    SELECT _s, COUNT(*) AS od FROM _e GROUP BY _s
+), _r0 AS (
+    SELECT node, round(CAST(1.0 AS DOUBLE) / (SELECT c FROM _n), 6) AS rank
+    FROM _nodes
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"_r{i - 1}"
+        ctes.append(
+            f"""_r{i} AS (
+    SELECT n.node,
+           round(CAST({1.0 - d!r} AS DOUBLE) / (SELECT c FROM _n)
+                 + CAST({d!r} AS DOUBLE)
+                   * COALESCE(CAST(s._in AS DOUBLE), CAST(0 AS DOUBLE)),
+                 6) AS rank
+    FROM _nodes n
+    LEFT JOIN (
+        SELECT e._d AS node,
+               SUM(CAST(round(r.rank / o.od, 6) AS DECIMAL(38,6))) AS _in
+        FROM _e e
+        JOIN _od o ON o._s = e._s
+        JOIN {prev} r ON r.node = e._s
+        GROUP BY e._d
+    ) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM _r{n_iter}"
+    )

@@ -109,6 +109,124 @@ def dup_span_stats(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_gram_docs: int = 64,
+) -> DataFrame:
+    """One-sided near-duplicate detection (SURVEY.md §2 C74): ordered pairs
+    (id_a, id_b, n_common, n_grams_a, containment) where containment =
+    |grams(A) ∩ grams(B)| / |grams(A)| >= ``threshold`` — the quote/subset
+    detector. A short document pasted into a long one has tiny Jaccard
+    (C19's symmetric measure misses it) but containment ~1 from the short
+    side; Broder 1997 calls this the *containment* of A in B.
+
+    Scale shape: per-doc DISTINCT k-gram hashes are scan-stage column
+    algebra (``array_distinct`` before the explode — the within-doc dedup
+    never shuffles); the exploded (id, gram-hash) stream is materialized
+    ONCE and feeds all three consumers (eligibility election, both
+    self-join sides). Grams shared by more than ``max_gram_docs`` documents
+    are excluded BEFORE the pair join — the same boilerplate/skew cap as
+    the LSH bucket cap, bounding any gram's pair fan-out at
+    ``max_gram_docs**2``; ``n_grams_a`` still counts ALL of A's distinct
+    grams, so capping only ever under-counts the intersection (documented
+    conservatism, replayed identically by the SQL twin). Text never leaves
+    the scan stage (64-bit xxhash64 per gram — `containment_sql` groups by
+    the gram STRING, identical absent 2^-64 collisions)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if max_gram_docs < 2:
+        raise ValueError(f"max_gram_docs must be >= 2, got {max_gram_docs}")
+    toks = F.filter(_tokens(F.col(text_col)), lambda w: w != "")
+    ghs = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - F.lit(k)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+    )
+    grams = (
+        spread(df.select(id_col, text_col))
+        .select(F.col(id_col), toks.alias("_t"))
+        .where(F.size("_t") >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(ghs)).alias("_gh"))
+        # three consumers (election + both join sides) — materialize or the
+        # corpus tokenizes three times
+        .localCheckpoint(eager=True)
+    )
+    sizes = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams_a")
+    )
+    elig = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where((F.col("_nd") >= 2) & (F.col("_nd") <= max_gram_docs))
+        .select("_gh")
+    )
+    # the filtered stream feeds both self-join sides — materialize once
+    hits = grams.join(elig, "_gh", "left_semi").localCheckpoint(eager=True)
+    pairs = (
+        hits.select(F.col(id_col).alias("id_a"), "_gh")
+        .join(hits.select(F.col(id_col).alias("id_b"), "_gh"), "_gh")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_grams_a"), 6)
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_grams_a", "containment")
+    )
+
+
+def containment_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_gram_docs: int = 64,
+) -> str:
+    """The exact DuckDB twin of :func:`containment_pairs`, grouping by the
+    gram string (engine groups by its xxhash64 — identical absent 64-bit
+    collisions). ``source`` may be a table name or parenthesized subquery."""
+    return f"""
+WITH _toks AS (
+    SELECT {id_col},
+           list_filter(str_split_regex(trim(lower({text_col})), '\\s+'),
+                       w -> w != '') AS _t
+    FROM {source}
+), _grams AS (
+    SELECT DISTINCT {id_col}, array_to_string(_t[i + 1 : i + {k}], ' ') AS _g
+    FROM _toks, UNNEST(range(0, len(_t) - {k} + 1)) AS _u(i)
+    WHERE len(_t) >= {k}
+), _sizes AS (
+    SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_grams_a
+    FROM _grams GROUP BY {id_col}
+), _elig AS (
+    SELECT _g FROM _grams GROUP BY _g
+    HAVING COUNT(*) BETWEEN 2 AND {max_gram_docs}
+), _hits AS (
+    SELECT {id_col}, _g FROM _grams WHERE _g IN (SELECT _g FROM _elig)
+), _pairs AS (
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM _hits a JOIN _hits b USING (_g)
+    WHERE a.{id_col} != b.{id_col}
+    GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.n_common, s.n_grams_a,
+       round(CAST(p.n_common AS DOUBLE) / s.n_grams_a, 6) AS containment
+FROM _pairs p JOIN _sizes s ON s.{id_col} = p.id_a
+WHERE round(CAST(p.n_common AS DOUBLE) / s.n_grams_a, 6) >= {threshold}
+"""
+
+
 def dup_span_sql(
     source: str = "documents",
     text_col: str = "text",

@@ -1,0 +1,97 @@
+"""Term-list topic tagging (SURVEY.md §2 C78) — the "find the docs about
+X" primitive of corpus curation: domain filters for pretraining mixes,
+eval-set mining, and per-topic reporting all start from a dictionary of
+{tag: [terms]} matched against document tokens (the keyword-filter stage
+that precedes anything model-based).
+
+Scale shape: ZERO shuffle — every tag is one ``arrays_overlap`` between
+the document's token array and a literal term array, evaluated in the scan
+stage; 50 tag lists on a 100 TB corpus cost the same single pass as one
+(the C44 one-scan property). Matching is exact-token over the engine's
+standard tokenization (lower + trim + ``\\s+`` split — the identical
+expression every text twin mirrors), so `tag_documents_sql` is an EXACT
+DuckDB twin.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .lmscore import _tokens
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _check(tags: dict[str, list[str]]) -> None:
+    if not tags:
+        raise ValueError("tag_documents: need at least one tag")
+    for tag, terms in tags.items():
+        if not terms:
+            raise ValueError(f"tag {tag!r}: empty term list")
+        for t in terms:
+            if not t or t != t.strip() or any(c.isspace() for c in t):
+                raise ValueError(
+                    f"tag {tag!r}: term {t!r} must be a single token "
+                    "(matching is token-exact; phrases need chunk/BM25)"
+                )
+
+
+def tag_documents(
+    df: DataFrame,
+    tags: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tags, n_tags) where ``tags`` lists — in dict order — every tag
+    whose term list shares at least one token with the document. Terms are
+    matched case-insensitively as whole tokens."""
+    _check(tags)
+    toks = _tokens(F.col(text_col))
+    cells = [
+        F.when(
+            F.arrays_overlap(
+                toks, F.array(*[F.lit(t.lower()) for t in terms])
+            ),
+            F.lit(tag),
+        )
+        for tag, terms in tags.items()
+    ]
+    arr = F.filter(F.array(*cells), lambda x: x.isNotNull())
+    return df.select(
+        F.col(id_col),
+        arr.alias("tags"),
+        F.size(arr).cast("bigint").alias("n_tags"),
+    )
+
+
+def tag_documents_sql(
+    tags: dict[str, list[str]],
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact DuckDB twin of :func:`tag_documents` (same tokenization, same
+    dict-order tag cells, same NULL-filtered array)."""
+    _check(tags)
+    cells = ", ".join(
+        "CASE WHEN list_has_any(_t, ["
+        + ", ".join(f"'{_q(t.lower())}'" for t in terms)
+        + f"]) THEN '{_q(tag)}' END"
+        for tag, terms in tags.items()
+    )
+    return f"""
+WITH _toks AS (
+    SELECT {id_col},
+           list_filter(str_split_regex(trim(lower({text_col})), '\\s+'),
+                       w -> w != '') AS _t
+    FROM {source}
+)
+SELECT {id_col},
+       list_filter([{cells}], x -> x IS NOT NULL) AS tags,
+       CAST(len(list_filter([{cells}], x -> x IS NOT NULL)) AS BIGINT) AS n_tags
+FROM _toks
+"""

@@ -1,0 +1,256 @@
+"""Pins for the round-7 sixth batch (SURVEY.md §2 C73-C79): URL
+canonicalization / registered domains, n-gram containment pairs,
+fixed-iteration PageRank, group-wise percentile normalization,
+within-doc line dedup, topic tagging, and equi-width histograms.
+The exact cross-engine twins are exercised by the annex rows in
+tests/test_queries_oracle.py; these pin hand-computable semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.functions import urls
+from insert_by_timeperiod_spark.operators import analytics, graph, spans
+
+
+# ----------------------------------------------------------------- C73 URLs
+
+
+def _canon(spark, url):
+    return (
+        spark.range(1)
+        .select(urls.canonical_url(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # scheme/host case + www + default port + trailing slash
+        ("HTTP://WWW.Example.COM:80/a/b/", "http://example.com/a/b"),
+        ("https://example.com:443/", "https://example.com/"),
+        # non-default port kept; 443 on http is NOT default
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:8080/x", "https://example.com:8080/x"),
+        # fragment dropped, tracking params dropped, survivors sorted
+        (
+            "https://ex.com/p?utm_source=n&b=2&a=1#frag",
+            "https://ex.com/p?a=1&b=2",
+        ),
+        # all params tracked -> no query part at all
+        ("https://ex.com/p?utm_campaign=x&gclid=1", "https://ex.com/p"),
+        # bare host -> "/" path
+        ("https://ex.com", "https://ex.com/"),
+        # no scheme -> NULL
+        ("example.com/path", None),
+    ],
+)
+def test_canonical_url_cases(spark, raw, expected):
+    assert _canon(spark, raw) == expected
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("www.site3.example.com", "example.com"),
+        ("news.example.co.uk", "example.co.uk"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        # "co" second-level only triggers under a short TLD
+        ("a.co.technology", "co.technology"),
+    ],
+)
+def test_registered_domain_cases(spark, host, expected):
+    got = (
+        spark.range(1)
+        .select(urls.registered_domain(F.lit(host)).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == expected
+
+
+# --------------------------------------------------------- C74 containment
+
+
+def test_containment_detects_planted_quote(spark):
+    words = [f"w{i}" for i in range(40)]
+    short = " ".join(words[:12])  # 12 tokens -> 8 distinct 5-grams
+    long_doc = " ".join(words[20:40]) + " " + short + " " + " ".join(words)
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, other)], ["doc_id", "text"]
+    )
+    out = spans.containment_pairs(df, k=5, threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs  # the short doc is fully inside the long one
+    r = pairs[(1, 2)]
+    assert r["containment"] == 1.0
+    assert r["n_grams_a"] == 8
+    # the reverse direction is far below threshold, and doc 3 matches nobody
+    assert (2, 1) not in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_containment_boilerplate_cap_excludes_common_grams(spark):
+    # one 5-gram shared by ALL 6 docs; with max_gram_docs=4 it is
+    # boilerplate -> no pair reaches threshold 0.5
+    shared = "a b c d e"
+    rows = [(i, f"{shared} u{i} v{i} w{i} x{i} y{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = spans.containment_pairs(
+        df, k=5, threshold=0.5, max_gram_docs=4
+    ).collect()
+    assert out == []
+
+
+def test_containment_validates_args(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        spans.containment_pairs(df, k=1)
+    with pytest.raises(ValueError):
+        spans.containment_pairs(df, max_gram_docs=1)
+
+
+# ------------------------------------------------------------- C75 pagerank
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 1)], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in graph.pagerank(edges, n_iter=5).collect()}
+    assert set(out) == {1, 2, 3, 9}
+    assert out[9] == max(out.values())
+    assert out[2] == out[3]  # symmetric leaves tie exactly
+    assert out[1] > out[2]  # 1 receives the hub's mass back
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # 2 nodes, single edge 1->2, d=0.85: r0 = 0.5 each;
+    # r1(1) = 0.075 (no inbound), r1(2) = 0.075 + 0.85*round(0.5/1,6)
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in graph.pagerank(edges, n_iter=1).collect()}
+    assert out[1] == 0.075
+    assert out[2] == 0.5
+    # node 2 is dangling: its mass leaks, total < 1 by design
+    assert sum(out.values()) < 1.0
+
+
+def test_pagerank_duplicate_edges_count_once(spark):
+    e1 = spark.createDataFrame([(1, 2), (1, 3)], ["src", "dst"])
+    e2 = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (1, 3)], ["src", "dst"]
+    )
+    r1 = sorted(graph.pagerank(e1, n_iter=3).collect())
+    r2 = sorted(graph.pagerank(e2, n_iter=3).collect())
+    assert r1 == r2
+
+
+def test_pagerank_validates_args(spark):
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        graph.pagerank(e, n_iter=0)
+    with pytest.raises(ValueError):
+        graph.pagerank(e, damping=1.0)
+
+
+# ------------------------------------------------- C76 percentile normalize
+
+
+def test_percentile_normalize_groups_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0), ("a", 40.0),
+            ("b", 5.0),
+            ("b", None),
+        ],
+        ["grp", "v"],
+    )
+    out = analytics.percentile_normalize(df, "v", ["grp"]).collect()
+    a = sorted(
+        (r["v"], r["pct_rank"]) for r in out if r["grp"] == "a"
+    )
+    # n=5: ranks 1,2,2,4,5 -> (rank-1)/4
+    assert a == [(10.0, 0.0), (20.0, 0.25), (20.0, 0.25), (30.0, 0.75), (40.0, 1.0)]
+    b = [(r["v"], r["pct_rank"]) for r in out if r["grp"] == "b"]
+    assert b == [(5.0, 0.0)]  # single-row group -> 0; NULL value dropped
+
+
+# -------------------------------------------- C77 within-doc line dedup
+
+
+def test_dedup_lines_within_keeps_first_and_short(spark):
+    from insert_by_timeperiod_spark.operators import dedup
+
+    text = "long line one\nxy\nlong line one\nlong line two\nxy"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = dedup.dedup_lines_within(df).collect()[0]
+    # the repeated long line goes; both short "xy" lines stay
+    assert row["clean_text"] == "long line one\nxy\nlong line two\nxy"
+    assert row["n_lines"] == 5
+    assert row["n_removed"] == 1
+
+
+def test_dedup_lines_within_no_newlines_is_identity(spark):
+    from insert_by_timeperiod_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "just one long line")], ["doc_id", "text"])
+    row = dedup.dedup_lines_within(df).collect()[0]
+    assert row["clean_text"] == "just one long line"
+    assert row["n_removed"] == 0
+
+
+# ---------------------------------------------------- C78 topic tagging
+
+
+def test_tag_documents_token_exact_and_ordered(spark):
+    from insert_by_timeperiod_spark.operators import tagging
+
+    df = spark.createDataFrame(
+        [(1, "The FAST spark stream"), (2, "slow database"), (3, "nothing")],
+        ["doc_id", "text"],
+    )
+    tags = {"perf": ["fast", "slow"], "engine": ["spark"]}
+    out = {r["doc_id"]: r for r in tagging.tag_documents(df, tags).collect()}
+    assert out[1]["tags"] == ["perf", "engine"]  # dict order, case-folded
+    assert out[2]["tags"] == ["perf"]
+    assert out[3]["tags"] == [] and out[3]["n_tags"] == 0
+    # "fastest" must NOT match "fast" (token-exact)
+    df2 = spark.createDataFrame([(1, "fastest")], ["doc_id", "text"])
+    assert tagging.tag_documents(df2, tags).collect()[0]["tags"] == []
+
+
+def test_tag_documents_validates_terms(spark):
+    from insert_by_timeperiod_spark.operators import tagging
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tagging.tag_documents(df, {})
+    with _pytest.raises(ValueError):
+        tagging.tag_documents(df, {"t": ["two words"]})
+
+
+# ----------------------------------------------- C79 equi-width histogram
+
+
+def test_value_histogram_clamp_spine_and_degenerate(spark):
+    from insert_by_timeperiod_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [0, 1, 2, 3, 10, -5, 100]], ["v"]
+    )
+    out = {r["bin"]: r for r in
+           analytics.value_histogram(df, "v", 4, lo=0.0, hi=8.0).collect()}
+    assert sorted(out) == [0, 1, 2, 3]  # full spine
+    assert out[0]["n"] == 3  # 0, 1, and clamped -5
+    assert out[1]["n"] == 2  # 2, 3
+    assert out[2]["n"] == 0  # empty bucket present
+    assert out[3]["n"] == 2  # 10 and 100 clamp into the top bucket
+    assert (out[1]["lo_edge"], out[1]["hi_edge"]) == (2.0, 4.0)
+    # constant column: everything lands in bucket 0
+    cdf = spark.createDataFrame([(7.0,), (7.0,)], ["v"])
+    got = {r["bin"]: r["n"] for r in
+           analytics.value_histogram(cdf, "v", 3).collect()}
+    assert got == {0: 2, 1: 0, 2: 0}

@@ -3128,6 +3128,19 @@ def _pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(e, n_iter=5)
 
 
+def _triangle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C80: per-node triangle counts + local clustering coefficient over
+    a deterministic events-derived co-occurrence graph (user_id — event_id%40
+    edges make a dense-enough bipartite-ish graph with real triangles once
+    direction collapses). Degree-oriented wedge join (Suri & Vassilvitskii);
+    exact DuckDB twin replays orientation + closure + the 6-decimal grid."""
+    _prep(spark, sf_dir)
+    e = spark.table("events").select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 40).alias("dst")
+    )
+    return graph.triangle_stats(e)
+
+
 def _pct_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C76: group-wise percentile normalization — value's percent rank
     within its event_type (the per-language quality-score equalizer). One
@@ -3298,6 +3311,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "url_canonical_domains": _url_domains,
         "containment_pairs_planted": _containment_planted,
         "pagerank_event_graph": _pagerank_events,
+        "triangle_stats_events": _triangle_events,
         "pct_rank_value_by_type": _pct_rank_values,
         "clean_lines_within": _clean_lines_within,
         "tag_docs_topics": _tag_topics,
@@ -3419,6 +3433,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "pagerank_event_graph": graph.pagerank_sql(
             "(SELECT event_id % 500 AS src, user_id AS dst FROM events)",
             n_iter=5,
+        ),
+        "triangle_stats_events": graph.triangle_stats_sql(
+            "(SELECT user_id AS src, event_id % 40 AS dst FROM events)"
         ),
         "pct_rank_value_by_type": analytics.percentile_normalize_sql(
             "(SELECT event_id, event_type, value FROM events"

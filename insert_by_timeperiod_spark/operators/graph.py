@@ -153,3 +153,154 @@ def pagerank_sql(
         + ",\n".join(ctes)
         + f"\nSELECT node, rank FROM _r{n_iter}"
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    UNDIRECTED simple graph induced by ``edges`` (direction, duplicate
+    edges, and self-loops collapse): ``(node, degree, triangles, lcc)``
+    with ``lcc = round(2·T / (deg·(deg−1)), 6)`` (0 when ``deg < 2``).
+
+    Scale shape (Suri & Vassilvitskii 2011's degree orientation): every
+    edge is oriented from its lower-``(degree, id)`` endpoint to the
+    higher, so out-degree is bounded by O(√m) on any graph and the wedge
+    self-join fans out per node by out-degree², not degree² — the
+    difference between a star node costing deg² (fatal on a web graph's
+    celebrity hosts) and √m·m total work. One agg for degrees, one
+    orientation join, one wedge self-join on the apex key, one closure
+    join on the canonical pair, one explode+agg for corner credit — all
+    hash-partitioned on explicit keys, no cartesian. The oriented edge
+    set feeds three consumers (both wedge sides + closure probe) and is
+    materialized once (the multi-consumer lesson, plans/audit.py).
+
+    Integer counts + the 6-decimal coefficient grid make
+    :func:`triangle_stats_sql` an EXACT DuckDB twin.
+
+    Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+    """
+    # canonical undirected simple edges: unordered pair keyed (u < v)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degrees, orientation, closure
+    )
+    deg = (
+        e.select(F.col("_u").alias("node"))
+        .union(e.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)  # feeds orientation (×2) + final join
+    )
+    # orient low-(degree, id) -> high; _u < _v already, so ties keep u -> v
+    e_or = (
+        e.join(deg.select(F.col("node").alias("_u"), F.col("degree").alias("_du")), "_u")
+        .join(deg.select(F.col("node").alias("_v"), F.col("degree").alias("_dv")), "_v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))),
+                F.struct(F.col("_u").alias("a"), F.col("_v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("_v").alias("a"), F.col("_u").alias("b")))
+            .alias("ab")
+        )
+        .select("ab.a", "ab.b")
+        .localCheckpoint(eager=True)
+    )
+    # wedges at apex a over out-neighbor pairs (b1 < b2 dedups the pair),
+    # closed into triangles by the canonical undirected edge {b1, b2}
+    w1 = e_or.select(F.col("a"), F.col("b").alias("_b1"))
+    w2 = e_or.select(F.col("a"), F.col("b").alias("_b2"))
+    tri = (
+        w1.join(w2, "a")
+        .where(F.col("_b1") < F.col("_b2"))
+        .join(
+            e,
+            (F.col("_u") == F.col("_b1")) & (F.col("_v") == F.col("_b2")),
+        )
+    )
+    # each triangle credits all three corners
+    corners = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("_b1"), F.col("_b2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                    6,
+                )
+            )
+            .alias("lcc"),
+        )
+    )
+
+
+def triangle_stats_sql(
+    edges_source: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """The exact DuckDB twin of :func:`triangle_stats`: the identical
+    canonicalization, degree orientation, wedge closure, and 6-decimal
+    coefficient. ``edges_source`` may be a table name or a parenthesized
+    subquery."""
+    return f"""WITH _e AS (
+    SELECT DISTINCT least({src}, {dst}) AS _u, greatest({src}, {dst}) AS _v
+    FROM {edges_source}
+    WHERE least({src}, {dst}) != greatest({src}, {dst})
+), _deg AS (
+    SELECT node, COUNT(*) AS degree FROM (
+        SELECT _u AS node FROM _e UNION ALL SELECT _v FROM _e
+    ) GROUP BY node
+), _eor AS (
+    SELECT CASE WHEN du.degree < dv.degree
+                  OR (du.degree = dv.degree AND e._u < e._v)
+                THEN e._u ELSE e._v END AS a,
+           CASE WHEN du.degree < dv.degree
+                  OR (du.degree = dv.degree AND e._u < e._v)
+                THEN e._v ELSE e._u END AS b
+    FROM _e e
+    JOIN _deg du ON du.node = e._u
+    JOIN _deg dv ON dv.node = e._v
+), _tri AS (
+    SELECT w1.a AS a, w1.b AS b1, w2.b AS b2
+    FROM _eor w1
+    JOIN _eor w2 ON w1.a = w2.a AND w1.b < w2.b
+    JOIN _e c ON c._u = w1.b AND c._v = w2.b
+), _corners AS (
+    SELECT node, COUNT(*) AS triangles FROM (
+        SELECT a AS node FROM _tri
+        UNION ALL SELECT b1 FROM _tri
+        UNION ALL SELECT b2 FROM _tri
+    ) GROUP BY node
+)
+SELECT d.node,
+       d.degree,
+       COALESCE(c.triangles, 0) AS triangles,
+       CASE WHEN d.degree < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(2.0 * COALESCE(c.triangles, 0)
+                       / (d.degree * (d.degree - 1.0)), 6) END AS lcc
+FROM _deg d
+LEFT JOIN _corners c ON c.node = d.node"""

@@ -154,6 +154,46 @@ def test_pagerank_validates_args(spark):
         graph.pagerank(e, damping=1.0)
 
 
+# ---------------------------------------------------- C80 triangle counting
+
+
+def test_triangle_stats_hand_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4; reversed/duplicate/self-loop noise
+    # must collapse (the graph is an undirected simple graph)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (2, 2), (1, 2)],
+        ["src", "dst"],
+    )
+    out = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in graph.triangle_stats(edges).collect()
+    }
+    assert out == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, 0.333333),  # 2*1/(3*2) on the 6-decimal grid
+        4: (1, 0, 0.0),  # deg < 2 -> coefficient 0 by rule
+    }
+
+
+def test_triangle_stats_k4_all_closed(spark):
+    # K4: every node sits in C(3,2)=3 triangles, lcc exactly 1
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], ["src", "dst"]
+    )
+    rows = graph.triangle_stats(edges).collect()
+    assert len(rows) == 4
+    assert all(r["degree"] == 3 and r["triangles"] == 3 and r["lcc"] == 1.0 for r in rows)
+
+
+def test_triangle_stats_triangle_free_graph(spark):
+    # star graphs have no triangles
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    rows = graph.triangle_stats(edges).collect()
+    assert all(r["triangles"] == 0 and r["lcc"] == 0.0 for r in rows)
+    assert {r["degree"] for r in rows} == {5, 1}
+
+
 # ------------------------------------------------- C76 percentile normalize
 
 

@@ -58,6 +58,7 @@ from insert_by_timeperiod_spark.operators import (
     zorder,
     video,
     chunk,
+    cluster,
     decontam,
     dedup,
     joins,
@@ -3128,6 +3129,28 @@ def _pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(e, n_iter=5)
 
 
+_KMEANS_SRC = (
+    "(SELECT event_id AS id, value AS x, CAST(event_id % 7 AS DOUBLE) AS y,"
+    " CAST(user_id % 13 AS DOUBLE) AS z FROM events)"
+)
+
+
+def _kmeans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C81: fixed-iteration Lloyd k-means over three events-derived
+    features — zero-shuffle assignment (driver-held centroids compile into
+    the scan stage), one map-side-combined update agg per round. Exact
+    DuckDB twin unrolls the identical 6-decimal/DECIMAL-sum rounds as
+    chained CTEs; returns every row's final cluster label."""
+    _prep(spark, sf_dir)
+    feats = spark.table("events").select(
+        F.col("event_id").alias("id"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 7).cast("double").alias("y"),
+        (F.col("user_id") % 13).cast("double").alias("z"),
+    )
+    return cluster.kmeans_assign(feats, ["x", "y", "z"], k=4, n_iter=3)
+
+
 def _triangle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C80: per-node triangle counts + local clustering coefficient over
     a deterministic events-derived co-occurrence graph (user_id — event_id%40
@@ -3312,6 +3335,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "containment_pairs_planted": _containment_planted,
         "pagerank_event_graph": _pagerank_events,
         "triangle_stats_events": _triangle_events,
+        "kmeans_event_features": _kmeans_events,
         "pct_rank_value_by_type": _pct_rank_values,
         "clean_lines_within": _clean_lines_within,
         "tag_docs_topics": _tag_topics,
@@ -3436,6 +3460,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "triangle_stats_events": graph.triangle_stats_sql(
             "(SELECT user_id AS src, event_id % 40 AS dst FROM events)"
+        ),
+        "kmeans_event_features": cluster.kmeans_sql(
+            _KMEANS_SRC, ["x", "y", "z"], k=4, n_iter=3
         ),
         "pct_rank_value_by_type": analytics.percentile_normalize_sql(
             "(SELECT event_id, event_type, value FROM events"

@@ -1,0 +1,177 @@
+"""Fixed-iteration Lloyd k-means over explicit numeric feature columns
+(SURVEY.md §2 C81) — the clustering primitive under corpus topic
+bucketing, SemDeDup-style cluster-then-dedup (C31 takes cluster ids as
+input), and IVF cell assignment (C20 trains its own spherical variant
+internally; this exposes the general operator).
+
+Scale shape (per iteration, ``n_iter`` total):
+- ASSIGNMENT is a zero-shuffle scan-stage expression: the k centroids
+  live on the driver (k·dim doubles — the same bounded-driver-state
+  posture as Spark MLlib's KMeans) and compile into an argmin over k
+  distance expressions, so the corpus is never joined or shuffled to be
+  assigned.
+- UPDATE is ONE map-side-combined groupBy collapsing to ≤ k rows, whose
+  collect is k rows — bounded, corpus-size-independent.
+- the projected point set feeds every iteration and the final
+  assignment; it is materialized once (localCheckpoint — the
+  multi-consumer lesson, plans/audit.py).
+
+Cross-engine exactness (the engine's standard grid): per-dimension
+squared differences round to 6 decimals and sum as DECIMAL(38,6)
+(order-independent), argmin ties break toward the lower cluster id, and
+centroid updates are ``round(double(Σ round(x,6)::DECIMAL) / n, 6)`` —
+so :func:`kmeans_sql`, the identical arithmetic unrolled as ``n_iter``
+chained CTEs (cross join against the k-row centroid CTE + ROW_NUMBER
+argmin), is an EXACT DuckDB twin. Empty clusters keep their previous
+centroid on both engines (documented rule).
+
+Deterministic init: the k points with the smallest ``id_col`` (ids are
+assumed unique — the engine's standard fixture contract); rows with any
+NULL feature are dropped on both engines.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dist(point_cols: list[str], centroid: tuple) -> Column:
+    terms = [
+        F.round(
+            (F.col(c) - F.lit(v)) * (F.col(c) - F.lit(v)), 6
+        ).cast("decimal(38,6)")
+        for c, v in zip(point_cols, centroid)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _assign(cols: list[str], centroids: list[tuple]) -> Column:
+    if len(centroids) == 1:
+        return F.lit(0)
+    return F.least(
+        *[
+            F.struct(_dist(cols, c).alias("d"), F.lit(j).alias("c"))
+            for j, c in enumerate(centroids)
+        ]
+    )["c"]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 4,
+    n_iter: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Cluster rows of ``df`` on the numeric columns ``cols`` with
+    ``n_iter`` Lloyd rounds from the deterministic smallest-``id_col``
+    init; returns ``(id_col, cluster)`` under the FINAL centroids."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pts = df.select(
+        F.col(id_col), *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    for c in cols:
+        pts = pts.where(F.col(c).isNotNull())
+    # one materialization feeds n_iter update aggs + the final assignment
+    pts = pts.localCheckpoint(eager=True)
+    seed = pts.orderBy(id_col).limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"need at least k={k} complete rows, got {len(seed)}")
+    centroids = [tuple(r[c] for c in cols) for r in seed]
+    for _ in range(n_iter):
+        upd = (
+            pts.withColumn("_cl", _assign(cols, centroids))
+            .groupBy("_cl")
+            .agg(
+                *[
+                    F.round(
+                        F.sum(
+                            F.round(F.col(c), 6).cast("decimal(38,6)")
+                        ).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias(c)
+                    for c in cols
+                ]
+            )
+            .collect()
+        )
+        moved = {r["_cl"]: tuple(r[c] for c in cols) for r in upd}
+        # empty clusters keep their previous centroid (documented rule)
+        centroids = [moved.get(j, centroids[j]) for j in range(k)]
+    return pts.select(F.col(id_col), _assign(cols, centroids).alias("cluster"))
+
+
+def kmeans_sql(
+    source: str,
+    cols: list[str],
+    *,
+    k: int = 4,
+    n_iter: int = 3,
+    id_col: str = "id",
+) -> str:
+    """The exact DuckDB twin of :func:`kmeans_assign`: identical init,
+    per-round distance/argmin/update arithmetic, and empty-cluster rule,
+    unrolled as chained CTEs. ``source`` may be a table name or a
+    parenthesized subquery."""
+    proj = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    ctes = [
+        f"""_p AS (
+    SELECT {id_col}, {proj} FROM {source} WHERE {notnull}
+), _c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cid, {", ".join(cols)}
+    FROM (SELECT * FROM _p ORDER BY {id_col} LIMIT {k})
+)"""
+    ]
+
+    def dist(c_alias: str) -> str:
+        return " + ".join(
+            f"CAST(round((p.{c} - {c_alias}.{c}) * (p.{c} - {c_alias}.{c}), 6)"
+            f" AS DECIMAL(38,6))"
+            for c in cols
+        )
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+    SELECT {id_col}, {", ".join(cols)}, cid FROM (
+        SELECT p.*, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.{id_col}
+                   ORDER BY {dist('c')}, c.cid
+               ) AS rn
+        FROM _p p CROSS JOIN {cent} c
+    ) WHERE rn = 1
+)"""
+
+    for i in range(1, n_iter + 1):
+        upd_cols = ", ".join(
+            f"round(CAST(SUM(CAST(round({c}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+            f" / COUNT(*), 6) AS {c}"
+            for c in cols
+        )
+        keep = ", ".join(f"COALESCE(u.{c}, p.{c}) AS {c}" for c in cols)
+        ctes.append(assign_cte(f"_a{i}", f"_c{i - 1}"))
+        ctes.append(
+            f"""_u{i} AS (
+    SELECT cid, {upd_cols} FROM _a{i} GROUP BY cid
+), _c{i} AS (
+    SELECT p.cid, {keep} FROM _c{i - 1} p LEFT JOIN _u{i} u ON u.cid = p.cid
+)"""
+        )
+    ctes.append(assign_cte("_fin", f"_c{n_iter}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT {id_col}, cid AS cluster FROM _fin"
+    )

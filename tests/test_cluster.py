@@ -1,0 +1,59 @@
+"""C81 k-means pins: deterministic seeding, blob separation, empty-cluster
+rule, NULL handling, argument validation. The exact-oracle comparison runs
+in test_queries_oracle.py (`kmeans_event_features`)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from insert_by_timeperiod_spark.operators import cluster
+
+
+def test_kmeans_separates_blobs(spark):
+    # seeds (smallest two ids) land one per blob -> clean separation
+    rows = [(1, 0.0, 0.1), (2, 10.0, 9.9), (3, 0.1, 0.2), (4, 0.2, 0.0),
+            (5, 9.8, 10.1), (6, 10.2, 10.0), (7, 10.1, 9.8)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    out = {r["id"]: r["cluster"]
+           for r in cluster.kmeans_assign(df, ["x", "y"], k=2, n_iter=4).collect()}
+    assert out[1] == out[3] == out[4]
+    assert out[2] == out[5] == out[6] == out[7]
+    assert out[1] != out[2]
+
+
+def test_kmeans_is_deterministic(spark):
+    rows = [(i, float(i % 5), float(i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    a = sorted(map(tuple, cluster.kmeans_assign(df, ["x", "y"], k=3, n_iter=3).collect()))
+    b = sorted(map(tuple, cluster.kmeans_assign(df, ["x", "y"], k=3, n_iter=3).collect()))
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k=3 over 3 identical-ish points: two seeds coincide in value, so one
+    # cluster immediately empties; the run must not crash and every point
+    # keeps a valid label in [0, k)
+    rows = [(1, 1.0), (2, 1.0), (3, 1.0), (4, 9.0)]
+    df = spark.createDataFrame(rows, ["id", "x"])
+    out = cluster.kmeans_assign(df, ["x"], k=3, n_iter=3).collect()
+    assert len(out) == 4
+    assert all(0 <= r["cluster"] < 3 for r in out)
+
+
+def test_kmeans_drops_null_rows_and_validates(spark):
+    rows = [(1, 1.0), (2, None), (3, 2.0)]
+    df = spark.createDataFrame(rows, ["id", "x"])
+    out = cluster.kmeans_assign(df, ["x"], k=2, n_iter=1).collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+    with pytest.raises(ValueError):
+        cluster.kmeans_assign(df, ["x"], k=0)
+    with pytest.raises(ValueError):
+        cluster.kmeans_assign(df, ["x"], k=2, n_iter=0)
+    with pytest.raises(ValueError):
+        cluster.kmeans_assign(df, [], k=2)
+    with pytest.raises(ValueError):
+        # only 2 complete rows but k=3
+        cluster.kmeans_assign(df, ["x"], k=3)

@@ -3135,6 +3135,54 @@ _KMEANS_SRC = (
 )
 
 
+_LINKS_FIXTURE_DUCK = (
+    "(SELECT 'https://www.site' || CAST(user_id % 37 AS VARCHAR)"
+    " || '.com/a/' || CAST(event_id AS VARCHAR) AS src_url,"
+    " CASE WHEN event_id % 4 = 0 THEN 'http://site'"
+    " || CAST(event_id % 23 AS VARCHAR) || '.co.uk/x?utm_source=z'"
+    " WHEN event_id % 4 = 1 THEN 'HTTPS://SITE'"
+    " || CAST(event_id % 23 AS VARCHAR) || '.COM:443/y/'"
+    " WHEN event_id % 4 = 2 THEN 'ftp://mirror'"
+    " || CAST(event_id % 11 AS VARCHAR) || '.net/f'"
+    " ELSE 'no-scheme' END AS dst_url FROM events)"
+)
+
+
+def _web_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain (C73 → C75): link URLs → url_host → registered
+    domain → PageRank over the registered-domain graph — the CommonCrawl
+    host-ranking workload assembled from the engine's own primitives.
+    The fixture links vary scheme case, www, default ports, and multi-
+    label suffixes; the scheme-less 25% drops by rule on both engines.
+    Exact end-to-end DuckDB twin chains each stage's SQL twin."""
+    _prep(spark, sf_dir)
+    uid, eid = F.col("user_id"), F.col("event_id")
+    links = spark.table("events").select(
+        F.concat(
+            F.lit("https://www.site"), (uid % 37).cast("string"),
+            F.lit(".com/a/"), eid.cast("string"),
+        ).alias("src_url"),
+        F.when(
+            eid % 4 == 0,
+            F.concat(F.lit("http://site"), (eid % 23).cast("string"),
+                     F.lit(".co.uk/x?utm_source=z")),
+        )
+        .when(
+            eid % 4 == 1,
+            F.concat(F.lit("HTTPS://SITE"), (eid % 23).cast("string"),
+                     F.lit(".COM:443/y/")),
+        )
+        .when(
+            eid % 4 == 2,
+            F.concat(F.lit("ftp://mirror"), (eid % 11).cast("string"),
+                     F.lit(".net/f")),
+        )
+        .otherwise(F.lit("no-scheme"))
+        .alias("dst_url"),
+    )
+    return graph.domain_rank(links, n_iter=4)
+
+
 def _kmeans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C81: fixed-iteration Lloyd k-means over three events-derived
     features — zero-shuffle assignment (driver-held centroids compile into
@@ -3336,6 +3384,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pagerank_event_graph": _pagerank_events,
         "triangle_stats_events": _triangle_events,
         "kmeans_event_features": _kmeans_events,
+        "web_domain_rank": _web_domain_rank,
         "pct_rank_value_by_type": _pct_rank_values,
         "clean_lines_within": _clean_lines_within,
         "tag_docs_topics": _tag_topics,
@@ -3463,6 +3512,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "kmeans_event_features": cluster.kmeans_sql(
             _KMEANS_SRC, ["x", "y", "z"], k=4, n_iter=3
+        ),
+        "web_domain_rank": graph.domain_rank_sql(
+            _LINKS_FIXTURE_DUCK, n_iter=4
         ),
         "pct_rank_value_by_type": analytics.percentile_normalize_sql(
             "(SELECT event_id, event_type, value FROM events"

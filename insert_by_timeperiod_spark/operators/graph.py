@@ -155,6 +155,61 @@ def pagerank_sql(
     )
 
 
+def domain_rank(
+    links: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """The CommonCrawl-style host ranking, composed from the engine's own
+    primitives the way a web-corpus curation job chains them: raw link
+    URLs → ``url_host`` → ``registered_domain`` (both zero-shuffle
+    scan-stage algebra, functions/urls.py) → :func:`pagerank` over the
+    registered-domain graph. Returns ``(domain, rank)`` — the per-site
+    quality weight curation attaches to crawl budgets and sampling mixes.
+
+    Links whose source or destination has no parseable host drop
+    (documented; a rankable edge needs both endpoints). Every stage is
+    SQL-twinned, so :func:`domain_rank_sql` chains the exact twins and
+    the END-TO-END result is exact-oracle-checkable."""
+    from ..functions import urls
+
+    e = links.select(
+        urls.registered_domain(urls.url_host(F.col(src_col))).alias("src"),
+        urls.registered_domain(urls.url_host(F.col(dst_col))).alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    return pagerank(e, n_iter=n_iter, damping=damping).select(
+        F.col("node").alias("domain"), "rank"
+    )
+
+
+def domain_rank_sql(
+    links_source: str,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """The exact DuckDB twin of :func:`domain_rank`: chains
+    ``url_host_sql`` → ``registered_domain_sql`` → :func:`pagerank_sql`."""
+    from ..functions import urls
+
+    s = urls.registered_domain_sql(urls.url_host_sql(src_col))
+    d = urls.registered_domain_sql(urls.url_host_sql(dst_col))
+    edges = (
+        f"(SELECT {s} AS src, {d} AS dst FROM {links_source}"
+        f" WHERE ({s}) IS NOT NULL AND ({d}) IS NOT NULL)"
+    )
+    inner = pagerank_sql(edges, n_iter=n_iter, damping=damping)
+    # DuckDB can't nest a WITH query inside a FROM (...) — rewrite the
+    # final projection of the pagerank twin instead
+    head, _ = inner.rsplit("\nSELECT node, rank FROM ", 1)
+    return head + f"\nSELECT node AS domain, rank FROM _r{n_iter}"
+
+
 def triangle_stats(
     edges: DataFrame,
     *,

@@ -154,6 +154,25 @@ def test_pagerank_validates_args(spark):
         graph.pagerank(e, damping=1.0)
 
 
+# --------------------------------------------- C73→C75 composed domain rank
+
+
+def test_domain_rank_collapses_host_variants_and_drops_unparseable(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://www.a.com/1", "http://B.com/x"),
+            ("HTTP://A.COM:80/2", "https://www.b.com:443/y"),  # same a->b edge
+            ("https://sub.a.com/3", "http://c.co.uk/z"),  # subdomain rolls up
+            ("not a url", "http://b.com/q"),  # unparseable source drops
+        ],
+        ["src_url", "dst_url"],
+    )
+    out = {r["domain"]: r["rank"] for r in graph.domain_rank(links, n_iter=3).collect()}
+    # a.com (www/case/port/subdomain variants) is one node; 'not a url' gone
+    assert set(out) == {"a.com", "b.com", "c.co.uk"}
+    assert out["b.com"] == max(out.values())  # only multiply-linked node
+
+
 # ---------------------------------------------------- C80 triangle counting
 
 

@@ -1,0 +1,103 @@
+"""Property tests (SURVEY.md §5) for the graph/cluster/URL generation:
+invariants that must hold for ANY input — orientation/duplication
+invariance for the graph operators, partitioning invariance for k-means
+(determinism must not depend on physical layout), idempotence for URL
+canonicalization. Examples are few — each compiles real Spark jobs."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.functions import urls
+from insert_by_timeperiod_spark.operators import cluster, graph
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_triangle_stats_direction_and_duplication_invariant(spark, edges):
+    """The undirected simple graph is the semantic input: flipping every
+    edge and doubling the list must not change any output row, and global
+    triangle count is consistent with per-node credit (each triangle
+    credits 3 corners)."""
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    noisy = spark.createDataFrame(
+        [(b, a) for a, b in edges] + edges, ["src", "dst"]
+    )
+    a = sorted(map(tuple, graph.triangle_stats(df).collect()))
+    b = sorted(map(tuple, graph.triangle_stats(noisy).collect()))
+    assert a == b
+    total_credit = sum(r[2] for r in a)
+    assert total_credit % 3 == 0
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_pagerank_mass_conservation_bound(spark, edges):
+    """Ranks are positive and sum to at most 1 + epsilon (dangling mass
+    only ever LEAKS; rounding adds at most 5e-7 per node per round)."""
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = graph.pagerank(df, n_iter=3).collect()
+    assert all(r["rank"] > 0 for r in out)
+    assert sum(r["rank"] for r in out) <= 1.0 + 1e-4
+
+
+_points = st.lists(
+    st.tuples(st.floats(-50, 50, allow_nan=False, width=16),
+              st.floats(-50, 50, allow_nan=False, width=16)),
+    min_size=3,
+    max_size=30,
+)
+
+
+@given(pts=_points)
+@settings(**_SETTINGS)
+def test_kmeans_partitioning_invariant(spark, pts):
+    """Labels must be a pure function of the DATA, not the physical
+    layout: a repartitioned (shuffled-layout) input yields identical
+    labels, every label is in [0, k), and every complete row is labeled."""
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    k = min(3, len(rows))
+    a = sorted(map(tuple, cluster.kmeans_assign(df, ["x", "y"], k=k, n_iter=2).collect()))
+    b = sorted(map(tuple,
+                   cluster.kmeans_assign(df.repartition(7), ["x", "y"], k=k, n_iter=2).collect()))
+    assert a == b
+    assert len(a) == len(rows)
+    assert all(0 <= c < k for _, c in a)
+
+
+_url_parts = st.tuples(
+    st.sampled_from(["http", "HTTPS", "https"]),
+    st.sampled_from(["www.Example.COM", "a.b.co.uk", "HOST9.net"]),
+    st.sampled_from(["", ":443", ":8080"]),
+    st.sampled_from(["", "/p/1", "/p/1/", "/x//"]),
+    st.sampled_from(["", "?b=2&a=1", "?utm_source=x&z=1", "?a=1&a=1"]),
+    st.sampled_from(["", "#frag"]),
+)
+
+
+@given(parts=st.lists(_url_parts, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_canonical_url_is_idempotent(spark, parts):
+    """canonical_url(canonical_url(u)) == canonical_url(u) for any URL —
+    the property that makes it usable as a dedup KEY."""
+    raw = [f"{s}://{h}{p}{path}{q}{f}" for s, h, p, path, q, f in parts]
+    df = spark.createDataFrame([(u,) for u in raw], ["url"])
+    out = df.select(
+        urls.canonical_url(F.col("url")).alias("c1"),
+        urls.canonical_url(urls.canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    assert all(r["c1"] == r["c2"] for r in out)
+    assert all(r["c1"] is not None for r in out)

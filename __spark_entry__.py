@@ -1787,6 +1787,26 @@ def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C82 (rows-only in the driver contract): incremental HLL
+    distinct-count rollup state (operators/sketch.py hll_rollup_update) —
+    the events corpus folded into a fresh state in two period batches; the
+    returned rollup is bit-for-bit the one-shot sketch (C35's pinned merge
+    invariant makes the incremental fold exact). xxhash64 has no DuckDB
+    twin, so this row records rows + schema only; the state-vs-scratch
+    equality and replay idempotence are pinned in pytest."""
+    import tempfile as _tf
+
+    _prep(spark, sf_dir)
+    state = _tf.mkdtemp(prefix="ibtp_hll_rollup_") + "/state"
+    ev = spark.table("events")
+    b1 = ev.where(F.dayofmonth("ts") <= 15)
+    b2 = ev.where(F.dayofmonth("ts") > 15)
+    sketch.hll_rollup_update(b1, state, ["event_type"], "user_id")
+    out = sketch.hll_rollup_update(b2, state, ["event_type"], "user_id")
+    return out.select("event_type", "distinct_est").orderBy("event_type")
+
+
 def _cm_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C40 (annex): mergeable count-min frequency sketches
     (operators/sketch.py cm_sketch/cm_merge/cm_estimate). Per-source word
@@ -3333,6 +3353,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pmi_collocations": _pmi_collocations,
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
+        "hll_rollup_periods": _hll_rollup,
         "cm_topk_words": _cm_topk_words,
         "dd_latency_quantiles": _dd_latency,
         "dedup_incremental": _incr_dedup,

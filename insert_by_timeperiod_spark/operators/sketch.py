@@ -129,6 +129,57 @@ def hll_estimate(sketch: Column, *, p: int = DEFAULT_P) -> Column:
     ).cast("bigint")
 
 
+def hll_rollup_update(
+    new_df: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    p: int = DEFAULT_P,
+    update_state: bool = True,
+    out_col: str = "distinct_est",
+) -> DataFrame:
+    """Maintain a per-group distinct-count rollup INCREMENTALLY (C82): fold
+    a new batch into the persistent sketch state at ``state_path`` and
+    return the updated rollup ``(group_cols..., hll, distinct_est)`` — the
+    sketch-side sibling of C36 (incremental exact-dedup digests) and C57
+    (incremental LSH signatures).
+
+    This is the 100 TB "distinct users per day/type, updated per ingest"
+    pattern: each batch costs O(batch + groups·2^p) — the raw history is
+    NEVER re-read, because HLL register-max merge is exact (the merged
+    sketch is bit-for-bit the sketch of the union, the pinned C35
+    invariant). State is groups × a sparse map (≤ 2^p small ints): KB-MB
+    at any corpus size, so the read-merge-rewrite cycle is metadata-cheap.
+
+    Re-applying an already-folded batch is a no-op (``max`` is
+    idempotent) — same re-run contract as the engine's keyed upserts.
+    The merged rollup is materialized (localCheckpoint) BEFORE the state
+    overwrite so the write never races the read of the files it replaces.
+    """
+    spark = new_df.sparkSession
+    batch = hll_sketch(new_df, group_cols, value_col, p=p)
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, state_path)
+    if fs.exists(state_path):
+        merged = hll_merge(
+            spark.read.parquet(state_path).unionByName(batch), group_cols
+        )
+    else:
+        merged = batch
+    # detach from the state files before (maybe) overwriting them; also the
+    # rollup feeds both the state write and the returned estimate
+    merged = merged.localCheckpoint(eager=True)
+    if update_state:
+        merged.write.mode("overwrite").parquet(state_path)
+    return merged.select(
+        *group_cols,
+        F.col("hll"),
+        hll_estimate(F.col("hll"), p=p).alias(out_col),
+    )
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch: mergeable frequency estimates (C40)
 # ---------------------------------------------------------------------------

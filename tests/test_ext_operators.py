@@ -1377,6 +1377,49 @@ def test_hll_ignores_nulls_and_groups_independently(spark):
 
 
 # ---------------------------------------------------------------------------
+# C82: incremental HLL distinct-count rollup state
+# ---------------------------------------------------------------------------
+
+def test_hll_rollup_matches_from_scratch_and_is_idempotent(spark, tmp_path):
+    """Folding batches into the state must equal the one-shot sketch of
+    the union bit-for-bit, and re-folding an already-seen batch must not
+    change the state (max-merge idempotence = safe re-runs)."""
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    state = str(tmp_path / "hll_state")
+    full = spark.range(0, 9000).withColumn("g", (F.col("id") % 2).cast("int"))
+    b1, b2 = full.where("id < 4000"), full.where("id >= 4000")
+    SK.hll_rollup_update(b1, state, ["g"], "id")
+    out2 = SK.hll_rollup_update(b2, state, ["g"], "id")
+    scratch = SK.hll_sketch(full, ["g"], "id")
+    assert sorted(
+        (r["g"], sorted(r["hll"].items())) for r in out2.select("g", "hll").collect()
+    ) == sorted((r["g"], sorted(r["hll"].items())) for r in scratch.collect())
+    # estimates ride along and are within the p=12 error band
+    ests = {r["g"]: r["distinct_est"] for r in out2.collect()}
+    assert all(abs(ests[g] - 4500) / 4500 < 0.1 for g in (0, 1))
+    # replay batch 2: state must be unchanged
+    out3 = SK.hll_rollup_update(b2, state, ["g"], "id")
+    assert sorted(
+        (r["g"], sorted(r["hll"].items())) for r in out3.select("g", "hll").collect()
+    ) == sorted((r["g"], sorted(r["hll"].items())) for r in scratch.collect())
+
+
+def test_hll_rollup_update_state_false_leaves_state(spark, tmp_path):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    state = str(tmp_path / "hll_state")
+    b1 = spark.range(0, 100).withColumn("g", F.lit(0))
+    SK.hll_rollup_update(b1, state, ["g"], "id")
+    before = spark.read.parquet(state).collect()
+    b2 = spark.range(100, 5000).withColumn("g", F.lit(0))
+    peek = SK.hll_rollup_update(b2, state, ["g"], "id", update_state=False)
+    assert peek.count() == 1  # merged view returned...
+    after = spark.read.parquet(state).collect()  # ...but state untouched
+    assert sorted(map(str, before)) == sorted(map(str, after))
+
+
+# ---------------------------------------------------------------------------
 # C36: incremental exact dedup against persistent digest state
 # ---------------------------------------------------------------------------
 

@@ -42,6 +42,7 @@ from insert_by_timeperiod_spark.functions import quality as QL
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.functions import urls as URLS
+from insert_by_timeperiod_spark.functions import html as HT
 from insert_by_timeperiod_spark.operators import (
     analytics,
     audio,
@@ -3203,6 +3204,83 @@ def _web_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.domain_rank(links, n_iter=4)
 
 
+def _html_docs(spark: SparkSession) -> DataFrame:
+    """Deterministic HTML fixture built FROM the documents table (both
+    engines concatenate the identical page around each doc's text): title
+    with an encoded ampersand, a script body containing a raw '<', a style
+    block, a comment, the doc text in a <p>, one double-quoted link with a
+    tracking param + entity-encoded separator, and (every third doc) a
+    single-quoted link with host case / default port / co.uk suffix."""
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit(" &amp; "),
+        F.col("lang"),
+        F.lit("</title><script>var x = 1 < 2;</script><style>p{}</style>"
+              "</head><body><!-- note --><h1>"), F.col("source"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><a href="https://www.site'),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit('.com/p?utm_source=x&amp;a=1">x</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<a href='HTTP://Site"),
+                     (F.col("doc_id") % 23).cast("string"),
+                     F.lit(".CO.UK:80/q/'>y</a>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return spark.table("documents").select("doc_id", html.alias("html"))
+
+
+_HTML_SRC_DUCK = (
+    "(SELECT doc_id, '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)"
+    " || ' &amp; ' || lang"
+    " || '</title><script>var x = 1 < 2;</script><style>p{}</style>"
+    "</head><body><!-- note --><h1>' || source"
+    " || '</h1><p>' || text"
+    " || '</p><a href=\"https://www.site' || CAST(doc_id % 37 AS VARCHAR)"
+    " || '.com/p?utm_source=x&amp;a=1\">x</a>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<a href=''HTTP://Site'"
+    " || CAST(doc_id % 23 AS VARCHAR) || '.CO.UK:80/q/''>y</a>'"
+    " ELSE '' END"
+    " || '</body></html>' AS html FROM documents)"
+)
+
+
+def _html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C83: HTML -> (title, visible text, outlink count) — the WET-file
+    step of a web-corpus pipeline as pure scan-stage regex algebra (zero
+    exchanges before the caller's own ops). Exact DuckDB twin applies the
+    identical regex/entity chain to the identically-built pages."""
+    _prep(spark, sf_dir)
+    h = F.col("html")
+    return _html_docs(spark).select(
+        "doc_id",
+        HT.html_title(h).alias("title"),
+        HT.html_text(h).alias("text"),
+        F.size(HT.html_links(h)).alias("n_links"),
+    )
+
+
+def _html_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain (C83 -> C73): raw HTML -> outlinks -> host ->
+    registered domain -> per-domain link counts — the link-graph
+    construction a crawl pipeline runs before domain ranking, assembled
+    from the engine's own primitives. Exact end-to-end DuckDB twin."""
+    _prep(spark, sf_dir)
+    links = _html_docs(spark).select(
+        F.explode(HT.html_links(F.col("html"))).alias("link")
+    )
+    dom = links.select(
+        URLS.registered_domain(URLS.url_host(F.col("link"))).alias("domain")
+    )
+    return (
+        dom.where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _kmeans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C81: fixed-iteration Lloyd k-means over three events-derived
     features — zero-shuffle assignment (driver-held centroids compile into
@@ -3406,6 +3484,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "triangle_stats_events": _triangle_events,
         "kmeans_event_features": _kmeans_events,
         "web_domain_rank": _web_domain_rank,
+        "html_extract_text": _html_extract,
+        "html_outlink_domains": _html_outlink_domains,
         "pct_rank_value_by_type": _pct_rank_values,
         "clean_lines_within": _clean_lines_within,
         "tag_docs_topics": _tag_topics,
@@ -3536,6 +3616,20 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "web_domain_rank": graph.domain_rank_sql(
             _LINKS_FIXTURE_DUCK, n_iter=4
+        ),
+        "html_extract_text": (
+            f"SELECT doc_id, {HT.html_title_sql('html')} AS title,"
+            f" {HT.html_text_sql('html')} AS text,"
+            f" len({HT.html_links_sql('html')}) AS n_links"
+            f" FROM {_HTML_SRC_DUCK}"
+        ),
+        "html_outlink_domains": (
+            "SELECT domain, COUNT(*) AS n FROM ("
+            f"SELECT {URLS.registered_domain_sql(URLS.url_host_sql('link'))}"
+            " AS domain FROM ("
+            f"SELECT unnest({HT.html_links_sql('html')}) AS link"
+            f" FROM {_HTML_SRC_DUCK})"
+            ") WHERE domain IS NOT NULL GROUP BY domain"
         ),
         "pct_rank_value_by_type": analytics.percentile_normalize_sql(
             "(SELECT event_id, event_type, value FROM events"

@@ -1,0 +1,159 @@
+"""HTML text extraction (SURVEY.md §2 C83) — the raw-crawl half of a
+web-corpus pipeline: turn stored HTML pages into the plain text, page
+title, and outlink list every downstream operator in this repo consumes
+(quality filters, langid, dedup, the URL canonicalizer and the PageRank
+link graph). This is the WET-file step of a CommonCrawl-style flow.
+
+Scale shape: everything is scan-stage column algebra — chained
+``regexp_replace`` / ``regexp_extract_all`` and constant-table entity
+``replace`` — ZERO shuffles, no UDF, fully inside whole-stage codegen. A
+100 TB HTML corpus pays exactly one scan; the only exchanges are whatever
+the caller adds on top (dedup groupBy, link-graph join).
+
+Cross-engine exactness: each helper has a ``*_sql`` twin emitting the
+identical algebra in DuckDB. Regexes stay in the conservative subset where
+Java regex and RE2 agree (explicit whitespace classes instead of ``\\s``,
+no backreferences, non-greedy quantifiers only inside single-group
+extractions), so oracle rows compare bit-identical strings.
+
+Scope (documented, visible trade at library scope): ``<script>`` /
+``<style>`` blocks and comments are removed with their content, every
+other tag becomes a space, the five standard named entities plus
+``&nbsp;``/``&#39;`` are decoded (``&amp;`` LAST, so double-encoded text
+stays encoded — the lossless choice), whitespace runs collapse to one
+space. Numeric character references beyond ``&#39;`` are left intact
+rather than half-decoded. Outlinks are quoted ``href`` values inside
+``<a>`` tags; unquoted hrefs are skipped.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# explicit class == same set in Java regex and RE2 (\s differs on \x0B)
+_WS = "[ \\t\\n\\r\\f]"
+
+_COMMENT_RE = "(?s)<!--.*?-->"
+_SCRIPT_RE = "(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = "(?is)<style[^>]*>.*?</style>"
+_TAG_RE = "<[^>]*>"
+_TITLE_RE = "(?is)<title[^>]*>(.*?)</title>"
+# quoted href inside an <a ...> tag; group 1 keeps the quotes (stripped after)
+_HREF_RE = (
+    "(?i)<a" + _WS + "[^>]*href" + _WS + "*=" + _WS + "*"
+    "(\"[^\">]*\"|'[^'>]*')"
+)
+
+#: (entity, replacement) decode table; ``&amp;`` deliberately LAST
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _decode_entities(col: Column) -> Column:
+    for ent, rep in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
+
+def _collapse_ws(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, _WS + "+", " "))
+
+
+def html_text(col: Column) -> Column:
+    """Visible text of an HTML document: comments and script/style blocks
+    removed with their content, remaining tags replaced by a space (so
+    ``a</td><td>b`` stays two words), entities decoded, whitespace runs
+    collapsed to single spaces, trimmed. NULL stays NULL."""
+    t = F.regexp_replace(col, _COMMENT_RE, " ")
+    t = F.regexp_replace(t, _SCRIPT_RE, " ")
+    t = F.regexp_replace(t, _STYLE_RE, " ")
+    t = F.regexp_replace(t, _TAG_RE, " ")
+    return _collapse_ws(_decode_entities(t))
+
+
+def html_title(col: Column) -> Column:
+    """Entity-decoded, whitespace-collapsed ``<title>`` contents (first
+    title wins), or NULL when the document has none."""
+    raw = F.regexp_extract(
+        F.regexp_replace(col, _COMMENT_RE, " "), _TITLE_RE, 1
+    )
+    out = _collapse_ws(_decode_entities(raw))
+    has = F.regexp_extract(col, "(?is)(<title)", 1) != ""
+    return F.when(has, out)
+
+
+def html_links(col: Column) -> Column:
+    """Array of outlink targets: quoted ``href`` values of ``<a>`` tags in
+    document order, quotes stripped, entity-decoded (hrefs legally encode
+    ``&`` as ``&amp;``). Empty array when there are none."""
+    raw = F.regexp_extract_all(
+        F.regexp_replace(col, _COMMENT_RE, " "), F.lit(_HREF_RE), F.lit(1)
+    )
+    return F.transform(
+        raw,
+        lambda h: _decode_entities(
+            F.regexp_replace(h, "^[\"']|[\"']$", "")
+        ),
+    )
+
+
+# ------------------------------------------------------------ DuckDB twins
+
+
+def _decode_entities_sql(expr: str) -> str:
+    for ent, rep in _ENTITIES:
+        if rep == "'":
+            expr = f"replace({expr}, '{ent}', chr(39))"
+        else:
+            rep_sql = rep.replace("'", "''")
+            expr = f"replace({expr}, '{ent}', '{rep_sql}')"
+    return expr
+
+
+def _collapse_ws_sql(expr: str) -> str:
+    return f"trim(regexp_replace({expr}, '{_WS}+', ' ', 'g'))"
+
+
+def html_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_text` over SQL expression ``expr``."""
+    t = f"regexp_replace({expr}, '{_COMMENT_RE}', ' ', 'g')"
+    t = f"regexp_replace({t}, '{_SCRIPT_RE}', ' ', 'g')"
+    t = f"regexp_replace({t}, '{_STYLE_RE}', ' ', 'g')"
+    t = f"regexp_replace({t}, '{_TAG_RE}', ' ', 'g')"
+    return _collapse_ws_sql(_decode_entities_sql(t))
+
+
+def html_title_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_title`."""
+    raw = (
+        f"regexp_extract(regexp_replace({expr}, '{_COMMENT_RE}', ' ', 'g'),"
+        f" '{_TITLE_RE}', 1)"
+    )
+    out = _collapse_ws_sql(_decode_entities_sql(raw))
+    return (
+        f"CASE WHEN regexp_extract({expr}, '(?is)(<title)', 1) != ''"
+        f" THEN {out} END"
+    )
+
+
+def html_links_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_links` (RE2 alternation + same strip)."""
+    pat = _HREF_RE.replace("'", "''")
+    raw = (
+        f"regexp_extract_all("
+        f"regexp_replace({expr}, '{_COMMENT_RE}', ' ', 'g'), '{pat}', 1)"
+    )
+    strip = "regexp_replace(h, '^[\"'']|[\"'']$', '', 'g')"
+    return (
+        f"list_transform({raw},"
+        f" h -> {_decode_entities_sql(strip)})"
+    )

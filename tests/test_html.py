@@ -1,0 +1,106 @@
+"""Pins for C83 (SURVEY.md §2): HTML text/title/outlink extraction.
+Hand-computable semantics here; the exact cross-engine twin runs as the
+``html_extract_text`` / ``html_outlink_hosts`` annex rows in
+tests/test_queries_oracle.py, plus a tricky-corpus twin-equality test
+below (script bodies hiding tags, comments hiding links, entities,
+double-encoding)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.functions import html as H
+
+
+def _one(spark, doc, fn):
+    return (
+        spark.range(1).select(fn(F.lit(doc)).alias("v")).collect()[0]["v"]
+    )
+
+
+PAGE = (
+    '<html><head><title> My &amp; Page </title>'
+    '<script>if(1<2){x="</p>";}</script></head>'
+    "<body><!-- hidden <b>bold</b> <a href='http://comment.example'>c</a> -->"
+    "<h1>Hello</h1><p>world &lt;tag&gt; &#39;q&#39;&nbsp;!</p>"
+    '<a href="https://a.com/x?u=1&amp;v=2">l1</a>'
+    "<A HREF='http://b.org'>l2</A></body></html>"
+)
+
+
+def test_html_text_strips_everything(spark):
+    assert (
+        _one(spark, PAGE, H.html_text)
+        == "My & Page Hello world <tag> 'q' ! l1 l2"
+    )
+
+
+def test_html_text_plain_passthrough_and_null(spark):
+    assert _one(spark, "no  markup\n at all", H.html_text) == "no markup at all"
+    df = spark.range(1).select(
+        H.html_text(F.lit(None).cast("string")).alias("v")
+    )
+    assert df.collect()[0]["v"] is None
+
+
+def test_style_block_content_removed(spark):
+    doc = '<div><style type="text/css">p{color:red}</style>text</div>'
+    assert _one(spark, doc, H.html_text) == "text"
+
+
+def test_double_encoded_entity_stays_encoded(spark):
+    # &amp;lt; is the TEXT "&lt;" — decoding &amp; last must not re-decode
+    assert _one(spark, "<p>a &amp;lt; b</p>", H.html_text) == "a &lt; b"
+
+
+def test_title_first_wins_and_absent_is_null(spark):
+    assert _one(spark, PAGE, H.html_title) == "My & Page"
+    doc = "<title>one</title><title>two</title>"
+    assert _one(spark, doc, H.html_title) == "one"
+    assert _one(spark, "<p>untitled</p>", H.html_title) is None
+
+
+def test_links_document_order_quotes_and_entities(spark):
+    assert _one(spark, PAGE, H.html_links) == [
+        "https://a.com/x?u=1&v=2",
+        "http://b.org",
+    ]
+
+
+def test_links_in_comments_skipped_unquoted_skipped(spark):
+    doc = "<!-- <a href='http://x.io'>x</a> --><a href=http://raw.io>r</a>"
+    assert _one(spark, doc, H.html_links) == []
+
+
+@pytest.mark.parametrize(
+    "doc",
+    [
+        PAGE,
+        "plain",
+        "",
+        "<title>t</title>",
+        "<p>broken <b unclosed",
+        "<script>while(a<b && c>d){}</script>done",
+        "<a href=''>empty</a> <a href='#frag'>f</a>",
+        "tab\tand\nnewline&nbsp;&nbsp;runs",
+    ],
+)
+def test_twins_agree(spark, doc):
+    """Spark expressions and DuckDB twins produce identical values on the
+    adversarial corpus — the same equality the annex oracle rows enforce
+    over the documents table."""
+    row = (
+        spark.range(1)
+        .select(
+            H.html_text(F.lit(doc)).alias("t"),
+            H.html_title(F.lit(doc)).alias("ti"),
+            H.html_links(F.lit(doc)).alias("l"),
+        )
+        .collect()[0]
+    )
+    lit = "'" + doc.replace("'", "''") + "'"
+    got = duckdb.sql(
+        f"SELECT {H.html_text_sql(lit)} t, {H.html_title_sql(lit)} ti, "
+        f"{H.html_links_sql(lit)} l"
+    ).fetchone()
+    assert (row["t"], row["ti"], row["l"]) == got

@@ -2299,6 +2299,19 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.dup_span_stats(docs.unionByName(planted), k=10)
 
 
+def _dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C84: cross-doc duplicate-span REMOVAL — the cleaning step C47
+    only measures, over the identical planted corpus: the 8 full copies
+    (and their originals) lose every duplicated run; untouched docs come
+    back with kept_tokens == n_tokens. Exact DuckDB twin."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    planted = docs.where("doc_id < 8").withColumn(
+        "doc_id", F.col("doc_id") + 90000
+    )
+    return spans.remove_dup_spans(docs.unionByName(planted), k=10)
+
+
 def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C48: PMI collocation mining (operators/collocations.py) — top-25
     adjacent bigrams by 6-decimal-rounded PMI with word tie-breaks; exact
@@ -3428,6 +3441,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "zorder_values": _zorder_events,
         "bm25_docs": _bm25_docs,
         "dup_spans_planted": _dup_spans,
+        "dedup_spans_removed": _dup_spans_removed,
         "pmi_collocations": _pmi_collocations,
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
@@ -3532,6 +3546,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "bm25_docs": bm25.bm25_sql(_BM25_TERMS, k=15),
         "dup_spans_planted": spans.dup_span_sql(_DUP_SPAN_SRC, k=10),
+        "dedup_spans_removed": spans.remove_dup_spans_sql(
+            _DUP_SPAN_SRC, k=10
+        ),
         "pmi_collocations": collocations.pmi_sql("documents", top_n=25, min_count=5),
         "cm_topk_words": CM_TOPK_DUCK,
         "dd_latency_quantiles": _dd_latency_duck(),

@@ -270,3 +270,161 @@ SELECT c.{id_col}, CAST(len(t._t) AS BIGINT) AS n_tokens, c.n_dup_grams,
        round(CAST(c.covered_tokens AS DOUBLE) / len(t._t), 6) AS dup_frac
 FROM _cov c JOIN _toks t ON c.{id_col} = t.{id_col}
 """
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL (SURVEY.md §2 C84) — the
+    cleaning step of Lee et al. 2022 that :func:`dup_span_stats` only
+    measures: cut every token covered by a k-gram occurring in >=
+    ``min_docs`` distinct documents, and return one row per input document
+    as (id, n_tokens, kept_tokens, text_clean). Output text lives in the
+    detector's normalized token space (lower-cased, whitespace-collapsed,
+    survivors joined by single spaces) — the honest contract, since span
+    boundaries only exist at token resolution.
+
+    Scale shape: identical to the detector — gram hashing is scan-stage
+    column algebra over the token array (text never shuffles; 64-bit
+    xxhash64 per gram), ONE corpus-scale exchange elects duplicated grams
+    with map-side partial aggregation, and the interval merge is per-doc
+    window algebra over only the duplicated positions. Reconstruction
+    joins the (small) merged-interval lists back on the id and filters the
+    token array in the scan stage — a second pass over the corpus, not a
+    second shuffle of it. The (id, pos, hash) stream is materialized once
+    for its two consumers (election + probe; plans/audit.py lesson)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = F.filter(_tokens(F.col(text_col)), lambda w: w != "")
+    base = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("_t")
+    )
+    ghs = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - F.lit(k)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+    )
+    grams = (
+        base.where(F.size("_t") >= k)
+        .select(F.col(id_col), F.posexplode(ghs).alias("pos", "_gh"))
+        # two consumers (dup election + probe join) — materialize or the
+        # corpus tokenizes twice
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    hits = grams.join(dup, "_gh", "left_semi")
+    # merge overlapping [pos, pos+k) intervals into islands per doc
+    wp = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(wp)
+    is_new = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    wr = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = hits.select(
+        F.col(id_col), F.col("pos"), F.sum(is_new).over(wr).alias("_isl")
+    )
+    intervals = (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_iv"))
+    )
+    joined = base.join(intervals, id_col, "left")
+    iv = F.coalesce(
+        F.col("_iv"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("_t") - 1),
+        lambda p: ~F.exists(iv, lambda i: (p >= i["s"]) & (p < i["e"])),
+    )
+    kept = F.when(F.size("_t") > 0, kept).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        F.array_join(
+            F.transform(kept, lambda p: F.element_at("_t", p + 1)), " "
+        ).alias("text_clean"),
+    )
+
+
+def remove_dup_spans_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    min_docs: int = 2,
+) -> str:
+    """The exact DuckDB twin of :func:`remove_dup_spans`, grouping by the
+    gram string (engine groups by its xxhash64 — identical absent 64-bit
+    collisions). ``source`` may be a table name or parenthesized subquery."""
+    return f"""
+WITH _toks AS (
+    SELECT {id_col},
+           list_filter(str_split_regex(trim(lower({text_col})), '\\s+'),
+                       w -> w != '') AS _t
+    FROM {source}
+), _grams AS (
+    SELECT {id_col}, CAST(i AS BIGINT) AS pos,
+           array_to_string(_t[i + 1 : i + {k}], ' ') AS _g
+    FROM _toks, UNNEST(range(0, len(_t) - {k} + 1)) AS _u(i)
+    WHERE len(_t) >= {k}
+), _dup AS (
+    SELECT _g FROM _grams GROUP BY _g HAVING COUNT(DISTINCT {id_col}) >= {min_docs}
+), _hits AS (
+    SELECT {id_col}, pos FROM _grams WHERE _g IN (SELECT _g FROM _dup)
+), _pe AS (
+    SELECT {id_col}, pos,
+           MAX(pos + {k}) OVER (PARTITION BY {id_col} ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _prev
+    FROM _hits
+), _isl AS (
+    SELECT {id_col}, pos,
+           SUM(CASE WHEN _prev IS NULL OR pos > _prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY {id_col} ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _i
+    FROM _pe
+), _iv AS (
+    SELECT {id_col}, _i, MIN(pos) AS s, MAX(pos) + {k} AS e
+    FROM _isl GROUP BY {id_col}, _i
+), _ivl AS (
+    SELECT {id_col}, list(struct_pack(s := s, e := e)) AS iv
+    FROM _iv GROUP BY {id_col}
+), _kept AS (
+    SELECT t.{id_col}, t._t,
+           list_filter(range(0, len(t._t)), p ->
+               len(list_filter(COALESCE(v.iv, []),
+                               i -> p >= i.s AND p < i.e)) = 0) AS kp
+    FROM _toks t LEFT JOIN _ivl v ON v.{id_col} = t.{id_col}
+)
+SELECT {id_col}, CAST(len(_t) AS BIGINT) AS n_tokens,
+       CAST(len(kp) AS BIGINT) AS kept_tokens,
+       COALESCE(array_to_string(list_transform(kp, p -> _t[p + 1]), ' '),
+                '') AS text_clean
+FROM _kept
+"""

@@ -1,0 +1,95 @@
+"""Pins for C84 (SURVEY.md §2): cross-document duplicate-span REMOVAL —
+the cleaning step of Lee et al. 2022 that dup_span_stats (C47) only
+measures. Hand-computable semantics + twin equality here; the sf-scale
+exact oracle runs as the ``dedup_spans_removed`` annex row in
+tests/test_queries_oracle.py."""
+
+import duckdb
+import pytest
+
+from insert_by_timeperiod_spark.operators import spans
+
+BOILER = "the quick brown fox jumps over the lazy dog again today"  # 11 toks
+
+
+def _run(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = spans.remove_dup_spans(df, **kw)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_planted_run_removed_from_both_docs(spark):
+    docs = [
+        (1, "alpha beta gamma " + BOILER + " delta epsilon"),
+        (2, "one two " + BOILER + " three four five six"),
+        (3, "totally unique words nothing shared here at all ok fine yes"),
+    ]
+    got = _run(spark, docs, k=10, min_docs=2)
+    assert got[1]["text_clean"] == "alpha beta gamma delta epsilon"
+    assert got[2]["text_clean"] == "one two three four five six"
+    # untouched doc keeps every token
+    assert got[3]["kept_tokens"] == got[3]["n_tokens"] == 11
+    # counts are consistent: n_tokens - kept == covered span length
+    assert got[1]["n_tokens"] - got[1]["kept_tokens"] == 11
+    assert got[2]["n_tokens"] - got[2]["kept_tokens"] == 11
+
+
+def test_short_and_empty_docs_pass_through(spark):
+    docs = [(1, "short doc"), (2, ""), (3, "short doc")]
+    got = _run(spark, docs, k=10, min_docs=2)
+    # both "short doc" copies are below k tokens -> no grams -> untouched
+    assert got[1]["text_clean"] == "short doc"
+    assert got[3]["text_clean"] == "short doc"
+    assert got[2]["text_clean"] == "" and got[2]["n_tokens"] == 0
+
+
+def test_min_docs_three_spares_a_two_doc_run(spark):
+    docs = [
+        (1, "a b " + BOILER),
+        (2, "c d " + BOILER),
+        (3, "solo text here"),
+    ]
+    spared = _run(spark, docs, k=10, min_docs=3)
+    assert spared[1]["kept_tokens"] == spared[1]["n_tokens"]
+    cut = _run(spark, docs, k=10, min_docs=2)
+    assert cut[1]["text_clean"] == "a b"
+
+
+def test_overlapping_runs_merge_into_one_island(spark):
+    # doc 1 contains the boiler twice back-to-back; the two k-gram interval
+    # families overlap and must merge (no token double-counted or left over)
+    docs = [
+        (1, "x " + BOILER + " " + BOILER + " y"),
+        (2, BOILER + " tail one two three four five six seven"),
+    ]
+    got = _run(spark, docs, k=10, min_docs=2)
+    assert got[1]["text_clean"] == "x y"
+    assert got[1]["n_tokens"] - got[1]["kept_tokens"] == 22
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        spans.remove_dup_spans(None, k=1)
+    with pytest.raises(ValueError):
+        spans.remove_dup_spans(None, min_docs=1)
+
+
+def test_twins_agree(spark):
+    docs = [
+        (1, "alpha beta gamma " + BOILER + " delta epsilon"),
+        (2, "one two " + BOILER + " three four five six"),
+        (3, "totally unique words nothing shared here at all ok fine yes"),
+        (4, "short doc"),
+        (5, ""),
+        (6, "x " + BOILER + " " + BOILER + " y"),
+        (7, "MiXeD   Case\tWhitespace " + BOILER.upper() + " end"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = sorted(
+        tuple(r) for r in spans.remove_dup_spans(df, k=10, min_docs=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    want = sorted(con.execute(spans.remove_dup_spans_sql("d")).fetchall())
+    assert got == want

@@ -338,6 +338,52 @@ def _txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table.read(version=v)
 
 
+def _txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C85 RESTORE (annex, EXACT oracle): build the full daily table on the
+    commit-log backend, record the version, then damage it (range delete)
+    and roll back with restore() — one metadata-only commit, zero data
+    movement. The result must equal the untouched full build; a restore
+    that loses a file or resurrects the delete mismatches on rows/hash."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_rst_"), "t")
+    cfg = IBTPConfig(
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=7,
+    )
+    eng = InsertByTimeperiod(
+        spark, MODEL_DAILY, cfg, tgt, count_rows=False, table_factory=TxnLogTable
+    )
+    eng.run()
+    v = eng.table.version()
+    eng.table.delete_date_range(dt.date(2024, 1, 8), dt.date(2024, 1, 15))
+    eng.table.restore(v)
+    return eng.table.read()
+
+
+def _txn_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C85 CLONE (annex, EXACT oracle): deep snapshot clone of the built
+    table, then the SOURCE is damaged and vacuumed — reading the clone
+    must still equal the full build (independence is the contract)."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_cln_"), "t")
+    cfg = IBTPConfig(
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=7,
+    )
+    eng = InsertByTimeperiod(
+        spark, MODEL_DAILY, cfg, tgt, count_rows=False, table_factory=TxnLogTable
+    )
+    eng.run()
+    clone = eng.table.clone(os.path.join(tempfile.mkdtemp(prefix="ibtp_clc_"), "c"))
+    eng.table.delete_date_range(dt.date(2024, 1, 8), dt.date(2024, 1, 15))
+    eng.table.vacuum(keep_last=1)
+    return clone.read()
+
+
 def _engine_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15: new column appears mid-run under on_schema_change=append_new_columns;
     old periods read NULL for it (sidecar-schema read semantics)."""
@@ -3427,6 +3473,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "semdedup_exact_vecs": _semdedup,
         "engine_txn_backend": _engine_txn,
         "txnlog_time_travel": _txn_time_travel,
+        "txnlog_restore": _txn_restore,
+        "txnlog_clone": _txn_clone,
         "bpe_tokenize": _bpe_tokenize,
         "dedup_incremental_near": _incr_near_dedup,
         "streaming_near_dedup": _stream_near_dedup,
@@ -3528,6 +3576,8 @@ def pytest_only_oracles() -> dict[str, str]:
         "semdedup_exact_vecs": SEMDEDUP_DUCK,
         "engine_txn_backend": ORACLE_DAILY.format(start=START, stop=STOP),
         "txnlog_time_travel": ORACLE_DAILY.format(start=START, stop="2024-01-15"),
+        "txnlog_restore": ORACLE_DAILY.format(start=START, stop=STOP),
+        "txnlog_clone": ORACLE_DAILY.format(start=START, stop=STOP),
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),
         "streaming_quality_log": expect.checks_sql(_stream_quality_checks(), "events"),
         "lm_bigram_score": lmscore.bigram_nll_sql("documents", vocab_size=60),

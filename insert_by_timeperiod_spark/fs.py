@@ -83,6 +83,19 @@ class HadoopFS:
         if not self._fs.rename(self._Path(src), self._Path(dst)):
             raise IOError(f"rename failed: {src} -> {dst}")
 
+    def copy_file(self, src: str, dst: str) -> None:
+        """Byte-for-byte file copy via ``FileUtil.copy`` (the deep-clone
+        primitive): parquet bytes move verbatim — no Spark job, no
+        decode/re-encode — and the destination filesystem is resolved from
+        ``dst``'s scheme, so cross-store clones (hdfs -> s3a) work."""
+        sp, dp = self._Path(src), self._Path(dst)
+        dfs = dp.getFileSystem(self._conf)
+        ok = self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs, sp, dfs, dp, False, False, self._conf
+        )
+        if not ok:
+            raise IOError(f"copy failed: {src} -> {dst}")
+
     # ---- small metadata files -------------------------------------------
 
     def read_text(self, path: str) -> str:

@@ -379,6 +379,83 @@ class TxnLogTable(ParquetTable):
                 counts[d] = counts.get(d, 0) + 1
         return counts
 
+    def restore(self, version: int) -> int:
+        """Roll the table BACK to ``version`` as a NEW commit (SURVEY.md §2
+        C85, the Delta ``RESTORE`` idiom — the undo button for a bad
+        backfill/rewrite): publish one atomic commit that removes every
+        file added since ``version`` and re-adds every file removed since.
+        Pure log metadata — ZERO data movement, zero Spark jobs, O(files)
+        regardless of table size — and history is preserved: the restore
+        is itself a time-travelable version and can be restored away.
+
+        Raises ``ValueError`` for an unknown version and ``IOError`` when
+        the target snapshot references files a ``vacuum`` /
+        ``truncate_history`` already deleted (exactly like a vacuumed
+        Delta table). A restore to the current state is a no-op (no empty
+        commit), so replays are idempotent. The engine watermark (meta
+        sidecar) is bookkeeping, not data, and is left untouched — callers
+        rolling back an engine table typically follow with a re-run, whose
+        resume probe reconciles against the restored data."""
+        head = self.version()
+        if version < 0 or version > head:
+            raise ValueError(
+                f"restore: version {version} not in log (head is {head})"
+            )
+        cur = self._snapshot_entries()
+        tgt = self._snapshot_entries(version=version)
+        adds = [dict(e) for f, e in sorted(tgt.items()) if f not in cur]
+        removes = [f for f in sorted(cur) if f not in tgt]
+        if not adds and not removes:
+            return head
+        missing = [a["f"] for a in adds if not self.fs.exists(f"{self.path}/{a['f']}")]
+        if missing:
+            raise IOError(
+                f"restore to v{version} needs {len(missing)} file(s) the "
+                f"vacuum already deleted, e.g. {missing[0]}"
+            )
+        return self._commit(adds, removes)
+
+    def clone(self, dst_path: str, version: int | None = None) -> "TxnLogTable":
+        """Deep snapshot clone (SURVEY.md §2 C85): materialize the active
+        file set at ``version`` (latest if None) as an INDEPENDENT table at
+        ``dst_path`` — same relative layout, same meta sidecar, a log that
+        starts at one checkpoint commit. Files move as verbatim parquet
+        bytes through the FileSystem API (``FileUtil.copy`` — no Spark job,
+        no decode/re-encode; destination scheme resolved per path, so
+        hdfs -> s3a clones work); cost is O(active data at the version),
+        never O(history).
+
+        Deep (not shallow) by design: the clone shares no file references,
+        so either table's vacuum/truncate can never break the other —
+        shallow clones require absolute-path refs and a cross-table
+        retention contract, the wrong trade at library scope. The engine
+        watermark inside the copied meta reflects the SOURCE's current
+        bookkeeping; when cloning an older version for reprocessing,
+        re-run the engine and let the resume probe reconcile."""
+        dst = TxnLogTable(self.spark, dst_path)
+        if dst.fs.exists(dst._meta_path) or dst.version() >= 0:
+            raise IOError(f"clone destination is not empty: {dst_path}")
+        entries = self._snapshot_entries(version=version)
+        missing = [
+            f for f in entries if not self.fs.exists(f"{self.path}/{f}")
+        ]
+        if missing:
+            raise IOError(
+                f"clone at v{version} needs {len(missing)} file(s) the "
+                f"vacuum already deleted, e.g. {missing[0]}"
+            )
+        for f in sorted(entries):
+            self.fs.copy_file(f"{self.path}/{f}", f"{dst_path}/{f}")
+        dst.fs.write_text_atomic(
+            dst._meta_path, self.fs.read_text(self._meta_path)
+        )
+        dst._commit(
+            [dict(e) for _, e in sorted(entries.items())],
+            [],
+            checkpoint=True,
+        )
+        return dst
+
     # ---- maintenance -----------------------------------------------------
 
     def recover_orphans(self) -> int:

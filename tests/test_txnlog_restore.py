@@ -1,0 +1,121 @@
+"""Pins for C85 (SURVEY.md §2): txnlog RESTORE (metadata-only rollback to
+any retained version) and deep snapshot CLONE (independent copy of a
+version's active file set). The engine-level exact oracles run as the
+``txnlog_restore`` / ``txnlog_clone`` annex rows in
+tests/test_queries_oracle.py; these pin the mechanism."""
+
+import datetime as dt
+import tempfile
+
+import pytest
+
+from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
+from insert_by_timeperiod_spark.sources import register_views
+from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+MODEL = """
+SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+FROM events
+WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+def _built(spark):
+    tgt = tempfile.mkdtemp(prefix="ibtp_rst_") + "/t"
+    eng = InsertByTimeperiod(
+        spark,
+        MODEL,
+        IBTPConfig(
+            period="week",
+            timestamp_field="event_date",
+            start_date="2024-01-01",
+            stop_date="2024-01-30",
+        ),
+        tgt,
+        table_factory=TxnLogTable,
+        count_rows=False,
+    )
+    eng.run()
+    return eng
+
+
+def _rows(t, version=None):
+    return {
+        (r["user_id"], r["event_date"], r["n"])
+        for r in t.read(version).collect()
+    }
+
+
+def test_restore_undoes_a_range_delete(spark):
+    eng = _built(spark)
+    t = eng.table
+    v = t.version()
+    want = _rows(t)
+    t.delete_date_range(dt.date(2024, 1, 8), dt.date(2024, 1, 15))
+    assert _rows(t) != want
+    v2 = t.restore(v)
+    assert v2 == t.version() and v2 > v  # a NEW commit, history intact
+    assert _rows(t) == want
+    # the bad state is still time-travelable (history preserved)
+    assert _rows(t, version=v2 - 1) != want
+
+
+def test_restore_is_idempotent_and_validates(spark):
+    t = _built(spark).table
+    head = t.version()
+    assert t.restore(head) == head  # no-op: no empty commit published
+    assert t.version() == head
+    with pytest.raises(ValueError):
+        t.restore(head + 1)
+    with pytest.raises(ValueError):
+        t.restore(-1)
+
+
+def test_restore_after_vacuum_raises(spark):
+    t = _built(spark).table
+    v = t.version()
+    t.delete_date_range(dt.date(2024, 1, 8), dt.date(2024, 1, 15))
+    t.vacuum(keep_last=1)  # drops the files only old versions reference
+    with pytest.raises(IOError):
+        t.restore(v)
+
+
+def test_clone_is_equal_and_independent(spark):
+    t = _built(spark).table
+    want = _rows(t)
+    dst = tempfile.mkdtemp(prefix="ibtp_cln_") + "/c"
+    c = t.clone(dst)
+    assert _rows(c) == want
+    assert c.version() == 0  # fresh single-checkpoint log
+    # independence both ways: mutate source, clone unmoved...
+    t.delete_date_range(dt.date(2024, 1, 8), dt.date(2024, 1, 15))
+    assert _rows(c) == want
+    # ...and source maintenance can never break the clone (deep copy)
+    t.vacuum(keep_last=1)
+    assert _rows(c) == want
+    # clone's own writes don't leak back
+    c.delete_date_range(dt.date(2024, 1, 1), dt.date(2024, 1, 8))
+    assert _rows(c) != _rows(t)
+
+
+def test_clone_at_version_matches_time_travel(spark):
+    t = _built(spark).table
+    v = t.version()
+    t.delete_date_range(dt.date(2024, 1, 8), dt.date(2024, 1, 15))
+    dst = tempfile.mkdtemp(prefix="ibtp_clv_") + "/c"
+    c = t.clone(dst, version=v)
+    assert _rows(c) == _rows(t, version=v)
+
+
+def test_clone_refuses_nonempty_destination(spark):
+    t = _built(spark).table
+    dst = tempfile.mkdtemp(prefix="ibtp_clx_") + "/c"
+    t.clone(dst)
+    with pytest.raises(IOError):
+        t.clone(dst)

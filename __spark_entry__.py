@@ -2440,6 +2440,24 @@ def _multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.audio_metadata(assets)
 
 
+def _audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C86 (annex, rows-only — binary decode has no SQL twin): audio
+    near-dedup over REAL amplitude-modulated WAV fixtures plus planted
+    gain-twins (the same master re-rendered at 0.4x level under id+90000)
+    — energy-contour fingerprints, then the shared banded-Hamming blocking.
+    Planted-twin recall 1, gain invariance, and null/short contracts are
+    pinned in tests/test_audio_fingerprint.py."""
+    _prep(spark, sf_dir)
+    ids = spark.table("documents").where("doc_id < 96").select(
+        F.col("doc_id").alias("asset_id")
+    )
+    originals = audio.id_to_am_wav_payload(ids, "asset_id")
+    twins = audio.id_to_am_wav_payload(ids, "asset_id", gain=0.4).selectExpr(
+        "asset_id + 90000 AS asset_id", "media_type", "payload"
+    )
+    return audio.near_dup_audio_pairs(originals.unionByName(twins))
+
+
 MULTIMODAL_WAV_DUCK = """
 SELECT doc_id AS asset_id,
        CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
@@ -3512,6 +3530,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # sim_ivf_topk carries a recall-threshold oracle like sim_ann_topk.
         "multimodal_features": _multimodal_features,
         "multimodal_wav_meta": _multimodal_wav,
+        "audio_near_dups": _audio_near_dups,
         "multimodal_video_frames": _multimodal_video,
         "dedup_simhash_planted": _dedup_simhash,
         "text_fingerprint": _text_fingerprint,

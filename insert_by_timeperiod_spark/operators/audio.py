@@ -246,3 +246,113 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"asset_id": pdf["asset_id"], **rows})
 
     return spread(df.select("asset_id", "payload")).mapInPandas(op, _FEAT_SCHEMA)
+
+
+def afprint_samples(samples: "np.ndarray", *, n_frames: int = 65) -> int | None:
+    """64-bit energy-contour fingerprint of a decoded waveform — the audio
+    twin of the image dHash (SURVEY.md §2 C86): mix down to mono (channel
+    mean), slice into ``n_frames`` equal windows, take mean |amplitude| per
+    window, and set bit i when energy[i] > energy[i+1], packed MSB-first
+    into a signed 64-bit int (Spark LongType-compatible). Comparisons are
+    scale-invariant, so re-encodes at a different gain fingerprint
+    identically; clips shorter than ``n_frames`` samples return None."""
+    if not 2 <= n_frames <= 65:
+        raise ValueError("afprint: n_frames must be in [2, 65]")
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    n = s.shape[0]
+    if n < n_frames:
+        return None
+    edges = (np.arange(n_frames + 1, dtype=np.int64) * n) // n_frames
+    e = np.add.reduceat(np.abs(s), edges[:-1]) / np.diff(edges)
+    code = np.uint64(0)
+    for b in (e[:-1] > e[1:]).astype(np.uint64):
+        code = (code << np.uint64(1)) | b
+    return int(code.astype(np.int64))
+
+
+def audio_fingerprints(df: DataFrame, *, n_frames: int = 65) -> DataFrame:
+    """(asset_id, afp) per clip — Arrow-batched decode + fingerprint in one
+    lane; afp NULL for undecodable or too-short payloads."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for p in pdf["payload"]:
+                x = None if p is None else decode_wav_samples(bytes(p))
+                fps.append(
+                    None if x is None else afprint_samples(x, n_frames=n_frames)
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "afp": pd.array(fps, dtype="Int64")}
+            )
+
+    return spread(df.select("asset_id", "payload")).mapInPandas(
+        op, "asset_id long, afp long"
+    )
+
+
+def near_dup_audio_pairs(
+    df: DataFrame,
+    *,
+    max_distance: int = 4,
+    n_bands: int = 8,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Near-duplicate audio pairs (id_a, id_b, dist) over (asset_id,
+    payload): fingerprint every decodable clip, then reuse the image lane's
+    banded-Hamming blocking (operators/imagehash.py `near_dup_image_pairs`
+    — 64-bit codes are 64-bit codes) with its pigeonhole recall-1 guarantee
+    for dist <= max_distance < n_bands and the same bucket-size skew cap.
+    Gain-changed re-encodes land at distance ~0 by construction."""
+    from .imagehash import near_dup_image_pairs
+
+    return near_dup_image_pairs(
+        audio_fingerprints(df),
+        id_col="asset_id",
+        hash_col="afp",
+        max_distance=max_distance,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def id_to_am_wav_payload(
+    df: DataFrame, id_col: str, *, gain: float = 1.0
+) -> DataFrame:
+    """Deterministic amplitude-MODULATED WAV fixtures for the fingerprint
+    lane (the energy contour of ``id_to_wav_payload``'s constant-envelope
+    sines is flat — useless for contour hashing): carrier frequency,
+    envelope cycle count, and envelope phase all derive from the id by
+    fixed arithmetic, so distinct ids are audibly different signals while
+    the same id re-rendered at a different ``gain`` is the classic
+    near-duplicate (same master, different level)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                rate = 8000
+                n = 512 + (i % 256)
+                freq = 200.0 + (i % 37) * 73.0
+                cycles = 1 + (i % 5)
+                phase = 2.0 * math.pi * (i % 7) / 7.0
+                t = np.arange(n, dtype=np.float64) / rate
+                env = 0.5 + 0.5 * np.sin(
+                    2.0 * math.pi * cycles * np.arange(n) / n + phase
+                )
+                mono = 0.8 * gain * env * np.sin(2.0 * math.pi * freq * t)
+                payloads.append(encode_wav16(mono, rate))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        op, "asset_id long, media_type string, payload binary"
+    )

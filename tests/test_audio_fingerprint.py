@@ -1,0 +1,79 @@
+"""Pins for C86 (SURVEY.md §2): audio energy-contour fingerprints and
+near-duplicate pairing — the audio member of the multimodal dedup triangle
+(image dHash C58, video scene hashing C69). The scale row runs as the
+rows-only ``audio_near_dups`` annex entry in tests/test_queries_oracle.py
+(binary decode has no SQL twin); these pin the semantics."""
+
+import numpy as np
+import pytest
+
+from insert_by_timeperiod_spark.operators import audio
+
+
+def _sig(i, gain=1.0, n=512):
+    rng = np.arange(n, dtype=np.float64)
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * (1 + i % 5) * rng / n + i)
+    return gain * env * np.sin(2 * np.pi * (200 + 70 * i) * rng / 8000)
+
+
+def test_fingerprint_is_gain_invariant():
+    s = _sig(3)
+    assert audio.afprint_samples(s) == audio.afprint_samples(0.25 * s)
+
+
+def test_fingerprint_mixes_channels_and_bounds():
+    s = _sig(5)
+    stereo = np.stack([s, s], axis=1)
+    assert audio.afprint_samples(stereo) == audio.afprint_samples(s)
+    # LongType-compatible
+    fp = audio.afprint_samples(s)
+    assert -(2**63) <= fp < 2**63
+
+
+def test_fingerprint_too_short_and_validation():
+    assert audio.afprint_samples(np.zeros(10)) is None
+    with pytest.raises(ValueError):
+        audio.afprint_samples(_sig(1), n_frames=66)
+    with pytest.raises(ValueError):
+        audio.afprint_samples(_sig(1), n_frames=1)
+
+
+def test_distinct_signals_differ():
+    a = audio.afprint_samples(_sig(3))
+    b = audio.afprint_samples(_sig(4))
+    assert bin((a ^ b) & (2**64 - 1)).count("1") > 4
+
+
+def test_quantized_gain_twin_lands_close():
+    # through the real int16 encode/decode at two gains: quantization may
+    # flip a bit near envelope extrema but must stay within the band gate
+    for i in (1, 9, 23):
+        a = audio.decode_wav_samples(audio.encode_wav16(_sig(i), 8000))
+        b = audio.decode_wav_samples(audio.encode_wav16(_sig(i, 0.5), 8000))
+        fa, fb = audio.afprint_samples(a), audio.afprint_samples(b)
+        assert bin((fa ^ fb) & (2**64 - 1)).count("1") <= 4
+
+
+def test_near_dup_pairs_find_planted_gain_twins(spark):
+    ids = spark.range(24).withColumnRenamed("id", "asset_id")
+    originals = audio.id_to_am_wav_payload(ids, "asset_id")
+    twins = audio.id_to_am_wav_payload(ids, "asset_id", gain=0.4).selectExpr(
+        "asset_id + 90000 AS asset_id", "media_type", "payload"
+    )
+    pairs = audio.near_dup_audio_pairs(originals.unionByName(twins))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(24):
+        assert (i, i + 90000) in got, f"planted twin {i} missed"
+
+
+def test_undecodable_payloads_get_null_and_are_excluded(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [1, 2], "payload": [b"not a wav", None]}
+        )
+    )
+    fps = audio.audio_fingerprints(df).collect()
+    assert all(r["afp"] is None for r in fps)
+    assert audio.near_dup_audio_pairs(df).count() == 0

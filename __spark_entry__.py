@@ -3067,6 +3067,23 @@ def _file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIDX_DIR = _SKIP_DIR + "_bloomidx"
+
+
+def _bloom_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C87 (annex, EXACT oracle): per-file Bloom index point lookup —
+    documents written as 8 randomly-partitioned files (high-cardinality
+    doc_id, useless min/max ranges BY DESIGN), indexed on doc_id, then a
+    point read through the index. No false negatives makes the pruned read
+    row-identical to the full-table filter, which is exactly the DuckDB
+    oracle; real skipping is pinned in tests/test_bloom_index.py."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang", "source", "n_chars")
+    docs.repartition(8).write.mode("overwrite").parquet(_BIDX_DIR)
+    idx = zorder.file_bloom_index(spark.read.parquet(_BIDX_DIR), "doc_id")
+    return zorder.bloom_pruned_read(spark, _BIDX_DIR, idx, "doc_id", 137)
+
+
 def _equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C70: equi-depth (quantile) binning — percentile edges from one
     aggregate broadcast back as a scan-stage assignment (the corpus never
@@ -3555,6 +3572,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "streaming_interval_join": _stream_interval_join,
         "video_scene_cuts": _video_scene_cuts,
         "file_skipping_zorder": _file_skipping,
+        "bloom_index_point_read": _bloom_index_read,
         "equi_depth_value_bins": _equi_depth,
         "event_transitions": _transitions,
         "chunk_bm25_passages": _chunk_bm25,
@@ -3733,6 +3751,10 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "file_skipping_zorder": zorder.file_skipping_sql(
             _SKIP_DIR + "/*.parquet", "user_id", 0, 3
+        ),
+        "bloom_index_point_read": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+            " WHERE doc_id = 137"
         ),
     }
 

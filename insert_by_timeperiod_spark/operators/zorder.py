@@ -175,3 +175,85 @@ SELECT parse_filename(filename) AS file,
 FROM read_parquet('{path_glob}', filename=true)
 GROUP BY parse_filename(filename)
 """
+
+
+# --------------------------------------------------- per-file Bloom index
+
+
+def file_bloom_index(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """Per-file Bloom-filter index over ``col`` (SURVEY.md §2 C87) — the
+    EQUALITY-predicate complement of min/max skipping (C68): a
+    high-cardinality unsorted column (user id, digest, URL) has useless
+    per-file ranges but razor-sharp membership, so a point lookup can skip
+    every file whose filter proves absence — the Delta bloom-index /
+    Iceberg puffin idiom reduced to its mechanism.
+
+    Returns (file, bloom) — one sparse ``map<int,bigint>`` word map per
+    file, built by C37's mergeable column-algebra blooms (xxhash64 bit
+    positions, map-side-combined ``bit_or`` — no UDF, no driver state)
+    grouped on ``input_file_name``. Index size is files x m_bits/64 longs
+    at most; persist it next to the table and rebuild per rewrite.
+    ``df`` must be a direct file scan (``spark.read.parquet(...)``) so
+    ``input_file_name`` is populated."""
+    from .bloom import bloom_build
+
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    base = df.select(fname.alias("file"), col)
+    return bloom_build(base, ["file"], col, m_bits=m_bits, k=k)
+
+
+def files_maybe_containing(
+    index: DataFrame,
+    value,
+    *,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+) -> list[str]:
+    """File names the index cannot rule out for ``col == value`` — every
+    file actually containing the value is present (no false negatives, so
+    a pruned read is EXACT); false positives only cost extra scanned
+    files at the configured rate. O(files) driver-side result — the same
+    metadata-sized collect as a partition listing.
+
+    ``xxhash64`` is TYPE-sensitive, so the probe must match the indexed
+    column's data type exactly: pass a Column (``F.lit(v).cast(...)``)
+    for anything a bare Python literal would mistype (e.g. ints probe a
+    bigint column as int32). :func:`bloom_pruned_read` does this cast
+    automatically from the table schema."""
+    from .bloom import might_contain
+
+    probe = value if isinstance(value, Column) else F.lit(value)
+    rows = index.where(
+        might_contain(F.col("bloom"), probe, m_bits=m_bits, k=k)
+    ).collect()
+    return sorted(r["file"] for r in rows)
+
+
+def bloom_pruned_read(
+    spark,
+    dir_path: str,
+    index: DataFrame,
+    col: str,
+    value,
+    *,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """Point lookup through the index: read ONLY the files the Bloom
+    filters cannot exclude, then apply the exact predicate. Result is
+    row-for-row identical to scanning the whole table (no false
+    negatives); cost is the surviving files only. Returns an empty frame
+    of the right schema when every file is excluded."""
+    full = spark.read.parquet(dir_path)
+    probe = F.lit(value).cast(full.schema[col].dataType)
+    files = files_maybe_containing(index, probe, m_bits=m_bits, k=k)
+    if not files:
+        return full.where(F.lit(False))
+    pruned = spark.read.parquet(*[f"{dir_path}/{f}" for f in files])
+    return pruned.where(F.col(col) == probe)

@@ -1,0 +1,80 @@
+"""Pins for C87 (SURVEY.md §2): per-file Bloom index — equality-predicate
+data skipping for high-cardinality unsorted columns. The engine-level
+exact oracle runs as the ``bloom_index_point_read`` annex row in
+tests/test_queries_oracle.py; these pin no-false-negatives, real skipping,
+and the empty-result contract."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import zorder
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    """8-file table of (uid, val) where uid is high-cardinality and
+    UNSORTED across files — min/max pruning is useless here by design."""
+    d = tempfile.mkdtemp(prefix="ibtp_bidx_") + "/t"
+    (
+        spark.range(4000)
+        .select(
+            (F.xxhash64("id") % 100000).alias("uid"),
+            F.col("id").alias("val"),
+        )
+        .repartition(8)
+        .write.parquet(d)
+    )
+    return d
+
+
+def _index(spark, table):
+    return zorder.file_bloom_index(spark.read.parquet(table), "uid").cache()
+
+
+def test_no_false_negatives_for_every_present_key(spark, table):
+    idx = _index(spark, table)
+    df = spark.read.parquet(table).withColumn(
+        "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    truth = {
+        (r["uid"], r["file"]) for r in df.select("uid", "file").collect()
+    }
+    # probe 50 present keys: the file actually holding each must survive
+    keys = sorted({u for u, _ in truth})[:50]
+    for u in keys:
+        maybe = set(
+            zorder.files_maybe_containing(
+                idx, F.lit(u).cast("bigint")
+            )
+        )
+        holds = {f for uu, f in truth if uu == u}
+        assert holds <= maybe, f"false negative for uid={u}"
+
+
+def test_pruned_read_equals_full_filter_and_skips_files(spark, table):
+    idx = _index(spark, table)
+    some_uid = spark.read.parquet(table).select("uid").first()["uid"]
+    got = sorted(
+        tuple(r)
+        for r in zorder.bloom_pruned_read(
+            spark, table, idx, "uid", some_uid
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(table)
+        .where(F.col("uid") == some_uid)
+        .collect()
+    )
+    assert got == want and got
+    # a single uid lives in few files; the index must actually skip some
+    assert len(zorder.files_maybe_containing(idx, some_uid)) < 8
+
+
+def test_absent_key_returns_empty_with_schema(spark, table):
+    idx = _index(spark, table)
+    out = zorder.bloom_pruned_read(spark, table, idx, "uid", -12345678)
+    assert out.count() == 0
+    assert set(out.columns) == {"uid", "val"}

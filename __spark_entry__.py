@@ -66,6 +66,7 @@ from insert_by_timeperiod_spark.operators import (
     lmscore,
     multimodal,
     packing,
+    provenance,
     sampling,
     bloom,
     similarity,
@@ -3084,6 +3085,26 @@ def _bloom_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder.bloom_pruned_read(spark, _BIDX_DIR, idx, "doc_id", 137)
 
 
+_PROV_DIR = _SKIP_DIR + "_prov"
+_PROV_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _provenance_stamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C88 (annex, EXACT oracle): row provenance — documents written as
+    4 files, every row stamped with its source file base name and an
+    engine-portable md5 content fingerprint (NULL-sentineled rendering).
+    The DuckDB twin reads the SAME files with filename=true and recomputes
+    the identical fingerprint, so file attribution AND the fingerprint
+    contract are both hash-checked; the O(files) trace-back path is pinned
+    in tests/test_provenance.py."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(*_PROV_COLS)
+    docs.repartition(4).write.mode("overwrite").parquet(_PROV_DIR)
+    return provenance.with_provenance(
+        spark.read.parquet(_PROV_DIR), _PROV_COLS
+    )
+
+
 def _equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C70: equi-depth (quantile) binning — percentile edges from one
     aggregate broadcast back as a scan-stage assignment (the corpus never
@@ -3573,6 +3594,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "video_scene_cuts": _video_scene_cuts,
         "file_skipping_zorder": _file_skipping,
         "bloom_index_point_read": _bloom_index_read,
+        "provenance_stamped": _provenance_stamped,
         "equi_depth_value_bins": _equi_depth,
         "event_transitions": _transitions,
         "chunk_bm25_passages": _chunk_bm25,
@@ -3755,6 +3777,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "bloom_index_point_read": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
             " WHERE doc_id = 137"
+        ),
+        "provenance_stamped": provenance.with_provenance_sql(
+            _PROV_DIR + "/*.parquet", _PROV_COLS
         ),
     }
 

@@ -1,0 +1,126 @@
+"""Row-level provenance / lineage (SURVEY.md §2 C88) — the debugging
+primitive a 100 TB pipeline reaches for when one bad row surfaces three
+stages downstream: stamp every row with WHERE it came from (source file)
+and WHAT it was (an engine-portable content fingerprint), and find the
+file holding any fingerprint again in O(files) via the C87 Bloom index.
+
+Scale shape: stamping is pure scan-stage column algebra
+(``input_file_name`` is scan metadata; the fingerprint is one
+``md5(concat_ws(...))`` over the selected columns — JVM-side, zero
+shuffles, zero UDFs). The trace-back path indexes the fingerprint column
+per file (C87) and probes it — O(files) metadata + one or two surviving
+files read, never a table scan.
+
+Cross-engine exactness: the fingerprint is md5 over a field-separated,
+NULL-sentineled rendering of the columns — DuckDB computes the identical
+string (`row_fingerprint_sql`), so provenance rows oracle exactly. md5
+(not xxhash64) is the deliberate choice here: lineage ids outlive any one
+engine, so they must be recomputable everywhere.
+
+NULL vs empty-string ambiguity is closed by a unit-separator sentinel
+(\\x1e for NULL, \\x1f between fields) — ('a', NULL) and ('a', '') render
+differently. Column ORDER is part of the contract (callers pass an
+explicit list or accept the frame's order, same as any hash contract).
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: field separator / NULL sentinel inside the fingerprint rendering
+SEP = "\x1f"
+NULL_MARK = "\x1e"
+
+
+def row_fingerprint(cols: list[Column | str]) -> Column:
+    """32-hex md5 over the NULL-sentineled, separator-joined rendering of
+    ``cols`` (cast to string) — stable across engines and sessions."""
+    if not cols:
+        raise ValueError("row_fingerprint: need at least one column")
+    rendered = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit(NULL_MARK),
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws(SEP, *rendered))
+
+
+def with_provenance(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    file_col: str = "src_file",
+    fp_col: str = "row_fp",
+) -> DataFrame:
+    """Stamp every row with (source file base name, content fingerprint).
+    ``cols`` defaults to all current columns in frame order; pass an
+    explicit list to pin the contract against later schema evolution.
+    ``df`` must be a direct file scan for ``src_file`` to be populated
+    (otherwise it is empty-string, Spark's contract for derived rows)."""
+    use = cols if cols is not None else list(df.columns)
+    for c in (file_col, fp_col):
+        if c in df.columns:
+            raise ValueError(f"with_provenance: column {c!r} already exists")
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return df.select(
+        "*",
+        fname.alias(file_col),
+        row_fingerprint(use).alias(fp_col),
+    )
+
+
+def trace_fingerprint(
+    spark,
+    dir_path: str,
+    fingerprint: str,
+    cols: list[str] | None = None,
+    *,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """Find the row(s) with ``fingerprint`` in a parquet table WITHOUT a
+    full scan: build (or rebuild) the C87 per-file Bloom index over the
+    fingerprint expression, prune to the files that might contain it, and
+    return the matching stamped rows. Index construction is one scan —
+    amortize it by persisting ``file_bloom_index``'s output next to the
+    table and probing that instead; this convenience form is the
+    one-shot path."""
+    from .zorder import file_bloom_index, files_maybe_containing
+
+    stamped = with_provenance(spark.read.parquet(dir_path), cols)
+    idx = file_bloom_index(stamped, "row_fp", m_bits=m_bits, k=k)
+    files = files_maybe_containing(idx, fingerprint, m_bits=m_bits, k=k)
+    if not files:
+        return stamped.where(F.lit(False))
+    pruned = with_provenance(
+        spark.read.parquet(*[f"{dir_path}/{f}" for f in files]), cols
+    )
+    return pruned.where(F.col("row_fp") == fingerprint)
+
+
+# ------------------------------------------------------------ DuckDB twins
+
+
+def row_fingerprint_sql(cols: list[str]) -> str:
+    """DuckDB twin of :func:`row_fingerprint` (identical rendering)."""
+    if not cols:
+        raise ValueError("row_fingerprint_sql: need at least one column")
+    rendered = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(30))" for c in cols
+    )
+    return f"md5(concat_ws(chr(31), {rendered}))"
+
+
+def with_provenance_sql(path_glob: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`with_provenance` over the same parquet files
+    (base-name file column, identical fingerprint)."""
+    sel = ", ".join(cols)
+    return (
+        f"SELECT {sel}, parse_filename(filename) AS src_file,"
+        f" {row_fingerprint_sql(cols)} AS row_fp"
+        f" FROM read_parquet('{path_glob}', filename=true)"
+    )

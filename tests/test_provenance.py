@@ -1,0 +1,78 @@
+"""Pins for C88 (SURVEY.md §2): row provenance stamping and fingerprint
+trace-back. The sf-scale exact oracle runs as the ``provenance_stamped``
+annex row in tests/test_queries_oracle.py; these pin the fingerprint
+contract and the O(files) trace path."""
+
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import provenance
+
+
+def test_fingerprint_matches_duckdb_and_distinguishes_null_from_empty(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", ""), (None, "b"), ("x", "y")],
+        "c1 string, c2 string",
+    )
+    got = [
+        r["fp"]
+        for r in df.select(
+            provenance.row_fingerprint(["c1", "c2"]).alias("fp")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(c1 VARCHAR, c2 VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [("a", None), ("a", ""), (None, "b"), ("x", "y")],
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {provenance.row_fingerprint_sql(['c1', 'c2'])} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+    assert len(set(got)) == 4  # NULL vs '' do NOT collide
+
+
+def test_with_provenance_stamps_file_and_guards_collisions(spark):
+    d = tempfile.mkdtemp(prefix="ibtp_prov_") + "/t"
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    ).repartition(4).write.parquet(d)
+    stamped = provenance.with_provenance(spark.read.parquet(d))
+    rows = stamped.collect()
+    assert all(r["src_file"].endswith(".parquet") for r in rows)
+    assert len({r["row_fp"] for r in rows}) == 100  # ids are distinct
+    with pytest.raises(ValueError):
+        provenance.with_provenance(stamped)  # row_fp already present
+
+
+def test_trace_fingerprint_finds_the_row_in_few_files(spark):
+    d = tempfile.mkdtemp(prefix="ibtp_trace_") + "/t"
+    spark.range(2000).select(
+        F.col("id"), (F.xxhash64("id") % 1000).alias("v")
+    ).repartition(8).write.parquet(d)
+    stamped = provenance.with_provenance(spark.read.parquet(d))
+    target = stamped.where(F.col("id") == 1234).collect()[0]
+    hit = provenance.trace_fingerprint(spark, d, target["row_fp"]).collect()
+    assert len(hit) == 1
+    assert hit[0]["id"] == 1234 and hit[0]["src_file"] == target["src_file"]
+
+
+def test_trace_absent_fingerprint_is_empty(spark):
+    d = tempfile.mkdtemp(prefix="ibtp_trace0_") + "/t"
+    spark.range(50).write.parquet(d)
+    out = provenance.trace_fingerprint(spark, d, "0" * 32)
+    assert out.count() == 0
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        provenance.row_fingerprint([])
+    with pytest.raises(ValueError):
+        provenance.row_fingerprint_sql([])

@@ -67,6 +67,7 @@ from insert_by_timeperiod_spark.operators import (
     multimodal,
     packing,
     provenance,
+    rollup,
     sampling,
     bloom,
     similarity,
@@ -3085,6 +3086,37 @@ def _bloom_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder.bloom_pruned_read(spark, _BIDX_DIR, idx, "doc_id", 137)
 
 
+_ROLLUP_DIR = _SKIP_DIR + "_rollup"
+
+
+def _agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C89 (annex, EXACT oracle): incremental additive-aggregate
+    rollup — events folded in three period batches (with one batch
+    REPLAYED to exercise the ledger no-op) must equal the from-scratch
+    per-user aggregate DuckDB computes over the whole table. DECIMAL(38,6)
+    accumulation on both sides makes the equality bit-exact."""
+    _prep(spark, sf_dir)
+    from insert_by_timeperiod_spark.fs import HadoopFS
+
+    HadoopFS(spark, _ROLLUP_DIR).delete(_ROLLUP_DIR)  # fresh fold per run
+    ev = spark.table("events").select("user_id", "ts", "value")
+    windows = [("2024-01-01", "2024-01-10"), ("2024-01-10", "2024-01-20"),
+               ("2024-01-20", "2024-02-01")]
+    out = None
+    for lo, hi in windows:
+        b = ev.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        out = rollup.agg_rollup_update(
+            b, _ROLLUP_DIR, ["user_id"], "value", batch_id=f"{lo}..{hi}"
+        )
+    # replay the middle batch: must be a detected no-op
+    lo, hi = windows[1]
+    out = rollup.agg_rollup_update(
+        ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        _ROLLUP_DIR, ["user_id"], "value", batch_id=f"{lo}..{hi}",
+    )
+    return out
+
+
 _PROV_DIR = _SKIP_DIR + "_prov"
 _PROV_COLS = ["doc_id", "lang", "source", "n_chars"]
 
@@ -3595,6 +3627,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "file_skipping_zorder": _file_skipping,
         "bloom_index_point_read": _bloom_index_read,
         "provenance_stamped": _provenance_stamped,
+        "agg_rollup_periods": _agg_rollup,
         "equi_depth_value_bins": _equi_depth,
         "event_transitions": _transitions,
         "chunk_bm25_passages": _chunk_bm25,
@@ -3780,6 +3813,12 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "provenance_stamped": provenance.with_provenance_sql(
             _PROV_DIR + "/*.parquet", _PROV_COLS
+        ),
+        "agg_rollup_periods": rollup.agg_rollup_sql(
+            "(SELECT user_id, value FROM events"
+            " WHERE ts >= DATE '2024-01-01' AND ts < DATE '2024-02-01')",
+            ["user_id"],
+            "value",
         ),
     }
 

@@ -1,0 +1,184 @@
+"""Incremental additive-aggregate rollup state (SURVEY.md §2 C89) — the
+exact sibling of C82's HLL rollup: maintain per-group count/sum/min/max
+(and derived mean) across ingest batches WITHOUT ever re-reading history.
+This is materialized-aggregate maintenance, the standing dashboard query
+("rows and revenue per customer per day, updated per ingest") that a
+100 TB pipeline cannot afford to recompute from scratch.
+
+The hard part additive aggregates add over HLL is REPLAY: register-max is
+idempotent, sums are not — re-folding a crashed-and-retried batch would
+double-count. The state therefore carries a folded-batch ledger
+(``_folded.json``) INSIDE the state directory, and updates publish by
+staged-directory atomic swap (stage → rename old away → rename stage in —
+table.py's full-refresh idiom), so data and ledger can never disagree: a
+reader (or a retry) sees the old complete state or the new one. Replaying
+a folded ``batch_id`` is a detected no-op, and a crash between the two
+renames is healed by ``_recover`` (the newest complete stage/backup is
+reinstated).
+
+Scale shape: each update costs one map-side-combined aggregate of the
+BATCH (groups-sized output) plus a read-merge-write of the groups-sized
+state — O(batch + groups), never O(history). Sums accumulate as
+DECIMAL(38,6) so the folded state is bit-for-bit the from-scratch
+aggregate (the engine's cross-engine DECIMAL contract), which is exactly
+what the DuckDB oracle checks.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+_DEC = "decimal(38,6)"
+
+
+def _partial(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    v = F.col(value_col).cast(_DEC)
+    return df.groupBy(*group_cols).agg(
+        F.count(v).cast("bigint").alias("n_rows"),
+        F.sum(v).cast(_DEC).alias("sum_v"),
+        F.min(v).cast(_DEC).alias("min_v"),
+        F.max(v).cast(_DEC).alias("max_v"),
+    )
+
+
+def _merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("sum_v").cast(_DEC).alias("sum_v"),
+        F.min("min_v").cast(_DEC).alias("min_v"),
+        F.max("max_v").cast(_DEC).alias("max_v"),
+    )
+
+
+def _present(merged: DataFrame, group_cols: list[str]) -> DataFrame:
+    """External shape: doubles + 6-decimal mean (the repo's cross-engine
+    float contract); the state keeps the exact decimals internally."""
+    return merged.select(
+        *group_cols,
+        F.col("n_rows"),
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+        F.round(
+            F.col("sum_v").cast("double") / F.col("n_rows"), 6
+        ).alias("avg_v"),
+    )
+
+
+def _data_dir(state_path: str) -> str:
+    return f"{state_path}/state"
+
+
+def _recover(fs, state_path: str) -> None:
+    """Heal a crash between the swap's two renames: if the live dir is
+    missing, reinstate the newest complete candidate (backup first — it
+    was the live state — else a finished stage, recognizable by its
+    ledger)."""
+    data = _data_dir(state_path)
+    if fs.is_dir(data) or not fs.is_dir(state_path):
+        return
+    for prefix in ("_old_", "_stage_"):
+        cands = sorted(
+            n for n in fs.listdir(state_path) if n.startswith(prefix)
+        )
+        for n in reversed(cands):
+            if fs.exists(f"{state_path}/{n}/_folded.json"):
+                fs.rename(f"{state_path}/{n}", data)
+                return
+
+
+def _folded(fs, state_path: str) -> set[str]:
+    p = f"{_data_dir(state_path)}/_folded.json"
+    if not fs.exists(p):
+        return set()
+    return set(json.loads(fs.read_text(p)))
+
+
+def agg_rollup_update(
+    new_df: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    batch_id: str,
+    update_state: bool = True,
+) -> DataFrame:
+    """Fold one ingest batch into the rollup state and return the updated
+    rollup ``(group_cols..., n_rows, sum_v, min_v, max_v, avg_v)``.
+    ``batch_id`` must uniquely name the batch (period string, file name,
+    stream batch id): re-folding an already-ledgered id is a detected
+    no-op that simply returns the current state — the crash-retry
+    contract. ``update_state=False`` previews the merge without
+    publishing."""
+    if not batch_id:
+        raise ValueError("agg_rollup_update: batch_id is required")
+    spark = new_df.sparkSession
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, state_path)
+    _recover(fs, state_path)
+    data = _data_dir(state_path)
+    done = _folded(fs, state_path)
+    if batch_id in done:
+        return _present(spark.read.parquet(data), group_cols)
+    batch = _partial(new_df, group_cols, value_col)
+    if fs.is_dir(data):
+        merged = _merge(
+            spark.read.parquet(data).unionByName(batch), group_cols
+        )
+    else:
+        merged = batch
+    # detach from the state files before overwriting them; the rollup also
+    # feeds both the publish and the returned frame
+    merged = merged.localCheckpoint(eager=True)
+    if update_state:
+        stage = f"{state_path}/_stage_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(stage)
+        fs.write_text_atomic(
+            f"{stage}/_folded.json", json.dumps(sorted(done | {batch_id}))
+        )
+        backup = None
+        if fs.is_dir(data):
+            backup = f"{state_path}/_old_{uuid.uuid4().hex[:8]}"
+            fs.rename(data, backup)
+        fs.rename(stage, data)
+        if backup:
+            fs.delete(backup)
+    return _present(merged, group_cols)
+
+
+def agg_rollup_read(spark, state_path: str, group_cols: list[str]) -> DataFrame:
+    """Current rollup without folding anything (healing a half-finished
+    swap first)."""
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, state_path)
+    _recover(fs, state_path)
+    return _present(spark.read.parquet(_data_dir(state_path)), group_cols)
+
+
+def agg_rollup_sql(
+    source: str,
+    group_cols: list[str],
+    value_col: str,
+) -> str:
+    """DuckDB twin: the FROM-SCRATCH aggregate over everything the state
+    has folded — equality with the incrementally-maintained state is the
+    exactness claim (DECIMAL(38,6) accumulation on both sides)."""
+    g = ", ".join(group_cols)
+    v = f"CAST({value_col} AS DECIMAL(38,6))"
+    return f"""
+SELECT {g},
+       CAST(COUNT({v}) AS BIGINT) AS n_rows,
+       CAST(SUM({v}) AS DOUBLE) AS sum_v,
+       CAST(MIN({v}) AS DOUBLE) AS min_v,
+       CAST(MAX({v}) AS DOUBLE) AS max_v,
+       round(CAST(SUM({v}) AS DOUBLE) / COUNT({v}), 6) AS avg_v
+FROM {source}
+GROUP BY {g}
+"""

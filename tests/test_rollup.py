@@ -1,0 +1,87 @@
+"""Pins for C89 (SURVEY.md §2): incremental additive-aggregate rollup
+state — folded state must equal the from-scratch aggregate exactly,
+replays must be detected no-ops, and half-finished swaps must heal. The
+sf-scale exact oracle runs as the ``agg_rollup_periods`` annex row in
+tests/test_queries_oracle.py."""
+
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.fs import HadoopFS
+from insert_by_timeperiod_spark.operators import rollup
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 7 % 101).cast("double").alias("v"),
+    )
+
+
+def _state(spark, *, batches=((0, 400), (400, 900), (900, 1000))):
+    p = tempfile.mkdtemp(prefix="ibtp_roll_") + "/s"
+    out = None
+    for i, (lo, hi) in enumerate(batches):
+        out = rollup.agg_rollup_update(
+            _batch(spark, lo, hi), p, ["g"], "v", batch_id=f"b{i}"
+        )
+    return p, out
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_folded_state_equals_from_scratch(spark):
+    _, out = _state(spark)
+    want = _rows(
+        rollup._present(rollup._partial(_batch(spark, 0, 1000), ["g"], "v"), ["g"])
+    )
+    assert _rows(out) == want
+    # and against an independent engine
+    duck = duckdb.sql(
+        rollup.agg_rollup_sql(
+            "(SELECT i % 5 AS g, CAST(i * 7 % 101 AS DOUBLE) AS v"
+            " FROM range(0, 1000) t(i))",
+            ["g"],
+            "v",
+        )
+    ).fetchall()
+    assert _rows(out) == sorted(tuple(r) for r in duck)
+
+
+def test_replay_is_a_detected_noop(spark):
+    p, out = _state(spark)
+    again = rollup.agg_rollup_update(
+        _batch(spark, 400, 900), p, ["g"], "v", batch_id="b1"
+    )
+    assert _rows(again) == _rows(out)  # bit-identical, not re-folded
+
+
+def test_preview_does_not_publish(spark):
+    p, out = _state(spark)
+    rollup.agg_rollup_update(
+        _batch(spark, 5000, 6000), p, ["g"], "v",
+        batch_id="bx", update_state=False,
+    )
+    assert _rows(rollup.agg_rollup_read(spark, p, ["g"])) == _rows(out)
+
+
+def test_half_finished_swap_heals(spark):
+    p, out = _state(spark)
+    fs = HadoopFS(spark, p)
+    # simulate a crash after `rename(data, backup)` and before the stage
+    # rename: live dir missing, backup present
+    fs.rename(f"{p}/state", f"{p}/_old_deadbeef")
+    healed = rollup.agg_rollup_read(spark, p, ["g"])
+    assert _rows(healed) == _rows(out)
+
+
+def test_batch_id_required(spark):
+    with pytest.raises(ValueError):
+        rollup.agg_rollup_update(
+            _batch(spark, 0, 10), "/tmp/x", ["g"], "v", batch_id=""
+        )

@@ -3117,6 +3117,44 @@ def _agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_DDROLL_DIR = _SKIP_DIR + "_ddroll"
+
+
+def _dd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C90 (annex, EXACT oracle): incremental quantile rollup — three
+    period batches of events.value folded into the ledgered DDSketch state
+    (one batch REPLAYED to exercise the no-op), quantiles read off the
+    folded state. Counter-addition merges make the folded state
+    bit-for-bit the one-shot sketch, so C41's deterministic log-γ DuckDB
+    twin is this row's oracle too."""
+    from insert_by_timeperiod_spark.fs import HadoopFS
+
+    _prep(spark, sf_dir)
+    HadoopFS(spark, _DDROLL_DIR).delete(_DDROLL_DIR)
+    ev = spark.table("events").select("event_type", "ts", "value")
+    windows = [("2024-01-01", "2024-01-10"), ("2024-01-10", "2024-01-20"),
+               ("2024-01-20", "2024-02-01")]
+    out = None
+    for lo, hi in windows:
+        b = ev.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        out = rollup.dd_rollup_update(
+            b, _DDROLL_DIR, ["event_type"], "value", batch_id=f"{lo}..{hi}",
+            quantiles=(0.5, 0.95, 0.99),
+        )
+    lo, hi = windows[1]  # replay: detected no-op
+    out = rollup.dd_rollup_update(
+        ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        _DDROLL_DIR, ["event_type"], "value", batch_id=f"{lo}..{hi}",
+        quantiles=(0.5, 0.95, 0.99),
+    )
+    return out.select(
+        "event_type",
+        F.col("p50").alias("q50"),
+        F.col("p95").alias("q95"),
+        F.col("p99").alias("q99"),
+    )
+
+
 _PROV_DIR = _SKIP_DIR + "_prov"
 _PROV_COLS = ["doc_id", "lang", "source", "n_chars"]
 
@@ -3628,6 +3666,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_index_point_read": _bloom_index_read,
         "provenance_stamped": _provenance_stamped,
         "agg_rollup_periods": _agg_rollup,
+        "dd_rollup_periods": _dd_rollup,
         "equi_depth_value_bins": _equi_depth,
         "event_transitions": _transitions,
         "chunk_bm25_passages": _chunk_bm25,
@@ -3694,6 +3733,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "pmi_collocations": collocations.pmi_sql("documents", top_n=25, min_count=5),
         "cm_topk_words": CM_TOPK_DUCK,
         "dd_latency_quantiles": _dd_latency_duck(),
+        # folded state == one-shot sketch (exact counter merges), so the
+        # same deterministic log-γ twin oracles the ledgered rollup
+        "dd_rollup_periods": _dd_latency_duck(),
         "dedup_incremental": INCR_DEDUP_DUCK,
         "fuzzy_name_pairs": FUZZY_PAIRS_DUCK,
         "pipeline_pretrain": _pipeline_pretrain_duck(),

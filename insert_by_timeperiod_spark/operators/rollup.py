@@ -137,19 +137,25 @@ def agg_rollup_update(
     # feeds both the publish and the returned frame
     merged = merged.localCheckpoint(eager=True)
     if update_state:
-        stage = f"{state_path}/_stage_{uuid.uuid4().hex[:8]}"
-        merged.write.parquet(stage)
-        fs.write_text_atomic(
-            f"{stage}/_folded.json", json.dumps(sorted(done | {batch_id}))
-        )
-        backup = None
-        if fs.is_dir(data):
-            backup = f"{state_path}/_old_{uuid.uuid4().hex[:8]}"
-            fs.rename(data, backup)
-        fs.rename(stage, data)
-        if backup:
-            fs.delete(backup)
+        _publish(fs, state_path, merged, done | {batch_id})
     return _present(merged, group_cols)
+
+
+def _publish(fs, state_path: str, merged: DataFrame, done: set[str]) -> None:
+    """Staged-directory atomic swap of state + ledger (shared by every
+    ledgered rollup): a reader or retry sees the old complete (data,
+    ledger) pair or the new one, never a mix."""
+    data = _data_dir(state_path)
+    stage = f"{state_path}/_stage_{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(stage)
+    fs.write_text_atomic(f"{stage}/_folded.json", json.dumps(sorted(done)))
+    backup = None
+    if fs.is_dir(data):
+        backup = f"{state_path}/_old_{uuid.uuid4().hex[:8]}"
+        fs.rename(data, backup)
+    fs.rename(stage, data)
+    if backup:
+        fs.delete(backup)
 
 
 def agg_rollup_read(spark, state_path: str, group_cols: list[str]) -> DataFrame:
@@ -182,3 +188,60 @@ SELECT {g},
 FROM {source}
 GROUP BY {g}
 """
+
+
+def dd_rollup_update(
+    new_df: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    batch_id: str,
+    alpha: float | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    update_state: bool = True,
+) -> DataFrame:
+    """Incremental QUANTILE rollup (SURVEY.md §2 C90): fold each batch's
+    DDSketch (C41) into a ledgered per-group state and return
+    ``(group_cols..., dd, p<q>...)`` — latency/length percentiles per
+    group, updated per ingest, history never re-read. DDSketch merges are
+    counter addition, so the folded state is bit-for-bit the one-shot
+    sketch of all folded batches (the pinned C41 invariant) — but counter
+    addition double-counts on replay exactly like C89's sums, so this
+    reuses the same folded-batch ledger + staged-swap publish; replaying
+    a ledgered ``batch_id`` is a detected no-op."""
+    from .sketch import DD_ALPHA, dd_merge, dd_quantile, dd_sketch
+
+    if not batch_id:
+        raise ValueError("dd_rollup_update: batch_id is required")
+    a = DD_ALPHA if alpha is None else alpha
+    spark = new_df.sparkSession
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, state_path)
+    _recover(fs, state_path)
+    data = _data_dir(state_path)
+    done = _folded(fs, state_path)
+
+    def present(df: DataFrame) -> DataFrame:
+        qcols = [
+            dd_quantile(F.col("dd"), q, alpha=a).alias(
+                f"p{int(q * 100):02d}"
+            )
+            for q in quantiles
+        ]
+        return df.select(*group_cols, F.col("dd"), *qcols)
+
+    if batch_id in done:
+        return present(spark.read.parquet(data))
+    batch = dd_sketch(new_df, group_cols, value_col, alpha=a)
+    if fs.is_dir(data):
+        merged = dd_merge(
+            spark.read.parquet(data).unionByName(batch), group_cols
+        )
+    else:
+        merged = batch
+    merged = merged.localCheckpoint(eager=True)
+    if update_state:
+        _publish(fs, state_path, merged, done | {batch_id})
+    return present(merged)

@@ -85,3 +85,43 @@ def test_batch_id_required(spark):
         rollup.agg_rollup_update(
             _batch(spark, 0, 10), "/tmp/x", ["g"], "v", batch_id=""
         )
+
+
+# ----------------------------------------------------------------- C90 dd
+
+
+def test_dd_folded_state_equals_one_shot_sketch(spark):
+    from insert_by_timeperiod_spark.operators import sketch
+
+    p = tempfile.mkdtemp(prefix="ibtp_ddroll_") + "/s"
+
+    def vals(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 13 % 997).cast("double").alias("v"),
+        )
+
+    out = None
+    for i, (lo, hi) in enumerate(((0, 300), (300, 800), (800, 1000))):
+        out = rollup.dd_rollup_update(
+            vals(lo, hi), p, ["g"], "v", batch_id=f"b{i}"
+        )
+    want = {
+        r["g"]: r["dd"]
+        for r in sketch.dd_sketch(vals(0, 1000), ["g"], "v").collect()
+    }
+    got = {r["g"]: r["dd"] for r in out.collect()}
+    assert got == want  # bit-for-bit the one-shot union sketch
+
+
+def test_dd_replay_noop_and_quantile_sanity(spark):
+    p = tempfile.mkdtemp(prefix="ibtp_ddroll2_") + "/s"
+    df = spark.range(1, 1001).select(
+        F.lit(0).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    out1 = rollup.dd_rollup_update(df, p, ["g"], "v", batch_id="b0")
+    out2 = rollup.dd_rollup_update(df, p, ["g"], "v", batch_id="b0")
+    r1, r2 = out1.collect()[0], out2.collect()[0]
+    assert r1["dd"] == r2["dd"]  # replay did not double-count
+    assert abs(r1["p50"] - 500) / 500 < 0.03  # within ~alpha of truth
+    assert abs(r1["p99"] - 990) / 990 < 0.03

@@ -95,6 +95,14 @@ QUERIES = [
     # the concurrent-staging period loop (write-path scale point like the
     # other engine_* rows; shows what concurrent_batches buys at volume)
     "engine_concurrent_build",
+    # round-7 eighth-batch operators: HTML extraction + outlink-domain
+    # chain, duplicate-span removal, and the ledgered rollup / bloom-index
+    # write-path points
+    "html_extract_text",
+    "html_outlink_domains",
+    "dedup_spans_removed",
+    "agg_rollup_periods",
+    "bloom_index_point_read",
 ]
 
 
@@ -207,7 +215,14 @@ def main() -> None:
     # parquet writes + commit protocol / digest-state seeding + appends);
     # their DuckDB oracles only compute the query — so also report the
     # apples-to-apples ratio over the pure-query entries
-    materializing = {"dedup_incremental", "txnlog_vacuum"}
+    materializing = {
+        "dedup_incremental",
+        "txnlog_vacuum",
+        # ledgered state folds / index build write parquet; their oracles
+        # only compute the query
+        "agg_rollup_periods",
+        "bloom_index_point_read",
+    }
     q_only = {
         k: v
         for k, v in out.items()

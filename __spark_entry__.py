@@ -620,6 +620,36 @@ GROUP BY ROLLUP(r.r_name, n.n_name)
 """
 
 # C9: CUBE — all four grouping combinations; same portable shape as ROLLUP
+#: TPC-H Q6 shape (annex): scan-stage conjunctive filter + single global
+#: aggregate — the pure predicate-pushdown benchmark; DECIMAL contract as
+#: everywhere (fast-sum rewrite applies outside oracle mode)
+Q6_FORECAST = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+#: TPC-H Q14 shape (annex): fact-dim join + conditional aggregate ratio
+Q14_PROMO = """
+SELECT round(
+         100.0
+         * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1996-07-01'
+"""
+
 CUBE_SQL = """
 SELECT r.r_name AS region, c.c_mktsegment AS segment,
        CAST(GROUPING(r.r_name) AS INT) AS g_region,
@@ -3583,6 +3613,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             source_timestamp_field="ts",
         ),
         "cube_acctbal": _sql(CUBE_SQL),
+        "q6_forecast_revenue": _sql(Q6_FORECAST),
+        "q14_promo_revenue": _sql(Q14_PROMO),
         "case_buckets": _sql(CASE_BUCKETS),
         "anti_join_customers": _sql(ANTI_JOIN),
         "grouping_sets_events": _sql(GROUPING_SETS_SQL),
@@ -3696,6 +3728,8 @@ def pytest_only_oracles() -> dict[str, str]:
             FROM events GROUP BY user_id, CAST(ts AS DATE)
         """,
         "cube_acctbal": CUBE_SQL,
+        "q6_forecast_revenue": Q6_FORECAST,
+        "q14_promo_revenue": Q14_PROMO,
         "case_buckets": CASE_BUCKETS,
         "anti_join_customers": ANTI_JOIN,
         "grouping_sets_events": GROUPING_SETS_SQL,

@@ -3185,6 +3185,37 @@ def _dd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAMROLL_DIR = _SKIP_DIR + "_streamroll"
+
+
+def _stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C91 (annex, EXACT oracle): STREAMING rollup maintenance —
+    events replayed as a 3-file micro-batch stream (availableNow) folding
+    into the C89 ledgered state; the standing readout must equal DuckDB's
+    from-scratch per-user aggregate over the whole table. foreachBatch
+    replay safety rides the ledger (pinned in tests/test_rollup.py)."""
+    from insert_by_timeperiod_spark.fs import HadoopFS
+    from insert_by_timeperiod_spark.streaming import RollupStream
+
+    _prep(spark, sf_dir)
+    HadoopFS(spark, _STREAMROLL_DIR).delete(_STREAMROLL_DIR)
+    src = f"{_STREAMROLL_DIR}/src"
+    (
+        spark.table("events").select("user_id", "value")
+        .repartition(3).write.parquet(src)
+    )
+    sink = RollupStream(f"{_STREAMROLL_DIR}/agg", ["user_id"], "value")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink.run_available_now(stream, f"{_STREAMROLL_DIR}/ckpt")
+    from insert_by_timeperiod_spark.operators.rollup import agg_rollup_read
+
+    return agg_rollup_read(spark, f"{_STREAMROLL_DIR}/agg", ["user_id"])
+
+
 _PROV_DIR = _SKIP_DIR + "_prov"
 _PROV_COLS = ["doc_id", "lang", "source", "n_chars"]
 
@@ -3699,6 +3730,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "provenance_stamped": _provenance_stamped,
         "agg_rollup_periods": _agg_rollup,
         "dd_rollup_periods": _dd_rollup,
+        "stream_rollup_events": _stream_rollup,
         "equi_depth_value_bins": _equi_depth,
         "event_transitions": _transitions,
         "chunk_bm25_passages": _chunk_bm25,
@@ -3889,6 +3921,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "provenance_stamped": provenance.with_provenance_sql(
             _PROV_DIR + "/*.parquet", _PROV_COLS
+        ),
+        "stream_rollup_events": rollup.agg_rollup_sql(
+            "(SELECT user_id, value FROM events)", ["user_id"], "value"
         ),
         "agg_rollup_periods": rollup.agg_rollup_sql(
             "(SELECT user_id, value FROM events"

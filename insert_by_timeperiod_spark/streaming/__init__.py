@@ -20,11 +20,13 @@ provides the genuine Structured Streaming counterparts:
 from .dedup import NearDedupStream, dedup_stream, dedup_stream_by_content
 from .expectations import StreamExpectations
 from .micro_batch import StreamToPeriodTable
+from .rollups import RollupStream
 from .stateful import sessionize_stream
 from .windows import event_time_windowed
 
 __all__ = [
     "NearDedupStream",
+    "RollupStream",
     "StreamExpectations",
     "StreamToPeriodTable",
     "dedup_stream",

@@ -1,0 +1,64 @@
+"""Streaming rollup maintenance (SURVEY.md §2 C91) — the streaming twin of
+the C89/C90 ledgered rollup states: every micro-batch folds into the same
+persistent per-group aggregates (count/sum/min/max/mean, and optionally
+DDSketch quantiles) that a batch backfill folds into — identical state,
+identical policy, the batch/stream symmetry the period sink and the C57
+near-dedup stream already have.
+
+Exactly-once WITHOUT the engine's state store: ``foreachBatch`` is
+at-least-once, but Spark's contract is that a replayed epoch re-delivers
+the SAME ``batch_id`` with the SAME data — and folding is keyed by that id
+in the rollup's folded-batch ledger, so a replay is a detected no-op. The
+streaming path therefore inherits C89's crash-retry proof instead of
+needing its own; state size stays O(groups) (+ O(groups·buckets) for the
+sketch) at any stream length, and the standing readout is available to ANY
+reader via ``agg_rollup_read`` while the stream runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class RollupStream:
+    """Drive the ledgered rollup states from a stream. Each micro-batch
+    folds ``value_col`` by ``group_cols`` into ``state_path`` (additive
+    aggregates), and — when ``dd_state_path`` is given — into a DDSketch
+    quantile state as well (two folds, one batch-scoped ledger id each)."""
+
+    def __init__(
+        self,
+        state_path: str,
+        group_cols: list[str],
+        value_col: str,
+        *,
+        dd_state_path: str | None = None,
+        alpha: float | None = None,
+    ):
+        self.state_path = state_path
+        self.group_cols, self.value_col = group_cols, value_col
+        self.dd_state_path, self.alpha = dd_state_path, alpha
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.rollup import agg_rollup_update, dd_rollup_update
+
+        bid = f"stream-{batch_id}"
+        agg_rollup_update(
+            batch_df, self.state_path, self.group_cols, self.value_col,
+            batch_id=bid,
+        )
+        if self.dd_state_path is not None:
+            kw = {} if self.alpha is None else {"alpha": self.alpha}
+            dd_rollup_update(
+                batch_df, self.dd_state_path, self.group_cols,
+                self.value_col, batch_id=bid, **kw,
+            )
+
+    def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
+        q = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -125,3 +125,48 @@ def test_dd_replay_noop_and_quantile_sanity(spark):
     assert r1["dd"] == r2["dd"]  # replay did not double-count
     assert abs(r1["p50"] - 500) / 500 < 0.03  # within ~alpha of truth
     assert abs(r1["p99"] - 990) / 990 < 0.03
+
+
+# ------------------------------------------------------------ C91 stream
+
+
+def test_stream_rollup_equals_batch_fold(spark):
+    import os
+
+    from insert_by_timeperiod_spark.streaming import RollupStream
+
+    root = tempfile.mkdtemp(prefix="ibtp_rollstream_")
+    src = os.path.join(root, "src")
+    _batch(spark, 0, 400).coalesce(1).write.mode("append").parquet(src)
+    _batch(spark, 400, 1000).coalesce(1).write.mode("append").parquet(src)
+
+    sink = RollupStream(
+        os.path.join(root, "agg"), ["g"], "v",
+        dd_state_path=os.path.join(root, "dd"),
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink.run_available_now(stream, os.path.join(root, "ckpt"))
+
+    got = _rows(rollup.agg_rollup_read(spark, os.path.join(root, "agg"), ["g"]))
+    want = _rows(
+        rollup._present(rollup._partial(_batch(spark, 0, 1000), ["g"], "v"), ["g"])
+    )
+    assert got == want  # stream fold == batch fold, exactly
+
+    # foreachBatch replay: same id + same data -> ledger no-op
+    sink.process_batch(_batch(spark, 0, 400), 0)
+    assert _rows(
+        rollup.agg_rollup_read(spark, os.path.join(root, "agg"), ["g"])
+    ) == want
+
+    # the dd state folded too and reads back quantiles
+    dd = rollup.dd_rollup_update(
+        _batch(spark, 0, 1), os.path.join(root, "dd"), ["g"], "v",
+        batch_id="stream-0",  # ledgered -> read-only return
+    )
+    assert {"dd", "p50", "p95", "p99"} <= set(dd.columns)

@@ -3556,6 +3556,33 @@ def _triangle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_stats(e)
 
 
+_LPA_SRC_DUCK = (
+    "(SELECT 100 * (user_id % 20) + (event_id % 7) AS src,"
+    " 100 * (user_id % 20) + (event_id * 3 % 7) AS dst"
+    " FROM events WHERE event_id % 5 = 0)"
+)
+
+
+def _label_prop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C92: label-propagation communities over an events-derived graph
+    with up to 20 PLANTED communities (nodes 100g+0..100g+6 per group g
+    for each distinct user_id%20 present at the sf, edges
+    only within a group — the community structure is unambiguous, the
+    label dynamics inside each group are not trivial). Exact DuckDB twin
+    unrolls the identical mode election as chained CTEs."""
+    _prep(spark, sf_dir)
+    uid, eid = F.col("user_id"), F.col("event_id")
+    e = (
+        spark.table("events")
+        .where(eid % 5 == 0)
+        .select(
+            (100 * (uid % 20) + (eid % 7)).alias("src"),
+            (100 * (uid % 20) + (eid * 3 % 7)).alias("dst"),
+        )
+    )
+    return graph.label_propagation(e, n_iter=4)
+
+
 def _pct_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C76: group-wise percentile normalization — value's percent rank
     within its event_type (the per-language quality-score equalizer). One
@@ -3739,6 +3766,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "containment_pairs_planted": _containment_planted,
         "pagerank_event_graph": _pagerank_events,
         "triangle_stats_events": _triangle_events,
+        "label_prop_communities": _label_prop_events,
         "kmeans_event_features": _kmeans_events,
         "web_domain_rank": _web_domain_rank,
         "html_extract_text": _html_extract,
@@ -3874,6 +3902,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "pagerank_event_graph": graph.pagerank_sql(
             "(SELECT event_id % 500 AS src, user_id AS dst FROM events)",
             n_iter=5,
+        ),
+        "label_prop_communities": graph.label_propagation_sql(
+            _LPA_SRC_DUCK, n_iter=4
         ),
         "triangle_stats_events": graph.triangle_stats_sql(
             "(SELECT user_id AS src, event_id % 40 AS dst FROM events)"

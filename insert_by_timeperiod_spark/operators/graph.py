@@ -30,7 +30,7 @@ Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -359,3 +359,98 @@ SELECT d.node,
                        / (d.degree * (d.degree - 1.0)), 6) END AS lcc
 FROM _deg d
 LEFT JOIN _corners c ON c.node = d.node"""
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (SURVEY.md §2
+    C92; Raghavan et al. 2007) over the UNDIRECTED simple graph of
+    ``edges``: every node starts labeled with itself; each round every
+    node adopts its neighbors' most frequent label (ties broken by
+    smallest label — the determinism the SQL twin needs). Returns
+    (node, label) after exactly ``n_iter`` rounds; nodes sharing a label
+    are one community. Fixed iteration count BY DESIGN: synchronous LPA
+    can oscillate on bipartite structures, and a fixed-round contract is
+    deterministic, twin-exact, and bounded — the same posture as
+    :func:`pagerank` and `cluster.kmeans_assign`.
+
+    Scale shape: per round ONE join of the edge set to the labels on the
+    neighbor key and ONE map-side-combined (node, label) count; the
+    row_number mode election re-uses the count's partitioning (no extra
+    exchange). Each round is ``localCheckpoint``-ed — the iterative-
+    lineage lesson. Duplicate edges count once (simple graph); self-loops
+    make a node its own neighbor (documented, replayed by the twin)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    und = (
+        e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("_s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        nbr = und.join(
+            labels.select(F.col("node").alias("_d"), "label"), "_d"
+        ).select(F.col("_s").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_sql(
+    edges_source: str,
+    *,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """The exact DuckDB twin of :func:`label_propagation`: identical
+    undirected simple graph, identical mode election (count DESC, label
+    ASC), unrolled as ``n_iter`` chained CTEs."""
+    ctes = [
+        f"""_e AS (
+    SELECT DISTINCT {src} AS _s, {dst} AS _d FROM {edges_source}
+), _u AS (
+    SELECT _s, _d FROM _e UNION SELECT _d, _s FROM _e
+), _l0 AS (
+    SELECT DISTINCT _s AS node, _s AS label FROM _u
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""_l{i} AS (
+    SELECT node, label FROM (
+        SELECT u._s AS node, l.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY u._s
+                   ORDER BY COUNT(*) DESC, l.label ASC
+               ) AS rn
+        FROM _u u JOIN _l{i - 1} l ON l.node = u._d
+        GROUP BY u._s, l.label
+    ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM _l{n_iter}"
+    )

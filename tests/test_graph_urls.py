@@ -313,3 +313,44 @@ def test_value_histogram_clamp_spine_and_degenerate(spark):
     got = {r["bin"]: r["n"] for r in
            analytics.value_histogram(cdf, "v", 3).collect()}
     assert got == {0: 2, 1: 0, 2: 0}
+
+
+# ----------------------------------------------------------------- C92 LPA
+
+
+def test_label_propagation_two_planted_communities(spark):
+    from insert_by_timeperiod_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["label"] for r in
+           graph.label_propagation(df, n_iter=5).collect()}
+    # the two triangles end up internally uniform despite the bridge
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+
+
+def test_label_propagation_deterministic_and_twinned(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import graph
+
+    edges = [(i, (i * 3) % 11) for i in range(11)] + [(20, 21), (21, 22)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    a = sorted(map(tuple, graph.label_propagation(df, n_iter=3).collect()))
+    b = sorted(map(tuple, graph.label_propagation(df, n_iter=3).collect()))
+    assert a == b  # deterministic across runs
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src INT, dst INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = sorted(con.execute(
+        graph.label_propagation_sql("e", n_iter=3)).fetchall())
+    assert a == want
+
+
+def test_label_propagation_validation():
+    from insert_by_timeperiod_spark.operators import graph
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        graph.label_propagation(None, n_iter=0)

@@ -82,19 +82,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "time travel)")
     p.add_argument("--maintenance", default=None,
                    choices=["vacuum", "truncate-history", "recover-orphans",
-                            "compact", "profile"],
+                            "compact", "profile", "restore", "clone"],
                    help="run a maintenance operation on --target instead of a "
-                        "build: vacuum / truncate-history / recover-orphans "
-                        "(txnlog backend), compact (partition file merge), "
-                        "profile (per-column ANALYZE stats)")
+                        "build: vacuum / truncate-history / recover-orphans / "
+                        "restore / clone (txnlog backend), compact (partition "
+                        "file merge), profile (per-column ANALYZE stats)")
     p.add_argument("--vacuum-keep-last", type=int, default=7, metavar="N",
                    help="versions of time travel vacuum retains (default 7)")
+    p.add_argument("--restore-version", type=int, default=None, metavar="V",
+                   help="version to roll back to (--maintenance restore)")
+    p.add_argument("--clone-target", default=None, metavar="PATH",
+                   help="destination table path (--maintenance clone); "
+                        "combine with --restore-version to clone an older "
+                        "snapshot")
     return p
 
 
 def _run_maintenance(spark, args) -> int:
     """The OPTIMIZE/VACUUM/ANALYZE surface: operate on an existing target."""
-    needs_txn = args.maintenance in ("vacuum", "truncate-history", "recover-orphans")
+    needs_txn = args.maintenance in (
+        "vacuum", "truncate-history", "recover-orphans", "restore", "clone"
+    )
     if needs_txn and args.table_format != "txnlog":
         raise SystemExit(f"--maintenance {args.maintenance} requires --table-format txnlog")
     if args.table_format == "txnlog":
@@ -117,6 +125,18 @@ def _run_maintenance(spark, args) -> int:
     elif args.maintenance == "compact":
         t.compact_partitions(files_per_partition=1)
         print("compact: partitions rewritten to 1 file each")
+    elif args.maintenance == "restore":
+        if args.restore_version is None:
+            raise SystemExit("--maintenance restore requires --restore-version")
+        v = t.restore(args.restore_version)
+        print(f"restore: table rolled back to v{args.restore_version}, "
+              f"published as v{v}")
+    elif args.maintenance == "clone":
+        if not args.clone_target:
+            raise SystemExit("--maintenance clone requires --clone-target")
+        c = t.clone(args.clone_target, version=args.restore_version)
+        print(f"clone: v{t.version() if args.restore_version is None else args.restore_version} "
+              f"copied to {c.path} (independent table, version {c.version()})")
     elif args.maintenance == "profile":
         from .operators.profile import profile_table
 

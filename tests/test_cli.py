@@ -144,3 +144,43 @@ def test_cli_concurrent_batches(spark, sf_dir, capsys):
         outs.append(spark.read.parquet(tgt))
     a, b = outs
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cli_restore_and_clone(spark, tmp_path, capsys):
+    """--maintenance restore/clone drive the C85 surface end to end."""
+    import pytest
+
+    from insert_by_timeperiod_spark.__main__ import main
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    tgt = str(tmp_path / "t")
+    t = TxnLogTable(spark, tgt)
+    df = lambda d, n: spark.range(n).select(
+        F.col("id"), F.lit(d).cast("date").alias("event_date")
+    )
+    t.create(df("2024-01-01", 5), "event_date")
+    v = t.version()
+    t.replace_date_range(
+        df("2024-01-01", 9), dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    )
+    assert t.read().count() == 9
+
+    rc = main(["--target", tgt, "--table-format", "txnlog",
+               "--maintenance", "restore", "--restore-version", str(v)])
+    assert rc == 0
+    assert f"rolled back to v{v}" in capsys.readouterr().out
+    assert t.read().count() == 5
+
+    dst = str(tmp_path / "c")
+    rc = main(["--target", tgt, "--table-format", "txnlog",
+               "--maintenance", "clone", "--clone-target", dst])
+    assert rc == 0
+    assert "independent table" in capsys.readouterr().out
+    assert TxnLogTable(spark, dst).read().count() == 5
+
+    with pytest.raises(SystemExit, match="requires --restore-version"):
+        main(["--target", tgt, "--table-format", "txnlog",
+              "--maintenance", "restore"])
+    with pytest.raises(SystemExit, match="requires --clone-target"):
+        main(["--target", tgt, "--table-format", "txnlog",
+              "--maintenance", "clone"])

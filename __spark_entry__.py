@@ -2458,6 +2458,36 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C93 (annex, constant-threshold oracle): persistent IVF index —
+    build once (centroids + cell-partitioned corpus), then query through
+    it. The indexed path is a MATERIALIZATION of ivf_topk (same seeded
+    training), so the row's value is the exact-equality boolean between
+    the indexed and fresh results — deterministic, and red if the index
+    ever drifts. Partition pruning on the probed cells is plan-pinned in
+    tests/test_ivf_index.py."""
+    from insert_by_timeperiod_spark.fs import HadoopFS
+
+    _prep(spark, sf_dir)
+    idx = _SKIP_DIR + "_ivfidx"
+    HadoopFS(spark, idx).delete(idx)
+    embs = spark.table("embeddings")
+    qs = embs.where("vec_id < 10")
+    similarity.ivf_build(embs, idx, k_cells=32)
+    a = similarity.ivf_query(qs, idx, k=3, nprobe=8)
+    b = similarity.ivf_topk(embs, qs, k=3, k_cells=32, nprobe=8)
+    mism = a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+    return spark.createDataFrame(
+        [(10, 3, mism == 0)], "n_queries bigint, k bigint, exact_match boolean"
+    )
+
+
+IVF_INDEX_DUCK = """
+SELECT CAST(10 AS BIGINT) AS n_queries, CAST(3 AS BIGINT) AS k,
+       TRUE AS exact_match
+"""
+
+
 def _multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C22 audio lane (annex, EXACT oracle): REAL WAV fixtures (one sine
     tone per document, rate/length/channels derived from doc_id by fixed
@@ -3733,6 +3763,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_simhash_planted": _dedup_simhash,
         "text_fingerprint": _text_fingerprint,
         "sim_ivf_topk": _sim_ivf,
+        "ivf_index_topk": _ivf_index,
         # A16 concurrent-staging variant: identical content/watermark to the
         # sequential loop by construction (publishes stay in grid order);
         # exact ORACLE_DAILY like every other engine row
@@ -3854,6 +3885,7 @@ def pytest_only_oracles() -> dict[str, str]:
         # recall-vs-brute-force check against a constant threshold, the
         # same shape as the driver's sim_ann_topk row
         "sim_ivf_topk": SIM_ANN_DUCK,
+        "ivf_index_topk": IVF_INDEX_DUCK,
         "sample_weighted": sampling.weighted_sample_sql(
             200, "n_chars", "doc_id", seed="ws", select="t.doc_id, t.source"
         ),

@@ -578,3 +578,97 @@ def semdedup(
         .applyInPandas(_dedup_cluster, out_schema)
         .withColumnRenamed("_id", id_col)
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    k_cells: int = 32,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 20_000,
+) -> int:
+    """Persistent IVF index (SURVEY.md §2 C93): one corpus pass builds an
+    index ANY number of later query batches reuses — the missing half of
+    :func:`ivf_topk`, which re-trains and re-assigns per call. Layout:
+    ``index_path/centroids`` (k_cells small rows) and
+    ``index_path/cells`` — the corpus written ``partitionBy("cell")``, so
+    a query probing ``nprobe`` cells reads ONLY those cells' files via
+    static partition pruning (the parquet-native inverted file). Training
+    is the same seeded deterministic sample as ``ivf_topk`` — same
+    (corpus, seed, params) always builds the identical index, which is
+    what makes the fresh-path equality pin possible. Returns k_cells."""
+    spark = corpus.sparkSession
+    cents = train_ivf_centroids(
+        corpus, k_cells=k_cells, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, sample_limit=sample_limit,
+    )
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    (
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/centroids")
+    )
+    assign1 = _cell_assign_udf(cents, 1)
+    (
+        spread(corpus.select(id_col, vec_col))
+        .withColumn("cell", assign1(F.col(vec_col))[0])
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/cells")
+    )
+    return len(cents)
+
+
+def ivf_query(
+    queries: DataFrame,
+    index_path: str,
+    *,
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a :func:`ivf_build` index: load the (tiny) centroids,
+    compute each query's ``nprobe`` probe cells, then read ONLY the probed
+    cell partitions (bounded driver-side cell list -> static partition
+    pruning, pinned in tests) and score those vectors exactly. Output is
+    identical to :func:`ivf_topk` with the same parameters — the index is
+    a materialization, not an approximation on top of one."""
+    spark = queries.sparkSession
+    crows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
+    cents = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    assignN = _cell_assign_udf(cents, nprobe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("cell", F.explode(assignN(F.col("_qv"))))
+        .localCheckpoint(eager=True)  # two consumers: probe list + join
+    )
+    # probed-cell list is bounded by |queries| x nprobe — a metadata-sized
+    # collect, and the price of GUARANTEED partition pruning on the scan
+    probe_cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    c = (
+        spark.read.parquet(f"{index_path}/cells")
+        .where(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            "cell",
+        )
+    )
+    cand = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,66 @@
+"""Pins for C93 (SURVEY.md §2): persistent IVF index — build once, query
+many times, with results IDENTICAL to the fresh ivf_topk path (same seeded
+deterministic training) and probed-cell partition pruning on the scan."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where("vec_id < 400")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where("vec_id < 6")
+    )
+
+
+def test_indexed_query_equals_fresh_path(spark, corpus, queries):
+    idx = tempfile.mkdtemp(prefix="ibtp_ivf_") + "/i"
+    n = similarity.ivf_build(corpus, idx, k_cells=16, iters=5, seed=7)
+    assert n == 16
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_query(queries, idx, k=3, nprobe=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            corpus, queries, k=3, k_cells=16, nprobe=4, iters=5, seed=7
+        ).collect()
+    )
+    assert got == want and got  # the index is a materialization, not a drift
+
+
+def test_query_scan_is_partition_pruned(spark, corpus, queries):
+    idx = tempfile.mkdtemp(prefix="ibtp_ivfp_") + "/i"
+    similarity.ivf_build(corpus, idx, k_cells=16, iters=5, seed=7)
+    df = similarity.ivf_query(queries, idx, k=3, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # nprobe=2 over 6 queries can touch at most 12 of 16 cells
+    cents = spark.read.parquet(f"{idx}/centroids").count()
+    assert cents == 16
+
+
+def test_rebuild_same_seed_is_byte_stable_results(spark, corpus, queries):
+    a = tempfile.mkdtemp(prefix="ibtp_ivfa_") + "/i"
+    b = tempfile.mkdtemp(prefix="ibtp_ivfb_") + "/i"
+    similarity.ivf_build(corpus, a, k_cells=8, iters=4, seed=11)
+    similarity.ivf_build(corpus, b, k_cells=8, iters=4, seed=11)
+    ra = sorted(map(tuple, similarity.ivf_query(queries, a, k=2).collect()))
+    rb = sorted(map(tuple, similarity.ivf_query(queries, b, k=2).collect()))
+    assert ra == rb

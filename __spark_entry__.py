@@ -69,6 +69,7 @@ from insert_by_timeperiod_spark.operators import (
     provenance,
     rollup,
     sampling,
+    scd,
     bloom,
     similarity,
     sketch,
@@ -3613,6 +3614,33 @@ def _label_prop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(e, n_iter=4)
 
 
+_SCD_SRC_DUCK = (
+    # FLOOR explicitly: DuckDB rounds double->int casts, Spark truncates
+    "(SELECT user_id, CAST(ts AS DATE) AS d, MIN(event_type) AS seg,"
+    " CAST(FLOOR(COUNT(*) / 5.0) AS INT) AS band"
+    " FROM events GROUP BY user_id, CAST(ts AS DATE))"
+)
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C94: SCD Type-2 history (the dbt-snapshot analogue) derived
+    from a per-user-per-day observation changelog over events — one
+    window pass collapses runs of equal attrs into validity intervals.
+    Exact DuckDB twin (same IS DISTINCT FROM change test, same lead()
+    closing); the incremental ledgered fold is pinned equal to this
+    derivation in tests/test_scd.py."""
+    _prep(spark, sf_dir)
+    ch = (
+        spark.table("events")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.min("event_type").alias("seg"),
+            F.floor(F.count(F.lit(1)) / 5).cast("int").alias("band"),
+        )
+    )
+    return scd.scd2_from_changelog(ch, ["user_id"], "d", ["seg", "band"])
+
+
 def _pct_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C76: group-wise percentile normalization — value's percent rank
     within its event_type (the per-language quality-score equalizer). One
@@ -3798,6 +3826,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pagerank_event_graph": _pagerank_events,
         "triangle_stats_events": _triangle_events,
         "label_prop_communities": _label_prop_events,
+        "scd2_customer_history": _scd2_history,
         "kmeans_event_features": _kmeans_events,
         "web_domain_rank": _web_domain_rank,
         "html_extract_text": _html_extract,
@@ -3937,6 +3966,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "label_prop_communities": graph.label_propagation_sql(
             _LPA_SRC_DUCK, n_iter=4
+        ),
+        "scd2_customer_history": scd.scd2_from_changelog_sql(
+            _SCD_SRC_DUCK, ["user_id"], "d", ["seg", "band"]
         ),
         "triangle_stats_events": graph.triangle_stats_sql(
             "(SELECT user_id AS src, event_id % 40 AS dst FROM events)"

@@ -1,0 +1,213 @@
+"""Slowly-changing-dimension Type 2 snapshots (SURVEY.md §2 C94) — the
+``dbt snapshot`` materialization the reference's own users run next to
+`insert_by_timeperiod` models (reference ecosystem: dbt's snapshot
+``check`` strategy; /root/reference is a dbt package). Track full history
+of a mutable dimension as (key, attrs, valid_from, valid_to, is_current)
+rows: each applied source snapshot closes changed/deleted keys' open rows
+and opens new versions, so point-in-time joins ("the customer's segment AS
+OF the order date") stay answerable forever.
+
+Two forms, one semantics:
+- :func:`scd2_from_changelog` — batch: derive the full SCD2 table from a
+  (key, ts, attrs) changelog in ONE window pass (collapse runs of equal
+  attrs; change points open rows, the next change closes them). Exact
+  DuckDB twin (`scd2_from_changelog_sql`) — same IS DISTINCT FROM
+  change test, same lead() closing.
+- :class:`Scd2State`.apply_snapshot — incremental: fold one source
+  snapshot into a persistent state at O(snapshot + open rows) cost. Folds
+  are keyed into the same folded-batch LEDGER + staged-swap publish as the
+  C89/C90 rollups (replaying a ledgered snapshot is a detected no-op —
+  the crash-retry contract), and folding snapshots one at a time produces
+  EXACTLY the changelog derivation over their union (the oracle's claim),
+  because both collapse runs of equal attrs at snapshot granularity.
+
+Deletion semantics (documented): a key absent from an applied snapshot has
+its open row closed at that snapshot's ts (dbt's invalidate_hard_deletes);
+reappearing later opens a fresh version. The changelog twin assumes no
+deletions (a changelog row asserts presence), so the cross-form oracle
+uses deletion-free fixtures; deletions are pinned separately in pytest.
+
+Scale shape: the batch form is one shuffle (the per-key window). The
+incremental form joins the snapshot to only the OPEN rows (a full-outer
+join on the key), never the closed history — history is union'd back
+untouched — so each fold costs O(snapshot + open keys) regardless of how
+deep the history grows.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .rollup import _data_dir, _folded, _publish, _recover
+
+
+def _differs(attr_cols: list[str], a: str, b: str):
+    """NULL-safe 'any attribute changed' between prefixed column sets."""
+    cond = F.lit(False)
+    for c in attr_cols:
+        cond = cond | ~(F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}")))
+    return cond
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Full SCD2 table from a (key, ts, attrs) changelog: one row per run
+    of equal attrs per key, valid_from = the run's first ts, valid_to =
+    the next run's first ts (NULL while current). Duplicate (key, ts)
+    rows are invalid input (one observation per key per ts); equal-attr
+    consecutive observations collapse."""
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2_from_changelog: key_cols and attr_cols required")
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    pts = df.select(*key_cols, ts_col, *attr_cols).withColumn(
+        "_chg", first | changed
+    )
+    runs = pts.where(F.col("_chg")).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )
+    return runs.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def scd2_from_changelog_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> str:
+    """Exact DuckDB twin of :func:`scd2_from_changelog`."""
+    k = ", ".join(key_cols)
+    a = ", ".join(attr_cols)
+    chg = " OR ".join(
+        f"({c} IS DISTINCT FROM lag({c}) OVER "
+        f"(PARTITION BY {k} ORDER BY {ts_col}))"
+        for c in attr_cols
+    )
+    first = (
+        f"(lag({ts_col}) OVER (PARTITION BY {k} ORDER BY {ts_col})) IS NULL"
+    )
+    return f"""
+WITH _pts AS (
+    SELECT {k}, {ts_col}, {a}, ({first}) OR ({chg}) AS _chg
+    FROM {source}
+), _runs AS (
+    SELECT {k}, {a}, {ts_col} AS valid_from,
+           lead({ts_col}) OVER (PARTITION BY {k} ORDER BY {ts_col})
+               AS valid_to
+    FROM _pts WHERE _chg
+)
+SELECT {k}, {a}, valid_from, valid_to, valid_to IS NULL AS is_current
+FROM _runs
+"""
+
+
+class Scd2State:
+    """Persistent incremental SCD2 (the dbt snapshot analogue): construct
+    over a state path, then ``apply_snapshot(df, ts)`` per source
+    snapshot. ``read()`` returns the full history table."""
+
+    def __init__(
+        self,
+        state_path: str,
+        key_cols: list[str],
+        attr_cols: list[str],
+    ):
+        if not key_cols or not attr_cols:
+            raise ValueError("Scd2State: key_cols and attr_cols required")
+        if set(key_cols) & set(attr_cols):
+            raise ValueError("Scd2State: key and attr columns overlap")
+        self.path = state_path
+        self.keys, self.attrs = list(key_cols), list(attr_cols)
+
+    def _fs(self, spark):
+        from ..fs import HadoopFS
+
+        return HadoopFS(spark, self.path)
+
+    def read(self, spark) -> DataFrame:
+        fs = self._fs(spark)
+        _recover(fs, self.path)
+        return spark.read.parquet(_data_dir(self.path)).withColumn(
+            "is_current", F.col("valid_to").isNull()
+        )
+
+    def apply_snapshot(self, snapshot: DataFrame, ts: str) -> DataFrame:
+        """Fold one source snapshot observed at DATE ``ts`` (ISO string).
+        Changed keys close at ``ts`` and reopen with the new attrs; absent
+        keys close (hard-delete invalidation); new keys open. Re-applying
+        a ledgered ``ts`` is a detected no-op. Snapshots must arrive in
+        ascending ts order (validated against the open rows)."""
+        spark = snapshot.sparkSession
+        fs = self._fs(spark)
+        _recover(fs, self.path)
+        done = _folded(fs, self.path)
+        if ts in done:
+            return self.read(spark)
+        tsl = F.lit(ts).cast("date")
+        snap = (
+            snapshot.select(*self.keys, *self.attrs)
+            .dropDuplicates(self.keys)
+            .withColumn("_s_present", F.lit(True))
+        )
+        if _data_dir(self.path) and fs.is_dir(_data_dir(self.path)):
+            state = spark.read.parquet(_data_dir(self.path))
+            max_from = state.agg(F.max("valid_from")).collect()[0][0]
+            if max_from is not None and str(max_from) >= ts:
+                raise ValueError(
+                    f"apply_snapshot: ts {ts} is not after the newest "
+                    f"applied snapshot ({max_from})"
+                )
+            cur = state.where(F.col("valid_to").isNull()).withColumn(
+                "_c_present", F.lit(True)
+            )
+            hist = state.where(F.col("valid_to").isNotNull())
+            j = cur.alias("c").join(snap.alias("s"), self.keys, "full")
+            c_here = F.col("c._c_present").isNotNull()
+            s_here = F.col("s._s_present").isNotNull()
+            diff = _differs(self.attrs, "c", "s")
+            keep = j.where(c_here & s_here & ~diff).select(
+                *self.keys,
+                *[F.col(f"c.{c}") for c in self.attrs],
+                F.col("c.valid_from").alias("valid_from"),
+                F.col("c.valid_to").alias("valid_to"),
+            )
+            close = j.where(c_here & (~s_here | diff)).select(
+                *self.keys,
+                *[F.col(f"c.{c}") for c in self.attrs],
+                F.col("c.valid_from").alias("valid_from"),
+                tsl.alias("valid_to"),
+            )
+            opens = j.where(s_here & (~c_here | diff)).select(
+                *self.keys,
+                *[F.col(f"s.{c}") for c in self.attrs],
+                tsl.alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+            )
+            new_state = hist.unionByName(keep).unionByName(close).unionByName(opens)
+        else:
+            new_state = snap.select(
+                *self.keys,
+                *self.attrs,
+                tsl.alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+            )
+        new_state = new_state.localCheckpoint(eager=True)
+        _publish(fs, self.path, new_state, done | {ts})
+        return new_state.withColumn(
+            "is_current", F.col("valid_to").isNull()
+        )

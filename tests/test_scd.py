@@ -1,0 +1,114 @@
+"""Pins for C94 (SURVEY.md §2): SCD Type-2 snapshots — the dbt-snapshot
+analogue. Batch changelog derivation vs its DuckDB twin, incremental
+snapshot folds vs the batch derivation (deletion-free), hard-delete
+invalidation, replay no-op, and out-of-order rejection. The sf-scale
+exact oracle runs as the ``scd2_customer_history`` annex row."""
+
+import tempfile
+
+import duckdb
+import pytest
+
+from insert_by_timeperiod_spark.operators import scd
+
+SNAPS = {
+    "2024-01-01": [(1, "gold", "eu"), (2, "silver", "us")],
+    "2024-01-02": [(1, "gold", "eu"), (2, "gold", "us"), (3, "bronze", "eu")],
+    "2024-01-03": [(1, "gold", "us"), (2, "gold", "us"), (3, "bronze", "eu")],
+}
+
+
+def _changelog(spark):
+    rows = [
+        (k, ts, seg, reg)
+        for ts, snap in SNAPS.items()
+        for (k, seg, reg) in snap
+    ]
+    return spark.createDataFrame(
+        rows, "cust int, ts string, segment string, region string"
+    ).selectExpr("cust", "CAST(ts AS DATE) AS ts", "segment", "region")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_changelog_derivation_matches_duckdb(spark):
+    df = scd.scd2_from_changelog(
+        _changelog(spark), ["cust"], "ts", ["segment", "region"]
+    )
+    got = _rows(df)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ch(cust INT, ts DATE, segment VARCHAR, region VARCHAR)")
+    for ts, snap in SNAPS.items():
+        for (k, seg, reg) in snap:
+            con.execute("INSERT INTO ch VALUES (?, ?, ?, ?)", [k, ts, seg, reg])
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            scd.scd2_from_changelog_sql("ch", ["cust"], "ts", ["segment", "region"])
+        ).fetchall()
+    )
+    assert got == want
+    # cust 1: [eu, eu, us] -> two versions; cust 2: [silver, gold, gold] -> two
+    by_cust = {}
+    for r in got:
+        by_cust.setdefault(r[0], []).append(r)
+    assert len(by_cust[1]) == 2 and len(by_cust[2]) == 2 and len(by_cust[3]) == 1
+
+
+def test_incremental_folds_equal_batch_derivation(spark):
+    p = tempfile.mkdtemp(prefix="ibtp_scd_") + "/s"
+    st = scd.Scd2State(p, ["cust"], ["segment", "region"])
+    for ts, snap in SNAPS.items():
+        df = spark.createDataFrame(snap, "cust int, segment string, region string")
+        st.apply_snapshot(df, ts)
+    got = _rows(st.read(spark))
+    want = _rows(
+        scd.scd2_from_changelog(
+            _changelog(spark), ["cust"], "ts", ["segment", "region"]
+        )
+    )
+    assert got == want
+
+
+def test_replay_and_out_of_order(spark):
+    p = tempfile.mkdtemp(prefix="ibtp_scd2_") + "/s"
+    st = scd.Scd2State(p, ["cust"], ["segment", "region"])
+    items = list(SNAPS.items())
+    for ts, snap in items[:2]:
+        df = spark.createDataFrame(snap, "cust int, segment string, region string")
+        st.apply_snapshot(df, ts)
+    before = _rows(st.read(spark))
+    # replay of an applied ts: no-op
+    df = spark.createDataFrame(items[1][1], "cust int, segment string, region string")
+    st.apply_snapshot(df, items[1][0])
+    assert _rows(st.read(spark)) == before
+    # a NEW (un-ledgered) snapshot at a non-advancing ts is rejected
+    with pytest.raises(ValueError):
+        st.apply_snapshot(df, "2023-12-31")
+
+
+def test_hard_delete_closes_and_reopen_versions(spark):
+    p = tempfile.mkdtemp(prefix="ibtp_scd3_") + "/s"
+    st = scd.Scd2State(p, ["cust"], ["segment"])
+    mk = lambda rows: spark.createDataFrame(rows, "cust int, segment string")
+    st.apply_snapshot(mk([(1, "a"), (2, "b")]), "2024-01-01")
+    st.apply_snapshot(mk([(1, "a")]), "2024-01-02")  # cust 2 deleted
+    st.apply_snapshot(mk([(1, "a"), (2, "b")]), "2024-01-03")  # 2 returns
+    rows = {
+        (r["cust"], str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]))
+        for r in st.read(spark).collect()
+    }
+    assert (2, "2024-01-01", "2024-01-02") in rows  # closed by deletion
+    assert (2, "2024-01-03", None) in rows  # fresh version on return
+    assert (1, "2024-01-01", None) in rows  # untouched throughout
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        scd.Scd2State("/tmp/x", [], ["a"])
+    with pytest.raises(ValueError):
+        scd.Scd2State("/tmp/x", ["k"], ["k"])
+    with pytest.raises(ValueError):
+        scd.scd2_from_changelog(None, [], "ts", ["a"])

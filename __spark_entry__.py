@@ -3641,6 +3641,23 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.scd2_from_changelog(ch, ["user_id"], "d", ["seg", "band"])
 
 
+def _scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain (C94 -> C95): events facts joined point-in-time to
+    the SCD2 history derived from the observation changelog — "the user's
+    segment/band AS OF this event's day", the query SCD2 exists for.
+    Exact end-to-end DuckDB twin chains both stages' SQL twins. Validity
+    intervals are disjoint by construction, so the join is a plain
+    key-equi join with a residual interval test — no fan-out."""
+    _prep(spark, sf_dir)
+    hist = _scd2_history(spark, sf_dir)
+    facts = (
+        spark.table("events")
+        .where(F.col("event_id") % 50 == 0)
+        .select("event_id", "user_id", F.to_date("ts").alias("d"))
+    )
+    return scd.scd2_point_in_time_join(facts, hist, ["user_id"], "d")
+
+
 def _pct_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C76: group-wise percentile normalization — value's percent rank
     within its event_type (the per-language quality-score equalizer). One
@@ -3827,6 +3844,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "triangle_stats_events": _triangle_events,
         "label_prop_communities": _label_prop_events,
         "scd2_customer_history": _scd2_history,
+        "scd2_asof_segments": _scd2_asof,
         "kmeans_event_features": _kmeans_events,
         "web_domain_rank": _web_domain_rank,
         "html_extract_text": _html_extract,
@@ -3969,6 +3987,15 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "scd2_customer_history": scd.scd2_from_changelog_sql(
             _SCD_SRC_DUCK, ["user_id"], "d", ["seg", "band"]
+        ),
+        "scd2_asof_segments": scd.scd2_point_in_time_join_sql(
+            "(SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events"
+            " WHERE event_id % 50 = 0)",
+            "(" + scd.scd2_from_changelog_sql(
+                _SCD_SRC_DUCK, ["user_id"], "d", ["seg", "band"]
+            ) + ")",
+            ["user_id"], "d",
+            ["event_id", "user_id", "d"], ["seg", "band"],
         ),
         "triangle_stats_events": graph.triangle_stats_sql(
             "(SELECT user_id AS src, event_id % 40 AS dst FROM events)"

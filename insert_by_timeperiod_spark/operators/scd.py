@@ -211,3 +211,65 @@ class Scd2State:
         return new_state.withColumn(
             "is_current", F.col("valid_to").isNull()
         )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    fact_ts_col: str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (AS OF) join (SURVEY.md §2 C95): attach to every fact
+    row the dimension version that was valid AT the fact's timestamp —
+    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)`` — the
+    query SCD2 history exists to answer ("the customer's segment as of the
+    order date"). Facts before a key's first version (or for unknown keys)
+    keep NULL attributes under the default left join.
+
+    Scale shape: ONE equi-join on the key (validity intervals per key are
+    DISJOINT by SCD2 construction, so at most one history row matches —
+    no fan-out, no range-explosion) with the interval test as a residual
+    join condition; Catalyst plans it as a plain shuffled/broadcast hash
+    join on the key. The SQL twin is the identical join, so composed
+    oracle rows stay exact."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"scd2_point_in_time_join: how must be left/inner, not {how!r}")
+    h = history
+    cond = None
+    for k in key_cols:
+        c = facts[k] == h[k]
+        cond = c if cond is None else cond & c
+    ts = facts[fact_ts_col]
+    cond = cond & (h["valid_from"] <= ts) & (
+        h["valid_to"].isNull() | (ts < h["valid_to"])
+    )
+    joined = facts.join(h, cond, how)
+    keep = [facts[c] for c in facts.columns] + [
+        h[c] for c in h.columns if c not in set(key_cols)
+    ]
+    return joined.select(*keep)
+
+
+def scd2_point_in_time_join_sql(
+    facts_source: str,
+    history_source: str,
+    key_cols: list[str],
+    fact_ts_col: str,
+    fact_cols: list[str],
+    attr_cols: list[str],
+) -> str:
+    """Exact DuckDB twin of :func:`scd2_point_in_time_join` (left form)."""
+    on = " AND ".join(f"h.{k} = f.{k}" for k in key_cols)
+    fsel = ", ".join(f"f.{c}" for c in fact_cols)
+    hsel = ", ".join(
+        f"h.{c}" for c in (*attr_cols, "valid_from", "valid_to", "is_current")
+    )
+    return f"""
+SELECT {fsel}, {hsel}
+FROM {facts_source} f
+LEFT JOIN {history_source} h
+  ON {on} AND h.valid_from <= f.{fact_ts_col}
+ AND (h.valid_to IS NULL OR f.{fact_ts_col} < h.valid_to)
+"""

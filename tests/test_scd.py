@@ -112,3 +112,67 @@ def test_validation():
         scd.Scd2State("/tmp/x", ["k"], ["k"])
     with pytest.raises(ValueError):
         scd.scd2_from_changelog(None, [], "ts", ["a"])
+
+
+# ----------------------------------------------------------------- C95 PIT
+
+
+def _history(spark):
+    return scd.scd2_from_changelog(
+        _changelog(spark), ["cust"], "ts", ["segment", "region"]
+    )
+
+
+def test_point_in_time_join_picks_the_valid_version(spark):
+    facts = spark.createDataFrame(
+        [(100, 1, "2024-01-01"), (101, 1, "2024-01-02"),
+         (102, 1, "2024-01-03"), (103, 2, "2024-01-01"),
+         (104, 9, "2024-01-02"), (105, 1, "2023-12-30")],
+        "fact_id int, cust int, d string",
+    ).selectExpr("fact_id", "cust", "CAST(d AS DATE) AS d")
+    out = {
+        r["fact_id"]: (r["segment"], r["region"])
+        for r in scd.scd2_point_in_time_join(
+            facts, _history(spark), ["cust"], "d"
+        ).collect()
+    }
+    assert out[100] == ("gold", "eu")      # first version
+    assert out[101] == ("gold", "eu")      # unchanged through 01-02
+    assert out[102] == ("gold", "us")      # region changed on 01-03
+    assert out[103] == ("silver", "us")    # cust 2's first version
+    assert out[104] == (None, None)        # unknown key -> NULLs (left)
+    assert out[105] == (None, None)        # before first version
+
+
+def test_point_in_time_join_matches_duckdb(spark):
+    facts = spark.createDataFrame(
+        [(i, 1 + i % 3, f"2024-01-0{1 + i % 3}") for i in range(9)],
+        "fact_id int, cust int, d string",
+    ).selectExpr("fact_id", "cust", "CAST(d AS DATE) AS d")
+    out = scd.scd2_point_in_time_join(facts, _history(spark), ["cust"], "d")
+    got = sorted(tuple(r) for r in out.select(*sorted(out.columns)).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ch(cust INT, ts DATE, segment VARCHAR, region VARCHAR)")
+    for ts, snap in SNAPS.items():
+        for (k, seg, reg) in snap:
+            con.execute("INSERT INTO ch VALUES (?, ?, ?, ?)", [k, ts, seg, reg])
+    con.execute("CREATE TABLE f(fact_id INT, cust INT, d DATE)")
+    for i in range(9):
+        con.execute("INSERT INTO f VALUES (?, ?, ?)", [i, 1 + i % 3, f"2024-01-0{1 + i % 3}"])
+    hist_sql = "(" + scd.scd2_from_changelog_sql(
+        "ch", ["cust"], "ts", ["segment", "region"]
+    ) + ")"
+    q = scd.scd2_point_in_time_join_sql(
+        "f", hist_sql, ["cust"], "d",
+        ["fact_id", "cust", "d"], ["segment", "region"],
+    )
+    rel = con.sql(q)
+    idx = [rel.columns.index(c) for c in sorted(rel.columns)]
+    want = sorted(tuple(row[i] for i in idx) for row in rel.fetchall())
+    assert got == want
+
+
+def test_point_in_time_join_validation(spark):
+    with pytest.raises(ValueError):
+        scd.scd2_point_in_time_join(None, None, ["k"], "d", how="full")

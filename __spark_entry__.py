@@ -3729,6 +3729,90 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C96 (annex, half-exact oracle): KMV/theta sketches
+    (operators/sketch.py) — per-event_type distinct users via per-day
+    sketches MERGED across days. The exact_users column is plain SQL
+    (real oracle teeth); est_ok pins the deterministic sketch estimate
+    within its error band in-plan (xxhash64 has no DuckDB twin, so the
+    estimate itself rides as a checked boolean, the _sim_ann pattern).
+    k=64 keeps the estimation path engaged even at sf0.01 (150 users)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn("d", F.to_date("ts"))
+    daily = sketch.kmv_sketch(ev, ["event_type", "d"], "user_id", k=64)
+    merged = sketch.kmv_merge(daily.drop("d"), ["event_type"], k=64)
+    exact = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    est = merged.select(
+        "event_type", sketch.kmv_estimate(F.col("kmv"), k=64).alias("_est")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.35
+        ).alias("est_ok"),
+    )
+
+
+KMV_USERS_DUCK = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY event_type
+"""
+
+
+def _kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C96 intersection lane (annex, half-exact oracle): the set
+    operation KMV exists for and HLL cannot do — |click ∩ purchase|
+    users. exact_overlap is plain SQL; est_ok pins the theta-rule
+    intersection estimate against it in-plan (deterministic draws →
+    a fixed boolean, red if the estimator ever drifts)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    sks = sketch.kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    a = sks.where(F.col("event_type") == "click").select(F.col("kmv").alias("ka"))
+    b = sks.where(F.col("event_type") == "purchase").select(
+        F.col("kmv").alias("kb")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("_a"),
+            F.max(F.col("event_type") == "purchase").alias("_b"),
+        )
+        .where(F.col("_a") & F.col("_b"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    est = a.crossJoin(F.broadcast(b)).select(
+        sketch.kmv_intersect_estimate(F.col("ka"), F.col("kb"), k=64).alias(
+            "_est"
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_overlap",
+        (
+            F.abs(F.col("_est") - F.col("exact_overlap"))
+            / F.col("exact_overlap")
+            <= 0.5
+        ).alias("est_ok"),
+    )
+
+
+KMV_OVERLAP_DUCK = """
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap, TRUE AS est_ok
+FROM (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING BOOL_OR(event_type = 'click') AND BOOL_OR(event_type = 'purchase')
+)
+"""
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -3853,6 +3937,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "clean_lines_within": _clean_lines_within,
         "tag_docs_topics": _tag_topics,
         "value_histogram_events": _value_hist,
+        # round-7 tenth-batch components (C96+)
+        "kmv_distinct_users": _kmv_users,
+        "kmv_user_overlap": _kmv_overlap,
     }
 
 
@@ -4031,6 +4118,8 @@ def pytest_only_oracles() -> dict[str, str]:
         "value_histogram_events": analytics.value_histogram_sql(
             "events", "value", 8
         ),
+        "kmv_distinct_users": KMV_USERS_DUCK,
+        "kmv_user_overlap": KMV_OVERLAP_DUCK,
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

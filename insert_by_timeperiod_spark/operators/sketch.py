@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: register-index bits: m = 2^p registers, relative error ~1.04/sqrt(m)
 DEFAULT_P = 12
@@ -394,3 +394,113 @@ def dd_quantile(
         ),
     )
     return walk["est"]
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct counts WITH set operations (C96)
+# ---------------------------------------------------------------------------
+
+#: default sample size: relative error ~ 1/sqrt(k-2) ≈ 3.1%
+KMV_K = 1024
+
+#: normalizer mapping a signed 64-bit xxhash64 draw onto (0, 1]
+_KMV_SCALE = float(1 << 64)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = KMV_K,
+    out_col: str = "kmv",
+) -> DataFrame:
+    """One KMV (k-minimum-values / theta) sketch per group: the ``k``
+    smallest distinct ``xxhash64`` draws of the values, sorted ascending
+    (Bar-Yossef et al. 2002; Dasgupta et al. 2016 theta sketches). The
+    one member of the sketch family (HLL C35 / Bloom C37 / count-min C40
+    / DDSketch C41) that answers INTERSECTION and difference
+    cardinalities — "users active in period A *and* period B" — which
+    HLL union-only sketches cannot.
+
+    Plan shape (scale contract): one shuffle on (group, hash) deduplicates
+    draws map-side; the per-group k-smallest election is a ``row_number``
+    window over the SAME keys, so it reuses that exchange (no second
+    shuffle); only k rows per group reach the final array fold. No
+    driver state, no collect; deterministic for a given input set, which
+    is the invariant the tests pin: ``kmv_sketch(A ∪ B) ==
+    kmv_merge(kmv_sketch(A), kmv_sketch(B))`` bit-for-bit."""
+    if k < 16:
+        raise ValueError(f"k must be >= 16, got {k}")
+    distinct_draws = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.xxhash64(F.col(value_col)).alias("_h"))
+        .groupBy(*group_cols, "_h")
+        .agg(F.lit(1))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = distinct_draws.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("_h")).alias(out_col)
+    )
+
+
+def kmv_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = KMV_K,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Merge sketches: k smallest distinct draws of the concatenation —
+    exactly the sketch the union of the underlying inputs would produce
+    (the same array fold both engines and the tests rely on)."""
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.col(sketch_col))))
+        ),
+        1,
+        k,
+    )
+    return df.groupBy(*group_cols).agg(merged.alias(sketch_col))
+
+
+def _kmv_norm(h: Column) -> Column:
+    """Map a signed 64-bit draw onto (0, 1]: (h + 2^63 + 1) / 2^64."""
+    return (h.cast("double") + F.lit(float(1 << 63)) + F.lit(1.0)) / F.lit(
+        _KMV_SCALE
+    )
+
+
+def kmv_estimate(sketch: Column, *, k: int = KMV_K) -> Column:
+    """Distinct-count estimate: exact ``size`` while the sketch holds
+    fewer than k draws (it then IS the distinct hash set), else the
+    classic unbiased ``(k-1) / θ`` with θ = the k-th smallest normalized
+    draw. Pure column algebra."""
+    kth = _kmv_norm(F.element_at(sketch, k))
+    return F.when(F.size(sketch) < k, F.size(sketch).cast("double")).otherwise(
+        F.lit(float(k - 1)) / kth
+    )
+
+
+def kmv_intersect_estimate(
+    a: Column, b: Column, *, k: int = KMV_K
+) -> Column:
+    """|A ∩ B| estimate via the theta-sketch rule: clip both sketches to
+    the SHARED threshold θ = min(θ_A, θ_B) (each side's own k-th draw, or
+    1.0 when exact), count the draws present in both clipped samples, and
+    scale by 1/θ. Exact when both sketches are exact (below k)."""
+    theta_a = F.when(
+        F.size(a) < k, F.lit(1.0)
+    ).otherwise(_kmv_norm(F.element_at(a, k)))
+    theta_b = F.when(
+        F.size(b) < k, F.lit(1.0)
+    ).otherwise(_kmv_norm(F.element_at(b, k)))
+    theta = F.least(theta_a, theta_b)
+    below = lambda s: F.filter(s, lambda h: _kmv_norm(h) < theta)  # noqa: E731
+    common = F.size(F.array_intersect(below(a), below(b)))
+    # with θ = 1.0 (both exact) the clip keeps everything and the scale
+    # is the identity, so the estimate degrades to the exact overlap
+    return common.cast("double") / theta

@@ -2452,3 +2452,94 @@ def test_file_skipping_report_on_zordered_layout(spark, duck, sf_dir, tmp_path):
     )
     rep = {r.file: r.scanned for r in got.collect()}
     assert 0 < sum(rep.values()) < len(rep)  # real skipping, not all-or-nothing
+
+
+# ---------------------------------------------------------------------------
+# C96: KMV / theta sketch (distinct counts with set operations)
+# ---------------------------------------------------------------------------
+
+def test_kmv_merge_equals_union_sketch_exactly(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) bit-for-bit — the
+    same composability contract the HLL/CM/DD family pins."""
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    full = spark.range(0, 20000).withColumn("g", (F.col("id") % 3).cast("int"))
+    a = full.where("id < 7000")
+    b = full.where("id >= 6000")  # overlapping halves: dedup must hold
+    want = {
+        r["g"]: list(r["kmv"])
+        for r in SK.kmv_sketch(full, ["g"], "id", k=256).collect()
+    }
+    parts = SK.kmv_sketch(a, ["g"], "id", k=256).unionByName(
+        SK.kmv_sketch(b, ["g"], "id", k=256)
+    )
+    got = {
+        r["g"]: list(r["kmv"])
+        for r in SK.kmv_merge(parts, ["g"], k=256).collect()
+    }
+    assert got == want
+
+
+def test_kmv_estimate_exact_below_k_and_error_bound_above(spark):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    small = spark.range(0, 200).withColumn("g", F.lit(1))
+    est_s = (
+        SK.kmv_sketch(small, ["g"], "id", k=1024)
+        .select(SK.kmv_estimate(F.col("kmv"), k=1024).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert est_s == 200.0  # below k the sketch IS the distinct set
+    big = spark.range(0, 60000).withColumn("g", F.lit(1))
+    est_b = (
+        SK.kmv_sketch(big, ["g"], "id", k=1024)
+        .select(SK.kmv_estimate(F.col("kmv"), k=1024).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert abs(est_b - 60000) / 60000 < 0.10  # ~3 sigma at k=1024
+
+
+def test_kmv_intersection_estimate_and_exact_degradation(spark):
+    """Planted overlap: A = [0, 40000), B = [20000, 60000) →
+    |A ∩ B| = 20000; and two sub-k sketches intersect EXACTLY."""
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    base = spark.range(0, 60000)
+    a = base.where("id < 40000").withColumn("g", F.lit(1))
+    b = base.where("id >= 20000").withColumn("g", F.lit(1))
+    both = (
+        SK.kmv_sketch(a, ["g"], "id", k=1024)
+        .withColumnRenamed("kmv", "ka")
+        .join(SK.kmv_sketch(b, ["g"], "id", k=1024), "g")
+    )
+    est = both.select(
+        SK.kmv_intersect_estimate(F.col("ka"), F.col("kmv"), k=1024).alias("i")
+    ).collect()[0]["i"]
+    assert abs(est - 20000) / 20000 < 0.15
+    # exact path: both sides below k → theta = 1, plain set intersection
+    sa = spark.range(0, 300).withColumn("g", F.lit(1))
+    sb = spark.range(100, 500).withColumn("g", F.lit(1))
+    small = (
+        SK.kmv_sketch(sa, ["g"], "id", k=1024)
+        .withColumnRenamed("kmv", "ka")
+        .join(SK.kmv_sketch(sb, ["g"], "id", k=1024), "g")
+    )
+    est_s = small.select(
+        SK.kmv_intersect_estimate(F.col("ka"), F.col("kmv"), k=1024).alias("i")
+    ).collect()[0]["i"]
+    assert est_s == 200.0
+
+
+def test_kmv_ignores_nulls_and_validates_k(spark):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, None), (2, "a")], "g int, v string"
+    )
+    out = {
+        r["g"]: len(r["kmv"])
+        for r in SK.kmv_sketch(df, ["g"], "v", k=16).collect()
+    }
+    assert out == {1: 2, 2: 1}
+    with pytest.raises(ValueError):
+        SK.kmv_sketch(df, ["g"], "v", k=4)

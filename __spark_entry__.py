@@ -3729,6 +3729,45 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C97 (annex, EXACT oracle): exact all-pairs Jaccard join via
+    prefix filtering (All-Pairs/SSJoin) — every doc_id % 7 == 1 document
+    is replaced by its predecessor's text plus a short tail, planting
+    ~43 true near-dup pairs among ~5k gram-sharing candidates. The DuckDB
+    twin is the brute-force gram self-join, so a single missed pair
+    (prefix-filter completeness bug) or a wrong jaccard value flips the
+    hash."""
+    _prep(spark, sf_dir)
+    d = (
+        spark.table("documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    prev = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_pt")
+    )
+    aug = d.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7 == 1) & F.col("_pt").isNotNull(),
+            F.concat(F.col("_pt"), F.lit(" extra tail words here")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.prefix_jaccard_pairs(aug, threshold=0.6, shingle_k=3)
+
+
+_PREFIX_JACCARD_SRC_DUCK = (
+    "(SELECT d1.doc_id,"
+    " CASE WHEN d1.doc_id % 7 = 1 AND d2.text IS NOT NULL"
+    " THEN d2.text || ' extra tail words here' ELSE d1.text END AS text"
+    " FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) d1"
+    " LEFT JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 300) d2"
+    " ON d2.doc_id = d1.doc_id - 1)"
+)
+
+
 def _kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C96 (annex, half-exact oracle): KMV/theta sketches
     (operators/sketch.py) — per-event_type distinct users via per-day
@@ -3940,6 +3979,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 tenth-batch components (C96+)
         "kmv_distinct_users": _kmv_users,
         "kmv_user_overlap": _kmv_overlap,
+        "prefix_jaccard_dups": _prefix_jaccard,
     }
 
 
@@ -4120,6 +4160,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "kmv_distinct_users": KMV_USERS_DUCK,
         "kmv_user_overlap": KMV_OVERLAP_DUCK,
+        "prefix_jaccard_dups": dedup.prefix_jaccard_pairs_sql(
+            _PREFIX_JACCARD_SRC_DUCK, threshold=0.6, shingle_k=3
+        ),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

@@ -848,6 +848,166 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# exact all-pairs Jaccard join via prefix filtering (C97)
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join WITHOUT the quadratic blow-up and
+    WITHOUT LSH's miss probability: prefix filtering (Chaudhuri et al.
+    2006 SSJoin; Bayardo et al. 2007 All-Pairs). Order every document's
+    distinct word-``shingle_k``-gram hashes by global rarity (document
+    frequency asc, hash asc — one consistent total order corpus-wide);
+    a document with n grams exposes only its first
+    ``n - ceil(threshold·n) + 1`` grams as join keys. Any pair with
+    J ≥ threshold MUST share a gram lying in BOTH prefixes under a common
+    order (if all shared grams sat outside one prefix, the overlap would
+    be too small to reach the threshold), so blocking recall is exactly 1
+    — candidates are then verified with the real Jaccard. Complete where
+    minhash banding (C19) is probabilistic and the containment cap (C74)
+    is conservative.
+
+    Plan shape (100 TB-safe): the exploded (id, gram-hash) stream is
+    materialized once and feeds the document-frequency count and the
+    per-doc fold; rarity ordering makes prefix join keys the RAREST grams
+    in the corpus, so blocks stay small exactly where a frequency cap
+    would otherwise have to cut (boilerplate grams land outside
+    prefixes); the size-ratio conjunct (J ≥ t ⇒ min/max sizes ≥ t)
+    prunes inside the join condition before any verify work. Verification
+    re-fetches full gram arrays by id — two hash joins on id — and text
+    never leaves the scan stage (64-bit gram hashes; the SQL twin groups
+    by the gram STRING, identical absent 2^-64 collisions). Returns
+    (id_a, id_b, n_common, jaccard) with id_a < id_b."""
+    if shingle_k < 2:
+        raise ValueError(f"shingle_k must be >= 2, got {shingle_k}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    ghs = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - F.lit(shingle_k)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, shingle_k))),
+    )
+    grams = (
+        spread(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), toks.alias("_t"))
+        .where(F.size("_t") >= shingle_k)
+        .select(F.col(id_col), F.explode(F.array_distinct(ghs)).alias("_gh"))
+        # two consumers (document-frequency election + the per-doc fold) —
+        # materialize or the corpus tokenizes twice
+        .localCheckpoint(eager=True)
+    )
+    freq = grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        grams.join(freq, "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "_gh"))),
+                lambda s: s["_gh"],
+            ).alias("_set")
+        )
+        .withColumn("_n", F.size("_set"))
+        # three consumers (prefix explode + both verify sides)
+        .localCheckpoint(eager=True)
+    )
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast(
+        "int"
+    ) + F.lit(1)
+    pre = ordered.select(
+        F.col(id_col),
+        "_n",
+        F.explode(F.slice("_set", F.lit(1), prefix_len)).alias("_gh"),
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a._gh") == F.col("b._gh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a._n") >= threshold * F.col("b._n"))
+            & (F.col("b._n") >= threshold * F.col("a._n")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = ordered.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_set").alias("_sa"),
+        F.col("_n").alias("_na"),
+    )
+    sb = ordered.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_set").alias("_sb"),
+        F.col("_n").alias("_nb"),
+    )
+    n_common = F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def prefix_jaccard_pairs_sql(
+    source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> str:
+    """The exact DuckDB twin of :func:`prefix_jaccard_pairs` — brute-force
+    gram self-join (completeness is by construction there, which is the
+    point: the prefix filter must lose NOTHING against it), grouping by
+    the gram string where the engine groups by its xxhash64."""
+    k, t = int(shingle_k), float(threshold)
+    return f"""
+WITH _toks AS (
+    SELECT {id_col},
+           list_filter(str_split_regex(trim(lower({text_col})), '\\s+'),
+                       w -> w != '') AS _t
+    FROM {source}
+), _grams AS (
+    SELECT DISTINCT {id_col}, array_to_string(_t[i + 1 : i + {k}], ' ') AS _g
+    FROM _toks, UNNEST(range(0, len(_t) - {k} + 1)) AS _u(i)
+    WHERE len(_t) >= {k}
+), _sizes AS (
+    SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS _n FROM _grams GROUP BY {id_col}
+), _common AS (
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM _grams a JOIN _grams b ON a._g = b._g AND a.{id_col} < b.{id_col}
+    GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       CAST(c.n_common AS DOUBLE) / (sa._n + sb._n - c.n_common) AS jaccard
+FROM _common c
+JOIN _sizes sa ON sa.{id_col} = c.id_a
+JOIN _sizes sb ON sb.{id_col} = c.id_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa._n + sb._n - c.n_common) >= {t}
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental exact dedup against a persistent digest state (C36)
 # ---------------------------------------------------------------------------
 

@@ -3729,6 +3729,34 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _k_core_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C98 (annex, EXACT oracle): k-core decomposition over an
+    events-derived graph with a PLANTED dense 12-node core plus a sparse
+    40-node chain periphery — peeling must cascade the chain away from
+    its dangling ends while the core survives at k=4. The DuckDB twin
+    unrolls the identical peeling rounds as chained CTEs."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    eid = F.col("event_id")
+    dense = ev.where(eid % 2 == 0).select(
+        (eid % 12).alias("src"), ((eid * 5 + 1) % 12).alias("dst")
+    )
+    chain = ev.where(eid % 3 == 0).select(
+        (F.lit(100) + eid % 40).alias("src"),
+        (F.lit(101) + eid % 40).alias("dst"),
+    )
+    return graph.k_core(dense.unionByName(chain), 4, max_iter=8)
+
+
+_K_CORE_SRC_DUCK = (
+    "(SELECT event_id % 12 AS src, (event_id * 5 + 1) % 12 AS dst"
+    " FROM events WHERE event_id % 2 = 0"
+    " UNION ALL"
+    " SELECT 100 + (event_id % 40), 101 + (event_id % 40)"
+    " FROM events WHERE event_id % 3 = 0)"
+)
+
+
 def _prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C97 (annex, EXACT oracle): exact all-pairs Jaccard join via
     prefix filtering (All-Pairs/SSJoin) — every doc_id % 7 == 1 document
@@ -3980,6 +4008,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "kmv_distinct_users": _kmv_users,
         "kmv_user_overlap": _kmv_overlap,
         "prefix_jaccard_dups": _prefix_jaccard,
+        "k_core_events": _k_core_events,
     }
 
 
@@ -4163,6 +4192,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "prefix_jaccard_dups": dedup.prefix_jaccard_pairs_sql(
             _PREFIX_JACCARD_SRC_DUCK, threshold=0.6, shingle_k=3
         ),
+        "k_core_events": graph.k_core_sql(_K_CORE_SRC_DUCK, 4, max_iter=8),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

@@ -454,3 +454,118 @@ def label_propagation_sql(
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM _l{n_iter}"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    max_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The k-core of the undirected simple graph (Seidman 1983): the
+    maximal subgraph where every node keeps degree ≥ k — the standard
+    density filter a link-graph curation runs before centrality (spam
+    farms and orphan chains peel away; the "real web" survives). Computed
+    by iterative peeling — delete every node with current degree < k,
+    recompute, repeat — which converges to the fixpoint from above.
+
+    Contract: at most ``max_iter`` peeling rounds, early-exit when a
+    round removes nothing (the result then IS the exact k-core). The SQL
+    twin unrolls exactly ``max_iter`` rounds; peeling is monotone, so
+    post-fixpoint rounds are no-ops and the early exit never diverges
+    from the twin. Self-loops are dropped; duplicate edges count once.
+
+    Scale shape (per round): TWO left-semi joins filter the symmetric
+    edge list to surviving endpoints (hash joins on the node key — the
+    survivor set may be corpus-sized, never broadcast), ONE
+    map-side-combined degree count; survivors are ``localCheckpoint``-ed
+    (iterative lineage otherwise re-executes all prior rounds), and the
+    driver reads back ONE count per round for the early exit. Returns
+    (node, core_degree) — degree within the final core."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    sym = (
+        e.select("_s", "_d")
+        .union(e.select(F.col("_d"), F.col("_s")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("_s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        kept = (
+            sym.join(alive.withColumnRenamed("node", "_s"), "_s", "left_semi")
+            .join(alive.withColumnRenamed("node", "_d"), "_d", "left_semi")
+        )
+        deg = kept.groupBy("_s").agg(F.count(F.lit(1)).alias("core_degree"))
+        alive = (
+            deg.where(F.col("core_degree") >= k)
+            .select(F.col("_s").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n_next = alive.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    final = (
+        sym.join(alive.withColumnRenamed("node", "_s"), "_s", "left_semi")
+        .join(alive.withColumnRenamed("node", "_d"), "_d", "left_semi")
+        .groupBy(F.col("_s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )
+    return final
+
+
+def k_core_sql(
+    edges_source: str,
+    k: int,
+    *,
+    max_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """The exact DuckDB twin of :func:`k_core`: identical symmetric simple
+    graph, ``max_iter`` peeling rounds unrolled as chained CTEs (no-op
+    rounds past the fixpoint keep the twin aligned with the engine's
+    early exit)."""
+    ctes = [
+        f"""_e AS (
+    SELECT DISTINCT {src} AS _s, {dst} AS _d FROM {edges_source}
+    WHERE {src} <> {dst}
+), _u AS (
+    SELECT _s, _d FROM _e UNION SELECT _d, _s FROM _e
+), _a0 AS (
+    SELECT DISTINCT _s AS node FROM _u
+)"""
+    ]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"""_a{i} AS (
+    SELECT u._s AS node FROM _u u
+    WHERE u._s IN (SELECT node FROM _a{i - 1})
+      AND u._d IN (SELECT node FROM _a{i - 1})
+    GROUP BY u._s HAVING COUNT(*) >= {int(k)}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT u._s AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM _u u
+WHERE u._s IN (SELECT node FROM _a{max_iter})
+  AND u._d IN (SELECT node FROM _a{max_iter})
+GROUP BY u._s HAVING COUNT(*) >= {int(k)}"""
+    )

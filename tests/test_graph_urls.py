@@ -354,3 +354,43 @@ def test_label_propagation_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         graph.label_propagation(None, n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# C98: k-core decomposition
+# ---------------------------------------------------------------------------
+
+def test_k_core_clique_survives_chain_peels(spark):
+    from insert_by_timeperiod_spark.operators import graph
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13), (13, 0)]
+    df = spark.createDataFrame(clique + chain, "src int, dst int")
+    got = {r["node"]: r["core_degree"] for r in graph.k_core(df, 4).collect()}
+    # only the 5-clique survives at k=4, every member at degree 4 —
+    # peeling must CASCADE (node 13 first, then 12, then 11, then 10)
+    assert got == {n: 4 for n in range(5)}
+    # k=2: the open chain peels entirely from the dangling end
+    got2 = {r["node"] for r in graph.k_core(df, 2).collect()}
+    assert got2 == set(range(5))
+
+
+def test_k_core_matches_unrolled_twin_and_handles_edge_cases(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import graph
+
+    edges = [(i, (i * 5 + 1) % 13) for i in range(13)] + [
+        (i, (i * 7 + 2) % 13) for i in range(13)
+    ] + [(3, 3), (1, 2), (2, 1)]  # self-loop + duplicates must not count
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = sorted(map(tuple, graph.k_core(df, 3, max_iter=6).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src INT, dst INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = sorted(con.execute(graph.k_core_sql("e", 3, max_iter=6)).fetchall())
+    assert got == want
+    # k above the max degree -> empty core, no crash
+    assert graph.k_core(df, 50).count() == 0
+    with pytest.raises(ValueError):
+        graph.k_core(df, 0)

@@ -3729,6 +3729,33 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C99 (annex, EXACT oracle): market-basket association rules —
+    "orders containing brand X also contain brand Y" over the
+    lineitem⋈part relation (basket = order, item = part brand). The dim
+    side is broadcast; pair generation self-joins within order keys only;
+    metrics are single IEEE divisions of exact counts (bit-identical
+    cross-engine)."""
+    _prep(spark, sf_dir)
+    baskets = (
+        spark.table("lineitem")
+        .join(
+            F.broadcast(spark.table("part").select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
+    )
+    return analytics.association_rules(
+        baskets, "bk", "item", min_support=0.002
+    )
+
+
+_BASKET_SRC_DUCK = (
+    "(SELECT l_orderkey AS bk, p_brand AS item"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey)"
+)
+
+
 def _k_core_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C98 (annex, EXACT oracle): k-core decomposition over an
     events-derived graph with a PLANTED dense 12-node core plus a sparse
@@ -4009,6 +4036,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "kmv_user_overlap": _kmv_overlap,
         "prefix_jaccard_dups": _prefix_jaccard,
         "k_core_events": _k_core_events,
+        "basket_rules_brands": _basket_rules,
     }
 
 
@@ -4193,6 +4221,9 @@ def pytest_only_oracles() -> dict[str, str]:
             _PREFIX_JACCARD_SRC_DUCK, threshold=0.6, shingle_k=3
         ),
         "k_core_events": graph.k_core_sql(_K_CORE_SRC_DUCK, 4, max_iter=8),
+        "basket_rules_brands": analytics.association_rules_sql(
+            _BASKET_SRC_DUCK, "bk", "item", min_support=0.002
+        ),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

@@ -646,3 +646,143 @@ SELECT s.bin, s.lo_edge, s.hi_edge,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM _spine s LEFT JOIN _counts c ON c.bin = s.bin
 """
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: float = 0.01,
+    max_basket_items: int = 200,
+) -> DataFrame:
+    """Market-basket association rules (SURVEY.md §2 C99; Agrawal &
+    Srikant 1994's support/confidence frame plus lift): for every ordered
+    item pair (antecedent → consequent) co-occurring in at least
+    ``min_support`` of baskets, the standard trio — support =
+    P(a ∧ b), confidence = P(b | a), lift = confidence / P(b). The
+    "bought X, also bought Y" / "docs with tag X also carry tag Y"
+    readout over any (basket, item) relation.
+
+    Scale shape: the basket relation dedups on ONE (basket, item) shuffle
+    (map-side combined); the pair generation self-joins WITHIN basket
+    keys only — one hash join on the basket key, never a cartesian; pair
+    and item counts are map-side-combined aggregates on item-pair-sized
+    data; the basket total rides back as a 1-row broadcast. Baskets with
+    more than ``max_basket_items`` distinct items are EXCLUDED up front
+    (documented guard replicated by the twin): a degenerate mega-basket
+    contributes quadratic pairs and no signal. Metrics are single IEEE
+    divisions of exact integer counts — bit-identical cross-engine, no
+    rounding grid needed. Returns (antecedent, consequent, n_pair,
+    support, confidence, lift)."""
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError(f"min_support must be in (0, 1], got {min_support}")
+    if max_basket_items < 2:
+        raise ValueError(
+            f"max_basket_items must be >= 2, got {max_basket_items}"
+        )
+    b = (
+        df.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    sized = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
+    b = (
+        b.join(sized.where(F.col("_sz") <= max_basket_items), "_b")
+        .select("_b", "_i")
+        # three consumers: the total, the item counts, both pair-join sides
+        .localCheckpoint(eager=True)
+    )
+    n_baskets = b.select("_b").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    items = b.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a._b") == F.col("c._b")) & (F.col("a._i") < F.col("c._i")),
+        )
+        .groupBy(
+            F.col("a._i").alias("_x"), F.col("c._i").alias("_y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    # both rule directions from each unordered pair
+    directed = pairs.select(
+        F.col("_x").alias("antecedent"), F.col("_y").alias("consequent"), "n_pair"
+    ).unionByName(
+        pairs.select(
+            F.col("_y").alias("antecedent"),
+            F.col("_x").alias("consequent"),
+            "n_pair",
+        )
+    )
+    out = (
+        directed.join(
+            items.select(F.col("_i").alias("antecedent"), F.col("_ni").alias("_na")),
+            "antecedent",
+        )
+        .join(
+            items.select(F.col("_i").alias("consequent"), F.col("_ni").alias("_nb")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            (F.col("n_pair") / F.col("_n").cast("double")).alias("support"),
+            (F.col("n_pair") / F.col("_na").cast("double")).alias("confidence"),
+            (
+                (F.col("n_pair") * F.col("_n"))
+                / (F.col("_na") * F.col("_nb")).cast("double")
+            ).alias("lift"),
+        )
+        .where(F.col("support") >= min_support)
+    )
+    return out
+
+
+def association_rules_sql(
+    source: str,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: float = 0.01,
+    max_basket_items: int = 200,
+) -> str:
+    """The exact DuckDB twin of :func:`association_rules` — identical
+    dedup, mega-basket guard, pair generation, and single-division
+    metrics."""
+    ms, cap = float(min_support), int(max_basket_items)
+    return f"""
+WITH _b AS (
+    SELECT _b, _i FROM (
+        SELECT DISTINCT {basket_col} AS _b, {item_col} AS _i
+        FROM {source}
+        WHERE {basket_col} IS NOT NULL AND {item_col} IS NOT NULL
+    ) QUALIFY COUNT(*) OVER (PARTITION BY _b) <= {cap}
+), _n AS (
+    SELECT CAST(COUNT(DISTINCT _b) AS BIGINT) AS _n FROM _b
+), _items AS (
+    SELECT _i, CAST(COUNT(*) AS BIGINT) AS _ni FROM _b GROUP BY _i
+), _pairs AS (
+    SELECT a._i AS _x, c._i AS _y, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM _b a JOIN _b c ON a._b = c._b AND a._i < c._i
+    GROUP BY 1, 2
+), _directed AS (
+    SELECT _x AS antecedent, _y AS consequent, n_pair FROM _pairs
+    UNION ALL
+    SELECT _y, _x, n_pair FROM _pairs
+)
+SELECT d.antecedent, d.consequent, d.n_pair,
+       d.n_pair / CAST(n._n AS DOUBLE) AS support,
+       d.n_pair / CAST(ia._ni AS DOUBLE) AS confidence,
+       (d.n_pair * n._n) / CAST(ia._ni * ib._ni AS DOUBLE) AS lift
+FROM _directed d
+JOIN _items ia ON ia._i = d.antecedent
+JOIN _items ib ON ib._i = d.consequent
+CROSS JOIN _n n
+WHERE d.n_pair / CAST(n._n AS DOUBLE) >= {ms}
+"""

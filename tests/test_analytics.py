@@ -411,3 +411,69 @@ def test_chunk_bm25_finds_buried_passage(spark):
     ).collect()
     assert out and out[0].doc_id == 1
     assert "quantum" in buried[out[0].chunk_start - 1 : out[0].chunk_start - 1 + 120]
+
+
+# ---------------------------------------------------------------------------
+# C99: market-basket association rules
+# ---------------------------------------------------------------------------
+
+def test_association_rules_hand_case(spark):
+    from insert_by_timeperiod_spark.operators import analytics
+
+    # 4 baskets: {a,b}, {a,b}, {a,c}, {b} — duplicates within a basket
+    # must count once
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "bk int, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_pair"], r["support"], r["confidence"], r["lift"],
+        )
+        for r in analytics.association_rules(
+            df, "bk", "item", min_support=0.1
+        ).collect()
+    }
+    # a,b together in 2 of 4 baskets; n_a=3, n_b=3, n_c=1
+    assert out[("a", "b")] == (2, 0.5, 2 / 3, (2 * 4) / 9)
+    assert out[("b", "a")] == (2, 0.5, 2 / 3, (2 * 4) / 9)
+    assert out[("a", "c")] == (1, 0.25, 1 / 3, (1 * 4) / 3)
+    assert out[("c", "a")] == (1, 0.25, 1.0, (1 * 4) / 3)
+    assert ("b", "c") not in out  # never co-occur
+
+
+def test_association_rules_twin_guard_and_validation(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import analytics
+
+    rows = [(i % 7, "i%d" % ((i * 3) % 5)) for i in range(60)] + [
+        (99, "i%d" % i) for i in range(8)  # mega-basket, excluded at cap 6
+    ]
+    df = spark.createDataFrame(rows, "bk int, item string")
+    got = sorted(
+        (r[0], r[1], r[2], round(r[3], 9), round(r[4], 9), round(r[5], 9))
+        for r in analytics.association_rules(
+            df, "bk", "item", min_support=0.01, max_basket_items=6
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(bk INT, item VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        (r[0], r[1], r[2], round(r[3], 9), round(r[4], 9), round(r[5], 9))
+        for r in con.execute(
+            analytics.association_rules_sql(
+                "t", "bk", "item", min_support=0.01, max_basket_items=6
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    assert all(a != 99 for a, *_ in got)  # mega-basket really excluded
+    with pytest.raises(ValueError):
+        analytics.association_rules(df, "bk", "item", min_support=0.0)
+    with pytest.raises(ValueError):
+        analytics.association_rules(df, "bk", "item", max_basket_items=1)

@@ -3729,6 +3729,53 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C100 (annex, constant-threshold oracle): Johnson-Lindenstrauss
+    random projection 64→32 dims — the guarantee RP makes is DISTANCE
+    preservation (the fixture's vectors are isotropic, so exact-rank
+    recall through any reduction is noise; the JL band is the honest
+    pin). All 1225 pairwise distance ratios must sit in [0.4, 1.8] and
+    their mean in [0.9, 1.1] — deterministic (seeded matrix, fixed-order
+    matmul), measured [0.58, 1.54] / ≈0.99 at both SFs, so the booleans
+    flip only if the projection drifts."""
+    _prep(spark, sf_dir)
+    embs = spark.table("embeddings").where("vec_id < 50")
+    p = similarity.random_project(embs, out_dim=32, seed=9)
+    a = p.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.col("embedding_rp").alias("pa"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("embedding_rp").alias("pb"),
+    )
+
+    def _dist(x: str, y: str):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    ratios = a.join(b, F.col("ia") < F.col("ib")).select(
+        (_dist("pa", "pb") / _dist("va", "vb")).alias("r")
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        ((F.min("r") >= 0.4) & (F.max("r") <= 1.8)).alias("band_ok"),
+        F.avg("r").between(0.9, 1.1).alias("mean_ok"),
+    )
+
+
+RANDOM_PROJECTION_DUCK = """
+SELECT CAST(1225 AS BIGINT) AS n_pairs, TRUE AS band_ok, TRUE AS mean_ok
+"""
+
+
 def _basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C99 (annex, EXACT oracle): market-basket association rules —
     "orders containing brand X also contain brand Y" over the
@@ -4037,6 +4084,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "prefix_jaccard_dups": _prefix_jaccard,
         "k_core_events": _k_core_events,
         "basket_rules_brands": _basket_rules,
+        "random_projection_jl": _random_projection_jl,
     }
 
 
@@ -4224,6 +4272,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "basket_rules_brands": analytics.association_rules_sql(
             _BASKET_SRC_DUCK, "bk", "item", min_support=0.002
         ),
+        "random_projection_jl": RANDOM_PROJECTION_DUCK,
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

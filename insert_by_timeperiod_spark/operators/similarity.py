@@ -672,3 +672,53 @@ def ivf_query(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def random_project(
+    df: DataFrame,
+    *,
+    out_dim: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (SURVEY.md §2 C100;
+    Achlioptas 2003): multiply every embedding by ONE seeded Gaussian
+    matrix G/√out_dim — pairwise geometry survives within (1±ε) while the
+    vector payload shrinks by in_dim/out_dim. The cheap first stage of
+    every 100 TB vector pipeline: project once, run LSH/IVF/dedup passes
+    on the short vectors, verify winners on the originals (the same
+    two-stage posture as int8 quantization, which shrinks bytes/value
+    where this shrinks the number of values).
+
+    Deterministic: the matrix derives from ``seed`` alone (same draw on
+    every executor, every run — pinned); the per-row float64 matmul is
+    fixed-order. Arrow-batched numpy lane, one pass, zero shuffle; the
+    matrix is built from the first batch's dimensionality and NEVER
+    shipped from the driver. NULL / empty / wrong-width vectors project
+    to NULL (the quantizer's hardening contract)."""
+    if out_dim < 2:
+        raise ValueError(f"out_dim must be >= 2, got {out_dim}")
+
+    @F.pandas_udf("array<double>")
+    def proj(vs: pd.Series) -> pd.Series:
+        mats: dict[int, np.ndarray] = {}
+        out = []
+        for v in vs:
+            if v is None or len(v) == 0:
+                out.append(None)
+                continue
+            d = len(v)
+            if d not in mats:
+                # one deterministic draw per input width — executors all
+                # derive the identical matrix from the seed
+                rs = np.random.RandomState(seed + 31 * d)
+                mats[d] = rs.standard_normal((d, out_dim)) / np.sqrt(out_dim)
+            a = np.asarray(v, dtype=np.float64)
+            if not np.isfinite(a).all():
+                out.append(None)
+                continue
+            out.append(a @ mats[d])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -2615,3 +2615,102 @@ def test_prefix_jaccard_no_cartesian(spark):
     )
     plan = D.prefix_jaccard_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# C100: Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+def _rp_fixture(spark, n=120, dim=64):
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    rows = [(i, rs.standard_normal(dim).tolist()) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_random_project_deterministic_and_matches_numpy(spark):
+    import numpy as np
+
+    from insert_by_timeperiod_spark.operators import similarity as S
+
+    rows, df = _rp_fixture(spark, n=30)
+    got = {
+        r["vec_id"]: np.array(r["embedding_rp"])
+        for r in S.random_project(df, out_dim=8, seed=5).collect()
+    }
+    again = {
+        r["vec_id"]: np.array(r["embedding_rp"])
+        for r in S.random_project(df, out_dim=8, seed=5).collect()
+    }
+    mat = np.random.RandomState(5 + 31 * 64).standard_normal((64, 8)) / np.sqrt(8)
+    for i, v in rows:
+        want = np.asarray(v) @ mat
+        assert np.allclose(got[i], want) and (got[i] == again[i]).all()
+
+
+def test_random_project_preserves_distances_jl(spark):
+    import itertools
+
+    import numpy as np
+
+    from insert_by_timeperiod_spark.operators import similarity as S
+
+    rows, df = _rp_fixture(spark, n=40)
+    proj = {
+        r["vec_id"]: np.array(r["embedding_rp"])
+        for r in S.random_project(df, out_dim=32, seed=11).collect()
+    }
+    orig = {i: np.asarray(v) for i, v in rows}
+    ratios = []
+    for a, b in itertools.combinations(sorted(orig), 2):
+        d0 = np.linalg.norm(orig[a] - orig[b])
+        d1 = np.linalg.norm(proj[a] - proj[b])
+        ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    # JL at out_dim=32: distances concentrate around 1; the spread must
+    # be the expected ~1/sqrt(32) band, not arbitrary
+    assert 0.5 < ratios.min() and ratios.max() < 1.6
+    assert abs(float(ratios.mean()) - 1.0) < 0.1
+
+
+def test_random_project_downstream_recall_and_hardening(spark):
+    from insert_by_timeperiod_spark.operators import similarity as S
+
+    import numpy as np
+
+    # clustered fixture: real neighbor structure (same-cluster points are
+    # genuinely close) — with isotropic noise cosine top-k is a coin flip
+    # and NO dimensionality reduction could preserve it
+    rs = np.random.RandomState(13)
+    centers = rs.standard_normal((10, 64)) * 3.0
+    rows = [
+        (i, (centers[i % 10] + rs.standard_normal(64) * 0.3).tolist())
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    p = S.random_project(df, out_dim=24, seed=3)
+    exact = S.brute_force_topk(df, df.where("vec_id < 12"), k=5)
+    approx = S.brute_force_topk(
+        p.select("vec_id", F.col("embedding_rp").alias("embedding")),
+        p.where("vec_id < 12").select(
+            "vec_id", F.col("embedding_rp").alias("embedding")
+        ),
+        k=5,
+    )
+    # within-cluster sims differ only by noise, so exact-rank overlap is
+    # fragile by construction; what projection MUST preserve is the
+    # neighborhood itself — every neighbor stays in the query's cluster
+    same = (F.col("neighbor_id") % 10 == F.col("query_id") % 10).cast("int")
+    for res in (exact, approx):
+        frac = res.agg(F.avg(same)).collect()[0][0]
+        assert frac >= 0.95  # deterministic given the seeds
+    # hardening: NULL / empty / NaN vectors -> NULL projection
+    bad = spark.createDataFrame(
+        [(1, None), (2, []), (3, [float("nan")] * 4)],
+        "vec_id int, embedding array<double>",
+    )
+    out = S.random_project(bad, out_dim=4).collect()
+    assert all(r["embedding_rp"] is None for r in out)
+    with pytest.raises(ValueError):
+        S.random_project(df, out_dim=1)

@@ -70,6 +70,7 @@ from insert_by_timeperiod_spark.operators import (
     rollup,
     sampling,
     scd,
+    sessions,
     bloom,
     similarity,
     sketch,
@@ -3729,6 +3730,67 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_SRC_DUCK = (
+    "(SELECT CASE WHEN event_id % 11 = 0 THEN 'D'"
+    " WHEN event_id % 2 = 0 THEN 'U' ELSE 'I' END AS op,"
+    " user_id, ts, event_id AS seq, event_type, value FROM events)"
+)
+
+
+def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C101 (annex, EXACT oracle): CDC changelog compaction — an
+    events-derived Debezium-shaped change stream (op from event_id
+    arithmetic, log offset = event_id) collapses to current state in ONE
+    key-window pass; keys whose latest op is a delete vanish."""
+    _prep(spark, sf_dir)
+    eid = F.col("event_id")
+    ch = spark.table("events").select(
+        F.when(eid % 11 == 0, "D")
+        .when(eid % 2 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        "user_id",
+        "ts",
+        eid.alias("seq"),
+        "event_type",
+        "value",
+    )
+    return scd.apply_changelog(ch, ["user_id"], "ts", seq_col="seq")
+
+
+def _session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C102 (annex, EXACT oracle): top session paths — the most
+    frequent ordered event-type journeys (sessionize → first-4-steps
+    fold in one aggregate → map-side-combined counts → global top-15;
+    event_id tiebreak makes same-timestamp order twin-exact)."""
+    _prep(spark, sf_dir)
+    return sessions.top_paths(
+        spark.table("events"),
+        gap_minutes=30,
+        max_steps=4,
+        top_k=15,
+        tiebreak="event_id",
+    )
+
+
+def _debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C103 (annex, EXACT oracle): debounce/throttle dedup — keep an
+    event only if ≥ 1h passed since the last KEPT event of its
+    (user, type). Sequential recurrence (depends on which earlier rows
+    survived), so the Arrow lane walks each key once; the oracle replays
+    the identical recurrence as a recursive CTE — sequential semantics,
+    still exact-checked."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    return sessions.debounce(
+        ev,
+        ["user_id", "event_type"],
+        "ts",
+        min_gap_seconds=3600,
+        tiebreak="event_id",
+    )
+
+
 def _random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C100 (annex, constant-threshold oracle): Johnson-Lindenstrauss
     random projection 64→32 dims — the guarantee RP makes is DISTANCE
@@ -4085,6 +4147,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "k_core_events": _k_core_events,
         "basket_rules_brands": _basket_rules,
         "random_projection_jl": _random_projection_jl,
+        "cdc_apply_latest": _cdc_apply,
+        "session_top_paths": _session_paths,
+        "debounce_events": _debounce_events,
     }
 
 
@@ -4273,6 +4338,18 @@ def pytest_only_oracles() -> dict[str, str]:
             _BASKET_SRC_DUCK, "bk", "item", min_support=0.002
         ),
         "random_projection_jl": RANDOM_PROJECTION_DUCK,
+        "cdc_apply_latest": scd.apply_changelog_sql(
+            _CDC_SRC_DUCK, ["user_id"], "ts", seq_col="seq"
+        ),
+        "session_top_paths": sessions.top_paths_sql(
+            "events", gap_minutes=30, max_steps=4, top_k=15,
+            tiebreak="event_id",
+        ),
+        "debounce_events": sessions.debounce_sql(
+            "(SELECT user_id, event_type, ts, event_id FROM events)",
+            ["user_id", "event_type"], "ts", min_gap_seconds=3600,
+            tiebreak="event_id",
+        ),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

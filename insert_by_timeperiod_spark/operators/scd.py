@@ -273,3 +273,60 @@ LEFT JOIN {history_source} h
   ON {on} AND h.valid_from <= f.{fact_ts_col}
  AND (h.valid_to IS NULL OR f.{fact_ts_col} < h.valid_to)
 """
+
+
+def apply_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC changelog compaction (SURVEY.md §2 C101): from an
+    (op ∈ {I,U,D}, key, ts, attrs) change stream — the shape every
+    Debezium/warehouse CDC feed delivers — materialize the CURRENT state:
+    each key's latest row wins, and a key whose latest op is a delete is
+    absent. The batch "apply the changelog" primitive complementing A13's
+    keyed upsert (which merges a period batch) and C94's SCD2 (which
+    keeps history instead of collapsing it).
+
+    Latest = max (ts, seq) per key — pass ``seq_col`` (e.g. a log offset)
+    to break same-timestamp ties; with it the result is fully
+    deterministic and the SQL twin exact. One window shuffle on the key;
+    the op filter is scan-stage; nothing but the winning rows survive the
+    exchange... rows, not state, so a 100 TB changelog compacts in one
+    pass without a driver loop."""
+    if not key_cols:
+        raise ValueError("apply_changelog: key_cols required")
+    order = [F.col(ts_col).desc()]
+    if seq_col:
+        order.append(F.col(seq_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )
+
+
+def apply_changelog_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    delete_op: str = "D",
+    select: str = "* EXCLUDE (_rn)",
+) -> str:
+    """Exact DuckDB twin of :func:`apply_changelog`."""
+    k = ", ".join(key_cols)
+    order = f"{ts_col} DESC" + (f", {seq_col} DESC" if seq_col else "")
+    return f"""
+SELECT {select} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY {k} ORDER BY {order}) AS _rn
+    FROM {source}
+) WHERE _rn = 1 AND {op_col} <> '{delete_op}'
+"""

@@ -82,3 +82,200 @@ def session_stats(
         ).alias("duration_sec"),
         *(extra_aggs or []),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    *,
+    gap_minutes: float = 30.0,
+    max_steps: int = 5,
+    top_k: int = 20,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Top-k session paths (SURVEY.md §2 C102): the most frequent ordered
+    event-type sequences users actually walk — sessionize, take each
+    session's first ``max_steps`` events in time order, count identical
+    paths, keep the ``top_k``. The "what are people doing" readout that
+    generalizes C71's first-order transitions to whole journeys.
+
+    Scale shape: sessionization's single user-key shuffle; the per-session
+    path folds in ONE (user, session) aggregate via sort_array over
+    (ts, tiebreak, type) structs — no second ordering pass; path counts
+    are map-side combined on path-string-sized data; the global top-k
+    moves only ``top_k`` candidates per partition. ``tiebreak`` makes
+    same-timestamp order deterministic (pass one for a twin-exact
+    result). Returns (path, n_sessions) ranked, count-desc/path-asc."""
+    if max_steps < 1:
+        raise ValueError(f"max_steps must be >= 1, got {max_steps}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    s = sessionize(
+        df, user_col, ts_col, gap_minutes=gap_minutes, tiebreak=tiebreak
+    )
+    order_cols = [F.col(ts_col)] + (
+        [F.col(tiebreak)] if tiebreak else []
+    ) + [F.col(type_col)]
+    step = F.struct(*order_cols)
+    paths = (
+        s.groupBy(user_col, "session_seq")
+        .agg(F.array_sort(F.collect_list(step)).alias("_steps"))
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform("_steps", lambda x: x[type_col]),
+                    1,
+                    max_steps,
+                ),
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .select("path", "n_sessions")
+    )
+
+
+def top_paths_sql(
+    source: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    *,
+    gap_minutes: float = 30.0,
+    max_steps: int = 5,
+    top_k: int = 20,
+    tiebreak: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`top_paths` (identical gap rule, step
+    ordering, and count-desc/path-asc ranking)."""
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    tb = f", {tiebreak}" if tiebreak else ""
+    return f"""
+WITH _flag AS (
+    SELECT {user_col}, {ts_col}{tb}, {type_col},
+           CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                  OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w
+                     > {gap_us}
+                THEN 1 ELSE 0 END AS _new_s
+    FROM {source}
+    WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}{tb})
+), _sess AS (
+    SELECT *, SUM(_new_s) OVER (
+        PARTITION BY {user_col} ORDER BY {ts_col}{tb}
+        ROWS UNBOUNDED PRECEDING
+    ) AS session_seq
+    FROM _flag
+), _paths AS (
+    SELECT array_to_string(
+               (list({type_col} ORDER BY {ts_col}{tb}, {type_col}))
+                   [1 : {int(max_steps)}],
+               '>') AS path
+    FROM _sess GROUP BY {user_col}, session_seq
+), _counts AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM _paths GROUP BY path
+)
+SELECT path, n_sessions FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS _rk
+    FROM _counts
+) WHERE _rk <= {int(top_k)}
+"""
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    min_gap_seconds: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Debounce / throttle dedup (SURVEY.md §2 C103): keep an event only
+    if at least ``min_gap_seconds`` have passed since the last KEPT event
+    of its key — the telemetry/webhook duplicate-burst filter. This is
+    NOT sessionize-and-take-first: whether row i survives depends on
+    which earlier rows survived (e1 kept, e2 at +30s dropped, e3 at +70s
+    kept with gap=60 — raw-gap sessionization would drop e3), a genuinely
+    sequential recurrence no window frame expresses.
+
+    So this is the Arrow lane's legitimate home: ONE shuffle groups each
+    key, ``applyInPandas`` walks its rows once in (ts, tiebreak) order —
+    O(rows), no state beyond the last kept timestamp, mega-keys bounded
+    by the per-key sort sessionize already pays. The DuckDB twin replays
+    the identical recurrence as a recursive CTE stepping every key one
+    row per iteration (depth = max rows per key), so the sequential
+    semantics is still exact-oracle-checked. NULL timestamps are
+    dropped up front (no position in the ordering)."""
+    if not key_cols:
+        raise ValueError("debounce: key_cols required")
+    if min_gap_seconds <= 0:
+        raise ValueError(
+            f"min_gap_seconds must be > 0, got {min_gap_seconds}"
+        )
+    gap_us = int(min_gap_seconds * 1_000_000)
+    src = df.where(F.col(ts_col).isNotNull())
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        ts_us = pdf[ts_col].astype("int64")  # datetime64[us/ns] -> int
+        unit_div = 1
+        if str(pdf[ts_col].dtype).endswith("[ns]"):
+            unit_div = 1_000
+        keep = []
+        last = None
+        for t in ts_us:
+            t = int(t) // unit_div
+            ok = last is None or (t - last) >= gap_us
+            keep.append(ok)
+            if ok:
+                last = t
+        return pdf[keep]
+
+    return src.groupBy(*key_cols).applyInPandas(walk, schema=src.schema)
+
+
+def debounce_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    min_gap_seconds: float,
+    tiebreak: str | None = None,
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`debounce`: the keep-recurrence as a
+    recursive CTE — each iteration advances every key by one row,
+    carrying the last-kept timestamp."""
+    gap_us = int(min_gap_seconds * 1_000_000)
+    k = ", ".join(key_cols)
+    tb = f", {tiebreak}" if tiebreak else ""
+    kj = " AND ".join(f"r.{c} = w.{c}" for c in key_cols)
+    cols = select or f"* EXCLUDE (_rn, _last, _kept)"
+    return f"""
+WITH RECURSIVE _r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {k} ORDER BY {ts_col}{tb}
+    ) AS _rn
+    FROM {source} WHERE {ts_col} IS NOT NULL
+), _walk AS (
+    SELECT *, epoch_us({ts_col}) AS _last, TRUE AS _kept
+    FROM _r WHERE _rn = 1
+    UNION ALL
+    SELECT r.*,
+           CASE WHEN epoch_us(r.{ts_col}) - w._last >= {gap_us}
+                THEN epoch_us(r.{ts_col}) ELSE w._last END,
+           epoch_us(r.{ts_col}) - w._last >= {gap_us}
+    FROM _walk w JOIN _r r ON {kj} AND r._rn = w._rn + 1
+)
+SELECT {cols} FROM _walk WHERE _kept
+"""

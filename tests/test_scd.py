@@ -176,3 +176,69 @@ def test_point_in_time_join_matches_duckdb(spark):
 def test_point_in_time_join_validation(spark):
     with pytest.raises(ValueError):
         scd.scd2_point_in_time_join(None, None, ["k"], "d", how="full")
+
+
+# ---------------------------------------------------------------------------
+# C101: CDC changelog compaction (latest-wins apply)
+# ---------------------------------------------------------------------------
+
+def test_apply_changelog_latest_wins_and_delete(spark):
+    from datetime import datetime as DT
+
+    from insert_by_timeperiod_spark.operators import scd
+
+    rows = [
+        ("I", 1, DT(2024, 1, 1), 1, "a"),
+        ("U", 1, DT(2024, 1, 2), 2, "b"),   # key 1 -> b
+        ("I", 2, DT(2024, 1, 1), 3, "x"),
+        ("D", 2, DT(2024, 1, 3), 4, "x"),   # key 2 deleted
+        ("I", 3, DT(2024, 1, 1), 5, "p"),
+        ("U", 3, DT(2024, 1, 1), 6, "q"),   # same ts: seq breaks the tie
+        ("D", 4, DT(2024, 1, 1), 7, "z"),
+        ("I", 4, DT(2024, 1, 2), 8, "r"),   # delete then re-insert
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, k int, ts timestamp, seq int, v string"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in scd.apply_changelog(df, ["k"], "ts", seq_col="seq").collect()
+    }
+    assert got == {1: "b", 3: "q", 4: "r"}
+
+
+def test_apply_changelog_matches_twin(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import scd
+
+    rows = [
+        (
+            "IUD"[(i * 7) % 3],
+            i % 9,
+            DT(2024, 1, 1) + TD(hours=(i * 5) % 50),
+            i,
+            "v%d" % i,
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, k int, ts timestamp, seq int, v string"
+    )
+    got = sorted(
+        map(tuple, scd.apply_changelog(df, ["k"], "ts", seq_col="seq").collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c(op VARCHAR, k INT, ts TIMESTAMP, seq INT, v VARCHAR)"
+    )
+    con.executemany("INSERT INTO c VALUES (?, ?, ?, ?, ?)", rows)
+    want = sorted(
+        con.execute(
+            scd.apply_changelog_sql("c", ["k"], "ts", seq_col="seq")
+        ).fetchall()
+    )
+    assert [tuple(r) for r in want] == got and len(got) > 0
+    with pytest.raises(ValueError):
+        scd.apply_changelog(df, [], "ts")

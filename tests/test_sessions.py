@@ -165,3 +165,124 @@ def test_stateful_group_spanning_arrow_chunks(spark):
         assert max(got.values()) == 2  # exactly the one planted 2h gap
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+# ---------------------------------------------------------------------------
+# C102: top session paths
+# ---------------------------------------------------------------------------
+
+def test_top_paths_hand_case_and_twin(spark):
+    import duckdb
+    from datetime import datetime as DT
+
+    from insert_by_timeperiod_spark.operators import sessions as SS
+
+    rows = []
+    # user 1: two sessions A>B>C and A>B (gap 60 min splits)
+    t0 = DT(2024, 1, 1, 10, 0, 0)
+    for i, et in enumerate(["A", "B", "C"]):
+        rows.append((1, DT(2024, 1, 1, 10, i), i, et))
+    for i, et in enumerate(["A", "B"]):
+        rows.append((1, DT(2024, 1, 1, 12, i), 10 + i, et))
+    # user 2: one session A>B>C
+    for i, et in enumerate(["A", "B", "C"]):
+        rows.append((2, DT(2024, 1, 1, 9, i), 20 + i, et))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in SS.top_paths(
+            df, gap_minutes=30, max_steps=5, top_k=10, tiebreak="event_id"
+        ).collect()
+    ]
+    assert got == [("A>B>C", 2), ("A>B", 1)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e(user_id INT, ts TIMESTAMP, event_id INT,"
+        " event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?, ?, ?)", rows)
+    want = con.execute(
+        SS.top_paths_sql(
+            "e", gap_minutes=30, max_steps=5, top_k=10, tiebreak="event_id"
+        )
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    # max_steps truncation: 2-step paths collapse the long session
+    short = {
+        r["path"]: r["n_sessions"]
+        for r in SS.top_paths(
+            df, gap_minutes=30, max_steps=2, top_k=10, tiebreak="event_id"
+        ).collect()
+    }
+    assert short == {"A>B": 3}
+    with pytest.raises(ValueError):
+        SS.top_paths(df, max_steps=0)
+
+
+# ---------------------------------------------------------------------------
+# C103: debounce (throttle dedup)
+# ---------------------------------------------------------------------------
+
+def test_debounce_sequential_not_sessionize(spark):
+    """The defining case: e1 kept, e2 (+30s) dropped, e3 (+70s) KEPT —
+    gap measured from the last KEPT event, not the previous raw event."""
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import sessions as SS
+
+    t0 = DT(2024, 1, 1)
+    rows = [
+        (1, t0, 1),
+        (1, t0 + TD(seconds=30), 2),
+        (1, t0 + TD(seconds=70), 3),
+        (1, t0 + TD(seconds=100), 4),
+        (2, t0, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    got = sorted(
+        r["event_id"]
+        for r in SS.debounce(
+            df, ["user_id"], "ts", min_gap_seconds=60, tiebreak="event_id"
+        ).collect()
+    )
+    assert got == [1, 3, 5]
+
+
+def test_debounce_matches_recursive_twin(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import sessions as SS
+
+    t0 = DT(2024, 1, 1)
+    rows = [
+        (u, t0 + TD(seconds=(i * 37) % 300), u * 100 + i)
+        for u in range(4)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    got = sorted(
+        map(
+            tuple,
+            SS.debounce(
+                df, ["user_id"], "ts", min_gap_seconds=45, tiebreak="event_id"
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(user_id INT, ts TIMESTAMP, event_id INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    want = sorted(
+        con.execute(
+            SS.debounce_sql(
+                "e", ["user_id"], "ts", min_gap_seconds=45, tiebreak="event_id"
+            )
+        ).fetchall()
+    )
+    assert [tuple(r) for r in want] == got and len(got) > 4
+    with pytest.raises(ValueError):
+        SS.debounce(df, [], "ts", min_gap_seconds=60)
+    with pytest.raises(ValueError):
+        SS.debounce(df, ["user_id"], "ts", min_gap_seconds=0)

@@ -652,6 +652,60 @@ WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
   AND CAST(l.l_shipdate AS DATE) < DATE '1996-07-01'
 """
 
+#: TPC-H Q5 shape (annex): the five-way join benchmark — customer ⋈
+#: orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with the local-supplier
+#: condition (c_nationkey = s_nationkey); dims broadcast, facts shuffle
+#: once on the join keys
+Q5_LOCAL = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY n.n_name
+"""
+
+#: TPC-H Q10 shape (annex): returned-item revenue per customer, top 20 —
+#: fact-dim joins + one agg + deterministic (revenue desc, key) top-k
+Q10_RETURNS = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+#: TPC-H Q12 shape (annex, adapted: the fixture has no l_shipmode, so the
+#: category axis is l_returnflag): join + CASE-bucketed conditional counts
+Q12_PRIORITY = """
+SELECT l.l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY l.l_returnflag
+"""
+
 CUBE_SQL = """
 SELECT r.r_name AS region, c.c_mktsegment AS segment,
        CAST(GROUPING(r.r_name) AS INT) AS g_region,
@@ -4035,6 +4089,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "cube_acctbal": _sql(CUBE_SQL),
         "q6_forecast_revenue": _sql(Q6_FORECAST),
         "q14_promo_revenue": _sql(Q14_PROMO),
+        "q5_local_supplier": _sql(Q5_LOCAL),
+        "q10_returned_items": _sql(Q10_RETURNS),
+        "q12_priority_buckets": _sql(Q12_PRIORITY),
         "case_buckets": _sql(CASE_BUCKETS),
         "anti_join_customers": _sql(ANTI_JOIN),
         "grouping_sets_events": _sql(GROUPING_SETS_SQL),
@@ -4165,6 +4222,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "cube_acctbal": CUBE_SQL,
         "q6_forecast_revenue": Q6_FORECAST,
         "q14_promo_revenue": Q14_PROMO,
+        "q5_local_supplier": Q5_LOCAL,
+        "q10_returned_items": Q10_RETURNS,
+        "q12_priority_buckets": Q12_PRIORITY,
         "case_buckets": CASE_BUCKETS,
         "anti_join_customers": ANTI_JOIN,
         "grouping_sets_events": GROUPING_SETS_SQL,

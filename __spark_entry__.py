@@ -71,6 +71,7 @@ from insert_by_timeperiod_spark.operators import (
     sampling,
     scd,
     sessions,
+    reconcile,
     bloom,
     similarity,
     sketch,
@@ -3784,6 +3785,119 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C104 (annex, EXACT oracle): hard-negative mining — per query,
+    the top-3 most-similar corpus vectors BELOW the near-dup band
+    (planted exact copies at vec_id+10000 must never surface as
+    negatives). Exact: the miner is brute force with the dup-band filter
+    before ranking, so the DuckDB twin replays it verbatim."""
+    _prep(spark, sf_dir)
+    embs = spark.table("embeddings")
+    planted = embs.where("vec_id < 10").withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    corpus = embs.unionByName(planted)
+    qs = embs.where("vec_id < 10")
+    return similarity.hard_negative_topk(
+        corpus, qs, k=3, exclude_above=0.999
+    )
+
+
+HARD_NEG_DUCK = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, neighbor_id, sim FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_COS.format(a='q.qv', b='c.embedding')} AS sim
+    FROM q, base c WHERE q.query_id <> c.vec_id
+  ) WHERE sim < 0.999
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, sim
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored) z
+WHERE rn <= 3
+"""
+
+
+_ATTR_KW = dict(
+    conversion_type="purchase",
+    touch_types=["click", "view"],
+    lookback_days=7,
+)
+
+
+def _attribution(model: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EXT C105 (annex, EXACT oracle): conversion attribution —
+        credit each purchase's preceding click/view touches within a
+        7-day lookback (last-touch weight-1 / linear 1-n on the
+        12-decimal DECIMAL grid), rolled up per touch type."""
+        _prep(spark, sf_dir)
+        return analytics.attribution(
+            spark.table("events"), model=model, **_ATTR_KW
+        )
+
+    return run
+
+
+_DIFF_OLD_DUCK = (
+    "(SELECT user_id, COUNT(*) AS n,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total"
+    " FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-20'"
+    " GROUP BY user_id)"
+)
+_DIFF_NEW_DUCK = (
+    "(SELECT user_id, COUNT(*) AS n,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total"
+    " FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-25'"
+    " AND user_id % 13 <> 3 GROUP BY user_id)"
+)
+
+
+def _table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C106 (annex, EXACT oracle): table reconciliation — diff two
+    per-user rollups built from different event windows (five more days
+    of data changes most keys; the user_id % 13 filter removes some
+    entirely), one full-outer hash join, diff-sized output."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+
+    def rollup(cond):
+        return (
+            ev.where(cond)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+
+    old = rollup(F.to_date("ts") < F.lit("2024-01-20"))
+    new = rollup(
+        (F.to_date("ts") < F.lit("2024-01-25")) & (F.col("user_id") % 13 != 3)
+    )
+    return reconcile.table_diff(old, new, ["user_id"])
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C107 (annex, EXACT oracle): k-anonymity audit of the events
+    table on the (user_id, event_type) quasi-identifier pair at k=5 —
+    one map-side-combined groupBy, report aggregates over group-sized
+    data."""
+    _prep(spark, sf_dir)
+    return profile.k_anonymity_report(
+        spark.table("events"), ["user_id", "event_type"], 5
+    )
+
+
 _CDC_SRC_DUCK = (
     "(SELECT CASE WHEN event_id % 11 = 0 THEN 'D'"
     " WHEN event_id % 2 = 0 THEN 'U' ELSE 'I' END AS op,"
@@ -4207,6 +4321,11 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "cdc_apply_latest": _cdc_apply,
         "session_top_paths": _session_paths,
         "debounce_events": _debounce_events,
+        "hard_negatives_topk": _hard_negatives,
+        "attribution_last_touch": _attribution("last"),
+        "attribution_linear": _attribution("linear"),
+        "table_diff_user_rollups": _table_diff,
+        "k_anonymity_events": _k_anonymity,
     }
 
 
@@ -4409,6 +4528,19 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT user_id, event_type, ts, event_id FROM events)",
             ["user_id", "event_type"], "ts", min_gap_seconds=3600,
             tiebreak="event_id",
+        ),
+        "hard_negatives_topk": HARD_NEG_DUCK,
+        "attribution_last_touch": analytics.attribution_sql(
+            "events", model="last", **_ATTR_KW
+        ),
+        "attribution_linear": analytics.attribution_sql(
+            "events", model="linear", **_ATTR_KW
+        ),
+        "table_diff_user_rollups": reconcile.table_diff_sql(
+            _DIFF_OLD_DUCK, _DIFF_NEW_DUCK, ["user_id"], ["n", "total"]
+        ),
+        "k_anonymity_events": profile.k_anonymity_sql(
+            "events", ["user_id", "event_type"], 5
         ),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12

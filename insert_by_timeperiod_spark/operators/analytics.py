@@ -786,3 +786,139 @@ JOIN _items ib ON ib._i = d.consequent
 CROSS JOIN _n n
 WHERE d.n_pair / CAST(n._n AS DOUBLE) >= {ms}
 """
+
+
+def attribution(
+    df: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_days: int = 7,
+    model: str = "last",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style conversion attribution (SURVEY.md §2 C105): credit
+    each conversion's preceding touches within a lookback window under
+    the standard models — ``last`` / ``first`` touch (weight 1 to one
+    touch) or ``linear`` (1/n to each) — then roll credit up per touch
+    type: (touch_type, credited, n_touches). The revenue-credit readout
+    every growth team runs on exactly the event tables this engine
+    materializes.
+
+    Plan shape: conversions and touches are scan-stage type filters of
+    ONE events pass each; the pairing is a user-key equi join with the
+    lookback interval as a residual range predicate (fan-out bounded by
+    touches-per-user-per-window, never a cartesian); per-conversion
+    ranking reuses the join's user partitioning; the final rollup is
+    map-side combined on touch-type-sized data. The ``id_col`` tiebreak
+    makes same-timestamp ordering — and the credited touch — fully
+    deterministic. Credits are exact rationals summed as DECIMAL(28,12)
+    over the per-conversion 1/n grid, so the DuckDB twin is exact."""
+    if model not in ("last", "first", "linear"):
+        raise ValueError(f"model must be last|first|linear, got {model}")
+    if lookback_days < 1:
+        raise ValueError(f"lookback_days must be >= 1, got {lookback_days}")
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col(id_col).alias("_cid"),
+    )
+    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        F.col(type_col).alias("touch_type"),
+    )
+    joined = conv.join(touch, "_u").where(
+        (F.col("_tts") <= F.col("_cts"))
+        & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        )
+    )
+    w = Window.partitionBy("_cid")
+    if model == "linear":
+        # round the double 1/n onto the 12-decimal grid FIRST (same
+        # function both engines), then sum as DECIMAL — order-independent
+        # and free of cross-engine decimal-division rounding semantics
+        credited = joined.withColumn(
+            "_w",
+            F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 12).cast(
+                "decimal(28,12)"
+            ),
+        )
+    else:
+        order = (
+            [F.col("_tts").desc(), F.col("_tid").desc()]
+            if model == "last"
+            else [F.col("_tts").asc(), F.col("_tid").asc()]
+        )
+        credited = (
+            joined.withColumn(
+                "_rk", F.row_number().over(w.orderBy(*order))
+            )
+            .where(F.col("_rk") == 1)
+            .withColumn("_w", F.lit(1).cast("decimal(28,12)"))
+        )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.sum("_w").cast("double").alias("credited"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+    )
+
+
+def attribution_sql(
+    source: str,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_days: int = 7,
+    model: str = "last",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """Exact DuckDB twin of :func:`attribution`."""
+    tt = ", ".join(f"'{_q(t)}'" for t in touch_types)
+    if model == "linear":
+        credit = """
+    SELECT touch_type,
+           CAST(ROUND(1.0 / COUNT(*) OVER (PARTITION BY _cid), 12)
+                AS DECIMAL(28,12)) AS _w
+    FROM _joined"""
+    else:
+        d = "DESC" if model == "last" else "ASC"
+        credit = f"""
+    SELECT touch_type, CAST(1 AS DECIMAL(28,12)) AS _w
+    FROM (
+        SELECT touch_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY _cid ORDER BY _tts {d}, _tid {d}
+               ) AS _rk
+        FROM _joined
+    ) WHERE _rk = 1"""
+    return f"""
+WITH _conv AS (
+    SELECT {user_col} AS _u, {ts_col} AS _cts, {id_col} AS _cid
+    FROM {source} WHERE {type_col} = '{_q(conversion_type)}'
+), _touch AS (
+    SELECT {user_col} AS _u, {ts_col} AS _tts, {id_col} AS _tid,
+           {type_col} AS touch_type
+    FROM {source} WHERE {type_col} IN ({tt})
+), _joined AS (
+    SELECT c._cid, t.touch_type, t._tts, t._tid
+    FROM _conv c JOIN _touch t ON t._u = c._u
+    WHERE t._tts <= c._cts
+      AND t._tts >= c._cts - INTERVAL {int(lookback_days)} DAYS
+), _credit AS ({credit}
+)
+SELECT touch_type, CAST(SUM(_w) AS DOUBLE) AS credited,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM _credit GROUP BY touch_type
+"""

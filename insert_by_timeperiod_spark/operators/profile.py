@@ -151,3 +151,84 @@ def profile_sql(
             f"FROM {table}"
         )
     return "\nUNION ALL\n".join(arms)
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity audit (SURVEY.md §2 C107; Sweeney 2002): how exposed
+    is this table on its quasi-identifier columns? One row:
+    (n_groups, n_violating, rows_at_risk, min_group_size) — a group of
+    fewer than ``k`` rows sharing quasi-identifiers re-identifies its
+    members; rows_at_risk counts rows in such groups. The release gate a
+    training-data pipeline runs before shipping user-derived tables.
+
+    Scale shape: ONE map-side-combined groupBy on the quasi columns; the
+    report aggregates over group-sized (not row-sized) data. NULL
+    quasi-values form their own group (NULL == NULL here — an all-NULL
+    quasi tuple is still a linkable signature)."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report: quasi_cols required")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("_n") < k).cast("int")).cast("bigint").alias(
+            "n_violating"
+        ),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("_n").cast("bigint").alias("min_group_size"),
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Enforce k-anonymity by suppression: drop every row whose
+    quasi-identifier group holds fewer than ``k`` rows. One window count
+    over the same groupBy keys (single shuffle) — the remaining table is
+    k-anonymous on ``quasi_cols`` by construction."""
+    if not quasi_cols:
+        raise ValueError("suppress_small_groups: quasi_cols required")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_n") >= k)
+        .drop("_n")
+    )
+
+
+def k_anonymity_sql(source: str, quasi_cols: list[str], k: int) -> str:
+    """Exact DuckDB twin of :func:`k_anonymity_report`."""
+    q = ", ".join(quasi_cols)
+    return f"""
+WITH _g AS (
+    SELECT {q}, COUNT(*) AS _n FROM {source} GROUP BY {q}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN _n < {int(k)} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(SUM(CASE WHEN _n < {int(k)} THEN _n ELSE 0 END) AS BIGINT)
+           AS rows_at_risk,
+       CAST(MIN(_n) AS BIGINT) AS min_group_size
+FROM _g
+"""
+
+
+def suppress_small_groups_sql(
+    source: str, quasi_cols: list[str], k: int, *, select: str = "* EXCLUDE (_n)"
+) -> str:
+    """Exact DuckDB twin of :func:`suppress_small_groups`."""
+    q = ", ".join(quasi_cols)
+    return f"""
+SELECT {select} FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY {q}) AS _n FROM {source}
+) WHERE _n >= {int(k)}
+"""

@@ -1,0 +1,148 @@
+"""Table reconciliation (SURVEY.md §2 C106): row-level diff between two
+keyed tables — the "did the migration/backfill/replica produce the same
+table" answer as data, not a boolean. The operational complement to
+txnlog's version diff (which compares one table's versions; this compares
+two tables from anywhere) and to C44's expectations (which check one
+table against rules).
+
+Scale shape: ONE full-outer hash join on the key — each side is scanned
+once, compare columns ride as structs so the equality test is a single
+struct comparison per row, and the per-column change list is scan-stage
+string algebra on the joined row (no second pass, no collect). Unchanged
+rows are dropped before anything downstream sees them, so the output is
+diff-sized, not table-sized. The summary rolls up map-side-combined on
+status-sized data.
+
+Contract: keys must be unique within each table (a duplicate key makes
+"the row changed" ill-defined — the join would fan out); NULL compare
+values use IS DISTINCT FROM semantics, so NULL == NULL is unchanged.
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff ``b`` (new) against ``a`` (old): one row per key that was
+    added (only in b), removed (only in a), or changed (both sides, any
+    compare column IS DISTINCT) — equal rows are absent. Returns
+    (*key_cols, status, changed_cols) with changed_cols a comma-joined
+    sorted column list ('' for added/removed)."""
+    if not key_cols:
+        raise ValueError("table_diff: key_cols required")
+    cmp_cols = compare_cols or sorted(
+        (set(a.columns) & set(b.columns)) - set(key_cols)
+    )
+    if not cmp_cols:
+        raise ValueError("table_diff: no compare columns")
+    aa = a.select(
+        *key_cols,
+        *[F.col(c).alias(f"_a_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_a"),
+    )
+    bb = b.select(
+        *key_cols,
+        *[F.col(c).alias(f"_b_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_b"),
+    )
+    j = aa.join(bb, key_cols, "full_outer")
+    differs = [
+        ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}")) for c in cmp_cols
+    ]
+    any_diff = F.lit(False)
+    for d in differs:
+        any_diff = any_diff | d
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    changed = F.concat_ws(
+        ",",
+        *[
+            F.when(d, F.lit(c))
+            for c, d in sorted(zip(cmp_cols, differs), key=lambda x: x[0])
+        ],
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(
+            *key_cols,
+            "status",
+            F.when(F.col("status") == "changed", changed)
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+        )
+    )
+
+
+def table_diff_summary(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(status, n) rollup of :func:`table_diff` — the one-line
+    reconciliation verdict."""
+    return (
+        table_diff(a, b, key_cols, compare_cols=compare_cols)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def table_diff_sql(
+    source_a: str,
+    source_b: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+    *,
+    summary: bool = False,
+) -> str:
+    """Exact DuckDB twin of :func:`table_diff` /
+    :func:`table_diff_summary`."""
+    k = ", ".join(key_cols)
+    kcoal = ", ".join(
+        f"COALESCE(a.{c}, b.{c}) AS {c}" for c in key_cols
+    )
+    on = " AND ".join(f"a.{c} = b.{c}" for c in key_cols)
+    any_diff = " OR ".join(
+        f"(a.{c} IS DISTINCT FROM b.{c})" for c in compare_cols
+    )
+    changed = ", ".join(
+        f"CASE WHEN a.{c} IS DISTINCT FROM b.{c} THEN '{c}' END"
+        for c in sorted(compare_cols)
+    )
+    base = f"""
+WITH _d AS (
+    SELECT {kcoal},
+           CASE WHEN a._in_a IS NULL THEN 'added'
+                WHEN b._in_b IS NULL THEN 'removed'
+                WHEN {any_diff} THEN 'changed' END AS status,
+           CASE WHEN a._in_a IS NOT NULL AND b._in_b IS NOT NULL
+                     AND ({any_diff})
+                THEN concat_ws(',', {changed}) ELSE '' END AS changed_cols
+    FROM (SELECT *, 1 AS _in_a FROM {source_a}) a
+    FULL OUTER JOIN (SELECT *, 1 AS _in_b FROM {source_b}) b ON {on}
+)
+"""
+    if summary:
+        return (
+            base
+            + "SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM _d"
+            " WHERE status IS NOT NULL GROUP BY status"
+        )
+    return (
+        base
+        + f"SELECT {k}, status, changed_cols FROM _d WHERE status IS NOT NULL"
+    )

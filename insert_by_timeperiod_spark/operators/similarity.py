@@ -722,3 +722,54 @@ def random_project(
         return pd.Series(out)
 
     return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    exclude_above: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (SURVEY.md §2 C104):
+    per query, the top-k most-similar corpus vectors whose similarity is
+    still BELOW ``exclude_above`` — similar enough to be informative
+    negatives, below the near-duplicate band so they aren't secret
+    positives (the standard dense-retrieval / embedding-finetune miner;
+    Karpukhin et al. 2020 pick BM25 hard negatives the same way).
+
+    Plan shape = :func:`brute_force_topk` (broadcast queries × one corpus
+    scan, only scored id-pairs reach the top-k shuffle) with the dup-band
+    exclusion applied BEFORE ranking — the filter rides the scan stage,
+    so excluded near-dups never compete for the k slots. Deterministic
+    tie-break on neighbor id."""
+    if not 0.0 < exclude_above <= 1.0:
+        raise ValueError(
+            f"exclude_above must be in (0, 1], got {exclude_above}"
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+    )
+    pairs = c.join(F.broadcast(q), how="cross").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+    ).where(F.col("sim") < exclude_above)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -2714,3 +2714,214 @@ def test_random_project_downstream_recall_and_hardening(spark):
     assert all(r["embedding_rp"] is None for r in out)
     with pytest.raises(ValueError):
         S.random_project(df, out_dim=1)
+
+
+# ---------------------------------------------------------------------------
+# C104: hard-negative mining
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_exclude_dup_band(spark):
+    import numpy as np
+
+    from insert_by_timeperiod_spark.operators import similarity as S
+
+    rs = np.random.RandomState(3)
+    base = rs.standard_normal((20, 16))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # vec 100 is an exact copy of vec 0 — the near-dup that must NOT be
+    # returned as a "negative" for query 0
+    rows.append((100, base[0].tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.where("vec_id = 0")
+    out = S.hard_negative_topk(df, q, k=3, exclude_above=0.95).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert 100 not in ids and len(ids) == 3
+    assert all(r["sim"] < 0.95 for r in out)
+    # without the exclusion the copy wins rank 1
+    plain = S.brute_force_topk(df, q, k=1).collect()
+    assert plain[0]["neighbor_id"] == 100
+    with pytest.raises(ValueError):
+        S.hard_negative_topk(df, q, exclude_above=0.0)
+
+
+# ---------------------------------------------------------------------------
+# C105: conversion attribution
+# ---------------------------------------------------------------------------
+
+def test_attribution_models_hand_case(spark):
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import analytics
+
+    t0 = DT(2024, 1, 10)
+    rows = [
+        # user 1: ad (day -3), email (day -1), convert
+        (1, t0 - TD(days=3), 1, "ad"),
+        (1, t0 - TD(days=1), 2, "email"),
+        (1, t0, 3, "buy"),
+        # user 2: only an ad 10 days before -> outside 7-day lookback
+        (2, t0 - TD(days=10), 4, "ad"),
+        (2, t0, 5, "buy"),
+        # user 3: two ads in window
+        (3, t0 - TD(days=2), 6, "ad"),
+        (3, t0 - TD(days=1), 7, "ad"),
+        (3, t0, 8, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    kw = dict(conversion_type="buy", touch_types=["ad", "email"])
+    last = {
+        r["touch_type"]: (r["credited"], r["n_touches"])
+        for r in analytics.attribution(df, model="last", **kw).collect()
+    }
+    assert last == {"email": (1.0, 1), "ad": (1.0, 1)}
+    first = {
+        r["touch_type"]: r["credited"]
+        for r in analytics.attribution(df, model="first", **kw).collect()
+    }
+    assert first == {"ad": 2.0}
+    linear = {
+        r["touch_type"]: (r["credited"], r["n_touches"])
+        for r in analytics.attribution(df, model="linear", **kw).collect()
+    }
+    assert linear == {"ad": (1.5, 3), "email": (0.5, 1)}
+    with pytest.raises(ValueError):
+        analytics.attribution(df, model="shapley", **kw)
+
+
+def test_attribution_matches_twin(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import analytics
+
+    rows = [
+        (
+            u,
+            DT(2024, 1, 1) + TD(hours=(i * 11) % 200),
+            u * 100 + i,
+            ["ad", "email", "buy", "view"][(i * 3) % 4],
+        )
+        for u in range(6)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e(user_id INT, ts TIMESTAMP, event_id INT,"
+        " event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?, ?, ?)", rows)
+    for model in ("last", "first", "linear"):
+        kw = dict(
+            conversion_type="buy",
+            touch_types=["ad", "email"],
+            lookback_days=3,
+            model=model,
+        )
+        got = sorted(
+            (r[0], round(r[1], 6), r[2])
+            for r in analytics.attribution(df, **kw).collect()
+        )
+        want = sorted(
+            (r[0], round(r[1], 6), r[2])
+            for r in con.execute(analytics.attribution_sql("e", **kw)).fetchall()
+        )
+        assert got == want and len(got) > 0, model
+
+
+# ---------------------------------------------------------------------------
+# C106: table reconciliation diff
+# ---------------------------------------------------------------------------
+
+def test_table_diff_statuses_and_twin(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import reconcile
+
+    a_rows = [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, None, 40)]
+    b_rows = [(1, "x", 10), (2, "y", 99), (4, None, 40), (5, "n", 50)]
+    a = spark.createDataFrame(a_rows, "k int, s string, v int")
+    b = spark.createDataFrame(b_rows, "k int, s string, v int")
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in reconcile.table_diff(a, b, ["k"]).collect()
+    }
+    # key 1 equal (absent), 2 changed on v, 3 removed, 4 NULL==NULL equal,
+    # 5 added
+    assert got == {
+        2: ("changed", "v"),
+        3: ("removed", ""),
+        5: ("added", ""),
+    }
+    summary = {
+        r["status"]: r["n"]
+        for r in reconcile.table_diff_summary(a, b, ["k"]).collect()
+    }
+    assert summary == {"changed": 1, "removed": 1, "added": 1}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta(k INT, s VARCHAR, v INT)")
+    con.execute("CREATE TABLE tb(k INT, s VARCHAR, v INT)")
+    con.executemany("INSERT INTO ta VALUES (?, ?, ?)", a_rows)
+    con.executemany("INSERT INTO tb VALUES (?, ?, ?)", b_rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            reconcile.table_diff_sql("ta", "tb", ["k"], ["s", "v"])
+        ).fetchall()
+    }
+    assert want == got
+    with pytest.raises(ValueError):
+        reconcile.table_diff(a, b, [])
+
+
+# ---------------------------------------------------------------------------
+# C107: k-anonymity
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_report_and_suppression(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import profile as PR
+
+    rows = (
+        [("US", 1980, i) for i in range(5)]
+        + [("US", 1990, 10)]            # singleton -> at risk
+        + [("DE", None, 20), ("DE", None, 21)]  # NULL quasi forms a group
+    )
+    df = spark.createDataFrame(rows, "country string, yob int, uid int")
+    rep = PR.k_anonymity_report(df, ["country", "yob"], 3).collect()[0]
+    assert (
+        rep["n_groups"],
+        rep["n_violating"],
+        rep["rows_at_risk"],
+        rep["min_group_size"],
+    ) == (3, 2, 3, 1)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(country VARCHAR, yob INT, uid INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        PR.k_anonymity_sql("t", ["country", "yob"], 3)
+    ).fetchone()
+    assert tuple(rep) == tuple(want)
+    kept = sorted(
+        r["uid"]
+        for r in PR.suppress_small_groups(df, ["country", "yob"], 3).collect()
+    )
+    assert kept == [0, 1, 2, 3, 4]
+    want_kept = sorted(
+        r[0]
+        for r in con.execute(
+            PR.suppress_small_groups_sql(
+                "t", ["country", "yob"], 3, select="uid"
+            )
+        ).fetchall()
+    )
+    assert kept == want_kept
+    with pytest.raises(ValueError):
+        PR.k_anonymity_report(df, [], 3)
+    with pytest.raises(ValueError):
+        PR.suppress_small_groups(df, ["country"], 1)

@@ -3785,6 +3785,108 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C108 (annex, EXACT oracle): trailing 7-day time-RANGE rolling
+    aggregates per user at every event — epoch-micros RANGE frame (peers
+    share a frame: no tiebreak needed), DECIMAL-grid sum, single-division
+    avg."""
+    _prep(spark, sf_dir)
+    return timeseries.rolling_window(
+        spark.table("events"),
+        ["user_id"],
+        "ts",
+        "value",
+        days=7,
+        id_cols=["event_id"],
+    )
+
+
+def _ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C109 (annex, EXACT oracle): per-user EWMA of event values —
+    a sequential recurrence walked once per key in the Arrow lane; the
+    oracle replays it as a recursive CTE. No rounding grid: the fixed
+    IEEE op sequence is bit-identical cross-engine (pinned)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts", "event_id", "value")
+    return timeseries.ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.3, tiebreak="event_id"
+    )
+
+
+_STREAMDEB_DIR = _SKIP_DIR + "_streamdeb"
+
+
+def _stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C110 (annex, EXACT oracle): STREAMING debounce — events
+    replayed as a 3-file time-RANGE-split stream (availableNow, one file
+    per trigger, so batches arrive in event-time order per key — the
+    stateful contract), last-kept state carried across batches in one
+    long per key. The result must equal the BATCH debounce recurrence,
+    which the oracle replays as a recursive CTE."""
+    from insert_by_timeperiod_spark.fs import HadoopFS
+    from insert_by_timeperiod_spark.streaming import debounce_stream
+
+    _prep(spark, sf_dir)
+    HadoopFS(spark, _STREAMDEB_DIR).delete(_STREAMDEB_DIR)
+    src = f"{_STREAMDEB_DIR}/src"
+    ev = spark.table("events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # three SEQUENTIAL appends (one time slice each): FileStreamSource
+    # orders files by modification time, so same-instant files from one
+    # write arrive in arbitrary order and break the event-time-ordered
+    # contract (observed: the middle slice processed last loses every
+    # row to the advanced state) — distinct mtimes pin the replay order
+    for lo, hi in (
+        (None, "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", None),
+    ):
+        sl = ev
+        if lo:
+            sl = sl.where(F.to_date("ts") >= F.lit(lo))
+        if hi:
+            sl = sl.where(F.to_date("ts") < F.lit(hi))
+        sl.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = debounce_stream(
+        stream,
+        ["user_id", "event_type"],
+        "ts",
+        min_gap_seconds=3600,
+        carry_cols=["event_id"],
+    )
+    import uuid
+
+    name = f"streamdeb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{_STREAMDEB_DIR}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "event_type", "event_id", "ts_us"
+    )
+
+
+STREAM_DEBOUNCE_DUCK = sessions.debounce_sql(
+    "(SELECT user_id, event_type, ts, event_id FROM events)",
+    ["user_id", "event_type"],
+    "ts",
+    min_gap_seconds=3600,
+    tiebreak="event_id",
+    select="user_id, event_type, event_id, epoch_us(ts) AS ts_us",
+)
+
+
 def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C104 (annex, EXACT oracle): hard-negative mining — per query,
     the top-3 most-similar corpus vectors BELOW the near-dup band
@@ -4326,6 +4428,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "attribution_linear": _attribution("linear"),
         "table_diff_user_rollups": _table_diff,
         "k_anonymity_events": _k_anonymity,
+        "rolling_7d_user": _rolling_7d,
+        "ewma_user_value": _ewma_events,
+        "stream_debounce_events": _stream_debounce,
     }
 
 
@@ -4542,6 +4647,16 @@ def pytest_only_oracles() -> dict[str, str]:
         "k_anonymity_events": profile.k_anonymity_sql(
             "events", ["user_id", "event_type"], 5
         ),
+        "rolling_7d_user": timeseries.rolling_window_sql(
+            "events", ["user_id"], "ts", "value", days=7,
+            id_cols=["event_id"],
+        ),
+        "ewma_user_value": timeseries.ewma_sql(
+            "(SELECT user_id, ts, event_id, value FROM events)",
+            ["user_id"], "ts", "value", alpha=0.3, tiebreak="event_id",
+            select="user_id, ts, event_id, value, ewma",
+        ),
+        "stream_debounce_events": STREAM_DEBOUNCE_DUCK,
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

@@ -137,3 +137,170 @@ SELECT {ks}, bucket, CAST(n AS BIGINT) AS n, total,
        MAX(total) OVER (PARTITION BY {ks}, _g) AS total_ffill
 FROM _grp
 """
+
+
+def rolling_window(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trailing time-RANGE aggregates (SURVEY.md §2 C108): at every
+    event, the key's last-``days`` totals — count, DECIMAL-exact sum,
+    and their ratio — over a RANGE frame on event time ([ts − days, ts],
+    both ends inclusive), NOT a rows frame: gaps and bursts weigh by
+    TIME, which is what "7-day rolling revenue per user" means. The
+    rolling readout on exactly the per-period tables this engine
+    materializes (C10's window_running is the rows-frame cousin).
+
+    Scale shape: ONE shuffle (the window partition); the RANGE frame
+    orders by epoch MICROS — sub-second timestamps keep full precision,
+    and peers at the same instant share a frame, so no tiebreak is
+    needed for determinism. Sum rides the engine's DECIMAL grid; avg is
+    a single IEEE division of exact terms — the twin is exact."""
+    if days < 1:
+        raise ValueError(f"days must be >= 1, got {days}")
+    if not key_cols:
+        raise ValueError("rolling_window: key_cols required")
+    span_us = days * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-span_us, 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    out_cols = [*key_cols, *(id_cols or []), ts_col]
+    return df.select(
+        *out_cols,
+        F.count(F.lit(1)).over(w).cast("bigint").alias(f"n_{days}d"),
+        F.sum(dec).over(w).cast("double").alias(f"total_{days}d"),
+        (
+            F.sum(dec).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias(f"avg_{days}d"),
+    )
+
+
+def rolling_window_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+    id_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`rolling_window`."""
+    span_us = int(days) * 86_400 * 1_000_000
+    k = ", ".join(key_cols)
+    sel = ", ".join([*key_cols, *(id_cols or []), ts_col])
+    frame = (
+        f"PARTITION BY {k} ORDER BY epoch_us({ts_col}) "
+        f"RANGE BETWEEN {span_us} PRECEDING AND CURRENT ROW"
+    )
+    return f"""
+SELECT {sel},
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_{days}d,
+       CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           AS total_{days}d,
+       CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_{days}d
+FROM {source}
+WINDOW w AS ({frame})
+"""
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    tiebreak: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (SURVEY.md §2 C109):
+    ``s_i = α·x_i + (1−α)·s_{i−1}`` in (ts, tiebreak) order, seeded with
+    ``s_1 = x_1`` — the standard smoothing for drift/latency monitoring.
+    Like C103's debounce this is a SEQUENTIAL recurrence (no closed
+    window form that doesn't overflow: the algebraic rewrite needs
+    (1−α)^{−i}), so it is the Arrow lane's second legitimate home: ONE
+    shuffle groups each key, one ordered walk per key. Cross-engine
+    exactness needs NO grid here: the recurrence is a FIXED sequence of
+    scalar IEEE-754 ops (two multiplies, one add per step — no
+    reassociation freedom), so Python's float and DuckDB's DOUBLE
+    recursive CTE produce bit-identical trajectories; a per-step decimal
+    ROUND would actually BREAK parity (Python rounds half-even, DuckDB
+    half-away — a tie at the 10th digit diverges)."""
+    if not key_cols:
+        raise ValueError("ewma: key_cols required")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    # fresh StructType — df.schema is cached on the DataFrame and
+    # StructType.add MUTATES, which would corrupt src's own schema
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        s = None
+        out = []
+        one_m = 1.0 - alpha
+        for x in pdf[value_col].astype(float):
+            s = x if s is None else alpha * x + one_m * s
+            out.append(s)
+        pdf = pdf.copy()
+        pdf[out_col] = out
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(walk, schema=schema)
+
+
+def ewma_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    tiebreak: str | None = None,
+    out_col: str = "ewma",
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`ewma` — the recurrence as a recursive
+    CTE stepping every key one row per iteration."""
+    a = float(alpha)
+    one_m = 1.0 - a
+    k = ", ".join(key_cols)
+    tb = f", {tiebreak}" if tiebreak else ""
+    kj = " AND ".join(f"r.{c} = w.{c}" for c in key_cols)
+    cols = select or f"* EXCLUDE (_rn)"
+    return f"""
+WITH RECURSIVE _r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {k} ORDER BY {ts_col}{tb}
+    ) AS _rn
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+), _walk AS (
+    SELECT *, CAST({value_col} AS DOUBLE) AS {out_col}
+    FROM _r WHERE _rn = 1
+    UNION ALL
+    SELECT r.*,
+           {a} * CAST(r.{value_col} AS DOUBLE)
+               + ({one_m}) * w.{out_col}
+    FROM _walk w JOIN _r r ON {kj} AND r._rn = w._rn + 1
+)
+SELECT {cols} FROM _walk
+"""

@@ -21,7 +21,7 @@ from .dedup import NearDedupStream, dedup_stream, dedup_stream_by_content
 from .expectations import StreamExpectations
 from .micro_batch import StreamToPeriodTable
 from .rollups import RollupStream
-from .stateful import sessionize_stream
+from .stateful import debounce_stream, sessionize_stream
 from .windows import event_time_windowed
 
 __all__ = [
@@ -32,5 +32,6 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_by_content",
     "event_time_windowed",
+    "debounce_stream",
     "sessionize_stream",
 ]

@@ -92,3 +92,76 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def debounce_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    min_gap_seconds: float,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming debounce (C110) — the cross-batch twin of
+    ``operators.sessions.debounce``: keep an event only if
+    ``min_gap_seconds`` have passed since the key's last KEPT event,
+    where "last kept" carries across micro-batches in one long of state
+    per key. Matches the batch operator applied to the concatenated
+    batches under the same event-time-ordered-arrival contract as
+    :func:`sessionize_stream`. Output: ``key_cols``, ``carry_cols``,
+    ``ts_us`` (epoch micros of the kept event).
+
+    Scale: state is ONE long per key (the last kept timestamp) in the
+    executor state store; per batch each key group crosses Arrow once
+    and is walked with numpy."""
+    if not key_cols:
+        raise ValueError("debounce_stream: key_cols required")
+    if min_gap_seconds <= 0:
+        raise ValueError(
+            f"min_gap_seconds must be > 0, got {min_gap_seconds}"
+        )
+    carry = carry_cols or []
+    gap_us = int(min_gap_seconds * 1_000_000)
+
+    in_schema = stream_df.schema
+    out_schema = T.StructType(
+        [in_schema[c] for c in key_cols]
+        + [in_schema[c] for c in carry]
+        + [T.StructField("ts_us", T.LongType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("last_kept_us", T.LongType())]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last_kept,) = state.get if state.exists else (None,)
+        # concat-then-sort: chunks arrive in shuffle order (the
+        # sessionize_stream lesson)
+        chunks = list(pdfs)
+        pdf = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ).sort_values(ts_col)
+        ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+        keep = []
+        for t in ts_us:
+            ok = last_kept is None or (int(t) - last_kept) >= gap_us
+            keep.append(ok)
+            if ok:
+                last_kept = int(t)
+        kept = pdf[keep]
+        out = pd.DataFrame(
+            {c: kept[c].to_numpy() for c in [*key_cols, *carry]}
+        )
+        out["ts_us"] = ts_us[keep]
+        state.update((last_kept,))
+        yield out
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -477,3 +477,119 @@ def test_association_rules_twin_guard_and_validation(spark):
         analytics.association_rules(df, "bk", "item", min_support=0.0)
     with pytest.raises(ValueError):
         analytics.association_rules(df, "bk", "item", max_basket_items=1)
+
+
+# ---------------------------------------------------------------------------
+# C108: trailing time-RANGE rolling aggregates
+# ---------------------------------------------------------------------------
+
+def test_rolling_window_time_not_rows(spark):
+    """Three events inside the window, one far in the past: the rows
+    frame would count it, the TIME frame must not."""
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import timeseries as TS
+
+    t0 = DT(2024, 2, 1)
+    rows = [
+        (1, 10, t0 - TD(days=30), 100.0),
+        (1, 11, t0 - TD(days=2), 1.0),
+        (1, 12, t0 - TD(days=1), 2.0),
+        (1, 13, t0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp, v double")
+    out = {
+        r["eid"]: (r["n_7d"], r["total_7d"], r["avg_7d"])
+        for r in TS.rolling_window(
+            df, ["k"], "ts", "v", days=7, id_cols=["eid"]
+        ).collect()
+    }
+    assert out[10] == (1, 100.0, 100.0)
+    assert out[13] == (3, 7.0, 7.0 / 3)
+    with pytest.raises(ValueError):
+        TS.rolling_window(df, ["k"], "ts", "v", days=0)
+
+
+def test_rolling_window_matches_twin(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import timeseries as TS
+
+    rows = [
+        (u, u * 100 + i, DT(2024, 1, 1) + TD(hours=(i * 31) % 400),
+         float((i * 7) % 23) / 4)
+        for u in range(5)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp, v double")
+    got = sorted(
+        (r[0], r[1], r[3], round(r[4], 9), round(r[5], 9))
+        for r in TS.rolling_window(
+            df, ["k"], "ts", "v", days=7, id_cols=["eid"]
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, eid INT, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = sorted(
+        (r[0], r[1], r[3], round(r[4], 9), round(r[5], 9))
+        for r in con.execute(
+            TS.rolling_window_sql(
+                "t", ["k"], "ts", "v", days=7, id_cols=["eid"]
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C109: per-key EWMA
+# ---------------------------------------------------------------------------
+
+def test_ewma_recurrence_and_twin(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import timeseries as TS
+
+    t0 = DT(2024, 1, 1)
+    rows = [(1, t0 + TD(hours=i), i, [10.0, 20.0, 10.0, 0.0][i]) for i in range(4)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+    got = {
+        r["eid"]: r["ewma"]
+        for r in TS.ewma(
+            df, ["k"], "ts", "v", alpha=0.5, tiebreak="eid"
+        ).collect()
+    }
+    # s: 10, 15, 12.5, 6.25 — seeded with x1, hand-checkable
+    assert got == {0: 10.0, 1: 15.0, 2: 12.5, 3: 6.25}
+    # bigger deterministic fixture vs the recursive twin
+    rows2 = [
+        (u, t0 + TD(minutes=(i * 17) % 500), u * 100 + i,
+         float((i * 13 + u) % 29) / 3)
+        for u in range(4)
+        for i in range(15)
+    ]
+    df2 = spark.createDataFrame(rows2, "k int, ts timestamp, eid int, v double")
+    got2 = sorted(
+        (r["k"], r["eid"], r["ewma"])
+        for r in TS.ewma(
+            df2, ["k"], "ts", "v", alpha=0.3, tiebreak="eid"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, ts TIMESTAMP, eid INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows2)
+    want2 = sorted(
+        (r[0], r[2], r[4])
+        for r in con.execute(
+            TS.ewma_sql(
+                "t", ["k"], "ts", "v", alpha=0.3, tiebreak="eid",
+                select="k, ts, eid, v, ewma",
+            )
+        ).fetchall()
+    )
+    assert got2 == want2
+    with pytest.raises(ValueError):
+        TS.ewma(df, ["k"], "ts", "v", alpha=0.0)

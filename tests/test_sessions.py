@@ -286,3 +286,76 @@ def test_debounce_matches_recursive_twin(spark):
         SS.debounce(df, [], "ts", min_gap_seconds=60)
     with pytest.raises(ValueError):
         SS.debounce(df, ["user_id"], "ts", min_gap_seconds=0)
+
+
+def test_debounce_stream_equals_batch(spark, events):
+    from insert_by_timeperiod_spark.streaming import debounce_stream
+    from insert_by_timeperiod_spark.operators import sessions as SS
+
+    src = os.path.join(tempfile.mkdtemp(prefix="ibtp_deb_src_"), "events")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = debounce_stream(
+        stream,
+        ["user_id"],
+        "ts",
+        min_gap_seconds=3600,
+        carry_cols=["event_id"],
+    )
+    import uuid
+
+    name = f"deb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.table(name).collect())
+    want = sorted(
+        r.event_id
+        for r in SS.debounce(
+            events, ["user_id"], "ts", min_gap_seconds=3600,
+            tiebreak="event_id",
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_debounce_stream_state_carries_across_batches(spark):
+    """An event in batch 2 only 30 min after batch 1's kept event must be
+    dropped — the last-kept timestamp survives the batch boundary."""
+    import uuid
+
+    from insert_by_timeperiod_spark.streaming import debounce_stream
+
+    root = tempfile.mkdtemp(prefix="ibtp_deb2_")
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    mk([(1, 1, t0)]).coalesce(1).write.mode("append").parquet(src)
+    mk(
+        [
+            (1, 2, t0 + dt.timedelta(minutes=30)),   # dropped (gap 30m < 1h)
+            (1, 3, t0 + dt.timedelta(minutes=90)),   # kept (90m from e1)
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = debounce_stream(
+        stream, ["user_id"], "ts", min_gap_seconds=3600,
+        carry_cols=["event_id"],
+    )
+    name = f"deb2_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.table(name).collect())
+    assert got == [1, 3]

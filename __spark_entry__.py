@@ -72,6 +72,7 @@ from insert_by_timeperiod_spark.operators import (
     scd,
     sessions,
     reconcile,
+    features,
     bloom,
     similarity,
     sketch,
@@ -3785,6 +3786,45 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zscore_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C111 (annex, EXACT oracle): group-wise standard scaler —
+    per-event_type z-scores from one map-side-combined sufficient-stats
+    aggregate on the DECIMAL grid, stats broadcast back."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type", "value")
+    return features.zscore_normalize(ev, "value", ["event_type"])
+
+
+def _target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C112 (annex, EXACT oracle): leave-one-out smoothed target
+    encoding of event_type against value — the leakage-free train-side
+    form ((Σy − y)/(n − 1) blended with the global prior)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type", "value")
+    return features.target_encode(
+        ev, "event_type", "value", smoothing=10.0, leave_one_out=True
+    )
+
+
+def _onehot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C113 (annex, EXACT oracle): frequency-elected categorical
+    encoding — top-3 event types become the vocabulary (count-desc,
+    value-asc), the rest fall into the all-zeros OOV bucket."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type")
+    return features.encode_categories(ev, "event_type", top_n=3)
+
+
+def _flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C114 (annex, EXACT oracle): Flesch reading ease per document —
+    fixed IEEE expression of exact regex counts, twin-exact regex-for-
+    regex."""
+    _prep(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", QL.flesch_reading_ease(F.col("text")).alias("flesch")
+    )
+
+
 def _rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C108 (annex, EXACT oracle): trailing 7-day time-RANGE rolling
     aggregates per user at every event — epoch-micros RANGE frame (peers
@@ -4431,6 +4471,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "rolling_7d_user": _rolling_7d,
         "ewma_user_value": _ewma_events,
         "stream_debounce_events": _stream_debounce,
+        "zscore_value_by_type": _zscore_values,
+        "target_encode_loo": _target_encode_loo,
+        "onehot_event_type": _onehot_types,
+        "flesch_documents": _flesch_docs,
     }
 
 
@@ -4657,6 +4701,24 @@ def pytest_only_oracles() -> dict[str, str]:
             select="user_id, ts, event_id, value, ewma",
         ),
         "stream_debounce_events": STREAM_DEBOUNCE_DUCK,
+        "zscore_value_by_type": features.zscore_normalize_sql(
+            "(SELECT event_id, event_type, value FROM events)",
+            "value", ["event_type"],
+        ),
+        "target_encode_loo": features.target_encode_sql(
+            "(SELECT event_id, event_type, value FROM events)",
+            "event_type", "value", smoothing=10.0, leave_one_out=True,
+            select="event_id, event_type, value, te",
+        ),
+        "onehot_event_type": features.encode_categories_sql(
+            "(SELECT event_id, event_type FROM events)", "event_type",
+            top_n=3,
+            select="event_id, event_type, event_type_idx, event_type_onehot",
+        ),
+        "flesch_documents": (
+            "SELECT doc_id, " + QL.flesch_sql("text")
+            + " AS flesch FROM documents"
+        ),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12
         ),

@@ -313,3 +313,63 @@ def compression_ratio_batch(*, level: int = 6):
         return texts.map(one)
 
     return ratio
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability (C114)
+# ---------------------------------------------------------------------------
+
+
+def sentence_count(col: Column) -> Column:
+    """Sentences = runs of ``.!?`` terminators, floor 1 (unterminated
+    text is one sentence). Scan-stage regex algebra; the pattern sits in
+    the Java-regex ∩ RE2 subset, so the DuckDB twin is exact."""
+    return F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+
+
+def syllable_estimate(col: Column) -> Column:
+    """Syllables ≈ vowel groups (``[aeiouy]+`` runs in the lowercased
+    text), floored at the word count — the standard cheap estimator
+    (every word has ≥ 1 syllable; consecutive vowels count once).
+    Deterministic column algebra, replicated verbatim by the twin."""
+    groups = F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    return F.greatest(groups, word_count(col))
+
+
+def flesch_reading_ease(col: Column) -> Column:
+    """Flesch reading ease (SURVEY.md §2 C114; Flesch 1948):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` —
+    the classic document-difficulty score used as a curation/quality
+    signal (and curriculum key) alongside the Gopher ratios. NULL for
+    empty/wordless text. A fixed IEEE expression of exact integer
+    counts — twin-exact without a rounding grid."""
+    w = word_count(col).cast("double")
+    s = sentence_count(col).cast("double")
+    syl = syllable_estimate(col).cast("double")
+    return F.when(
+        w > 0,
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (syl / w),
+    )
+
+
+def flesch_sql(text_expr: str) -> str:
+    """DuckDB expression twin of :func:`flesch_reading_ease` (words /
+    sentences / vowel-group syllables replicated regex-for-regex)."""
+    w = (
+        f"len(list_filter(str_split_regex(trim({text_expr}), '\\s+'),"
+        " x -> x != ''))"
+    )
+    s = f"greatest(len(regexp_extract_all({text_expr}, '[.!?]+')), 1)"
+    syl = (
+        f"greatest(len(regexp_extract_all(lower({text_expr}),"
+        f" '[aeiouy]+')), {w})"
+    )
+    return (
+        f"CASE WHEN {w} > 0 THEN 206.835 - 1.015 * (CAST({w} AS DOUBLE)"
+        f" / {s}) - 84.6 * (CAST({syl} AS DOUBLE) / {w}) END"
+    )

@@ -1,0 +1,279 @@
+"""ML feature engineering over the engine's tables (SURVEY.md §2
+C111-C113): group-wise standardization, smoothed target encoding, and
+categorical vocabulary encoding — the tabular-feature steps a training
+pipeline runs between this engine's curated tables and a trainer, built
+as the same one-aggregate-pass / broadcast-back shapes as the rest of the
+analytics family.
+
+Scale shapes:
+- ``zscore_normalize``: per-group sufficient statistics (n, Σx, Σx²) in
+  ONE map-side-combined aggregate on the 6-decimal DECIMAL grid
+  (order-independent → exact twins); stats join back group-keyed (groups
+  ≪ rows; Catalyst broadcasts when small). Population std by contract —
+  deterministic, and what sklearn's StandardScaler computes.
+- ``target_encode``: per-category (n, Σy) one aggregate; the smoothed
+  encoding (n·mean + m·prior)/(n + m) — Micci-Barreca 2001 — with the
+  global prior riding back as a 1-row broadcast. The leave-one-out
+  variant subtracts the own row's target from its category sums
+  ((Σy − y)/(n − 1), the leakage-free train-side form) and needs no
+  second pass: the row already carries y.
+- ``encode_categories``: frequency-elected vocabulary (top-N by count,
+  count-desc/value-asc — deterministic), index + one-hot via one
+  broadcast join against the vocab table; out-of-vocabulary values get
+  index −1 and the all-zeros row, the standard "other" bucket.
+
+Everything column-algebra, no UDFs. Extension beyond the reference's
+surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def zscore_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """(x − mean) / stddev_pop within each group (whole table when
+    ``group_cols`` is empty): the standard scaler. Rows in a
+    zero-variance group (std = 0) get NULL — no direction to scale.
+    Sufficient statistics sum on the DECIMAL grid, the final mean/std
+    are single IEEE expressions of exact terms — twin-exact."""
+    groups = list(group_cols or [])
+    dec = F.round(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
+    stats = (
+        df.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec).alias("_s"),
+            F.sum(
+                (dec * dec).cast("decimal(38,12)")
+            ).alias("_ss"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(stats), groups)
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return joined.withColumn(
+        out_col,
+        F.when(std > 0, (F.col(value_col) - mean) / std),
+    ).drop("_n", "_s", "_ss")
+
+
+def zscore_normalize_sql(
+    source: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    out_col: str = "zscore",
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`zscore_normalize`."""
+    groups = list(group_cols or [])
+    g = ", ".join(groups)
+    by = f"PARTITION BY {g}" if groups else ""
+    dec = f"CAST(ROUND(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(28,6))"
+    cols = select or f"*"
+    return f"""
+WITH _st AS (
+    SELECT *,
+           COUNT(*) OVER ({by}) AS _n,
+           SUM({dec}) OVER ({by}) AS _s,
+           SUM(CAST({dec} * {dec} AS DECIMAL(38,12))) OVER ({by}) AS _ss
+    FROM {source}
+), _z AS (
+    SELECT * EXCLUDE (_n, _s, _ss),
+           CASE WHEN sqrt(greatest(
+                    CAST(_ss AS DOUBLE) / _n
+                    - (CAST(_s AS DOUBLE) / _n) * (CAST(_s AS DOUBLE) / _n),
+                    0.0)) > 0
+                THEN ({value_col}
+                      - CAST(_s AS DOUBLE) / _n)
+                     / sqrt(greatest(
+                          CAST(_ss AS DOUBLE) / _n
+                          - (CAST(_s AS DOUBLE) / _n)
+                            * (CAST(_s AS DOUBLE) / _n),
+                          0.0))
+           END AS {out_col}
+    FROM _st
+)
+SELECT {cols} FROM _z
+"""
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    smoothing: float = 10.0,
+    leave_one_out: bool = False,
+    out_col: str = "te",
+) -> DataFrame:
+    """Smoothed target (mean) encoding — Micci-Barreca 2001:
+    ``te = (n·cat_mean + m·prior) / (n + m)`` with ``m = smoothing`` and
+    the global target mean as prior; rare categories shrink toward the
+    prior instead of memorizing noise. ``leave_one_out=True`` excludes
+    the own row ((Σy − y)/(n − 1) as the category mean; a singleton
+    category falls back to the prior entirely) — the train-side form
+    that cannot leak the row's own label. NULL categories form their own
+    encodable group. All terms ride the DECIMAL grid; the final blend is
+    a fixed IEEE expression — twin-exact."""
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    dec = F.round(F.col(target_col).cast("double"), 6).cast("decimal(28,6)")
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(dec).alias("_s")
+    )
+    prior = df.agg(
+        F.count(F.lit(1)).alias("_gn"), F.sum(dec).alias("_gs")
+    )
+    # NULL categories must still encode: the groupBy emits a NULL-key row
+    # but a plain equi join would drop it, so both sides key on a
+    # NULL-sentinel string
+    joined = (
+        df.withColumn("_k", F.coalesce(F.col(cat_col).cast("string"), F.lit("\0null")))
+        .join(
+            F.broadcast(
+                per_cat.withColumn(
+                    "_k",
+                    F.coalesce(F.col(cat_col).cast("string"), F.lit("\0null")),
+                ).drop(cat_col)
+            ),
+            "_k",
+        )
+        .crossJoin(F.broadcast(prior))
+    )
+    p = F.col("_gs").cast("double") / F.col("_gn")
+    if leave_one_out:
+        y = F.round(F.col(target_col).cast("double"), 6)
+        n1 = F.col("_n") - 1
+        cat_mean = (F.col("_s").cast("double") - y) / n1
+        enc = F.when(
+            F.col("_n") > 1,
+            (n1 * cat_mean + F.lit(float(smoothing)) * p)
+            / (n1 + F.lit(float(smoothing))),
+        ).otherwise(p)
+    else:
+        cat_mean = F.col("_s").cast("double") / F.col("_n")
+        enc = (F.col("_n") * cat_mean + F.lit(float(smoothing)) * p) / (
+            F.col("_n") + F.lit(float(smoothing))
+        )
+    return joined.withColumn(out_col, enc).drop("_k", "_n", "_s", "_gn", "_gs")
+
+
+def target_encode_sql(
+    source: str,
+    cat_col: str,
+    target_col: str,
+    *,
+    smoothing: float = 10.0,
+    leave_one_out: bool = False,
+    out_col: str = "te",
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`target_encode`."""
+    m = float(smoothing)
+    dec = f"CAST(ROUND(CAST({target_col} AS DOUBLE), 6) AS DECIMAL(28,6))"
+    p = "(CAST(_gs AS DOUBLE) / _gn)"
+    if leave_one_out:
+        enc = f"""CASE WHEN _n > 1 THEN
+            ((_n - 1) * ((CAST(_s AS DOUBLE)
+                          - ROUND(CAST({target_col} AS DOUBLE), 6))
+                         / (_n - 1)) + {m} * {p}) / ((_n - 1) + {m})
+        ELSE {p} END"""
+    else:
+        enc = (
+            f"(_n * (CAST(_s AS DOUBLE) / _n) + {m} * {p}) / (_n + {m})"
+        )
+    cols = select or "*"
+    return f"""
+WITH _e AS (
+    SELECT *,
+           COUNT(*) OVER (PARTITION BY {cat_col}) AS _n,
+           SUM({dec}) OVER (PARTITION BY {cat_col}) AS _s,
+           COUNT(*) OVER () AS _gn,
+           SUM({dec}) OVER () AS _gs
+    FROM {source}
+), _t AS (
+    SELECT * EXCLUDE (_n, _s, _gn, _gs), {enc} AS {out_col} FROM _e
+)
+SELECT {cols} FROM _t
+"""
+
+
+def encode_categories(
+    df: DataFrame,
+    cat_col: str,
+    *,
+    top_n: int = 16,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """Frequency-elected categorical encoding: the ``top_n`` most
+    frequent values (count desc, value asc — deterministic) become the
+    vocabulary; every row gains ``<col>_idx`` (0-based vocab position,
+    −1 for out-of-vocabulary/NULL) and ``<col>_onehot``
+    (array<int> of length top_n, all zeros for OOV — the "other"
+    bucket). One map-side-combined count + one broadcast join."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    pre = out_prefix or cat_col
+    w = Window.orderBy(F.col("_cnt").desc(), F.col(cat_col).asc())
+    vocab = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_idx", F.row_number().over(w) - 1)
+        .where(F.col("_idx") < top_n)
+        .select(cat_col, "_idx")
+    )
+    joined = df.join(F.broadcast(vocab), [cat_col], "left")
+    idx = F.coalesce(F.col("_idx"), F.lit(-1))
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(int(top_n) - 1)),
+        lambda i: F.when(i == idx, 1).otherwise(0),
+    )
+    return (
+        joined.withColumn(f"{pre}_idx", idx.cast("int"))
+        .withColumn(f"{pre}_onehot", onehot)
+        .drop("_idx")
+    )
+
+
+def encode_categories_sql(
+    source: str,
+    cat_col: str,
+    *,
+    top_n: int = 16,
+    out_prefix: str | None = None,
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`encode_categories`."""
+    pre = out_prefix or cat_col
+    n = int(top_n)
+    cols = select or "*"
+    return f"""
+WITH _v AS (
+    SELECT {cat_col}, ROW_NUMBER() OVER (
+        ORDER BY COUNT(*) DESC, {cat_col} ASC
+    ) - 1 AS _idx
+    FROM {source} WHERE {cat_col} IS NOT NULL
+    GROUP BY {cat_col}
+    QUALIFY _idx < {n}
+), _j AS (
+    SELECT s.*, CAST(COALESCE(v._idx, -1) AS INT) AS {pre}_idx,
+           list_transform(range(0, {n}),
+               i -> CASE WHEN i = COALESCE(v._idx, -1)
+                         THEN 1 ELSE 0 END) AS {pre}_onehot
+    FROM {source} s LEFT JOIN _v v ON v.{cat_col} = s.{cat_col}
+)
+SELECT {cols} FROM _j
+"""

@@ -580,3 +580,169 @@ def test_webdataset_export_roundtrip_and_determinism(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="missing columns"):
         X.export_webdataset_shards(docs, str(tmp_path / "w3"), 2, ["nope"])
+
+
+# ---------------------------------------------------------------------------
+# C111-C113: ML feature engineering (features.py)
+# ---------------------------------------------------------------------------
+
+def test_zscore_normalize_hand_and_twin(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import features as FE
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["v"]): r["zscore"]
+        for r in FE.zscore_normalize(df, "v", ["g"]).collect()
+    }
+    import math
+
+    std_a = math.sqrt(2.0 / 3.0)  # population std of 1,2,3
+    assert abs(got[("a", 1.0)] + 1.0 / std_a) < 1e-9
+    assert abs(got[("a", 2.0)]) < 1e-12
+    assert got[("b", 5.0)] is None  # zero variance -> NULL
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            FE.zscore_normalize_sql("t", "v", ["g"])
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        if got[k] is None:
+            assert want[k] is None
+        else:
+            assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_target_encode_smoothing_loo_and_nulls(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import features as FE
+
+    rows = [
+        ("x", 1.0, 1), ("x", 0.0, 2), ("x", 1.0, 3),
+        ("y", 0.0, 4),
+        (None, 1.0, 5), (None, 0.0, 6),
+    ]
+    df = spark.createDataFrame(rows, "c string, y double, i int")
+    prior = 3.0 / 6.0
+    got = {
+        r["i"]: r["te"]
+        for r in FE.target_encode(df, "c", "y", smoothing=2.0).collect()
+    }
+    # category x: n=3, mean=2/3 -> (3*(2/3) + 2*0.5) / 5 = 0.6
+    assert abs(got[1] - 0.6) < 1e-12
+    # singleton y: (1*0 + 2*0.5)/3 = 1/3
+    assert abs(got[4] - 1.0 / 3.0) < 1e-12
+    # NULL category encodes as its own group: n=2, mean=0.5
+    assert abs(got[5] - (2 * 0.5 + 2 * prior) / 4.0) < 1e-12
+    loo = {
+        r["i"]: r["te"]
+        for r in FE.target_encode(
+            df, "c", "y", smoothing=2.0, leave_one_out=True
+        ).collect()
+    }
+    # row 1 (x, y=1): others in x sum 1 over 2 -> mean 0.5:
+    # (2*0.5 + 2*0.5)/4 = 0.5
+    assert abs(loo[1] - 0.5) < 1e-12
+    assert abs(loo[4] - prior) < 1e-12  # singleton falls back to prior
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(c VARCHAR, y DOUBLE, i INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    for flag, ref in ((False, got), (True, loo)):
+        want = {
+            r[2]: r[3]
+            for r in con.execute(
+                FE.target_encode_sql(
+                    "t", "c", "y", smoothing=2.0, leave_one_out=flag,
+                    select="c, y, i, te",
+                )
+            ).fetchall()
+        }
+        assert set(want) == set(ref)
+        for k in ref:
+            assert abs(ref[k] - want[k]) < 1e-12, (flag, k)
+    with pytest.raises(ValueError):
+        FE.target_encode(df, "c", "y", smoothing=-1)
+
+
+def test_encode_categories_vocab_election_and_oov(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import features as FE
+
+    rows = (
+        [("b", i) for i in range(5)]
+        + [("a", 10 + i) for i in range(5)]  # tie with b -> a first (asc)
+        + [("c", 20), ("d", 30), (None, 40)]
+    )
+    df = spark.createDataFrame(rows, "c string, i int")
+    out = {
+        r["i"]: (r["c_idx"], r["c_onehot"])
+        for r in FE.encode_categories(df, "c", top_n=2).collect()
+    }
+    assert out[10] == (0, [1, 0])   # a: count 5, value-asc beats b
+    assert out[0] == (1, [0, 1])    # b
+    assert out[20] == (-1, [0, 0])  # OOV -> other bucket
+    assert out[40] == (-1, [0, 0])  # NULL -> other bucket
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(c VARCHAR, i INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[1]: (r[2], r[3])
+        for r in con.execute(
+            FE.encode_categories_sql(
+                "t", "c", top_n=2, select="c, i, c_idx, c_onehot"
+            )
+        ).fetchall()
+    }
+    assert {k: (v[0], list(v[1])) for k, v in want.items()} == out
+    with pytest.raises(ValueError):
+        FE.encode_categories(df, "c", top_n=0)
+
+
+# ---------------------------------------------------------------------------
+# C114: Flesch readability
+# ---------------------------------------------------------------------------
+
+def test_flesch_orders_simple_above_complex_and_twin(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.functions import quality as Q
+
+    rows = [
+        (1, "The cat sat. The dog ran. It was fun."),
+        (2, "Extraordinarily sophisticated terminological obfuscation"
+            " characterizes institutional bureaucratization."),
+        (3, ""),
+        (4, "word"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", Q.flesch_reading_ease(F.col("t")).alias("f")
+        ).collect()
+    }
+    assert got[1] > 80 > got[2]  # simple prose vs bureaucratese
+    assert got[3] is None and got[4] is not None
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {Q.flesch_sql('t')} AS f FROM t"
+        ).fetchall()
+    }
+    for k in got:
+        if got[k] is None:
+            assert want[k] is None
+        else:
+            assert abs(got[k] - want[k]) < 1e-9

@@ -3786,6 +3786,44 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C115 (annex, EXACT oracle): new-vs-returning actives per day —
+    one (user, day) distinct is the only corpus shuffle; first-seen,
+    per-day counts, and the cumulative-user running sum all run on
+    aggregated rows."""
+    _prep(spark, sf_dir)
+    return analytics.daily_actives(spark.table("events"))
+
+
+_BM25IDX_DIR = _SKIP_DIR + "_bm25idx"
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C116 (annex, EXACT oracle): persistent inverted BM25 index —
+    build posting lists bucketed by term hash ONCE, query through static
+    bucket pruning + pushed term filters. The indexed path is a
+    MATERIALIZATION of the fresh scorer (same stats over ALL docs, same
+    rounding grid), so the plain bm25_sql corpus twin oracles it
+    directly — stronger than an equality boolean."""
+    from insert_by_timeperiod_spark.fs import HadoopFS
+
+    _prep(spark, sf_dir)
+    HadoopFS(spark, _BM25IDX_DIR).delete(_BM25IDX_DIR)
+    bm25.bm25_build(spark.table("documents"), _BM25IDX_DIR, num_buckets=16)
+    return bm25.bm25_query(spark, _BM25IDX_DIR, _BM25_TERMS, k=15)
+
+
+def _time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C117 (annex, EXACT oracle): click→purchase conversion-latency
+    distribution — first purchase at/after the first click per user;
+    quartiles/p90 interpolate with the same R-7 rule in both engines,
+    the total on the DECIMAL grid."""
+    _prep(spark, sf_dir)
+    return analytics.time_to_convert(
+        spark.table("events"), start_type="click", end_type="purchase"
+    )
+
+
 def _zscore_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C111 (annex, EXACT oracle): group-wise standard scaler —
     per-event_type z-scores from one map-side-combined sufficient-stats
@@ -4475,6 +4513,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "target_encode_loo": _target_encode_loo,
         "onehot_event_type": _onehot_types,
         "flesch_documents": _flesch_docs,
+        "daily_actives_events": _daily_actives,
+        "bm25_index_topk": _bm25_index,
+        "time_to_convert_cp": _time_to_convert,
     }
 
 
@@ -4718,6 +4759,11 @@ def pytest_only_oracles() -> dict[str, str]:
         "flesch_documents": (
             "SELECT doc_id, " + QL.flesch_sql("text")
             + " AS flesch FROM documents"
+        ),
+        "daily_actives_events": analytics.daily_actives_sql("events"),
+        "bm25_index_topk": bm25.bm25_sql(_BM25_TERMS, k=15),
+        "time_to_convert_cp": analytics.time_to_convert_sql(
+            "events", start_type="click", end_type="purchase"
         ),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12

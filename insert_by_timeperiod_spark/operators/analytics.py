@@ -922,3 +922,175 @@ SELECT touch_type, CAST(SUM(_w) AS DOUBLE) AS credited,
        CAST(COUNT(*) AS BIGINT) AS n_touches
 FROM _credit GROUP BY touch_type
 """
+
+
+def daily_actives(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    unit: str = "day",
+) -> DataFrame:
+    """New-vs-returning actives (SURVEY.md §2 C115): per calendar bucket
+    — distinct actives (DAU/WAU/MAU), first-ever-seen users (new),
+    returning = actives − new, and the cumulative user count (running
+    sum of new) — the growth-accounting readout on the event tables this
+    engine materializes.
+
+    Scale shape: ONE map-side-combined distinct on (user, bucket) is the
+    only corpus-sized shuffle; first-seen is a per-user MIN over those
+    aggregated rows; per-bucket counts and the running cumulative sum
+    run on bucket-sized data (the single-partition ordering window is
+    over dozens-of-rows output, the value_histogram posture)."""
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unit must be day|week|month, got {unit}")
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    ub = (
+        df.where(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), bucket.alias("bucket"))
+        .distinct()
+        # two consumers: the DAU count and the first-seen election
+        .localCheckpoint(eager=True)
+    )
+    dau = ub.groupBy("bucket").agg(F.count(F.lit(1)).alias("actives"))
+    new = (
+        ub.groupBy("_u")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    out = (
+        dau.join(new, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("actives").cast("bigint").alias("actives"),
+            F.coalesce(F.col("new_users"), F.lit(0))
+            .cast("bigint")
+            .alias("new_users"),
+        )
+        .withColumn(
+            "returning", (F.col("actives") - F.col("new_users")).cast("bigint")
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("bigint")
+    )
+
+
+def daily_actives_sql(
+    source: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    unit: str = "day",
+) -> str:
+    """Exact DuckDB twin of :func:`daily_actives`."""
+    return f"""
+WITH _ub AS (
+    SELECT DISTINCT {user_col} AS _u,
+           date_trunc('{unit}', {ts_col})::DATE AS bucket
+    FROM {source} WHERE {user_col} IS NOT NULL
+), _dau AS (
+    SELECT bucket, COUNT(*) AS actives FROM _ub GROUP BY bucket
+), _new AS (
+    SELECT bucket, COUNT(*) AS new_users FROM (
+        SELECT _u, MIN(bucket) AS bucket FROM _ub GROUP BY _u
+    ) GROUP BY bucket
+)
+SELECT d.bucket,
+       CAST(d.actives AS BIGINT) AS actives,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(d.actives - COALESCE(n.new_users, 0) AS BIGINT) AS returning,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+           ORDER BY d.bucket ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_users
+FROM _dau d LEFT JOIN _new n ON n.bucket = d.bucket
+"""
+
+
+def time_to_convert(
+    df: DataFrame,
+    *,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-latency distribution (SURVEY.md §2 C117): per user,
+    the first ``start_type`` event and the first ``end_type`` event AT
+    OR AFTER it; report how many converted and the latency quartiles /
+    p90 plus the DECIMAL-exact mean, in seconds — "how long from first
+    click to first purchase", the companion readout to C59's funnel
+    (which counts conversion, not its speed).
+
+    Scale shape: both frontiers are per-user MIN aggregates of
+    scan-stage type filters (map-side combined); the pairing joins
+    user-keyed with the at-or-after condition as a residual; the
+    quantile aggregate runs over converted-users-sized data. Latencies
+    are exact micros/1e6 rationals; both engines interpolate quantiles
+    with the same R-7 rule."""
+    starts = (
+        df.where(F.col(type_col) == start_type)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_s"))
+    )
+    ends = df.where(F.col(type_col) == end_type).select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_e")
+    )
+    lat = (
+        starts.join(ends, "_u")
+        .where(F.col("_e") >= F.col("_s"))
+        .groupBy("_u", "_s")
+        .agg(F.min("_e").alias("_e"))
+        .select(
+            (
+                (F.unix_micros("_e") - F.unix_micros("_s"))
+                / F.lit(1_000_000.0)
+            ).alias("_lat")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr("percentile(_lat, 0.25)").alias("p25_s"),
+        F.expr("percentile(_lat, 0.5)").alias("p50_s"),
+        F.expr("percentile(_lat, 0.9)").alias("p90_s"),
+        F.sum(F.col("_lat").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_s"),
+    )
+
+
+def time_to_convert_sql(
+    source: str,
+    *,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """Exact DuckDB twin of :func:`time_to_convert` (same at-or-after
+    pairing, same R-7 quantile interpolation, same DECIMAL total)."""
+    return f"""
+WITH _starts AS (
+    SELECT {user_col} AS _u, MIN({ts_col}) AS _s
+    FROM {source} WHERE {type_col} = '{_q(start_type)}'
+    GROUP BY {user_col}
+), _lat AS (
+    SELECT (epoch_us(MIN(e.{ts_col})) - epoch_us(s._s)) / 1000000.0 AS _lat
+    FROM _starts s
+    JOIN {source} e ON e.{user_col} = s._u
+    WHERE e.{type_col} = '{_q(end_type)}' AND e.{ts_col} >= s._s
+    GROUP BY s._u, s._s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(_lat, 0.25) AS p25_s,
+       quantile_cont(_lat, 0.5) AS p50_s,
+       quantile_cont(_lat, 0.9) AS p90_s,
+       CAST(SUM(CAST(_lat AS DECIMAL(28,6))) AS DOUBLE) AS total_s
+FROM _lat
+"""

@@ -183,3 +183,149 @@ SELECT CAST(row_number() OVER (ORDER BY _score DESC, {id_col}) AS BIGINT) AS ran
 FROM scored WHERE _n_matched > 0
 ORDER BY _score DESC, {id_col} LIMIT {k}
 """
+
+
+def bm25_build(
+    df: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> None:
+    """Persistent inverted BM25 index (SURVEY.md §2 C116) — the text
+    twin of C93's IVF index, and the complementary shape to
+    :func:`bm25_topk` (which is built for FEW literal terms per call and
+    re-scans the corpus every time): ONE corpus pass builds posting
+    lists ANY later query reuses, reading only the probed slice.
+
+    Layout (all parquet):
+    - ``postings/`` — (term, doc id, tf, doc length) written
+      ``partitionBy("bucket")`` with ``bucket = pmod(xxhash64(term),
+      num_buckets)``: a query for ``t`` terms statically prunes to ≤ t
+      buckets (the parquet-native posting-list file), then the pushed
+      ``term IN (...)`` filter cuts within them.
+    - ``terms/`` — (term, document frequency), same bucketing.
+    - ``stats/`` — ONE row (N, total_dl, num_buckets). N and total_dl
+      count ALL docs (even term-free ones), exactly like the fresh
+      scorer's stats — which is what makes the index path's scores
+      bit-equal to :func:`bm25_topk` / `bm25_sql` on the same corpus.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    spark = df.sparkSession
+    toks = F.filter(_tokens(F.col(text_col)), lambda w: w != "")
+    docs = (
+        spread(df.select(id_col, text_col))
+        .select(F.col(id_col), toks.alias("_t"))
+        .select(F.col(id_col), "_t", F.size("_t").alias("_dl"))
+        # two consumers: the corpus stats and the postings explode
+        .localCheckpoint(eager=True)
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_dl").alias("total_dl"),
+        F.lit(int(num_buckets)).alias("num_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+    postings = (
+        docs.select(F.col(id_col), "_dl", F.explode("_t").alias("term"))
+        .groupBy("term", id_col, "_dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+        # two consumers: the postings write and the df rollup
+        .localCheckpoint(eager=True)
+    )
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/postings")
+    )
+    (
+        postings.groupBy("term", "bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/terms")
+    )
+
+
+def bm25_query(
+    spark,
+    index_path: str,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query the :func:`bm25_build` index: identical scoring arithmetic
+    to :func:`bm25_topk` (Lucene idf, per-term 6-decimal rounding,
+    DECIMAL summation — the index path is a MATERIALIZATION, results
+    bit-equal to the fresh scan, which is the pin), but the read touches
+    ONLY the query terms' buckets: the probe list is ≤ len(terms) bucket
+    ids computed in one tiny driver job, turned into a static partition
+    filter (plan-pinned), with the ``term IN`` filter pushed inside
+    them. Docs matching no term never leave the index files."""
+    terms = _clean_terms(terms)
+    stats = spark.read.parquet(f"{index_path}/stats").collect()[0]
+    n_docs, total_dl = stats["n_docs"], stats["total_dl"]
+    num_buckets = stats["num_buckets"]
+    # ≤ MAX_TERMS rows: one tiny job to replay the bucket hash
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
+        }
+    )
+    post = (
+        spark.read.parquet(f"{index_path}/postings")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    tdf = (
+        spark.read.parquet(f"{index_path}/terms")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    avgdl = float(total_dl) / float(n_docs)
+    scored = post.join(F.broadcast(tdf), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    contrib = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).cast(
+        "decimal(28,6)"
+    )
+    ranked = (
+        scored.select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        )
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = F.row_number().over(
+        Window.orderBy(F.col("_score").desc(), F.col(id_col))
+    )
+    return ranked.select(
+        w.cast("bigint").alias("rank"),
+        id_col,
+        F.col("_score").cast("double").alias("score"),
+        "n_matched",
+    )

@@ -593,3 +593,84 @@ def test_ewma_recurrence_and_twin(spark):
     assert got2 == want2
     with pytest.raises(ValueError):
         TS.ewma(df, ["k"], "ts", "v", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# C115: new-vs-returning actives
+# ---------------------------------------------------------------------------
+
+def test_daily_actives_hand_case_and_twin(spark):
+    import duckdb
+    from datetime import datetime as DT
+
+    from insert_by_timeperiod_spark.operators import analytics
+
+    rows = [
+        (1, DT(2024, 1, 1, 9)), (2, DT(2024, 1, 1, 10)),
+        (1, DT(2024, 1, 2, 9)), (3, DT(2024, 1, 2, 10)),
+        (1, DT(2024, 1, 4, 9)),
+        (None, DT(2024, 1, 4, 9)),  # NULL users don't count
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        str(r["bucket"]): (
+            r["actives"], r["new_users"], r["returning"], r["cum_users"]
+        )
+        for r in analytics.daily_actives(df).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2, 0, 2),
+        "2024-01-02": (2, 1, 1, 3),
+        "2024-01-04": (1, 0, 1, 3),
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(user_id INT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    want = {
+        str(r[0]): tuple(r[1:])
+        for r in con.execute(analytics.daily_actives_sql("e")).fetchall()
+    }
+    assert want == got
+    with pytest.raises(ValueError):
+        analytics.daily_actives(df, unit="hour")
+
+
+# ---------------------------------------------------------------------------
+# C117: time-to-convert latency distribution
+# ---------------------------------------------------------------------------
+
+def test_time_to_convert_hand_case_and_twin(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import analytics
+
+    t0 = DT(2024, 1, 1)
+    rows = [
+        # user 1: click at t0, purchase 100s later (an earlier purchase
+        # BEFORE the click must not count)
+        (1, t0 - TD(seconds=50), "purchase"),
+        (1, t0, "click"),
+        (1, t0 + TD(seconds=100), "purchase"),
+        (1, t0 + TD(seconds=500), "purchase"),  # only the first counts
+        # user 2: click, converts 300s later
+        (2, t0, "click"),
+        (2, t0 + TD(seconds=300), "purchase"),
+        # user 3: click, never converts
+        (3, t0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    r = analytics.time_to_convert(
+        df, start_type="click", end_type="purchase"
+    ).collect()[0]
+    assert r["n_converted"] == 2
+    assert r["p50_s"] == 200.0 and r["total_s"] == 400.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(user_id INT, ts TIMESTAMP, event_type VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        analytics.time_to_convert_sql(
+            "e", start_type="click", end_type="purchase"
+        )
+    ).fetchone()
+    assert tuple(r) == tuple(want)

@@ -1,0 +1,57 @@
+"""C116: persistent inverted BM25 index — indexed == fresh bit-equality,
+bucket partition pruning, and incremental reuse across query sets."""
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import bm25
+
+
+VOCAB = "spark query join filter window table scan merge sort batch".split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (
+            i,
+            " ".join(
+                VOCAB[(i * 7 + j * 3) % len(VOCAB)] for j in range(5 + i % 9)
+            ),
+        )
+        for i in range(300)
+    ] + [(900, ""), (901, "   ")]  # term-free docs still count in N/avgdl
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_indexed_query_equals_fresh_scan_bit_exact(spark, corpus):
+    idx = tempfile.mkdtemp(prefix="ibtp_bm25idx_") + "/i"
+    bm25.bm25_build(corpus, idx, num_buckets=16)
+    for terms in (["spark", "join"], ["window", "scan", "sort"], ["query"]):
+        fresh = [tuple(r) for r in bm25.bm25_topk(corpus, terms, k=12).collect()]
+        viaidx = [
+            tuple(r) for r in bm25.bm25_query(spark, idx, terms, k=12).collect()
+        ]
+        assert viaidx == fresh and len(fresh) > 0, terms
+
+
+def test_query_scan_is_bucket_pruned(spark, corpus):
+    idx = tempfile.mkdtemp(prefix="ibtp_bm25idx2_") + "/i"
+    bm25.bm25_build(corpus, idx, num_buckets=16)
+    q = bm25.bm25_query(spark, idx, ["spark"], k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_build_validates_and_stats_count_all_docs(spark, corpus):
+    idx = tempfile.mkdtemp(prefix="ibtp_bm25idx3_") + "/i"
+    bm25.bm25_build(corpus, idx, num_buckets=4)
+    stats = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert stats["n_docs"] == corpus.count()  # term-free docs included
+    with pytest.raises(ValueError):
+        bm25.bm25_build(corpus, idx, num_buckets=0)
+    with pytest.raises(ValueError):
+        bm25.bm25_query(spark, idx, [])

@@ -1,0 +1,198 @@
+"""Property tests (SURVEY.md §5) for the round-7 batch-10+ operators:
+invariants that must hold for ANY input, over hypothesis-generated data.
+Examples kept small — each compiles real Spark jobs."""
+
+import datetime as dt
+import itertools
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import (
+    analytics,
+    dedup,
+    features,
+    scd,
+    sketch,
+    timeseries,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# C97: prefix-filter completeness is a THEOREM — check it holds on any corpus
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.lists(st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+             min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=18,
+)
+
+
+@given(texts=_texts, t=st.sampled_from([0.5, 0.7, 0.9]))
+@settings(**_SETTINGS)
+def test_prefix_jaccard_complete_on_any_corpus(spark, texts, t):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], round(r["jaccard"], 9))
+        for r in dedup.prefix_jaccard_pairs(
+            df, threshold=t, shingle_k=2
+        ).collect()
+    }
+    sets = {}
+    for i, txt in rows:
+        ws = txt.split()
+        if len(ws) >= 2:
+            sets[i] = {" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= t:
+            want[(a, b)] = (inter, round(j, 9))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C96: KMV merge == union sketch, estimate exact below k
+# ---------------------------------------------------------------------------
+
+@given(
+    xs=st.lists(st.integers(0, 500), min_size=1, max_size=80),
+    ys=st.lists(st.integers(0, 500), min_size=1, max_size=80),
+)
+@settings(**_SETTINGS)
+def test_kmv_merge_union_property(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs], "v long").withColumn(
+        "g", F.lit(1)
+    )
+    b = spark.createDataFrame([(y,) for y in ys], "v long").withColumn(
+        "g", F.lit(1)
+    )
+    u = a.unionByName(b)
+    want = [r["kmv"] for r in sketch.kmv_sketch(u, ["g"], "v", k=16).collect()]
+    parts = sketch.kmv_sketch(a, ["g"], "v", k=16).unionByName(
+        sketch.kmv_sketch(b, ["g"], "v", k=16)
+    )
+    got = [r["kmv"] for r in sketch.kmv_merge(parts, ["g"], k=16).collect()]
+    assert got == want
+    n_true = len(set(xs) | set(ys))
+    est = (
+        sketch.kmv_sketch(u, ["g"], "v", k=1024)
+        .select(sketch.kmv_estimate(F.col("kmv"), k=1024).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est == float(n_true)  # below k the sketch IS the set
+
+
+# ---------------------------------------------------------------------------
+# C101: changelog compaction == per-key fold of the log
+# ---------------------------------------------------------------------------
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from("IUD"),
+        st.integers(0, 5),        # key
+        st.integers(0, 30),       # ts offset
+        st.integers(0, 99),       # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(log=_ops)
+@settings(**_SETTINGS)
+def test_apply_changelog_equals_python_fold(spark, log):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (op, k, base + dt.timedelta(hours=ts), i, v)
+        for i, (op, k, ts, v) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, k int, ts timestamp, seq int, v int"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in scd.apply_changelog(df, ["k"], "ts", seq_col="seq").collect()
+    }
+    last = {}
+    for op, k, ts, seq, v in sorted(rows, key=lambda r: (r[2], r[3])):
+        last[k] = (op, v)
+    want = {k: v for k, (op, v) in last.items() if op != "D"}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C111: z-scores really standardize (mean→0, population std→1 per group)
+# ---------------------------------------------------------------------------
+
+@given(
+    vals=st.lists(
+        st.floats(-50, 50, allow_nan=False, width=32), min_size=2, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_zscore_standardizes(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double").withColumn(
+        "g", F.lit(1)
+    )
+    zs = [
+        r["zscore"]
+        for r in features.zscore_normalize(df, "v", ["g"]).collect()
+    ]
+    if len(set(vals)) == 1:
+        assert all(z is None for z in zs)
+    else:
+        assert all(z is not None for z in zs)
+        m = sum(zs) / len(zs)
+        var = sum(z * z for z in zs) / len(zs) - m * m
+        assert abs(m) < 1e-6 and abs(var - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# C108: rolling window n always >= 1 (self in frame) and total sums frame
+# ---------------------------------------------------------------------------
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20 * 86400),
+                  st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_rolling_window_matches_python(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, i, base + dt.timedelta(seconds=s), float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k int, eid int, ts timestamp, v double")
+    got = {
+        r["eid"]: (r["n_7d"], r["total_7d"])
+        for r in timeseries.rolling_window(
+            df, ["k"], "ts", "v", days=7, id_cols=["eid"]
+        ).collect()
+    }
+    span = 7 * 86400
+    for k, i, ts, v in data:
+        frame = [
+            v2
+            for k2, _, ts2, v2 in data
+            if k2 == k and ts - dt.timedelta(seconds=span) <= ts2 <= ts
+        ]
+        n, tot = got[i]
+        assert n == len(frame)
+        assert abs(tot - sum(frame)) < 1e-6

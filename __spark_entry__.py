@@ -84,6 +84,10 @@ from insert_by_timeperiod_spark.operators.pipeline import (
     clean_documents,
     curate_corpus,
     prepare_pretraining_corpus,
+    feature_table as pipeline_feature_table,
+    feature_table_sql as pipeline_feature_table_sql,
+    growth_report as pipeline_growth_report,
+    growth_report_sql as pipeline_growth_report_sql,
 )
 from insert_by_timeperiod_spark.operators.sessions import session_stats, sessionize
 from insert_by_timeperiod_spark.sources import load_table, register_views
@@ -3786,6 +3790,66 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C118 (annex, EXACT oracle): A/B experiment readout — users
+    bucketed into ctl/t1/t2 by user_id arithmetic, purchase conversion,
+    pooled two-proportion z vs control with the 1.96 significance flag
+    (pure integer-count arithmetic — no erf dependency, twin-exact)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "variant",
+        F.when(F.col("user_id") % 3 == 0, "ctl")
+        .when(F.col("user_id") % 3 == 1, "t1")
+        .otherwise("t2"),
+    )
+    return analytics.ab_test(
+        ev, "variant", conversion_type="purchase", control="ctl"
+    )
+
+
+_AB_SRC_DUCK = (
+    "(SELECT *, CASE WHEN user_id % 3 = 0 THEN 'ctl'"
+    " WHEN user_id % 3 = 1 THEN 't1' ELSE 't2' END AS variant FROM events)"
+)
+
+
+def _growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C119 (annex, EXACT end-to-end oracle): the composed growth
+    chain — debounce the event stream per (user, type) at 1h, THEN
+    new-vs-returning actives on the deduplicated stream; the oracle
+    chains the recursive-CTE recurrence into the actives twin, so the
+    COMPOSITION is hash-checked, not just the stages."""
+    _prep(spark, sf_dir)
+    return pipeline_growth_report(spark.table("events"))
+
+
+def _feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C120 (annex, EXACT end-to-end oracle): the composed feature
+    chain — vocab one-hot + leave-one-out target encoding + per-category
+    z-score assembled as one declarative plan over events."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("event_id") % 2).cast("double").alias("y"),
+    )
+    return pipeline_feature_table(
+        ev,
+        cat_col="event_type",
+        value_col="value",
+        target_col="y",
+        id_col="event_id",
+        top_n=3,
+    )
+
+
+_FEATURE_SRC_DUCK = (
+    "(SELECT event_id, event_type, value,"
+    " CAST(event_id % 2 AS DOUBLE) AS y FROM events)"
+)
+
+
 def _daily_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C115 (annex, EXACT oracle): new-vs-returning actives per day —
     one (user, day) distinct is the only corpus shuffle; first-seen,
@@ -4516,6 +4580,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "daily_actives_events": _daily_actives,
         "bm25_index_topk": _bm25_index,
         "time_to_convert_cp": _time_to_convert,
+        "ab_test_variants": _ab_test,
+        "growth_report_events": _growth_report,
+        "feature_table_events": _feature_table,
     }
 
 
@@ -4764,6 +4831,15 @@ def pytest_only_oracles() -> dict[str, str]:
         "bm25_index_topk": bm25.bm25_sql(_BM25_TERMS, k=15),
         "time_to_convert_cp": analytics.time_to_convert_sql(
             "events", start_type="click", end_type="purchase"
+        ),
+        "ab_test_variants": analytics.ab_test_sql(
+            _AB_SRC_DUCK, "variant", conversion_type="purchase",
+            control="ctl",
+        ),
+        "growth_report_events": pipeline_growth_report_sql("events"),
+        "feature_table_events": pipeline_feature_table_sql(
+            _FEATURE_SRC_DUCK, cat_col="event_type", value_col="value",
+            target_col="y", id_col="event_id", top_n=3,
         ),
         "chunk_bm25_passages": retrieval.chunk_bm25_sql(
             _CHUNK_BM25_TERMS, size=48, overlap=16, k=12

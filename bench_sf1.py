@@ -103,6 +103,29 @@ QUERIES = [
     "dedup_spans_removed",
     "agg_rollup_periods",
     "bloom_index_point_read",
+    # round-7 batch-10+ operators over the scaled corpus: the exact
+    # set-similarity join, CDC compaction, sessions/paths, attribution,
+    # reconciliation, feature encoders, growth accounting, rolling
+    # windows, sequential recurrences, and the persistent BM25 index
+    "prefix_jaccard_dups",
+    "cdc_apply_latest",
+    "session_top_paths",
+    "debounce_events",
+    "basket_rules_brands",
+    "k_core_events",
+    "attribution_linear",
+    "table_diff_user_rollups",
+    "k_anonymity_events",
+    "rolling_7d_user",
+    "ewma_user_value",
+    "zscore_value_by_type",
+    "target_encode_loo",
+    "onehot_event_type",
+    "flesch_documents",
+    "daily_actives_events",
+    "time_to_convert_cp",
+    "bm25_index_topk",
+    "kmv_distinct_users",
 ]
 
 

@@ -1094,3 +1094,120 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
        CAST(SUM(CAST(_lat AS DECIMAL(28,6))) AS DOUBLE) AS total_s
 FROM _lat
 """
+
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    *,
+    conversion_type: str,
+    control: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """A/B experiment readout (SURVEY.md §2 C118): per variant — exposed
+    users, converted users, conversion rate, and against the named
+    ``control`` variant the pooled two-proportion z statistic with the
+    |z| ≥ 1.96 significance flag (the standard 5%-level test). The
+    decision table every experiment pipeline ends in.
+
+    Scale shape: ONE per-(variant, user) aggregate (map-side combined —
+    a user counts once however many events they fired; conversion =
+    BOOL_OR over their events), ONE per-variant rollup on
+    variant-count-sized data, control row broadcast back. The z
+    statistic is a fixed IEEE expression of exact integer counts —
+    twin-exact with no erf/p-value dependency (flag at the 1.96
+    critical value instead, identical in any engine)."""
+    per_user = (
+        df.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(variant_col).alias("variant"), F.col(user_col))
+        .agg(
+            F.max((F.col(type_col) == conversion_type).cast("int")).alias(
+                "_conv"
+            )
+        )
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("_conv").cast("bigint").alias("n_converted"),
+    )
+    ctrl = per_variant.where(F.col("variant") == control).select(
+        F.col("n_users").alias("_cn"), F.col("n_converted").alias("_cc")
+    )
+    j = per_variant.crossJoin(F.broadcast(ctrl))
+    rate = F.col("n_converted") / F.col("n_users").cast("double")
+    crate = F.col("_cc") / F.col("_cn").cast("double")
+    pooled = (F.col("n_converted") + F.col("_cc")) / (
+        F.col("n_users") + F.col("_cn")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_users")
+            + F.lit(1.0) / F.col("_cn")
+        )
+    )
+    z = F.when(
+        (F.col("variant") != control) & (se > 0), (rate - crate) / se
+    )
+    return j.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        rate.alias("rate"),
+        z.alias("z_vs_control"),
+        F.when(z.isNotNull(), F.abs(z) >= 1.96).alias("significant"),
+    )
+
+
+def ab_test_sql(
+    source: str,
+    variant_col: str,
+    *,
+    conversion_type: str,
+    control: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """Exact DuckDB twin of :func:`ab_test`."""
+    return f"""
+WITH _pu AS (
+    SELECT {variant_col} AS variant, {user_col},
+           MAX(CASE WHEN {type_col} = '{_q(conversion_type)}'
+                    THEN 1 ELSE 0 END) AS _conv
+    FROM {source} WHERE {user_col} IS NOT NULL
+    GROUP BY {variant_col}, {user_col}
+), _pv AS (
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(_conv) AS BIGINT) AS n_converted
+    FROM _pu GROUP BY variant
+), _ctrl AS (
+    SELECT n_users AS _cn, n_converted AS _cc FROM _pv
+    WHERE variant = '{_q(control)}'
+), _j AS (
+    SELECT p.*, c._cn, c._cc,
+           p.n_converted / CAST(p.n_users AS DOUBLE) AS rate,
+           CASE WHEN p.variant <> '{_q(control)}'
+                 AND sqrt(
+                   ((p.n_converted + c._cc)
+                    / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 - (p.n_converted + c._cc)
+                      / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 / p.n_users + 1.0 / c._cn)) > 0
+                THEN (p.n_converted / CAST(p.n_users AS DOUBLE)
+                      - c._cc / CAST(c._cn AS DOUBLE))
+                     / sqrt(
+                   ((p.n_converted + c._cc)
+                    / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 - (p.n_converted + c._cc)
+                      / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 / p.n_users + 1.0 / c._cn))
+           END AS z_vs_control
+    FROM _pv p CROSS JOIN _ctrl c
+)
+SELECT variant, n_users, n_converted, rate, z_vs_control,
+       CASE WHEN z_vs_control IS NOT NULL
+            THEN abs(z_vs_control) >= 1.96 END AS significant
+FROM _j
+"""

@@ -45,8 +45,18 @@ def zscore_normalize(
     are single IEEE expressions of exact terms — twin-exact."""
     groups = list(group_cols or [])
     dec = F.round(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
+    # NULL group values must still scale (the twin's window keeps them),
+    # but an equi join drops NULL keys — key both sides on NULL-sentinel
+    # strings instead
+    def _gk(c: str):
+        return F.coalesce(F.col(c).cast("string"), F.lit("\0null")).alias(
+            f"_gk_{c}"
+        )
+
+    gks = [f"_gk_{c}" for c in groups]
+    src = df.select("*", *[_gk(c) for c in groups])
     stats = (
-        df.groupBy(*groups).agg(
+        src.groupBy(*gks).agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(dec).alias("_s"),
             F.sum(
@@ -55,9 +65,9 @@ def zscore_normalize(
         )
     )
     joined = (
-        df.join(F.broadcast(stats), groups)
+        src.join(F.broadcast(stats), gks)
         if groups
-        else df.crossJoin(F.broadcast(stats))
+        else src.crossJoin(F.broadcast(stats))
     )
     mean = F.col("_s").cast("double") / F.col("_n")
     var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
@@ -65,7 +75,7 @@ def zscore_normalize(
     return joined.withColumn(
         out_col,
         F.when(std > 0, (F.col(value_col) - mean) / std),
-    ).drop("_n", "_s", "_ss")
+    ).drop("_n", "_s", "_ss", *gks)
 
 
 def zscore_normalize_sql(

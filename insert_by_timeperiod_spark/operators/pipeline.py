@@ -239,3 +239,116 @@ def curate_corpus_v2(
     return laid.join(kept_scores, id_col).select(
         id_col, "shard", "pos", "n_pairs", "doc_nll"
     )
+
+
+def growth_report(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_gap_seconds: float = 3600.0,
+    unit: str = "day",
+) -> DataFrame:
+    """Composed analytics chain (SURVEY.md §2 C119): debounce the raw
+    event stream per (user, type) — instrumentation double-fires are the
+    #1 growth-metric corruptor — THEN compute new-vs-returning actives
+    on the deduplicated stream. One declarative chain; the end-to-end
+    DuckDB twin chains ``debounce_sql`` (the recursive-CTE recurrence)
+    into ``daily_actives_sql``, so the COMPOSITION is exact-oracled, not
+    just the stages."""
+    from .sessions import debounce
+    from .analytics import daily_actives
+
+    clean = debounce(
+        events.select(user_col, type_col, ts_col, id_col),
+        [user_col, type_col],
+        ts_col,
+        min_gap_seconds=min_gap_seconds,
+        tiebreak=id_col,
+    )
+    return daily_actives(clean, user_col, ts_col, unit=unit)
+
+
+def growth_report_sql(
+    source: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_gap_seconds: float = 3600.0,
+    unit: str = "day",
+) -> str:
+    """Exact end-to-end DuckDB twin of :func:`growth_report`."""
+    from .sessions import debounce_sql
+    from .analytics import daily_actives_sql
+
+    deb = debounce_sql(
+        f"(SELECT {user_col}, {type_col}, {ts_col}, {id_col} FROM {source})",
+        [user_col, type_col],
+        ts_col,
+        min_gap_seconds=min_gap_seconds,
+        tiebreak=id_col,
+        select=f"{user_col}, {ts_col}",
+    )
+    return daily_actives_sql(f"({deb})", user_col, ts_col, unit=unit)
+
+
+def feature_table(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    value_col: str,
+    target_col: str,
+    id_col: str,
+    top_n: int = 8,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Composed feature-assembly chain (SURVEY.md §2 C120): one table in,
+    one trainer-ready feature frame out — vocabulary one-hot encoding of
+    the categorical, leave-one-out target encoding of the same column,
+    and a per-category z-score of the numeric, chained as ONE declarative
+    plan (Catalyst fuses the three broadcast joins over a single corpus
+    scan). End-to-end exact twin chains the three stage twins."""
+    from .features import encode_categories, target_encode, zscore_normalize
+
+    base = df.select(id_col, cat_col, value_col, target_col)
+    enc = encode_categories(base, cat_col, top_n=top_n)
+    te = target_encode(
+        enc, cat_col, target_col, smoothing=smoothing, leave_one_out=True
+    )
+    return zscore_normalize(te, value_col, [cat_col])
+
+
+def feature_table_sql(
+    source: str,
+    *,
+    cat_col: str,
+    value_col: str,
+    target_col: str,
+    id_col: str,
+    top_n: int = 8,
+    smoothing: float = 10.0,
+) -> str:
+    """Exact end-to-end DuckDB twin of :func:`feature_table`."""
+    from .features import (
+        encode_categories_sql,
+        target_encode_sql,
+        zscore_normalize_sql,
+    )
+
+    base = (
+        f"(SELECT {id_col}, {cat_col}, {value_col}, {target_col}"
+        f" FROM {source})"
+    )
+    enc = encode_categories_sql(base, cat_col, top_n=top_n)
+    te = target_encode_sql(
+        f"({enc})",
+        cat_col,
+        target_col,
+        smoothing=smoothing,
+        leave_one_out=True,
+    )
+    return zscore_normalize_sql(f"({te})", value_col, [cat_col])

@@ -674,3 +674,127 @@ def test_time_to_convert_hand_case_and_twin(spark):
         )
     ).fetchone()
     assert tuple(r) == tuple(want)
+
+
+# ---------------------------------------------------------------------------
+# C118: A/B experiment readout
+# ---------------------------------------------------------------------------
+
+def test_ab_test_hand_case_and_twin(spark):
+    import duckdb
+    import math
+
+    from insert_by_timeperiod_spark.operators import analytics
+
+    rows = []
+    # control: 100 users, 20 convert; treatment: 100 users, 35 convert
+    for u in range(100):
+        rows.append(("ctl", u, "view"))
+        if u < 20:
+            rows.append(("ctl", u, "buy"))
+    for u in range(100, 200):
+        rows.append(("trt", u, "view"))
+        if u < 135:
+            rows.append(("trt", u, "buy"))
+    df = spark.createDataFrame(rows, "variant string, user_id int, event_type string")
+    out = {
+        r["variant"]: r
+        for r in analytics.ab_test(
+            df, "variant", conversion_type="buy", control="ctl"
+        ).collect()
+    }
+    assert out["ctl"]["n_users"] == 100 and out["ctl"]["n_converted"] == 20
+    assert out["ctl"]["z_vs_control"] is None
+    p = (20 + 35) / 200.0
+    se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert abs(out["trt"]["z_vs_control"] - (0.35 - 0.20) / se) < 1e-12
+    assert out["trt"]["significant"] is True
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(variant VARCHAR, user_id INT, event_type VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: tuple(r)
+        for r in con.execute(
+            analytics.ab_test_sql(
+                "e", "variant", conversion_type="buy", control="ctl"
+            )
+        ).fetchall()
+    }
+    for v, r in out.items():
+        assert tuple(r) == want[v], v
+
+
+# ---------------------------------------------------------------------------
+# C119/C120: composed chains
+# ---------------------------------------------------------------------------
+
+def test_growth_report_debounce_changes_the_answer(spark):
+    """The chain must differ from naive daily_actives when double-fires
+    exist — and equal it on a clean stream."""
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import analytics, pipeline
+
+    t0 = DT(2024, 1, 1, 12)
+    rows = [
+        # user 1 double-fires within the hour on day 1, returns day 2
+        (1, "click", t0, 1),
+        (1, "click", t0 + TD(minutes=10), 2),
+        (1, "click", t0 + TD(days=1), 3),
+        (2, "view", t0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp, event_id int"
+    )
+    got = {
+        str(r["bucket"]): (r["actives"], r["new_users"])
+        for r in pipeline.growth_report(df).collect()
+    }
+    assert got == {"2024-01-01": (2, 2), "2024-01-02": (1, 0)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e(user_id INT, event_type VARCHAR, ts TIMESTAMP,"
+        " event_id INT)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?, ?, ?)", rows)
+    want = {
+        str(r[0]): (r[1], r[2])
+        for r in con.execute(pipeline.growth_report_sql("e")).fetchall()
+    }
+    assert want == got
+
+
+def test_feature_table_chain_and_twin(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import pipeline
+
+    rows = [
+        ("x", float(i % 7), float(i % 2), i) for i in range(30)
+    ] + [("y", float(i % 5), 1.0, 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "c string, v double, y double, i int")
+    out = pipeline.feature_table(
+        df, cat_col="c", value_col="v", target_col="y", id_col="i", top_n=2
+    )
+    cols = set(out.columns)
+    assert {"c_idx", "c_onehot", "te", "zscore"} <= cols
+    got = sorted(
+        (r["i"], r["c_idx"], round(r["te"], 9),
+         None if r["zscore"] is None else round(r["zscore"], 9))
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(c VARCHAR, v DOUBLE, y DOUBLE, i INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    sql = pipeline.feature_table_sql(
+        "t", cat_col="c", value_col="v", target_col="y", id_col="i", top_n=2
+    )
+    rel = con.sql(sql)
+    ci = {n: j for j, n in enumerate(rel.columns)}
+    want = sorted(
+        (r[ci["i"]], r[ci["c_idx"]], round(r[ci["te"]], 9),
+         None if r[ci["zscore"]] is None else round(r[ci["zscore"]], 9))
+        for r in rel.fetchall()
+    )
+    assert got == want

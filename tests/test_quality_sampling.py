@@ -746,3 +746,28 @@ def test_flesch_orders_simple_above_complex_and_twin(spark):
             assert want[k] is None
         else:
             assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_zscore_null_group_rows_survive(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import features as FE
+
+    rows = [(None, 1.0), (None, 3.0), ("a", 2.0), ("a", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["v"]): r["zscore"]
+        for r in FE.zscore_normalize(df, "v", ["g"]).collect()
+    }
+    assert len(got) == 4  # NULL-group rows must not be dropped
+    assert abs(got[(None, 1.0)] + 1.0) < 1e-12  # std_pop of {1,3} is 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(FE.zscore_normalize_sql("t", "v", ["g"])).fetchall()
+    }
+    assert set(want) == set(got)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12

@@ -395,3 +395,71 @@ def test_incremental_dedup_bucketed_state_probe_no_exchange(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_rolling_window_single_exchange(spark):
+    """C108: the time-RANGE rolling aggregates must cost exactly ONE
+    exchange (the window partition) — all three outputs share the frame."""
+    from insert_by_timeperiod_spark.operators import timeseries as TS
+
+    df = TS.rolling_window(
+        spark.table("events"), ["user_id"], "ts", "value", days=7,
+        id_cols=["event_id"],
+    )
+    assert exchange_count(df) == 1
+
+
+def test_attribution_no_cartesian_and_broadcastless_user_join(spark):
+    """C105: the touch pairing is a user-key equi join with the lookback
+    interval residual — never a cartesian product."""
+    from insert_by_timeperiod_spark.operators import analytics
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    df = analytics.attribution(
+        spark.table("events"),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        model="linear",
+    )
+    assert "CartesianProduct" not in explain_str(df, formatted=False)
+
+
+def test_feature_encoders_broadcast_their_stats(spark):
+    """C111-C113: group stats / vocab / category sums are tiny relative
+    to the table and must come back as broadcast joins, not shuffles of
+    the corpus."""
+    from insert_by_timeperiod_spark.operators import features as FE
+
+    ev = spark.table("events")
+    for df in (
+        FE.zscore_normalize(
+            ev.select("event_id", "event_type", "value"), "value",
+            ["event_type"],
+        ),
+        FE.encode_categories(
+            ev.select("event_id", "event_type"), "event_type", top_n=3
+        ),
+    ):
+        assert has_broadcast_join(df)
+
+
+def test_kmv_window_reuses_dedup_exchange(spark):
+    """C96: the k-smallest election is a window over the SAME keys as
+    the distinct-draw shuffle — two exchanges total (dedup + final group
+    fold), never three."""
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    df = SK.kmv_sketch(spark.table("events"), ["event_type"], "user_id", k=64)
+    assert exchange_count(df) <= 2
+
+
+def test_daily_actives_aggregates_are_partial(spark):
+    """C115: the (user, bucket) distinct is the only corpus shuffle and
+    must be map-side combined."""
+    from insert_by_timeperiod_spark.operators import analytics
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    df = analytics.daily_actives(spark.table("events"))
+    plan = explain_str(df, formatted=False)
+    assert plan.lower().count("partial") >= 1
+    assert "CartesianProduct" not in plan

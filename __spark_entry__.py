@@ -3790,6 +3790,37 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACTROLL_DIR = _SKIP_DIR + "_actroll"
+
+
+def _actives_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C121 (annex, EXACT oracle): incremental growth accounting —
+    events folded in three date-slice batches (one deliberately
+    replayed: the ledger must no-op it) into the persistent
+    (user-digest, bucket) state; the readout must equal the one-shot
+    daily_actives over the whole table."""
+    from insert_by_timeperiod_spark.fs import HadoopFS
+
+    _prep(spark, sf_dir)
+    HadoopFS(spark, _ACTROLL_DIR).delete(_ACTROLL_DIR)
+    ev = spark.table("events")
+    d = F.to_date("ts")
+    slices = [
+        ev.where(d < F.lit("2024-01-11")),
+        ev.where((d >= F.lit("2024-01-11")) & (d < F.lit("2024-01-21"))),
+        ev.where(d >= F.lit("2024-01-21")),
+    ]
+    out = None
+    for i, sl in enumerate(slices):
+        out = rollup.actives_rollup_update(
+            sl, _ACTROLL_DIR, batch_id=f"slice{i}"
+        )
+    # deliberate replay: must be a detected no-op
+    return rollup.actives_rollup_update(
+        slices[1], _ACTROLL_DIR, batch_id="slice1"
+    )
+
+
 def _ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C118 (annex, EXACT oracle): A/B experiment readout — users
     bucketed into ctl/t1/t2 by user_id arithmetic, purchase conversion,
@@ -4583,6 +4614,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "ab_test_variants": _ab_test,
         "growth_report_events": _growth_report,
         "feature_table_events": _feature_table,
+        "actives_rollup_periods": _actives_rollup,
     }
 
 
@@ -4837,6 +4869,7 @@ def pytest_only_oracles() -> dict[str, str]:
             control="ctl",
         ),
         "growth_report_events": pipeline_growth_report_sql("events"),
+        "actives_rollup_periods": analytics.daily_actives_sql("events"),
         "feature_table_events": pipeline_feature_table_sql(
             _FEATURE_SRC_DUCK, cat_col="event_type", value_col="value",
             target_col="y", id_col="event_id", top_n=3,

@@ -245,3 +245,101 @@ def dd_rollup_update(
     if update_state:
         _publish(fs, state_path, merged, done | {batch_id})
     return present(merged)
+
+
+# ---------------------------------------------------------------------------
+# incremental growth-accounting state (C121)
+# ---------------------------------------------------------------------------
+
+
+def _actives_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(bucket, actives, new_users, returning, cum_users) from the
+    distinct (user-digest, bucket) state — the same math as
+    analytics.daily_actives, computed over the state instead of raw
+    events."""
+    from pyspark.sql import Window
+
+    dau = pairs.groupBy("bucket").agg(F.count(F.lit(1)).alias("actives"))
+    new = (
+        pairs.groupBy("_ud")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    out = (
+        dau.join(new, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("actives").cast("bigint").alias("actives"),
+            F.coalesce(F.col("new_users"), F.lit(0))
+            .cast("bigint")
+            .alias("new_users"),
+        )
+        .withColumn(
+            "returning",
+            (F.col("actives") - F.col("new_users")).cast("bigint"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("bigint")
+    )
+
+
+def actives_rollup_update(
+    new_df: DataFrame,
+    state_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    batch_id: str,
+    unit: str = "day",
+    update_state: bool = True,
+) -> DataFrame:
+    """Incremental growth accounting (SURVEY.md §2 C121): fold one ingest
+    batch into a persistent distinct-(user, bucket) state and return the
+    updated new-vs-returning actives readout — C115's numbers maintained
+    at O(batch + state) per ingest, never O(history). The EXACT member
+    of the incremental family where C82's HLL rollup is the approximate
+    one: state rows are (16-byte md5 user digest, bucket date) — the
+    minimal exact state for "who was active when", with user identity
+    never stored.
+
+    Replay safety rides the SAME folded-batch ledger + staged atomic
+    swap as C89/C90 (distinct-union is idempotent, but the ledger makes
+    a replayed batch a detected no-op instead of a wasted state
+    rewrite). Scale: the fold dedups the batch map-side, unions with the
+    state, and re-distincts — one shuffle over state-sized data; the C36
+    bucketed-state layout is the documented next step if the rewrite
+    ever dominates."""
+    if not batch_id:
+        raise ValueError("actives_rollup_update: batch_id is required")
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unit must be day|week|month, got {unit}")
+    spark = new_df.sparkSession
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, state_path)
+    _recover(fs, state_path)
+    data = _data_dir(state_path)
+    done = _folded(fs, state_path)
+    if batch_id in done:
+        return _actives_from_pairs(spark.read.parquet(data))
+    pairs = (
+        new_df.where(F.col(user_col).isNotNull())
+        .select(
+            F.md5(F.col(user_col).cast("string")).alias("_ud"),
+            F.date_trunc(unit, F.col(ts_col)).cast("date").alias("bucket"),
+        )
+        .distinct()
+    )
+    if fs.is_dir(data):
+        merged = spark.read.parquet(data).unionByName(pairs).distinct()
+    else:
+        merged = pairs
+    merged = merged.localCheckpoint(eager=True)
+    if update_state:
+        _publish(fs, state_path, merged, done | {batch_id})
+    return _actives_from_pairs(merged)

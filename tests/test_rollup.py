@@ -170,3 +170,37 @@ def test_stream_rollup_equals_batch_fold(spark):
         batch_id="stream-0",  # ledgered -> read-only return
     )
     assert {"dd", "p50", "p95", "p99"} <= set(dd.columns)
+
+
+# ---------------------------------------------------------------------------
+# C121: incremental growth-accounting state
+# ---------------------------------------------------------------------------
+
+def test_actives_rollup_matches_one_shot_and_replays(spark, tmp_path):
+    import datetime as dt
+
+    from insert_by_timeperiod_spark.operators import analytics, rollup
+
+    state = str(tmp_path / "act_state")
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (u % 7, base + dt.timedelta(days=(i * 3) % 9, hours=u % 5))
+        for i in range(40)
+        for u in (i, i + 1)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    b1 = df.where("user_id % 7 < 3")
+    b2 = df.where("user_id % 7 >= 3")
+    rollup.actives_rollup_update(b1, state, batch_id="b1")
+    out = rollup.actives_rollup_update(b2, state, batch_id="b2")
+    want = sorted(map(tuple, analytics.daily_actives(df).collect()))
+    assert sorted(map(tuple, out.collect())) == want
+    # replaying a folded batch is a detected no-op
+    again = rollup.actives_rollup_update(b1, state, batch_id="b1")
+    assert sorted(map(tuple, again.collect())) == want
+    # overlapping users across batches must not double count
+    b3 = df.where("user_id % 7 < 3")  # same rows as b1, new batch id
+    out3 = rollup.actives_rollup_update(b3, state, batch_id="b3")
+    assert sorted(map(tuple, out3.collect())) == want
+    with pytest.raises(ValueError):
+        rollup.actives_rollup_update(b1, state, batch_id="")

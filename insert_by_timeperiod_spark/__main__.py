@@ -82,11 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "time travel)")
     p.add_argument("--maintenance", default=None,
                    choices=["vacuum", "truncate-history", "recover-orphans",
-                            "compact", "profile", "restore", "clone"],
+                            "compact", "optimize", "profile", "restore",
+                            "clone"],
                    help="run a maintenance operation on --target instead of a "
                         "build: vacuum / truncate-history / recover-orphans / "
                         "restore / clone (txnlog backend), compact (partition "
                         "file merge), profile (per-column ANALYZE stats)")
+    p.add_argument("--optimize-min-files", type=int, default=4, metavar="N",
+                   help="partitions holding at least N files are compacted "
+                        "(--maintenance optimize, default 4)")
     p.add_argument("--vacuum-keep-last", type=int, default=7, metavar="N",
                    help="versions of time travel vacuum retains (default 7)")
     p.add_argument("--restore-version", type=int, default=None, metavar="V",
@@ -101,7 +105,8 @@ def build_parser() -> argparse.ArgumentParser:
 def _run_maintenance(spark, args) -> int:
     """The OPTIMIZE/VACUUM/ANALYZE surface: operate on an existing target."""
     needs_txn = args.maintenance in (
-        "vacuum", "truncate-history", "recover-orphans", "restore", "clone"
+        "vacuum", "truncate-history", "recover-orphans", "restore", "clone",
+        "optimize",
     )
     if needs_txn and args.table_format != "txnlog":
         raise SystemExit(f"--maintenance {args.maintenance} requires --table-format txnlog")
@@ -125,6 +130,12 @@ def _run_maintenance(spark, args) -> int:
     elif args.maintenance == "compact":
         t.compact_partitions(files_per_partition=1)
         print("compact: partitions rewritten to 1 file each")
+    elif args.maintenance == "optimize":
+        n = t.optimize(min_files=args.optimize_min_files)
+        print(
+            f"optimize: {n} partition(s) compacted (>= "
+            f"{args.optimize_min_files} files), history preserved"
+        )
     elif args.maintenance == "restore":
         if args.restore_version is None:
             raise SystemExit("--maintenance restore requires --restore-version")

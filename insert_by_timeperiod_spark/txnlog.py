@@ -379,6 +379,45 @@ class TxnLogTable(ParquetTable):
                 counts[d] = counts.get(d, 0) + 1
         return counts
 
+    def optimize(self, *, min_files: int = 4) -> int:
+        """Small-file compaction (SURVEY.md §2 C122, the Delta OPTIMIZE
+        analogue): rewrite every partition currently holding at least
+        ``min_files`` data files into the rebalanced optimized layout, as
+        ONE atomic commit per call. Per-period streaming/backfill ingest
+        is exactly how the small-file problem accrues at 100 TB — commit
+        cost, listing, and every later scan are dominated by file COUNT,
+        not bytes — and compaction is the standing maintenance answer.
+
+        Guarantees: rows are byte-identical (a pure layout rewrite);
+        readers see the old complete layout or the new one (the same
+        snapshot-isolation commit as every other write); history is
+        preserved — time travel to pre-optimize versions still reads the
+        old files until ``vacuum`` retires them. Only the targeted
+        partitions' files are read; untouched partitions cost nothing.
+        Returns the number of partitions compacted."""
+        if min_files < 2:
+            raise ValueError(f"min_files must be >= 2, got {min_files}")
+        by_part: dict[str | None, list[str]] = {}
+        for f, e in self._snapshot_entries().items():
+            by_part.setdefault(e["p"], []).append(f)
+        targets = sorted(
+            (p for p, fs in by_part.items() if len(fs) >= min_files),
+            key=lambda p: (p is None, p),
+        )
+        if not targets:
+            return 0
+        meta = self._read_meta()
+        schema = _schema_without_ntz(
+            T.StructType.fromJson(json.loads(meta["schema"]))
+        )
+        paths = [
+            f"{self.path}/{f}" for p in targets for f in sorted(by_part[p])
+        ]
+        df = normalize_ntz(self.spark.read.schema(schema).parquet(*paths))
+        dates = [None if p is None else dt.date.fromisoformat(p) for p in targets]
+        self.rewrite_partitions(df, dates)
+        return len(targets)
+
     def restore(self, version: int) -> int:
         """Roll the table BACK to ``version`` as a NEW commit (SURVEY.md §2
         C85, the Delta ``RESTORE`` idiom — the undo button for a bad

@@ -184,3 +184,25 @@ def test_cli_restore_and_clone(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="requires --clone-target"):
         main(["--target", tgt, "--table-format", "txnlog",
               "--maintenance", "clone"])
+
+
+def test_cli_maintenance_optimize(spark, tmp_path, capsys):
+    from insert_by_timeperiod_spark.__main__ import main
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    tgt = str(tmp_path / "topt")
+    t = TxnLogTable(spark, tgt)
+    df = lambda lo, n: spark.range(lo, lo + n).select(
+        F.col("id"), F.lit("2024-01-01").cast("date").alias("event_date")
+    )
+    t.create(df(0, 5).coalesce(1), "event_date")
+    for i in range(1, 5):
+        t.append(df(i * 5, 5).coalesce(1))
+    before = t.partition_file_counts()[dt.date(2024, 1, 1)]
+    assert before >= 5
+    rc = main(["--target", tgt, "--table-format", "txnlog",
+               "--maintenance", "optimize"])
+    assert rc == 0
+    assert "1 partition(s) compacted" in capsys.readouterr().out
+    assert t.partition_file_counts()[dt.date(2024, 1, 1)] < before
+    assert t.read().count() == 25

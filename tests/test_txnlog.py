@@ -354,3 +354,39 @@ def test_diff_between_versions(spark):
     t.append(df("2024-01-02", 10, 12))
     d = t.diff(v3)
     assert d.count() == 2 and {r.change_type for r in d.collect()} == {"insert"}
+
+
+# ---------------------------------------------------------------------------
+# C122: OPTIMIZE small-file compaction
+# ---------------------------------------------------------------------------
+
+def test_optimize_compacts_files_preserves_rows_and_history(spark, tmp_path):
+    import datetime as dt
+
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    t = TxnLogTable(spark, str(tmp_path / "opt"))
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    mk = lambda d, lo, hi: spark.createDataFrame(
+        [(i, d) for i in range(lo, hi)], "v int, event_date date"
+    )
+    t.create(mk(d1, 0, 10).coalesce(1), "event_date")
+    # four more small appends on d1, one on d2
+    for i in range(1, 5):
+        t.append(mk(d1, i * 10, i * 10 + 10).coalesce(1))
+    t.append(mk(d2, 0, 10).coalesce(1))
+    pre_version = t.version()
+    counts = t.partition_file_counts()
+    assert counts[d1] >= 5 and counts[d2] == 1
+    want = sorted(tuple(r) for r in t.read().collect())
+    n = t.optimize(min_files=4)
+    assert n == 1  # only d1 qualifies at min_files=4
+    counts2 = t.partition_file_counts()
+    assert counts2[d1] < counts[d1] and counts2[d2] == 1
+    assert sorted(tuple(r) for r in t.read().collect()) == want
+    # history preserved: pre-optimize version still reads identically
+    assert sorted(tuple(r) for r in t.read(version=pre_version).collect()) == want
+    # a second pass is a no-op
+    assert t.optimize(min_files=4) == 0
+    with pytest.raises(ValueError):
+        t.optimize(min_files=1)

@@ -3790,6 +3790,50 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_anoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C123 (annex, EXACT oracle): rolling-baseline anomaly flags —
+    per-user trailing-7-day mean/std (current row excluded from its own
+    baseline) with a 3-sigma rule and a minimum-history gate."""
+    _prep(spark, sf_dir)
+    return timeseries.rolling_anomalies(
+        spark.table("events"),
+        ["user_id"],
+        "ts",
+        "value",
+        days=7,
+        k_sigma=3.0,
+        min_baseline=5,
+        id_cols=["event_id"],
+    )
+
+
+def _schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C124 (annex, constant oracle): schema diff — the drift report
+    between the events table and a simulated next-snapshot shape (value
+    widened to string, ts dropped, one column added). Pure metadata, no
+    job; the output is fully determined, so a VALUES oracle checks it."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    nxt = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("string").alias("value"),
+        F.lit("web").alias("channel"),
+    )
+    return reconcile.schema_diff(ev, nxt)
+
+
+SCHEMA_DRIFT_DUCK = """
+SELECT * FROM (VALUES
+    ('channel', 'added', CAST(NULL AS VARCHAR), 'string'),
+    ('props', 'removed', 'string', CAST(NULL AS VARCHAR)),
+    ('ts', 'removed', 'timestamp', CAST(NULL AS VARCHAR)),
+    ('value', 'type_changed', 'double', 'string')
+) AS t("column", status, type_a, type_b)
+"""
+
+
 _ACTROLL_DIR = _SKIP_DIR + "_actroll"
 
 
@@ -4615,6 +4659,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "growth_report_events": _growth_report,
         "feature_table_events": _feature_table,
         "actives_rollup_periods": _actives_rollup,
+        "rolling_anomalies_events": _rolling_anoms,
+        "schema_drift_report": _schema_drift,
     }
 
 
@@ -4870,6 +4916,11 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "growth_report_events": pipeline_growth_report_sql("events"),
         "actives_rollup_periods": analytics.daily_actives_sql("events"),
+        "rolling_anomalies_events": timeseries.rolling_anomalies_sql(
+            "events", ["user_id"], "ts", "value", days=7, k_sigma=3.0,
+            min_baseline=5, id_cols=["event_id"],
+        ),
+        "schema_drift_report": SCHEMA_DRIFT_DUCK,
         "feature_table_events": pipeline_feature_table_sql(
             _FEATURE_SRC_DUCK, cat_col="event_type", value_col="value",
             target_col="y", id_col="event_id", top_n=3,

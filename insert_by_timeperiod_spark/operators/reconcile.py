@@ -146,3 +146,26 @@ WITH _d AS (
         base
         + f"SELECT {k}, status, changed_cols FROM _d WHERE status IS NOT NULL"
     )
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema reconciliation (SURVEY.md §2 C124): column-level diff
+    between two tables — (column, status ∈ added|removed|type_changed,
+    type_a, type_b) — the drift report to run before A15's schema
+    evolution policies act on a source, and the metadata companion of
+    :func:`table_diff` (which diffs rows). Pure metadata: no job runs,
+    no data is read."""
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    rows = []
+    for c in sorted(set(ta) | set(tb)):
+        if c not in ta:
+            rows.append((c, "added", None, tb[c]))
+        elif c not in tb:
+            rows.append((c, "removed", ta[c], None))
+        elif ta[c] != tb[c]:
+            rows.append((c, "type_changed", ta[c], tb[c]))
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, status string, type_a string, type_b string"
+    )

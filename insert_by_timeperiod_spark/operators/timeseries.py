@@ -304,3 +304,102 @@ WITH RECURSIVE _r AS (
 )
 SELECT {cols} FROM _walk
 """
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+    k_sigma: float = 3.0,
+    min_baseline: int = 5,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rolling-baseline anomaly flags (SURVEY.md §2 C123): an event is
+    anomalous when its value sits more than ``k_sigma`` population
+    standard deviations from its OWN key's trailing-``days`` baseline —
+    the streaming-telemetry alert rule, per entity, with the baseline
+    window EXCLUDING the current value (an outlier must not get to vote
+    on its own baseline). Keys need ``min_baseline`` prior points before
+    they can alarm (a 2-point history calling everything anomalous is
+    noise). The per-event companion of C61's per-period MAD detector.
+
+    Scale shape: ONE shuffle — the same epoch-micros RANGE frame as
+    C108, shifted one microsecond back to exclude the current row;
+    baseline mean/std come from DECIMAL-grid sufficient statistics in
+    that frame (exact twin), the flag is a fixed IEEE expression."""
+    if days < 1:
+        raise ValueError(f"days must be >= 1, got {days}")
+    if k_sigma <= 0:
+        raise ValueError(f"k_sigma must be > 0, got {k_sigma}")
+    span_us = days * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-span_us, -1)
+    )
+    dec = F.round(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dec).over(w).cast("double")
+    ss = F.sum((dec * dec).cast("decimal(38,12)")).over(w).cast("double")
+    mean = s / n
+    var = F.greatest(ss / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    dev = F.abs(F.col(value_col) - mean)
+    flag = F.when(
+        n >= min_baseline,
+        (std > 0) & (dev > F.lit(float(k_sigma)) * std),
+    )
+    out_cols = [*key_cols, *(id_cols or []), ts_col, value_col]
+    return df.select(
+        *out_cols,
+        n.cast("bigint").alias("n_baseline"),
+        F.when(n > 0, mean).alias("baseline_mean"),
+        flag.alias("is_anomaly"),
+    )
+
+
+def rolling_anomalies_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+    k_sigma: float = 3.0,
+    min_baseline: int = 5,
+    id_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`rolling_anomalies`."""
+    span_us = int(days) * 86_400 * 1_000_000
+    ksig = float(k_sigma)
+    k = ", ".join(key_cols)
+    sel = ", ".join([*key_cols, *(id_cols or []), ts_col, value_col])
+    dec = f"CAST(ROUND(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(28,6))"
+    frame = (
+        f"PARTITION BY {k} ORDER BY epoch_us({ts_col}) "
+        f"RANGE BETWEEN {span_us} PRECEDING AND 1 PRECEDING"
+    )
+    return f"""
+WITH _b AS (
+    SELECT {sel},
+           COUNT(*) OVER w AS _n,
+           CAST(SUM({dec}) OVER w AS DOUBLE) AS _s,
+           CAST(SUM(CAST({dec} * {dec} AS DECIMAL(38,12))) OVER w AS DOUBLE)
+               AS _ss
+    FROM {source}
+    WINDOW w AS ({frame})
+)
+SELECT {sel},
+       CAST(_n AS BIGINT) AS n_baseline,
+       CASE WHEN _n > 0 THEN _s / _n END AS baseline_mean,
+       CASE WHEN _n >= {int(min_baseline)} THEN
+            sqrt(greatest(_ss / _n - (_s / _n) * (_s / _n), 0.0)) > 0
+            AND abs({value_col} - _s / _n)
+                > {ksig} * sqrt(greatest(_ss / _n - (_s / _n) * (_s / _n),
+                                         0.0))
+       END AS is_anomaly
+FROM _b
+"""

@@ -2925,3 +2925,68 @@ def test_k_anonymity_report_and_suppression(spark):
         PR.k_anonymity_report(df, [], 3)
     with pytest.raises(ValueError):
         PR.suppress_small_groups(df, ["country"], 1)
+
+
+# ---------------------------------------------------------------------------
+# C123: rolling-baseline anomalies
+# ---------------------------------------------------------------------------
+
+def test_rolling_anomalies_flags_spike_not_baseline(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    from insert_by_timeperiod_spark.operators import timeseries as TS
+
+    t0 = DT(2024, 1, 10)
+    rows = [(1, i, t0 + TD(hours=i), 10.0 + (i % 3) * 0.1) for i in range(12)]
+    rows.append((1, 99, t0 + TD(hours=13), 500.0))   # the spike
+    rows.append((1, 100, t0 + TD(hours=14), 10.1))   # normal after spike
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp, v double")
+    out = {
+        r["eid"]: (r["is_anomaly"], r["n_baseline"])
+        for r in TS.rolling_anomalies(
+            df, ["k"], "ts", "v", days=7, k_sigma=3.0, min_baseline=5,
+            id_cols=["eid"],
+        ).collect()
+    }
+    assert out[99][0] is True              # the spike alarms
+    assert out[0] == (None, 0)             # no baseline -> no verdict
+    assert out[4][0] is None               # under min_baseline
+    assert out[11][0] is False             # steady value, enough history
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, eid INT, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = {
+        r[1]: (r[6], r[4])
+        for r in con.execute(
+            TS.rolling_anomalies_sql(
+                "t", ["k"], "ts", "v", days=7, k_sigma=3.0, min_baseline=5,
+                id_cols=["eid"],
+            )
+        ).fetchall()
+    }
+    for eid, (fl, nb) in out.items():
+        assert want[eid] == (fl, nb), eid
+    with pytest.raises(ValueError):
+        TS.rolling_anomalies(df, ["k"], "ts", "v", k_sigma=0)
+
+
+# ---------------------------------------------------------------------------
+# C124: schema diff
+# ---------------------------------------------------------------------------
+
+def test_schema_diff_statuses(spark):
+    from insert_by_timeperiod_spark.operators import reconcile
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "k int, s string, v double")
+    b = spark.createDataFrame([(1, 2, True)], "k int, v int, extra boolean")
+    got = {
+        r["column"]: (r["status"], r["type_a"], r["type_b"])
+        for r in reconcile.schema_diff(a, b).collect()
+    }
+    assert got == {
+        "extra": ("added", None, "boolean"),
+        "s": ("removed", "string", None),
+        "v": ("type_changed", "double", "int"),
+    }
+    assert reconcile.schema_diff(a, a).count() == 0

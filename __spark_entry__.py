@@ -3790,6 +3790,59 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C125 (annex, half-exact oracle): join-size estimation from
+    count-min inner products — "how big would customer ⋈ orders be"
+    answered from two mergeable sketches without shuffling either side.
+    exact_join_size is plain SQL (real oracle teeth); the deterministic
+    estimate rides as an in-plan-checked boolean (≥ truth, ≤ truth +
+    ε·N_a·N_b — the published CM guarantee)."""
+    _prep(spark, sf_dir)
+    cust = spark.table("customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    ).withColumn("g", F.lit(1))
+    orders = spark.table("orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    ).withColumn("g", F.lit(1))
+    sa = sketch.cm_sketch(cust, ["g"], "k").withColumnRenamed("cm", "ca")
+    sb = sketch.cm_sketch(orders, ["g"], "k")
+    est = sa.join(sb, "g").select(
+        sketch.cm_inner_product(F.col("ca"), F.col("cm")).alias("_est")
+    )
+    truth = (
+        spark.table("orders")
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    counts = cust.crossJoin(F.broadcast(orders.agg(F.count(F.lit(1)).alias("_nb")))).agg(
+        F.count(F.lit(1)).alias("_na"), F.first("_nb").alias("_nb")
+    )
+    return (
+        truth.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "exact_join_size",
+            (
+                (F.col("_est") >= F.col("exact_join_size"))
+                & (
+                    F.col("_est")
+                    <= F.col("exact_join_size")
+                    + 0.001 * F.col("_na") * F.col("_nb")
+                )
+            ).alias("est_ok"),
+        )
+    )
+
+
+JOIN_SIZE_DUCK = """
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size, TRUE AS est_ok
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def _rolling_anoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C123 (annex, EXACT oracle): rolling-baseline anomaly flags —
     per-user trailing-7-day mean/std (current row excluded from its own
@@ -4661,6 +4714,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "actives_rollup_periods": _actives_rollup,
         "rolling_anomalies_events": _rolling_anoms,
         "schema_drift_report": _schema_drift,
+        "join_size_estimate": _join_size_est,
     }
 
 
@@ -4921,6 +4975,7 @@ def pytest_only_oracles() -> dict[str, str]:
             min_baseline=5, id_cols=["event_id"],
         ),
         "schema_drift_report": SCHEMA_DRIFT_DUCK,
+        "join_size_estimate": JOIN_SIZE_DUCK,
         "feature_table_events": pipeline_feature_table_sql(
             _FEATURE_SRC_DUCK, cat_col="event_type", value_col="value",
             target_col="y", id_col="event_id", top_n=3,

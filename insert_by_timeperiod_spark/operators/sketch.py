@@ -504,3 +504,38 @@ def kmv_intersect_estimate(
     # with θ = 1.0 (both exact) the clip keeps everything and the scale
     # is the identity, so the estimate degrades to the exact overlap
     return common.cast("double") / theta
+
+
+def cm_inner_product(a: Column, b: Column, *, depth: int = CM_DEPTH) -> Column:
+    """Join-size estimation from two count-min sketches (SURVEY.md §2
+    C125; Cormode & Muthukrishnan 2005 §4.2): the inner product of two
+    frequency vectors — which IS ``|A ⋈ B|`` on the sketched key — is
+    estimated as ``min over rows d of Σ_col a[d,col]·b[d,col]``. Never
+    under-estimates (every true pair lands in some shared cell), over by
+    at most ε·N_a·N_b with probability 1−δ. The "how big would this join
+    be" answer a 100 TB planner wants BEFORE shuffling anything: sketch
+    each side per partition/period once (C40's mergeable state), answer
+    for any pair of period ranges by merging.
+
+    Pure column algebra over the sparse ``map<int,bigint>`` sketches —
+    per row d, matching cells multiply and sum via one map-filtered
+    fold; absent cells contribute 0."""
+    row_sums = F.array(
+        *[
+            F.aggregate(
+                F.filter(
+                    F.map_entries(a),
+                    lambda e: (e["key"] >= d * CM_WIDTH)
+                    & (e["key"] < (d + 1) * CM_WIDTH),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, e: acc
+                + e["value"]
+                * F.coalesce(
+                    F.element_at(b, e["key"]), F.lit(0).cast("bigint")
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+    return F.array_min(row_sums)

@@ -2990,3 +2990,43 @@ def test_schema_diff_statuses(spark):
         "v": ("type_changed", "double", "int"),
     }
     assert reconcile.schema_diff(a, a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# C125: join-size estimation via count-min inner product
+# ---------------------------------------------------------------------------
+
+def test_cm_inner_product_estimates_join_size(spark):
+    from insert_by_timeperiod_spark.operators import sketch as SK
+
+    # skewed key frequencies on both sides; true join size = sum over
+    # keys of f_a(k) * f_b(k)
+    a_rows = [(str(k),) for k in range(50) for _ in range((k % 5) + 1)]
+    b_rows = [(str(k),) for k in range(30, 80) for _ in range((k % 3) + 1)]
+    a = spark.createDataFrame(a_rows, "k string").withColumn("g", F.lit(1))
+    b = spark.createDataFrame(b_rows, "k string").withColumn("g", F.lit(1))
+    from collections import Counter
+
+    fa, fb = Counter(r[0] for r in a_rows), Counter(r[0] for r in b_rows)
+    truth = sum(fa[k] * fb[k] for k in fa)
+    sa = SK.cm_sketch(a, ["g"], "k").withColumnRenamed("cm", "ca")
+    sb = SK.cm_sketch(b, ["g"], "k")
+    est = (
+        sa.join(sb, "g")
+        .select(SK.cm_inner_product(F.col("ca"), F.col("cm")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est >= truth  # never under-estimates
+    # at this tiny volume vs 4x4096 cells, collisions are ~0: exact
+    assert est <= truth + 0.001 * len(a_rows) * len(b_rows)
+    # disjoint key ranges -> estimate collapses toward 0
+    c = spark.createDataFrame(
+        [(str(k),) for k in range(5000, 5050)], "k string"
+    ).withColumn("g", F.lit(1))
+    sc = SK.cm_sketch(c, ["g"], "k").withColumnRenamed("cm", "cc")
+    est0 = (
+        sa.join(sc, "g")
+        .select(SK.cm_inner_product(F.col("ca"), F.col("cc")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est0 <= 0.001 * len(a_rows) * 50 + 5

@@ -110,12 +110,20 @@ class TxnLogTable(ParquetTable):
         payload = json.dumps(body)
         tmp = f"{self._txn_dir()}/_tmp_{uuid.uuid4().hex}.json"
         self.fs.write_text_atomic(tmp, payload)
-        for _ in range(20):
+        # 100 claim attempts with a short linear backoff: under heavy
+        # multi-writer contention (or a busy host) 20 tight-loop retries
+        # were observed to exhaust while a competitor streamed commits —
+        # the backoff lets the loser re-read a settled head instead of
+        # chasing it
+        import time as _time
+
+        for attempt in range(100):
             v = self.version() + 1
             try:
                 self.fs.rename(tmp, f"{self._txn_dir()}/{v:011d}.json")
                 break
             except IOError:
+                _time.sleep(min(0.01 * attempt, 0.2))
                 continue  # another writer claimed v: re-read, retry
         else:
             self.fs.delete(tmp)

@@ -3790,6 +3790,72 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C126 (annex, EXACT oracle): the run-history manifest (dbt
+    run_results as a queryable table) — two engine runs (initial build +
+    resume) each append one row; the deterministic columns (mode,
+    period, n_periods, window bounds, total_rows) are oracled against
+    SQL-computed truths over the same windows."""
+    _prep(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ibtp_manifest_")
+    hist = f"{base}/hist"
+    eng = InsertByTimeperiod(
+        spark,
+        MODEL_DAILY,
+        IBTPConfig(
+            timestamp_field="event_date",
+            period="day",
+            start_date=dt.date(2024, 1, 1),
+            stop_date=dt.date(2024, 1, 22),
+        ),
+        f"{base}/t",
+        run_history_path=hist,
+    )
+    eng.run(RunVars(stop_date=dt.date(2024, 1, 8)))
+    eng.run()
+    return spark.read.parquet(hist).select(
+        "mode",
+        "period",
+        "n_periods",
+        "first_period_start",
+        "last_period_end",
+        "total_rows",
+    )
+
+
+RUN_MANIFEST_DUCK = """
+SELECT 'incremental' AS mode, 'day' AS period, CAST(7 AS INT) AS n_periods,
+       DATE '2024-01-01' AS first_period_start,
+       DATE '2024-01-08' AS last_period_end,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT user_id, CAST(ts AS DATE) AS d FROM events
+            WHERE ts >= DATE '2024-01-01' AND ts < DATE '2024-01-08'
+            GROUP BY 1, 2)) AS total_rows
+UNION ALL
+SELECT 'incremental', 'day', CAST(14 AS INT),
+       DATE '2024-01-08', DATE '2024-01-22',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT user_id, CAST(ts AS DATE) AS d FROM events
+            WHERE ts >= DATE '2024-01-08' AND ts < DATE '2024-01-22'
+            GROUP BY 1, 2))
+"""
+
+
+def _quarantine_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C127 (annex, EXACT oracle): quarantine splitter — every event
+    stamped with the row-level checks it violates (value band +
+    event-type allowlist), one scan-stage projection for all checks."""
+    _prep(spark, sf_dir)
+    checks = [
+        expect.in_range("value", 0.0, 50.0),
+        expect.accepted_values(
+            "event_type", ["click", "purchase", "signup", "error"]
+        ),
+    ]
+    ev = spark.table("events").select("event_id", "event_type", "value")
+    return expect.flag_violations(ev, checks)
+
+
 def _join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C125 (annex, half-exact oracle): join-size estimation from
     count-min inner products — "how big would customer ⋈ orders be"
@@ -4715,6 +4781,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "rolling_anomalies_events": _rolling_anoms,
         "schema_drift_report": _schema_drift,
         "join_size_estimate": _join_size_est,
+        "run_manifest": _run_manifest,
+        "quarantine_flags_events": _quarantine_flags,
     }
 
 
@@ -4976,6 +5044,17 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "schema_drift_report": SCHEMA_DRIFT_DUCK,
         "join_size_estimate": JOIN_SIZE_DUCK,
+        "run_manifest": RUN_MANIFEST_DUCK,
+        "quarantine_flags_events": expect.flag_violations_sql(
+            "(SELECT event_id, event_type, value FROM events)",
+            [
+                expect.in_range("value", 0.0, 50.0),
+                expect.accepted_values(
+                    "event_type",
+                    ["click", "purchase", "signup", "error"],
+                ),
+            ],
+        ),
         "feature_table_events": pipeline_feature_table_sql(
             _FEATURE_SRC_DUCK, cat_col="event_type", value_col="value",
             target_col="y", id_col="event_id", top_n=3,

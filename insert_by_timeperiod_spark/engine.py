@@ -145,6 +145,7 @@ class InsertByTimeperiod:
         post_run: Callable[[], None] | None = None,
         post_period: Callable[[Period, int | None], None] | None = None,
         table_factory: Callable[[SparkSession, str], ParquetTable] | None = None,
+        run_history_path: str | None = None,
     ):
         self.spark = spark
         self.model = model
@@ -158,6 +159,9 @@ class InsertByTimeperiod:
         # pre/post hook contract (A19,
         # /root/reference/macros/insert_by_timeperiod_materialization.sql:65,82)
         self.pre_run, self.post_run, self.post_period = pre_run, post_run, post_period
+        #: C126 run manifest (the dbt run_results analogue): append one
+        #: row per successful run to this parquet path
+        self.run_history_path = run_history_path
         if isinstance(model, str):
             # compile-time placeholder guard (A2, helpers.sql:63-72)
             check_period_filter_placeholders(model)
@@ -315,6 +319,43 @@ class InsertByTimeperiod:
     # ---- the loop (A16) ----------------------------------------------------
 
     def run(self, vars: RunVars | None = None) -> RunResult:
+        result = self._run_inner(vars)
+        if self.run_history_path:
+            self._record_run(result)
+        return result
+
+    def _record_run(self, result: RunResult) -> None:
+        """C126: append one manifest row per successful run — the
+        dbt-run_results analogue, as a queryable table instead of a JSON
+        artifact. One tiny single-row append; failures never reach it
+        (exceptions propagate before recording), so the manifest reads
+        as "what actually landed"."""
+        periods = result.periods
+        row = (
+            uuid.uuid4().hex,
+            dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            result.mode.value,
+            self.config.period,
+            len(periods),
+            min((p.period.start for p in periods), default=None),
+            max((p.period.end for p in periods), default=None),
+            result.total_rows if self.count_rows else None,
+            result.target_path,
+        )
+        (
+            self.spark.createDataFrame(
+                [row],
+                "run_id string, run_ts timestamp, mode string,"
+                " period string, n_periods int, first_period_start date,"
+                " last_period_end date, total_rows bigint,"
+                " target_path string",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.run_history_path)
+        )
+
+    def _run_inner(self, vars: RunVars | None = None) -> RunResult:
         vars = vars or RunVars()
         mode = resolve_mode(vars)
         if self.pre_run:

@@ -39,10 +39,24 @@ class Check:
     name: str
     sql: str = field(compare=False)
     _make: Callable[[], Column] = field(compare=False)
+    #: OPTIONAL row-level form (per-row "this row violates" predicate +
+    #: its SQL twin) — present on row-testable checks (not_null,
+    #: accepted_values, in_range); dataset-level checks (unique,
+    #: relationships) have none and cannot feed the quarantine splitter
+    _row: Callable[[], Column] | None = field(default=None, compare=False)
+    row_sql: str | None = field(default=None, compare=False)
 
     @property
     def violations(self) -> Column:
         return self._make()
+
+    @property
+    def row_violation(self) -> Column:
+        if self._row is None:
+            raise ValueError(
+                f"check {self.name!r} is dataset-level (no per-row form)"
+            )
+        return self._row()
 
 
 def not_null(col: str) -> Check:
@@ -50,6 +64,8 @@ def not_null(col: str) -> Check:
         f"not_null:{col}",
         f"COUNT(*) FILTER ({col} IS NULL)",
         lambda: F.count_if(F.col(col).isNull()),
+        lambda: F.col(col).isNull(),
+        f"{col} IS NULL",
     )
 
 
@@ -76,6 +92,8 @@ def accepted_values(col: str, values: list[str]) -> Check:
         f"accepted_values:{col}",
         f"COUNT(*) FILTER ({col} IS NOT NULL AND {col} NOT IN ({lits}))",
         lambda: F.count_if(F.col(col).isNotNull() & ~F.col(col).isin(list(values))),
+        lambda: F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+        f"{col} IS NOT NULL AND {col} NOT IN ({lits})",
     )
 
 
@@ -86,6 +104,9 @@ def in_range(col: str, lo: float, hi: float) -> Check:
         lambda: F.count_if(
             F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
         ),
+        lambda: F.col(col).isNotNull()
+        & ~F.col(col).between(F.lit(lo), F.lit(hi)),
+        f"{col} IS NOT NULL AND {col} NOT BETWEEN {lo!r} AND {hi!r}",
     )
 
 
@@ -165,3 +186,68 @@ def relationships_sql(col: str, table: str, ref_col: str, ref_table: str) -> str
           ON t.{col} = r.{ref_col}
         WHERE t.{col} IS NOT NULL
     """
+
+
+def flag_violations(
+    df: DataFrame, checks: list[Check], *, out_col: str = "violated_checks"
+) -> DataFrame:
+    """Quarantine splitter (SURVEY.md §2 C127, the dlt
+    expect-with-quarantine idiom): stamp every row with the (sorted)
+    names of the row-level checks it violates — empty array = clean.
+    ONE scan-stage projection for any number of checks (no per-check
+    pass); callers route ``size(violated_checks) == 0`` to the main sink
+    and the rest to the quarantine sink. Dataset-level checks (unique,
+    relationships) have no per-row form and are rejected up front."""
+    if not checks:
+        raise ValueError("flag_violations: checks required")
+    cells = F.array(
+        *[
+            F.when(c.row_violation, F.lit(c.name))
+            for c in sorted(checks, key=lambda c: c.name)
+        ]
+    )
+    return df.withColumn(
+        out_col, F.filter(cells, lambda x: x.isNotNull())
+    )
+
+
+def quarantine(
+    df: DataFrame,
+    checks: list[Check],
+    main_path: str,
+    quarantine_path: str,
+    *,
+    out_col: str = "violated_checks",
+) -> tuple[int, int]:
+    """Split-write: clean rows (without the flag column) to
+    ``main_path``, violating rows (flag column kept — the triage reason
+    rides with the row) to ``quarantine_path``. The flagged frame is
+    materialized ONCE (localCheckpoint) so the corpus is scanned once,
+    not once per sink. Returns (n_main, n_quarantined)."""
+    flagged = flag_violations(df, checks, out_col=out_col).localCheckpoint(
+        eager=True
+    )
+    good = flagged.where(F.size(out_col) == 0).drop(out_col)
+    bad = flagged.where(F.size(out_col) > 0)
+    good.write.mode("overwrite").parquet(main_path)
+    bad.write.mode("overwrite").parquet(quarantine_path)
+    return good.count(), bad.count()
+
+
+def flag_violations_sql(
+    source: str, checks: list[Check], *, out_col: str = "violated_checks"
+) -> str:
+    """Exact DuckDB twin of :func:`flag_violations`."""
+    for c in checks:
+        if c.row_sql is None:
+            raise ValueError(
+                f"check {c.name!r} is dataset-level (no per-row form)"
+            )
+    cells = ", ".join(
+        f"CASE WHEN {c.row_sql} THEN '{c.name}' END"
+        for c in sorted(checks, key=lambda c: c.name)
+    )
+    return f"""
+SELECT *, list_filter([{cells}], x -> x IS NOT NULL) AS {out_col}
+FROM {source}
+"""

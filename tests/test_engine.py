@@ -700,3 +700,36 @@ def test_concurrent_stage_failure_keeps_prefix_and_cleans_stages(
     eng2 = build(spark, tmp_path, cfg(concurrent_batches=3), name="cfail")
     eng2.run()
     assert eng2.table.watermark == dt.date(2024, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# C126: run-history manifest
+# ---------------------------------------------------------------------------
+
+def test_run_history_manifest_records_each_run(spark, views, tmp_path):
+    hist = str(tmp_path / "hist")
+    eng = InsertByTimeperiod(
+        spark, MODEL, cfg(), str(tmp_path / "t_hist"), run_history_path=hist
+    )
+    r1 = eng.run(RunVars(stop_date="2024-01-08"))
+    r2 = eng.run()   # resume
+    r3 = eng.run()   # no-op rerun still records (0 periods)
+    rows = sorted(
+        map(tuple, spark.read.parquet(hist)
+            .select("mode", "n_periods", "total_rows").collect())
+    )
+    assert len(rows) == 3
+    modes = [m for m, _, _ in rows]
+    assert all(m == "incremental" for m in modes)
+    by_periods = sorted((n, t) for _, n, t in rows)
+    assert by_periods[0] == (0, 0)                    # the no-op rerun
+    assert by_periods[1][0] == len(r1.periods)
+    assert by_periods[1][1] == r1.total_rows > 0
+    assert by_periods[2][0] == len(r2.periods)
+    # full refresh records as one row with the full grid
+    eng.run(RunVars(full_refresh=True))
+    hist_df = spark.read.parquet(hist)
+    assert hist_df.where("mode = 'full_refresh'").count() == 1
+    assert hist_df.count() == 4
+    # run ids are distinct; window bounds are real dates
+    assert hist_df.select("run_id").distinct().count() == 4

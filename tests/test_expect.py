@@ -1,6 +1,8 @@
 """Declarative data-quality expectations (C44): one-pass aggregate
 compilation, per-family semantics, plan pin, SQL-twin parity."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from insert_by_timeperiod_spark.operators import expect as E
@@ -127,3 +129,60 @@ def test_guard_rails_and_quote_escaping(spark, duck):
         E.checks_sql([c], "(SELECT * FROM (VALUES ('O''Brien'), ('x')) t(v))")
     ).fetchall()[0]
     assert want[1] == 1
+
+
+# ---------------------------------------------------------------------------
+# C127: quarantine splitter
+# ---------------------------------------------------------------------------
+
+def test_flag_violations_and_quarantine_split(spark, tmp_path):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import expect as EX
+
+    rows = [
+        (1, "a", 5.0),
+        (2, None, 5.0),        # not_null:s
+        (3, "zz", 5.0),        # accepted_values:s
+        (4, "a", -1.0),        # in_range:v
+        (5, None, 99.0),       # both
+    ]
+    df = spark.createDataFrame(rows, "i int, s string, v double")
+    checks = [
+        EX.not_null("s"),
+        EX.accepted_values("s", ["a", "b"]),
+        EX.in_range("v", 0.0, 10.0),
+    ]
+    got = {
+        r["i"]: list(r["violated_checks"])
+        for r in EX.flag_violations(df, checks).collect()
+    }
+    assert got == {
+        1: [],
+        2: ["not_null:s"],
+        3: ["accepted_values:s"],
+        4: ["in_range:v"],
+        5: ["in_range:v", "not_null:s"],
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, s VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: list(r[3])
+        for r in con.execute(EX.flag_violations_sql("t", checks)).fetchall()
+    }
+    assert want == got
+    main, quar = str(tmp_path / "m"), str(tmp_path / "q")
+    n_good, n_bad = EX.quarantine(df, checks, main, quar)
+    assert (n_good, n_bad) == (1, 4)
+    assert spark.read.parquet(main).columns == ["i", "s", "v"]
+    assert spark.read.parquet(quar).where(
+        "size(violated_checks) = 0"
+    ).count() == 0
+    # dataset-level checks are rejected with a clear error
+    with pytest.raises(ValueError, match="dataset-level"):
+        EX.flag_violations(df, [EX.unique("i")])
+    with pytest.raises(ValueError, match="dataset-level"):
+        EX.flag_violations_sql("t", [EX.unique("i")])
+    with pytest.raises(ValueError):
+        EX.flag_violations(df, [])

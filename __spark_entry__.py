@@ -3790,6 +3790,46 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C128 (annex, EXACT oracle): temperature-based mixture weights
+    (the mT5/XLM-R α-sampling rule) over the documents language
+    distribution — share^α renormalized; the composition into
+    mixture_sample is pinned in pytest."""
+    _prep(spark, sf_dir)
+    w = sampling.temperature_weights(
+        spark.table("documents"), "lang", alpha=0.5
+    )
+    return spark.createDataFrame(
+        sorted(w.items()), "domain string, weight double"
+    )
+
+
+_DEDUP_BEST_SRC_DUCK = (
+    "(SELECT doc_id, text, CAST(doc_id % 7 AS DOUBLE) AS q FROM documents"
+    " WHERE doc_id < 200"
+    " UNION ALL"
+    " SELECT doc_id + 10000, text, CAST((doc_id + 10000) % 7 AS DOUBLE)"
+    " FROM documents WHERE doc_id < 200)"
+)
+
+
+def _dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C129 (annex, EXACT oracle): quality-aware exact dedup — every
+    doc < 200 gets a planted copy at doc_id+10000 with a different
+    quality score; the election must keep the higher-scored copy
+    (id-asc tiebreak), not the min id."""
+    _prep(spark, sf_dir)
+    d = spark.table("documents").where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    dup = d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    src = (
+        d.unionByName(dup)
+        .withColumn("q", (F.col("doc_id") % 7).cast("double"))
+    )
+    return dedup.exact_dedup_by(src, "q")
+
+
 def _run_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C126 (annex, EXACT oracle): the run-history manifest (dbt
     run_results as a queryable table) — two engine runs (initial build +
@@ -4783,6 +4823,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "join_size_estimate": _join_size_est,
         "run_manifest": _run_manifest,
         "quarantine_flags_events": _quarantine_flags,
+        "temperature_weights_lang": _temperature_weights,
+        "dedup_exact_best": _dedup_best,
     }
 
 
@@ -5045,6 +5087,12 @@ def pytest_only_oracles() -> dict[str, str]:
         "schema_drift_report": SCHEMA_DRIFT_DUCK,
         "join_size_estimate": JOIN_SIZE_DUCK,
         "run_manifest": RUN_MANIFEST_DUCK,
+        "temperature_weights_lang": sampling.temperature_weights_sql(
+            "documents", "lang", alpha=0.5
+        ),
+        "dedup_exact_best": dedup.exact_dedup_by_sql(
+            _DEDUP_BEST_SRC_DUCK, "q", select="doc_id, text, q"
+        ),
         "quarantine_flags_events": expect.flag_violations_sql(
             "(SELECT event_id, event_type, value FROM events)",
             [

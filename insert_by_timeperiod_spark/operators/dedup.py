@@ -1339,3 +1339,56 @@ def incremental_near_dedup(
             "append"
         ).parquet(bands_path)
     return new_df.join(drop, id_col, "left_anti")
+
+
+def exact_dedup_by(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware exact dedup (SURVEY.md §2 C129): keep the BEST row
+    of each exact-duplicate group — highest ``score_col``, id-asc
+    tiebreak — instead of :func:`exact_dedup`'s min-id representative.
+    The canonical-election rule a curation pipeline actually wants: when
+    the same text arrives from three sources, keep the copy whose
+    provenance/quality score is highest (its metadata rides along).
+
+    Same scale shape as exact_dedup: the election groups on the 16-byte
+    md5 digest (one max_by aggregate — documents never shuffle), winners
+    re-fetched by id with a semi join."""
+    digest = F.md5(F.col(text_col))
+    keep = (
+        df.select(digest.alias("_h"), F.col(id_col), F.col(score_col))
+        .groupBy("_h")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("i"),
+                ),
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dedup_by_sql(
+    source: str,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    select: str = "*",
+) -> str:
+    """Exact DuckDB twin of :func:`exact_dedup_by` (same digest groups,
+    same score-desc/id-asc election)."""
+    return f"""
+SELECT {select} FROM {source}
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY md5({text_col})
+    ORDER BY {score_col} DESC, {id_col} ASC
+) = 1
+"""

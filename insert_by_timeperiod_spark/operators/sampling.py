@@ -475,3 +475,53 @@ def sample_sql_predicate(
         f"substr(md5(concat('{seed}', chr(31), {key_sql})), 1, 8)"
         f" < '{_hex_threshold(frac)}'"
     )
+
+
+def temperature_weights(
+    df: DataFrame, domain_col: str, *, alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-based mixture weights (SURVEY.md §2 C128; the
+    mT5/XLM-R α-sampling rule): target share of domain d ∝ p_d^α where
+    p_d is its empirical share — α = 1 keeps the natural mixture, α → 0
+    approaches uniform, the standard knob for up-weighting tail
+    domains/languages without hand-tuning each. Feed the result straight
+    into :func:`mixture_sample` (one composed call = the "α-balanced
+    corpus" step of a multilingual pipeline).
+
+    One map-side-combined count per domain (domain-count-sized collect —
+    weights are driver-side config by nature); weights are computed in
+    sorted domain order with one normalization pass, so the dict — and
+    everything sampled with it — is deterministic."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = sorted(
+        (r[0], r[1])
+        for r in df.where(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not counts:
+        raise ValueError("temperature_weights: no non-NULL domains")
+    total = float(sum(n for _, n in counts))
+    raw = [(d, (n / total) ** alpha) for d, n in counts]
+    z = sum(w for _, w in raw)
+    return {d: w / z for d, w in raw}
+
+
+def temperature_weights_sql(
+    source: str, domain_col: str, *, alpha: float = 0.3
+) -> str:
+    """DuckDB twin of :func:`temperature_weights` — (domain, weight)
+    rows via the identical share^α / Σ share^α arithmetic."""
+    a = float(alpha)
+    return f"""
+WITH _c AS (
+    SELECT {domain_col} AS domain, CAST(COUNT(*) AS DOUBLE) AS _n
+    FROM {source} WHERE {domain_col} IS NOT NULL GROUP BY {domain_col}
+), _r AS (
+    SELECT domain, pow(_n / (SELECT SUM(_n) FROM _c), {a}) AS _w FROM _c
+)
+SELECT domain, _w / (SELECT SUM(_w) FROM _r) AS weight
+FROM _r
+"""

@@ -771,3 +771,78 @@ def test_zscore_null_group_rows_survive(spark):
     assert set(want) == set(got)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# C128: temperature-based mixture weights
+# ---------------------------------------------------------------------------
+
+def test_temperature_weights_math_and_composition(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import sampling as SA
+
+    rows = (
+        [("web", i) for i in range(800)]
+        + [("code", i) for i in range(150)]
+        + [("books", i) for i in range(50)]
+        + [(None, 0)]
+    )
+    df = spark.createDataFrame(rows, "domain string, i int")
+    w = SA.temperature_weights(df, "domain", alpha=0.5)
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+    # alpha < 1 compresses the spread: tail share rises, head falls
+    nat = {"web": 0.8, "code": 0.15, "books": 0.05}
+    assert w["books"] > nat["books"] and w["web"] < nat["web"]
+    # alpha = 1 reproduces the natural mixture exactly
+    w1 = SA.temperature_weights(df, "domain", alpha=1.0)
+    for d, p in nat.items():
+        assert abs(w1[d] - p) < 1e-12
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(domain VARCHAR, i INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            SA.temperature_weights_sql("t", "domain", alpha=0.5)
+        ).fetchall()
+    )
+    for d in w:
+        assert abs(w[d] - want[d]) < 1e-12
+    # composes with mixture_sample: achieved shares track the targets
+    out = SA.mixture_sample(df.where("domain is not null"), w, "domain", ["i"])
+    got = {r[0]: r[1] for r in out.groupBy("domain").count().collect()}
+    tot = sum(got.values())
+    for d in w:
+        assert abs(got[d] / tot - w[d]) < 0.1
+    with pytest.raises(ValueError):
+        SA.temperature_weights(df, "domain", alpha=0)
+
+
+# ---------------------------------------------------------------------------
+# C129: quality-aware exact dedup election
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_by_keeps_best_scored_copy(spark):
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    rows = [
+        (1, "same text", 0.2),
+        (2, "same text", 0.9),   # winner: highest score
+        (3, "same text", 0.9),   # tie -> lower id wins over 3? no: id-asc
+        (4, "other", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, q double")
+    kept = sorted(r["doc_id"] for r in D.exact_dedup_by(df, "q").collect())
+    assert kept == [2, 4]  # score 0.9 beats 0.2; tie between 2,3 -> id 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id INT, text VARCHAR, q DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            D.exact_dedup_by_sql("t", "q", select="doc_id")
+        ).fetchall()
+    )
+    assert want == kept

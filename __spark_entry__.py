@@ -348,6 +348,40 @@ def _txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table.read(version=v)
 
 
+def _txn_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C130 (annex, EXACT oracle): row-level DELETE on the commit-log
+    backend — build the daily table, then `delete_where(user_id % 10 = 3)`
+    (the GDPR shape) as ONE atomic commit rewriting only partitions that
+    contain matches. The oracle is the unchunked SQL with the deleted
+    users excluded — a delete that misses a row, drops a bystander, or
+    leaks across partitions mismatches on rows/hash."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_del_"), "t")
+    cfg = IBTPConfig(
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=7,
+    )
+    eng = InsertByTimeperiod(
+        spark, MODEL_DAILY, cfg, tgt, count_rows=False,
+        table_factory=TxnLogTable,
+    )
+    eng.run(RunVars())
+    eng.table.delete_where("user_id % 10 = 3")
+    return eng.table.read()
+
+
+TXN_ROW_DELETE_DUCK = """
+SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+WHERE ts >= DATE '{start}' AND ts < DATE '{stop}'
+  AND user_id % 10 <> 3
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
 def _txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C85 RESTORE (annex, EXACT oracle): build the full daily table on the
     commit-log backend, record the version, then damage it (range delete)
@@ -4700,6 +4734,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "semdedup_exact_vecs": _semdedup,
         "engine_txn_backend": _engine_txn,
         "txnlog_time_travel": _txn_time_travel,
+        "txnlog_row_delete": _txn_row_delete,
         "txnlog_restore": _txn_restore,
         "txnlog_clone": _txn_clone,
         "bpe_tokenize": _bpe_tokenize,
@@ -4854,6 +4889,7 @@ def pytest_only_oracles() -> dict[str, str]:
         "semdedup_exact_vecs": SEMDEDUP_DUCK,
         "engine_txn_backend": ORACLE_DAILY.format(start=START, stop=STOP),
         "txnlog_time_travel": ORACLE_DAILY.format(start=START, stop="2024-01-15"),
+        "txnlog_row_delete": TXN_ROW_DELETE_DUCK.format(start=START, stop=STOP),
         "txnlog_restore": ORACLE_DAILY.format(start=START, stop=STOP),
         "txnlog_clone": ORACLE_DAILY.format(start=START, stop=STOP),
         "chunk_documents": chunk.chunk_sql(size=48, overlap=16),

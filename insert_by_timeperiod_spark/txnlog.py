@@ -387,6 +387,77 @@ class TxnLogTable(ParquetTable):
                 counts[d] = counts.get(d, 0) + 1
         return counts
 
+    def delete_where(self, condition) -> int:
+        """Row-level DELETE (SURVEY.md §2 C130, the Delta ``DELETE FROM``
+        analogue — the GDPR/right-to-be-forgotten primitive the
+        partition-level ``delete_date_range`` cannot express): remove
+        every row matching ``condition`` as ONE atomic snapshot-isolated
+        commit. Only partitions that actually CONTAIN matches are
+        rewritten — the match scan prunes with the predicate, untouched
+        partitions' files survive verbatim (no rewrite, no history
+        churn). Returns the number of rows deleted.
+
+        Time travel keeps the pre-delete versions readable until
+        ``vacuum`` retires them — run ``vacuum`` + ``truncate_history``
+        after a compliance delete to make the removal physical."""
+        cond = condition if not isinstance(condition, str) else F.expr(condition)
+        current = self.read()
+        part = self.partition_col
+        touched = [
+            r[0]
+            for r in current.where(cond).select(part).distinct().collect()
+        ]
+        if not touched:
+            return 0
+        n_deleted = current.where(cond).count()
+        keep = current.where(F.col(part).isin(touched) & ~cond)
+        self.rewrite_partitions(keep, touched)
+        return n_deleted
+
+    def update_where(self, condition, set: dict[str, object]) -> int:
+        """Row-level UPDATE (C130's second half, the Delta ``UPDATE``
+        analogue): apply ``set`` (column -> Column/SQL-expr/literal) to
+        every row matching ``condition`` as ONE atomic commit, rewriting
+        only the partitions that contain matches. The partition column
+        itself cannot be updated (rows would have to MOVE partitions —
+        use delete + append for that). Returns the number of rows
+        updated."""
+        part = self.partition_col
+        if part in set:
+            raise ValueError(
+                f"update_where: cannot update partition column {part!r}"
+            )
+        cond = condition if not isinstance(condition, str) else F.expr(condition)
+
+        def _col(v):
+            from pyspark.sql import Column
+
+            if isinstance(v, Column):
+                return v
+            if isinstance(v, str):
+                return F.expr(v)
+            return F.lit(v)
+
+        current = self.read()
+        touched = [
+            r[0]
+            for r in current.where(cond).select(part).distinct().collect()
+        ]
+        if not touched:
+            return 0
+        n_updated = current.where(F.col(part).isin(touched) & cond).count()
+        slice_df = current.where(F.col(part).isin(touched))
+        updated = slice_df.select(
+            *[
+                F.when(cond, _col(set[c])).otherwise(F.col(c)).alias(c)
+                if c in set
+                else F.col(c)
+                for c in slice_df.columns
+            ]
+        )
+        self.rewrite_partitions(updated, touched)
+        return n_updated
+
     def optimize(self, *, min_files: int = 4) -> int:
         """Small-file compaction (SURVEY.md §2 C122, the Delta OPTIMIZE
         analogue): rewrite every partition currently holding at least

@@ -390,3 +390,60 @@ def test_optimize_compacts_files_preserves_rows_and_history(spark, tmp_path):
     assert t.optimize(min_files=4) == 0
     with pytest.raises(ValueError):
         t.optimize(min_files=1)
+
+
+# ---------------------------------------------------------------------------
+# C130: row-level DELETE / UPDATE
+# ---------------------------------------------------------------------------
+
+def test_delete_where_rewrites_only_touched_partitions(spark, tmp_path):
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    t = TxnLogTable(spark, str(tmp_path / "dml"))
+    d1, d2, d3 = (dt.date(2024, 1, i) for i in (1, 2, 3))
+    rows = [(i, d, i % 5) for d in (d1, d2, d3) for i in range(10)]
+    df = spark.createDataFrame(rows, "v int, event_date date, u int")
+    t.create(df.where("event_date = DATE'2024-01-01'").coalesce(1), "event_date")
+    t.append(df.where("event_date = DATE'2024-01-02'").coalesce(1))
+    t.append(df.where("event_date = DATE'2024-01-03'").coalesce(1))
+    v0 = t.version()
+    snap_before = t.snapshot()
+    d3_files = {f for f, p in snap_before.items() if p == "2024-01-03"}
+    # GDPR-style: delete user 2, but only where present in d1/d2 rows —
+    # plant it so d3 has NO matches
+    n = t.delete_where("u = 2 AND event_date < DATE'2024-01-03'")
+    assert n == 4  # two matching rows per touched day (i=2, i=7 -> u=2)
+    assert t.version() == v0 + 1  # ONE atomic commit
+    assert t.read().where("u = 2 AND event_date < DATE'2024-01-03'").count() == 0
+    assert t.read().count() == 30 - n
+    # untouched partition's files survive verbatim (no churn)
+    snap_after = t.snapshot()
+    assert {f for f, p in snap_after.items() if p == "2024-01-03"} == d3_files
+    # time travel still shows the pre-delete rows
+    assert t.read(version=v0).count() == 30
+    # no matches -> no commit
+    assert t.delete_where("u = 99") == 0
+    assert t.version() == v0 + 1
+
+
+def test_update_where_applies_set_and_guards_partition_col(spark, tmp_path):
+    import pytest as _pytest
+
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    t = TxnLogTable(spark, str(tmp_path / "dml2"))
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    rows = [(i, d, float(i)) for d in (d1, d2) for i in range(6)]
+    df = spark.createDataFrame(rows, "v int, event_date date, score double")
+    t.create(df.coalesce(1), "event_date")
+    v0 = t.version()
+    n = t.update_where("v >= 4", {"score": F.lit(-1.0)})
+    assert n == 4 and t.version() == v0 + 1
+    out = {(r["v"], str(r["event_date"])): r["score"] for r in t.read().collect()}
+    assert out[(5, "2024-01-01")] == -1.0 and out[(3, "2024-01-01")] == 3.0
+    # SQL-expression set values work too
+    n2 = t.update_where("v = 0", {"score": "score + 100"})
+    assert n2 == 2
+    assert t.read().where("v = 0 AND score = 100.0").count() == 2
+    with _pytest.raises(ValueError, match="partition column"):
+        t.update_where("v = 1", {"event_date": dt.date(2024, 2, 1)})

@@ -3824,6 +3824,50 @@ def _value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAMQUAR_DIR = _SKIP_DIR + "_streamquar"
+
+
+def _stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C131 (annex, EXACT oracle): STREAMING quarantine router —
+    events replayed as a 3-file stream, each micro-batch flagged in one
+    scan-stage projection and split-written per batch_id (replay
+    idempotent). The quarantined union must equal the batch splitter's
+    flagged rows over the whole table."""
+    from insert_by_timeperiod_spark.fs import HadoopFS
+    from insert_by_timeperiod_spark.streaming import QuarantineStream
+
+    _prep(spark, sf_dir)
+    HadoopFS(spark, _STREAMQUAR_DIR).delete(_STREAMQUAR_DIR)
+    src = f"{_STREAMQUAR_DIR}/src"
+    ev = spark.table("events").select("event_id", "event_type", "value")
+    ev.repartition(3).write.parquet(src)
+    checks = [
+        expect.in_range("value", 0.0, 50.0),
+        expect.accepted_values(
+            "event_type", ["click", "purchase", "signup", "error"]
+        ),
+    ]
+    qs = QuarantineStream(
+        spark, checks, f"{_STREAMQUAR_DIR}/main", f"{_STREAMQUAR_DIR}/quar"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qs.run_available_now(stream, f"{_STREAMQUAR_DIR}/ckpt")
+    return qs.read_quarantine().select(
+        "event_id", "event_type", "value", "violated_checks"
+    )
+
+
+STREAM_QUARANTINE_DUCK = """
+SELECT * FROM (
+{inner}
+) WHERE len(violated_checks) > 0
+"""
+
+
 def _temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C128 (annex, EXACT oracle): temperature-based mixture weights
     (the mT5/XLM-R α-sampling rule) over the documents language
@@ -4860,6 +4904,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "quarantine_flags_events": _quarantine_flags,
         "temperature_weights_lang": _temperature_weights,
         "dedup_exact_best": _dedup_best,
+        "stream_quarantine_events": _stream_quarantine,
     }
 
 
@@ -5128,6 +5173,18 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "dedup_exact_best": dedup.exact_dedup_by_sql(
             _DEDUP_BEST_SRC_DUCK, "q", select="doc_id, text, q"
+        ),
+        "stream_quarantine_events": STREAM_QUARANTINE_DUCK.format(
+            inner=expect.flag_violations_sql(
+                "(SELECT event_id, event_type, value FROM events)",
+                [
+                    expect.in_range("value", 0.0, 50.0),
+                    expect.accepted_values(
+                        "event_type",
+                        ["click", "purchase", "signup", "error"],
+                    ),
+                ],
+            )
         ),
         "quarantine_flags_events": expect.flag_violations_sql(
             "(SELECT event_id, event_type, value FROM events)",

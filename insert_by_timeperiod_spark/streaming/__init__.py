@@ -18,7 +18,7 @@ provides the genuine Structured Streaming counterparts:
 """
 
 from .dedup import NearDedupStream, dedup_stream, dedup_stream_by_content
-from .expectations import StreamExpectations
+from .expectations import QuarantineStream, StreamExpectations
 from .micro_batch import StreamToPeriodTable
 from .rollups import RollupStream
 from .stateful import debounce_stream, sessionize_stream
@@ -27,6 +27,7 @@ from .windows import event_time_windowed
 __all__ = [
     "NearDedupStream",
     "RollupStream",
+    "QuarantineStream",
     "StreamExpectations",
     "StreamToPeriodTable",
     "dedup_stream",

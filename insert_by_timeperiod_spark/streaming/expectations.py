@@ -96,3 +96,74 @@ class StreamExpectations:
             )
             .orderBy("check")
         )
+
+
+class QuarantineStream:
+    """Streaming quarantine router (SURVEY.md §2 C131) — the streaming
+    twin of ``operators.expect.quarantine``: every micro-batch is flagged
+    by the row-level expectation forms in ONE scan-stage projection, then
+    split-written — clean rows appended to ``main_path``, violating rows
+    (reason array attached) to ``quarantine_path``. Idempotent under
+    foreachBatch replays: both sinks write per-``batch_id`` partition
+    directories with full-overwrite, so a replayed batch replaces its own
+    rows instead of duplicating them (the StreamExpectations unit).
+
+    Scale: the flagged batch is materialized once (localCheckpoint) so
+    each micro-batch scans once, not once per sink; state-free — no
+    watermark, no store, just the split."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checks: list[Check],
+        main_path: str,
+        quarantine_path: str,
+    ):
+        from ..operators.expect import flag_violations  # row-form guard
+
+        if not checks:
+            raise ValueError("no checks given")
+        for c in checks:
+            if c.row_sql is None:
+                raise ValueError(
+                    f"check {c.name!r} is dataset-level (no per-row form)"
+                )
+        self.spark = spark
+        self.checks = list(checks)
+        self.main_path = main_path
+        self.quarantine_path = quarantine_path
+        self._flag = flag_violations
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        flagged = self._flag(batch_df, self.checks).localCheckpoint(
+            eager=True
+        )
+        good = flagged.where(F.size("violated_checks") == 0).drop(
+            "violated_checks"
+        )
+        bad = flagged.where(F.size("violated_checks") > 0)
+        good.write.mode("overwrite").parquet(
+            f"{self.main_path}/batch_id={int(batch_id)}"
+        )
+        bad.write.mode("overwrite").parquet(
+            f"{self.quarantine_path}/batch_id={int(batch_id)}"
+        )
+
+    def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
+        q = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def read_main(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.main_path).parquet(
+            self.main_path
+        )
+
+    def read_quarantine(self) -> DataFrame:
+        return self.spark.read.option(
+            "basePath", self.quarantine_path
+        ).parquet(self.quarantine_path)

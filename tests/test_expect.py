@@ -186,3 +186,50 @@ def test_flag_violations_and_quarantine_split(spark, tmp_path):
         EX.flag_violations_sql("t", [EX.unique("i")])
     with pytest.raises(ValueError):
         EX.flag_violations(df, [])
+
+
+# ---------------------------------------------------------------------------
+# C131: streaming quarantine router
+# ---------------------------------------------------------------------------
+
+def test_quarantine_stream_equals_batch_split(spark, tmp_path):
+    import os
+
+    from insert_by_timeperiod_spark.operators import expect as EX
+    from insert_by_timeperiod_spark.streaming import QuarantineStream
+
+    rows = [(i, float(i % 20), ["a", "b", "zz"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "i int, v double, s string")
+    src = str(tmp_path / "src")
+    df.repartition(2).write.parquet(src)
+    checks = [
+        EX.in_range("v", 0.0, 15.0),
+        EX.accepted_values("s", ["a", "b"]),
+    ]
+    qs = QuarantineStream(
+        spark, checks, str(tmp_path / "main"), str(tmp_path / "quar")
+    )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qs.run_available_now(stream, str(tmp_path / "ckpt"))
+    got_main = sorted(r["i"] for r in qs.read_main().collect())
+    got_quar = {
+        r["i"]: sorted(r["violated_checks"])
+        for r in qs.read_quarantine().collect()
+    }
+    # batch reference over the same data
+    flagged = EX.flag_violations(df, checks)
+    want_main = sorted(
+        r["i"] for r in flagged.where(F.size("violated_checks") == 0).collect()
+    )
+    want_quar = {
+        r["i"]: sorted(r["violated_checks"])
+        for r in flagged.where(F.size("violated_checks") > 0).collect()
+    }
+    assert got_main == want_main and got_quar == want_quar
+    assert len(got_main) + len(got_quar) == 60
+    with pytest.raises(ValueError, match="dataset-level"):
+        QuarantineStream(spark, [EX.unique("i")], "x", "y")

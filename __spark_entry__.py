@@ -35,7 +35,7 @@ import tempfile
 import weakref
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from insert_by_timeperiod_spark import IBTPConfig, InsertByTimeperiod, RunVars
 from insert_by_timeperiod_spark.functions import quality as QL
@@ -4740,6 +4740,154 @@ FROM (
 """
 
 
+# ------------------------------------------------- round-7 batch 22 (C132+)
+
+_EVENT_EDGES_DUCK = "(SELECT event_id % 500 AS src, user_id AS dst FROM events)"
+
+
+def _bfs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C132 (annex, EXACT oracle): multi-source BFS hop distances over
+    the deterministic event-derived link graph (src=event_id % 500,
+    dst=user_id — user ids live inside [0, 500) too, so they are also
+    page nodes with their own out-links and the frontier genuinely chains
+    for several rounds). Hop counts are exact integers; the oracle
+    unrolls the identical first-visit expansion as chained CTEs."""
+    _prep(spark, sf_dir)
+    e = spark.table("events").select(
+        (F.col("event_id") % 500).alias("src"), F.col("user_id").alias("dst")
+    )
+    return graph.bfs_hops(e, [0, 1], max_hops=3)
+
+
+def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C133 (annex, EXACT oracle): TREC-style ranked-retrieval
+    evaluation — NDCG@10 / MRR@10 / precision / recall per query. The run
+    is a deterministic ranking (users by DECIMAL-summed event value per
+    event_type, row_number with user tiebreak); qrels are arithmetic-
+    planted graded judgments varying per query. The oracle replays the
+    identical 6-decimal/DECIMAL DCG grid."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_total")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("_total").desc(), F.col("user_id")
+    )
+    runs = totals.select(
+        F.col("event_type").alias("query_id"),
+        F.col("user_id").alias("doc_id"),
+        F.row_number().over(w).alias("rank"),
+    )
+    qrels = ev.select(
+        F.col("event_type").alias("query_id"),
+        F.col("user_id").alias("doc_id"),
+        F.when(
+            (F.col("user_id") + F.length("event_type")) % 4 == 0, F.lit(2)
+        )
+        .when(F.col("user_id") % 5 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("grade"),
+    ).distinct()
+    return retrieval.eval_ranking(runs, qrels, k=10)
+
+
+_EVAL_RUNS_DUCK = """(
+    SELECT event_type AS query_id, user_id AS doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY _total DESC, user_id
+           ) AS rank
+    FROM (
+        SELECT event_type, user_id,
+               SUM(CAST(value AS DECIMAL(18,6))) AS _total
+        FROM events GROUP BY event_type, user_id
+    )
+)"""
+
+_EVAL_QRELS_DUCK = """(
+    SELECT DISTINCT event_type AS query_id, user_id AS doc_id,
+           CASE WHEN (user_id + length(event_type)) % 4 = 0 THEN 2
+                WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS grade
+    FROM events
+)"""
+
+
+def _script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C134 (annex, EXACT oracle): Unicode script detection — the
+    word-list-free prefilter that routes multilingual text to per-script
+    pipelines before stopword language ID. The fixture corpus is ASCII,
+    so a deterministic multiscript suffix is planted by doc_id arithmetic
+    (the same CASE in both engines); counts are remove-and-diff
+    regexp_replace algebra (Java \\p{IsX} vs RE2 \\p{X} spell the same
+    script property), zero shuffle."""
+    _prep(spark, sf_dir)
+    d = spark.table("documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" привет мир"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" 中文文本"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" γειά σου"))
+        .otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", planted.alias("_t"))
+    return t.select(
+        "doc_id",
+        TX.script_count(F.col("_t"), "latin").alias("latin_n"),
+        TX.script_count(F.col("_t"), "cyrillic").alias("cyrillic_n"),
+        TX.script_count(F.col("_t"), "han").alias("han_n"),
+        TX.script_count(F.col("_t"), "greek").alias("greek_n"),
+        TX.script_id(F.col("_t")).alias("script"),
+    )
+
+
+_SCRIPT_PLANTED_DUCK = (
+    "text || CASE WHEN doc_id % 4 = 0 THEN ' привет мир'"
+    " WHEN doc_id % 4 = 1 THEN ' 中文文本'"
+    " WHEN doc_id % 4 = 2 THEN ' γειά σου' ELSE '' END"
+)
+
+
+def _holt_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C135 (annex, EXACT oracle): per-user Holt level+trend smoothing
+    of event values — the drift-following forecaster EWMA can't be. Same
+    Arrow-lane recurrence posture as C109; the oracle replays the
+    identical IEEE op sequence as a recursive CTE (bit-identical, no
+    rounding grid — the C109 lesson)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts", "event_id", "value")
+    return timeseries.holt(
+        ev, ["user_id"], "ts", "value", alpha=0.3, beta=0.2,
+        tiebreak="event_id",
+    )
+
+
+def _salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (annex, EXACT oracle — the C-inventory's
+    salted-join member finally carries a checked query row): events ⋈
+    customer on the user key with the right side replicated across 8
+    salts, then the revenue rollup per market segment. The oracle is the
+    PLAIN join — salting must be invisible in the result; only the
+    shuffle layout changes."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = joins.salted_join(ev, cust, "user_id", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+    )
+
+
+SALTED_JOIN_DUCK = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(e.value AS DECIMAL(18,6))) AS total
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+"""
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -4905,6 +5053,12 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "temperature_weights_lang": _temperature_weights,
         "dedup_exact_best": _dedup_best,
         "stream_quarantine_events": _stream_quarantine,
+        # round-7 batch-22 components (C132-C135 + the salted-join row)
+        "bfs_hops_events": _bfs_events,
+        "retrieval_eval_events": _retrieval_eval,
+        "script_id_docs": _script_docs,
+        "holt_user_value": _holt_user_value,
+        "salted_join_segments": _salted_join_agg,
     }
 
 
@@ -5222,6 +5376,29 @@ def pytest_only_oracles() -> dict[str, str]:
             ["user_id"],
             "value",
         ),
+        # round-7 batch-22 components (C132-C135 + the salted-join row)
+        "bfs_hops_events": graph.bfs_sql(
+            _EVENT_EDGES_DUCK, [0, 1], max_hops=3
+        ),
+        "retrieval_eval_events": retrieval.eval_sql(
+            _EVAL_RUNS_DUCK, _EVAL_QRELS_DUCK, k=10
+        ),
+        "script_id_docs": f"""
+            SELECT doc_id,
+                   {TX.script_count_sql(_SCRIPT_PLANTED_DUCK, 'latin')} AS latin_n,
+                   {TX.script_count_sql(_SCRIPT_PLANTED_DUCK, 'cyrillic')} AS cyrillic_n,
+                   {TX.script_count_sql(_SCRIPT_PLANTED_DUCK, 'han')} AS han_n,
+                   {TX.script_count_sql(_SCRIPT_PLANTED_DUCK, 'greek')} AS greek_n,
+                   {TX.script_id_sql(_SCRIPT_PLANTED_DUCK)} AS script
+            FROM documents
+        """,
+        "holt_user_value": timeseries.holt_sql(
+            "(SELECT user_id, ts, event_id, value FROM events)",
+            ["user_id"], "ts", "value", alpha=0.3, beta=0.2,
+            tiebreak="event_id",
+            select="user_id, ts, event_id, value, level, trend",
+        ),
+        "salted_join_segments": SALTED_JOIN_DUCK,
     }
 
 

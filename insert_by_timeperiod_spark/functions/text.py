@@ -332,3 +332,80 @@ def normalize_text_batch(form: str = "NFKC", *, lowercase: bool = False):
         return texts.map(one)
 
     return norm
+
+
+# ------------------------------------------------------------------ scripts
+# Unicode script detection (SURVEY.md §2 C134). Script names map to (Java
+# regex class, RE2 class) — Spark's JVM regex spells scripts \p{IsLatin},
+# DuckDB's RE2 spells them \p{Latin}; both match the same Unicode script
+# property, so the remove-and-diff count is engine-identical. Counts are
+# per CODEPOINT over BMP scripts (both engines' length() agree there;
+# astral scripts would need codepoint-aware counting and are out of scope).
+SCRIPTS: dict[str, tuple[str, str]] = {
+    "latin": (r"\p{IsLatin}", r"\p{Latin}"),
+    "cyrillic": (r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    "han": (r"\p{IsHan}", r"\p{Han}"),
+    "arabic": (r"\p{IsArabic}", r"\p{Arabic}"),
+    "greek": (r"\p{IsGreek}", r"\p{Greek}"),
+    "hangul": (r"\p{IsHangul}", r"\p{Hangul}"),
+    "devanagari": (r"\p{IsDevanagari}", r"\p{Devanagari}"),
+}
+
+
+def script_count(col: Column, script: str) -> Column:
+    """Codepoints of ``script`` in the text, via the remove-and-diff
+    identity (length − length after deleting the class) — one codegen'd
+    regexp_replace, no UDF, no per-char explode."""
+    java_cls, _ = SCRIPTS[script]
+    return F.length(col) - F.length(F.regexp_replace(col, f"[{java_cls}]", ""))
+
+
+def script_count_sql(expr: str, script: str) -> str:
+    """DuckDB twin of :func:`script_count` (RE2 spelling)."""
+    _, re2_cls = SCRIPTS[script]
+    return (
+        f"length({expr}) - length(regexp_replace({expr},"
+        f" '[{re2_cls}]', '', 'g'))"
+    )
+
+
+def script_id(col: Column) -> Column:
+    """Dominant Unicode script of the text: argmax over per-script
+    codepoint counts, 'und' when no script character appears (digits,
+    punctuation and whitespace belong to no script). Deterministic
+    tie-break by SCRIPTS key order (first wins) — the same array_max over
+    (score, -index) structs as :func:`lang_id`, for the same
+    expression-tree-stays-linear reason. Script ID is the cheap,
+    word-list-free prefilter a multilingual corpus runs BEFORE stopword
+    language ID: lang_id's marker lists only separate languages within the
+    Latin script; script_id routes Cyrillic/Han/Arabic/… text to the right
+    per-script pipeline in one scan-stage expression."""
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    script_count(col, s).alias("s"), F.lit(-i).alias("ni")
+                )
+                for i, s in enumerate(SCRIPTS)
+            ]
+        )
+    )
+    names = F.array(*[F.lit(s) for s in SCRIPTS])
+    return F.when(
+        col.isNull() | (best["s"] <= 0), F.lit("und")
+    ).otherwise(F.element_at(names, (-best["ni"]).cast("int") + 1))
+
+
+def script_id_sql(expr: str) -> str:
+    """DuckDB twin of :func:`script_id` — the identical argmax replayed as
+    list_max over (count, -index) structs with the same first-wins
+    tie-break and 'und' floor."""
+    pairs = ", ".join(
+        "{'s': %s, 'ni': %d}" % (script_count_sql(expr, s), -i)
+        for i, s in enumerate(SCRIPTS)
+    )
+    names = ", ".join(f"'{s}'" for s in SCRIPTS)
+    return f"""
+CASE WHEN {expr} IS NULL OR list_max([{pairs}]).s <= 0 THEN 'und'
+     ELSE [{names}][CAST(-list_max([{pairs}]).ni AS INT) + 1] END
+""".strip()

@@ -569,3 +569,114 @@ WHERE u._s IN (SELECT node FROM _a{max_iter})
   AND u._d IN (SELECT node FROM _a{max_iter})
 GROUP BY u._s HAVING COUNT(*) >= {int(k)}"""
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: list,
+    *,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single/multi-source BFS hop distances (SURVEY.md §2 C132): the
+    minimum number of directed edges from any node in ``sources`` to each
+    reachable node, capped at ``max_hops`` — link-distance-from-seed is the
+    standard crawl-frontier / seed-proximity quality signal (how far a page
+    sits from a trusted seed set decides its crawl priority).
+
+    Scale shape (per round, ``max_hops`` total): frontier ⋈ edges on the
+    source key — the frontier is at most nodes-sized while edges carry the
+    corpus, so the exchange is keyed on ``_s`` both sides — then ONE
+    left-anti probe against the (nodes-sized) settled-distance table to
+    keep only first visits. Each round's tables are ``localCheckpoint``-ed
+    (iterative lineage otherwise re-executes all prior rounds — the
+    engine's connected-components lesson, plans/audit.py). No driver-side
+    adjacency, no collect: the frontier never leaves the cluster.
+
+    Early exit on an empty frontier is provably aligned with the
+    fixed-unroll :func:`bfs_sql` twin: an empty frontier contributes
+    nothing to any later round in either formulation. Seed values absent
+    from the node universe (src ∪ dst of non-NULL edges) are dropped on
+    both engines — a seed the graph never mentions has no distances to
+    anchor. Determinism: hop counts are exact integers; no float anywhere.
+    """
+    if not sources:
+        raise ValueError("bfs_hops: sources must be non-empty")
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+    )
+    nodes = e.select(F.col("_s").alias("node")).union(
+        e.select(F.col("_d").alias("node"))
+    ).distinct()
+    lits = [F.lit(s) for s in sources]
+    dist = (
+        nodes.where(F.col("node").isin(*lits))
+        .withColumn("hop", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for r in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(r).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if not new.take(1):  # empty frontier: later rounds add nothing
+            break
+        dist = dist.union(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist
+
+
+def bfs_sql(
+    edges_source: str,
+    sources: list,
+    *,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """The exact DuckDB twin of :func:`bfs_hops`: the identical
+    first-visit frontier expansion unrolled as ``max_hops`` chained CTEs
+    (no-op rounds past exhaustion keep the twin aligned with the engine's
+    early exit). ``sources`` values are embedded as literals — callers pass
+    ints/strings from their own code, never untrusted text."""
+    seed_list = ", ".join(repr(s) if isinstance(s, str) else str(s) for s in sources)
+    ctes = [
+        f"""_e AS (
+    SELECT DISTINCT {src} AS _s, {dst} AS _d FROM {edges_source}
+    WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+), _nodes AS (
+    SELECT _s AS node FROM _e UNION SELECT _d FROM _e
+), _d0 AS (
+    SELECT node, 0 AS hop FROM _nodes WHERE node IN ({seed_list})
+)"""
+    ]
+    for i in range(1, max_hops + 1):
+        prev = f"_d{i - 1}"
+        ctes.append(
+            f"""_d{i} AS (
+    SELECT node, hop FROM {prev}
+    UNION ALL
+    SELECT e._d AS node, {i} AS hop
+    FROM _e e
+    WHERE e._s IN (SELECT node FROM {prev} WHERE hop = {i - 1})
+      AND e._d NOT IN (SELECT node FROM {prev})
+    GROUP BY e._d
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(hop AS INT) AS hop FROM _d{max_hops}"
+    )

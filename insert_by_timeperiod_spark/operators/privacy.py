@@ -1,0 +1,140 @@
+"""Seeded differential-privacy-style noisy aggregate release
+(SURVEY.md §2 C136): per-group counts with Laplace(sensitivity/ε) noise
+plus k-threshold suppression — the standard shape for publishing usage
+statistics derived from user data (the k-anonymity audit C107 measures
+re-identification risk; this is the release mechanism that bounds it).
+
+Determinism contract — and its honest caveat: production DP needs
+cryptographically FRESH randomness per release; a seeded, replayable
+draw lets an adversary who learns the seed subtract the noise. The
+engine's posture is the reproducible-pipeline one: the noise is a pure
+function of (seed, group key), so the release is idempotent across
+retries, resumed jobs, and engine swaps — exactly like every other
+md5-draw operator here — and the seed is the secret. Swap
+``_uniform``'s draw for a real RNG at the release boundary when the
+threat model demands it (one-line change, documented swap point).
+
+Mechanism: u = (first-32-bits-of-md5(seed ⟂ key) + 0.5) / 2^32 ∈ (0,1),
+noise = −scale · sign(u − ½) · ln(1 − 2·|u − ½|) — the exact inverse-CDF
+Laplace transform. The noise rounds to the engine's 6-decimal grid
+BEFORE the add, so :func:`noisy_counts_sql` is an exact DuckDB twin
+(both engines' libm ln agree far past 6 decimals on (0,1) inputs).
+
+Scale shape: ONE map-side-combined count aggregate, then scan-stage
+noise algebra over the (group-sized, not corpus-sized) result. The
+suppression threshold applies to the NOISY count (the DP-correct order —
+thresholding the true count would leak it).
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: same preimage separator as operators/sampling.py — a control char no
+#: real key contains, so ('ab','c') never collides with ('a','bc')
+_SEP = "\x1f"
+
+
+def _uniform(seed: str, *key_cols: Column) -> Column:
+    """Deterministic u ∈ (0,1): (first 32 md5 bits + 0.5) / 2^32. The +0.5
+    keeps u strictly inside the open interval — ln(0) never fires."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(_SEP, F.lit(seed), *key_cols).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (v + 0.5) / F.lit(4294967296.0)
+
+
+def laplace_noise(seed: str, *key_cols: Column, scale: float) -> Column:
+    """Laplace(scale) noise by inverse CDF, rounded to the 6-decimal
+    cross-engine grid."""
+    u = _uniform(seed, *key_cols)
+    centered = u - 0.5
+    raw = (
+        -F.lit(float(scale))
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return F.round(raw, 6)
+
+
+def noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float,
+    seed: str,
+    sensitivity: float = 1.0,
+    min_noisy_count: float | None = None,
+) -> DataFrame:
+    """Release per-group counts with Laplace(sensitivity/ε) noise; groups
+    whose NOISY count falls below ``min_noisy_count`` are suppressed
+    (thresholding the noisy value, never the true one). Group keys must be
+    non-NULL (concat_ws drops NULL parts — the sampling module's
+    cross-engine parity rule)."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    if sensitivity <= 0:
+        raise ValueError(f"sensitivity must be positive, got {sensitivity}")
+    if not group_cols:
+        raise ValueError("noisy_counts: group_cols required")
+    scale = float(sensitivity) / float(epsilon)
+    keys = [F.col(c).cast("string") for c in group_cols]
+    out = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            (
+                F.col("_n").cast("double")
+                + laplace_noise(seed, *keys, scale=scale)
+            ).alias("noisy_count"),
+        )
+    )
+    if min_noisy_count is not None:
+        out = out.where(F.col("noisy_count") >= float(min_noisy_count))
+    return out
+
+
+def noisy_counts_sql(
+    source: str,
+    group_cols: list[str],
+    *,
+    epsilon: float,
+    seed: str,
+    sensitivity: float = 1.0,
+    min_noisy_count: float | None = None,
+) -> str:
+    """The exact DuckDB twin of :func:`noisy_counts` — identical md5
+    preimage, identical inverse-CDF shapes, identical 6-decimal noise
+    grid and noisy-threshold rule."""
+    scale = float(sensitivity) / float(epsilon)
+    k = ", ".join(group_cols)
+    key_sql = ", ".join(f"CAST({c} AS VARCHAR)" for c in group_cols)
+    u = (
+        "((CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+        f"'{seed}', {key_sql})), 1, 8)) AS BIGINT) + 0.5)"
+        " / 4294967296.0)"
+    )
+    noise = (
+        f"round(-({scale!r}) * sign({u} - 0.5)"
+        f" * ln(1.0 - 2.0 * abs({u} - 0.5)), 6)"
+    )
+    where = (
+        f"WHERE noisy_count >= {float(min_noisy_count)!r}"
+        if min_noisy_count is not None
+        else ""
+    )
+    return f"""
+SELECT * FROM (
+    SELECT {k}, CAST(_n AS DOUBLE) + {noise} AS noisy_count
+    FROM (SELECT {k}, COUNT(*) AS _n FROM {source} GROUP BY {k})
+) {where}
+"""

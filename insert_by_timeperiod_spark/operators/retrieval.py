@@ -221,3 +221,148 @@ SELECT rank,
        CAST(n_matched AS BIGINT) AS n_matched
 FROM ({bm25})
 """
+
+
+def eval_ranking(
+    runs: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Ranked-retrieval evaluation (SURVEY.md §2 C133): per-query NDCG@k,
+    MRR@k, precision@k and recall@k of a run (``query_col, doc_col,
+    rank_col`` — rank 1 is best) against graded relevance judgments
+    (``query_col, doc_col, grade_col`` — grade > 0 means relevant). The
+    TREC-eval core every retrieval stack (and every embedding-model data
+    pipeline that mines eval sets) reports.
+
+    Semantics (standard trec_eval definitions):
+    - DCG@k  = Σ_{rank ≤ k} grade / log2(rank + 1)
+    - IDCG@k = the same sum over the query's top-k grades sorted
+      descending; NDCG = DCG / IDCG, NULL when the query has no positive
+      judgment (NDCG is undefined there, not zero).
+    - MRR@k  = 1 / (first rank ≤ k holding grade > 0), else 0.
+    - precision@k divides by k (unretrieved tail counts against you),
+      recall@k by the query's total positive-judgment count.
+    Queries appear in the output iff they appear in the run (unjudged
+    queries carry NULL ndcg / 0 counts); judged-but-never-run queries are
+    a qrels-coverage question, not a run property, and are excluded —
+    both engines implement the identical rule.
+
+    Scale shape: the run is pre-filtered to rank ≤ k (bounded per query),
+    then ONE equi-join to qrels on (query, doc) and one aggregate by
+    query; the IDCG side is a window row_number over each query's
+    judgments — qrels-sized, never corpus-sized. No collect, no cartesian.
+
+    Float contract: contributions are single IEEE divisions of small
+    integers (grade / log2(rank+1)), summed per query after rounding to 6
+    decimals on a DECIMAL(38,6) grid, then one final division — so
+    :func:`eval_sql` is an EXACT DuckDB twin.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q, d, r, g = query_col, doc_col, rank_col, grade_col
+    topk = runs.where(F.col(r) <= k).select(q, d, r)
+    rel = qrels.where(F.col(g) > 0).select(q, d, g)
+    # per-query ideal DCG@k and positive count, from judgments alone
+    w = Window.partitionBy(q).orderBy(F.col(g).desc(), F.col(d))
+    ideal = (
+        rel.withColumn("_i", F.row_number().over(w))
+        .where(F.col("_i") <= k)
+        .groupBy(q)
+        .agg(
+            F.sum(
+                F.round(F.col(g) / F.log2(F.col("_i") + 1), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("_idcg"),
+        )
+    )
+    npos = rel.groupBy(q).agg(F.count(F.lit(1)).alias("_npos"))
+    hits = topk.join(rel, [q, d], "left")
+    per_q = hits.groupBy(q).agg(
+        F.sum(
+            F.when(
+                F.col(g).isNotNull(),
+                F.round(F.col(g) / F.log2(F.col(r) + 1), 6).cast("decimal(38,6)"),
+            )
+        ).alias("_dcg"),
+        F.min(F.when(F.col(g).isNotNull(), F.col(r))).alias("_first"),
+        F.count(F.when(F.col(g).isNotNull(), F.lit(1))).alias("_nhit"),
+    )
+    out = (
+        per_q.join(F.broadcast(ideal), q, "left")
+        .join(F.broadcast(npos), q, "left")
+        .select(
+            F.col(q),
+            (F.col("_dcg").cast("double") / F.col("_idcg").cast("double")).alias(
+                "ndcg"
+            ),
+            F.coalesce(
+                1.0 / F.col("_first").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+            (F.col("_nhit").cast("double") / F.lit(float(k))).alias("precision"),
+            (
+                F.col("_nhit").cast("double") / F.col("_npos").cast("double")
+            ).alias("recall"),
+        )
+    )
+    return out
+
+
+def eval_sql(
+    runs_source: str,
+    qrels_source: str,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> str:
+    """The exact DuckDB twin of :func:`eval_ranking` — identical
+    6-decimal/DECIMAL contribution grid, identical NULL-NDCG and
+    excluded-query rules."""
+    q, d, r, g = query_col, doc_col, rank_col, grade_col
+    return f"""
+WITH _topk AS (
+    SELECT {q}, {d}, {r} FROM {runs_source} WHERE {r} <= {k}
+), _rel AS (
+    SELECT {q}, {d}, {g} FROM {qrels_source} WHERE {g} > 0
+), _ideal AS (
+    SELECT {q},
+           SUM(CAST(round({g} / log2(_i + 1), 6) AS DECIMAL(38,6))) AS _idcg
+    FROM (
+        SELECT {q}, {g},
+               ROW_NUMBER() OVER (
+                   PARTITION BY {q} ORDER BY {g} DESC, {d}
+               ) AS _i
+        FROM _rel
+    ) WHERE _i <= {k}
+    GROUP BY {q}
+), _npos AS (
+    SELECT {q}, COUNT(*) AS _npos FROM _rel GROUP BY {q}
+), _hits AS (
+    SELECT t.{q}, t.{r}, rl.{g}
+    FROM _topk t LEFT JOIN _rel rl USING ({q}, {d})
+), _per_q AS (
+    SELECT {q},
+           SUM(CASE WHEN {g} IS NOT NULL THEN
+               CAST(round({g} / log2({r} + 1), 6) AS DECIMAL(38,6)) END) AS _dcg,
+           MIN(CASE WHEN {g} IS NOT NULL THEN {r} END) AS _first,
+           COUNT(CASE WHEN {g} IS NOT NULL THEN 1 END) AS _nhit
+    FROM _hits GROUP BY {q}
+)
+SELECT p.{q},
+       CAST(p._dcg AS DOUBLE) / CAST(i._idcg AS DOUBLE) AS ndcg,
+       COALESCE(1.0 / CAST(p._first AS DOUBLE), 0.0) AS mrr,
+       CAST(p._nhit AS DOUBLE) / {float(k)!r} AS precision,
+       CAST(p._nhit AS DOUBLE) / CAST(n._npos AS DOUBLE) AS recall
+FROM _per_q p
+LEFT JOIN _ideal i USING ({q})
+LEFT JOIN _npos n USING ({q})
+"""

@@ -403,3 +403,117 @@ SELECT {sel},
        END AS is_anomaly
 FROM _b
 """
+
+
+def holt(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    beta: float,
+    tiebreak: str | None = None,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (SURVEY.md §2 C135):
+    ``l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})``,
+    ``b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}`` in (ts, tiebreak) order,
+    seeded ``l_1 = x_1, b_1 = 0`` — the one-step-ahead level+trend
+    forecast (``l_i + b_i``) that EWMA (C109) can't express: a series
+    drifting upward leaves EWMA permanently lagging, while the trend term
+    closes the gap. The standard capacity-planning smoother over A17's
+    per-period row counts.
+
+    Like EWMA this is a SEQUENTIAL recurrence (each state needs the
+    previous), so it runs in the Arrow lane: ONE shuffle groups each key,
+    one ordered walk per key. Cross-engine exactness: the recurrence is a
+    FIXED sequence of scalar IEEE-754 ops — the twin (:func:`holt_sql`)
+    writes the identical expression shapes, so Python float and DuckDB
+    DOUBLE produce bit-identical trajectories (the C109 lesson: no
+    per-step rounding, which would diverge on tie rules)."""
+    if not key_cols:
+        raise ValueError("holt: key_cols required")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    src = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField(level_col, T.DoubleType()),
+            T.StructField(trend_col, T.DoubleType()),
+        ]
+    )
+    one_a, one_b = 1.0 - alpha, 1.0 - beta
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        levels, trends = [], []
+        l = b = None
+        for x in pdf[value_col].astype(float):
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_prev = l
+                l = alpha * x + one_a * (l_prev + b)
+                b = beta * (l - l_prev) + one_b * b
+            levels.append(l)
+            trends.append(b)
+        pdf = pdf.copy()
+        pdf[level_col] = levels
+        pdf[trend_col] = trends
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(walk, schema=schema)
+
+
+def holt_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    beta: float,
+    tiebreak: str | None = None,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`holt` — the recurrence as a recursive
+    CTE, expression shapes written to match the Python walk op-for-op."""
+    a, b_ = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b_
+    k = ", ".join(key_cols)
+    tb = f", {tiebreak}" if tiebreak else ""
+    kj = " AND ".join(f"r.{c} = w.{c}" for c in key_cols)
+    cols = select or "* EXCLUDE (_rn)"
+    return f"""
+WITH RECURSIVE _r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {k} ORDER BY {ts_col}{tb}
+    ) AS _rn
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+), _walk AS (
+    SELECT *, CAST({value_col} AS DOUBLE) AS {level_col},
+           CAST(0 AS DOUBLE) AS {trend_col}
+    FROM _r WHERE _rn = 1
+    UNION ALL
+    SELECT r.*,
+           {a!r} * CAST(r.{value_col} AS DOUBLE)
+               + {one_a!r} * (w.{level_col} + w.{trend_col}),
+           {b_!r} * (({a!r} * CAST(r.{value_col} AS DOUBLE)
+                      + {one_a!r} * (w.{level_col} + w.{trend_col}))
+                     - w.{level_col})
+               + {one_b!r} * w.{trend_col}
+    FROM _walk w JOIN _r r ON {kj} AND r._rn = w._rn + 1
+)
+SELECT {cols} FROM _walk
+"""

@@ -1,0 +1,253 @@
+"""Pins for the round-7 batch-22 components (SURVEY.md §2 C132-C135):
+BFS hop distances, ranked-retrieval evaluation, Unicode script
+detection, and Holt level+trend smoothing. The exact cross-engine twins
+run as annex rows in tests/test_queries_oracle.py; these pin
+hand-computable semantics and edge cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.functions import text as TX
+from insert_by_timeperiod_spark.operators import graph, retrieval
+from insert_by_timeperiod_spark.operators import timeseries as TS
+
+
+# ------------------------------------------------------------ C132 BFS hops
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+def test_bfs_hand_graph_min_hops(spark):
+    # 0->1->2->3 chain plus a shortcut 0->2: node 2 is hop 1, not 2
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2)])
+    got = {r["node"]: r["hop"] for r in graph.bfs_hops(e, [0], max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (9, 2)])
+    got = {r["node"]: r["hop"] for r in graph.bfs_hops(e, [0, 9], max_hops=4).collect()}
+    assert got == {0: 0, 9: 0, 1: 1, 2: 1}
+
+
+def test_bfs_unreachable_and_cap(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (7, 8)])
+    got = {r["node"]: r["hop"] for r in graph.bfs_hops(e, [0], max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # 3 beyond cap, 7/8 unreachable
+
+
+def test_bfs_seed_absent_from_graph_dropped_and_early_exit(spark):
+    e = _edges(spark, [(0, 1)])
+    got = {r["node"]: r["hop"] for r in graph.bfs_hops(e, [0, 42], max_hops=9).collect()}
+    assert got == {0: 0, 1: 1}
+    with pytest.raises(ValueError):
+        graph.bfs_hops(e, [])
+
+
+def test_bfs_matches_unrolled_twin_on_cyclic_graph(spark):
+    import duckdb
+
+    pairs = [(i % 11, (i * 7 + 3) % 11) for i in range(40)] + [(3, 3), (10, 0)]
+    e = _edges(spark, pairs)
+    got = sorted(
+        (r["node"], r["hop"]) for r in graph.bfs_hops(e, [0], max_hops=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src INT, dst INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = sorted(con.execute(graph.bfs_sql("e", [0], max_hops=5)).fetchall())
+    assert got == want
+
+
+# --------------------------------------------------- C133 retrieval metrics
+
+
+def _eval(spark, runs, qrels, k):
+    r = spark.createDataFrame(runs, "query_id string, doc_id int, rank int")
+    q = spark.createDataFrame(qrels, "query_id string, doc_id int, grade int")
+    return {
+        row["query_id"]: row
+        for row in retrieval.eval_ranking(r, q, k=k).collect()
+    }
+
+
+def test_eval_hand_computed_ndcg_mrr(spark):
+    # q1: docs 1,2,3 ranked; 2 (grade 2) and 3 (grade 1) relevant.
+    got = _eval(
+        spark,
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3)],
+        [("q1", 2, 2), ("q1", 3, 1), ("q1", 9, 0)],
+        k=3,
+    )["q1"]
+    dcg = round(2 / math.log2(3), 6) + round(1 / math.log2(4), 6)
+    idcg = round(2 / math.log2(2), 6) + round(1 / math.log2(3), 6)
+    assert got["ndcg"] == pytest.approx(dcg / idcg, abs=1e-9)
+    assert got["mrr"] == pytest.approx(0.5)
+    assert got["precision"] == pytest.approx(2 / 3)
+    assert got["recall"] == pytest.approx(1.0)
+
+
+def test_eval_perfect_ranking_is_ndcg_one(spark):
+    got = _eval(
+        spark,
+        [("q", 1, 1), ("q", 2, 2)],
+        [("q", 1, 2), ("q", 2, 1)],
+        k=5,
+    )["q"]
+    assert got["ndcg"] == pytest.approx(1.0)
+    assert got["mrr"] == pytest.approx(1.0)
+
+
+def test_eval_no_positive_judgments_gives_null_ndcg_zero_mrr(spark):
+    got = _eval(spark, [("q", 1, 1)], [("q", 2, 0)], k=3)["q"]
+    assert got["ndcg"] is None
+    assert got["mrr"] == 0.0
+    assert got["precision"] == 0.0
+
+
+def test_eval_rank_beyond_k_ignored_and_recall_denominator(spark):
+    # relevant doc at rank 4 with k=3: not counted, recall 0 of 1
+    got = _eval(spark, [("q", 1, 1), ("q", 2, 4)], [("q", 2, 1)], k=3)["q"]
+    assert got["recall"] == 0.0
+    assert got["mrr"] == 0.0
+    with pytest.raises(ValueError):
+        retrieval.eval_ranking(
+            spark.range(1).selectExpr("'q' query_id", "1 doc_id", "1 rank"),
+            spark.range(1).selectExpr("'q' query_id", "1 doc_id", "1 grade"),
+            k=0,
+        )
+
+
+# ------------------------------------------------------- C134 script detect
+
+
+def _script(spark, s):
+    return (
+        spark.range(1)
+        .select(TX.script_id(F.lit(s).cast("string")).alias("x"))
+        .collect()[0]["x"]
+    )
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("hello world", "latin"),
+        ("привет мир", "cyrillic"),
+        ("中文文本处理", "han"),
+        ("مرحبا بالعالم", "arabic"),
+        ("γειά σου κόσμε", "greek"),
+        ("안녕하세요", "hangul"),
+        ("नमस्ते दुनिया", "devanagari"),
+        ("1234 !?.,", "und"),  # digits/punct belong to no script
+        ("", "und"),
+        ("abc привет мир", "cyrillic"),  # majority wins
+    ],
+)
+def test_script_id_cases(spark, text, expected):
+    assert _script(spark, text) == expected
+
+
+def test_script_id_null_und_and_tie_first_wins(spark):
+    got = (
+        spark.createDataFrame([(None,)], "t string")
+        .select(TX.script_id(F.col("t")).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert got == "und"
+    # one Latin + one Cyrillic char: tie broken by SCRIPTS order (latin first)
+    assert _script(spark, "aя") == "latin"
+
+
+def test_script_count_mixed_string(spark):
+    row = (
+        spark.range(1)
+        .select(
+            TX.script_count(F.lit("aя中b!"), "latin").alias("lat"),
+            TX.script_count(F.lit("aя中b!"), "cyrillic").alias("cyr"),
+            TX.script_count(F.lit("aя中b!"), "han").alias("han"),
+        )
+        .collect()[0]
+    )
+    assert (row["lat"], row["cyr"], row["han"]) == (2, 1, 1)
+
+
+# ------------------------------------------------------------- C135 Holt
+
+
+def test_holt_recurrence_hand_checked_and_twin(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    t0 = DT(2024, 1, 1)
+    # linear ramp: the trend term must let the forecast catch the drift
+    rows = [(1, t0 + TD(hours=i), i, float(10 + 5 * i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+    out = {
+        r["eid"]: (r["level"], r["trend"])
+        for r in TS.holt(
+            df, ["k"], "ts", "v", alpha=0.5, beta=0.5, tiebreak="eid"
+        ).collect()
+    }
+    # replay the recurrence in plain python
+    l = b = None
+    for i in range(6):
+        x = 10.0 + 5 * i
+        if l is None:
+            l, b = x, 0.0
+        else:
+            lp = l
+            l = 0.5 * x + 0.5 * (lp + b)
+            b = 0.5 * (l - lp) + 0.5 * b
+        assert out[i] == (l, b)
+    # trend converges toward the true slope (5) on a long ramp
+    rows2 = [(1, t0 + TD(hours=i), i, float(5 * i)) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "k int, ts timestamp, eid int, v double")
+    last = (
+        TS.holt(df2, ["k"], "ts", "v", alpha=0.5, beta=0.3, tiebreak="eid")
+        .orderBy(F.desc("eid"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert abs(last["trend"] - 5.0) < 0.2
+    # bit-exact vs the recursive-CTE twin on an irregular fixture
+    rows3 = [
+        (u, t0 + TD(minutes=(i * 13) % 300), u * 100 + i,
+         float((i * 7 + u * 3) % 23) / 7)
+        for u in range(3)
+        for i in range(12)
+    ]
+    df3 = spark.createDataFrame(rows3, "k int, ts timestamp, eid int, v double")
+    got3 = sorted(
+        (r["k"], r["eid"], r["level"], r["trend"])
+        for r in TS.holt(
+            df3, ["k"], "ts", "v", alpha=0.3, beta=0.2, tiebreak="eid"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, ts TIMESTAMP, eid INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows3)
+    want3 = sorted(
+        (r[0], r[2], r[4], r[5])
+        for r in con.execute(
+            TS.holt_sql(
+                "t", ["k"], "ts", "v", alpha=0.3, beta=0.2, tiebreak="eid",
+                select="k, ts, eid, v, level, trend",
+            )
+        ).fetchall()
+    )
+    assert got3 == want3
+
+
+def test_holt_validates_args(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with pytest.raises(ValueError):
+        TS.holt(df, [], "k", "v", alpha=0.5, beta=0.5)
+    with pytest.raises(ValueError):
+        TS.holt(df, ["k"], "k", "v", alpha=0.0, beta=0.5)
+    with pytest.raises(ValueError):
+        TS.holt(df, ["k"], "k", "v", alpha=0.5, beta=1.5)

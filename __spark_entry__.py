@@ -66,6 +66,7 @@ from insert_by_timeperiod_spark.operators import (
     lmscore,
     multimodal,
     packing,
+    privacy,
     provenance,
     rollup,
     sampling,
@@ -4888,6 +4889,64 @@ GROUP BY c.c_mktsegment
 """
 
 
+def _noisy_counts_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C136 (annex, EXACT oracle): seeded Laplace-noised per-type event
+    counts with noisy-threshold suppression — the DP-style release
+    mechanism paired with C107's k-anonymity audit. Noise is a pure
+    function of (seed, group key) on the md5-draw primitive, rounded to
+    the 6-decimal grid, so the release is idempotent and the DuckDB twin
+    replays it exactly."""
+    _prep(spark, sf_dir)
+    return privacy.noisy_counts(
+        spark.table("events"), ["event_type"],
+        epsilon=0.5, seed="r7b23", min_noisy_count=5.0,
+    )
+
+
+def _cusum_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C137 (annex, EXACT oracle): per-user two-sided CUSUM over event
+    values — Page's sequential test with post-alarm reset; third member of
+    the Arrow-lane recurrence family. The oracle replays the identical
+    IEEE op sequence (including resets) as a recursive CTE."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts", "event_id", "value")
+    return timeseries.cusum(
+        ev, ["user_id"], "ts", "value",
+        target=100.0, slack=5.0, threshold=120.0, tiebreak="event_id",
+    )
+
+
+def _stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C138 (annex, EXACT oracle): STREAMING point-in-time enrichment —
+    the sampled event facts replayed as a real file stream (availableNow,
+    append) and left-joined per micro-batch to the C94 SCD2 history. A
+    stream-static join carries no state and needs no watermark; with the
+    history fixed for the run the result equals the batch C95 join, whose
+    chained DuckDB twin is the oracle."""
+    import uuid as _uuid
+
+    from insert_by_timeperiod_spark.streaming.joins import stream_scd2_enrich
+
+    _prep(spark, sf_dir)
+    hist = _scd2_history(spark, sf_dir)
+    facts = (
+        spark.table("events")
+        .where(F.col("event_id") % 50 == 0)
+        .select("event_id", "user_id", F.to_date("ts").alias("d"))
+    )
+    d = tempfile.mkdtemp(prefix="ibtp_scd2s_")
+    facts.coalesce(1).write.parquet(d + "/facts")
+    sfacts = spark.readStream.schema(facts.schema).parquet(d + "/facts")
+    out = stream_scd2_enrich(sfacts, hist, ["user_id"], "d")
+    sink = f"ibtp_scd2s_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5059,6 +5118,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "script_id_docs": _script_docs,
         "holt_user_value": _holt_user_value,
         "salted_join_segments": _salted_join_agg,
+        # round-7 batch-23 components (C136-C137)
+        "noisy_counts_types": _noisy_counts_types,
+        "cusum_user_value": _cusum_user_value,
+        "stream_scd2_enrich": _stream_scd2_enrich,
     }
 
 
@@ -5399,6 +5462,26 @@ def pytest_only_oracles() -> dict[str, str]:
             select="user_id, ts, event_id, value, level, trend",
         ),
         "salted_join_segments": SALTED_JOIN_DUCK,
+        # round-7 batch-23 components (C136-C137)
+        "noisy_counts_types": privacy.noisy_counts_sql(
+            "events", ["event_type"],
+            epsilon=0.5, seed="r7b23", min_noisy_count=5.0,
+        ),
+        "cusum_user_value": timeseries.cusum_sql(
+            "(SELECT user_id, ts, event_id, value FROM events)",
+            ["user_id"], "ts", "value",
+            target=100.0, slack=5.0, threshold=120.0, tiebreak="event_id",
+            select="user_id, ts, event_id, value, cusum_hi, cusum_lo, alarm",
+        ),
+        "stream_scd2_enrich": scd.scd2_point_in_time_join_sql(
+            "(SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events"
+            " WHERE event_id % 50 = 0)",
+            "(" + scd.scd2_from_changelog_sql(
+                _SCD_SRC_DUCK, ["user_id"], "d", ["seg", "band"]
+            ) + ")",
+            ["user_id"], "d",
+            ["event_id", "user_id", "d"], ["seg", "band"],
+        ),
     }
 
 

@@ -517,3 +517,135 @@ WITH RECURSIVE _r AS (
 )
 SELECT {cols} FROM _walk
 """
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    target: float,
+    slack: float = 0.0,
+    threshold: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key two-sided CUSUM change detection (SURVEY.md §2 C137):
+    ``hi_i = max(0, hi_{i−1} + (x_i − target − slack))``,
+    ``lo_i = max(0, lo_{i−1} + (target − x_i − slack))`` in (ts, tiebreak)
+    order, alarm when either side exceeds ``threshold`` — Page's classic
+    sequential test, the change-point detector that catches small
+    SUSTAINED shifts the per-point detectors here can't: C64's MAD flags
+    single outliers, C123's rolling baseline needs the shift to clear a
+    zscore per point, while CUSUM accumulates evidence across points. The
+    alarmed side resets to 0 (standard restart), so repeated shifts keep
+    firing.
+
+    Third member of the Arrow-lane recurrence family (C109 EWMA, C135
+    Holt): one shuffle groups each key, one ordered walk per key, and the
+    fixed IEEE op sequence makes :func:`cusum_sql`'s recursive CTE a
+    bit-exact DuckDB twin (no rounding grid — the C109 lesson)."""
+    if not key_cols:
+        raise ValueError("cusum: key_cols required")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    src = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField("cusum_hi", T.DoubleType()),
+            T.StructField("cusum_lo", T.DoubleType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+    tgt, k, h = float(target), float(slack), float(threshold)
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        hi = lo = 0.0
+        his, los, alarms = [], [], []
+        for x in pdf[value_col].astype(float):
+            hi = max(0.0, hi + (x - tgt - k))
+            lo = max(0.0, lo + (tgt - x - k))
+            fired = hi > h or lo > h
+            his.append(hi)
+            los.append(lo)
+            alarms.append(fired)
+            if fired:
+                hi = lo = 0.0
+        pdf = pdf.copy()
+        pdf["cusum_hi"] = his
+        pdf["cusum_lo"] = los
+        pdf["alarm"] = alarms
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(walk, schema=schema)
+
+
+def cusum_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    target: float,
+    slack: float = 0.0,
+    threshold: float,
+    tiebreak: str | None = None,
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`cusum` — the recurrence (including the
+    post-alarm reset) as a recursive CTE, expression shapes matching the
+    Python walk op-for-op."""
+    tgt, k, h = float(target), float(slack), float(threshold)
+    kcols = ", ".join(key_cols)
+    tb = f", {tiebreak}" if tiebreak else ""
+    kj = " AND ".join(f"r.{c} = w.{c}" for c in key_cols)
+    cols = select or "* EXCLUDE (_rn, _hi_c, _lo_c)"
+    # carried state (_hi_c/_lo_c) is the post-reset value; the emitted
+    # cusum_hi/cusum_lo are the pre-reset sums, like the Python walk
+    return f"""
+WITH RECURSIVE _r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {kcols} ORDER BY {ts_col}{tb}
+    ) AS _rn
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+), _walk AS (
+    SELECT *,
+           greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) AS cusum_hi,
+           greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) AS cusum_lo,
+           (greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+            OR greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) > {h!r}) AS alarm,
+           CASE WHEN greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+                  OR greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) > {h!r}
+                THEN 0.0
+                ELSE greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) END AS _hi_c,
+           CASE WHEN greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+                  OR greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) > {h!r}
+                THEN 0.0
+                ELSE greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) END AS _lo_c
+    FROM _r WHERE _rn = 1
+    UNION ALL
+    SELECT r.*,
+           greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})),
+           greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})),
+           (greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+            OR greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})) > {h!r}),
+           CASE WHEN greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+                  OR greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})) > {h!r}
+                THEN 0.0
+                ELSE greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})) END,
+           CASE WHEN greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+                  OR greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})) > {h!r}
+                THEN 0.0
+                ELSE greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})) END
+    FROM _walk w JOIN _r r ON {kj} AND r._rn = w._rn + 1
+)
+SELECT {cols} FROM _walk
+"""

@@ -70,3 +70,36 @@ def stream_interval_join(
         *[c for c in lp.columns if c != "_lk"],
         *[c for c in rp.columns if c != "_rk"],
     )
+
+
+def stream_scd2_enrich(
+    stream: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    fact_ts_col: str,
+) -> DataFrame:
+    """Streaming dimension enrichment against an SCD2 history
+    (SURVEY.md §2 C138): attach to every live fact the dimension version
+    valid AT the fact's event time — the stream-STATIC member of the join
+    family (C67 is stream-stream). Delegates to the batch point-in-time
+    join (C95): on a streaming left side Spark plans a stream-static left
+    join per micro-batch — NO streaming state at all (the history is a
+    plain table), no watermark requirement, append mode.
+
+    The semantics knife-edge this wrapper exists to document: the static
+    side is re-planned per micro-batch, so a history REWRITE mid-stream
+    means later batches see newer dimension versions — same-named rows
+    already emitted are NOT retracted. That is exactly the at-the-time
+    enrichment contract (facts join the history as known when they
+    arrived); pipelines needing as-of-final-history enrichment should run
+    the batch join (C95) after the fact. Validity intervals are disjoint
+    per key by SCD2 construction, so the join never fans out and the
+    stream's row count is preserved under the left form."""
+    from insert_by_timeperiod_spark.operators.scd import scd2_point_in_time_join
+
+    if not stream.isStreaming:
+        raise ValueError(
+            "stream_scd2_enrich expects a streaming fact side; use "
+            "operators.scd.scd2_point_in_time_join for batch facts"
+        )
+    return scd2_point_in_time_join(stream, history, key_cols, fact_ts_col)

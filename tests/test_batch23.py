@@ -1,0 +1,232 @@
+"""Pins for the round-7 batch-23 components (SURVEY.md §2 C136-C138):
+seeded noisy-count release, CUSUM change detection, and streaming SCD2
+enrichment. Exact cross-engine twins run as annex rows in
+tests/test_queries_oracle.py; these pin semantics and edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import privacy
+from insert_by_timeperiod_spark.operators import timeseries as TS
+
+
+# ----------------------------------------------------- C136 noisy release
+
+
+def _groups(spark, n_groups=40, rows_per=25):
+    return spark.range(n_groups * rows_per).select(
+        (F.col("id") % n_groups).cast("string").alias("g")
+    )
+
+
+def test_noisy_counts_deterministic_and_centered(spark):
+    df = _groups(spark)
+    a = {r["g"]: r["noisy_count"] for r in
+         privacy.noisy_counts(df, ["g"], epsilon=1.0, seed="s").collect()}
+    b = {r["g"]: r["noisy_count"] for r in
+         privacy.noisy_counts(df, ["g"], epsilon=1.0, seed="s").collect()}
+    assert a == b  # same seed -> identical release (idempotent retries)
+    errs = [v - 25.0 for v in a.values()]
+    # Laplace(1) noise: mean |err| ≈ 1, and the mean error ≈ 0
+    assert abs(sum(errs) / len(errs)) < 1.0
+    assert max(abs(e) for e in errs) < 12.0  # tail sanity at scale 1
+    c = {r["g"]: r["noisy_count"] for r in
+         privacy.noisy_counts(df, ["g"], epsilon=1.0, seed="t").collect()}
+    assert a != c  # different seed -> different noise
+
+
+def test_noisy_counts_epsilon_scales_noise(spark):
+    df = _groups(spark)
+    tight = privacy.noisy_counts(df, ["g"], epsilon=10.0, seed="s").collect()
+    loose = privacy.noisy_counts(df, ["g"], epsilon=0.1, seed="s").collect()
+    mt = sum(abs(r["noisy_count"] - 25.0) for r in tight) / len(tight)
+    ml = sum(abs(r["noisy_count"] - 25.0) for r in loose) / len(loose)
+    # scale = 1/eps: 0.1 vs 10 -> 100x expected gap; require a wide margin
+    assert ml > 10 * mt
+
+
+def test_noisy_counts_suppression_thresholds_noisy_value(spark):
+    # groups of size 1 with a high threshold: (almost) all suppressed,
+    # and the survivors (if any) carry noisy_count >= threshold
+    df = _groups(spark, n_groups=30, rows_per=1)
+    out = privacy.noisy_counts(
+        df, ["g"], epsilon=1.0, seed="s", min_noisy_count=5.0
+    ).collect()
+    assert all(r["noisy_count"] >= 5.0 for r in out)
+    assert len(out) < 30
+
+
+def test_noisy_counts_matches_twin_and_validates(spark):
+    import duckdb
+
+    df = _groups(spark, n_groups=12, rows_per=7)
+    got = sorted(
+        (r["g"], r["noisy_count"])
+        for r in privacy.noisy_counts(
+            df, ["g"], epsilon=0.5, seed="tw", min_noisy_count=3.0
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?)",
+        [(str(i % 12),) for i in range(12 * 7)],
+    )
+    want = sorted(
+        con.execute(
+            privacy.noisy_counts_sql(
+                "t", ["g"], epsilon=0.5, seed="tw", min_noisy_count=3.0
+            )
+        ).fetchall()
+    )
+    assert [(g, round(v, 6)) for g, v in got] == [
+        (g, round(v, 6)) for g, v in want
+    ]
+    with pytest.raises(ValueError):
+        privacy.noisy_counts(df, ["g"], epsilon=0.0, seed="s")
+    with pytest.raises(ValueError):
+        privacy.noisy_counts(df, [], epsilon=1.0, seed="s")
+    with pytest.raises(ValueError):
+        privacy.noisy_counts(df, ["g"], epsilon=1.0, seed="s", sensitivity=0)
+
+
+# ------------------------------------------------------------- C137 CUSUM
+
+
+def _series(spark, vals):
+    from datetime import datetime as DT, timedelta as TD
+
+    t0 = DT(2024, 1, 1)
+    rows = [(1, t0 + TD(hours=i), i, float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+
+
+def _run_cusum(spark, vals, **kw):
+    df = _series(spark, vals)
+    out = TS.cusum(df, ["k"], "ts", "v", tiebreak="eid", **kw)
+    return sorted(
+        (r["eid"], r["cusum_hi"], r["cusum_lo"], r["alarm"])
+        for r in out.collect()
+    )
+
+
+def test_cusum_sustained_shift_alarms_single_spike_does_not(spark):
+    # target 10, slack 1, threshold 6: one +4 spike accumulates only 3
+    spike = _run_cusum(
+        spark, [10, 10, 14, 10, 10], target=10, slack=1, threshold=6
+    )
+    assert not any(a for _, _, _, a in spike)
+    # a sustained +3 shift accumulates 2/step and crosses 6 on step 4
+    shift = _run_cusum(
+        spark, [10, 10, 13, 13, 13, 13, 13], target=10, slack=1, threshold=6
+    )
+    alarms = [eid for eid, _, _, a in shift if a]
+    assert alarms == [5]  # 2+2+2 = 6 (not >6) at eid 4; 8 > 6 at eid 5
+    # downward shifts fire the lo side
+    lo = _run_cusum(
+        spark, [10, 6, 6, 6, 6], target=10, slack=1, threshold=6
+    )
+    assert [eid for eid, _, _, a in lo if a] == [3]
+
+
+def test_cusum_resets_after_alarm_and_refires(spark):
+    got = _run_cusum(
+        spark,
+        [13, 13, 13, 13, 10, 13, 13, 13, 13],
+        target=10, slack=1, threshold=6,
+    )
+    alarms = [eid for eid, _, _, a in got if a]
+    assert alarms == [3, 8]  # reset after eid 3, re-accumulate, re-fire
+
+
+def test_cusum_matches_twin_bit_exact(spark):
+    import duckdb
+    from datetime import datetime as DT, timedelta as TD
+
+    t0 = DT(2024, 1, 1)
+    rows = [
+        (u, t0 + TD(minutes=(i * 11) % 240), u * 100 + i,
+         float((i * 17 + u * 5) % 31) / 3)
+        for u in range(3)
+        for i in range(14)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+    got = sorted(
+        (r["k"], r["eid"], r["cusum_hi"], r["cusum_lo"], r["alarm"])
+        for r in TS.cusum(
+            df, ["k"], "ts", "v",
+            target=5.0, slack=0.5, threshold=4.0, tiebreak="eid",
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, ts TIMESTAMP, eid INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = sorted(
+        (r[0], r[2], r[4], r[5], r[6])
+        for r in con.execute(
+            TS.cusum_sql(
+                "t", ["k"], "ts", "v",
+                target=5.0, slack=0.5, threshold=4.0, tiebreak="eid",
+                select="k, ts, eid, v, cusum_hi, cusum_lo, alarm",
+            )
+        ).fetchall()
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        TS.cusum(df, ["k"], "ts", "v", target=5.0, threshold=0.0)
+    with pytest.raises(ValueError):
+        TS.cusum(df, ["k"], "ts", "v", target=5.0, threshold=1.0, slack=-1)
+
+
+# ------------------------------------------- C138 streaming SCD2 enrich
+
+
+def test_stream_scd2_enrich_rejects_batch_facts(spark):
+    from insert_by_timeperiod_spark.streaming.joins import stream_scd2_enrich
+
+    hist = spark.createDataFrame(
+        [(1, "a", None, None, True)],
+        "user_id int, seg string, valid_from date, valid_to date, is_current boolean",
+    )
+    facts = spark.createDataFrame([(1, 1)], "event_id int, user_id int")
+    with pytest.raises(ValueError, match="streaming fact side"):
+        stream_scd2_enrich(facts, hist, ["user_id"], "event_id")
+
+
+def test_stream_scd2_enrich_preserves_stream_rowcount(spark, tmp_path):
+    import uuid
+    from datetime import date
+
+    from insert_by_timeperiod_spark.operators import scd
+    from insert_by_timeperiod_spark.streaming.joins import stream_scd2_enrich
+
+    ch = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 1), "a"),
+            (1, date(2024, 1, 5), "b"),
+            (2, date(2024, 1, 3), "x"),
+        ],
+        "user_id int, d date, seg string",
+    )
+    hist = scd.scd2_from_changelog(ch, ["user_id"], "d", ["seg"])
+    facts = spark.createDataFrame(
+        [
+            (10, 1, date(2024, 1, 2)),   # -> seg a
+            (11, 1, date(2024, 1, 6)),   # -> seg b
+            (12, 2, date(2024, 1, 1)),   # before first version -> NULL
+            (13, 9, date(2024, 1, 2)),   # unknown key -> NULL
+        ],
+        "event_id int, user_id int, d date",
+    )
+    src = str(tmp_path / "facts")
+    facts.coalesce(1).write.parquet(src)
+    sfacts = spark.readStream.schema(facts.schema).parquet(src)
+    out = stream_scd2_enrich(sfacts, hist, ["user_id"], "d")
+    sink = f"scd2s_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {r["event_id"]: r["seg"] for r in spark.table(sink).collect()}
+    assert rows == {10: "a", 11: "b", 12: None, 13: None}

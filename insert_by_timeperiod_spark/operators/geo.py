@@ -1,0 +1,314 @@
+"""Geospatial primitives (SURVEY.md §2 C139-C141): geohash encoding,
+haversine distance, and a grid-bucketed radius join — the location
+triple a multimodal/geo-tagged corpus pipeline needs (cluster photos by
+where they were taken, attach every event to the POIs within reach,
+data-skip scans by geohash prefix).
+
+Scale shapes:
+- ``geohash``: PURE integer/bit column algebra (the C56 Morton idiom —
+  latitude/longitude normalize to binary-subdivision grids, bits
+  interleave via unrolled shift/mask ops, 5-bit groups index a base32
+  array). Zero shuffle, rides the scan, and because geohash prefixes
+  nest, sorting/partitioning by it gives the same per-file bounding-box
+  pruning Z-order gives (C56/C68 measure that machinery).
+- ``haversine_km``: scan-stage trig, no UDF.
+- ``radius_join``: each point buckets into ONE lat/lon grid cell sized
+  so the radius can't cross more than one cell boundary per axis; each
+  QUERY row explodes to its 3×3 neighbor cells (bounded 9× blow-up of
+  the small side only), then ONE equi-join on the cell key + the exact
+  haversine verify — the banded-blocking pattern every near-dup family
+  here uses (LSH bands C19, Hamming bands C66/C86), with recall exactly
+  1 by the cell-size construction. No cross join anywhere.
+
+Cross-engine exactness: geohash is integer/bit arithmetic (bit-identical
+anywhere); haversine rounds to the engine's 6-decimal grid after a fixed
+IEEE op sequence (both libms agree far past 6 decimals for these
+magnitudes).
+
+The |lat| ≤ ``max_abs_lat`` guard on radius_join is load-bearing: grid
+cells shrink east-west as cos(lat) → 0, so near the poles a fixed-degree
+cell can no longer cover the radius and recall would silently drop below
+1 — the operator REJECTS such rows instead (polar workloads need a
+different scheme, e.g. S2 cells; documented swap point).
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: standard geohash base32 alphabet (no a/i/l/o)
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+#: km per degree of latitude (minimum, at the equator) and per degree of
+#: longitude at the equator — the safe denominators for grid sizing
+_KM_PER_DEG_LAT = 110.574
+_KM_PER_DEG_LON_EQ = 111.320
+
+
+def _grid_index(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Binary-subdivision cell index: ``bits`` rounds of interval halving
+    equal one floor-scale onto the 2^bits uniform grid (clamped so the
+    exact upper bound lands in the top cell)."""
+    n = float(2**bits)
+    raw = F.floor((col.cast("double") - lo) / (hi - lo) * n).cast("long")
+    return F.least(raw, F.lit(int(n) - 1))
+
+
+def with_geohash(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    *,
+    precision: int = 9,
+    out_col: str = "geohash",
+) -> DataFrame:
+    """Attach the geohash of (lat, lon) at ``precision`` base32 chars
+    (Niemeyer's scheme: longitude takes the even bit positions starting
+    at the most significant). Pure column algebra — 5·precision unrolled
+    bit ops plus one array lookup per char. NULL or out-of-range
+    coordinates yield NULL.
+
+    DataFrame-level on purpose: the grid indices and the interleaved
+    z-value bind as REAL intermediate columns, each referenced many times
+    downstream — as one nested Column expression the tree repeats the
+    grid arithmetic ~5·precision × precision times and blows past
+    Janino's 64 KB method limit at full precision (observed; the lang_id
+    lesson one module over). CollapseProject keeps multi-referenced
+    non-cheap projections intact, so the plan stays three slim
+    codegen'd stages."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    for c in ("_lon_i", "_lat_i", "_gz"):
+        if c in df.columns:
+            raise ValueError(f"with_geohash: column {c!r} is reserved")
+    if out_col in df.columns:
+        raise ValueError(f"with_geohash: column {out_col!r} already exists")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    step = df.withColumn(
+        "_lon_i", _grid_index(lon, -180.0, 180.0, lon_bits)
+    ).withColumn("_lat_i", _grid_index(lat, -90.0, 90.0, lat_bits))
+    z = F.lit(0).cast("long")
+    lon_used = lat_used = 0
+    for j in range(total):  # j = 0 is the MOST significant interleaved bit
+        if j % 2 == 0:
+            lon_used += 1
+            bit = F.shiftright(F.col("_lon_i"), lon_bits - lon_used) % 2
+        else:
+            lat_used += 1
+            bit = F.shiftright(F.col("_lat_i"), lat_bits - lat_used) % 2
+        z = z.bitwiseOR(F.shiftleft(bit, total - 1 - j))
+    step = step.withColumn("_gz", z)
+    chars = F.array(*[F.lit(c) for c in _B32])
+    out = F.concat(
+        *[
+            F.element_at(
+                chars,
+                (
+                    F.shiftright(F.col("_gz"), 5 * (precision - 1 - c)) % 32
+                ).cast("int")
+                + 1,
+            )
+            for c in range(precision)
+        ]
+    )
+    valid = (
+        lat.isNotNull()
+        & lon.isNotNull()
+        & (lat >= -90.0)
+        & (lat <= 90.0)
+        & (lon >= -180.0)
+        & (lon <= 180.0)
+    )
+    return step.withColumn(out_col, F.when(valid, out)).drop(
+        "_lon_i", "_lat_i", "_gz"
+    )
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, *, precision: int = 9) -> str:
+    """Exact DuckDB twin of :func:`geohash` — the identical grid/bit/
+    base32 arithmetic as one SQL expression."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+
+    def grid(expr: str, lo: float, hi: float, bits: int) -> str:
+        n = float(2**bits)
+        return (
+            f"least(CAST(floor((CAST({expr} AS DOUBLE) - ({lo!r}))"
+            f" / ({hi!r} - ({lo!r})) * {n!r}) AS BIGINT), {int(n) - 1})"
+        )
+
+    lon_i = grid(lon_expr, -180.0, 180.0, lon_bits)
+    lat_i = grid(lat_expr, -90.0, 90.0, lat_bits)
+    parts = []
+    lon_used = lat_used = 0
+    for j in range(total):
+        if j % 2 == 0:
+            lon_used += 1
+            bit = f"(({lon_i} >> {lon_bits - lon_used}) % 2)"
+        else:
+            lat_used += 1
+            bit = f"(({lat_i} >> {lat_bits - lat_used}) % 2)"
+        parts.append(f"({bit} << {total - 1 - j})")
+    z = "(" + " | ".join(parts) + ")"
+    alphabet = ", ".join(f"'{c}'" for c in _B32)
+    chars = " || ".join(
+        f"[{alphabet}][CAST(({z} >> {5 * (precision - 1 - c)}) % 32 AS INT) + 1]"
+        for c in range(precision)
+    )
+    valid = (
+        f"{lat_expr} IS NOT NULL AND {lon_expr} IS NOT NULL"
+        f" AND {lat_expr} >= -90.0 AND {lat_expr} <= 90.0"
+        f" AND {lon_expr} >= -180.0 AND {lon_expr} <= 180.0"
+    )
+    return f"CASE WHEN {valid} THEN {chars} END"
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine, sphere R=6371.0088), rounded
+    to the 6-decimal cross-engine grid."""
+    r = 6371.0088
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1) / 2.0
+    dl = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dp) * F.sin(dp) + F.cos(p1) * F.cos(p2) * F.sin(dl) * F.sin(dl)
+    return F.round(
+        F.lit(2.0 * r) * F.asin(F.least(F.sqrt(a), F.lit(1.0))), 6
+    )
+
+
+def haversine_sql(l1: str, g1: str, l2: str, g2: str) -> str:
+    """Exact DuckDB twin of :func:`haversine_km` — identical op shapes."""
+    p1, p2 = f"radians({l1})", f"radians({l2})"
+    dp = f"(radians({l2} - {l1}) / 2.0)"
+    dl = f"(radians({g2} - {g1}) / 2.0)"
+    a = (
+        f"(sin({dp}) * sin({dp})"
+        f" + cos({p1}) * cos({p2}) * sin({dl}) * sin({dl}))"
+    )
+    return f"round(2.0 * 6371.0088 * asin(least(sqrt({a}), 1.0)), 6)"
+
+
+def radius_join(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    radius_km: float,
+    max_abs_lat: float = 66.0,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    query_cols: tuple[str, str] = ("lat", "lon"),
+) -> DataFrame:
+    """All (query, point) pairs within ``radius_km`` (haversine): points
+    bucket into ONE grid cell each; queries explode to their 3×3 neighbor
+    cells; one equi-join on the cell key; exact distance verify. Cell
+    sides are ≥ radius in km on both axes (the longitude side divided by
+    cos(max_abs_lat), its worst-case shrink), so a pair within the radius
+    can never be more than one cell apart per axis — blocking recall is
+    exactly 1 for rows inside the latitude gate. Rows with |lat| >
+    max_abs_lat are excluded by the gate on BOTH engines (the twin
+    applies the identical filter), so the equality oracle stays exact;
+    see the module docstring for why the gate is load-bearing. Output:
+    every query column (prefixed ``q_``), every point column (prefixed
+    ``p_``), and ``dist_km``."""
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    if not 0 < max_abs_lat < 90:
+        raise ValueError(f"max_abs_lat must be in (0, 90), got {max_abs_lat}")
+    lat_cell = radius_km / _KM_PER_DEG_LAT
+    lon_cell = radius_km / (
+        _KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat))
+    )
+    plat, plon = point_cols
+    qlat, qlon = query_cols
+    # cells don't wrap at the antimeridian (haversine does — sin of the
+    # half-angle is wrap-invariant), so rows within one cell of ±180° are
+    # excluded by the SAME gate on both engines; wrap-aware cell keys are
+    # the documented swap point for workloads that live there
+    lon_gate = 180.0 - lon_cell
+
+    def in_range(df: DataFrame, latc: str, lonc: str) -> DataFrame:
+        return df.where(
+            F.col(latc).isNotNull()
+            & F.col(lonc).isNotNull()
+            & (F.abs(F.col(latc)) <= max_abs_lat)
+            & (F.abs(F.col(lonc)) <= lon_gate)
+        )
+
+    p = in_range(points, plat, plon).select(
+        *[F.col(c).alias(f"p_{c}") for c in points.columns],
+        F.floor(F.col(plat) / lat_cell).cast("long").alias("_cy"),
+        F.floor(F.col(plon) / lon_cell).cast("long").alias("_cx"),
+    )
+    dyx = F.explode(
+        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    )
+    q = (
+        in_range(queries, qlat, qlon)
+        .select(
+            *[F.col(c).alias(f"q_{c}") for c in queries.columns],
+            F.floor(F.col(qlat) / lat_cell).cast("long").alias("_qy"),
+            F.floor(F.col(qlon) / lon_cell).cast("long").alias("_qx"),
+        )
+        .withColumn("_d", dyx)
+        .select(
+            "*",
+            (F.col("_qy") + F.col("_d.dy")).alias("_cy"),
+            (F.col("_qx") + F.col("_d.dx")).alias("_cx"),
+        )
+        .drop("_qy", "_qx", "_d")
+    )
+    joined = q.join(p, ["_cy", "_cx"]).drop("_cy", "_cx")
+    dist = haversine_km(
+        F.col(f"q_{qlat}"), F.col(f"q_{qlon}"),
+        F.col(f"p_{plat}"), F.col(f"p_{plon}"),
+    )
+    return joined.withColumn("dist_km", dist).where(
+        F.col("dist_km") <= float(radius_km)
+    )
+
+
+def radius_join_sql(
+    points_source: str,
+    queries_source: str,
+    *,
+    radius_km: float,
+    max_abs_lat: float = 66.0,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    query_cols: tuple[str, str] = ("lat", "lon"),
+    point_out: list[str] | None = None,
+    query_out: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`radius_join` — the brute-force pair filter
+    with the identical haversine grid and the identical |lat| gate; equal
+    results PROVE the grid blocking loses nothing (recall 1)."""
+    plat, plon = point_cols
+    qlat, qlon = query_cols
+    lon_cell = radius_km / (
+        _KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat))
+    )
+    lon_gate = 180.0 - lon_cell
+    dist = haversine_sql(f"q.{qlat}", f"q.{qlon}", f"p.{plat}", f"p.{plon}")
+    qsel = ", ".join(f"q.{c} AS q_{c}" for c in (query_out or [qlat, qlon]))
+    psel = ", ".join(f"p.{c} AS p_{c}" for c in (point_out or [plat, plon]))
+    return f"""
+SELECT {qsel}, {psel}, {dist} AS dist_km
+FROM {queries_source} q, {points_source} p
+WHERE abs(q.{qlat}) <= {float(max_abs_lat)!r}
+  AND abs(p.{plat}) <= {float(max_abs_lat)!r}
+  AND abs(q.{qlon}) <= {lon_gate!r} AND abs(p.{plon}) <= {lon_gate!r}
+  AND q.{qlat} IS NOT NULL AND p.{plat} IS NOT NULL
+  AND q.{qlon} IS NOT NULL AND p.{plon} IS NOT NULL
+  AND {dist} <= {float(radius_km)!r}
+"""

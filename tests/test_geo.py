@@ -1,0 +1,160 @@
+"""Pins for the round-7 batch-24 geospatial components (SURVEY.md §2
+C139-C141): geohash encoding, haversine distance, grid-bucketed radius
+join. Exact cross-engine twins run as annex rows in
+tests/test_queries_oracle.py; these pin known answers and the blocking
+recall-1 property on adversarial fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import geo
+
+
+# ------------------------------------------------------------ C139 geohash
+
+
+def _gh(spark, lat, lon, precision):
+    df = spark.createDataFrame([(lat, lon)], "lat double, lon double")
+    return geo.with_geohash(df, "lat", "lon", precision=precision).collect()[
+        0
+    ]["geohash"]
+
+
+@pytest.mark.parametrize(
+    "lat,lon,precision,expected",
+    [
+        (57.64911, 10.40744, 11, "u4pruydqqvj"),  # the classic Niemeyer example
+        (37.7749, -122.4194, 9, "9q8yyk8yt"),     # San Francisco
+        (-33.8688, 151.2093, 8, "r3gx2f77"),      # Sydney (south+east)
+        (0.0, 0.0, 5, "s0000"),                   # origin
+        (90.0, 180.0, 4, "zzzz"),                 # the clamped top corner
+        (-90.0, -180.0, 4, "0000"),               # bottom corner
+    ],
+)
+def test_geohash_known_answers(spark, lat, lon, precision, expected):
+    assert _gh(spark, lat, lon, precision) == expected
+
+
+def test_geohash_null_and_out_of_range_yield_null(spark):
+    df = spark.createDataFrame(
+        [(None, 5.0), (5.0, None), (90.5, 0.0), (0.0, -180.5)],
+        "lat double, lon double",
+    )
+    got = [r["geohash"] for r in geo.with_geohash(df, "lat", "lon").collect()]
+    assert got == [None, None, None, None]
+
+
+def test_geohash_prefixes_nest(spark):
+    # precision-p hash is a strict prefix of the precision-(p+k) hash
+    full = _gh(spark, 48.858, 2.294, 12)
+    for p in (1, 4, 7, 10):
+        assert _gh(spark, 48.858, 2.294, p) == full[:p]
+
+
+def test_geohash_validates(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "lat double, lon double")
+    with pytest.raises(ValueError):
+        geo.with_geohash(df, "lat", "lon", precision=0)
+    with pytest.raises(ValueError):
+        geo.with_geohash(df, "lat", "lon", precision=13)
+    with pytest.raises(ValueError):
+        geo.with_geohash(df.withColumn("_gz", F.lit(1)), "lat", "lon")
+    with pytest.raises(ValueError):
+        geo.with_geohash(df.withColumn("geohash", F.lit("x")), "lat", "lon")
+
+
+# ---------------------------------------------------------- C140 haversine
+
+
+def test_haversine_known_distances(spark):
+    def d(a, b, c, e):
+        df = spark.createDataFrame([(a, b, c, e)], "a double,b double,c double,d double")
+        return df.select(
+            geo.haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+        ).collect()[0]["km"]
+
+    assert d(0.0, 0.0, 0.0, 0.0) == 0.0
+    # one degree of longitude at the equator ≈ 111.195 km (R=6371.0088)
+    assert abs(d(0.0, 0.0, 0.0, 1.0) - 111.195) < 0.01
+    # antipodal: half the great circle ≈ 20015 km
+    assert abs(d(0.0, 0.0, 0.0, 180.0) - 20015.1) < 0.2
+    # Paris -> London ≈ 344 km
+    assert abs(d(48.8566, 2.3522, 51.5074, -0.1278) - 343.6) < 1.0
+    # wrap-invariance: ±179.9° lon are 22 km apart at the equator, and the
+    # formula must see that WITHOUT any wrap handling
+    assert abs(d(0.0, 179.9, 0.0, -179.9) - 22.24) < 0.05
+
+
+# -------------------------------------------------------- C141 radius join
+
+
+def _brute_pairs(qs, ps, radius):
+    R = 6371.0088
+    out = set()
+    for qid, qla, qlo in qs:
+        for pid, pla, plo in ps:
+            dp = math.radians(pla - qla) / 2
+            dl = math.radians(plo - qlo) / 2
+            a = (
+                math.sin(dp) ** 2
+                + math.cos(math.radians(qla))
+                * math.cos(math.radians(pla))
+                * math.sin(dl) ** 2
+            )
+            if round(2 * R * math.asin(min(math.sqrt(a), 1.0)), 6) <= radius:
+                out.add((qid, pid))
+    return out
+
+
+def test_radius_join_equals_brute_force_on_adversarial_grid(spark):
+    # points packed around cell boundaries, negative coords, high lat
+    qs = [
+        (1, 0.0, 0.0),
+        (2, -45.3, 100.7),
+        (3, 59.9, -120.2),   # near the lat gate: cells are widest here
+        (4, 10.0, 13.5),
+    ]
+    ps = [
+        (i, qla + dla, qlo + dlo)
+        for i, (qla, qlo) in enumerate(
+            [(0.0, 0.0), (-45.3, 100.7), (59.9, -120.2), (10.0, 13.5)]
+        )
+        for j, (dla, dlo) in enumerate(
+            [(0.0, 0.0), (0.9, 0.0), (-0.9, 0.0), (0.0, 1.3), (0.64, 0.64),
+             (1.36, 0.0), (0.0, 2.7), (-1.1, -1.2)]
+        )
+    ]
+    ps = [(100 * i + j, la, lo) for j, (i, la, lo) in enumerate(ps)]
+    qdf = spark.createDataFrame(qs, "qid int, lat double, lon double")
+    pdf = spark.createDataFrame(ps, "pid int, lat double, lon double")
+    got = {
+        (r["q_qid"], r["p_pid"])
+        for r in geo.radius_join(pdf, qdf, radius_km=150.0, max_abs_lat=66.0).collect()
+    }
+    want = _brute_pairs(qs, ps, 150.0)
+    assert got == want
+    assert got  # non-vacuous: some pairs matched
+
+
+def test_radius_join_gates_polar_and_antimeridian_rows(spark):
+    qs = [(1, 70.0, 0.0), (2, 0.0, 179.5), (3, 0.0, 0.0)]
+    ps = [(10, 70.0, 0.0), (20, 0.0, 179.5), (30, 0.0, 0.1)]
+    qdf = spark.createDataFrame(qs, "qid int, lat double, lon double")
+    pdf = spark.createDataFrame(ps, "pid int, lat double, lon double")
+    got = {
+        (r["q_qid"], r["p_pid"])
+        for r in geo.radius_join(pdf, qdf, radius_km=150.0, max_abs_lat=66.0).collect()
+    }
+    # |lat| 70 > 66 gated; lon 179.5 beyond the antimeridian gate; only
+    # the plain equator pair survives
+    assert got == {(3, 30)}
+
+
+def test_radius_join_validates(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "i int, lat double, lon double")
+    with pytest.raises(ValueError):
+        geo.radius_join(df, df, radius_km=0.0)
+    with pytest.raises(ValueError):
+        geo.radius_join(df, df, radius_km=10.0, max_abs_lat=90.0)

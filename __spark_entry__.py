@@ -65,6 +65,7 @@ from insert_by_timeperiod_spark.operators import (
     joins,
     lmscore,
     multimodal,
+    geo,
     packing,
     privacy,
     provenance,
@@ -4947,6 +4948,124 @@ def _stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+# deterministic geo fixture from id arithmetic: lat in [-60, 60), lon in
+# [-178, 178) — wide enough to cross the radius-join's antimeridian gate
+# (exercised on BOTH engines), inside the latitude gate
+_GEO_LAT = "(CAST((event_id * 7) % 1200 AS DOUBLE) / 10.0 - 60.0)"
+_GEO_LON = "(CAST((event_id * 13) % 3560 AS DOUBLE) / 10.0 - 178.0)"
+
+
+def _geo_cols():
+    eid = F.col("event_id")
+    lat = ((eid * 7) % 1200).cast("double") / 10.0 - 60.0
+    lon = ((eid * 13) % 3560).cast("double") / 10.0 - 178.0
+    return lat, lon
+
+
+def _geohash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C139 (annex, EXACT oracle): geohash encoding over an
+    id-arithmetic coordinate fixture (plus planted out-of-range rows that
+    must yield NULL on both engines). The Spark side is the C56 Morton
+    bit-algebra bound as intermediate columns (one codegen stage); the
+    oracle replays the identical grid/bit/base32 arithmetic."""
+    _prep(spark, sf_dir)
+    lat, lon = _geo_cols()
+    eid = F.col("event_id")
+    bad_lat = F.when(eid % 97 == 0, F.lit(91.0)).otherwise(lat)
+    src = spark.table("events").select(
+        "event_id", bad_lat.alias("lat"), lon.alias("lon")
+    )
+    return geo.with_geohash(src, "lat", "lon", precision=7).select(
+        "event_id", "geohash"
+    )
+
+
+def _geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C141 (annex, EXACT oracle): grid-bucketed radius join — every
+    (query, point) pair within 150 km over the id-arithmetic coordinates.
+    The oracle is the BRUTE-FORCE pair filter with the identical haversine
+    grid and gates, so equality proves the 3×3-cell blocking loses
+    nothing (recall exactly 1). dist_km itself rides in the compared
+    columns — C140's haversine is oracled by the same row."""
+    _prep(spark, sf_dir)
+    lat, lon = _geo_cols()
+    ev = spark.table("events").select(
+        F.col("event_id"), lat.alias("lat"), lon.alias("lon")
+    )
+    queries = ev.where(F.col("event_id") % 199 == 0).withColumnRenamed(
+        "event_id", "qid"
+    )
+    points = ev.where(F.col("event_id") % 7 == 0).withColumnRenamed(
+        "event_id", "pid"
+    )
+    return geo.radius_join(points, queries, radius_km=150.0)
+
+
+_GEO_Q_DUCK = (
+    f"(SELECT event_id AS qid, {_GEO_LAT} AS lat, {_GEO_LON} AS lon"
+    " FROM events WHERE event_id % 199 = 0)"
+)
+_GEO_P_DUCK = (
+    f"(SELECT event_id AS pid, {_GEO_LAT} AS lat, {_GEO_LON} AS lon"
+    " FROM events WHERE event_id % 7 = 0)"
+)
+
+
+_CDC_LOG_EXPRS = [
+    "user_id % 40 AS kid",
+    "ts",
+    "event_id AS seq",
+    "value",
+    "CAST(ts AS DATE) AS event_date",
+    "CASE WHEN event_id % 10 = 9 THEN 'D' ELSE 'U' END AS op",
+]
+_CDC_LOG_SEL = ", ".join(_CDC_LOG_EXPRS)
+
+
+def _stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C142 (annex, EXACT oracle): STREAMING CDC apply — an
+    op/key/ts changelog derived from events replays as a real 3-file
+    stream (one file per micro-batch, time-sliced so per-key order holds
+    across batches — the CDC transport contract), each batch folding into
+    the txnlog table as one atomic merge commit. The final table must
+    equal the one-shot batch compaction (C101), whose SQL twin is the
+    oracle: latest row per key, delete-latest keys absent."""
+    import uuid as _uuid
+
+    from insert_by_timeperiod_spark.streaming.cdc import CdcApplyStream
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ibtp_cdcs_")
+    src = base + "/log"
+    log = spark.table("events").selectExpr(*_CDC_LOG_EXPRS)
+    # three SEQUENTIAL time-sliced appends: FileStreamSource replays by
+    # mtime, and the ordering contract is per-key ACROSS batches
+    for lo, hi in (
+        (None, "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", None),
+    ):
+        sl = log
+        if lo:
+            sl = sl.where(F.to_date("ts") >= F.lit(lo))
+        if hi:
+            sl = sl.where(F.to_date("ts") < F.lit(hi))
+        sl.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = TxnLogTable(spark, base + "/tbl")
+    sink = CdcApplyStream(
+        table, ["kid"], "ts", seq_col="seq", partition_col="event_date"
+    )
+    sink.run_available_now(stream, base + "/ckpt")
+    assert table.version() >= 2, "multi-batch replay expected"
+    return table.read().select("kid", "ts", "value", "event_date")
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5122,6 +5241,11 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "noisy_counts_types": _noisy_counts_types,
         "cusum_user_value": _cusum_user_value,
         "stream_scd2_enrich": _stream_scd2_enrich,
+        # round-7 batch-24 components (C139-C141)
+        "geohash_events": _geohash_events,
+        "geo_radius_pairs": _geo_radius_pairs,
+        # round-7 batch-25 components (C142)
+        "stream_cdc_apply": _stream_cdc_apply,
     }
 
 
@@ -5472,6 +5596,25 @@ def pytest_only_oracles() -> dict[str, str]:
             ["user_id"], "ts", "value",
             target=100.0, slack=5.0, threshold=120.0, tiebreak="event_id",
             select="user_id, ts, event_id, value, cusum_hi, cusum_lo, alarm",
+        ),
+        # round-7 batch-24 components (C139-C141)
+        "geohash_events": f"""
+            SELECT event_id,
+                   {geo.geohash_sql(
+                       f"(CASE WHEN event_id % 97 = 0 THEN 91.0 ELSE {_GEO_LAT} END)",
+                       _GEO_LON, precision=7,
+                   )} AS geohash
+            FROM events
+        """,
+        "geo_radius_pairs": geo.radius_join_sql(
+            _GEO_P_DUCK, _GEO_Q_DUCK, radius_km=150.0,
+            query_out=["qid", "lat", "lon"], point_out=["pid", "lat", "lon"],
+        ),
+        # round-7 batch-25 components (C142)
+        "stream_cdc_apply": scd.apply_changelog_sql(
+            f"(SELECT {_CDC_LOG_SEL} FROM events)",
+            ["kid"], "ts", seq_col="seq",
+            select="kid, ts, value, event_date",
         ),
         "stream_scd2_enrich": scd.scd2_point_in_time_join_sql(
             "(SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events"

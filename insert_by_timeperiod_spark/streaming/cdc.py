@@ -1,0 +1,125 @@
+"""Streaming CDC apply (SURVEY.md §2 C142): maintain a CURRENT-state
+keyed table on the transactional commit-log backend from a live
+changelog stream — the "Debezium feed → dimension table" sink that
+closes the CDC family: C101 compacts a changelog batch, C94 keeps
+history, C65 diffs table versions; this one keeps a queryable current
+state continuously fresh.
+
+Per micro-batch (one atomic txnlog commit each):
+1. compact the batch to latest-per-key — C101's window, deletes kept;
+2. find the partitions holding current rows for the batch's keys plus
+   the partitions the upserted rows land in (bounded collect: touched
+   partitions, never rows);
+3. rewrite exactly those partitions: current rows minus batch keys,
+   union the upserts — a MERGE expressed as the backend's atomic
+   partition rewrite. Deleted keys simply don't come back; unknown
+   delete keys are no-ops.
+
+Exactly-once posture: the commit is CONTENT-idempotent — a replayed
+batch (crash between the commit and the checkpoint record) recomputes
+the identical partition contents, so the state is unchanged (a new
+version appears; C65's diff shows zero net change). This is the same
+posture as the ledgered rollups (C91), without needing their ledger.
+
+Ordering contract (load-bearing): batches must deliver each key's
+changes in (ts, seq) order — the order every log-backed CDC transport
+provides. Within a batch any order is fine (the window sorts); ACROSS
+batches an out-of-order old row would overwrite a newer one, because
+the table keeps no tombstones to arbitrate (sequence-arbitrated merge
+is the documented swap point — add a seq column to the table and a
+recency guard in step 3). The golden test pins the in-order contract
+with time-sliced replay files.
+
+Scale shape: the window shuffle is batch-sized; the rewrite touches
+only match-containing partitions (the C130 DML property); the
+batch-keys probe of the current table is one key equi-join that prunes
+to those partitions. No corpus-sized work per batch.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..txnlog import TxnLogTable
+
+
+class CdcApplyStream:
+    """foreachBatch sink applying a CDC changelog stream to a
+    :class:`TxnLogTable`. Columns: ``key_cols`` identify the row,
+    ``ts_col`` (+ optional ``seq_col``) order its changes, ``op_col``
+    holds I/U/``delete_op``; everything except ``op_col`` and
+    ``seq_col`` lands in the table."""
+
+    def __init__(
+        self,
+        table: TxnLogTable,
+        key_cols: list[str],
+        ts_col: str,
+        *,
+        op_col: str = "op",
+        seq_col: str | None = None,
+        delete_op: str = "D",
+        partition_col: str | None = None,
+    ):
+        if not key_cols:
+            raise ValueError("CdcApplyStream: key_cols required")
+        self.table = table
+        self.key_cols, self.ts_col = key_cols, ts_col
+        self.op_col, self.seq_col, self.delete_op = op_col, seq_col, delete_op
+        self.partition_col = partition_col
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        order = [F.col(self.ts_col).desc()]
+        if self.seq_col:
+            order.append(F.col(self.seq_col).desc())
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        drop = [self.op_col] + ([self.seq_col] if self.seq_col else [])
+        ups = latest.where(F.col(self.op_col) != self.delete_op).drop(*drop)
+        if not self.table.exists():
+            if self.partition_col is None:
+                raise ValueError(
+                    "CdcApplyStream: table does not exist and no "
+                    "partition_col was given to create it"
+                )
+            self.table.create(ups, self.partition_col)
+            return
+        part = self.table.partition_col
+        keys = latest.select(*self.key_cols).distinct()
+        current = self.table.read()
+        touched = {
+            r[0]
+            for r in current.join(keys, self.key_cols, "left_semi")
+            .select(part)
+            .distinct()
+            .collect()
+        }
+        touched |= {r[0] for r in ups.select(part).distinct().collect()}
+        if not touched:
+            return
+        keep = current.where(
+            F.col(part).isin([t for t in touched if t is not None])
+            | (F.col(part).isNull() if None in touched else F.lit(False))
+        ).join(keys, self.key_cols, "left_anti")
+        self.table.rewrite_partitions(
+            keep.unionByName(ups.select(*keep.columns)), sorted(
+                touched, key=lambda d: (d is None, d)
+            )
+        )
+
+    def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
+        q = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -1,0 +1,117 @@
+"""Pins for C142 (streaming CDC apply into the txnlog backend): merge
+semantics, delete handling, content-idempotent replay, create-on-first-
+batch. The streamed-vs-batch-compaction equality runs as the
+``stream_cdc_apply`` annex row in tests/test_queries_oracle.py."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.streaming.cdc import CdcApplyStream
+from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "kid int, ts timestamp, seq int, v string, event_date date, op string"
+    )
+
+
+def _row(kid, day, seq, v, op="U"):
+    return (
+        kid,
+        dt.datetime(2024, 1, day, 12, 0, seq),
+        seq,
+        v,
+        dt.date(2024, 1, day),
+        op,
+    )
+
+
+def _state(table):
+    return {
+        r["kid"]: (r["v"], r["event_date"])
+        for r in table.read().collect()
+    }
+
+
+def test_cdc_apply_merge_delete_and_reinsert(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    sink = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="event_date"
+    )
+    # batch 0 creates the table
+    sink.process_batch(
+        _batch(spark, [_row(1, 1, 1, "a"), _row(2, 1, 2, "b")]), 0
+    )
+    assert _state(t) == {1: ("a", dt.date(2024, 1, 1)), 2: ("b", dt.date(2024, 1, 1))}
+    # batch 1: update key 1 (moves partition), delete key 2, insert key 3;
+    # within-batch: key 3 has two rows, latest (by seq) wins
+    sink.process_batch(
+        _batch(
+            spark,
+            [
+                _row(1, 2, 3, "a2"),
+                _row(2, 2, 4, None, op="D"),
+                _row(3, 2, 5, "stale"),
+                _row(3, 2, 6, "c"),
+            ],
+        ),
+        1,
+    )
+    assert _state(t) == {1: ("a2", dt.date(2024, 1, 2)), 3: ("c", dt.date(2024, 1, 2))}
+    # batch 2: deleted key comes back; unknown-key delete is a no-op
+    sink.process_batch(
+        _batch(spark, [_row(2, 3, 7, "b2"), _row(9, 3, 8, None, op="D")]), 2
+    )
+    assert _state(t) == {
+        1: ("a2", dt.date(2024, 1, 2)),
+        2: ("b2", dt.date(2024, 1, 3)),
+        3: ("c", dt.date(2024, 1, 2)),
+    }
+
+
+def test_cdc_apply_replay_is_content_idempotent(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    sink = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="event_date"
+    )
+    sink.process_batch(_batch(spark, [_row(1, 1, 1, "a")]), 0)
+    b1 = _batch(spark, [_row(1, 2, 2, "a2"), _row(2, 2, 3, "b")])
+    sink.process_batch(b1, 1)
+    v_before = t.version()
+    before = _state(t)
+    sink.process_batch(b1, 1)  # crash-replay of the same batch
+    assert _state(t) == before  # content unchanged
+    # and the version diff shows zero NET change (multiset cancel)
+    d = t.diff(v_before)
+    assert d.count() == 0 or set(
+        d.groupBy().agg(F.count(F.lit(1))).collect()[0]
+    ) == {0}
+
+
+def test_cdc_apply_untouched_partitions_not_rewritten(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    sink = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="event_date"
+    )
+    sink.process_batch(
+        _batch(spark, [_row(1, 1, 1, "a"), _row(2, 2, 2, "b")]), 0
+    )
+    files_before = {
+        f for f, p in t.snapshot().items() if p == "2024-01-01"
+    }
+    # touch only key 2 (partition Jan 2): Jan 1 files must survive verbatim
+    sink.process_batch(_batch(spark, [_row(2, 2, 3, "b2")]), 1)
+    files_after = {f for f, p in t.snapshot().items() if p == "2024-01-01"}
+    assert files_before == files_after
+
+
+def test_cdc_apply_validates(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "missing"))
+    with pytest.raises(ValueError, match="key_cols"):
+        CdcApplyStream(t, [], "ts")
+    sink = CdcApplyStream(t, ["kid"], "ts")  # no partition_col
+    with pytest.raises(ValueError, match="partition_col"):
+        sink.process_batch(_batch(spark, [_row(1, 1, 1, "a")]), 0)

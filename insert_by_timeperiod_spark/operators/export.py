@@ -138,3 +138,72 @@ def read_webdataset_shards(out_dir: str, prefix: str = "shard") -> list[dict]:
                     }
                 )
     return out
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_cols: list[str],
+    *,
+    cols: list[str] | None = None,
+    seed: str = "",
+    prefix: str = "part",
+) -> DataFrame:
+    """JSONL shard export (SURVEY.md §2 C143): the other standard
+    training-data layout next to C50's WebDataset tars — one
+    ``{prefix}-{shard:05d}.jsonl`` per shard, one compact JSON object per
+    line in deterministic (shard, pos) order, sorted keys, atomic
+    per-shard publish. Returns the same (shard, n_examples, n_bytes,
+    sha256) manifest; identical determinism contract: re-exporting an
+    unchanged corpus reproduces byte-identical files, so the sha256 is a
+    content address for provenance.
+
+    Scale shape: identical to C50 — scan-stage shard/pos draw, ONE
+    shuffle by shard, one writer task per shard (size ``n_shards`` so a
+    shard fits an executor). Because the payload is plain JSONL, the
+    round trip is itself oracle-checkable: Spark (or DuckDB read_json)
+    reads the shards back and must reproduce the source table exactly —
+    the annex row does precisely that."""
+    cols = list(cols or [c for c in df.columns])
+    missing = [c for c in {*cols, *key_cols} if c not in df.columns]
+    if missing:
+        raise ValueError(f"export_jsonl_shards: missing columns {missing}")
+    sel = list(dict.fromkeys([*cols, *key_cols]))
+    laid = shard_and_order(df.select(*sel), n_shards, key_cols, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(pdf):
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("pos")
+        path = os.path.join(out_dir, f"{prefix}-{shard:05d}.jsonl")
+        lines = []
+        for _, row in pdf.iterrows():
+            lines.append(
+                json.dumps(
+                    {c: _json_safe(row[c]) for c in cols},
+                    sort_keys=True,
+                    separators=(",", ":"),
+                    ensure_ascii=False,
+                )
+            )
+        raw = ("\n".join(lines) + ("\n" if lines else "")).encode("utf-8")
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, path)  # atomic publish per shard
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_examples": [len(pdf)],
+                "n_bytes": [len(raw)],
+                "sha256": [hashlib.sha256(raw).hexdigest()],
+            }
+        )
+
+    manifest = laid.groupBy("shard").applyInPandas(
+        _write, "shard int, n_examples long, n_bytes long, sha256 string"
+    )
+    return manifest.orderBy("shard")

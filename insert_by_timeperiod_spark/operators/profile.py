@@ -22,6 +22,8 @@ Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F, types as T
 
 _NUMERIC = (
@@ -231,4 +233,218 @@ def suppress_small_groups_sql(
 SELECT {select} FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY {q}) AS _n FROM {source}
 ) WHERE _n >= {int(k)}
+"""
+
+
+# -------------------------------------------------------- C144 Benford audit
+
+#: expected Benford first-digit mass, rounded to the 6-decimal grid —
+#: literal constants so both engines compare against the same numbers
+_BENFORD = {d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benford first-digit audit (SURVEY.md §2 C144): per group, the
+    observed first-significant-digit distribution of ``value_col``
+    against Benford's law — the classic naturally-grown-vs-fabricated
+    tell for financial/metric columns, completing the profiling family
+    (C55 stats, C62 skew, C107 k-anonymity, C53 drift).
+
+    First digit = first [1-9] char of the value's decimal string — NO
+    log10/floor extraction, whose IEEE rounding at exact powers of ten
+    (log10(1000) just under 3) flips digits differently per engine;
+    the string form is the number both engines already agree on
+    (scientific-notation mantissas lead with the significant digit too).
+    Zero/NULL values carry no first digit and are excluded, like every
+    published Benford test. Output per (group, digit): ``n``,
+    ``obs_frac`` (6-decimal grid), ``exp_frac`` (the Benford constant),
+    and ``dev`` = obs − exp. ONE map-side-combined aggregate; the group
+    total rides a window over the digit-sized result."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("string"), "[1-9]", 0
+    )
+    src = df.where(
+        F.col(value_col).isNotNull() & (F.col(value_col) != 0)
+    ).select(*gcols, digit.cast("int").alias("digit"))
+    counts = src.groupBy(*gcols, "digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    exp_map = F.create_map(
+        *[x for d, e in _BENFORD.items() for x in (F.lit(d), F.lit(e))]
+    )
+    return counts.select(
+        *gcols,
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("obs_frac"),
+        F.element_at(exp_map, F.col("digit")).alias("exp_frac"),
+        F.round(
+            F.round(F.col("n") / F.sum("n").over(w), 6)
+            - F.element_at(exp_map, F.col("digit")),
+            6,
+        ).alias("dev"),
+    )
+
+
+def benford_sql(
+    source: str, value_col: str, group_cols: list[str] | None = None
+) -> str:
+    """Exact DuckDB twin of :func:`benford_audit` — identical string
+    first-digit rule, identical 6-decimal grid and Benford constants."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    exp = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {e!r}" for d, e in _BENFORD.items()
+    ) + " END"
+    return f"""
+WITH _d AS (
+    SELECT {gsel}CAST(regexp_extract(CAST(abs({value_col}) AS VARCHAR),
+                                     '[1-9]') AS INT) AS digit
+    FROM {source}
+    WHERE {value_col} IS NOT NULL AND {value_col} <> 0
+), _c AS (
+    SELECT {gsel}digit, COUNT(*) AS n FROM _d GROUP BY {gsel}digit
+)
+SELECT {gsel}digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER ({part}), 6) AS obs_frac,
+       {exp} AS exp_frac,
+       round(round(CAST(n AS DOUBLE) / SUM(n) OVER ({part}), 6)
+             - {exp}, 6) AS dev
+FROM _c
+"""
+
+
+# -------------------------------------------- C145 grouped correlation matrix
+
+def corr_by_group(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix per group (SURVEY.md §2 C145):
+    one row per (group, col_x, col_y) unordered pair — the
+    feature-redundancy / leakage scan a feature table (C120) gets before
+    training. Rows with a NULL in ANY profiled column are excluded
+    (matrix-wide listwise deletion, the portable rule — pairwise deletion
+    would need per-pair masks).
+
+    Exactness: all sufficient statistics (Σx, Σx², Σxy) round each term
+    to the 6-decimal grid and sum as DECIMAL(38,6) — order-independent,
+    so the one final double formula is bit-identical cross-engine. ONE
+    map-side-combined aggregate computes every pair's statistics in a
+    single corpus pass; the pair explosion happens on the groups-sized
+    result."""
+    if len(cols) < 2:
+        raise ValueError("corr_by_group: need at least two columns")
+    gcols = list(group_cols or [])
+    src = df
+    for c in cols:
+        src = src.where(F.col(c).isNotNull())
+
+    def s(c):  # Σ round(x, 6) as DECIMAL — the engine's exactness grid
+        return F.sum(F.round(F.col(c).cast("double"), 6).cast("decimal(38,6)"))
+
+    def sp(a, b):  # Σ round(x·y, 6) as DECIMAL
+        return F.sum(
+            F.round(
+                F.col(a).cast("double") * F.col(b).cast("double"), 6
+            ).cast("decimal(38,6)")
+        )
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(s(c).alias(f"_s_{c}"))
+        aggs.append(sp(c, c).alias(f"_q_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(sp(a, b).alias(f"_p_{a}_{b}"))
+    stats = (src.groupBy(*gcols).agg(*aggs)) if gcols else src.agg(*aggs)
+
+    def corr_expr(a, b):
+        n = F.col("_n").cast("double")
+        sx, sy = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        qx, qy = F.col(f"_q_{a}").cast("double"), F.col(f"_q_{b}").cast("double")
+        pxy = F.col(f"_p_{a}_{b}").cast("double")
+        num = n * pxy - sx * sy
+        den = F.sqrt(n * qx - sx * sx) * F.sqrt(n * qy - sy * sy)
+        return F.round(F.when(den > 0, num / den), 6)
+
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        stats.select(*gcols, F.explode(pair_structs).alias("_pr"))
+        .select(*gcols, "_pr.col_x", "_pr.col_y", "_pr.corr")
+    )
+
+
+def corr_by_group_sql(
+    source: str,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`corr_by_group` — identical listwise
+    deletion, identical 6-decimal/DECIMAL sufficient statistics,
+    identical final formula."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    aggs = ["COUNT(*) AS _n"]
+    for c in cols:
+        aggs.append(
+            f"SUM(CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(38,6))) AS _s_{c}"
+        )
+        aggs.append(
+            f"SUM(CAST(round(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE), 6)"
+            f" AS DECIMAL(38,6))) AS _q_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            f"SUM(CAST(round(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE), 6)"
+            f" AS DECIMAL(38,6))) AS _p_{a}_{b}"
+        )
+    grp = f"GROUP BY {g}" if g else ""
+    arms = []
+    for a, b in pairs:
+        num = (
+            f"(CAST(_n AS DOUBLE) * CAST(_p_{a}_{b} AS DOUBLE)"
+            f" - CAST(_s_{a} AS DOUBLE) * CAST(_s_{b} AS DOUBLE))"
+        )
+        den = (
+            f"(sqrt(CAST(_n AS DOUBLE) * CAST(_q_{a} AS DOUBLE)"
+            f" - CAST(_s_{a} AS DOUBLE) * CAST(_s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(_n AS DOUBLE) * CAST(_q_{b} AS DOUBLE)"
+            f" - CAST(_s_{b} AS DOUBLE) * CAST(_s_{b} AS DOUBLE)))"
+        )
+        arms.append(
+            f"SELECT {gsel}'{a}' AS col_x, '{b}' AS col_y,"
+            f" round(CASE WHEN {den} > 0 THEN {num} / {den} END, 6) AS corr"
+            " FROM _stats"
+        )
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source} WHERE {notnull}
+), _stats AS (
+    SELECT {gsel}{", ".join(aggs)} FROM _src {grp}
+)
+{" UNION ALL ".join(arms)}
 """

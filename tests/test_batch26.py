@@ -1,0 +1,145 @@
+"""Pins for the round-7 batch-26 components (SURVEY.md §2 C143-C145):
+JSONL shard export, Benford first-digit audit, grouped Pearson
+correlation. Exact cross-engine twins / round-trip oracles run as annex
+rows in tests/test_queries_oracle.py."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import export as EXP
+from insert_by_timeperiod_spark.operators import profile
+
+
+# ------------------------------------------------------- C143 JSONL export
+
+
+def _docs(spark):
+    rows = [
+        (i, f"doc {i} — ünïcode\nline2 \"quoted\"", ["en", "fr"][i % 2])
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_jsonl_export_deterministic_and_complete(spark, tmp_path):
+    df = _docs(spark)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = {
+        r["shard"]: (r["n_examples"], r["sha256"])
+        for r in EXP.export_jsonl_shards(df, d1, 3, ["doc_id"], seed="s").collect()
+    }
+    m2 = {
+        r["shard"]: (r["n_examples"], r["sha256"])
+        for r in EXP.export_jsonl_shards(df, d2, 3, ["doc_id"], seed="s").collect()
+    }
+    assert m1 == m2  # byte-identical re-export (content address)
+    assert sum(n for n, _ in m1.values()) == 40
+    # manifest sha256 matches the actual file bytes
+    import hashlib
+
+    for shard, (_, sha) in m1.items():
+        p = os.path.join(d1, f"part-{shard:05d}.jsonl")
+        assert hashlib.sha256(open(p, "rb").read()).hexdigest() == sha
+        assert not os.path.exists(p + ".inprogress")
+
+
+def test_jsonl_export_round_trips_unicode_and_newlines(spark, tmp_path):
+    df = _docs(spark)
+    out = str(tmp_path / "rt")
+    EXP.export_jsonl_shards(df, out, 2, ["doc_id"], seed="s").count()
+    back = {
+        r["doc_id"]: (r["text"], r["lang"])
+        for r in spark.read.schema("doc_id long, text string, lang string")
+        .json(out + "/*.jsonl")
+        .collect()
+    }
+    want = {r["doc_id"]: (r["text"], r["lang"]) for r in df.collect()}
+    assert back == want
+    # lines are one compact sorted-key JSON object each
+    first = open(os.path.join(out, "part-00000.jsonl")).readline()
+    obj = json.loads(first)
+    assert list(obj) == sorted(obj)
+    with pytest.raises(ValueError, match="missing columns"):
+        EXP.export_jsonl_shards(df, out, 2, ["nope"])
+
+
+# ------------------------------------------------------- C144 Benford audit
+
+
+def test_benford_hand_case_and_exclusions(spark):
+    vals = [1.0, 12.0, 150.0, -19.9, 2.5, 0.0031, 0.0, None, 9e9]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r for r in profile.benford_audit(df, "v").collect()}
+    # digits: 1,1,1,1,2,3,9 (zero and NULL excluded) -> n=7
+    assert {d: r["n"] for d, r in got.items()} == {1: 4, 2: 1, 3: 1, 9: 1}
+    assert got[1]["obs_frac"] == pytest.approx(round(4 / 7, 6))
+    assert got[1]["exp_frac"] == pytest.approx(0.30103, abs=1e-6)
+    assert got[2]["dev"] == pytest.approx(
+        round(round(1 / 7, 6) - 0.176091, 6), abs=1e-9
+    )
+
+
+def test_benford_matches_twin(spark):
+    import duckdb
+
+    rows = [
+        (["a", "b"][i % 2], float((i * 37 + 11) % 997) / 7)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(
+        (r["g"], r["digit"], r["n"], r["obs_frac"], r["dev"])
+        for r in profile.benford_audit(df, "v", ["g"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        (r[0], r[1], r[2], r[3], r[5])
+        for r in con.execute(profile.benford_sql("t", "v", ["g"])).fetchall()
+    )
+    assert got == want
+
+
+# -------------------------------------------------- C145 grouped correlation
+
+
+def test_corr_perfect_anti_and_degenerate(spark):
+    rows = [(float(i), float(2 * i + 1), float(-3 * i), 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in profile.corr_by_group(df, ["a", "b", "c", "k"]).collect()
+    }
+    assert got[("a", "b")] == pytest.approx(1.0)
+    assert got[("a", "c")] == pytest.approx(-1.0)
+    assert got[("a", "k")] is None  # constant column: undefined, not 0
+    assert len(got) == 6  # unordered pairs of 4 columns
+
+
+def test_corr_null_rows_listwise_deleted_and_twin(spark):
+    import duckdb
+
+    rows = [
+        ("g1", float(i % 11), float((i * 3) % 7), float((i * 5 + 2) % 13))
+        for i in range(60)
+    ] + [("g1", None, 1.0, 1.0), ("g2", 1.0, 2.0, 3.0), ("g2", 2.0, 1.0, 0.0)]
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double")
+    got = sorted(
+        (r["g"], r["col_x"], r["col_y"], r["corr"])
+        for r in profile.corr_by_group(df, ["a", "b", "c"], ["g"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, a DOUBLE, b DOUBLE, c DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = sorted(
+        con.execute(
+            profile.corr_by_group_sql("t", ["a", "b", "c"], ["g"])
+        ).fetchall()
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        profile.corr_by_group(df, ["a"])

@@ -42,6 +42,8 @@ from insert_by_timeperiod_spark.functions import quality as QL
 from insert_by_timeperiod_spark.functions import text as TX
 from insert_by_timeperiod_spark.functions.text import LANG_MARKERS
 from insert_by_timeperiod_spark.functions import urls as URLS
+from insert_by_timeperiod_spark.functions import variant
+from insert_by_timeperiod_spark.functions import ip as IP
 from insert_by_timeperiod_spark.functions import html as HT
 from insert_by_timeperiod_spark.operators import (
     analytics,
@@ -5066,6 +5068,187 @@ def _stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("kid", "ts", "value", "event_date")
 
 
+def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C143 (annex, EXACT oracle): JSONL shard export, oracled as a
+    full ROUND TRIP — the corpus exports to deterministic (shard, pos)
+    JSONL files, Spark reads the files back, and the result must equal
+    the source table exactly (SELECT from documents is the oracle). A
+    wrong escape, a dropped row, a shard collision — anything in the
+    writer — flips the hash."""
+    from insert_by_timeperiod_spark.operators import export as EXP
+
+    _prep(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ibtp_jsonl_") + "/shards"
+    docs = spark.table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    EXP.export_jsonl_shards(docs, out, 4, ["doc_id"], seed="r7b26").count()
+    return spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out + "/*.jsonl")
+
+
+def _benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C144 (annex, EXACT oracle): Benford first-digit audit of event
+    values per type. The first digit comes from the value's decimal
+    STRING (no log10/floor, whose IEEE rounding at powers of ten flips
+    digits per engine); fractions on the 6-decimal grid."""
+    _prep(spark, sf_dir)
+    return profile.benford_audit(
+        spark.table("events"), "value", ["event_type"]
+    )
+
+
+_CORR_SRC_EXPRS = [
+    "event_type",
+    "value",
+    "CAST(event_id % 7 AS DOUBLE) AS x",
+    "CAST(user_id % 13 AS DOUBLE) AS y",
+]
+
+
+def _corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C145 (annex, EXACT oracle): pairwise Pearson correlation per
+    event_type over three numeric features — all sufficient statistics
+    on the 6-decimal/DECIMAL grid (order-independent sums), one corpus
+    pass, pair explosion on the groups-sized result."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").selectExpr(*_CORR_SRC_EXPRS)
+    return profile.corr_by_group(src, ["value", "x", "y"], ["event_type"])
+
+
+_VARIANT_JSON_DUCK = (
+    "(CASE WHEN event_id % 83 = 0 THEN 'oops{' ELSE"
+    " '{\"k\": ' || CAST(user_id % 50 AS VARCHAR)"
+    " || ', \"tags\": [\"t' || CAST(event_id % 5 AS VARCHAR)"
+    " || '\", \"x\"], \"m\": {\"x\": ' || CAST(event_id % 13 AS VARCHAR)"
+    " || '}}' END)"
+)
+
+_VARIANT_FIELDS = [
+    ("$.k", "int", "k"),
+    ("$.m.x", "double", "mx"),
+    ("$.tags[1]", "string", "t1"),
+    ("$.missing", "string", "miss"),
+]
+
+
+def _variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C146 (annex, EXACT oracle): Spark 4 VARIANT lane — JSON parsed
+    ONCE into the binary variant encoding (bound as a real column, the
+    with_geohash lesson), any number of typed paths pulled with
+    variant_get. The fixture JSON is id-arithmetic (ints only — float
+    string formatting differs per engine) with planted malformed rows;
+    the twin replays json_valid-gated ->> paths with TRY_CAST. Malformed
+    / JSON-null / missing-path / nested / array-index lanes all ride in
+    the compared columns."""
+    _prep(spark, sf_dir)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    j = F.when(eid % 83 == 0, F.lit("oops{")).otherwise(
+        F.concat(
+            F.lit('{"k": '), (uid % 50).cast("string"),
+            F.lit(', "tags": ["t'), (eid % 5).cast("string"),
+            F.lit('", "x"], "m": {"x": '), (eid % 13).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    src = spark.table("events").select("event_id", j.alias("j"))
+    return variant.variant_extract(src, "j", _VARIANT_FIELDS)
+
+
+_PARETO_SRC_EXPRS = [
+    "event_id",
+    "event_type",
+    "value AS x",
+    "CAST((event_id * 7) % 101 AS DOUBLE) AS y",
+]
+
+
+def _pareto_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C147 (annex, EXACT oracle): 2-D Pareto frontier per event_type
+    — the rows no other row dominates on (x, y). One window shuffle, no
+    self-join; the equal-x subtlety (compare against the y-max of earlier
+    x VALUES, not earlier rows) rides in the compared output."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").selectExpr(*_PARETO_SRC_EXPRS)
+    return analytics.pareto_frontier(
+        src, "x", "y", group_cols=["event_type"], id_cols=["event_id"]
+    )
+
+
+_IP_FIXTURE_DUCK = (
+    "(CASE WHEN event_id % 5 = 0 THEN '10' WHEN event_id % 5 = 1 THEN '192'"
+    " WHEN event_id % 5 = 2 THEN '172' ELSE CAST(event_id % 260 AS VARCHAR) END"
+    " || '.' || CAST(CASE WHEN event_id % 5 = 1 THEN 168"
+    "                     WHEN event_id % 5 = 2 THEN 16 + (user_id % 32)"
+    "                     ELSE user_id % 256 END AS VARCHAR)"
+    " || '.' || CAST((event_id * 3) % 256 AS VARCHAR)"
+    " || '.' || CAST((event_id * 7) % 256 AS VARCHAR))"
+)
+
+
+def _ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C148 (annex, EXACT oracle): IPv4 parse + /24 CIDR bucket +
+    RFC-1918 flag over an id-arithmetic address fixture that plants
+    private ranges (10/8, 192.168/16, 172.16/12) AND invalid octets
+    (first octet up to 259 → NULL lane). Pure scan algebra; octets
+    reassemble via shifts, never division-casts (the C94 rounding trap)."""
+    _prep(spark, sf_dir)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    first = (
+        F.when(eid % 5 == 0, F.lit("10"))
+        .when(eid % 5 == 1, F.lit("192"))
+        .when(eid % 5 == 2, F.lit("172"))
+        .otherwise((eid % 260).cast("string"))
+    )
+    second = (
+        F.when(eid % 5 == 1, F.lit(168))
+        .when(eid % 5 == 2, 16 + (uid % 32))
+        .otherwise(uid % 256)
+    ).cast("string")
+    addr = F.concat(
+        first, F.lit("."), second, F.lit("."),
+        ((eid * 3) % 256).cast("string"), F.lit("."),
+        ((eid * 7) % 256).cast("string"),
+    )
+    src = spark.table("events").select("event_id", addr.alias("ip"))
+    return src.select(
+        "event_id",
+        "ip",
+        IP.ip_to_long(F.col("ip")).alias("ip_long"),
+        IP.cidr_block(F.col("ip"), 24).alias("cidr24"),
+        IP.is_private(F.col("ip")).alias("private"),
+    )
+
+
+_FK_CHILD_DUCK = (
+    "(SELECT o_orderkey,"
+    " CASE WHEN o_orderkey % 97 = 0 THEN NULL"
+    "      WHEN o_orderkey % 50 = 0 THEN o_custkey + 10000000"
+    "      ELSE o_custkey END AS o_custkey FROM orders)"
+)
+
+
+def _fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C149 (annex, EXACT oracle): referential-integrity audit —
+    orders⋈customer orphan rate with planted orphans (shifted custkeys)
+    and planted NULL keys (reported separately, never counted as orphans
+    — SQL FK semantics). One anti-probe against the dimension-sized
+    distinct key set, one aggregate, no row output."""
+    _prep(spark, sf_dir)
+    ok = F.col("o_orderkey")
+    child = spark.table("orders").select(
+        ok.alias("o_orderkey"),
+        F.when(ok % 97 == 0, F.lit(None).cast("long"))
+        .when(ok % 50 == 0, F.col("o_custkey") + 10000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    return reconcile.fk_audit(
+        child, spark.table("customer"), {"o_custkey": "c_custkey"}
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5246,6 +5429,16 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "geo_radius_pairs": _geo_radius_pairs,
         # round-7 batch-25 components (C142)
         "stream_cdc_apply": _stream_cdc_apply,
+        # round-7 batch-26 components (C143-C145)
+        "jsonl_export_roundtrip": _jsonl_roundtrip,
+        "benford_value_by_type": _benford_values,
+        "corr_events_features": _corr_features,
+        # round-7 batch-27 components (C146)
+        "variant_props_events": _variant_props,
+        # round-7 batch-28 components (C147-C149)
+        "pareto_value_by_type": _pareto_events,
+        "ip_cidr_events": _ip_cidr,
+        "fk_orphans_orders": _fk_orphans,
     }
 
 
@@ -5609,6 +5802,37 @@ def pytest_only_oracles() -> dict[str, str]:
         "geo_radius_pairs": geo.radius_join_sql(
             _GEO_P_DUCK, _GEO_Q_DUCK, radius_km=150.0,
             query_out=["qid", "lat", "lon"], point_out=["pid", "lat", "lon"],
+        ),
+        # round-7 batch-28 components (C147-C149)
+        "pareto_value_by_type": analytics.pareto_frontier_sql(
+            f"(SELECT {', '.join(_PARETO_SRC_EXPRS)} FROM events)",
+            "x", "y", group_cols=["event_type"], id_cols=["event_id"],
+        ),
+        "ip_cidr_events": f"""
+            SELECT event_id, ip,
+                   {IP.ip_to_long_sql('ip')} AS ip_long,
+                   {IP.cidr_block_sql('ip', 24)} AS cidr24,
+                   {IP.is_private_sql('ip')} AS private
+            FROM (SELECT event_id, {_IP_FIXTURE_DUCK} AS ip FROM events)
+        """,
+        "fk_orphans_orders": reconcile.fk_audit_sql(
+            _FK_CHILD_DUCK, "customer", {"o_custkey": "c_custkey"}
+        ),
+        # round-7 batch-27 components (C146)
+        "variant_props_events": variant.variant_extract_sql(
+            f"(SELECT event_id, {_VARIANT_JSON_DUCK} AS j FROM events)",
+            "j", _VARIANT_FIELDS, keep=["event_id", "j"],
+        ),
+        # round-7 batch-26 components (C143-C145)
+        "jsonl_export_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "benford_value_by_type": profile.benford_sql(
+            "events", "value", ["event_type"]
+        ),
+        "corr_events_features": profile.corr_by_group_sql(
+            f"(SELECT {', '.join(_CORR_SRC_EXPRS)} FROM events)",
+            ["value", "x", "y"], ["event_type"],
         ),
         # round-7 batch-25 components (C142)
         "stream_cdc_apply": scd.apply_changelog_sql(

@@ -126,6 +126,27 @@ QUERIES = [
     "time_to_convert_cp",
     "bm25_index_topk",
     "kmv_distinct_users",
+    # round-7 batch-22+ operators: graph traversal, retrieval eval, script
+    # routing, skew-salted join, the privacy release, the geo family (the
+    # radius row's oracle is the BRUTE-FORCE pair filter — the ratio is
+    # the measured value of grid blocking at volume), profiling additions,
+    # the VARIANT lane, and two write-path points (JSONL export round
+    # trip, streaming CDC apply). The Holt/CUSUM recurrences are excluded
+    # on the EWMA precedent: their recursive-CTE twins are structurally
+    # pathological in a SQL engine (62s+ at sf1) and one representative of
+    # that family in the study is enough.
+    "bfs_hops_events",
+    "retrieval_eval_events",
+    "script_id_docs",
+    "salted_join_segments",
+    "noisy_counts_types",
+    "geohash_events",
+    "geo_radius_pairs",
+    "benford_value_by_type",
+    "corr_events_features",
+    "variant_props_events",
+    "jsonl_export_roundtrip",
+    "stream_cdc_apply",
 ]
 
 
@@ -245,6 +266,9 @@ def main() -> None:
         # only compute the query
         "agg_rollup_periods",
         "bloom_index_point_read",
+        # shard files / streamed txnlog commits; oracles only compute
+        "jsonl_export_roundtrip",
+        "stream_cdc_apply",
     }
     q_only = {
         k: v

@@ -1,0 +1,93 @@
+"""Semi-structured VARIANT lane (SURVEY.md §2 C146): extract typed
+columns from raw JSON via Spark 4's VariantType — parse ONCE into the
+binary variant encoding, then pull any number of paths with
+``variant_get`` — the modern replacement for per-field
+``get_json_object`` (which re-parses the string for every field; C15's
+original lane). On a 100 TB event stream with 20 extracted fields,
+parse-once-vs-twenty is the difference between one JSON decode per row
+and twenty.
+
+Semantics contract (matched by the DuckDB twin, which parses with
+json_valid + ``->>`` paths): malformed JSON → every extraction NULL
+(``try_parse_json``, never an abort mid-corpus); JSON null at a path →
+NULL; missing path → NULL; type-mismatched leaf → NULL (try-cast
+semantics both sides). The parsed variant binds as a REAL intermediate
+column so the parse genuinely happens once (the with_geohash lesson:
+nested single expressions re-inline).
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: (path, spark_type, alias) field spec — path is a JSON path like
+#: ``$.m.x`` or ``$.tags[0]``
+FieldSpec = tuple[str, str, str]
+
+
+def variant_extract(
+    df: DataFrame,
+    json_col: str,
+    fields: list[FieldSpec],
+) -> DataFrame:
+    """Attach one typed column per (path, type, alias) spec, parsing
+    ``json_col`` exactly once via VariantType. Keeps every input column;
+    aliases must be fresh."""
+    if not fields:
+        raise ValueError("variant_extract: fields required")
+    have = {c.lower() for c in df.columns}
+    clash = sorted(a for _, _, a in fields if a.lower() in have)
+    if clash:
+        raise ValueError(
+            f"variant_extract: alias(es) {clash} already exist in the input"
+        )
+    if "_vnt" in have:
+        raise ValueError("variant_extract: column '_vnt' is reserved")
+    step = df.withColumn("_vnt", F.try_parse_json(F.col(json_col)))
+    # try_variant_get, not variant_get: the plain form THROWS on a
+    # type-mismatched leaf (e.g. an object pulled as int) — the try form
+    # is what gives the documented NULL/try-cast contract
+    return step.select(
+        *df.columns,
+        *[
+            F.try_variant_get(F.col("_vnt"), path, typ).alias(alias)
+            for path, typ, alias in fields
+        ],
+    )
+
+
+_DUCK_TYPES = {
+    "int": "INT",
+    "bigint": "BIGINT",
+    "long": "BIGINT",
+    "double": "DOUBLE",
+    "float": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+}
+
+
+def variant_extract_sql(
+    source: str,
+    json_col: str,
+    fields: list[FieldSpec],
+    *,
+    keep: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`variant_extract` — json_valid-gated
+    ``->>`` path extraction with TRY_CAST to the matching type."""
+    keep_sql = ", ".join(keep) + ", " if keep else ""
+    arms = []
+    for path, typ, alias in fields:
+        duck_t = _DUCK_TYPES[typ.lower()]
+        raw = f"{json_col}->>'{path}'"
+        if duck_t == "VARCHAR":
+            expr = raw
+        else:
+            expr = f"TRY_CAST({raw} AS {duck_t})"
+        arms.append(
+            f"CASE WHEN json_valid({json_col}) THEN {expr} END AS {alias}"
+        )
+    return f"SELECT {keep_sql}{', '.join(arms)} FROM {source}"

@@ -1,0 +1,70 @@
+"""Pins for C146 (Spark 4 VARIANT semi-structured lane): typed path
+extraction semantics and the parse-once plan property. The exact
+cross-engine twin runs as the ``variant_props_events`` annex row."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.functions import variant
+
+
+def _extract(spark, s, fields):
+    df = spark.createDataFrame([(s,)], "j string")
+    return variant.variant_extract(df, "j", fields).collect()[0]
+
+
+def test_variant_extract_typed_paths(spark):
+    row = _extract(
+        spark,
+        '{"a": 7, "b": {"c": 2.5}, "d": ["x", "y"], "e": true, "f": null}',
+        [
+            ("$.a", "int", "a"),
+            ("$.b.c", "double", "c"),
+            ("$.d[1]", "string", "d1"),
+            ("$.e", "boolean", "e"),
+            ("$.f", "string", "f"),
+            ("$.nope", "string", "nope"),
+        ],
+    )
+    assert (row["a"], row["c"], row["d1"], row["e"]) == (7, 2.5, "y", True)
+    assert row["f"] is None and row["nope"] is None
+
+
+def test_variant_extract_malformed_and_mismatch_are_null(spark):
+    row = _extract(
+        spark, "not json at all", [("$.a", "int", "a"), ("$.b", "string", "b")]
+    )
+    assert row["a"] is None and row["b"] is None
+    # type mismatch: an OBJECT pulled as int -> NULL (try-cast semantics)
+    row2 = _extract(spark, '{"a": {"x": 1}}', [("$.a", "int", "a")])
+    assert row2["a"] is None
+
+
+def test_variant_extract_parses_once_and_validates(spark):
+    df = spark.createDataFrame([('{"a": 1}',)], "j string")
+    out = variant.variant_extract(
+        df, "j", [("$.a", "int", "a"), ("$.b", "int", "b"), ("$.c", "int", "c")]
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the optimizer spells the parse static_invoke(...parseJson...); it
+    # must appear ONCE (bound column) with three variant_gets over it
+    assert plan.count("parseJson") == 1, plan
+    assert plan.count("try_variant_get") == 3, plan
+    with pytest.raises(ValueError, match="fields required"):
+        variant.variant_extract(df, "j", [])
+    with pytest.raises(ValueError, match="already exist"):
+        variant.variant_extract(df, "j", [("$.a", "int", "j")])
+    with pytest.raises(ValueError, match="reserved"):
+        variant.variant_extract(
+            df.withColumn("_vnt", F.lit(1)), "j", [("$.a", "int", "a")]
+        )
+
+
+def test_variant_twin_type_table_covers_spec_types(spark):
+    sql = variant.variant_extract_sql(
+        "t", "j",
+        [("$.a", "bigint", "a"), ("$.b", "string", "b"), ("$.c", "boolean", "c")],
+    )
+    assert "TRY_CAST(j->>'$.a' AS BIGINT)" in sql
+    assert "j->>'$.b'" in sql and "TRY_CAST(j->>'$.b'" not in sql
+    assert "AS BOOLEAN" in sql

@@ -1,0 +1,119 @@
+"""IPv4 parsing and CIDR bucketing (SURVEY.md §2 C148): dotted-quad →
+uint32, /N block rollup, and RFC-1918 private-range flags — the
+crawl/abuse hygiene siblings of the URL canonicalizer (C73): per-/24
+politeness budgets, datacenter-range filtering, and per-block request
+rollups all key on the CIDR bucket, not the raw address.
+
+Pure scan-stage algebra on both engines: octet split + positional
+arithmetic (a·2²⁴ + b·2¹⁶ + c·2⁸ + d), mask by integer shifts, dotted
+reassembly by the inverse arithmetic. Invalid addresses (wrong shape,
+octet > 255, leading junk) yield NULL everywhere — the regex gate and
+the octet bound are applied identically in both engines, so the twins
+are exact.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: strict dotted-quad shape; octet range checked numerically after split
+_IPV4_RE = r"^([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})$"
+
+
+def _octets(col: Column) -> list[Column]:
+    return [
+        F.regexp_extract(col, _IPV4_RE, i).cast("long") for i in (1, 2, 3, 4)
+    ]
+
+
+def ip_to_long(col: Column) -> Column:
+    """uint32 value of a dotted-quad IPv4 string; NULL when the string is
+    not a valid address (shape or octet > 255)."""
+    a, b, c, d = _octets(col)
+    valid = (
+        col.rlike(_IPV4_RE)
+        & (a <= 255) & (b <= 255) & (c <= 255) & (d <= 255)
+    )
+    return F.when(valid, a * 16777216 + b * 65536 + c * 256 + d)
+
+
+def cidr_block(col: Column, prefix: int) -> Column:
+    """The address's /prefix CIDR block as ``a.b.c.d/prefix`` (network
+    address dotted out by the inverse arithmetic). NULL for invalid
+    input."""
+    if not 0 <= prefix <= 32:
+        raise ValueError(f"prefix must be in [0, 32], got {prefix}")
+    shift = 32 - prefix
+    net = F.shiftleft(F.shiftright(ip_to_long(col), shift), shift)
+    # octets back out via shifts, NOT division-then-cast: DuckDB rounds
+    # double->int casts while Spark truncates (the C94 trap) — shifts are
+    # exact integer ops on both engines
+    return F.when(
+        net.isNotNull(),
+        F.concat(
+            (F.shiftright(net, 24) % 256).cast("string"), F.lit("."),
+            (F.shiftright(net, 16) % 256).cast("string"), F.lit("."),
+            (F.shiftright(net, 8) % 256).cast("string"), F.lit("."),
+            (net % 256).cast("string"), F.lit(f"/{prefix}"),
+        ),
+    )
+
+
+def is_private(col: Column) -> Column:
+    """True for RFC-1918 ranges (10/8, 172.16/12, 192.168/16), False for
+    other valid addresses, NULL for invalid input."""
+    v = ip_to_long(col)
+    return F.when(
+        v.isNotNull(),
+        ((v >= 10 * 16777216) & (v < 11 * 16777216))
+        | ((v >= 172 * 16777216 + 16 * 65536) & (v < 172 * 16777216 + 32 * 65536))
+        | ((v >= 192 * 16777216 + 168 * 65536) & (v < 192 * 16777216 + 169 * 65536)),
+    )
+
+
+def _octets_sql(expr: str) -> list[str]:
+    return [
+        f"TRY_CAST(regexp_extract({expr}, '{_IPV4_RE}', {i}) AS BIGINT)"
+        for i in (1, 2, 3, 4)
+    ]
+
+
+def ip_to_long_sql(expr: str) -> str:
+    """Exact DuckDB twin of :func:`ip_to_long`."""
+    a, b, c, d = _octets_sql(expr)
+    return (
+        f"CASE WHEN regexp_matches({expr}, '{_IPV4_RE}')"
+        f" AND {a} <= 255 AND {b} <= 255 AND {c} <= 255 AND {d} <= 255"
+        f" THEN {a} * 16777216 + {b} * 65536 + {c} * 256 + {d} END"
+    )
+
+
+def cidr_block_sql(expr: str, prefix: int) -> str:
+    """Exact DuckDB twin of :func:`cidr_block`."""
+    if not 0 <= prefix <= 32:
+        raise ValueError(f"prefix must be in [0, 32], got {prefix}")
+    shift = 32 - prefix
+    net = f"(({ip_to_long_sql(expr)} >> {shift}) << {shift})"
+    return (
+        f"CASE WHEN {net} IS NOT NULL THEN"
+        f" CAST(({net} >> 24) % 256 AS VARCHAR)"
+        f" || '.' || CAST(({net} >> 16) % 256 AS VARCHAR)"
+        f" || '.' || CAST(({net} >> 8) % 256 AS VARCHAR)"
+        f" || '.' || CAST({net} % 256 AS VARCHAR)"
+        f" || '/{prefix}' END"
+    )
+
+
+def is_private_sql(expr: str) -> str:
+    """Exact DuckDB twin of :func:`is_private`."""
+    v = ip_to_long_sql(expr)
+    return (
+        f"CASE WHEN {v} IS NOT NULL THEN"
+        f" ({v} >= {10 * 16777216} AND {v} < {11 * 16777216})"
+        f" OR ({v} >= {172 * 16777216 + 16 * 65536}"
+        f" AND {v} < {172 * 16777216 + 32 * 65536})"
+        f" OR ({v} >= {192 * 16777216 + 168 * 65536}"
+        f" AND {v} < {192 * 16777216 + 169 * 65536}) END"
+    )

@@ -1211,3 +1211,110 @@ SELECT variant, n_users, n_converted, rate, z_vs_control,
             THEN abs(z_vs_control) >= 1.96 END AS significant
 FROM _j
 """
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier per group (SURVEY.md §2 C147): the rows not
+    DOMINATED by any other row — no other row is ≥ on both axes with > on
+    at least one (maximizing both). The skyline query: "which
+    (cost-efficiency, quality) configs are worth keeping", "which
+    (recall, throughput) dedup settings dominate" — the decision surface
+    every tuning sweep here (LSH parameters, IVF probes, chunk sizes)
+    reports.
+
+    Scale shape: ONE window shuffle per group — sorted x-descending
+    (ties: y descending), a row survives iff its y strictly exceeds the
+    running y-max of all STRICTLY-better-x prefixes. The subtlety the
+    naive sort-scan gets wrong: at equal x, rows must compare against the
+    y-max of earlier x VALUES, not earlier rows — two equal-x rows don't
+    dominate each other on x alone unless one also wins y. Handled by
+    computing the prefix max over the previous x GROUP boundary (a lag of
+    the per-x running max), so duplicate points and equal-x ties follow
+    the standard dominance definition exactly. NULL coordinates are
+    excluded (dominance is undefined there). No self-join, no O(n²).
+    """
+    gcols = list(group_cols or [])
+    src = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    # per-(group, x): the best y at this exact x, then the running best y
+    # over strictly-greater x = lag of the cumulative max in x-desc order
+    wx = Window.partitionBy(*gcols).orderBy(F.col(x_col).desc())
+    best_at_x = F.max(F.col(y_col)).over(
+        Window.partitionBy(*gcols, x_col)
+    )
+    xs = (
+        src.select(*gcols, x_col, best_at_x.alias("_bx"))
+        .distinct()
+        .withColumn(
+            "_run_best",
+            F.max(F.col("_bx")).over(
+                wx.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_prev_best", F.lag(F.col("_run_best")).over(wx))
+    )
+    out = src.join(xs.select(*gcols, x_col, "_prev_best"), [*gcols, x_col])
+    # survivor: strictly better y than every strictly-better-x row, AND
+    # the best y among its exact-x twins (equal-x equal-y duplicates all
+    # survive — none dominates another). The per-x max binds as a column
+    # first: window expressions are not allowed inside WHERE.
+    out = out.withColumn(
+        "_best_here",
+        F.max(F.col(y_col)).over(Window.partitionBy(*gcols, x_col)),
+    )
+    keep = out.where(
+        (F.col("_prev_best").isNull() | (F.col(y_col) > F.col("_prev_best")))
+        & (F.col(y_col) == F.col("_best_here"))
+    ).drop("_prev_best", "_best_here")
+    cols = [*gcols, *(id_cols or []), x_col, y_col]
+    return keep.select(*dict.fromkeys(cols))
+
+
+def pareto_frontier_sql(
+    source: str,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    id_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`pareto_frontier` — identical
+    prefix-max-over-previous-x-group dominance test."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    partx = f"PARTITION BY {gsel}{x_col}".rstrip(", ")
+    cols = ", ".join(dict.fromkeys([*gcols, *(id_cols or []), x_col, y_col]))
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source}
+    WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+), _xs AS (
+    SELECT {gsel}{x_col}, MAX({y_col}) AS _bx
+    FROM _src GROUP BY {gsel}{x_col}
+), _rb AS (
+    SELECT {gsel}{x_col},
+           MAX(_bx) OVER ({part} ORDER BY {x_col} DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run_best
+    FROM _xs
+), _run AS (
+    SELECT {gsel}{x_col},
+           lag(_run_best) OVER ({part} ORDER BY {x_col} DESC) AS _prev_best
+    FROM _rb
+)
+SELECT {cols}
+FROM (
+    SELECT s.*, r._prev_best,
+           MAX(s.{y_col}) OVER ({partx}) AS _best_here
+    FROM _src s JOIN _run r USING ({(g + ", ") if g else ""}{x_col})
+)
+WHERE (_prev_best IS NULL OR {y_col} > _prev_best)
+  AND {y_col} = _best_here
+"""

@@ -169,3 +169,85 @@ def schema_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, status string, type_a string, type_b string"
     )
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    key_map: dict[str, str],
+) -> DataFrame:
+    """Referential-integrity audit (SURVEY.md §2 C149): how many child
+    rows reference a parent key that doesn't exist — the cross-TABLE
+    member of the data-quality family (C44's expectations are per-row,
+    C106's reconciliation diffs two versions of the SAME table). Run it
+    on every ingest of a fact table against its dimensions; a nonzero
+    orphan rate is how upstream CDC loss or out-of-order dimension loads
+    first become visible.
+
+    ``key_map`` maps child column → parent column. Output is ONE row:
+    ``n_child`` (non-NULL-key child rows), ``n_orphans``, ``orphan_rate``
+    (6-decimal grid), ``n_null_keys`` (child rows with any NULL key —
+    reported separately, NOT counted as orphans: SQL FK semantics ignore
+    NULLs). Scale shape: one left-anti join on the key (the parent side
+    deduplicates to keys first — dimension-sized), one count aggregate;
+    no row-level output, so the result is collect-safe anywhere."""
+    if not key_map:
+        raise ValueError("fk_audit: key_map required")
+    ck = list(key_map)
+    null_any = None
+    for c in ck:
+        n = F.col(c).isNull()
+        null_any = n if null_any is None else (null_any | n)
+    keyed = child.where(~null_any).select(*ck)
+    pkeys = parent.select(
+        *[F.col(p).alias(c) for c, p in key_map.items()]
+    ).distinct()
+    # left join to the DISTINCT parent keys (no fan-out) + one aggregate:
+    # all three counts in one plan, no driver-side arithmetic (python
+    # round is banker's, SQL round is half-away — keep rounding in-plan)
+    hit = pkeys.withColumn("_hit", F.lit(1))
+    counts = (
+        keyed.join(hit, ck, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_orphans"),
+        )
+    )
+    nulls = child.where(null_any).agg(
+        F.count(F.lit(1)).alias("n_null_keys")
+    )
+    return counts.crossJoin(F.broadcast(nulls)).select(
+        "n_child",
+        "n_orphans",
+        F.when(
+            F.col("n_child") > 0,
+            F.round(F.col("n_orphans") / F.col("n_child"), 6),
+        ).alias("orphan_rate"),
+        "n_null_keys",
+    )
+
+
+def fk_audit_sql(
+    child_source: str,
+    parent_source: str,
+    key_map: dict[str, str],
+) -> str:
+    """Exact DuckDB twin of :func:`fk_audit`."""
+    ck = list(key_map)
+    null_any = " OR ".join(f"{c} IS NULL" for c in ck)
+    on = " AND ".join(f"c.{c} = p.{key_map[c]}" for c in ck)
+    return f"""
+WITH _keyed AS (
+    SELECT * FROM {child_source} WHERE NOT ({null_any})
+), _orph AS (
+    SELECT COUNT(*) AS n FROM _keyed c
+    WHERE NOT EXISTS (SELECT 1 FROM {parent_source} p WHERE {on})
+)
+SELECT CAST((SELECT COUNT(*) FROM _keyed) AS BIGINT) AS n_child,
+       CAST((SELECT n FROM _orph) AS BIGINT) AS n_orphans,
+       CASE WHEN (SELECT COUNT(*) FROM _keyed) > 0 THEN
+           round(CAST((SELECT n FROM _orph) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM _keyed), 6) END AS orphan_rate,
+       CAST((SELECT COUNT(*) FROM {child_source} WHERE {null_any})
+            AS BIGINT) AS n_null_keys
+"""

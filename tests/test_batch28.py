@@ -1,0 +1,130 @@
+"""Pins for the round-7 batch-28 components (SURVEY.md §2 C147-C149):
+Pareto frontier, IPv4/CIDR utilities, referential-integrity audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.functions import ip as IP
+from insert_by_timeperiod_spark.operators import analytics, reconcile
+
+
+# ------------------------------------------------------- C147 Pareto front
+
+
+def _front(spark, pts, **kw):
+    df = spark.createDataFrame(pts, "i int, x double, y double")
+    out = analytics.pareto_frontier(df, "x", "y", id_cols=["i"], **kw)
+    return sorted(r["i"] for r in out.collect())
+
+
+def test_pareto_hand_case(spark):
+    pts = [
+        (1, 5.0, 1.0),   # frontier (best x)
+        (2, 4.0, 3.0),   # frontier
+        (3, 3.0, 2.0),   # dominated by 2
+        (4, 2.0, 5.0),   # frontier
+        (5, 1.0, 5.0),   # dominated by 4 (equal y, worse x)
+        (6, 2.0, 4.0),   # dominated by 4 (equal x, worse y)
+    ]
+    assert _front(spark, pts) == [1, 2, 4]
+
+
+def test_pareto_duplicates_and_equal_x_ties(spark):
+    # exact duplicates on the frontier: both survive (neither dominates)
+    pts = [(1, 3.0, 3.0), (2, 3.0, 3.0), (3, 3.0, 2.0), (4, 1.0, 1.0)]
+    assert _front(spark, pts) == [1, 2]
+    # a single point is its own frontier; NULL coordinates drop
+    pts2 = [(1, 1.0, 1.0), (2, None, 9.0), (3, 9.0, None)]
+    assert _front(spark, pts2) == [1]
+
+
+def test_pareto_matches_twin_and_bruteforce(spark):
+    import duckdb
+
+    pts = [
+        (i, float((i * 7) % 13), float((i * 11) % 17)) for i in range(60)
+    ]
+    got = _front(spark, pts)
+    # python brute force over the dominance definition
+    def dominated(p, q):
+        return q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+
+    want = sorted(
+        p[0] for p in pts if not any(dominated(p, q) for q in pts if q != p)
+    )
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", pts)
+    twin = sorted(
+        r[0]
+        for r in con.execute(
+            analytics.pareto_frontier_sql("t", "x", "y", id_cols=["i"])
+        ).fetchall()
+    )
+    assert twin == want
+
+
+# ---------------------------------------------------------- C148 IPv4/CIDR
+
+
+def _ip_row(spark, s, prefix=24):
+    df = spark.createDataFrame([(s,)], "ip string")
+    return df.select(
+        IP.ip_to_long(F.col("ip")).alias("v"),
+        IP.cidr_block(F.col("ip"), prefix).alias("c"),
+        IP.is_private(F.col("ip")).alias("p"),
+    ).collect()[0]
+
+
+def test_ip_parse_and_cidr(spark):
+    r = _ip_row(spark, "192.168.1.77")
+    assert r["v"] == 192 * 2**24 + 168 * 2**16 + 1 * 256 + 77
+    assert r["c"] == "192.168.1.0/24"
+    assert r["p"] is True
+    assert _ip_row(spark, "8.8.8.8")["p"] is False
+    assert _ip_row(spark, "10.0.0.1")["p"] is True
+    assert _ip_row(spark, "172.16.0.1")["p"] is True
+    assert _ip_row(spark, "172.32.0.1")["p"] is False
+    assert _ip_row(spark, "1.2.3.4", prefix=12)["c"] == "1.0.0.0/12"
+
+
+@pytest.mark.parametrize(
+    "bad", ["256.1.1.1", "1.2.3", "1.2.3.4.5", "a.b.c.d", "", "1.2.3.999"]
+)
+def test_ip_invalid_yields_null(spark, bad):
+    r = _ip_row(spark, bad)
+    assert r["v"] is None and r["c"] is None and r["p"] is None
+
+
+def test_ip_prefix_validation(spark):
+    with pytest.raises(ValueError):
+        IP.cidr_block(F.lit("1.2.3.4"), 33)
+    with pytest.raises(ValueError):
+        IP.cidr_block_sql("ip", -1)
+
+
+# ------------------------------------------------------------ C149 FK audit
+
+
+def test_fk_audit_counts_orphans_and_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+        "id int, fk int",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (20,)], "pk int")
+    r = reconcile.fk_audit(child, parent, {"fk": "pk"}).collect()[0]
+    assert (r["n_child"], r["n_orphans"], r["n_null_keys"]) == (4, 1, 1)
+    assert r["orphan_rate"] == pytest.approx(0.25)
+    with pytest.raises(ValueError):
+        reconcile.fk_audit(child, parent, {})
+
+
+def test_fk_audit_clean_and_empty_child(spark):
+    child = spark.createDataFrame([(1, 10)], "id int, fk int")
+    parent = spark.createDataFrame([(10,)], "pk int")
+    r = reconcile.fk_audit(child, parent, {"fk": "pk"}).collect()[0]
+    assert (r["n_orphans"], r["orphan_rate"]) == (0, 0.0)
+    empty = child.where("id < 0")
+    r2 = reconcile.fk_audit(empty, parent, {"fk": "pk"}).collect()[0]
+    assert (r2["n_child"], r2["orphan_rate"]) == (0, None)

@@ -5249,6 +5249,19 @@ def _fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C150 (annex, EXACT oracle): per-user inter-arrival gap
+    statistics split by event_type — where C23's sessionization gap
+    parameter comes from (pick the knee of this CDF, per surface). One
+    user-keyed lag shuffle, groups-sized R-7 quantile aggregate,
+    DECIMAL-grid mean; event_id tiebreak pins same-timestamp order."""
+    _prep(spark, sf_dir)
+    return sessions.inter_arrival_stats(
+        spark.table("events"), ["user_id"], "ts",
+        group_cols=["event_type"], tiebreak="event_id",
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5439,6 +5452,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pareto_value_by_type": _pareto_events,
         "ip_cidr_events": _ip_cidr,
         "fk_orphans_orders": _fk_orphans,
+        # round-7 batch-29 components (C150)
+        "inter_arrival_by_type": _inter_arrival,
     }
 
 
@@ -5817,6 +5832,11 @@ def pytest_only_oracles() -> dict[str, str]:
         """,
         "fk_orphans_orders": reconcile.fk_audit_sql(
             _FK_CHILD_DUCK, "customer", {"o_custkey": "c_custkey"}
+        ),
+        # round-7 batch-29 components (C150)
+        "inter_arrival_by_type": sessions.inter_arrival_sql(
+            "events", ["user_id"], "ts",
+            group_cols=["event_type"], tiebreak="event_id",
         ),
         # round-7 batch-27 components (C146)
         "variant_props_events": variant.variant_extract_sql(

@@ -279,3 +279,97 @@ WITH RECURSIVE _r AS (
 )
 SELECT {cols} FROM _walk WHERE _kept
 """
+
+
+def inter_arrival_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics (SURVEY.md §2 C150): the
+    distribution of gaps between a key's consecutive events — n_gaps,
+    p50/p90/p99 seconds, mean — optionally split by ``group_cols``
+    (a gap is attributed to the LATER event's row, the one the lag
+    lands on — both engines implement the identical rule). This is
+    where C23's
+    sessionization gap parameter comes from: pick the knee of this CDF
+    instead of folklore's 30 minutes, and re-run it per product surface
+    (group by event_type) because gaps differ per surface.
+
+    Scale shape: ONE window shuffle keyed on the user (the lag), then a
+    groups-sized quantile aggregate. Gaps are exact micros/1e6 rationals;
+    both engines interpolate with the same R-7 rule, so
+    :func:`inter_arrival_sql` is an exact twin."""
+    if not key_cols:
+        raise ValueError("inter_arrival_stats: key_cols required")
+    gcols = list(group_cols or [])
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    gaps = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("_prev", F.lag(F.unix_micros(F.col(ts_col))).over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            *gcols,
+            (
+                (F.unix_micros(F.col(ts_col)) - F.col("_prev"))
+                / F.lit(1_000_000.0)
+            ).alias("_gap"),
+        )
+    )
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.expr("percentile(_gap, 0.5)").alias("p50_s"),
+        F.expr("percentile(_gap, 0.9)").alias("p90_s"),
+        F.expr("percentile(_gap, 0.99)").alias("p99_s"),
+        (
+            F.sum(F.col("_gap").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_s"),
+    ]
+    return gaps.groupBy(*gcols).agg(*agg) if gcols else gaps.agg(*agg)
+
+
+def inter_arrival_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`inter_arrival_stats` — identical lag,
+    identical micros rationals, identical R-7 quantiles, identical
+    DECIMAL-grid mean. The gap's group attribution follows the LATER
+    event's row (the lag window carries the earlier timestamp onto it),
+    matching the Spark side exactly."""
+    if not key_cols:
+        raise ValueError("inter_arrival_sql: key_cols required")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    k = ", ".join(key_cols)
+    tb = f", {tiebreak}" if tiebreak else ""
+    grp = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH _lagged AS (
+    SELECT {gsel}
+           lag(epoch_us({ts_col})) OVER (
+               PARTITION BY {k} ORDER BY {ts_col}{tb}
+           ) AS _prev,
+           epoch_us({ts_col}) AS _now
+    FROM {source} WHERE {ts_col} IS NOT NULL
+), _gaps AS (
+    SELECT {gsel}(_now - _prev) / 1000000.0 AS _gap
+    FROM _lagged WHERE _prev IS NOT NULL
+)
+SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_cont(_gap, 0.5) AS p50_s,
+       quantile_cont(_gap, 0.9) AS p90_s,
+       quantile_cont(_gap, 0.99) AS p99_s,
+       CAST(SUM(CAST(_gap AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_s
+FROM _gaps {grp}
+"""

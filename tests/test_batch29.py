@@ -1,0 +1,82 @@
+"""Pins for C150 (inter-arrival gap statistics): hand-computed gaps,
+group attribution rule, tiebreak determinism, twin parity."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import sessions
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+
+
+def test_inter_arrival_hand_case_and_group_attribution(spark):
+    t0 = DT(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"),
+        (1, t0 + TD(seconds=10), 2, "b"),   # gap 10, attributed to 'b'
+        (1, t0 + TD(seconds=40), 3, "a"),   # gap 30, attributed to 'a'
+        (2, t0, 4, "b"),
+        (2, t0 + TD(seconds=5), 5, "b"),    # gap 5 -> 'b'
+    ]
+    out = {
+        r["event_type"]: r
+        for r in sessions.inter_arrival_stats(
+            _df(spark, rows), ["user_id"], "ts",
+            group_cols=["event_type"], tiebreak="event_id",
+        ).collect()
+    }
+    assert out["a"]["n_gaps"] == 1 and out["a"]["p50_s"] == 30.0
+    assert out["b"]["n_gaps"] == 2
+    assert out["b"]["p50_s"] == pytest.approx(7.5)  # R-7 between 5 and 10
+    assert out["b"]["mean_s"] == pytest.approx(7.5)
+    # ungrouped: one row over all 3 gaps
+    tot = sessions.inter_arrival_stats(
+        _df(spark, rows), ["user_id"], "ts", tiebreak="event_id"
+    ).collect()[0]
+    assert tot["n_gaps"] == 3
+    with pytest.raises(ValueError):
+        sessions.inter_arrival_stats(_df(spark, rows), [], "ts")
+
+
+def test_inter_arrival_matches_twin(spark):
+    import duckdb
+
+    t0 = DT(2024, 1, 1)
+    rows = [
+        (u, t0 + TD(seconds=(i * 37 + u * 11) % 500), u * 100 + i,
+         ["x", "y", "z"][i % 3])
+        for u in range(4)
+        for i in range(25)
+    ]
+    got = sorted(
+        (r["event_type"], r["n_gaps"], r["p50_s"], r["p99_s"], r["mean_s"])
+        for r in sessions.inter_arrival_stats(
+            _df(spark, rows), ["user_id"], "ts",
+            group_cols=["event_type"], tiebreak="event_id",
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(user_id INT, ts TIMESTAMP, event_id INT,"
+        " event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = sorted(
+        (r[0], r[1], r[2], r[4], r[5])
+        for r in con.execute(
+            sessions.inter_arrival_sql(
+                "t", ["user_id"], "ts",
+                group_cols=["event_type"], tiebreak="event_id",
+            )
+        ).fetchall()
+    )
+    for (gg, gn, gp50, gp99, gm), (wg, wn, wp50, wp99, wm) in zip(got, want):
+        assert (gg, gn) == (wg, wn)
+        assert gp50 == pytest.approx(wp50, abs=1e-9)
+        assert gp99 == pytest.approx(wp99, abs=1e-9)
+        assert gm == pytest.approx(wm, abs=1e-9)

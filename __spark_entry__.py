@@ -5262,6 +5262,19 @@ def _inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C151 (annex, EXACT oracle): deterministic poissonized
+    bootstrap CI for the per-type mean event value — C118's uncertainty
+    readout for non-proportion metrics. md5-drawn Poisson(1) weights per
+    (seed, replicate, event_id); integer weights × DECIMAL-grid values;
+    R-7 quantiles of replicate means. The twin replays every draw."""
+    _prep(spark, sf_dir)
+    return analytics.bootstrap_mean_ci(
+        spark.table("events"), "value", ["event_id"],
+        group_cols=["event_type"], n_boot=60, conf=0.9, seed="r7b30",
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5454,6 +5467,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "fk_orphans_orders": _fk_orphans,
         # round-7 batch-29 components (C150)
         "inter_arrival_by_type": _inter_arrival,
+        # round-7 batch-30 components (C151)
+        "ab_bootstrap_ci": _bootstrap_ci,
     }
 
 
@@ -5837,6 +5852,11 @@ def pytest_only_oracles() -> dict[str, str]:
         "inter_arrival_by_type": sessions.inter_arrival_sql(
             "events", ["user_id"], "ts",
             group_cols=["event_type"], tiebreak="event_id",
+        ),
+        # round-7 batch-30 components (C151)
+        "ab_bootstrap_ci": analytics.bootstrap_mean_ci_sql(
+            "events", "value", ["event_id"],
+            group_cols=["event_type"], n_boot=60, conf=0.9, seed="r7b30",
         ),
         # round-7 batch-27 components (C146)
         "variant_props_events": variant.variant_extract_sql(

@@ -1318,3 +1318,170 @@ FROM (
 WHERE (_prev_best IS NULL OR {y_col} > _prev_best)
   AND {y_col} = _best_here
 """
+
+
+#: Poisson(1) CDF ladder for the poissonized bootstrap — identical literal
+#: constants in both engines; mass above k=6 (~8e-5) truncates to 6
+_POIS1_CDF = [
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851,
+]
+
+#: md5-preimage separator (operators/sampling.py convention)
+_BSEP = "\x1f"
+
+
+def _boot_weight(u):  # Column: Poisson(1) draw from a uniform via the ladder
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    n_boot: int = 100,
+    conf: float = 0.95,
+    seed: str = "boot",
+) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the per-group mean
+    (SURVEY.md §2 C151): the uncertainty readout C118's z-test can't give
+    for non-proportion metrics (revenue per user, latency means) without
+    normality assumptions. Poissonized bootstrap — each row enters each
+    of ``n_boot`` replicates with an independent Poisson(1) weight, the
+    standard resampling form that distributes (a with-replacement draw
+    needs global coordination; Poisson weights are row-local and converge
+    to the same distribution). Weights derive from the md5-draw primitive
+    keyed by (seed, replicate, id_cols), so the release is deterministic,
+    engine-portable, and idempotent — the sampling-module posture.
+
+    Output per group: n, mean, ci_lo, ci_hi ((1−conf)/2 and 1−(1−conf)/2
+    R-7 quantiles of the replicate means). Scale shape: one n_boot-way
+    row explosion (bounded, documented — subsample first at extreme
+    corpus sizes), one map-side-combined (group, replicate) aggregate,
+    then a groups-sized quantile pass. Exactness: integer weights,
+    Σ w·round(x,6) on the DECIMAL grid, R-7 quantiles — exact twin."""
+    if not 0 < conf < 1:
+        raise ValueError(f"conf must be in (0, 1), got {conf}")
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not id_cols:
+        raise ValueError("bootstrap_mean_ci: id_cols required")
+    gcols = list(group_cols or [])
+    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
+    src = df.where(F.col(value_col).isNotNull())
+    b = F.explode(F.array(*[F.lit(i) for i in range(n_boot)])).alias("_b")
+    rep = src.select(
+        *gcols,
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(28,6)")
+        .alias("_x"),
+        *[F.col(c) for c in id_cols],
+        b,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        _BSEP,
+                        F.lit(seed),
+                        F.col("_b").cast("string"),
+                        *[F.col(c).cast("string") for c in id_cols],
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    weighted = rep.withColumn("_w", _boot_weight(u))
+    means = (
+        weighted.groupBy(*gcols, "_b")
+        .agg(
+            (
+                F.sum(F.col("_x") * F.col("_w")).cast("double")
+                / F.sum("_w")
+            ).alias("_m")
+        )
+        .where(F.col("_m").isNotNull())  # all-zero-weight replicate: drop
+    )
+    point = src.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    ci = means.groupBy(*gcols).agg(
+        F.expr(f"percentile(_m, {lo_q!r})").alias("ci_lo"),
+        F.expr(f"percentile(_m, {hi_q!r})").alias("ci_hi"),
+    )
+    if gcols:
+        return point.join(ci, gcols)
+    return point.crossJoin(F.broadcast(ci))
+
+
+def bootstrap_mean_ci_sql(
+    source: str,
+    value_col: str,
+    id_cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    n_boot: int = 100,
+    conf: float = 0.95,
+    seed: str = "boot",
+) -> str:
+    """Exact DuckDB twin of :func:`bootstrap_mean_ci` — identical md5
+    draws, identical Poisson ladder, identical DECIMAL grid and R-7
+    quantiles."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    gj = f"USING ({g})" if g else "ON TRUE"
+    key_sql = ", ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
+    u = (
+        "((CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+        f"'{seed}', CAST(_b AS VARCHAR), {key_sql})), 1, 8)) AS BIGINT)"
+        " + 0.5) / 4294967296.0)"
+    )
+    ladder = f"CASE WHEN {u} < {_POIS1_CDF[0]!r} THEN 0"
+    for k in range(1, len(_POIS1_CDF)):
+        ladder += f" WHEN {u} < {_POIS1_CDF[k]!r} THEN {k}"
+    ladder += f" ELSE {len(_POIS1_CDF)} END"
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source} WHERE {value_col} IS NOT NULL
+), _rep AS (
+    SELECT {gsel}CAST(round(CAST({value_col} AS DOUBLE), 6)
+                      AS DECIMAL(28,6)) AS _x,
+           {", ".join(id_cols)}, b.range AS _b
+    FROM _src, range({int(n_boot)}) b
+), _means AS (
+    SELECT {gsel}_b,
+           CAST(SUM(_x * ({ladder})) AS DOUBLE) / SUM({ladder}) AS _m
+    FROM _rep GROUP BY {gsel}_b
+), _point AS (
+    SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(CAST({value_col} AS DOUBLE), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean
+    FROM _src {f"GROUP BY {g}" if g else ""}
+), _ci AS (
+    SELECT {gsel}quantile_cont(_m, {lo_q!r}) AS ci_lo,
+           quantile_cont(_m, {hi_q!r}) AS ci_hi
+    FROM _means WHERE _m IS NOT NULL {f"GROUP BY {g}" if g else ""}
+)
+SELECT p.*, c.ci_lo, c.ci_hi FROM _point p JOIN _ci c {gj}
+"""

@@ -1,0 +1,207 @@
+"""Property tests (SURVEY.md §5) for the round-7 batch-22+ operators:
+invariants that must hold for ANY input, over hypothesis-generated data.
+Examples kept small — each compiles real Spark jobs."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.functions import ip as IP
+from insert_by_timeperiod_spark.operators import analytics, geo, graph, retrieval
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# C147: the Pareto frontier IS the non-dominated set — for any point set
+# ---------------------------------------------------------------------------
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(pts=_points)
+def test_pareto_is_exactly_the_nondominated_set(spark, pts):
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    got = sorted(
+        r["i"]
+        for r in analytics.pareto_frontier(
+            spark.createDataFrame(rows, "i int, x double, y double"),
+            "x", "y", id_cols=["i"],
+        ).collect()
+    )
+
+    def dominated(p, q):
+        return q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+
+    want = sorted(
+        p[0] for p in rows if not any(dominated(p, q) for q in rows if q[0] != p[0])
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C148: ip_to_long round-trips through /32 CIDR reassembly for any octets
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    octs=st.tuples(*(st.integers(min_value=0, max_value=255),) * 4),
+)
+def test_ip_long_roundtrip_any_octets(spark, octs):
+    s = ".".join(str(o) for o in octs)
+    row = (
+        spark.createDataFrame([(s,)], "ip string")
+        .select(
+            IP.ip_to_long(F.col("ip")).alias("v"),
+            IP.cidr_block(F.col("ip"), 32).alias("c32"),
+        )
+        .collect()[0]
+    )
+    want = octs[0] * 2**24 + octs[1] * 2**16 + octs[2] * 256 + octs[3]
+    assert row["v"] == want
+    assert row["c32"] == s + "/32"
+
+
+# ---------------------------------------------------------------------------
+# C133: NDCG/precision/recall stay in [0, 1] and a run containing all
+# relevant docs at the top scores NDCG exactly 1 — for any qrels
+# ---------------------------------------------------------------------------
+
+_qrels = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),          # doc_id
+        st.integers(min_value=1, max_value=3),           # grade
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(qr=_qrels)
+def test_eval_ideal_run_scores_one(spark, qr):
+    # run = the judgments sorted ideal-first (grade desc, doc asc)
+    ranked = sorted(qr, key=lambda t: (-t[1], t[0]))
+    runs = [("q", d, i + 1) for i, (d, _) in enumerate(ranked)]
+    r = retrieval.eval_ranking(
+        spark.createDataFrame(runs, "query_id string, doc_id int, rank int"),
+        spark.createDataFrame(
+            [("q", d, g) for d, g in qr],
+            "query_id string, doc_id int, grade int",
+        ),
+        k=10,
+    ).collect()[0]
+    assert r["ndcg"] == pytest.approx(1.0, abs=1e-9)
+    assert r["mrr"] == 1.0
+    assert 0.0 <= r["precision"] <= 1.0
+    assert r["recall"] == pytest.approx(min(len(qr), 10) / len(qr))
+
+
+# ---------------------------------------------------------------------------
+# C132: BFS hops agree with a python BFS on any small digraph
+# ---------------------------------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(es=_edges)
+def test_bfs_matches_python_bfs(spark, es):
+    got = {
+        (r["node"], r["hop"])
+        for r in graph.bfs_hops(
+            spark.createDataFrame(es, "src int, dst int"), [0], max_hops=7
+        ).collect()
+    }
+    # python reference
+    adj = {}
+    nodes = set()
+    for s, d in es:
+        adj.setdefault(s, set()).add(d)
+        nodes |= {s, d}
+    want = set()
+    if 0 in nodes:
+        dist = {0: 0}
+        frontier = [0]
+        for h in range(1, 8):
+            nxt = sorted(
+                {d for s in frontier for d in adj.get(s, ()) if d not in dist}
+            )
+            for d in nxt:
+                dist[d] = h
+            frontier = nxt
+        want = set(dist.items())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C141: grid-blocked radius join equals brute force for any point cloud
+# inside the gates
+# ---------------------------------------------------------------------------
+
+# lat stays under the 66 deg gate and lon under the antimeridian gate
+# (180 - lon_cell ~ 169 for 500 km) so NO row is gated and the brute-force
+# reference needs no gate of its own
+_coords = st.lists(
+    st.tuples(
+        st.floats(min_value=-60.0, max_value=60.0, allow_nan=False),
+        st.floats(min_value=-150.0, max_value=150.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cs=_coords)
+def test_radius_join_recall_one_any_cloud(spark, cs):
+    rows = [(i, la, lo) for i, (la, lo) in enumerate(cs)]
+    df = spark.createDataFrame(rows, "i int, lat double, lon double")
+    got = {
+        (r["q_i"], r["p_i"])
+        for r in geo.radius_join(
+            df, df, radius_km=500.0, max_abs_lat=66.0,
+            point_cols=("lat", "lon"), query_cols=("lat", "lon"),
+        ).collect()
+    }
+    R = 6371.0088
+
+    def hav(a, b):
+        dp = math.radians(b[1] - a[1]) / 2
+        dl = math.radians(b[2] - a[2]) / 2
+        x = (
+            math.sin(dp) ** 2
+            + math.cos(math.radians(a[1]))
+            * math.cos(math.radians(b[1]))
+            * math.sin(dl) ** 2
+        )
+        return round(2 * R * math.asin(min(math.sqrt(x), 1.0)), 6)
+
+    want = {
+        (q[0], p[0]) for q in rows for p in rows if hav(q, p) <= 500.0
+    }
+    assert got == want

@@ -1,0 +1,80 @@
+"""Pins for C151 (deterministic poissonized bootstrap mean CI)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _df(spark, vals, g="a"):
+    return spark.createDataFrame(
+        [(g, i, float(v)) for i, v in enumerate(vals)],
+        "g string, id int, v double",
+    )
+
+
+def test_bootstrap_ci_brackets_mean_and_orders(spark):
+    vals = [float((i * 13) % 29) for i in range(200)]
+    r = analytics.bootstrap_mean_ci(
+        _df(spark, vals), "v", ["id"], group_cols=["g"], n_boot=80, seed="s"
+    ).collect()[0]
+    assert r["n"] == 200
+    assert r["mean"] == pytest.approx(sum(vals) / len(vals), abs=1e-6)
+    assert r["ci_lo"] <= r["ci_hi"]
+    # a 95% bootstrap CI on 200 iid-ish values must bracket the mean
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    # and be non-degenerate but narrower than the full range
+    assert 0 < r["ci_hi"] - r["ci_lo"] < max(vals) - min(vals)
+
+
+def test_bootstrap_ci_deterministic_and_seed_sensitive(spark):
+    df = _df(spark, [float(i % 7) for i in range(50)])
+    a = analytics.bootstrap_mean_ci(
+        df, "v", ["id"], group_cols=["g"], n_boot=40, seed="s1"
+    ).collect()[0]
+    b = analytics.bootstrap_mean_ci(
+        df, "v", ["id"], group_cols=["g"], n_boot=40, seed="s1"
+    ).collect()[0]
+    c = analytics.bootstrap_mean_ci(
+        df, "v", ["id"], group_cols=["g"], n_boot=40, seed="s2"
+    ).collect()[0]
+    assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+    assert (a["ci_lo"], a["ci_hi"]) != (c["ci_lo"], c["ci_hi"])
+
+
+def test_bootstrap_ci_widens_with_confidence_and_validates(spark):
+    df = _df(spark, [float((i * 7) % 23) for i in range(120)])
+    lo = analytics.bootstrap_mean_ci(
+        df, "v", ["id"], group_cols=["g"], n_boot=60, conf=0.5, seed="s"
+    ).collect()[0]
+    hi = analytics.bootstrap_mean_ci(
+        df, "v", ["id"], group_cols=["g"], n_boot=60, conf=0.99, seed="s"
+    ).collect()[0]
+    assert (hi["ci_hi"] - hi["ci_lo"]) >= (lo["ci_hi"] - lo["ci_lo"])
+    with pytest.raises(ValueError):
+        analytics.bootstrap_mean_ci(df, "v", ["id"], conf=1.0)
+    with pytest.raises(ValueError):
+        analytics.bootstrap_mean_ci(df, "v", ["id"], n_boot=1)
+    with pytest.raises(ValueError):
+        analytics.bootstrap_mean_ci(df, "v", [])
+
+
+def test_bootstrap_ci_matches_twin_ungrouped(spark):
+    import duckdb
+
+    rows = [(i, float((i * 11) % 17) / 3) for i in range(80)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = analytics.bootstrap_mean_ci(
+        df, "v", ["id"], n_boot=30, conf=0.9, seed="tw"
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        analytics.bootstrap_mean_ci_sql(
+            "t", "v", ["id"], n_boot=30, conf=0.9, seed="tw"
+        )
+    ).fetchone()
+    assert (got["n"], got["mean"]) == (want[0], pytest.approx(want[1]))
+    assert got["ci_lo"] == pytest.approx(want[2], abs=1e-9)
+    assert got["ci_hi"] == pytest.approx(want[3], abs=1e-9)

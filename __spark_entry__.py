@@ -5275,6 +5275,30 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C152 (annex, EXACT oracle): weekly calendar spine over
+    [2024-01-01, 2024-03-01) — the join target that makes absent periods
+    visible. No input scan at all; exclusive stop matches the engine's
+    half-open window discipline."""
+    return timeseries.date_spine(
+        spark, "2024-01-01", "2024-03-01", period="week"
+    )
+
+
+def _unpivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C153 (annex, EXACT oracle): wide→long unpivot via Spark 4's
+    native DataFrame.unpivot (one codegen'd Expand) — the inverse of
+    C14's pivot; NULL metric values are KEPT on both engines (the twin
+    uses the lateral-VALUES form because DuckDB's UNPIVOT drops them)."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").selectExpr(
+        "event_id", *_CORR_SRC_EXPRS
+    ).where(F.col("event_id") % 10 == 0)
+    return features.unpivot_metrics(
+        src, ["event_id", "event_type"], ["value", "x", "y"]
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5469,6 +5493,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "inter_arrival_by_type": _inter_arrival,
         # round-7 batch-30 components (C151)
         "ab_bootstrap_ci": _bootstrap_ci,
+        # round-7 batch-31 components (C152-C153)
+        "date_spine_weekly": _date_spine,
+        "unpivot_event_features": _unpivot_features,
     }
 
 
@@ -5857,6 +5884,15 @@ def pytest_only_oracles() -> dict[str, str]:
         "ab_bootstrap_ci": analytics.bootstrap_mean_ci_sql(
             "events", "value", ["event_id"],
             group_cols=["event_type"], n_boot=60, conf=0.9, seed="r7b30",
+        ),
+        # round-7 batch-31 components (C152-C153)
+        "date_spine_weekly": timeseries.date_spine_sql(
+            "2024-01-01", "2024-03-01", period="week"
+        ),
+        "unpivot_event_features": features.unpivot_metrics_sql(
+            f"(SELECT event_id, {', '.join(_CORR_SRC_EXPRS)} FROM events"
+            " WHERE event_id % 10 = 0)",
+            ["event_id", "event_type"], ["value", "x", "y"],
         ),
         # round-7 batch-27 components (C146)
         "variant_props_events": variant.variant_extract_sql(

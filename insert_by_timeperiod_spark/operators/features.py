@@ -287,3 +287,60 @@ WITH _v AS (
 )
 SELECT {cols} FROM _j
 """
+
+
+def unpivot_metrics(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    name_col: str = "metric",
+    value_col: str = "val",
+) -> DataFrame:
+    """Wide→long unpivot (SURVEY.md §2 C153): the inverse of C14's pivot
+    — (id, metric, value) rows from metric columns, the shape monitoring
+    sinks and per-metric operators (drift C53, anomaly C64) consume.
+    Uses Spark 4's native ``DataFrame.unpivot`` (whole-stage-codegen'd
+    Expand, one scan, no union-of-selects); values are cast to a common
+    DOUBLE — mixed-type metric columns are the caller's bug, surfaced by
+    the cast, not hidden. NULL metric values are KEPT (a missing reading
+    is a fact monitoring wants), unlike Spark's `melt` default in some
+    engines — both engines implement the identical rule (DuckDB UNPIVOT
+    drops NULLs, so the twin reinstates them via the explicit VALUES
+    form)."""
+    if not value_cols:
+        raise ValueError("unpivot_metrics: value_cols required")
+    missing = [c for c in [*id_cols, *value_cols] if c not in df.columns]
+    if missing:
+        raise ValueError(f"unpivot_metrics: missing columns {missing}")
+    src = df.select(
+        *id_cols, *[F.col(c).cast("double").alias(c) for c in value_cols]
+    )
+    return src.unpivot(
+        ids=id_cols, values=value_cols,
+        variableColumnName=name_col, valueColumnName=value_col,
+    )
+
+
+def unpivot_metrics_sql(
+    source: str,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    name_col: str = "metric",
+    value_col: str = "val",
+) -> str:
+    """Exact DuckDB twin of :func:`unpivot_metrics` — the explicit
+    lateral-VALUES unpivot (DuckDB's UNPIVOT statement drops NULL
+    values; the VALUES form keeps them like Spark's Expand does)."""
+    if not value_cols:
+        raise ValueError("unpivot_metrics_sql: value_cols required")
+    ids = ", ".join(id_cols)
+    arms = ", ".join(
+        f"('{c}', CAST({c} AS DOUBLE))" for c in value_cols
+    )
+    return f"""
+SELECT {ids}, u.{name_col}, u.{value_col}
+FROM {source},
+     LATERAL (VALUES {arms}) AS u({name_col}, {value_col})
+"""

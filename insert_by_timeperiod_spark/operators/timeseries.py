@@ -649,3 +649,61 @@ WITH RECURSIVE _r AS (
 )
 SELECT {cols} FROM _walk
 """
+
+
+_SPINE_STEP = {"day": "interval 1 day", "week": "interval 7 day",
+               "month": "interval 1 month"}
+
+
+def date_spine(
+    spark,
+    start: str,
+    stop: str,
+    *,
+    period: str = "day",
+    out_col: str = "spine_date",
+) -> DataFrame:
+    """Calendar spine dimension (SURVEY.md §2 C152): every ``period``
+    boundary in ``[start, stop)`` as a one-column DataFrame — the join
+    target that makes absent periods VISIBLE (gap-filled rollups, A17
+    count monitoring where a missing day must read 0, dbt's date_spine
+    idiom). C58's resample builds one internally; this is the public,
+    oracled form. Half-open like every engine window: ``stop`` itself is
+    excluded, matching `periods.py`'s grid discipline.
+
+    Scale shape: one `sequence()` literal exploded — spine-sized (days,
+    not rows), no input scan at all."""
+    if period not in _SPINE_STEP:
+        raise ValueError(
+            f"period must be one of {sorted(_SPINE_STEP)}, got {period!r}"
+        )
+    return spark.range(1).select(
+        F.explode(
+            F.expr(
+                f"sequence(to_date('{start}'), to_date('{stop}'),"
+                f" {_SPINE_STEP[period]})"
+            )
+        ).alias(out_col)
+    ).where(F.col(out_col) < F.lit(stop).cast("date"))
+
+
+def date_spine_sql(
+    start: str,
+    stop: str,
+    *,
+    period: str = "day",
+    out_col: str = "spine_date",
+) -> str:
+    """Exact DuckDB twin of :func:`date_spine` — generate_series with the
+    identical step and the identical exclusive-stop filter."""
+    if period not in _SPINE_STEP:
+        raise ValueError(
+            f"period must be one of {sorted(_SPINE_STEP)}, got {period!r}"
+        )
+    step = _SPINE_STEP[period].replace("interval ", "INTERVAL ")
+    return f"""
+SELECT {out_col} FROM (
+    SELECT CAST(unnest(generate_series(
+        DATE '{start}', DATE '{stop}', {step})) AS DATE) AS {out_col}
+) WHERE {out_col} < DATE '{stop}'
+"""

@@ -1,0 +1,93 @@
+"""Pins for C152 (date spine) and C153 (unpivot lane)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import features
+from insert_by_timeperiod_spark.operators import timeseries as TS
+
+
+def test_date_spine_daily_halfopen(spark):
+    got = [
+        r["spine_date"]
+        for r in TS.date_spine(spark, "2024-01-29", "2024-02-02")
+        .orderBy("spine_date")
+        .collect()
+    ]
+    # stop is EXCLUSIVE, month boundary crossed correctly
+    assert got == [
+        dt.date(2024, 1, 29), dt.date(2024, 1, 30),
+        dt.date(2024, 1, 31), dt.date(2024, 2, 1),
+    ]
+
+
+def test_date_spine_weekly_monthly_and_validation(spark):
+    wk = [
+        r["spine_date"]
+        for r in TS.date_spine(spark, "2024-01-01", "2024-01-29", period="week")
+        .orderBy("spine_date")
+        .collect()
+    ]
+    assert wk == [dt.date(2024, 1, d) for d in (1, 8, 15, 22)]
+    mo = [
+        r["spine_date"]
+        for r in TS.date_spine(spark, "2024-01-31", "2024-06-01", period="month")
+        .orderBy("spine_date")
+        .collect()
+    ]
+    # month stepping clamps to month ends like the SQL twin
+    assert mo[0] == dt.date(2024, 1, 31) and len(mo) == 5
+    with pytest.raises(ValueError):
+        TS.date_spine(spark, "2024-01-01", "2024-02-01", period="hour")
+    with pytest.raises(ValueError):
+        TS.date_spine_sql("2024-01-01", "2024-02-01", period="hour")
+
+
+def test_date_spine_matches_twin(spark):
+    import duckdb
+
+    for period in ("day", "week", "month"):
+        got = sorted(
+            r["spine_date"]
+            for r in TS.date_spine(
+                spark, "2023-11-15", "2024-03-01", period=period
+            ).collect()
+        )
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                TS.date_spine_sql("2023-11-15", "2024-03-01", period=period)
+            ).fetchall()
+        )
+        assert got == want, period
+
+
+def test_unpivot_keeps_nulls_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, None), (2, 5.0, 7.0)], "id int, a double, b double"
+    )
+    got = sorted(
+        (r["id"], r["metric"], r["val"])
+        for r in features.unpivot_metrics(df, ["id"], ["a", "b"]).collect()
+    )
+    assert got == [(1, "a", 2.0), (1, "b", None), (2, "a", 5.0), (2, "b", 7.0)]
+    with pytest.raises(ValueError):
+        features.unpivot_metrics(df, ["id"], [])
+    with pytest.raises(ValueError):
+        features.unpivot_metrics(df, ["id"], ["nope"])
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    df = spark.createDataFrame(
+        [(i, float(i * 2), float(i * 3)) for i in range(8)],
+        "id int, a double, b double",
+    )
+    long = features.unpivot_metrics(df, ["id"], ["a", "b"])
+    wide = (
+        long.groupBy("id").pivot("metric", ["a", "b"]).agg(F.first("val"))
+    )
+    got = sorted(map(tuple, wide.collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert got == want

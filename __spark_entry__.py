@@ -5299,6 +5299,29 @@ def _unpivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C154 (annex, EXACT oracle): chi-square independence of
+    event_type vs a derived user cohort — the categorical sibling of
+    C118/C151. Marginal cross product includes observed-zero cells;
+    per-cell terms on the 6-decimal/DECIMAL grid."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    )
+    return analytics.chi2_independence(src, "event_type", "cohort")
+
+
+def _lexdiv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C155 (annex, EXACT oracle): lexical-diversity quality signals
+    per document — TTR + hapax ratio via sorted-run neighbors (O(n log n)
+    per doc, never the nested type×token scan). Zero shuffle."""
+    _prep(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id", TX.lexical_diversity(F.col("text")).alias("_ld")
+    )
+    return d.select("doc_id", "_ld.*")
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5496,6 +5519,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-31 components (C152-C153)
         "date_spine_weekly": _date_spine,
         "unpivot_event_features": _unpivot_features,
+        # round-7 batch-32 components (C154-C155)
+        "chi2_type_cohort": _chi2_events,
+        "lexdiv_documents": _lexdiv_docs,
     }
 
 
@@ -5885,6 +5911,15 @@ def pytest_only_oracles() -> dict[str, str]:
             "events", "value", ["event_id"],
             group_cols=["event_type"], n_boot=60, conf=0.9, seed="r7b30",
         ),
+        # round-7 batch-32 components (C154-C155)
+        "chi2_type_cohort": analytics.chi2_independence_sql(
+            "(SELECT event_type, user_id % 5 AS cohort FROM events)",
+            "event_type", "cohort",
+        ),
+        "lexdiv_documents": "SELECT doc_id, " + ", ".join(
+            f"{v} AS {k}"
+            for k, v in TX.lexical_diversity_sql("text").items()
+        ) + " FROM documents",
         # round-7 batch-31 components (C152-C153)
         "date_spine_weekly": timeseries.date_spine_sql(
             "2024-01-01", "2024-03-01", period="week"

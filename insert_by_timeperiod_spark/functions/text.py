@@ -409,3 +409,79 @@ def script_id_sql(expr: str) -> str:
 CASE WHEN {expr} IS NULL OR list_max([{pairs}]).s <= 0 THEN 'und'
      ELSE [{names}][CAST(-list_max([{pairs}]).ni AS INT) + 1] END
 """.strip()
+
+
+# ------------------------------------------------------- lexical diversity
+def lexical_diversity(col: Column) -> Column:
+    """Lexical-diversity quality signals (SURVEY.md §2 C155) as a struct:
+    ``n_tokens``, ``n_types`` (distinct lowercased whitespace tokens),
+    ``ttr`` (type-token ratio, 6-decimal grid), ``hapax_ratio`` (fraction
+    of types occurring exactly once). Low TTR flags the repetitive/
+    template text Gopher's dup-line rules miss when repeats are inline;
+    abnormally HIGH hapax rates flag gibberish/OCR noise. Pure per-row
+    array algebra, zero shuffle, zero UDF; hapax counts via SORTED-run
+    neighbors (a token is hapax iff it differs from both sorted
+    neighbors) — O(n log n) per doc, not the O(n·types) nested-scan
+    form that melts on book-length documents.
+
+    Tokens are lowercased whitespace words; empty/NULL text yields
+    (0, 0, NULL, NULL) — ratios over nothing are undefined, not zero."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    srt = F.array_sort(toks)
+    n_tok = F.size(toks)
+    n_typ = F.size(F.array_distinct(toks))
+    one = F.lit(1)
+    hapax = F.size(
+        F.filter(
+            srt,
+            lambda x, i: (
+                ((i == 0) | (F.element_at(srt, i) != x))
+                & ((i == F.size(srt) - one) | (F.element_at(srt, i + 2) != x))
+            ),
+        )
+    )
+    return F.struct(
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_typ.cast("bigint").alias("n_types"),
+        F.when(
+            n_tok > 0, F.round(n_typ.cast("double") / n_tok, 6)
+        ).alias("ttr"),
+        F.when(
+            n_typ > 0, F.round(hapax.cast("double") / n_typ, 6)
+        ).alias("hapax_ratio"),
+    )
+
+
+def lexical_diversity_sql(expr: str) -> dict[str, str]:
+    """Exact DuckDB twin of :func:`lexical_diversity` — one SQL string
+    per struct field (DuckDB's list lambdas mirror Spark's), same
+    lowercased-whitespace tokens, same 6-decimal grid, same NULL floor."""
+    toks = (
+        f"list_filter(string_split_regex(lower(COALESCE({expr}, '')),"
+        " '\\s+'), t -> length(t) > 0)"
+    )
+    srt = f"list_sort({toks})"
+    n_tok = f"len({toks})"
+    n_typ = f"len(list_distinct({toks}))"
+    # sorted-run neighbors, like the Spark side (DuckDB lambda index is
+    # 1-based where Spark's is 0-based — the guards shift accordingly)
+    hapax = (
+        f"len(list_filter({srt}, (x, i) ->"
+        f" (i = 1 OR ({srt})[i-1] <> x)"
+        f" AND (i = len({srt}) OR ({srt})[i+1] <> x)))"
+    )
+    return {
+        "n_tokens": f"CAST({n_tok} AS BIGINT)",
+        "n_types": f"CAST({n_typ} AS BIGINT)",
+        "ttr": (
+            f"CASE WHEN {n_tok} > 0 THEN"
+            f" round(CAST({n_typ} AS DOUBLE) / {n_tok}, 6) END"
+        ),
+        "hapax_ratio": (
+            f"CASE WHEN {n_typ} > 0 THEN"
+            f" round(CAST({hapax} AS DOUBLE) / {n_typ}, 6) END"
+        ),
+    }

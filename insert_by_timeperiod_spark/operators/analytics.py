@@ -1485,3 +1485,97 @@ WITH _src AS (
 )
 SELECT p.*, c.ci_lo, c.ci_hi FROM _point p JOIN _ci c {gj}
 """
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (SURVEY.md §2 C154): are quality flags independent of language? is
+    event type independent of market segment? — the categorical sibling
+    of C118's two-proportion z and C151's bootstrap. Returns ONE row:
+    ``chi2``, ``dof``, ``n`` (p-values need an incomplete-gamma the SQL
+    side lacks; compare chi2 against the critical value for your dof —
+    the standard warehouse posture).
+
+    Semantics: rows with a NULL in either column are excluded (a missing
+    label is not a category — the portable rule). Expected counts are
+    ``row_total·col_total/n``; cells with observed 0 still contribute
+    (their expected mass does), which falls out of joining the full
+    marginal cross product, not the observed cells.
+
+    Scale shape: ONE map-side-combined (a, b) count aggregate
+    (cells-sized output), marginals reduce over the cell table, the
+    cross join of marginals is cells-sized × cells-sized at worst —
+    never corpus-sized. Exactness: integer counts; each cell's
+    (obs−exp)²/exp rounds to the 6-decimal grid and sums as DECIMAL —
+    order-independent, twin-exact."""
+    src = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = src.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    cells = cells.localCheckpoint(eager=True)  # 3 consumers below
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    rb = cells.groupBy("_b").agg(F.sum("_o").alias("_rb"))
+    n = cells.agg(F.sum("_o").alias("_n"))
+    grid = ra.crossJoin(rb).crossJoin(F.broadcast(n))
+    full = grid.join(cells, ["_a", "_b"], "left").select(
+        "_a", "_b", "_ra", "_rb", "_n",
+        F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+    )
+    exp = (
+        F.col("_ra").cast("double")
+        * F.col("_rb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = F.round(
+        (F.col("_o").cast("double") - exp) * (F.col("_o").cast("double") - exp)
+        / exp,
+        6,
+    ).cast("decimal(38,6)")
+    stats = full.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        F.countDistinct("_a").alias("_na"),
+        F.countDistinct("_b").alias("_nb"),
+        F.max("_n").cast("bigint").alias("n"),
+    )
+    return stats.select(
+        "chi2",
+        ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("bigint").alias("dof"),
+        "n",
+    )
+
+
+def chi2_independence_sql(source: str, col_a: str, col_b: str) -> str:
+    """Exact DuckDB twin of :func:`chi2_independence` — identical
+    marginal cross product, zero-cell handling, 6-decimal/DECIMAL term
+    grid."""
+    return f"""
+WITH _src AS (
+    SELECT {col_a} AS _a, {col_b} AS _b FROM {source}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+), _cells AS (
+    SELECT _a, _b, COUNT(*) AS _o FROM _src GROUP BY _a, _b
+), _ra AS (
+    SELECT _a, SUM(_o) AS _ra FROM _cells GROUP BY _a
+), _rb AS (
+    SELECT _b, SUM(_o) AS _rb FROM _cells GROUP BY _b
+), _n AS (
+    SELECT SUM(_o) AS _n FROM _cells
+), _full AS (
+    SELECT ra._a, rb._b, ra._ra, rb._rb, n._n,
+           COALESCE(c._o, 0) AS _o
+    FROM _ra ra CROSS JOIN _rb rb CROSS JOIN _n n
+    LEFT JOIN _cells c ON c._a = ra._a AND c._b = rb._b
+)
+SELECT CAST(SUM(CAST(round(
+           (CAST(_o AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE))
+           * (CAST(_o AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE))
+           / (CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE)),
+           6) AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT _a) - 1) * (COUNT(DISTINCT _b) - 1) AS BIGINT) AS dof,
+       CAST(MAX(_n) AS BIGINT) AS n
+FROM _full
+"""

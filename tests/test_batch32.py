@@ -1,0 +1,107 @@
+"""Pins for C154 (chi-square independence) and C155 (lexical diversity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.functions import text as TX
+from insert_by_timeperiod_spark.operators import analytics
+
+
+# ----------------------------------------------------------- C154 chi-square
+
+
+def _chi2(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string")
+    return analytics.chi2_independence(df, "a", "b").collect()[0]
+
+
+def test_chi2_independent_is_zero(spark):
+    # perfectly balanced 2x2: expected == observed everywhere
+    rows = [("x", "p")] * 10 + [("x", "q")] * 10 + [("y", "p")] * 10 + [("y", "q")] * 10
+    r = _chi2(spark, rows)
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert r["dof"] == 1 and r["n"] == 40
+
+
+def test_chi2_perfect_association_and_zero_cells(spark):
+    # a == b exactly: chi2 = n * (k-1) for a k x k diagonal table, and
+    # the OFF-DIAGONAL (observed 0) cells carry the expected mass
+    rows = [("x", "x")] * 12 + [("y", "y")] * 12 + [("z", "z")] * 12
+    r = _chi2(spark, rows)
+    assert r["chi2"] == pytest.approx(36 * 2, abs=1e-6)
+    assert r["dof"] == 4
+
+
+def test_chi2_nulls_excluded_and_twin(spark):
+    import duckdb
+
+    rows = [
+        (["x", "y", "z"][i % 3], ["p", "q"][(i * 7) % 2])
+        for i in range(90)
+    ] + [(None, "p"), ("x", None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = analytics.chi2_independence(df, "a", "b").collect()[0]
+    assert r["n"] == 90  # the two NULL rows never count
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        analytics.chi2_independence_sql("t", "a", "b")
+    ).fetchone()
+    assert r["chi2"] == pytest.approx(want[0], abs=1e-9)
+    assert (r["dof"], r["n"]) == (want[1], want[2])
+
+
+# ------------------------------------------------------ C155 lexical diversity
+
+
+def _ld(spark, s):
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(TX.lexical_diversity(F.col("t")).alias("x")).collect()[0]["x"]
+
+
+def test_lexdiv_hand_case(spark):
+    r = _ld(spark, "the cat the dog THE")
+    assert (r["n_tokens"], r["n_types"]) == (5, 3)
+    assert r["ttr"] == pytest.approx(0.6)
+    assert r["hapax_ratio"] == pytest.approx(round(2 / 3, 6))
+
+
+def test_lexdiv_empty_null_and_degenerate(spark):
+    for s in ("", "   ", None):
+        r = _ld(spark, s)
+        assert (r["n_tokens"], r["n_types"]) == (0, 0)
+        assert r["ttr"] is None and r["hapax_ratio"] is None
+    rep = _ld(spark, "spam spam spam spam")
+    assert rep["ttr"] == pytest.approx(0.25)
+    assert rep["hapax_ratio"] == 0.0  # the one type occurs 4 times
+    uniq = _ld(spark, "all words here differ")
+    assert uniq["ttr"] == 1.0 and uniq["hapax_ratio"] == 1.0
+
+
+def test_lexdiv_matches_twin(spark):
+    import duckdb
+
+    texts = [
+        " ".join(f"w{(i * j) % 17}" for j in range(1 + i % 30))
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id int, t string")
+    got = sorted(
+        (r["id"], r["x"]["n_tokens"], r["x"]["n_types"], r["x"]["ttr"],
+         r["x"]["hapax_ratio"])
+        for r in df.select("id", TX.lexical_diversity(F.col("t")).alias("x"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    f = TX.lexical_diversity_sql("t")
+    want = sorted(
+        con.execute(
+            "SELECT id, " + ", ".join(f"{v} AS {k}" for k, v in f.items())
+            + " FROM t"
+        ).fetchall()
+    )
+    assert got == want

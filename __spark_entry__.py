@@ -5322,6 +5322,30 @@ def _lexdiv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "_ld.*")
 
 
+_CALIB_SRC_DUCK = (
+    "(SELECT (CAST((event_id * 13) % 100 AS DOUBLE) + 0.5) / 100.0 AS pred,"
+    " CASE WHEN (event_id * 29) % 100 < (event_id * 13) % 100"
+    " THEN 1 ELSE 0 END AS label FROM events)"
+)
+
+
+def _calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C156 (annex, EXACT oracle): calibration curve over an
+    id-arithmetic (pred, label) fixture whose labels fire with
+    probability ≈ pred by construction — so the curve must hug the
+    diagonal, and any binning/clamp/mean slip shows as a gap. One
+    bins-sized aggregate; 6-decimal/DECIMAL means."""
+    _prep(spark, sf_dir)
+    eid = F.col("event_id")
+    src = spark.table("events").select(
+        (((eid * 13) % 100).cast("double") + 0.5).alias("_pp"),
+        F.when((eid * 29) % 100 < (eid * 13) % 100, 1)
+        .otherwise(0)
+        .alias("label"),
+    ).select((F.col("_pp") / 100.0).alias("pred"), "label")
+    return features.calibration_curve(src, "pred", "label", n_bins=10)
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5522,6 +5546,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": _chi2_events,
         "lexdiv_documents": _lexdiv_docs,
+        # round-7 batch-33 components (C156)
+        "calibration_scores": _calibration,
     }
 
 
@@ -5910,6 +5936,10 @@ def pytest_only_oracles() -> dict[str, str]:
         "ab_bootstrap_ci": analytics.bootstrap_mean_ci_sql(
             "events", "value", ["event_id"],
             group_cols=["event_type"], n_boot=60, conf=0.9, seed="r7b30",
+        ),
+        # round-7 batch-33 components (C156)
+        "calibration_scores": features.calibration_curve_sql(
+            _CALIB_SRC_DUCK, "pred", "label", n_bins=10
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

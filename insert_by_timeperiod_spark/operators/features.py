@@ -344,3 +344,90 @@ SELECT {ids}, u.{name_col}, u.{value_col}
 FROM {source},
      LATERAL (VALUES {arms}) AS u({name_col}, {value_col})
 """
+
+
+def calibration_curve(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration / reliability curve (SURVEY.md §2 C156): bucket
+    predicted probabilities into ``n_bins`` equal-width bins and compare
+    each bin's mean prediction against its observed positive rate — the
+    readout that tells you whether a quality classifier's 0.9 means 90%
+    (C28's perplexity scores and C25's quality flags feed exactly this
+    before anyone trusts a threshold). Output per non-empty bin: ``bin``,
+    ``n``, ``mean_pred``, ``frac_pos``, ``gap`` (|mean_pred − frac_pos|,
+    the per-bin calibration error; Σ n/N·gap is ECE, computable from
+    these rows). Predictions outside [0, 1] or NULL, and NULL labels,
+    are excluded — a calibration curve over invalid probabilities is
+    meaningless. pred == 1.0 lands in the top bin (the standard clamp).
+
+    Scale shape: ONE map-side-combined bin aggregate (bins-sized
+    output). Exactness: bin ids by integer floor; means from
+    6-decimal/DECIMAL sums over exact counts — twin-exact."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    p = F.col(pred_col).cast("double")
+    lbl = F.col(label_col).cast("int")
+    src = df.where(
+        p.isNotNull() & (p >= 0.0) & (p <= 1.0) & lbl.isNotNull()
+    )
+    bin_ = F.least(
+        F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    curve = (
+        src.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.round(p, 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_pred"),
+            (
+                F.sum(lbl).cast("double") / F.count(F.lit(1))
+            ).alias("frac_pos"),
+        )
+    )
+    return curve.select(
+        "bin", "n", "mean_pred", "frac_pos",
+        F.abs(F.col("mean_pred") - F.col("frac_pos")).alias("gap"),
+    )
+
+
+def calibration_curve_sql(
+    source: str,
+    pred_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> str:
+    """Exact DuckDB twin of :func:`calibration_curve`."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    return f"""
+WITH _src AS (
+    SELECT CAST({pred_col} AS DOUBLE) AS _p,
+           CAST({label_col} AS INT) AS _y
+    FROM {source}
+    WHERE {pred_col} IS NOT NULL
+      AND CAST({pred_col} AS DOUBLE) >= 0.0
+      AND CAST({pred_col} AS DOUBLE) <= 1.0
+      AND {label_col} IS NOT NULL
+), _binned AS (
+    SELECT least(CAST(floor(_p * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+           _p, _y
+    FROM _src
+), _curve AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(_p, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS mean_pred,
+           CAST(SUM(_y) AS DOUBLE) / COUNT(*) AS frac_pos
+    FROM _binned GROUP BY bin
+)
+SELECT bin, n, mean_pred, frac_pos,
+       abs(mean_pred - frac_pos) AS gap
+FROM _curve
+"""

@@ -1,0 +1,71 @@
+"""Pins for C156 (calibration / reliability curve)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import features
+
+
+def _curve(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "pred double, label int")
+    return {
+        r["bin"]: r
+        for r in features.calibration_curve(df, "pred", "label", **kw).collect()
+    }
+
+
+def test_calibration_hand_case_and_clamp(spark):
+    rows = (
+        [(0.05, 0)] * 8 + [(0.05, 1)] * 2      # bin 0: frac_pos 0.2
+        + [(0.95, 1)] * 9 + [(0.95, 0)]         # bin 9: frac_pos 0.9
+        + [(1.0, 1)]                            # pred == 1.0 clamps to bin 9
+    )
+    got = _curve(spark, rows, n_bins=10)
+    assert set(got) == {0, 9}
+    assert got[0]["n"] == 10 and got[0]["frac_pos"] == pytest.approx(0.2)
+    assert got[0]["mean_pred"] == pytest.approx(0.05)
+    assert got[9]["n"] == 11
+    assert got[9]["frac_pos"] == pytest.approx(10 / 11)
+    assert got[9]["gap"] == pytest.approx(
+        abs((0.95 * 10 + 1.0) / 11 - 10 / 11), abs=1e-9
+    )
+
+
+def test_calibration_excludes_invalid_and_validates(spark):
+    rows = [(0.5, 1), (1.5, 1), (-0.1, 0), (None, 1), (0.5, None)]
+    got = _curve(spark, rows, n_bins=5)
+    assert set(got) == {2} and got[2]["n"] == 1
+    df = spark.createDataFrame(rows, "pred double, label int")
+    with pytest.raises(ValueError):
+        features.calibration_curve(df, "pred", "label", n_bins=1)
+    with pytest.raises(ValueError):
+        features.calibration_curve_sql("t", "pred", "label", n_bins=0)
+
+
+def test_calibration_matches_twin(spark):
+    import duckdb
+
+    rows = [
+        ((i * 13 % 100 + 0.5) / 100.0, 1 if (i * 29) % 100 < i * 13 % 100 else 0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "pred double, label int")
+    got = sorted(
+        map(tuple, features.calibration_curve(df, "pred", "label").collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(pred DOUBLE, label INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        con.execute(
+            features.calibration_curve_sql("t", "pred", "label")
+        ).fetchall()
+    )
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+        assert g[4] == pytest.approx(w[4], abs=1e-9)
+    # roughly-calibrated-by-construction fixture: the modular-arithmetic
+    # labels track pred only coarsely within a bin — bound loosely
+    assert max(g[4] for g in got) < 0.3

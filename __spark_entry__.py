@@ -5346,6 +5346,28 @@ def _calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.calibration_curve(src, "pred", "label", n_bins=10)
 
 
+def _session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C157 (annex, EXACT oracle): per-session stats via Spark's
+    NATIVE session_window aggregate — probed boundary (touching windows
+    MERGE) equals C23's > gap rule exactly, so the C23 sessionization
+    SQL is the twin (start = min ts, end = max ts + gap)."""
+    _prep(spark, sf_dir)
+    return sessions.session_window_stats(
+        spark.table("events"), "user_id", "ts", gap_minutes=30.0
+    )
+
+
+def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C158 (annex, HALF-EXACT oracle like the KMV rows): native
+    HLL++ approx_count_distinct next to the exact count with an in-plan
+    bound check — exact halves compare cross-engine, the deterministic
+    estimate rides as a checked boolean (DuckDB has no HLL++ twin)."""
+    _prep(spark, sf_dir)
+    return profile.approx_distinct_audit(
+        spark.table("events"), "user_id", ["event_type"]
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5548,6 +5570,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "lexdiv_documents": _lexdiv_docs,
         # round-7 batch-33 components (C156)
         "calibration_scores": _calibration,
+        # round-7 batch-34 components (C157-C158)
+        "session_window_native": _session_window_native,
+        "approx_distinct_users": _approx_distinct,
     }
 
 
@@ -5940,6 +5965,13 @@ def pytest_only_oracles() -> dict[str, str]:
         # round-7 batch-33 components (C156)
         "calibration_scores": features.calibration_curve_sql(
             _CALIB_SRC_DUCK, "pred", "label", n_bins=10
+        ),
+        # round-7 batch-34 components (C157-C158)
+        "session_window_native": sessions.session_window_stats_sql(
+            "events", "user_id", "ts", gap_minutes=30.0
+        ),
+        "approx_distinct_users": profile.approx_distinct_audit_sql(
+            "events", "user_id", ["event_type"]
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -448,3 +448,58 @@ WITH _src AS (
 )
 {" UNION ALL ".join(arms)}
 """
+
+
+def approx_distinct_audit(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    *,
+    rsd: float = 0.05,
+    tol: float = 0.15,
+) -> DataFrame:
+    """Native HLL++ audit (SURVEY.md §2 C158): per group, the EXACT
+    distinct count next to Spark's built-in ``approx_count_distinct``
+    (HyperLogLog++, Heule et al. 2013) with an in-plan bound check —
+    the row that tells a pipeline when it may swap C55's exact distincts
+    for the sketch (the expand-operator cost of many exact distincts is
+    the first thing a trillion-row ANALYZE drops). The engine's own C35
+    HLL is the MERGEABLE store-and-combine form; this is the built-in's
+    one-shot form, half-exact-oracled like the KMV rows: exact counts
+    compare cross-engine, the deterministic estimate rides as an
+    in-plan-checked boolean (DuckDB has no HLL++ twin).
+
+    Output per group: ``n_exact``, ``est_ok`` (|approx − exact| ≤
+    tol·exact; empty groups never appear)."""
+    if not 0 < rsd < 1:
+        raise ValueError(f"rsd must be in (0, 1), got {rsd}")
+    gcols = list(group_cols or [])
+    agg = df.groupBy(*gcols).agg(
+        F.countDistinct(col).cast("bigint").alias("n_exact"),
+        F.approx_count_distinct(col, rsd).alias("_est"),
+    )
+    ok = (
+        F.abs(F.col("_est").cast("double") - F.col("n_exact"))
+        <= F.lit(float(tol)) * F.col("n_exact")
+    )
+    return agg.select(*gcols, "n_exact", ok.alias("est_ok"))
+
+
+def approx_distinct_audit_sql(
+    source: str,
+    col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Half-exact DuckDB twin of :func:`approx_distinct_audit` — exact
+    counts via plain SQL, the bound check asserted TRUE (the estimate is
+    checked in-plan on the Spark side; a bound violation flips the
+    boolean and fails the hash compare)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    return f"""
+SELECT {gsel}CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+FROM {source} {grp}
+"""

@@ -373,3 +373,80 @@ SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_gaps,
        CAST(SUM(CAST(_gap AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_s
 FROM _gaps {grp}
 """
+
+
+def session_window_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Per-session stats via Spark's NATIVE ``session_window`` aggregate
+    (SURVEY.md §2 C157) — the modern-surface sibling of C23's two-window
+    sessionize: one groupBy(user, session_window(ts, gap)) plans a single
+    SessionWindow aggregation (no lag + running-sum pair), and the SAME
+    call runs on a watermarked stream with state eviction for free.
+
+    Boundary semantics (probed, pinned): an event at EXACTLY
+    last_ts + gap MERGES — Spark merges touching windows — which equals
+    C23's ``(ts − prev) > gap`` new-session rule exactly, so the C23
+    sessionization SQL is an exact twin: session_start = min(ts),
+    session_end = max(ts) + gap (the native window's exclusive end).
+
+    Output: (user, session_start, session_end, n_events,
+    duration_sec) — duration is last-minus-first event time like C23's
+    session_stats, NOT the padded window length."""
+    gap = f"{int(gap_minutes * 60)} seconds"
+    w = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(F.col(user_col), w.alias("_w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    return out.select(
+        user_col,
+        F.col("_w.start").alias("session_start"),
+        F.col("_w.end").alias("session_end"),
+        "n_events",
+        (
+            (F.unix_micros("_last") - F.unix_micros("_first"))
+            / F.lit(1_000_000.0)
+        ).alias("duration_sec"),
+    )
+
+
+def session_window_stats_sql(
+    source: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap_minutes: float = 30.0,
+) -> str:
+    """Exact DuckDB twin of :func:`session_window_stats` — C23's gap rule
+    (new session when diff > gap), start = min(ts), end = max(ts) + gap."""
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    return f"""
+WITH _flag AS (
+    SELECT {user_col}, {ts_col},
+           CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                  OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w
+                     > {gap_us}
+                THEN 1 ELSE 0 END AS _new_s
+    FROM {source}
+    WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col})
+), _sess AS (
+    SELECT *, SUM(_new_s) OVER (
+        PARTITION BY {user_col} ORDER BY {ts_col}
+        ROWS UNBOUNDED PRECEDING
+    ) AS _seq
+    FROM _flag
+)
+SELECT {user_col},
+       MIN({ts_col}) AS session_start,
+       MAX({ts_col}) + INTERVAL {gap_us} MICROSECOND AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (epoch_us(MAX({ts_col})) - epoch_us(MIN({ts_col}))) / 1000000.0
+           AS duration_sec
+FROM _sess GROUP BY {user_col}, _seq
+"""

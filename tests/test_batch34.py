@@ -1,0 +1,71 @@
+"""Pins for C157 (native session_window lane) and C158 (approx-distinct
+audit)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import profile, sessions
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, ts timestamp")
+
+
+def test_session_window_boundary_merges_touching(spark):
+    t0 = DT(2024, 1, 1)
+    # event at EXACTLY last + gap merges (probed Spark semantics ==
+    # the engine's > gap rule); one microsecond beyond splits
+    rows = [
+        (1, t0),
+        (1, t0 + TD(minutes=30)),                        # merges
+        (1, t0 + TD(minutes=60, microseconds=1)),        # splits
+    ]
+    out = sorted(
+        (r["session_start"], r["n_events"])
+        for r in sessions.session_window_stats(
+            _events(spark, rows), gap_minutes=30.0
+        ).collect()
+    )
+    assert [n for _, n in out] == [2, 1]
+    assert out[0][0] == t0
+    assert out[1][0] == t0 + TD(minutes=60, microseconds=1)
+
+
+def test_session_window_equals_engine_sessionize(spark):
+    t0 = DT(2024, 1, 1)
+    rows = [
+        (u, t0 + TD(minutes=float((i * 17 + u * 5) % 300)))
+        for u in range(5)
+        for i in range(30)
+    ]
+    df = _events(spark, rows).distinct()
+    native = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_sec"])
+        for r in sessions.session_window_stats(df, gap_minutes=20.0).collect()
+    )
+    legacy = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_sec"])
+        for r in sessions.session_stats(df, gap_minutes=20.0).collect()
+    )
+    assert native == legacy
+    # and the native window's end is always last event + gap
+    for r in sessions.session_window_stats(df, gap_minutes=20.0).collect():
+        assert (
+            r["session_end"] - r["session_start"]
+        ).total_seconds() == pytest.approx(r["duration_sec"] + 20 * 60)
+
+
+def test_approx_distinct_audit_exact_and_bounded(spark):
+    rows = [((i * 7) % 500, ["a", "b"][i % 2]) for i in range(5000)]
+    df = spark.createDataFrame(rows, "v int, g string")
+    out = {
+        r["g"]: r
+        for r in profile.approx_distinct_audit(df, "v", ["g"]).collect()
+    }
+    want_a = len({(i * 7) % 500 for i in range(5000) if i % 2 == 0})
+    assert out["a"]["n_exact"] == want_a
+    assert out["a"]["est_ok"] and out["b"]["est_ok"]
+    with pytest.raises(ValueError):
+        profile.approx_distinct_audit(df, "v", rsd=1.5)

@@ -5328,6 +5328,12 @@ _CALIB_SRC_DUCK = (
     " THEN 1 ELSE 0 END AS label FROM events)"
 )
 
+_CALIB_SRC_TYPED_DUCK = (
+    "(SELECT (CAST((event_id * 13) % 100 AS DOUBLE) + 0.5) / 100.0 AS pred,"
+    " CASE WHEN (event_id * 29) % 100 < (event_id * 13) % 100"
+    " THEN 1 ELSE 0 END AS label, event_type FROM events)"
+)
+
 
 def _calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C156 (annex, EXACT oracle): calibration curve over an
@@ -5366,6 +5372,34 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.approx_distinct_audit(
         spark.table("events"), "user_id", ["event_type"]
     )
+
+
+def _winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C159 (annex, EXACT oracle): per-type percentile capping of
+    event values — broadcast R-7 edges, scan-stage clamp, no corpus
+    window."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select("event_id", "event_type", "value")
+    return features.winsorize(
+        src, "value", lo=0.05, hi=0.95, group_cols=["event_type"]
+    )
+
+
+def _auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C160 (annex, EXACT oracle): ROC AUC by the Mann-Whitney
+    rank-sum identity with tie-averaged ranks, over the C156 calibration
+    fixture (labels fire with probability ≈ pred, so AUC must land well
+    above 0.5 — and the exact value is pinned cross-engine)."""
+    _prep(spark, sf_dir)
+    eid = F.col("event_id")
+    src = spark.table("events").select(
+        ((((eid * 13) % 100).cast("double") + 0.5) / 100.0).alias("pred"),
+        F.when((eid * 29) % 100 < (eid * 13) % 100, 1).otherwise(0).alias(
+            "label"
+        ),
+        F.col("event_type"),
+    )
+    return features.auc_score(src, "pred", "label", group_cols=["event_type"])
 
 
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5573,6 +5607,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-34 components (C157-C158)
         "session_window_native": _session_window_native,
         "approx_distinct_users": _approx_distinct,
+        # round-7 batch-35 components (C159-C160)
+        "winsorize_value_by_type": _winsorize_values,
+        "auc_scores_by_type": _auc_scores,
     }
 
 
@@ -5972,6 +6009,16 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "approx_distinct_users": profile.approx_distinct_audit_sql(
             "events", "user_id", ["event_type"]
+        ),
+        # round-7 batch-35 components (C159-C160)
+        "winsorize_value_by_type": features.winsorize_sql(
+            "(SELECT event_id, event_type, value FROM events)",
+            "value", lo=0.05, hi=0.95, group_cols=["event_type"],
+            select="event_id, event_type, value",
+        ),
+        "auc_scores_by_type": features.auc_score_sql(
+            _CALIB_SRC_TYPED_DUCK, "pred", "label",
+            group_cols=["event_type"],
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

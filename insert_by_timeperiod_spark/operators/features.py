@@ -431,3 +431,181 @@ SELECT bin, n, mean_pred, frac_pos,
        abs(mean_pred - frac_pos) AS gap
 FROM _curve
 """
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    group_cols: list[str] | None = None,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Percentile capping (SURVEY.md §2 C159): clamp ``value_col`` into
+    its per-group [p_lo, p_hi] band — the outlier treatment that keeps
+    the row (unlike a filter) and keeps the scale (unlike rank
+    transforms); standard before means/OLS on heavy-tailed metrics
+    (revenue, latency). NULL values pass through NULL.
+
+    Scale shape: the C70 equi-depth posture — percentile edges reduce to
+    a groups-sized frame and ride back as a broadcast; the clamp is a
+    scan-stage expression; no window over the corpus, no sort. Edges use
+    the same R-7 interpolation both engines share, so
+    :func:`winsorize_sql` is an exact twin."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    gcols = list(group_cols or [])
+    edges = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.expr(f"percentile({value_col}, {lo!r})").alias("_plo"),
+            F.expr(f"percentile({value_col}, {hi!r})").alias("_phi"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(edges), gcols) if gcols
+        else df.crossJoin(F.broadcast(edges))
+    )
+    # guard NULL explicitly: greatest/least SKIP NULL arguments in both
+    # engines (greatest(NULL, lo) = lo), which would silently clamp a
+    # missing value to the lower edge — found by the NULL pass-through pin
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("_plo")),
+            F.col("_phi"),
+        ),
+    )
+    return joined.withColumn(out_col, clamped).drop("_plo", "_phi")
+
+
+def winsorize_sql(
+    source: str,
+    value_col: str,
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    group_cols: list[str] | None = None,
+    out_col: str = "winsorized",
+    select: str = "*",
+) -> str:
+    """Exact DuckDB twin of :func:`winsorize` (same R-7 edges, same
+    greatest/least clamp, NULL pass-through)."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    grp = f"GROUP BY {g}" if g else ""
+    join = f"JOIN _e USING ({g})" if g else "CROSS JOIN _e"
+    return f"""
+WITH _e AS (
+    SELECT {g + ", " if g else ""}
+           quantile_cont({value_col}, {lo!r}) AS _plo,
+           quantile_cont({value_col}, {hi!r}) AS _phi
+    FROM {source} WHERE {value_col} IS NOT NULL {grp}
+)
+SELECT {select},
+       CASE WHEN {value_col} IS NOT NULL THEN
+           least(greatest(CAST({value_col} AS DOUBLE), _plo), _phi)
+       END AS {out_col}
+FROM {source} {join}
+"""
+
+
+def auc_score(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ROC AUC (SURVEY.md §2 C160) by the Mann-Whitney rank-sum identity:
+    AUC = (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋), with TIED scores
+    taking their average rank (the exact trapezoidal-ROC value, not the
+    pessimistic min-rank one) — C156's calibration curve says whether
+    0.9 means 90%; this says whether the ORDER is right at all. Output
+    per group: ``auc``, ``n_pos``, ``n_neg`` (NULL auc when either class
+    is absent — undefined, not 0.5).
+
+    Scale shape: ONE window shuffle (rank by score within group); the
+    average tie rank is (2·min_rank + cnt − 1)/2 assembled from rank()
+    plus a per-(group, score) count — the second window shares the first
+    window's exchange. Everything after is a groups-sized aggregate.
+    Exactness: ranks and counts are exact integers; one final IEEE
+    division — twin-exact."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    p = F.col(pred_col).cast("double")
+    y = F.col(label_col).cast("int")
+    src = df.where(p.isNotNull() & y.isNotNull()).select(
+        *gcols, p.alias("_p"), y.alias("_y")
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.col("_p"))
+    wt = Window.partitionBy(*gcols, "_p")
+    ranked = src.select(
+        *gcols,
+        "_y",
+        # average rank of a tie block: (2*min_rank + cnt - 1) / 2
+        (
+            (2.0 * F.rank().over(w) + F.count(F.lit(1)).over(wt) - 1.0) / 2.0
+        ).alias("_ar"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_ar"))).alias("_rsum"),
+        F.count(F.when(F.col("_y") == 1, 1)).cast("bigint").alias("n_pos"),
+        F.count(F.when(F.col("_y") == 0, 1)).cast("bigint").alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (
+            F.col("_rsum")
+            - F.col("n_pos").cast("double")
+            * (F.col("n_pos").cast("double") + 1.0)
+            / 2.0
+        )
+        / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+    )
+    return agg.select(*gcols, auc.alias("auc"), "n_pos", "n_neg")
+
+
+def auc_score_sql(
+    source: str,
+    pred_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`auc_score` — identical average-rank
+    construction and final division."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    partp = f"PARTITION BY {gsel}_p".rstrip(", ")
+    grp = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({pred_col} AS DOUBLE) AS _p,
+           CAST({label_col} AS INT) AS _y
+    FROM {source}
+    WHERE {pred_col} IS NOT NULL AND {label_col} IS NOT NULL
+), _ranked AS (
+    SELECT {gsel}_y,
+           (2.0 * rank() OVER ({part}ORDER BY _p)
+            + COUNT(*) OVER ({partp}) - 1.0) / 2.0 AS _ar
+    FROM _src
+), _agg AS (
+    SELECT {gsel}SUM(CASE WHEN _y = 1 THEN _ar END) AS _rsum,
+           CAST(COUNT(CASE WHEN _y = 1 THEN 1 END) AS BIGINT) AS n_pos,
+           CAST(COUNT(CASE WHEN _y = 0 THEN 1 END) AS BIGINT) AS n_neg
+    FROM _ranked {grp}
+)
+SELECT {gsel}CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           (_rsum - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+           / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc,
+       n_pos, n_neg
+FROM _agg
+"""

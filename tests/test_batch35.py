@@ -1,0 +1,108 @@
+"""Pins for C159 (winsorize) and C160 (ROC AUC)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import features
+
+
+# ------------------------------------------------------------ C159 winsorize
+
+
+def test_winsorize_clamps_and_passes_nulls(spark):
+    vals = [float(v) for v in range(1, 100)] + [10000.0, -10000.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(999, None)],
+        "id int, v double",
+    )
+    out = {
+        r["id"]: r["winsorized"]
+        for r in features.winsorize(df, "v", lo=0.05, hi=0.95).collect()
+    }
+    assert out[999] is None
+    assert max(v for v in out.values() if v is not None) < 10000.0
+    assert min(v for v in out.values() if v is not None) > -10000.0
+    # interior values untouched
+    assert out[49] == 50.0
+    with pytest.raises(ValueError):
+        features.winsorize(df, "v", lo=0.9, hi=0.1)
+
+
+def test_winsorize_matches_twin_per_group(spark):
+    import duckdb
+
+    rows = [
+        (["a", "b"][i % 2], i, float((i * 37) % 211) - 50)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = sorted(
+        (r["g"], r["id"], r["winsorized"])
+        for r in features.winsorize(
+            df, "v", lo=0.1, hi=0.9, group_cols=["g"]
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, id INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (r[0], r[1], r[3])
+        for r in con.execute(
+            features.winsorize_sql(
+                "t", "v", lo=0.1, hi=0.9, group_cols=["g"],
+                select="g, id, v",
+            )
+        ).fetchall()
+    )
+    for (gg, gi, gw), (wg, wi, ww) in zip(got, want):
+        assert (gg, gi) == (wg, wi)
+        assert gw == pytest.approx(ww, abs=1e-9)
+
+
+# ----------------------------------------------------------------- C160 AUC
+
+
+def _auc(spark, rows):
+    df = spark.createDataFrame(rows, "pred double, label int")
+    return features.auc_score(df, "pred", "label").collect()[0]
+
+
+def test_auc_perfect_random_and_inverted(spark):
+    perfect = [(0.9, 1)] * 5 + [(0.1, 0)] * 5
+    assert _auc(spark, perfect)["auc"] == pytest.approx(1.0)
+    inverted = [(0.1, 1)] * 5 + [(0.9, 0)] * 5
+    assert _auc(spark, inverted)["auc"] == pytest.approx(0.0)
+    # all scores tied: average-rank form gives exactly 0.5
+    tied = [(0.5, 1)] * 4 + [(0.5, 0)] * 6
+    assert _auc(spark, tied)["auc"] == pytest.approx(0.5)
+
+
+def test_auc_hand_case_with_ties_and_degenerate(spark):
+    # scores: pos at 0.8, 0.5; neg at 0.5, 0.2 — the 0.5 tie contributes 1/2
+    # pairs: (0.8>0.5)=1, (0.8>0.2)=1, (0.5~0.5)=0.5, (0.5>0.2)=1 -> 3.5/4
+    rows = [(0.8, 1), (0.5, 1), (0.5, 0), (0.2, 0)]
+    assert _auc(spark, rows)["auc"] == pytest.approx(3.5 / 4)
+    r = _auc(spark, [(0.5, 1), (0.9, 1)])
+    assert r["auc"] is None and r["n_neg"] == 0  # one-class: undefined
+
+
+def test_auc_matches_sklearn_style_reference_and_twin(spark):
+    import duckdb
+
+    rows = [
+        (((i * 13) % 100 + 0.5) / 100.0, 1 if (i * 29) % 100 < (i * 13) % 100 else 0)
+        for i in range(400)
+    ]
+    got = _auc(spark, rows)
+    # python reference: pairwise with tie half-credit
+    pos = [p for p, y in rows if y == 1]
+    neg = [p for p, y in rows if y == 0]
+    s = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert got["auc"] == pytest.approx(s / (len(pos) * len(neg)), abs=1e-12)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(pred DOUBLE, label INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        features.auc_score_sql("t", "pred", "label")
+    ).fetchone()
+    assert got["auc"] == pytest.approx(want[0], abs=1e-12)

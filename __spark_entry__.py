@@ -5402,6 +5402,60 @@ def _auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.auc_score(src, "pred", "label", group_cols=["event_type"])
 
 
+def _km_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C161 (annex, EXACT oracle): Kaplan-Meier survival over per-user
+    observed lifetimes (days between first and last event; users with ≤5
+    events are treated as censored at their last sighting), per cohort.
+    Product assembled as exp(Σ ln) with the explicit curve-hits-zero flag
+    so both engines agree exactly on the 6-digit grid."""
+    _prep(spark, sf_dir)
+    src = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+            ).alias("dur_days"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            (F.col("user_id") % 3).cast("int").alias("cohort"),
+            "dur_days",
+            (F.col("_n") > 5).cast("int").alias("observed"),
+        )
+    )
+    return analytics.kaplan_meier(
+        src, "dur_days", "observed", group_cols=["cohort"]
+    )
+
+
+def _gini_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C162 (annex, EXACT oracle): Gini concentration of event value
+    per event_type — one rank-window shuffle; the rank-weighted sum is
+    tie-permutation invariant so row_number nondeterminism never reaches
+    the output."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select("event_type", "value")
+    return analytics.gini_coefficient(src, "value", group_cols=["event_type"])
+
+
+def _lorenz_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C162 (annex, EXACT oracle): Lorenz curve deciles per event_type
+    — prefix sums over ascending values are tie-permutation invariant, so
+    the decile boundary shares are exact cross-engine."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select("event_type", "value")
+    return analytics.lorenz_points(src, "value", group_cols=["event_type"], k=10)
+
+
+_KM_SRC_DUCK = """(
+    SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
+           date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
+           CASE WHEN COUNT(*) > 5 THEN 1 ELSE 0 END AS observed
+    FROM events GROUP BY user_id
+)"""
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries NOT declared to the driver (its recording caps at ~50 rows)
     but still run against their oracles / smoke-checked on every CI run via
@@ -5610,6 +5664,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-35 components (C159-C160)
         "winsorize_value_by_type": _winsorize_values,
         "auc_scores_by_type": _auc_scores,
+        # round-7 batch-36 components (C161-C162)
+        "km_survival_user_lifetime": _km_user_lifetime,
+        "gini_value_by_type": _gini_values,
+        "lorenz_value_deciles": _lorenz_values,
     }
 
 
@@ -6019,6 +6077,16 @@ def pytest_only_oracles() -> dict[str, str]:
         "auc_scores_by_type": features.auc_score_sql(
             _CALIB_SRC_TYPED_DUCK, "pred", "label",
             group_cols=["event_type"],
+        ),
+        # round-7 batch-36 components (C161-C162)
+        "km_survival_user_lifetime": analytics.kaplan_meier_sql(
+            _KM_SRC_DUCK, "dur_days", "observed", group_cols=["cohort"]
+        ),
+        "gini_value_by_type": analytics.gini_sql(
+            "events", "value", group_cols=["event_type"]
+        ),
+        "lorenz_value_deciles": analytics.lorenz_sql(
+            "events", "value", group_cols=["event_type"], k=10
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

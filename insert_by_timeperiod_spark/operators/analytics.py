@@ -1579,3 +1579,297 @@ SELECT CAST(SUM(CAST(round(
        CAST(MAX(_n) AS BIGINT) AS n
 FROM _full
 """
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (SURVEY.md §2 C161): the product-limit
+    estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over right-censored
+    durations — the standard churn/retention-lifetime readout next to
+    C60's cohort retention (which counts RETURNS per period; this
+    estimates TIME-TO-DEATH with censoring handled correctly instead of
+    dropped). One row per subject in: ``duration_col`` (numeric time to
+    event or to censoring) and ``event_col`` (nonzero = the event was
+    observed, 0 = censored at that time). Output per group and distinct
+    event time: ``t``, ``n_risk`` (subjects with duration ≥ t),
+    ``n_events``, ``n_censored``, ``survival``.
+
+    Scale shape: one aggregate on (group, t) collapses the corpus to
+    distinct-times-sized data; both windows (reverse-cumulative risk set,
+    forward-cumulative log-product) partition on the group only, so
+    Catalyst reuses one exchange for the pair. The product is assembled
+    as exp(Σ ln(1 − d/n)) with the d = n "curve hits zero" case handled
+    by an explicit flag (Spark's ln(0) is NULL, DuckDB's is -inf — the
+    flag keeps both engines exact), making :func:`kaplan_meier_sql` an
+    exact twin on the shared 6-digit float grid. NULL durations are
+    dropped (unknowable lifetime), matching the twin."""
+    gcols = list(group_cols or [])
+    ev = F.when(F.col(event_col).cast("double") != 0.0, 1).otherwise(0)
+    per_t = (
+        df.where(F.col(duration_col).isNotNull())
+        .select(
+            *gcols,
+            F.col(duration_col).cast("double").alias("t"),
+            ev.alias("_e"),
+        )
+        .groupBy(*gcols, "t")
+        .agg(
+            F.sum("_e").alias("n_events"),
+            F.sum(F.lit(1) - F.col("_e")).alias("n_censored"),
+            F.count(F.lit(1)).alias("_n_obs"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = per_t.withColumn("n_risk", F.sum("_n_obs").over(w_desc))
+    factor_log = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") == F.col("n_risk")), 1
+    ).otherwise(0)
+    out = (
+        risked.withColumn("_lf", factor_log)
+        .withColumn("_z", hit_zero)
+        .withColumn(
+            "survival",
+            F.when(F.max("_z").over(w_asc) == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(F.when(F.col("_z") == 1, 0.0).otherwise(F.col("_lf"))).over(w_asc))
+            ),
+        )
+    )
+    return out.select(
+        *gcols,
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.round("survival", 6).alias("survival"),
+    )
+
+
+def kaplan_meier_sql(
+    source: str,
+    duration_col: str,
+    event_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`kaplan_meier` (same risk-set windows,
+    same exp-sum-ln product with the explicit curve-hits-zero flag, same
+    6-digit rounding)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _per_t AS (
+    SELECT {gsel}CAST({duration_col} AS DOUBLE) AS t,
+           SUM(CASE WHEN CAST({event_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END) AS n_events,
+           SUM(CASE WHEN CAST({event_col} AS DOUBLE) <> 0.0 THEN 0 ELSE 1 END) AS n_censored,
+           COUNT(*) AS _n_obs
+    FROM {source}
+    WHERE {duration_col} IS NOT NULL
+    GROUP BY {gsel}CAST({duration_col} AS DOUBLE)
+), _risk AS (
+    SELECT *,
+           SUM(_n_obs) OVER ({part}ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+    FROM _per_t
+), _flag AS (
+    SELECT *,
+           CASE WHEN n_events > 0 AND n_events = n_risk THEN 1 ELSE 0 END AS _z,
+           CASE WHEN n_events > 0 AND n_events < n_risk
+                THEN ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                ELSE 0.0 END AS _lf
+    FROM _risk
+)
+SELECT {gsel}t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       round(CASE WHEN MAX(_z) OVER ({part}ORDER BY t ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(SUM(CASE WHEN _z = 1 THEN 0.0 ELSE _lf END)
+                           OVER ({part}ORDER BY t ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             END, 6) AS survival
+FROM _flag
+"""
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient (SURVEY.md §2 C162): per group,
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted non-null
+    values — the single-number "how concentrated is revenue/traffic"
+    audit next to C64's heavy-hitter diagnostic (which names the heavy
+    keys; this scores the whole distribution). 0 = perfectly equal,
+    (n−1)/n → 1 = one holder owns everything. NULL when the group sums
+    to 0 (undefined). Output: group cols, ``n``, ``total``, ``gini``.
+
+    Scale shape: ONE window shuffle (rank within group by value); the
+    rank-weighted sum is invariant to tie order (equal values contribute
+    a constant over any contiguous rank block), so row_number's
+    nondeterminism among ties never reaches the output and the DuckDB
+    twin is exact on the 6-digit grid."""
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_v").asc()
+    )
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_i", F.row_number().over(w))
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("total"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_iv"),
+    )
+    gini = F.when(
+        F.col("total") != 0.0,
+        F.lit(2.0) * F.col("_iv") / (F.col("n") * F.col("total"))
+        - (F.col("n") + F.lit(1.0)) / F.col("n"),
+    )
+    return agg.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 6).alias("total"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def gini_sql(
+    source: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`gini_coefficient`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH _ranked AS (
+    SELECT {gsel}CAST({value_col} AS DOUBLE) AS _v,
+           ROW_NUMBER() OVER ({part}ORDER BY CAST({value_col} AS DOUBLE) ASC) AS _i
+    FROM {source} WHERE {value_col} IS NOT NULL
+)
+SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(_v), 6) AS total,
+       round(CASE WHEN SUM(_v) <> 0.0 THEN
+           2.0 * SUM(_i * _v) / (COUNT(*) * SUM(_v))
+           - (COUNT(*) + 1.0) / COUNT(*)
+       END, 6) AS gini
+FROM _ranked {grp}
+"""
+
+
+def lorenz_points(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Lorenz curve at k quantile positions (SURVEY.md §2 C162, the
+    curve behind :func:`gini_coefficient`): per group and bucket
+    b ∈ 1..k, the cumulative share of total value held by the bottom
+    ⌈b·n/k⌉ holders — "the bottom 50% hold 9% of value" readouts.
+    Prefix sums over ascending values are tie-permutation invariant
+    (the r smallest values are the same multiset however ties are
+    ordered), so the DuckDB twin is exact. Output: group cols,
+    ``bucket``, ``pop_share``, ``cum_share`` (both in (0, 1],
+    cum_share NULL when the group total is 0).
+
+    Scale shape: same single window shuffle as the Gini; buckets reduce
+    to k rows per group."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_v").asc()
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_cum", F.sum("_v").over(wcum))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_tot", F.sum("_v").over(wall))
+        .withColumn(
+            "bucket", F.ceil(F.col("_i") * F.lit(k) / F.col("_n")).cast("int")
+        )
+    )
+    return (
+        ranked.groupBy(*gcols, "bucket")
+        .agg(
+            (F.max("_i") / F.max("_n")).alias("pop_share"),
+            F.max(
+                F.when(F.col("_tot") != 0.0, F.col("_cum") / F.col("_tot"))
+            ).alias("cum_share"),
+        )
+        .select(
+            *gcols,
+            "bucket",
+            F.round("pop_share", 6).alias("pop_share"),
+            F.round("cum_share", 6).alias("cum_share"),
+        )
+    )
+
+
+def lorenz_sql(
+    source: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 10,
+) -> str:
+    """Exact DuckDB twin of :func:`lorenz_points`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    grp = f"GROUP BY {gsel}bucket"
+    return f"""
+WITH _ranked AS (
+    SELECT {gsel}CAST({value_col} AS DOUBLE) AS _v,
+           ROW_NUMBER() OVER ({part}ORDER BY CAST({value_col} AS DOUBLE) ASC) AS _i,
+           SUM(CAST({value_col} AS DOUBLE)) OVER ({part}ORDER BY CAST({value_col} AS DOUBLE) ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+           COUNT(*) OVER ({part}) AS _n,
+           SUM(CAST({value_col} AS DOUBLE)) OVER ({part}) AS _tot
+    FROM {source} WHERE {value_col} IS NOT NULL
+), _bucketed AS (
+    SELECT *, CAST(ceil(_i * {k} / CAST(_n AS DOUBLE)) AS INTEGER) AS bucket
+    FROM _ranked
+)
+SELECT {gsel}bucket,
+       round(MAX(_i) / CAST(MAX(_n) AS DOUBLE), 6) AS pop_share,
+       round(MAX(CASE WHEN _tot <> 0.0 THEN _cum / _tot END), 6) AS cum_share
+FROM _bucketed {grp}
+"""

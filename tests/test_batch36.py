@@ -1,0 +1,123 @@
+"""Pins for C161 (Kaplan-Meier survival) and C162 (Gini / Lorenz
+concentration)."""
+
+import math
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _subjects(spark, rows):
+    return spark.createDataFrame(rows, "dur double, ev int")
+
+
+def test_km_matches_hand_computed_textbook_case(spark):
+    # classic product-limit example: deaths at t=1 (1 of 5) and t=3
+    # (1 of 3), censorings at t=2 and t=4
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1)]
+    out = {
+        r["t"]: r
+        for r in analytics.kaplan_meier(_subjects(spark, rows), "dur", "ev").collect()
+    }
+    assert out[1.0]["n_risk"] == 5 and out[1.0]["n_events"] == 1
+    assert out[1.0]["survival"] == pytest.approx(4 / 5, abs=1e-6)
+    # censoring at t=2 shrinks the risk set but not the curve
+    assert out[2.0]["n_censored"] == 1
+    assert out[2.0]["survival"] == pytest.approx(4 / 5, abs=1e-6)
+    assert out[3.0]["n_risk"] == 3
+    assert out[3.0]["survival"] == pytest.approx(4 / 5 * 2 / 3, abs=1e-6)
+    # last subject dies -> curve hits exactly zero (the ln(0) guard)
+    assert out[5.0]["n_risk"] == 1
+    assert out[5.0]["survival"] == 0.0
+
+
+def test_km_all_censored_curve_stays_at_one(spark):
+    rows = [(float(t), 0) for t in range(1, 6)]
+    for r in analytics.kaplan_meier(_subjects(spark, rows), "dur", "ev").collect():
+        assert r["survival"] == pytest.approx(1.0)
+        assert r["n_events"] == 0
+
+
+def test_km_groups_are_independent_and_nulls_drop(spark):
+    rows = [
+        ("a", 1.0, 1), ("a", 2.0, 1),
+        ("b", 1.0, 0), ("b", 2.0, 0),
+        ("b", None, 1),  # NULL duration dropped
+    ]
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    out = analytics.kaplan_meier(df, "dur", "ev", group_cols=["g"]).collect()
+    by = {(r["g"], r["t"]): r for r in out}
+    assert len(out) == 4
+    assert by[("a", 2.0)]["survival"] == 0.0
+    assert by[("b", 2.0)]["survival"] == pytest.approx(1.0)
+    assert by[("b", 1.0)]["n_risk"] == 2  # NULL row never entered
+
+
+def test_km_survival_is_monotone_nonincreasing(spark):
+    rows = [(float((i * 7) % 13 + 1), int(i % 3 != 0)) for i in range(200)]
+    out = sorted(
+        (r["t"], r["survival"])
+        for r in analytics.kaplan_meier(_subjects(spark, rows), "dur", "ev").collect()
+    )
+    for (_, s1), (_, s2) in zip(out, out[1:]):
+        assert s2 <= s1 + 1e-9
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame([(float(v),) for v in rows], "v double")
+
+
+def test_gini_equal_values_is_zero_and_single_holder_maxes(spark):
+    out = analytics.gini_coefficient(_vals(spark, [5, 5, 5, 5]), "v").collect()
+    assert out[0]["gini"] == pytest.approx(0.0, abs=1e-6)
+    out = analytics.gini_coefficient(_vals(spark, [0, 0, 0, 10]), "v").collect()
+    assert out[0]["gini"] == pytest.approx(3 / 4, abs=1e-6)  # (n-1)/n
+
+
+def test_gini_known_small_case_and_zero_total_null(spark):
+    # [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    out = analytics.gini_coefficient(_vals(spark, [1, 2, 3, 4]), "v").collect()
+    assert out[0]["gini"] == pytest.approx(0.25, abs=1e-6)
+    out = analytics.gini_coefficient(_vals(spark, [0, 0]), "v").collect()
+    assert out[0]["gini"] is None
+
+
+def test_gini_tie_order_invariant_against_shuffled_input(spark):
+    rows = [1, 1, 1, 2, 2, 7, 7, 7, 7, 30]
+    a = analytics.gini_coefficient(_vals(spark, rows), "v").collect()[0]["gini"]
+    b = analytics.gini_coefficient(_vals(spark, rows[::-1]), "v").collect()[0]["gini"]
+    assert a == b
+
+
+def test_lorenz_monotone_convex_and_ends_at_one(spark):
+    rows = [float((i * 13) % 97 + 1) for i in range(300)]
+    pts = sorted(
+        (r["bucket"], r["pop_share"], r["cum_share"])
+        for r in analytics.lorenz_points(_vals(spark, rows), "v", k=10).collect()
+    )
+    assert [b for b, _, _ in pts] == list(range(1, 11))
+    assert pts[-1][1] == pytest.approx(1.0) and pts[-1][2] == pytest.approx(1.0)
+    shares = [c for _, _, c in pts]
+    assert all(s2 >= s1 for s1, s2 in zip(shares, shares[1:]))
+    # Lorenz curve lies under the diagonal for an unequal distribution
+    for _, pop, cum in pts[:-1]:
+        assert cum <= pop + 1e-9
+    with pytest.raises(ValueError):
+        analytics.lorenz_points(_vals(spark, rows), "v", k=0)
+
+
+def test_gini_equals_lorenz_area_identity(spark):
+    # G computed from the rank formula must agree with the trapezoidal
+    # area under the k=n Lorenz curve: G = 1 - sum((pop_i-pop_{i-1})*(cum_i+cum_{i-1}))
+    rows = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    g = analytics.gini_coefficient(_vals(spark, rows), "v").collect()[0]["gini"]
+    pts = sorted(
+        (r["pop_share"], r["cum_share"])
+        for r in analytics.lorenz_points(_vals(spark, rows), "v", k=len(rows)).collect()
+    )
+    prev_p, prev_c, area2 = 0.0, 0.0, 0.0
+    for p, c in pts:
+        area2 += (p - prev_p) * (c + prev_c)
+        prev_p, prev_c = p, c
+    assert g == pytest.approx(1.0 - area2, abs=1e-5)

@@ -5448,6 +5448,39 @@ def _lorenz_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.lorenz_points(src, "value", group_cols=["event_type"], k=10)
 
 
+def _entropy_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C163 (annex, EXACT oracle): Shannon entropy + normalized
+    entropy + Simpson impurity of event_type per derived cohort —
+    6-decimal/DECIMAL term grid so addition order cannot split the
+    engines."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    )
+    return analytics.entropy_by_group(src, "event_type", group_cols=["cohort"])
+
+
+def _mi_type_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C163 (annex, EXACT oracle): mutual information between
+    event_type and the same derived cohort the C154 chi-square row tests
+    — the effect-size companion on the identical contingency table."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    )
+    return analytics.mutual_information(src, "event_type", "cohort")
+
+
+def _rfm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C164 (annex, EXACT oracle): RFM quintile segmentation of all
+    users — broadcast R-7 edges, scan-stage score comparisons, no global
+    ntile window."""
+    _prep(spark, sf_dir)
+    return analytics.rfm_segments(
+        spark.table("events"), "user_id", "ts", "value"
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5668,6 +5701,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "km_survival_user_lifetime": _km_user_lifetime,
         "gini_value_by_type": _gini_values,
         "lorenz_value_deciles": _lorenz_values,
+        # round-7 batch-37 components (C163-C164)
+        "entropy_type_by_cohort": _entropy_types,
+        "mi_type_cohort": _mi_type_cohort,
+        "rfm_users": _rfm_users,
     }
 
 
@@ -6087,6 +6124,18 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "lorenz_value_deciles": analytics.lorenz_sql(
             "events", "value", group_cols=["event_type"], k=10
+        ),
+        # round-7 batch-37 components (C163-C164)
+        "entropy_type_by_cohort": analytics.entropy_sql(
+            "(SELECT event_type, user_id % 4 AS cohort FROM events)",
+            "event_type", group_cols=["cohort"],
+        ),
+        "mi_type_cohort": analytics.mutual_information_sql(
+            "(SELECT event_type, user_id % 5 AS cohort FROM events)",
+            "event_type", "cohort",
+        ),
+        "rfm_users": analytics.rfm_segments_sql(
+            "events", "user_id", "ts", "value"
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

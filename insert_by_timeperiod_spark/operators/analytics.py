@@ -1873,3 +1873,310 @@ SELECT {gsel}bucket,
        round(MAX(CASE WHEN _tot <> 0.0 THEN _cum / _tot END), 6) AS cum_share
 FROM _bucketed {grp}
 """
+
+
+def entropy_by_group(
+    df: DataFrame,
+    cat_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shannon entropy of a categorical column (SURVEY.md §2 C163): per
+    group, H = −Σ p·ln(p) over category shares, plus the normalized form
+    H/ln(k) (NULL when k = 1 — a one-category group has no scale) and the
+    Simpson/Gini impurity 1 − Σp² — the "how spread out is this
+    distribution" audit that complements C53's drift (which compares two
+    corpora; this scores one). NULL categories count as a real category
+    is WRONG for an audit, so NULLs are dropped, matching the twin.
+
+    Scale shape: one aggregate to (group, category) counts, one reduce to
+    groups — both map-side combined. Per-category terms are rounded to
+    the shared 6-decimal grid and summed as DECIMAL (the C154 chi-square
+    posture), so addition order cannot split the engines and
+    :func:`entropy_sql` is exact."""
+    gcols = list(group_cols or [])
+    cells = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*gcols, F.col(cat_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    p = F.col("_o") / F.sum("_o").over(wall)
+    terms = cells.select(
+        *gcols,
+        F.col("_o"),
+        F.round(-p * F.log(p), 6).cast("decimal(38,6)").alias("_h"),
+        F.round(p * p, 6).cast("decimal(38,6)").alias("_p2"),
+    )
+    agg = terms.groupBy(*gcols).agg(
+        F.sum("_o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_h").cast("double").alias("_hsum"),
+        F.sum("_p2").cast("double").alias("_p2sum"),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        "k",
+        F.round("_hsum", 6).alias("entropy"),
+        F.round(
+            F.when(F.col("k") > 1, F.col("_hsum") / F.log(F.col("k").cast("double"))),
+            6,
+        ).alias("norm_entropy"),
+        F.round(F.lit(1.0) - F.col("_p2sum"), 6).alias("simpson"),
+    )
+
+
+def entropy_sql(
+    source: str,
+    cat_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`entropy_by_group` (same NULL drop,
+    same 6-decimal/DECIMAL term grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH _cells AS (
+    SELECT {gsel}{cat_col} AS _c, COUNT(*) AS _o
+    FROM {source} WHERE {cat_col} IS NOT NULL
+    GROUP BY {gsel}{cat_col}
+), _terms AS (
+    SELECT {gsel}_o,
+           CAST(round(-(_o / SUM(_o) OVER ({part})) * ln(_o / SUM(_o) OVER ({part})), 6)
+                AS DECIMAL(38,6)) AS _h,
+           CAST(round((_o / SUM(_o) OVER ({part})) * (_o / SUM(_o) OVER ({part})), 6)
+                AS DECIMAL(38,6)) AS _p2
+    FROM _cells
+)
+SELECT {gsel}CAST(SUM(_o) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       round(CAST(SUM(_h) AS DOUBLE), 6) AS entropy,
+       round(CASE WHEN COUNT(*) > 1
+                  THEN CAST(SUM(_h) AS DOUBLE) / ln(CAST(COUNT(*) AS DOUBLE)) END,
+             6) AS norm_entropy,
+       round(1.0 - CAST(SUM(_p2) AS DOUBLE), 6) AS simpson
+FROM _terms {grp}
+"""
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns (SURVEY.md §2
+    C163): MI = Σ_ab p(a,b)·ln(p(a,b)/(p(a)p(b))) in nats, with the
+    marginal entropies and the normalized NMI = MI/√(H_a·H_b) — the
+    effect-SIZE companion to C154's chi-square (which only says whether
+    dependence exists; this says how much, on an interpretable scale).
+    Rows where either column is NULL are dropped (no pair observed).
+
+    Scale shape: one aggregate to joint cells; marginals reduce FROM the
+    cells (cells-sized data, never a second corpus pass) and ride back as
+    broadcasts. Same 6-decimal/DECIMAL term grid as
+    :func:`entropy_by_group`; :func:`mutual_information_sql` is exact."""
+    src = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cells = src.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wn = Window.partitionBy()
+    enriched = cells.select(
+        "_o",
+        F.sum("_o").over(wa).alias("_ra"),
+        F.sum("_o").over(wb).alias("_rb"),
+        F.sum("_o").over(wn).alias("_n"),
+    )
+    pj = F.col("_o") / F.col("_n")
+    pa = F.col("_ra") / F.col("_n")
+    pb = F.col("_rb") / F.col("_n")
+    terms = enriched.select(
+        F.col("_n"),
+        F.round(pj * F.log(pj / (pa * pb)), 6).cast("decimal(38,6)").alias("_mi"),
+        F.round(-pj * F.log(pa), 6).cast("decimal(38,6)").alias("_ha"),
+        F.round(-pj * F.log(pb), 6).cast("decimal(38,6)").alias("_hb"),
+    )
+    agg = terms.groupBy().agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum("_mi").cast("double").alias("_misum"),
+        F.sum("_ha").cast("double").alias("_hasum"),
+        F.sum("_hb").cast("double").alias("_hbsum"),
+    )
+    nmi = F.when(
+        (F.col("_hasum") > 0.0) & (F.col("_hbsum") > 0.0),
+        F.col("_misum") / F.sqrt(F.col("_hasum") * F.col("_hbsum")),
+    )
+    return agg.select(
+        "n",
+        F.round("_misum", 6).alias("mi"),
+        F.round("_hasum", 6).alias("h_a"),
+        F.round("_hbsum", 6).alias("h_b"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def mutual_information_sql(source: str, col_a: str, col_b: str) -> str:
+    """Exact DuckDB twin of :func:`mutual_information`."""
+    return f"""
+WITH _src AS (
+    SELECT {col_a} AS _a, {col_b} AS _b FROM {source}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+), _cells AS (
+    SELECT _a, _b, COUNT(*) AS _o FROM _src GROUP BY _a, _b
+), _rich AS (
+    SELECT _o,
+           SUM(_o) OVER (PARTITION BY _a) AS _ra,
+           SUM(_o) OVER (PARTITION BY _b) AS _rb,
+           SUM(_o) OVER () AS _n
+    FROM _cells
+), _terms AS (
+    SELECT _n,
+           CAST(round((_o/_n) * ln((_o/_n) / ((_ra/_n) * (_rb/_n))), 6) AS DECIMAL(38,6)) AS _mi,
+           CAST(round(-(_o/_n) * ln(_ra/_n), 6) AS DECIMAL(38,6)) AS _ha,
+           CAST(round(-(_o/_n) * ln(_rb/_n), 6) AS DECIMAL(38,6)) AS _hb
+    FROM _rich
+)
+SELECT CAST(MAX(_n) AS BIGINT) AS n,
+       round(CAST(SUM(_mi) AS DOUBLE), 6) AS mi,
+       round(CAST(SUM(_ha) AS DOUBLE), 6) AS h_a,
+       round(CAST(SUM(_hb) AS DOUBLE), 6) AS h_b,
+       round(CASE WHEN CAST(SUM(_ha) AS DOUBLE) > 0.0 AND CAST(SUM(_hb) AS DOUBLE) > 0.0
+                  THEN CAST(SUM(_mi) AS DOUBLE)
+                       / sqrt(CAST(SUM(_ha) AS DOUBLE) * CAST(SUM(_hb) AS DOUBLE)) END,
+             6) AS nmi
+FROM _terms
+"""
+
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    anchor: str | None = None,
+) -> DataFrame:
+    """RFM segmentation (SURVEY.md §2 C164): per user, Recency (days
+    since last event, against ``anchor`` or the corpus max date),
+    Frequency (event count), Monetary (value sum), each scored 1-5 by
+    quintile edges — the classic customer-value grid the C59/C60 funnel
+    and retention readouts feed into. Higher is better on all three
+    scores (recency inverts: fewer days → 5). Output: user, the three
+    raw metrics, ``r_score``/``f_score``/``m_score``, and the ``rfm``
+    code string (e.g. '545').
+
+    Scale shape: the C70/C159 edges posture — one corpus aggregate to
+    users, a 12-scalar percentile reduce over the users frame riding
+    back as a 1-row broadcast, score assignment as scan-stage
+    comparisons. NO global ntile window (a single-task sort at 100 TB);
+    quintile EDGES with "count edges strictly below the value" gives
+    identical scores in both engines (R-7 interpolation is shared), so
+    :func:`rfm_segments_sql` is exact — ties at an edge land on the same
+    side everywhere."""
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).groupBy(F.col(user_col).alias("user_key")).agg(
+        F.max(F.col(ts_col).cast("date")).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(F.col(value_col).cast("double")), 6).alias("monetary"),
+    )
+    if anchor is None:
+        # 1-row broadcast, never a global window over the users frame
+        base = base.crossJoin(
+            F.broadcast(base.agg(F.max("_last").alias("_anchor")))
+        )
+    else:
+        base = base.withColumn("_anchor", F.lit(anchor).cast("date"))
+    base = base.withColumn(
+        "recency_days", F.datediff(F.col("_anchor"), F.col("_last")).cast("long")
+    ).drop("_last", "_anchor")
+    pct = ", ".join(str(q) for q in _RFM_QS)
+    edges = base.agg(
+        F.expr(f"percentile(recency_days, array({pct}))").alias("_re"),
+        F.expr(f"percentile(frequency, array({pct}))").alias("_fe"),
+        F.expr(f"percentile(monetary, array({pct}))").alias("_me"),
+    )
+    scored = base.crossJoin(F.broadcast(edges))
+
+    def _score(col: str, edge: str) -> F.Column:  # 1 + edges strictly below
+        c = F.col(col).cast("double")
+        s = F.lit(1)
+        for i in range(len(_RFM_QS)):
+            s = s + F.when(c > F.col(edge)[i], 1).otherwise(0)
+        return s
+
+    r_sc = F.lit(6) - _score("recency_days", "_re")  # fewer days -> higher
+    f_sc = _score("frequency", "_fe")
+    m_sc = _score("monetary", "_me")
+    return scored.select(
+        "user_key",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_sc.cast("int").alias("r_score"),
+        f_sc.cast("int").alias("f_score"),
+        m_sc.cast("int").alias("m_score"),
+    ).withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def rfm_segments_sql(
+    source: str,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    anchor: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`rfm_segments` (same R-7 quintile
+    edges, same strictly-above counting, same recency inversion)."""
+    anchor_expr = (
+        f"DATE '{anchor}'" if anchor is not None
+        else "(SELECT MAX(CAST(_last AS DATE)) FROM _base)"
+    )
+
+    def _score(col: str, edge: str) -> str:
+        parts = " + ".join(
+            f"CASE WHEN CAST({col} AS DOUBLE) > {edge}[{i + 1}] THEN 1 ELSE 0 END"
+            for i in range(len(_RFM_QS))
+        )
+        return f"(1 + {parts})"
+
+    pct = ", ".join(str(q) for q in _RFM_QS)
+    return f"""
+WITH _base AS (
+    SELECT {user_col} AS user_key, MAX(CAST({ts_col} AS DATE)) AS _last,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           round(SUM(CAST({value_col} AS DOUBLE)), 6) AS monetary
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+    GROUP BY {user_col}
+), _rec AS (
+    SELECT *, CAST(date_diff('day', _last, {anchor_expr}) AS BIGINT) AS recency_days
+    FROM _base
+), _edges AS (
+    SELECT quantile_cont(recency_days, [{pct}]) AS _re,
+           quantile_cont(frequency, [{pct}]) AS _fe,
+           quantile_cont(monetary, [{pct}]) AS _me
+    FROM _rec
+), _scored AS (
+    SELECT r.user_key, r.recency_days, r.frequency, r.monetary,
+           CAST(6 - {_score('r.recency_days', 'e._re')} AS INTEGER) AS r_score,
+           CAST({_score('r.frequency', 'e._fe')} AS INTEGER) AS f_score,
+           CAST({_score('r.monetary', 'e._me')} AS INTEGER) AS m_score
+    FROM _rec r CROSS JOIN _edges e
+)
+SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm
+FROM _scored
+"""

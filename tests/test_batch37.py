@@ -1,0 +1,105 @@
+"""Pins for C163 (entropy / mutual information) and C164 (RFM
+segmentation)."""
+
+import math
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _cats(spark, rows, schema="c string"):
+    return spark.createDataFrame([(r,) if not isinstance(r, tuple) else r for r in rows], schema)
+
+
+def test_entropy_uniform_is_ln_k_and_norm_is_one(spark):
+    df = _cats(spark, ["a", "b", "c", "d"] * 25)
+    r = analytics.entropy_by_group(df, "c").collect()[0]
+    assert r["n"] == 100 and r["k"] == 4
+    assert r["entropy"] == pytest.approx(math.log(4), abs=1e-5)
+    assert r["norm_entropy"] == pytest.approx(1.0, abs=1e-5)
+    assert r["simpson"] == pytest.approx(0.75, abs=1e-5)
+
+
+def test_entropy_single_category_is_zero_with_null_norm(spark):
+    df = _cats(spark, ["x"] * 10 + [None])
+    r = analytics.entropy_by_group(df, "c").collect()[0]
+    assert r["n"] == 10  # NULL dropped
+    assert r["entropy"] == pytest.approx(0.0, abs=1e-9)
+    assert r["norm_entropy"] is None
+    assert r["simpson"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_entropy_hand_case_and_groups(spark):
+    rows = [("g1", "a")] * 3 + [("g1", "b")] * 1 + [("g2", "a")] * 2
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in analytics.entropy_by_group(df, "c", group_cols=["g"]).collect()}
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert out["g1"]["entropy"] == pytest.approx(want, abs=1e-5)
+    assert out["g2"]["entropy"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mi_independent_is_zero_and_identical_is_entropy(spark):
+    # independent: b cycles independently of a
+    rows = [(["a", "b"][i % 2], ["x", "y", "z"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = analytics.mutual_information(df, "a", "b").collect()[0]
+    assert r["mi"] == pytest.approx(0.0, abs=1e-5)
+    assert r["nmi"] == pytest.approx(0.0, abs=1e-5)
+    # identical columns: MI == H(A) == H(B), NMI == 1
+    rows = [(c, c) for c in ["a", "a", "a", "b", "b", "c"] * 10]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = analytics.mutual_information(df, "a", "b").collect()[0]
+    assert r["mi"] == pytest.approx(r["h_a"], abs=1e-5)
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_mi_hand_case_2x2(spark):
+    # joint: (a,x)=4 (a,y)=1 (b,x)=1 (b,y)=4, n=10
+    rows = [("a", "x")] * 4 + [("a", "y")] + [("b", "x")] + [("b", "y")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = analytics.mutual_information(df, "a", "b").collect()[0]
+    want = 2 * (0.4 * math.log(0.4 / 0.25) + 0.1 * math.log(0.1 / 0.25))
+    assert r["mi"] == pytest.approx(want, abs=1e-5)
+    assert r["n"] == 10
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "u int, ts timestamp, v double")
+
+
+def test_rfm_scores_orient_correctly(spark):
+    from datetime import datetime as DT, timedelta as TD
+
+    t0 = DT(2024, 1, 1)
+    rows = []
+    # user 1: recent, frequent, big spender; user 20: stale, rare, tiny
+    for u in range(1, 21):
+        n = 21 - u
+        for i in range(n):
+            rows.append((u, t0 + TD(days=u - 1 + i), float(n)))
+    out = {r["user_key"]: r for r in analytics.rfm_segments(
+        _events(spark, rows), "u", "ts", "v").collect()}
+    # user 20 has the single latest event -> best recency
+    assert out[20]["recency_days"] == 0 and out[20]["r_score"] == 5
+    assert out[20]["f_score"] == 1 and out[20]["m_score"] == 1
+    assert out[1]["f_score"] == 5 and out[1]["m_score"] == 5
+    assert out[1]["rfm"] == f"{out[1]['r_score']}55"
+    # every score in 1..5
+    for r in out.values():
+        for k in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[k] <= 5
+
+
+def test_rfm_explicit_anchor_and_null_drop(spark):
+    from datetime import datetime as DT
+
+    rows = [(1, DT(2024, 1, 10), 5.0), (2, DT(2024, 1, 1), 3.0),
+            (None, DT(2024, 1, 5), 9.0), (3, None, 9.0)]
+    out = analytics.rfm_segments(
+        _events(spark, rows), "u", "ts", "v", anchor="2024-01-20"
+    ).collect()
+    by = {r["user_key"]: r for r in out}
+    assert set(by) == {1, 2}  # NULL user and NULL ts dropped
+    assert by[1]["recency_days"] == 10
+    assert by[2]["recency_days"] == 19

@@ -5481,6 +5481,38 @@ def _rfm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jw_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C165 (annex, EXACT oracle): Jaro-Winkler similarity over
+    consecutive part-name pairs — our from-scratch Winkler-1990
+    implementation vs DuckDB's BUILT-IN jaro_winkler_similarity (probed
+    contract: byte-level, boost only above 0.7, 4-byte prefix cap).
+    Arrow lane, zero shuffle past the pair join."""
+    _prep(spark, sf_dir)
+    p = spark.table("part").select("p_partkey", "p_name")
+    pairs = (
+        p.alias("a")
+        .join(p.alias("b"), F.col("b.p_partkey") == F.col("a.p_partkey") + 1)
+        .select(
+            F.col("a.p_partkey").alias("k"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+    )
+    return TX.jaro_winkler(pairs, "name_a", "name_b")
+
+
+def _adamic_adar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C166 (annex, EXACT oracle): Adamic-Adar link prediction over
+    the deterministic event-derived graph (the C75/C80/C132 one) — one
+    bridge self-join on z, hub cap 60, existing edges anti-joined out,
+    weights on the 6-decimal/DECIMAL grid."""
+    _prep(spark, sf_dir)
+    e = spark.table("events").select(
+        (F.col("event_id") % 500).alias("src"), F.col("user_id").alias("dst")
+    )
+    return graph.adamic_adar(e, max_degree=60, min_common=2)
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5705,6 +5737,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "entropy_type_by_cohort": _entropy_types,
         "mi_type_cohort": _mi_type_cohort,
         "rfm_users": _rfm_users,
+        # round-7 batch-38 components (C165-C166)
+        "jw_part_names": _jw_part_names,
+        "adamic_adar_events": _adamic_adar_events,
     }
 
 
@@ -6136,6 +6171,16 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "rfm_users": analytics.rfm_segments_sql(
             "events", "user_id", "ts", "value"
+        ),
+        # round-7 batch-38 components (C165-C166)
+        "jw_part_names": TX.jaro_winkler_sql(
+            "(SELECT a.p_partkey AS k, a.p_name AS name_a, b.p_name AS name_b"
+            " FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1)",
+            "name_a", "name_b", select="k, name_a, name_b",
+        ),
+        "adamic_adar_events": graph.adamic_adar_sql(
+            "(SELECT event_id % 500 AS src, user_id AS dst FROM events)",
+            max_degree=60, min_common=2,
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -680,3 +680,116 @@ def bfs_sql(
         + ",\n".join(ctes)
         + f"\nSELECT node, CAST(hop AS INT) AS hop FROM _d{max_hops}"
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic-Adar link prediction (SURVEY.md §2 C166): for every
+    non-adjacent node pair sharing ≥ ``min_common`` neighbors, the
+    score Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) (Adamic & Adar 2003) plus the
+    raw common-neighbor count — "who should be connected next" over the
+    same undirected view C80's triangles and C75's PageRank read.
+
+    Scale shape: neighbor pairs come from ONE self-join of the
+    symmetrized edge list on the bridge node z — the standard
+    friend-of-friend exchange, shuffled on z. Hubs explode this
+    quadratically (Σ deg²), so ``max_degree`` drops high-degree nodes
+    from BRIDGING (their 1/ln weight is near-noise anyway — the
+    published heuristic's own rationale); the cap is part of the
+    contract and the twin applies it identically. Per-bridge weights
+    ride the shared 6-decimal/DECIMAL grid so addition order cannot
+    split the engines; existing edges leave via one broadcast-able
+    anti-join. Degree-1 nodes never bridge (no pair), so ln(1)=0 never
+    divides. Output: ``node_a`` < ``node_b``, ``common_neighbors``,
+    ``aa_score``."""
+    if min_common < 1:
+        raise ValueError(f"need min_common >= 1, got {min_common}")
+    e = edges.where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    und = (
+        e.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(e.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    und = und.localCheckpoint()  # 3 consumers: degrees, two join sides
+    deg = und.groupBy(F.col("u").alias("z")).agg(F.count(F.lit(1)).alias("_deg"))
+    # plain z-keyed join: the exchange on z is the SAME one the
+    # friend-of-friend self-join needs, so Catalyst/AQE reuses it
+    bridges = und.select(F.col("u").alias("z"), F.col("v").alias("n")).join(
+        deg, "z"
+    )
+    if max_degree is not None:
+        bridges = bridges.where(F.col("_deg") <= max_degree)
+    a_side = bridges.select("z", F.col("n").alias("node_a"), "_deg")
+    b_side = bridges.select("z", F.col("n").alias("node_b"))
+    pairs = a_side.join(b_side, "z").where(F.col("node_a") < F.col("node_b"))
+    scored = pairs.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum(
+            F.round(F.lit(1.0) / F.log(F.col("_deg").cast("double")), 6).cast(
+                "decimal(38,6)"
+            )
+        ).alias("_aa"),
+    )
+    existing = und.select(
+        F.least("u", "v").alias("node_a"), F.greatest("u", "v").alias("node_b")
+    ).distinct()
+    return (
+        scored.join(existing, ["node_a", "node_b"], "left_anti")
+        .where(F.col("common_neighbors") >= min_common)
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            F.round(F.col("_aa").cast("double"), 6).alias("aa_score"),
+        )
+    )
+
+
+def adamic_adar_sql(
+    source: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> str:
+    """Exact DuckDB twin of :func:`adamic_adar` (same symmetrized view,
+    same bridge cap, same 6-decimal/DECIMAL weight grid)."""
+    cap = f"WHERE _deg <= {max_degree}" if max_degree is not None else ""
+    return f"""
+WITH _e AS (
+    SELECT {src} AS u, {dst} AS v FROM {source}
+    WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), _und AS (
+    SELECT u, v FROM _e UNION SELECT v AS u, u AS v FROM _e
+), _deg AS (
+    SELECT u AS z, COUNT(*) AS _deg FROM _und GROUP BY u
+), _bridge AS (
+    SELECT n.u AS z, n.v AS n, d._deg
+    FROM _und n JOIN _deg d ON d.z = n.u
+    {cap}
+), _pairs AS (
+    SELECT a.n AS node_a, b.n AS node_b, a._deg
+    FROM _bridge a JOIN _bridge b ON a.z = b.z AND a.n < b.n
+), _scored AS (
+    SELECT node_a, node_b,
+           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+           SUM(CAST(round(1.0 / ln(CAST(_deg AS DOUBLE)), 6) AS DECIMAL(38,6))) AS _aa
+    FROM _pairs GROUP BY node_a, node_b
+), _existing AS (
+    SELECT DISTINCT least(u, v) AS node_a, greatest(u, v) AS node_b FROM _und
+)
+SELECT s.node_a, s.node_b, s.common_neighbors,
+       round(CAST(s._aa AS DOUBLE), 6) AS aa_score
+FROM _scored s
+ANTI JOIN _existing x ON x.node_a = s.node_a AND x.node_b = s.node_b
+WHERE s.common_neighbors >= {min_common}
+"""

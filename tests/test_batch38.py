@@ -1,0 +1,98 @@
+"""Pins for C165 (Jaro-Winkler similarity) and C166 (Adamic-Adar link
+prediction)."""
+
+import math
+
+import duckdb
+import pytest
+
+from insert_by_timeperiod_spark.functions import text as TX
+from insert_by_timeperiod_spark.operators import graph
+
+
+def test_jw_python_core_matches_duckdb_builtin_exhaustively():
+    """The real contract: our from-scratch Winkler implementation must be
+    bit-compatible (to 6 digits) with DuckDB's builtin across textbook
+    cases, unicode, boundaries, and a deterministic random sweep."""
+    cases = [
+        ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("JELLYFISH", "SMELLYFISH"),
+        ("", ""), ("a", ""), ("", "a"), ("abc", "abc"), ("ab", "ba"),
+        ("CRATE", "TRACE"), ("DwAyNE", "DuANE"), ("x", "x"), ("aaaa", "aaaa"),
+        ("abcd", "badc"), ("prefix_same", "prefix_diff"), ("ab", "abcdefghij"),
+        ("é", "e"), ("ßß", "ss"), ("日本語", "日本誤"), ("héllo", "hello"),
+        ("aa" + "h" * 18, "aa"), ("aa" + "h" * 20, "aa"),  # boost threshold
+    ]
+    # deterministic pseudo-random sweep over a small alphabet (collisions
+    # guaranteed, so the match/transposition paths are exercised)
+    alpha = "abcde"
+    seed = 1234567
+    for i in range(300):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        n1, n2 = (seed >> 3) % 8, (seed >> 9) % 8
+        s1 = "".join(alpha[(seed >> (k + 2)) % 5] for k in range(n1))
+        s2 = "".join(alpha[(seed >> (k + 7)) % 5] for k in range(n2))
+        cases.append((s1, s2))
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute(
+            "SELECT round(jaro_winkler_similarity(?, ?), 6)", [a, b]
+        ).fetchone()[0]
+        got = round(TX._jw_bytes(a.encode(), b.encode()), 6)
+        assert got == pytest.approx(want, abs=1e-9), (a, b, got, want)
+
+
+def test_jw_dataframe_lane_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("abc", None), (None, "abc")], "a string, b string"
+    )
+    rows = {r["a"]: r["jw"] for r in TX.jaro_winkler(df, "a", "b").collect()}
+    assert rows["MARTHA"] == pytest.approx(0.961111, abs=1e-6)
+    assert rows["abc"] is None and rows[None] is None
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+def test_aa_path_square_and_existing_edge_exclusion(spark):
+    # path 1-9-2: pair (1,2) bridges z=9 (deg 2) -> 1/ln(2)
+    out = graph.adamic_adar(_edges(spark, [(1, 9), (9, 2)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["node_a"], r["node_b"], r["common_neighbors"]) == (1, 2, 1)
+    assert r["aa_score"] == pytest.approx(1 / math.log(2), abs=1e-5)
+    # triangle: 1-2 edge exists -> pair excluded entirely
+    out = graph.adamic_adar(_edges(spark, [(1, 9), (9, 2), (1, 2)])).collect()
+    assert all((r["node_a"], r["node_b"]) != (1, 2) for r in out)
+    # square 1-8-2, 1-9-2: two bridges, deg 2 each
+    out = {(r["node_a"], r["node_b"]): r for r in graph.adamic_adar(
+        _edges(spark, [(1, 8), (8, 2), (1, 9), (9, 2)])).collect()}
+    r = out[(1, 2)]
+    assert r["common_neighbors"] == 2
+    assert r["aa_score"] == pytest.approx(2 / math.log(2), abs=1e-4)
+
+
+def test_aa_hub_cap_and_min_common_and_self_loops(spark):
+    # hub 100 connects 1..5; with max_degree=3 the hub cannot bridge
+    pairs = [(u, 100) for u in range(1, 6)] + [(1, 9), (9, 2), (2, 2)]
+    full = graph.adamic_adar(_edges(spark, pairs)).collect()
+    capped = graph.adamic_adar(_edges(spark, pairs), max_degree=3).collect()
+    assert len(full) > len(capped)
+    # hub 100 (deg 5) no longer bridges its 1..5 spokes; what remains is
+    # (1,2) bridged by 9, and (9,100) bridged by low-degree nodes 1 and 2
+    assert {(r["node_a"], r["node_b"]) for r in capped} == {(1, 2), (9, 100)}
+    by = {(r["node_a"], r["node_b"]): r for r in capped}
+    assert by[(9, 100)]["common_neighbors"] == 2
+    # min_common filters the single-bridge pair out
+    assert graph.adamic_adar(_edges(spark, [(1, 9), (9, 2)]), min_common=2).count() == 0
+    with pytest.raises(ValueError):
+        graph.adamic_adar(_edges(spark, pairs), min_common=0)
+
+
+def test_aa_direction_invariance(spark):
+    # reversing every edge must not change the result (undirected view)
+    pairs = [(1, 8), (8, 2), (1, 9), (9, 2), (3, 8)]
+    a = sorted(map(tuple, graph.adamic_adar(_edges(spark, pairs)).collect()))
+    b = sorted(map(tuple, graph.adamic_adar(
+        _edges(spark, [(d, s) for s, d in pairs])).collect()))
+    assert a == b

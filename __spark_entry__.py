@@ -5513,6 +5513,28 @@ def _adamic_adar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.adamic_adar(e, max_degree=60, min_common=2)
 
 
+def _seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C167 (annex, EXACT oracle): additive weekday decomposition of
+    daily value totals per event_type — level + seasonal(dow) +
+    residual; daily sums on the DECIMAL grid; dow convention aligned
+    (Spark 1..7 vs DuckDB 0..6 shifted in the twin)."""
+    _prep(spark, sf_dir)
+    return timeseries.seasonal_decompose(
+        spark.table("events"), "ts", "value", group_cols=["event_type"]
+    )
+
+
+def _psi_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C168 (annex, EXACT oracle): PSI of event value, first half of
+    January as baseline vs the rest as current — R-7 baseline decile
+    edges broadcast, scan-stage binning, 1e-6 empty-bin clamp."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    base = ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    return drift.psi(base, cur, "value", k=10)
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5740,6 +5762,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-38 components (C165-C166)
         "jw_part_names": _jw_part_names,
         "adamic_adar_events": _adamic_adar_events,
+        # round-7 batch-39 components (C167-C168)
+        "seasonal_value_daily": _seasonal_daily,
+        "psi_value_windows": _psi_value_windows,
     }
 
 
@@ -6181,6 +6206,15 @@ def pytest_only_oracles() -> dict[str, str]:
         "adamic_adar_events": graph.adamic_adar_sql(
             "(SELECT event_id % 500 AS src, user_id AS dst FROM events)",
             max_degree=60, min_common=2,
+        ),
+        # round-7 batch-39 components (C167-C168)
+        "seasonal_value_daily": timeseries.seasonal_decompose_sql(
+            "events", "ts", "value", group_cols=["event_type"]
+        ),
+        "psi_value_windows": drift.psi_sql(
+            "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16')",
+            "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16')",
+            "value", k=10,
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

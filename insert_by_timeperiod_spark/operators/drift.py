@@ -16,7 +16,7 @@ Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .lmscore import _tokens
 from .util import spread
@@ -163,4 +163,136 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
            + (CASE WHEN _nb > 0 THEN 0.5 * ({pb}) * log2(({pb}) / ({m}))
                    ELSE 0.0 END), 6) AS DECIMAL(18,9))) AS DOUBLE) AS js
 FROM _probs
+"""
+
+
+_PSI_EPS = 1e-6
+
+
+def psi(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Population Stability Index (SURVEY.md §2 C168): bin a numeric
+    column by the BASELINE's R-7 quantile edges, then
+    PSI = Σ (p_cur − p_base)·ln(p_cur/p_base) over the k bins — the
+    standard "did this feature's distribution move" monitor (rule of
+    thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted). C53's drift
+    compares term distributions of two corpora; this is its NUMERIC
+    sibling over any score/feature column. Empty-bin shares clamp to
+    1e-6 (p·ln p is undefined at 0; the standard practice), part of the
+    contract and mirrored by the twin.
+
+    Scale shape: the C70/C164 edges posture — a (k−1)-scalar percentile
+    reduce over the baseline rides back as a 1-row broadcast; bin
+    assignment is a scan-stage "count edges strictly below" expression
+    on BOTH frames; everything downstream is k rows. Per-bin terms on
+    the 6-decimal/DECIMAL grid. Output per bin: ``bin`` (1..k),
+    ``p_base``, ``p_cur``, ``term``, and the repeated ``psi_total``."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    qs = [i / k for i in range(1, k)]
+    pct = ", ".join(str(q) for q in qs)
+    edges = base.where(F.col(value_col).isNotNull()).agg(
+        F.expr(f"percentile({value_col}, array({pct}))").alias("_e")
+    )
+
+    def _bin(df: DataFrame) -> DataFrame:
+        c = F.col(value_col).cast("double")
+        b = F.lit(1)
+        for i in range(k - 1):
+            b = b + F.when(c > F.col("_e")[i], 1).otherwise(0)
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    cb = _bin(base).withColumnRenamed("_c", "_cb")
+    cc = _bin(cur).withColumnRenamed("_c", "_cc")
+    # k-row frame: full outer on bin so empty bins on either side survive
+    grid = cb.join(cc, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        F.coalesce("_cc", F.lit(0)).alias("_cc"),
+    )
+    wall = Window.partitionBy()
+    p_base = F.greatest(
+        F.col("_cb") / F.sum("_cb").over(wall), F.lit(_PSI_EPS)
+    )
+    p_cur = F.greatest(
+        F.col("_cc") / F.sum("_cc").over(wall), F.lit(_PSI_EPS)
+    )
+    terms = grid.select(
+        "bin",
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6)
+        .cast("decimal(38,6)")
+        .alias("_t"),
+    )
+    return terms.select(
+        F.col("bin").cast("int").alias("bin"),
+        "p_base",
+        "p_cur",
+        F.col("_t").cast("double").alias("term"),
+        F.round(F.sum("_t").over(Window.partitionBy()).cast("double"), 6).alias(
+            "psi_total"
+        ),
+    )
+
+
+def psi_sql(
+    source_base: str,
+    source_cur: str,
+    value_col: str,
+    *,
+    k: int = 10,
+) -> str:
+    """Exact DuckDB twin of :func:`psi` (same R-7 baseline edges, same
+    strictly-above binning, same 1e-6 clamp and DECIMAL term grid)."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    pct = ", ".join(str(i / k) for i in range(1, k))
+    binexpr = "1 + " + " + ".join(
+        f"CASE WHEN CAST({value_col} AS DOUBLE) > e._e[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(k - 1)
+    )
+    return f"""
+WITH _edges AS (
+    SELECT quantile_cont({value_col}, [{pct}]) AS _e
+    FROM {source_base} WHERE {value_col} IS NOT NULL
+), _cb AS (
+    SELECT ({binexpr}) AS bin, COUNT(*) AS _cb
+    FROM {source_base} s CROSS JOIN _edges e
+    WHERE {value_col} IS NOT NULL GROUP BY 1
+), _cc AS (
+    SELECT ({binexpr}) AS bin, COUNT(*) AS _cc
+    FROM {source_cur} s CROSS JOIN _edges e
+    WHERE {value_col} IS NOT NULL GROUP BY 1
+), _grid AS (
+    SELECT COALESCE(b.bin, c.bin) AS bin,
+           COALESCE(b._cb, 0) AS _cb, COALESCE(c._cc, 0) AS _cc
+    FROM _cb b FULL OUTER JOIN _cc c ON b.bin = c.bin
+), _terms AS (
+    SELECT bin,
+           round(greatest(_cb / SUM(_cb) OVER (), {_PSI_EPS}), 6) AS p_base,
+           round(greatest(_cc / SUM(_cc) OVER (), {_PSI_EPS}), 6) AS p_cur,
+           CAST(round(
+               (greatest(_cc / SUM(_cc) OVER (), {_PSI_EPS})
+                - greatest(_cb / SUM(_cb) OVER (), {_PSI_EPS}))
+               * ln(greatest(_cc / SUM(_cc) OVER (), {_PSI_EPS})
+                    / greatest(_cb / SUM(_cb) OVER (), {_PSI_EPS})), 6)
+               AS DECIMAL(38,6)) AS _t
+    FROM _grid
+)
+SELECT CAST(bin AS INTEGER) AS bin, p_base, p_cur,
+       CAST(_t AS DOUBLE) AS term,
+       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) AS psi_total
+FROM _terms
 """

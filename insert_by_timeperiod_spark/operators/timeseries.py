@@ -707,3 +707,97 @@ SELECT {out_col} FROM (
         DATE '{start}', DATE '{stop}', {step})) AS DATE) AS {out_col}
 ) WHERE {out_col} < DATE '{stop}'
 """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Additive weekday decomposition (SURVEY.md §2 C167): collapse to a
+    daily series per group, then split y(d) = level + seasonal(dow) +
+    residual, where level is the group mean and seasonal is the
+    dow-mean minus level — the classical seasonal-means decomposition
+    (the fixed-period additive core of STL without loess). This is the
+    "is Monday supposed to look like that" readout that C61/C123's
+    anomaly flags assume you've already done; residuals from here feed
+    them a deseasonalized series.
+
+    Scale shape: one corpus shuffle to (group, date); level/seasonal are
+    window means over the small daily frame (group and group×dow
+    partitions). Daily sums ride the 6-decimal/DECIMAL grid so the
+    means divide exact integers-scaled sums and
+    :func:`seasonal_decompose_sql` is exact. Output per (group, date):
+    ``event_date``, ``dow`` (1=Sunday … 7=Saturday, both engines'
+    shared convention), ``y``, ``level``, ``seasonal``, ``residual``.
+    Seasonal components sum to ~0 BY CONSTRUCTION only when every dow
+    is equally represented; the decomposition is exact regardless."""
+    gcols = list(group_cols or [])
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("event_date"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("double")), 6)
+            .cast("decimal(38,6)")
+            .alias("_y"),
+        )
+        .withColumn("dow", F.dayofweek("event_date"))
+    )
+    wg = Window.partitionBy(*[F.col(c) for c in gcols])
+    wdow = Window.partitionBy(*[F.col(c) for c in gcols], F.col("dow"))
+    level = F.sum("_y").over(wg).cast("double") / F.count(F.lit(1)).over(wg)
+    dow_mean = (
+        F.sum("_y").over(wdow).cast("double") / F.count(F.lit(1)).over(wdow)
+    )
+    out = daily.select(
+        *gcols,
+        "event_date",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("_y").cast("double").alias("y"),
+        F.round(level, 6).alias("level"),
+        F.round(dow_mean - level, 6).alias("seasonal"),
+        F.round(
+            F.col("_y").cast("double") - level - (dow_mean - level), 6
+        ).alias("residual"),
+    )
+    return out.withColumn("y", F.round("y", 6))
+
+
+def seasonal_decompose_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`seasonal_decompose` (dayofweek
+    aligned: DuckDB's dayofweek is 0=Sunday..6=Saturday, Spark's is
+    1..7 — the twin shifts by one; daily sums on the shared
+    6-decimal/DECIMAL grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    partd = f"PARTITION BY {gsel}dow" if g else "PARTITION BY dow"
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS event_date,
+           CAST(round(SUM(CAST({value_col} AS DOUBLE)), 6) AS DECIMAL(38,6)) AS _y,
+           CAST(dayofweek(CAST({ts_col} AS DATE)) + 1 AS INTEGER) AS dow
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _parts AS (
+    SELECT *,
+           CAST(SUM(_y) OVER ({part}) AS DOUBLE) / COUNT(*) OVER ({part}) AS _level,
+           CAST(SUM(_y) OVER ({partd}) AS DOUBLE) / COUNT(*) OVER ({partd}) AS _dm
+    FROM _daily
+)
+SELECT {gsel}event_date, dow,
+       round(CAST(_y AS DOUBLE), 6) AS y,
+       round(_level, 6) AS level,
+       round(_dm - _level, 6) AS seasonal,
+       round(CAST(_y AS DOUBLE) - _level - (_dm - _level), 6) AS residual
+FROM _parts
+"""

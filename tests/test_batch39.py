@@ -1,0 +1,77 @@
+"""Pins for C167 (weekday seasonal decomposition) and C168 (PSI drift)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import drift, timeseries
+
+
+def test_seasonal_recovers_planted_weekday_effect(spark):
+    # 4 full weeks: base 10 every day, Mondays +7
+    t0 = DT(2024, 1, 1)  # a Monday
+    rows = []
+    for d in range(28):
+        day = t0 + TD(days=d)
+        v = 10.0 + (7.0 if day.weekday() == 0 else 0.0)
+        rows.append((day, v))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["event_date"]: r for r in timeseries.seasonal_decompose(df, "ts", "v").collect()}
+    assert len(out) == 28
+    # level = mean = 10 + 7*4/28 = 11
+    some = next(iter(out.values()))
+    assert some["level"] == pytest.approx(11.0, abs=1e-6)
+    for d, r in out.items():
+        want_seasonal = 6.0 if d.weekday() == 0 else -1.0
+        assert r["seasonal"] == pytest.approx(want_seasonal, abs=1e-6), d
+        assert r["residual"] == pytest.approx(0.0, abs=1e-6)
+        assert r["y"] == pytest.approx(r["level"] + r["seasonal"] + r["residual"], abs=1e-5)
+
+
+def test_seasonal_daily_aggregation_and_groups(spark):
+    t0 = DT(2024, 1, 1)
+    rows = [("a", t0, 3.0), ("a", t0 + TD(hours=5), 4.0), ("b", t0, 100.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in timeseries.seasonal_decompose(
+        df, "ts", "v", group_cols=["g"]).collect()}
+    assert out["a"]["y"] == pytest.approx(7.0)  # intra-day rows summed
+    assert out["b"]["y"] == pytest.approx(100.0)
+    assert out["a"]["dow"] == 2  # 2024-01-01 is a Monday (Spark: 1=Sun)
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    base = _vals(spark, range(1000))
+    r = drift.psi(base, _vals(spark, range(1000)), "v", k=10).collect()
+    assert len(r) == 10
+    assert all(row["psi_total"] == pytest.approx(0.0, abs=1e-5) for row in r)
+    assert all(row["p_base"] == pytest.approx(0.1, abs=0.02) for row in r)
+
+
+def test_psi_shifted_distribution_flags_and_empty_bin_clamps(spark):
+    base = _vals(spark, range(1000))
+    # hard shift: everything lands above the baseline's max
+    cur = _vals(spark, range(2000, 2500))
+    rows = drift.psi(base, cur, "v", k=10).collect()
+    total = rows[0]["psi_total"]
+    assert total > 0.25  # "shifted" by every published rule of thumb
+    by = {r["bin"]: r for r in rows}
+    assert by[10]["p_cur"] == pytest.approx(1.0, abs=1e-6)
+    # bins 1..9 are empty on the current side -> clamped share, term finite
+    assert by[1]["p_cur"] == pytest.approx(1e-6, abs=1e-9)
+    assert all(abs(r["term"]) < 100 for r in rows)
+
+
+def test_psi_moderate_shift_is_between_and_k_validated(spark):
+    base = _vals(spark, range(1000))
+    # mild drift: same distribution plus a 10% heavier top decile
+    cur = _vals(spark, list(range(1000)) + list(range(900, 1000)))
+    rows = drift.psi(base, cur, "v", k=10).collect()
+    assert 0.0 < rows[0]["psi_total"] < 0.25
+    with pytest.raises(ValueError):
+        drift.psi(base, cur, "v", k=1)
+    with pytest.raises(ValueError):
+        drift.psi_sql("b", "c", "v", k=1)

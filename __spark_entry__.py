@@ -5535,6 +5535,29 @@ def _psi_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.psi(base, cur, "value", k=10)
 
 
+def _ks_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C169 (annex, EXACT oracle): two-sample KS statistic of event
+    value, first half of January vs the rest — bin-free ECDF max-gap
+    with a deterministic smallest-attaining-value tiebreak."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    base = ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    return drift.ks_statistic(base, cur, "value")
+
+
+def _woe_iv_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C170 (annex, EXACT oracle): WOE/IV of event value against the
+    is-purchase label — decile R-7 edges broadcast, scan-stage binning,
+    1e-6 clamp, DECIMAL IV grid."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return features.woe_iv(src, "value", "label", k=10)
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5765,6 +5788,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-39 components (C167-C168)
         "seasonal_value_daily": _seasonal_daily,
         "psi_value_windows": _psi_value_windows,
+        # round-7 batch-40 components (C169-C170)
+        "ks_value_windows": _ks_value_windows,
+        "woe_iv_value_purchase": _woe_iv_purchase,
     }
 
 
@@ -6215,6 +6241,17 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16')",
             "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16')",
             "value", k=10,
+        ),
+        # round-7 batch-40 components (C169-C170)
+        "ks_value_windows": drift.ks_sql(
+            "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16')",
+            "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16')",
+            "value",
+        ),
+        "woe_iv_value_purchase": features.woe_iv_sql(
+            "(SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            " AS label FROM events)",
+            "value", "label", k=10,
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

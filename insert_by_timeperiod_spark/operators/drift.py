@@ -296,3 +296,90 @@ SELECT CAST(bin AS INTEGER) AS bin, p_base, p_cur,
        round(CAST(SUM(_t) OVER () AS DOUBLE), 6) AS psi_total
 FROM _terms
 """
+
+
+def ks_statistic(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (SURVEY.md §2 C169):
+    D = max over observed values of |F_base(v) − F_cur(v)| — the
+    bin-free companion to C168's PSI (PSI needs bin edges and a clamp;
+    KS is exact and parameter-free, the sharper alarm for small shifts).
+    Output one row: ``d_stat``, the value it's attained at (smallest
+    such value — a deterministic tiebreak), and both sample sizes.
+
+    Scale shape: one union + per-value count aggregate, ONE window pass
+    (ordered by value) building both step ECDFs from cumulative counts,
+    then a global max. ECDF counts are exact integers divided once, so
+    :func:`ks_sql` is exact cross-engine. The single-partition window
+    runs over the DISTINCT-values frame (already aggregated), not the
+    corpus — at 100 TB bucket values first if truly continuous."""
+    b = base.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v"), F.lit(1).alias("_isb")
+    )
+    c = cur.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v"), F.lit(0).alias("_isb")
+    )
+    per_v = (
+        b.unionByName(c)
+        .groupBy("_v")
+        .agg(
+            F.sum("_isb").alias("_nb"),
+            F.sum(F.lit(1) - F.col("_isb")).alias("_nc"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    ecdf = per_v.select(
+        "_v",
+        (F.sum("_nb").over(w) / F.sum("_nb").over(wall)).alias("_fb"),
+        (F.sum("_nc").over(w) / F.sum("_nc").over(wall)).alias("_fc"),
+        F.sum("_nb").over(wall).alias("_tb"),
+        F.sum("_nc").over(wall).alias("_tc"),
+    ).select(
+        "_v",
+        F.round(F.abs(F.col("_fb") - F.col("_fc")), 9).alias("_d"),
+        "_tb",
+        "_tc",
+    )
+    flagged = ecdf.withColumn("_dmax", F.max("_d").over(wall))
+    return flagged.groupBy().agg(
+        F.round(F.max("_d"), 6).alias("d_stat"),
+        F.min(F.when(F.col("_d") == F.col("_dmax"), F.col("_v"))).alias(
+            "at_value"
+        ),
+        F.max("_tb").cast("long").alias("n_base"),
+        F.max("_tc").cast("long").alias("n_cur"),
+    )
+
+
+def ks_sql(source_base: str, source_cur: str, value_col: str) -> str:
+    """Exact DuckDB twin of :func:`ks_statistic`."""
+    return f"""
+WITH _u AS (
+    SELECT CAST({value_col} AS DOUBLE) AS _v, 1 AS _isb
+    FROM {source_base} WHERE {value_col} IS NOT NULL
+    UNION ALL
+    SELECT CAST({value_col} AS DOUBLE) AS _v, 0 AS _isb
+    FROM {source_cur} WHERE {value_col} IS NOT NULL
+), _per_v AS (
+    SELECT _v, SUM(_isb) AS _nb, SUM(1 - _isb) AS _nc FROM _u GROUP BY _v
+), _ecdf AS (
+    SELECT _v,
+           round(abs(
+               SUM(_nb) OVER (ORDER BY _v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / CAST(SUM(_nb) OVER () AS DOUBLE)
+               - SUM(_nc) OVER (ORDER BY _v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / CAST(SUM(_nc) OVER () AS DOUBLE)), 9) AS _d,
+           SUM(_nb) OVER () AS _tb,
+           SUM(_nc) OVER () AS _tc
+    FROM _per_v
+)
+SELECT round(MAX(_d), 6) AS d_stat,
+       MIN(CASE WHEN _d = (SELECT MAX(_d) FROM _ecdf) THEN _v END) AS at_value,
+       CAST(MAX(_tb) AS BIGINT) AS n_base,
+       CAST(MAX(_tc) AS BIGINT) AS n_cur
+FROM _ecdf
+"""

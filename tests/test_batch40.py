@@ -1,0 +1,86 @@
+"""Pins for C169 (two-sample KS statistic) and C170 (WOE / Information
+Value binning)."""
+
+import math
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import drift, features
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+
+def test_ks_identical_is_zero_and_disjoint_is_one(spark):
+    a = _vals(spark, range(100))
+    r = drift.ks_statistic(a, _vals(spark, range(100)), "v").collect()[0]
+    assert r["d_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n_base"] == 100 and r["n_cur"] == 100
+    r = drift.ks_statistic(
+        _vals(spark, range(100)), _vals(spark, range(1000, 1100)), "v"
+    ).collect()[0]
+    assert r["d_stat"] == pytest.approx(1.0, abs=1e-9)
+    assert r["at_value"] == 99.0  # base ECDF hits 1 at its max, cur still 0
+
+
+def test_ks_hand_case(spark):
+    # base {1,2,3,4}, cur {3,4,5,6}: ECDFs diverge most at v=2 (0.5 vs 0)
+    r = drift.ks_statistic(
+        _vals(spark, [1, 2, 3, 4]), _vals(spark, [3, 4, 5, 6]), "v"
+    ).collect()[0]
+    assert r["d_stat"] == pytest.approx(0.5, abs=1e-9)
+    assert r["at_value"] == 2.0  # smallest value attaining the max gap
+    # shift invariance of sizes
+    assert (r["n_base"], r["n_cur"]) == (4, 4)
+
+
+def test_ks_location_shift_matches_closed_form(spark):
+    # uniform grids offset by half: D = 0.5
+    a = _vals(spark, [i for i in range(0, 100, 2)])
+    b = _vals(spark, [i + 1 for i in range(0, 100, 2)])
+    r = drift.ks_statistic(a, b, "v").collect()[0]
+    # interleaved singles: gap oscillates 1/50 then back; max is 1/50
+    assert r["d_stat"] == pytest.approx(1 / 50, abs=1e-9)
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(rows, "v double, y int")
+
+
+def test_woe_separable_feature_has_huge_iv_and_signs(spark):
+    # perfectly separating: v<100 all good, v>=100 all bad
+    rows = [(float(i), 0) for i in range(100)] + [(float(100 + i), 1) for i in range(100)]
+    out = features.woe_iv(_labeled(spark, rows), "v", "y", k=4).collect()
+    by = {r["bin"]: r for r in out}
+    assert out[0]["iv_total"] > 0.5  # "suspiciously predictive"
+    # low bins: all goods -> woe strongly positive; high bins: negative
+    assert by[1]["woe"] > 5 and by[4]["woe"] < -5
+    assert by[1]["bads"] == 0 and by[4]["goods"] == 0
+    assert sum(r["n"] for r in out) == 200
+
+
+def test_woe_uninformative_feature_has_tiny_iv(spark):
+    # label alternates independent of v
+    rows = [(float(i), i % 2) for i in range(400)]
+    out = features.woe_iv(_labeled(spark, rows), "v", "y", k=5).collect()
+    assert out[0]["iv_total"] == pytest.approx(0.0, abs=1e-4)
+    for r in out:
+        assert r["woe"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_woe_hand_case_and_validation(spark):
+    # 2 bins: bin1 = 30 goods/10 bads, bin2 = 10 goods/30 bads
+    rows = (
+        [(1.0, 0)] * 30 + [(1.0, 1)] * 10 + [(2.0, 0)] * 10 + [(2.0, 1)] * 30
+    )
+    out = {r["bin"]: r for r in features.woe_iv(_labeled(spark, rows), "v", "y", k=2).collect()}
+    w1 = math.log((30 / 40) / (10 / 40))
+    assert out[1]["woe"] == pytest.approx(w1, abs=1e-5)
+    assert out[2]["woe"] == pytest.approx(-w1, abs=1e-5)
+    want_iv = 2 * ((30 / 40 - 10 / 40) * w1)
+    assert out[1]["iv_total"] == pytest.approx(want_iv, abs=1e-4)
+    with pytest.raises(ValueError):
+        features.woe_iv(_labeled(spark, rows), "v", "y", k=1)
+    with pytest.raises(ValueError):
+        features.woe_iv_sql("t", "v", "y", k=0)

@@ -5558,6 +5558,34 @@ def _woe_iv_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.woe_iv(src, "value", "label", k=10)
 
 
+def _weighted_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C171 (annex, EXACT oracle): exact weighted quantiles of event
+    value per type, weight = 1 + user_id % 3 — one cumulative-weight
+    window, type-1 estimator (deterministic under tie permutation)."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type", "value", (F.lit(1) + F.col("user_id") % 3).alias("w")
+    )
+    return analytics.weighted_quantiles(
+        src, "value", "w", qs=(0.25, 0.5, 0.9), group_cols=["event_type"]
+    )
+
+
+def _bh_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C172 (annex, EXACT oracle): Benjamini-Hochberg adjustment of
+    a deterministic synthetic p-value column per event_type — suffix-min
+    windows sharing one exchange; tied p provably tie-order invariant."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_id",
+        "event_type",
+        (((F.col("event_id") * 7919) % 10000) / 10000.0).alias("p"),
+    )
+    return analytics.bh_adjust(
+        src, "p", group_cols=["event_type"], alpha=0.05, keep_cols=["event_id"]
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5791,6 +5819,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-40 components (C169-C170)
         "ks_value_windows": _ks_value_windows,
         "woe_iv_value_purchase": _woe_iv_purchase,
+        # round-7 batch-41 components (C171-C172)
+        "weighted_quantiles_value": _weighted_quantiles_value,
+        "bh_adjust_pvalues": _bh_pvalues,
     }
 
 
@@ -6252,6 +6283,17 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
             " AS label FROM events)",
             "value", "label", k=10,
+        ),
+        # round-7 batch-41 components (C171-C172)
+        "weighted_quantiles_value": analytics.weighted_quantiles_sql(
+            "(SELECT event_type, value, 1 + user_id % 3 AS w FROM events)",
+            "value", "w", qs=(0.25, 0.5, 0.9), group_cols=["event_type"],
+        ),
+        "bh_adjust_pvalues": analytics.bh_adjust_sql(
+            "(SELECT event_id, event_type,"
+            " ((event_id * 7919) % 10000) / 10000.0 AS p FROM events)",
+            "p", group_cols=["event_type"], alpha=0.05,
+            keep_cols=["event_id"],
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -2180,3 +2180,203 @@ WITH _base AS (
 SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm
 FROM _scored
 """
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    *,
+    qs: tuple[float, ...] = (0.5,),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles (SURVEY.md §2 C171): per group and
+    q ∈ ``qs``, the smallest value whose cumulative weight reaches
+    q·Σw — the estimator every importance-weighted corpus needs where
+    C70/C164's unweighted percentiles would let a million near-zero-
+    weight rows drag the edge. Type-1 (left-continuous step) definition:
+    deterministic under tie permutation, because the crossing row's
+    value is fixed by the total weight strictly below it. Zero and NULL
+    weights drop (no mass), NULL values drop.
+
+    Scale shape: ONE window shuffle (cumulative weight ordered by value
+    within group); weights ride the 6-decimal/DECIMAL grid so cumsums
+    are exact and the q·Σw comparisons are the same doubles in both
+    engines — :func:`weighted_quantiles_sql` is exact. Output: group
+    cols, ``q``, ``value``, ``total_weight``."""
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"need quantiles in (0, 1], got {qs!r}")
+    gcols = list(group_cols or [])
+    src = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0.0)
+    ).select(
+        *gcols,
+        F.col(value_col).cast("double").alias("_v"),
+        F.round(F.col(weight_col).cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("_w"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    cum = src.select(
+        *gcols,
+        "_v",
+        F.sum("_w").over(w).cast("double").alias("_cw"),
+        F.sum("_w").over(wall).cast("double").alias("_tw"),
+    )
+    # ONE pass for all quantiles: explode the q list per row (k·rows of
+    # the already-windowed frame, never a re-execution of the cumsum
+    # subtree per q — the multi-consumer trap)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        cum.select(*gcols, "_v", "_cw", "_tw", F.explode(qarr).alias("q"))
+        .where(F.col("_cw") >= F.col("q") * F.col("_tw"))
+        .groupBy(*gcols, "q")
+        .agg(
+            F.min("_v").alias("value"),
+            F.round(F.max("_tw"), 6).alias("total_weight"),
+        )
+        .select(*gcols, "q", "value", "total_weight")
+    )
+
+
+def weighted_quantiles_sql(
+    source: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    qs: tuple[float, ...] = (0.5,),
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`weighted_quantiles`."""
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"need quantiles in (0, 1], got {qs!r}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT {gsel}{q!r} AS q, MIN(_v) AS value,
+       round(MAX(_tw), 6) AS total_weight
+FROM _cum WHERE _cw >= {q!r} * _tw {grp}"""
+        for q in qs
+    )
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({value_col} AS DOUBLE) AS _v,
+           CAST(round(CAST({weight_col} AS DOUBLE), 6) AS DECIMAL(38,6)) AS _w
+    FROM {source}
+    WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+      AND CAST({weight_col} AS DOUBLE) > 0.0
+), _cum AS (
+    SELECT {gsel}_v,
+           CAST(SUM(_w) OVER ({part}ORDER BY _v ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS _cw,
+           CAST(SUM(_w) OVER ({part.rstrip() or ''}) AS DOUBLE) AS _tw
+    FROM _src
+)
+{branches}
+"""
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment (SURVEY.md §2 C172): adjusted
+    p = min over j ≥ rank of (p_j·n/j), capped at 1 — the multiple-
+    comparisons correction the C118/C154 significance readouts need the
+    moment they run per-segment (testing 100 segments at α=0.05 expects
+    5 false alarms; BH controls the false-DISCOVERY rate instead).
+    Tied p-values provably receive equal adjusted values under any tie
+    ordering (the suffix-min absorbs the rank split), so the output is
+    deterministic and :func:`bh_adjust_sql` is exact. NULL p rows drop.
+
+    Scale shape: two windows on the group partition (ascending rank,
+    descending running-min) sharing one exchange; nothing leaves the
+    group frame. Output: keep_cols, group cols, ``p_value``, ``p_adj``,
+    ``reject`` (p_adj ≤ alpha)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    gcols = list(group_cols or [])
+    kcols = list(keep_cols or [])
+    src = df.where(F.col(p_col).isNotNull()).select(
+        *kcols, *gcols, F.col(p_col).cast("double").alias("_p")
+    )
+    wasc = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_p").asc()
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    ranked = src.select(
+        *kcols,
+        *gcols,
+        "_p",
+        F.row_number().over(wasc).alias("_r"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    ).withColumn("_term", F.col("_p") * F.col("_n") / F.col("_r"))
+    # suffix-min over RANK descending (not p descending): with tied p the
+    # p-desc frame would hand the rank-1 tie a larger running min — found
+    # by the tie pin; rank-desc gives every tied row min over j >= rank,
+    # which is provably equal across the tie block
+    wdesc = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = F.least(F.min("_term").over(wdesc), F.lit(1.0))
+    return ranked.select(
+        *kcols,
+        *gcols,
+        F.col("_p").alias("p_value"),
+        F.round(adj, 6).alias("p_adj"),
+        (F.round(adj, 6) <= F.lit(alpha)).alias("reject"),
+    )
+
+
+def bh_adjust_sql(
+    source: str,
+    p_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    keep_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`bh_adjust`."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    gcols = list(group_cols or [])
+    kcols = list(keep_cols or [])
+    g = ", ".join(gcols)
+    ksel = "".join(f"{c}, " for c in kcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _src AS (
+    SELECT {ksel}{gsel}CAST({p_col} AS DOUBLE) AS _p
+    FROM {source} WHERE {p_col} IS NOT NULL
+), _ranked AS (
+    SELECT {ksel}{gsel}_p,
+           ROW_NUMBER() OVER ({part}ORDER BY _p ASC) AS _r,
+           _p * COUNT(*) OVER ({part.rstrip() or ''})
+              / ROW_NUMBER() OVER ({part}ORDER BY _p ASC) AS _term
+    FROM _src
+)
+SELECT {ksel}{gsel}_p AS p_value,
+       round(least(MIN(_term) OVER ({part}ORDER BY _r DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS p_adj,
+       round(least(MIN(_term) OVER ({part}ORDER BY _r DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) <= {alpha!r}
+           AS reject
+FROM _ranked
+"""

@@ -1,0 +1,95 @@
+"""Pins for C171 (exact weighted quantiles) and C172 (Benjamini-Hochberg
+FDR adjustment)."""
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _wv(spark, rows):
+    return spark.createDataFrame(rows, "v double, w double")
+
+
+def test_weighted_median_hand_case_and_unit_weights(spark):
+    # weights pile mass on 10: {1:w1, 10:w5, 100:w1} -> median 10, q0.9 -> 100
+    out = {r["q"]: r for r in analytics.weighted_quantiles(
+        _wv(spark, [(1.0, 1.0), (10.0, 5.0), (100.0, 1.0)]),
+        "v", "w", qs=(0.5, 0.9)).collect()}
+    assert out[0.5]["value"] == 10.0
+    assert out[0.9]["value"] == 100.0
+    assert out[0.5]["total_weight"] == pytest.approx(7.0)
+    # unit weights -> type-1 unweighted quantile (smallest v with cum >= q*n)
+    out = analytics.weighted_quantiles(
+        _wv(spark, [(float(i), 1.0) for i in range(1, 11)]), "v", "w",
+        qs=(0.5,)).collect()[0]
+    assert out["value"] == 5.0
+
+
+def test_weighted_quantiles_drop_zero_weights_and_groups(spark):
+    rows = [("a", 1.0, 0.0), ("a", 2.0, 3.0), ("a", None, 5.0),
+            ("a", 9.0, None), ("b", 7.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {(r["g"], r["q"]): r for r in analytics.weighted_quantiles(
+        df, "v", "w", qs=(0.5, 1.0), group_cols=["g"]).collect()}
+    assert out[("a", 0.5)]["value"] == 2.0  # zero/NULL rows carried no mass
+    assert out[("a", 0.5)]["total_weight"] == pytest.approx(3.0)
+    assert out[("b", 1.0)]["value"] == 7.0
+    with pytest.raises(ValueError):
+        analytics.weighted_quantiles(df, "v", "w", qs=(0.0,))
+    with pytest.raises(ValueError):
+        analytics.weighted_quantiles_sql("t", "v", "w", qs=())
+
+
+def test_weighted_quantile_tie_permutation_invariant(spark):
+    rows = [(5.0, 2.0), (5.0, 1.0), (3.0, 1.0), (8.0, 1.0)]
+    a = sorted(map(tuple, analytics.weighted_quantiles(
+        _wv(spark, rows), "v", "w", qs=(0.5, 0.8)).collect()))
+    b = sorted(map(tuple, analytics.weighted_quantiles(
+        _wv(spark, rows[::-1]), "v", "w", qs=(0.5, 0.8)).collect()))
+    assert a == b
+
+
+def _pv(spark, ps):
+    return spark.createDataFrame([(float(p),) for p in ps], "p double")
+
+
+def test_bh_textbook_case(spark):
+    # classic example: n=5, sorted p = .01 .02 .03 .04 .05
+    # terms = .05 .05 .05 .05 .05 -> all adjusted to 0.05, all rejected
+    out = analytics.bh_adjust(_pv(spark, [0.01, 0.02, 0.03, 0.04, 0.05]), "p").collect()
+    assert all(r["p_adj"] == pytest.approx(0.05, abs=1e-9) for r in out)
+    assert all(r["reject"] for r in out)
+
+
+def test_bh_monotone_capped_and_matches_reference(spark):
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216,
+          0.222, 0.251, 0.269, 0.275, 0.34, 0.341, 0.384, 0.569, 0.594, 0.696,
+          0.762, 0.94, 0.942, 0.975, 0.986]
+    # reference adjusted values (statsmodels fdr_bh on the same vector)
+    n = len(ps)
+    want = {}
+    terms = [p * n / (i + 1) for i, p in enumerate(ps)]
+    run = 1.0
+    for i in reversed(range(n)):
+        run = min(run, terms[i])
+        want[ps[i]] = round(min(run, 1.0), 6)
+    out = {r["p_value"]: r["p_adj"] for r in analytics.bh_adjust(_pv(spark, ps), "p").collect()}
+    assert out == pytest.approx(want, abs=1e-9)
+    # adjusted values are monotone in p and never exceed 1
+    srt = [out[p] for p in sorted(ps)]
+    assert all(b >= a for a, b in zip(srt, srt[1:]))
+    assert max(srt) <= 1.0
+
+
+def test_bh_ties_get_equal_adjusted_values_and_groups_isolate(spark):
+    rows = [("g1", 0.01), ("g1", 0.01), ("g1", 0.5),
+            ("g2", 0.04), ("g2", 0.9)]
+    df = spark.createDataFrame(rows, "g string, p double")
+    out = analytics.bh_adjust(df, "p", group_cols=["g"]).collect()
+    g1_ties = {r["p_adj"] for r in out if r["g"] == "g1" and r["p_value"] == 0.01}
+    assert len(g1_ties) == 1  # both tied rows equal
+    # g2's n=2: adj(0.04) = min(0.04*2/1, 0.9*2/2) = 0.08
+    g2 = {r["p_value"]: r["p_adj"] for r in out if r["g"] == "g2"}
+    assert g2[0.04] == pytest.approx(0.08, abs=1e-9)
+    with pytest.raises(ValueError):
+        analytics.bh_adjust(df, "p", alpha=1.5)

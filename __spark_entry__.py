@@ -5586,6 +5586,31 @@ def _bh_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _isotonic_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C173 (annex, rows-only — PAVA's pooling loop has no SQL twin;
+    the C33/C35 posture): isotonic score→purchase-rate fit per event
+    value decile score, verified by the invariant pins in
+    tests/test_batch42.py (monotonicity, mass conservation, known
+    pools, idempotence)."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        F.floor(F.col("value") / 50.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return features.isotonic_fit(src, "score", "label")
+
+
+def _mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C174 (annex, EXACT oracle): Mann-Kendall monotone-trend test
+    over the daily mean value per event_type — exact integer S and tie
+    terms; the O(n²) pair join runs on ~30 points per group BY DESIGN."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    )
+    return analytics.mann_kendall(src, "d", "value", group_cols=["event_type"])
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5822,6 +5847,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-41 components (C171-C172)
         "weighted_quantiles_value": _weighted_quantiles_value,
         "bh_adjust_pvalues": _bh_pvalues,
+        # round-7 batch-42 components (C173-C174)
+        "isotonic_fit_purchase": _isotonic_purchase,
+        "mann_kendall_daily": _mann_kendall_daily,
     }
 
 
@@ -6294,6 +6322,11 @@ def pytest_only_oracles() -> dict[str, str]:
             " ((event_id * 7919) % 10000) / 10000.0 AS p FROM events)",
             "p", group_cols=["event_type"], alpha=0.05,
             keep_cols=["event_id"],
+        ),
+        # round-7 batch-42 components (C174; C173 is rows-only)
+        "mann_kendall_daily": analytics.mann_kendall_sql(
+            "(SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)",
+            "d", "value", group_cols=["event_type"],
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -2380,3 +2380,152 @@ SELECT {ksel}{gsel}_p AS p_value,
            AS reject
 FROM _ranked
 """
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Kendall trend test (SURVEY.md §2 C174): per group, the
+    distribution-free monotone-trend test over a time series —
+    S = Σ_{i<j} sign(vⱼ − vᵢ), tie-corrected variance, and the
+    continuity-corrected z — the significance companion to C62's OLS
+    slope (which gives magnitude but assumes linearity; MK asks only
+    "does it keep going up"). Duplicate timestamps collapse to their
+    mean first (MK assumes one observation per time; DECIMAL-grid mean,
+    deterministic). Output per group: ``n``, ``s_stat``, ``var_s``,
+    ``z``, ``trend`` ('increasing'/'decreasing'/'no_trend' at
+    ``z_crit``).
+
+    Scale shape: the pair stage is a within-group self-join on strictly
+    increasing time — O(n²) per key BY DESIGN, sized for the per-key
+    daily/period series this family reads (30–365 points/key, like
+    C62/C135), not corpus-wide pairs; the join shuffles on the group
+    key once and every aggregate after is group-sized. S and the tie
+    counts are exact integers, so :func:`mann_kendall_sql` is exact."""
+    gcols = list(group_cols or [])
+    per_t = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).alias("_t"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col(value_col).cast("double"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                )
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("_v")
+        )
+    )
+    per_t = per_t.localCheckpoint()  # consumers: two join sides + tie counts
+    a = per_t.select(*gcols, F.col("_t").alias("_ti"), F.col("_v").alias("_vi"))
+    b = per_t.select(*gcols, F.col("_t").alias("_tj"), F.col("_v").alias("_vj"))
+    pairs = a.join(b, gcols) if gcols else a.crossJoin(b)
+    pairs = pairs.where(F.col("_ti") < F.col("_tj"))
+    s = pairs.groupBy(*gcols).agg(
+        F.sum(F.signum(F.col("_vj") - F.col("_vi")).cast("long")).alias("s_stat")
+    )
+    n_rows = per_t.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        per_t.groupBy(*gcols, "_v")
+        .agg(F.count(F.lit(1)).alias("_tk"))
+        .where(F.col("_tk") > 1)
+        .groupBy(*gcols)
+        .agg(
+            F.sum(
+                F.col("_tk") * (F.col("_tk") - 1) * (2 * F.col("_tk") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    if gcols:
+        joined = n_rows.join(s, gcols).join(ties, gcols, "left")
+    else:
+        joined = _cross_left(n_rows.crossJoin(s), ties)
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("_tie_term"), F.lit(0))
+    ) / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    zr = F.round(z, 6)
+    return joined.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        zr.alias("z"),
+        F.when(zr > z_crit, F.lit("increasing"))
+        .when(zr < -z_crit, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+def _cross_left(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Ungrouped left join of a 1-row frame against a 0-or-1-row frame."""
+    r = right.withColumn("_one", F.lit(1))
+    return left.withColumn("_one", F.lit(1)).join(r, "_one", "left").drop("_one")
+
+
+def mann_kendall_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    z_crit: float = 1.96,
+) -> str:
+    """Exact DuckDB twin of :func:`mann_kendall`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    on_g = " AND ".join(f"a.{c} = b.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    join_g = f"USING ({g})" if g else "ON TRUE"
+    return f"""
+WITH _per_t AS (
+    SELECT {gsel}{ts_col} AS _t,
+           CAST(SUM(CAST(round(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS _v
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+    GROUP BY {gsel}{ts_col}
+), _s AS (
+    SELECT {asel}SUM(CAST(sign(b._v - a._v) AS BIGINT)) AS s_stat
+    FROM _per_t a JOIN _per_t b ON {on_g} AND a._t < b._t
+    {("GROUP BY " + ", ".join("a." + c for c in gcols)) if gcols else ""}
+), _n AS (
+    SELECT {gsel}COUNT(*) AS n FROM _per_t {grp}
+), _ties AS (
+    SELECT {gsel}SUM(_tk * (_tk - 1) * (2 * _tk + 5)) AS _tie_term
+    FROM (SELECT {gsel}_v, COUNT(*) AS _tk FROM _per_t GROUP BY {gsel}_v)
+    WHERE _tk > 1 {grp}
+), _joined AS (
+    SELECT n.*, s.s_stat, COALESCE(t._tie_term, 0) AS _tie_term
+    FROM _n n JOIN _s s {join_g} LEFT JOIN _ties t {join_g}
+)
+SELECT {gsel}CAST(n AS BIGINT) AS n, CAST(s_stat AS BIGINT) AS s_stat,
+       round((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0, 6) AS var_s,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                  ELSE 0.0 END, 6) AS z,
+       CASE WHEN round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                            ELSE 0.0 END, 6) > {z_crit!r} THEN 'increasing'
+            WHEN round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                            ELSE 0.0 END, 6) < -{z_crit!r} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM _joined
+"""

@@ -28,6 +28,8 @@ surface (north star /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -734,3 +736,86 @@ SELECT CAST(bin AS INTEGER) AS bin, n, goods, bads, p_good, p_bad, woe,
        round(CAST(SUM(_ivt) OVER () AS DOUBLE), 6) AS iv_total
 FROM _terms
 """
+
+
+_ISO_SCHEMA = (
+    "score_lo double, score_hi double, n long, fitted_rate double"
+)
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Isotonic regression via pool-adjacent-violators (SURVEY.md §2
+    C173): the monotone step function mapping score → rate that
+    minimizes squared error — the calibration FIXER next to C156's
+    calibration curve (which only reports miscalibration; this is the
+    standard remap, Zadrozny & Elkan 2002). Output per group: one row
+    per fitted block — ``score_lo``/``score_hi`` (the block's score
+    range), ``n`` (observations pooled), ``fitted_rate`` (the pooled
+    weighted mean, what every score in the block maps to). Rates are
+    non-decreasing in score by construction; the L2 isotonic projection
+    is unique, so the output is deterministic.
+
+    Scale shape: one aggregate collapses the corpus to DISTINCT scores
+    per group (n, Σlabel — sufficient statistics); PAVA runs per group
+    in an Arrow `applyInPandas` lane over that collapsed frame (the
+    algorithm is inherently sequential per group — a stack pass, O(k)
+    over k distinct scores). No SQL engine expresses the pooling loop,
+    so this is a rows-only battery entry verified by invariant pins
+    (monotonicity, mass conservation, known pools, idempotence on
+    monotone input) — the C33/C35 posture."""
+    gcols = list(group_cols or [])
+    stats = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*gcols, F.col(score_col).cast("double").alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(label_col).cast("double")).alias("_y"),
+        )
+    )
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_s").reset_index(drop=True)
+        # blocks as (lo, hi, n, ysum); pool while the tail violates
+        blocks: list[list] = []
+        for s, n, y in zip(pdf["_s"], pdf["_n"], pdf["_y"]):
+            blocks.append([s, s, int(n), float(y)])
+            while len(blocks) > 1 and (
+                blocks[-2][3] / blocks[-2][2] >= blocks[-1][3] / blocks[-1][2]
+            ):
+                lo, _, n2, y2 = blocks.pop(-2)
+                blocks[-1][0] = lo
+                blocks[-1][2] += n2
+                blocks[-1][3] += y2
+        out = pd.DataFrame(
+            blocks, columns=["score_lo", "score_hi", "n", "_ysum"]
+        )
+        out["fitted_rate"] = (out["_ysum"] / out["n"]).round(6)
+        keys = pdf.iloc[:1][[c for c in pdf.columns if c not in ("_s", "_n", "_y")]]
+        for c in keys.columns:
+            out[c] = keys[c].iloc[0]
+        return out.drop(columns=["_ysum"])
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in stats.schema if f.name in gcols]
+        + [_ISO_SCHEMA]
+    ) if gcols else _ISO_SCHEMA
+    grouped = stats.groupBy(*gcols) if gcols else stats.groupBy()
+    return grouped.applyInPandas(_pava, schema=schema)
+
+
+def isotonic_fit_sql() -> None:  # pragma: no cover - documentation stub
+    """No SQL twin exists: PAVA's pooling loop (pop-while-violating) is
+    inherently sequential state; neither Spark SQL nor DuckDB expresses
+    it without a recursive CTE whose worst case is O(k²) re-scans.
+    Verification is the invariant-pin suite in tests/test_batch42.py
+    (the C33 BPE / C35 HLL posture: rows-only battery entry + pins
+    stronger than a value-hash)."""
+    raise NotImplementedError(
+        "isotonic_fit has no SQL twin; see tests/test_batch42.py pins"
+    )

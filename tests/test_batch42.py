@@ -1,0 +1,119 @@
+"""Pins for C173 (isotonic regression / PAVA) and C174 (Mann-Kendall
+trend test)."""
+
+import math
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics, features
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "s double, y double")
+
+
+def _ref_pava(points):
+    """Independent reference PAVA over (score, n, ysum) sorted points."""
+    blocks = []
+    for s, n, y in points:
+        blocks.append([s, s, n, y])
+        while len(blocks) > 1 and blocks[-2][3] / blocks[-2][2] >= blocks[-1][3] / blocks[-1][2]:
+            lo, _, n2, y2 = blocks.pop(-2)
+            blocks[-1][0], blocks[-1][2], blocks[-1][3] = lo, blocks[-1][2] + n2, blocks[-1][3] + y2
+    return [(lo, hi, n, round(y / n, 6)) for lo, hi, n, y in blocks]
+
+
+def test_pava_known_pooling_case(spark):
+    # scores 1..4 with rates 0, 1, 0, 1 -> middle violation pools {1,0}
+    rows = [(1.0, 0.0), (2.0, 1.0), (3.0, 0.0), (4.0, 1.0)]
+    out = sorted(
+        (r["score_lo"], r["score_hi"], r["n"], r["fitted_rate"])
+        for r in features.isotonic_fit(_scored(spark, rows), "s", "y").collect()
+    )
+    assert out == [(1.0, 1.0, 1, 0.0), (2.0, 3.0, 2, 0.5), (4.0, 4.0, 1, 1.0)]
+
+
+def test_pava_monotone_input_is_identity_and_output_monotone(spark):
+    rows = [(float(i), float(i) / 10) for i in range(10)]
+    out = sorted(
+        (r["score_lo"], r["fitted_rate"])
+        for r in features.isotonic_fit(_scored(spark, rows), "s", "y").collect()
+    )
+    assert len(out) == 10  # already monotone -> no pooling
+    rates = [r for _, r in out]
+    assert all(b >= a for a, b in zip(rates, rates[1:]))
+
+
+def test_pava_mass_conservation_and_reference_equality(spark):
+    # deterministic messy data; compare against the independent reference
+    rows = [(float(i % 7), float((i * 13) % 5 < 2)) for i in range(200)]
+    out = sorted(
+        (r["score_lo"], r["score_hi"], r["n"], r["fitted_rate"])
+        for r in features.isotonic_fit(_scored(spark, rows), "s", "y").collect()
+    )
+    # build reference sufficient stats
+    stats = {}
+    for s, y in rows:
+        n, t = stats.get(s, (0, 0.0))
+        stats[s] = (n + 1, t + y)
+    pts = [(s, n, t) for s, (n, t) in sorted(stats.items())]
+    assert out == _ref_pava(pts)
+    # total mass: sum(n * rate) == sum(y)
+    total = sum(n * r for _, _, n, r in out)
+    assert total == pytest.approx(sum(y for _, y in rows), abs=1e-3)
+    # monotone
+    rates = [r for _, _, _, r in out]
+    assert all(b >= a - 1e-9 for a, b in zip(rates, rates[1:]))
+
+
+def test_pava_groups_isolate(spark):
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 0.0), ("b", 1.0, 0.0), ("b", 2.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, s double, y double")
+    out = features.isotonic_fit(df, "s", "y", group_cols=["g"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    assert len(by_g["a"]) == 1  # violation -> single pooled block at 0.5
+    assert by_g["a"][0]["fitted_rate"] == pytest.approx(0.5)
+    assert len(by_g["b"]) == 2  # monotone -> untouched
+
+
+def _series(spark, vals):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "t int, v double"
+    )
+
+
+def test_mk_strictly_increasing_and_decreasing(spark):
+    n = 10
+    r = analytics.mann_kendall(_series(spark, range(n)), "t", "v").collect()[0]
+    assert r["s_stat"] == n * (n - 1) // 2  # every pair positive
+    want_var = n * (n - 1) * (2 * n + 5) / 18
+    assert r["var_s"] == pytest.approx(want_var, abs=1e-6)
+    assert r["z"] == pytest.approx((r["s_stat"] - 1) / math.sqrt(want_var), abs=1e-5)
+    assert r["trend"] == "increasing"
+    r = analytics.mann_kendall(_series(spark, range(n, 0, -1)), "t", "v").collect()[0]
+    assert r["s_stat"] == -n * (n - 1) // 2 and r["trend"] == "decreasing"
+
+
+def test_mk_constant_series_no_trend_with_tie_correction(spark):
+    n = 8
+    r = analytics.mann_kendall(_series(spark, [5.0] * n), "t", "v").collect()[0]
+    assert r["s_stat"] == 0 and r["z"] == 0.0 and r["trend"] == "no_trend"
+    # all n values tied: tie term equals the full term -> var 0
+    assert r["var_s"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mk_duplicate_timestamps_collapse_to_mean(spark):
+    rows = [(0, 1.0), (0, 3.0), (1, 5.0)]  # t=0 collapses to mean 2.0
+    df = spark.createDataFrame(rows, "t int, v double")
+    r = analytics.mann_kendall(df, "t", "v").collect()[0]
+    assert r["n"] == 2 and r["s_stat"] == 1
+
+
+def test_mk_alternating_is_no_trend(spark):
+    r = analytics.mann_kendall(
+        _series(spark, [1, 9, 1, 9, 1, 9, 1, 9]), "t", "v"
+    ).collect()[0]
+    assert r["trend"] == "no_trend"
+    assert abs(r["z"]) < 1.0

@@ -5611,6 +5611,45 @@ def _mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.mann_kendall(src, "d", "value", group_cols=["event_type"])
 
 
+def _stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C175 (annex, EXACT oracle): STREAMING PSI monitor — the
+    second-half events replayed as a 3-file stream against the frozen
+    first-half baseline edges; per-batch bin counts land idempotently in
+    a batch_id-partitioned state, and the standing readout shares the
+    batch PSI's exact expressions — so the BATCH twin's DuckDB SQL is
+    this streaming row's oracle, bit-for-bit."""
+    from insert_by_timeperiod_spark.streaming import DriftMonitorStream
+
+    _prep(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="ibtp_spsi_"), "s")
+    ev = spark.table("events")
+    base = ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).select(
+        "event_id", "value"
+    )
+    src = f"{root}/src"
+    cur.repartition(3).write.parquet(src)
+    mon = DriftMonitorStream(spark, base, "value", f"{root}/state", k=10)
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mon.run_available_now(stream, f"{root}/ckpt")
+    return mon.read_psi()
+
+
+def _period_compare_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C176 (annex, EXACT oracle): week-over-week totals per
+    event_type on the engine's own period grid (date_trunc Monday weeks,
+    both engines agree); DECIMAL totals, grid-position lag."""
+    _prep(spark, sf_dir)
+    return timeseries.period_compare(
+        spark.table("events"), "ts", "value",
+        period="week", group_cols=["event_type"],
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5850,6 +5889,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-42 components (C173-C174)
         "isotonic_fit_purchase": _isotonic_purchase,
         "mann_kendall_daily": _mann_kendall_daily,
+        # round-7 batch-43 components (C175-C176)
+        "stream_psi_value": _stream_psi,
+        "period_compare_weekly": _period_compare_weekly,
     }
 
 
@@ -6327,6 +6369,16 @@ def pytest_only_oracles() -> dict[str, str]:
         "mann_kendall_daily": analytics.mann_kendall_sql(
             "(SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)",
             "d", "value", group_cols=["event_type"],
+        ),
+        # round-7 batch-43 components (C175-C176) — the STREAMING psi row's
+        # oracle is the BATCH twin's SQL (streaming == batch by shared tail)
+        "stream_psi_value": drift.psi_sql(
+            "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16')",
+            "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16')",
+            "value", k=10,
+        ),
+        "period_compare_weekly": timeseries.period_compare_sql(
+            "events", "ts", "value", period="week", group_cols=["event_type"]
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -215,6 +215,30 @@ def psi(
 
     cb = _bin(base).withColumnRenamed("_c", "_cb")
     cc = _bin(cur).withColumnRenamed("_c", "_cc")
+    return psi_from_counts(cb, cc)
+
+
+def bin_by_edges(df: DataFrame, value_col: str, edges: list[float]) -> DataFrame:
+    """Scan-stage "count edges strictly below" binning against LITERAL
+    edges — the per-micro-batch lane :class:`~insert_by_timeperiod_spark.
+    streaming.DriftMonitorStream` uses (edges are k−1 bounded scalars,
+    collected once from the baseline). Returns (bin, _c) counts."""
+    c = F.col(value_col).cast("double")
+    b = F.lit(1)
+    for e in edges:
+        b = b + F.when(c > F.lit(float(e)), 1).otherwise(0)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def psi_from_counts(cb: DataFrame, cc: DataFrame) -> DataFrame:
+    """The grid→PSI tail shared by :func:`psi` and the streaming drift
+    monitor (identical expressions, so streaming == batch EXACTLY).
+    ``cb``/``cc`` are (bin, _cb)/(bin, _cc) count frames."""
     # k-row frame: full outer on bin so empty bins on either side survive
     grid = cb.join(cc, "bin", "full_outer").select(
         "bin",

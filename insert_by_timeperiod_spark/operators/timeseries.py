@@ -801,3 +801,101 @@ SELECT {gsel}event_date, dow,
        round(CAST(_y AS DOUBLE) - _level - (_dm - _level), 6) AS residual
 FROM _parts
 """
+
+
+_POP_PERIODS = ("day", "week", "month", "year")
+
+
+def period_compare(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: str = "week",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Period-over-period comparison (SURVEY.md §2 C176): per group and
+    calendar period, the value total, previous period's total, absolute
+    delta, and percent change — the WoW/MoM/YoY table every BI readout
+    opens with, aligned to the ENGINE'S OWN period grid (A4/A5's
+    date_trunc boundaries: week = Monday, both engines agree).
+    ``prev_total`` is the lag by GRID POSITION (previous row in period
+    order), so a silent gap period shows against the last seen period —
+    pair with C152's date spine to force missing periods to zero rows
+    first when strict-adjacency semantics are wanted. pct_change is NULL
+    when there is no previous period or it totals 0.
+
+    Scale shape: one corpus shuffle to (group, period); the lag window
+    rides the same group partitioning. Totals on the 6-decimal/DECIMAL
+    grid; :func:`period_compare_sql` is exact."""
+    if period not in _POP_PERIODS:
+        raise ValueError(f"period must be one of {_POP_PERIODS}, got {period!r}")
+    gcols = list(group_cols or [])
+    per = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            *gcols,
+            F.date_trunc(period, F.col(ts_col)).cast("date").alias("period_start"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast("decimal(38,6)")
+            ).alias("_tot"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("period_start").asc()
+    )
+    tot = F.col("_tot").cast("double")
+    prev = F.lag("_tot").over(w).cast("double")
+    return per.select(
+        *gcols,
+        "period_start",
+        F.col("n").cast("long").alias("n"),
+        F.round(tot, 6).alias("total"),
+        F.round(prev, 6).alias("prev_total"),
+        F.round(tot - prev, 6).alias("delta"),
+        F.round(
+            F.when(prev.isNotNull() & (prev != 0.0), (tot - prev) / F.abs(prev)),
+            6,
+        ).alias("pct_change"),
+    )
+
+
+def period_compare_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: str = "week",
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`period_compare`."""
+    if period not in _POP_PERIODS:
+        raise ValueError(f"period must be one of {_POP_PERIODS}, got {period!r}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _per AS (
+    SELECT {gsel}CAST(date_trunc('{period}', {ts_col}) AS DATE) AS period_start,
+           SUM(CAST(round(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(38,6))) AS _tot,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST(date_trunc('{period}', {ts_col}) AS DATE)
+), _lagged AS (
+    SELECT *,
+           LAG(_tot) OVER ({part}ORDER BY period_start ASC) AS _prev
+    FROM _per
+)
+SELECT {gsel}period_start, n,
+       round(CAST(_tot AS DOUBLE), 6) AS total,
+       round(CAST(_prev AS DOUBLE), 6) AS prev_total,
+       round(CAST(_tot AS DOUBLE) - CAST(_prev AS DOUBLE), 6) AS delta,
+       round(CASE WHEN _prev IS NOT NULL AND CAST(_prev AS DOUBLE) <> 0.0
+                  THEN (CAST(_tot AS DOUBLE) - CAST(_prev AS DOUBLE))
+                       / abs(CAST(_prev AS DOUBLE)) END, 6) AS pct_change
+FROM _lagged
+"""

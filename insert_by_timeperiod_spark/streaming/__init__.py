@@ -18,6 +18,7 @@ provides the genuine Structured Streaming counterparts:
 """
 
 from .dedup import NearDedupStream, dedup_stream, dedup_stream_by_content
+from .drift_monitor import DriftMonitorStream
 from .expectations import QuarantineStream, StreamExpectations
 from .micro_batch import StreamToPeriodTable
 from .rollups import RollupStream
@@ -25,6 +26,7 @@ from .stateful import debounce_stream, sessionize_stream
 from .windows import event_time_windowed
 
 __all__ = [
+    "DriftMonitorStream",
     "NearDedupStream",
     "RollupStream",
     "QuarantineStream",

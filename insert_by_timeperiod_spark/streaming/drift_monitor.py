@@ -1,0 +1,93 @@
+"""Streaming drift monitor (SURVEY.md §2 C175) — the streaming twin of
+the C168 PSI: a static baseline's quantile edges are frozen once, every
+micro-batch bins its rows against those LITERAL edges in one scan-stage
+expression, and the per-batch bin counts land in a batch_id-partitioned
+state table. The standing PSI readout is available to any reader while
+the stream runs, and it EQUALS the batch :func:`~insert_by_timeperiod_
+spark.operators.drift.psi` over the same data bit-for-bit — both paths
+share :func:`~insert_by_timeperiod_spark.operators.drift.psi_from_counts`
+(identical expressions), and bin counts are additive across batches.
+
+Exactly-once without the engine's state store: ``foreachBatch`` is
+at-least-once, but a replayed epoch re-delivers the SAME ``batch_id``
+with the SAME data — per-batch counts write to the ``batch_id=N``
+partition with dynamic partition overwrite, so a replay overwrites its
+own partition with identical rows (idempotent), the same contract the
+period sink and C91's rollup stream rely on.
+
+State size: O(k) rows per micro-batch — k=10 bins means a year of
+1-minute batches is ~5M tiny rows, folded by one k-group aggregate at
+read time; compact or age out with the C54 retention tooling if a
+stream runs unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import drift
+
+
+class DriftMonitorStream:
+    """Monitor a streaming column's distribution against a static
+    baseline. ``read_psi()`` returns the same schema as the batch PSI
+    (bin, p_base, p_cur, term, psi_total)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        baseline: DataFrame,
+        value_col: str,
+        state_path: str,
+        *,
+        k: int = 10,
+    ) -> None:
+        if k < 2:
+            raise ValueError(f"need k >= 2, got {k}")
+        self.spark = spark
+        self.value_col = value_col
+        self.state_path = state_path
+        self.k = k
+        pct = ", ".join(str(i / k) for i in range(1, k))
+        # bounded collects BY DESIGN: k-1 edge scalars + k baseline bins
+        row = (
+            baseline.where(F.col(value_col).isNotNull())
+            .agg(F.expr(f"percentile({value_col}, array({pct}))").alias("_e"))
+            .collect()[0]
+        )
+        self.edges: list[float] = [float(x) for x in row["_e"]]
+        self._base_counts: list[tuple[int, int]] = [
+            (int(r["bin"]), int(r["_c"]))
+            for r in drift.bin_by_edges(baseline, value_col, self.edges).collect()
+        ]
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        counts = drift.bin_by_edges(batch_df, self.value_col, self.edges)
+        (
+            counts.withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(self.state_path)
+        )
+
+    def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
+        (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    def read_psi(self) -> DataFrame:
+        """The standing PSI readout — batch-equal by construction."""
+        cb = self.spark.createDataFrame(
+            self._base_counts or [(1, 0)], "bin int, _cb long"
+        )
+        cc = (
+            self.spark.read.parquet(self.state_path)
+            .groupBy("bin")
+            .agg(F.sum("_c").alias("_cc"))
+        )
+        return drift.psi_from_counts(cb, cc)

@@ -1,0 +1,89 @@
+"""Pins for C175 (streaming PSI drift monitor) and C176 (period-over-
+period comparison)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import drift, timeseries
+from insert_by_timeperiod_spark.streaming import DriftMonitorStream
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+
+def test_stream_psi_equals_batch_psi_exactly(spark, tmp_path):
+    base = _vals(spark, range(1000))
+    cur_vals = list(range(100, 900)) + [5000] * 37
+    cur = _vals(spark, cur_vals)
+    # batch reference
+    want = sorted(map(tuple, drift.psi(base, cur, "v", k=10).collect()))
+    # streamed in 4 files
+    src = str(tmp_path / "src")
+    cur.repartition(4).write.parquet(src)
+    mon = DriftMonitorStream(spark, base, "v", str(tmp_path / "state"), k=10)
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mon.run_available_now(stream, str(tmp_path / "ckpt"))
+    got = sorted(map(tuple, mon.read_psi().collect()))
+    assert got == want
+
+
+def test_stream_psi_replay_is_idempotent(spark, tmp_path):
+    base = _vals(spark, range(100))
+    batch = _vals(spark, range(50, 150))
+    mon = DriftMonitorStream(spark, base, "v", str(tmp_path / "state"), k=5)
+    mon.process_batch(batch, 7)
+    once = sorted(map(tuple, mon.read_psi().collect()))
+    mon.process_batch(batch, 7)  # replayed epoch: same id, same data
+    twice = sorted(map(tuple, mon.read_psi().collect()))
+    assert once == twice
+    with pytest.raises(ValueError):
+        DriftMonitorStream(spark, base, "v", str(tmp_path / "s2"), k=1)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, v double")
+
+
+def test_period_compare_weekly_hand_case(spark):
+    mon1, mon2, mon3 = DT(2024, 1, 1), DT(2024, 1, 8), DT(2024, 1, 15)
+    rows = [(mon1, 10.0), (mon1 + TD(days=2), 10.0),
+            (mon2, 30.0), (mon3 + TD(days=4), 15.0)]
+    out = {r["period_start"].isoformat(): r for r in timeseries.period_compare(
+        _ev(spark, rows), "ts", "v", period="week").collect()}
+    assert out["2024-01-01"]["total"] == 20.0
+    assert out["2024-01-01"]["prev_total"] is None
+    assert out["2024-01-01"]["pct_change"] is None
+    assert out["2024-01-08"]["prev_total"] == 20.0
+    assert out["2024-01-08"]["pct_change"] == pytest.approx(0.5)
+    assert out["2024-01-15"]["delta"] == pytest.approx(-15.0)
+    assert out["2024-01-15"]["pct_change"] == pytest.approx(-0.5)
+
+
+def test_period_compare_negative_prev_uses_abs_and_zero_prev_null(spark):
+    m = DT(2024, 3, 4)
+    rows = [(m, -10.0), (m + TD(days=7), -5.0), (m + TD(days=14), 0.0),
+            (m + TD(days=21), 9.0)]
+    out = sorted(timeseries.period_compare(_ev(spark, rows), "ts", "v",
+                                           period="week").collect(),
+                 key=lambda r: r["period_start"])
+    assert out[1]["pct_change"] == pytest.approx(0.5)  # (-5+10)/|-10|
+    assert out[3]["pct_change"] is None  # previous period totals 0
+    with pytest.raises(ValueError):
+        timeseries.period_compare(_ev(spark, rows), "ts", "v", period="hour")
+
+
+def test_period_compare_groups_and_month_grid(spark):
+    rows = [("a", DT(2024, 1, 20), 1.0), ("a", DT(2024, 2, 1), 3.0),
+            ("b", DT(2024, 2, 10), 7.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {(r["g"], r["period_start"].isoformat()): r
+           for r in timeseries.period_compare(
+               df, "ts", "v", period="month", group_cols=["g"]).collect()}
+    assert out[("a", "2024-02-01")]["prev_total"] == 1.0
+    assert out[("b", "2024-02-01")]["prev_total"] is None  # groups isolate

@@ -5650,6 +5650,54 @@ def _period_compare_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_into_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C177 (annex, EXACT oracle): Delta-style MERGE INTO on the
+    txnlog backend — build a base table (event_id % 5), merge a source
+    (updates at % 10 = 0 with doubled value, deletes at % 20 = 0,
+    inserts at % 10 = 3), read the final snapshot; the oracle is the
+    merged result expressed directly over the same parquet."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="ibtp_merge_"), "t")
+    ev = spark.table("events")
+    cols = [
+        F.col("event_id").alias("k"),
+        F.col("ts").cast("date").alias("event_date"),
+        F.col("value"),
+        F.col("event_type"),
+    ]
+    base = ev.where(F.col("event_id") % 5 == 0).select(*cols)
+    t = TxnLogTable(spark, root)
+    t.create(base, "event_date")
+    src = ev.where(
+        ((F.col("event_id") % 10) == 0) | ((F.col("event_id") % 10) == 3)
+    ).select(
+        F.col("event_id").alias("k"),
+        F.col("ts").cast("date").alias("event_date"),
+        (F.col("value") * 2).alias("value"),
+        F.col("event_type"),
+    )
+    t.merge_into(src, ["k"], delete_condition="k % 20 = 0")
+    return t.read().select("k", "event_date", "value", "event_type")
+
+
+MERGE_EVENTS_DUCK = """
+WITH ev AS (
+    SELECT event_id AS k, CAST(ts AS DATE) AS event_date, value, event_type
+    FROM events
+)
+SELECT k, event_date, value, event_type FROM ev
+WHERE k % 5 = 0 AND k % 10 <> 0                       -- untouched base rows
+UNION ALL
+SELECT k, event_date, value * 2, event_type FROM ev
+WHERE k % 10 = 0 AND k % 20 <> 0                      -- updated (deletes out)
+UNION ALL
+SELECT k, event_date, value * 2, event_type FROM ev
+WHERE k % 10 = 3                                      -- inserted
+"""
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5892,6 +5940,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-43 components (C175-C176)
         "stream_psi_value": _stream_psi,
         "period_compare_weekly": _period_compare_weekly,
+        # round-7 batch-44 components (C177)
+        "merge_into_events": _merge_into_events,
     }
 
 
@@ -6380,6 +6430,8 @@ def pytest_only_oracles() -> dict[str, str]:
         "period_compare_weekly": timeseries.period_compare_sql(
             "events", "ts", "value", period="week", group_cols=["event_type"]
         ),
+        # round-7 batch-44 components (C177)
+        "merge_into_events": MERGE_EVENTS_DUCK,
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

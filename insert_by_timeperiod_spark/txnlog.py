@@ -685,3 +685,158 @@ class TxnLogTable(ParquetTable):
                 except ValueError:
                     pass
         return touched
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        *,
+        update_cols: list[str] | None = None,
+        insert: bool = True,
+        delete_condition=None,
+        update_condition=None,
+    ) -> dict[str, int]:
+        """Delta-style MERGE INTO (SURVEY.md §2 C177): one atomic,
+        snapshot-isolated commit that upserts ``source`` into the table —
+        WHEN MATCHED AND delete_condition THEN DELETE, WHEN MATCHED
+        [AND update_condition] THEN UPDATE SET update_cols, WHEN NOT
+        MATCHED [AND NOT delete_condition] THEN INSERT. Conditions are
+        SQL strings / Columns over the SOURCE row's columns (the CDC
+        posture C101/C142 established: the change stream knows what it
+        wants done). Completes the DML ladder A13 (keyed period upsert)
+        → C130 (DELETE/UPDATE by predicate) → full MERGE.
+
+        Contracts, matching Delta semantics where they exist:
+        - duplicate keys in ``source`` raise (Delta's "multiple source
+          rows matched" error) — a nondeterministic merge is refused;
+        - the partition column cannot be updated (rows would move
+          partitions; delete + insert expresses that);
+        - only partitions actually containing matched-changed or
+          inserted rows are rewritten, unmatched partitions' files
+          survive verbatim (time travel keeps the pre-merge snapshot);
+        - inserts may omit table columns (NULL-filled by name), extra
+          source columns are ignored.
+
+        Returns {'updated': n, 'deleted': n, 'inserted': n}.
+
+        Scale shape: flags evaluate source-side in the scan stage; ONE
+        key-shuffled left join classifies target rows; the touched-
+        partition list is a bounded collect (C130's posture); counts and
+        the rewrite all read the localCheckpointed join, never a second
+        corpus pass."""
+        keys = list(key_cols)
+        if not keys:
+            raise ValueError("merge_into: key_cols must be non-empty")
+        part = self.partition_col
+        if part in keys:
+            raise ValueError(
+                f"merge_into: partition column {part!r} cannot be a key"
+            )
+
+        def _cond(c, default: bool):
+            if c is None:
+                return F.lit(default)
+            return (F.expr(c) if isinstance(c, str) else c).cast("boolean")
+
+        src = source.withColumn(
+            "_do_delete", F.coalesce(_cond(delete_condition, False), F.lit(False))
+        ).withColumn(
+            "_do_update", F.coalesce(_cond(update_condition, True), F.lit(False))
+        )
+        if src.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count():
+            raise ValueError(
+                "merge_into: duplicate keys in source — a nondeterministic "
+                "merge is refused (the Delta multiple-match contract)"
+            )
+        cur = self.read()
+        ucols = list(
+            update_cols
+            if update_cols is not None
+            else [
+                c
+                for c in src.columns
+                if c in cur.columns
+                and c not in keys
+                and c != part
+                and not c.startswith("_do_")
+            ]
+        )
+        if part in ucols:
+            raise ValueError(
+                f"merge_into: cannot update partition column {part!r} "
+                "(delete + insert moves a row across partitions)"
+            )
+        missing = [c for c in ucols if c not in src.columns]
+        if missing:
+            raise ValueError(f"merge_into: update_cols missing in source: {missing}")
+
+        sren = src.select(
+            *keys,
+            F.lit(True).alias("_matched"),
+            "_do_delete",
+            "_do_update",
+            *[F.col(c).alias(f"_src_{c}") for c in ucols],
+        )
+        j = cur.join(sren, keys, "left").localCheckpoint()
+        matched = F.coalesce(F.col("_matched"), F.lit(False))
+        is_del = matched & F.col("_do_delete")
+        is_upd = matched & ~F.col("_do_delete") & F.col("_do_update")
+
+        inserts_src = (
+            src.where(~F.col("_do_delete"))
+            .join(cur.select(*keys).distinct(), keys, "left_anti")
+            .localCheckpoint()
+            if insert
+            else None
+        )
+
+        touched = {
+            r[0]
+            for r in j.where(is_del | is_upd).select(part).distinct().collect()
+        }
+        if inserts_src is not None:
+            if part not in inserts_src.columns:
+                if inserts_src.limit(1).count():
+                    raise ValueError(
+                        f"merge_into: source lacks partition column {part!r} "
+                        "needed for inserts"
+                    )
+            else:
+                touched |= {
+                    r[0]
+                    for r in inserts_src.select(part).distinct().collect()
+                }
+        n_deleted = j.where(is_del).count()
+        n_updated = j.where(is_upd).count()
+        n_inserted = inserts_src.count() if inserts_src is not None else 0
+        if not touched:
+            return {"updated": 0, "deleted": 0, "inserted": 0}
+
+        real = [d for d in touched if d is not None]
+        in_touched = F.col(part).isin(real) if real else F.lit(False)
+        if None in touched:
+            in_touched = in_touched | F.col(part).isNull()
+        kept = j.where(in_touched & ~is_del).select(
+            *[
+                F.when(is_upd, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
+                if c in ucols
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        if inserts_src is not None and n_inserted:
+            proj = inserts_src.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in inserts_src.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in cur.schema
+                ]
+            )
+            kept = kept.unionByName(proj)
+        self.rewrite_partitions(kept, sorted(real) + ([None] if None in touched else []))
+        return {
+            "updated": int(n_updated),
+            "deleted": int(n_deleted),
+            "inserted": int(n_inserted),
+        }

@@ -1,0 +1,126 @@
+"""Pins for C177 (Delta-style MERGE INTO on the txnlog backend)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+
+def _base(spark):
+    rows = [
+        (1, "2024-01-01", 10.0, "a"),
+        (2, "2024-01-01", 20.0, "a"),
+        (3, "2024-01-02", 30.0, "b"),
+        (4, "2024-01-03", 40.0, "b"),
+    ]
+    return spark.createDataFrame(
+        [(k, dt.date.fromisoformat(d), v, t) for k, d, v, t in rows],
+        "k int, event_date date, value double, tag string",
+    )
+
+
+def _make(spark, tmp_path, name="m"):
+    t = TxnLogTable(spark, str(tmp_path / name))
+    t.create(_base(spark), "event_date")
+    return t
+
+
+def test_merge_update_delete_insert_counts_and_content(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    src = spark.createDataFrame(
+        [
+            (2, dt.date(2024, 1, 1), 99.0, "upd", False),
+            (3, dt.date(2024, 1, 2), 0.0, "del", True),
+            (9, dt.date(2024, 1, 9), 77.0, "new", False),
+            (10, dt.date(2024, 1, 9), 1.0, "newdel", True),  # unmatched delete: no-op
+        ],
+        "k int, event_date date, value double, tag string, dead boolean",
+    )
+    res = t.merge_into(src, ["k"], delete_condition="dead")
+    assert res == {"updated": 1, "deleted": 1, "inserted": 1}
+    out = {r["k"]: r for r in t.read().collect()}
+    assert set(out) == {1, 2, 4, 9}
+    assert out[2]["value"] == 99.0 and out[2]["tag"] == "upd"
+    assert out[1]["value"] == 10.0  # untouched row in a touched partition
+    assert out[4]["value"] == 40.0  # untouched partition
+    assert out[9]["tag"] == "new"
+
+
+def test_merge_only_touched_partitions_rewritten_and_time_travel(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    before_files = {f for f, p in t.snapshot().items() if p == "2024-01-03"}
+    v0 = t.version()
+    src = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), -1.0, "x", False)],
+        "k int, event_date date, value double, tag string, dead boolean",
+    )
+    t.merge_into(src, ["k"], delete_condition="dead")
+    after_files = {f for f, p in t.snapshot().items() if p == "2024-01-03"}
+    assert before_files == after_files  # 2024-01-03 untouched, verbatim
+    # time travel still shows the pre-merge value
+    old = {r["k"]: r["value"] for r in t.read(version=v0).collect()}
+    assert old[1] == 10.0
+    assert {r["k"]: r["value"] for r in t.read().collect()}[1] == -1.0
+
+
+def test_merge_contracts(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(2, dt.date(2024, 1, 1), 1.0), (2, dt.date(2024, 1, 1), 2.0)],
+        "k int, event_date date, value double",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_into(dup, ["k"])
+    src = spark.createDataFrame(
+        [(2, dt.date(2024, 1, 5), 1.0)], "k int, event_date date, value double"
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        t.merge_into(src, ["k"], update_cols=["event_date"])
+    with pytest.raises(ValueError, match="key_cols"):
+        t.merge_into(src, [])
+    with pytest.raises(ValueError, match="cannot be a key"):
+        t.merge_into(src, ["event_date"])
+    # inserts need the partition column
+    no_part = spark.createDataFrame([(42, 5.0)], "k int, value double")
+    with pytest.raises(ValueError, match="lacks partition column"):
+        t.merge_into(no_part, ["k"])
+    # but pure updates without it are fine
+    upd_only = spark.createDataFrame([(2, 55.0)], "k int, value double")
+    res = t.merge_into(upd_only, ["k"], insert=False)
+    assert res == {"updated": 1, "deleted": 0, "inserted": 0}
+    assert {r["k"]: r["value"] for r in t.read().collect()}[2] == 55.0
+
+
+def test_merge_update_condition_gates_and_null_fill(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    src = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), 111.0, True),
+            (2, dt.date(2024, 1, 1), 222.0, False),  # matched, gated out
+            (7, dt.date(2024, 1, 7), 7.0, True),
+        ],
+        "k int, event_date date, value double, want boolean",
+    )
+    res = t.merge_into(src, ["k"], update_condition="want")
+    # row 2 matched but not updated and not deleted -> unchanged
+    assert res["updated"] == 1 and res["inserted"] == 1 and res["deleted"] == 0
+    out = {r["k"]: r for r in t.read().collect()}
+    assert out[1]["value"] == 111.0
+    assert out[2]["value"] == 20.0
+    # inserted row had no 'tag' in source -> NULL-filled by name
+    assert out[7]["tag"] is None and out[7]["value"] == 7.0
+
+
+def test_merge_idempotent_replay_of_same_source(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(3, dt.date(2024, 1, 2), 300.0), (8, dt.date(2024, 1, 8), 80.0)],
+        "k int, event_date date, value double",
+    )
+    t.merge_into(src, ["k"])
+    first = sorted(map(tuple, t.read().collect()))
+    res = t.merge_into(src, ["k"])  # second apply: update hits same values,
+    assert res["inserted"] == 0    # the insert now matches and updates
+    assert sorted(map(tuple, t.read().collect())) == first

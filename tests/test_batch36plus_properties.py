@@ -1,0 +1,265 @@
+"""Property tests (SURVEY.md §5) for the round-7 batch-36+ operators
+(C161-C177): invariants that must hold for ANY input, over
+hypothesis-generated data. Examples kept small — each compiles real
+Spark jobs."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from insert_by_timeperiod_spark.functions import text as TX
+from insert_by_timeperiod_spark.operators import analytics, drift, features
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# C161: Kaplan-Meier — survival is a valid, monotone step function and
+# equals the closed product over the risk table, for any censoring pattern
+# ---------------------------------------------------------------------------
+
+_subjects = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),   # duration
+        st.booleans(),                            # observed?
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(subj=_subjects)
+def test_km_equals_closed_product_for_any_censoring(spark, subj):
+    df = spark.createDataFrame(
+        [(float(d), int(e)) for d, e in subj], "dur double, ev int"
+    )
+    rows = sorted(
+        analytics.kaplan_meier(df, "dur", "ev").collect(), key=lambda r: r["t"]
+    )
+    # reference: classic product over the aggregated risk table
+    from collections import Counter
+
+    deaths = Counter(d for d, e in subj if e)
+    at = Counter(d for d, _ in subj)
+    surv, n_risk = 1.0, len(subj)
+    want = {}
+    for t in sorted(at):
+        d = deaths.get(t, 0)
+        if d:
+            surv *= 1.0 - d / n_risk
+        want[float(t)] = (n_risk, round(surv, 6))
+        n_risk -= at[t]
+    for r in rows:
+        wn, ws = want[r["t"]]
+        assert r["n_risk"] == wn
+        assert r["survival"] == pytest.approx(ws, abs=2e-6)
+    svals = [r["survival"] for r in rows]
+    assert all(b <= a + 1e-9 for a, b in zip(svals, svals[1:]))
+    assert all(0.0 <= s <= 1.0 for s in svals)
+
+
+# ---------------------------------------------------------------------------
+# C162: Gini is scale-invariant, bounded by (n-1)/n, and equals the
+# mean-absolute-difference form
+# ---------------------------------------------------------------------------
+
+_values = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=2, max_size=25
+).filter(lambda v: sum(v) > 0)
+
+
+@settings(**_SETTINGS)
+@given(vals=_values)
+def test_gini_matches_mean_absolute_difference_form(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    g = analytics.gini_coefficient(df, "v").collect()[0]["gini"]
+    n, tot = len(vals), sum(vals)
+    mad = sum(abs(a - b) for a in vals for b in vals) / (n * n)
+    want = mad / (2 * tot / n)
+    assert g == pytest.approx(want, abs=1e-5)
+    assert -1e-9 <= g <= (n - 1) / n + 1e-9
+    # scale invariance
+    df3 = spark.createDataFrame([(float(v * 3),) for v in vals], "v double")
+    g3 = analytics.gini_coefficient(df3, "v").collect()[0]["gini"]
+    assert g3 == pytest.approx(g, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# C163: entropy bounds and additivity of the joint for independent columns
+# ---------------------------------------------------------------------------
+
+_cats = st.lists(st.sampled_from("abcd"), min_size=1, max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(cats=_cats)
+def test_entropy_bounds_for_any_distribution(spark, cats):
+    df = spark.createDataFrame([(c,) for c in cats], "c string")
+    r = analytics.entropy_by_group(df, "c").collect()[0]
+    k = len(set(cats))
+    tol = k * 5e-7 + 1e-9  # each per-category term rounds to the 6-dec grid
+    assert -tol <= r["entropy"] <= math.log(k) + tol
+    assert -tol <= r["simpson"] <= 1.0 - 1.0 / k + tol
+    if k > 1:
+        assert -tol <= r["norm_entropy"] <= 1.0 + tol
+
+
+@settings(**_SETTINGS)
+@given(cats=_cats)
+def test_mi_nonnegative_and_bounded_by_min_entropy(spark, cats):
+    rows = [(c, "xy"[i % 2]) for i, c in enumerate(cats)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = analytics.mutual_information(df, "a", "b").collect()[0]
+    assert r["mi"] >= -1e-4  # nonnegative up to the 6-decimal term grid
+    assert r["mi"] <= min(r["h_a"], r["h_b"]) + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# C165: Jaro-Winkler — symmetry, identity, range, vs DuckDB for any strings
+# ---------------------------------------------------------------------------
+
+_words = st.text(alphabet="abcXYZ é", min_size=0, max_size=10)
+
+
+@settings(**_SETTINGS)
+@given(a=_words, b=_words)
+def test_jw_symmetric_bounded_and_matches_duckdb(a, b):
+    import duckdb
+
+    x = TX._jw_bytes(a.encode(), b.encode())
+    y = TX._jw_bytes(b.encode(), a.encode())
+    assert x == pytest.approx(y, abs=1e-12)
+    assert 0.0 <= x <= 1.0
+    if a and a == b:
+        assert x == 1.0
+    want = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert x == pytest.approx(want, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# C168/C169: PSI and KS both read zero for identical frames, and KS is
+# symmetric in its two samples
+# ---------------------------------------------------------------------------
+
+_sample = st.lists(st.integers(min_value=0, max_value=20), min_size=5, max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(vals=_sample)
+def test_psi_and_ks_zero_on_identical_and_ks_symmetric(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    df2 = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    assert drift.psi(df, df2, "v", k=4).collect()[0]["psi_total"] == pytest.approx(
+        0.0, abs=1e-5
+    )
+    assert drift.ks_statistic(df, df2, "v").collect()[0]["d_stat"] == pytest.approx(
+        0.0, abs=1e-9
+    )
+    other = [v + 3 for v in vals]
+    do = spark.createDataFrame([(float(v),) for v in other], "v double")
+    d1 = drift.ks_statistic(df, do, "v").collect()[0]["d_stat"]
+    d2 = drift.ks_statistic(do, df, "v").collect()[0]["d_stat"]
+    assert d1 == pytest.approx(d2, abs=1e-9)
+    assert 0.0 <= d1 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# C171: weighted quantile with unit weights == type-1 unweighted quantile;
+# integer-scaled weights leave the answer unchanged
+# ---------------------------------------------------------------------------
+
+_weighted = st.lists(
+    st.tuples(
+        st.integers(min_value=-9, max_value=9),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_weighted, q=st.sampled_from([0.25, 0.5, 0.75, 1.0]))
+def test_weighted_quantile_reference_and_weight_scale_invariance(spark, rows, q):
+    df = spark.createDataFrame(
+        [(float(v), float(w)) for v, w in rows], "v double, w double"
+    )
+    got = analytics.weighted_quantiles(df, "v", "w", qs=(q,)).collect()[0]["value"]
+    # reference: expand weights into repeats, take type-1 quantile
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    import math as m
+
+    idx = max(1, m.ceil(q * len(expanded)))
+    assert got == expanded[idx - 1]
+    # scaling every weight by 4 changes nothing
+    df4 = spark.createDataFrame(
+        [(float(v), float(w * 4)) for v, w in rows], "v double, w double"
+    )
+    got4 = analytics.weighted_quantiles(df4, "v", "w", qs=(q,)).collect()[0]["value"]
+    assert got4 == got
+
+
+# ---------------------------------------------------------------------------
+# C172: BH — adjusted p >= raw p, monotone in p, and idempotent-safe caps
+# ---------------------------------------------------------------------------
+
+_pvals = st.lists(
+    st.integers(min_value=0, max_value=1000), min_size=1, max_size=25
+)
+
+
+@settings(**_SETTINGS)
+@given(raw=_pvals)
+def test_bh_dominates_raw_and_is_monotone(spark, raw):
+    ps = [r / 1000 for r in raw]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    out = analytics.bh_adjust(df, "p").collect()
+    got = sorted((r["p_value"], r["p_adj"]) for r in out)
+    for p, adj in got:
+        assert adj >= p - 1e-9
+        assert adj <= 1.0 + 1e-9
+    adjs = [a for _, a in got]
+    assert all(b >= a - 1e-9 for a, b in zip(adjs, adjs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# C173: PAVA — monotone, mass-conserving, bounded by data range, any input
+# ---------------------------------------------------------------------------
+
+_labeled = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_labeled)
+def test_pava_invariants_for_any_input(spark, rows):
+    df = spark.createDataFrame(
+        [(float(s), float(y)) for s, y in rows], "s double, y double"
+    )
+    out = sorted(
+        features.isotonic_fit(df, "s", "y").collect(),
+        key=lambda r: r["score_lo"],
+    )
+    rates = [r["fitted_rate"] for r in out]
+    assert all(b >= a - 1e-9 for a, b in zip(rates, rates[1:]))
+    assert all(-1e-9 <= r <= 1 + 1e-9 for r in rates)
+    assert sum(r["n"] for r in out) == len(rows)
+    mass = sum(r["n"] * r["fitted_rate"] for r in out)
+    assert mass == pytest.approx(sum(y for _, y in rows), abs=1e-3)
+    # blocks tile the score axis in order without overlap
+    for a, b in zip(out, out[1:]):
+        assert a["score_hi"] < b["score_lo"]

@@ -5698,6 +5698,30 @@ WHERE k % 10 = 3                                      -- inserted
 """
 
 
+def _l_diversity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C178 (annex, EXACT oracle): l-diversity audit — distinct
+    event_type values inside each (cohort, weekday) quasi-identifier
+    group; the homogeneity-attack gate next to C107's k-anonymity."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        (F.col("user_id") % 25).alias("cohort"),
+        F.dayofweek(F.col("ts").cast("date")).alias("wd"),
+        "event_type",
+    )
+    return profile.l_diversity_report(src, ["cohort", "wd"], "event_type", 3)
+
+
+def _hits_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C179 (annex, EXACT oracle): HITS hubs/authorities over the
+    deterministic event-derived graph — per-round DECIMAL-grid
+    sum/normalize, exact unrolled-CTE twin (the C75 posture)."""
+    _prep(spark, sf_dir)
+    e = spark.table("events").select(
+        (F.col("event_id") % 500).alias("src"), F.col("user_id").alias("dst")
+    )
+    return graph.hits(e, n_iter=3)
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5942,6 +5966,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "period_compare_weekly": _period_compare_weekly,
         # round-7 batch-44 components (C177)
         "merge_into_events": _merge_into_events,
+        # round-7 batch-45 components (C178-C179)
+        "l_diversity_users": _l_diversity_users,
+        "hits_event_graph": _hits_event_graph,
     }
 
 
@@ -6432,6 +6459,16 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         # round-7 batch-44 components (C177)
         "merge_into_events": MERGE_EVENTS_DUCK,
+        # round-7 batch-45 components (C178-C179)
+        "l_diversity_users": profile.l_diversity_sql(
+            "(SELECT user_id % 25 AS cohort,"
+            " dayofweek(CAST(ts AS DATE)) + 1 AS wd, event_type FROM events)",
+            ["cohort", "wd"], "event_type", 3,
+        ),
+        "hits_event_graph": graph.hits_sql(
+            "(SELECT event_id % 500 AS src, user_id AS dst FROM events)",
+            n_iter=3,
+        ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

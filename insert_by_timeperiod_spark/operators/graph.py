@@ -793,3 +793,158 @@ FROM _scored s
 ANTI JOIN _existing x ON x.node_a = s.node_a AND x.node_b = s.node_b
 WHERE s.common_neighbors >= {min_common}
 """
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (SURVEY.md §2 C179; Kleinberg 1999): the
+    OTHER classic link-analysis score next to C75's PageRank — PageRank
+    ranks by global random-walk mass, HITS separates "points at good
+    pages" (hub) from "is pointed at by good hubs" (authority), the pair
+    that matters for directory/citation-shaped graphs. Fixed ``n_iter``
+    synchronous rounds: a'(v) = Σ_{u→v} h(u), then h'(u) = Σ_{u→v} a'(v),
+    each L1-normalized and rounded to the shared 6-decimal grid per
+    round (the C75 posture — making :func:`hits_sql` an exact unrolled
+    twin). Duplicate edges count once. Output: (node, hub, authority).
+
+    Scale shape: identical to PageRank — the distinct edge set is
+    materialized once, every round is one edge-keyed join + a node-sized
+    aggregate, and each round localCheckpoints to cut the iterative
+    lineage."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    ).localCheckpoint(eager=True)
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(
+            F.sum(F.round(F.col(col), 6).cast("decimal(38,6)")).alias("_t")
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            *[c for c in df.columns if c != col],
+            F.round(F.col(col) / F.col("_t").cast("double"), 6).alias(col),
+        )
+
+    for _ in range(n_iter):
+        auth = (
+            e.join(scores.select(F.col("node").alias("_s"), "hub"), "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(
+                F.sum(F.round(F.col("hub"), 6).cast("decimal(38,6)"))
+                .cast("double")
+                .alias("authority")
+            )
+        )
+        scores = _norm(
+            scores.select("node", "hub")
+            .join(auth, "node", "left")
+            .select(
+                "node", "hub",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            ),
+            "authority",
+        ).localCheckpoint(eager=True)
+        hub = (
+            e.join(
+                scores.select(F.col("node").alias("_d"), "authority"), "_d"
+            )
+            .groupBy(F.col("_s").alias("node"))
+            .agg(
+                F.sum(F.round(F.col("authority"), 6).cast("decimal(38,6)"))
+                .cast("double")
+                .alias("hub")
+            )
+        )
+        scores = _norm(
+            scores.select("node", "authority")
+            .join(hub, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                "authority",
+            ),
+            "hub",
+        ).localCheckpoint(eager=True)
+    return scores.select("node", F.round("hub", 6).alias("hub"),
+                         F.round("authority", 6).alias("authority"))
+
+
+def hits_sql(
+    edges_source: str,
+    *,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """Exact DuckDB twin of :func:`hits` — the identical per-round
+    sum/normalize/round arithmetic unrolled as chained CTEs. Every
+    per-round CTE is MATERIALIZED: DuckDB inlines CTEs per reference,
+    and each round references the previous one 2-3 times, so the
+    un-materialized form re-executes exponentially (probed: n_iter=3
+    never finished; materialized it's milliseconds). Normalizers are
+    window sums, not scalar subqueries, for the same reason."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    ctes = [
+        f"""_e AS MATERIALIZED (
+    SELECT DISTINCT {src} AS _s, {dst} AS _d FROM {edges_source}
+), _nodes AS MATERIALIZED (
+    SELECT _s AS node FROM _e UNION SELECT _d FROM _e
+), _s0 AS MATERIALIZED (
+    SELECT node, CAST(1.0 AS DOUBLE) AS hub, CAST(1.0 AS DOUBLE) AS authority
+    FROM _nodes
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"_s{i - 1}"
+        ctes.append(
+            f"""_a{i} AS MATERIALIZED (
+    SELECT node, hub,
+           round(authority / CAST(SUM(CAST(round(authority, 6) AS DECIMAL(38,6)))
+                 OVER () AS DOUBLE), 6) AS authority
+    FROM (
+        SELECT n.node, n.hub, COALESCE(s._a, CAST(0 AS DOUBLE)) AS authority
+        FROM {prev} n
+        LEFT JOIN (
+            SELECT e._d AS node,
+                   CAST(SUM(CAST(round(p.hub, 6) AS DECIMAL(38,6))) AS DOUBLE) AS _a
+            FROM _e e JOIN {prev} p ON p.node = e._s
+            GROUP BY e._d
+        ) s ON s.node = n.node
+    )
+), _s{i} AS MATERIALIZED (
+    SELECT node,
+           round(hub / CAST(SUM(CAST(round(hub, 6) AS DECIMAL(38,6)))
+                 OVER () AS DOUBLE), 6) AS hub,
+           authority
+    FROM (
+        SELECT n.node, COALESCE(s._h, CAST(0 AS DOUBLE)) AS hub, n.authority
+        FROM _a{i} n
+        LEFT JOIN (
+            SELECT e._s AS node,
+                   CAST(SUM(CAST(round(p.authority, 6) AS DECIMAL(38,6))) AS DOUBLE) AS _h
+            FROM _e e JOIN _a{i} p ON p.node = e._d
+            GROUP BY e._s
+        ) s ON s.node = n.node
+    )
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(hub, 6) AS hub, round(authority, 6) AS authority FROM _s{n_iter}"
+    )

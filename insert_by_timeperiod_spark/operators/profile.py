@@ -503,3 +503,74 @@ SELECT {gsel}CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_exact,
        TRUE AS est_ok
 FROM {source} {grp}
 """
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit (SURVEY.md §2 C178; Machanavajjhala et al.
+    2007): C107's k-anonymity stops re-identification, but a k-anonymous
+    group whose SENSITIVE value is uniform still leaks it ("all 12
+    people in this group have the same diagnosis") — the homogeneity
+    attack. This reports, per quasi-identifier group exposure summary:
+    (n_groups, n_violating, rows_at_risk, min_distinct_sensitive,
+    worst_share) where a group violates when it holds fewer than ``l``
+    DISTINCT sensitive values; worst_share is the largest single-value
+    share in any group (1.0 = some group is fully homogeneous).
+
+    Scale shape: one groupBy on (quasi, sensitive) — the finest cell —
+    then two group-sized reductions; nothing row-sized leaves the first
+    exchange. NULL sensitive values count as a real value (NULL is a
+    disclosure too). :func:`l_diversity_sql` is exact."""
+    if not quasi_cols:
+        raise ValueError("l_diversity_report: quasi_cols required")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    groups = cells.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_ndist"),
+        F.sum("_c").alias("_rows"),
+        F.max("_c").alias("_maxc"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("_ndist") < l).cast("int")).cast("bigint").alias(
+            "n_violating"
+        ),
+        F.sum(F.when(F.col("_ndist") < l, F.col("_rows")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("_ndist").cast("bigint").alias("min_distinct_sensitive"),
+        F.round(F.max(F.col("_maxc") / F.col("_rows")), 6).alias("worst_share"),
+    )
+
+
+def l_diversity_sql(
+    source: str, quasi_cols: list[str], sensitive_col: str, l: int
+) -> str:
+    """Exact DuckDB twin of :func:`l_diversity_report`."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    q = ", ".join(quasi_cols)
+    return f"""
+WITH _cells AS (
+    SELECT {q}, {sensitive_col} AS _sv, COUNT(*) AS _c
+    FROM {source} GROUP BY {q}, {sensitive_col}
+), _groups AS (
+    SELECT {q}, COUNT(*) AS _ndist, SUM(_c) AS _rows, MAX(_c) AS _maxc
+    FROM _cells GROUP BY {q}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN _ndist < {int(l)} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(SUM(CASE WHEN _ndist < {int(l)} THEN _rows ELSE 0 END) AS BIGINT)
+           AS rows_at_risk,
+       CAST(MIN(_ndist) AS BIGINT) AS min_distinct_sensitive,
+       round(MAX(CAST(_maxc AS DOUBLE) / _rows), 6) AS worst_share
+FROM _groups
+"""

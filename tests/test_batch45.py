@@ -1,0 +1,80 @@
+"""Pins for C178 (l-diversity audit) and C179 (HITS hubs/authorities)."""
+
+import math
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import graph, profile
+
+
+def test_l_diversity_hand_case(spark):
+    # group A: 3 rows all 'flu' (homogeneous); group B: 2 distinct;
+    # group C: 3 distinct
+    rows = (
+        [("A", "flu")] * 3
+        + [("B", "flu"), ("B", "cold")]
+        + [("C", "flu"), ("C", "cold"), ("C", "ok")]
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = profile.l_diversity_report(df, ["q"], "s", 3).collect()[0]
+    assert r["n_groups"] == 3
+    assert r["n_violating"] == 2  # A (1 distinct) and B (2 distinct) < 3
+    assert r["rows_at_risk"] == 5
+    assert r["min_distinct_sensitive"] == 1
+    assert r["worst_share"] == pytest.approx(1.0)  # group A is homogeneous
+
+
+def test_l_diversity_null_sensitive_counts_and_validation(spark):
+    rows = [("A", "x"), ("A", None)]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = profile.l_diversity_report(df, ["q"], "s", 2).collect()[0]
+    assert r["min_distinct_sensitive"] == 2  # NULL is a value (a disclosure)
+    assert r["n_violating"] == 0
+    with pytest.raises(ValueError):
+        profile.l_diversity_report(df, [], "s", 2)
+    with pytest.raises(ValueError):
+        profile.l_diversity_report(df, ["q"], "s", 1)
+    with pytest.raises(ValueError):
+        profile.l_diversity_sql("t", ["q"], "s", 0)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+def test_hits_star_graph_separates_hub_from_authority(spark):
+    # node 0 points at 1..4: 0 is the only hub, 1..4 equal authorities
+    out = {r["node"]: r for r in graph.hits(
+        _edges(spark, [(0, i) for i in range(1, 5)]), n_iter=3).collect()}
+    assert out[0]["hub"] == pytest.approx(1.0, abs=1e-6)
+    assert out[0]["authority"] == pytest.approx(0.0, abs=1e-6)
+    for i in range(1, 5):
+        assert out[i]["authority"] == pytest.approx(0.25, abs=1e-5)
+        assert out[i]["hub"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_hits_l1_normalized_nonnegative_and_dedup_edges(spark):
+    pairs = [(0, 1), (0, 1), (1, 2), (2, 0), (0, 2), (3, 2)]
+    out = graph.hits(_edges(spark, pairs), n_iter=4).collect()
+    hs = sum(r["hub"] for r in out)
+    as_ = sum(r["authority"] for r in out)
+    assert hs == pytest.approx(1.0, abs=1e-4)
+    assert as_ == pytest.approx(1.0, abs=1e-4)
+    assert all(r["hub"] >= 0 and r["authority"] >= 0 for r in out)
+    # duplicate (0,1) edge counts once: same result as the deduped list
+    dedup = sorted(map(tuple, graph.hits(
+        _edges(spark, list(set(pairs))), n_iter=4).collect()))
+    assert sorted(map(tuple, out)) == dedup
+    with pytest.raises(ValueError):
+        graph.hits(_edges(spark, pairs), n_iter=0)
+    with pytest.raises(ValueError):
+        graph.hits_sql("t", n_iter=0)
+
+
+def test_hits_authority_ranks_most_pointed_at_highest(spark):
+    # 2 is pointed at by 3 hubs, 4 by one
+    pairs = [(0, 2), (1, 2), (3, 2), (0, 4)]
+    out = {r["node"]: r for r in graph.hits(_edges(spark, pairs), n_iter=3).collect()}
+    assert out[2]["authority"] > out[4]["authority"]
+    # 0 points at the best authority AND another: best hub
+    assert out[0]["hub"] >= max(out[1]["hub"], out[3]["hub"]) - 1e-9

@@ -5722,6 +5722,37 @@ def _hits_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.hits(e, n_iter=3)
 
 
+def _org_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C180 (annex, EXACT oracle): flatten a deterministic ternary
+    tree derived from events (node k's parent is (k-1)//3, root 0) —
+    per node: root, depth, and the root→node path string; the
+    recursive-CTE twin walks the identical one-parent chain."""
+    _prep(spark, sf_dir)
+    e = (
+        spark.table("events")
+        .select((F.col("event_id") % 300).alias("child"))
+        .where(F.col("child") > 0)
+        .distinct()
+        .select(
+            "child", F.floor((F.col("child") - 1) / 3).cast("long").alias("parent")
+        )
+    )
+    return graph.flatten_hierarchy(e)
+
+
+def _quota_alloc_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C181 (annex, EXACT oracle): Hamilton largest-remainder
+    allocation of a 997-unit budget across event types by event count —
+    integer floors + deterministic remainder election, sums exactly."""
+    _prep(spark, sf_dir)
+    counts = spark.table("events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sampling.allocate_quota(
+        counts, "n_events", 997, id_col="event_type"
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -5969,6 +6000,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-45 components (C178-C179)
         "l_diversity_users": _l_diversity_users,
         "hits_event_graph": _hits_event_graph,
+        # round-7 batch-46 components (C180-C181)
+        "org_hierarchy_flatten": _org_hierarchy,
+        "quota_alloc_types": _quota_alloc_types,
     }
 
 
@@ -6468,6 +6502,17 @@ def pytest_only_oracles() -> dict[str, str]:
         "hits_event_graph": graph.hits_sql(
             "(SELECT event_id % 500 AS src, user_id AS dst FROM events)",
             n_iter=3,
+        ),
+        # round-7 batch-46 components (C180-C181)
+        "org_hierarchy_flatten": graph.flatten_hierarchy_sql(
+            "(SELECT child, CAST(floor((child - 1) / 3) AS BIGINT) AS parent"
+            " FROM (SELECT DISTINCT event_id % 300 AS child FROM events)"
+            " WHERE child > 0)",
+        ),
+        "quota_alloc_types": sampling.allocate_quota_sql(
+            "(SELECT event_type, COUNT(*) AS n_events FROM events"
+            " GROUP BY event_type)",
+            "n_events", 997, id_col="event_type",
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

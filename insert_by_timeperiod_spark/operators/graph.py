@@ -948,3 +948,127 @@ def hits_sql(
         + ",\n".join(ctes)
         + f"\nSELECT node, round(hub, 6) AS hub, round(authority, 6) AS authority FROM _s{n_iter}"
     )
+
+
+def flatten_hierarchy(
+    edges: DataFrame,
+    *,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 20,
+    sep: str = "/",
+) -> DataFrame:
+    """Flatten a parent-child hierarchy (SURVEY.md §2 C180): for every
+    node, its ``root``, ``depth`` (edges to root), and ``path`` (ids
+    root→node joined by ``sep``) — the org-chart / category-tree /
+    account-rollup closure every warehouse model needs next to C132's
+    BFS (which measures distance in an arbitrary graph; this walks the
+    ONE-PARENT chain and materializes the lineage string). Nodes that
+    never appear as a child are roots (depth 0, path = themselves).
+
+    Contracts: a child with TWO parents raises (not a tree — the
+    flattening would be nondeterministic); a chain still unfinished
+    after ``max_depth`` steps raises (cycle, or a genuinely deeper
+    hierarchy — raise the cap). IDs are rendered via CAST AS STRING in
+    both engines, so :func:`flatten_hierarchy_sql` (a recursive CTE) is
+    exact.
+
+    Scale shape: one parent-step join per level, localCheckpointed —
+    O(depth) rounds over a frame that only SHRINKS (finished chains
+    leave the loop); hierarchy depth is small by domain (org charts,
+    category trees: ≤ 20), which is why the single-step walk, the same
+    thing the recursive-CTE engines do, is the right plan here."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    e = (
+        edges.where(F.col(child).isNotNull() & F.col(parent).isNotNull())
+        .select(
+            F.col(child).cast("string").alias("_c"),
+            F.col(parent).cast("string").alias("_p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.groupBy("_c").count().where(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            "flatten_hierarchy: a child has multiple parents — not a tree"
+        )
+    nodes = (
+        e.select(F.col("_c").alias("node"))
+        .union(e.select(F.col("_p").alias("node")))
+        .distinct()
+    )
+    # state: (node, cur, path, depth); done when cur has no parent
+    state = nodes.select(
+        "node",
+        F.col("node").alias("cur"),
+        F.col("node").alias("path"),
+        F.lit(0).alias("depth"),
+    ).localCheckpoint(eager=True)
+    parents = e.select(F.col("_c").alias("cur"), F.col("_p"))
+    for _ in range(max_depth + 1):
+        stepped = state.join(parents, "cur", "left")
+        nxt = stepped.select(
+            "node",
+            F.coalesce("_p", F.col("cur")).alias("cur"),
+            F.when(
+                F.col("_p").isNotNull(),
+                F.concat(F.col("_p"), F.lit(sep), F.col("path")),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+            (F.col("depth") + F.when(F.col("_p").isNotNull(), 1).otherwise(0)).alias(
+                "depth"
+            ),
+            F.col("_p").isNotNull().alias("_moved"),
+        ).localCheckpoint(eager=True)
+        if nxt.where(F.col("_moved")).limit(1).count() == 0:
+            state = nxt.drop("_moved")
+            break
+        state = nxt.drop("_moved")
+    unfinished = state.join(parents, "cur", "left_semi").limit(1).count()
+    if unfinished:
+        raise ValueError(
+            f"flatten_hierarchy: chain exceeds max_depth={max_depth} "
+            "(cycle, or raise the cap)"
+        )
+    return state.select(
+        "node", F.col("cur").alias("root"), F.col("depth").cast("int").alias("depth"), "path"
+    )
+
+
+def flatten_hierarchy_sql(
+    edges_source: str,
+    *,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 20,
+    sep: str = "/",
+) -> str:
+    """Exact DuckDB twin of :func:`flatten_hierarchy` (recursive CTE
+    walking the same one-parent chain with the same CAST AS VARCHAR
+    rendering)."""
+    return f"""
+WITH RECURSIVE _e AS (
+    SELECT DISTINCT CAST({child} AS VARCHAR) AS _c, CAST({parent} AS VARCHAR) AS _p
+    FROM {edges_source}
+    WHERE {child} IS NOT NULL AND {parent} IS NOT NULL
+), _nodes AS (
+    -- probed: under WITH RECURSIVE, DuckDB did NOT dedupe a plain UNION
+    -- in a helper CTE (base rows doubled); explicit DISTINCT is exact
+    SELECT DISTINCT node FROM (
+        SELECT _c AS node FROM _e UNION ALL SELECT _p AS node FROM _e
+    )
+), _walk AS (
+    SELECT node, node AS cur, node AS path, 0 AS depth FROM _nodes
+    UNION ALL
+    SELECT w.node, e._p AS cur, e._p || '{sep}' || w.path AS path,
+           w.depth + 1 AS depth
+    FROM _walk w JOIN _e e ON e._c = w.cur
+    WHERE w.depth <= {int(max_depth)}
+)
+SELECT node, cur AS root, CAST(depth AS INTEGER) AS depth, path
+FROM _walk w
+WHERE NOT EXISTS (SELECT 1 FROM _e e WHERE e._c = w.cur)
+  AND depth = (SELECT MAX(depth) FROM _walk w2 WHERE w2.node = w.node)
+"""

@@ -525,3 +525,110 @@ WITH _c AS (
 SELECT domain, _w / (SELECT SUM(_w) FROM _r) AS weight
 FROM _r
 """
+
+
+def allocate_quota(
+    df: DataFrame,
+    weight_col: str,
+    total: int,
+    *,
+    id_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) integer allocation (SURVEY.md §2
+    C181): split an integer budget of ``total`` units per group across
+    rows proportionally to ``weight_col``, exactly — each row gets
+    ⌊total·w/W⌋, and the leftover units go to the largest fractional
+    remainders (ties break remainder-desc, weight-desc, then ``id_col``
+    asc — fully deterministic). The shard-quota / sampling-budget /
+    seat-apportionment primitive the C32 mixture weights hand off to
+    when the budget must be INTEGER and must sum EXACTLY to total
+    (naive rounding drifts by up to n/2 units). Zero/NULL weights get
+    zero base and lose remainder ties to any positive weight; a group
+    whose weights sum to 0 raises.
+
+    Scale shape: one group aggregate for W (broadcast back), one rank
+    window per group over the rows frame for the remainder election —
+    both on the same group partitioning. Integer arithmetic throughout
+    (floor of exact products), so :func:`allocate_quota_sql` is exact.
+    Output: group cols, ``id_col``, weight, ``alloc``."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    gcols = list(group_cols or [])
+    src = df.select(
+        *gcols,
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)).alias("_w"),
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    enriched = src.withColumn("_wtot", F.sum("_w").over(wall))
+    bad = enriched.where(F.col("_wtot") <= 0.0).limit(1).count()
+    if bad:
+        raise ValueError("allocate_quota: a group's weights sum to <= 0")
+    # exact share on the DECIMAL grid, then integer floor
+    # NOTE: Spark resolves column names case-INSENSITIVELY by default,
+    # so a "_W" total column would silently REPLACE "_w" — hence _wtot
+    share = F.col("_w") * F.lit(int(total)) / F.col("_wtot")
+    based = enriched.select(
+        *gcols,
+        "_id",
+        "_w",
+        F.floor(share).cast("long").alias("_base"),
+        (share - F.floor(share)).alias("_rem"),
+    )
+    wrank = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_rem").desc(), F.col("_w").desc(), F.col("_id").asc()
+    )
+    ranked = based.withColumn("_r", F.row_number().over(wrank)).withColumn(
+        "_left", F.lit(int(total)) - F.sum("_base").over(wall)
+    )
+    return ranked.select(
+        *gcols,
+        F.col("_id").alias(id_col),
+        F.round("_w", 6).alias("weight"),
+        (F.col("_base") + F.when(F.col("_r") <= F.col("_left"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+def allocate_quota_sql(
+    source: str,
+    weight_col: str,
+    total: int,
+    *,
+    id_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`allocate_quota`."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    return f"""
+WITH _src AS (
+    SELECT {gsel}{id_col} AS _id,
+           COALESCE(CAST({weight_col} AS DOUBLE), 0.0) AS _w
+    FROM {source}
+), _rich AS (
+    -- _wtot, not "_W": BOTH engines resolve identifiers case-insensitively,
+    -- so a "_W" alias silently collides with _w (probed: every row got the
+    -- full budget)
+    SELECT *, SUM(_w) OVER ({part}) AS _wtot FROM _src
+), _based AS (
+    SELECT {gsel}_id, _w,
+           CAST(floor(_w * {int(total)} / _wtot) AS BIGINT) AS _base,
+           _w * {int(total)} / _wtot - floor(_w * {int(total)} / _wtot) AS _rem
+    FROM _rich
+), _ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER ({part + " " if part else ""}ORDER BY _rem DESC, _w DESC, _id ASC) AS _r,
+           {int(total)} - SUM(_base) OVER ({part}) AS _left
+    FROM _based
+)
+SELECT {gsel}_id AS {id_col}, round(_w, 6) AS weight,
+       CAST(_base + CASE WHEN _r <= _left THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM _ranked
+"""

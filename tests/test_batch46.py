@@ -1,0 +1,88 @@
+"""Pins for C180 (hierarchy flattening) and C181 (largest-remainder
+quota allocation)."""
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import graph, sampling
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "child string, parent string")
+
+
+def test_flatten_hand_tree(spark):
+    #      r
+    #    a   b
+    #  c
+    out = {r["node"]: r for r in graph.flatten_hierarchy(
+        _edges(spark, [("a", "r"), ("b", "r"), ("c", "a")])).collect()}
+    assert out["r"]["depth"] == 0 and out["r"]["root"] == "r"
+    assert out["r"]["path"] == "r"
+    assert out["a"]["depth"] == 1 and out["a"]["path"] == "r/a"
+    assert out["c"]["depth"] == 2 and out["c"]["path"] == "r/a/c"
+    assert out["c"]["root"] == "r"
+    assert len(out) == 4
+
+
+def test_flatten_forest_and_custom_sep(spark):
+    out = {r["node"]: r for r in graph.flatten_hierarchy(
+        _edges(spark, [("a", "r1"), ("b", "r2")]), sep=" > ").collect()}
+    assert out["a"]["root"] == "r1" and out["b"]["root"] == "r2"
+    assert out["a"]["path"] == "r1 > a"
+
+
+def test_flatten_rejects_multi_parent_and_cycles(spark):
+    with pytest.raises(ValueError, match="multiple parents"):
+        graph.flatten_hierarchy(_edges(spark, [("a", "x"), ("a", "y")]))
+    with pytest.raises(ValueError, match="max_depth"):
+        graph.flatten_hierarchy(_edges(spark, [("a", "b"), ("b", "a")]), max_depth=5)
+    # a legitimate deep chain under a too-small cap also raises
+    chain = [(str(i), str(i + 1)) for i in range(8)]
+    with pytest.raises(ValueError, match="max_depth"):
+        graph.flatten_hierarchy(_edges(spark, chain), max_depth=3)
+    assert graph.flatten_hierarchy(_edges(spark, chain), max_depth=10).count() == 9
+
+
+def _w(spark, rows):
+    return spark.createDataFrame(rows, "id string, w double")
+
+
+def test_quota_exact_sum_and_proportionality(spark):
+    out = {r["id"]: r["alloc"] for r in sampling.allocate_quota(
+        _w(spark, [("a", 1.0), ("b", 1.0), ("c", 1.0)]), "w", 10, id_col="id"
+    ).collect()}
+    assert sum(out.values()) == 10
+    assert sorted(out.values()) == [3, 3, 4]
+    # remainder ties (all 1/3) break on id asc: 'a' then 'b'
+    assert out["a"] == 4
+
+
+def test_quota_hamilton_hand_case(spark):
+    # weights 5,3,2 over 7 units: shares 3.5, 2.1, 1.4 -> base 3,2,1 (6),
+    # leftover 1 goes to the largest remainder (0.5 -> 'x')
+    out = {r["id"]: r["alloc"] for r in sampling.allocate_quota(
+        _w(spark, [("x", 5.0), ("y", 3.0), ("z", 2.0)]), "w", 7, id_col="id"
+    ).collect()}
+    assert out == {"x": 4, "y": 2, "z": 1}
+
+
+def test_quota_zero_weights_groups_and_validation(spark):
+    rows = [("g1", "a", 0.0), ("g1", "b", 2.0), ("g2", "c", 1.0), ("g2", "d", 1.0)]
+    df = spark.createDataFrame(rows, "g string, id string, w double")
+    out = {(r["g"], r["id"]): r["alloc"] for r in sampling.allocate_quota(
+        df, "w", 5, id_col="id", group_cols=["g"]).collect()}
+    assert out[("g1", "a")] == 0 and out[("g1", "b")] == 5
+    assert out[("g2", "c")] + out[("g2", "d")] == 5
+    with pytest.raises(ValueError, match="sum to <= 0"):
+        sampling.allocate_quota(
+            _w(spark, [("a", 0.0)]), "w", 5, id_col="id"
+        ).collect()
+    with pytest.raises(ValueError):
+        sampling.allocate_quota(_w(spark, [("a", 1.0)]), "w", -1, id_col="id")
+
+
+def test_quota_total_zero_all_zero(spark):
+    out = sampling.allocate_quota(
+        _w(spark, [("a", 1.0), ("b", 9.0)]), "w", 0, id_col="id"
+    ).collect()
+    assert all(r["alloc"] == 0 for r in out)

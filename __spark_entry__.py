@@ -5753,6 +5753,70 @@ def _quota_alloc_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interval_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C182 (annex, EXACT oracle): per-user overlap pairs between
+    error intervals and purchase intervals ([ts, ts + value minutes)) —
+    grid-bucketed join with canonical-cell dedup; the twin states the
+    identical RESULT as a plain overlap join (oracles check results,
+    not plans)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    mk_end = "ts + make_interval(0,0,0,0,0,0, CAST(floor(value) AS INT) * 60)"
+
+    def side(t: str, eid: str, s: str, e: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select(
+            "user_id",
+            F.col("event_id").alias(eid),
+            F.col("ts").alias(s),
+            F.expr(mk_end).alias(e),
+        )
+
+    out = joins.interval_overlap_join(
+        side("error", "eid_l", "l_s", "l_e"),
+        side("purchase", "eid_r", "r_s", "r_e"),
+        l_start="l_s", l_end="l_e", r_start="r_s", r_end="r_e",
+        on=["user_id"], bucket_minutes=120.0,
+    )
+    return out.select(
+        "user_id", "eid_l", "l_s", "l_e", "eid_r", "r_s", "r_e", "overlap_sec"
+    )
+
+
+INTERVAL_OVERLAP_DUCK = """
+WITH l AS (
+    SELECT user_id, event_id AS eid_l, ts AS l_s,
+           ts + CAST(floor(value) AS INT) * 60 * INTERVAL '1 second' AS l_e
+    FROM events WHERE event_type = 'error'
+), r AS (
+    SELECT user_id, event_id AS eid_r, ts AS r_s,
+           ts + CAST(floor(value) AS INT) * 60 * INTERVAL '1 second' AS r_e
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT l.user_id, eid_l, l_s, l_e, eid_r, r_s, r_e,
+       CAST(epoch(least(l_e, r_e)) - epoch(greatest(l_s, r_s)) AS BIGINT)
+           AS overlap_sec
+FROM l JOIN r ON l.user_id = r.user_id AND l_s < r_e AND r_s < l_e
+"""
+
+
+def _concurrency_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C183 (annex, EXACT oracle): sweep-line concurrency segments
+    of [ts, ts + value minutes) intervals per event_type — exact
+    integer running counts; simultaneous starts/ends pre-aggregated so
+    tie order cannot matter."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0,0,0,0,0,0, CAST(floor(value) AS INT) * 60)"
+        ).alias("e"),
+    )
+    return timeseries.concurrency_profile(
+        src, "s", "e", group_cols=["event_type"]
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6003,6 +6067,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-46 components (C180-C181)
         "org_hierarchy_flatten": _org_hierarchy,
         "quota_alloc_types": _quota_alloc_types,
+        # round-7 batch-47 components (C182-C183)
+        "interval_overlap_users": _interval_overlap_users,
+        "concurrency_errors": _concurrency_errors,
     }
 
 
@@ -6513,6 +6580,14 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT event_type, COUNT(*) AS n_events FROM events"
             " GROUP BY event_type)",
             "n_events", 997, id_col="event_type",
+        ),
+        # round-7 batch-47 components (C182-C183)
+        "interval_overlap_users": INTERVAL_OVERLAP_DUCK,
+        "concurrency_errors": timeseries.concurrency_profile_sql(
+            "(SELECT event_type, ts AS s,"
+            " ts + CAST(floor(value) AS INT) * 60 * INTERVAL '1 second' AS e"
+            " FROM events)",
+            "s", "e", group_cols=["event_type"],
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

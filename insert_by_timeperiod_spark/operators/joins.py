@@ -224,3 +224,76 @@ def fuzzy_self_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    on: list[str] | None = None,
+    bucket_minutes: float = 60.0,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Batch interval-overlap join (SURVEY.md §2 C182): all pairs of
+    left/right intervals that OVERLAP (half-open: l_start < r_end AND
+    r_start < l_end), plus ``overlap_sec`` — the shift-vs-incident /
+    session-vs-outage alignment C7's as-of join (latest-before, one
+    match) and C67's stream-stream variant can't express in batch.
+    Rows with NULL or inverted intervals drop (no span to overlap).
+
+    Scale shape: NEVER a cross join — both sides explode to the
+    ``bucket_minutes`` time-grid cells they span and hash-join on
+    (keys, cell). A pair spanning several shared cells would duplicate,
+    so matches keep only the CANONICAL cell — the one containing
+    max(l_start, r_start), the overlap's first instant — which
+    deduplicates with zero extra shuffle (the C141 radius-join trick in
+    one dimension). Size ``bucket_minutes`` near the typical interval
+    length: cost is Σ span/bucket cells per row, candidate quality is
+    per-cell density. The DuckDB twin expresses the identical RESULT as
+    a plain overlap join (the oracle checks results, not plans)."""
+    if bucket_minutes <= 0:
+        raise ValueError(f"bucket_minutes must be > 0, got {bucket_minutes}")
+    keys = list(on or [])
+    step = int(bucket_minutes * 60)
+
+    def _prep(df: DataFrame, start: str, end: str, suffix: str, other: DataFrame):
+        both = set(df.columns) & set(other.columns) - set(keys)
+        renamed = df
+        for c in both:
+            renamed = renamed.withColumnRenamed(c, c + suffix)
+        s, e = (start + suffix if start in both else start), (
+            end + suffix if end in both else end
+        )
+        out = renamed.where(
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(s) <= F.col(e))
+        )
+        return out, s, e
+
+    l2, ls, le = _prep(left, l_start, l_end, suffixes[0], right)
+    r2, rs, re_ = _prep(right, r_start, r_end, suffixes[1], left)
+
+    def _cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        lo = F.floor(F.unix_timestamp(F.col(s)) / step).cast("long")
+        hi = F.floor(F.unix_timestamp(F.col(e)) / step).cast("long")
+        return df.withColumn("_cell", F.explode(F.sequence(lo, hi)))
+
+    lc = _cells(l2, ls, le)
+    rc = _cells(r2, rs, re_)
+    j = lc.join(rc, keys + ["_cell"])
+    lstart, lend = F.col(ls), F.col(le)
+    rstart, rend = F.col(rs), F.col(re_)
+    overlap_from = F.greatest(F.unix_timestamp(lstart), F.unix_timestamp(rstart))
+    canonical = F.floor(overlap_from / step) == F.col("_cell")
+    matched = j.where(
+        (lstart < rend) & (rstart < lend) & canonical
+    )
+    overlap = (
+        F.least(F.unix_timestamp(lend), F.unix_timestamp(rend)) - overlap_from
+    )
+    return matched.drop("_cell").withColumn(
+        "overlap_sec", overlap.cast("long")
+    )

@@ -899,3 +899,90 @@ SELECT {gsel}period_start, n,
                        / abs(CAST(_prev AS DOUBLE)) END, 6) AS pct_change
 FROM _lagged
 """
+
+
+def concurrency_profile(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency profile (SURVEY.md §2 C183): per group,
+    the piecewise-constant "how many intervals are active" function —
+    one row per change-point segment (``seg_start``, ``seg_end``,
+    ``n_active``) over half-open [start, end) intervals — peak sessions
+    online, concurrent jobs, overlapping incidents; the aggregate
+    readout C182's overlap join (which names the PAIRS) doesn't give.
+    The final segment (everything ended, concurrency 0) is dropped.
+    NULL or inverted intervals drop.
+
+    Scale shape: intervals become ±1 deltas, ONE aggregate collapses
+    simultaneous starts/ends per instant (so tie order can't matter),
+    one ordered window per group builds the running sum and the
+    next-change-point boundary. Exact integer counts —
+    :func:`concurrency_profile_sql` is exact."""
+    gcols = list(group_cols or [])
+    src = df.where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(start_col) < F.col(end_col))
+    )
+    deltas = (
+        src.select(*gcols, F.col(start_col).alias("_t"), F.lit(1).alias("_d"))
+        .unionByName(
+            src.select(*gcols, F.col(end_col).alias("_t"), F.lit(-1).alias("_d"))
+        )
+        .groupBy(*gcols, "_t")
+        .agg(F.sum("_d").alias("_delta"))
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_t").asc()
+    )
+    prof = deltas.select(
+        *gcols,
+        F.col("_t").alias("seg_start"),
+        F.lead("_t").over(wlead).alias("seg_end"),
+        F.sum("_delta").over(w).cast("long").alias("n_active"),
+    )
+    return prof.where(F.col("seg_end").isNotNull())
+
+
+def concurrency_profile_sql(
+    source: str,
+    start_col: str,
+    end_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`concurrency_profile`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source}
+    WHERE {start_col} IS NOT NULL AND {end_col} IS NOT NULL
+      AND {start_col} < {end_col}
+), _deltas AS (
+    SELECT {gsel}_t, SUM(_d) AS _delta FROM (
+        SELECT {gsel}{start_col} AS _t, 1 AS _d FROM _src
+        UNION ALL
+        SELECT {gsel}{end_col} AS _t, -1 AS _d FROM _src
+    ) GROUP BY {gsel}_t
+)
+SELECT * FROM (
+    SELECT {gsel}_t AS seg_start,
+           LEAD(_t) OVER ({part}ORDER BY _t ASC) AS seg_end,
+           CAST(SUM(_delta) OVER ({part}ORDER BY _t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_active
+    FROM _deltas
+) WHERE seg_end IS NOT NULL
+"""

@@ -1,0 +1,104 @@
+"""Pins for C182 (interval overlap join) and C183 (concurrency
+profile)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import joins, timeseries
+
+T0 = DT(2024, 1, 1)
+
+
+def _iv(spark, rows, s="s", e="e", extra="id int"):
+    return spark.createDataFrame(rows, f"{extra}, {s} timestamp, {e} timestamp")
+
+
+def test_overlap_join_basic_pairs_and_duration(spark):
+    left = _iv(spark, [
+        (1, T0, T0 + TD(hours=2)),            # overlaps r1 and r2
+        (2, T0 + TD(hours=5), T0 + TD(hours=6)),  # overlaps nothing
+    ], s="l_s", e="l_e", extra="lid int")
+    right = _iv(spark, [
+        (10, T0 + TD(hours=1), T0 + TD(hours=3)),   # 1h overlap with lid 1
+        (11, T0 - TD(hours=1), T0 + TD(minutes=30)),  # 30m overlap with lid 1
+        (12, T0 + TD(hours=6), T0 + TD(hours=7)),   # touches lid 2: NOT a pair
+    ], s="r_s", e="r_e", extra="rid int")
+    out = {(r["lid"], r["rid"]): r["overlap_sec"] for r in
+           joins.interval_overlap_join(
+               left, right, l_start="l_s", l_end="l_e",
+               r_start="r_s", r_end="r_e", bucket_minutes=45,
+           ).collect()}
+    assert out == {(1, 10): 3600, (1, 11): 1800}
+
+
+def test_overlap_join_canonical_cell_never_duplicates(spark):
+    # both spans cover MANY shared cells with a tiny bucket
+    left = _iv(spark, [(1, T0, T0 + TD(hours=10))], s="l_s", e="l_e", extra="lid int")
+    right = _iv(spark, [(2, T0 + TD(hours=1), T0 + TD(hours=9))],
+                s="r_s", e="r_e", extra="rid int")
+    out = joins.interval_overlap_join(
+        left, right, l_start="l_s", l_end="l_e", r_start="r_s", r_end="r_e",
+        bucket_minutes=7,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["overlap_sec"] == 8 * 3600
+
+
+def test_overlap_join_keys_isolate_and_validation(spark):
+    left = spark.createDataFrame(
+        [("u1", T0, T0 + TD(hours=1)), ("u2", T0, T0 + TD(hours=1)),
+         ("u1", None, T0)],
+        "u string, l_s timestamp, l_e timestamp")
+    right = spark.createDataFrame(
+        [("u1", T0 + TD(minutes=30), T0 + TD(hours=2))],
+        "u string, r_s timestamp, r_e timestamp")
+    out = joins.interval_overlap_join(
+        left, right, l_start="l_s", l_end="l_e", r_start="r_s", r_end="r_e",
+        on=["u"], bucket_minutes=60,
+    ).collect()
+    assert len(out) == 1 and out[0]["u"] == "u1"
+    with pytest.raises(ValueError):
+        joins.interval_overlap_join(
+            left, right, l_start="l_s", l_end="l_e",
+            r_start="r_s", r_end="r_e", bucket_minutes=0,
+        )
+
+
+def test_concurrency_profile_hand_case(spark):
+    rows = [
+        (1, T0, T0 + TD(hours=3)),
+        (2, T0 + TD(hours=1), T0 + TD(hours=2)),
+        (3, T0 + TD(hours=1), T0 + TD(hours=4)),
+    ]
+    segs = sorted(
+        (r["seg_start"], r["seg_end"], r["n_active"])
+        for r in timeseries.concurrency_profile(_iv(spark, rows), "s", "e").collect()
+    )
+    assert segs == [
+        (T0, T0 + TD(hours=1), 1),
+        (T0 + TD(hours=1), T0 + TD(hours=2), 3),
+        (T0 + TD(hours=2), T0 + TD(hours=3), 2),
+        (T0 + TD(hours=3), T0 + TD(hours=4), 1),
+    ]
+
+
+def test_concurrency_touching_intervals_never_overlap(spark):
+    # [0,1h) then [1h,2h): at the boundary the count stays 1, not 2
+    rows = [(1, T0, T0 + TD(hours=1)), (2, T0 + TD(hours=1), T0 + TD(hours=2))]
+    segs = sorted(
+        (r["seg_start"], r["n_active"])
+        for r in timeseries.concurrency_profile(_iv(spark, rows), "s", "e").collect()
+    )
+    assert [n for _, n in segs] == [1, 1]
+
+
+def test_concurrency_groups_and_degenerate_drop(spark):
+    rows = [("a", T0, T0 + TD(hours=1)), ("a", T0, T0 + TD(hours=1)),
+            ("b", T0, T0 + TD(hours=2)), ("b", T0 + TD(hours=1), T0)]  # inverted drops
+    df = spark.createDataFrame(rows, "g string, s timestamp, e timestamp")
+    out = {(r["g"], r["seg_start"]): r["n_active"]
+           for r in timeseries.concurrency_profile(
+               df, "s", "e", group_cols=["g"]).collect()}
+    assert out[("a", T0)] == 2
+    assert out[("b", T0)] == 1

@@ -5817,6 +5817,26 @@ def _concurrency_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zipf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C184 (annex, EXACT oracle): Zipf power-law fit over the
+    documents corpus's top-500 terms — deterministic top-k, closed-form
+    OLS on the DECIMAL grid."""
+    _prep(spark, sf_dir)
+    return drift.zipf_fit(spark.table("documents"), "text", top_k=500)
+
+
+def _kendall_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C185 (annex, EXACT oracle): Kendall tau-b of event value vs
+    hour-of-day per event_type over a 1-in-20 deterministic subset —
+    exact integer concordant/discordant/tie counts; the O(n²) pair join
+    runs on ~100 points per group BY DESIGN."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").where(F.col("event_id") % 20 == 0).select(
+        "event_type", "value", F.hour("ts").alias("hr")
+    )
+    return analytics.kendall_tau(src, "value", "hr", group_cols=["event_type"])
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6070,6 +6090,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-47 components (C182-C183)
         "interval_overlap_users": _interval_overlap_users,
         "concurrency_errors": _concurrency_errors,
+        # round-7 batch-48 components (C184-C185)
+        "zipf_documents": _zipf_documents,
+        "kendall_value_vs_hour": _kendall_value_hour,
     }
 
 
@@ -6588,6 +6611,13 @@ def pytest_only_oracles() -> dict[str, str]:
             " ts + CAST(floor(value) AS INT) * 60 * INTERVAL '1 second' AS e"
             " FROM events)",
             "s", "e", group_cols=["event_type"],
+        ),
+        # round-7 batch-48 components (C184-C185)
+        "zipf_documents": drift.zipf_fit_sql("documents", "text", top_k=500),
+        "kendall_value_vs_hour": analytics.kendall_tau_sql(
+            "(SELECT event_type, value, hour(ts) AS hr FROM events"
+            " WHERE event_id % 20 = 0)",
+            "value", "hr", group_cols=["event_type"],
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -2529,3 +2529,154 @@ SELECT {gsel}CAST(n AS BIGINT) AS n, CAST(s_stat AS BIGINT) AS s_stat,
             ELSE 'no_trend' END AS trend
 FROM _joined
 """
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kendall tau-b rank correlation (SURVEY.md §2 C185): per group,
+    τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)) over all pairs — the
+    distribution-free companion to C145's Pearson matrix (which needs
+    linearity) built from the same concordant/discordant pair algebra
+    as C174's Mann-Kendall (MK tests value-vs-TIME; this correlates two
+    COLUMNS, with tau-b's tie corrections on both sides). Rows with a
+    NULL in either column drop. Output per group: ``n``, ``concordant``,
+    ``discordant``, ``tau`` (NULL when either side is all ties).
+
+    Scale shape: one within-group pair self-join — O(n²) per key BY
+    DESIGN for per-key series/segments (the C174 posture), one
+    group-keyed shuffle; S and every tie term are exact integers, so
+    :func:`kendall_tau_sql` is exact."""
+    gcols = list(group_cols or [])
+    src = (
+        df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .select(
+            *gcols,
+            F.col(col_x).cast("double").alias("_x"),
+            F.col(col_y).cast("double").alias("_y"),
+        )
+        .withColumn(
+            "_i",
+            F.row_number().over(
+                Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+                    "_x", "_y"
+                )
+            ),
+        )
+        .localCheckpoint()  # consumers: two join sides + tie counts
+    )
+    a = src.select(*gcols, F.col("_i").alias("_ia"), F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = src.select(*gcols, F.col("_i").alias("_ib"), F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    pairs = (a.join(b, gcols) if gcols else a.crossJoin(b)).where(
+        F.col("_ia") < F.col("_ib")
+    )
+    sgn = F.signum(F.col("_xb") - F.col("_xa")) * F.signum(
+        F.col("_yb") - F.col("_ya")
+    )
+    cd = pairs.groupBy(*gcols).agg(
+        F.sum((sgn > 0).cast("long")).alias("concordant"),
+        F.sum((sgn < 0).cast("long")).alias("discordant"),
+    )
+
+    def _ties(col: str, out: str) -> DataFrame:
+        return (
+            src.groupBy(*gcols, col)
+            .agg(F.count(F.lit(1)).alias("_tk"))
+            .where(F.col("_tk") > 1)
+            .groupBy(*gcols)
+            .agg(
+                F.sum(F.col("_tk") * (F.col("_tk") - 1) / 2)
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    n_rows = src.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n"))
+    if gcols:
+        joined = (
+            n_rows.join(cd, gcols)
+            .join(_ties("_x", "_tx"), gcols, "left")
+            .join(_ties("_y", "_ty"), gcols, "left")
+        )
+    else:
+        joined = _cross_left(
+            _cross_left(n_rows.crossJoin(cd), _ties("_x", "_tx")),
+            _ties("_y", "_ty"),
+        )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    n1 = F.coalesce(F.col("_tx"), F.lit(0))
+    n2 = F.coalesce(F.col("_ty"), F.lit(0))
+    denom = F.sqrt((n0 - n1) * (n0 - n2))
+    tau = F.when(
+        denom > 0.0,
+        (F.col("concordant") - F.col("discordant")) / denom,
+    )
+    return joined.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("tau"),
+    )
+
+
+def kendall_tau_sql(
+    source: str,
+    col_x: str,
+    col_y: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`kendall_tau`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    on_g = " AND ".join(f"a.{c} = b.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    agrp = ("GROUP BY " + ", ".join("a." + c for c in gcols)) if gcols else ""
+    join_g = f"USING ({g})" if g else "ON TRUE"
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({col_x} AS DOUBLE) AS _x, CAST({col_y} AS DOUBLE) AS _y,
+           ROW_NUMBER() OVER ({part}ORDER BY CAST({col_x} AS DOUBLE),
+                              CAST({col_y} AS DOUBLE)) AS _i
+    FROM {source}
+    WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL
+), _cd AS (
+    SELECT {asel}
+           SUM(CASE WHEN sign(b._x - a._x) * sign(b._y - a._y) > 0 THEN 1 ELSE 0 END) AS concordant,
+           SUM(CASE WHEN sign(b._x - a._x) * sign(b._y - a._y) < 0 THEN 1 ELSE 0 END) AS discordant
+    FROM _src a JOIN _src b ON {on_g} AND a._i < b._i
+    {agrp}
+), _n AS (
+    SELECT {gsel}COUNT(*) AS n FROM _src {grp}
+), _tx AS (
+    SELECT {gsel}CAST(SUM(_tk * (_tk - 1) / 2) AS BIGINT) AS _txv
+    FROM (SELECT {gsel}_x, COUNT(*) AS _tk FROM _src GROUP BY {gsel}_x)
+    WHERE _tk > 1 {grp}
+), _ty AS (
+    SELECT {gsel}CAST(SUM(_tk * (_tk - 1) / 2) AS BIGINT) AS _tyv
+    FROM (SELECT {gsel}_y, COUNT(*) AS _tk FROM _src GROUP BY {gsel}_y)
+    WHERE _tk > 1 {grp}
+), _joined AS (
+    SELECT n.*, c.concordant, c.discordant,
+           COALESCE(tx._txv, 0) AS _n1, COALESCE(ty._tyv, 0) AS _n2
+    FROM _n n JOIN _cd c {join_g}
+    LEFT JOIN _tx tx {join_g} LEFT JOIN _ty ty {join_g}
+)
+SELECT {gsel}CAST(n AS BIGINT) AS n,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       round(CASE WHEN (n * (n - 1) / 2 - _n1) * (n * (n - 1) / 2 - _n2) > 0
+                  THEN (concordant - discordant)
+                       / sqrt(CAST((n * (n - 1) / 2 - _n1)
+                              * (n * (n - 1) / 2 - _n2) AS DOUBLE)) END,
+             6) AS tau
+FROM _joined
+"""

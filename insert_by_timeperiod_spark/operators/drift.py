@@ -407,3 +407,95 @@ SELECT round(MAX(_d), 6) AS d_stat,
        CAST(MAX(_tc) AS BIGINT) AS n_cur
 FROM _ecdf
 """
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf power-law fit (SURVEY.md §2 C184): OLS of ln(count) on
+    ln(rank) over the corpus's ``top_k`` terms — natural language sits
+    near slope −1 (Zipf 1949); a corpus whose slope drifts flat is
+    boilerplate/template-heavy, one that drifts steep is
+    vocabulary-starved. The single-number corpus-health companion to
+    C53's pairwise drift and C155's per-doc lexical diversity. Output
+    one row: ``n_terms``, ``slope``, ``intercept``, ``r2``.
+
+    Scale shape: one map-side-combined wordcount, a bounded top-k
+    (count-desc, term-asc — fully deterministic), then closed-form OLS
+    from sufficient statistics on the 6-decimal/DECIMAL grid (the C62
+    posture) — :func:`zipf_fit_sql` is exact."""
+    if top_k < 2:
+        raise ValueError(f"top_k must be >= 2, got {top_k}")
+    counts = _counts(df, text_col)
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log(F.col("n").cast("double")).alias("_y"),
+    )
+    g = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    stats = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        g(F.col("_x")).alias("_sx"),
+        g(F.col("_y")).alias("_sy"),
+        g(F.col("_x") * F.col("_y")).alias("_sxy"),
+        g(F.col("_x") * F.col("_x")).alias("_sxx"),
+        g(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = F.when(varx != 0.0, cov / varx)
+    r2 = F.when((varx != 0.0) & (vary != 0.0), cov * cov / (varx * vary))
+    return stats.select(
+        F.col("_n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def zipf_fit_sql(source: str, text_col: str = "text", *, top_k: int = 1000) -> str:
+    """Exact DuckDB twin of :func:`zipf_fit`."""
+    if top_k < 2:
+        raise ValueError(f"top_k must be >= 2, got {top_k}")
+    toks = _TOKS_SQL.format(col=text_col)
+    dec = "CAST(round({v}, 6) AS DECIMAL(38,6))"
+    return f"""
+WITH _counts AS (
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT {toks} AS _t FROM {source}), UNNEST(_t) AS _x(w)
+    GROUP BY w
+), _top AS (
+    SELECT word, n FROM _counts ORDER BY n DESC, word ASC LIMIT {int(top_k)}
+), _xy AS (
+    SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS DOUBLE)) AS _x,
+           ln(CAST(n AS DOUBLE)) AS _y
+    FROM _top
+), _stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS _n,
+           CAST(SUM({dec.format(v="_x")}) AS DOUBLE) AS _sx,
+           CAST(SUM({dec.format(v="_y")}) AS DOUBLE) AS _sy,
+           CAST(SUM({dec.format(v="_x * _y")}) AS DOUBLE) AS _sxy,
+           CAST(SUM({dec.format(v="_x * _x")}) AS DOUBLE) AS _sxx,
+           CAST(SUM({dec.format(v="_y * _y")}) AS DOUBLE) AS _syy
+    FROM _xy
+)
+SELECT CAST(_n AS BIGINT) AS n_terms,
+       round(CASE WHEN _n * _sxx - _sx * _sx <> 0.0
+                  THEN (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx) END,
+             6) AS slope,
+       round((_sy - CASE WHEN _n * _sxx - _sx * _sx <> 0.0
+                         THEN (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx) END
+                    * _sx) / _n, 6) AS intercept,
+       round(CASE WHEN (_n * _sxx - _sx * _sx) <> 0.0 AND (_n * _syy - _sy * _sy) <> 0.0
+                  THEN (_n * _sxy - _sx * _sy) * (_n * _sxy - _sx * _sy)
+                       / ((_n * _sxx - _sx * _sx) * (_n * _syy - _sy * _sy)) END,
+             6) AS r2
+FROM _stats
+"""

@@ -1,0 +1,80 @@
+"""Pins for C184 (Zipf power-law fit) and C185 (Kendall tau-b)."""
+
+import math
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics, drift
+
+
+def test_zipf_exact_power_law_recovers_slope(spark):
+    # counts follow count = 1000 / rank exactly -> slope -1, r2 1
+    words = []
+    for rank in range(1, 21):
+        w = f"w{rank:02d}"
+        words += [w] * (1000 // rank)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    r = drift.zipf_fit(df, "text", top_k=20).collect()[0]
+    assert r["n_terms"] == 20
+    assert r["slope"] == pytest.approx(-1.0, abs=0.02)  # floor() quantizes counts
+    assert r["r2"] > 0.999
+    assert r["intercept"] == pytest.approx(math.log(1000), abs=0.05)
+
+
+def test_zipf_uniform_corpus_slope_zero_and_validation(spark):
+    df = spark.createDataFrame([("a b c d e " * 10,)], "text string")
+    r = drift.zipf_fit(df, "text", top_k=5).collect()[0]
+    assert r["slope"] == pytest.approx(0.0, abs=1e-4)
+    # y is constant up to the 6-dec term grid -> r2 is NULL or ~0
+    assert r["r2"] is None or r["r2"] < 1e-3
+    with pytest.raises(ValueError):
+        drift.zipf_fit(df, "text", top_k=1)
+    with pytest.raises(ValueError):
+        drift.zipf_fit_sql("t", "text", top_k=0)
+
+
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "x double, y double")
+
+
+def test_tau_perfect_agreement_and_inversion(spark):
+    rows = [(float(i), float(i * 2)) for i in range(10)]
+    r = analytics.kendall_tau(_xy(spark, rows), "x", "y").collect()[0]
+    assert r["tau"] == pytest.approx(1.0)
+    assert r["concordant"] == 45 and r["discordant"] == 0
+    rows = [(float(i), float(-i)) for i in range(10)]
+    r = analytics.kendall_tau(_xy(spark, rows), "x", "y").collect()[0]
+    assert r["tau"] == pytest.approx(-1.0)
+
+
+def test_tau_b_hand_case_with_ties(spark):
+    # x = [1,1,2,3], y = [1,2,2,3]
+    # pairs: (1,2):x tie; (1,3):C; (1,4):C; (2,3):y tie... enumerate:
+    # (x1,y1)=(1,1),(1,2),(2,2),(3,3)
+    # p12: dx=0 -> tie_x; p13: dx>0,dy>0 C; p14: C; p23: dx>0,dy=0 tie_y;
+    # p24: C; p34: C  => C=4, D=0, n0=6, n1=1 (x pair), n2=1 (y pair)
+    rows = [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 3.0)]
+    r = analytics.kendall_tau(_xy(spark, rows), "x", "y").collect()[0]
+    assert (r["concordant"], r["discordant"]) == (4, 0)
+    want = 4 / math.sqrt((6 - 1) * (6 - 1))
+    assert r["tau"] == pytest.approx(want, abs=1e-6)
+
+
+def test_tau_all_tied_side_is_null_and_independence_near_zero(spark):
+    rows = [(1.0, float(i)) for i in range(6)]
+    r = analytics.kendall_tau(_xy(spark, rows), "x", "y").collect()[0]
+    assert r["tau"] is None
+    # independent-ish cycle: tau close to 0
+    rows = [(float(i % 3), float(i % 5)) for i in range(30)]
+    r = analytics.kendall_tau(_xy(spark, rows), "x", "y").collect()[0]
+    assert abs(r["tau"]) < 0.2
+
+
+def test_tau_groups_and_null_drop(spark):
+    rows = [("g1", 1.0, 1.0), ("g1", 2.0, 2.0), ("g1", None, 3.0),
+            ("g2", 1.0, 2.0), ("g2", 2.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in analytics.kendall_tau(
+        df, "x", "y", group_cols=["g"]).collect()}
+    assert out["g1"]["n"] == 2 and out["g1"]["tau"] == pytest.approx(1.0)
+    assert out["g2"]["tau"] == pytest.approx(-1.0)

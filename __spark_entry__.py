@@ -5837,6 +5837,31 @@ def _kendall_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.kendall_tau(src, "value", "hr", group_cols=["event_type"])
 
 
+def _identity_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C186 (annex, EXACT oracle): identity stitching over
+    (user_id, derived device) co-occurrence — namespaced min-label
+    connected components; the twin closes the identical edge set with a
+    recursive CTE."""
+    _prep(spark, sf_dir)
+    src = (
+        spark.table("events")
+        .where(F.col("event_id") % 7 == 0)
+        .select("user_id", (F.col("event_id") % 997).alias("device"))
+    )
+    return dedup.stitch_identities(src, ["user_id", "device"])
+
+
+def _time_to_3rd_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C187 (annex, EXACT oracle): per-user latency from first event
+    to 3rd purchase — conditional row_number, one user-window shuffle,
+    deterministic event_id tiebreak."""
+    _prep(spark, sf_dir)
+    return analytics.time_to_nth_event(
+        spark.table("events"), "user_id", "ts",
+        n=3, event_filter="event_type = 'purchase'", tiebreak="event_id",
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6093,6 +6118,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-48 components (C184-C185)
         "zipf_documents": _zipf_documents,
         "kendall_value_vs_hour": _kendall_value_hour,
+        # round-7 batch-49 components (C186-C187)
+        "identity_entities": _identity_entities,
+        "time_to_3rd_purchase": _time_to_3rd_purchase,
     }
 
 
@@ -6618,6 +6646,16 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT event_type, value, hour(ts) AS hr FROM events"
             " WHERE event_id % 20 = 0)",
             "value", "hr", group_cols=["event_type"],
+        ),
+        # round-7 batch-49 components (C186-C187)
+        "identity_entities": dedup.stitch_identities_sql(
+            "(SELECT user_id, event_id % 997 AS device FROM events"
+            " WHERE event_id % 7 = 0)",
+            ["user_id", "device"],
+        ),
+        "time_to_3rd_purchase": analytics.time_to_nth_sql(
+            "events", "user_id", "ts",
+            n=3, event_filter="event_type = 'purchase'", tiebreak="event_id",
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

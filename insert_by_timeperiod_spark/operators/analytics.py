@@ -2680,3 +2680,95 @@ SELECT {gsel}CAST(n AS BIGINT) AS n,
              6) AS tau
 FROM _joined
 """
+
+
+def time_to_nth_event(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    n: int,
+    event_filter,
+    tiebreak: str,
+) -> DataFrame:
+    """Time to the nth qualifying event (SURVEY.md §2 C187): per user,
+    the latency from their FIRST event of any kind to their nth event
+    matching ``event_filter`` (SQL string or Column) — "time to 3rd
+    purchase" / "time to 5th session", the activation-milestone metric
+    C117's single-conversion latency can't express. NULL ``t_nth`` and
+    latency when the user never reaches n matches. ``tiebreak`` (an
+    id column) makes the nth pick deterministic under equal timestamps.
+
+    Scale shape: one user-partitioned window shuffle — the qualifying
+    rank rides a conditional row_number (rank only matching rows, one
+    pass, no second corpus scan); everything after is a per-user
+    aggregate on the same partitioning. Exact timestamps and integer
+    seconds; :func:`time_to_nth_sql` is exact."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    cond = (
+        F.expr(event_filter) if isinstance(event_filter, str) else event_filter
+    )
+    src = df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    ranked = src.select(
+        F.col(user_col).alias("user_key"),
+        F.col(ts_col).alias("_t"),
+        F.when(
+            cond,
+            F.row_number().over(
+                Window.partitionBy(F.col(user_col), cond.cast("boolean")).orderBy(
+                    F.col(ts_col).asc(), F.col(tiebreak).asc()
+                )
+            ),
+        ).alias("_qr"),
+    )
+    agg = ranked.groupBy("user_key").agg(
+        F.min("_t").alias("t_first"),
+        F.min(F.when(F.col("_qr") == n, F.col("_t"))).alias("t_nth"),
+    )
+    return agg.select(
+        "user_key",
+        "t_first",
+        "t_nth",
+        (
+            F.unix_timestamp("t_nth") - F.unix_timestamp("t_first")
+        ).cast("long").alias("seconds_to_nth"),
+    )
+
+
+def time_to_nth_sql(
+    source: str,
+    user_col: str,
+    ts_col: str,
+    *,
+    n: int,
+    event_filter: str,
+    tiebreak: str,
+) -> str:
+    """Exact DuckDB twin of :func:`time_to_nth_event`."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return f"""
+WITH _src AS (
+    SELECT {user_col} AS user_key, {ts_col} AS _t,
+           CASE WHEN {event_filter} THEN
+               ROW_NUMBER() OVER (
+                   PARTITION BY {user_col}, CASE WHEN {event_filter} THEN 1 ELSE 0 END
+                   ORDER BY {ts_col} ASC, {tiebreak} ASC)
+           END AS _qr
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+)
+SELECT user_key,
+       MIN(_t) AS t_first,
+       MIN(CASE WHEN _qr = {int(n)} THEN _t END) AS t_nth,
+       -- floor each epoch BEFORE differencing: Spark's unix_timestamp()
+       -- truncates sub-second parts per timestamp, DuckDB's epoch() keeps
+       -- them (found by the oracle: off-by-one on fractional seconds)
+       CAST(floor(epoch(MIN(CASE WHEN _qr = {int(n)} THEN _t END)))
+            - floor(epoch(MIN(_t))) AS BIGINT) AS seconds_to_nth
+FROM _src GROUP BY user_key
+"""

@@ -1392,3 +1392,79 @@ QUALIFY ROW_NUMBER() OVER (
     ORDER BY {score_col} DESC, {id_col} ASC
 ) = 1
 """
+
+
+def stitch_identities(
+    df: DataFrame,
+    id_cols: list[str],
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Identity stitching (SURVEY.md §2 C186): any two identifiers that
+    ever co-occur on a row (user_id + device_id + email ...) belong to
+    the same entity — the identity-graph resolution every product-
+    analytics warehouse runs before C60/C115 can count PEOPLE instead
+    of cookies. Values are namespaced as 'col:value' (so user 7 and
+    device 7 never collide), pairwise co-occurrence edges feed the C19
+    connected-components machinery, and each identifier maps to its
+    component's MINIMUM namespaced label — a stable, human-readable
+    canonical entity id. Output: (id_type, id_value, entity_id); join
+    it back per identifier column to canonicalize fact rows. NULL
+    identifiers never link (a missing id is not evidence).
+
+    Scale shape: edges are adjacent-column pairs per row (k−1 per row,
+    not k²), one distinct; then min-label propagation in O(diameter)
+    localCheckpointed rounds. The twin replays the closure as a
+    recursive CTE — exact."""
+    if len(id_cols) < 2:
+        raise ValueError("stitch_identities: need >= 2 id columns")
+
+    def _ns(c: str):
+        return F.concat(F.lit(c + ":"), F.col(c).cast("string"))
+
+    pairs = None
+    for a, b in zip(id_cols, id_cols[1:]):
+        p = df.where(F.col(a).isNotNull() & F.col(b).isNotNull()).select(
+            _ns(a).alias("id_a"), _ns(b).alias("id_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    mapping = connected_components(pairs.distinct(), max_iter=max_iter)
+    return mapping.select(
+        F.split(F.col("node"), ":", 2).getItem(0).alias("id_type"),
+        F.split(F.col("node"), ":", 2).getItem(1).alias("id_value"),
+        F.col("cluster").alias("entity_id"),
+    )
+
+
+def stitch_identities_sql(source: str, id_cols: list[str]) -> str:
+    """Exact DuckDB twin of :func:`stitch_identities` — the identical
+    namespaced edge set, closed transitively with a recursive CTE, each
+    node taking its component's minimum label."""
+    if len(id_cols) < 2:
+        raise ValueError("stitch_identities_sql: need >= 2 id columns")
+    branches = "\nUNION\n".join(
+        f"""SELECT '{a}:' || CAST({a} AS VARCHAR) AS id_a,
+       '{b}:' || CAST({b} AS VARCHAR) AS id_b
+FROM {source} WHERE {a} IS NOT NULL AND {b} IS NOT NULL"""
+        for a, b in zip(id_cols, id_cols[1:])
+    )
+    return f"""
+WITH RECURSIVE _edges AS (
+{branches}
+), _sym AS (
+    SELECT id_a AS a, id_b AS b FROM _edges
+    UNION
+    SELECT id_b AS a, id_a AS b FROM _edges
+), _nodes AS (
+    SELECT DISTINCT a AS node FROM _sym
+), _reach AS (
+    SELECT node, node AS lbl FROM _nodes
+    UNION
+    SELECT s.a AS node, r.lbl
+    FROM _sym s JOIN _reach r ON r.node = s.b
+)
+SELECT str_split_regex(node, ':')[1] AS id_type,
+       substr(node, strpos(node, ':') + 1) AS id_value,
+       MIN(lbl) AS entity_id
+FROM _reach GROUP BY node
+"""

@@ -1,0 +1,84 @@
+"""Pins for C186 (identity stitching) and C187 (time-to-nth-event)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics, dedup
+
+T0 = DT(2024, 1, 1)
+
+
+def test_stitch_basic_chain_and_namespacing(spark):
+    # user 1 ~ device A; device A ~ user 2 (via a second row): chain merges
+    rows = [(1, "A"), (2, "A"), (3, "B")]
+    df = spark.createDataFrame(rows, "u int, d string")
+    out = {(r["id_type"], r["id_value"]): r["entity_id"]
+           for r in dedup.stitch_identities(df, ["u", "d"]).collect()}
+    assert out[("u", "1")] == out[("u", "2")] == out[("d", "A")]
+    assert out[("u", "3")] == out[("d", "B")]
+    assert out[("u", "1")] != out[("u", "3")]
+    # value '1' as user and a device named '1' must never collide
+    rows = [(1, "1")]
+    out = {(r["id_type"], r["id_value"]): r["entity_id"]
+           for r in dedup.stitch_identities(
+               spark.createDataFrame(rows, "u int, d string"), ["u", "d"]
+           ).collect()}
+    assert ("u", "1") in out and ("d", "1") in out
+
+
+def test_stitch_three_columns_and_null_never_links(spark):
+    rows = [
+        (1, "A", "x@e"), (2, "B", "x@e"),      # email bridges users 1,2
+        (3, None, "y@e"), (4, "C", None),
+    ]
+    df = spark.createDataFrame(rows, "u int, d string, m string")
+    out = {(r["id_type"], r["id_value"]): r["entity_id"]
+           for r in dedup.stitch_identities(df, ["u", "d", "m"]).collect()}
+    assert out[("u", "1")] == out[("u", "2")]
+    # user 3 has no device; its email edge comes only from (d, m) pairs,
+    # which need BOTH non-null -> user 3 row contributes no edges at all
+    assert ("u", "3") not in out
+    assert out[("u", "4")] == out[("d", "C")]
+    with pytest.raises(ValueError):
+        dedup.stitch_identities(df, ["u"])
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "u int, ts timestamp, t string, eid int")
+
+
+def test_time_to_nth_hand_case(spark):
+    rows = [
+        (1, T0, "view", 1),
+        (1, T0 + TD(hours=1), "buy", 2),
+        (1, T0 + TD(hours=2), "buy", 3),
+        (1, T0 + TD(hours=5), "buy", 4),
+        (2, T0, "buy", 5),       # only 1 buy -> NULL
+        (3, T0, "view", 6),      # no buys at all -> NULL
+    ]
+    out = {r["user_key"]: r for r in analytics.time_to_nth_event(
+        _events(spark, rows), "u", "ts",
+        n=2, event_filter="t = 'buy'", tiebreak="eid").collect()}
+    assert out[1]["seconds_to_nth"] == 2 * 3600
+    assert out[1]["t_first"] == T0
+    assert out[2]["t_nth"] is None and out[2]["seconds_to_nth"] is None
+    assert out[3]["t_nth"] is None
+
+
+def test_time_to_nth_tiebreak_deterministic_and_anchor_any_event(spark):
+    # two buys at the SAME timestamp: eid order decides which is "2nd"
+    rows = [
+        (1, T0, "view", 9),
+        (1, T0 + TD(hours=1), "buy", 11),
+        (1, T0 + TD(hours=1), "buy", 10),
+    ]
+    out = analytics.time_to_nth_event(
+        _events(spark, rows), "u", "ts",
+        n=2, event_filter="t = 'buy'", tiebreak="eid").collect()[0]
+    # anchor is the FIRST event of any kind (the view), latency 1h
+    assert out["seconds_to_nth"] == 3600
+    with pytest.raises(ValueError):
+        analytics.time_to_nth_event(
+            _events(spark, rows), "u", "ts",
+            n=0, event_filter="t = 'buy'", tiebreak="eid")

@@ -5862,6 +5862,27 @@ def _time_to_3rd_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_actives_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C188 (annex, EXACT oracle): trailing-7-day distinct actives
+    per observed day — (user, day) distinct then a bounded explode to
+    report dates; the twin states the direct window-distinct form."""
+    _prep(spark, sf_dir)
+    return analytics.rolling_actives(
+        spark.table("events"), "user_id", "ts", window_days=7
+    )
+
+
+def _mode_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C189 (annex, EXACT oracle): per-type mode of the coarse value
+    bucket — explicit count-desc/value-asc tiebreak, never the engine's
+    arbitrary mode()."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type", F.floor(F.col("value") / 10.0).cast("long").alias("vb")
+    )
+    return analytics.mode_by_group(src, "vb", group_cols=["event_type"])
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6121,6 +6142,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-49 components (C186-C187)
         "identity_entities": _identity_entities,
         "time_to_3rd_purchase": _time_to_3rd_purchase,
+        # round-7 batch-50 components (C188-C189)
+        "rolling_actives_7d": _rolling_actives_7d,
+        "mode_value_by_type": _mode_value_by_type,
     }
 
 
@@ -6656,6 +6680,15 @@ def pytest_only_oracles() -> dict[str, str]:
         "time_to_3rd_purchase": analytics.time_to_nth_sql(
             "events", "user_id", "ts",
             n=3, event_filter="event_type = 'purchase'", tiebreak="event_id",
+        ),
+        # round-7 batch-50 components (C188-C189)
+        "rolling_actives_7d": analytics.rolling_actives_sql(
+            "events", "user_id", "ts", window_days=7
+        ),
+        "mode_value_by_type": analytics.mode_by_group_sql(
+            "(SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS vb"
+            " FROM events)",
+            "vb", group_cols=["event_type"],
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -2772,3 +2772,150 @@ SELECT user_key,
             - floor(epoch(MIN(_t))) AS BIGINT) AS seconds_to_nth
 FROM _src GROUP BY user_key
 """
+
+
+def rolling_actives(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct actives (SURVEY.md §2 C188): per observed event
+    date, COUNT(DISTINCT user) over the trailing ``window_days`` window
+    — rolling WAU/MAU on a daily grain, the denominator of the DAU/MAU
+    stickiness ratio; C115's daily_actives counts per BUCKET (a user
+    active Mon and Tue counts once in Mon's DAU and once in Tue's),
+    while a rolling distinct can't be summed from buckets at all.
+    Output: ``report_date``, ``rolling_actives``, ``window_days``.
+
+    Scale shape: ONE distinct on (user, day) collapses the corpus; each
+    (user, day) then EXPLODES to the ≤ window_days report dates it
+    contributes to and a count-distinct aggregates per date — cost is
+    window_days × the user-day frame, the standard scalable form (a
+    per-day self-join would re-scan the frame once per day; a window
+    frame can't do distinct). Report dates beyond the last observed day
+    are dropped (trailing phantom days). Exact integers;
+    :func:`rolling_actives_sql` is exact."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = (
+        df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"), F.col(ts_col).cast("date").alias("_d")
+        )
+        .distinct()
+        .localCheckpoint()  # consumers: the explode and the max-date bound
+    )
+    last = ud.agg(F.max("_d").alias("_last"))
+    exploded = ud.select(
+        "_u",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias("report_date"),
+    ).join(F.broadcast(last), F.col("report_date") <= F.col("_last"))
+    return (
+        exploded.groupBy("report_date")
+        .agg(F.count_distinct(F.col("_u")).alias("rolling_actives"))
+        .withColumn("window_days", F.lit(window_days))
+    )
+
+
+def rolling_actives_sql(
+    source: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    window_days: int = 7,
+) -> str:
+    """Exact DuckDB twin of :func:`rolling_actives` (stated as the
+    direct trailing-window distinct — oracles check results, not
+    plans)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    return f"""
+WITH _ud AS (
+    SELECT DISTINCT {user_col} AS _u, CAST({ts_col} AS DATE) AS _d
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+), _days AS (
+    SELECT DISTINCT report_date FROM (
+        SELECT UNNEST(generate_series(_d, _d + {int(window_days) - 1},
+                                      INTERVAL '1 day'))::DATE AS report_date
+        FROM _ud
+    ) WHERE report_date <= (SELECT MAX(_d) FROM _ud)
+)
+SELECT r.report_date,
+       CAST(COUNT(DISTINCT u._u) AS BIGINT) AS rolling_actives,
+       {int(window_days)} AS window_days
+FROM _days r
+JOIN _ud u ON u._d BETWEEN r.report_date - {int(window_days) - 1} AND r.report_date
+GROUP BY r.report_date
+"""
+
+
+def mode_by_group(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic per-group mode (SURVEY.md §2 C189): the most
+    frequent value, its count, and its share — with the tie broken
+    EXPLICITLY (count desc, value asc), because engines' built-in
+    mode() picks an arbitrary tie winner and a nondeterministic answer
+    can't be oracle-checked or reproduced across runs. NULL values
+    drop (a missing value is not a mode candidate). Output: group
+    cols, ``mode_value``, ``mode_count``, ``mode_share``.
+
+    Scale shape: one aggregate to (group, value) counts, one rank
+    window over the counts frame — both on the group keys;
+    :func:`mode_by_group_sql` is exact."""
+    gcols = list(group_cols or [])
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    w = wall.orderBy(F.col("_c").desc(), F.col("_v").asc())
+    return (
+        cells.withColumn("_r", F.row_number().over(w))
+        .withColumn("_tot", F.sum("_c").over(wall))
+        .where(F.col("_r") == 1)
+        .select(
+            *gcols,
+            F.col("_v").alias("mode_value"),
+            F.col("_c").cast("long").alias("mode_count"),
+            F.round(F.col("_c") / F.col("_tot"), 6).alias("mode_share"),
+        )
+    )
+
+
+def mode_by_group_sql(
+    source: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`mode_by_group` (same explicit
+    tiebreak — never the engine's arbitrary mode())."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    return f"""
+WITH _cells AS (
+    SELECT {gsel}{value_col} AS _v, COUNT(*) AS _c
+    FROM {source} WHERE {value_col} IS NOT NULL
+    GROUP BY {gsel}{value_col}
+), _ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER ({part + " " if part else ""}ORDER BY _c DESC, _v ASC) AS _r,
+           SUM(_c) OVER ({part}) AS _tot
+    FROM _cells
+)
+SELECT {gsel}_v AS mode_value, CAST(_c AS BIGINT) AS mode_count,
+       round(CAST(_c AS DOUBLE) / _tot, 6) AS mode_share
+FROM _ranked WHERE _r = 1
+"""

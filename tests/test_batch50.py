@@ -1,0 +1,70 @@
+"""Pins for C188 (rolling distinct actives) and C189 (deterministic
+group mode)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics
+
+T0 = DT(2024, 1, 1)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "u int, ts timestamp")
+
+
+def test_rolling_actives_hand_case(spark):
+    rows = [
+        (1, T0), (2, T0),                 # day 1: {1,2}
+        (1, T0 + TD(days=1)),             # day 2: {1}
+        (3, T0 + TD(days=3)),             # day 4: {3}
+    ]
+    out = {r["report_date"].isoformat(): r["rolling_actives"]
+           for r in analytics.rolling_actives(_ev(spark, rows), "u", "ts",
+                                              window_days=2).collect()}
+    # day1: {1,2}=2; day2: {1,2}∪{1}=2; day3: {1}=1; day4: {3}=1
+    assert out == {"2024-01-01": 2, "2024-01-02": 2,
+                   "2024-01-03": 1, "2024-01-04": 1}
+
+
+def test_rolling_window_1_equals_dau_and_dedup_within_day(spark):
+    rows = [(1, T0), (1, T0 + TD(hours=3)), (2, T0), (1, T0 + TD(days=2))]
+    out = {r["report_date"].isoformat(): r["rolling_actives"]
+           for r in analytics.rolling_actives(_ev(spark, rows), "u", "ts",
+                                              window_days=1).collect()}
+    assert out == {"2024-01-01": 2, "2024-01-03": 1}  # no phantom day 2
+    with pytest.raises(ValueError):
+        analytics.rolling_actives(_ev(spark, rows), "u", "ts", window_days=0)
+
+
+def test_rolling_actives_never_exceeds_cumulative_users(spark):
+    rows = [((i * 3) % 7, T0 + TD(days=i % 10, hours=i % 24)) for i in range(200)]
+    out = analytics.rolling_actives(_ev(spark, rows), "u", "ts", window_days=30)
+    assert all(r["rolling_actives"] <= 7 for r in out.collect())
+    # a 30-day window over 10 days of data: every date sees all users seen so far
+    last = max(r["report_date"] for r in out.collect())
+    full = {r["report_date"]: r["rolling_actives"] for r in out.collect()}
+    assert full[last] == 7
+
+
+def _vals(spark, rows, schema="g string, v int"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_mode_hand_case_share_and_tiebreak(spark):
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 5), ("b", 6)]
+    out = {r["g"]: r for r in analytics.mode_by_group(
+        _vals(spark, rows), "v", group_cols=["g"]).collect()}
+    assert out["a"]["mode_value"] == 1 and out["a"]["mode_count"] == 2
+    assert out["a"]["mode_share"] == pytest.approx(2 / 3, abs=1e-6)
+    # b is a pure tie: smallest value wins deterministically
+    assert out["b"]["mode_value"] == 5 and out["b"]["mode_count"] == 1
+
+
+def test_mode_null_drop_and_global(spark):
+    rows = [("x", None), ("x", 3), ("x", 3), ("x", 9)]
+    out = analytics.mode_by_group(_vals(spark, rows), "v").collect()
+    assert len(out) == 1
+    assert out[0]["mode_value"] == 3
+    assert out[0]["mode_share"] == pytest.approx(2 / 3, abs=1e-6)  # NULL gone

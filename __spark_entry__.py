@@ -5883,6 +5883,27 @@ def _mode_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.mode_by_group(src, "vb", group_cols=["event_type"])
 
 
+def _ltv_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C190 (annex, EXACT oracle): cumulative value-per-user curves
+    by weekly signup cohort and age-days — first-seen join reusing the
+    aggregate exchange, DECIMAL value sums, cohort-sized cumulative
+    window."""
+    _prep(spark, sf_dir)
+    return analytics.ltv_curve(
+        spark.table("events"), "user_id", "ts", "value", cohort_unit="week"
+    )
+
+
+def _deseasonal_anoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C191 (annex, EXACT oracle): the composed C167→C61 chain —
+    weekday decomposition, then modified-z flags over the RESIDUALS per
+    event_type; twins chained exactly end-to-end."""
+    _prep(spark, sf_dir)
+    return timeseries.deseasonalized_anomalies(
+        spark.table("events"), "ts", "value", group_cols=["event_type"]
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6145,6 +6166,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-50 components (C188-C189)
         "rolling_actives_7d": _rolling_actives_7d,
         "mode_value_by_type": _mode_value_by_type,
+        # round-7 batch-51 components (C190-C191)
+        "ltv_weekly_cohorts": _ltv_weekly_cohorts,
+        "deseasonal_anoms_daily": _deseasonal_anoms,
     }
 
 
@@ -6689,6 +6713,13 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS vb"
             " FROM events)",
             "vb", group_cols=["event_type"],
+        ),
+        # round-7 batch-51 components (C190-C191)
+        "ltv_weekly_cohorts": analytics.ltv_curve_sql(
+            "events", "user_id", "ts", "value", cohort_unit="week"
+        ),
+        "deseasonal_anoms_daily": timeseries.deseasonalized_anomalies_sql(
+            "events", "ts", "value", group_cols=["event_type"]
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

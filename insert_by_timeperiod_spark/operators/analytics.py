@@ -2919,3 +2919,109 @@ SELECT {gsel}_v AS mode_value, CAST(_c AS BIGINT) AS mode_count,
        round(CAST(_c AS DOUBLE) / _tot, 6) AS mode_share
 FROM _ranked WHERE _r = 1
 """
+
+
+def ltv_curve(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    cohort_unit: str = "week",
+) -> DataFrame:
+    """Cohort LTV curve (SURVEY.md §2 C190): per signup cohort and age
+    (days since the user's first event), the cumulative value per
+    cohort user — the "how much is a week-N user worth by day 30" curve
+    that prices acquisition; C60's retention counts who CAME BACK, this
+    accumulates what they were WORTH. Output per (cohort, age_days):
+    ``n_users`` (cohort size — constant down the cohort),
+    ``cum_value``, ``cum_value_per_user``. Ages appear only where the
+    cohort had activity (join C152's spine to densify).
+
+    Scale shape: one per-user MIN (first-seen) joined back user-keyed
+    (the C60 posture — the join reuses the aggregate's exchange), one
+    (cohort, age) aggregate, then a cumulative window over the small
+    cohort×age frame. Value sums on the DECIMAL grid;
+    :func:`ltv_curve_sql` is exact."""
+    if cohort_unit not in ("day", "week", "month"):
+        raise ValueError(f"cohort_unit must be day|week|month, got {cohort_unit}")
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("date").alias("_d"),
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("_v"),
+    )
+    first = src.groupBy("_u").agg(F.min("_d").alias("_first"))
+    cohorted = src.join(first, "_u").select(
+        "_u",
+        F.date_trunc(cohort_unit, F.col("_first")).cast("date").alias("cohort"),
+        F.datediff(F.col("_d"), F.col("_first")).alias("age_days"),
+        "_v",
+    )
+    sizes = cohorted.select("cohort", "_u").distinct().groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    daily = cohorted.groupBy("cohort", "age_days").agg(F.sum("_v").alias("_dv"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy(F.col("age_days").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = daily.withColumn("_cum", F.sum("_dv").over(w)).join(
+        F.broadcast(sizes), "cohort"
+    )
+    return curve.select(
+        "cohort",
+        F.col("age_days").cast("int").alias("age_days"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("_cum").cast("double"), 6).alias("cum_value"),
+        F.round(F.col("_cum").cast("double") / F.col("n_users"), 6).alias(
+            "cum_value_per_user"
+        ),
+    )
+
+
+def ltv_curve_sql(
+    source: str,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    cohort_unit: str = "week",
+) -> str:
+    """Exact DuckDB twin of :func:`ltv_curve`."""
+    if cohort_unit not in ("day", "week", "month"):
+        raise ValueError(f"cohort_unit must be day|week|month, got {cohort_unit}")
+    return f"""
+WITH _src AS (
+    SELECT {user_col} AS _u, CAST({ts_col} AS DATE) AS _d,
+           CAST(round(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(38,6)) AS _v
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+), _first AS (
+    SELECT _u, MIN(_d) AS _first FROM _src GROUP BY _u
+), _cohorted AS (
+    SELECT s._u,
+           CAST(date_trunc('{cohort_unit}', f._first) AS DATE) AS cohort,
+           date_diff('day', f._first, s._d) AS age_days, s._v
+    FROM _src s JOIN _first f ON f._u = s._u
+), _sizes AS (
+    SELECT cohort, CAST(COUNT(DISTINCT _u) AS BIGINT) AS n_users
+    FROM _cohorted GROUP BY cohort
+), _daily AS (
+    SELECT cohort, age_days, SUM(_v) AS _dv
+    FROM _cohorted GROUP BY cohort, age_days
+), _curve AS (
+    SELECT cohort, age_days,
+           SUM(_dv) OVER (PARTITION BY cohort ORDER BY age_days ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+    FROM _daily
+)
+SELECT c.cohort, CAST(c.age_days AS INTEGER) AS age_days, z.n_users,
+       round(CAST(c._cum AS DOUBLE), 6) AS cum_value,
+       round(CAST(c._cum AS DOUBLE) / z.n_users, 6) AS cum_value_per_user
+FROM _curve c JOIN _sizes z ON z.cohort = c.cohort
+"""

@@ -986,3 +986,94 @@ SELECT * FROM (
     FROM _deltas
 ) WHERE seg_end IS NOT NULL
 """
+
+
+def deseasonalized_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Deseasonalized anomaly flags (SURVEY.md §2 C191): the composed
+    chain C167 → C61 — remove the weekday effect with
+    :func:`seasonal_decompose`, then score the RESIDUALS with the
+    per-group modified z (0.6745·(r − median)/MAD, Iglewicz & Hoaglin
+    1993). A raw robust-z (C123's posture) flags every ordinary Monday
+    of a weekly-cycled series; scoring residuals flags the Monday that
+    is anomalous FOR A MONDAY. Output per (group, date): ``y``,
+    ``seasonal``, ``residual``, ``rz``, ``is_anomaly`` (rz NULL when
+    the group's residual MAD is 0).
+
+    Scale shape: inherits C167's one corpus shuffle; the median/MAD
+    reduce over the daily frame per group and ride back group-keyed.
+    Exact on the shared grid — :func:`deseasonalized_anomalies_sql`
+    chains the exact twins end-to-end."""
+    gcols = list(group_cols or [])
+    dec = seasonal_decompose(df, ts_col, value_col, group_cols=gcols)
+    dec = dec.localCheckpoint()  # consumers: median agg, MAD agg, projection
+    med = dec.groupBy(*gcols).agg(
+        F.percentile("residual", F.lit(0.5)).alias("_med")
+    )
+    devs = dec.join(F.broadcast(med), gcols) if gcols else dec.crossJoin(
+        F.broadcast(med)
+    )
+    mad = devs.groupBy(*gcols).agg(
+        F.percentile(F.abs(F.col("residual") - F.col("_med")), F.lit(0.5)).alias(
+            "_mad"
+        )
+    )
+    scored = devs.join(F.broadcast(mad), gcols) if gcols else devs.crossJoin(
+        F.broadcast(mad)
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("residual") - F.col("_med")) / F.col("_mad"), 6
+    )
+    return scored.select(
+        *gcols,
+        "event_date",
+        "y",
+        "seasonal",
+        "residual",
+        F.when(F.col("_mad") > 0, z).alias("rz"),
+        (
+            (F.col("_mad") > 0) & (F.abs(F.when(F.col("_mad") > 0, z)) > threshold)
+        ).alias("is_anomaly"),
+    )
+
+
+def deseasonalized_anomalies_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+) -> str:
+    """Exact DuckDB twin of :func:`deseasonalized_anomalies` — chains
+    the C167 twin and the C61 median/MAD formulas."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    join_g = f"USING ({g})" if g else "ON TRUE"
+    inner = seasonal_decompose_sql(
+        source, ts_col, value_col, group_cols=gcols
+    )
+    z = "round(0.6745 * (d.residual - m._med) / a._mad, 6)"
+    return f"""
+WITH _dec AS (
+{inner}
+), _med AS (
+    SELECT {gsel}median(residual) AS _med FROM _dec {grp}
+), _mad AS (
+    SELECT {gsel}median(abs(d.residual - m._med)) AS _mad
+    FROM _dec d JOIN _med m {join_g} {grp}
+)
+SELECT {gsel}d.event_date, d.y, d.seasonal, d.residual,
+       CASE WHEN a._mad > 0 THEN {z} END AS rz,
+       (a._mad > 0 AND abs(CASE WHEN a._mad > 0 THEN {z} END) > {threshold!r})
+           AS is_anomaly
+FROM _dec d JOIN _med m {join_g} JOIN _mad a {join_g}
+"""

@@ -1,0 +1,80 @@
+"""Pins for C190 (cohort LTV curve) and C191 (deseasonalized anomaly
+chain)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics, timeseries
+
+MON = DT(2024, 1, 1)  # a Monday
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "u int, ts timestamp, v double")
+
+
+def test_ltv_hand_case_cumulative_per_user(spark):
+    rows = [
+        (1, MON, 10.0), (2, MON + TD(days=1), 20.0),          # cohort wk1, 2 users
+        (1, MON + TD(days=2), 5.0),                            # age 2 for user 1
+        (3, MON + TD(days=7), 100.0),                          # cohort wk2
+    ]
+    out = {(r["cohort"].isoformat(), r["age_days"]): r for r in
+           analytics.ltv_curve(_ev(spark, rows), "u", "ts", "v").collect()}
+    wk1 = "2024-01-01"
+    # age 0: both users' first-day spend lands at age 0
+    assert out[(wk1, 0)]["n_users"] == 2
+    assert out[(wk1, 0)]["cum_value"] == pytest.approx(30.0)
+    assert out[(wk1, 0)]["cum_value_per_user"] == pytest.approx(15.0)
+    assert out[(wk1, 2)]["cum_value"] == pytest.approx(35.0)
+    assert out[("2024-01-08", 0)]["cum_value_per_user"] == pytest.approx(100.0)
+    with pytest.raises(ValueError):
+        analytics.ltv_curve(_ev(spark, rows), "u", "ts", "v", cohort_unit="hour")
+
+
+def test_ltv_curve_is_monotone_and_cohort_size_constant(spark):
+    rows = [((i % 5) + 1, MON + TD(days=i % 12, hours=i), float(i % 7 + 1))
+            for i in range(150)]
+    out = analytics.ltv_curve(_ev(spark, rows), "u", "ts", "v").collect()
+    by_cohort = {}
+    for r in out:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for rows_ in by_cohort.values():
+        rows_.sort(key=lambda r: r["age_days"])
+        cums = [r["cum_value"] for r in rows_]
+        assert all(b >= a for a, b in zip(cums, cums[1:]))
+        assert len({r["n_users"] for r in rows_}) == 1
+
+
+def test_deseasonal_chain_flags_the_broken_monday_not_every_monday(spark):
+    # 8 weeks of daily data with small deterministic noise (so the
+    # residual MAD is nonzero), Mondays always +70, one Wednesday +30.
+    # The spike must be large enough to flag through its own weekday
+    # mean (it keeps 7/8 of itself as residual) but small enough that
+    # the -spike/8 contamination of sibling Wednesdays stays under
+    # threshold — seasonal-MEAN decomposition's documented tradeoff.
+    rows = []
+    for d in range(56):
+        day = MON + TD(days=d)
+        v = 10.0 + (d % 5) + (70.0 if day.weekday() == 0 else 0.0)
+        if d == 30:  # a Wednesday
+            v += 30.0
+        rows.append((1, day, v))
+    out = {r["event_date"]: r for r in timeseries.deseasonalized_anomalies(
+        _ev(spark, rows).select("ts", "v"), "ts", "v").collect()}
+    flagged = [d for d, r in out.items() if r["is_anomaly"]]
+    assert flagged == [(MON + TD(days=30)).date()]
+    # ordinary Mondays: residual ~0, never flagged
+    for d, r in out.items():
+        if d.weekday() == 0:
+            assert not r["is_anomaly"]
+            assert abs(r["residual"]) < 20
+
+
+def test_deseasonal_constant_series_has_null_rz(spark):
+    rows = [(1, MON + TD(days=d), 5.0) for d in range(14)]
+    out = timeseries.deseasonalized_anomalies(
+        _ev(spark, rows).select("ts", "v"), "ts", "v").collect()
+    assert all(r["rz"] is None for r in out)
+    assert not any(r["is_anomaly"] for r in out)

@@ -5904,6 +5904,29 @@ def _deseasonal_anoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _best_split_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C192 (annex, EXACT oracle): best decile-edge Gini split of
+    event value against the is-purchase label — broadcast candidate
+    thresholds, one scan, exact integer counts, smallest-threshold
+    tiebreak."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("label")
+    )
+    return features.best_split(src, "value", "label", k=10)
+
+
+def _trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C193 (annex, EXACT oracle): trimmed + winsorized means of
+    event value per type — broadcast [p5, p95] edges, one conditional
+    aggregate on the DECIMAL grid."""
+    _prep(spark, sf_dir)
+    return features.trimmed_mean(
+        spark.table("events").select("event_type", "value"),
+        "value", lo=0.05, hi=0.95, group_cols=["event_type"],
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6169,6 +6192,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-51 components (C190-C191)
         "ltv_weekly_cohorts": _ltv_weekly_cohorts,
         "deseasonal_anoms_daily": _deseasonal_anoms,
+        # round-7 batch-52 components (C192-C193)
+        "best_split_value": _best_split_value,
+        "trimmed_mean_values": _trimmed_mean_values,
     }
 
 
@@ -6720,6 +6746,16 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "deseasonal_anoms_daily": timeseries.deseasonalized_anomalies_sql(
             "events", "ts", "value", group_cols=["event_type"]
+        ),
+        # round-7 batch-52 components (C192-C193)
+        "best_split_value": features.best_split_sql(
+            "(SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0"
+            " END AS label FROM events)",
+            "value", "label", k=10,
+        ),
+        "trimmed_mean_values": features.trimmed_mean_sql(
+            "(SELECT event_type, value FROM events)",
+            "value", lo=0.05, hi=0.95, group_cols=["event_type"],
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

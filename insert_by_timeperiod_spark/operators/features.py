@@ -819,3 +819,238 @@ def isotonic_fit_sql() -> None:  # pragma: no cover - documentation stub
     raise NotImplementedError(
         "isotonic_fit has no SQL twin; see tests/test_batch42.py pins"
     )
+
+
+def best_split(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Decision-stump split search (SURVEY.md §2 C192): among the
+    feature's R-7 quantile-edge candidate thresholds, the one
+    maximizing Gini-impurity gain for a binary label — "is this feature
+    worth a tree node", the split-quality companion to C170's WOE/IV
+    (which scores BINS; this scores the single best CUT). Output one
+    row: ``threshold`` (split is value > threshold), ``gain``,
+    ``impurity_parent``, ``n_left``/``n_right``, ``rate_left``/
+    ``rate_right``. Ties on gain break toward the SMALLEST threshold
+    (deterministic).
+
+    Scale shape: the C168/C170 edges posture — (k−1) candidate
+    thresholds ride back as a 1-row broadcast, ONE scan explodes each
+    row to its (candidate, side) cells, one aggregate per candidate;
+    gains on the 6-decimal/DECIMAL-free closed form from exact integer
+    counts, so :func:`best_split_sql` is exact."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    pct = ", ".join(str(i / k) for i in range(1, k))
+    src = df.where(
+        F.col(feature_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(feature_col).cast("double").alias("_v"),
+        F.when(F.col(label_col).cast("double") != 0.0, 1).otherwise(0).alias("_y"),
+    )
+    edges = src.agg(F.expr(f"percentile(_v, array({pct}))").alias("_e"))
+    cells = (
+        src.crossJoin(F.broadcast(edges))
+        .select(
+            "_v",
+            "_y",
+            F.explode(
+                F.array(*[F.round(F.col("_e")[i], 6) for i in range(k - 1)])
+            ).alias("threshold"),
+        )
+        .select(
+            "threshold",
+            (F.col("_v") > F.col("threshold")).alias("_right"),
+            "_y",
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(~F.col("_right"), 1).otherwise(0)).alias("_nl"),
+            F.sum(F.when(~F.col("_right"), F.col("_y")).otherwise(0)).alias("_yl"),
+            F.sum(F.when(F.col("_right"), 1).otherwise(0)).alias("_nr"),
+            F.sum(F.when(F.col("_right"), F.col("_y")).otherwise(0)).alias("_yr"),
+        )
+    )
+
+    def _gini(n, y):
+        p = y / n
+        return F.when(n > 0, 2.0 * p * (1.0 - p)).otherwise(F.lit(0.0))
+
+    n = F.col("_nl") + F.col("_nr")
+    ytot = F.col("_yl") + F.col("_yr")
+    parent = _gini(n, ytot)
+    child = (
+        F.col("_nl") / n * _gini(F.col("_nl"), F.col("_yl"))
+        + F.col("_nr") / n * _gini(F.col("_nr"), F.col("_yr"))
+    )
+    scored = cells.select(
+        "threshold",
+        F.round(parent - child, 6).alias("gain"),
+        F.round(parent, 6).alias("impurity_parent"),
+        F.col("_nl").cast("long").alias("n_left"),
+        F.col("_nr").cast("long").alias("n_right"),
+        F.round(F.when(F.col("_nl") > 0, F.col("_yl") / F.col("_nl")), 6).alias(
+            "rate_left"
+        ),
+        F.round(F.when(F.col("_nr") > 0, F.col("_yr") / F.col("_nr")), 6).alias(
+            "rate_right"
+        ),
+    )
+    w = Window.orderBy(F.col("gain").desc(), F.col("threshold").asc())
+    return scored.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") == 1
+    ).drop("_r")
+
+
+def best_split_sql(
+    source: str,
+    feature_col: str,
+    label_col: str,
+    *,
+    k: int = 10,
+) -> str:
+    """Exact DuckDB twin of :func:`best_split`."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    pct = ", ".join(str(i / k) for i in range(1, k))
+    gini = "CASE WHEN {n} > 0 THEN 2.0 * ({y} / CAST({n} AS DOUBLE)) * (1.0 - {y} / CAST({n} AS DOUBLE)) ELSE 0.0 END"
+    gp = gini.format(n="(_nl + _nr)", y="(_yl + _yr)")
+    gl = gini.format(n="_nl", y="_yl")
+    gr = gini.format(n="_nr", y="_yr")
+    child = f"_nl / CAST(_nl + _nr AS DOUBLE) * ({gl}) + _nr / CAST(_nl + _nr AS DOUBLE) * ({gr})"
+    return f"""
+WITH _src AS (
+    SELECT CAST({feature_col} AS DOUBLE) AS _v,
+           CASE WHEN CAST({label_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END AS _y
+    FROM {source}
+    WHERE {feature_col} IS NOT NULL AND {label_col} IS NOT NULL
+), _edges AS (
+    SELECT quantile_cont(_v, [{pct}]) AS _e FROM _src
+), _cells AS (
+    SELECT t.threshold,
+           SUM(CASE WHEN s._v > t.threshold THEN 0 ELSE 1 END) AS _nl,
+           SUM(CASE WHEN s._v > t.threshold THEN 0 ELSE s._y END) AS _yl,
+           SUM(CASE WHEN s._v > t.threshold THEN 1 ELSE 0 END) AS _nr,
+           SUM(CASE WHEN s._v > t.threshold THEN s._y ELSE 0 END) AS _yr
+    FROM _src s
+    CROSS JOIN (SELECT round(UNNEST(_e), 6) AS threshold FROM _edges) t
+    GROUP BY t.threshold
+), _scored AS (
+    SELECT threshold,
+           round(({gp}) - ({child}), 6) AS gain,
+           round({gp}, 6) AS impurity_parent,
+           CAST(_nl AS BIGINT) AS n_left, CAST(_nr AS BIGINT) AS n_right,
+           round(CASE WHEN _nl > 0 THEN _yl / CAST(_nl AS DOUBLE) END, 6) AS rate_left,
+           round(CASE WHEN _nr > 0 THEN _yr / CAST(_nr AS DOUBLE) END, 6) AS rate_right
+    FROM _cells
+)
+SELECT threshold, gain, impurity_parent, n_left, n_right, rate_left, rate_right
+FROM _scored
+ORDER BY gain DESC, threshold ASC LIMIT 1
+"""
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trimmed + winsorized means (SURVEY.md §2 C193): per group, the
+    mean with values outside the per-group [p_lo, p_hi] band DROPPED
+    (trimmed) and CLAMPED (winsorized) — the robust central-tendency
+    pair next to C159's winsorize transform (which returns rows; this
+    is the aggregate readout) and C61's median (trimmed means keep more
+    efficiency when the middle is clean). Output: group cols, ``n``,
+    ``mean_raw``, ``mean_trimmed``, ``n_trimmed``, ``mean_winsorized``.
+
+    Scale shape: the broadcast-edges posture; one aggregate over the
+    corpus with conditional sums on the DECIMAL grid —
+    :func:`trimmed_mean_sql` is exact."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    gcols = list(group_cols or [])
+    src = df.where(F.col(value_col).isNotNull()).select(
+        *gcols, F.col(value_col).cast("double").alias("_v")
+    )
+    edges = src.groupBy(*gcols).agg(
+        F.expr(f"percentile(_v, {lo!r})").alias("_plo"),
+        F.expr(f"percentile(_v, {hi!r})").alias("_phi"),
+    )
+    joined = (
+        src.join(F.broadcast(edges), gcols) if gcols
+        else src.crossJoin(F.broadcast(edges))
+    )
+    inside = (F.col("_v") >= F.col("_plo")) & (F.col("_v") <= F.col("_phi"))
+    dec = lambda c: F.round(c, 6).cast("decimal(38,6)")
+    clamped = F.least(F.greatest(F.col("_v"), F.col("_plo")), F.col("_phi"))
+    agg = joined.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_v"))).alias("_s"),
+        F.sum(F.when(inside, dec(F.col("_v"))).otherwise(F.lit(0).cast("decimal(38,6)"))).alias("_st"),
+        F.sum(F.when(inside, 1).otherwise(0)).alias("_nt"),
+        F.sum(dec(clamped)).alias("_sw"),
+    )
+    return agg.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_s").cast("double") / F.col("n"), 6).alias("mean_raw"),
+        F.round(
+            F.when(F.col("_nt") > 0, F.col("_st").cast("double") / F.col("_nt")),
+            6,
+        ).alias("mean_trimmed"),
+        F.col("_nt").cast("long").alias("n_trimmed"),
+        F.round(F.col("_sw").cast("double") / F.col("n"), 6).alias(
+            "mean_winsorized"
+        ),
+    )
+
+
+def trimmed_mean_sql(
+    source: str,
+    value_col: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`trimmed_mean`."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    join = f"JOIN _e USING ({g})" if g else "CROSS JOIN _e"
+    dec = "CAST(round({v}, 6) AS DECIMAL(38,6))"
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({value_col} AS DOUBLE) AS _v
+    FROM {source} WHERE {value_col} IS NOT NULL
+), _e AS (
+    SELECT {gsel}quantile_cont(_v, {lo!r}) AS _plo,
+           quantile_cont(_v, {hi!r}) AS _phi
+    FROM _src {grp}
+), _agg AS (
+    SELECT {gsel}COUNT(*) AS n,
+           SUM({dec.format(v="_v")}) AS _s,
+           SUM(CASE WHEN _v >= _plo AND _v <= _phi
+                    THEN {dec.format(v="_v")}
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS _st,
+           SUM(CASE WHEN _v >= _plo AND _v <= _phi THEN 1 ELSE 0 END) AS _nt,
+           SUM({dec.format(v="least(greatest(_v, _plo), _phi)")}) AS _sw
+    FROM _src {join} {grp}
+)
+SELECT {gsel}CAST(n AS BIGINT) AS n,
+       round(CAST(_s AS DOUBLE) / n, 6) AS mean_raw,
+       round(CASE WHEN _nt > 0 THEN CAST(_st AS DOUBLE) / _nt END, 6) AS mean_trimmed,
+       CAST(_nt AS BIGINT) AS n_trimmed,
+       round(CAST(_sw AS DOUBLE) / n, 6) AS mean_winsorized
+FROM _agg
+"""

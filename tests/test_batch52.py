@@ -1,0 +1,77 @@
+"""Pins for C192 (decision-stump split gain) and C193 (trimmed /
+winsorized means)."""
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import features
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(rows, "v double, y int")
+
+
+def test_best_split_finds_separating_threshold(spark):
+    # label flips exactly at v = 100: a decile edge near 100 must win
+    rows = [(float(i), 0) for i in range(100)] + [
+        (float(100 + i), 1) for i in range(100)
+    ]
+    r = features.best_split(_labeled(spark, rows), "v", "y", k=10).collect()[0]
+    assert 80 <= r["threshold"] <= 120
+    assert r["rate_left"] < 0.2 and r["rate_right"] > 0.8
+    assert r["impurity_parent"] == pytest.approx(0.5, abs=1e-6)
+    assert r["gain"] > 0.35
+    assert r["n_left"] + r["n_right"] == 200
+
+
+def test_best_split_uninformative_label_gains_nothing(spark):
+    rows = [(float(i), i % 2) for i in range(400)]
+    r = features.best_split(_labeled(spark, rows), "v", "y", k=8).collect()[0]
+    assert r["gain"] == pytest.approx(0.0, abs=0.01)
+    with pytest.raises(ValueError):
+        features.best_split(_labeled(spark, rows), "v", "y", k=1)
+    with pytest.raises(ValueError):
+        features.best_split_sql("t", "v", "y", k=0)
+
+
+def test_best_split_tie_breaks_to_smallest_threshold(spark):
+    # constant label: EVERY candidate has gain 0 -> smallest edge wins
+    rows = [(float(i), 1) for i in range(50)]
+    r = features.best_split(_labeled(spark, rows), "v", "y", k=5).collect()[0]
+    all_edges = sorted({r["threshold"]})
+    assert r["gain"] == pytest.approx(0.0, abs=1e-9)
+    # p20 edge of 0..49 under R-7 is the smallest candidate
+    assert r["threshold"] == pytest.approx(9.8, abs=0.3)
+
+
+def _vals(spark, rows, schema="g string, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_trimmed_mean_drops_outlier_winsorized_dampens(spark):
+    rows = [("a", float(v)) for v in list(range(1, 20)) + [10000]]
+    r = features.trimmed_mean(_vals(spark, rows), "v", lo=0.05, hi=0.95,
+                              group_cols=["g"]).collect()[0]
+    assert r["mean_raw"] > 500  # wrecked by the outlier
+    assert 5 < r["mean_trimmed"] < 15  # outlier dropped
+    assert r["n_trimmed"] < r["n"]
+    assert r["mean_trimmed"] < r["mean_winsorized"] < r["mean_raw"]
+
+
+def test_trimmed_mean_no_trim_equals_raw_and_validation(spark):
+    rows = [("a", float(v)) for v in range(10)]
+    r = features.trimmed_mean(_vals(spark, rows), "v", lo=0.0, hi=1.0,
+                              group_cols=["g"]).collect()[0]
+    assert r["mean_trimmed"] == r["mean_raw"] == r["mean_winsorized"]
+    assert r["n_trimmed"] == r["n"] == 10
+    with pytest.raises(ValueError):
+        features.trimmed_mean(_vals(spark, rows), "v", lo=0.5, hi=0.4)
+    with pytest.raises(ValueError):
+        features.trimmed_mean_sql("t", "v", lo=-0.1, hi=0.9)
+
+
+def test_trimmed_mean_groups_isolate(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 100.0), ("b", 200.0)]
+    out = {r["g"]: r for r in features.trimmed_mean(
+        _vals(spark, rows), "v", lo=0.0, hi=1.0, group_cols=["g"]).collect()}
+    assert out["a"]["mean_raw"] == pytest.approx(2.0)
+    assert out["b"]["mean_raw"] == pytest.approx(150.0)

@@ -858,8 +858,14 @@ def best_split(
         .select(
             "_v",
             "_y",
+            # DISTINCT candidates: skewed/constant features collapse
+            # several quantile edges onto one value, and exploding the
+            # duplicates would multiply every row into that threshold's
+            # group (found by the property pass: n_left+n_right = 3n)
             F.explode(
-                F.array(*[F.round(F.col("_e")[i], 6) for i in range(k - 1)])
+                F.array_distinct(
+                    F.array(*[F.round(F.col("_e")[i], 6) for i in range(k - 1)])
+                )
             ).alias("threshold"),
         )
         .select(
@@ -937,7 +943,7 @@ WITH _src AS (
            SUM(CASE WHEN s._v > t.threshold THEN 1 ELSE 0 END) AS _nr,
            SUM(CASE WHEN s._v > t.threshold THEN s._y ELSE 0 END) AS _yr
     FROM _src s
-    CROSS JOIN (SELECT round(UNNEST(_e), 6) AS threshold FROM _edges) t
+    CROSS JOIN (SELECT DISTINCT round(UNNEST(_e), 6) AS threshold FROM _edges) t
     GROUP BY t.threshold
 ), _scored AS (
     SELECT threshold,

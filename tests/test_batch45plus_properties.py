@@ -1,0 +1,219 @@
+"""Property tests (SURVEY.md §5) for the round-7 batch-45+ operators
+(C180-C193): invariants that must hold for ANY input, over
+hypothesis-generated data. Examples kept small — each compiles real
+Spark jobs."""
+
+import math
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from insert_by_timeperiod_spark.operators import (
+    analytics,
+    features,
+    graph,
+    sampling,
+    timeseries,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+T0 = DT(2024, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# C180: for any forest (parent strictly smaller), path/depth/root cohere
+# ---------------------------------------------------------------------------
+
+_forest = st.lists(
+    st.integers(min_value=1, max_value=30), min_size=1, max_size=25
+).map(lambda children: [(c, c // 2) for c in set(children)])
+
+
+@settings(**_SETTINGS)
+@given(edges=_forest)
+def test_flatten_path_depth_root_cohere(spark, edges):
+    df = spark.createDataFrame(
+        [(str(c), str(p)) for c, p in edges], "child string, parent string"
+    )
+    out = graph.flatten_hierarchy(df).collect()
+    nodes = {r["node"]: r for r in out}
+    parent_of = {str(c): str(p) for c, p in edges}
+    for r in out:
+        segs = r["path"].split("/")
+        assert segs[-1] == r["node"]
+        assert segs[0] == r["root"]
+        assert len(segs) == r["depth"] + 1
+        # the root really is parentless; every step follows parent_of
+        assert segs[0] not in parent_of
+        for child, par in zip(segs[1:][::-1], segs[:-1][::-1]):
+            assert parent_of[child] == par
+
+
+# ---------------------------------------------------------------------------
+# C181: for any weights, allocations sum to the budget and stay within
+# floor/ceil of the exact proportional share
+# ---------------------------------------------------------------------------
+
+_weights = st.lists(
+    st.integers(min_value=0, max_value=9), min_size=1, max_size=15
+).filter(lambda w: sum(w) > 0)
+
+
+@settings(**_SETTINGS)
+@given(w=_weights, total=st.integers(min_value=0, max_value=50))
+def test_quota_sums_exactly_and_stays_within_one_unit(spark, w, total):
+    df = spark.createDataFrame(
+        [(str(i), float(x)) for i, x in enumerate(w)], "id string, w double"
+    )
+    out = {r["id"]: r["alloc"] for r in sampling.allocate_quota(
+        df, "w", total, id_col="id").collect()}
+    assert sum(out.values()) == total
+    W = sum(w)
+    for i, x in enumerate(w):
+        share = x * total / W
+        assert math.floor(share) <= out[str(i)] <= math.ceil(share)
+
+
+# ---------------------------------------------------------------------------
+# C183: the concurrency profile conserves total interval time
+# ---------------------------------------------------------------------------
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=1, max_value=20),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(iv=_intervals)
+def test_concurrency_conserves_total_busy_time(spark, iv):
+    rows = [(i, T0 + TD(hours=s), T0 + TD(hours=s + d)) for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(rows, "id int, s timestamp, e timestamp")
+    segs = timeseries.concurrency_profile(df, "s", "e").collect()
+    area = sum(
+        r["n_active"] * (r["seg_end"] - r["seg_start"]).total_seconds()
+        for r in segs
+    )
+    want = sum(d for _, d in iv) * 3600
+    assert area == pytest.approx(want, abs=1)
+    assert all(r["n_active"] >= 0 for r in segs)
+
+
+# ---------------------------------------------------------------------------
+# C185: tau(x, x) = 1 unless all-tied; |tau| <= 1; sign flips with -y
+# ---------------------------------------------------------------------------
+
+_series = st.lists(st.integers(min_value=0, max_value=9), min_size=3, max_size=15)
+
+
+@settings(**_SETTINGS)
+@given(xs=_series)
+def test_tau_self_negation_and_bounds(spark, xs):
+    rows = [(float(x), float(x)) for x in xs]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = analytics.kendall_tau(df, "x", "y").collect()[0]
+    if len(set(xs)) > 1:
+        assert r["tau"] == pytest.approx(1.0)
+    else:
+        assert r["tau"] is None
+    neg = spark.createDataFrame(
+        [(float(x), -float(x)) for x in xs], "x double, y double"
+    )
+    rn = analytics.kendall_tau(neg, "x", "y").collect()[0]
+    if len(set(xs)) > 1:
+        assert rn["tau"] == pytest.approx(-r["tau"])
+
+
+# ---------------------------------------------------------------------------
+# C188: rolling actives are monotone in the window size, every date
+# ---------------------------------------------------------------------------
+
+_activity = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(act=_activity)
+def test_rolling_actives_monotone_in_window(spark, act):
+    rows = [(u, T0 + TD(days=d)) for u, d in act]
+    df = spark.createDataFrame(rows, "u int, ts timestamp")
+    small = {r["report_date"]: r["rolling_actives"]
+             for r in analytics.rolling_actives(df, "u", "ts", window_days=2).collect()}
+    big = {r["report_date"]: r["rolling_actives"]
+           for r in analytics.rolling_actives(df, "u", "ts", window_days=5).collect()}
+    for d, v in small.items():
+        assert big[d] >= v
+    assert all(v >= 1 for v in small.values())
+
+
+# ---------------------------------------------------------------------------
+# C189: the mode really is a maximizer of the value counts
+# ---------------------------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40))
+def test_mode_maximizes_counts(spark, vals):
+    from collections import Counter
+
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    r = analytics.mode_by_group(df, "v").collect()[0]
+    counts = Counter(vals)
+    assert counts[r["mode_value"]] == max(counts.values())
+    # tie contract: among maximizers, the smallest value
+    best = min(v for v, c in counts.items() if c == max(counts.values()))
+    assert r["mode_value"] == best
+    assert r["mode_share"] == pytest.approx(counts[best] / len(vals), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# C192/C193: split gain bounded by parent impurity; means ordered
+# ---------------------------------------------------------------------------
+
+_labeled = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_labeled)
+def test_split_gain_nonnegative_and_bounded(spark, rows):
+    df = spark.createDataFrame(
+        [(float(v), y) for v, y in rows], "v double, y int"
+    )
+    r = features.best_split(df, "v", "y", k=4).collect()[0]
+    assert r["gain"] >= -1e-5  # the best candidate can never LOSE impurity
+    assert r["gain"] <= r["impurity_parent"] + 1e-9
+    assert r["n_left"] + r["n_right"] == len(rows)
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=3, max_size=30))
+def test_trimmed_and_winsorized_stay_inside_data_range(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    r = features.trimmed_mean(df, "v", lo=0.1, hi=0.9).collect()[0]
+    lo, hi = min(vals), max(vals)
+    for c in ("mean_raw", "mean_trimmed", "mean_winsorized"):
+        if r[c] is not None:
+            assert lo - 1e-6 <= r[c] <= hi + 1e-6
+    assert 0 < r["n_trimmed"] <= r["n"]

@@ -78,6 +78,48 @@ class TxnLogTable(ParquetTable):
     def _txn_dir(self) -> str:
         return f"{self.path}/{TXN_DIR}"
 
+    def _local_txn_dir(self) -> str | None:
+        """The txn dir as a plain OS path when the table lives on the
+        LOCAL filesystem, else None."""
+        p = self._txn_dir()
+        if p.startswith("file:"):
+            return p[len("file:"):] or "/"
+        if "://" not in p:
+            return p
+        return None
+
+    def _claim_guard(self):
+        """Serialize version claims on the LOCAL filesystem. The claim
+        protocol is rename-to-exclusive — correct on HDFS/object stores,
+        where rename onto an existing path FAILS — but POSIX rename(2)
+        silently REPLACES the destination, so on the local FS two writers
+        claiming the same slot can clobber one commit with no error
+        (observed under real thread contention: 16 appends, 15 versions).
+        An OS-level flock around the read-head+rename pair closes it;
+        flock contends across both threads and processes, and on
+        non-local stores this is a no-op (the rename contract holds
+        there)."""
+        import contextlib
+
+        local = self._local_txn_dir()
+        if local is None:
+            return contextlib.nullcontext()
+
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def _guard():
+            os.makedirs(local, exist_ok=True)
+            with open(os.path.join(local, "_claim.lock"), "a") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+
+        return _guard()
+
     def _versions(self) -> list[int]:
         if not self.fs.is_dir(self._txn_dir()):
             return []
@@ -118,9 +160,17 @@ class TxnLogTable(ParquetTable):
         import time as _time
 
         for attempt in range(100):
-            v = self.version() + 1
             try:
-                self.fs.rename(tmp, f"{self._txn_dir()}/{v:011d}.json")
+                # the guard makes read-head + rename atomic on the local
+                # FS (POSIX rename REPLACES an existing dst — see
+                # _claim_guard); on HDFS it is a no-op and the rename's
+                # own no-overwrite contract arbitrates
+                with self._claim_guard():
+                    v = self.version() + 1
+                    dst = f"{self._txn_dir()}/{v:011d}.json"
+                    if self.fs.exists(dst):
+                        raise IOError(f"version {v} already claimed")
+                    self.fs.rename(tmp, dst)
                 break
             except IOError:
                 _time.sleep(min(0.01 * attempt, 0.2))
@@ -162,7 +212,13 @@ class TxnLogTable(ParquetTable):
         self.fs.write_text_atomic(tmp, json.dumps(body))
         v = head + 1
         try:
-            self.fs.rename(tmp, f"{self._txn_dir()}/{v:011d}.json")
+            # same local-FS hazard as _commit: an unguarded rename would
+            # REPLACE a concurrent commit that won the slot first
+            with self._claim_guard():
+                dst = f"{self._txn_dir()}/{v:011d}.json"
+                if self.fs.exists(dst):
+                    raise IOError(f"version {v} already claimed")
+                self.fs.rename(tmp, dst)
         except IOError:
             self.fs.delete(tmp)
             return None  # lost the slot to a concurrent commit

@@ -5927,6 +5927,43 @@ def _trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C194 (annex, EXACT oracle): per-column null-rate drift between
+    two derived snapshots with different planted missingness — one
+    aggregate per frame computes every column's null count in a single
+    pass."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+
+    def with_nulls(mod: int) -> DataFrame:
+        return ev.select(
+            F.when(F.col("event_id") % mod != 0, F.col("value")).alias("value"),
+            F.when(F.col("event_id") % (mod * 3) != 0, F.col("user_id")).alias(
+                "user_id"
+            ),
+            "event_type",
+        )
+
+    return drift.null_rate_drift(
+        with_nulls(10), with_nulls(5), ["value", "user_id", "event_type"],
+        threshold=0.05,
+    )
+
+
+def _category_set_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C195 (annex, EXACT oracle): vocabulary drift between two
+    derived snapshots — 'error' disappears, 'beta_feature' appears."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    base = ev.where(F.col("event_type") != "error").select("event_type")
+    cur = ev.select(
+        F.when(F.col("event_id") % 501 == 0, F.lit("beta_feature"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    )
+    return drift.category_set_drift(base, cur, "event_type")
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6195,6 +6232,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-52 components (C192-C193)
         "best_split_value": _best_split_value,
         "trimmed_mean_values": _trimmed_mean_values,
+        # round-7 batch-53 components (C194-C195)
+        "null_rate_drift_cols": _null_rate_drift,
+        "category_set_drift_types": _category_set_drift,
     }
 
 
@@ -6756,6 +6796,22 @@ def pytest_only_oracles() -> dict[str, str]:
         "trimmed_mean_values": features.trimmed_mean_sql(
             "(SELECT event_type, value FROM events)",
             "value", lo=0.05, hi=0.95, group_cols=["event_type"],
+        ),
+        # round-7 batch-53 components (C194-C195)
+        "null_rate_drift_cols": drift.null_rate_drift_sql(
+            "(SELECT CASE WHEN event_id % 10 <> 0 THEN value END AS value,"
+            " CASE WHEN event_id % 30 <> 0 THEN user_id END AS user_id,"
+            " event_type FROM events)",
+            "(SELECT CASE WHEN event_id % 5 <> 0 THEN value END AS value,"
+            " CASE WHEN event_id % 15 <> 0 THEN user_id END AS user_id,"
+            " event_type FROM events)",
+            ["value", "user_id", "event_type"], threshold=0.05,
+        ),
+        "category_set_drift_types": drift.category_set_drift_sql(
+            "(SELECT event_type FROM events WHERE event_type <> 'error')",
+            "(SELECT CASE WHEN event_id % 501 = 0 THEN 'beta_feature'"
+            " ELSE event_type END AS event_type FROM events)",
+            "event_type",
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -499,3 +499,160 @@ SELECT CAST(_n AS BIGINT) AS n_terms,
              6) AS r2
 FROM _stats
 """
+
+
+def null_rate_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    *,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Per-column null-rate drift (SURVEY.md §2 C194): for each named
+    column, the NULL fraction in the baseline vs the current frame and
+    the delta — the completeness monitor that catches "the upstream
+    export quietly stopped filling this field" long before any value
+    statistic moves; the CONTENT-health sibling of C124's structural
+    schema diff. Output per column: ``column``, ``nr_base``,
+    ``nr_cur``, ``delta``, ``flagged`` (|delta| > threshold).
+
+    Scale shape: ONE aggregate per frame computes every column's null
+    count in a single pass (no per-column scans), then a columns-sized
+    unpivot — :func:`null_rate_drift_sql` is exact."""
+    if not cols:
+        raise ValueError("null_rate_drift: cols required")
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0,1], got {threshold}")
+
+    def _rates(df: DataFrame) -> DataFrame:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
+                for c in cols
+            ],
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.round(
+                        F.when(
+                            F.col("_n") > 0, F.col(f"_nn_{c}") / F.col("_n")
+                        ).otherwise(F.lit(0.0)),
+                        6,
+                    ).alias("rate"),
+                )
+                for c in cols
+            ]
+        )
+        return agg.select(F.explode(pairs).alias("_p")).select(
+            F.col("_p.column").alias("column"), F.col("_p.rate").alias("rate")
+        )
+
+    b = _rates(base).withColumnRenamed("rate", "nr_base")
+    c = _rates(cur).withColumnRenamed("rate", "nr_cur")
+    joined = b.join(c, "column")
+    delta = F.round(F.col("nr_cur") - F.col("nr_base"), 6)
+    return joined.select(
+        "column",
+        "nr_base",
+        "nr_cur",
+        delta.alias("delta"),
+        (F.abs(delta) > threshold).alias("flagged"),
+    )
+
+
+def null_rate_drift_sql(
+    source_base: str,
+    source_cur: str,
+    cols: list[str],
+    *,
+    threshold: float = 0.05,
+) -> str:
+    """Exact DuckDB twin of :func:`null_rate_drift`."""
+    if not cols:
+        raise ValueError("null_rate_drift_sql: cols required")
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0,1], got {threshold}")
+
+    def _branch(src: str, c: str) -> str:
+        return (
+            f"SELECT '{c}' AS column, round(CASE WHEN COUNT(*) > 0 THEN "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" / CAST(COUNT(*) AS DOUBLE) ELSE 0.0 END, 6) AS rate "
+            f"FROM {src}"
+        )
+
+    b = "\nUNION ALL\n".join(_branch(source_base, c) for c in cols)
+    c_ = "\nUNION ALL\n".join(_branch(source_cur, c) for c in cols)
+    return f"""
+WITH _b AS (
+{b}
+), _c AS (
+{c_}
+)
+SELECT b.column, b.rate AS nr_base, c.rate AS nr_cur,
+       round(c.rate - b.rate, 6) AS delta,
+       abs(round(c.rate - b.rate, 6)) > {threshold!r} AS flagged
+FROM _b b JOIN _c c ON c.column = b.column
+"""
+
+
+def category_set_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Category-set drift (SURVEY.md §2 C195): which category values
+    APPEARED (in current, absent from baseline) or DISAPPEARED — the
+    "a new enum value showed up / a partner stopped sending" alarm
+    that C53's probability shifts only surface indirectly and C124's
+    schema diff (types, not values) can't see at all. Output per
+    changed value: ``category``, ``status`` ('appeared'/'disappeared'),
+    ``n`` (its count on the side where it exists). Unchanged values
+    emit nothing (empty result = stable vocabulary).
+
+    Scale shape: one distinct-count aggregate per side, a full-outer
+    join on the category key — all category-cardinality-sized;
+    :func:`category_set_drift_sql` is exact."""
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.where(F.col(cat_col).isNotNull())
+            .groupBy(F.col(cat_col).alias("category"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    b = _counts(base, "_nb")
+    c = _counts(cur, "_nc")
+    j = b.join(c, "category", "full_outer")
+    return (
+        j.where(F.col("_nb").isNull() | F.col("_nc").isNull())
+        .select(
+            "category",
+            F.when(F.col("_nb").isNull(), F.lit("appeared"))
+            .otherwise(F.lit("disappeared"))
+            .alias("status"),
+            F.coalesce(F.col("_nc"), F.col("_nb")).cast("long").alias("n"),
+        )
+    )
+
+
+def category_set_drift_sql(
+    source_base: str, source_cur: str, cat_col: str
+) -> str:
+    """Exact DuckDB twin of :func:`category_set_drift`."""
+    return f"""
+WITH _b AS (
+    SELECT {cat_col} AS category, COUNT(*) AS _nb
+    FROM {source_base} WHERE {cat_col} IS NOT NULL GROUP BY {cat_col}
+), _c AS (
+    SELECT {cat_col} AS category, COUNT(*) AS _nc
+    FROM {source_cur} WHERE {cat_col} IS NOT NULL GROUP BY {cat_col}
+)
+SELECT COALESCE(b.category, c.category) AS category,
+       CASE WHEN b._nb IS NULL THEN 'appeared' ELSE 'disappeared' END AS status,
+       CAST(COALESCE(c._nc, b._nb) AS BIGINT) AS n
+FROM _b b FULL OUTER JOIN _c c ON c.category = b.category
+WHERE b._nb IS NULL OR c._nc IS NULL
+"""

@@ -1,0 +1,48 @@
+"""Pins for C194 (null-rate drift) and C195 (category-set drift)."""
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import drift
+
+
+def _df(spark, rows, schema="a int, b string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_null_rate_drift_hand_case(spark):
+    base = _df(spark, [(1, "x"), (None, "y"), (3, "z"), (4, None)])
+    cur = _df(spark, [(None, "x"), (None, "y"), (3, None), (None, None)])
+    out = {r["column"]: r for r in drift.null_rate_drift(
+        base, cur, ["a", "b"], threshold=0.3).collect()}
+    assert out["a"]["nr_base"] == pytest.approx(0.25)
+    assert out["a"]["nr_cur"] == pytest.approx(0.75)
+    assert out["a"]["delta"] == pytest.approx(0.5)
+    assert out["a"]["flagged"]
+    assert out["b"]["delta"] == pytest.approx(0.25)
+    assert not out["b"]["flagged"]
+
+
+def test_null_rate_identical_frames_never_flag_and_validation(spark):
+    df = _df(spark, [(1, "x"), (None, None)])
+    out = drift.null_rate_drift(df, df, ["a", "b"]).collect()
+    assert all(r["delta"] == 0.0 and not r["flagged"] for r in out)
+    with pytest.raises(ValueError):
+        drift.null_rate_drift(df, df, [])
+    with pytest.raises(ValueError):
+        drift.null_rate_drift_sql("t", "t", ["a"], threshold=2.0)
+
+
+def test_category_drift_appeared_and_disappeared(spark):
+    base = _df(spark, [(1, "red"), (2, "red"), (3, "blue")])
+    cur = _df(spark, [(1, "red"), (2, "green"), (3, "green"), (4, None)])
+    out = {r["category"]: r for r in drift.category_set_drift(
+        base, cur, "b").collect()}
+    assert set(out) == {"blue", "green"}  # NULL is never a category
+    assert out["blue"]["status"] == "disappeared" and out["blue"]["n"] == 1
+    assert out["green"]["status"] == "appeared" and out["green"]["n"] == 2
+
+
+def test_category_drift_stable_vocabulary_is_empty(spark):
+    base = _df(spark, [(1, "x"), (2, "y")])
+    cur = _df(spark, [(9, "y"), (8, "x"), (7, "x")])
+    assert drift.category_set_drift(base, cur, "b").count() == 0

@@ -5964,6 +5964,40 @@ def _category_set_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.category_set_drift(base, cur, "event_type")
 
 
+def _monotonic_audit_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C196 (annex, EXACT oracle): cumulative-counter regression
+    audit between two derived snapshots of per-user lifetime totals —
+    the current side drops late January (totals regress) and loses the
+    highest user ids entirely (vanished keys)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    tot = lambda src: src.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("lifetime_value")
+    )
+    base = tot(ev)
+    cur = tot(
+        ev.where(
+            (F.col("ts") < F.lit("2024-01-25").cast("timestamp"))
+            & (F.col("user_id") < 145)
+        )
+    )
+    return reconcile.monotonic_audit(base, cur, ["user_id"], "lifetime_value")
+
+
+def _fd_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C197 (annex, EXACT oracle): functional-dependency audit —
+    does o_custkey determine o_orderpriority? (It doesn't; the top-20
+    violating customers report deterministically with example
+    values.)"""
+    _prep(spark, sf_dir)
+    return profile.fd_audit(
+        spark.table("orders"), ["o_custkey"], "o_orderpriority",
+        max_examples=20,
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6235,6 +6269,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-53 components (C194-C195)
         "null_rate_drift_cols": _null_rate_drift,
         "category_set_drift_types": _category_set_drift,
+        # round-7 batch-54 components (C196-C197)
+        "monotonic_audit_users": _monotonic_audit_users,
+        "fd_audit_orders": _fd_audit_orders,
     }
 
 
@@ -6812,6 +6849,20 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT CASE WHEN event_id % 501 = 0 THEN 'beta_feature'"
             " ELSE event_type END AS event_type FROM events)",
             "event_type",
+        ),
+        # round-7 batch-54 components (C196-C197)
+        "monotonic_audit_users": reconcile.monotonic_audit_sql(
+            "(SELECT user_id, CAST(SUM(CAST(round(value, 6) AS"
+            " DECIMAL(38,6))) AS DOUBLE) AS lifetime_value FROM events"
+            " GROUP BY user_id)",
+            "(SELECT user_id, CAST(SUM(CAST(round(value, 6) AS"
+            " DECIMAL(38,6))) AS DOUBLE) AS lifetime_value FROM events"
+            " WHERE ts < TIMESTAMP '2024-01-25' AND user_id < 145"
+            " GROUP BY user_id)",
+            ["user_id"], "lifetime_value",
+        ),
+        "fd_audit_orders": profile.fd_audit_sql(
+            "orders", ["o_custkey"], "o_orderpriority", max_examples=20
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -573,4 +573,91 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
        CAST(MIN(_ndist) AS BIGINT) AS min_distinct_sensitive,
        round(MAX(CAST(_maxc AS DOUBLE) / _rows), 6) AS worst_share
 FROM _groups
+"""
+
+
+def fd_audit(
+    df: DataFrame,
+    determinant_cols: list[str],
+    dependent_col: str,
+    *,
+    max_examples: int = 20,
+) -> DataFrame:
+    """Functional-dependency audit (SURVEY.md §2 C197): does
+    ``determinant_cols → dependent_col`` hold — i.e. is the dependent
+    unique per determinant tuple? The data-modeling check behind "is
+    this a candidate key", "did the dimension denormalize cleanly",
+    "does order_id really determine customer_id"; a violation means
+    the model's grain is lying. Output: the violating determinant
+    tuples (up to ``max_examples``, ordered by distinct-count desc
+    then keys asc — deterministic) with ``n_rows``,
+    ``n_distinct_dependent``, and ``example_values`` (the sorted first
+    3 conflicting values, rendered as strings). Empty result = the FD
+    holds. NULL dependents count as one value (a NULL conflict is a
+    conflict).
+
+    Scale shape: one aggregate on (determinant, dependent) cells, one
+    reduce to determinants, a bounded top-N — all map-side combined;
+    :func:`fd_audit_sql` is exact."""
+    if not determinant_cols:
+        raise ValueError("fd_audit: determinant_cols required")
+    if max_examples < 1:
+        raise ValueError(f"max_examples must be >= 1, got {max_examples}")
+    # NULL sentinel: Spark's collect_list silently DROPS NULLs, so a NULL
+    # dependent would vanish from example_values and desync the twin
+    cells = df.groupBy(
+        *determinant_cols,
+        F.coalesce(F.col(dependent_col).cast("string"), F.lit("<NULL>")).alias(
+            "_dv"
+        ),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    groups = cells.groupBy(*determinant_cols).agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_dependent"),
+        F.slice(F.array_sort(F.collect_list("_dv")), 1, 3).alias(
+            "example_values"
+        ),
+    )
+    w = Window.orderBy(
+        F.col("n_distinct_dependent").desc(),
+        *[F.col(c).asc() for c in determinant_cols],
+    )
+    return (
+        groups.where(F.col("n_distinct_dependent") > 1)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_examples)
+        .drop("_r")
+    )
+
+
+def fd_audit_sql(
+    source: str,
+    determinant_cols: list[str],
+    dependent_col: str,
+    *,
+    max_examples: int = 20,
+) -> str:
+    """Exact DuckDB twin of :func:`fd_audit`."""
+    if not determinant_cols:
+        raise ValueError("fd_audit_sql: determinant_cols required")
+    if max_examples < 1:
+        raise ValueError(f"max_examples must be >= 1, got {max_examples}")
+    k = ", ".join(determinant_cols)
+    return f"""
+WITH _cells AS (
+    SELECT {k}, COALESCE(CAST({dependent_col} AS VARCHAR), '<NULL>') AS _dv,
+           COUNT(*) AS _c
+    FROM {source}
+    GROUP BY {k}, COALESCE(CAST({dependent_col} AS VARCHAR), '<NULL>')
+), _groups AS (
+    SELECT {k},
+           CAST(SUM(_c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_dependent,
+           list_sort(list(_dv))[1:3] AS example_values
+    FROM _cells GROUP BY {k}
+)
+SELECT {k}, n_rows, n_distinct_dependent, example_values
+FROM _groups WHERE n_distinct_dependent > 1
+ORDER BY n_distinct_dependent DESC, {k} ASC
+LIMIT {int(max_examples)}
 """

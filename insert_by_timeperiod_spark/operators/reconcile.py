@@ -251,3 +251,73 @@ SELECT CAST((SELECT COUNT(*) FROM _keyed) AS BIGINT) AS n_child,
        CAST((SELECT COUNT(*) FROM {child_source} WHERE {null_any})
             AS BIGINT) AS n_null_keys
 """
+
+
+def monotonic_audit(
+    base: DataFrame,
+    cur: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Cross-snapshot monotonicity audit (SURVEY.md §2 C196): keys whose
+    ``value_col`` DECREASED between two snapshots of a cumulative table
+    (lifetime spend, total events, high-water marks) — a counter that
+    goes backwards means a lost partition, a bad backfill, or double-
+    applied CDC, and C106's row diff shows it only as "changed"; this
+    names the violation. Keys present only in the baseline also violate
+    (a cumulative table never drops a key) and report with NULL
+    ``v_cur``; new keys are fine and emit nothing. Empty result = the
+    contract holds. Output: key cols, ``v_base``, ``v_cur``,
+    ``decrease`` (NULL for vanished keys).
+
+    Scale shape: one aggregate per side to (key, value) — taking MAX per
+    key so duplicate key rows don't fabricate violations — and one
+    key-keyed left join; exact comparisons on the DECIMAL grid;
+    :func:`monotonic_audit_sql` is exact."""
+    if not key_cols:
+        raise ValueError("monotonic_audit: key_cols required")
+    dec = (
+        lambda c: F.max(F.round(F.col(c).cast("double"), 6).cast("decimal(38,6)"))
+    )
+
+    b = base.groupBy(*key_cols).agg(dec(value_col).alias("_vb"))
+    c = cur.groupBy(*key_cols).agg(dec(value_col).alias("_vc"))
+    j = b.join(c, key_cols, "left")
+    return j.where(
+        F.col("_vc").isNull() | (F.col("_vc") < F.col("_vb"))
+    ).select(
+        *key_cols,
+        F.col("_vb").cast("double").alias("v_base"),
+        F.col("_vc").cast("double").alias("v_cur"),
+        F.round((F.col("_vb") - F.col("_vc")).cast("double"), 6).alias("decrease"),
+    )
+
+
+def monotonic_audit_sql(
+    source_base: str,
+    source_cur: str,
+    key_cols: list[str],
+    value_col: str,
+) -> str:
+    """Exact DuckDB twin of :func:`monotonic_audit`."""
+    if not key_cols:
+        raise ValueError("monotonic_audit_sql: key_cols required")
+    k = ", ".join(key_cols)
+    on = " AND ".join(f"c.{x} = b.{x}" for x in key_cols)
+    bsel = ", ".join(f"b.{x}" for x in key_cols)
+    dec = (
+        f"MAX(CAST(round(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(38,6)))"
+    )
+    return f"""
+WITH _b AS (
+    SELECT {k}, {dec} AS _vb FROM {source_base} GROUP BY {k}
+), _c AS (
+    SELECT {k}, {dec} AS _vc FROM {source_cur} GROUP BY {k}
+)
+SELECT {bsel},
+       CAST(_vb AS DOUBLE) AS v_base,
+       CAST(_vc AS DOUBLE) AS v_cur,
+       round(CAST(_vb - _vc AS DOUBLE), 6) AS decrease
+FROM _b b LEFT JOIN _c c ON {on}
+WHERE _vc IS NULL OR _vc < _vb
+"""

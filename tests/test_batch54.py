@@ -1,0 +1,61 @@
+"""Pins for C196 (monotonic cross-snapshot audit) and C197
+(functional-dependency audit)."""
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import profile, reconcile
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def test_monotonic_audit_finds_regressions_and_vanished_keys(spark):
+    base = _kv(spark, [("a", 10.0), ("b", 5.0), ("c", 7.0)])
+    cur = _kv(spark, [("a", 12.0), ("b", 3.0), ("d", 1.0)])  # b regressed, c gone
+    out = {r["k"]: r for r in reconcile.monotonic_audit(
+        base, cur, ["k"], "v").collect()}
+    assert set(out) == {"b", "c"}
+    assert out["b"]["decrease"] == pytest.approx(2.0)
+    assert out["c"]["v_cur"] is None and out["c"]["decrease"] is None
+    # 'd' is new -> fine; 'a' grew -> fine
+
+
+def test_monotonic_audit_holds_empty_and_dup_keys_use_max(spark):
+    base = _kv(spark, [("a", 1.0), ("a", 9.0)])  # dup key: MAX = 9
+    cur = _kv(spark, [("a", 9.0)])
+    assert reconcile.monotonic_audit(base, cur, ["k"], "v").count() == 0
+    cur2 = _kv(spark, [("a", 8.0)])
+    out = reconcile.monotonic_audit(base, cur2, ["k"], "v").collect()
+    assert out[0]["v_base"] == 9.0 and out[0]["decrease"] == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        reconcile.monotonic_audit(base, cur, [], "v")
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k string, dep string")
+
+
+def test_fd_audit_reports_violators_with_examples(spark):
+    rows = [("o1", "HIGH"), ("o1", "LOW"), ("o1", "HIGH"),
+            ("o2", "MED"), ("o2", "MED"),
+            ("o3", "LOW"), ("o3", None)]
+    out = {r["k"]: r for r in profile.fd_audit(
+        _rows(spark, rows), ["k"], "dep").collect()}
+    assert set(out) == {"o1", "o3"}  # o2 holds the FD
+    assert out["o1"]["n_rows"] == 3
+    assert out["o1"]["n_distinct_dependent"] == 2
+    assert out["o1"]["example_values"] == ["HIGH", "LOW"]
+    # NULL is a conflicting value, rendered as the sentinel
+    assert out["o3"]["example_values"] == ["<NULL>", "LOW"]
+
+
+def test_fd_audit_holds_is_empty_and_cap_is_deterministic(spark):
+    rows = [("a", "x"), ("a", "x"), ("b", "y")]
+    assert profile.fd_audit(_rows(spark, rows), ["k"], "dep").count() == 0
+    # many violators, cap 2: worst (most distinct) first, then key asc
+    rows = [(f"k{i}", f"v{j}") for i in range(5) for j in range(i + 1)]
+    out = profile.fd_audit(_rows(spark, rows), ["k"], "dep", max_examples=2).collect()
+    assert [r["k"] for r in out] == ["k4", "k3"]
+    with pytest.raises(ValueError):
+        profile.fd_audit(_rows(spark, rows), ["k"], "dep", max_examples=0)

@@ -5998,6 +5998,35 @@ def _fd_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fk_coverage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C198 (annex, EXACT oracle): weekly dimension coverage of
+    orders→customer, with every 3rd custkey REMOVED from the dim so the
+    degradation is visible — broadcast dim keys, one period aggregate."""
+    _prep(spark, sf_dir)
+    dim = spark.table("customer").where(F.col("c_custkey") % 3 != 0)
+    return reconcile.fk_coverage_by_period(
+        spark.table("orders"), dim, "o_custkey", "c_custkey", "o_orderdate",
+        unit="week",
+    )
+
+
+def _magnitude_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C199 (annex, EXACT oracle): order-of-magnitude audit of event
+    value per type, with a planted 1000× unit error on a 1-in-400
+    subset — the minority bucket must flag while the dominant bucket
+    holds."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type",
+        F.when(F.col("event_id") % 400 == 0, F.col("value") * 1000.0)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return profile.magnitude_audit(
+        src, "v", group_cols=["event_type"], minority_share=0.01
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6272,6 +6301,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-54 components (C196-C197)
         "monotonic_audit_users": _monotonic_audit_users,
         "fd_audit_orders": _fd_audit_orders,
+        # round-7 batch-55 components (C198-C199)
+        "fk_coverage_orders_weekly": _fk_coverage_orders,
+        "magnitude_audit_values": _magnitude_values,
     }
 
 
@@ -6863,6 +6895,17 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "fd_audit_orders": profile.fd_audit_sql(
             "orders", ["o_custkey"], "o_orderpriority", max_examples=20
+        ),
+        # round-7 batch-55 components (C198-C199)
+        "fk_coverage_orders_weekly": reconcile.fk_coverage_sql(
+            "orders",
+            "(SELECT * FROM customer WHERE c_custkey % 3 <> 0)",
+            "o_custkey", "c_custkey", "o_orderdate", unit="week",
+        ),
+        "magnitude_audit_values": profile.magnitude_audit_sql(
+            "(SELECT event_type, CASE WHEN event_id % 400 = 0"
+            " THEN value * 1000.0 ELSE value END AS v FROM events)",
+            "v", group_cols=["event_type"], minority_share=0.01,
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

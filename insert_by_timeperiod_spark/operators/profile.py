@@ -661,3 +661,100 @@ FROM _groups WHERE n_distinct_dependent > 1
 ORDER BY n_distinct_dependent DESC, {k} ASC
 LIMIT {int(max_examples)}
 """
+
+
+def magnitude_audit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    minority_share: float = 0.01,
+) -> DataFrame:
+    """Order-of-magnitude audit (SURVEY.md §2 C199): bucket a numeric
+    column by ⌊log₁₀|v|⌋ per group and flag minority magnitude buckets
+    — the cents-vs-dollars / ms-vs-seconds unit-mix-up detector: a
+    metric whose values live at 10² with a 0.3% island at 10⁵ almost
+    always means one upstream wrote the wrong unit, and value-level
+    outlier scores (C61/C123) bury it in the tail. Zeros get their own
+    bucket (NULL magnitude); NULL values drop. Output per (group,
+    magnitude): ``n``, ``share``, ``lo``/``hi`` (the bucket's observed
+    range), ``suspect`` (share < minority_share while the group's
+    dominant bucket holds the majority).
+
+    Scale shape: one aggregate to (group, magnitude) — map-side
+    combined, buckets-sized after; :func:`magnitude_audit_sql` is
+    exact (floor/log10 on exact doubles, integer counts)."""
+    if not 0.0 < minority_share < 1.0:
+        raise ValueError(
+            f"minority_share must be in (0,1), got {minority_share}"
+        )
+    gcols = list(group_cols or [])
+    mag = F.when(
+        F.col("_v") != 0.0, F.floor(F.log10(F.abs(F.col("_v")))).cast("int")
+    )
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, F.col(value_col).cast("double").alias("_v"))
+        .groupBy(*gcols, mag.alias("magnitude"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    # two steps: a window cannot nest inside another window function
+    shared = cells.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(wall), 6)
+    )
+    return shared.withColumn("_dom", F.max("share").over(wall)).select(
+        *gcols,
+        "magnitude",
+        F.col("n").cast("long").alias("n"),
+        "share",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        ((F.col("share") < minority_share) & (F.col("_dom") > 0.5)).alias(
+            "suspect"
+        ),
+    )
+
+
+def magnitude_audit_sql(
+    source: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    minority_share: float = 0.01,
+) -> str:
+    """Exact DuckDB twin of :func:`magnitude_audit`."""
+    if not 0.0 < minority_share < 1.0:
+        raise ValueError(
+            f"minority_share must be in (0,1), got {minority_share}"
+        )
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    return f"""
+WITH _cells AS (
+    SELECT {gsel}
+           CASE WHEN CAST({value_col} AS DOUBLE) <> 0.0
+                THEN CAST(floor(log10(abs(CAST({value_col} AS DOUBLE)))) AS INTEGER)
+           END AS magnitude,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(CAST({value_col} AS DOUBLE)) AS lo,
+           MAX(CAST({value_col} AS DOUBLE)) AS hi
+    FROM {source} WHERE {value_col} IS NOT NULL
+    GROUP BY {gsel}magnitude
+), _shares AS (
+    SELECT {gsel}magnitude, n,
+           round(n / SUM(n) OVER ({part}), 6) AS share,
+           round(lo, 6) AS lo, round(hi, 6) AS hi
+    FROM _cells
+)
+SELECT {gsel}magnitude, n, share, lo, hi,
+       (share < {minority_share!r}
+        AND MAX(share) OVER ({part}) > 0.5) AS suspect
+FROM _shares
+"""

@@ -321,3 +321,81 @@ SELECT {bsel},
 FROM _b b LEFT JOIN _c c ON {on}
 WHERE _vc IS NULL OR _vc < _vb
 """
+
+
+def fk_coverage_by_period(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    ts_col: str,
+    *,
+    unit: str = "day",
+) -> DataFrame:
+    """Dimension coverage over time (SURVEY.md §2 C198): per calendar
+    period, the fraction of fact rows whose foreign key resolves in the
+    dimension — C149's FK audit says WHICH keys are orphaned; this says
+    WHEN conformance degraded (the "the dim feed lagged the fact feed
+    last Tuesday" readout that decides whether a late-arriving-dimension
+    backfill is needed). NULL foreign keys count as unmatched (an
+    unattributable fact row is exactly the problem). Output per period:
+    ``period_start``, ``n_rows``, ``n_matched``, ``coverage``.
+
+    Scale shape: one distinct on the dim's key (dim-key-sized,
+    broadcast-able), one left-semi-style flag join on the fk, one
+    period aggregate — exact integer counts;
+    :func:`fk_coverage_sql` is exact."""
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unit must be day|week|month, got {unit}")
+    keys = dim.select(F.col(pk_col).alias("_pk")).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    flagged = fact.where(F.col(ts_col).isNotNull()).join(
+        F.broadcast(keys), F.col(fk_col) == F.col("_pk"), "left"
+    )
+    return (
+        flagged.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).cast("date").alias("period_start")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+                "n_matched"
+            ),
+        )
+        .select(
+            "period_start",
+            "n_rows",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_rows"), 6).alias("coverage"),
+        )
+    )
+
+
+def fk_coverage_sql(
+    fact_source: str,
+    dim_source: str,
+    fk_col: str,
+    pk_col: str,
+    ts_col: str,
+    *,
+    unit: str = "day",
+) -> str:
+    """Exact DuckDB twin of :func:`fk_coverage_by_period`."""
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unit must be day|week|month, got {unit}")
+    return f"""
+WITH _keys AS (
+    SELECT DISTINCT {pk_col} AS _pk FROM {dim_source}
+)
+SELECT CAST(date_trunc('{unit}', f.{ts_col}) AS DATE) AS period_start,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN k._pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+       round(SUM(CASE WHEN k._pk IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM {fact_source} f
+LEFT JOIN _keys k ON f.{fk_col} = k._pk
+WHERE f.{ts_col} IS NOT NULL
+GROUP BY CAST(date_trunc('{unit}', f.{ts_col}) AS DATE)
+"""

@@ -1,0 +1,65 @@
+"""Pins for C198 (dimension coverage by period) and C199 (order-of-
+magnitude audit)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import profile, reconcile
+
+T0 = DT(2024, 1, 1)
+
+
+def test_fk_coverage_hand_case(spark):
+    fact = spark.createDataFrame(
+        [(1, T0), (2, T0), (9, T0),                 # day 1: 2/3 match
+         (1, T0 + TD(days=1)), (None, T0 + TD(days=1))],  # day 2: 1/2
+        "fk int, ts timestamp")
+    dim = spark.createDataFrame([(1,), (2,), (2,)], "pk int")
+    out = {r["period_start"].isoformat(): r for r in
+           reconcile.fk_coverage_by_period(
+               fact, dim, "fk", "pk", "ts", unit="day").collect()}
+    assert out["2024-01-01"]["coverage"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["2024-01-01"]["n_matched"] == 2  # dup dim keys count once
+    assert out["2024-01-02"]["coverage"] == pytest.approx(0.5)  # NULL fk unmatched
+    with pytest.raises(ValueError):
+        reconcile.fk_coverage_by_period(fact, dim, "fk", "pk", "ts", unit="hour")
+
+
+def test_fk_full_coverage_is_one_everywhere(spark):
+    fact = spark.createDataFrame(
+        [(i % 3, T0 + TD(days=i)) for i in range(9)], "fk int, ts timestamp")
+    dim = spark.createDataFrame([(0,), (1,), (2,)], "pk int")
+    out = reconcile.fk_coverage_by_period(fact, dim, "fk", "pk", "ts").collect()
+    assert all(r["coverage"] == 1.0 for r in out)
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+
+def test_magnitude_flags_planted_unit_error(spark):
+    vals = [float(v) for v in range(10, 100)] + [45000.0]  # one 1000x row
+    out = {r["magnitude"]: r for r in profile.magnitude_audit(
+        _vals(spark, vals), "v", minority_share=0.05).collect()}
+    assert out[1]["n"] == 90 and not out[1]["suspect"]
+    assert out[4]["n"] == 1 and out[4]["suspect"]
+    assert out[4]["lo"] == out[4]["hi"] == 45000.0
+
+
+def test_magnitude_zero_bucket_negative_values_and_no_dominant(spark):
+    # zeros get NULL magnitude; negatives bucket by |v|
+    out = {r["magnitude"]: r for r in profile.magnitude_audit(
+        _vals(spark, [0.0, 0.0, -250.0, 250.0]), "v").collect()}
+    assert out[None]["n"] == 2
+    assert out[2]["n"] == 2
+    # no bucket holds a majority... zero bucket has exactly 0.5 -> no flag
+    assert not any(r["suspect"] for r in out.values())
+    with pytest.raises(ValueError):
+        profile.magnitude_audit(_vals(spark, [1.0]), "v", minority_share=1.5)
+
+
+def test_magnitude_uniform_distribution_nothing_suspect(spark):
+    vals = [10.0 ** (i % 4) for i in range(100)]
+    out = profile.magnitude_audit(_vals(spark, vals), "v").collect()
+    assert not any(r["suspect"] for r in out)

@@ -6027,6 +6027,44 @@ def _magnitude_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEALTH_BASE_DUCK = (
+    "(SELECT CASE WHEN event_id % 10 <> 0 THEN value END AS value,"
+    " user_id, event_type FROM events WHERE event_type <> 'error')"
+)
+_HEALTH_CUR_DUCK = (
+    "(SELECT CASE WHEN event_id % 5 <> 0 THEN value END AS value,"
+    " user_id, CASE WHEN event_id % 501 = 0 THEN 'beta_feature'"
+    " ELSE event_type END AS event_type FROM events"
+    " WHERE event_id % 4 <> 0)"
+)
+
+
+def _health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C200 (annex, EXACT oracle): the composed data-ops health
+    report over a snapshot pair with planted volume drop, null-rate
+    drift, AND vocabulary changes — one normalized
+    (check, subject, metric, value, flagged) table; the twin chains
+    the sub-check twins into one UNION ALL."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    base = ev.where(F.col("event_type") != "error").select(
+        F.when(F.col("event_id") % 10 != 0, F.col("value")).alias("value"),
+        "user_id",
+        "event_type",
+    )
+    cur = ev.where(F.col("event_id") % 4 != 0).select(
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("value"),
+        "user_id",
+        F.when(F.col("event_id") % 501 == 0, F.lit("beta_feature"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    return drift.health_report(
+        base, cur, null_cols=["value", "user_id"], cat_col="event_type",
+        null_threshold=0.05, volume_threshold=0.1,
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6304,6 +6342,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-55 components (C198-C199)
         "fk_coverage_orders_weekly": _fk_coverage_orders,
         "magnitude_audit_values": _magnitude_values,
+        # round-7 batch-56 components (C200)
+        "health_report_events": _health_report,
     }
 
 
@@ -6906,6 +6946,12 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT event_type, CASE WHEN event_id % 400 = 0"
             " THEN value * 1000.0 ELSE value END AS v FROM events)",
             "v", group_cols=["event_type"], minority_share=0.01,
+        ),
+        # round-7 batch-56 components (C200)
+        "health_report_events": drift.health_report_sql(
+            _HEALTH_BASE_DUCK, _HEALTH_CUR_DUCK,
+            null_cols=["value", "user_id"], cat_col="event_type",
+            null_threshold=0.05, volume_threshold=0.1,
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

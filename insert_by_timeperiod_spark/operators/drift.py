@@ -656,3 +656,105 @@ SELECT COALESCE(b.category, c.category) AS category,
 FROM _b b FULL OUTER JOIN _c c ON c.category = b.category
 WHERE b._nb IS NULL OR c._nc IS NULL
 """
+
+
+def health_report(
+    base: DataFrame,
+    cur: DataFrame,
+    *,
+    null_cols: list[str],
+    cat_col: str,
+    null_threshold: float = 0.05,
+    volume_threshold: float = 0.5,
+) -> DataFrame:
+    """Composed data-ops health report (SURVEY.md §2 C200): the one-call
+    snapshot-pair readout a pipeline runs after every load, normalizing
+    the ops family into one schema — volume delta, per-column null-rate
+    drift (C194), and vocabulary changes (C195) — as
+    (check, subject, metric, value, flagged) rows. One table to alert
+    on instead of three shapes; compose with C61/C168/C196 rows the
+    same way when those contracts apply. ``flagged`` = volume moved by
+    more than ``volume_threshold`` (fraction), a null rate moved by
+    more than ``null_threshold``, or any vocabulary change at all.
+
+    Scale shape: each sub-check keeps its own one-pass plan (the C194
+    single-aggregate null scan, the C195 category-sized outer join, two
+    COUNTs); the union is rows-of-findings-sized. The twin chains the
+    sub-check twins into one UNION ALL — exact end-to-end."""
+    if not null_cols:
+        raise ValueError("health_report: null_cols required")
+    vol_b = base.agg(F.count(F.lit(1)).alias("_n"))
+    vol_c = cur.agg(F.count(F.lit(1)).alias("_n"))
+    delta = (F.col("_nc") - F.col("_nb")) / F.col("_nb")
+    volume = (
+        vol_b.withColumnRenamed("_n", "_nb")
+        .crossJoin(vol_c.withColumnRenamed("_n", "_nc"))
+        .select(
+            F.lit("volume").alias("check"),
+            F.lit("rows").alias("subject"),
+            F.lit("rel_delta").alias("metric"),
+            F.round(
+                F.when(F.col("_nb") > 0, delta).otherwise(F.lit(None)), 6
+            ).alias("value"),
+            F.when(
+                F.col("_nb") > 0, F.abs(F.round(delta, 6)) > volume_threshold
+            )
+            .otherwise(F.lit(True))
+            .alias("flagged"),
+        )
+    )
+    nulls = null_rate_drift(
+        base, cur, null_cols, threshold=null_threshold
+    ).select(
+        F.lit("null_rate").alias("check"),
+        F.col("column").alias("subject"),
+        F.lit("delta").alias("metric"),
+        F.col("delta").alias("value"),
+        "flagged",
+    )
+    cats = category_set_drift(base, cur, cat_col).select(
+        F.lit("vocabulary").alias("check"),
+        F.col("category").cast("string").alias("subject"),
+        F.col("status").alias("metric"),
+        F.col("n").cast("double").alias("value"),
+        F.lit(True).alias("flagged"),
+    )
+    return volume.unionByName(nulls).unionByName(cats)
+
+
+def health_report_sql(
+    source_base: str,
+    source_cur: str,
+    *,
+    null_cols: list[str],
+    cat_col: str,
+    null_threshold: float = 0.05,
+    volume_threshold: float = 0.5,
+) -> str:
+    """Exact DuckDB twin of :func:`health_report` — the sub-check twins
+    chained into one UNION ALL."""
+    if not null_cols:
+        raise ValueError("health_report_sql: null_cols required")
+    nulls = null_rate_drift_sql(
+        source_base, source_cur, null_cols, threshold=null_threshold
+    )
+    cats = category_set_drift_sql(source_base, source_cur, cat_col)
+    return f"""
+SELECT 'volume' AS "check", 'rows' AS subject, 'rel_delta' AS metric,
+       round(CASE WHEN _nb > 0 THEN (_nc - _nb) / CAST(_nb AS DOUBLE) END, 6)
+           AS value,
+       CASE WHEN _nb > 0
+            THEN abs(round((_nc - _nb) / CAST(_nb AS DOUBLE), 6))
+                 > {volume_threshold!r}
+            ELSE TRUE END AS flagged
+FROM (SELECT COUNT(*) AS _nb FROM {source_base})
+CROSS JOIN (SELECT COUNT(*) AS _nc FROM {source_cur})
+UNION ALL
+SELECT 'null_rate' AS "check", "column" AS subject, 'delta' AS metric,
+       delta AS value, flagged
+FROM ({nulls})
+UNION ALL
+SELECT 'vocabulary' AS "check", CAST(category AS VARCHAR) AS subject,
+       status AS metric, CAST(n AS DOUBLE) AS value, TRUE AS flagged
+FROM ({cats})
+"""

@@ -1,0 +1,48 @@
+"""Pins for C200 (composed data-ops health report)."""
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import drift
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "a int, b string")
+
+
+def test_health_report_surfaces_all_three_families(spark):
+    base = _df(spark, [(1, "x"), (2, "x"), (3, "y"), (4, "y")])
+    cur = _df(spark, [(None, "x"), (None, "z")])  # half volume, nulls, z new, y gone
+    out = drift.health_report(
+        base, cur, null_cols=["a", "b"], cat_col="b",
+        null_threshold=0.3, volume_threshold=0.25,
+    ).collect()
+    by = {(r["check"], r["subject"]): r for r in out}
+    vol = by[("volume", "rows")]
+    assert vol["value"] == pytest.approx(-0.5) and vol["flagged"]
+    assert by[("null_rate", "a")]["value"] == pytest.approx(1.0)
+    assert by[("null_rate", "a")]["flagged"]
+    assert not by[("null_rate", "b")]["flagged"]
+    assert by[("vocabulary", "z")]["metric"] == "appeared"
+    assert by[("vocabulary", "y")]["metric"] == "disappeared"
+    assert by[("vocabulary", "y")]["value"] == 2.0
+    assert all(r["flagged"] for r in out if r["check"] == "vocabulary")
+
+
+def test_health_report_healthy_pair_flags_nothing(spark):
+    df = _df(spark, [(1, "x"), (2, "y"), (None, "x")])
+    out = drift.health_report(
+        df, df, null_cols=["a", "b"], cat_col="b").collect()
+    assert not any(r["flagged"] for r in out)
+    assert {r["check"] for r in out} == {"volume", "null_rate"}  # no vocab rows
+    with pytest.raises(ValueError):
+        drift.health_report(df, df, null_cols=[], cat_col="b")
+
+
+def test_health_report_empty_baseline_flags_volume(spark):
+    base = _df(spark, []).where("a > 0")
+    cur = _df(spark, [(1, "x")])
+    out = {r["check"]: r for r in drift.health_report(
+        base, cur, null_cols=["a"], cat_col="b").collect()
+        if r["check"] == "volume"}
+    assert out["volume"]["value"] is None  # no baseline to divide by
+    assert out["volume"]["flagged"]  # something-from-nothing is always news

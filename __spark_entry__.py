@@ -6065,6 +6065,32 @@ def _health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C201 (annex, EXACT oracle): autocorrelation of daily value
+    totals per event_type at lags 1..7 — calendar-gap-aware pairing,
+    DECIMAL sufficient statistics."""
+    _prep(spark, sf_dir)
+    return timeseries.acf(
+        spark.table("events"), "ts", "value",
+        max_lag=7, group_cols=["event_type"],
+    )
+
+
+def _pr_curve_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C202 (annex, EXACT oracle): precision/recall/F1 sweep over
+    the C156 calibration fixture's score deciles — exact confusion
+    integers at every distinct threshold."""
+    _prep(spark, sf_dir)
+    eid = F.col("event_id")
+    src = spark.table("events").select(
+        ((((eid * 13) % 100).cast("double") + 0.5) / 100.0).alias("pred"),
+        F.when((eid * 29) % 100 < (eid * 13) % 100, 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    return features.pr_curve(src, "pred", "label", k=10)
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6344,6 +6370,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "magnitude_audit_values": _magnitude_values,
         # round-7 batch-56 components (C200)
         "health_report_events": _health_report,
+        # round-7 batch-57 components (C201-C202)
+        "acf_value_daily": _acf_daily,
+        "pr_curve_scores": _pr_curve_purchase,
     }
 
 
@@ -6952,6 +6981,16 @@ def pytest_only_oracles() -> dict[str, str]:
             _HEALTH_BASE_DUCK, _HEALTH_CUR_DUCK,
             null_cols=["value", "user_id"], cat_col="event_type",
             null_threshold=0.05, volume_threshold=0.1,
+        ),
+        # round-7 batch-57 components (C201-C202)
+        "acf_value_daily": timeseries.acf_sql(
+            "events", "ts", "value", max_lag=7, group_cols=["event_type"]
+        ),
+        "pr_curve_scores": features.pr_curve_sql(
+            "(SELECT (((event_id * 13) % 100) + 0.5) / 100.0 AS pred,"
+            " CASE WHEN (event_id * 29) % 100 < (event_id * 13) % 100"
+            " THEN 1 ELSE 0 END AS label FROM events)",
+            "pred", "label", k=10,
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -1060,3 +1060,117 @@ SELECT {gsel}CAST(n AS BIGINT) AS n,
        round(CAST(_sw AS DOUBLE) / n, 6) AS mean_winsorized
 FROM _agg
 """
+
+
+def pr_curve(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Precision/recall threshold sweep (SURVEY.md §2 C202): at each of
+    the score's R-7 quantile-edge thresholds (predict positive when
+    score > t), the confusion counts and precision/recall/F1 — the
+    operating-point table that turns C160's AUC (threshold-free
+    ordering quality) and C156's calibration into a DEPLOYABLE cutoff
+    choice. Output per distinct threshold: ``threshold``, ``tp``,
+    ``fp``, ``fn``, ``tn``, ``precision`` (NULL when nothing predicted
+    positive), ``recall`` (NULL when no positives exist), ``f1`` (NULL
+    when either is NULL or both are 0).
+
+    Scale shape: the C192 posture — DISTINCT candidate thresholds ride
+    back as a 1-row broadcast, one scan explodes rows to their
+    (threshold, side) cells, one aggregate per threshold; exact integer
+    counts make :func:`pr_curve_sql` exact."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    pct = ", ".join(str(i / k) for i in range(1, k))
+    src = df.where(
+        F.col(pred_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(pred_col).cast("double").alias("_s"),
+        F.when(F.col(label_col).cast("double") != 0.0, 1).otherwise(0).alias("_y"),
+    )
+    edges = src.agg(F.expr(f"percentile(_s, array({pct}))").alias("_e"))
+    cells = (
+        src.crossJoin(F.broadcast(edges))
+        .select(
+            "_s",
+            "_y",
+            F.explode(
+                F.array_distinct(
+                    F.array(*[F.round(F.col("_e")[i], 6) for i in range(k - 1)])
+                )
+            ).alias("threshold"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when((F.col("_s") > F.col("threshold")) & (F.col("_y") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("_s") > F.col("threshold")) & (F.col("_y") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("_s") <= F.col("threshold")) & (F.col("_y") == 1), 1).otherwise(0)).alias("fn"),
+            F.sum(F.when((F.col("_s") <= F.col("threshold")) & (F.col("_y") == 0), 1).otherwise(0)).alias("tn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0.0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return cells.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def pr_curve_sql(
+    source: str,
+    pred_col: str,
+    label_col: str,
+    *,
+    k: int = 10,
+) -> str:
+    """Exact DuckDB twin of :func:`pr_curve`."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    pct = ", ".join(str(i / k) for i in range(1, k))
+    prec = "CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) END"
+    rec = "CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) END"
+    return f"""
+WITH _src AS (
+    SELECT CAST({pred_col} AS DOUBLE) AS _s,
+           CASE WHEN CAST({label_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END AS _y
+    FROM {source}
+    WHERE {pred_col} IS NOT NULL AND {label_col} IS NOT NULL
+), _edges AS (
+    SELECT quantile_cont(_s, [{pct}]) AS _e FROM _src
+), _cells AS (
+    SELECT t.threshold,
+           CAST(SUM(CASE WHEN s._s > t.threshold AND s._y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s._s > t.threshold AND s._y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN s._s <= t.threshold AND s._y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN s._s <= t.threshold AND s._y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM _src s
+    CROSS JOIN (SELECT DISTINCT round(UNNEST(_e), 6) AS threshold FROM _edges) t
+    GROUP BY t.threshold
+)
+SELECT threshold, tp, fp, fn, tn,
+       round({prec}, 6) AS precision,
+       round({rec}, 6) AS recall,
+       round(CASE WHEN ({prec}) IS NOT NULL AND ({rec}) IS NOT NULL
+                   AND ({prec}) + ({rec}) > 0.0
+                  THEN 2.0 * ({prec}) * ({rec}) / (({prec}) + ({rec})) END,
+             6) AS f1
+FROM _cells
+"""

@@ -1077,3 +1077,143 @@ SELECT {gsel}d.event_date, d.y, d.seasonal, d.residual,
            AS is_anomaly
 FROM _dec d JOIN _med m {join_g} JOIN _mad a {join_g}
 """
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Autocorrelation function (SURVEY.md §2 C201): per group and lag
+    1..max_lag, the Pearson correlation of the daily series with itself
+    lagged — the "does this metric have weekly memory" diagnostic that
+    TELLS you which seasonal period C167 should remove (a spike at lag
+    7 = weekday cycle) and whether C109/C135's smoothing has anything
+    to smooth. Computed over the (y_t, y_{t−lag}) pairs aligned by GRID
+    POSITION on the daily frame (gap days simply contribute no pair).
+    Output per (group, lag): ``n_pairs``, ``r`` (NULL when either
+    side's variance is 0).
+
+    Scale shape: one corpus shuffle to (group, date); each lag is a
+    window ``lag()`` over the same group partitioning (one exchange for
+    all lags via a per-row lag explode); sufficient statistics on the
+    DECIMAL grid, so :func:`acf_sql` is exact."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    gcols = list(group_cols or [])
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("_d"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("double")), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("_y"),
+        )
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_d").asc()
+    )
+    lagged = daily.select(
+        *gcols,
+        "_d",
+        "_y",
+        *[F.lag("_y", k).over(w).alias(f"_y{k}") for k in range(1, max_lag + 1)],
+        *[F.lag("_d", k).over(w).alias(f"_d{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = lagged.select(
+        *gcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("_y").alias("_a"),
+                        # pair only when the lagged row is exactly k days
+                        # back on the calendar grid (gaps contribute none)
+                        F.when(
+                            F.datediff(F.col("_d"), F.col(f"_d{k}")) == k,
+                            F.col(f"_y{k}"),
+                        ).alias("_b"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(*gcols, "_p.lag", "_p._a", "_p._b").where(F.col("_b").isNotNull())
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    stats = pairs.groupBy(*gcols, "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(F.col("_a")).alias("_sa"),
+        dec(F.col("_b")).alias("_sb"),
+        dec(F.col("_a") * F.col("_b")).alias("_sab"),
+        dec(F.col("_a") * F.col("_a")).alias("_saa"),
+        dec(F.col("_b") * F.col("_b")).alias("_sbb"),
+    )
+    n = F.col("_n")
+    cov = n * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    va = n * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    vb = n * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    return stats.select(
+        *gcols,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.round(
+            F.when((va > 0.0) & (vb > 0.0), cov / F.sqrt(va * vb)), 6
+        ).alias("r"),
+    )
+
+
+def acf_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`acf` (same calendar-gap pairing, same
+    DECIMAL sufficient statistics)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    on_g = " AND ".join(f"b.{c} = a.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    lags = ", ".join(str(k) for k in range(1, max_lag + 1))
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS _d,
+           CAST(CAST(round(SUM(CAST({value_col} AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS DOUBLE) AS _y
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _pairs AS (
+    SELECT {asel}l.lag, a._y AS _a, b._y AS _b
+    FROM _daily a
+    CROSS JOIN (SELECT UNNEST([{lags}]) AS lag) l
+    JOIN _daily b ON {on_g} AND b._d = a._d - l.lag
+), _stats AS (
+    SELECT {gsel}lag,
+           CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v="_a")} AS _sa,
+           {dec.format(v="_b")} AS _sb,
+           {dec.format(v="_a * _b")} AS _sab,
+           {dec.format(v="_a * _a")} AS _saa,
+           {dec.format(v="_b * _b")} AS _sbb
+    FROM _pairs GROUP BY {gsel}lag
+)
+SELECT {gsel}CAST(lag AS INTEGER) AS lag, CAST(_n AS BIGINT) AS n_pairs,
+       round(CASE WHEN _n * _saa - _sa * _sa > 0.0
+                   AND _n * _sbb - _sb * _sb > 0.0
+                  THEN (_n * _sab - _sa * _sb)
+                       / sqrt((_n * _saa - _sa * _sa) * (_n * _sbb - _sb * _sb))
+             END, 6) AS r
+FROM _stats
+"""

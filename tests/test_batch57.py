@@ -1,0 +1,96 @@
+"""Pins for C201 (autocorrelation function) and C202 (precision/recall
+curve)."""
+
+import math
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import features, timeseries
+
+T0 = DT(2024, 1, 1)
+
+
+def _series(spark, vals):
+    return spark.createDataFrame(
+        [(T0 + TD(days=i), float(v)) for i, v in enumerate(vals)],
+        "ts timestamp, v double",
+    )
+
+
+def test_acf_period2_alternation_is_perfectly_anticorrelated(spark):
+    vals = [10, 20] * 15
+    out = {r["lag"]: r for r in timeseries.acf(
+        _series(spark, vals), "ts", "v", max_lag=2).collect()}
+    assert out[1]["r"] == pytest.approx(-1.0, abs=1e-5)
+    assert out[2]["r"] == pytest.approx(1.0, abs=1e-5)
+    assert out[1]["n_pairs"] == 29 and out[2]["n_pairs"] == 28
+
+
+def test_acf_constant_series_null_and_gap_days_pair_nothing(spark):
+    out = timeseries.acf(_series(spark, [5] * 10), "ts", "v", max_lag=2).collect()
+    assert all(r["r"] is None for r in out)
+    # a gap: days 0,1 then 5,6 -> lag-1 pairs only within each run
+    rows = [(T0, 1.0), (T0 + TD(days=1), 2.0),
+            (T0 + TD(days=5), 3.0), (T0 + TD(days=6), 4.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["lag"]: r for r in timeseries.acf(df, "ts", "v", max_lag=1).collect()}
+    assert out[1]["n_pairs"] == 2  # (d1,d0) and (d6,d5); never across the gap
+    with pytest.raises(ValueError):
+        timeseries.acf(df, "ts", "v", max_lag=0)
+
+
+def test_acf_reference_against_python(spark):
+    vals = [float((i * 7) % 11) for i in range(40)]
+    out = {r["lag"]: r["r"] for r in timeseries.acf(
+        _series(spark, vals), "ts", "v", max_lag=3).collect()}
+    for lag in (1, 2, 3):
+        a = vals[lag:]
+        b = vals[:-lag]
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        cov = n * sum(x * y for x, y in zip(a, b)) - sa * sb
+        va = n * sum(x * x for x in a) - sa * sa
+        vb = n * sum(y * y for y in b) - sb * sb
+        want = cov / math.sqrt(va * vb)
+        assert out[lag] == pytest.approx(want, abs=1e-4)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "s double, y int")
+
+
+def test_pr_curve_perfect_classifier_has_perfect_midpoint(spark):
+    rows = [(float(i) / 100, 0) for i in range(50)] + [
+        (float(50 + i) / 100, 1) for i in range(50)
+    ]
+    out = {r["threshold"]: r for r in features.pr_curve(
+        _scored(spark, rows), "s", "y", k=10).collect()}
+    # at the median threshold (~0.495) the split is exact
+    mid = min(out, key=lambda t: abs(t - 0.495))
+    r = out[mid]
+    assert r["precision"] == pytest.approx(1.0)
+    assert r["recall"] == pytest.approx(1.0)
+    assert r["f1"] == pytest.approx(1.0)
+    assert r["tp"] + r["fn"] == 50 and r["tn"] + r["fp"] == 50
+    # recall is monotone non-increasing as the threshold rises
+    ts = sorted(out)
+    recs = [out[t]["recall"] for t in ts]
+    assert all(b <= a + 1e-9 for a, b in zip(recs, recs[1:]))
+
+
+def test_pr_curve_confusion_counts_always_total_n_and_validation(spark):
+    rows = [(float((i * 13) % 7) / 7, (i * 5) % 3 == 0) for i in range(90)]
+    df = spark.createDataFrame(
+        [(s, int(y)) for s, y in rows], "s double, y int"
+    )
+    out = features.pr_curve(df, "s", "y", k=5).collect()
+    for r in out:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == 90
+        for c in ("precision", "recall", "f1"):
+            if r[c] is not None:
+                assert 0.0 <= r[c] <= 1.0
+    with pytest.raises(ValueError):
+        features.pr_curve(df, "s", "y", k=1)
+    with pytest.raises(ValueError):
+        features.pr_curve_sql("t", "s", "y", k=0)

@@ -6091,6 +6091,29 @@ def _pr_curve_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.pr_curve(src, "pred", "label", k=10)
 
 
+def _ccf_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C203 (annex, EXACT oracle): lead-lag cross-correlation of
+    daily signup volume vs purchase volume at lags −5..5 — calendar-
+    aligned pairing, DECIMAL sufficient statistics."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "ts",
+        (F.col("event_type") == "signup").cast("int").alias("signups"),
+        (F.col("event_type") == "purchase").cast("int").alias("purchases"),
+    )
+    return timeseries.ccf(src, "ts", "signups", "purchases", max_lag=5)
+
+
+def _changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C204 (annex, EXACT oracle): best single mean-shift split of
+    the daily value series per event_type — closed-form costs from one
+    prefix-sum window, earliest-split tiebreak."""
+    _prep(spark, sf_dir)
+    return timeseries.changepoint(
+        spark.table("events"), "ts", "value", group_cols=["event_type"]
+    )
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6373,6 +6396,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-57 components (C201-C202)
         "acf_value_daily": _acf_daily,
         "pr_curve_scores": _pr_curve_purchase,
+        # round-7 batch-58 components (C203-C204)
+        "ccf_signup_purchase": _ccf_signup_purchase,
+        "changepoint_value_daily": _changepoint_daily,
     }
 
 
@@ -6991,6 +7017,17 @@ def pytest_only_oracles() -> dict[str, str]:
             " CASE WHEN (event_id * 29) % 100 < (event_id * 13) % 100"
             " THEN 1 ELSE 0 END AS label FROM events)",
             "pred", "label", k=10,
+        ),
+        # round-7 batch-58 components (C203-C204)
+        "ccf_signup_purchase": timeseries.ccf_sql(
+            "(SELECT ts,"
+            " CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS signups,"
+            " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purchases"
+            " FROM events)",
+            "ts", "signups", "purchases", max_lag=5,
+        ),
+        "changepoint_value_daily": timeseries.changepoint_sql(
+            "events", "ts", "value", group_cols=["event_type"]
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

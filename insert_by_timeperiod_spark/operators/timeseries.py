@@ -1217,3 +1217,298 @@ SELECT {gsel}CAST(lag AS INTEGER) AS lag, CAST(_n AS BIGINT) AS n_pairs,
              END, 6) AS r
 FROM _stats
 """
+
+
+def ccf(
+    df: DataFrame,
+    ts_col: str,
+    col_a: str,
+    col_b: str,
+    *,
+    max_lag: int = 7,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cross-correlation function (SURVEY.md §2 C203): per group and lag
+    −max_lag..max_lag, the Pearson correlation of daily a(t) with
+    b(t−lag) — the lead-lag discovery readout ("signups lead purchases
+    by 2 days" = the peak sits at lag 2); C201's ACF is the a==b
+    diagonal of this. Positive lag = a FOLLOWS b by that many days.
+    Same calendar-gap-aware pairing as the ACF. Output per (group,
+    lag): ``n_pairs``, ``r``.
+
+    Scale shape: one shuffle to the daily frame (both metrics
+    aggregated in the same pass), one window pass emits every lag's
+    pair via a per-row explode; DECIMAL sufficient statistics —
+    :func:`ccf_sql` is exact."""
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    gcols = list(group_cols or [])
+    dsum = lambda c: (
+        F.round(F.sum(F.col(c).cast("double")), 6)
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("_d"))
+        .agg(dsum(col_a).alias("_a"), dsum(col_b).alias("_b"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_d").asc()
+    )
+    lag_cols = []
+    for k in range(1, max_lag + 1):
+        lag_cols += [
+            F.lag("_a", k).over(w).alias(f"_a{k}"),
+            F.lag("_b", k).over(w).alias(f"_b{k}"),
+            F.lag("_d", k).over(w).alias(f"_d{k}"),
+        ]
+    lagged = daily.select(*gcols, "_d", "_a", "_b", *lag_cols)
+
+    def _pair(k: int):
+        # lag k >= 0: a(t) vs b(t-k); negative: a(t-|k|) vs b(t)
+        if k == 0:
+            return F.struct(
+                F.lit(0).alias("lag"), F.col("_a").alias("_x"), F.col("_b").alias("_y")
+            )
+        kk = abs(k)
+        aligned = F.datediff(F.col("_d"), F.col(f"_d{kk}")) == kk
+        if k > 0:
+            return F.struct(
+                F.lit(k).alias("lag"),
+                F.col("_a").alias("_x"),
+                F.when(aligned, F.col(f"_b{kk}")).alias("_y"),
+            )
+        return F.struct(
+            F.lit(k).alias("lag"),
+            F.when(aligned, F.col(f"_a{kk}")).alias("_x"),
+            F.col("_b").alias("_y"),
+        )
+
+    pairs = lagged.select(
+        *gcols,
+        F.explode(
+            F.array(*[_pair(k) for k in range(-max_lag, max_lag + 1)])
+        ).alias("_p"),
+    ).select(*gcols, "_p.lag", "_p._x", "_p._y").where(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    stats = pairs.groupBy(*gcols, "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(F.col("_x")).alias("_sx"),
+        dec(F.col("_y")).alias("_sy"),
+        dec(F.col("_x") * F.col("_y")).alias("_sxy"),
+        dec(F.col("_x") * F.col("_x")).alias("_sxx"),
+        dec(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_n")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return stats.select(
+        *gcols,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.round(
+            F.when((vx > 0.0) & (vy > 0.0), cov / F.sqrt(vx * vy)), 6
+        ).alias("r"),
+    )
+
+
+def ccf_sql(
+    source: str,
+    ts_col: str,
+    col_a: str,
+    col_b: str,
+    *,
+    max_lag: int = 7,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`ccf` (a(t) joined to b(t−lag) on the
+    calendar grid for every lag in −max..max)."""
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    on_g = " AND ".join(f"b.{c} = a.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    lags = ", ".join(str(k) for k in range(-max_lag, max_lag + 1))
+    dv = (
+        "CAST(CAST(round(SUM(CAST({c} AS DOUBLE)), 6) AS DECIMAL(38,6))"
+        " AS DOUBLE)"
+    )
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS _d,
+           {dv.format(c=col_a)} AS _a,
+           {dv.format(c=col_b)} AS _b
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _pairs AS (
+    SELECT {asel}l.lag, a._a AS _x, b._b AS _y
+    FROM _daily a
+    CROSS JOIN (SELECT UNNEST([{lags}]) AS lag) l
+    JOIN _daily b ON {on_g} AND b._d = a._d - l.lag
+), _stats AS (
+    SELECT {gsel}lag,
+           CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v="_x")} AS _sx,
+           {dec.format(v="_y")} AS _sy,
+           {dec.format(v="_x * _y")} AS _sxy,
+           {dec.format(v="_x * _x")} AS _sxx,
+           {dec.format(v="_y * _y")} AS _syy
+    FROM _pairs GROUP BY {gsel}lag
+)
+SELECT {gsel}CAST(lag AS INTEGER) AS lag, CAST(_n AS BIGINT) AS n_pairs,
+       round(CASE WHEN _n * _sxx - _sx * _sx > 0.0
+                   AND _n * _syy - _sy * _sy > 0.0
+                  THEN (_n * _sxy - _sx * _sy)
+                       / sqrt((_n * _sxx - _sx * _sx) * (_n * _syy - _sy * _sy))
+             END, 6) AS r
+FROM _stats
+"""
+
+
+def changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Single changepoint localization (SURVEY.md §2 C204): per group,
+    the split of the daily series that minimizes SSE_left + SSE_right —
+    binary segmentation's first step (Scott & Knott 1974), the "WHEN
+    did the level shift" companion to C137's CUSUM (which detects THAT
+    drift started) and C123's rolling flags. Output per group:
+    ``split_date`` (last day of the left segment), ``mean_left``,
+    ``mean_right``, ``sse_total``, ``sse_split``, ``reduction`` (the
+    fraction of total SSE the split removes; 0 for a flat series).
+    Ties in cost break toward the EARLIEST split. Groups with fewer
+    than 2 days emit nothing (no split exists).
+
+    Scale shape: one shuffle to the daily frame, prefix sums in one
+    ordered window, candidate costs in closed form from the prefixes
+    (never a per-candidate rescan), argmin via one rank window on the
+    same partitioning; DECIMAL-grid prefixes — :func:`changepoint_sql`
+    is exact."""
+    gcols = list(group_cols or [])
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("_d"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("double")), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("_y"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    dec = lambda c: F.round(c, 6).cast("decimal(38,6)")
+    pre = daily.select(
+        *gcols,
+        "_d",
+        F.row_number()
+        .over(
+            Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+                F.col("_d").asc()
+            )
+        )
+        .alias("_i"),
+        F.sum(dec(F.col("_y"))).over(w).cast("double").alias("_cs"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).over(w).cast("double").alias("_css"),
+        F.sum(dec(F.col("_y"))).over(wall).cast("double").alias("_S"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).over(wall).cast("double").alias("_SS"),
+        F.count(F.lit(1)).over(wall).alias("_N"),
+    )
+    cand = pre.where(F.col("_i") < F.col("_N"))
+    i = F.col("_i").cast("double")
+    nr = (F.col("_N") - F.col("_i")).cast("double")
+    sse_l = F.col("_css") - F.col("_cs") * F.col("_cs") / i
+    rs = F.col("_S") - F.col("_cs")
+    rss = F.col("_SS") - F.col("_css")
+    sse_r = rss - rs * rs / nr
+    cost = F.round(sse_l + sse_r, 6)
+    scored = cand.select(
+        *gcols,
+        F.col("_d").alias("split_date"),
+        F.round(F.col("_cs") / i, 6).alias("mean_left"),
+        F.round(rs / nr, 6).alias("mean_right"),
+        F.round(F.col("_SS") - F.col("_S") * F.col("_S") / F.col("_N").cast("double"), 6).alias(
+            "sse_total"
+        ),
+        cost.alias("sse_split"),
+    )
+    wr = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("sse_split").asc(), F.col("split_date").asc()
+    )
+    best = scored.withColumn("_r", F.row_number().over(wr)).where(
+        F.col("_r") == 1
+    ).drop("_r")
+    red = F.when(
+        F.col("sse_total") > 0.0,
+        (F.col("sse_total") - F.col("sse_split")) / F.col("sse_total"),
+    ).otherwise(F.lit(0.0))
+    return best.withColumn("reduction", F.round(red, 6))
+
+
+def changepoint_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`changepoint`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    partb = f"PARTITION BY {g}" if g else ""
+    dec = "CAST(round({v}, 6) AS DECIMAL(38,6))"
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS _d,
+           CAST(CAST(round(SUM(CAST({value_col} AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS DOUBLE) AS _y
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _pre AS (
+    SELECT {gsel}_d,
+           ROW_NUMBER() OVER ({part}ORDER BY _d ASC) AS _i,
+           CAST(SUM({dec.format(v="_y")}) OVER ({part}ORDER BY _d ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS _cs,
+           CAST(SUM({dec.format(v="_y * _y")}) OVER ({part}ORDER BY _d ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS _css,
+           CAST(SUM({dec.format(v="_y")}) OVER ({partb}) AS DOUBLE) AS _S,
+           CAST(SUM({dec.format(v="_y * _y")}) OVER ({partb}) AS DOUBLE) AS _SS,
+           COUNT(*) OVER ({partb}) AS _N
+    FROM _daily
+), _scored AS (
+    SELECT {gsel}_d AS split_date,
+           round(_cs / _i, 6) AS mean_left,
+           round((_S - _cs) / (_N - _i), 6) AS mean_right,
+           round(_SS - _S * _S / CAST(_N AS DOUBLE), 6) AS sse_total,
+           round((_css - _cs * _cs / _i)
+                 + ((_SS - _css) - (_S - _cs) * (_S - _cs) / (_N - _i)),
+                 6) AS sse_split
+    FROM _pre WHERE _i < _N
+), _best AS (
+    SELECT *,
+           ROW_NUMBER() OVER ({part}ORDER BY sse_split ASC, split_date ASC) AS _r
+    FROM _scored
+)
+SELECT {gsel}split_date, mean_left, mean_right, sse_total, sse_split,
+       round(CASE WHEN sse_total > 0.0
+                  THEN (sse_total - sse_split) / sse_total ELSE 0.0 END,
+             6) AS reduction
+FROM _best WHERE _r = 1
+"""

@@ -1,0 +1,75 @@
+"""Pins for C203 (cross-correlation) and C204 (changepoint
+localization)."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import timeseries
+
+T0 = DT(2024, 1, 1)
+
+
+def _two(spark, pairs):
+    return spark.createDataFrame(
+        [(T0 + TD(days=i), float(a), float(b)) for i, (a, b) in enumerate(pairs)],
+        "ts timestamp, a double, b double",
+    )
+
+
+def test_ccf_planted_lead_peaks_at_the_right_lag(spark):
+    # b is a noisy-free copy of a shifted 2 days later: a LEADS b by 2,
+    # i.e. b(t) = a(t-2); peak must sit at lag -2 for (a vs b):
+    # a(t-2) pairs with b(t) -> negative-lag branch
+    base = [float((i * 7) % 13) for i in range(30)]
+    pairs = [(base[i], base[i - 2] if i >= 2 else 0.0) for i in range(30)]
+    out = {r["lag"]: r["r"] for r in timeseries.ccf(
+        _two(spark, pairs), "ts", "a", "b", max_lag=3).collect()}
+    assert out[-2] == pytest.approx(1.0, abs=0.05)
+    assert all(abs(out[k]) < 0.7 for k in out if k != -2)
+
+
+def test_ccf_lag_zero_equals_pearson_and_symmetry_counts(spark):
+    pairs = [(i, 2 * i + 1) for i in range(20)]
+    out = {r["lag"]: r for r in timeseries.ccf(
+        _two(spark, pairs), "ts", "a", "b", max_lag=2).collect()}
+    assert out[0]["r"] == pytest.approx(1.0, abs=1e-5)
+    assert out[0]["n_pairs"] == 20
+    assert out[2]["n_pairs"] == out[-2]["n_pairs"] == 18
+    with pytest.raises(ValueError):
+        timeseries.ccf(_two(spark, pairs), "ts", "a", "b", max_lag=-1)
+
+
+def _series(spark, vals):
+    return spark.createDataFrame(
+        [(T0 + TD(days=i), float(v)) for i, v in enumerate(vals)],
+        "ts timestamp, v double",
+    )
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    vals = [10.0 + (i % 3) for i in range(20)] + [50.0 + (i % 3) for i in range(20)]
+    r = timeseries.changepoint(_series(spark, vals), "ts", "v").collect()[0]
+    assert r["split_date"] == (T0 + TD(days=19)).date()  # last left day
+    assert r["mean_left"] == pytest.approx(11.0, abs=0.1)
+    assert r["mean_right"] == pytest.approx(51.0, abs=0.1)
+    assert r["reduction"] > 0.95
+
+
+def test_changepoint_flat_series_zero_reduction_and_tiny_groups(spark):
+    r = timeseries.changepoint(_series(spark, [7.0] * 10), "ts", "v").collect()[0]
+    assert r["reduction"] == pytest.approx(0.0)
+    assert r["split_date"] == T0.date()  # all costs tie -> earliest split
+    # a single-day group emits nothing
+    assert timeseries.changepoint(_series(spark, [1.0]), "ts", "v").count() == 0
+
+
+def test_changepoint_groups_isolate(spark):
+    rows = [("g1", T0 + TD(days=i), 1.0 if i < 5 else 9.0) for i in range(10)]
+    rows += [("g2", T0 + TD(days=i), 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in timeseries.changepoint(
+        df, "ts", "v", group_cols=["g"]).collect()}
+    assert out["g1"]["split_date"] == (T0 + TD(days=4)).date()
+    assert out["g1"]["reduction"] == pytest.approx(1.0, abs=1e-6)
+    assert out["g2"]["reduction"] == pytest.approx(0.0)

@@ -6114,6 +6114,48 @@ def _changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cuped_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C205 (annex, EXACT oracle): CUPED-adjust each user's
+    second-half value total using their first-half total as the
+    pre-period covariate — pooled θ from one DECIMAL-grid aggregate,
+    scan-stage adjustment."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    half = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.when(half, F.col("value")).otherwise(0.0)), 6).alias(
+            "pre_value"
+        ),
+        F.round(F.sum(F.when(~half, F.col("value")).otherwise(0.0)), 6).alias(
+            "exp_value"
+        ),
+    )
+    return analytics.cuped_adjust(per_user, "exp_value", "pre_value")
+
+
+_CUPED_SRC_DUCK = (
+    "(SELECT user_id,"
+    " round(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value"
+    " ELSE 0.0 END), 6) AS pre_value,"
+    " round(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0.0"
+    " ELSE value END), 6) AS exp_value"
+    " FROM events GROUP BY user_id)"
+)
+
+
+def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
+    deliberately 60/40 event-level assignment against designed 50/50 —
+    must flag (chi2 ≈ 400 at the α=0.001 guardrail)."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        F.when(F.col("user_id") % 10 < 6, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm")
+    )
+    return analytics.srm_check(src, "arm", {"control": 0.5, "treatment": 0.5})
+
+
 _KM_SRC_DUCK = """(
     SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
            date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
@@ -6399,6 +6441,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-58 components (C203-C204)
         "ccf_signup_purchase": _ccf_signup_purchase,
         "changepoint_value_daily": _changepoint_daily,
+        # round-7 batch-59 components (C205-C206)
+        "cuped_user_value": _cuped_user_value,
+        "srm_check_assignment": _srm_assignment,
     }
 
 
@@ -7028,6 +7073,16 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "changepoint_value_daily": timeseries.changepoint_sql(
             "events", "ts", "value", group_cols=["event_type"]
+        ),
+        # round-7 batch-59 components (C205-C206)
+        "cuped_user_value": analytics.cuped_sql(
+            _CUPED_SRC_DUCK, "exp_value", "pre_value",
+            select="user_id, pre_value, exp_value",
+        ),
+        "srm_check_assignment": analytics.srm_sql(
+            "(SELECT CASE WHEN user_id % 10 < 6 THEN 'control'"
+            " ELSE 'treatment' END AS arm FROM events)",
+            "arm", {"control": 0.5, "treatment": 0.5},
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -3025,3 +3025,203 @@ SELECT c.cohort, CAST(c.age_days AS INTEGER) AS age_days, z.n_users,
        round(CAST(c._cum AS DOUBLE) / z.n_users, 6) AS cum_value_per_user
 FROM _curve c JOIN _sizes z ON z.cohort = c.cohort
 """
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    out_col: str = "metric_cuped",
+) -> DataFrame:
+    """CUPED variance reduction (SURVEY.md §2 C205; Deng et al. 2013):
+    y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x) over a PRE-experiment
+    covariate — the standard trick that shrinks A/B metric variance by
+    the covariate's explained share, often halving C118's required
+    sample size. θ and x̄ are computed POOLED (never per experiment
+    arm — per-arm θ reintroduces bias; group_cols here scope separate
+    EXPERIMENTS, not arms). Rows with a NULL covariate keep their raw
+    metric (no adjustment evidence). Output: input rows +
+    ``out_col`` (+ per-group ``theta`` for the readout).
+
+    Scale shape: one map-side-combined aggregate to (n, Σx, Σy, Σxy,
+    Σx²) on the DECIMAL grid per group, joined back group-keyed (1-row
+    broadcast when ungrouped); the adjustment is a scan-stage
+    expression — :func:`cuped_sql` is exact."""
+    gcols = list(group_cols or [])
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    src = df
+    stats = (
+        src.where(x.isNotNull() & y.isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            dec(x).alias("_sx"),
+            dec(y).alias("_sy"),
+            dec(x * y).alias("_sxy"),
+            dec(x * x).alias("_sxx"),
+        )
+    )
+    joined = (
+        src.join(F.broadcast(stats), gcols) if gcols
+        else src.crossJoin(F.broadcast(stats))
+    )
+    varx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    theta = F.when(
+        varx > 0.0,
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / varx,
+    ).otherwise(F.lit(0.0))
+    xbar = F.col("_sx") / F.col("_n")
+    adj = F.when(
+        x.isNotNull() & y.isNotNull(), y - theta * (x - xbar)
+    ).otherwise(y)
+    return joined.withColumn(out_col, F.round(adj, 6)).withColumn(
+        "theta", F.round(theta, 6)
+    ).drop("_n", "_sx", "_sy", "_sxy", "_sxx")
+
+
+def cuped_sql(
+    source: str,
+    metric_col: str,
+    covariate_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    out_col: str = "metric_cuped",
+    select: str = "*",
+) -> str:
+    """Exact DuckDB twin of :func:`cuped_adjust`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    join = f"JOIN _st USING ({g})" if g else "CROSS JOIN _st"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    x = f"CAST({covariate_col} AS DOUBLE)"
+    y = f"CAST({metric_col} AS DOUBLE)"
+    theta = (
+        "CASE WHEN _n * _sxx - _sx * _sx > 0.0 "
+        "THEN (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx) ELSE 0.0 END"
+    )
+    return f"""
+WITH _st AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v=x)} AS _sx,
+           {dec.format(v=y)} AS _sy,
+           {dec.format(v=f"{x} * {y}")} AS _sxy,
+           {dec.format(v=f"{x} * {x}")} AS _sxx
+    FROM {source}
+    WHERE {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {select},
+       round(CASE WHEN {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
+                  THEN {y} - ({theta}) * ({x} - _sx / _n)
+                  ELSE {y} END, 6) AS {out_col},
+       round({theta}, 6) AS theta
+FROM {source} {join}
+"""
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (SURVEY.md §2 C206): chi-square
+    of observed experiment-arm counts against the DESIGNED weights —
+    the first thing to check before reading ANY A/B result (a 50/50
+    experiment landing 52/48 at scale means broken assignment, and
+    every downstream readout, C118/C205 included, is garbage). Output
+    one row per arm: ``arm``, ``n``, ``expected_n``, plus the repeated
+    ``chi2``, ``dof``, ``srm_suspected`` (chi2 above the α=0.001
+    critical value — SRM checks run at paranoid thresholds by
+    convention). Arms observed but not in ``expected`` raise (a typo'd
+    weight table must not silently pass).
+
+    Scale shape: one map-side-combined count aggregate; everything
+    after is arms-sized. Exact integer counts; the chi-square rides
+    the DECIMAL term grid — :func:`srm_sql` is exact."""
+    if not expected:
+        raise ValueError("srm_check: expected weights required")
+    tot_w = sum(expected.values())
+    if tot_w <= 0:
+        raise ValueError("srm_check: weights must sum > 0")
+    # chi-square critical values at alpha=0.001 for dof 1..9
+    crit = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
+            6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877}
+    dof = len(expected) - 1
+    if dof not in crit:
+        raise ValueError(f"srm_check: supports 2..10 arms, got {len(expected)}")
+    counts = (
+        df.where(F.col(arm_col).isNotNull())
+        .groupBy(F.col(arm_col).cast("string").alias("arm"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seen = {r["arm"] for r in counts.select("arm").collect()}
+    unknown = sorted(seen - set(expected))
+    if unknown:
+        raise ValueError(f"srm_check: unexpected arms {unknown}")
+    weights = F.create_map(
+        *[x for a, wgt in sorted(expected.items()) for x in (F.lit(a), F.lit(wgt / tot_w))]
+    )
+    wall = Window.partitionBy()
+    arms = counts.withColumn("_w", weights[F.col("arm")]).withColumn(
+        "_tot", F.sum("n").over(wall)
+    )
+    exp_n = F.col("_w") * F.col("_tot")
+    term = (
+        F.round((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6)
+        .cast("decimal(38,6)")
+    )
+    scored = arms.withColumn("_t", term).withColumn(
+        "chi2", F.round(F.sum("_t").over(wall).cast("double"), 6)
+    )
+    return scored.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.round(exp_n, 6).alias("expected_n"),
+        "chi2",
+        F.lit(dof).alias("dof"),
+        (F.col("chi2") > crit[dof]).alias("srm_suspected"),
+    )
+
+
+def srm_sql(source: str, arm_col: str, expected: dict[str, float]) -> str:
+    """Exact DuckDB twin of :func:`srm_check` (same normalized weights,
+    same DECIMAL term grid, same α=0.001 critical value)."""
+    if not expected:
+        raise ValueError("srm_sql: expected weights required")
+    tot_w = sum(expected.values())
+    if tot_w <= 0:
+        raise ValueError("srm_sql: weights must sum > 0")
+    crit = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
+            6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877}
+    dof = len(expected) - 1
+    if dof not in crit:
+        raise ValueError(f"srm_sql: supports 2..10 arms, got {len(expected)}")
+    wmap = " ".join(
+        f"WHEN '{a}' THEN CAST({wgt / tot_w!r} AS DOUBLE)"
+        for a, wgt in sorted(expected.items())
+    )
+    return f"""
+WITH _counts AS (
+    SELECT CAST({arm_col} AS VARCHAR) AS arm, COUNT(*) AS n
+    FROM {source} WHERE {arm_col} IS NOT NULL
+    GROUP BY CAST({arm_col} AS VARCHAR)
+), _rich AS (
+    SELECT arm, n,
+           (CASE arm {wmap} END) * SUM(n) OVER () AS _en
+    FROM _counts
+), _terms AS (
+    SELECT *, CAST(round((n - _en) * (n - _en) / _en, 6) AS DECIMAL(38,6)) AS _t
+    FROM _rich
+)
+SELECT arm, CAST(n AS BIGINT) AS n, round(_en, 6) AS expected_n,
+       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) AS chi2,
+       {dof} AS dof,
+       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) > {crit[dof]!r} AS srm_suspected
+FROM _terms
+"""

@@ -1,0 +1,75 @@
+"""Pins for C205 (CUPED variance reduction) and C206 (sample-ratio
+mismatch)."""
+
+import math
+import statistics
+
+import pytest
+
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "x double, y double")
+
+
+def test_cuped_reduces_variance_when_covariate_correlates(spark):
+    # y = x + small deterministic noise: covariate explains most variance
+    rows = [(float(i), float(i) + (i * 7 % 5) / 10.0) for i in range(100)]
+    out = analytics.cuped_adjust(_xy(spark, rows), "y", "x").collect()
+    raw = [r["y"] for r in out]
+    adj = [r["metric_cuped"] for r in out]
+    assert statistics.pvariance(adj) < 0.05 * statistics.pvariance(raw)
+    # the adjustment preserves the mean (x̄-centering)
+    assert statistics.mean(adj) == pytest.approx(statistics.mean(raw), abs=1e-3)
+    # theta ~ cov/var = 1 here
+    assert out[0]["theta"] == pytest.approx(1.0, abs=0.05)
+
+
+def test_cuped_uncorrelated_covariate_is_noop_and_null_passthrough(spark):
+    rows = [(float(i % 2), float((i * 13) % 7)) for i in range(80)]
+    out = analytics.cuped_adjust(_xy(spark, rows), "y", "x").collect()
+    adj = [r["metric_cuped"] for r in out]
+    raw = [r["y"] for r in out]
+    assert statistics.pvariance(adj) >= 0.8 * statistics.pvariance(raw)
+    rows = [(None, 5.0), (1.0, 3.0), (2.0, 4.0)]
+    out = {r["y"]: r for r in analytics.cuped_adjust(
+        _xy(spark, rows), "y", "x").collect()}
+    assert out[5.0]["metric_cuped"] == 5.0  # NULL covariate: raw metric kept
+
+
+def _arms(spark, counts):
+    rows = [(a,) for a, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "arm string")
+
+
+def test_srm_balanced_passes_and_imbalanced_flags(spark):
+    ok = analytics.srm_check(
+        _arms(spark, {"control": 500, "treatment": 510}), "arm",
+        {"control": 0.5, "treatment": 0.5},
+    ).collect()
+    assert not ok[0]["srm_suspected"]
+    assert ok[0]["dof"] == 1
+    bad = analytics.srm_check(
+        _arms(spark, {"control": 600, "treatment": 400}), "arm",
+        {"control": 0.5, "treatment": 0.5},
+    ).collect()
+    assert bad[0]["srm_suspected"]
+    assert bad[0]["chi2"] == pytest.approx(40.0, abs=0.1)  # (100^2/500)*2
+
+
+def test_srm_unequal_design_weights_and_contracts(spark):
+    # a 90/10 design that lands 90/10 is healthy
+    out = {r["arm"]: r for r in analytics.srm_check(
+        _arms(spark, {"a": 900, "b": 100}), "arm", {"a": 0.9, "b": 0.1}
+    ).collect()}
+    assert out["a"]["expected_n"] == pytest.approx(900.0)
+    assert not out["a"]["srm_suspected"]
+    with pytest.raises(ValueError, match="unexpected arms"):
+        analytics.srm_check(
+            _arms(spark, {"a": 10, "typo": 10}), "arm", {"a": 0.5, "b": 0.5}
+        )
+    with pytest.raises(ValueError):
+        analytics.srm_check(_arms(spark, {"a": 10}), "arm", {})
+    with pytest.raises(ValueError):
+        analytics.srm_check(_arms(spark, {"a": 10}), "arm", {"a": 1.0})  # 1 arm

@@ -3065,18 +3065,25 @@ def cuped_adjust(
             dec(x * x).alias("_sxx"),
         )
     )
-    joined = (
-        src.join(F.broadcast(stats), gcols) if gcols
-        else src.crossJoin(F.broadcast(stats))
-    )
+    # LEFT join: a group with zero valid (covariate, metric) pairs has
+    # no stats row — its rows must still pass through with theta=0 and
+    # the raw metric (the documented NULL-covariate contract), not be
+    # dropped by an inner join.
+    if gcols:
+        joined = src.join(F.broadcast(stats), gcols, "left")
+    else:
+        joined = src.withColumn("_cj", F.lit(1)).join(
+            F.broadcast(stats.withColumn("_cj", F.lit(1))), "_cj", "left"
+        ).drop("_cj")
     varx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     theta = F.when(
-        varx > 0.0,
+        F.col("_n").isNotNull() & (varx > 0.0),
         (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / varx,
     ).otherwise(F.lit(0.0))
     xbar = F.col("_sx") / F.col("_n")
     adj = F.when(
-        x.isNotNull() & y.isNotNull(), y - theta * (x - xbar)
+        x.isNotNull() & y.isNotNull() & F.col("_n").isNotNull(),
+        y - theta * (x - xbar),
     ).otherwise(y)
     return joined.withColumn(out_col, F.round(adj, 6)).withColumn(
         "theta", F.round(theta, 6)
@@ -3097,12 +3104,12 @@ def cuped_sql(
     g = ", ".join(gcols)
     gsel = f"{g}, " if g else ""
     grp = f"GROUP BY {g}" if g else ""
-    join = f"JOIN _st USING ({g})" if g else "CROSS JOIN _st"
+    join = f"LEFT JOIN _st USING ({g})" if g else "LEFT JOIN _st ON TRUE"
     dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
     x = f"CAST({covariate_col} AS DOUBLE)"
     y = f"CAST({metric_col} AS DOUBLE)"
     theta = (
-        "CASE WHEN _n * _sxx - _sx * _sx > 0.0 "
+        "CASE WHEN _n IS NOT NULL AND _n * _sxx - _sx * _sx > 0.0 "
         "THEN (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx) ELSE 0.0 END"
     )
     return f"""
@@ -3118,6 +3125,7 @@ WITH _st AS (
 )
 SELECT {select},
        round(CASE WHEN {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
+                       AND _n IS NOT NULL
                   THEN {y} - ({theta}) * ({x} - _sx / _n)
                   ELSE {y} END, 6) AS {out_col},
        round({theta}, 6) AS theta
@@ -3164,12 +3172,18 @@ def srm_check(
     unknown = sorted(seen - set(expected))
     if unknown:
         raise ValueError(f"srm_check: unexpected arms {unknown}")
-    weights = F.create_map(
-        *[x for a, wgt in sorted(expected.items()) for x in (F.lit(a), F.lit(wgt / tot_w))]
+    # Right-join observed counts against the FULL designed-arm set: an
+    # arm that received ZERO traffic is the worst possible mismatch and
+    # must contribute its (0-E)^2/E term rather than silently vanish.
+    designed = df.sparkSession.createDataFrame(
+        [(a, wgt / tot_w) for a, wgt in sorted(expected.items())],
+        "arm string, _w double",
     )
     wall = Window.partitionBy()
-    arms = counts.withColumn("_w", weights[F.col("arm")]).withColumn(
-        "_tot", F.sum("n").over(wall)
+    arms = (
+        designed.join(counts, "arm", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("_tot", F.sum("n").over(wall))
     )
     exp_n = F.col("_w") * F.col("_tot")
     term = (
@@ -3202,19 +3216,21 @@ def srm_sql(source: str, arm_col: str, expected: dict[str, float]) -> str:
     dof = len(expected) - 1
     if dof not in crit:
         raise ValueError(f"srm_sql: supports 2..10 arms, got {len(expected)}")
-    wmap = " ".join(
-        f"WHEN '{a}' THEN CAST({wgt / tot_w!r} AS DOUBLE)"
+    designed = ", ".join(
+        f"('{a}', CAST({wgt / tot_w!r} AS DOUBLE))"
         for a, wgt in sorted(expected.items())
     )
     return f"""
-WITH _counts AS (
+WITH _designed(arm, _w) AS (
+    VALUES {designed}
+), _counts AS (
     SELECT CAST({arm_col} AS VARCHAR) AS arm, COUNT(*) AS n
     FROM {source} WHERE {arm_col} IS NOT NULL
     GROUP BY CAST({arm_col} AS VARCHAR)
 ), _rich AS (
-    SELECT arm, n,
-           (CASE arm {wmap} END) * SUM(n) OVER () AS _en
-    FROM _counts
+    SELECT d.arm, COALESCE(c.n, 0) AS n,
+           d._w * SUM(COALESCE(c.n, 0)) OVER () AS _en
+    FROM _designed d LEFT JOIN _counts c ON c.arm = d.arm
 ), _terms AS (
     SELECT *, CAST(round((n - _en) * (n - _en) / _en, 6) AS DECIMAL(38,6)) AS _t
     FROM _rich

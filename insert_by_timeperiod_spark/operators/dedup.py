@@ -1412,20 +1412,25 @@ def stitch_identities(
     it back per identifier column to canonicalize fact rows. NULL
     identifiers never link (a missing id is not evidence).
 
-    Scale shape: edges are adjacent-column pairs per row (k−1 per row,
-    not k²), one distinct; then min-label propagation in O(diameter)
-    localCheckpointed rounds. The twin replays the closure as a
-    recursive CTE — exact."""
+    Scale shape: edges are a STAR per row — each non-null id links to
+    the row's FIRST non-null id (O(k) per row, not k², and immune to
+    NULL middle columns splitting the row: user_id set, device_id NULL,
+    email set still links user↔email), one distinct; then min-label
+    propagation in O(diameter) localCheckpointed rounds. The twin
+    replays the closure as a recursive CTE — exact."""
     if len(id_cols) < 2:
         raise ValueError("stitch_identities: need >= 2 id columns")
 
     def _ns(c: str):
         return F.concat(F.lit(c + ":"), F.col(c).cast("string"))
 
+    hub = F.coalesce(*[_ns(c) for c in id_cols])
     pairs = None
-    for a, b in zip(id_cols, id_cols[1:]):
-        p = df.where(F.col(a).isNotNull() & F.col(b).isNotNull()).select(
-            _ns(a).alias("id_a"), _ns(b).alias("id_b")
+    for c in id_cols:
+        p = (
+            df.where(F.col(c).isNotNull())
+            .select(hub.alias("id_a"), _ns(c).alias("id_b"))
+            .where(F.col("id_a") != F.col("id_b"))
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     mapping = connected_components(pairs.distinct(), max_iter=max_iter)
@@ -1442,11 +1447,15 @@ def stitch_identities_sql(source: str, id_cols: list[str]) -> str:
     node taking its component's minimum label."""
     if len(id_cols) < 2:
         raise ValueError("stitch_identities_sql: need >= 2 id columns")
+    hub = "COALESCE(" + ", ".join(
+        f"'{c}:' || CAST({c} AS VARCHAR)" for c in id_cols
+    ) + ")"
     branches = "\nUNION\n".join(
-        f"""SELECT '{a}:' || CAST({a} AS VARCHAR) AS id_a,
-       '{b}:' || CAST({b} AS VARCHAR) AS id_b
-FROM {source} WHERE {a} IS NOT NULL AND {b} IS NOT NULL"""
-        for a, b in zip(id_cols, id_cols[1:])
+        f"""SELECT {hub} AS id_a,
+       '{c}:' || CAST({c} AS VARCHAR) AS id_b
+FROM {source}
+WHERE {c} IS NOT NULL AND {hub} <> '{c}:' || CAST({c} AS VARCHAR)"""
+        for c in id_cols
     )
     return f"""
 WITH RECURSIVE _edges AS (

@@ -31,6 +31,8 @@ Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 _UNITS = {"day": "1 day", "week": "1 week", "month": "1 month"}
@@ -1093,13 +1095,14 @@ def acf(
     TELLS you which seasonal period C167 should remove (a spike at lag
     7 = weekday cycle) and whether C109/C135's smoothing has anything
     to smooth. Computed over the (y_t, y_{t−lag}) pairs aligned by GRID
-    POSITION on the daily frame (gap days simply contribute no pair).
+    POSITION on the daily frame (gap days simply contribute no pair —
+    but a pair k calendar days apart ACROSS a gap still counts).
     Output per (group, lag): ``n_pairs``, ``r`` (NULL when either
     side's variance is 0).
 
-    Scale shape: one corpus shuffle to (group, date); each lag is a
-    window ``lag()`` over the same group partitioning (one exchange for
-    all lags via a per-row lag explode); sufficient statistics on the
+    Scale shape: one corpus shuffle to (group, date); all lags pair in
+    ONE calendar self-join of the tiny daily frame (rows = group-days ×
+    max_lag, shuffled on (group, date)); sufficient statistics on the
     DECIMAL grid, so :func:`acf_sql` is exact."""
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
@@ -1114,36 +1117,28 @@ def acf(
             .alias("_y"),
         )
     )
-    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
-        F.col("_d").asc()
-    )
-    lagged = daily.select(
+    # Pair on the CALENDAR grid via a per-lag self-join of the daily
+    # frame (mirroring the SQL twin's b._d = a._d - lag): a row-offset
+    # lag() misses pairs separated by gaps (days {1,2,4} must still
+    # pair (4,2) at lag 2 even though an intermediate day is absent).
+    left = daily.select(
         *gcols,
         "_d",
-        "_y",
-        *[F.lag("_y", k).over(w).alias(f"_y{k}") for k in range(1, max_lag + 1)],
-        *[F.lag("_d", k).over(w).alias(f"_d{k}") for k in range(1, max_lag + 1)],
-    )
-    pairs = lagged.select(
-        *gcols,
+        F.col("_y").alias("_a"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("lag"),
-                        F.col("_y").alias("_a"),
-                        # pair only when the lagged row is exactly k days
-                        # back on the calendar grid (gaps contribute none)
-                        F.when(
-                            F.datediff(F.col("_d"), F.col(f"_d{k}")) == k,
-                            F.col(f"_y{k}"),
-                        ).alias("_b"),
-                    )
-                    for k in range(1, max_lag + 1)
-                ]
-            )
-        ).alias("_p"),
-    ).select(*gcols, "_p.lag", "_p._a", "_p._b").where(F.col("_b").isNotNull())
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("_dprev", F.date_sub(F.col("_d"), F.col("lag")))
+    right = daily.select(
+        *[F.col(c).alias(f"_r_{c}") for c in gcols],
+        F.col("_d").alias("_rd"),
+        F.col("_y").alias("_b"),
+    )
+    cond = [F.col(c).eqNullSafe(F.col(f"_r_{c}")) for c in gcols]
+    cond.append(F.col("_dprev") == F.col("_rd"))
+    pairs = left.join(right, functools.reduce(lambda a, b: a & b, cond)).select(
+        *gcols, "lag", "_a", "_b"
+    )
     dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
     stats = pairs.groupBy(*gcols, "lag").agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
@@ -1237,8 +1232,8 @@ def ccf(
     lag): ``n_pairs``, ``r``.
 
     Scale shape: one shuffle to the daily frame (both metrics
-    aggregated in the same pass), one window pass emits every lag's
-    pair via a per-row explode; DECIMAL sufficient statistics —
+    aggregated in the same pass); all lags pair in ONE calendar
+    self-join of that tiny frame; DECIMAL sufficient statistics —
     :func:`ccf_sql` is exact."""
     if max_lag < 0:
         raise ValueError(f"max_lag must be >= 0, got {max_lag}")
@@ -1253,45 +1248,27 @@ def ccf(
         .groupBy(*gcols, F.col(ts_col).cast("date").alias("_d"))
         .agg(dsum(col_a).alias("_a"), dsum(col_b).alias("_b"))
     )
-    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
-        F.col("_d").asc()
-    )
-    lag_cols = []
-    for k in range(1, max_lag + 1):
-        lag_cols += [
-            F.lag("_a", k).over(w).alias(f"_a{k}"),
-            F.lag("_b", k).over(w).alias(f"_b{k}"),
-            F.lag("_d", k).over(w).alias(f"_d{k}"),
-        ]
-    lagged = daily.select(*gcols, "_d", "_a", "_b", *lag_cols)
-
-    def _pair(k: int):
-        # lag k >= 0: a(t) vs b(t-k); negative: a(t-|k|) vs b(t)
-        if k == 0:
-            return F.struct(
-                F.lit(0).alias("lag"), F.col("_a").alias("_x"), F.col("_b").alias("_y")
-            )
-        kk = abs(k)
-        aligned = F.datediff(F.col("_d"), F.col(f"_d{kk}")) == kk
-        if k > 0:
-            return F.struct(
-                F.lit(k).alias("lag"),
-                F.col("_a").alias("_x"),
-                F.when(aligned, F.col(f"_b{kk}")).alias("_y"),
-            )
-        return F.struct(
-            F.lit(k).alias("lag"),
-            F.when(aligned, F.col(f"_a{kk}")).alias("_x"),
-            F.col("_b").alias("_y"),
-        )
-
-    pairs = lagged.select(
+    # Calendar self-join per lag (matching the SQL twin's
+    # b._d = a._d - lag): a(t) pairs with b(t-lag) whenever BOTH
+    # calendar dates exist, regardless of intervening gaps — a
+    # row-offset lag() understates n_pairs on any gapped series.
+    left = daily.select(
         *gcols,
+        "_d",
+        F.col("_a").alias("_x"),
         F.explode(
-            F.array(*[_pair(k) for k in range(-max_lag, max_lag + 1)])
-        ).alias("_p"),
-    ).select(*gcols, "_p.lag", "_p._x", "_p._y").where(
-        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+            F.array(*[F.lit(k) for k in range(-max_lag, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("_dprev", F.date_sub(F.col("_d"), F.col("lag")))
+    right = daily.select(
+        *[F.col(c).alias(f"_r_{c}") for c in gcols],
+        F.col("_d").alias("_rd"),
+        F.col("_b").alias("_y"),
+    )
+    cond = [F.col(c).eqNullSafe(F.col(f"_r_{c}")) for c in gcols]
+    cond.append(F.col("_dprev") == F.col("_rd"))
+    pairs = left.join(right, functools.reduce(lambda a, b: a & b, cond)).select(
+        *gcols, "lag", "_x", "_y"
     )
     dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
     stats = pairs.groupBy(*gcols, "lag").agg(

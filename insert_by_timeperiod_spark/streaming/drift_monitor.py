@@ -67,6 +67,11 @@ class DriftMonitorStream:
             counts.withColumn("batch_id", F.lit(int(batch_id)))
             .repartition(1)
             .write.mode("overwrite")
+            # enforce dynamic partition overwrite LOCALLY: on a session
+            # left at Spark's default (static), mode('overwrite') would
+            # truncate the whole state dir each micro-batch, silently
+            # zeroing every prior batch's bin counts
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(self.state_path)
         )

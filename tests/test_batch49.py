@@ -36,9 +36,9 @@ def test_stitch_three_columns_and_null_never_links(spark):
     out = {(r["id_type"], r["id_value"]): r["entity_id"]
            for r in dedup.stitch_identities(df, ["u", "d", "m"]).collect()}
     assert out[("u", "1")] == out[("u", "2")]
-    # user 3 has no device; its email edge comes only from (d, m) pairs,
-    # which need BOTH non-null -> user 3 row contributes no edges at all
-    assert ("u", "3") not in out
+    # user 3 has no device, but a NULL middle column must NOT split the
+    # row: its email still links (star edges to the first non-null id)
+    assert out[("u", "3")] == out[("m", "y@e")]
     assert out[("u", "4")] == out[("d", "C")]
     with pytest.raises(ValueError):
         dedup.stitch_identities(df, ["u"])

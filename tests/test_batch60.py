@@ -1,0 +1,163 @@
+"""Round-8 advice regressions: SRM zero-traffic arms, CUPED empty-group
+passthrough, ACF/CCF calendar-gap pairing, drift-monitor static-mode
+replay, identity-stitch NULL-middle-column linking."""
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics, dedup, timeseries
+from insert_by_timeperiod_spark.streaming.drift_monitor import DriftMonitorStream
+
+
+def _arms(spark, counts):
+    rows = [(a,) for a, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "arm string")
+
+
+def test_srm_zero_traffic_arm_contributes_its_term(spark):
+    # design {a,b,c: 1/3} with c receiving ZERO rows — the most broken
+    # assignment possible must flag, not silently drop c's term
+    out = {r["arm"]: r for r in analytics.srm_check(
+        _arms(spark, {"a": 30, "b": 30}), "arm",
+        {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3},
+    ).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"]["n"] == 0
+    assert out["c"]["expected_n"] == pytest.approx(20.0)
+    # chi2 = 2 * (30-20)^2/20 + (0-20)^2/20 = 5 + 5 + 20 = 30
+    assert out["a"]["chi2"] == pytest.approx(30.0, abs=1e-6)
+    assert out["a"]["dof"] == 2
+    assert out["a"]["srm_suspected"]  # 30 > 13.816
+
+
+def test_srm_zero_arm_matches_sql_twin(spark):
+    df = _arms(spark, {"a": 30, "b": 30})
+    got = analytics.srm_check(df, "arm", {"a": 1/3, "b": 1/3, "c": 1/3})
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(["('a')"] * 30 + ["('b')"] * 30)
+        + ") v(arm)"
+    )
+    sql = analytics.srm_sql("t", "arm", {"a": 1/3, "b": 1/3, "c": 1/3})
+    assert_df_matches_duck(got, con, sql)
+    con.close()
+
+
+def test_cuped_group_with_no_valid_pairs_passes_through(spark):
+    # group g2 has NULL covariates everywhere: its rows must survive
+    # with the raw metric and theta=0, never be dropped by the join
+    rows = [("g1", 1.0, 2.0), ("g1", 2.0, 4.0),
+            ("g2", None, 7.0), ("g2", None, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = analytics.cuped_adjust(df, "y", "x", group_cols=["g"]).collect()
+    assert len(out) == 4
+    g2 = {r["y"]: r for r in out if r["g"] == "g2"}
+    assert g2[7.0]["metric_cuped"] == 7.0
+    assert g2[9.0]["metric_cuped"] == 9.0
+    assert g2[7.0]["theta"] == 0.0
+
+
+def test_cuped_empty_group_matches_sql_twin(spark):
+    rows = [("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 5.5),
+            ("g2", None, 7.0), ("g2", None, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = analytics.cuped_adjust(df, "y", "x", group_cols=["g"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(g VARCHAR, x DOUBLE, y DOUBLE); INSERT INTO t VALUES "
+        "('g1',1.0,2.0),('g1',2.0,4.0),('g1',3.0,5.5),"
+        "('g2',NULL,7.0),('g2',NULL,9.0)"
+    )
+    sql = analytics.cuped_sql("t", "y", "x", group_cols=["g"],
+                              select="g, x, y")
+    assert_df_matches_duck(got, con, sql)
+    con.close()
+
+
+def test_cuped_ungrouped_all_null_covariate_keeps_rows(spark):
+    # ungrouped + zero valid pairs: the old CROSS JOIN to an empty
+    # stats frame returned zero rows
+    rows = [(None, 7.0), (None, 9.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = analytics.cuped_adjust(df, "y", "x").collect()
+    assert sorted(r["metric_cuped"] for r in out) == [7.0, 9.0]
+
+
+def _daily(spark, days):
+    rows = [(dt.datetime(2024, 1, d, 12, 0), float(d), float(10 - d))
+            for d in days]
+    return spark.createDataFrame(rows, "ts timestamp, a double, b double")
+
+
+def test_ccf_pairs_across_calendar_gaps(spark):
+    # days {1,2,4}: lag 2 must pair (4,2) even though day 3 is absent
+    out = {r["lag"]: r["n_pairs"] for r in timeseries.ccf(
+        _daily(spark, [1, 2, 4]), "ts", "a", "b", max_lag=2).collect()}
+    assert out == {-2: 1, -1: 1, 0: 3, 1: 1, 2: 1}
+
+
+def test_acf_pairs_across_calendar_gaps_and_matches_twin(spark):
+    df = _daily(spark, [1, 2, 4, 5, 9])
+    out = {r["lag"]: r["n_pairs"] for r in timeseries.acf(
+        df, "ts", "a", max_lag=4).collect()}
+    # lag1: (2,1),(5,4); lag2: (4,2); lag3: (4,1),(5,2); lag4: (5,1),(9,5)
+    assert out == {1: 2, 2: 1, 3: 2, 4: 2}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(TIMESTAMP '2024-01-{d:02d} 12:00:00', {float(d)}, {float(10-d)})"
+            for d in [1, 2, 4, 5, 9]
+        )
+        + ") v(ts, a, b)"
+    )
+    assert_df_matches_duck(
+        timeseries.acf(df, "ts", "a", max_lag=4), con,
+        timeseries.acf_sql("t", "ts", "a", max_lag=4))
+    assert_df_matches_duck(
+        timeseries.ccf(df, "ts", "a", "b", max_lag=3), con,
+        timeseries.ccf_sql("t", "ts", "a", "b", max_lag=3))
+    con.close()
+
+
+def test_drift_monitor_replay_survives_static_overwrite_mode(spark, tmp_path):
+    # the writer must enforce dynamic partition overwrite itself: on a
+    # session left at Spark's default (static), a second micro-batch
+    # used to truncate the whole state table
+    base = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+    mon = DriftMonitorStream(spark, base, "v", str(tmp_path / "state"), k=4)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        mon.process_batch(base.limit(40), 0)
+        mon.process_batch(base.limit(60), 1)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert set(r["batch_id"] for r in state.select("batch_id").distinct().collect()) == {0, 1}
+    total = state.agg(F.sum("_c")).collect()[0][0]
+    assert total == 100
+
+
+def test_stitch_links_across_null_middle_column_and_matches_twin(spark):
+    rows = [(1, None, "x@e"), (2, "B", "x@e"), (3, "B", None)]
+    df = spark.createDataFrame(rows, "u int, d string, m string")
+    out = {(r["id_type"], r["id_value"]): r["entity_id"]
+           for r in dedup.stitch_identities(df, ["u", "d", "m"]).collect()}
+    # u:1 links via email to u:2, which links via device to u:3
+    assert out[("u", "1")] == out[("u", "2")] == out[("u", "3")]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(u INT, d VARCHAR, m VARCHAR); INSERT INTO t VALUES "
+        "(1,NULL,'x@e'),(2,'B','x@e'),(3,'B',NULL)"
+    )
+    assert_df_matches_duck(
+        dedup.stitch_identities(df, ["u", "d", "m"]), con,
+        dedup.stitch_identities_sql("t", ["u", "d", "m"]))
+    con.close()

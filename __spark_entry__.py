@@ -2297,6 +2297,39 @@ def _txn_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table.read()
 
 
+def _txn_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C122 (EXACT oracle): small-file OPTIMIZE compaction on the
+    commit-log backend — the daily aggregate lands in FOUR interleaved
+    append commits (every date partition fragments to ~4 files, exactly
+    how per-period streaming ingest accrues the small-file problem), then
+    ``optimize(min_files=2)`` rewrites each fragmented partition in one
+    atomic commit. The oracle checks rows are byte-identical AND that
+    compaction actually happened: ``max_files_per_partition`` must read
+    1 afterwards (a no-op optimize mismatches on that column)."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_opt_"), "t")
+    t = TxnLogTable(spark, tgt)
+    daily = spark.sql(
+        """
+        SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+        """
+    )
+    t.create(daily.where(F.pmod(F.col("user_id"), F.lit(4)) == 0), "event_date")
+    for i in range(1, 4):
+        t.append(daily.where(F.pmod(F.col("user_id"), F.lit(4)) == i))
+    t.optimize(min_files=2)
+    max_files = max(t.partition_file_counts().values())
+    return t.read().select(
+        "user_id",
+        "event_date",
+        "n",
+        F.lit(int(max_files)).alias("max_files_per_partition"),
+    )
+
+
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -6214,6 +6247,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "drift_terms_lang": _drift_terms,
         "drift_js_lang": _drift_js,
         "txnlog_vacuum": _txn_vacuum,
+        "txnlog_optimize": _txn_optimize,
         "pipeline_curate_v2": _pipeline_v2,
         "table_profile_docs": _profile_docs,
         "zorder_values": _zorder_events,
@@ -6482,6 +6516,11 @@ def pytest_only_oracles() -> dict[str, str]:
         "drift_terms_lang": drift.drift_terms_sql(_DRIFT_A, _DRIFT_B, top_n=20),
         "drift_js_lang": drift.js_divergence_sql(_DRIFT_A, _DRIFT_B),
         "txnlog_vacuum": ORACLE_DAILY.format(start=START, stop=STOP),
+        "txnlog_optimize": """
+            SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+                   1 AS max_files_per_partition
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        """,
         "pipeline_curate_v2": _pipeline_v2_duck(),
         "table_profile_docs": profile.profile_sql(
             "documents", _PROFILE_COLS,

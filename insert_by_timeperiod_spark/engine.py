@@ -403,12 +403,18 @@ class InsertByTimeperiod:
         else:
             # resume point: explicit coverage watermark; for tables predating
             # it, fall back to the reference's data-derived probe
-            # MAX(timestamp_field)+1day (A8, helpers.sql:118-124)
+            # MAX(timestamp_field)+1day (A8, helpers.sql:118-124). Partition
+            # values ARE to_date(timestamp_field) (design rule §7.4), so the
+            # probe reads partition METADATA — O(partitions) listing, never a
+            # table scan, at any size. Only a dateless table (empty, or the
+            # NULL partition alone) falls through to the data scan.
             wm = self.table.watermark
             if wm is None:
-                max_ts = self.table.max_value(self.config.timestamp_field)
-                max_date = max_ts.date() if isinstance(max_ts, dt.datetime) else max_ts
-                wm = max_date + dt.timedelta(days=1) if max_date else None
+                # no date partitions = every row (if any) sits in the NULL
+                # partition with to_date(timestamp_field) NULL, so the scan
+                # the reference runs could only return NULL anyway
+                pdates = self.table.partition_dates()
+                wm = max(pdates) + dt.timedelta(days=1) if pdates else None
             todo = pending_from_watermark(grid, wm)
 
         # commit batching: group N contiguous periods into ONE job + ONE

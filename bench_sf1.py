@@ -147,6 +147,15 @@ QUERIES = [
     "variant_props_events",
     "jsonl_export_roundtrip",
     "stream_cdc_apply",
+    # round-7 batch-57+ operators: temporal diagnostics (ACF/CCF on the
+    # tiny daily frame — the measured cost is the corpus shuffle to it),
+    # changepoint localization, the PR curve, CUPED and the SRM guardrail
+    "acf_value_daily",
+    "ccf_signup_purchase",
+    "changepoint_value_daily",
+    "pr_curve_scores",
+    "cuped_user_value",
+    "srm_check_assignment",
 ]
 
 

@@ -1,0 +1,37 @@
+"""Event/product analytics over the engine's tables (SURVEY.md §2
+C59-C62): ordered funnel conversion, cohort retention, robust period
+anomaly detection, and per-key linear trends — the observability queries a
+team runs ON the tables this engine materializes (the reference's README
+positions its models exactly as event/usage tables; these are the standard
+readouts on top).
+
+Scale shapes (one corpus-sized shuffle each, everything downstream runs on
+aggregated rows):
+- ``funnel``: each step is a per-user MIN aggregate joined user-keyed to
+  the previous step's survivors — the events side is filtered to one step
+  type in the scan stage, the survivors side shrinks monotonically. Step
+  frontiers are materialized once each (two consumers: the count and the
+  next join).
+- ``retention_cohorts``: one per-user MIN aggregate (cohort), one
+  corpus shuffle by user to attach it, one count-distinct aggregate.
+- ``period_anomalies``: per-bucket counts are the only corpus pass; the
+  median/MAD robust statistics reduce over the tiny bucket table and ride
+  back as 1-row broadcasts (median absolute deviation z-score, the
+  distribution-free spike/drop alarm — Iglewicz & Hoaglin 1993).
+- ``linear_trend``: closed-form OLS per key from sufficient statistics
+  (n, Σx, Σy, Σxy, Σx², Σy²) in ONE map-side-combined aggregate — no
+  iteration, no driver math. Sums ride as DECIMAL over 6-decimal-rounded
+  terms, so they are order-independent and the DuckDB twins are exact.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+from ._util import _q, _UNIT_DAYS  # noqa: F401
+from .growth import funnel, funnel_sql, retention_cohorts, retention_sql, event_transitions, event_transitions_sql, association_rules, association_rules_sql, attribution, attribution_sql, daily_actives, daily_actives_sql, time_to_convert, time_to_convert_sql, rfm_segments, rfm_segments_sql, time_to_nth_event, time_to_nth_sql, rolling_actives, rolling_actives_sql, ltv_curve, ltv_curve_sql  # noqa: F401
+from .experiments import ab_test, ab_test_sql, bootstrap_mean_ci, bootstrap_mean_ci_sql, chi2_independence, chi2_independence_sql, bh_adjust, bh_adjust_sql, cuped_adjust, cuped_sql, srm_check, srm_sql  # noqa: F401
+from .distributions import equi_depth_buckets, equi_depth_sql, percentile_normalize, percentile_normalize_sql, value_histogram, value_histogram_sql, pareto_frontier, pareto_frontier_sql, kaplan_meier, kaplan_meier_sql, gini_coefficient, gini_sql, lorenz_points, lorenz_sql, entropy_by_group, entropy_sql, mutual_information, mutual_information_sql, weighted_quantiles, weighted_quantiles_sql, mode_by_group, mode_by_group_sql  # noqa: F401
+from .trends import period_anomalies, period_anomalies_sql, linear_trend, linear_trend_sql, mann_kendall, mann_kendall_sql, kendall_tau, kendall_tau_sql  # noqa: F401
+from .growth import _RFM_QS  # noqa: F401
+from .experiments import _POIS1_CDF, _boot_weight  # noqa: F401
+from .trends import _cross_left  # noqa: F401
+from .experiments import _BSEP  # noqa: F401

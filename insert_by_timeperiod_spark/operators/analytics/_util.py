@@ -1,0 +1,12 @@
+"""Shared helpers for the analytics package."""
+
+from __future__ import annotations
+
+_UNIT_DAYS = {"day": 1, "week": 7}
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+# ---------------------------------------------------------------- funnel

@@ -1,0 +1,982 @@
+"""Distributional statistics over table columns (SURVEY.md §2): histograms and equi-depth bins, percentile normalization, weighted quantiles, concentration (Gini / Lorenz / Pareto), entropy and mutual information, survival (Kaplan-Meier), group modes.
+
+Split from the original single-module analytics.py (round 8); the
+``operators.analytics`` package __init__ re-exports everything, so
+``analytics.equi_depth_buckets`` call sites are unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import _q, _UNIT_DAYS
+
+__all__ = ['equi_depth_buckets', 'equi_depth_sql', 'percentile_normalize', 'percentile_normalize_sql', 'value_histogram', 'value_histogram_sql', 'pareto_frontier', 'pareto_frontier_sql', 'kaplan_meier', 'kaplan_meier_sql', 'gini_coefficient', 'gini_sql', 'lorenz_points', 'lorenz_sql', 'entropy_by_group', 'entropy_sql', 'mutual_information', 'mutual_information_sql', 'weighted_quantiles', 'weighted_quantiles_sql', 'mode_by_group', 'mode_by_group_sql']
+
+def equi_depth_buckets(
+    df: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Equi-depth (quantile) binning (SURVEY.md §2 C70): append ``bucket``
+    (1..k, NULL for NULL values) assigning each row to its k-quantile bin —
+    the stratification prep for quality-score-stratified sampling and the
+    histogram a profiler wants. Values equal to an edge fall in the LOWER
+    bucket. NOT an ``ntile`` window (a global sort that funnels the corpus
+    through one partition): the k-1 interpolated percentile edges come from
+    ONE aggregate, ride back as a broadcast, and the assignment is a
+    scan-stage expression (count of edges strictly below the value) — so
+    the corpus never shuffles at all. Both engines interpolate percentiles
+    identically, so the DuckDB twin is exact."""
+    if k < 2:
+        raise ValueError("equi_depth_buckets: k must be >= 2")
+    fracs = [i / k for i in range(1, k)]
+    edges = df.agg(
+        *[
+            F.percentile(F.col(col), F.lit(q)).alias(f"_e{i}")
+            for i, q in enumerate(fracs)
+        ]
+    )
+    arr = F.array(*[F.col(f"_e{i}") for i in range(len(fracs))])
+    bucket = F.when(
+        F.col(col).isNotNull(),
+        (
+            F.size(F.filter(arr, lambda e: e < F.col(col).cast("double")))
+            + F.lit(1)
+        ).cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn("bucket", bucket)
+        .drop(*[f"_e{i}" for i in range(len(fracs))])
+    )
+
+
+def equi_depth_sql(table: str, col: str, k: int, *, select: str = "*") -> str:
+    """Exact DuckDB twin of :func:`equi_depth_buckets`."""
+    if k < 2:
+        raise ValueError("equi_depth_sql: k must be >= 2")
+    fracs = [i / k for i in range(1, k)]
+    edges = ", ".join(
+        f"quantile_cont({col}, {q!r}) AS _e{i}" for i, q in enumerate(fracs)
+    )
+    arr = "[" + ", ".join(f"_e{i}" for i in range(len(fracs))) + "]"
+    return f"""
+WITH _edges AS (SELECT {edges} FROM {table})
+SELECT {select},
+       CASE WHEN {col} IS NOT NULL THEN
+         CAST(len(list_filter({arr}, e -> e < CAST({col} AS DOUBLE))) + 1 AS INTEGER)
+       END AS bucket
+FROM {table}, _edges
+"""
+
+
+# ----------------------------------------------------------- linear trend
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    *,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Group-wise quantile normalization (SURVEY.md §2 C76): attach each
+    row's percent rank of ``value_col`` WITHIN its ``by`` group — the step
+    that makes per-language/per-source quality scores comparable before a
+    single global threshold (a raw score cut keeps easy languages and
+    starves hard ones; the percentile cut keeps the same fraction of each).
+
+    rank semantics: ``(rank - 1) / (n - 1)`` with ties sharing the min rank
+    (identical in Spark and DuckDB); a single-row group normalizes to 0.
+    Rows with NULL ``value_col`` are dropped (a NULL score has no
+    percentile; documented contract, replayed by the twin).
+
+    Scale shape: ONE shuffle on the group key (the window partition) —
+    nothing else; the rank is computed inside the sort the exchange
+    already paid for."""
+    w = Window.partitionBy(*(by or [])).orderBy(F.col(value_col).asc())
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+    )
+
+
+def percentile_normalize_sql(
+    table: str,
+    value_col: str,
+    by: list[str] | None = None,
+    *,
+    out_col: str = "pct_rank",
+    select: str = "*",
+) -> str:
+    """Exact DuckDB twin of :func:`percentile_normalize` (same rank
+    definition, same 6-decimal grid, same NULL-drop contract)."""
+    part = f"PARTITION BY {', '.join(by)} " if by else ""
+    return f"""
+SELECT {select},
+       round(percent_rank() OVER ({part}ORDER BY {value_col} ASC), 6) AS {out_col}
+FROM {table}
+WHERE {value_col} IS NOT NULL
+"""
+
+
+# ------------------------------------------------------ equi-width histogram
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    *,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-WIDTH histogram (SURVEY.md §2 C79), completing the profiling
+    trio next to C70's equi-depth bins and C64's key-skew readout: ``bins``
+    fixed-width buckets over ``[lo, hi]`` (bounds from ONE aggregate when
+    not given), every bucket present even when empty, out-of-range values
+    clamped into the edge buckets, NULLs dropped.
+
+    Scale shape: one aggregate for the bounds (skipped entirely when both
+    are given), bounds ride back as a 1-row broadcast, assignment is a
+    scan-stage expression, and the counting groupBy carries at most
+    ``bins`` distinct keys through its map-side combine — the corpus never
+    shuffles raw rows. The bucket spine is ``sequence``+``explode`` over
+    ``bins`` rows on the already-aggregated side.
+
+    Degenerate constant column (lo == hi): every value lands in bucket 0
+    (documented; the twin replays it). `value_histogram_sql` is the exact
+    DuckDB twin — identical double arithmetic and 6-decimal edge grid."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col).cast("double")
+    src = df.where(v.isNotNull()).select(v.alias("_v"))
+    # given bounds still go through the aggregate (min/max of a constant)
+    # so _b is one row in BOTH engines regardless of which are supplied
+    bounds = src.agg(
+        (F.min("_v") if lo is None else F.min(F.lit(float(lo)))).alias("_lo"),
+        (F.max("_v") if hi is None else F.max(F.lit(float(hi)))).alias("_hi"),
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    raw = F.floor((F.col("_v") - F.col("_lo")) / w)
+    idx = F.when(w <= 0.0, F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    )
+    counts = (
+        src.crossJoin(F.broadcast(bounds))
+        .groupBy(idx.cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+            "_lo",
+            "_hi",
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.round(F.col("_lo") + F.col("bin") * w, 6).alias("lo_edge"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * w, 6).alias("hi_edge"),
+        )
+    )
+    return spine.join(counts, "bin", "left").select(
+        "bin",
+        "lo_edge",
+        "hi_edge",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
+def value_histogram_sql(
+    table: str,
+    value_col: str,
+    bins: int = 20,
+    *,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`value_histogram` (same clamp, same
+    degenerate-width rule, same 6-decimal edge grid)."""
+    lo_sql = (
+        f"min(CAST({lo!r} AS DOUBLE))" if lo is not None else "min(_v)"
+    )
+    hi_sql = (
+        f"max(CAST({hi!r} AS DOUBLE))" if hi is not None else "max(_v)"
+    )
+    return f"""
+WITH _src AS (
+    SELECT CAST({value_col} AS DOUBLE) AS _v FROM {table}
+    WHERE {value_col} IS NOT NULL
+), _b AS (
+    SELECT {lo_sql} AS _lo, {hi_sql} AS _hi,
+           ({hi_sql} - {lo_sql}) / CAST({bins} AS DOUBLE) AS _w
+    FROM _src
+), _counts AS (
+    SELECT CAST(CASE WHEN _w <= 0 THEN 0
+                ELSE LEAST({bins} - 1, GREATEST(0, floor((_v - _lo) / _w)))
+                END AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM _src, _b
+    GROUP BY 1
+), _spine AS (
+    SELECT CAST(i AS BIGINT) AS bin,
+           round(_lo + i * _w, 6) AS lo_edge,
+           round(_lo + (i + 1) * _w, 6) AS hi_edge
+    FROM _b, UNNEST(range(0, {bins})) AS _u(i)
+)
+SELECT s.bin, s.lo_edge, s.hi_edge,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM _spine s LEFT JOIN _counts c ON c.bin = s.bin
+"""
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier per group (SURVEY.md §2 C147): the rows not
+    DOMINATED by any other row — no other row is ≥ on both axes with > on
+    at least one (maximizing both). The skyline query: "which
+    (cost-efficiency, quality) configs are worth keeping", "which
+    (recall, throughput) dedup settings dominate" — the decision surface
+    every tuning sweep here (LSH parameters, IVF probes, chunk sizes)
+    reports.
+
+    Scale shape: ONE window shuffle per group — sorted x-descending
+    (ties: y descending), a row survives iff its y strictly exceeds the
+    running y-max of all STRICTLY-better-x prefixes. The subtlety the
+    naive sort-scan gets wrong: at equal x, rows must compare against the
+    y-max of earlier x VALUES, not earlier rows — two equal-x rows don't
+    dominate each other on x alone unless one also wins y. Handled by
+    computing the prefix max over the previous x GROUP boundary (a lag of
+    the per-x running max), so duplicate points and equal-x ties follow
+    the standard dominance definition exactly. NULL coordinates are
+    excluded (dominance is undefined there). No self-join, no O(n²).
+    """
+    gcols = list(group_cols or [])
+    src = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    # per-(group, x): the best y at this exact x, then the running best y
+    # over strictly-greater x = lag of the cumulative max in x-desc order
+    wx = Window.partitionBy(*gcols).orderBy(F.col(x_col).desc())
+    best_at_x = F.max(F.col(y_col)).over(
+        Window.partitionBy(*gcols, x_col)
+    )
+    xs = (
+        src.select(*gcols, x_col, best_at_x.alias("_bx"))
+        .distinct()
+        .withColumn(
+            "_run_best",
+            F.max(F.col("_bx")).over(
+                wx.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_prev_best", F.lag(F.col("_run_best")).over(wx))
+    )
+    out = src.join(xs.select(*gcols, x_col, "_prev_best"), [*gcols, x_col])
+    # survivor: strictly better y than every strictly-better-x row, AND
+    # the best y among its exact-x twins (equal-x equal-y duplicates all
+    # survive — none dominates another). The per-x max binds as a column
+    # first: window expressions are not allowed inside WHERE.
+    out = out.withColumn(
+        "_best_here",
+        F.max(F.col(y_col)).over(Window.partitionBy(*gcols, x_col)),
+    )
+    keep = out.where(
+        (F.col("_prev_best").isNull() | (F.col(y_col) > F.col("_prev_best")))
+        & (F.col(y_col) == F.col("_best_here"))
+    ).drop("_prev_best", "_best_here")
+    cols = [*gcols, *(id_cols or []), x_col, y_col]
+    return keep.select(*dict.fromkeys(cols))
+
+
+def pareto_frontier_sql(
+    source: str,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    id_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`pareto_frontier` — identical
+    prefix-max-over-previous-x-group dominance test."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    partx = f"PARTITION BY {gsel}{x_col}".rstrip(", ")
+    cols = ", ".join(dict.fromkeys([*gcols, *(id_cols or []), x_col, y_col]))
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source}
+    WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+), _xs AS (
+    SELECT {gsel}{x_col}, MAX({y_col}) AS _bx
+    FROM _src GROUP BY {gsel}{x_col}
+), _rb AS (
+    SELECT {gsel}{x_col},
+           MAX(_bx) OVER ({part} ORDER BY {x_col} DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run_best
+    FROM _xs
+), _run AS (
+    SELECT {gsel}{x_col},
+           lag(_run_best) OVER ({part} ORDER BY {x_col} DESC) AS _prev_best
+    FROM _rb
+)
+SELECT {cols}
+FROM (
+    SELECT s.*, r._prev_best,
+           MAX(s.{y_col}) OVER ({partx}) AS _best_here
+    FROM _src s JOIN _run r USING ({(g + ", ") if g else ""}{x_col})
+)
+WHERE (_prev_best IS NULL OR {y_col} > _prev_best)
+  AND {y_col} = _best_here
+"""
+
+
+#: Poisson(1) CDF ladder for the poissonized bootstrap — identical literal
+#: constants in both engines; mass above k=6 (~8e-5) truncates to 6
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (SURVEY.md §2 C161): the product-limit
+    estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over right-censored
+    durations — the standard churn/retention-lifetime readout next to
+    C60's cohort retention (which counts RETURNS per period; this
+    estimates TIME-TO-DEATH with censoring handled correctly instead of
+    dropped). One row per subject in: ``duration_col`` (numeric time to
+    event or to censoring) and ``event_col`` (nonzero = the event was
+    observed, 0 = censored at that time). Output per group and distinct
+    event time: ``t``, ``n_risk`` (subjects with duration ≥ t),
+    ``n_events``, ``n_censored``, ``survival``.
+
+    Scale shape: one aggregate on (group, t) collapses the corpus to
+    distinct-times-sized data; both windows (reverse-cumulative risk set,
+    forward-cumulative log-product) partition on the group only, so
+    Catalyst reuses one exchange for the pair. The product is assembled
+    as exp(Σ ln(1 − d/n)) with the d = n "curve hits zero" case handled
+    by an explicit flag (Spark's ln(0) is NULL, DuckDB's is -inf — the
+    flag keeps both engines exact), making :func:`kaplan_meier_sql` an
+    exact twin on the shared 6-digit float grid. NULL durations are
+    dropped (unknowable lifetime), matching the twin."""
+    gcols = list(group_cols or [])
+    ev = F.when(F.col(event_col).cast("double") != 0.0, 1).otherwise(0)
+    per_t = (
+        df.where(F.col(duration_col).isNotNull())
+        .select(
+            *gcols,
+            F.col(duration_col).cast("double").alias("t"),
+            ev.alias("_e"),
+        )
+        .groupBy(*gcols, "t")
+        .agg(
+            F.sum("_e").alias("n_events"),
+            F.sum(F.lit(1) - F.col("_e")).alias("n_censored"),
+            F.count(F.lit(1)).alias("_n_obs"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = per_t.withColumn("n_risk", F.sum("_n_obs").over(w_desc))
+    factor_log = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") == F.col("n_risk")), 1
+    ).otherwise(0)
+    out = (
+        risked.withColumn("_lf", factor_log)
+        .withColumn("_z", hit_zero)
+        .withColumn(
+            "survival",
+            F.when(F.max("_z").over(w_asc) == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(F.when(F.col("_z") == 1, 0.0).otherwise(F.col("_lf"))).over(w_asc))
+            ),
+        )
+    )
+    return out.select(
+        *gcols,
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.round("survival", 6).alias("survival"),
+    )
+
+
+def kaplan_meier_sql(
+    source: str,
+    duration_col: str,
+    event_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`kaplan_meier` (same risk-set windows,
+    same exp-sum-ln product with the explicit curve-hits-zero flag, same
+    6-digit rounding)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _per_t AS (
+    SELECT {gsel}CAST({duration_col} AS DOUBLE) AS t,
+           SUM(CASE WHEN CAST({event_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END) AS n_events,
+           SUM(CASE WHEN CAST({event_col} AS DOUBLE) <> 0.0 THEN 0 ELSE 1 END) AS n_censored,
+           COUNT(*) AS _n_obs
+    FROM {source}
+    WHERE {duration_col} IS NOT NULL
+    GROUP BY {gsel}CAST({duration_col} AS DOUBLE)
+), _risk AS (
+    SELECT *,
+           SUM(_n_obs) OVER ({part}ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+    FROM _per_t
+), _flag AS (
+    SELECT *,
+           CASE WHEN n_events > 0 AND n_events = n_risk THEN 1 ELSE 0 END AS _z,
+           CASE WHEN n_events > 0 AND n_events < n_risk
+                THEN ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                ELSE 0.0 END AS _lf
+    FROM _risk
+)
+SELECT {gsel}t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       round(CASE WHEN MAX(_z) OVER ({part}ORDER BY t ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(SUM(CASE WHEN _z = 1 THEN 0.0 ELSE _lf END)
+                           OVER ({part}ORDER BY t ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             END, 6) AS survival
+FROM _flag
+"""
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient (SURVEY.md §2 C162): per group,
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted non-null
+    values — the single-number "how concentrated is revenue/traffic"
+    audit next to C64's heavy-hitter diagnostic (which names the heavy
+    keys; this scores the whole distribution). 0 = perfectly equal,
+    (n−1)/n → 1 = one holder owns everything. NULL when the group sums
+    to 0 (undefined). Output: group cols, ``n``, ``total``, ``gini``.
+
+    Scale shape: ONE window shuffle (rank within group by value); the
+    rank-weighted sum is invariant to tie order (equal values contribute
+    a constant over any contiguous rank block), so row_number's
+    nondeterminism among ties never reaches the output and the DuckDB
+    twin is exact on the 6-digit grid."""
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_v").asc()
+    )
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_i", F.row_number().over(w))
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("total"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_iv"),
+    )
+    gini = F.when(
+        F.col("total") != 0.0,
+        F.lit(2.0) * F.col("_iv") / (F.col("n") * F.col("total"))
+        - (F.col("n") + F.lit(1.0)) / F.col("n"),
+    )
+    return agg.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 6).alias("total"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def gini_sql(
+    source: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`gini_coefficient`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH _ranked AS (
+    SELECT {gsel}CAST({value_col} AS DOUBLE) AS _v,
+           ROW_NUMBER() OVER ({part}ORDER BY CAST({value_col} AS DOUBLE) ASC) AS _i
+    FROM {source} WHERE {value_col} IS NOT NULL
+)
+SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(_v), 6) AS total,
+       round(CASE WHEN SUM(_v) <> 0.0 THEN
+           2.0 * SUM(_i * _v) / (COUNT(*) * SUM(_v))
+           - (COUNT(*) + 1.0) / COUNT(*)
+       END, 6) AS gini
+FROM _ranked {grp}
+"""
+
+
+def lorenz_points(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Lorenz curve at k quantile positions (SURVEY.md §2 C162, the
+    curve behind :func:`gini_coefficient`): per group and bucket
+    b ∈ 1..k, the cumulative share of total value held by the bottom
+    ⌈b·n/k⌉ holders — "the bottom 50% hold 9% of value" readouts.
+    Prefix sums over ascending values are tie-permutation invariant
+    (the r smallest values are the same multiset however ties are
+    ordered), so the DuckDB twin is exact. Output: group cols,
+    ``bucket``, ``pop_share``, ``cum_share`` (both in (0, 1],
+    cum_share NULL when the group total is 0).
+
+    Scale shape: same single window shuffle as the Gini; buckets reduce
+    to k rows per group."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_v").asc()
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_cum", F.sum("_v").over(wcum))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_tot", F.sum("_v").over(wall))
+        .withColumn(
+            "bucket", F.ceil(F.col("_i") * F.lit(k) / F.col("_n")).cast("int")
+        )
+    )
+    return (
+        ranked.groupBy(*gcols, "bucket")
+        .agg(
+            (F.max("_i") / F.max("_n")).alias("pop_share"),
+            F.max(
+                F.when(F.col("_tot") != 0.0, F.col("_cum") / F.col("_tot"))
+            ).alias("cum_share"),
+        )
+        .select(
+            *gcols,
+            "bucket",
+            F.round("pop_share", 6).alias("pop_share"),
+            F.round("cum_share", 6).alias("cum_share"),
+        )
+    )
+
+
+def lorenz_sql(
+    source: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 10,
+) -> str:
+    """Exact DuckDB twin of :func:`lorenz_points`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    grp = f"GROUP BY {gsel}bucket"
+    return f"""
+WITH _ranked AS (
+    SELECT {gsel}CAST({value_col} AS DOUBLE) AS _v,
+           ROW_NUMBER() OVER ({part}ORDER BY CAST({value_col} AS DOUBLE) ASC) AS _i,
+           SUM(CAST({value_col} AS DOUBLE)) OVER ({part}ORDER BY CAST({value_col} AS DOUBLE) ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+           COUNT(*) OVER ({part}) AS _n,
+           SUM(CAST({value_col} AS DOUBLE)) OVER ({part}) AS _tot
+    FROM {source} WHERE {value_col} IS NOT NULL
+), _bucketed AS (
+    SELECT *, CAST(ceil(_i * {k} / CAST(_n AS DOUBLE)) AS INTEGER) AS bucket
+    FROM _ranked
+)
+SELECT {gsel}bucket,
+       round(MAX(_i) / CAST(MAX(_n) AS DOUBLE), 6) AS pop_share,
+       round(MAX(CASE WHEN _tot <> 0.0 THEN _cum / _tot END), 6) AS cum_share
+FROM _bucketed {grp}
+"""
+
+
+def entropy_by_group(
+    df: DataFrame,
+    cat_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shannon entropy of a categorical column (SURVEY.md §2 C163): per
+    group, H = −Σ p·ln(p) over category shares, plus the normalized form
+    H/ln(k) (NULL when k = 1 — a one-category group has no scale) and the
+    Simpson/Gini impurity 1 − Σp² — the "how spread out is this
+    distribution" audit that complements C53's drift (which compares two
+    corpora; this scores one). NULL categories count as a real category
+    is WRONG for an audit, so NULLs are dropped, matching the twin.
+
+    Scale shape: one aggregate to (group, category) counts, one reduce to
+    groups — both map-side combined. Per-category terms are rounded to
+    the shared 6-decimal grid and summed as DECIMAL (the C154 chi-square
+    posture), so addition order cannot split the engines and
+    :func:`entropy_sql` is exact."""
+    gcols = list(group_cols or [])
+    cells = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*gcols, F.col(cat_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    p = F.col("_o") / F.sum("_o").over(wall)
+    terms = cells.select(
+        *gcols,
+        F.col("_o"),
+        F.round(-p * F.log(p), 6).cast("decimal(38,6)").alias("_h"),
+        F.round(p * p, 6).cast("decimal(38,6)").alias("_p2"),
+    )
+    agg = terms.groupBy(*gcols).agg(
+        F.sum("_o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_h").cast("double").alias("_hsum"),
+        F.sum("_p2").cast("double").alias("_p2sum"),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        "k",
+        F.round("_hsum", 6).alias("entropy"),
+        F.round(
+            F.when(F.col("k") > 1, F.col("_hsum") / F.log(F.col("k").cast("double"))),
+            6,
+        ).alias("norm_entropy"),
+        F.round(F.lit(1.0) - F.col("_p2sum"), 6).alias("simpson"),
+    )
+
+
+def entropy_sql(
+    source: str,
+    cat_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`entropy_by_group` (same NULL drop,
+    same 6-decimal/DECIMAL term grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH _cells AS (
+    SELECT {gsel}{cat_col} AS _c, COUNT(*) AS _o
+    FROM {source} WHERE {cat_col} IS NOT NULL
+    GROUP BY {gsel}{cat_col}
+), _terms AS (
+    SELECT {gsel}_o,
+           CAST(round(-(_o / SUM(_o) OVER ({part})) * ln(_o / SUM(_o) OVER ({part})), 6)
+                AS DECIMAL(38,6)) AS _h,
+           CAST(round((_o / SUM(_o) OVER ({part})) * (_o / SUM(_o) OVER ({part})), 6)
+                AS DECIMAL(38,6)) AS _p2
+    FROM _cells
+)
+SELECT {gsel}CAST(SUM(_o) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       round(CAST(SUM(_h) AS DOUBLE), 6) AS entropy,
+       round(CASE WHEN COUNT(*) > 1
+                  THEN CAST(SUM(_h) AS DOUBLE) / ln(CAST(COUNT(*) AS DOUBLE)) END,
+             6) AS norm_entropy,
+       round(1.0 - CAST(SUM(_p2) AS DOUBLE), 6) AS simpson
+FROM _terms {grp}
+"""
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns (SURVEY.md §2
+    C163): MI = Σ_ab p(a,b)·ln(p(a,b)/(p(a)p(b))) in nats, with the
+    marginal entropies and the normalized NMI = MI/√(H_a·H_b) — the
+    effect-SIZE companion to C154's chi-square (which only says whether
+    dependence exists; this says how much, on an interpretable scale).
+    Rows where either column is NULL are dropped (no pair observed).
+
+    Scale shape: one aggregate to joint cells; marginals reduce FROM the
+    cells (cells-sized data, never a second corpus pass) and ride back as
+    broadcasts. Same 6-decimal/DECIMAL term grid as
+    :func:`entropy_by_group`; :func:`mutual_information_sql` is exact."""
+    src = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cells = src.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wn = Window.partitionBy()
+    enriched = cells.select(
+        "_o",
+        F.sum("_o").over(wa).alias("_ra"),
+        F.sum("_o").over(wb).alias("_rb"),
+        F.sum("_o").over(wn).alias("_n"),
+    )
+    pj = F.col("_o") / F.col("_n")
+    pa = F.col("_ra") / F.col("_n")
+    pb = F.col("_rb") / F.col("_n")
+    terms = enriched.select(
+        F.col("_n"),
+        F.round(pj * F.log(pj / (pa * pb)), 6).cast("decimal(38,6)").alias("_mi"),
+        F.round(-pj * F.log(pa), 6).cast("decimal(38,6)").alias("_ha"),
+        F.round(-pj * F.log(pb), 6).cast("decimal(38,6)").alias("_hb"),
+    )
+    agg = terms.groupBy().agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum("_mi").cast("double").alias("_misum"),
+        F.sum("_ha").cast("double").alias("_hasum"),
+        F.sum("_hb").cast("double").alias("_hbsum"),
+    )
+    nmi = F.when(
+        (F.col("_hasum") > 0.0) & (F.col("_hbsum") > 0.0),
+        F.col("_misum") / F.sqrt(F.col("_hasum") * F.col("_hbsum")),
+    )
+    return agg.select(
+        "n",
+        F.round("_misum", 6).alias("mi"),
+        F.round("_hasum", 6).alias("h_a"),
+        F.round("_hbsum", 6).alias("h_b"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def mutual_information_sql(source: str, col_a: str, col_b: str) -> str:
+    """Exact DuckDB twin of :func:`mutual_information`."""
+    return f"""
+WITH _src AS (
+    SELECT {col_a} AS _a, {col_b} AS _b FROM {source}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+), _cells AS (
+    SELECT _a, _b, COUNT(*) AS _o FROM _src GROUP BY _a, _b
+), _rich AS (
+    SELECT _o,
+           SUM(_o) OVER (PARTITION BY _a) AS _ra,
+           SUM(_o) OVER (PARTITION BY _b) AS _rb,
+           SUM(_o) OVER () AS _n
+    FROM _cells
+), _terms AS (
+    SELECT _n,
+           CAST(round((_o/_n) * ln((_o/_n) / ((_ra/_n) * (_rb/_n))), 6) AS DECIMAL(38,6)) AS _mi,
+           CAST(round(-(_o/_n) * ln(_ra/_n), 6) AS DECIMAL(38,6)) AS _ha,
+           CAST(round(-(_o/_n) * ln(_rb/_n), 6) AS DECIMAL(38,6)) AS _hb
+    FROM _rich
+)
+SELECT CAST(MAX(_n) AS BIGINT) AS n,
+       round(CAST(SUM(_mi) AS DOUBLE), 6) AS mi,
+       round(CAST(SUM(_ha) AS DOUBLE), 6) AS h_a,
+       round(CAST(SUM(_hb) AS DOUBLE), 6) AS h_b,
+       round(CASE WHEN CAST(SUM(_ha) AS DOUBLE) > 0.0 AND CAST(SUM(_hb) AS DOUBLE) > 0.0
+                  THEN CAST(SUM(_mi) AS DOUBLE)
+                       / sqrt(CAST(SUM(_ha) AS DOUBLE) * CAST(SUM(_hb) AS DOUBLE)) END,
+             6) AS nmi
+FROM _terms
+"""
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    *,
+    qs: tuple[float, ...] = (0.5,),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles (SURVEY.md §2 C171): per group and
+    q ∈ ``qs``, the smallest value whose cumulative weight reaches
+    q·Σw — the estimator every importance-weighted corpus needs where
+    C70/C164's unweighted percentiles would let a million near-zero-
+    weight rows drag the edge. Type-1 (left-continuous step) definition:
+    deterministic under tie permutation, because the crossing row's
+    value is fixed by the total weight strictly below it. Zero and NULL
+    weights drop (no mass), NULL values drop.
+
+    Scale shape: ONE window shuffle (cumulative weight ordered by value
+    within group); weights ride the 6-decimal/DECIMAL grid so cumsums
+    are exact and the q·Σw comparisons are the same doubles in both
+    engines — :func:`weighted_quantiles_sql` is exact. Output: group
+    cols, ``q``, ``value``, ``total_weight``."""
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"need quantiles in (0, 1], got {qs!r}")
+    gcols = list(group_cols or [])
+    src = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0.0)
+    ).select(
+        *gcols,
+        F.col(value_col).cast("double").alias("_v"),
+        F.round(F.col(weight_col).cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("_w"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    cum = src.select(
+        *gcols,
+        "_v",
+        F.sum("_w").over(w).cast("double").alias("_cw"),
+        F.sum("_w").over(wall).cast("double").alias("_tw"),
+    )
+    # ONE pass for all quantiles: explode the q list per row (k·rows of
+    # the already-windowed frame, never a re-execution of the cumsum
+    # subtree per q — the multi-consumer trap)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        cum.select(*gcols, "_v", "_cw", "_tw", F.explode(qarr).alias("q"))
+        .where(F.col("_cw") >= F.col("q") * F.col("_tw"))
+        .groupBy(*gcols, "q")
+        .agg(
+            F.min("_v").alias("value"),
+            F.round(F.max("_tw"), 6).alias("total_weight"),
+        )
+        .select(*gcols, "q", "value", "total_weight")
+    )
+
+
+def weighted_quantiles_sql(
+    source: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    qs: tuple[float, ...] = (0.5,),
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`weighted_quantiles`."""
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"need quantiles in (0, 1], got {qs!r}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT {gsel}{q!r} AS q, MIN(_v) AS value,
+       round(MAX(_tw), 6) AS total_weight
+FROM _cum WHERE _cw >= {q!r} * _tw {grp}"""
+        for q in qs
+    )
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({value_col} AS DOUBLE) AS _v,
+           CAST(round(CAST({weight_col} AS DOUBLE), 6) AS DECIMAL(38,6)) AS _w
+    FROM {source}
+    WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+      AND CAST({weight_col} AS DOUBLE) > 0.0
+), _cum AS (
+    SELECT {gsel}_v,
+           CAST(SUM(_w) OVER ({part}ORDER BY _v ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS _cw,
+           CAST(SUM(_w) OVER ({part.rstrip() or ''}) AS DOUBLE) AS _tw
+    FROM _src
+)
+{branches}
+"""
+
+
+def mode_by_group(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic per-group mode (SURVEY.md §2 C189): the most
+    frequent value, its count, and its share — with the tie broken
+    EXPLICITLY (count desc, value asc), because engines' built-in
+    mode() picks an arbitrary tie winner and a nondeterministic answer
+    can't be oracle-checked or reproduced across runs. NULL values
+    drop (a missing value is not a mode candidate). Output: group
+    cols, ``mode_value``, ``mode_count``, ``mode_share``.
+
+    Scale shape: one aggregate to (group, value) counts, one rank
+    window over the counts frame — both on the group keys;
+    :func:`mode_by_group_sql` is exact."""
+    gcols = list(group_cols or [])
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    w = wall.orderBy(F.col("_c").desc(), F.col("_v").asc())
+    return (
+        cells.withColumn("_r", F.row_number().over(w))
+        .withColumn("_tot", F.sum("_c").over(wall))
+        .where(F.col("_r") == 1)
+        .select(
+            *gcols,
+            F.col("_v").alias("mode_value"),
+            F.col("_c").cast("long").alias("mode_count"),
+            F.round(F.col("_c") / F.col("_tot"), 6).alias("mode_share"),
+        )
+    )
+
+
+def mode_by_group_sql(
+    source: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`mode_by_group` (same explicit
+    tiebreak — never the engine's arbitrary mode())."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    return f"""
+WITH _cells AS (
+    SELECT {gsel}{value_col} AS _v, COUNT(*) AS _c
+    FROM {source} WHERE {value_col} IS NOT NULL
+    GROUP BY {gsel}{value_col}
+), _ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER ({part + " " if part else ""}ORDER BY _c DESC, _v ASC) AS _r,
+           SUM(_c) OVER ({part}) AS _tot
+    FROM _cells
+)
+SELECT {gsel}_v AS mode_value, CAST(_c AS BIGINT) AS mode_count,
+       round(CAST(_c AS DOUBLE) / _tot, 6) AS mode_share
+FROM _ranked WHERE _r = 1
+"""

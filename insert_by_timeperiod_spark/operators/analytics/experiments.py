@@ -1,0 +1,704 @@
+"""Experimentation & statistical inference readouts (SURVEY.md §2): A/B readouts, CUPED variance reduction, the SRM guardrail, bootstrap CIs, chi-square independence, BH FDR adjustment.
+
+Split from the original single-module analytics.py (round 8); the
+``operators.analytics`` package __init__ re-exports everything, so
+``analytics.ab_test`` call sites are unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import _q, _UNIT_DAYS
+
+__all__ = ['ab_test', 'ab_test_sql', 'bootstrap_mean_ci', 'bootstrap_mean_ci_sql', 'chi2_independence', 'chi2_independence_sql', 'bh_adjust', 'bh_adjust_sql', 'cuped_adjust', 'cuped_sql', 'srm_check', 'srm_sql']
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    *,
+    conversion_type: str,
+    control: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """A/B experiment readout (SURVEY.md §2 C118): per variant — exposed
+    users, converted users, conversion rate, and against the named
+    ``control`` variant the pooled two-proportion z statistic with the
+    |z| ≥ 1.96 significance flag (the standard 5%-level test). The
+    decision table every experiment pipeline ends in.
+
+    Scale shape: ONE per-(variant, user) aggregate (map-side combined —
+    a user counts once however many events they fired; conversion =
+    BOOL_OR over their events), ONE per-variant rollup on
+    variant-count-sized data, control row broadcast back. The z
+    statistic is a fixed IEEE expression of exact integer counts —
+    twin-exact with no erf/p-value dependency (flag at the 1.96
+    critical value instead, identical in any engine)."""
+    per_user = (
+        df.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(variant_col).alias("variant"), F.col(user_col))
+        .agg(
+            F.max((F.col(type_col) == conversion_type).cast("int")).alias(
+                "_conv"
+            )
+        )
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("_conv").cast("bigint").alias("n_converted"),
+    )
+    ctrl = per_variant.where(F.col("variant") == control).select(
+        F.col("n_users").alias("_cn"), F.col("n_converted").alias("_cc")
+    )
+    j = per_variant.crossJoin(F.broadcast(ctrl))
+    rate = F.col("n_converted") / F.col("n_users").cast("double")
+    crate = F.col("_cc") / F.col("_cn").cast("double")
+    pooled = (F.col("n_converted") + F.col("_cc")) / (
+        F.col("n_users") + F.col("_cn")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_users")
+            + F.lit(1.0) / F.col("_cn")
+        )
+    )
+    z = F.when(
+        (F.col("variant") != control) & (se > 0), (rate - crate) / se
+    )
+    return j.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        rate.alias("rate"),
+        z.alias("z_vs_control"),
+        F.when(z.isNotNull(), F.abs(z) >= 1.96).alias("significant"),
+    )
+
+
+def ab_test_sql(
+    source: str,
+    variant_col: str,
+    *,
+    conversion_type: str,
+    control: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """Exact DuckDB twin of :func:`ab_test`."""
+    return f"""
+WITH _pu AS (
+    SELECT {variant_col} AS variant, {user_col},
+           MAX(CASE WHEN {type_col} = '{_q(conversion_type)}'
+                    THEN 1 ELSE 0 END) AS _conv
+    FROM {source} WHERE {user_col} IS NOT NULL
+    GROUP BY {variant_col}, {user_col}
+), _pv AS (
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(_conv) AS BIGINT) AS n_converted
+    FROM _pu GROUP BY variant
+), _ctrl AS (
+    SELECT n_users AS _cn, n_converted AS _cc FROM _pv
+    WHERE variant = '{_q(control)}'
+), _j AS (
+    SELECT p.*, c._cn, c._cc,
+           p.n_converted / CAST(p.n_users AS DOUBLE) AS rate,
+           CASE WHEN p.variant <> '{_q(control)}'
+                 AND sqrt(
+                   ((p.n_converted + c._cc)
+                    / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 - (p.n_converted + c._cc)
+                      / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 / p.n_users + 1.0 / c._cn)) > 0
+                THEN (p.n_converted / CAST(p.n_users AS DOUBLE)
+                      - c._cc / CAST(c._cn AS DOUBLE))
+                     / sqrt(
+                   ((p.n_converted + c._cc)
+                    / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 - (p.n_converted + c._cc)
+                      / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 / p.n_users + 1.0 / c._cn))
+           END AS z_vs_control
+    FROM _pv p CROSS JOIN _ctrl c
+)
+SELECT variant, n_users, n_converted, rate, z_vs_control,
+       CASE WHEN z_vs_control IS NOT NULL
+            THEN abs(z_vs_control) >= 1.96 END AS significant
+FROM _j
+"""
+
+
+_BSEP = "\x1f"
+
+_POIS1_CDF = [
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851,
+]
+
+#: md5-preimage separator (operators/sampling.py convention)
+
+
+def _boot_weight(u):  # Column: Poisson(1) draw from a uniform via the ladder
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    n_boot: int = 100,
+    conf: float = 0.95,
+    seed: str = "boot",
+) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the per-group mean
+    (SURVEY.md §2 C151): the uncertainty readout C118's z-test can't give
+    for non-proportion metrics (revenue per user, latency means) without
+    normality assumptions. Poissonized bootstrap — each row enters each
+    of ``n_boot`` replicates with an independent Poisson(1) weight, the
+    standard resampling form that distributes (a with-replacement draw
+    needs global coordination; Poisson weights are row-local and converge
+    to the same distribution). Weights derive from the md5-draw primitive
+    keyed by (seed, replicate, id_cols), so the release is deterministic,
+    engine-portable, and idempotent — the sampling-module posture.
+
+    Output per group: n, mean, ci_lo, ci_hi ((1−conf)/2 and 1−(1−conf)/2
+    R-7 quantiles of the replicate means). Scale shape: one n_boot-way
+    row explosion (bounded, documented — subsample first at extreme
+    corpus sizes), one map-side-combined (group, replicate) aggregate,
+    then a groups-sized quantile pass. Exactness: integer weights,
+    Σ w·round(x,6) on the DECIMAL grid, R-7 quantiles — exact twin."""
+    if not 0 < conf < 1:
+        raise ValueError(f"conf must be in (0, 1), got {conf}")
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not id_cols:
+        raise ValueError("bootstrap_mean_ci: id_cols required")
+    gcols = list(group_cols or [])
+    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
+    src = df.where(F.col(value_col).isNotNull())
+    b = F.explode(F.array(*[F.lit(i) for i in range(n_boot)])).alias("_b")
+    rep = src.select(
+        *gcols,
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(28,6)")
+        .alias("_x"),
+        *[F.col(c) for c in id_cols],
+        b,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        _BSEP,
+                        F.lit(seed),
+                        F.col("_b").cast("string"),
+                        *[F.col(c).cast("string") for c in id_cols],
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    weighted = rep.withColumn("_w", _boot_weight(u))
+    means = (
+        weighted.groupBy(*gcols, "_b")
+        .agg(
+            (
+                F.sum(F.col("_x") * F.col("_w")).cast("double")
+                / F.sum("_w")
+            ).alias("_m")
+        )
+        .where(F.col("_m").isNotNull())  # all-zero-weight replicate: drop
+    )
+    point = src.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    ci = means.groupBy(*gcols).agg(
+        F.expr(f"percentile(_m, {lo_q!r})").alias("ci_lo"),
+        F.expr(f"percentile(_m, {hi_q!r})").alias("ci_hi"),
+    )
+    if gcols:
+        return point.join(ci, gcols)
+    return point.crossJoin(F.broadcast(ci))
+
+
+def bootstrap_mean_ci_sql(
+    source: str,
+    value_col: str,
+    id_cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    n_boot: int = 100,
+    conf: float = 0.95,
+    seed: str = "boot",
+) -> str:
+    """Exact DuckDB twin of :func:`bootstrap_mean_ci` — identical md5
+    draws, identical Poisson ladder, identical DECIMAL grid and R-7
+    quantiles."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    gj = f"USING ({g})" if g else "ON TRUE"
+    key_sql = ", ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
+    u = (
+        "((CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+        f"'{seed}', CAST(_b AS VARCHAR), {key_sql})), 1, 8)) AS BIGINT)"
+        " + 0.5) / 4294967296.0)"
+    )
+    ladder = f"CASE WHEN {u} < {_POIS1_CDF[0]!r} THEN 0"
+    for k in range(1, len(_POIS1_CDF)):
+        ladder += f" WHEN {u} < {_POIS1_CDF[k]!r} THEN {k}"
+    ladder += f" ELSE {len(_POIS1_CDF)} END"
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source} WHERE {value_col} IS NOT NULL
+), _rep AS (
+    SELECT {gsel}CAST(round(CAST({value_col} AS DOUBLE), 6)
+                      AS DECIMAL(28,6)) AS _x,
+           {", ".join(id_cols)}, b.range AS _b
+    FROM _src, range({int(n_boot)}) b
+), _means AS (
+    SELECT {gsel}_b,
+           CAST(SUM(_x * ({ladder})) AS DOUBLE) / SUM({ladder}) AS _m
+    FROM _rep GROUP BY {gsel}_b
+), _point AS (
+    SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(CAST({value_col} AS DOUBLE), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean
+    FROM _src {f"GROUP BY {g}" if g else ""}
+), _ci AS (
+    SELECT {gsel}quantile_cont(_m, {lo_q!r}) AS ci_lo,
+           quantile_cont(_m, {hi_q!r}) AS ci_hi
+    FROM _means WHERE _m IS NOT NULL {f"GROUP BY {g}" if g else ""}
+)
+SELECT p.*, c.ci_lo, c.ci_hi FROM _point p JOIN _ci c {gj}
+"""
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (SURVEY.md §2 C154): are quality flags independent of language? is
+    event type independent of market segment? — the categorical sibling
+    of C118's two-proportion z and C151's bootstrap. Returns ONE row:
+    ``chi2``, ``dof``, ``n`` (p-values need an incomplete-gamma the SQL
+    side lacks; compare chi2 against the critical value for your dof —
+    the standard warehouse posture).
+
+    Semantics: rows with a NULL in either column are excluded (a missing
+    label is not a category — the portable rule). Expected counts are
+    ``row_total·col_total/n``; cells with observed 0 still contribute
+    (their expected mass does), which falls out of joining the full
+    marginal cross product, not the observed cells.
+
+    Scale shape: ONE map-side-combined (a, b) count aggregate
+    (cells-sized output), marginals reduce over the cell table, the
+    cross join of marginals is cells-sized × cells-sized at worst —
+    never corpus-sized. Exactness: integer counts; each cell's
+    (obs−exp)²/exp rounds to the 6-decimal grid and sums as DECIMAL —
+    order-independent, twin-exact."""
+    src = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = src.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    cells = cells.localCheckpoint(eager=True)  # 3 consumers below
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    rb = cells.groupBy("_b").agg(F.sum("_o").alias("_rb"))
+    n = cells.agg(F.sum("_o").alias("_n"))
+    grid = ra.crossJoin(rb).crossJoin(F.broadcast(n))
+    full = grid.join(cells, ["_a", "_b"], "left").select(
+        "_a", "_b", "_ra", "_rb", "_n",
+        F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+    )
+    exp = (
+        F.col("_ra").cast("double")
+        * F.col("_rb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = F.round(
+        (F.col("_o").cast("double") - exp) * (F.col("_o").cast("double") - exp)
+        / exp,
+        6,
+    ).cast("decimal(38,6)")
+    stats = full.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        F.countDistinct("_a").alias("_na"),
+        F.countDistinct("_b").alias("_nb"),
+        F.max("_n").cast("bigint").alias("n"),
+    )
+    return stats.select(
+        "chi2",
+        ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("bigint").alias("dof"),
+        "n",
+    )
+
+
+def chi2_independence_sql(source: str, col_a: str, col_b: str) -> str:
+    """Exact DuckDB twin of :func:`chi2_independence` — identical
+    marginal cross product, zero-cell handling, 6-decimal/DECIMAL term
+    grid."""
+    return f"""
+WITH _src AS (
+    SELECT {col_a} AS _a, {col_b} AS _b FROM {source}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+), _cells AS (
+    SELECT _a, _b, COUNT(*) AS _o FROM _src GROUP BY _a, _b
+), _ra AS (
+    SELECT _a, SUM(_o) AS _ra FROM _cells GROUP BY _a
+), _rb AS (
+    SELECT _b, SUM(_o) AS _rb FROM _cells GROUP BY _b
+), _n AS (
+    SELECT SUM(_o) AS _n FROM _cells
+), _full AS (
+    SELECT ra._a, rb._b, ra._ra, rb._rb, n._n,
+           COALESCE(c._o, 0) AS _o
+    FROM _ra ra CROSS JOIN _rb rb CROSS JOIN _n n
+    LEFT JOIN _cells c ON c._a = ra._a AND c._b = rb._b
+)
+SELECT CAST(SUM(CAST(round(
+           (CAST(_o AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE))
+           * (CAST(_o AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE))
+           / (CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE)),
+           6) AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT _a) - 1) * (COUNT(DISTINCT _b) - 1) AS BIGINT) AS dof,
+       CAST(MAX(_n) AS BIGINT) AS n
+FROM _full
+"""
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment (SURVEY.md §2 C172): adjusted
+    p = min over j ≥ rank of (p_j·n/j), capped at 1 — the multiple-
+    comparisons correction the C118/C154 significance readouts need the
+    moment they run per-segment (testing 100 segments at α=0.05 expects
+    5 false alarms; BH controls the false-DISCOVERY rate instead).
+    Tied p-values provably receive equal adjusted values under any tie
+    ordering (the suffix-min absorbs the rank split), so the output is
+    deterministic and :func:`bh_adjust_sql` is exact. NULL p rows drop.
+
+    Scale shape: two windows on the group partition (ascending rank,
+    descending running-min) sharing one exchange; nothing leaves the
+    group frame. Output: keep_cols, group cols, ``p_value``, ``p_adj``,
+    ``reject`` (p_adj ≤ alpha)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    gcols = list(group_cols or [])
+    kcols = list(keep_cols or [])
+    src = df.where(F.col(p_col).isNotNull()).select(
+        *kcols, *gcols, F.col(p_col).cast("double").alias("_p")
+    )
+    wasc = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_p").asc()
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    ranked = src.select(
+        *kcols,
+        *gcols,
+        "_p",
+        F.row_number().over(wasc).alias("_r"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    ).withColumn("_term", F.col("_p") * F.col("_n") / F.col("_r"))
+    # suffix-min over RANK descending (not p descending): with tied p the
+    # p-desc frame would hand the rank-1 tie a larger running min — found
+    # by the tie pin; rank-desc gives every tied row min over j >= rank,
+    # which is provably equal across the tie block
+    wdesc = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = F.least(F.min("_term").over(wdesc), F.lit(1.0))
+    return ranked.select(
+        *kcols,
+        *gcols,
+        F.col("_p").alias("p_value"),
+        F.round(adj, 6).alias("p_adj"),
+        (F.round(adj, 6) <= F.lit(alpha)).alias("reject"),
+    )
+
+
+def bh_adjust_sql(
+    source: str,
+    p_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    keep_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`bh_adjust`."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    gcols = list(group_cols or [])
+    kcols = list(keep_cols or [])
+    g = ", ".join(gcols)
+    ksel = "".join(f"{c}, " for c in kcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _src AS (
+    SELECT {ksel}{gsel}CAST({p_col} AS DOUBLE) AS _p
+    FROM {source} WHERE {p_col} IS NOT NULL
+), _ranked AS (
+    SELECT {ksel}{gsel}_p,
+           ROW_NUMBER() OVER ({part}ORDER BY _p ASC) AS _r,
+           _p * COUNT(*) OVER ({part.rstrip() or ''})
+              / ROW_NUMBER() OVER ({part}ORDER BY _p ASC) AS _term
+    FROM _src
+)
+SELECT {ksel}{gsel}_p AS p_value,
+       round(least(MIN(_term) OVER ({part}ORDER BY _r DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS p_adj,
+       round(least(MIN(_term) OVER ({part}ORDER BY _r DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) <= {alpha!r}
+           AS reject
+FROM _ranked
+"""
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    out_col: str = "metric_cuped",
+) -> DataFrame:
+    """CUPED variance reduction (SURVEY.md §2 C205; Deng et al. 2013):
+    y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x) over a PRE-experiment
+    covariate — the standard trick that shrinks A/B metric variance by
+    the covariate's explained share, often halving C118's required
+    sample size. θ and x̄ are computed POOLED (never per experiment
+    arm — per-arm θ reintroduces bias; group_cols here scope separate
+    EXPERIMENTS, not arms). Rows with a NULL covariate keep their raw
+    metric (no adjustment evidence). Output: input rows +
+    ``out_col`` (+ per-group ``theta`` for the readout).
+
+    Scale shape: one map-side-combined aggregate to (n, Σx, Σy, Σxy,
+    Σx²) on the DECIMAL grid per group, joined back group-keyed (1-row
+    broadcast when ungrouped); the adjustment is a scan-stage
+    expression — :func:`cuped_sql` is exact."""
+    gcols = list(group_cols or [])
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    src = df
+    stats = (
+        src.where(x.isNotNull() & y.isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            dec(x).alias("_sx"),
+            dec(y).alias("_sy"),
+            dec(x * y).alias("_sxy"),
+            dec(x * x).alias("_sxx"),
+        )
+    )
+    # LEFT join: a group with zero valid (covariate, metric) pairs has
+    # no stats row — its rows must still pass through with theta=0 and
+    # the raw metric (the documented NULL-covariate contract), not be
+    # dropped by an inner join.
+    if gcols:
+        joined = src.join(F.broadcast(stats), gcols, "left")
+    else:
+        joined = src.withColumn("_cj", F.lit(1)).join(
+            F.broadcast(stats.withColumn("_cj", F.lit(1))), "_cj", "left"
+        ).drop("_cj")
+    varx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    theta = F.when(
+        F.col("_n").isNotNull() & (varx > 0.0),
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / varx,
+    ).otherwise(F.lit(0.0))
+    xbar = F.col("_sx") / F.col("_n")
+    adj = F.when(
+        x.isNotNull() & y.isNotNull() & F.col("_n").isNotNull(),
+        y - theta * (x - xbar),
+    ).otherwise(y)
+    return joined.withColumn(out_col, F.round(adj, 6)).withColumn(
+        "theta", F.round(theta, 6)
+    ).drop("_n", "_sx", "_sy", "_sxy", "_sxx")
+
+
+def cuped_sql(
+    source: str,
+    metric_col: str,
+    covariate_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    out_col: str = "metric_cuped",
+    select: str = "*",
+) -> str:
+    """Exact DuckDB twin of :func:`cuped_adjust`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    join = f"LEFT JOIN _st USING ({g})" if g else "LEFT JOIN _st ON TRUE"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    x = f"CAST({covariate_col} AS DOUBLE)"
+    y = f"CAST({metric_col} AS DOUBLE)"
+    theta = (
+        "CASE WHEN _n IS NOT NULL AND _n * _sxx - _sx * _sx > 0.0 "
+        "THEN (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx) ELSE 0.0 END"
+    )
+    return f"""
+WITH _st AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v=x)} AS _sx,
+           {dec.format(v=y)} AS _sy,
+           {dec.format(v=f"{x} * {y}")} AS _sxy,
+           {dec.format(v=f"{x} * {x}")} AS _sxx
+    FROM {source}
+    WHERE {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {select},
+       round(CASE WHEN {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
+                       AND _n IS NOT NULL
+                  THEN {y} - ({theta}) * ({x} - _sx / _n)
+                  ELSE {y} END, 6) AS {out_col},
+       round({theta}, 6) AS theta
+FROM {source} {join}
+"""
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (SURVEY.md §2 C206): chi-square
+    of observed experiment-arm counts against the DESIGNED weights —
+    the first thing to check before reading ANY A/B result (a 50/50
+    experiment landing 52/48 at scale means broken assignment, and
+    every downstream readout, C118/C205 included, is garbage). Output
+    one row per arm: ``arm``, ``n``, ``expected_n``, plus the repeated
+    ``chi2``, ``dof``, ``srm_suspected`` (chi2 above the α=0.001
+    critical value — SRM checks run at paranoid thresholds by
+    convention). Arms observed but not in ``expected`` raise (a typo'd
+    weight table must not silently pass).
+
+    Scale shape: one map-side-combined count aggregate; everything
+    after is arms-sized. Exact integer counts; the chi-square rides
+    the DECIMAL term grid — :func:`srm_sql` is exact."""
+    if not expected:
+        raise ValueError("srm_check: expected weights required")
+    tot_w = sum(expected.values())
+    if tot_w <= 0:
+        raise ValueError("srm_check: weights must sum > 0")
+    # chi-square critical values at alpha=0.001 for dof 1..9
+    crit = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
+            6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877}
+    dof = len(expected) - 1
+    if dof not in crit:
+        raise ValueError(f"srm_check: supports 2..10 arms, got {len(expected)}")
+    counts = (
+        df.where(F.col(arm_col).isNotNull())
+        .groupBy(F.col(arm_col).cast("string").alias("arm"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seen = {r["arm"] for r in counts.select("arm").collect()}
+    unknown = sorted(seen - set(expected))
+    if unknown:
+        raise ValueError(f"srm_check: unexpected arms {unknown}")
+    # Right-join observed counts against the FULL designed-arm set: an
+    # arm that received ZERO traffic is the worst possible mismatch and
+    # must contribute its (0-E)^2/E term rather than silently vanish.
+    designed = df.sparkSession.createDataFrame(
+        [(a, wgt / tot_w) for a, wgt in sorted(expected.items())],
+        "arm string, _w double",
+    )
+    wall = Window.partitionBy()
+    arms = (
+        designed.join(counts, "arm", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("_tot", F.sum("n").over(wall))
+    )
+    exp_n = F.col("_w") * F.col("_tot")
+    term = (
+        F.round((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6)
+        .cast("decimal(38,6)")
+    )
+    scored = arms.withColumn("_t", term).withColumn(
+        "chi2", F.round(F.sum("_t").over(wall).cast("double"), 6)
+    )
+    return scored.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.round(exp_n, 6).alias("expected_n"),
+        "chi2",
+        F.lit(dof).alias("dof"),
+        (F.col("chi2") > crit[dof]).alias("srm_suspected"),
+    )
+
+
+def srm_sql(source: str, arm_col: str, expected: dict[str, float]) -> str:
+    """Exact DuckDB twin of :func:`srm_check` (same normalized weights,
+    same DECIMAL term grid, same α=0.001 critical value)."""
+    if not expected:
+        raise ValueError("srm_sql: expected weights required")
+    tot_w = sum(expected.values())
+    if tot_w <= 0:
+        raise ValueError("srm_sql: weights must sum > 0")
+    crit = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
+            6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877}
+    dof = len(expected) - 1
+    if dof not in crit:
+        raise ValueError(f"srm_sql: supports 2..10 arms, got {len(expected)}")
+    designed = ", ".join(
+        f"('{a}', CAST({wgt / tot_w!r} AS DOUBLE))"
+        for a, wgt in sorted(expected.items())
+    )
+    return f"""
+WITH _designed(arm, _w) AS (
+    VALUES {designed}
+), _counts AS (
+    SELECT CAST({arm_col} AS VARCHAR) AS arm, COUNT(*) AS n
+    FROM {source} WHERE {arm_col} IS NOT NULL
+    GROUP BY CAST({arm_col} AS VARCHAR)
+), _rich AS (
+    SELECT d.arm, COALESCE(c.n, 0) AS n,
+           d._w * SUM(COALESCE(c.n, 0)) OVER () AS _en
+    FROM _designed d LEFT JOIN _counts c ON c.arm = d.arm
+), _terms AS (
+    SELECT *, CAST(round((n - _en) * (n - _en) / _en, 6) AS DECIMAL(38,6)) AS _t
+    FROM _rich
+)
+SELECT arm, CAST(n AS BIGINT) AS n, round(_en, 6) AS expected_n,
+       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) AS chi2,
+       {dof} AS dof,
+       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) > {crit[dof]!r} AS srm_suspected
+FROM _terms
+"""

@@ -1,0 +1,1095 @@
+"""Product growth accounting over the engine's event tables (SURVEY.md §2): funnels, cohort retention, actives, attribution, conversion latency, RFM / LTV, transition mining, market-basket rules.
+
+Split from the original single-module analytics.py (round 8); the
+``operators.analytics`` package __init__ re-exports everything, so
+``analytics.funnel`` call sites are unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import _q, _UNIT_DAYS
+
+__all__ = ['funnel', 'funnel_sql', 'retention_cohorts', 'retention_sql', 'event_transitions', 'event_transitions_sql', 'association_rules', 'association_rules_sql', 'attribution', 'attribution_sql', 'daily_actives', 'daily_actives_sql', 'time_to_convert', 'time_to_convert_sql', 'rfm_segments', 'rfm_segments_sql', 'time_to_nth_event', 'time_to_nth_sql', 'rolling_actives', 'rolling_actives_sql', 'ltv_curve', 'ltv_curve_sql']
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within_days: int | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: (step, event_type, n_users) where a user
+    counts for step i+1 only with an event of that type STRICTLY AFTER
+    their step-i completion time (earliest-completion semantics), and —
+    when ``within_days`` is set — no later than that many days after it.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least two steps")
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_ts"))
+        # two consumers: this step's count and the next step's join
+        .localCheckpoint(eager=True)
+    )
+    out_rows = [
+        frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).cast("bigint").alias("step"),
+            F.lit(steps[0]).alias(type_col),
+            F.col("n_users").cast("bigint"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == s).select(
+            user_col, F.col(ts_col).alias("_nts")
+        )
+        cond = F.col("_nts") > F.col("_ts")
+        if within_days is not None:
+            cond = cond & (
+                F.col("_nts") <= F.col("_ts") + F.expr(f"interval {within_days} day")
+            )
+        frontier = (
+            nxt.join(frontier, user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("_nts").alias("_ts"))
+            .localCheckpoint(eager=True)
+        )
+        out_rows.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).cast("bigint").alias("step"),
+                F.lit(s).alias(type_col),
+                F.col("n_users").cast("bigint"),
+            )
+        )
+    return reduce(DataFrame.unionByName, out_rows)
+
+
+def funnel_sql(
+    steps: list[str],
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within_days: int | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`funnel` (same earliest-completion chain)."""
+    if len(steps) < 2:
+        raise ValueError("funnel_sql: need at least two steps")
+    ctes = [
+        f"_s1 AS (SELECT {user_col}, MIN({ts_col}) AS _ts FROM {table} "
+        f"WHERE {type_col} = '{_q(steps[0])}' GROUP BY {user_col})"
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        within = (
+            f" AND e.{ts_col} <= p._ts + INTERVAL {within_days} DAY"
+            if within_days is not None
+            else ""
+        )
+        ctes.append(
+            f"_s{i} AS (SELECT e.{user_col}, MIN(e.{ts_col}) AS _ts "
+            f"FROM {table} e JOIN _s{i - 1} p ON e.{user_col} = p.{user_col} "
+            f"WHERE e.{type_col} = '{_q(s)}' AND e.{ts_col} > p._ts{within} "
+            f"GROUP BY e.{user_col})"
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step, '{_q(s)}' AS {type_col}, "
+        f"CAST((SELECT COUNT(*) FROM _s{i}) AS BIGINT) AS n_users"
+        for i, s in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ------------------------------------------------------------- retention
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    unit: str = "week",
+    max_offset: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix: (cohort, offset, n_users) — users whose
+    FIRST event falls in ``cohort`` (a ``unit``-truncated date) and who
+    have any event in the bucket ``offset`` units later, 0 <= offset <=
+    ``max_offset``. ``offset = 0`` is the cohort size."""
+    if unit not in _UNIT_DAYS:
+        raise ValueError(f"retention_cohorts: unit must be one of {sorted(_UNIT_DAYS)}")
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    cohorts = (
+        events.where(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min(bucket).alias("cohort"))
+    )
+    acts = events.where(F.col(user_col).isNotNull()).select(
+        user_col, bucket.alias("_bucket")
+    )
+    # both buckets are unit-truncated, so the day difference divides evenly
+    off = (F.datediff("_bucket", "cohort") / F.lit(_UNIT_DAYS[unit])).cast("bigint")
+    return (
+        acts.join(cohorts, user_col)
+        .select(user_col, "cohort", off.alias("offset"))
+        .where(F.col("offset") <= max_offset)
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
+    )
+
+
+def retention_sql(
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    unit: str = "week",
+    max_offset: int = 12,
+) -> str:
+    """Exact DuckDB twin of :func:`retention_cohorts`."""
+    if unit not in _UNIT_DAYS:
+        raise ValueError(f"retention_sql: unit must be one of {sorted(_UNIT_DAYS)}")
+    b = f"date_trunc('{unit}', {ts_col})::DATE"
+    return f"""
+WITH _cohort AS (
+    SELECT {user_col}, MIN({b}) AS cohort
+    FROM {table} WHERE {user_col} IS NOT NULL GROUP BY {user_col}
+)
+SELECT c.cohort,
+       CAST(date_diff('day', c.cohort, {b}) // {_UNIT_DAYS[unit]} AS BIGINT) AS offset,
+       CAST(COUNT(DISTINCT e.{user_col}) AS BIGINT) AS n_users
+FROM {table} e JOIN _cohort c ON e.{user_col} = c.{user_col}
+WHERE date_diff('day', c.cohort, {b}) // {_UNIT_DAYS[unit]} <= {max_offset}
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- anomalies
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table over per-user event sequences
+    (SURVEY.md §2 C71): (from_type, to_type, n, p) where ``p`` is the
+    row-normalized transition probability — the "what do users do next"
+    readout that complements C59's fixed funnels with the full graph.
+    Per-user ordering ties break on ``id_col`` so the lattice is
+    deterministic. ONE corpus shuffle (the per-user window); the counts
+    aggregate and the per-from normalization run on transition-types-sized
+    data. Rounded p makes the DuckDB twin exact."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            user_col, ts_col, id_col, F.col(type_col).alias("from_type")
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """Exact DuckDB twin of :func:`event_transitions`."""
+    return f"""
+WITH _pairs AS (
+    SELECT {type_col} AS from_type,
+           lead({type_col}) OVER (PARTITION BY {user_col}
+                                  ORDER BY {ts_col}, {id_col}) AS to_type
+    FROM {table}
+), _counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM _pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM _counts
+"""
+
+
+# -------------------------------------------------------- equi-depth bins
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: float = 0.01,
+    max_basket_items: int = 200,
+) -> DataFrame:
+    """Market-basket association rules (SURVEY.md §2 C99; Agrawal &
+    Srikant 1994's support/confidence frame plus lift): for every ordered
+    item pair (antecedent → consequent) co-occurring in at least
+    ``min_support`` of baskets, the standard trio — support =
+    P(a ∧ b), confidence = P(b | a), lift = confidence / P(b). The
+    "bought X, also bought Y" / "docs with tag X also carry tag Y"
+    readout over any (basket, item) relation.
+
+    Scale shape: the basket relation dedups on ONE (basket, item) shuffle
+    (map-side combined); the pair generation self-joins WITHIN basket
+    keys only — one hash join on the basket key, never a cartesian; pair
+    and item counts are map-side-combined aggregates on item-pair-sized
+    data; the basket total rides back as a 1-row broadcast. Baskets with
+    more than ``max_basket_items`` distinct items are EXCLUDED up front
+    (documented guard replicated by the twin): a degenerate mega-basket
+    contributes quadratic pairs and no signal. Metrics are single IEEE
+    divisions of exact integer counts — bit-identical cross-engine, no
+    rounding grid needed. Returns (antecedent, consequent, n_pair,
+    support, confidence, lift)."""
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError(f"min_support must be in (0, 1], got {min_support}")
+    if max_basket_items < 2:
+        raise ValueError(
+            f"max_basket_items must be >= 2, got {max_basket_items}"
+        )
+    b = (
+        df.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    sized = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
+    b = (
+        b.join(sized.where(F.col("_sz") <= max_basket_items), "_b")
+        .select("_b", "_i")
+        # three consumers: the total, the item counts, both pair-join sides
+        .localCheckpoint(eager=True)
+    )
+    n_baskets = b.select("_b").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    items = b.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a._b") == F.col("c._b")) & (F.col("a._i") < F.col("c._i")),
+        )
+        .groupBy(
+            F.col("a._i").alias("_x"), F.col("c._i").alias("_y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    # both rule directions from each unordered pair
+    directed = pairs.select(
+        F.col("_x").alias("antecedent"), F.col("_y").alias("consequent"), "n_pair"
+    ).unionByName(
+        pairs.select(
+            F.col("_y").alias("antecedent"),
+            F.col("_x").alias("consequent"),
+            "n_pair",
+        )
+    )
+    out = (
+        directed.join(
+            items.select(F.col("_i").alias("antecedent"), F.col("_ni").alias("_na")),
+            "antecedent",
+        )
+        .join(
+            items.select(F.col("_i").alias("consequent"), F.col("_ni").alias("_nb")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            (F.col("n_pair") / F.col("_n").cast("double")).alias("support"),
+            (F.col("n_pair") / F.col("_na").cast("double")).alias("confidence"),
+            (
+                (F.col("n_pair") * F.col("_n"))
+                / (F.col("_na") * F.col("_nb")).cast("double")
+            ).alias("lift"),
+        )
+        .where(F.col("support") >= min_support)
+    )
+    return out
+
+
+def association_rules_sql(
+    source: str,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: float = 0.01,
+    max_basket_items: int = 200,
+) -> str:
+    """The exact DuckDB twin of :func:`association_rules` — identical
+    dedup, mega-basket guard, pair generation, and single-division
+    metrics."""
+    ms, cap = float(min_support), int(max_basket_items)
+    return f"""
+WITH _b AS (
+    SELECT _b, _i FROM (
+        SELECT DISTINCT {basket_col} AS _b, {item_col} AS _i
+        FROM {source}
+        WHERE {basket_col} IS NOT NULL AND {item_col} IS NOT NULL
+    ) QUALIFY COUNT(*) OVER (PARTITION BY _b) <= {cap}
+), _n AS (
+    SELECT CAST(COUNT(DISTINCT _b) AS BIGINT) AS _n FROM _b
+), _items AS (
+    SELECT _i, CAST(COUNT(*) AS BIGINT) AS _ni FROM _b GROUP BY _i
+), _pairs AS (
+    SELECT a._i AS _x, c._i AS _y, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM _b a JOIN _b c ON a._b = c._b AND a._i < c._i
+    GROUP BY 1, 2
+), _directed AS (
+    SELECT _x AS antecedent, _y AS consequent, n_pair FROM _pairs
+    UNION ALL
+    SELECT _y, _x, n_pair FROM _pairs
+)
+SELECT d.antecedent, d.consequent, d.n_pair,
+       d.n_pair / CAST(n._n AS DOUBLE) AS support,
+       d.n_pair / CAST(ia._ni AS DOUBLE) AS confidence,
+       (d.n_pair * n._n) / CAST(ia._ni * ib._ni AS DOUBLE) AS lift
+FROM _directed d
+JOIN _items ia ON ia._i = d.antecedent
+JOIN _items ib ON ib._i = d.consequent
+CROSS JOIN _n n
+WHERE d.n_pair / CAST(n._n AS DOUBLE) >= {ms}
+"""
+
+
+def attribution(
+    df: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_days: int = 7,
+    model: str = "last",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style conversion attribution (SURVEY.md §2 C105): credit
+    each conversion's preceding touches within a lookback window under
+    the standard models — ``last`` / ``first`` touch (weight 1 to one
+    touch) or ``linear`` (1/n to each) — then roll credit up per touch
+    type: (touch_type, credited, n_touches). The revenue-credit readout
+    every growth team runs on exactly the event tables this engine
+    materializes.
+
+    Plan shape: conversions and touches are scan-stage type filters of
+    ONE events pass each; the pairing is a user-key equi join with the
+    lookback interval as a residual range predicate (fan-out bounded by
+    touches-per-user-per-window, never a cartesian); per-conversion
+    ranking reuses the join's user partitioning; the final rollup is
+    map-side combined on touch-type-sized data. The ``id_col`` tiebreak
+    makes same-timestamp ordering — and the credited touch — fully
+    deterministic. Credits are exact rationals summed as DECIMAL(28,12)
+    over the per-conversion 1/n grid, so the DuckDB twin is exact."""
+    if model not in ("last", "first", "linear"):
+        raise ValueError(f"model must be last|first|linear, got {model}")
+    if lookback_days < 1:
+        raise ValueError(f"lookback_days must be >= 1, got {lookback_days}")
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col(id_col).alias("_cid"),
+    )
+    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        F.col(type_col).alias("touch_type"),
+    )
+    joined = conv.join(touch, "_u").where(
+        (F.col("_tts") <= F.col("_cts"))
+        & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        )
+    )
+    w = Window.partitionBy("_cid")
+    if model == "linear":
+        # round the double 1/n onto the 12-decimal grid FIRST (same
+        # function both engines), then sum as DECIMAL — order-independent
+        # and free of cross-engine decimal-division rounding semantics
+        credited = joined.withColumn(
+            "_w",
+            F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 12).cast(
+                "decimal(28,12)"
+            ),
+        )
+    else:
+        order = (
+            [F.col("_tts").desc(), F.col("_tid").desc()]
+            if model == "last"
+            else [F.col("_tts").asc(), F.col("_tid").asc()]
+        )
+        credited = (
+            joined.withColumn(
+                "_rk", F.row_number().over(w.orderBy(*order))
+            )
+            .where(F.col("_rk") == 1)
+            .withColumn("_w", F.lit(1).cast("decimal(28,12)"))
+        )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.sum("_w").cast("double").alias("credited"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+    )
+
+
+def attribution_sql(
+    source: str,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_days: int = 7,
+    model: str = "last",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """Exact DuckDB twin of :func:`attribution`."""
+    tt = ", ".join(f"'{_q(t)}'" for t in touch_types)
+    if model == "linear":
+        credit = """
+    SELECT touch_type,
+           CAST(ROUND(1.0 / COUNT(*) OVER (PARTITION BY _cid), 12)
+                AS DECIMAL(28,12)) AS _w
+    FROM _joined"""
+    else:
+        d = "DESC" if model == "last" else "ASC"
+        credit = f"""
+    SELECT touch_type, CAST(1 AS DECIMAL(28,12)) AS _w
+    FROM (
+        SELECT touch_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY _cid ORDER BY _tts {d}, _tid {d}
+               ) AS _rk
+        FROM _joined
+    ) WHERE _rk = 1"""
+    return f"""
+WITH _conv AS (
+    SELECT {user_col} AS _u, {ts_col} AS _cts, {id_col} AS _cid
+    FROM {source} WHERE {type_col} = '{_q(conversion_type)}'
+), _touch AS (
+    SELECT {user_col} AS _u, {ts_col} AS _tts, {id_col} AS _tid,
+           {type_col} AS touch_type
+    FROM {source} WHERE {type_col} IN ({tt})
+), _joined AS (
+    SELECT c._cid, t.touch_type, t._tts, t._tid
+    FROM _conv c JOIN _touch t ON t._u = c._u
+    WHERE t._tts <= c._cts
+      AND t._tts >= c._cts - INTERVAL {int(lookback_days)} DAYS
+), _credit AS ({credit}
+)
+SELECT touch_type, CAST(SUM(_w) AS DOUBLE) AS credited,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM _credit GROUP BY touch_type
+"""
+
+
+def daily_actives(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    unit: str = "day",
+) -> DataFrame:
+    """New-vs-returning actives (SURVEY.md §2 C115): per calendar bucket
+    — distinct actives (DAU/WAU/MAU), first-ever-seen users (new),
+    returning = actives − new, and the cumulative user count (running
+    sum of new) — the growth-accounting readout on the event tables this
+    engine materializes.
+
+    Scale shape: ONE map-side-combined distinct on (user, bucket) is the
+    only corpus-sized shuffle; first-seen is a per-user MIN over those
+    aggregated rows; per-bucket counts and the running cumulative sum
+    run on bucket-sized data (the single-partition ordering window is
+    over dozens-of-rows output, the value_histogram posture)."""
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unit must be day|week|month, got {unit}")
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    ub = (
+        df.where(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), bucket.alias("bucket"))
+        .distinct()
+        # two consumers: the DAU count and the first-seen election
+        .localCheckpoint(eager=True)
+    )
+    dau = ub.groupBy("bucket").agg(F.count(F.lit(1)).alias("actives"))
+    new = (
+        ub.groupBy("_u")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    out = (
+        dau.join(new, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("actives").cast("bigint").alias("actives"),
+            F.coalesce(F.col("new_users"), F.lit(0))
+            .cast("bigint")
+            .alias("new_users"),
+        )
+        .withColumn(
+            "returning", (F.col("actives") - F.col("new_users")).cast("bigint")
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("bigint")
+    )
+
+
+def daily_actives_sql(
+    source: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    unit: str = "day",
+) -> str:
+    """Exact DuckDB twin of :func:`daily_actives`."""
+    return f"""
+WITH _ub AS (
+    SELECT DISTINCT {user_col} AS _u,
+           date_trunc('{unit}', {ts_col})::DATE AS bucket
+    FROM {source} WHERE {user_col} IS NOT NULL
+), _dau AS (
+    SELECT bucket, COUNT(*) AS actives FROM _ub GROUP BY bucket
+), _new AS (
+    SELECT bucket, COUNT(*) AS new_users FROM (
+        SELECT _u, MIN(bucket) AS bucket FROM _ub GROUP BY _u
+    ) GROUP BY bucket
+)
+SELECT d.bucket,
+       CAST(d.actives AS BIGINT) AS actives,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(d.actives - COALESCE(n.new_users, 0) AS BIGINT) AS returning,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+           ORDER BY d.bucket ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_users
+FROM _dau d LEFT JOIN _new n ON n.bucket = d.bucket
+"""
+
+
+def time_to_convert(
+    df: DataFrame,
+    *,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-latency distribution (SURVEY.md §2 C117): per user,
+    the first ``start_type`` event and the first ``end_type`` event AT
+    OR AFTER it; report how many converted and the latency quartiles /
+    p90 plus the DECIMAL-exact mean, in seconds — "how long from first
+    click to first purchase", the companion readout to C59's funnel
+    (which counts conversion, not its speed).
+
+    Scale shape: both frontiers are per-user MIN aggregates of
+    scan-stage type filters (map-side combined); the pairing joins
+    user-keyed with the at-or-after condition as a residual; the
+    quantile aggregate runs over converted-users-sized data. Latencies
+    are exact micros/1e6 rationals; both engines interpolate quantiles
+    with the same R-7 rule."""
+    starts = (
+        df.where(F.col(type_col) == start_type)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_s"))
+    )
+    ends = df.where(F.col(type_col) == end_type).select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_e")
+    )
+    lat = (
+        starts.join(ends, "_u")
+        .where(F.col("_e") >= F.col("_s"))
+        .groupBy("_u", "_s")
+        .agg(F.min("_e").alias("_e"))
+        .select(
+            (
+                (F.unix_micros("_e") - F.unix_micros("_s"))
+                / F.lit(1_000_000.0)
+            ).alias("_lat")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr("percentile(_lat, 0.25)").alias("p25_s"),
+        F.expr("percentile(_lat, 0.5)").alias("p50_s"),
+        F.expr("percentile(_lat, 0.9)").alias("p90_s"),
+        F.sum(F.col("_lat").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_s"),
+    )
+
+
+def time_to_convert_sql(
+    source: str,
+    *,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """Exact DuckDB twin of :func:`time_to_convert` (same at-or-after
+    pairing, same R-7 quantile interpolation, same DECIMAL total)."""
+    return f"""
+WITH _starts AS (
+    SELECT {user_col} AS _u, MIN({ts_col}) AS _s
+    FROM {source} WHERE {type_col} = '{_q(start_type)}'
+    GROUP BY {user_col}
+), _lat AS (
+    SELECT (epoch_us(MIN(e.{ts_col})) - epoch_us(s._s)) / 1000000.0 AS _lat
+    FROM _starts s
+    JOIN {source} e ON e.{user_col} = s._u
+    WHERE e.{type_col} = '{_q(end_type)}' AND e.{ts_col} >= s._s
+    GROUP BY s._u, s._s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(_lat, 0.25) AS p25_s,
+       quantile_cont(_lat, 0.5) AS p50_s,
+       quantile_cont(_lat, 0.9) AS p90_s,
+       CAST(SUM(CAST(_lat AS DECIMAL(28,6))) AS DOUBLE) AS total_s
+FROM _lat
+"""
+
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    anchor: str | None = None,
+) -> DataFrame:
+    """RFM segmentation (SURVEY.md §2 C164): per user, Recency (days
+    since last event, against ``anchor`` or the corpus max date),
+    Frequency (event count), Monetary (value sum), each scored 1-5 by
+    quintile edges — the classic customer-value grid the C59/C60 funnel
+    and retention readouts feed into. Higher is better on all three
+    scores (recency inverts: fewer days → 5). Output: user, the three
+    raw metrics, ``r_score``/``f_score``/``m_score``, and the ``rfm``
+    code string (e.g. '545').
+
+    Scale shape: the C70/C159 edges posture — one corpus aggregate to
+    users, a 12-scalar percentile reduce over the users frame riding
+    back as a 1-row broadcast, score assignment as scan-stage
+    comparisons. NO global ntile window (a single-task sort at 100 TB);
+    quintile EDGES with "count edges strictly below the value" gives
+    identical scores in both engines (R-7 interpolation is shared), so
+    :func:`rfm_segments_sql` is exact — ties at an edge land on the same
+    side everywhere."""
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).groupBy(F.col(user_col).alias("user_key")).agg(
+        F.max(F.col(ts_col).cast("date")).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(F.col(value_col).cast("double")), 6).alias("monetary"),
+    )
+    if anchor is None:
+        # 1-row broadcast, never a global window over the users frame
+        base = base.crossJoin(
+            F.broadcast(base.agg(F.max("_last").alias("_anchor")))
+        )
+    else:
+        base = base.withColumn("_anchor", F.lit(anchor).cast("date"))
+    base = base.withColumn(
+        "recency_days", F.datediff(F.col("_anchor"), F.col("_last")).cast("long")
+    ).drop("_last", "_anchor")
+    pct = ", ".join(str(q) for q in _RFM_QS)
+    edges = base.agg(
+        F.expr(f"percentile(recency_days, array({pct}))").alias("_re"),
+        F.expr(f"percentile(frequency, array({pct}))").alias("_fe"),
+        F.expr(f"percentile(monetary, array({pct}))").alias("_me"),
+    )
+    scored = base.crossJoin(F.broadcast(edges))
+
+    def _score(col: str, edge: str) -> F.Column:  # 1 + edges strictly below
+        c = F.col(col).cast("double")
+        s = F.lit(1)
+        for i in range(len(_RFM_QS)):
+            s = s + F.when(c > F.col(edge)[i], 1).otherwise(0)
+        return s
+
+    r_sc = F.lit(6) - _score("recency_days", "_re")  # fewer days -> higher
+    f_sc = _score("frequency", "_fe")
+    m_sc = _score("monetary", "_me")
+    return scored.select(
+        "user_key",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_sc.cast("int").alias("r_score"),
+        f_sc.cast("int").alias("f_score"),
+        m_sc.cast("int").alias("m_score"),
+    ).withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def rfm_segments_sql(
+    source: str,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    anchor: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`rfm_segments` (same R-7 quintile
+    edges, same strictly-above counting, same recency inversion)."""
+    anchor_expr = (
+        f"DATE '{anchor}'" if anchor is not None
+        else "(SELECT MAX(CAST(_last AS DATE)) FROM _base)"
+    )
+
+    def _score(col: str, edge: str) -> str:
+        parts = " + ".join(
+            f"CASE WHEN CAST({col} AS DOUBLE) > {edge}[{i + 1}] THEN 1 ELSE 0 END"
+            for i in range(len(_RFM_QS))
+        )
+        return f"(1 + {parts})"
+
+    pct = ", ".join(str(q) for q in _RFM_QS)
+    return f"""
+WITH _base AS (
+    SELECT {user_col} AS user_key, MAX(CAST({ts_col} AS DATE)) AS _last,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           round(SUM(CAST({value_col} AS DOUBLE)), 6) AS monetary
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+    GROUP BY {user_col}
+), _rec AS (
+    SELECT *, CAST(date_diff('day', _last, {anchor_expr}) AS BIGINT) AS recency_days
+    FROM _base
+), _edges AS (
+    SELECT quantile_cont(recency_days, [{pct}]) AS _re,
+           quantile_cont(frequency, [{pct}]) AS _fe,
+           quantile_cont(monetary, [{pct}]) AS _me
+    FROM _rec
+), _scored AS (
+    SELECT r.user_key, r.recency_days, r.frequency, r.monetary,
+           CAST(6 - {_score('r.recency_days', 'e._re')} AS INTEGER) AS r_score,
+           CAST({_score('r.frequency', 'e._fe')} AS INTEGER) AS f_score,
+           CAST({_score('r.monetary', 'e._me')} AS INTEGER) AS m_score
+    FROM _rec r CROSS JOIN _edges e
+)
+SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm
+FROM _scored
+"""
+
+
+def time_to_nth_event(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    n: int,
+    event_filter,
+    tiebreak: str,
+) -> DataFrame:
+    """Time to the nth qualifying event (SURVEY.md §2 C187): per user,
+    the latency from their FIRST event of any kind to their nth event
+    matching ``event_filter`` (SQL string or Column) — "time to 3rd
+    purchase" / "time to 5th session", the activation-milestone metric
+    C117's single-conversion latency can't express. NULL ``t_nth`` and
+    latency when the user never reaches n matches. ``tiebreak`` (an
+    id column) makes the nth pick deterministic under equal timestamps.
+
+    Scale shape: one user-partitioned window shuffle — the qualifying
+    rank rides a conditional row_number (rank only matching rows, one
+    pass, no second corpus scan); everything after is a per-user
+    aggregate on the same partitioning. Exact timestamps and integer
+    seconds; :func:`time_to_nth_sql` is exact."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    cond = (
+        F.expr(event_filter) if isinstance(event_filter, str) else event_filter
+    )
+    src = df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    ranked = src.select(
+        F.col(user_col).alias("user_key"),
+        F.col(ts_col).alias("_t"),
+        F.when(
+            cond,
+            F.row_number().over(
+                Window.partitionBy(F.col(user_col), cond.cast("boolean")).orderBy(
+                    F.col(ts_col).asc(), F.col(tiebreak).asc()
+                )
+            ),
+        ).alias("_qr"),
+    )
+    agg = ranked.groupBy("user_key").agg(
+        F.min("_t").alias("t_first"),
+        F.min(F.when(F.col("_qr") == n, F.col("_t"))).alias("t_nth"),
+    )
+    return agg.select(
+        "user_key",
+        "t_first",
+        "t_nth",
+        (
+            F.unix_timestamp("t_nth") - F.unix_timestamp("t_first")
+        ).cast("long").alias("seconds_to_nth"),
+    )
+
+
+def time_to_nth_sql(
+    source: str,
+    user_col: str,
+    ts_col: str,
+    *,
+    n: int,
+    event_filter: str,
+    tiebreak: str,
+) -> str:
+    """Exact DuckDB twin of :func:`time_to_nth_event`."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return f"""
+WITH _src AS (
+    SELECT {user_col} AS user_key, {ts_col} AS _t,
+           CASE WHEN {event_filter} THEN
+               ROW_NUMBER() OVER (
+                   PARTITION BY {user_col}, CASE WHEN {event_filter} THEN 1 ELSE 0 END
+                   ORDER BY {ts_col} ASC, {tiebreak} ASC)
+           END AS _qr
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+)
+SELECT user_key,
+       MIN(_t) AS t_first,
+       MIN(CASE WHEN _qr = {int(n)} THEN _t END) AS t_nth,
+       -- floor each epoch BEFORE differencing: Spark's unix_timestamp()
+       -- truncates sub-second parts per timestamp, DuckDB's epoch() keeps
+       -- them (found by the oracle: off-by-one on fractional seconds)
+       CAST(floor(epoch(MIN(CASE WHEN _qr = {int(n)} THEN _t END)))
+            - floor(epoch(MIN(_t))) AS BIGINT) AS seconds_to_nth
+FROM _src GROUP BY user_key
+"""
+
+
+def rolling_actives(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct actives (SURVEY.md §2 C188): per observed event
+    date, COUNT(DISTINCT user) over the trailing ``window_days`` window
+    — rolling WAU/MAU on a daily grain, the denominator of the DAU/MAU
+    stickiness ratio; C115's daily_actives counts per BUCKET (a user
+    active Mon and Tue counts once in Mon's DAU and once in Tue's),
+    while a rolling distinct can't be summed from buckets at all.
+    Output: ``report_date``, ``rolling_actives``, ``window_days``.
+
+    Scale shape: ONE distinct on (user, day) collapses the corpus; each
+    (user, day) then EXPLODES to the ≤ window_days report dates it
+    contributes to and a count-distinct aggregates per date — cost is
+    window_days × the user-day frame, the standard scalable form (a
+    per-day self-join would re-scan the frame once per day; a window
+    frame can't do distinct). Report dates beyond the last observed day
+    are dropped (trailing phantom days). Exact integers;
+    :func:`rolling_actives_sql` is exact."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = (
+        df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"), F.col(ts_col).cast("date").alias("_d")
+        )
+        .distinct()
+        .localCheckpoint()  # consumers: the explode and the max-date bound
+    )
+    last = ud.agg(F.max("_d").alias("_last"))
+    exploded = ud.select(
+        "_u",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias("report_date"),
+    ).join(F.broadcast(last), F.col("report_date") <= F.col("_last"))
+    return (
+        exploded.groupBy("report_date")
+        .agg(F.count_distinct(F.col("_u")).alias("rolling_actives"))
+        .withColumn("window_days", F.lit(window_days))
+    )
+
+
+def rolling_actives_sql(
+    source: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    window_days: int = 7,
+) -> str:
+    """Exact DuckDB twin of :func:`rolling_actives` (stated as the
+    direct trailing-window distinct — oracles check results, not
+    plans)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    return f"""
+WITH _ud AS (
+    SELECT DISTINCT {user_col} AS _u, CAST({ts_col} AS DATE) AS _d
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+), _days AS (
+    SELECT DISTINCT report_date FROM (
+        SELECT UNNEST(generate_series(_d, _d + {int(window_days) - 1},
+                                      INTERVAL '1 day'))::DATE AS report_date
+        FROM _ud
+    ) WHERE report_date <= (SELECT MAX(_d) FROM _ud)
+)
+SELECT r.report_date,
+       CAST(COUNT(DISTINCT u._u) AS BIGINT) AS rolling_actives,
+       {int(window_days)} AS window_days
+FROM _days r
+JOIN _ud u ON u._d BETWEEN r.report_date - {int(window_days) - 1} AND r.report_date
+GROUP BY r.report_date
+"""
+
+
+def ltv_curve(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    cohort_unit: str = "week",
+) -> DataFrame:
+    """Cohort LTV curve (SURVEY.md §2 C190): per signup cohort and age
+    (days since the user's first event), the cumulative value per
+    cohort user — the "how much is a week-N user worth by day 30" curve
+    that prices acquisition; C60's retention counts who CAME BACK, this
+    accumulates what they were WORTH. Output per (cohort, age_days):
+    ``n_users`` (cohort size — constant down the cohort),
+    ``cum_value``, ``cum_value_per_user``. Ages appear only where the
+    cohort had activity (join C152's spine to densify).
+
+    Scale shape: one per-user MIN (first-seen) joined back user-keyed
+    (the C60 posture — the join reuses the aggregate's exchange), one
+    (cohort, age) aggregate, then a cumulative window over the small
+    cohort×age frame. Value sums on the DECIMAL grid;
+    :func:`ltv_curve_sql` is exact."""
+    if cohort_unit not in ("day", "week", "month"):
+        raise ValueError(f"cohort_unit must be day|week|month, got {cohort_unit}")
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("date").alias("_d"),
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("_v"),
+    )
+    first = src.groupBy("_u").agg(F.min("_d").alias("_first"))
+    cohorted = src.join(first, "_u").select(
+        "_u",
+        F.date_trunc(cohort_unit, F.col("_first")).cast("date").alias("cohort"),
+        F.datediff(F.col("_d"), F.col("_first")).alias("age_days"),
+        "_v",
+    )
+    sizes = cohorted.select("cohort", "_u").distinct().groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    daily = cohorted.groupBy("cohort", "age_days").agg(F.sum("_v").alias("_dv"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy(F.col("age_days").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = daily.withColumn("_cum", F.sum("_dv").over(w)).join(
+        F.broadcast(sizes), "cohort"
+    )
+    return curve.select(
+        "cohort",
+        F.col("age_days").cast("int").alias("age_days"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("_cum").cast("double"), 6).alias("cum_value"),
+        F.round(F.col("_cum").cast("double") / F.col("n_users"), 6).alias(
+            "cum_value_per_user"
+        ),
+    )
+
+
+def ltv_curve_sql(
+    source: str,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    cohort_unit: str = "week",
+) -> str:
+    """Exact DuckDB twin of :func:`ltv_curve`."""
+    if cohort_unit not in ("day", "week", "month"):
+        raise ValueError(f"cohort_unit must be day|week|month, got {cohort_unit}")
+    return f"""
+WITH _src AS (
+    SELECT {user_col} AS _u, CAST({ts_col} AS DATE) AS _d,
+           CAST(round(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(38,6)) AS _v
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+), _first AS (
+    SELECT _u, MIN(_d) AS _first FROM _src GROUP BY _u
+), _cohorted AS (
+    SELECT s._u,
+           CAST(date_trunc('{cohort_unit}', f._first) AS DATE) AS cohort,
+           date_diff('day', f._first, s._d) AS age_days, s._v
+    FROM _src s JOIN _first f ON f._u = s._u
+), _sizes AS (
+    SELECT cohort, CAST(COUNT(DISTINCT _u) AS BIGINT) AS n_users
+    FROM _cohorted GROUP BY cohort
+), _daily AS (
+    SELECT cohort, age_days, SUM(_v) AS _dv
+    FROM _cohorted GROUP BY cohort, age_days
+), _curve AS (
+    SELECT cohort, age_days,
+           SUM(_dv) OVER (PARTITION BY cohort ORDER BY age_days ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+    FROM _daily
+)
+SELECT c.cohort, CAST(c.age_days AS INTEGER) AS age_days, z.n_users,
+       round(CAST(c._cum AS DOUBLE), 6) AS cum_value,
+       round(CAST(c._cum AS DOUBLE) / z.n_users, 6) AS cum_value_per_user
+FROM _curve c JOIN _sizes z ON z.cohort = c.cohort
+"""

@@ -1,0 +1,483 @@
+"""Temporal trend detection and rank statistics (SURVEY.md §2): robust period anomalies (median/MAD), closed-form per-key OLS trends, Mann-Kendall trend tests, Kendall's tau.
+
+Split from the original single-module analytics.py (round 8); the
+``operators.analytics`` package __init__ re-exports everything, so
+``analytics.period_anomalies`` call sites are unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import _q, _UNIT_DAYS
+
+__all__ = ['period_anomalies', 'period_anomalies_sql', 'linear_trend', 'linear_trend_sql', 'mann_kendall', 'mann_kendall_sql', 'kendall_tau', 'kendall_tau_sql']
+
+def period_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    unit: str = "day",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-bucket volume anomaly flags: (bucket, n, z, is_anomaly)
+    where ``z`` is the modified z-score ``0.6745 * (n - median) / MAD``
+    (NULL when the MAD is zero — a constant series has no spread to judge
+    against) and ``is_anomaly`` flags |z| > ``threshold``. The natural
+    post-run check on A17's per-period row counts: a period that loaded
+    wildly more or fewer rows than its neighbors."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    counts = (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # three consumers: median agg, MAD agg, final projection
+        .localCheckpoint(eager=True)
+    )
+    med = counts.agg(F.percentile("n", F.lit(0.5)).alias("_med"))
+    devs = counts.crossJoin(F.broadcast(med))
+    mad = devs.agg(
+        F.percentile(F.abs(F.col("n") - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("n") - F.col("_med")) / F.col("_mad"), 6
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .select(
+            "bucket",
+            F.col("n").cast("bigint").alias("n"),
+            F.when(F.col("_mad") > 0, z).alias("z"),
+            (
+                (F.col("_mad") > 0)
+                & (F.abs(F.when(F.col("_mad") > 0, z)) > threshold)
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def period_anomalies_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    *,
+    unit: str = "day",
+    threshold: float = 3.5,
+) -> str:
+    """Exact DuckDB twin of :func:`period_anomalies` (DuckDB ``median`` and
+    Spark ``percentile(0.5)`` both linearly interpolate)."""
+    return f"""
+WITH _counts AS (
+    SELECT date_trunc('{unit}', {ts_col})::DATE AS bucket, COUNT(*) AS n
+    FROM {table} GROUP BY 1
+), _med AS (SELECT median(n) AS _med FROM _counts),
+_mad AS (
+    SELECT median(abs(n - _med)) AS _mad FROM _counts, _med
+)
+SELECT bucket, CAST(n AS BIGINT) AS n,
+       CASE WHEN _mad > 0
+            THEN round(0.6745 * (n - _med) / _mad, 6) END AS z,
+       (_mad > 0 AND
+        abs(CASE WHEN _mad > 0
+                 THEN round(0.6745 * (n - _med) / _mad, 6) END) > {threshold!r}
+       ) AS is_anomaly
+FROM _counts, _med, _mad
+"""
+
+
+# ------------------------------------------------------- event transitions
+
+
+def linear_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares fit y = slope·x + intercept:
+    (``*key_cols``, n, slope, intercept, r2), computed closed-form from one
+    aggregate of sufficient statistics. Keys with fewer than 2 points or a
+    constant x get NULL slope/intercept/r2; r2 is NULL for constant y
+    (zero variance has no explained fraction). Rows with NULL x or y are
+    ignored. x and y are rounded to 6 decimals and all sums run as
+    DECIMAL, so results are partition-order-independent and the DuckDB
+    twin is exact."""
+    x = F.round(F.col(x_col).cast("double"), 6).cast("decimal(20,6)")
+    y = F.round(F.col(y_col).cast("double"), 6).cast("decimal(20,6)")
+    agg = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum((x * y).cast("decimal(38,12)")).alias("_sxy"),
+            F.sum((x * x).cast("decimal(38,12)")).alias("_sxx"),
+            F.sum((y * y).cast("decimal(38,12)")).alias("_syy"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n² × covariance
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x > 0, F.round(cov_n / var_x, 6))
+    intercept = F.when(var_x > 0, F.round((sy - (cov_n / var_x) * sx) / n, 6))
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), F.round(cov_n * cov_n / (var_x * var_y), 6)
+    )
+    return agg.select(
+        *key_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def linear_trend_sql(
+    table: str,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> str:
+    """Exact DuckDB twin of :func:`linear_trend` (same rounding grid, same
+    DECIMAL sums, same final double arithmetic)."""
+    ks = ", ".join(key_cols)
+    x = f"CAST(round(CAST({x_col} AS DOUBLE), 6) AS DECIMAL(20,6))"
+    y = f"CAST(round(CAST({y_col} AS DOUBLE), 6) AS DECIMAL(20,6))"
+    return f"""
+WITH _agg AS (
+    SELECT {ks}, COUNT(*) AS _n,
+           SUM({x}) AS _sx, SUM({y}) AS _sy,
+           SUM(CAST({x} * {y} AS DECIMAL(38,12))) AS _sxy,
+           SUM(CAST({x} * {x} AS DECIMAL(38,12))) AS _sxx,
+           SUM(CAST({y} * {y} AS DECIMAL(38,12))) AS _syy
+    FROM {table}
+    WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    GROUP BY {ks}
+), _d AS (
+    SELECT {ks}, _n,
+           CAST(_n AS DOUBLE) AS n,
+           CAST(_sx AS DOUBLE) AS sx, CAST(_sy AS DOUBLE) AS sy,
+           CAST(_sxy AS DOUBLE) AS sxy,
+           CAST(_sxx AS DOUBLE) AS sxx, CAST(_syy AS DOUBLE) AS syy
+    FROM _agg
+)
+SELECT {ks}, CAST(_n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+       END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS r2
+FROM _d
+"""
+
+
+# ------------------------------------------- group-wise score normalization
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Kendall trend test (SURVEY.md §2 C174): per group, the
+    distribution-free monotone-trend test over a time series —
+    S = Σ_{i<j} sign(vⱼ − vᵢ), tie-corrected variance, and the
+    continuity-corrected z — the significance companion to C62's OLS
+    slope (which gives magnitude but assumes linearity; MK asks only
+    "does it keep going up"). Duplicate timestamps collapse to their
+    mean first (MK assumes one observation per time; DECIMAL-grid mean,
+    deterministic). Output per group: ``n``, ``s_stat``, ``var_s``,
+    ``z``, ``trend`` ('increasing'/'decreasing'/'no_trend' at
+    ``z_crit``).
+
+    Scale shape: the pair stage is a within-group self-join on strictly
+    increasing time — O(n²) per key BY DESIGN, sized for the per-key
+    daily/period series this family reads (30–365 points/key, like
+    C62/C135), not corpus-wide pairs; the join shuffles on the group
+    key once and every aggregate after is group-sized. S and the tie
+    counts are exact integers, so :func:`mann_kendall_sql` is exact."""
+    gcols = list(group_cols or [])
+    per_t = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).alias("_t"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col(value_col).cast("double"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                )
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("_v")
+        )
+    )
+    per_t = per_t.localCheckpoint()  # consumers: two join sides + tie counts
+    a = per_t.select(*gcols, F.col("_t").alias("_ti"), F.col("_v").alias("_vi"))
+    b = per_t.select(*gcols, F.col("_t").alias("_tj"), F.col("_v").alias("_vj"))
+    pairs = a.join(b, gcols) if gcols else a.crossJoin(b)
+    pairs = pairs.where(F.col("_ti") < F.col("_tj"))
+    s = pairs.groupBy(*gcols).agg(
+        F.sum(F.signum(F.col("_vj") - F.col("_vi")).cast("long")).alias("s_stat")
+    )
+    n_rows = per_t.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        per_t.groupBy(*gcols, "_v")
+        .agg(F.count(F.lit(1)).alias("_tk"))
+        .where(F.col("_tk") > 1)
+        .groupBy(*gcols)
+        .agg(
+            F.sum(
+                F.col("_tk") * (F.col("_tk") - 1) * (2 * F.col("_tk") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    if gcols:
+        joined = n_rows.join(s, gcols).join(ties, gcols, "left")
+    else:
+        joined = _cross_left(n_rows.crossJoin(s), ties)
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("_tie_term"), F.lit(0))
+    ) / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    zr = F.round(z, 6)
+    return joined.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        zr.alias("z"),
+        F.when(zr > z_crit, F.lit("increasing"))
+        .when(zr < -z_crit, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+def _cross_left(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Ungrouped left join of a 1-row frame against a 0-or-1-row frame."""
+    r = right.withColumn("_one", F.lit(1))
+    return left.withColumn("_one", F.lit(1)).join(r, "_one", "left").drop("_one")
+
+
+def mann_kendall_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    z_crit: float = 1.96,
+) -> str:
+    """Exact DuckDB twin of :func:`mann_kendall`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    on_g = " AND ".join(f"a.{c} = b.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    join_g = f"USING ({g})" if g else "ON TRUE"
+    return f"""
+WITH _per_t AS (
+    SELECT {gsel}{ts_col} AS _t,
+           CAST(SUM(CAST(round(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS _v
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+    GROUP BY {gsel}{ts_col}
+), _s AS (
+    SELECT {asel}SUM(CAST(sign(b._v - a._v) AS BIGINT)) AS s_stat
+    FROM _per_t a JOIN _per_t b ON {on_g} AND a._t < b._t
+    {("GROUP BY " + ", ".join("a." + c for c in gcols)) if gcols else ""}
+), _n AS (
+    SELECT {gsel}COUNT(*) AS n FROM _per_t {grp}
+), _ties AS (
+    SELECT {gsel}SUM(_tk * (_tk - 1) * (2 * _tk + 5)) AS _tie_term
+    FROM (SELECT {gsel}_v, COUNT(*) AS _tk FROM _per_t GROUP BY {gsel}_v)
+    WHERE _tk > 1 {grp}
+), _joined AS (
+    SELECT n.*, s.s_stat, COALESCE(t._tie_term, 0) AS _tie_term
+    FROM _n n JOIN _s s {join_g} LEFT JOIN _ties t {join_g}
+)
+SELECT {gsel}CAST(n AS BIGINT) AS n, CAST(s_stat AS BIGINT) AS s_stat,
+       round((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0, 6) AS var_s,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                  ELSE 0.0 END, 6) AS z,
+       CASE WHEN round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                            ELSE 0.0 END, 6) > {z_crit!r} THEN 'increasing'
+            WHEN round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - _tie_term) / 18.0)
+                            ELSE 0.0 END, 6) < -{z_crit!r} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM _joined
+"""
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kendall tau-b rank correlation (SURVEY.md §2 C185): per group,
+    τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)) over all pairs — the
+    distribution-free companion to C145's Pearson matrix (which needs
+    linearity) built from the same concordant/discordant pair algebra
+    as C174's Mann-Kendall (MK tests value-vs-TIME; this correlates two
+    COLUMNS, with tau-b's tie corrections on both sides). Rows with a
+    NULL in either column drop. Output per group: ``n``, ``concordant``,
+    ``discordant``, ``tau`` (NULL when either side is all ties).
+
+    Scale shape: one within-group pair self-join — O(n²) per key BY
+    DESIGN for per-key series/segments (the C174 posture), one
+    group-keyed shuffle; S and every tie term are exact integers, so
+    :func:`kendall_tau_sql` is exact."""
+    gcols = list(group_cols or [])
+    src = (
+        df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .select(
+            *gcols,
+            F.col(col_x).cast("double").alias("_x"),
+            F.col(col_y).cast("double").alias("_y"),
+        )
+        .withColumn(
+            "_i",
+            F.row_number().over(
+                Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+                    "_x", "_y"
+                )
+            ),
+        )
+        .localCheckpoint()  # consumers: two join sides + tie counts
+    )
+    a = src.select(*gcols, F.col("_i").alias("_ia"), F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = src.select(*gcols, F.col("_i").alias("_ib"), F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    pairs = (a.join(b, gcols) if gcols else a.crossJoin(b)).where(
+        F.col("_ia") < F.col("_ib")
+    )
+    sgn = F.signum(F.col("_xb") - F.col("_xa")) * F.signum(
+        F.col("_yb") - F.col("_ya")
+    )
+    cd = pairs.groupBy(*gcols).agg(
+        F.sum((sgn > 0).cast("long")).alias("concordant"),
+        F.sum((sgn < 0).cast("long")).alias("discordant"),
+    )
+
+    def _ties(col: str, out: str) -> DataFrame:
+        return (
+            src.groupBy(*gcols, col)
+            .agg(F.count(F.lit(1)).alias("_tk"))
+            .where(F.col("_tk") > 1)
+            .groupBy(*gcols)
+            .agg(
+                F.sum(F.col("_tk") * (F.col("_tk") - 1) / 2)
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    n_rows = src.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n"))
+    if gcols:
+        joined = (
+            n_rows.join(cd, gcols)
+            .join(_ties("_x", "_tx"), gcols, "left")
+            .join(_ties("_y", "_ty"), gcols, "left")
+        )
+    else:
+        joined = _cross_left(
+            _cross_left(n_rows.crossJoin(cd), _ties("_x", "_tx")),
+            _ties("_y", "_ty"),
+        )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    n1 = F.coalesce(F.col("_tx"), F.lit(0))
+    n2 = F.coalesce(F.col("_ty"), F.lit(0))
+    denom = F.sqrt((n0 - n1) * (n0 - n2))
+    tau = F.when(
+        denom > 0.0,
+        (F.col("concordant") - F.col("discordant")) / denom,
+    )
+    return joined.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("tau"),
+    )
+
+
+def kendall_tau_sql(
+    source: str,
+    col_x: str,
+    col_y: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`kendall_tau`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    on_g = " AND ".join(f"a.{c} = b.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    agrp = ("GROUP BY " + ", ".join("a." + c for c in gcols)) if gcols else ""
+    join_g = f"USING ({g})" if g else "ON TRUE"
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({col_x} AS DOUBLE) AS _x, CAST({col_y} AS DOUBLE) AS _y,
+           ROW_NUMBER() OVER ({part}ORDER BY CAST({col_x} AS DOUBLE),
+                              CAST({col_y} AS DOUBLE)) AS _i
+    FROM {source}
+    WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL
+), _cd AS (
+    SELECT {asel}
+           SUM(CASE WHEN sign(b._x - a._x) * sign(b._y - a._y) > 0 THEN 1 ELSE 0 END) AS concordant,
+           SUM(CASE WHEN sign(b._x - a._x) * sign(b._y - a._y) < 0 THEN 1 ELSE 0 END) AS discordant
+    FROM _src a JOIN _src b ON {on_g} AND a._i < b._i
+    {agrp}
+), _n AS (
+    SELECT {gsel}COUNT(*) AS n FROM _src {grp}
+), _tx AS (
+    SELECT {gsel}CAST(SUM(_tk * (_tk - 1) / 2) AS BIGINT) AS _txv
+    FROM (SELECT {gsel}_x, COUNT(*) AS _tk FROM _src GROUP BY {gsel}_x)
+    WHERE _tk > 1 {grp}
+), _ty AS (
+    SELECT {gsel}CAST(SUM(_tk * (_tk - 1) / 2) AS BIGINT) AS _tyv
+    FROM (SELECT {gsel}_y, COUNT(*) AS _tk FROM _src GROUP BY {gsel}_y)
+    WHERE _tk > 1 {grp}
+), _joined AS (
+    SELECT n.*, c.concordant, c.discordant,
+           COALESCE(tx._txv, 0) AS _n1, COALESCE(ty._tyv, 0) AS _n2
+    FROM _n n JOIN _cd c {join_g}
+    LEFT JOIN _tx tx {join_g} LEFT JOIN _ty ty {join_g}
+)
+SELECT {gsel}CAST(n AS BIGINT) AS n,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       round(CASE WHEN (n * (n - 1) / 2 - _n1) * (n * (n - 1) / 2 - _n2) > 0
+                  THEN (concordant - discordant)
+                       / sqrt(CAST((n * (n - 1) / 2 - _n1)
+                              * (n * (n - 1) / 2 - _n2) AS DOUBLE)) END,
+             6) AS tau
+FROM _joined
+"""

@@ -6176,6 +6176,62 @@ _CUPED_SRC_DUCK = (
 )
 
 
+def _theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C207 (annex, EXACT oracle): Theil-Sen robust slope of the
+    daily value total per event_type — median of all pairwise calendar
+    slopes + median-residual intercept; the outlier-proof cross-read of
+    C62's OLS trend."""
+    _prep(spark, sf_dir)
+    return analytics.theil_sen(
+        spark.table("events"), "ts", "value", group_cols=["event_type"]
+    )
+
+
+def _did_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C208 (annex, EXACT oracle): difference-in-differences on a
+    synthetic geo rollout — user_id%3==0 is treated, Jan 16+ is post —
+    four-cell sufficient statistics in one pass, Welch se, 1.96 flag."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit("t")).otherwise(F.lit("c")).alias("arm"),
+        F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), F.lit("post"))
+        .otherwise(F.lit("pre")).alias("period"),
+        F.col("value"),
+    )
+    return analytics.did_readout(
+        src, "arm", "period", "value", treat_value="t", post_value="post"
+    )
+
+
+_DID_SRC_DUCK = (
+    "(SELECT CASE WHEN user_id % 3 = 0 THEN 't' ELSE 'c' END AS arm,"
+    " CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'post' ELSE 'pre' END"
+    " AS period, value FROM events)"
+)
+
+
+def _welch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C209 (annex, EXACT oracle): Welch two-sample mean test of
+    event value between a synthetic 50/50 assignment, sliced per
+    event_type (the heterogeneous-treatment-effect readout)."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("arm"),
+        F.col("value"),
+    )
+    return analytics.welch_ab(
+        src, "arm", "value", arm_a="a", arm_b="b", group_cols=["event_type"]
+    )
+
+
+_WELCH_SRC_DUCK = (
+    "(SELECT event_type,"
+    " CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,"
+    " value FROM events)"
+)
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6478,6 +6534,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # round-7 batch-59 components (C205-C206)
         "cuped_user_value": _cuped_user_value,
         "srm_check_assignment": _srm_assignment,
+        # round-8 batch-61/62 components (C207-C209)
+        "theil_sen_value_daily": _theil_sen_daily,
+        "did_geo_rollout": _did_value,
+        "welch_value_by_type": _welch_by_type,
     }
 
 
@@ -7122,6 +7182,18 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT CASE WHEN user_id % 10 < 6 THEN 'control'"
             " ELSE 'treatment' END AS arm FROM events)",
             "arm", {"control": 0.5, "treatment": 0.5},
+        ),
+        # round-8 batch-61/62 components (C207-C209)
+        "theil_sen_value_daily": analytics.theil_sen_sql(
+            "events", "ts", "value", group_cols=["event_type"]
+        ),
+        "did_geo_rollout": analytics.did_sql(
+            _DID_SRC_DUCK, "arm", "period", "value",
+            treat_value="t", post_value="post",
+        ),
+        "welch_value_by_type": analytics.welch_ab_sql(
+            _WELCH_SRC_DUCK, "arm", "value", arm_a="a", arm_b="b",
+            group_cols=["event_type"],
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

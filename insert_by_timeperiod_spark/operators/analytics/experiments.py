@@ -702,3 +702,259 @@ SELECT arm, CAST(n AS BIGINT) AS n, round(_en, 6) AS expected_n,
        round(CAST(SUM(_t) OVER () AS DOUBLE), 6) > {crit[dof]!r} AS srm_suspected
 FROM _terms
 """
+
+
+def did_readout(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    metric_col: str,
+    *,
+    treat_value: str,
+    post_value: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Difference-in-differences readout (SURVEY.md §2 C208): the 2×2
+    natural-experiment estimator — effect = (treated post − treated
+    pre) − (control post − control pre) — for rollouts WITHOUT random
+    assignment (geo launches, staged releases), where C118/C205 don't
+    apply because the arms differ at baseline; the pre-period
+    difference is subtracted out (the parallel-trends assumption does
+    the identification). Rows whose arm ≠ ``treat_value`` are control;
+    period ≠ ``post_value`` is pre. Output per group: the four cell
+    ``n_*``/``mean_*`` columns (the audit surface), ``did_effect``,
+    ``se`` (four-cell Welch combination), ``z``, and the |z| ≥ 1.96
+    ``significant`` flag (fixed critical value — twin-exact, no erf).
+    Cells with n < 2 yield NULL se/z (no variance evidence).
+
+    Scale shape: ONE map-side-combined aggregate to per-group
+    sufficient statistics (n, Σy, Σy² per cell as conditional sums on
+    the DECIMAL grid); everything after is groups-sized column algebra
+    — :func:`did_sql` is exact."""
+    gcols = list(group_cols or [])
+    y = F.col(metric_col).cast("double")
+    t = F.col(arm_col).cast("string") == str(treat_value)
+    p = F.col(period_col).cast("string") == str(post_value)
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    cells = {"tp": t & p, "tq": t & ~p, "cp": ~t & p, "cq": ~t & ~p}
+    aggs = []
+    for k, cond in cells.items():
+        w = F.when(cond & y.isNotNull(), 1).otherwise(0)
+        aggs += [
+            F.sum(w).cast("double").alias(f"_n_{k}"),
+            dec(F.when(cond, y).otherwise(F.lit(None))).alias(f"_s_{k}"),
+            dec(F.when(cond, y * y).otherwise(F.lit(None))).alias(f"_ss_{k}"),
+        ]
+    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
+
+    def mean(k):
+        return F.when(F.col(f"_n_{k}") > 0, F.col(f"_s_{k}") / F.col(f"_n_{k}"))
+
+    def sem2(k):
+        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
+        var = (n * ss - s * s) / (n * (n - 1.0))
+        return F.when(n >= 2, var / n)
+
+    did = (mean("tp") - mean("tq")) - (mean("cp") - mean("cq"))
+    se = F.sqrt(sem2("tp") + sem2("tq") + sem2("cp") + sem2("cq"))
+    z = F.when(se > 0.0, did / se)
+    out = st.select(
+        *gcols,
+        *[F.col(f"_n_{k}").cast("long").alias(f"n_{k}") for k in cells],
+        *[F.round(mean(k), 6).alias(f"mean_{k}") for k in cells],
+        F.round(did, 6).alias("did_effect"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+    )
+    return out.withColumn(
+        "significant",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
+    )
+
+
+def did_sql(
+    source: str,
+    arm_col: str,
+    period_col: str,
+    metric_col: str,
+    *,
+    treat_value: str,
+    post_value: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`did_readout` (same DECIMAL
+    sufficient statistics, same four-cell Welch se, same 1.96 flag)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    y = f"CAST({metric_col} AS DOUBLE)"
+    t = f"CAST({arm_col} AS VARCHAR) = '{_q(str(treat_value))}'"
+    p = f"CAST({period_col} AS VARCHAR) = '{_q(str(post_value))}'"
+    conds = {"tp": f"({t}) AND ({p})", "tq": f"({t}) AND NOT ({p})",
+             "cp": f"NOT ({t}) AND ({p})", "cq": f"NOT ({t}) AND NOT ({p})"}
+    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
+           " AS DECIMAL(38,6))) AS DOUBLE)")
+    cell_sql = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
+        f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
+        f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
+        for k, c in conds.items()
+    )
+    mean = lambda k: f"(CASE WHEN _n_{k} > 0 THEN _s_{k} / _n_{k} END)"
+    sem2 = lambda k: (
+        f"(CASE WHEN _n_{k} >= 2 THEN"
+        f" ((_n_{k} * _ss_{k} - _s_{k} * _s_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
+        f" / _n_{k} END)"
+    )
+    did = (f"(({mean('tp')}) - ({mean('tq')}))"
+           f" - (({mean('cp')}) - ({mean('cq')}))")
+    se = f"sqrt({sem2('tp')} + {sem2('tq')} + {sem2('cp')} + {sem2('cq')})"
+    z = f"(CASE WHEN {se} > 0.0 THEN ({did}) / ({se}) END)"
+    means = ", ".join(f"round({mean(k)}, 6) AS mean_{k}" for k in conds)
+    ns = ", ".join(f"CAST(_n_{k} AS BIGINT) AS n_{k}" for k in conds)
+    return f"""
+WITH _st AS (
+    SELECT {gsel}{cell_sql}
+    FROM {source} WHERE {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {gsel}{ns}, {means},
+       round({did}, 6) AS did_effect,
+       round({se}, 6) AS se,
+       round({z}, 6) AS z,
+       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
+           AS significant
+FROM _st
+"""
+
+
+def welch_ab(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Welch two-sample mean comparison (SURVEY.md §2 C209): per
+    optional segment, the unequal-variance test of a CONTINUOUS metric
+    between two named arms — the readout C118 cannot give (it tests
+    conversion PROPORTIONS; revenue/latency experiments need means),
+    and with ``group_cols`` the heterogeneous-treatment-effect slice
+    ("the feature helps mobile, hurts desktop" that a pooled readout
+    averages away). Output per segment: per-arm ``n``/``mean``/``var``
+    (sample variance), ``diff`` (a − b), ``se``, Welch-Satterthwaite
+    ``dof``, ``z``, |z| ≥ 1.96 ``significant``. Arms with n < 2 yield
+    NULL se/z. Pair with C206's SRM before trusting any row.
+
+    Scale shape: ONE map-side-combined aggregate to (n, Σy, Σy²) per
+    (segment, arm) on the DECIMAL grid; the test is segments-sized
+    column algebra — :func:`welch_ab_sql` is exact."""
+    gcols = list(group_cols or [])
+    y = F.col(metric_col).cast("double")
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    arms = {"a": str(arm_a), "b": str(arm_b)}
+    aggs = []
+    for k, v in arms.items():
+        cond = F.col(arm_col).cast("string") == v
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
+            dec(F.when(cond, y)).alias(f"_s_{k}"),
+            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
+        ]
+    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
+
+    def mean(k):
+        return F.when(F.col(f"_n_{k}") > 0, F.col(f"_s_{k}") / F.col(f"_n_{k}"))
+
+    def var(k):
+        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
+        return F.when(n >= 2, (n * ss - s * s) / (n * (n - 1.0)))
+
+    va_n = var("a") / F.col("_n_a")
+    vb_n = var("b") / F.col("_n_b")
+    se = F.sqrt(va_n + vb_n)
+    diff = mean("a") - mean("b")
+    dof = (va_n + vb_n) * (va_n + vb_n) / (
+        va_n * va_n / (F.col("_n_a") - 1.0) + vb_n * vb_n / (F.col("_n_b") - 1.0)
+    )
+    z = F.when(se > 0.0, diff / se)
+    out = st.select(
+        *gcols,
+        F.col("_n_a").cast("long").alias("n_a"),
+        F.col("_n_b").cast("long").alias("n_b"),
+        F.round(mean("a"), 6).alias("mean_a"),
+        F.round(mean("b"), 6).alias("mean_b"),
+        F.round(var("a"), 6).alias("var_a"),
+        F.round(var("b"), 6).alias("var_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(dof, 6).alias("dof"),
+        F.round(z, 6).alias("z"),
+    )
+    return out.withColumn(
+        "significant",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
+    )
+
+
+def welch_ab_sql(
+    source: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`welch_ab` (same DECIMAL sufficient
+    statistics, same Welch se/dof, same 1.96 flag)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    y = f"CAST({metric_col} AS DOUBLE)"
+    arms = {"a": str(arm_a), "b": str(arm_b)}
+    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
+           " AS DECIMAL(38,6))) AS DOUBLE)")
+    cell_sql = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
+        f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
+        f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
+        for k, c in (
+            (k, f"CAST({arm_col} AS VARCHAR) = '{_q(v)}'")
+            for k, v in arms.items()
+        )
+    )
+    mean = lambda k: f"(CASE WHEN _n_{k} > 0 THEN _s_{k} / _n_{k} END)"
+    var = lambda k: (
+        f"(CASE WHEN _n_{k} >= 2 THEN"
+        f" (_n_{k} * _ss_{k} - _s_{k} * _s_{k}) / (_n_{k} * (_n_{k} - 1.0)) END)"
+    )
+    va_n = f"(({var('a')}) / _n_a)"
+    vb_n = f"(({var('b')}) / _n_b)"
+    se = f"sqrt({va_n} + {vb_n})"
+    diff = f"(({mean('a')}) - ({mean('b')}))"
+    dof = (f"(({va_n} + {vb_n}) * ({va_n} + {vb_n})"
+           f" / ({va_n} * {va_n} / (_n_a - 1.0)"
+           f" + {vb_n} * {vb_n} / (_n_b - 1.0)))")
+    z = f"(CASE WHEN {se} > 0.0 THEN ({diff}) / ({se}) END)"
+    return f"""
+WITH _st AS (
+    SELECT {gsel}{cell_sql}
+    FROM {source} WHERE {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
+       round({mean('a')}, 6) AS mean_a, round({mean('b')}, 6) AS mean_b,
+       round({var('a')}, 6) AS var_a, round({var('b')}, 6) AS var_b,
+       round({diff}, 6) AS diff,
+       round({se}, 6) AS se,
+       round({dof}, 6) AS dof,
+       round({z}, 6) AS z,
+       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
+           AS significant
+FROM _st
+"""

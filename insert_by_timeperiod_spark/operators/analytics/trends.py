@@ -481,3 +481,120 @@ SELECT {gsel}CAST(n AS BIGINT) AS n,
              6) AS tau
 FROM _joined
 """
+
+
+def theil_sen(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Theil-Sen robust slope (SURVEY.md §2 C207; Sen 1968): per group,
+    the MEDIAN of all pairwise slopes (y_j − y_i)/(d_j − d_i) over the
+    daily series, with the companion median-residual intercept
+    median(y − slope·d). The estimator C62's OLS should be cross-read
+    against: one wild outlier day moves OLS arbitrarily but shifts a
+    median of ~n²/2 slopes almost nothing (29.3% breakdown point), and
+    C137's Mann-Kendall S statistic is exactly the SIGN-count of the
+    same pair set — this is its magnitude companion. Days are paired on
+    the CALENDAR (slope units = per day), gaps simply widen the
+    denominator. Output per group: ``n_days``, ``n_pairs``,
+    ``slope_per_day``, ``intercept`` (value at epoch day 0, kept on the
+    same grid as the twin).
+
+    Scale shape: ONE corpus shuffle to the daily frame (group-days
+    rows); the pair join is a self-join of that tiny frame — O(days²)
+    per group, bounded by the window span (365 days → ≤66k pairs/key),
+    never by corpus size; medians reduce per group. Slopes and
+    residuals ride the 6-decimal grid — :func:`theil_sen_sql` is
+    exact."""
+    gcols = list(group_cols or [])
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("_d"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("double")), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("_y"),
+        )
+    )
+    right = daily.select(
+        *[F.col(c).alias(f"_r_{c}") for c in gcols],
+        F.col("_d").alias("_rd"),
+        F.col("_y").alias("_ry"),
+    )
+    cond = [F.col(c).eqNullSafe(F.col(f"_r_{c}")) for c in gcols]
+    cond.append(F.col("_rd") > F.col("_d"))
+    pairs = daily.join(right, reduce(lambda a, b: a & b, cond)).select(
+        *gcols,
+        F.round(
+            (F.col("_ry") - F.col("_y")) / F.datediff("_rd", "_d"), 6
+        ).alias("_s"),
+    )
+    slopes = pairs.groupBy(*gcols).agg(
+        F.expr("percentile(_s, 0.5)").alias("_slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    j = daily.join(F.broadcast(slopes), gcols) if gcols else daily.crossJoin(
+        F.broadcast(slopes)
+    )
+    resid = F.round(
+        F.col("_y")
+        - F.col("_slope") * F.datediff("_d", F.lit("1970-01-01").cast("date")),
+        6,
+    )
+    return (
+        j.groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.first("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.first("_slope"), 6).alias("slope_per_day"),
+            F.round(F.percentile(resid, F.lit(0.5)), 6).alias("intercept"),
+        )
+    )
+
+
+def theil_sen_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`theil_sen` (same daily grid, same
+    pairwise slopes, same interpolated medians)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    on_g = " AND ".join(f"b.{c} = a.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    join_g = f"USING ({g})" if g else "ON TRUE"
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS _d,
+           CAST(CAST(round(SUM(CAST({value_col} AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS DOUBLE) AS _y
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _slopes AS (
+    SELECT {asel}
+           quantile_cont(round((b._y - a._y) / date_diff('day', a._d, b._d), 6),
+                         0.5) AS _slope,
+           COUNT(*) AS n_pairs
+    FROM _daily a JOIN _daily b ON {on_g} AND b._d > a._d
+    {"GROUP BY " + asel.rstrip(", ") if g else ""}
+), _resid AS (
+    SELECT {"d." + ", d.".join(gcols) + "," if g else ""} s._slope, s.n_pairs,
+           round(d._y - s._slope * date_diff('day', DATE '1970-01-01', d._d),
+                 6) AS _r
+    FROM _daily d JOIN _slopes s {join_g}
+)
+SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(ANY_VALUE(n_pairs) AS BIGINT) AS n_pairs,
+       round(ANY_VALUE(_slope), 6) AS slope_per_day,
+       round(quantile_cont(_r, 0.5), 6) AS intercept
+FROM _resid {grp}
+"""

@@ -1,0 +1,56 @@
+"""Pins for C207 (Theil-Sen robust slope)."""
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _daily(spark, pts):
+    rows = [(dt.datetime(2024, 1, d, 12, 0), float(y)) for d, y in pts]
+    return spark.createDataFrame(rows, "ts timestamp, y double")
+
+
+def test_theil_sen_hand_case_and_outlier_robustness(spark):
+    # y = 2*day exactly: slope 2, intercept = y - 2*epoch_day
+    pts = [(d, 2 * d) for d in range(1, 8)]
+    out = analytics.theil_sen(_daily(spark, pts), "ts", "y").collect()[0]
+    assert out["slope_per_day"] == pytest.approx(2.0)
+    assert out["n_days"] == 7
+    assert out["n_pairs"] == 21
+    epoch1 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert out["intercept"] == pytest.approx(2.0 - 2.0 * epoch1)
+    # one wild outlier day: OLS slope would explode, Theil-Sen holds ~2
+    pts_out = pts + [(9, 1000.0)]
+    slope = analytics.theil_sen(_daily(spark, pts_out), "ts", "y").collect()[0][
+        "slope_per_day"
+    ]
+    assert abs(slope - 2.0) < 1.0
+
+
+def test_theil_sen_gapped_calendar_and_groups_match_twin(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, d, 8, 0), float(v))
+        for d, v in [(1, 1.0), (2, 3.5), (4, 6.0), (9, 17.25)]
+    ] + [
+        ("b", dt.datetime(2024, 1, d, 8, 0), float(v))
+        for d, v in [(1, 10.0), (5, 2.0), (6, 2.0)]
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, y double")
+    got = analytics.theil_sen(df, "ts", "y", group_cols=["g"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{g}', TIMESTAMP '2024-01-{d:02d} 08:00:00', {v})"
+            for g, d, v in [(r[0], r[1].day, r[2]) for r in rows]
+        )
+        + ") v(g, ts, y)"
+    )
+    assert_df_matches_duck(
+        got, con, analytics.theil_sen_sql("t", "ts", "y", group_cols=["g"])
+    )
+    con.close()

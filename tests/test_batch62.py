@@ -1,0 +1,91 @@
+"""Pins for C208 (difference-in-differences) and C209 (Welch two-sample
+mean test / heterogeneous treatment effects)."""
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _did_rows():
+    # treated: pre mean 10, post mean 15 (+5); control: pre 20, post 22 (+2)
+    # -> DiD effect = +3 exactly
+    rows = []
+    for i in range(40):
+        e = (i % 5 - 2) * 0.5  # mean-zero noise, same per cell
+        rows += [("t", "pre", 10.0 + e), ("t", "post", 15.0 + e),
+                 ("c", "pre", 20.0 + e), ("c", "post", 22.0 + e)]
+    return rows
+
+
+def test_did_hand_case(spark):
+    df = spark.createDataFrame(_did_rows(), "arm string, period string, y double")
+    out = analytics.did_readout(
+        df, "arm", "period", "y", treat_value="t", post_value="post"
+    ).collect()[0]
+    assert out["did_effect"] == pytest.approx(3.0)
+    assert out["n_tp"] == out["n_cq"] == 40
+    assert out["mean_tp"] == pytest.approx(15.0)
+    assert out["mean_cq"] == pytest.approx(20.0)
+    assert out["significant"]  # +3 on tiny noise
+
+
+def test_did_small_cell_yields_null_se(spark):
+    rows = [("t", "pre", 1.0), ("t", "post", 2.0),
+            ("c", "pre", 1.0), ("c", "post", 1.5)]
+    out = analytics.did_readout(
+        spark.createDataFrame(rows, "arm string, period string, y double"),
+        "arm", "period", "y", treat_value="t", post_value="post",
+    ).collect()[0]
+    assert out["did_effect"] == pytest.approx(0.5)
+    assert out["se"] is None and out["z"] is None and out["significant"] is None
+
+
+def test_did_matches_twin_grouped(spark):
+    rows = [(g,) + r for g in ("x", "y") for r in _did_rows()]
+    df = spark.createDataFrame(rows, "seg string, arm string, period string, y double")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(seg VARCHAR, arm VARCHAR, period VARCHAR, y DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.did_readout(df, "arm", "period", "y", treat_value="t",
+                              post_value="post", group_cols=["seg"]),
+        con,
+        analytics.did_sql("t", "arm", "period", "y", treat_value="t",
+                          post_value="post", group_cols=["seg"]),
+    )
+    con.close()
+
+
+def test_welch_hand_case_and_hte_segments(spark):
+    # segment m: a clearly above b; segment d: identical means
+    rows = []
+    for i in range(50):
+        e = (i % 5 - 2) * 0.1
+        rows += [("m", "a", 10.0 + e), ("m", "b", 8.0 + e),
+                 ("d", "a", 5.0 + e), ("d", "b", 5.0 + e)]
+    df = spark.createDataFrame(rows, "seg string, arm string, y double")
+    out = {r["seg"]: r for r in analytics.welch_ab(
+        df, "arm", "y", arm_a="a", arm_b="b", group_cols=["seg"]).collect()}
+    assert out["m"]["diff"] == pytest.approx(2.0)
+    assert out["m"]["significant"]
+    assert out["d"]["diff"] == pytest.approx(0.0)
+    assert not out["d"]["significant"]
+    assert out["m"]["n_a"] == 50
+
+
+def test_welch_matches_twin_and_degenerate_arm(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 7.0)]  # b has n=1
+    df = spark.createDataFrame(rows, "arm string, y double")
+    out = analytics.welch_ab(df, "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    assert out["var_b"] is None and out["se"] is None and out["z"] is None
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(arm VARCHAR, y DOUBLE); INSERT INTO t VALUES "
+                "('a',1.0),('a',2.0),('a',4.0),('b',7.0)")
+    assert_df_matches_duck(
+        analytics.welch_ab(df, "arm", "y", arm_a="a", arm_b="b"),
+        con, analytics.welch_ab_sql("t", "arm", "y", arm_a="a", arm_b="b"))
+    con.close()

@@ -6232,6 +6232,37 @@ _WELCH_SRC_DUCK = (
 )
 
 
+def _wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C210 (annex, EXACT oracle): export documents as WebDataset
+    tar shards (C50), read them back through the DISTRIBUTED tar source
+    (one binaryFile task per shard, stdlib tarfile inside mapInPandas),
+    parse the canonical meta JSON — the round trip must reproduce the
+    source table bit-for-bit."""
+    _prep(spark, sf_dir)
+    from insert_by_timeperiod_spark.operators import export as X
+
+    out = os.path.join(tempfile.mkdtemp(prefix="ibtp_wdsrt_"), "shards")
+    docs = spark.table("documents").select("doc_id", "text", "lang")
+    X.export_webdataset_shards(
+        docs, out, 8, ["doc_id"], meta_cols=["doc_id", "lang"], seed="rt"
+    ).collect()
+    back = X.webdataset_source(spark, out)
+    return back.select(
+        F.get_json_object("meta_json", "$.doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.get_json_object("meta_json", "$.lang").alias("lang"),
+    )
+
+
+def _parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C211 (annex, EXACT oracle): parquet row-group layout audit of
+    the events table — footers only, one task per file; DuckDB's
+    parquet_metadata() reads the identical footers."""
+    from insert_by_timeperiod_spark.operators import export as X
+
+    return X.parquet_layout_audit(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6538,12 +6569,23 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "theil_sen_value_daily": _theil_sen_daily,
         "did_geo_rollout": _did_value,
         "welch_value_by_type": _welch_by_type,
+        "wds_roundtrip_docs": _wds_roundtrip,
+        "parquet_layout_events": _parquet_layout,
     }
 
 
 def pytest_only_oracles() -> dict[str, str]:
+    from insert_by_timeperiod_spark.operators import export as _X
+
+    _layout_path = (
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001").rstrip("/")
+        + "/events.parquet"
+    )
     return {
         "engine_month_grid": ORACLE_DAILY.format(start=START, stop=STOP),
+        # C211: the oracle reads the IDENTICAL footers duckdb-side; the
+        # annex runs at the pytest sf dir (same env var the fixtures use)
+        "parquet_layout_events": _X.parquet_layout_sql(_layout_path),
         # the source scan resolves [min(ts), max(ts)+1d) which covers all
         "engine_source_scan": """
             SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
@@ -7195,6 +7237,7 @@ def pytest_only_oracles() -> dict[str, str]:
             _WELCH_SRC_DUCK, "arm", "value", arm_a="a", arm_b="b",
             group_cols=["event_type"],
         ),
+        "wds_roundtrip_docs": "SELECT doc_id, text, lang FROM documents",
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

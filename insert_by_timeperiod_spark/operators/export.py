@@ -32,7 +32,7 @@ import json
 import os
 import tarfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .sampling import shard_and_order
 
@@ -207,3 +207,148 @@ def export_jsonl_shards(
         _write, "shard int, n_examples long, n_bytes long, sha256 string"
     )
     return manifest.orderBy("shard")
+
+
+def webdataset_source(spark, path: str, *, prefix: str = "shard") -> DataFrame:
+    """Distributed WebDataset tar-shard SOURCE (SURVEY.md §2 C210): read
+    a directory of C50-convention tar shards back as a DataFrame —
+    (``shard``, ``pos``, ``text``, ``meta_json``) — completing the
+    export/import round trip INSIDE the engine. C50's
+    :func:`read_webdataset_shards` is a driver-side test helper; at
+    training-corpus scale the shards must stream through executors:
+    here ``binaryFile`` assigns one task per tar, the stdlib ``tarfile``
+    walk runs inside ``mapInPandas`` (Arrow-batched, zero Python
+    row-at-a-time), and nothing ever collects to the driver. Unknown
+    or orphaned members (a ``.json`` without its ``.txt``) are skipped;
+    ``meta_json`` is re-serialized with sorted keys so the bytes are
+    canonical — parse with ``from_json`` downstream.
+
+    Scale shape: one scan task per shard file, zero shuffles; predicate
+    pushdown on ``shard``/``pos`` happens after extraction (tar is not
+    a splittable columnar format — that is WHY the manifest carries
+    shard-level stats for pruning by path instead)."""
+    import re as _re
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, f"{prefix}-*.tar"))
+        .select("path", "content")
+    )
+    pat = _re.compile(r"-(\d+)\.tar$")
+
+    def _extract(it):
+        import pandas as pd
+
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                m = pat.search(row["path"])
+                shard = int(m.group(1)) if m else -1
+                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tar:
+                    members = {
+                        mem.name: tar.extractfile(mem).read()
+                        for mem in tar.getmembers()
+                        if mem.isfile()
+                    }
+                recs = []
+                for name in sorted(members):
+                    if not name.endswith(".txt"):
+                        continue
+                    pos = int(name[:-4])
+                    raw = members.get(f"{pos:09d}.json")
+                    meta = json.loads(raw) if raw is not None else {}
+                    recs.append(
+                        {
+                            "shard": shard,
+                            "pos": pos,
+                            "text": members[name].decode("utf-8"),
+                            "meta_json": json.dumps(
+                                meta, sort_keys=True, separators=(",", ":")
+                            ),
+                        }
+                    )
+                yield pd.DataFrame(
+                    recs,
+                    columns=["shard", "pos", "text", "meta_json"],
+                )
+
+    return files.mapInPandas(
+        _extract, "shard int, pos long, text string, meta_json string"
+    )
+
+
+def parquet_layout_audit(spark, table_path: str) -> DataFrame:
+    """Parquet row-group layout audit (SURVEY.md §2 C211): per data
+    file, every row group's row count plus the file's row-group count
+    and byte size — the physical-layout health check that decides scan
+    parallelism at 100 TB (a 2 GB file with ONE row group caps that
+    file at one task whatever the cluster size; ten thousand 100-row
+    groups drown the scan in footer overhead; C122's OPTIMIZE is the
+    fix this audit motivates). Output: ``file`` (basename),
+    ``row_group``, ``n_rows``, ``n_row_groups``, ``file_bytes``.
+
+    Scale shape: footers only — the file list is discovered from the
+    table's own scan metadata (no data read), then ONE task per file
+    reads its ~KB footer via pyarrow inside ``mapInPandas``. DuckDB's
+    ``parquet_metadata()`` reads the identical footers, so the twin is
+    exact."""
+    paths = (
+        spark.read.parquet(table_path)
+        .select(F.input_file_name().alias("_p"))
+        .distinct()
+    )
+
+    def _footers(it):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            recs = []
+            for p in pdf["_p"]:
+                local = p[7:] if p.startswith("file:") else p
+                md = pq.ParquetFile(local).metadata
+                fname = os.path.basename(local)
+                fbytes = os.path.getsize(local)
+                for rg in range(md.num_row_groups):
+                    recs.append(
+                        {
+                            "file": fname,
+                            "row_group": rg,
+                            "n_rows": md.row_group(rg).num_rows,
+                            "n_row_groups": md.num_row_groups,
+                            "file_bytes": fbytes,
+                        }
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "file", "row_group", "n_rows", "n_row_groups", "file_bytes",
+                ],
+            )
+
+    return paths.mapInPandas(
+        _footers,
+        "file string, row_group int, n_rows long, n_row_groups int, file_bytes long",
+    )
+
+
+def parquet_layout_sql(glob: str) -> str:
+    """Exact DuckDB twin of :func:`parquet_layout_audit` over the same
+    files (``parquet_metadata()`` reads the identical footers)."""
+    return f"""
+WITH _m AS (
+    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file,
+           row_group_id AS row_group,
+           row_group_num_rows AS n_rows
+    FROM parquet_metadata('{glob}')
+    GROUP BY ALL
+), _f AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+           CAST(size AS BIGINT) AS file_bytes
+    FROM read_blob('{glob}')
+)
+SELECT m.file, CAST(m.row_group AS INTEGER) AS row_group,
+       CAST(m.n_rows AS BIGINT) AS n_rows,
+       CAST(COUNT(*) OVER (PARTITION BY m.file) AS INTEGER) AS n_row_groups,
+       f.file_bytes
+FROM _m m JOIN _f f USING (file)
+"""

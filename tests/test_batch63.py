@@ -1,0 +1,84 @@
+"""Pins for C210 (distributed WebDataset source) and C211 (parquet
+row-group layout audit)."""
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import export as X
+
+
+def test_webdataset_roundtrip_is_exact(spark, tmp_path, views):
+    docs = spark.table("documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "shards")
+    X.export_webdataset_shards(
+        docs, out, 4, ["doc_id"], meta_cols=["doc_id", "lang"], seed="rt"
+    ).collect()
+    back = X.webdataset_source(spark, out)
+    parsed = back.select(
+        F.get_json_object("meta_json", "$.doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.get_json_object("meta_json", "$.lang").alias("lang"),
+    )
+    want = sorted(tuple(r) for r in docs.collect())
+    got = sorted(tuple(r) for r in parsed.collect())
+    assert got == want
+    # shard/pos come back in the deterministic layout order
+    n = back.count()
+    assert n == docs.count()
+    assert back.select("shard").distinct().count() == 4
+    pos_ok = back.groupBy("shard").agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("nd"), F.count("*").alias("n")
+    ).collect()
+    for r in pos_ok:
+        # dense consecutive positions within each shard (C45's 1-based grid)
+        assert r["nd"] == r["n"] and r["hi"] - r["lo"] + 1 == r["n"]
+
+
+def test_webdataset_source_skips_orphan_json(spark, tmp_path):
+    import io, tarfile
+
+    p = tmp_path / "shard-00000.tar"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for name, data in (
+            ("000000000.txt", b"hello"),
+            ("000000000.json", json.dumps({"k": 1}).encode()),
+            ("000000005.json", b"{}"),  # orphan: no .txt
+        ):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    p.write_bytes(buf.getvalue())
+    rows = X.webdataset_source(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "hello"
+    assert json.loads(rows[0]["meta_json"]) == {"k": 1}
+
+
+def test_parquet_layout_audit_matches_duckdb_footers(spark, sf_dir):
+    path = os.path.join(sf_dir, "events.parquet")
+    got = X.parquet_layout_audit(spark, path)
+    con = duckdb.connect()
+    assert_df_matches_duck(got, con, X.parquet_layout_sql(path))
+    con.close()
+
+
+def test_parquet_layout_audit_multifile(spark, tmp_path):
+    out = str(tmp_path / "t.parquet")
+    spark.range(10_000).repartition(3).write.parquet(out)
+    rows = X.parquet_layout_audit(spark, out).collect()
+    files = {r["file"] for r in rows}
+    assert len(files) == 3
+    assert sum(r["n_rows"] for r in rows) == 10_000
+    con = duckdb.connect()
+    assert_df_matches_duck(
+        X.parquet_layout_audit(spark, out), con,
+        X.parquet_layout_sql(os.path.join(out, "*.parquet")))
+    con.close()

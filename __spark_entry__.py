@@ -6263,6 +6263,32 @@ def _parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.parquet_layout_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def _quantile_match_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C212 (annex, EXACT oracle): map each event_type's value
+    distribution onto the pooled scale through a 21-knot pooled
+    quantile curve — one percentile pass, one window, scan-stage
+    interpolation."""
+    _prep(spark, sf_dir)
+    return features.quantile_match(
+        spark.table("events").select("event_id", "event_type", "value"),
+        "value", ["event_type"], knots=21,
+    )
+
+
+def _decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C213 (annex, EXACT oracle): embedding-space decontamination —
+    every 50th vector plays the held-out eval set; corpus rows within
+    cosine 0.9 of ANY eval vector are flagged. One broadcast row, zero
+    shuffles (scan → fold over the packed eval array → project)."""
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return decontam.semantic_contamination(
+        emb.where(F.col("vec_id") % 50 != 0),
+        emb.where(F.col("vec_id") % 50 == 0),
+        id_col="vec_id", threshold=0.9,
+    )
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6571,6 +6597,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "welch_value_by_type": _welch_by_type,
         "wds_roundtrip_docs": _wds_roundtrip,
         "parquet_layout_events": _parquet_layout,
+        "quantile_match_value": _quantile_match_value,
+        "decontam_semantic_vecs": _decontam_semantic,
     }
 
 
@@ -7238,6 +7266,16 @@ def pytest_only_oracles() -> dict[str, str]:
             group_cols=["event_type"],
         ),
         "wds_roundtrip_docs": "SELECT doc_id, text, lang FROM documents",
+        "quantile_match_value": features.quantile_match_sql(
+            "(SELECT event_id, event_type, value FROM events)",
+            "value", ["event_type"], knots=21,
+            select="event_id, event_type, value",
+        ),
+        "decontam_semantic_vecs": decontam.semantic_contamination_sql(
+            "(SELECT * FROM embeddings WHERE vec_id % 50 <> 0)",
+            "(SELECT * FROM embeddings WHERE vec_id % 50 = 0)",
+            id_col="vec_id", threshold=0.9,
+        ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

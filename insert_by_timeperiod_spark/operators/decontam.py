@@ -126,3 +126,87 @@ def ngram_contamination(
             ),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (SURVEY.md §2 C213):
+    flag corpus rows whose embedding is cosine-≥-``threshold`` close to
+    ANY held-out eval vector — the PARAPHRASE-robust companion to
+    C29's n-gram contamination (reworded test questions share no
+    8-gram but sit next to the original in embedding space; both
+    checks run before any training mix ships). Output per corpus row:
+    ``id_col``, ``max_sim``, ``nearest_eval_id`` (ties break to the
+    LOWEST eval id), ``contaminated``.
+
+    Scale shape: the eval set is packed into ONE broadcast row
+    (eval sets are small BY DEFINITION — a benchmark, not a corpus)
+    and every corpus row folds over it with higher-order array
+    functions in the scan stage: no pair rows are ever materialized,
+    no shuffle at all — the plan is scan → project. Cosines ride the
+    6-decimal grid — :func:`semantic_contamination_sql` is exact."""
+    from .similarity import cosine
+
+    packed = eval_df.select(
+        F.struct(
+            F.col(eval_id_col).cast("long").alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).alias("_e")
+    ).agg(F.collect_list("_e").alias("_evals"))
+    j = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).crossJoin(F.broadcast(packed))
+    best = F.array_max(
+        F.transform(
+            "_evals",
+            lambda e: F.struct(
+                F.round(cosine(F.col("_cv"), e["v"]), 6).alias("sim"),
+                (-e["i"]).alias("_ni"),
+            ),
+        )
+    )
+    return j.select(
+        id_col,
+        best["sim"].alias("max_sim"),
+        (-best["_ni"]).cast("long").alias("nearest_eval_id"),
+        (best["sim"] >= F.lit(float(threshold))).alias("contaminated"),
+    )
+
+
+def semantic_contamination_sql(
+    corpus: str,
+    eval_src: str,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> str:
+    """Exact DuckDB twin of :func:`semantic_contamination` (same
+    6-decimal cosines, same lowest-eval-id tie break)."""
+    cos = (
+        f"list_dot_product(c.{vec_col}::DOUBLE[], e.{vec_col}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product(c.{vec_col}::DOUBLE[], c.{vec_col}::DOUBLE[])) * "
+        f"sqrt(list_dot_product(e.{vec_col}::DOUBLE[], e.{vec_col}::DOUBLE[])))"
+    )
+    return f"""
+WITH _pairs AS (
+    SELECT c.{id_col}, round({cos}, 6) AS sim,
+           CAST(e.{eval_id_col} AS BIGINT) AS eid,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.{id_col}
+               ORDER BY round({cos}, 6) DESC, e.{eval_id_col} ASC
+           ) AS _rn
+    FROM {corpus} c CROSS JOIN {eval_src} e
+)
+SELECT {id_col}, sim AS max_sim, eid AS nearest_eval_id,
+       sim >= {threshold!r} AS contaminated
+FROM _pairs WHERE _rn = 1
+"""

@@ -1174,3 +1174,102 @@ SELECT threshold, tp, fp, fn, tn,
              6) AS f1
 FROM _cells
 """
+
+
+def quantile_match(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    knots: int = 101,
+    out_col: str = "value_matched",
+) -> DataFrame:
+    """Quantile-matching normalization (SURVEY.md §2 C212): map every
+    group's value distribution onto the POOLED distribution — the
+    batch-effect correction that makes scores comparable when each
+    group (annotator, model version, lab batch) used its own scale.
+    C76's percentile normalization outputs the RANK; this outputs a
+    VALUE on the pooled scale: out = Q_pool(F_group(x)), with
+    F_group = percent_rank (min-rank on ties, 0 for singleton groups)
+    and Q_pool a ``knots``-point piecewise-linear interpolation of the
+    pooled quantile curve. By construction each group's transformed
+    min/max hit the pooled min/max. Rows with a NULL value are EXCLUDED
+    (no rank evidence). Output: input rows + ``out_col``.
+
+    Scale shape: the pooled curve is ONE exact single-pass percentile
+    aggregate to ``knots`` scalars (map-side combined, never a global
+    sort — THAT is why the curve is knotted), broadcast back as a 1-row
+    cross join; the group ranks are one window per group; the
+    interpolation is a scan-stage expression. Ranks, knots, and the
+    interpolation all ride the 6-decimal grid with explicit floor()
+    (Spark truncates double→int, DuckDB rounds) —
+    :func:`quantile_match_sql` is exact."""
+    if knots < 2:
+        raise ValueError(f"knots must be >= 2, got {knots}")
+    if not group_cols:
+        raise ValueError("quantile_match: group_cols required")
+    v = F.round(F.col(value_col).cast("double"), 6)
+    probs = ", ".join(repr(i / (knots - 1)) for i in range(knots))
+    ref = (
+        df.where(F.col(value_col).isNotNull())
+        .agg(
+            F.expr(
+                f"transform(percentile(round(CAST({value_col} AS DOUBLE), 6),"
+                f" array({probs})), x -> round(x, 6))"
+            ).alias("_ks")
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(v.asc())
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_pr", F.percent_rank().over(w))
+        .crossJoin(F.broadcast(ref))
+    )
+    p = F.col("_pr") * F.lit(float(knots - 1))
+    lo = F.floor(p).cast("int")
+    hi = F.least(lo + 1, F.lit(knots - 1))
+    frac = p - lo
+    q_lo = F.element_at("_ks", lo + 1)
+    q_hi = F.element_at("_ks", hi + 1)
+    return ranked.withColumn(
+        out_col, F.round(q_lo + frac * (q_hi - q_lo), 6)
+    ).drop("_pr", "_ks")
+
+
+def quantile_match_sql(
+    source: str,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    knots: int = 101,
+    out_col: str = "value_matched",
+    select: str = "*",
+) -> str:
+    """Exact DuckDB twin of :func:`quantile_match` (same knotted pooled
+    curve, same percent_rank, same explicit-floor interpolation)."""
+    if knots < 2:
+        raise ValueError(f"knots must be >= 2, got {knots}")
+    if not group_cols:
+        raise ValueError("quantile_match_sql: group_cols required")
+    g = ", ".join(group_cols)
+    v = f"round(CAST({value_col} AS DOUBLE), 6)"
+    probs = ", ".join(repr(i / (knots - 1)) for i in range(knots))
+    return f"""
+WITH _ref AS (
+    SELECT list_transform(quantile_cont({v}, [{probs}]), x -> round(x, 6))
+        AS _ks
+    FROM {source} WHERE {value_col} IS NOT NULL
+), _r AS (
+    SELECT {select},
+           percent_rank() OVER (PARTITION BY {g} ORDER BY {v} ASC) AS _pr
+    FROM {source} WHERE {value_col} IS NOT NULL
+)
+SELECT {select},
+       round(_ks[CAST(floor(_pr * {knots - 1}) AS INTEGER) + 1]
+             + (_pr * {knots - 1} - floor(_pr * {knots - 1}))
+               * (_ks[least(CAST(floor(_pr * {knots - 1}) AS INTEGER) + 1,
+                            {knots - 1}) + 1]
+                  - _ks[CAST(floor(_pr * {knots - 1}) AS INTEGER) + 1]),
+             6) AS {out_col}
+FROM _r CROSS JOIN _ref
+"""

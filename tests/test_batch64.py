@@ -1,0 +1,92 @@
+"""Pins for C212 (quantile-matching normalization) and C213 (semantic
+benchmark decontamination)."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import decontam, features
+
+
+def test_quantile_match_maps_groups_onto_pooled_scale(spark):
+    # group a: 0..9, group b: 100..109 — after matching, both cover the
+    # pooled range and the group means coincide (same shape, same ranks)
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", 100.0 + v) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = features.quantile_match(df, "v", ["g"], knots=11).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["value_matched"])
+    a, b = sorted(by_g["a"]), sorted(by_g["b"])
+    assert a == b  # identical shapes -> identical matched values
+    assert min(a) == 0.0 and max(a) == 109.0  # pooled min/max endpoints
+    with pytest.raises(ValueError):
+        features.quantile_match(df, "v", ["g"], knots=1)
+    with pytest.raises(ValueError):
+        features.quantile_match(df, "v", [])
+
+
+def test_quantile_match_null_excluded_and_singleton_group(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", None), ("solo", 50.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = features.quantile_match(df, "v", ["g"], knots=5).collect()
+    assert len(out) == 3  # NULL row excluded
+    solo = [r for r in out if r["g"] == "solo"][0]
+    # singleton group: percent_rank 0 -> pooled minimum
+    assert solo["value_matched"] == 1.0
+
+
+def test_quantile_match_matches_twin(spark):
+    rows = [("a", float(v * v % 17)) for v in range(25)] + [
+        ("b", float((v * 7) % 23)) for v in range(15)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    assert_df_matches_duck(
+        features.quantile_match(df, "v", ["g"], knots=21),
+        con,
+        features.quantile_match_sql("t", "v", ["g"], knots=21, select="g, v"),
+    )
+    con.close()
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_contamination_flags_paraphrase_neighbors(spark):
+    evals = _vecs(spark, [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])])
+    corpus = _vecs(spark, [
+        (10, [0.99, 0.01, 0.0]),   # ~eval 1
+        (11, [0.0, 0.0, 1.0]),     # orthogonal to both
+        (12, [0.0, 1.0, 0.0]),     # exact dup of eval 2
+    ])
+    out = {r["vec_id"]: r for r in decontam.semantic_contamination(
+        corpus, evals, id_col="vec_id", threshold=0.95).collect()}
+    assert out[10]["contaminated"] and out[10]["nearest_eval_id"] == 1
+    assert not out[11]["contaminated"]
+    assert out[12]["contaminated"] and out[12]["max_sim"] == 1.0
+    # tie break: equidistant from both evals -> lowest eval id
+    tied = decontam.semantic_contamination(
+        _vecs(spark, [(20, [1.0, 1.0, 0.0])]), evals,
+        id_col="vec_id", threshold=0.99).collect()[0]
+    assert tied["nearest_eval_id"] == 1 and not tied["contaminated"]
+
+
+def test_semantic_contamination_matches_twin_on_fixtures(spark, views, duck, sf_dir):
+    emb = spark.table("embeddings")
+    evals = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    got = decontam.semantic_contamination(
+        corpus, evals, id_col="vec_id", threshold=0.9)
+    sql = decontam.semantic_contamination_sql(
+        "(SELECT * FROM embeddings WHERE vec_id % 50 <> 0)",
+        "(SELECT * FROM embeddings WHERE vec_id % 50 = 0)",
+        id_col="vec_id", threshold=0.9)
+    assert_df_matches_duck(got, duck, sql)

@@ -6289,6 +6289,62 @@ def _decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fleiss_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C214 (annex, EXACT oracle): Fleiss' kappa over a synthetic
+    3-rater annotation table derived from event ids (balanced by
+    construction) — one count pass, DECIMAL per-item agreement grid."""
+    _prep(spark, sf_dir)
+    src = (
+        spark.table("events")
+        .select((F.col("event_id") % 100).alias("item"))
+        .distinct()
+        .select("item", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("rater"))
+        .select("item", ((F.col("item") * F.col("rater") + F.col("rater")) % 3)
+                .cast("string").alias("label"))
+    )
+    return analytics.fleiss_kappa(src, "item", "label")
+
+
+_FLEISS_SRC_DUCK = (
+    "(SELECT item, CAST((item * rater + rater) % 3 AS VARCHAR) AS label"
+    " FROM (SELECT DISTINCT event_id % 100 AS item FROM events)"
+    " CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS rater))"
+)
+
+
+def _cmh_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C215 (annex, EXACT oracle): CMH pooled odds ratio of a
+    synthetic 50/50 assignment on purchase outcome, stratified by a
+    user-id cohort — the Simpson's-paradox-proof stratified 2x2."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        (F.col("user_id") % 4).cast("string").alias("stratum"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("t")).otherwise(F.lit("c")).alias("arm"),
+        F.when(F.col("event_type") == "purchase", F.lit("y")).otherwise(F.lit("n")).alias("outcome"),
+    )
+    return analytics.cmh_odds_ratio(
+        src, "stratum", "arm", "outcome", treat_value="t", positive_value="y"
+    )
+
+
+_CMH_SRC_DUCK = (
+    "(SELECT CAST(user_id % 4 AS VARCHAR) AS stratum,"
+    " CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS arm,"
+    " CASE WHEN event_type = 'purchase' THEN 'y' ELSE 'n' END AS outcome"
+    " FROM events)"
+)
+
+
+def _vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C216 (annex, EXACT oracle): vocabulary coverage curve over
+    the documents corpus — count-histogram walk, never a global word
+    sort; integer tie-bucket arithmetic."""
+    _prep(spark, sf_dir)
+    return tfidf.vocab_coverage(
+        spark.table("documents"), "text", targets=[0.5, 0.9, 0.99]
+    )
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6599,6 +6655,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "parquet_layout_events": _parquet_layout,
         "quantile_match_value": _quantile_match_value,
         "decontam_semantic_vecs": _decontam_semantic,
+        "fleiss_kappa_labels": _fleiss_labels,
+        "cmh_user_conversion": _cmh_conversion,
+        "vocab_coverage_docs": _vocab_coverage_docs,
     }
 
 
@@ -7275,6 +7334,16 @@ def pytest_only_oracles() -> dict[str, str]:
             "(SELECT * FROM embeddings WHERE vec_id % 50 <> 0)",
             "(SELECT * FROM embeddings WHERE vec_id % 50 = 0)",
             id_col="vec_id", threshold=0.9,
+        ),
+        "fleiss_kappa_labels": analytics.fleiss_kappa_sql(
+            _FLEISS_SRC_DUCK, "item", "label"
+        ),
+        "cmh_user_conversion": analytics.cmh_sql(
+            _CMH_SRC_DUCK, "stratum", "arm", "outcome",
+            treat_value="t", positive_value="y",
+        ),
+        "vocab_coverage_docs": tfidf.vocab_coverage_sql(
+            "documents", "text", targets=[0.5, 0.9, 0.99]
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

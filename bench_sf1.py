@@ -243,9 +243,40 @@ def main() -> None:
     # a single sample can land entirely inside a noise burst; the minimum is
     # the contention-free estimate for both engines alike
     repeat = int(os.environ.get("IBTP_BENCH_REPEAT", "3"))
+    # oracle watchdog: a handful of DuckDB twins are recursive CTEs that
+    # are structurally pathological in a SQL engine at volume (the study
+    # measures SPARK plans; a twin that grinds for an hour just starves
+    # the rest of the study) — interrupt any oracle exceeding the budget
+    # and record the row as oracle-timed-out instead of hanging
+    oracle_budget = float(os.environ.get("IBTP_ORACLE_TIMEOUT", "180"))
+    skip = {
+        s for s in os.environ.get("IBTP_BENCH_SKIP", "").split(",") if s
+    }
+    import threading
+
+    def timed_oracle(sql: str) -> float:
+        fired = threading.Event()
+
+        def _watchdog():
+            if not fired.wait(oracle_budget):
+                con.interrupt()
+
+        w = threading.Thread(target=_watchdog, daemon=True)
+        w.start()
+        t0 = time.monotonic()
+        try:
+            con.sql(sql).fetchall()
+        finally:
+            fired.set()
+        return time.monotonic() - t0
+
     out: dict[str, dict] = {}
     failed: dict[str, str] = {}
     for name in QUERIES:
+        if name in skip:
+            failed[name] = "skipped via IBTP_BENCH_SKIP"
+            print(f"[bench] {name} SKIPPED", flush=True)
+            continue
         print(f"[bench] {name}", flush=True)
         spark_s, duck_s = [], []
         try:
@@ -253,9 +284,7 @@ def main() -> None:
                 t0 = time.monotonic()
                 queries[name](spark, DST).write.mode("overwrite").format("noop").save()
                 spark_s.append(time.monotonic() - t0)
-                t0 = time.monotonic()
-                con.sql(oracles[name]).fetchall()
-                duck_s.append(time.monotonic() - t0)
+                duck_s.append(timed_oracle(oracles[name]))
         except Exception as e:  # record and keep the study alive
             failed[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"[bench] {name} FAILED: {failed[name]}", flush=True)

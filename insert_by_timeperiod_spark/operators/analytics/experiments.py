@@ -958,3 +958,240 @@ SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
            AS significant
 FROM _st
 """
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fleiss' kappa inter-annotator agreement (SURVEY.md §2 C214;
+    Fleiss 1971): chance-corrected agreement over an annotation table
+    (one row per rating) — the label-quality gate a training-data
+    pipeline runs BEFORE trusting human labels for C112's target
+    encoding or eval sets (κ < 0.4 means the labeling guide, not the
+    model, is the problem). Input: one row per (item, rating); every
+    item must carry the SAME number of ratings n (the Fleiss design) —
+    instead of silently mis-weighting, an unbalanced table yields
+    ``balanced = false`` and NULL κ. κ = (P̄ − Pe)/(1 − Pe); all-raters-
+    one-category tables have Pe = 1 and NULL κ (undefined). Output per
+    group: ``n_items``, ``n_raters``, ``p_bar``, ``p_e``, ``kappa``,
+    ``balanced``.
+
+    Scale shape: one map-side-combined count to (item, label) cells,
+    one items-sized reduce of per-item agreement, one labels-sized
+    reduce of category shares; per-item terms ride the DECIMAL grid —
+    :func:`fleiss_kappa_sql` is exact."""
+    gcols = list(group_cols or [])
+    cells = (
+        df.where(F.col(item_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*gcols, F.col(item_col).alias("_it"), F.col(label_col).alias("_lb"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    items = cells.groupBy(*gcols, "_it").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    per_item = F.when(
+        F.col("_n") >= 2,
+        (F.col("_c2") - F.col("_n")) / (F.col("_n") * (F.col("_n") - 1.0)),
+    )
+    istats = items.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("double").alias("_ni"),
+        dec(per_item).alias("_sp"),
+        F.min("_n").alias("_nmin"),
+        F.max("_n").alias("_nmax"),
+    )
+    labels = cells.groupBy(*gcols, "_lb").agg(F.sum("_c").alias("_ck"))
+    wall = Window.partitionBy(*[F.col(c) for c in gcols]) if gcols else Window.partitionBy()
+    shares = labels.withColumn("_tot", F.sum("_ck").over(wall))
+    pe = shares.groupBy(*gcols).agg(
+        dec((F.col("_ck") / F.col("_tot")) * (F.col("_ck") / F.col("_tot"))).alias("_pe")
+    )
+    j = istats.join(pe, gcols) if gcols else istats.crossJoin(pe)
+    balanced = (F.col("_nmin") == F.col("_nmax")) & (F.col("_nmin") >= 2)
+    p_bar = F.col("_sp") / F.col("_ni")
+    kappa = F.when(
+        balanced & (F.col("_pe") < 1.0), (p_bar - F.col("_pe")) / (1.0 - F.col("_pe"))
+    )
+    return j.select(
+        *gcols,
+        F.col("_ni").cast("long").alias("n_items"),
+        F.when(balanced, F.col("_nmin")).cast("int").alias("n_raters"),
+        F.round(F.when(balanced, p_bar), 6).alias("p_bar"),
+        F.round(F.col("_pe"), 6).alias("p_e"),
+        F.round(kappa, 6).alias("kappa"),
+        balanced.alias("balanced"),
+    )
+
+
+def fleiss_kappa_sql(
+    source: str,
+    item_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`fleiss_kappa` (same DECIMAL per-item
+    and category-share grids, same balanced/degenerate contracts)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    join = f"USING ({g})" if g else "ON TRUE"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    per_item = "CASE WHEN _n >= 2 THEN (_c2 - _n) / (_n * (_n - 1.0)) END"
+    return f"""
+WITH _cells AS (
+    SELECT {gsel}{item_col} AS _it, {label_col} AS _lb,
+           CAST(COUNT(*) AS DOUBLE) AS _c
+    FROM {source}
+    WHERE {item_col} IS NOT NULL AND {label_col} IS NOT NULL
+    GROUP BY {gsel}{item_col}, {label_col}
+), _items AS (
+    SELECT {gsel}_it, SUM(_c) AS _n, SUM(_c * _c) AS _c2
+    FROM _cells GROUP BY {gsel}_it
+), _istats AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _ni,
+           {dec.format(v=per_item)} AS _sp,
+           MIN(_n) AS _nmin, MAX(_n) AS _nmax
+    FROM _items {grp}
+), _labels AS (
+    SELECT {gsel}_lb, SUM(_c) AS _ck FROM _cells GROUP BY {gsel}_lb
+), _shares AS (
+    SELECT *, SUM(_ck) OVER ({("PARTITION BY " + g) if g else ""}) AS _tot
+    FROM _labels
+), _pe AS (
+    SELECT {gsel}{dec.format(v="(_ck / _tot) * (_ck / _tot)")} AS _pe
+    FROM _shares {grp}
+)
+SELECT {gsel}CAST(_ni AS BIGINT) AS n_items,
+       CAST(CASE WHEN _nmin = _nmax AND _nmin >= 2 THEN _nmin END AS INTEGER)
+           AS n_raters,
+       round(CASE WHEN _nmin = _nmax AND _nmin >= 2 THEN _sp / _ni END, 6)
+           AS p_bar,
+       round(_pe, 6) AS p_e,
+       round(CASE WHEN _nmin = _nmax AND _nmin >= 2 AND _pe < 1.0
+                  THEN (_sp / _ni - _pe) / (1.0 - _pe) END, 6) AS kappa,
+       (_nmin = _nmax AND _nmin >= 2) AS balanced
+FROM _istats JOIN _pe {join}
+"""
+
+
+def cmh_odds_ratio(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+    *,
+    treat_value: str,
+    positive_value: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio (SURVEY.md §2 C215):
+    the stratified 2×2 test — "does treatment lift conversion AFTER
+    controlling for the stratum" — the Simpson's-paradox-proof readout
+    C154's single-table chi-square cannot give (a confounder that
+    correlates with both arm and outcome flips naive pooled rates;
+    Novick/Berkeley-admissions class of bug). OR_MH = Σ(aᵢdᵢ/nᵢ) /
+    Σ(bᵢcᵢ/nᵢ); the CMH chi-square uses the standard continuity
+    correction (|Σaᵢ − ΣEᵢ| − 0.5)²/ΣVᵢ against the dof-1 critical
+    value 3.841. Strata with any empty margin contribute nothing to
+    the variance (Vᵢ = 0) and n<2 strata are excluded entirely.
+    Output one row: ``n_strata``, ``or_mh``, ``chi2``,
+    ``significant``.
+
+    Scale shape: ONE map-side-combined count aggregate to per-stratum
+    2×2 cells; every term after is strata-sized DECIMAL-grid algebra —
+    :func:`cmh_sql` is exact."""
+    t = F.col(arm_col).cast("string") == str(treat_value)
+    pos = F.col(outcome_col).cast("string") == str(positive_value)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("double")
+    cells = (
+        df.where(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("_s"))
+        .agg(
+            cnt(t & pos).alias("_a"),
+            cnt(t & ~pos).alias("_b"),
+            cnt(~t & pos).alias("_c"),
+            cnt(~t & ~pos).alias("_d"),
+        )
+        .withColumn("_n", F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d"))
+        .where(F.col("_n") >= 2)
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    a, b, c, d, n = (F.col(x) for x in ("_a", "_b", "_c", "_d", "_n"))
+    e = (a + b) * (a + c) / n
+    v = (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0))
+    st = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        dec(a * d / n).alias("_sad"),
+        dec(b * c / n).alias("_sbc"),
+        dec(a).alias("_sa"),
+        dec(e).alias("_se"),
+        dec(v).alias("_sv"),
+    )
+    or_mh = F.when(F.col("_sbc") > 0.0, F.col("_sad") / F.col("_sbc"))
+    dev = F.abs(F.col("_sa") - F.col("_se")) - 0.5
+    chi2 = F.when(
+        F.col("_sv") > 0.0,
+        F.when(dev > 0.0, dev * dev / F.col("_sv")).otherwise(0.0),
+    )
+    return st.select(
+        "n_strata",
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2.isNotNull(), F.round(chi2, 6) > 3.841).alias("significant"),
+    )
+
+
+def cmh_sql(
+    source: str,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+    *,
+    treat_value: str,
+    positive_value: str,
+) -> str:
+    """Exact DuckDB twin of :func:`cmh_odds_ratio` (same DECIMAL term
+    grid, same continuity correction, same 3.841 critical value)."""
+    t = f"CAST({arm_col} AS VARCHAR) = '{_q(str(treat_value))}'"
+    pos = f"CAST({outcome_col} AS VARCHAR) = '{_q(str(positive_value))}'"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    e = "(_a + _b) * (_a + _c) / _n"
+    v = "(_a + _b) * (_c + _d) * (_a + _c) * (_b + _d) / (_n * _n * (_n - 1.0))"
+    chi2 = ("CASE WHEN _sv > 0.0 THEN"
+            " CASE WHEN abs(_sa - _se) - 0.5 > 0.0"
+            " THEN (abs(_sa - _se) - 0.5) * (abs(_sa - _se) - 0.5) / _sv"
+            " ELSE 0.0 END END")
+    return f"""
+WITH _cells AS (
+    SELECT {stratum_col} AS _s,
+           CAST(SUM(CASE WHEN ({t}) AND ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _a,
+           CAST(SUM(CASE WHEN ({t}) AND NOT ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _b,
+           CAST(SUM(CASE WHEN NOT ({t}) AND ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _c,
+           CAST(SUM(CASE WHEN NOT ({t}) AND NOT ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _d
+    FROM {source} WHERE {stratum_col} IS NOT NULL
+    GROUP BY {stratum_col}
+), _ok AS (
+    SELECT *, _a + _b + _c + _d AS _n FROM _cells
+    WHERE _a + _b + _c + _d >= 2
+), _st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           {dec.format(v="_a * _d / _n")} AS _sad,
+           {dec.format(v="_b * _c / _n")} AS _sbc,
+           {dec.format(v="_a")} AS _sa,
+           {dec.format(v=e)} AS _se,
+           {dec.format(v=v)} AS _sv
+    FROM _ok
+)
+SELECT n_strata,
+       round(CASE WHEN _sbc > 0.0 THEN _sad / _sbc END, 6) AS or_mh,
+       round({chi2}, 6) AS chi2,
+       CASE WHEN ({chi2}) IS NOT NULL THEN round({chi2}, 6) > 3.841 END
+           AS significant
+FROM _st
+"""

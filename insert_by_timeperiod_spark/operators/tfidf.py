@@ -79,3 +79,121 @@ def tfidf_top_terms(
             F.col("score").cast("double").alias("score"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    targets: list[float] | None = None,
+) -> DataFrame:
+    """Vocabulary coverage curve (SURVEY.md §2 C216): for each coverage
+    target t, the MINIMAL vocabulary size (words kept by descending
+    frequency) whose tokens cover ≥ t of the corpus — the sizing study
+    behind C33's BPE vocab ("32k types cover 99.2%") and C52's <unk>
+    budget. Output per target: ``target``, ``vocab_size``,
+    ``coverage`` (the share actually reached), ``total_tokens``,
+    ``total_vocab``.
+
+    Scale shape: the Zipf trick — NEVER a global word sort. Word counts
+    reduce map-side; they then collapse onto the count-VALUE histogram
+    (distinct count values ≪ distinct words, a few thousand even at
+    corpus scale), the cumulative walk runs over that tiny frame, and
+    the number of words needed from the marginal tie-bucket is pure
+    integer arithmetic — which words the ties contribute cannot change
+    the SIZE. :func:`vocab_coverage_sql` is exact (integer tokens,
+    explicit ceil)."""
+    targets = sorted(targets or [0.5, 0.9, 0.95, 0.99])
+    if any(not (0.0 < t <= 1.0) for t in targets):
+        raise ValueError(f"targets must be in (0, 1], got {targets}")
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    hist = words.groupBy("_c").agg(F.count(F.lit(1)).alias("_w"))
+    win = Window.orderBy(F.col("_c").desc())
+    walk = hist.select(
+        "_c",
+        "_w",
+        (F.sum(F.col("_c") * F.col("_w")).over(win) - F.col("_c") * F.col("_w"))
+        .alias("_tprev"),
+        (F.sum("_w").over(win) - F.col("_w")).alias("_wprev"),
+    )
+    wall = Window.partitionBy()
+    walk = walk.withColumn(
+        "_total", F.max(F.col("_tprev") + F.col("_c") * F.col("_w")).over(wall)
+    ).withColumn("_tvocab", F.max(F.col("_wprev") + F.col("_w")).over(wall))
+    rows = None
+    for t in targets:
+        need = F.ceil(F.lit(float(t)) * F.col("_total")).cast("long")
+        # the target lands in THIS bucket when the prefix before it is
+        # short and the bucket completes it
+        hit = (F.col("_tprev") < need) & (
+            F.col("_tprev") + F.col("_c") * F.col("_w") >= need
+        )
+        k = F.ceil((need - F.col("_tprev")).cast("double") / F.col("_c")).cast("long")
+        r = (
+            walk.where(hit)
+            .select(
+                F.lit(float(t)).alias("target"),
+                (F.col("_wprev") + k).cast("long").alias("vocab_size"),
+                F.round(
+                    (F.col("_tprev") + k * F.col("_c")) / F.col("_total"), 6
+                ).alias("coverage"),
+                F.col("_total").cast("long").alias("total_tokens"),
+                F.col("_tvocab").cast("long").alias("total_vocab"),
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def vocab_coverage_sql(
+    source: str,
+    text_col: str = "text",
+    *,
+    targets: list[float] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`vocab_coverage` (same whitespace
+    tokens, same count-histogram walk, same integer ceil)."""
+    targets = sorted(targets or [0.5, 0.9, 0.95, 0.99])
+    if any(not (0.0 < t <= 1.0) for t in targets):
+        raise ValueError(f"targets must be in (0, 1], got {targets}")
+    tlist = ", ".join(repr(t) for t in targets)
+    return f"""
+WITH _words AS (
+    SELECT w, COUNT(*) AS _c
+    FROM (
+        SELECT unnest(string_split_regex(lower({text_col}), '\\s+')) AS w
+        FROM {source}
+    ) WHERE w <> ''
+    GROUP BY w
+), _hist AS (
+    SELECT _c, COUNT(*) AS _w FROM _words GROUP BY _c
+), _walk AS (
+    SELECT _c, _w,
+           SUM(_c * _w) OVER (ORDER BY _c DESC) - _c * _w AS _tprev,
+           SUM(_w) OVER (ORDER BY _c DESC) - _w AS _wprev
+    FROM _hist
+), _tot AS (
+    SELECT MAX(_tprev + _c * _w) AS _total, MAX(_wprev + _w) AS _tvocab
+    FROM _walk
+), _t AS (SELECT UNNEST([{tlist}]) AS target)
+SELECT t.target,
+       CAST(w._wprev
+            + CAST(ceil(CAST(CAST(ceil(t.target * o._total) AS BIGINT)
+                             - w._tprev AS DOUBLE) / w._c) AS BIGINT)
+            AS BIGINT) AS vocab_size,
+       round((w._tprev
+              + CAST(ceil(CAST(CAST(ceil(t.target * o._total) AS BIGINT)
+                               - w._tprev AS DOUBLE) / w._c) AS BIGINT) * w._c)
+             / o._total, 6) AS coverage,
+       CAST(o._total AS BIGINT) AS total_tokens,
+       CAST(o._tvocab AS BIGINT) AS total_vocab
+FROM _t t CROSS JOIN _tot o
+JOIN _walk w
+  ON w._tprev < CAST(ceil(t.target * o._total) AS BIGINT)
+ AND w._tprev + w._c * w._w >= CAST(ceil(t.target * o._total) AS BIGINT)
+"""

@@ -1,0 +1,118 @@
+"""Pins for C214 (Fleiss' kappa), C215 (CMH pooled odds ratio), and
+C216 (vocabulary coverage curve)."""
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics, tfidf
+
+
+def test_fleiss_kappa_textbook_case(spark):
+    # Fleiss 1971 canonical example (14 items, 5 raters): kappa ~ 0.21
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6], [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1], [7, 7, 0, 0, 0], [3, 2, 6, 3, 0], [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0], [0, 2, 2, 3, 7],
+    ]
+    # that classic table is n=14; use the 10-item n=14 variant directly
+    rows = []
+    for item, counts in enumerate(table):
+        for label, c in enumerate(counts):
+            rows += [(item, str(label))] * c
+    df = spark.createDataFrame(rows, "item int, label string")
+    out = analytics.fleiss_kappa(df, "item", "label").collect()[0]
+    assert out["balanced"] and out["n_raters"] == 14 and out["n_items"] == 10
+    assert out["kappa"] == pytest.approx(0.20993, abs=2e-3)
+
+
+def test_fleiss_kappa_contracts(spark):
+    # perfect agreement -> kappa 1; unbalanced -> NULL + flag;
+    # all-one-category -> Pe=1 -> NULL kappa but balanced
+    perfect = spark.createDataFrame(
+        [(i, lbl) for i in range(6) for lbl in [str(i % 2)] * 3],
+        "item int, label string")
+    out = analytics.fleiss_kappa(perfect, "item", "label").collect()[0]
+    assert out["kappa"] == 1.0 and out["balanced"]
+    unbal = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "item int, label string")
+    out = analytics.fleiss_kappa(unbal, "item", "label").collect()[0]
+    assert not out["balanced"] and out["kappa"] is None
+    mono = spark.createDataFrame(
+        [(i, "x") for i in range(3) for _ in range(2)], "item int, label string")
+    out = analytics.fleiss_kappa(mono, "item", "label").collect()[0]
+    assert out["balanced"] and out["p_e"] == 1.0 and out["kappa"] is None
+
+
+def test_fleiss_kappa_matches_twin_grouped(spark):
+    rows = [(g, i, str((i * r + ord(g)) % 3)) for g in "xy"
+            for i in range(12) for r in range(4)]
+    df = spark.createDataFrame(rows, "g string, item int, label string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, item INT, label VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.fleiss_kappa(df, "item", "label", group_cols=["g"]),
+        con, analytics.fleiss_kappa_sql("t", "item", "label", group_cols=["g"]))
+    con.close()
+
+
+def test_cmh_simpsons_paradox_case(spark):
+    # classic confounding: pooled rates favor control, but within every
+    # stratum treatment wins — CMH must side with the strata
+    rows = []
+    # stratum s1 (easy): treat 90/100 pos, ctrl 80/100
+    rows += [("s1", "t", "y")] * 90 + [("s1", "t", "n")] * 10
+    rows += [("s1", "c", "y")] * 80 + [("s1", "c", "n")] * 20
+    # stratum s2 (hard): treat 30/100 pos, ctrl 20/100
+    rows += [("s2", "t", "y")] * 30 + [("s2", "t", "n")] * 70
+    rows += [("s2", "c", "y")] * 20 + [("s2", "c", "n")] * 80
+    df = spark.createDataFrame(rows, "s string, arm string, out string")
+    r = analytics.cmh_odds_ratio(
+        df, "s", "arm", "out", treat_value="t", positive_value="y"
+    ).collect()[0]
+    assert r["n_strata"] == 2
+    assert r["or_mh"] > 1.5  # treatment wins after stratification
+    assert r["significant"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR, arm VARCHAR, \"out\" VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.cmh_odds_ratio(df, "s", "arm", "out",
+                                 treat_value="t", positive_value="y"),
+        con, analytics.cmh_sql("t", "s", "arm", '"out"',
+                               treat_value="t", positive_value="y"))
+    con.close()
+
+
+def test_vocab_coverage_hand_case_and_twin(spark):
+    # corpus: "a" x6, "b" x3, "c" x1 -> total 10 tokens
+    docs = spark.createDataFrame(
+        [("a a a b",), ("a a a b b c",)], "text string")
+    out = {r["target"]: r for r in tfidf.vocab_coverage(
+        docs, "text", targets=[0.5, 0.6, 0.9, 1.0]).collect()}
+    assert out[0.5]["vocab_size"] == 1   # "a" alone covers 6/10
+    assert out[0.6]["vocab_size"] == 1
+    assert out[0.9]["vocab_size"] == 2   # +"b" -> 9/10
+    assert out[1.0]["vocab_size"] == 3
+    assert out[0.5]["total_tokens"] == 10 and out[0.5]["total_vocab"] == 3
+    assert out[0.9]["coverage"] == pytest.approx(0.9)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR); INSERT INTO t VALUES "
+                "('a a a b'), ('a a a b b c')")
+    assert_df_matches_duck(
+        tfidf.vocab_coverage(docs, "text", targets=[0.5, 0.6, 0.9, 1.0]),
+        con, tfidf.vocab_coverage_sql("t", "text", targets=[0.5, 0.6, 0.9, 1.0]))
+    con.close()
+    with pytest.raises(ValueError):
+        tfidf.vocab_coverage(docs, "text", targets=[0.0])
+
+
+def test_vocab_coverage_tie_bucket_arithmetic(spark):
+    # 5 words each with count 2 (all tied): 10 tokens; 0.5 -> need 5
+    # tokens -> ceil(5/2)=3 words; coverage 6/10
+    docs = spark.createDataFrame([("v w x y z v w x y z",)], "text string")
+    out = {r["target"]: r for r in tfidf.vocab_coverage(
+        docs, "text", targets=[0.5]).collect()}
+    assert out[0.5]["vocab_size"] == 3
+    assert out[0.5]["coverage"] == pytest.approx(0.6)

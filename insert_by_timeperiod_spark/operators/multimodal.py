@@ -143,13 +143,24 @@ _ADAM7 = [
 ]
 
 
+def _png_unpack_subbyte(rows: "np.ndarray", pw: int, depth: int) -> "np.ndarray":
+    """Unpack a (ph, stride) byte matrix of ``depth``-bit samples
+    (depth in 1/2/4, MSB-first per the PNG spec) to (ph, pw) uint8."""
+    bits = np.unpackbits(rows, axis=1)
+    grouped = bits.reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)[:, :pw]
+
+
 def decode_png_pixels(b: bytes) -> "np.ndarray | None":
-    """Real stdlib PNG pixel decode: 8- and 16-bit depth, color types
-    0/2/3/4/6 (gray/RGB/palette/gray+alpha/RGBA), non-interlaced AND Adam7
-    interlaced (16-bit samples decode to their high byte — the standard
-    8-bit rendering). Concatenates IDAT chunks, zlib-inflates, applies the five
-    scanline unfilters per image (or per Adam7 pass), maps palette indices
-    through PLTE. Sub-byte palette depths return ``None``.
+    """Real stdlib PNG pixel decode: 1/2/4-bit (gray + palette), 8- and
+    16-bit depth, color types 0/2/3/4/6 (gray/RGB/palette/gray+alpha/
+    RGBA), non-interlaced AND Adam7 interlaced (16-bit samples decode to
+    their high byte — the standard 8-bit rendering; sub-byte gray scales
+    to the full 0..255 range per the spec's sample expansion).
+    Concatenates IDAT chunks, zlib-inflates, applies the five scanline
+    unfilters per image (or per Adam7 pass), unpacks sub-byte samples
+    MSB-first, maps palette indices through PLTE.
 
     Returns ``(height, width, channels)`` uint8, or ``None`` if
     unsupported/corrupt. Sub/Average/Paeth are sequential in x by
@@ -160,13 +171,16 @@ def decode_png_pixels(b: bytes) -> "np.ndarray | None":
         return None
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, _comp, _filt, interlace = b[24:29]
-    if bit_depth not in (8, 16) or color_type not in (0, 2, 3, 4, 6):
+    if bit_depth not in (1, 2, 4, 8, 16) or color_type not in (0, 2, 3, 4, 6):
         return None
     if interlace not in (0, 1) or (bit_depth == 16 and color_type == 3):
         return None
+    if bit_depth < 8 and color_type not in (0, 3):
+        return None  # the spec allows sub-byte only for gray/palette
+    subbyte = bit_depth < 8
     nch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    sb = bit_depth // 8  # sample bytes; 16-bit decodes to its high byte
-    bpp = nch * sb
+    sb = max(bit_depth // 8, 1)  # sample bytes; 16-bit -> high byte
+    bpp = nch * sb  # filter byte distance (1 for sub-byte, per spec)
     # walk chunks, concatenating IDAT payloads (+ the palette when present)
     idat = bytearray()
     palette = None
@@ -190,14 +204,22 @@ def decode_png_pixels(b: bytes) -> "np.ndarray | None":
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
+    def _stride(pw: int) -> int:
+        return (pw * bit_depth + 7) // 8 if subbyte else pw * bpp
+
     if interlace == 0:
-        stride = w * bpp
+        stride = _stride(w)
         if len(raw) != h * (stride + 1):
             return None
         px, _ = _png_unfilter(raw, h, stride, bpp, 0)
         if px is None:
             return None
-        px = px.reshape(h, w, nch, sb)[:, :, :, 0]  # 16-bit: high byte
+        if subbyte:
+            px = _png_unpack_subbyte(px.reshape(h, stride), w, bit_depth)[
+                :, :, None
+            ]
+        else:
+            px = px.reshape(h, w, nch, sb)[:, :, :, 0]  # 16-bit: high byte
     else:  # Adam7: seven independently-filtered sub-images, scattered
         px = np.zeros((h, w, nch), dtype=np.uint8)
         off = 0
@@ -206,10 +228,16 @@ def decode_png_pixels(b: bytes) -> "np.ndarray | None":
             ph = (h - yo + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            sub, off = _png_unfilter(raw, ph, pw * bpp, bpp, off)
+            pstride = _stride(pw)
+            sub, off = _png_unfilter(raw, ph, pstride, bpp, off)
             if sub is None:
                 return None
-            px[yo::ys, xo::xs] = sub.reshape(ph, pw, nch, sb)[:, :, :, 0]
+            if subbyte:
+                px[yo::ys, xo::xs] = _png_unpack_subbyte(
+                    sub.reshape(ph, pstride), pw, bit_depth
+                )[:, :, None]
+            else:
+                px[yo::ys, xo::xs] = sub.reshape(ph, pw, nch, sb)[:, :, :, 0]
         if off != len(raw):
             return None
     if color_type == 3:
@@ -217,6 +245,10 @@ def decode_png_pixels(b: bytes) -> "np.ndarray | None":
         if int(idx.max(initial=0)) >= len(palette):
             return None
         return palette[idx]
+    if subbyte:  # gray sample expansion: 0..(2^d - 1) -> 0..255
+        return (px.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))).astype(
+            np.uint8
+        )
     return px
 
 

@@ -1,0 +1,86 @@
+"""Pins for the sub-byte (1/2/4-bit) PNG decode paths — the depth
+exclusions the round-7 review called out as remaining."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from insert_by_timeperiod_spark.operators.multimodal import decode_png_pixels
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png(w, h, depth, color_type, idat_raw, *, palette=None, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette)
+    out += _chunk(b"IDAT", zlib.compress(idat_raw)) + _chunk(b"IEND", b"")
+    return out
+
+
+def test_png_1bit_gray_scales_to_full_range():
+    # 8x2, depth 1 gray: row0 = 10101010, row1 = 11110000
+    raw = b"\x00\xaa" + b"\x00\xf0"
+    px = decode_png_pixels(_png(8, 2, 1, 0, raw))
+    assert px is not None and px.shape == (2, 8, 1)
+    assert list(px[0, :, 0]) == [255, 0, 255, 0, 255, 0, 255, 0]
+    assert list(px[1, :, 0]) == [255, 255, 255, 255, 0, 0, 0, 0]
+
+
+def test_png_2bit_palette_maps_plte():
+    # 4x1, depth 2 palette: byte 0b00011011 -> indices 0,1,2,3
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    px = decode_png_pixels(_png(4, 1, 2, 3, b"\x00\x1b", palette=palette))
+    assert px is not None and px.shape == (1, 4, 3)
+    assert [tuple(p) for p in px[0]] == [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+
+def test_png_4bit_gray_with_sub_and_up_filters():
+    # 4x2, depth 4 gray. row0 Sub-filtered: raw bytes after filter byte are
+    # deltas at BYTE distance 1; row1 Up-filtered against row0.
+    # row0 recon bytes: 0x12, 0x34 -> samples 1,2,3,4
+    row0 = bytes([1, 0x12, (0x34 - 0x12) & 0xFF])
+    # row1 recon bytes: 0xFF, 0x00 -> samples 15,15,0,0
+    row1 = bytes([2, (0xFF - 0x12) & 0xFF, (0x00 - 0x34) & 0xFF])
+    px = decode_png_pixels(_png(4, 2, 4, 0, row0 + row1))
+    assert px is not None and px.shape == (2, 4, 1)
+    scale = 255 // 15
+    assert list(px[0, :, 0]) == [1 * scale, 2 * scale, 3 * scale, 4 * scale]
+    assert list(px[1, :, 0]) == [255, 255, 0, 0]
+
+
+def test_png_1bit_palette_adam7():
+    # 2x2 depth-1 palette, Adam7: passes 1 (pixel 0,0), 6 (1,0), 7 (row 1)
+    palette = bytes([0, 0, 0, 255, 255, 255])
+    raw = (
+        b"\x00\x80"   # pass 1: pixel (0,0) = 1 (MSB first)
+        + b"\x00\x00"  # pass 6: pixel (1,0) = 0
+        + b"\x00\x40"  # pass 7: pixels (0,1)=0, (1,1)=1
+    )
+    px = decode_png_pixels(_png(2, 2, 1, 3, raw, palette=palette, interlace=1))
+    assert px is not None and px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (255, 255, 255)
+    assert tuple(px[0, 1]) == (0, 0, 0)
+    assert tuple(px[1, 0]) == (0, 0, 0)
+    assert tuple(px[1, 1]) == (255, 255, 255)
+
+
+def test_png_subbyte_contracts():
+    # sub-byte RGB is illegal per spec -> None
+    assert decode_png_pixels(_png(2, 1, 4, 2, b"\x00\x00\x00")) is None
+    # truncated stream -> None
+    assert decode_png_pixels(_png(8, 2, 1, 0, b"\x00\xaa")) is None
+    # palette index out of range -> None
+    assert decode_png_pixels(
+        _png(4, 1, 2, 3, b"\x00\x1b", palette=bytes([0, 0, 0]))) is None

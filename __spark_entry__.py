@@ -6345,6 +6345,27 @@ def _vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curriculum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C217 (annex, EXACT oracle): composed curriculum-ordering
+    chain — unigram-NLL difficulty (C28) -> equi-depth tiers (C70) ->
+    deterministic shard/pos within tier (C45); the twin chains each
+    stage's SQL twin."""
+    _prep(spark, sf_dir)
+    from insert_by_timeperiod_spark.operators.pipeline import curriculum_order
+
+    return curriculum_order(
+        spark.table("documents"), bins=4, n_shards=8, vocab_size=300
+    )
+
+
+def _sentences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C218 (annex, EXACT oracle): sentence segmentation of the
+    documents corpus — scan-stage regexp_extract_all + posexplode, zero
+    shuffles; the twin runs the IDENTICAL lookaround-free pattern."""
+    _prep(spark, sf_dir)
+    return TX.sentences(spark.table("documents"))
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6658,6 +6679,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "fleiss_kappa_labels": _fleiss_labels,
         "cmh_user_conversion": _cmh_conversion,
         "vocab_coverage_docs": _vocab_coverage_docs,
+        "curriculum_order_docs": _curriculum_docs,
+        "sentences_docs": _sentences_docs,
     }
 
 
@@ -7345,6 +7368,10 @@ def pytest_only_oracles() -> dict[str, str]:
         "vocab_coverage_docs": tfidf.vocab_coverage_sql(
             "documents", "text", targets=[0.5, 0.9, 0.99]
         ),
+        "curriculum_order_docs": __import__(
+            "insert_by_timeperiod_spark.operators.pipeline", fromlist=["x"]
+        ).curriculum_sql(bins=4, n_shards=8, vocab_size=300),
+        "sentences_docs": TX.sentences_sql("documents"),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

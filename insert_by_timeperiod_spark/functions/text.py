@@ -603,3 +603,68 @@ SELECT {select},
        END AS {out_col}
 FROM {source}
 """
+
+
+#: sentence = a run of non-terminators plus its trailing terminators.
+#: Deliberately lookaround-free: Java regex (Spark) and RE2 (DuckDB)
+#: both support exactly this subset, so the twin is the SAME pattern.
+_SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def sentences(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Sentence segmentation (SURVEY.md §2 C218): split each document
+    into terminator-delimited sentences — the unit RAG chunkers (C34
+    cuts characters, this cuts MEANING boundaries), per-sentence
+    quality filters, and C84's span surgery all want. A sentence is a
+    maximal run of non-terminator characters plus its trailing
+    ``.!?``-run; leading bare terminators attach to no sentence and
+    whitespace-only fragments are dropped. The pattern is deliberately
+    lookaround-free so Spark's Java regex and DuckDB's RE2 execute the
+    IDENTICAL pattern — no abbreviation model (that is a knob for an
+    NLP library; this is the deterministic engine primitive). Output:
+    (``id_col``, ``sent_idx`` 1-based in document order, ``sentence``
+    trimmed, ``n_chars``).
+
+    Scale shape: scan-stage regexp_extract_all + posexplode — zero
+    shuffles, codegen end-to-end; :func:`sentences_sql` is exact."""
+    from pyspark.sql import functions as F
+
+    parts = F.expr(
+        f"filter(transform(regexp_extract_all({text_col}, "
+        f"'{_SENTENCE_RE}', 0), s -> trim(s)), s -> s != '')"
+    )
+    exploded = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(parts).alias("_i", "sentence")
+    )
+    return exploded.select(
+        id_col,
+        (F.col("_i") + 1).cast("int").alias("sent_idx"),
+        "sentence",
+        F.length("sentence").cast("int").alias("n_chars"),
+    )
+
+
+def sentences_sql(
+    source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact DuckDB twin of :func:`sentences` (the identical
+    lookaround-free pattern, same trim/drop/1-based numbering)."""
+    return f"""
+WITH _parts AS (
+    SELECT {id_col},
+           list_filter(list_transform(
+               regexp_extract_all({text_col}, '{_SENTENCE_RE}'),
+               s -> trim(s)), s -> s <> '') AS _ss
+    FROM {source} WHERE {text_col} IS NOT NULL
+)
+SELECT {id_col}, CAST(i AS INTEGER) AS sent_idx,
+       _ss[i] AS sentence,
+       CAST(length(_ss[i]) AS INTEGER) AS n_chars
+FROM _parts, unnest(generate_series(1, len(_ss))) AS t(i)
+"""

@@ -352,3 +352,121 @@ def feature_table_sql(
         leave_one_out=True,
     )
     return zscore_normalize_sql(f"({te})", value_col, [cat_col])
+
+
+def curriculum_order(
+    df: DataFrame,
+    *,
+    vocab_size: int = 500,
+    bins: int = 4,
+    n_shards: int = 8,
+    seed: str = "curriculum",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composed curriculum-ordering chain (SURVEY.md §2 C217): the
+    easy-to-hard training-data layout — C28's unigram NLL scores
+    difficulty, C70's equi-depth binning turns scores into ``bins``
+    balanced difficulty tiers, C45's deterministic shard/pos shuffles
+    WITHIN each tier — so a loader streaming ``(difficulty_bin, shard,
+    pos)`` order gets curriculum learning (Bengio et al. 2009) with
+    every tier internally shuffled, bit-identical on every run. Output:
+    (``id_col``, ``doc_nll``, ``difficulty_bin``, ``shard``, ``pos``)
+    with pos dense per (bin, shard).
+
+    Scale shape: the LM train is one wordcount shuffle + top-K cut; the
+    score is one token join; the bin edges are one percentile aggregate
+    broadcast back; the shuffle layout is scan-stage md5 arithmetic
+    plus ONE hash partition — no global sort anywhere. The twin chains
+    each stage's SQL twin, so the whole chain is exact."""
+    from .analytics import equi_depth_buckets
+    from .lmscore import perplexity_score, train_unigram_lm
+    from .sampling import shard_and_order
+    from pyspark.sql import Window
+
+    lm = train_unigram_lm(df, vocab_size=vocab_size)
+    # doc_nll stays UNROUNDED: the DECIMAL token-sum makes the double
+    # bit-identical cross-engine, while round() at a .5-boundary ulp is
+    # the one place the engines disagree (HALF_UP on decimal string vs
+    # round-half-away on the double)
+    scored = perplexity_score(df, lm, text_col, id_col).select(id_col, "doc_nll")
+    binned = equi_depth_buckets(scored, "doc_nll", bins).withColumnRenamed(
+        "bucket", "difficulty_bin"
+    )
+    laid = shard_and_order(binned, n_shards, [id_col], seed=seed)
+    w = Window.partitionBy("difficulty_bin", "shard").orderBy(F.col("pos").asc())
+    return laid.select(
+        id_col,
+        "doc_nll",
+        "difficulty_bin",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def curriculum_sql(
+    *,
+    vocab_size: int = 500,
+    bins: int = 4,
+    n_shards: int = 8,
+    seed: str = "curriculum",
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact DuckDB twin of :func:`curriculum_order` — each stage's twin
+    chained: C28's scoring SQL, C70's bin edges, C45's draw/shard
+    arithmetic, then the per-(bin, shard) renumber."""
+    from .sampling import shard_and_order_sql
+
+    score_sql = f"""
+WITH toks AS (
+  SELECT {id_col}, w AS word
+  FROM (
+    SELECT {id_col}, regexp_split_to_array(trim(lower({text_col})), '\\s+') AS ws
+    FROM {source} WHERE {text_col} IS NOT NULL
+  ), unnest(ws) AS t(w)
+  WHERE w <> ''
+), counts AS (
+  SELECT word, count(*) AS n FROM toks GROUP BY word
+), total AS (
+  SELECT sum(n) AS t FROM counts
+), vocab AS (
+  SELECT word, log10(n / t) AS logp
+  FROM counts, total ORDER BY n DESC, word LIMIT {vocab_size}
+), lp AS (
+  SELECT {id_col},
+         CAST(round(coalesce(v.logp, -log10(t)), 6) AS DECIMAL(18,9)) AS _lp
+  FROM toks LEFT JOIN vocab v USING (word), total
+)
+SELECT {id_col},
+       -(CAST(sum(_lp) AS DOUBLE) / count(*)) AS doc_nll
+FROM lp GROUP BY {id_col}
+"""
+    fracs = [i / bins for i in range(1, bins)]
+    edges = ", ".join(
+        f"quantile_cont(doc_nll, {q!r}) AS _e{i}" for i, q in enumerate(fracs)
+    )
+    arr = "[" + ", ".join(f"_e{i}" for i in range(len(fracs))) + "]"
+    binned_sql = f"""
+WITH _scored AS ({score_sql}),
+_edges AS (SELECT {edges} FROM _scored)
+SELECT {id_col}, doc_nll,
+       CAST(len(list_filter({arr}, e -> e < CAST(doc_nll AS DOUBLE))) + 1
+            AS INTEGER) AS difficulty_bin
+FROM _scored, _edges
+"""
+    laid = shard_and_order_sql(
+        n_shards,
+        f"t.{id_col}",
+        seed=seed,
+        table=f"({binned_sql})",
+        select=f"t.{id_col}, t.doc_nll, t.difficulty_bin",
+    )
+    return f"""
+SELECT {id_col}, doc_nll, difficulty_bin, shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY difficulty_bin, shard ORDER BY pos ASC
+       ) AS BIGINT) AS pos
+FROM ({laid})
+"""

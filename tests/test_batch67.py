@@ -1,0 +1,67 @@
+"""Pins for C217 (curriculum-ordering chain) and C218 (sentence
+segmentation)."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.functions import text as TX
+from insert_by_timeperiod_spark.operators import pipeline
+
+
+def test_sentences_hand_cases(spark):
+    rows = [
+        (1, "Hello there. How are you? Fine!!! ok"),
+        (2, "..."),          # bare terminators: no sentence
+        (3, None),           # NULL text: no rows
+        (4, "no terminator"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = [(r["doc_id"], r["sent_idx"], r["sentence"], r["n_chars"])
+           for r in TX.sentences(df).orderBy("doc_id", "sent_idx").collect()]
+    assert out == [
+        (1, 1, "Hello there.", 12),
+        (1, 2, "How are you?", 12),
+        (1, 3, "Fine!!!", 7),
+        (1, 4, "ok", 2),
+        (4, 1, "no terminator", 13),
+    ]
+
+
+def test_sentences_match_twin_on_documents(spark, views, duck, sf_dir):
+    got = TX.sentences(spark.table("documents"))
+    assert_df_matches_duck(got, duck, TX.sentences_sql("documents"))
+
+
+def test_curriculum_order_contract(spark, views):
+    docs = spark.table("documents")
+    out = pipeline.curriculum_order(docs, bins=4, n_shards=4, vocab_size=200)
+    rows = out.collect()
+    assert len(rows) == docs.where(
+        F.length(F.trim("text")) > 0).count()
+    bins = {r["difficulty_bin"] for r in rows}
+    assert bins <= {1, 2, 3, 4} and len(bins) >= 3
+    # pos dense per (bin, shard); doc_nll non-decreasing across bins
+    per = {}
+    for r in rows:
+        per.setdefault((r["difficulty_bin"], r["shard"]), []).append(r["pos"])
+    for poss in per.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    import statistics
+    means = {b: statistics.mean(r["doc_nll"] for r in rows
+                                if r["difficulty_bin"] == b)
+             for b in bins}
+    ordered = [means[b] for b in sorted(means)]
+    assert ordered == sorted(ordered)
+    # determinism: a second run is bit-identical
+    again = pipeline.curriculum_order(docs, bins=4, n_shards=4, vocab_size=200)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_curriculum_matches_twin(spark, views, duck, sf_dir):
+    got = pipeline.curriculum_order(
+        spark.table("documents"), bins=4, n_shards=4, vocab_size=200)
+    sql = pipeline.curriculum_sql(bins=4, n_shards=4, vocab_size=200)
+    assert_df_matches_duck(got, duck, sql)

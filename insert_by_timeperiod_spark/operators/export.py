@@ -291,20 +291,24 @@ def parquet_layout_audit(spark, table_path: str) -> DataFrame:
     reads its ~KB footer via pyarrow inside ``mapInPandas``. DuckDB's
     ``parquet_metadata()`` reads the identical footers, so the twin is
     exact."""
-    paths = (
-        spark.read.parquet(table_path)
-        .select(F.input_file_name().alias("_p"))
-        .distinct()
+    # inputFiles() is a pure-metadata listing on the driver — robust where
+    # input_file_name() is not (it returns '' when the scan is served from
+    # a reused or cached relation in a long session)
+    files = sorted(spark.read.parquet(table_path).inputFiles())
+    paths = spark.createDataFrame([(p,) for p in files], "_p string").repartition(
+        max(1, min(len(files), 64))
     )
 
     def _footers(it):
+        from urllib.parse import urlparse
+
         import pandas as pd
         import pyarrow.parquet as pq
 
         for pdf in it:
             recs = []
             for p in pdf["_p"]:
-                local = p[7:] if p.startswith("file:") else p
+                local = urlparse(p).path if "://" in p or p.startswith("file:") else p
                 md = pq.ParquetFile(local).metadata
                 fname = os.path.basename(local)
                 fbytes = os.path.getsize(local)

@@ -6366,6 +6366,32 @@ def _sentences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.sentences(spark.table("documents"))
 
 
+def _obf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C219 (annex, EXACT oracle): O'Brien-Fleming group-sequential
+    monitoring of a synthetic 50/50 assignment over the events month —
+    5 scheduled looks, integer-microsecond look assignment, cumulative
+    DECIMAL Welch z against the published c_K boundary shape."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "ts",
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("arm"),
+        F.col("value"),
+    )
+    return analytics.obrien_fleming(
+        src, "ts", "arm", "value", arm_a="a", arm_b="b", looks=5
+    )
+
+
+def _sentinel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C220 (annex, EXACT oracle): sentinel-value audit of the
+    events table — one fused pass of per-(column, sentinel) counters,
+    no data-row shuffle."""
+    _prep(spark, sf_dir)
+    return profile.sentinel_audit(
+        spark.table("events"), ["user_id", "event_type", "value"]
+    )
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6681,6 +6707,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "vocab_coverage_docs": _vocab_coverage_docs,
         "curriculum_order_docs": _curriculum_docs,
         "sentences_docs": _sentences_docs,
+        "obf_monitor_events": _obf_monitor,
+        "sentinel_audit_events": _sentinel_events,
     }
 
 
@@ -7372,6 +7400,15 @@ def pytest_only_oracles() -> dict[str, str]:
             "insert_by_timeperiod_spark.operators.pipeline", fromlist=["x"]
         ).curriculum_sql(bins=4, n_shards=8, vocab_size=300),
         "sentences_docs": TX.sentences_sql("documents"),
+        "obf_monitor_events": analytics.obrien_fleming_sql(
+            "(SELECT ts,"
+            " CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,"
+            " value FROM events)",
+            "ts", "arm", "value", arm_a="a", arm_b="b", looks=5,
+        ),
+        "sentinel_audit_events": profile.sentinel_audit_sql(
+            "events", ["user_id", "event_type", "value"]
+        ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

@@ -30,6 +30,7 @@ from ._util import _q, _UNIT_DAYS  # noqa: F401
 from .growth import funnel, funnel_sql, retention_cohorts, retention_sql, event_transitions, event_transitions_sql, association_rules, association_rules_sql, attribution, attribution_sql, daily_actives, daily_actives_sql, time_to_convert, time_to_convert_sql, rfm_segments, rfm_segments_sql, time_to_nth_event, time_to_nth_sql, rolling_actives, rolling_actives_sql, ltv_curve, ltv_curve_sql  # noqa: F401
 from .experiments import did_readout, did_sql, welch_ab, welch_ab_sql  # noqa: F401
 from .experiments import fleiss_kappa, fleiss_kappa_sql, cmh_odds_ratio, cmh_sql  # noqa: F401
+from .experiments import obrien_fleming, obrien_fleming_sql  # noqa: F401
 from .experiments import ab_test, ab_test_sql, bootstrap_mean_ci, bootstrap_mean_ci_sql, chi2_independence, chi2_independence_sql, bh_adjust, bh_adjust_sql, cuped_adjust, cuped_sql, srm_check, srm_sql  # noqa: F401
 from .distributions import equi_depth_buckets, equi_depth_sql, percentile_normalize, percentile_normalize_sql, value_histogram, value_histogram_sql, pareto_frontier, pareto_frontier_sql, kaplan_meier, kaplan_meier_sql, gini_coefficient, gini_sql, lorenz_points, lorenz_sql, entropy_by_group, entropy_sql, mutual_information, mutual_information_sql, weighted_quantiles, weighted_quantiles_sql, mode_by_group, mode_by_group_sql  # noqa: F401
 from .trends import period_anomalies, period_anomalies_sql, linear_trend, linear_trend_sql, mann_kendall, mann_kendall_sql, kendall_tau, kendall_tau_sql, theil_sen, theil_sen_sql  # noqa: F401

@@ -1195,3 +1195,170 @@ SELECT n_strata,
            AS significant
 FROM _st
 """
+
+
+#: O'Brien-Fleming critical constants c_K for overall two-sided α=0.05 at
+#: K equally-spaced looks (Jennison & Turnbull 2000, Table 2.3); the look-k
+#: boundary is c_K·sqrt(K/k)
+_OBF_C = {1: 1.960, 2: 1.977, 3: 2.004, 4: 2.024, 5: 2.040,
+          6: 2.053, 7: 2.063, 8: 2.072, 9: 2.080, 10: 2.087}
+
+
+def obrien_fleming(
+    df: DataFrame,
+    ts_col: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    looks: int = 5,
+) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming boundaries
+    (SURVEY.md §2 C219): the peeking-proof readout — checking a fixed
+    1.96 threshold every day inflates false positives severalfold, so
+    sequential practice spends the α budget across ``looks`` scheduled
+    analyses with boundaries that start very conservative
+    (c_K·sqrt(K/k)) and relax to ≈1.96-ish at the end. The observed
+    time range splits into K equal calendar slices (pure integer
+    microsecond arithmetic — cross-engine exact); each look reads the
+    CUMULATIVE Welch z of ``arm_a`` − ``arm_b``. Output per look:
+    ``look``, ``info_frac``, cumulative ``n_a``/``n_b``/means, ``z``,
+    ``boundary``, ``crossed`` — the first crossed look is where a
+    monitored experiment would have stopped.
+
+    Scale shape: one 1-row min/max broadcast, ONE map-side-combined
+    aggregate to per-(look, arm) sufficient statistics, cumulative
+    window over the K-row frame; DECIMAL grid throughout —
+    :func:`obrien_fleming_sql` is exact."""
+    if looks not in _OBF_C:
+        raise ValueError(f"looks must be in 1..10, got {looks}")
+    y = F.col(metric_col).cast("double")
+    e = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    src = df.where(
+        F.col(ts_col).isNotNull()
+        & y.isNotNull()
+        & F.col(arm_col).cast("string").isin(str(arm_a), str(arm_b))
+    )
+    rng = src.agg(
+        F.min(e).alias("_emin"), F.max(e).alias("_emax")
+    )
+    j = src.crossJoin(F.broadcast(rng))
+    look = F.least(
+        F.lit(looks),
+        F.floor(
+            (e - F.col("_emin")) * looks / (F.col("_emax") - F.col("_emin") + 1)
+        ).cast("long") + 1,
+    )
+    is_a = F.col(arm_col).cast("string") == str(arm_a)
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    per_look = j.groupBy(look.alias("look")).agg(
+        *[x for k, cond in (("a", is_a), ("b", ~is_a)) for x in (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
+            dec(F.when(cond, y)).alias(f"_s_{k}"),
+            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
+        )]
+    )
+    w = Window.orderBy(F.col("look").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_look.select(
+        "look",
+        *[F.sum(f"_n_{k}").over(w).alias(f"_cn_{k}") for k in "ab"],
+        *[F.sum(f"_s_{k}").over(w).alias(f"_cs_{k}") for k in "ab"],
+        *[F.sum(f"_ss_{k}").over(w).alias(f"_css_{k}") for k in "ab"],
+    )
+
+    def mean(k):
+        return F.when(F.col(f"_cn_{k}") > 0, F.col(f"_cs_{k}") / F.col(f"_cn_{k}"))
+
+    def va_n(k):
+        n, s, ss = (F.col(f"_c{x}_{k}") for x in ("n", "s", "ss"))
+        return F.when(n >= 2, (n * ss - s * s) / (n * (n - 1.0))) / n
+
+    se = F.sqrt(va_n("a") + va_n("b"))
+    z = F.when(se > 0.0, (mean("a") - mean("b")) / se)
+    c = _OBF_C[looks]
+    boundary = F.round(
+        F.lit(c) * F.sqrt(F.lit(float(looks)) / F.col("look")), 6
+    )
+    zr = F.round(z, 6)
+    return cum.select(
+        F.col("look").cast("int").alias("look"),
+        F.round(F.col("look") / F.lit(float(looks)), 6).alias("info_frac"),
+        F.col("_cn_a").cast("long").alias("n_a"),
+        F.col("_cn_b").cast("long").alias("n_b"),
+        F.round(mean("a"), 6).alias("mean_a"),
+        F.round(mean("b"), 6).alias("mean_b"),
+        zr.alias("z"),
+        boundary.alias("boundary"),
+        F.when(zr.isNotNull(), F.abs(zr) >= boundary).alias("crossed"),
+    )
+
+
+def obrien_fleming_sql(
+    source: str,
+    ts_col: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    looks: int = 5,
+) -> str:
+    """Exact DuckDB twin of :func:`obrien_fleming` (same integer-µs look
+    assignment, same DECIMAL cumulative grid, same published c_K)."""
+    if looks not in _OBF_C:
+        raise ValueError(f"looks must be in 1..10, got {looks}")
+    c = _OBF_C[looks]
+    y = f"CAST({metric_col} AS DOUBLE)"
+    a = f"CAST({arm_col} AS VARCHAR) = '{_q(str(arm_a))}'"
+    e = f"epoch_us(CAST({ts_col} AS TIMESTAMP))"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    cells = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
+        f"           {dec.format(v=f'CASE WHEN {cond} THEN {y} END')} AS _s_{k},\n"
+        f"           {dec.format(v=f'CASE WHEN {cond} THEN {y} * {y} END')} AS _ss_{k}"
+        for k, cond in (("a", f"({a})"), ("b", f"NOT ({a})"))
+    )
+    mean = lambda k: f"(CASE WHEN _cn_{k} > 0 THEN _cs_{k} / _cn_{k} END)"
+    va_n = lambda k: (
+        f"((CASE WHEN _cn_{k} >= 2 THEN (_cn_{k} * _css_{k} - _cs_{k} * _cs_{k})"
+        f" / (_cn_{k} * (_cn_{k} - 1.0)) END) / _cn_{k})"
+    )
+    se = f"sqrt({va_n('a')} + {va_n('b')})"
+    z = f"(CASE WHEN {se} > 0.0 THEN (({mean('a')}) - ({mean('b')})) / ({se}) END)"
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {metric_col} IS NOT NULL
+      AND CAST({arm_col} AS VARCHAR) IN ('{_q(str(arm_a))}', '{_q(str(arm_b))}')
+), _rng AS (
+    SELECT MIN({e}) AS _emin, MAX({e}) AS _emax FROM _src
+), _per AS (
+    SELECT least({looks}, CAST(floor(({e} - _emin) * {looks}
+               / (_emax - _emin + 1)) AS BIGINT) + 1) AS look,
+           {cells}
+    FROM _src CROSS JOIN _rng
+    GROUP BY 1
+), _cum AS (
+    SELECT look,
+           SUM(_n_a) OVER _w AS _cn_a, SUM(_n_b) OVER _w AS _cn_b,
+           SUM(_s_a) OVER _w AS _cs_a, SUM(_s_b) OVER _w AS _cs_b,
+           SUM(_ss_a) OVER _w AS _css_a, SUM(_ss_b) OVER _w AS _css_b
+    FROM _per
+    WINDOW _w AS (ORDER BY look ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)
+)
+SELECT CAST(look AS INTEGER) AS look,
+       round(look / CAST({looks} AS DOUBLE), 6) AS info_frac,
+       CAST(_cn_a AS BIGINT) AS n_a, CAST(_cn_b AS BIGINT) AS n_b,
+       round({mean('a')}, 6) AS mean_a, round({mean('b')}, 6) AS mean_b,
+       round({z}, 6) AS z,
+       round({c!r} * sqrt({looks} / CAST(look AS DOUBLE)), 6) AS boundary,
+       CASE WHEN {z} IS NOT NULL
+            THEN abs(round({z}, 6))
+                 >= round({c!r} * sqrt({looks} / CAST(look AS DOUBLE)), 6)
+       END AS crossed
+FROM _cum
+"""

@@ -758,3 +758,115 @@ SELECT {gsel}magnitude, n, share, lo, hi,
         AND MAX(share) OVER ({part}) > 0.5) AS suspect
 FROM _shares
 """
+
+
+#: the classic placeholder values that leak into real columns when an
+#: upstream writer "had to put something": numeric sentinels, epoch dates,
+#: and the N/A string family (checked case-insensitively)
+DEFAULT_SENTINELS = {
+    "numeric": ["0", "-1", "-99", "-999", "9999"],
+    "string": ["", "n/a", "na", "none", "null", "unknown", "-", "?"],
+    "date": ["1970-01-01", "1900-01-01", "9999-12-31"],
+}
+
+
+def sentinel_audit(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    sentinels: dict[str, list[str]] | None = None,
+    flag_share: float = 0.05,
+) -> DataFrame:
+    """Sentinel-value audit (SURVEY.md §2 C220): for every column, how
+    much of it is a known PLACEHOLDER — the -1s, epoch dates, and
+    'N/A's that upstream writers emit when a value is missing but the
+    column is NOT NULL. NULL-rate profiling (C55) misses these
+    entirely: a column can be 0% NULL and 40% ``-1``, and every mean,
+    trend, and experiment read on it is garbage. One output row per
+    (column, sentinel) that OCCURS, with ``n``, ``share`` (of non-null
+    rows), and ``suspect`` = share ≥ ``flag_share``. Values compare as
+    trimmed lower-case strings, so one sentinel table covers ints,
+    floats (via their canonical cast), dates, and strings.
+
+    Scale shape: ONE pass — per-column conditional count aggregates
+    fused into a single map-side-combined job (columns × sentinels
+    scalar counters, no shuffle of data rows, no per-column rescan);
+    the output is columns-sized. :func:`sentinel_audit_sql` is
+    exact."""
+    if not cols:
+        raise ValueError("sentinel_audit: cols required")
+    table = sentinels or DEFAULT_SENTINELS
+    values = sorted({v.lower() for vs in table.values() for v in vs})
+    aggs = []
+    for c in cols:
+        s = F.lower(F.trim(F.col(c).cast("string")))
+        aggs.append(F.count(F.col(c)).cast("double").alias(f"_nn_{c}"))
+        for i, v in enumerate(values):
+            aggs.append(
+                F.sum(F.when(s == v, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_s_{c}_{i}")
+            )
+    st = df.agg(*aggs)
+    pieces = None
+    for c in cols:
+        row = st.select(
+            F.lit(c).alias("column"),
+            F.col(f"_nn_{c}").alias("_nn"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(v).alias("sentinel"),
+                            F.col(f"_s_{c}_{i}").alias("n"),
+                        )
+                        for i, v in enumerate(values)
+                    ]
+                )
+            ).alias("_p"),
+        ).select("column", "_nn", "_p.sentinel", "_p.n")
+        pieces = row if pieces is None else pieces.unionByName(row)
+    out = pieces.where(F.col("n") > 0).select(
+        "column",
+        "sentinel",
+        "n",
+        F.round(F.col("n") / F.col("_nn"), 6).alias("share"),
+        (F.round(F.col("n") / F.col("_nn"), 6) >= float(flag_share)).alias(
+            "suspect"
+        ),
+    )
+    return out
+
+
+def sentinel_audit_sql(
+    source: str,
+    cols: list[str],
+    *,
+    sentinels: dict[str, list[str]] | None = None,
+    flag_share: float = 0.05,
+) -> str:
+    """Exact DuckDB twin of :func:`sentinel_audit` (same canonical
+    string comparison, same share grid and flag threshold)."""
+    if not cols:
+        raise ValueError("sentinel_audit_sql: cols required")
+    table = sentinels or DEFAULT_SENTINELS
+    values = sorted({v.lower() for vs in table.values() for v in vs})
+    branches = []
+    for c in cols:
+        sel = ", ".join(
+            f"SUM(CASE WHEN lower(trim(CAST({c} AS VARCHAR))) = '{v.replace(chr(39), chr(39)*2)}'"
+            f" THEN 1 ELSE 0 END) AS _s_{i}"
+            for i, v in enumerate(values)
+        )
+        vlist = ", ".join(
+            f"('{v.replace(chr(39), chr(39)*2)}', _s_{i})" for i, v in enumerate(values)
+        )
+        branches.append(f"""
+    SELECT '{c}' AS "column", s.sentinel, CAST(s.n AS BIGINT) AS n,
+           round(s.n / _nn, 6) AS share,
+           round(s.n / _nn, 6) >= {float(flag_share)!r} AS suspect
+    FROM (
+        SELECT CAST(COUNT({c}) AS DOUBLE) AS _nn, {sel} FROM {source}
+    ), LATERAL (VALUES {vlist}) s(sentinel, n)
+    WHERE s.n > 0""")
+    return "\nUNION ALL\n".join(branches)

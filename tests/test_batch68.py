@@ -1,0 +1,90 @@
+"""Pins for C219 (O'Brien-Fleming sequential monitoring) and C220
+(sentinel-value audit)."""
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+from insert_by_timeperiod_spark.operators import profile as P
+
+
+def _exp(spark, effect):
+    rows = []
+    for day in range(1, 11):
+        for i in range(30):
+            noise = (i % 7 - 3) * 0.3
+            rows.append((dt.datetime(2024, 1, day, 12), "a", 10.0 + effect + noise))
+            rows.append((dt.datetime(2024, 1, day, 12), "b", 10.0 + noise))
+    return spark.createDataFrame(rows, "ts timestamp, arm string, y double")
+
+
+def test_obf_boundaries_shape_and_crossing(spark):
+    out = sorted(
+        analytics.obrien_fleming(
+            _exp(spark, 3.0), "ts", "arm", "y", arm_a="a", arm_b="b", looks=5
+        ).collect(),
+        key=lambda r: r["look"],
+    )
+    assert [r["look"] for r in out] == [1, 2, 3, 4, 5]
+    bounds = [r["boundary"] for r in out]
+    assert bounds == sorted(bounds, reverse=True)  # conservative early
+    assert bounds[-1] == pytest.approx(2.040, abs=1e-6)  # c_K at the end
+    assert out[0]["boundary"] == pytest.approx(2.040 * 5 ** 0.5, abs=1e-3)
+    assert any(r["crossed"] for r in out)  # +3 effect must cross
+    # cumulative ns are non-decreasing and end at the full count
+    assert [r["n_a"] for r in out] == sorted(r["n_a"] for r in out)
+    assert out[-1]["n_a"] == 300
+    # null effect: no look crosses
+    quiet = analytics.obrien_fleming(
+        _exp(spark, 0.0), "ts", "arm", "y", arm_a="a", arm_b="b", looks=5
+    ).collect()
+    assert not any(r["crossed"] for r in quiet)
+    with pytest.raises(ValueError):
+        analytics.obrien_fleming(
+            _exp(spark, 0.0), "ts", "arm", "y", arm_a="a", arm_b="b", looks=11)
+
+
+def test_obf_matches_twin(spark):
+    df = _exp(spark, 1.0)
+    rows = [(r["ts"].isoformat(sep=" "), r["arm"], r["y"]) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(ts TIMESTAMP, arm VARCHAR, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.obrien_fleming(df, "ts", "arm", "y",
+                                 arm_a="a", arm_b="b", looks=4),
+        con,
+        analytics.obrien_fleming_sql("t", "ts", "arm", "y",
+                                     arm_a="a", arm_b="b", looks=4))
+    con.close()
+
+
+def test_sentinel_audit_flags_placeholders(spark):
+    rows = [(0, "N/A ", dt.date(1970, 1, 1))] * 4 + [
+        (5, "real", dt.date(2024, 1, 2))] * 6
+    df = spark.createDataFrame(rows, "a int, b string, d date")
+    out = {(r["column"], r["sentinel"]): r for r in P.sentinel_audit(
+        df, ["a", "b", "d"]).collect()}
+    assert out[("a", "0")]["share"] == pytest.approx(0.4)
+    assert out[("a", "0")]["suspect"]
+    assert out[("b", "n/a")]["n"] == 4  # trimmed + lowercased comparison
+    assert out[("d", "1970-01-01")]["suspect"]
+    assert ("a", "-1") not in out  # zero-count sentinels are omitted
+    with pytest.raises(ValueError):
+        P.sentinel_audit(df, [])
+
+
+def test_sentinel_audit_matches_twin(spark):
+    rows = [(0, "N/A", dt.date(1970, 1, 1)), (5, "ok", dt.date(2024, 1, 2)),
+            (-1, "", None), (None, "unknown", dt.date(9999, 12, 31))]
+    df = spark.createDataFrame(rows, "a int, b string, d date")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a INT, b VARCHAR, d DATE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        P.sentinel_audit(df, ["a", "b", "d"]),
+        con, P.sentinel_audit_sql("t", ["a", "b", "d"]))
+    con.close()

@@ -6392,6 +6392,49 @@ def _sentinel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lift_chart_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C221 (annex, EXACT oracle): cumulative gains / lift chart
+    over the C156 score fixture — population-depth sweep with id-total
+    ordering so ntile assignment is engine-identical."""
+    _prep(spark, sf_dir)
+    eid = F.col("event_id")
+    src = spark.table("events").select(
+        "event_id",
+        ((((eid * 13) % 100).cast("double") + 0.5) / 100.0).alias("pred"),
+        F.when((eid * 29) % 100 < (eid * 13) % 100, 1).otherwise(0).alias("label"),
+    )
+    return analytics.lift_chart(src, "pred", "label", "event_id", k=10)
+
+
+_LIFT_SRC_DUCK = (
+    "(SELECT event_id, (((event_id * 13) % 100) + 0.5) / 100.0 AS pred,"
+    " CASE WHEN (event_id * 29) % 100 < (event_id * 13) % 100"
+    " THEN 1 ELSE 0 END AS label FROM events)"
+)
+
+
+def _ratio_metric_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C222 (annex, EXACT oracle): delta-method ratio-of-sums A/B
+    readout (value per event, randomized by USER) on a synthetic 50/50
+    assignment — per-user DECIMAL sums, closed-form variance."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("arm"),
+        "user_id",
+        F.col("value").alias("x"),
+        F.lit(1.0).alias("y"),
+    )
+    return analytics.ratio_metric_ab(
+        src, "arm", "x", "y", "user_id", arm_a="a", arm_b="b"
+    )
+
+
+_RATIO_SRC_DUCK = (
+    "(SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,"
+    " user_id, value AS x, 1.0 AS y FROM events)"
+)
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6709,6 +6752,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sentences_docs": _sentences_docs,
         "obf_monitor_events": _obf_monitor,
         "sentinel_audit_events": _sentinel_events,
+        "lift_chart_scores": _lift_chart_events,
+        "ratio_metric_value": _ratio_metric_events,
     }
 
 
@@ -7408,6 +7453,13 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "sentinel_audit_events": profile.sentinel_audit_sql(
             "events", ["user_id", "event_type", "value"]
+        ),
+        "lift_chart_scores": analytics.lift_chart_sql(
+            _LIFT_SRC_DUCK, "pred", "label", "event_id", k=10
+        ),
+        "ratio_metric_value": analytics.ratio_metric_sql(
+            _RATIO_SRC_DUCK, "arm", "x", "y", "user_id",
+            arm_a="a", arm_b="b",
         ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(

@@ -1362,3 +1362,150 @@ SELECT CAST(look AS INTEGER) AS look,
        END AS crossed
 FROM _cum
 """
+
+
+def ratio_metric_ab(
+    df: DataFrame,
+    arm_col: str,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Delta-method ratio-metric readout (SURVEY.md §2 C222): compare
+    RATIO-OF-SUMS metrics (revenue per session, clicks per impression)
+    between two arms — the readout C209's mean test silently gets
+    wrong: the unit of randomization is the USER but the metric's
+    denominator is events-per-user, so the naive per-event variance
+    ignores within-user correlation (Deng et al. 2017). Per arm the
+    metric is r = Σx/Σy over user-level sums; its variance comes from
+    the delta method over the per-user (x_i, y_i) pairs:
+    Var(r̂) ≈ (s_x² + r̂²·s_y² − 2·r̂·s_xy) / (n·ȳ²). Output one row:
+    per-arm ``n``/``ratio``, ``diff``, ``se``, ``z``, the |z| ≥ 1.96
+    ``significant`` flag. Arms with n < 2 or Σy = 0 yield NULLs.
+
+    Scale shape: ONE map-side-combined aggregate to per-(arm, unit)
+    sums (DECIMAL grid), ONE reduce to per-arm sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²); the test is closed-form scalar algebra
+    — :func:`ratio_metric_sql` is exact."""
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    per_unit = (
+        df.where(
+            F.col(unit_col).isNotNull()
+            & F.col(arm_col).cast("string").isin(str(arm_a), str(arm_b))
+        )
+        .groupBy(F.col(arm_col).cast("string").alias("_arm"), F.col(unit_col))
+        .agg(
+            F.round(F.coalesce(F.sum(x), F.lit(0.0)), 6).alias("_x"),
+            F.round(F.coalesce(F.sum(y), F.lit(0.0)), 6).alias("_y"),
+        )
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    xs, ys = F.col("_x"), F.col("_y")
+    st = per_unit.groupBy("_arm").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(xs).alias("_sx"),
+        dec(ys).alias("_sy"),
+        dec(xs * ys).alias("_sxy"),
+        dec(xs * xs).alias("_sxx"),
+        dec(ys * ys).alias("_syy"),
+    )
+    cols = {}
+    for k, v in (("a", str(arm_a)), ("b", str(arm_b))):
+        side = st.where(F.col("_arm") == v).select(
+            *[F.col(c).alias(f"{c}_{k}") for c in ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")]
+        )
+        cols[k] = side
+    j = cols["a"].crossJoin(cols["b"])
+
+    def stats(k):
+        n = F.col(f"_n_{k}")
+        sx, sy = F.col(f"_sx_{k}"), F.col(f"_sy_{k}")
+        sxy, sxx, syy = (F.col(f"_s{c}_{k}") for c in ("xy", "xx", "yy"))
+        r = F.when(sy != 0.0, sx / sy)
+        ybar = sy / n
+        vx = (n * sxx - sx * sx) / (n * (n - 1.0))
+        vy = (n * syy - sy * sy) / (n * (n - 1.0))
+        vxy = (n * sxy - sx * sy) / (n * (n - 1.0))
+        var_r = F.when(
+            (n >= 2) & (sy != 0.0),
+            (vx + r * r * vy - 2.0 * r * vxy) / (n * ybar * ybar),
+        )
+        return r, var_r, n
+
+    ra, va, na = stats("a")
+    rb, vb, nb = stats("b")
+    se = F.sqrt(va + vb)
+    z = F.when(se > 0.0, (ra - rb) / se)
+    zr = F.round(z, 6)
+    return j.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ra, 6).alias("ratio_a"),
+        F.round(rb, 6).alias("ratio_b"),
+        F.round(ra - rb, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        zr.alias("z"),
+        F.when(zr.isNotNull(), F.abs(zr) >= 1.96).alias("significant"),
+    )
+
+
+def ratio_metric_sql(
+    source: str,
+    arm_col: str,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+) -> str:
+    """Exact DuckDB twin of :func:`ratio_metric_ab` (same per-unit
+    DECIMAL sums, same delta-method algebra, same 1.96 flag)."""
+    x = f"CAST({num_col} AS DOUBLE)"
+    y = f"CAST({den_col} AS DOUBLE)"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    stats = lambda k: (
+        f"(CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)",
+        f"(CASE WHEN _n_{k} >= 2 AND _sy_{k} <> 0.0 THEN"
+        f" (((_n_{k} * _sxx_{k} - _sx_{k} * _sx_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
+        f" + (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
+        f"   * (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
+        f"   * ((_n_{k} * _syy_{k} - _sy_{k} * _sy_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
+        f" - 2.0 * (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
+        f"   * ((_n_{k} * _sxy_{k} - _sx_{k} * _sy_{k}) / (_n_{k} * (_n_{k} - 1.0))))"
+        f" / (_n_{k} * (_sy_{k} / _n_{k}) * (_sy_{k} / _n_{k})) END)",
+    )
+    ra, va = stats("a")
+    rb, vb = stats("b")
+    se = f"sqrt({va} + {vb})"
+    z = f"(CASE WHEN {se} > 0.0 THEN (({ra}) - ({rb})) / ({se}) END)"
+    per_arm = lambda k, v: f"""
+    SELECT CAST(COUNT(*) AS DOUBLE) AS _n_{k},
+           {dec.format(v="_x")} AS _sx_{k},
+           {dec.format(v="_y")} AS _sy_{k},
+           {dec.format(v="_x * _y")} AS _sxy_{k},
+           {dec.format(v="_x * _x")} AS _sxx_{k},
+           {dec.format(v="_y * _y")} AS _syy_{k}
+    FROM (
+        SELECT round(coalesce(SUM({x}), 0.0), 6) AS _x,
+               round(coalesce(SUM({y}), 0.0), 6) AS _y
+        FROM {source}
+        WHERE {unit_col} IS NOT NULL
+          AND CAST({arm_col} AS VARCHAR) = '{_q(v)}'
+        GROUP BY {unit_col}
+    )"""
+    return f"""
+WITH _a AS ({per_arm("a", str(arm_a))}), _b AS ({per_arm("b", str(arm_b))})
+SELECT CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
+       round({ra}, 6) AS ratio_a, round({rb}, 6) AS ratio_b,
+       round(({ra}) - ({rb}), 6) AS diff,
+       round({se}, 6) AS se,
+       round({z}, 6) AS z,
+       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
+           AS significant
+FROM _a CROSS JOIN _b
+"""

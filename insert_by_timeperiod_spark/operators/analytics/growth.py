@@ -1093,3 +1093,113 @@ SELECT c.cohort, CAST(c.age_days AS INTEGER) AS age_days, z.n_users,
        round(CAST(c._cum AS DOUBLE) / z.n_users, 6) AS cum_value_per_user
 FROM _curve c JOIN _sizes z ON z.cohort = c.cohort
 """
+
+
+def lift_chart(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift chart (SURVEY.md §2 C221): rank the
+    population by model score, cut into ``k`` equal buckets, and read
+    per bucket the cumulative share of all positives captured
+    (``gain``) against the share of population contacted — and their
+    ratio (``lift``), the "top decile captures 4.2× its share"
+    number that decides how deep a targeting campaign mails. C202's PR
+    curve sweeps THRESHOLDS; this sweeps POPULATION DEPTH, which is
+    what a fixed campaign budget actually buys. Ranking ties break on
+    ``id_col`` so bucket assignment is total and engine-identical
+    (ntile's equal-fill rule is shared by Spark and DuckDB). Rows with
+    NULL score or label are excluded. Output per bucket: ``bucket``,
+    ``n``, ``positives``, ``rate``, ``cum_share_pop``, ``gain``,
+    ``lift``, ``baseline_rate``.
+
+    Scale shape: ONE total-order window for the ntile (rank ties
+    broken, no collect), one k-row aggregate + cumulative window;
+    integer counts end-to-end — :func:`lift_chart_sql` is exact."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col("_id").asc())
+    bucketed = src.withColumn("bucket", F.ntile(k).over(w))
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("positives")
+    )
+    cw = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    rich = per.select(
+        "bucket",
+        "n",
+        "positives",
+        F.sum("n").over(cw).alias("_cn"),
+        F.sum("positives").over(cw).alias("_cp"),
+        F.sum("n").over(wall).alias("_tn"),
+        F.sum("positives").over(wall).alias("_tp"),
+    )
+    gain = F.when(F.col("_tp") > 0, F.col("_cp") / F.col("_tp"))
+    pop = F.col("_cn") / F.col("_tn")
+    return rich.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("positives").cast("long").alias("positives"),
+        F.round(F.col("positives") / F.col("n"), 6).alias("rate"),
+        F.round(pop, 6).alias("cum_share_pop"),
+        F.round(gain, 6).alias("gain"),
+        F.round(gain / pop, 6).alias("lift"),
+        F.round(F.col("_tp") / F.col("_tn"), 6).alias("baseline_rate"),
+    )
+
+
+def lift_chart_sql(
+    source: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+) -> str:
+    """Exact DuckDB twin of :func:`lift_chart` (same total order, same
+    ntile fill rule, same integer cumulative counts)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return f"""
+WITH _src AS (
+    SELECT {id_col} AS _id, CAST({score_col} AS DOUBLE) AS _s,
+           CAST({label_col} AS INTEGER) AS _y
+    FROM {source}
+    WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+), _b AS (
+    SELECT *, ntile({k}) OVER (ORDER BY _s DESC, _id ASC) AS bucket
+    FROM _src
+), _per AS (
+    SELECT bucket, COUNT(*) AS n, SUM(_y) AS positives
+    FROM _b GROUP BY bucket
+), _rich AS (
+    SELECT bucket, n, positives,
+           SUM(n) OVER _w AS _cn, SUM(positives) OVER _w AS _cp,
+           SUM(n) OVER () AS _tn, SUM(positives) OVER () AS _tp
+    FROM _per
+    WINDOW _w AS (ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, CAST(n AS BIGINT) AS n,
+       CAST(positives AS BIGINT) AS positives,
+       round(positives / CAST(n AS DOUBLE), 6) AS rate,
+       round(_cn / CAST(_tn AS DOUBLE), 6) AS cum_share_pop,
+       round(CASE WHEN _tp > 0 THEN _cp / CAST(_tp AS DOUBLE) END, 6) AS gain,
+       round((CASE WHEN _tp > 0 THEN _cp / CAST(_tp AS DOUBLE) END)
+             / (_cn / CAST(_tn AS DOUBLE)), 6) AS lift,
+       round(_tp / CAST(_tn AS DOUBLE), 6) AS baseline_rate
+FROM _rich
+"""

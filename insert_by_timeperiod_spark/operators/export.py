@@ -291,10 +291,21 @@ def parquet_layout_audit(spark, table_path: str) -> DataFrame:
     reads its ~KB footer via pyarrow inside ``mapInPandas``. DuckDB's
     ``parquet_metadata()`` reads the identical footers, so the twin is
     exact."""
-    # inputFiles() is a pure-metadata listing on the driver — robust where
-    # input_file_name() is not (it returns '' when the scan is served from
-    # a reused or cached relation in a long session)
-    files = sorted(spark.read.parquet(table_path).inputFiles())
+    # list data files through the FILESYSTEM layer, never the Spark plan:
+    # both input_file_name() and inputFiles() go blank when the plan
+    # resolves to a cached/reused InMemoryRelation in a long session —
+    # the audit is ABOUT the physical files, so ask the FS directly
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, table_path)
+    if fs.is_dir(table_path):
+        files = sorted(
+            f"{table_path.rstrip('/')}/{name}"
+            for name in fs.listdir(table_path)
+            if name.endswith(".parquet")
+        )
+    else:
+        files = [table_path]
     paths = spark.createDataFrame([(p,) for p in files], "_p string").repartition(
         max(1, min(len(files), 64))
     )

@@ -1,0 +1,95 @@
+"""Pins for C221 (cumulative gains / lift chart) and C222 (delta-method
+ratio-metric readout)."""
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def test_lift_chart_perfect_model(spark):
+    # scores perfectly separate: 20 positives all in the top 20 of 100
+    rows = [(i, 100.0 - i, 1 if i < 20 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, score double, label int")
+    out = {r["bucket"]: r for r in analytics.lift_chart(
+        df, "score", "label", "id", k=10).collect()}
+    assert out[1]["positives"] == 10 and out[2]["positives"] == 10
+    assert out[1]["gain"] == pytest.approx(0.5)
+    assert out[1]["lift"] == pytest.approx(5.0)   # 50% of positives in 10% pop
+    assert out[2]["gain"] == pytest.approx(1.0)
+    assert out[10]["gain"] == pytest.approx(1.0)
+    assert out[10]["lift"] == pytest.approx(1.0)  # full population: lift 1
+    assert out[1]["baseline_rate"] == pytest.approx(0.2)
+    with pytest.raises(ValueError):
+        analytics.lift_chart(df, "score", "label", "id", k=1)
+
+
+def test_lift_chart_matches_twin_with_ties(spark):
+    # heavy score ties: the id tiebreak must keep both engines identical
+    rows = [(i, float(i % 3), (i * 7) % 2) for i in range(57)]
+    df = spark.createDataFrame(rows, "id int, score double, label int")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, score DOUBLE, label INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.lift_chart(df, "score", "label", "id", k=10),
+        con, analytics.lift_chart_sql("t", "score", "label", "id", k=10))
+    con.close()
+
+
+def _sessions(spark, per_user_a, per_user_b):
+    # (arm, user, revenue, sessions) event rows
+    rows = []
+    uid = 0
+    for arm, per_user in (("a", per_user_a), ("b", per_user_b)):
+        for rev, ses in per_user:
+            uid += 1
+            for s in range(ses):
+                rows.append((arm, uid, rev / ses, 1.0))
+    return spark.createDataFrame(rows, "arm string, u int, x double, y double")
+
+
+def test_ratio_metric_heavy_user_correlation(spark):
+    # both arms: revenue per session is exactly 2.0 for every user ->
+    # diff 0, never significant, despite wildly different user sizes
+    users = [(2.0 * s, s) for s in (1, 1, 2, 2, 5, 10, 20, 50)]
+    df = _sessions(spark, users, users)
+    out = analytics.ratio_metric_ab(
+        df, "arm", "x", "y", "u", arm_a="a", arm_b="b").collect()[0]
+    assert out["ratio_a"] == pytest.approx(2.0)
+    assert out["diff"] == pytest.approx(0.0)
+    assert out["n_a"] == 8
+    # a real lift: arm a pays ~3.0/session, b ~2.0, small per-user noise
+    sizes = (1, 2, 5, 10, 20, 3, 4, 6, 8, 12)
+    users_a = [((3.0 + 0.01 * (i % 3)) * s, s) for i, s in enumerate(sizes)]
+    users_b = [((2.0 + 0.01 * (i % 3)) * s, s) for i, s in enumerate(sizes)]
+    out = analytics.ratio_metric_ab(
+        _sessions(spark, users_a, users_b), "arm", "x", "y", "u",
+        arm_a="a", arm_b="b").collect()[0]
+    assert out["diff"] == pytest.approx(1.0, abs=0.02)
+    # per-user ratios barely vary within arm -> tiny se -> significant
+    assert out["significant"]
+
+
+def test_ratio_metric_matches_twin_and_degenerate(spark):
+    rows = [("a", 1, 5.0, 2.0), ("a", 1, 1.0, 1.0), ("a", 2, 4.0, 3.0),
+            ("a", 3, 2.0, 1.0), ("b", 4, 3.0, 2.0), ("b", 5, 6.0, 5.0),
+            ("b", 6, 1.0, 2.0)]
+    df = spark.createDataFrame(rows, "arm string, u int, x double, y double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(arm VARCHAR, u INT, x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.ratio_metric_ab(df, "arm", "x", "y", "u",
+                                  arm_a="a", arm_b="b"),
+        con, analytics.ratio_metric_sql("t", "arm", "x", "y", "u",
+                                        arm_a="a", arm_b="b"))
+    con.close()
+    # one-unit arm: NULL se/z
+    tiny = spark.createDataFrame(
+        [("a", 1, 2.0, 1.0), ("b", 2, 3.0, 1.0), ("b", 3, 1.0, 1.0)],
+        "arm string, u int, x double, y double")
+    out = analytics.ratio_metric_ab(
+        tiny, "arm", "x", "y", "u", arm_a="a", arm_b="b").collect()[0]
+    assert out["se"] is None and out["significant"] is None

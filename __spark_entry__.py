@@ -6435,6 +6435,57 @@ _RATIO_SRC_DUCK = (
 )
 
 
+def _gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C223 (annex, EXACT oracle): the full right-to-be-forgotten
+    chain on the commit-log backend — delete_where (one atomic commit,
+    touched partitions only) -> vacuum(keep_last=1) (old files retired)
+    -> truncate_history (log collapsed; pre-delete versions and their
+    exclusive files GONE). The oracle checks the surviving table is
+    exactly the corpus minus the forgotten users; byte-level absence
+    and time-travel destruction are pinned in pytest."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_gdpr_"), "t")
+    cfg = IBTPConfig(
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=7,
+    )
+    eng = InsertByTimeperiod(
+        spark, MODEL_DAILY, cfg, tgt, count_rows=False,
+        table_factory=TxnLogTable,
+    )
+    eng.run(RunVars())
+    eng.table.delete_where("user_id % 10 = 3")
+    eng.table.vacuum(keep_last=1)
+    eng.table.truncate_history()
+    return eng.table.read()
+
+
+def _txn_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C224 (annex, EXACT oracle): OPTIMIZE ZORDER BY on the
+    commit-log backend — the daily table lands in four interleaved
+    append commits, then one atomic Z-order rewrite re-clusters every
+    partition on (user_id, n). Rows must stay byte-identical; the
+    per-file z-interval tightness is pinned in pytest."""
+    from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+    _prep(spark, sf_dir)
+    tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_zopt_"), "t")
+    t = TxnLogTable(spark, tgt)
+    daily = spark.sql(
+        """
+        SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+        """
+    )
+    t.create(daily.where(F.pmod(F.col("user_id"), F.lit(4)) == 0), "event_date")
+    for i in range(1, 4):
+        t.append(daily.where(F.pmod(F.col("user_id"), F.lit(4)) == i))
+    t.optimize(zorder_by=("user_id", "n"), files_per_partition=2)
+    return t.read()
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6754,6 +6805,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sentinel_audit_events": _sentinel_events,
         "lift_chart_scores": _lift_chart_events,
         "ratio_metric_value": _ratio_metric_events,
+        "gdpr_forget_chain": _gdpr_forget,
+        "txnlog_zorder_optimize": _txn_zorder_optimize,
     }
 
 
@@ -7461,6 +7514,11 @@ def pytest_only_oracles() -> dict[str, str]:
             _RATIO_SRC_DUCK, "arm", "x", "y", "user_id",
             arm_a="a", arm_b="b",
         ),
+        "gdpr_forget_chain": TXN_ROW_DELETE_DUCK.format(start=START, stop=STOP),
+        "txnlog_zorder_optimize": """
+            SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        """,
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

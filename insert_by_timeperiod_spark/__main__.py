@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "build: vacuum / truncate-history / recover-orphans / "
                         "restore / clone (txnlog backend), compact (partition "
                         "file merge), profile (per-column ANALYZE stats)")
+    p.add_argument("--zorder-by", default=None, metavar="COLA,COLB",
+                   help="Z-order the optimize rewrite on two columns "
+                        "(--maintenance optimize; re-clusters EVERY partition)")
     p.add_argument("--optimize-min-files", type=int, default=4, metavar="N",
                    help="partitions holding at least N files are compacted "
                         "(--maintenance optimize, default 4)")
@@ -131,11 +134,19 @@ def _run_maintenance(spark, args) -> int:
         t.compact_partitions(files_per_partition=1)
         print("compact: partitions rewritten to 1 file each")
     elif args.maintenance == "optimize":
-        n = t.optimize(min_files=args.optimize_min_files)
-        print(
-            f"optimize: {n} partition(s) compacted (>= "
-            f"{args.optimize_min_files} files), history preserved"
-        )
+        if args.zorder_by:
+            ca, _, cb = args.zorder_by.partition(",")
+            if not ca or not cb:
+                raise SystemExit("--zorder-by needs two comma-separated columns")
+            n = t.optimize(zorder_by=(ca.strip(), cb.strip()))
+            print(f"optimize: {n} partition(s) Z-ordered on "
+                  f"({ca.strip()}, {cb.strip()}), history preserved")
+        else:
+            n = t.optimize(min_files=args.optimize_min_files)
+            print(
+                f"optimize: {n} partition(s) compacted (>= "
+                f"{args.optimize_min_files} files), history preserved"
+            )
     elif args.maintenance == "restore":
         if args.restore_version is None:
             raise SystemExit("--maintenance restore requires --restore-version")

@@ -267,16 +267,21 @@ class TxnLogTable(ParquetTable):
 
     # ---- write -----------------------------------------------------------
 
-    def _stage_files(self, df: DataFrame, partition_col: str) -> list[dict]:
+    def _stage_files(
+        self, df: DataFrame, partition_col: str, *, shaped: bool = False
+    ) -> list[dict]:
         """Write ``df`` once under data/<uuid>/, physically split per
         partition value but KEEPING the partition column in the data (a
-        duplicated ``__part`` drives the split), and return add-entries."""
+        duplicated ``__part`` drives the split), and return add-entries.
+        ``shaped=True`` trusts the caller's partitioning/sort (Z-order
+        rewrites pre-arrange the tasks) instead of the rebalance hint."""
         cid = uuid.uuid4().hex
         out = f"{self.path}/{DATA_DIR}/{cid}"
         from .table import optimized_layout
 
+        laid = df if shaped else optimized_layout(df, partition_col)
         (
-            optimized_layout(df, partition_col)
+            laid
             .withColumn("__part", F.col(partition_col).cast("string"))
             .write.mode("overwrite")
             .partitionBy("__part")
@@ -342,9 +347,13 @@ class TxnLogTable(ParquetTable):
             self.fs.delete(f"{self.path}/{d}")
 
     def rewrite_partitions(
-        self, df: DataFrame, dates: list[dt.date | None] | None
+        self,
+        df: DataFrame,
+        dates: list[dt.date | None] | None,
+        *,
+        shaped: bool = False,
     ) -> None:
-        adds = self._stage_files(df, self.partition_col)
+        adds = self._stage_files(df, self.partition_col, shaped=shaped)
         if dates is None:
             touched = {a["p"] for a in adds}
         else:
@@ -514,7 +523,13 @@ class TxnLogTable(ParquetTable):
         self.rewrite_partitions(updated, touched)
         return n_updated
 
-    def optimize(self, *, min_files: int = 4) -> int:
+    def optimize(
+        self,
+        *,
+        min_files: int = 4,
+        zorder_by: tuple[str, str] | None = None,
+        files_per_partition: int = 4,
+    ) -> int:
         """Small-file compaction (SURVEY.md §2 C122, the Delta OPTIMIZE
         analogue): rewrite every partition currently holding at least
         ``min_files`` data files into the rebalanced optimized layout, as
@@ -530,13 +545,17 @@ class TxnLogTable(ParquetTable):
         old files until ``vacuum`` retires them. Only the targeted
         partitions' files are read; untouched partitions cost nothing.
         Returns the number of partitions compacted."""
-        if min_files < 2:
+        if min_files < 2 and zorder_by is None:
             raise ValueError(f"min_files must be >= 2, got {min_files}")
         by_part: dict[str | None, list[str]] = {}
         for f, e in self._snapshot_entries().items():
             by_part.setdefault(e["p"], []).append(f)
+        # a Z-order rewrite re-clusters EVERY partition (the point is the
+        # layout, not the file count); plain compaction touches only
+        # fragmented ones
+        threshold = 1 if zorder_by is not None else min_files
         targets = sorted(
-            (p for p, fs in by_part.items() if len(fs) >= min_files),
+            (p for p, fs in by_part.items() if len(fs) >= threshold),
             key=lambda p: (p is None, p),
         )
         if not targets:
@@ -550,7 +569,30 @@ class TxnLogTable(ParquetTable):
         ]
         df = normalize_ntz(self.spark.read.schema(schema).parquet(*paths))
         dates = [None if p is None else dt.date.fromisoformat(p) for p in targets]
-        self.rewrite_partitions(df, dates)
+        if zorder_by is None:
+            self.rewrite_partitions(df, dates)
+            return len(targets)
+        # OPTIMIZE ZORDER BY (SURVEY.md §2 C224, the Delta pairing of
+        # C122): interleave-cluster (col_a, col_b) INSIDE each date
+        # partition — range-exchange on (partition, z) + in-partition sort
+        # gives every written file a tight z interval, so parquet footer
+        # stats prune scans filtered on EITHER column; one atomic commit,
+        # rows byte-identical, history preserved like plain optimize
+        ca, cb = zorder_by
+        from .operators.zorder import z_values
+
+        pcol = self.partition_col
+        shaped = (
+            z_values(df, ca, cb, z_col="_ibtp_z")
+            .repartitionByRange(
+                max(1, len(targets) * files_per_partition),
+                F.col(pcol),
+                F.col("_ibtp_z"),
+            )
+            .sortWithinPartitions(pcol, "_ibtp_z")
+            .drop("_ibtp_z")
+        )
+        self.rewrite_partitions(shaped, dates, shaped=True)
         return len(targets)
 
     def restore(self, version: int) -> int:

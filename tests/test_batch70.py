@@ -1,0 +1,86 @@
+"""Pins for C223 (GDPR right-to-be-forgotten chain) and C224 (txnlog
+OPTIMIZE ZORDER BY)."""
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.txnlog import TxnLogTable
+
+
+def _mk(spark, d, users):
+    return spark.createDataFrame(
+        [(u, d, float(u * 10)) for u in users], "user_id int, event_date date, v double"
+    )
+
+
+def test_gdpr_chain_destroys_bytes_and_history(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t.create(_mk(spark, d1, [1, 2, 3]).coalesce(1), "event_date")
+    t.append(_mk(spark, d2, [3, 4]).coalesce(1))
+    pre = t.version()
+    t.delete_where("user_id = 3")
+    t.vacuum(keep_last=1)
+    t.truncate_history()
+    # surviving rows exact
+    rows = sorted((r["user_id"], r["event_date"]) for r in t.read().collect())
+    assert rows == [(1, d1), (2, d1), (4, d2)]
+    # BYTES gone: no parquet file anywhere under the table contains user 3
+    files = glob.glob(str(tmp_path / "t" / "**" / "*.parquet"), recursive=True)
+    assert files
+    leaked = spark.read.parquet(*files).where(F.col("user_id") == 3).count()
+    assert leaked == 0
+    # time travel to the pre-delete version is destroyed: the old commits
+    # are gone, so the fold either raises or recovers NOTHING — above all,
+    # no row of user 3 is reachable from any version
+    try:
+        old = t.read(version=pre).collect()
+    except Exception:
+        old = []
+    assert not any(r["user_id"] == 3 for r in old)
+    assert old == []  # the pre-delete snapshot is unrecoverable
+
+
+def test_zorder_optimize_preserves_rows_and_tightens_files(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "z"))
+    d = dt.date(2024, 1, 1)
+    # interleave user ids across 4 appends so every file spans the id range
+    t.create(_mk(spark, d, range(0, 400, 4)).coalesce(1), "event_date")
+    for off in (1, 2, 3):
+        t.append(_mk(spark, d, range(off, 400, 4)).coalesce(1))
+    want = sorted(tuple(r) for r in t.read().collect())
+    files_pre = t.partition_file_counts()[d]
+    assert files_pre >= 4
+
+    def max_id_spread():
+        out = []
+        for f in glob.glob(str(tmp_path / "z" / "data" / "**" / "*.parquet"),
+                           recursive=True):
+            live = set(t.snapshot())
+            rel = os.path.relpath(f, str(tmp_path / "z"))
+            if rel not in live:
+                continue
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(f, columns=["user_id"])
+            ids = tbl.column("user_id").to_pylist()
+            out.append(max(ids) - min(ids))
+        return out
+
+    pre_spread = max(max_id_spread())
+    assert pre_spread > 300  # every pre-optimize file spans the id range
+    n = t.optimize(zorder_by=("user_id", "v"), files_per_partition=4)
+    assert n == 1
+    assert sorted(tuple(r) for r in t.read().collect()) == want
+    # post-optimize files cover tight contiguous id ranges
+    post = max_id_spread()
+    assert len(post) >= 2
+    assert max(post) < pre_spread / 2
+    # plain optimize contract unchanged
+    with pytest.raises(ValueError):
+        t.optimize(min_files=1)

@@ -6486,6 +6486,25 @@ def _txn_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def _column_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C225 (annex, EXACT oracle): per-column storage advisor over
+    the events table footers — compressed/uncompressed bytes, table
+    share, compression ratio; DuckDB parquet_metadata() twin."""
+    from insert_by_timeperiod_spark.operators import export as X
+
+    return X.parquet_column_stats(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def _spearman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C226 (annex, EXACT oracle): Spearman rank correlation of
+    value vs user_id per event_type — average-rank ties, O(n log n)
+    windows, DECIMAL sufficient statistics."""
+    _prep(spark, sf_dir)
+    return analytics.spearman(
+        spark.table("events"), "user_id", "value", group_cols=["event_type"]
+    )
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6807,6 +6826,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "ratio_metric_value": _ratio_metric_events,
         "gdpr_forget_chain": _gdpr_forget,
         "txnlog_zorder_optimize": _txn_zorder_optimize,
+        "parquet_column_stats_events": _column_stats_events,
+        "spearman_value_by_type": _spearman_events,
     }
 
 
@@ -6819,9 +6840,10 @@ def pytest_only_oracles() -> dict[str, str]:
     )
     return {
         "engine_month_grid": ORACLE_DAILY.format(start=START, stop=STOP),
-        # C211: the oracle reads the IDENTICAL footers duckdb-side; the
-        # annex runs at the pytest sf dir (same env var the fixtures use)
+        # C211/C225: the oracles read the IDENTICAL footers duckdb-side;
+        # the annex runs at the pytest sf dir (same env var the fixtures use)
         "parquet_layout_events": _X.parquet_layout_sql(_layout_path),
+        "parquet_column_stats_events": _X.parquet_column_stats_sql(_layout_path),
         # the source scan resolves [min(ts), max(ts)+1d) which covers all
         "engine_source_scan": """
             SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
@@ -7519,6 +7541,9 @@ def pytest_only_oracles() -> dict[str, str]:
             SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
             FROM events GROUP BY user_id, CAST(ts AS DATE)
         """,
+        "spearman_value_by_type": analytics.spearman_sql(
+            "events", "user_id", "value", group_cols=["event_type"]
+        ),
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

@@ -598,3 +598,109 @@ SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_days,
        round(quantile_cont(_r, 0.5), 6) AS intercept
 FROM _resid {grp}
 """
+
+
+def spearman(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation (SURVEY.md §2 C226): Pearson over
+    AVERAGE ranks — the monotonic-association readout between C178's
+    Pearson (linear only; one outlier owns it) and C177's Kendall tau
+    (O(n²) pairs): rank-robust like tau but computable in O(n log n)
+    windows, so it scales where tau's pair join is the budget. Ties
+    take the average rank (the standard tie rule — BOTH engines build
+    it as min-rank + (ties−1)/2, exact .5-grid doubles). Rows with a
+    NULL on either side are excluded. Output per group: ``n``, ``rho``
+    (NULL when either side is constant).
+
+    Scale shape: two rank windows on the same group partitioning + one
+    map-side-combined sufficient-statistics reduce on the DECIMAL
+    grid — :func:`spearman_sql` is exact."""
+    gcols = list(group_cols or [])
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    src = df.where(x.isNotNull() & y.isNotNull()).select(
+        *gcols, x.alias("_x"), y.alias("_y")
+    )
+
+    def avg_rank(c):
+        wr = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(F.col(c).asc())
+        wt = Window.partitionBy(*[F.col(g) for g in gcols], F.col(c))
+        return F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+
+    ranked = src.select(
+        *gcols, avg_rank("_x").alias("_rx"), avg_rank("_y").alias("_ry")
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    rx, ry = F.col("_rx"), F.col("_ry")
+    st = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(rx).alias("_sx"),
+        dec(ry).alias("_sy"),
+        dec(rx * ry).alias("_sxy"),
+        dec(rx * rx).alias("_sxx"),
+        dec(ry * ry).alias("_syy"),
+    )
+    n = F.col("_n")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return st.select(
+        *gcols,
+        n.cast("long").alias("n"),
+        F.round(
+            F.when((vx > 0.0) & (vy > 0.0), cov / F.sqrt(vx * vy)), 6
+        ).alias("rho"),
+    )
+
+
+def spearman_sql(
+    source: str,
+    col_x: str,
+    col_y: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`spearman` (same average-rank tie
+    rule, same DECIMAL sufficient statistics)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    gp = f"{g}, " if g else ""
+    x = f"CAST({col_x} AS DOUBLE)"
+    y = f"CAST({col_y} AS DOUBLE)"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"""
+WITH _src AS (
+    SELECT {gsel}{x} AS _x, {y} AS _y FROM {source}
+    WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL
+), _ranked AS (
+    SELECT {gsel}
+           RANK() OVER ({part}ORDER BY _x ASC)
+             + (COUNT(*) OVER (PARTITION BY {gp}_x) - 1) / 2.0 AS _rx,
+           RANK() OVER ({part}ORDER BY _y ASC)
+             + (COUNT(*) OVER (PARTITION BY {gp}_y) - 1) / 2.0 AS _ry
+    FROM _src
+), _st AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v="_rx")} AS _sx,
+           {dec.format(v="_ry")} AS _sy,
+           {dec.format(v="_rx * _ry")} AS _sxy,
+           {dec.format(v="_rx * _rx")} AS _sxx,
+           {dec.format(v="_ry * _ry")} AS _syy
+    FROM _ranked {grp}
+)
+SELECT {gsel}CAST(_n AS BIGINT) AS n,
+       round(CASE WHEN _n * _sxx - _sx * _sx > 0.0
+                   AND _n * _syy - _sy * _sy > 0.0
+                  THEN (_n * _sxy - _sx * _sy)
+                       / sqrt((_n * _sxx - _sx * _sx)
+                              * (_n * _syy - _sy * _sy)) END, 6) AS rho
+FROM _st
+"""

@@ -367,3 +367,112 @@ SELECT m.file, CAST(m.row_group AS INTEGER) AS row_group,
        f.file_bytes
 FROM _m m JOIN _f f USING (file)
 """
+
+
+def parquet_column_stats(spark, table_path: str) -> DataFrame:
+    """Per-column storage advisor (SURVEY.md §2 C225): aggregate every
+    column chunk's compressed/uncompressed bytes across the table's
+    files — the "WHICH column is 60 % of my 100 TB" readout that
+    decides dictionary encoding, dropping a dead column, or moving a
+    blob out-of-row; the column-level companion to C211's row-group
+    audit. Output per column: ``column`` (path in schema),
+    ``n_chunks``, ``compressed_bytes``, ``uncompressed_bytes``,
+    ``compressed_share`` (of the table's compressed total),
+    ``compression_ratio`` (uncompressed / compressed).
+
+    Scale shape: footers only — one task per file reads its ~KB footer
+    via pyarrow inside ``mapInPandas``; the reduce is columns-sized.
+    DuckDB's ``parquet_metadata()`` exposes the identical chunk stats,
+    so the twin is exact."""
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, table_path)
+    if fs.is_dir(table_path):
+        files = sorted(
+            f"{table_path.rstrip('/')}/{name}"
+            for name in fs.listdir(table_path)
+            if name.endswith(".parquet")
+        )
+    else:
+        files = [table_path]
+    paths = spark.createDataFrame([(p,) for p in files], "_p string").repartition(
+        max(1, min(len(files), 64))
+    )
+
+    def _chunks(it):
+        from urllib.parse import urlparse
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            recs = []
+            for p in pdf["_p"]:
+                local = urlparse(p).path if "://" in p or p.startswith("file:") else p
+                md = pq.ParquetFile(local).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        recs.append(
+                            {
+                                "column": col.path_in_schema,
+                                "compressed": col.total_compressed_size,
+                                "uncompressed": col.total_uncompressed_size,
+                            }
+                        )
+            yield pd.DataFrame(
+                recs, columns=["column", "compressed", "uncompressed"]
+            )
+
+    chunks = paths.mapInPandas(
+        _chunks, "column string, compressed long, uncompressed long"
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    agg = chunks.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("compressed").cast("long").alias("compressed_bytes"),
+        F.sum("uncompressed").cast("long").alias("uncompressed_bytes"),
+    )
+    return agg.select(
+        "column",
+        "n_chunks",
+        "compressed_bytes",
+        "uncompressed_bytes",
+        F.round(
+            F.col("compressed_bytes")
+            / F.sum("compressed_bytes").over(wall).cast("double"),
+            6,
+        ).alias("compressed_share"),
+        F.round(
+            F.col("uncompressed_bytes") / F.col("compressed_bytes").cast("double"),
+            6,
+        ).alias("compression_ratio"),
+    )
+
+
+def parquet_column_stats_sql(glob: str) -> str:
+    """Exact DuckDB twin of :func:`parquet_column_stats` over the same
+    files (``parquet_metadata()`` reads the identical chunk stats)."""
+    return f"""
+WITH _chunks AS (
+    SELECT path_in_schema AS "column",
+           total_compressed_size AS compressed,
+           total_uncompressed_size AS uncompressed
+    FROM parquet_metadata('{glob}')
+), _agg AS (
+    SELECT "column", CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(compressed) AS BIGINT) AS compressed_bytes,
+           CAST(SUM(uncompressed) AS BIGINT) AS uncompressed_bytes
+    FROM _chunks GROUP BY "column"
+)
+SELECT "column", n_chunks, compressed_bytes, uncompressed_bytes,
+       round(compressed_bytes
+             / CAST(SUM(compressed_bytes) OVER () AS DOUBLE), 6)
+           AS compressed_share,
+       round(uncompressed_bytes / CAST(compressed_bytes AS DOUBLE), 6)
+           AS compression_ratio
+FROM _agg
+"""

@@ -1,0 +1,72 @@
+"""Pins for C225 (per-column parquet storage advisor) and C226
+(Spearman rank correlation)."""
+
+import os
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+from insert_by_timeperiod_spark.operators import export as X
+
+
+def test_column_stats_match_duckdb_footers(spark, sf_dir):
+    path = os.path.join(sf_dir, "events.parquet")
+    got = X.parquet_column_stats(spark, path)
+    con = duckdb.connect()
+    assert_df_matches_duck(got, con, X.parquet_column_stats_sql(path))
+    rows = {r["column"]: r for r in got.collect()}
+    assert set(rows) >= {"event_id", "user_id", "ts", "event_type", "value"}
+    total_share = sum(r["compressed_share"] for r in rows.values())
+    assert total_share == pytest.approx(1.0, abs=1e-4)
+    assert all(r["compression_ratio"] > 0 for r in rows.values())
+    con.close()
+
+
+def test_column_stats_multifile(spark, tmp_path):
+    out = str(tmp_path / "t.parquet")
+    spark.range(20_000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS s").repartition(3).write.parquet(out)
+    rows = {r["column"]: r for r in X.parquet_column_stats(spark, out).collect()}
+    assert set(rows) == {"id", "s"}
+    assert rows["id"]["n_chunks"] >= 3  # one chunk per file at least
+    con = duckdb.connect()
+    assert_df_matches_duck(
+        X.parquet_column_stats(spark, out), con,
+        X.parquet_column_stats_sql(os.path.join(out, "*.parquet")))
+    con.close()
+
+
+def test_spearman_monotone_and_outlier_robust(spark):
+    # y = x^3: nonlinear but perfectly monotone -> rho exactly 1
+    rows = [(float(i), float(i ** 3)) for i in range(-10, 11)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = analytics.spearman(df, "x", "y").collect()[0]
+    assert out["rho"] == 1.0 and out["n"] == 21
+    # one wild outlier barely moves rho (ranks cap its leverage)
+    rows_out = rows + [(100.0, -1e9)]
+    rho = analytics.spearman(
+        spark.createDataFrame(rows_out, "x double, y double"), "x", "y"
+    ).collect()[0]["rho"]
+    assert rho > 0.7  # Pearson would swing strongly negative here
+    # constant side -> NULL
+    const = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    assert analytics.spearman(const, "x", "y").collect()[0]["rho"] is None
+
+
+def test_spearman_ties_and_groups_match_twin(spark):
+    rows = [("a", float(v % 4), float((v * 3) % 5)) for v in range(23)] + [
+        ("b", float(v % 2), float(v % 3)) for v in range(11)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.spearman(df, "x", "y", group_cols=["g"]),
+        con, analytics.spearman_sql("t", "x", "y", group_cols=["g"]))
+    assert_df_matches_duck(
+        analytics.spearman(df, "x", "y"),
+        con, analytics.spearman_sql("t", "x", "y"))
+    con.close()

@@ -6505,6 +6505,40 @@ def _spearman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C227 (annex, EXACT oracle): incremental batch sessionization
+    vs persistent open-session state — the events month replays as TWO
+    period batches split at Jan 16; emitted-closed + flushed-open
+    sessions must equal the ONE-SHOT sessionization bit-for-bit (the
+    oracle is the one-shot SQL twin). History never rescans: batch 2
+    joins a users-sized state, not batch 1."""
+    from insert_by_timeperiod_spark.operators.sessions import (
+        flush_session_state,
+        sessionize_incremental,
+    )
+
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    state = os.path.join(tempfile.mkdtemp(prefix="ibtp_sessinc_"), "state")
+    out1 = sessionize_incremental(
+        ev.where(F.col("ts") < cut), state, "2024-01-16",
+        gap_minutes=_SESSION_GAP_MIN, tiebreak="event_id",
+    )
+    out2 = sessionize_incremental(
+        ev.where(F.col("ts") >= cut), state, "2099-01-01",
+        gap_minutes=_SESSION_GAP_MIN, tiebreak="event_id",
+    )
+    final = flush_session_state(spark, state)
+    allsess = out1.unionByName(out2).unionByName(final)
+    return allsess.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6828,6 +6862,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "txnlog_zorder_optimize": _txn_zorder_optimize,
         "parquet_column_stats_events": _column_stats_events,
         "spearman_value_by_type": _spearman_events,
+        "sessionize_incremental_events": _sessionize_incremental,
     }
 
 
@@ -7544,6 +7579,12 @@ def pytest_only_oracles() -> dict[str, str]:
         "spearman_value_by_type": analytics.spearman_sql(
             "events", "user_id", "value", group_cols=["event_type"]
         ),
+        "sessionize_incremental_events": f"""
+            WITH s AS ({SESSIONIZE_DUCK})
+            SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_seq
+        """,
         # round-7 batch-32 components (C154-C155)
         "chi2_type_cohort": analytics.chi2_independence_sql(
             "(SELECT event_type, user_id % 5 AS cohort FROM events)",

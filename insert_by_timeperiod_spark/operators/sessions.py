@@ -450,3 +450,153 @@ SELECT {user_col},
            AS duration_sec
 FROM _sess GROUP BY {user_col}, _seq
 """
+
+
+def sessionize_incremental(
+    batch: DataFrame,
+    state_path: str,
+    batch_end,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    tiebreak: str | None = None,
+    update_state: bool = True,
+) -> DataFrame:
+    """Incremental BATCH sessionization against persistent open-session
+    state (SURVEY.md §2 C227): sessionize one period's events without
+    rescanning history — the period-loop analogue of C23, and the
+    batch sibling of the streaming ``sessionize_stream``. State at
+    ``state_path`` holds at most ONE open session per user (user,
+    session_start, session_end, n_events). A call merges the batch
+    with that state (a state session within ``gap_minutes`` of the
+    user's first batch event EXTENDS into it), emits every session
+    that can no longer grow — a later session exists for the user, or
+    ``batch_end`` is more than the gap past its last event — and
+    rewrites the state with the still-open tails. Batches must arrive
+    in period order, each applied once (the engine's period loop is
+    exactly that contract). Emitted sessions: (``user_col``,
+    ``session_start``, ``session_end``, ``n_events``).
+    :func:`flush_session_state` drains the final opens.
+
+    Scale shape: ONE window shuffle of the batch by user + one
+    users-sized state join; history NEVER rescans — the state is
+    ~40 bytes per currently-active user whatever the corpus size. The
+    two-batch replay equals the one-shot sessionization bit-for-bit
+    (the annex row proves it against the one-shot SQL twin)."""
+    spark = batch.sparkSession
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    end_us = F.unix_micros(F.lit(batch_end).cast("timestamp"))
+    empty = batch.select(
+        F.col(user_col),
+        F.col(ts_col).alias("session_start"),
+        F.col(ts_col).alias("session_end"),
+        F.lit(0).cast("long").alias("n_events"),
+    ).limit(0)
+    try:
+        state = spark.read.parquet(state_path)
+    except Exception:
+        state = empty
+
+    sess = session_stats(
+        batch, user_col, ts_col, gap_minutes=gap_minutes, tiebreak=tiebreak
+    ).select(
+        F.col(user_col),
+        F.col("session_seq").alias("_seq"),
+        F.col("session_start").alias("_st"),
+        F.col("session_end").alias("_en"),
+        F.col("n_events").alias("_n"),
+    )
+    wmax = Window.partitionBy(user_col)
+    sess = sess.withColumn("_last", F.col("_seq") == F.max("_seq").over(wmax))
+
+    st = state.select(
+        F.col(user_col),
+        F.col("session_start").alias("_pst"),
+        F.col("session_end").alias("_pen"),
+        F.col("n_events").alias("_pn"),
+    )
+    j = sess.join(st, user_col, "full")
+
+    in_batch = F.col("_seq").isNotNull()
+    has_state = F.col("_pst").isNotNull()
+    # the state session extends into the user's FIRST batch session when
+    # the gap from its end to that session's start is within the gap
+    extends = (
+        has_state
+        & in_batch
+        & (F.col("_seq") == 1)
+        & (
+            F.unix_micros(F.col("_st")) - F.unix_micros(F.col("_pen"))
+            <= gap_us
+        )
+    )
+    mst = F.when(extends, F.col("_pst")).otherwise(F.col("_st"))
+    mn = F.when(extends, F.col("_pn") + F.col("_n")).otherwise(F.col("_n"))
+    still_open = F.col("_last") & (
+        end_us - F.unix_micros(F.col("_en")) <= gap_us
+    )
+    # rows emitted now: (a) batch sessions that cannot grow; (b) state
+    # sessions whose user had batch events but did NOT extend (emitted
+    # from the seq-1 row); (c) state sessions with no batch events that
+    # aged out against batch_end
+    emit_batch = in_batch & ~still_open
+    emit_state_break = (
+        in_batch & (F.col("_seq") == 1) & has_state & ~extends
+    )
+    emit_state_aged = (
+        ~in_batch
+        & has_state
+        & (end_us - F.unix_micros(F.col("_pen")) > gap_us)
+    )
+    closed = (
+        j.where(emit_batch)
+        .select(
+            F.col(user_col),
+            mst.alias("session_start"),
+            F.col("_en").alias("session_end"),
+            mn.cast("long").alias("n_events"),
+        )
+        .unionByName(
+            j.where(emit_state_break | emit_state_aged).select(
+                F.col(user_col),
+                F.col("_pst").alias("session_start"),
+                F.col("_pen").alias("session_end"),
+                F.col("_pn").cast("long").alias("n_events"),
+            )
+        )
+    )
+    new_state = (
+        j.where(in_batch & still_open)
+        .select(
+            F.col(user_col),
+            mst.alias("session_start"),
+            F.col("_en").alias("session_end"),
+            mn.cast("long").alias("n_events"),
+        )
+        .unionByName(
+            j.where(
+                ~in_batch
+                & has_state
+                & (end_us - F.unix_micros(F.col("_pen")) <= gap_us)
+            ).select(
+                F.col(user_col),
+                F.col("_pst").alias("session_start"),
+                F.col("_pen").alias("session_end"),
+                F.col("_pn").cast("long").alias("n_events"),
+            )
+        )
+    )
+    closed = closed.localCheckpoint(eager=True)
+    if update_state:
+        # the new state DERIVES from the state being overwritten —
+        # materialize it first or the lazy plan reads its own ruins
+        pinned = new_state.localCheckpoint(eager=True)
+        pinned.write.mode("overwrite").parquet(state_path)
+    return closed
+
+
+def flush_session_state(spark, state_path: str) -> DataFrame:
+    """Drain the remaining open sessions from C227's state table as
+    final sessions (corpus end / pipeline teardown)."""
+    return spark.read.parquet(state_path)

@@ -1,0 +1,80 @@
+"""Pins for C227 (incremental batch sessionization vs persistent
+open-session state): the two-batch replay must equal the one-shot."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import sessions as S
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0)
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def test_incremental_equals_oneshot_across_boundary(spark, tmp_path):
+    # user 1: session straddles the batch boundary (events at 50' and 70'
+    # with a 30' gap); user 2 closes in batch 1; user 3 only in batch 2
+    all_rows = [
+        (1, _mins(0)), (1, _mins(10)), (1, _mins(50)),   # batch 1
+        (1, _mins(70)), (1, _mins(200)),                 # batch 2
+        (2, _mins(5)),                                   # batch 1
+        (3, _mins(130)),                                 # batch 2
+    ]
+    boundary = _mins(60)
+    b1 = [r for r in all_rows if r[1] < boundary]
+    b2 = [r for r in all_rows if r[1] >= boundary]
+    state = str(tmp_path / "state")
+    out1 = S.sessionize_incremental(
+        _ev(spark, b1), state, boundary, gap_minutes=30.0)
+    out2 = S.sessionize_incremental(
+        _ev(spark, b2), state, _mins(100000), gap_minutes=30.0)
+    final = S.flush_session_state(spark, state)
+    got = sorted(
+        tuple(r) for df in (out1, out2, final) for r in df.collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in S.session_stats(_ev(spark, all_rows), gap_minutes=30.0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    )
+    assert got == want
+    # the straddling session came out merged: user 1's 50' event (batch 1)
+    # and 70' event (batch 2) form ONE session across the boundary
+    assert (1, _mins(50), _mins(70), 2) in got
+
+
+def test_incremental_state_shrinks_to_active_users(spark, tmp_path):
+    state = str(tmp_path / "s2")
+    rows = [(u, _mins(u)) for u in range(1, 6)]
+    S.sessionize_incremental(_ev(spark, rows), state, _mins(10), gap_minutes=30.0)
+    st = spark.read.parquet(state)
+    assert st.count() == 5  # all five still within the gap of batch_end
+    # a much later empty-ish batch ages them all out
+    out = S.sessionize_incremental(
+        _ev(spark, [(9, _mins(5000))]), state, _mins(5001), gap_minutes=30.0)
+    assert out.count() == 5  # the five aged-out singles emit
+    st = spark.read.parquet(state)
+    assert st.count() == 1 and st.collect()[0]["user_id"] == 9
+
+
+def test_incremental_no_state_mutation_when_disabled(spark, tmp_path):
+    state = str(tmp_path / "s3")
+    S.sessionize_incremental(
+        _ev(spark, [(1, _mins(0))]), state, _mins(1), gap_minutes=30.0)
+    before = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    S.sessionize_incremental(
+        _ev(spark, [(2, _mins(2))]), state, _mins(3),
+        gap_minutes=30.0, update_state=False)
+    after = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert before == after

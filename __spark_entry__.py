@@ -6539,6 +6539,16 @@ def _sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashing_vec_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C228 (annex, EXACT oracle): hashing-trick vectorizer over the
+    documents corpus — md5-prefix dimension hash (engine-portable), one
+    map-side-combined (doc, dim) count, no vocabulary state."""
+    _prep(spark, sf_dir)
+    return features.hashing_vectorizer(
+        spark.table("documents"), dims=512, l2_normalize=True
+    )
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6863,6 +6873,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "parquet_column_stats_events": _column_stats_events,
         "spearman_value_by_type": _spearman_events,
         "sessionize_incremental_events": _sessionize_incremental,
+        "hashing_vectorizer_docs": _hashing_vec_docs,
     }
 
 
@@ -7578,6 +7589,9 @@ def pytest_only_oracles() -> dict[str, str]:
         """,
         "spearman_value_by_type": analytics.spearman_sql(
             "events", "user_id", "value", group_cols=["event_type"]
+        ),
+        "hashing_vectorizer_docs": features.hashing_vectorizer_sql(
+            "documents", dims=512, l2_normalize=True
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

@@ -1273,3 +1273,95 @@ SELECT {select},
              6) AS {out_col}
 FROM _r CROSS JOIN _ref
 """
+
+
+def hashing_vectorizer(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    dims: int = 1024,
+    l2_normalize: bool = False,
+) -> DataFrame:
+    """Hashing-trick text vectorizer (SURVEY.md §2 C228; Weinberger et
+    al. 2009): sparse bag-of-words features without a vocabulary pass —
+    each token maps to ``hash(word) % dims``; collisions are the
+    accepted trade for a FIXED feature space that needs no fitted
+    state, no vocab broadcast, and no re-fit when the corpus grows (the
+    featurizer every "train a quality classifier on 100 TB" pipeline
+    starts from; C30's TF-IDF needs the vocabulary, this doesn't).
+    The dimension hash is the first 8 hex chars of md5 (engine-portable,
+    like every draw in sampling.py) — NOT xxhash, which has no DuckDB
+    twin. Output sparse rows: (``id_col``, ``dim``, ``value``) with
+    value = token count, or the L2-normalized weight when
+    ``l2_normalize`` (norms on the DECIMAL grid).
+
+    Scale shape: scan-stage split/explode, ONE map-side-combined
+    (id, dim) count — no vocabulary state, no broadcast, no second
+    pass; the optional normalization is a window over the document's
+    own dims. :func:`hashing_vectorizer_sql` is exact."""
+    if dims < 2:
+        raise ValueError(f"dims must be >= 2, got {dims}")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w"),
+    ).where(F.col("_w") != "")
+    dim = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long"),
+        F.lit(dims),
+    )
+    counts = toks.groupBy(id_col, dim.alias("dim")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    if not l2_normalize:
+        return counts.select(
+            id_col, F.col("dim").cast("int").alias("dim"),
+            F.col("_c").cast("double").alias("value"),
+        )
+    w = Window.partitionBy(id_col)
+    norm = F.sqrt(F.sum(F.col("_c") * F.col("_c")).over(w).cast("double"))
+    return counts.select(
+        id_col,
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("_c") / norm, 6).alias("value"),
+    )
+
+
+def hashing_vectorizer_sql(
+    source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    dims: int = 1024,
+    l2_normalize: bool = False,
+) -> str:
+    """Exact DuckDB twin of :func:`hashing_vectorizer` (same md5-prefix
+    dimension hash, same counts / L2 grid)."""
+    if dims < 2:
+        raise ValueError(f"dims must be >= 2, got {dims}")
+    base = f"""
+WITH _toks AS (
+    SELECT {id_col}, w AS _w
+    FROM (
+        SELECT {id_col},
+               regexp_split_to_array(lower({text_col}), '\\s+') AS ws
+        FROM {source} WHERE {text_col} IS NOT NULL
+    ), unnest(ws) AS t(w)
+    WHERE w <> ''
+), _counts AS (
+    SELECT {id_col},
+           CAST(CAST(('0x' || substr(md5(_w), 1, 8)) AS BIGINT) % {dims}
+                AS INTEGER) AS dim,
+           COUNT(*) AS _c
+    FROM _toks GROUP BY 1, 2
+)"""
+    if not l2_normalize:
+        return base + f"""
+SELECT {id_col}, dim, CAST(_c AS DOUBLE) AS value FROM _counts
+"""
+    return base + f"""
+SELECT {id_col}, dim,
+       round(_c / sqrt(CAST(SUM(_c * _c)
+             OVER (PARTITION BY {id_col}) AS DOUBLE)), 6) AS value
+FROM _counts
+"""

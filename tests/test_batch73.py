@@ -1,0 +1,44 @@
+"""Pins for C228 (hashing-trick text vectorizer)."""
+
+import hashlib
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import features as FT
+
+
+def _dim(word, dims):
+    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % dims
+
+
+def test_hashing_vectorizer_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, "A b a C"), (2, "b b"), (3, None), (4, "   ")],
+        "doc_id int, text string")
+    out = {(r["doc_id"], r["dim"]): r["value"]
+           for r in FT.hashing_vectorizer(df, dims=64).collect()}
+    assert out[(1, _dim("a", 64))] == 2.0  # lowercased
+    assert out[(1, _dim("b", 64))] == 1.0
+    assert out[(2, _dim("b", 64))] == 2.0
+    assert not any(k[0] in (3, 4) for k in out)  # NULL/blank docs emit nothing
+    with pytest.raises(ValueError):
+        FT.hashing_vectorizer(df, dims=1)
+
+
+def test_hashing_vectorizer_l2_and_twin(spark, views, duck, sf_dir):
+    got = FT.hashing_vectorizer(spark.table("documents"), dims=256)
+    assert_df_matches_duck(
+        got, duck, FT.hashing_vectorizer_sql("documents", dims=256))
+    norm = FT.hashing_vectorizer(
+        spark.table("documents"), dims=256, l2_normalize=True)
+    assert_df_matches_duck(
+        norm, duck,
+        FT.hashing_vectorizer_sql("documents", dims=256, l2_normalize=True))
+    # L2: per-doc squared values sum to ~1
+    from pyspark.sql import functions as F
+
+    sums = norm.groupBy("doc_id").agg(
+        F.sum(F.col("value") * F.col("value")).alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-3 for r in sums)

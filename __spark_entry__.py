@@ -6549,6 +6549,29 @@ def _hashing_vec_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conformal_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C229 (annex, EXACT oracle): split-conformal half-widths for a
+    naive per-type mean predictor of event value — exact integer order
+    statistic of the absolute residuals, per event_type."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    w = Window.partitionBy("event_type")
+    src = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.avg("value").over(w).alias("yhat"),
+    )
+    return analytics.split_conformal(
+        src, "y", "yhat", alpha=0.1, group_cols=["event_type"]
+    )
+
+
+_CONF_SRC_DUCK = (
+    "(SELECT event_type, value AS y,"
+    " AVG(value) OVER (PARTITION BY event_type) AS yhat FROM events)"
+)
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6874,6 +6897,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "spearman_value_by_type": _spearman_events,
         "sessionize_incremental_events": _sessionize_incremental,
         "hashing_vectorizer_docs": _hashing_vec_docs,
+        "conformal_value_by_type": _conformal_value,
     }
 
 
@@ -7592,6 +7616,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "hashing_vectorizer_docs": features.hashing_vectorizer_sql(
             "documents", dims=512, l2_normalize=True
+        ),
+        "conformal_value_by_type": analytics.split_conformal_sql(
+            _CONF_SRC_DUCK, "y", "yhat", alpha=0.1, group_cols=["event_type"]
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

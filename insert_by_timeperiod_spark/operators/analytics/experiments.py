@@ -1509,3 +1509,100 @@ SELECT CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
            AS significant
 FROM _a CROSS JOIN _b
 """
+
+
+def split_conformal(
+    df: DataFrame,
+    y_col: str,
+    yhat_col: str,
+    *,
+    alpha: float = 0.1,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split-conformal interval calibration (SURVEY.md §2 C229; Vovk et
+    al.; Lei et al. 2018): from a held-out calibration set of (truth,
+    prediction) pairs, the half-width q̂ such that ŷ ± q̂ covers the
+    truth with probability ≥ 1−α on exchangeable data — the
+    DISTRIBUTION-FREE guarantee bolt-on for ANY point model (C156 asks
+    "are the probabilities honest"; this manufactures honest
+    INTERVALS). q̂ is the k-th smallest absolute residual with
+    k = ⌈(n+1)(1−α)⌉ — an exact ORDER STATISTIC, integer rank, no
+    interpolation, so the twin is trivially exact. Groups with k > n
+    (too few calibration points for the requested coverage) yield NULL
+    q̂ — the honest answer is "no finite interval". Output per group:
+    ``n``, ``k``, ``qhat``, plus ``coverage_target``.
+
+    Scale shape: one residual projection in the scan stage, one rank
+    window per group, one row per group out —
+    :func:`split_conformal_sql` is exact."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gcols = list(group_cols or [])
+    r = F.round(
+        F.abs(F.col(y_col).cast("double") - F.col(yhat_col).cast("double")), 6
+    )
+    src = df.where(
+        F.col(y_col).isNotNull() & F.col(yhat_col).isNotNull()
+    ).select(*gcols, r.alias("_r"))
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(F.col("_r").asc())
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    ranked = src.select(
+        *gcols,
+        "_r",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    # k = ceil((n+1)(1-alpha)) in exact integer arithmetic would need
+    # rational alpha; both engines compute the SAME double product then
+    # ceil — identical IEEE ops, identical k
+    k = F.ceil((F.col("_n") + 1) * F.lit(1.0 - float(alpha))).cast("long")
+    picked = ranked.withColumn("_k", k).where(
+        (F.col("_rn") == F.col("_k")) | ((F.col("_k") > F.col("_n")) & (F.col("_rn") == 1))
+    )
+    return picked.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        F.when(F.col("_k") <= F.col("_n"), F.col("_r")).alias("qhat"),
+        F.round(F.lit(1.0 - float(alpha)), 6).alias("coverage_target"),
+    )
+
+
+def split_conformal_sql(
+    source: str,
+    y_col: str,
+    yhat_col: str,
+    *,
+    alpha: float = 0.1,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`split_conformal` (same residual grid,
+    same integer order statistic, same too-few-points contract)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    r = (
+        f"round(abs(CAST({y_col} AS DOUBLE) - CAST({yhat_col} AS DOUBLE)), 6)"
+    )
+    return f"""
+WITH _src AS (
+    SELECT {gsel}{r} AS _r FROM {source}
+    WHERE {y_col} IS NOT NULL AND {yhat_col} IS NOT NULL
+), _ranked AS (
+    SELECT {gsel}_r,
+           ROW_NUMBER() OVER ({part} ORDER BY _r ASC) AS _rn,
+           COUNT(*) OVER ({part}) AS _n
+    FROM _src
+), _picked AS (
+    SELECT *, CAST(ceil((_n + 1) * {1.0 - float(alpha)!r}) AS BIGINT) AS _k
+    FROM _ranked
+)
+SELECT {gsel}CAST(_n AS BIGINT) AS n, _k AS k,
+       CASE WHEN _k <= _n THEN _r END AS qhat,
+       round({1.0 - float(alpha)!r}, 6) AS coverage_target
+FROM _picked
+WHERE _rn = _k OR (_k > _n AND _rn = 1)
+"""

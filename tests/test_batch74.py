@@ -1,0 +1,47 @@
+"""Pins for C229 (split-conformal interval calibration)."""
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def test_conformal_hand_case_and_coverage(spark):
+    # residuals 1..99: alpha=0.1 -> k = ceil(100*0.9) = 90 -> qhat = 90
+    rows = [(float(i), 0.0) for i in range(1, 100)]
+    df = spark.createDataFrame(rows, "y double, yhat double")
+    out = analytics.split_conformal(df, "y", "yhat", alpha=0.1).collect()[0]
+    assert out["n"] == 99 and out["k"] == 90 and out["qhat"] == 90.0
+    assert out["coverage_target"] == pytest.approx(0.9)
+    # empirical guarantee on THIS calibration set: >= 90% of residuals <= qhat
+    assert sum(1 for r in rows if abs(r[0]) <= out["qhat"]) / len(rows) >= 0.9
+    with pytest.raises(ValueError):
+        analytics.split_conformal(df, "y", "yhat", alpha=0.0)
+
+
+def test_conformal_too_few_points_yields_null(spark):
+    # n=3, alpha=0.1 -> k = ceil(4*0.9) = 4 > 3 -> no finite interval
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 0.0), (3.0, 0.0)], "y double, yhat double")
+    out = analytics.split_conformal(df, "y", "yhat", alpha=0.1).collect()[0]
+    assert out["qhat"] is None and out["k"] == 4 and out["n"] == 3
+
+
+def test_conformal_grouped_matches_twin(spark):
+    rows = [("a", float(i % 13), float(i % 7)) for i in range(40)] + [
+        ("b", float(i), float(i * 0.9)) for i in range(25)
+    ] + [("c", 1.0, 0.0)]  # tiny group -> NULL qhat
+    df = spark.createDataFrame(rows, "g string, y double, yhat double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, y DOUBLE, yhat DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.split_conformal(df, "y", "yhat", alpha=0.2, group_cols=["g"]),
+        con,
+        analytics.split_conformal_sql("t", "y", "yhat", alpha=0.2,
+                                      group_cols=["g"]))
+    assert_df_matches_duck(
+        analytics.split_conformal(df, "y", "yhat", alpha=0.5),
+        con, analytics.split_conformal_sql("t", "y", "yhat", alpha=0.5))
+    con.close()

@@ -6572,6 +6572,16 @@ _CONF_SRC_DUCK = (
 )
 
 
+def _rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C230 (annex, EXACT oracle): rolling-origin backtest folds
+    over the events month — anchored calendar grid, integer day
+    arithmetic, per-fold cumulative train counts."""
+    _prep(spark, sf_dir)
+    return timeseries.rolling_origin_folds(
+        spark.table("events"), "ts", n_folds=4, horizon_days=7
+    )
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6898,6 +6908,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sessionize_incremental_events": _sessionize_incremental,
         "hashing_vectorizer_docs": _hashing_vec_docs,
         "conformal_value_by_type": _conformal_value,
+        "rolling_origin_folds_events": _rolling_origin,
     }
 
 
@@ -7619,6 +7630,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "conformal_value_by_type": analytics.split_conformal_sql(
             _CONF_SRC_DUCK, "y", "yhat", alpha=0.1, group_cols=["event_type"]
+        ),
+        "rolling_origin_folds_events": timeseries.rolling_origin_sql(
+            "events", "ts", n_folds=4, horizon_days=7
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

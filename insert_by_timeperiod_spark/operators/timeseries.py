@@ -1489,3 +1489,138 @@ SELECT {gsel}split_date, mean_left, mean_right, sse_total, sse_split,
              6) AS reduction
 FROM _best WHERE _r = 1
 """
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    n_folds: int = 5,
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Rolling-origin backtest folds (SURVEY.md §2 C230; the time-series
+    cross-validation that replaces k-fold when rows are ordered — random
+    folds leak the future into training): the last ``n_folds`` ×
+    ``horizon_days`` of the observed range split into consecutive test
+    windows; each fold trains on EVERYTHING before its test window and
+    tests on the window — so later folds have more training data, the
+    production retrain cadence in miniature. Output per fold: ``fold``
+    (1 = earliest), ``train_end`` == ``test_start``, ``test_end``
+    (half-open), ``n_train``, ``n_test``. Folds whose training side
+    would be empty still emit (n_train = 0) — the caller decides the
+    minimum. Day boundaries are CALENDAR days anchored at the range
+    maximum's next midnight, so fold edges are stable, reproducible
+    dates.
+
+    Scale shape: one 1-row min/max aggregate broadcast; the fold table
+    is built by a range join of that constant frame against the corpus
+    ONCE (each row lands in ≤1 test fold by integer day arithmetic and
+    contributes to every later fold's train count via a cumulative sum
+    over the K-row frame) — no per-fold rescan.
+    :func:`rolling_origin_sql` is exact."""
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    if horizon_days < 1:
+        raise ValueError(f"horizon_days must be >= 1, got {horizon_days}")
+    src = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(ts_col).cast("timestamp").alias("_ts")
+    )
+    rng = src.agg(
+        F.date_add(F.max("_ts").cast("date"), 1).alias("_anchor")
+    )
+    j = src.crossJoin(F.broadcast(rng))
+    # fold index of the TEST window a row falls in: day-distance back
+    # from the anchor, divided by the horizon; rows older than all test
+    # windows get fold 0 (train-only)
+    back = F.datediff(F.col("_anchor"), F.col("_ts").cast("date")) - 1
+    fold_of = F.lit(n_folds) - F.floor(back / horizon_days).cast("int")
+    tagged = j.select(
+        F.when(fold_of >= 1, fold_of).otherwise(F.lit(0)).alias("_f"),
+        F.col("_anchor"),
+    )
+    per = tagged.groupBy("_f", "_anchor").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(F.col("_f").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    folds = df.sparkSession.range(1, n_folds + 1).select(
+        F.col("id").cast("int").alias("fold")
+    )
+    counted = folds.join(
+        per.select(F.col("_f").alias("fold"), "_n", "_anchor"), "fold", "left"
+    ).crossJoin(
+        F.broadcast(
+            per.groupBy().agg(
+                F.max("_anchor").alias("_a"),
+                F.sum(F.when(F.col("_f") == 0, F.col("_n")).otherwise(0)).alias(
+                    "_base"
+                ),
+            )
+        )
+    )
+    wcum = Window.orderBy(F.col("fold").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_test = F.coalesce(F.col("_n"), F.lit(0))
+    return counted.select(
+        "fold",
+        F.expr(
+            f"date_sub(_a, ({n_folds} - fold + 1) * {horizon_days})"
+        ).alias("train_end"),
+        F.expr(
+            f"date_sub(_a, ({n_folds} - fold + 1) * {horizon_days})"
+        ).alias("test_start"),
+        F.expr(
+            f"date_sub(_a, ({n_folds} - fold) * {horizon_days})"
+        ).alias("test_end"),
+        (F.col("_base") + F.coalesce(F.sum(n_test).over(wcum), F.lit(0)))
+        .cast("long")
+        .alias("n_train"),
+        n_test.cast("long").alias("n_test"),
+    )
+
+
+def rolling_origin_sql(
+    source: str,
+    ts_col: str,
+    *,
+    n_folds: int = 5,
+    horizon_days: int = 7,
+) -> str:
+    """Exact DuckDB twin of :func:`rolling_origin_folds` (same anchored
+    calendar grid, same integer day arithmetic)."""
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    if horizon_days < 1:
+        raise ValueError(f"horizon_days must be >= 1, got {horizon_days}")
+    return f"""
+WITH _rng AS (
+    SELECT CAST(MAX(CAST({ts_col} AS TIMESTAMP)) AS DATE) + 1 AS _a
+    FROM {source} WHERE {ts_col} IS NOT NULL
+), _tagged AS (
+    SELECT CASE WHEN {n_folds} - CAST(floor(
+                 (date_diff('day', CAST(CAST({ts_col} AS TIMESTAMP) AS DATE), _a) - 1)
+                 / CAST({horizon_days} AS DOUBLE)) AS INTEGER) >= 1
+                THEN {n_folds} - CAST(floor(
+                 (date_diff('day', CAST(CAST({ts_col} AS TIMESTAMP) AS DATE), _a) - 1)
+                 / CAST({horizon_days} AS DOUBLE)) AS INTEGER)
+                ELSE 0 END AS _f
+    FROM {source} CROSS JOIN _rng
+    WHERE {ts_col} IS NOT NULL
+), _per AS (
+    SELECT _f, COUNT(*) AS _n FROM _tagged GROUP BY _f
+), _folds AS (
+    SELECT UNNEST(generate_series(1, {n_folds})) AS fold
+)
+SELECT CAST(f.fold AS INTEGER) AS fold,
+       _a - CAST(({n_folds} - f.fold + 1) * {horizon_days} AS INTEGER)
+           AS train_end,
+       _a - CAST(({n_folds} - f.fold + 1) * {horizon_days} AS INTEGER)
+           AS test_start,
+       _a - CAST(({n_folds} - f.fold) * {horizon_days} AS INTEGER)
+           AS test_end,
+       CAST(COALESCE((SELECT SUM(_n) FROM _per p2
+                      WHERE p2._f < f.fold), 0) AS BIGINT) AS n_train,
+       CAST(COALESCE((SELECT _n FROM _per p3 WHERE p3._f = f.fold), 0)
+            AS BIGINT) AS n_test
+FROM _folds f CROSS JOIN _rng
+"""

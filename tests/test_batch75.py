@@ -1,0 +1,49 @@
+"""Pins for C230 (rolling-origin backtest folds)."""
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import timeseries as TS
+
+
+def _ev(spark, days):
+    rows = [(dt.datetime(2024, 1, d, 12, 0),) for d in days]
+    return spark.createDataFrame(rows, "ts timestamp")
+
+
+def test_rolling_origin_hand_case(spark):
+    # 20 days of one event each; 3 folds x 5 days anchored at Jan 21
+    df = _ev(spark, range(1, 21))
+    out = {r["fold"]: r for r in TS.rolling_origin_folds(
+        df, "ts", n_folds=3, horizon_days=5).collect()}
+    assert set(out) == {1, 2, 3}
+    f1, f2, f3 = out[1], out[2], out[3]
+    assert f1["test_start"] == dt.date(2024, 1, 6)
+    assert f1["test_end"] == dt.date(2024, 1, 11)
+    assert f3["test_end"] == dt.date(2024, 1, 21)  # anchor = max day + 1
+    assert f1["n_test"] == f2["n_test"] == f3["n_test"] == 5
+    assert f1["n_train"] == 5 and f2["n_train"] == 10 and f3["n_train"] == 15
+    assert f1["train_end"] == f1["test_start"]  # half-open split
+    with pytest.raises(ValueError):
+        TS.rolling_origin_folds(df, "ts", n_folds=0)
+
+
+def test_rolling_origin_empty_train_fold_emits_zero(spark):
+    # only 4 days of data, 2 folds x 5 days: fold 1's window predates the
+    # data entirely -> n_test counts what exists, early train counts 0
+    df = _ev(spark, [17, 18, 19, 20])
+    out = {r["fold"]: r for r in TS.rolling_origin_folds(
+        df, "ts", n_folds=2, horizon_days=5).collect()}
+    assert out[1]["n_train"] == 0
+    assert out[1]["n_test"] + out[2]["n_test"] == 4
+
+
+def test_rolling_origin_matches_twin_on_events(spark, views, duck, sf_dir):
+    got = TS.rolling_origin_folds(
+        spark.table("events"), "ts", n_folds=4, horizon_days=7)
+    assert_df_matches_duck(
+        got, duck, TS.rolling_origin_sql("events", "ts",
+                                         n_folds=4, horizon_days=7))

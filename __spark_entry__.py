@@ -6582,6 +6582,29 @@ def _rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C231 (annex, EXACT oracle): replay evaluation of a
+    per-cohort arm policy against a synthetic uniform assignment —
+    broadcast policy map, one DECIMAL-grid aggregate."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        (F.col("user_id") % 3).cast("string").alias("cohort"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("arm"),
+        F.col("value").alias("reward"),
+    )
+    return analytics.replay_policy_value(
+        src, "cohort", "arm", "reward",
+        {"0": "a", "1": "b"}, default_arm="a",
+    )
+
+
+_REPLAY_SRC_DUCK = (
+    "(SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,"
+    " CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,"
+    " value AS reward FROM events)"
+)
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6909,6 +6932,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "hashing_vectorizer_docs": _hashing_vec_docs,
         "conformal_value_by_type": _conformal_value,
         "rolling_origin_folds_events": _rolling_origin,
+        "replay_policy_events": _replay_policy,
     }
 
 
@@ -7633,6 +7657,10 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "rolling_origin_folds_events": timeseries.rolling_origin_sql(
             "events", "ts", n_folds=4, horizon_days=7
+        ),
+        "replay_policy_events": analytics.replay_policy_sql(
+            _REPLAY_SRC_DUCK, "cohort", "arm", "reward",
+            {"0": "a", "1": "b"}, default_arm="a",
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

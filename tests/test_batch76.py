@@ -1,0 +1,62 @@
+"""Pins for C231 (bandit policy replay evaluation)."""
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _logs(spark):
+    # uniform logging over arms a/b; segment s1 pays on a, s2 pays on b
+    rows = []
+    for i in range(200):
+        seg = "s1" if i % 2 == 0 else "s2"
+        arm = "a" if (i // 2) % 2 == 0 else "b"
+        good = (seg == "s1" and arm == "a") or (seg == "s2" and arm == "b")
+        rows.append((seg, arm, 1.0 if good else 0.0))
+    return rows
+
+
+def test_replay_prefers_the_right_policy(spark):
+    df = spark.createDataFrame(_logs(spark), "seg string, arm string, r double")
+    good = analytics.replay_policy_value(
+        df, "seg", "arm", "r", {"s1": "a", "s2": "b"}).collect()[0]
+    bad = analytics.replay_policy_value(
+        df, "seg", "arm", "r", {"s1": "b", "s2": "a"}).collect()[0]
+    assert good["value"] == pytest.approx(1.0)
+    assert bad["value"] == pytest.approx(0.0)
+    assert good["match_rate"] == pytest.approx(0.5)  # uniform 2-arm logging
+    assert good["value_logged"] == pytest.approx(0.5)
+    assert good["n_logged"] == 200 and good["n_matched"] == 100
+
+
+def test_replay_default_arm_and_contracts(spark):
+    df = spark.createDataFrame(
+        [("unknown", "a", 2.0), ("unknown", "b", 4.0)],
+        "seg string, arm string, r double")
+    # empty policy with no default raises
+    with pytest.raises(ValueError):
+        analytics.replay_policy_value(df, "seg", "arm", "r", {})
+    out = analytics.replay_policy_value(
+        df, "seg", "arm", "r", {"other": "a"}).collect()[0]
+    assert out["n_matched"] == 0 and out["value"] is None
+    # default arm catches unmapped segments
+    out = analytics.replay_policy_value(
+        df, "seg", "arm", "r", {"other": "a"}, default_arm="b").collect()[0]
+    assert out["n_matched"] == 1 and out["value"] == pytest.approx(4.0)
+
+
+def test_replay_matches_twin(spark):
+    rows = _logs(spark)
+    df = spark.createDataFrame(rows, "seg string, arm string, r double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(seg VARCHAR, arm VARCHAR, r DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    pol = {"s1": "a", "s2": "a"}
+    assert_df_matches_duck(
+        analytics.replay_policy_value(df, "seg", "arm", "r", pol,
+                                      default_arm="b"),
+        con, analytics.replay_policy_sql("t", "seg", "arm", "r", pol,
+                                         default_arm="b"))
+    con.close()

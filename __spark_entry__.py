@@ -6605,6 +6605,29 @@ _REPLAY_SRC_DUCK = (
 )
 
 
+def _rake_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C232 (annex, EXACT oracle): IPF raking of event rows onto
+    designed (event_type × weekday-class) marginals — five unrolled
+    rounds on the tiny cell frame, 6-decimal mid-iteration grid."""
+    _prep(spark, sf_dir)
+    types = [r[0] for r in spark.table("events").select("event_type").distinct().collect()]
+    ta = {t: 1.0 for t in sorted(types)}
+    src = spark.table("events").select(
+        "event_type",
+        F.when(F.dayofweek("ts").isin(1, 7), F.lit("weekend")).otherwise(F.lit("weekday")).alias("daytype"),
+    )
+    return sampling.rake_weights(
+        src, "event_type", "daytype", ta, {"weekday": 0.5, "weekend": 0.5}
+    )
+
+
+_RAKE_SRC_DUCK = (
+    "(SELECT event_type,"
+    " CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END"
+    " AS daytype FROM events)"
+)
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6933,6 +6956,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "conformal_value_by_type": _conformal_value,
         "rolling_origin_folds_events": _rolling_origin,
         "replay_policy_events": _replay_policy,
+        "rake_weights_events": _rake_events,
     }
 
 
@@ -7661,6 +7685,11 @@ def pytest_only_oracles() -> dict[str, str]:
         "replay_policy_events": analytics.replay_policy_sql(
             _REPLAY_SRC_DUCK, "cohort", "arm", "reward",
             {"0": "a", "1": "b"}, default_arm="a",
+        ),
+        "rake_weights_events": sampling.rake_weights_sql(
+            _RAKE_SRC_DUCK, "event_type", "daytype",
+            {t: 1.0 for t in ("click", "error", "purchase", "signup", "view")},
+            {"weekday": 0.5, "weekend": 0.5},
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

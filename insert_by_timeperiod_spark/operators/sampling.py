@@ -632,3 +632,159 @@ SELECT {gsel}_id AS {id_col}, round(_w, 6) AS weight,
        CAST(_base + CASE WHEN _r <= _left THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM _ranked
 """
+
+
+def rake_weights(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    targets_a: dict[str, float],
+    targets_b: dict[str, float],
+    *,
+    iterations: int = 5,
+) -> DataFrame:
+    """Two-margin IPF raking (SURVEY.md §2 C232; Deming & Stephan 1940):
+    calibrate sample weights so BOTH categorical marginals match
+    population targets — the survey-weighting step before any corpus
+    readout claims to describe a population the sample under-covers
+    (C32's mixture resampling CHANGES the rows; raking reweights them).
+    Iterative proportional fitting alternates row- and column-scaling
+    for ``iterations`` rounds; every intermediate weight rounds to the
+    6-decimal grid so the twin (the SAME unrolled rounds as chained
+    CTEs) is exact. Targets are normalized; cells absent from the
+    sample are simply not reachable (IPF preserves structural zeros).
+    Output per observed (a, b) cell: ``n``, ``weight`` (per-row),
+    ``cell_weight`` (= n·weight, the cell's fitted share), plus the
+    fitted marginals' max absolute error ``max_margin_err`` repeated
+    per row (the convergence audit).
+
+    Scale shape: ONE corpus count to the (a, b) cell frame (cells =
+    |A|×|B|, tiny); the IPF rounds are groupBy/window passes over that
+    tiny frame only — corpus size never re-enters."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    ta_tot = sum(targets_a.values())
+    tb_tot = sum(targets_b.values())
+    if ta_tot <= 0 or tb_tot <= 0:
+        raise ValueError("rake_weights: targets must sum > 0")
+    spark = df.sparkSession
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("_a"),
+            F.col(col_b).cast("string").alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tmap_a = F.create_map(
+        *[x for k, v in sorted(targets_a.items()) for x in (F.lit(str(k)), F.lit(v / ta_tot))]
+    )
+    tmap_b = F.create_map(
+        *[x for k, v in sorted(targets_b.items()) for x in (F.lit(str(k)), F.lit(v / tb_tot))]
+    )
+    w = cells.withColumn("_ta", tmap_a[F.col("_a")]).withColumn(
+        "_tb", tmap_b[F.col("_b")]
+    )
+    if w.where(F.col("_ta").isNull() | F.col("_tb").isNull()).count() > 0:
+        raise ValueError("rake_weights: sample contains categories missing "
+                         "from the targets")
+    wall = Window.partitionBy()
+    w = w.withColumn("_w", F.lit(1.0))
+    for _ in range(iterations):
+        wa = Window.partitionBy("_a")
+        share_a = F.sum(F.col("_w") * F.col("n")).over(wa) / F.sum(
+            F.col("_w") * F.col("n")
+        ).over(wall)
+        w = w.withColumn("_w", F.round(F.col("_w") * F.col("_ta") / share_a, 6))
+        wb = Window.partitionBy("_b")
+        share_b = F.sum(F.col("_w") * F.col("n")).over(wb) / F.sum(
+            F.col("_w") * F.col("n")
+        ).over(wall)
+        w = w.withColumn("_w", F.round(F.col("_w") * F.col("_tb") / share_b, 6))
+    tot = F.sum(F.col("_w") * F.col("n")).over(wall)
+    fitted_a = F.sum(F.col("_w") * F.col("n")).over(Window.partitionBy("_a")) / tot
+    fitted_b = F.sum(F.col("_w") * F.col("n")).over(Window.partitionBy("_b")) / tot
+    err = F.greatest(
+        F.abs(fitted_a - F.col("_ta")), F.abs(fitted_b - F.col("_tb"))
+    )
+    return w.select(
+        F.col("_a").alias(col_a),
+        F.col("_b").alias(col_b),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_w"), 6).alias("weight"),
+        F.round(F.col("_w") * F.col("n"), 6).alias("cell_weight"),
+        F.round(F.max(err).over(wall), 6).alias("max_margin_err"),
+    )
+
+
+def rake_weights_sql(
+    source: str,
+    col_a: str,
+    col_b: str,
+    targets_a: dict[str, float],
+    targets_b: dict[str, float],
+    *,
+    iterations: int = 5,
+) -> str:
+    """Exact DuckDB twin of :func:`rake_weights` — the SAME unrolled
+    IPF rounds as chained CTEs, same 6-decimal mid-iteration grid."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    ta_tot = sum(targets_a.values())
+    tb_tot = sum(targets_b.values())
+    if ta_tot <= 0 or tb_tot <= 0:
+        raise ValueError("rake_weights_sql: targets must sum > 0")
+    ca = " ".join(
+        f"WHEN '{str(k).replace(chr(39), chr(39)*2)}' THEN {v / ta_tot!r}"
+        for k, v in sorted(targets_a.items())
+    )
+    cb = " ".join(
+        f"WHEN '{str(k).replace(chr(39), chr(39)*2)}' THEN {v / tb_tot!r}"
+        for k, v in sorted(targets_b.items())
+    )
+    steps = []
+    prev = "_c0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""_r{i} AS (
+    SELECT _a, _b, n, _ta, _tb,
+           round(_w * _ta / (SUM(_w * n) OVER (PARTITION BY _a)
+                 / SUM(_w * n) OVER ()), 6) AS _w
+    FROM {prev}
+), _c{i} AS (
+    SELECT _a, _b, n, _ta, _tb,
+           round(_w * _tb / (SUM(_w * n) OVER (PARTITION BY _b)
+                 / SUM(_w * n) OVER ()), 6) AS _w
+    FROM _r{i}
+)""")
+        prev = f"_c{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH _cells AS (
+    SELECT CAST({col_a} AS VARCHAR) AS _a, CAST({col_b} AS VARCHAR) AS _b,
+           COUNT(*) AS n
+    FROM {source}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+    GROUP BY 1, 2
+), _c0 AS (
+    SELECT _a, _b, n,
+           (CASE _a {ca} END) AS _ta,
+           (CASE _b {cb} END) AS _tb,
+           1.0 AS _w
+    FROM _cells
+),
+{chain},
+_fit AS (
+    SELECT *,
+           greatest(
+             abs(SUM(_w * n) OVER (PARTITION BY _a)
+                 / SUM(_w * n) OVER () - _ta),
+             abs(SUM(_w * n) OVER (PARTITION BY _b)
+                 / SUM(_w * n) OVER () - _tb)) AS _err
+    FROM {prev}
+)
+SELECT _a AS {col_a}, _b AS {col_b}, CAST(n AS BIGINT) AS n,
+       round(_w, 6) AS weight,
+       round(_w * n, 6) AS cell_weight,
+       round(MAX(_err) OVER (), 6) AS max_margin_err
+FROM _fit
+"""

@@ -1,0 +1,53 @@
+"""Pins for C232 (two-margin IPF raking)."""
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import sampling as SA
+
+
+def _sample(spark):
+    rows = [("x", "p")] * 50 + [("x", "q")] * 10 + [("y", "p")] * 20 + [
+        ("y", "q")] * 20
+    return spark.createDataFrame(rows, "a string, b string"), rows
+
+
+def test_rake_converges_to_both_margins(spark):
+    df, _ = _sample(spark)
+    out = SA.rake_weights(
+        df, "a", "b", {"x": 0.5, "y": 0.5}, {"p": 0.5, "q": 0.5})
+    rows = out.collect()
+    assert rows[0]["max_margin_err"] < 1e-3
+    tot = sum(r["cell_weight"] for r in rows)
+    a_x = sum(r["cell_weight"] for r in rows if r["a"] == "x") / tot
+    b_p = sum(r["cell_weight"] for r in rows if r["b"] == "p") / tot
+    assert a_x == pytest.approx(0.5, abs=1e-3)
+    assert b_p == pytest.approx(0.5, abs=1e-3)
+    # unnormalized targets normalize
+    out2 = SA.rake_weights(df, "a", "b", {"x": 5, "y": 5}, {"p": 3, "q": 3})
+    assert sorted(r["weight"] for r in out2.collect()) == sorted(
+        r["weight"] for r in rows)
+
+
+def test_rake_contracts(spark):
+    df, _ = _sample(spark)
+    with pytest.raises(ValueError):
+        SA.rake_weights(df, "a", "b", {"x": 1.0}, {"p": 1.0, "q": 1.0})
+    with pytest.raises(ValueError):
+        SA.rake_weights(df, "a", "b", {}, {"p": 1.0})
+    with pytest.raises(ValueError):
+        SA.rake_weights(df, "a", "b", {"x": 1, "y": 1}, {"p": 1, "q": 1},
+                        iterations=0)
+
+
+def test_rake_matches_twin(spark):
+    df, rows = _sample(spark)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ta, tb = {"x": 0.3, "y": 0.7}, {"p": 0.6, "q": 0.4}
+    assert_df_matches_duck(
+        SA.rake_weights(df, "a", "b", ta, tb, iterations=4),
+        con, SA.rake_weights_sql("t", "a", "b", ta, tb, iterations=4))
+    con.close()

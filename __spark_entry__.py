@@ -6628,6 +6628,43 @@ _RAKE_SRC_DUCK = (
 )
 
 
+def _ips_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C233 (annex, EXACT oracle): IPS/SNIPS off-policy value under
+    a synthetic NON-uniform logger (arm a logged 25% of the time) —
+    clipped weights, DECIMAL grid, ESS diagnostic."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        (F.col("user_id") % 3).cast("string").alias("cohort"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("a")).otherwise(F.lit("b")).alias("arm"),
+        F.col("value").alias("reward"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(0.25)).otherwise(F.lit(0.75)).alias("prop"),
+    )
+    return analytics.ips_policy_value(
+        src, "cohort", "arm", "reward", "prop",
+        {"0": "a", "1": "b", "2": "a"}, clip=10.0,
+    )
+
+
+_IPS_SRC_DUCK = (
+    "(SELECT CAST(user_id % 3 AS VARCHAR) AS cohort,"
+    " CASE WHEN event_id % 4 = 0 THEN 'a' ELSE 'b' END AS arm,"
+    " value AS reward,"
+    " CASE WHEN event_id % 4 = 0 THEN 0.25 ELSE 0.75 END AS prop"
+    " FROM events)"
+)
+
+
+def _twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C234 (annex, EXACT oracle): time-weighted average of each
+    user's value signal over the events month — integer-µs interval
+    clipping, pre-window state carried, coverage reported."""
+    _prep(spark, sf_dir)
+    return timeseries.time_weighted_avg(
+        spark.table("events"), ["user_id"], "ts", "value",
+        "2024-01-08 00:00:00", "2024-01-22 00:00:00", tiebreak="event_id",
+    )
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6957,6 +6994,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "rolling_origin_folds_events": _rolling_origin,
         "replay_policy_events": _replay_policy,
         "rake_weights_events": _rake_events,
+        "ips_policy_events": _ips_policy,
+        "twap_user_value": _twap_value,
     }
 
 
@@ -7690,6 +7729,14 @@ def pytest_only_oracles() -> dict[str, str]:
             _RAKE_SRC_DUCK, "event_type", "daytype",
             {t: 1.0 for t in ("click", "error", "purchase", "signup", "view")},
             {"weekday": 0.5, "weekend": 0.5},
+        ),
+        "ips_policy_events": analytics.ips_policy_sql(
+            _IPS_SRC_DUCK, "cohort", "arm", "reward", "prop",
+            {"0": "a", "1": "b", "2": "a"}, clip=10.0,
+        ),
+        "twap_user_value": timeseries.time_weighted_avg_sql(
+            "events", ["user_id"], "ts", "value",
+            "2024-01-08 00:00:00", "2024-01-22 00:00:00", tiebreak="event_id",
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

@@ -34,6 +34,7 @@ from .experiments import obrien_fleming, obrien_fleming_sql  # noqa: F401
 from .experiments import ratio_metric_ab, ratio_metric_sql  # noqa: F401
 from .experiments import split_conformal, split_conformal_sql  # noqa: F401
 from .experiments import replay_policy_value, replay_policy_sql  # noqa: F401
+from .experiments import ips_policy_value, ips_policy_sql  # noqa: F401
 from .growth import lift_chart, lift_chart_sql  # noqa: F401
 from .experiments import ab_test, ab_test_sql, bootstrap_mean_ci, bootstrap_mean_ci_sql, chi2_independence, chi2_independence_sql, bh_adjust, bh_adjust_sql, cuped_adjust, cuped_sql, srm_check, srm_sql  # noqa: F401
 from .distributions import equi_depth_buckets, equi_depth_sql, percentile_normalize, percentile_normalize_sql, value_histogram, value_histogram_sql, pareto_frontier, pareto_frontier_sql, kaplan_meier, kaplan_meier_sql, gini_coefficient, gini_sql, lorenz_points, lorenz_sql, entropy_by_group, entropy_sql, mutual_information, mutual_information_sql, weighted_quantiles, weighted_quantiles_sql, mode_by_group, mode_by_group_sql  # noqa: F401

@@ -1624,3 +1624,124 @@ SELECT CAST(f.fold AS INTEGER) AS fold,
             AS BIGINT) AS n_test
 FROM _folds f CROSS JOIN _rng
 """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_start,
+    window_end,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average of a piecewise-constant signal (SURVEY.md
+    §2 C234): events are STATE CHANGES (plan tier, replica count, spot
+    price) — each value holds until the key's next event — and the
+    readout is the signal's average over [``window_start``,
+    ``window_end``): Σ value·held-duration / covered-duration. This is
+    the metering/billing number a plain AVG gets wrong (AVG weights by
+    event COUNT, so one flappy hour outvotes a stable month). The last
+    pre-window event supplies the initial state (its clipped segment
+    starts at the window edge — earlier events clip to zero length and
+    drop out); time before the key's first event is UNCOVERED and
+    reported, never imputed. Durations are integer microseconds.
+    Output per key: ``twap`` (NULL when nothing covers the window),
+    ``covered_us``, ``coverage`` (covered / window).
+
+    Scale shape: one window shuffle per key for the lead(), everything
+    else scan-stage interval clipping + a map-side-combined DECIMAL
+    aggregate — :func:`time_weighted_avg_sql` is exact."""
+    ws = F.lit(window_start).cast("timestamp")
+    we = F.lit(window_end).cast("timestamp")
+    src = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(ts_col) < we)
+    ).select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
+    )
+    # order by the ALIASED columns — ordering a renamed column by its
+    # original name fails analysis (memory: exactness hazards)
+    order = [F.col("_ts").asc()] + ([F.col("_tb").asc()] if tiebreak else [])
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    seg = src.select(
+        *key_cols,
+        "_v",
+        F.greatest(F.unix_micros("_ts"), F.unix_micros(ws)).alias("_a"),
+        F.least(
+            F.coalesce(F.unix_micros(F.lead("_ts").over(w)), F.unix_micros(we)),
+            F.unix_micros(we),
+        ).alias("_b"),
+    ).where(F.col("_b") > F.col("_a"))
+    dur = (F.col("_b") - F.col("_a")).cast("double")
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    st = seg.groupBy(*key_cols).agg(
+        dec(F.col("_v") * dur / 1_000_000.0).alias("_vw"),
+        F.sum(F.col("_b") - F.col("_a")).cast("long").alias("covered_us"),
+    )
+    win_us = F.unix_micros(we) - F.unix_micros(ws)
+    return st.select(
+        *key_cols,
+        F.round(
+            F.when(
+                F.col("covered_us") > 0,
+                F.col("_vw") / (F.col("covered_us") / 1_000_000.0),
+            ),
+            6,
+        ).alias("twap"),
+        "covered_us",
+        F.round(F.col("covered_us") / win_us.cast("double"), 6).alias("coverage"),
+    )
+
+
+def time_weighted_avg_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_start: str,
+    window_end: str,
+    *,
+    tiebreak: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`time_weighted_avg` (same integer-µs
+    clipping, same DECIMAL value-time grid)."""
+    k = ", ".join(key_cols)
+    tbsel = f", {tiebreak} AS _tb" if tiebreak else ""
+    tb = ", _tb ASC" if tiebreak else ""
+    return f"""
+WITH _src AS (
+    SELECT {k}, {ts_col} AS _ts, CAST({value_col} AS DOUBLE) AS _v{tbsel}
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+      AND {ts_col} < TIMESTAMP '{window_end}'
+), _seg AS (
+    SELECT {k}, _v,
+           greatest(epoch_us(_ts), epoch_us(TIMESTAMP '{window_start}')) AS _a,
+           least(coalesce(epoch_us(LEAD(_ts) OVER (
+                     PARTITION BY {k} ORDER BY _ts ASC{tb})),
+                 epoch_us(TIMESTAMP '{window_end}')),
+                 epoch_us(TIMESTAMP '{window_end}')) AS _b
+    FROM _src
+), _kept AS (
+    SELECT * FROM _seg WHERE _b > _a
+), _st AS (
+    SELECT {k},
+           CAST(SUM(CAST(round(_v * (_b - _a) / 1000000.0, 6)
+                AS DECIMAL(38,6))) AS DOUBLE) AS _vw,
+           CAST(SUM(_b - _a) AS BIGINT) AS covered_us
+    FROM _kept GROUP BY {k}
+)
+SELECT {k},
+       round(CASE WHEN covered_us > 0
+                  THEN _vw / (covered_us / 1000000.0) END, 6) AS twap,
+       covered_us,
+       round(covered_us / CAST(epoch_us(TIMESTAMP '{window_end}')
+             - epoch_us(TIMESTAMP '{window_start}') AS DOUBLE), 6) AS coverage
+FROM _st
+"""

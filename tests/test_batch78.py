@@ -1,0 +1,106 @@
+"""Pins for C233 (IPS/SNIPS off-policy evaluation) and C234
+(time-weighted average)."""
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+from insert_by_timeperiod_spark.operators import timeseries as TS
+
+
+def test_ips_corrects_nonuniform_logging(spark):
+    # logging favors arm b (p=0.8) over a (p=0.2); the true value of
+    # always-a is 1.0 (a always pays). Naive replay averages fine here,
+    # but IPS must weight the rare a-rows UP to stay unbiased.
+    rows = []
+    for i in range(500):
+        if i % 5 == 0:   # 20% logged arm a
+            rows.append(("s", "a", 1.0, 0.2))
+        else:            # 80% logged arm b
+            rows.append(("s", "b", 0.0, 0.8))
+    df = spark.createDataFrame(rows, "seg string, arm string, r double, p double")
+    out = analytics.ips_policy_value(
+        df, "seg", "arm", "r", "p", {"s": "a"}).collect()[0]
+    assert out["ips_value"] == pytest.approx(1.0, abs=1e-6)
+    assert out["snips_value"] == pytest.approx(1.0, abs=1e-6)
+    assert out["n_matched"] == 100
+    # ESS reflects that only the matched fifth carries information
+    assert out["ess"] == pytest.approx(100.0, abs=1.0)
+    with pytest.raises(ValueError):
+        analytics.ips_policy_value(df, "seg", "arm", "r", "p", {})
+    with pytest.raises(ValueError):
+        analytics.ips_policy_value(df, "seg", "arm", "r", "p", {"s": "a"},
+                                   clip=0.0)
+
+
+def test_ips_clip_and_twin(spark):
+    rows = [("s", "a", 2.0, 0.01), ("s", "a", 1.0, 0.5), ("s", "b", 9.0, 0.49),
+            ("s", "a", 3.0, None), ("s", "a", 3.0, -1.0)]
+    df = spark.createDataFrame(rows, "seg string, arm string, r double, p double")
+    unclipped = analytics.ips_policy_value(
+        df, "seg", "arm", "r", "p", {"s": "a"}).collect()[0]
+    clipped = analytics.ips_policy_value(
+        df, "seg", "arm", "r", "p", {"s": "a"}, clip=10.0).collect()[0]
+    assert unclipped["n_logged"] == 3  # NULL / non-positive propensity excluded
+    assert clipped["ips_value"] < unclipped["ips_value"]  # 1/0.01 capped at 10
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(seg VARCHAR, arm VARCHAR, r DOUBLE, p DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.ips_policy_value(df, "seg", "arm", "r", "p", {"s": "a"},
+                                   clip=10.0),
+        con, analytics.ips_policy_sql("t", "seg", "arm", "r", "p", {"s": "a"},
+                                      clip=10.0))
+    con.close()
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0)
+
+
+def _st(spark, rows):
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_twap_hand_case(spark):
+    # key a: 10 for the first quarter, 20 for the rest -> twap 17.5
+    rows = [
+        ("a", T0 - dt.timedelta(hours=5), 10.0),     # pre-window state
+        ("a", T0 + dt.timedelta(hours=6), 20.0),
+        ("b", T0 + dt.timedelta(hours=12), 100.0),   # covers only half
+    ]
+    out = {r["k"]: r for r in TS.time_weighted_avg(
+        _st(spark, rows), ["k"], "ts", "v",
+        T0, T0 + dt.timedelta(hours=24)).collect()}
+    assert out["a"]["twap"] == pytest.approx(17.5)
+    assert out["a"]["coverage"] == pytest.approx(1.0)
+    assert out["b"]["twap"] == pytest.approx(100.0)
+    assert out["b"]["coverage"] == pytest.approx(0.5)
+    # a plain AVG of a's values would say 15 — the flap-weighted wrong answer
+
+
+def test_twap_matches_twin(spark):
+    rows = [
+        ("a", T0 - dt.timedelta(hours=2), 1.0),
+        ("a", T0 + dt.timedelta(hours=1), 3.0),
+        ("a", T0 + dt.timedelta(hours=2, minutes=30), 5.0),
+        ("a", T0 + dt.timedelta(hours=30), 9.0),   # after window: excluded
+        ("b", T0 - dt.timedelta(hours=9), 7.0),
+        ("b", T0 - dt.timedelta(hours=1), 2.0),    # only the LAST pre-window
+    ]
+    df = _st(spark, rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k VARCHAR, ts TIMESTAMP, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(k, ts.isoformat(sep=" "), v) for k, ts, v in rows])
+    assert_df_matches_duck(
+        TS.time_weighted_avg(df, ["k"], "ts", "v",
+                             T0, T0 + dt.timedelta(hours=24)),
+        con,
+        TS.time_weighted_avg_sql(
+            "t", ["k"], "ts", "v",
+            "2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+    con.close()

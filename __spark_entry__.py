@@ -6665,6 +6665,67 @@ def _twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C235 (annex, EXACT oracle): Mann-Whitney rank-sum comparison
+    of event value between the even/odd user-id halves per event type —
+    pooled average ranks with the tie correction, one rank window."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        "value",
+    )
+    return analytics.mann_whitney_u(
+        src, "arm", "value", arm_a="even", arm_b="odd",
+        group_cols=["event_type"],
+    )
+
+
+_MW_SRC_DUCK = (
+    "(SELECT event_type,"
+    " CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,"
+    " value FROM events)"
+)
+
+
+def _logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C236 (annex, EXACT oracle): log-rank churn comparison between
+    the even/odd user-id halves on the C161 lifetime frame (days between
+    first and last sighting; ≤5 events = censored) — hypergeometric O−E
+    terms over the pooled event times, reverse-cumulative at-risk."""
+    _prep(spark, sf_dir)
+    src = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+            ).alias("dur_days"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd"))
+            .alias("arm"),
+            "dur_days",
+            (F.col("_n") > 5).cast("int").alias("observed"),
+        )
+    )
+    return analytics.logrank_test(
+        src, "dur_days", "observed", "arm", arm_a="even", arm_b="odd"
+    )
+
+
+_LOGRANK_SRC_DUCK = """(
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+           date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS dur_days,
+           CASE WHEN COUNT(*) > 5 THEN 1 ELSE 0 END AS observed
+    FROM events GROUP BY user_id
+)"""
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -6996,6 +7057,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "rake_weights_events": _rake_events,
         "ips_policy_events": _ips_policy,
         "twap_user_value": _twap_value,
+        "mann_whitney_value": _mann_whitney,
+        "logrank_user_lifetime": _logrank,
     }
 
 
@@ -7737,6 +7800,14 @@ def pytest_only_oracles() -> dict[str, str]:
         "twap_user_value": timeseries.time_weighted_avg_sql(
             "events", ["user_id"], "ts", "value",
             "2024-01-08 00:00:00", "2024-01-22 00:00:00", tiebreak="event_id",
+        ),
+        "mann_whitney_value": analytics.mann_whitney_sql(
+            _MW_SRC_DUCK, "arm", "value", arm_a="even", arm_b="odd",
+            group_cols=["event_type"],
+        ),
+        "logrank_user_lifetime": analytics.logrank_sql(
+            _LOGRANK_SRC_DUCK, "dur_days", "observed", "arm",
+            arm_a="even", arm_b="odd",
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

@@ -43,3 +43,5 @@ from .growth import _RFM_QS  # noqa: F401
 from .experiments import _POIS1_CDF, _boot_weight  # noqa: F401
 from .trends import _cross_left  # noqa: F401
 from .experiments import _BSEP  # noqa: F401
+from .experiments import mann_whitney_u, mann_whitney_sql  # noqa: F401
+from .experiments import logrank_test, logrank_sql  # noqa: F401

@@ -1857,3 +1857,309 @@ SELECT n_logged, n_matched,
        round(CASE WHEN _sww > 0.0 THEN _sw * _sw / _sww END, 6) AS ess
 FROM _st
 """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (SURVEY.md §2 C235; Mann & Whitney
+    1947): the DISTRIBUTION-FREE two-sample comparison for metrics where
+    C209's Welch test is wrong — latency and revenue are heavy-tailed
+    enough that a handful of whales own the mean; the rank test asks
+    "does one arm stochastically dominate" instead. Pooled AVERAGE
+    ranks (ties = min-rank + (ties−1)/2, the exact .5-grid rule shared
+    with C226), U_a = R_a − n_a(n_a+1)/2, normal approximation WITH the
+    tie correction Σ(t³−t) and no continuity correction (documented;
+    both engines agree bit-for-bit so the flag is stable). Rows outside
+    the two named arms or with a NULL metric are excluded. Output per
+    group: ``n_a``, ``n_b``, ``u_a``, ``mu``, ``sigma``, ``z``,
+    ``significant`` (|z| ≥ 1.96); degenerate groups (an empty arm, or
+    all values tied so σ = 0) yield NULL z.
+
+    Scale shape: one rank window on the (group) partitioning + one
+    tie-count window on (group, value) — no self-join, no pair
+    explosion — then ONE map-side-combined DECIMAL reduce;
+    :func:`mann_whitney_sql` is exact."""
+    gcols = list(group_cols or [])
+    arms = [str(arm_a), str(arm_b)]
+    if arms[0] == arms[1]:
+        raise ValueError("mann_whitney_u: arm_a and arm_b must differ")
+    y = F.col(metric_col).cast("double")
+    src = df.where(
+        y.isNotNull() & F.col(arm_col).cast("string").isin(*arms)
+    ).select(
+        *gcols,
+        F.col(arm_col).cast("string").alias("_arm"),
+        y.alias("_y"),
+    )
+    wr = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(F.col("_y").asc())
+    wt = Window.partitionBy(*[F.col(g) for g in gcols], F.col("_y"))
+    ties = F.count(F.lit(1)).over(wt).cast("double")
+    ranked = src.select(
+        *gcols,
+        "_arm",
+        (F.rank().over(wr) + (ties - 1.0) / 2.0).alias("_r"),
+        ties.alias("_t"),
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    is_a = F.col("_arm") == str(arm_a)
+    st = ranked.groupBy(*gcols).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("double").alias("_nb"),
+        dec(F.when(is_a, F.col("_r"))).alias("_ra"),
+        # Σ(t³−t): each member of a t-sized tie group contributes (t³−t)/t
+        # = t²−1, so the per-value tie term needs no distinct pass
+        dec(F.col("_t") * F.col("_t") - 1.0).alias("_tie"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u_a = F.col("_ra") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sig2 = F.when(
+        n >= 2.0,
+        (na * nb / 12.0) * ((n + 1.0) - F.col("_tie") / (n * (n - 1.0))),
+    )
+    sigma = F.when(sig2 > 0.0, F.sqrt(sig2))
+    z = F.when((na > 0.0) & (nb > 0.0), (u_a - mu) / sigma)
+    out = st.select(
+        *gcols,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(mu, 6).alias("mu"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(z, 6).alias("z"),
+    )
+    return out.withColumn(
+        "significant",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
+    )
+
+
+def mann_whitney_sql(
+    source: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`mann_whitney_u` (same average-rank
+    construction, same tie correction, same 1.96 flag)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    tpart = f"PARTITION BY {g}, _y" if g else "PARTITION BY _y"
+    a, b = _q(str(arm_a)), _q(str(arm_b))
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({arm_col} AS VARCHAR) AS _arm,
+           CAST({metric_col} AS DOUBLE) AS _y
+    FROM {source}
+    WHERE {metric_col} IS NOT NULL
+      AND CAST({arm_col} AS VARCHAR) IN ('{a}', '{b}')
+), _ranked AS (
+    SELECT {gsel}_arm,
+           RANK() OVER ({part}ORDER BY _y ASC)
+             + (CAST(COUNT(*) OVER ({tpart}) AS DOUBLE) - 1.0) / 2.0 AS _r,
+           CAST(COUNT(*) OVER ({tpart}) AS DOUBLE) AS _t
+    FROM _src
+), _st AS (
+    SELECT {gsel}
+           CAST(SUM(CASE WHEN _arm = '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _na,
+           CAST(SUM(CASE WHEN _arm <> '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _nb,
+           {dec.format(v="CASE WHEN _arm = '" + a + "' THEN _r END")} AS _ra,
+           {dec.format(v="_t * _t - 1.0")} AS _tie
+    FROM _ranked
+    {grp}
+), _calc AS (
+    SELECT {gsel}_na, _nb,
+           _ra - _na * (_na + 1.0) / 2.0 AS _ua,
+           _na * _nb / 2.0 AS _mu,
+           CASE WHEN _na + _nb >= 2.0 THEN
+             (_na * _nb / 12.0) * ((_na + _nb + 1.0)
+               - _tie / ((_na + _nb) * (_na + _nb - 1.0))) END AS _s2
+    FROM _st
+)
+SELECT {gsel}CAST(_na AS BIGINT) AS n_a, CAST(_nb AS BIGINT) AS n_b,
+       round(_ua, 6) AS u_a, round(_mu, 6) AS mu,
+       round(CASE WHEN _s2 > 0.0 THEN sqrt(_s2) END, 6) AS sigma,
+       round(CASE WHEN _na > 0.0 AND _nb > 0.0 AND _s2 > 0.0
+                  THEN (_ua - _mu) / sqrt(_s2) END, 6) AS z,
+       CASE WHEN _na > 0.0 AND _nb > 0.0 AND _s2 > 0.0
+            THEN abs(round((_ua - _mu) / sqrt(_s2), 6)) >= 1.96 END
+           AS significant
+FROM _calc
+"""
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    arm_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Log-rank survival comparison (SURVEY.md §2 C236; Mantel 1966):
+    the hypothesis test to C161's Kaplan-Meier PICTURE — "is arm a's
+    churn curve actually different from arm b's", censoring handled
+    correctly, which neither C209 (means ignore censoring) nor C235
+    (ranks treat a censored 30 days as a death at 30 days) can answer.
+    Same row contract as C161: ``duration_col`` numeric time,
+    ``event_col`` nonzero = observed event, 0 = right-censored. At each
+    pooled event time t: observed arm-a events d_at vs hypergeometric
+    expectation d_t·n_at/n_t and variance d_t(n_t−d_t)n_at·n_bt /
+    (n_t²(n_t−1)); O−E sums over times, χ² = (O−E)²/V on 1 dof,
+    ``significant`` at the 3.841 5%-critical value. Output per group:
+    ``n_a``, ``n_b``, ``obs_a``, ``exp_a``, ``var_a``, ``chi2``, ``z``;
+    degenerate groups (no events, or V = 0) yield NULL χ².
+
+    Scale shape: the corpus collapses to (group, duration) cells in ONE
+    map-side-combined aggregate; at-risk counts are reverse-cumulative
+    windows over that tiny cell frame; terms reduce on the DECIMAL
+    grid — :func:`logrank_sql` is exact."""
+    gcols = list(group_cols or [])
+    arms = [str(arm_a), str(arm_b)]
+    if arms[0] == arms[1]:
+        raise ValueError("logrank_test: arm_a and arm_b must differ")
+    t = F.col(duration_col).cast("double")
+    ev = (F.col(event_col).cast("double") != 0.0).cast("int")
+    src = df.where(
+        t.isNotNull() & F.col(arm_col).cast("string").isin(*arms)
+    ).select(
+        *gcols,
+        F.col(arm_col).cast("string").alias("_arm"),
+        t.alias("_t"),
+        ev.alias("_e"),
+    )
+    is_a = F.col("_arm") == arms[0]
+    cells = src.groupBy(*gcols, "_t").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_ca"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("double").alias("_cb"),
+        F.sum(F.when(is_a, F.col("_e")).otherwise(0)).cast("double").alias("_da"),
+        F.sum(F.when(~is_a, F.col("_e")).otherwise(0)).cast("double").alias("_db"),
+    )
+    wrev = (
+        Window.partitionBy(*[F.col(g) for g in gcols])
+        .orderBy(F.col("_t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = cells.select(
+        *gcols,
+        "_t", "_da", "_db",
+        F.sum("_ca").over(wrev).alias("_na"),
+        F.sum("_cb").over(wrev).alias("_nb"),
+    )
+    dt = F.col("_da") + F.col("_db")
+    nt = F.col("_na") + F.col("_nb")
+    e_a = dt * F.col("_na") / nt
+    v_a = F.when(
+        nt > 1.0,
+        dt * (nt - dt) * F.col("_na") * F.col("_nb") / (nt * nt * (nt - 1.0)),
+    ).otherwise(F.lit(0.0))
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    terms = at_risk.where(dt > 0.0)
+    st = terms.groupBy(*gcols).agg(
+        F.max(F.col("_na")).alias("_n_a"),
+        F.max(F.col("_nb")).alias("_n_b"),
+        dec(F.col("_da")).alias("_oa"),
+        dec(e_a).alias("_ea"),
+        dec(v_a).alias("_va"),
+    )
+    diff = F.col("_oa") - F.col("_ea")
+    chi2 = F.when(F.col("_va") > 0.0, diff * diff / F.col("_va"))
+    z = F.when(F.col("_va") > 0.0, diff / F.sqrt(F.col("_va")))
+    return st.select(
+        *gcols,
+        F.col("_n_a").cast("long").alias("n_a"),
+        F.col("_n_b").cast("long").alias("n_b"),
+        F.col("_oa").cast("long").alias("obs_a"),
+        F.round(F.col("_ea"), 6).alias("exp_a"),
+        F.round(F.col("_va"), 6).alias("var_a"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(z, 6).alias("z"),
+        F.when(chi2.isNotNull(), F.round(chi2, 6) >= 3.841).alias("significant"),
+    )
+
+
+def logrank_sql(
+    source: str,
+    duration_col: str,
+    event_col: str,
+    arm_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`logrank_test` (same cell collapse,
+    same reverse-cumulative at-risk windows, same DECIMAL term grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp_t = f"GROUP BY {g}, _t" if g else "GROUP BY _t"
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    a, b = _q(str(arm_a)), _q(str(arm_b))
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    e_a = "(_da + _db) * _na / (_na + _nb)"
+    v_a = ("CASE WHEN _na + _nb > 1.0 THEN (_da + _db)"
+           " * (_na + _nb - _da - _db) * _na * _nb"
+           " / ((_na + _nb) * (_na + _nb) * (_na + _nb - 1.0))"
+           " ELSE 0.0 END")
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({arm_col} AS VARCHAR) AS _arm,
+           CAST({duration_col} AS DOUBLE) AS _t,
+           CASE WHEN CAST({event_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END AS _e
+    FROM {source}
+    WHERE {duration_col} IS NOT NULL
+      AND CAST({arm_col} AS VARCHAR) IN ('{a}', '{b}')
+), _cells AS (
+    SELECT {gsel}_t,
+           CAST(SUM(CASE WHEN _arm = '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _ca,
+           CAST(SUM(CASE WHEN _arm <> '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _cb,
+           CAST(SUM(CASE WHEN _arm = '{a}' THEN _e ELSE 0 END) AS DOUBLE) AS _da,
+           CAST(SUM(CASE WHEN _arm <> '{a}' THEN _e ELSE 0 END) AS DOUBLE) AS _db
+    FROM _src
+    {grp_t}
+), _risk AS (
+    SELECT {gsel}_t, _da, _db,
+           SUM(_ca) OVER ({part}ORDER BY _t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _na,
+           SUM(_cb) OVER ({part}ORDER BY _t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _nb
+    FROM _cells
+), _st AS (
+    SELECT {gsel}MAX(_na) AS _n_a, MAX(_nb) AS _n_b,
+           {dec.format(v="_da")} AS _oa,
+           {dec.format(v=e_a)} AS _ea,
+           {dec.format(v=v_a)} AS _va
+    FROM _risk
+    WHERE _da + _db > 0.0
+    {grp}
+)
+SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
+       CAST(_oa AS BIGINT) AS obs_a,
+       round(_ea, 6) AS exp_a, round(_va, 6) AS var_a,
+       round(CASE WHEN _va > 0.0 THEN (_oa - _ea) * (_oa - _ea) / _va END, 6)
+           AS chi2,
+       round(CASE WHEN _va > 0.0 THEN (_oa - _ea) / sqrt(_va) END, 6) AS z,
+       CASE WHEN _va > 0.0
+            THEN round((_oa - _ea) * (_oa - _ea) / _va, 6) >= 3.841 END
+           AS significant
+FROM _st
+"""

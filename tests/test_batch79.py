@@ -1,0 +1,177 @@
+"""Pins for C235 (Mann-Whitney U rank-sum test) and C236 (log-rank
+survival comparison)."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+
+
+def _mw(spark, rows):
+    return spark.createDataFrame(rows, "seg string, arm string, y double")
+
+
+def test_mann_whitney_hand_case(spark):
+    # a = {1, 2, 3}, b = {4, 5}: every a beats no b -> U_a = 0,
+    # mu = 3, sigma = sqrt(3*2*6/12) = sqrt(3), z = -sqrt(3)
+    rows = [("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+            ("g", "b", 4.0), ("g", "b", 5.0)]
+    out = analytics.mann_whitney_u(
+        _mw(spark, rows), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    assert out["u_a"] == pytest.approx(0.0)
+    assert out["mu"] == pytest.approx(3.0)
+    assert out["sigma"] == pytest.approx(math.sqrt(3.0), abs=1e-6)
+    assert out["z"] == pytest.approx(-math.sqrt(3.0), abs=1e-6)
+    assert out["significant"] is False  # n too small for 1.96
+
+
+def test_mann_whitney_tie_correction(spark):
+    # all ties within each arm: ranks still average, sigma uses the
+    # Sigma(t^3 - t) correction. a = {1,1,1}, b = {2,2,2}:
+    # R_a = 6, U_a = 0, mu = 4.5; ties t=3 twice ->
+    # sig2 = (9/12) * (7 - 48/30) = 4.05
+    rows = [("g", "a", 1.0)] * 3 + [("g", "b", 2.0)] * 3
+    out = analytics.mann_whitney_u(
+        _mw(spark, rows), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    assert out["u_a"] == pytest.approx(0.0)
+    assert out["sigma"] == pytest.approx(math.sqrt(4.05), abs=1e-6)
+
+
+def test_mann_whitney_outlier_robustness(spark):
+    # Welch sees a huge mean gap from ONE whale; the rank test must not
+    random.seed(3)
+    rows = [("g", "a", float(random.randint(0, 100))) for _ in range(100)]
+    rows += [("g", "b", float(random.randint(0, 100))) for _ in range(99)]
+    rows += [("g", "b", 1e9)]  # one whale
+    mw = analytics.mann_whitney_u(
+        _mw(spark, rows), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    we = analytics.welch_ab(
+        _mw(spark, rows), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    assert abs(mw["z"]) < 1.96  # distributions identical up to the whale
+    assert abs(we["mean_a"] - we["mean_b"]) > 1e6  # the mean gap is huge
+
+
+def test_mann_whitney_degenerate_and_contract(spark):
+    # all values tied -> sigma 0 -> NULL z; same-arm raises
+    rows = [("g", "a", 5.0), ("g", "b", 5.0), ("g", "b", 5.0)]
+    out = analytics.mann_whitney_u(
+        _mw(spark, rows), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    assert out["z"] is None and out["significant"] is None
+    with pytest.raises(ValueError):
+        analytics.mann_whitney_u(_mw(spark, rows), "arm", "y",
+                                 arm_a="a", arm_b="a")
+
+
+def test_mann_whitney_matches_twin(spark):
+    random.seed(11)
+    rows = []
+    for i in range(300):
+        seg = "s" + str(i % 3)
+        rows.append((seg, "a", float(random.randint(0, 15))))
+        rows.append((seg, "b", float(random.randint(3, 18))))
+    rows.append(("s0", "c", 99.0))   # unnamed arm: excluded
+    rows.append(("s0", "a", None))   # NULL metric: excluded
+    df = _mw(spark, rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(seg VARCHAR, arm VARCHAR, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.mann_whitney_u(df, "arm", "y", arm_a="a", arm_b="b",
+                                 group_cols=["seg"]),
+        con,
+        analytics.mann_whitney_sql("t", "arm", "y", arm_a="a", arm_b="b",
+                                   group_cols=["seg"]))
+    assert_df_matches_duck(
+        analytics.mann_whitney_u(df, "arm", "y", arm_a="a", arm_b="b"),
+        con,
+        analytics.mann_whitney_sql("t", "arm", "y", arm_a="a", arm_b="b"))
+    con.close()
+
+
+def _surv(spark, rows):
+    return spark.createDataFrame(rows, "arm string, dur double, ev int")
+
+
+def test_logrank_hand_case(spark):
+    # one event time t=1: a has 1 event of n_a=2 at risk, b has 0 of 2.
+    # d=1, n=4: E_a = 1*2/4 = 0.5, V = 1*3*2*2/(16*3) = 0.25,
+    # O-E = 0.5, chi2 = 0.25/0.25 = 1.0
+    rows = [("a", 1.0, 1), ("a", 2.0, 0), ("b", 2.0, 0), ("b", 3.0, 0)]
+    out = analytics.logrank_test(
+        _surv(spark, rows), "dur", "ev", "arm",
+        arm_a="a", arm_b="b").collect()[0]
+    assert out["obs_a"] == 1
+    assert out["exp_a"] == pytest.approx(0.5)
+    assert out["var_a"] == pytest.approx(0.25)
+    assert out["chi2"] == pytest.approx(1.0)
+    assert out["significant"] is False
+
+
+def test_logrank_separates_planted_hazard(spark):
+    # arm a dies at small times, arm b survives long: must flag
+    random.seed(5)
+    rows = [("a", float(1 + i % 5), 1) for i in range(100)]
+    rows += [("b", float(20 + i % 5), 1) for i in range(100)]
+    out = analytics.logrank_test(
+        _surv(spark, rows), "dur", "ev", "arm",
+        arm_a="a", arm_b="b").collect()[0]
+    assert out["chi2"] > 3.841 and out["significant"]
+    assert out["z"] > 0  # a has more events than expected under H0
+
+
+def test_logrank_censoring_not_counted_as_event(spark):
+    # all of arm a censored: zero observed events from a
+    rows = [("a", 1.0, 0), ("a", 2.0, 0), ("b", 1.5, 1), ("b", 3.0, 1)]
+    out = analytics.logrank_test(
+        _surv(spark, rows), "dur", "ev", "arm",
+        arm_a="a", arm_b="b").collect()[0]
+    assert out["obs_a"] == 0
+    # no-event table -> NULL chi2
+    rows2 = [("a", 1.0, 0), ("b", 2.0, 0)]
+    out2 = analytics.logrank_test(
+        _surv(spark, rows2), "dur", "ev", "arm",
+        arm_a="a", arm_b="b").collect()[0]
+    assert out2["chi2"] is None and out2["significant"] is None
+
+
+def test_logrank_matches_twin(spark):
+    random.seed(17)
+    rows = []
+    for i in range(250):
+        d = round(random.expovariate(1 / 8.0), 1)
+        rows.append(("a", min(d, 25.0), 0 if (d > 25 or i % 4 == 0) else 1))
+        d = round(random.expovariate(1 / 16.0), 1)
+        rows.append(("b", min(d, 25.0), 0 if (d > 25 or i % 4 == 0) else 1))
+    df = _surv(spark, rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(arm VARCHAR, dur DOUBLE, ev INT)")
+    con.executemany("INSERT INTO s VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.logrank_test(df, "dur", "ev", "arm", arm_a="a", arm_b="b"),
+        con,
+        analytics.logrank_sql("s", "dur", "ev", "arm", arm_a="a", arm_b="b"))
+    con.close()
+
+
+def test_logrank_grouped_matches_twin(spark):
+    random.seed(23)
+    rows = []
+    for i in range(200):
+        seg = "g" + str(i % 2)
+        rows.append((seg, "a", float(1 + (i * 7) % 12), 1 if i % 3 else 0))
+        rows.append((seg, "b", float(2 + (i * 5) % 15), 1 if i % 4 else 0))
+    df = spark.createDataFrame(rows, "seg string, arm string, dur double, ev int")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(seg VARCHAR, arm VARCHAR, dur DOUBLE, ev INT)")
+    con.executemany("INSERT INTO s VALUES (?, ?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.logrank_test(df, "dur", "ev", "arm", arm_a="a", arm_b="b",
+                               group_cols=["seg"]),
+        con,
+        analytics.logrank_sql("s", "dur", "ev", "arm", arm_a="a", arm_b="b",
+                              group_cols=["seg"]))
+    con.close()

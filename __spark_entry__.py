@@ -6726,6 +6726,50 @@ _LOGRANK_SRC_DUCK = """(
 )"""
 
 
+def _mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C237 (annex, EXACT oracle): minimum-detectable-effect /
+    required-n design readout on event value between the even/odd user
+    halves per event type — pooled sd, pinned z-sum, ceil on the
+    6-decimal grid."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        "value",
+    )
+    return analytics.mde_readout(
+        src, "arm", "value", arm_a="even", arm_b="odd",
+        group_cols=["event_type"], target_rel_effect=0.02,
+    )
+
+
+def _forecast_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C238 (annex, EXACT oracle): MAE/RMSE/MAPE/sMAPE/MASE of a
+    synthetic 0.95a+2 forecast against the daily event-count series per
+    type, seasonal-naive scale at season=7 — positional lag over the
+    unique (type, day) ordering."""
+    _prep(spark, sf_dir)
+    src = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("a"))
+        .withColumn("p", F.col("a") * 0.95 + 2.0)
+    )
+    return timeseries.forecast_accuracy(
+        src, "d", "a", "p", group_cols=["event_type"], season=7
+    )
+
+
+_FCAST_SRC_DUCK = (
+    "(SELECT event_type, CAST(ts AS DATE) AS d,"
+    " CAST(COUNT(*) AS DOUBLE) AS a,"
+    " CAST(COUNT(*) AS DOUBLE) * 0.95 + 2.0 AS p"
+    " FROM events GROUP BY event_type, CAST(ts AS DATE))"
+)
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -7059,6 +7103,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "twap_user_value": _twap_value,
         "mann_whitney_value": _mann_whitney,
         "logrank_user_lifetime": _logrank,
+        "mde_value_by_type": _mde,
+        "forecast_accuracy_daily": _forecast_acc,
     }
 
 
@@ -7808,6 +7854,14 @@ def pytest_only_oracles() -> dict[str, str]:
         "logrank_user_lifetime": analytics.logrank_sql(
             _LOGRANK_SRC_DUCK, "dur_days", "observed", "arm",
             arm_a="even", arm_b="odd",
+        ),
+        "mde_value_by_type": analytics.mde_sql(
+            _MW_SRC_DUCK, "arm", "value", arm_a="even", arm_b="odd",
+            group_cols=["event_type"], target_rel_effect=0.02,
+        ),
+        "forecast_accuracy_daily": timeseries.forecast_accuracy_sql(
+            _FCAST_SRC_DUCK, "d", "a", "p", group_cols=["event_type"],
+            season=7,
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

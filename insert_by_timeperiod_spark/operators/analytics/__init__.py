@@ -45,3 +45,4 @@ from .trends import _cross_left  # noqa: F401
 from .experiments import _BSEP  # noqa: F401
 from .experiments import mann_whitney_u, mann_whitney_sql  # noqa: F401
 from .experiments import logrank_test, logrank_sql  # noqa: F401
+from .experiments import mde_readout, mde_sql  # noqa: F401

@@ -2163,3 +2163,138 @@ SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
            AS significant
 FROM _st
 """
+
+
+def mde_readout(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+    target_rel_effect: float = 0.01,
+) -> DataFrame:
+    """Minimum-detectable-effect / power readout (SURVEY.md §2 C237):
+    the experiment-DESIGN number the C209/C118 readouts assume someone
+    already computed — "at the traffic you actually have, what lift
+    could this experiment even see?" and its inverse "how many users
+    per arm until a ``target_rel_effect`` is visible?". Standard 80%
+    power at two-sided α=5%: MDE_abs = (z_{α/2}+z_{0.8}) · s_p ·
+    √(1/n_a+1/n_b) with the pooled sample sd s_p; required n per arm =
+    2·((z_{α/2}+z_{0.8})·s_p/Δ)² at Δ = target_rel_effect · mean_a
+    (arm a is the baseline). Arms with n < 2, zero pooled variance, or
+    a zero baseline mean yield NULLs rather than fabricated power.
+    Output per group: ``n_a``, ``n_b``, ``mean_a``, ``pooled_sd``,
+    ``mde_abs``, ``mde_rel``, ``required_n_per_arm``.
+
+    Scale shape: ONE map-side-combined DECIMAL aggregate to per-arm
+    (n, Σy, Σy²); everything after is groups-sized column algebra —
+    :func:`mde_sql` is exact. z constants pinned to 6 decimals
+    (1.959964 + 0.841621) so both engines share the exact multiplier."""
+    gcols = list(group_cols or [])
+    arms = [str(arm_a), str(arm_b)]
+    if arms[0] == arms[1]:
+        raise ValueError("mde_readout: arm_a and arm_b must differ")
+    if not target_rel_effect > 0.0:
+        raise ValueError("mde_readout: target_rel_effect must be > 0")
+    zsum = 1.959964 + 0.841621
+    y = F.col(metric_col).cast("double")
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    aggs = []
+    for k, v in (("a", arms[0]), ("b", arms[1])):
+        cond = F.col(arm_col).cast("string") == v
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
+            dec(F.when(cond, y)).alias(f"_s_{k}"),
+            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
+        ]
+    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
+    na, nb = F.col("_n_a"), F.col("_n_b")
+
+    def ssq(k):
+        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
+        return ss - s * s / n
+
+    sp2 = F.when(
+        (na >= 2.0) & (nb >= 2.0), (ssq("a") + ssq("b")) / (na + nb - 2.0)
+    )
+    sp = F.when(sp2 > 0.0, F.sqrt(sp2))
+    mean_a = F.when(na > 0.0, F.col("_s_a") / na)
+    mde_abs = zsum * sp * F.sqrt(1.0 / na + 1.0 / nb)
+    mde_rel = F.when(F.abs(mean_a) > 0.0, mde_abs / F.abs(mean_a))
+    delta = target_rel_effect * F.abs(mean_a)
+    # round to the 6-decimal grid BEFORE ceil so an 8.000000000001-style
+    # FP tail never splits the two engines across an integer boundary
+    req_n = F.when(
+        delta > 0.0,
+        F.ceil(F.round(2.0 * (zsum * sp / delta) * (zsum * sp / delta), 6)),
+    )
+    return st.select(
+        *gcols,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.round(mde_rel, 6).alias("mde_rel"),
+        req_n.cast("long").alias("required_n_per_arm"),
+    )
+
+
+def mde_sql(
+    source: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+    target_rel_effect: float = 0.01,
+) -> str:
+    """Exact DuckDB twin of :func:`mde_readout` (same pinned z-sum, same
+    DECIMAL sufficient statistics, same ceil)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    a, b = _q(str(arm_a)), _q(str(arm_b))
+    zsum = 1.959964 + 0.841621
+    y = f"CAST({metric_col} AS DOUBLE)"
+    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
+           " AS DECIMAL(38,6))) AS DOUBLE)")
+    cells = []
+    for k, v in (("a", a), ("b", b)):
+        c = f"CAST({arm_col} AS VARCHAR) = '{v}'"
+        cells.append(
+            f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
+            f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
+            f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
+        )
+    cell_sql = ",\n           ".join(cells)
+    sp2 = ("CASE WHEN _n_a >= 2.0 AND _n_b >= 2.0 THEN"
+           " ((_ss_a - _s_a * _s_a / _n_a) + (_ss_b - _s_b * _s_b / _n_b))"
+           " / (_n_a + _n_b - 2.0) END")
+    sp = f"(CASE WHEN ({sp2}) > 0.0 THEN sqrt({sp2}) END)"
+    mean_a = "(CASE WHEN _n_a > 0.0 THEN _s_a / _n_a END)"
+    mde_abs = f"({zsum!r} * {sp} * sqrt(1.0 / _n_a + 1.0 / _n_b))"
+    mde_rel = (f"(CASE WHEN abs({mean_a}) > 0.0"
+               f" THEN {mde_abs} / abs({mean_a}) END)")
+    delta = f"({target_rel_effect!r} * abs({mean_a}))"
+    req_n = (f"(CASE WHEN {delta} > 0.0 THEN CAST(ceil(round(2.0 *"
+             f" ({zsum!r} * {sp} / {delta}) * ({zsum!r} * {sp} / {delta}), 6))"
+             f" AS BIGINT) END)")
+    return f"""
+WITH _st AS (
+    SELECT {gsel}{cell_sql}
+    FROM {source} WHERE {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
+       round({mean_a}, 6) AS mean_a,
+       round({sp}, 6) AS pooled_sd,
+       round({mde_abs}, 6) AS mde_abs,
+       round({mde_rel}, 6) AS mde_rel,
+       {req_n} AS required_n_per_arm
+FROM _st
+"""

@@ -1745,3 +1745,140 @@ SELECT {k},
              - epoch_us(TIMESTAMP '{window_start}') AS DOUBLE), 6) AS coverage
 FROM _st
 """
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    time_col: str,
+    actual_col: str,
+    pred_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    season: int = 1,
+) -> DataFrame:
+    """Forecast accuracy scorecard (SURVEY.md §2 C238; Hyndman &
+    Koehler 2006): the metric row a C230 backtest fold or any deployed
+    forecast feeds into — MAE, RMSE, MAPE (zero-actual rows excluded
+    and COUNTED, never divided by), sMAPE (200·|a−p|/(|a|+|p|),
+    both-zero rows excluded), and MASE: MAE over the in-sample naive
+    scale mean|a_t − a_{t−season}| on the time-ordered series — the
+    scale-free number that makes "good" comparable across series of
+    wildly different magnitude (MAPE's asymmetry/zero problems are why
+    MASE exists). The naive lag is POSITIONAL over the time order (the
+    textbook MASE denominator), season > 1 = seasonal-naive. Rows with
+    a NULL actual or prediction are excluded. Output per group: ``n``,
+    ``mae``, ``rmse``, ``n_mape``, ``mape``, ``smape``,
+    ``naive_scale``, ``mase`` (NULL when the naive scale is 0 or the
+    series is shorter than season+1).
+
+    Scale shape: one lag window on the (group, time) ordering + ONE
+    map-side-combined DECIMAL reduce — :func:`forecast_accuracy_sql`
+    is exact. Ties on ``time_col`` break by the actual value so both
+    engines lag the identical ordering."""
+    gcols = list(group_cols or [])
+    if season < 1:
+        raise ValueError("forecast_accuracy: season must be >= 1")
+    a = F.col(actual_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    src = df.where(a.isNotNull() & p.isNotNull()).select(
+        *gcols, F.col(time_col).alias("_t"), a.alias("_a"), p.alias("_p")
+    )
+    w = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(
+        F.col("_t").asc(), F.col("_a").asc()
+    )
+    lagged = src.select(
+        *gcols, "_a", "_p", F.lag("_a", season).over(w).alias("_al")
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    err = F.col("_a") - F.col("_p")
+    ape = F.when(F.abs(F.col("_a")) > 0.0, F.abs(err) / F.abs(F.col("_a")))
+    sden = F.abs(F.col("_a")) + F.abs(F.col("_p"))
+    sape = F.when(sden > 0.0, 200.0 * F.abs(err) / sden)
+    nd = F.when(F.col("_al").isNotNull(), F.abs(F.col("_a") - F.col("_al")))
+    st = lagged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(F.abs(err)).alias("_sae"),
+        dec(err * err).alias("_sse"),
+        F.sum(F.when(ape.isNotNull(), 1).otherwise(0)).cast("double").alias("_nm"),
+        dec(ape).alias("_sape_"),
+        F.sum(F.when(sape.isNotNull(), 1).otherwise(0)).cast("double").alias("_ns"),
+        dec(sape).alias("_ssm"),
+        F.sum(F.when(nd.isNotNull(), 1).otherwise(0)).cast("double").alias("_nn"),
+        dec(nd).alias("_snd"),
+    )
+    n = F.col("_n")
+    mae = F.col("_sae") / n
+    scale = F.when(F.col("_nn") > 0.0, F.col("_snd") / F.col("_nn"))
+    return st.select(
+        *gcols,
+        n.cast("long").alias("n"),
+        F.round(mae, 6).alias("mae"),
+        F.round(F.sqrt(F.col("_sse") / n), 6).alias("rmse"),
+        F.col("_nm").cast("long").alias("n_mape"),
+        F.round(
+            F.when(F.col("_nm") > 0.0, 100.0 * F.col("_sape_") / F.col("_nm")), 6
+        ).alias("mape"),
+        F.round(
+            F.when(F.col("_ns") > 0.0, F.col("_ssm") / F.col("_ns")), 6
+        ).alias("smape"),
+        F.round(scale, 6).alias("naive_scale"),
+        F.round(F.when(scale > 0.0, mae / scale), 6).alias("mase"),
+    )
+
+
+def forecast_accuracy_sql(
+    source: str,
+    time_col: str,
+    actual_col: str,
+    pred_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    season: int = 1,
+) -> str:
+    """Exact DuckDB twin of :func:`forecast_accuracy` (same positional
+    seasonal-naive lag, same exclusion rules, same DECIMAL grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    ape = "CASE WHEN abs(_a) > 0.0 THEN abs(_a - _p) / abs(_a) END"
+    sape = ("CASE WHEN abs(_a) + abs(_p) > 0.0"
+            " THEN 200.0 * abs(_a - _p) / (abs(_a) + abs(_p)) END")
+    nd = "CASE WHEN _al IS NOT NULL THEN abs(_a - _al) END"
+    return f"""
+WITH _src AS (
+    SELECT {gsel}{time_col} AS _t,
+           CAST({actual_col} AS DOUBLE) AS _a,
+           CAST({pred_col} AS DOUBLE) AS _p
+    FROM {source}
+    WHERE {actual_col} IS NOT NULL AND {pred_col} IS NOT NULL
+), _lag AS (
+    SELECT {gsel}_a, _p,
+           LAG(_a, {season}) OVER ({part}ORDER BY _t ASC, _a ASC) AS _al
+    FROM _src
+), _st AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v="abs(_a - _p)")} AS _sae,
+           {dec.format(v="(_a - _p) * (_a - _p)")} AS _sse,
+           CAST(SUM(CASE WHEN ({ape}) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS _nm,
+           {dec.format(v=ape)} AS _sape_,
+           CAST(SUM(CASE WHEN ({sape}) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS _ns,
+           {dec.format(v=sape)} AS _ssm,
+           CAST(SUM(CASE WHEN _al IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS _nn,
+           {dec.format(v=nd)} AS _snd
+    FROM _lag
+    {grp}
+)
+SELECT {gsel}CAST(_n AS BIGINT) AS n,
+       round(_sae / _n, 6) AS mae,
+       round(sqrt(_sse / _n), 6) AS rmse,
+       CAST(_nm AS BIGINT) AS n_mape,
+       round(CASE WHEN _nm > 0.0 THEN 100.0 * _sape_ / _nm END, 6) AS mape,
+       round(CASE WHEN _ns > 0.0 THEN _ssm / _ns END, 6) AS smape,
+       round(CASE WHEN _nn > 0.0 THEN _snd / _nn END, 6) AS naive_scale,
+       round(CASE WHEN _nn > 0.0 AND _snd / _nn > 0.0
+                  THEN (_sae / _n) / (_snd / _nn) END, 6) AS mase
+FROM _st
+"""

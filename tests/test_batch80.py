@@ -1,0 +1,160 @@
+"""Pins for C237 (MDE / power readout) and C238 (forecast accuracy
+scorecard)."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics
+from insert_by_timeperiod_spark.operators import timeseries as TS
+
+
+def _ab(spark, rows):
+    return spark.createDataFrame(rows, "seg string, arm string, y double")
+
+
+def test_mde_hand_case(spark):
+    # two arms of 100 with pooled sd exactly 2:
+    # mde_abs = 2.801585 * 2 * sqrt(2/100) = 0.792427...
+    rows = []
+    for i in range(50):
+        rows.append(("g", "a", 8.0))
+        rows.append(("g", "a", 12.0))
+        rows.append(("g", "b", 8.0))
+        rows.append(("g", "b", 12.0))
+    out = analytics.mde_readout(
+        _ab(spark, rows), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    sd = math.sqrt((100 * (8 - 10) ** 2 + 0) * 2 / 198)  # 2.0100...
+    want = 2.801585 * sd * math.sqrt(2 / 100)
+    assert out["mean_a"] == pytest.approx(10.0)
+    assert out["mde_abs"] == pytest.approx(want, abs=1e-4)
+    assert out["mde_rel"] == pytest.approx(want / 10.0, abs=1e-4)
+    # required n for a 1% effect (delta = 0.1): 2*(zsum*sd/0.1)^2
+    assert out["required_n_per_arm"] == math.ceil(
+        round(2 * (2.801585 * sd / 0.1) ** 2, 4))
+
+
+def test_mde_more_traffic_sees_smaller_effects(spark):
+    random.seed(2)
+    small = [("g", "ab"[i % 2], random.gauss(50, 5)) for i in range(200)]
+    big = [("g", "ab"[i % 2], random.gauss(50, 5)) for i in range(2000)]
+    o_small = analytics.mde_readout(
+        _ab(spark, small), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    o_big = analytics.mde_readout(
+        _ab(spark, big), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    assert o_big["mde_abs"] < o_small["mde_abs"]
+
+
+def test_mde_degenerate_and_contract(spark):
+    # constant metric -> zero pooled sd -> NULL mde; tiny arm -> NULL
+    rows = [("g", "a", 5.0)] * 3 + [("g", "b", 5.0)] * 3
+    out = analytics.mde_readout(
+        _ab(spark, rows), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    assert out["pooled_sd"] is None and out["mde_abs"] is None
+    rows2 = [("g", "a", 1.0), ("g", "b", 2.0), ("g", "b", 3.0)]
+    out2 = analytics.mde_readout(
+        _ab(spark, rows2), "arm", "y", arm_a="a", arm_b="b").collect()[0]
+    assert out2["mde_abs"] is None  # n_a < 2
+    with pytest.raises(ValueError):
+        analytics.mde_readout(_ab(spark, rows), "arm", "y",
+                              arm_a="a", arm_b="a")
+    with pytest.raises(ValueError):
+        analytics.mde_readout(_ab(spark, rows), "arm", "y",
+                              arm_a="a", arm_b="b", target_rel_effect=0.0)
+
+
+def test_mde_matches_twin(spark):
+    random.seed(31)
+    rows = []
+    for i in range(300):
+        seg = "s" + str(i % 2)
+        rows.append((seg, "a", round(random.gauss(20, 4), 3)))
+        rows.append((seg, "b", round(random.gauss(21, 4), 3)))
+    rows.append(("s0", "a", None))
+    rows.append(("s0", "z", 7.0))  # unnamed arm ignored
+    df = _ab(spark, rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(seg VARCHAR, arm VARCHAR, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.mde_readout(df, "arm", "y", arm_a="a", arm_b="b",
+                              group_cols=["seg"], target_rel_effect=0.03),
+        con,
+        analytics.mde_sql("t", "arm", "y", arm_a="a", arm_b="b",
+                          group_cols=["seg"], target_rel_effect=0.03))
+    assert_df_matches_duck(
+        analytics.mde_readout(df, "arm", "y", arm_a="a", arm_b="b"),
+        con,
+        analytics.mde_sql("t", "arm", "y", arm_a="a", arm_b="b"))
+    con.close()
+
+
+def _fc(spark, rows):
+    return spark.createDataFrame(rows, "g string, t int, a double, p double")
+
+
+def test_forecast_accuracy_hand_case(spark):
+    # actuals 10,20,30,40; preds off by +1,-1,+2,-2
+    rows = [("g", 1, 10.0, 11.0), ("g", 2, 20.0, 19.0),
+            ("g", 3, 30.0, 32.0), ("g", 4, 40.0, 38.0)]
+    out = TS.forecast_accuracy(_fc(spark, rows), "t", "a", "p").collect()[0]
+    assert out["mae"] == pytest.approx(1.5)
+    assert out["rmse"] == pytest.approx(math.sqrt(10 / 4), abs=1e-6)
+    # naive scale: |20-10|,|30-20|,|40-30| -> 10; mase = 0.15
+    assert out["naive_scale"] == pytest.approx(10.0)
+    assert out["mase"] == pytest.approx(0.15)
+    assert out["mape"] == pytest.approx(
+        100 * (1 / 10 + 1 / 20 + 2 / 30 + 2 / 40) / 4, abs=1e-5)
+
+
+def test_forecast_accuracy_zero_actuals_excluded_from_mape(spark):
+    rows = [("g", 1, 0.0, 5.0), ("g", 2, 10.0, 10.0), ("g", 3, 0.0, 0.0)]
+    out = TS.forecast_accuracy(_fc(spark, rows), "t", "a", "p").collect()[0]
+    assert out["n"] == 3
+    assert out["n_mape"] == 1       # only the t=2 row divides
+    assert out["mape"] == pytest.approx(0.0)
+    # sMAPE: t=1 contributes 200*5/5=200, t=2 contributes 0, t=3 excluded
+    assert out["smape"] == pytest.approx(100.0)
+
+
+def test_forecast_accuracy_naive_beats_flat_forecast_on_trend(spark):
+    # a strongly trending series: the naive lag-1 forecast is GOOD, so a
+    # flat mean forecast must show mase >> 1
+    rows = [("g", i, float(i * 10), 250.0) for i in range(50)]
+    out = TS.forecast_accuracy(_fc(spark, rows), "t", "a", "p").collect()[0]
+    assert out["naive_scale"] == pytest.approx(10.0)
+    assert out["mase"] > 1.0
+
+
+def test_forecast_accuracy_short_series_null_mase(spark):
+    rows = [("g", 1, 5.0, 6.0)]
+    out = TS.forecast_accuracy(_fc(spark, rows), "t", "a", "p").collect()[0]
+    assert out["mase"] is None and out["naive_scale"] is None
+    with pytest.raises(ValueError):
+        TS.forecast_accuracy(_fc(spark, rows), "t", "a", "p", season=0)
+
+
+def test_forecast_accuracy_matches_twin(spark):
+    random.seed(41)
+    rows = []
+    for g in ("x", "y"):
+        for i in range(80):
+            a = 50 + 20 * math.sin(i / 7.0) + random.gauss(0, 2)
+            rows.append((g, i, round(a, 3), round(a + random.gauss(0, 3), 3)))
+    rows.append(("x", 200, None, 1.0))
+    df = _fc(spark, rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE f(g VARCHAR, t INT, a DOUBLE, p DOUBLE)")
+    con.executemany("INSERT INTO f VALUES (?, ?, ?, ?)", rows)
+    assert_df_matches_duck(
+        TS.forecast_accuracy(df, "t", "a", "p", group_cols=["g"]),
+        con, TS.forecast_accuracy_sql("f", "t", "a", "p", group_cols=["g"]))
+    assert_df_matches_duck(
+        TS.forecast_accuracy(df, "t", "a", "p", group_cols=["g"], season=12),
+        con,
+        TS.forecast_accuracy_sql("f", "t", "a", "p", group_cols=["g"],
+                                 season=12))
+    con.close()

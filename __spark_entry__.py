@@ -6770,6 +6770,59 @@ _FCAST_SRC_DUCK = (
 )
 
 
+def _strat_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C239 (annex, EXACT oracle): propensity-stratified ATE of a
+    synthetic hash-assigned treatment on event value, propensity from
+    the user-id hash so assignment is confounded with the id blocks —
+    ntile strata tie-broken by event_id, strata missing an arm drop."""
+    _prep(spark, sf_dir)
+    h = F.pmod(F.col("user_id") * 37, F.lit(1000)) / 1000.0
+    src = spark.table("events").select(
+        F.col("event_id").alias("id"),
+        (F.pmod(F.col("user_id"), F.lit(7)) < 3).cast("int").alias("treat"),
+        F.col("value").alias("y"),
+        F.round(0.1 + 0.8 * h, 6).alias("prop"),
+    )
+    return analytics.stratified_ate(src, "treat", "y", "prop", "id",
+                                    n_strata=5)
+
+
+_ATE_SRC_DUCK = """(
+    SELECT event_id AS id,
+           CASE WHEN user_id % 7 < 3 THEN 1 ELSE 0 END AS treat,
+           value AS y,
+           round(0.1 + 0.8 * (CAST((user_id * 37) % 1000 AS DOUBLE) / 1000.0), 6)
+               AS prop
+    FROM events
+)"""
+
+
+def _prob_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C240 (annex, EXACT oracle): Brier / log-loss / skill of a
+    deterministic pseudo-probability (value percentile proxy) against
+    the purchase label, per weekday class — clip counted, DECIMAL grid."""
+    _prep(spark, sf_dir)
+    src = spark.table("events").select(
+        F.when(F.dayofweek("ts").isin(1, 7), F.lit("weekend"))
+        .otherwise(F.lit("weekday"))
+        .alias("daytype"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.round(
+            F.pmod(F.col("event_id") * 37, F.lit(100)) / 100.0, 6
+        ).alias("p"),
+    )
+    return features.prob_forecast_eval(src, "y", "p", group_cols=["daytype"])
+
+
+_PROBEVAL_SRC_DUCK = (
+    "(SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'"
+    " ELSE 'weekday' END AS daytype,"
+    " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,"
+    " round(CAST((event_id * 37) % 100 AS DOUBLE) / 100.0, 6) AS p"
+    " FROM events)"
+)
+
+
 def _srm_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C206 (annex, EXACT oracle): sample-ratio-mismatch check of a
     deliberately 60/40 event-level assignment against designed 50/50 —
@@ -7105,6 +7158,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "logrank_user_lifetime": _logrank,
         "mde_value_by_type": _mde,
         "forecast_accuracy_daily": _forecast_acc,
+        "stratified_ate_events": _strat_ate,
+        "prob_eval_purchase": _prob_eval,
     }
 
 
@@ -7862,6 +7917,12 @@ def pytest_only_oracles() -> dict[str, str]:
         "forecast_accuracy_daily": timeseries.forecast_accuracy_sql(
             _FCAST_SRC_DUCK, "d", "a", "p", group_cols=["event_type"],
             season=7,
+        ),
+        "stratified_ate_events": analytics.stratified_ate_sql(
+            _ATE_SRC_DUCK, "treat", "y", "prop", "id", n_strata=5,
+        ),
+        "prob_eval_purchase": features.prob_forecast_eval_sql(
+            _PROBEVAL_SRC_DUCK, "y", "p", group_cols=["daytype"],
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

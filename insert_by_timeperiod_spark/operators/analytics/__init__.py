@@ -46,3 +46,4 @@ from .experiments import _BSEP  # noqa: F401
 from .experiments import mann_whitney_u, mann_whitney_sql  # noqa: F401
 from .experiments import logrank_test, logrank_sql  # noqa: F401
 from .experiments import mde_readout, mde_sql  # noqa: F401
+from .experiments import stratified_ate, stratified_ate_sql  # noqa: F401

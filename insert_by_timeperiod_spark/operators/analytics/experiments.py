@@ -2298,3 +2298,185 @@ SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
        {req_n} AS required_n_per_arm
 FROM _st
 """
+
+
+def stratified_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    id_col: str,
+    *,
+    n_strata: int = 5,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Propensity-stratified average treatment effect (SURVEY.md §2
+    C239; Rosenbaum & Rubin 1984): the OBSERVATIONAL companion to the
+    randomized readouts C118/C209 — when treatment was self-selected
+    (feature adopters, early upgraders), a raw mean diff confounds who
+    opts in with what the feature does. Stratify on a supplied
+    propensity score (e.g. C156's model output), read the treated-vs-
+    control diff WITHIN each stratum where like compares with like, and
+    weight strata by population share. Strata missing an arm are
+    EXCLUDED from the ATE and counted (``n_strata_used``) — a stratum
+    with no controls has no counterfactual and fabricating one would be
+    worse than narrowing the estimand. SE via within-stratum variances:
+    √Σ w²(s²_t/n_t + s²_c/n_c). Propensity ties break on ``id_col`` so
+    ntile stratum assignment is total and engine-identical (the C221
+    rule). Output per group: ``n_treat``, ``n_ctrl``,
+    ``n_strata_used``, ``ate``, ``se``, ``z``, ``significant``.
+
+    Scale shape: ONE ntile window on the (group) partitioning + ONE
+    map-side-combined DECIMAL reduce per (group, stratum) + a strata-
+    sized rollup — :func:`stratified_ate_sql` is exact."""
+    gcols = list(group_cols or [])
+    if n_strata < 2:
+        raise ValueError("stratified_ate: n_strata must be >= 2")
+    y = F.col(outcome_col).cast("double")
+    p = F.col(propensity_col).cast("double")
+    t = (F.col(treat_col).cast("double") != 0.0).cast("int")
+    src = df.where(y.isNotNull() & p.isNotNull()).select(
+        *gcols,
+        t.alias("_t"),
+        y.alias("_y"),
+        p.alias("_p"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(
+        F.col("_p").asc(), F.col("_id").asc()
+    )
+    strat = src.withColumn("_s", F.ntile(n_strata).over(w))
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    is_t = F.col("_t") == 1
+    cells = strat.groupBy(*gcols, "_s").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("double").alias("_nt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("double").alias("_nc"),
+        dec(F.when(is_t, F.col("_y"))).alias("_st"),
+        dec(F.when(~is_t, F.col("_y"))).alias("_sc"),
+        dec(F.when(is_t, F.col("_y") * F.col("_y"))).alias("_sst"),
+        dec(F.when(~is_t, F.col("_y") * F.col("_y"))).alias("_ssc"),
+    )
+    nt, nc = F.col("_nt"), F.col("_nc")
+    usable = (nt > 0.0) & (nc > 0.0)
+    diff = F.col("_st") / nt - F.col("_sc") / nc
+    vt = F.when(nt >= 2.0,
+                (nt * F.col("_sst") - F.col("_st") * F.col("_st"))
+                / (nt * (nt - 1.0)))
+    vc = F.when(nc >= 2.0,
+                (nc * F.col("_ssc") - F.col("_sc") * F.col("_sc"))
+                / (nc * (nc - 1.0)))
+    # per-stratum terms ride the DECIMAL grid into the rollup
+    terms = cells.select(
+        *gcols,
+        nt.alias("_nt"), nc.alias("_nc"),
+        F.when(usable, nt + nc).otherwise(F.lit(0.0)).alias("_wn"),
+        F.when(usable, F.round(diff * (nt + nc), 6).cast("decimal(38,6)"))
+        .alias("_wd"),
+        F.when(
+            usable,
+            F.round((vt / nt + vc / nc) * (nt + nc) * (nt + nc), 6)
+            .cast("decimal(38,6)"),
+        ).alias("_wv"),
+        F.when(usable, 1).otherwise(0).alias("_used"),
+    )
+    st = terms.groupBy(*gcols).agg(
+        F.sum("_nt").cast("long").alias("n_treat"),
+        F.sum("_nc").cast("long").alias("n_ctrl"),
+        F.sum("_used").cast("long").alias("n_strata_used"),
+        F.sum("_wn").alias("_tw"),
+        F.sum("_wd").cast("double").alias("_td"),
+        F.sum("_wv").cast("double").alias("_tv"),
+    )
+    ate = F.when(F.col("_tw") > 0.0, F.col("_td") / F.col("_tw"))
+    se = F.when(
+        F.col("_tw") > 0.0,
+        F.sqrt(F.col("_tv")) / F.col("_tw"),
+    )
+    z = F.when(se > 0.0, ate / se)
+    return st.select(
+        *gcols,
+        "n_treat", "n_ctrl", "n_strata_used",
+        F.round(ate, 6).alias("ate"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), F.abs(F.round(z, 6)) >= 1.96).alias("significant"),
+    )
+
+
+def stratified_ate_sql(
+    source: str,
+    treat_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    id_col: str,
+    *,
+    n_strata: int = 5,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`stratified_ate` (same tie-broken
+    ntile strata, same exclusion rule, same DECIMAL term grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    grp_s = f"GROUP BY {g}, _s" if g else "GROUP BY _s"
+    part = f"PARTITION BY {g} " if g else ""
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    vt = ("CASE WHEN _nt >= 2.0 THEN"
+          " (_nt * _sst - _st * _st) / (_nt * (_nt - 1.0)) END")
+    vc = ("CASE WHEN _nc >= 2.0 THEN"
+          " (_nc * _ssc - _sc * _sc) / (_nc * (_nc - 1.0)) END")
+    return f"""
+WITH _src AS (
+    SELECT {gsel}
+           CASE WHEN CAST({treat_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END AS _t,
+           CAST({outcome_col} AS DOUBLE) AS _y,
+           CAST({propensity_col} AS DOUBLE) AS _p,
+           {id_col} AS _id
+    FROM {source}
+    WHERE {outcome_col} IS NOT NULL AND {propensity_col} IS NOT NULL
+), _strat AS (
+    SELECT *, NTILE({n_strata}) OVER ({part}ORDER BY _p ASC, _id ASC) AS _s
+    FROM _src
+), _cells AS (
+    SELECT {gsel}_s,
+           CAST(SUM(CASE WHEN _t = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS _nt,
+           CAST(SUM(CASE WHEN _t = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS _nc,
+           {dec.format(v="CASE WHEN _t = 1 THEN _y END")} AS _st,
+           {dec.format(v="CASE WHEN _t = 0 THEN _y END")} AS _sc,
+           {dec.format(v="CASE WHEN _t = 1 THEN _y * _y END")} AS _sst,
+           {dec.format(v="CASE WHEN _t = 0 THEN _y * _y END")} AS _ssc
+    FROM _strat
+    {grp_s}
+), _terms AS (
+    SELECT {gsel}_nt, _nc,
+           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN _nt + _nc ELSE 0.0 END AS _wn,
+           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN
+             CAST(round((_st / _nt - _sc / _nc) * (_nt + _nc), 6)
+                  AS DECIMAL(38,6)) END AS _wd,
+           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN
+             CAST(round((({vt}) / _nt + ({vc}) / _nc)
+                        * (_nt + _nc) * (_nt + _nc), 6)
+                  AS DECIMAL(38,6)) END AS _wv,
+           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN 1 ELSE 0 END AS _used
+    FROM _cells
+), _st2 AS (
+    SELECT {gsel}CAST(SUM(_nt) AS BIGINT) AS n_treat,
+           CAST(SUM(_nc) AS BIGINT) AS n_ctrl,
+           CAST(SUM(_used) AS BIGINT) AS n_strata_used,
+           SUM(_wn) AS _tw,
+           CAST(SUM(_wd) AS DOUBLE) AS _td,
+           CAST(SUM(_wv) AS DOUBLE) AS _tv
+    FROM _terms
+    {grp}
+)
+SELECT {gsel}n_treat, n_ctrl, n_strata_used,
+       round(CASE WHEN _tw > 0.0 THEN _td / _tw END, 6) AS ate,
+       round(CASE WHEN _tw > 0.0 THEN sqrt(_tv) / _tw END, 6) AS se,
+       round(CASE WHEN _tw > 0.0 AND sqrt(_tv) / _tw > 0.0
+                  THEN (_td / _tw) / (sqrt(_tv) / _tw) END, 6) AS z,
+       CASE WHEN _tw > 0.0 AND sqrt(_tv) / _tw > 0.0
+            THEN abs(round((_td / _tw) / (sqrt(_tv) / _tw), 6)) >= 1.96 END
+           AS significant
+FROM _st2
+"""

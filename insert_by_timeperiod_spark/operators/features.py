@@ -1365,3 +1365,105 @@ SELECT {id_col}, dim,
              OVER (PARTITION BY {id_col}) AS DOUBLE)), 6) AS value
 FROM _counts
 """
+
+
+def prob_forecast_eval(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Proper-scoring-rule evaluation (SURVEY.md §2 C240; Brier 1950):
+    the single-number honesty scores next to C202's threshold sweep and
+    C156's calibration curve — Brier = mean (p−y)², log loss =
+    −mean(y·ln p + (1−y)·ln(1−p)), and the Brier SKILL score against
+    the base-rate climatology forecast (BSS = 1 − Brier/(r(1−r)); > 0
+    means the model beats always-predicting-the-prevalence, the bar a
+    surprising number of production models fail). Probabilities clip to
+    [eps, 1−eps] before the log on BOTH engines (a hard 0/1 that's
+    wrong is infinitely penalized otherwise); out-of-[0,1] rows raise
+    nothing but clip too — they're counted in ``n_clipped`` so garbage
+    scores are visible. Output per group: ``n``, ``pos_rate``,
+    ``brier``, ``brier_skill``, ``log_loss``, ``n_clipped``.
+
+    Scale shape: ONE map-side-combined DECIMAL aggregate; zero shuffle
+    beyond it — :func:`prob_forecast_eval_sql` is exact."""
+    gcols = list(group_cols or [])
+    if not 0.0 < eps < 0.5:
+        raise ValueError("prob_forecast_eval: eps must be in (0, 0.5)")
+    y = (F.col(label_col).cast("double") != 0.0).cast("double")
+    p_raw = F.col(prob_col).cast("double")
+    p = F.least(F.greatest(p_raw, F.lit(eps)), F.lit(1.0 - eps))
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    ll = -(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))
+    st = (
+        df.where(p_raw.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(y).cast("double").alias("_pos"),
+            dec((p - y) * (p - y)).alias("_sb"),
+            dec(ll).alias("_sll"),
+            F.sum(
+                F.when((p_raw < eps) | (p_raw > 1.0 - eps), 1).otherwise(0)
+            ).cast("long").alias("n_clipped"),
+        )
+    )
+    n = F.col("_n")
+    rate = F.col("_pos") / n
+    brier = F.col("_sb") / n
+    clim = rate * (1.0 - rate)
+    return st.select(
+        *gcols,
+        n.cast("long").alias("n"),
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(brier, 6).alias("brier"),
+        F.round(F.when(clim > 0.0, 1.0 - brier / clim), 6).alias("brier_skill"),
+        F.round(F.col("_sll") / n, 6).alias("log_loss"),
+        "n_clipped",
+    )
+
+
+def prob_forecast_eval_sql(
+    source: str,
+    label_col: str,
+    prob_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    eps: float = 1e-6,
+) -> str:
+    """Exact DuckDB twin of :func:`prob_forecast_eval` (same clip, same
+    DECIMAL grid, same climatology skill reference)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    y = f"(CASE WHEN CAST({label_col} AS DOUBLE) <> 0.0 THEN 1.0 ELSE 0.0 END)"
+    praw = f"CAST({prob_col} AS DOUBLE)"
+    p = f"least(greatest({praw}, {eps!r}), {1.0 - eps!r})"
+    ll = f"-({y} * ln({p}) + (1.0 - {y}) * ln(1.0 - {p}))"
+    return f"""
+WITH _st AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _n,
+           CAST(SUM({y}) AS DOUBLE) AS _pos,
+           {dec.format(v=f"({p} - {y}) * ({p} - {y})")} AS _sb,
+           {dec.format(v=ll)} AS _sll,
+           CAST(SUM(CASE WHEN {praw} < {eps!r} OR {praw} > {1.0 - eps!r}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM {source}
+    WHERE {prob_col} IS NOT NULL AND {label_col} IS NOT NULL
+    {grp}
+)
+SELECT {gsel}CAST(_n AS BIGINT) AS n,
+       round(_pos / _n, 6) AS pos_rate,
+       round(_sb / _n, 6) AS brier,
+       round(CASE WHEN (_pos / _n) * (1.0 - _pos / _n) > 0.0
+                  THEN 1.0 - (_sb / _n) / ((_pos / _n) * (1.0 - _pos / _n))
+             END, 6) AS brier_skill,
+       round(_sll / _n, 6) AS log_loss,
+       n_clipped
+FROM _st
+"""

@@ -1,0 +1,146 @@
+"""Pins for C239 (propensity-stratified ATE) and C240 (Brier / log-loss
+proper-scoring evaluation)."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import analytics, features
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        rows, "g string, id long, t int, y double, p double")
+
+
+def test_stratified_ate_removes_confounding(spark):
+    # high-x users opt in more AND score higher; the true effect is +2.
+    # The naive diff must be badly inflated; the stratified ATE must not.
+    random.seed(13)
+    rows = []
+    for i in range(3000):
+        x = random.random()
+        t = 1 if random.random() < 0.2 + 0.6 * x else 0
+        yv = 10 * x + 2 * t + random.gauss(0, 0.5)
+        rows.append(("g", i, t, round(yv, 4), round(0.2 + 0.6 * x, 6)))
+    df = _obs(spark, rows)
+    out = analytics.stratified_ate(df, "t", "y", "p", "id",
+                                   n_strata=10).collect()[0]
+    assert abs(out["ate"] - 2.0) < 0.3
+    naive = (sum(r[3] for r in rows if r[2] == 1) / sum(r[2] for r in rows)
+             - sum(r[3] for r in rows if r[2] == 0)
+             / sum(1 - r[2] for r in rows))
+    assert naive - 2.0 > 0.8  # confounding inflates the naive diff
+    assert out["significant"] is True
+
+
+def test_stratified_ate_excludes_one_arm_strata(spark):
+    # bottom half of propensity is ALL control: those strata must drop
+    rows = []
+    for i in range(200):
+        p = i / 200.0
+        t = 1 if (p >= 0.5 and i % 2 == 0) else 0
+        rows.append(("g", i, t, 5.0 + 3.0 * t, round(p, 4)))
+    out = analytics.stratified_ate(df := _obs(spark, rows), "t", "y", "p",
+                                   "id", n_strata=4).collect()[0]
+    assert out["n_strata_used"] == 2      # only the top two strata mix arms
+    assert out["ate"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_stratified_ate_no_overlap_yields_null(spark):
+    rows = [("g", i, 1, 5.0, 0.9) for i in range(10)]
+    out = analytics.stratified_ate(_obs(spark, rows), "t", "y", "p",
+                                   "id", n_strata=2).collect()[0]
+    assert out["ate"] is None and out["n_strata_used"] == 0
+    with pytest.raises(ValueError):
+        analytics.stratified_ate(_obs(spark, rows), "t", "y", "p", "id",
+                                 n_strata=1)
+
+
+def test_stratified_ate_matches_twin(spark):
+    random.seed(29)
+    rows = []
+    for i in range(600):
+        seg = "s" + str(i % 2)
+        x = random.random()
+        t = 1 if random.random() < x else 0
+        rows.append((seg, i, t, round(3 * x + t + random.gauss(0, 1), 4),
+                     round(x, 6)))
+    rows.append(("s0", 9001, 1, None, 0.5))  # NULL outcome excluded
+    df = _obs(spark, rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, id BIGINT, t INT, y DOUBLE, p DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    assert_df_matches_duck(
+        analytics.stratified_ate(df, "t", "y", "p", "id", n_strata=5,
+                                 group_cols=["g"]),
+        con,
+        analytics.stratified_ate_sql("t", "t", "y", "p", "id", n_strata=5,
+                                     group_cols=["g"]))
+    assert_df_matches_duck(
+        analytics.stratified_ate(df, "t", "y", "p", "id", n_strata=8),
+        con,
+        analytics.stratified_ate_sql("t", "t", "y", "p", "id", n_strata=8))
+    con.close()
+
+
+def _pe(spark, rows):
+    return spark.createDataFrame(rows, "g string, y int, p double")
+
+
+def test_prob_eval_hand_case(spark):
+    # perfect-ish forecast: p = y exactly -> clipped to eps, brier ~ 0
+    rows = [("g", 1, 1.0), ("g", 0, 0.0), ("g", 1, 1.0), ("g", 0, 0.0)]
+    out = features.prob_forecast_eval(_pe(spark, rows), "y", "p").collect()[0]
+    assert out["brier"] == pytest.approx(0.0, abs=1e-6)
+    assert out["brier_skill"] == pytest.approx(1.0, abs=1e-4)
+    assert out["n_clipped"] == 4  # hard 0/1 sits outside [eps, 1-eps]
+    assert out["log_loss"] == pytest.approx(-math.log(1 - 1e-6), abs=1e-6)
+
+
+def test_prob_eval_climatology_has_zero_skill(spark):
+    # always predicting the base rate: BSS = 0 by construction
+    rows = [("g", 1 if i % 4 == 0 else 0, 0.25) for i in range(400)]
+    out = features.prob_forecast_eval(_pe(spark, rows), "y", "p").collect()[0]
+    assert out["pos_rate"] == pytest.approx(0.25)
+    assert out["brier_skill"] == pytest.approx(0.0, abs=1e-4)
+    # an anti-calibrated forecast must score NEGATIVE skill
+    rows2 = [("g", 1 if i % 4 == 0 else 0, 0.9 if i % 4 else 0.1)
+             for i in range(400)]
+    out2 = features.prob_forecast_eval(_pe(spark, rows2), "y", "p").collect()[0]
+    assert out2["brier_skill"] < 0
+
+
+def test_prob_eval_hard_wrong_is_heavily_penalized(spark):
+    # one confident-wrong row dominates log loss but not brier
+    rows = [("g", 1, 0.9)] * 99 + [("g", 1, 0.0)]
+    out = features.prob_forecast_eval(_pe(spark, rows), "y", "p").collect()[0]
+    assert out["log_loss"] > 0.2  # ln(1e-6)/100 alone is ~0.138
+    assert out["brier"] < 0.02
+    with pytest.raises(ValueError):
+        features.prob_forecast_eval(_pe(spark, rows), "y", "p", eps=0.7)
+
+
+def test_prob_eval_matches_twin(spark):
+    random.seed(37)
+    rows = []
+    for i in range(500):
+        yv = 1 if random.random() < 0.4 else 0
+        pr = min(max(0.4 + (0.3 if yv else -0.25) + random.gauss(0, 0.15),
+                     0.0), 1.0)
+        rows.append(("m" + str(i % 2), yv, round(pr, 4)))
+    rows.append(("m0", 0, None))
+    df = _pe(spark, rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(g VARCHAR, y INT, p DOUBLE)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        features.prob_forecast_eval(df, "y", "p", group_cols=["g"]),
+        con, features.prob_forecast_eval_sql("e", "y", "p", group_cols=["g"]))
+    assert_df_matches_duck(
+        features.prob_forecast_eval(df, "y", "p", eps=0.001),
+        con, features.prob_forecast_eval_sql("e", "y", "p", eps=0.001))
+    con.close()

@@ -1,0 +1,7 @@
+"""Setuptools shim so `pip install -e .` / `python setup.py develop` work on
+environments whose setuptools predates PEP 660 editable wheels (the pinned
+metadata lives in pyproject.toml)."""
+
+from setuptools import setup
+
+setup()

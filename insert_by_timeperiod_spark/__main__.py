@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "crash/resume semantics are identical to N=1. The "
                         "lever for long backfills dominated by serial "
                         "per-batch job latency")
+    p.add_argument("--concurrent-min-batch-bytes", type=int, default=None,
+                   metavar="BYTES",
+                   help="auto-gate for --concurrent-batches: below this "
+                        "estimated input volume per batch the run stays "
+                        "sequential (thread overlap costs more than it saves "
+                        "on small batches). Default 256 MiB; 0 forces "
+                        "concurrency regardless of size")
     p.add_argument("--period-additive-model", action="store_true",
                    help="declare the model period-additive: a batch compiles one "
                         "widened plan instead of an N-way union (NOT for "
@@ -205,6 +212,11 @@ def main(argv: list[str] | None = None) -> int:
         ),
         period_additive_model=args.period_additive_model,
         concurrent_batches=args.concurrent_batches,
+        **(
+            {"concurrent_min_batch_bytes": args.concurrent_min_batch_bytes}
+            if args.concurrent_min_batch_bytes is not None
+            else {}
+        ),
         date_source_models=args.date_source_model,
         source_timestamp_field=args.source_timestamp_field,
     )

@@ -136,12 +136,25 @@ class IBTPConfig:
     periods_per_commit: int = 1
     period_additive_model: bool = False
     concurrent_batches: int = 1
+    #: auto-gate for concurrent_batches: when the estimated input volume per
+    #: batch (metadata-only — partition-pruned file listing + file sizes)
+    #: falls below this many bytes, the engine runs sequentially even if
+    #: concurrent_batches > 1. Thread overlap pays fixed costs (staging
+    #: dirs, gateway contention, per-batch job setup) that exceed its win on
+    #: small batches — measured at sf1: concurrent 7.4s vs sequential 2.6s
+    #: on ~MB-sized weekly batches (VERDICT r7). The 256 MiB default is well
+    #: under the reference's 6–60M-rows-per-chunk production sweet spot
+    #: (/root/reference/README.md:104), so real cluster batches stay
+    #: concurrent; set 0 to force concurrency regardless of size.
+    concurrent_min_batch_bytes: int = 256 << 20
 
     def __post_init__(self) -> None:
         if self.periods_per_commit < 1:
             raise ValueError("periods_per_commit must be >= 1")
         if self.concurrent_batches < 1:
             raise ValueError("concurrent_batches must be >= 1")
+        if self.concurrent_min_batch_bytes < 0:
+            raise ValueError("concurrent_min_batch_bytes must be >= 0")
         # negative window would shrink the probe below the rewrite range and
         # silently drop surviving rows from replaced partitions
         if self.upsert_probe_window is not None and self.upsert_probe_window < 0:

@@ -441,6 +441,27 @@ class InsertByTimeperiod:
                 self.config.on_schema_change.value,
             )
             conc = 1
+        if conc > 1 and not keyed and self.config.concurrent_min_batch_bytes:
+            # work-threshold auto-gate: thread overlap pays fixed costs
+            # (private staging dirs, py4j gateway contention, per-batch job
+            # setup) that outweigh its win on small batches — measured 2.9×
+            # SLOWER than sequential on ~MB weekly batches (VERDICT r7).
+            # The estimate is metadata-only (partition-pruned file listing
+            # + file stats); unknowable inputs (non-file sources, huge
+            # listings) keep the caller's setting.
+            per_batch = self._estimate_batch_bytes(batches)
+            if (
+                per_batch is not None
+                and per_batch < self.config.concurrent_min_batch_bytes
+            ):
+                log.info(
+                    "concurrent_batches disabled: ~%.1f MiB estimated input "
+                    "per batch < %.0f MiB threshold "
+                    "(config.concurrent_min_batch_bytes=0 forces concurrency)",
+                    per_batch / (1 << 20),
+                    self.config.concurrent_min_batch_bytes / (1 << 20),
+                )
+                conc = 1
         if conc > 1 and not keyed:
             # overlap the heavy per-batch compute (model run + file write to
             # a private staging dir) across worker threads; publishes —
@@ -550,6 +571,33 @@ class InsertByTimeperiod:
         if self.post_run:
             self.post_run()
         return result
+
+    def _estimate_batch_bytes(self, batches: list[list[Period]]) -> int | None:
+        """Estimated input bytes per batch, from METADATA only: build the
+        whole-todo-span plan once (lazy — nothing executes), take its
+        partition-pruned file listing (``inputFiles``), stat the files via
+        the Hadoop FS, divide by the batch count. Returns None — "keep the
+        caller's concurrency setting" — when the answer is unknowable (no
+        file sources behind the model) or already obvious (a listing past
+        ~512 files is real volume, and stat-ing each would spend O(files)
+        py4j round trips answering a question the count already answered)."""
+        from .fs import HadoopFS
+
+        try:
+            span = Period(batches[0][0].start, batches[-1][-1].end)
+            files = self._period_df(span).inputFiles()
+        except Exception:  # noqa: BLE001 — estimation is advisory only
+            return None
+        if not files:
+            return None
+        if len(files) > 512:
+            return None
+        try:
+            fs = HadoopFS(self.spark, files[0])
+            total = sum(fs.file_size(f) for f in files)
+        except Exception:  # noqa: BLE001
+            return None
+        return total // max(1, len(batches))
 
     def _run_batches_concurrent(
         self,

@@ -68,6 +68,11 @@ class HadoopFS:
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._Path(path))
 
+    def file_size(self, path: str) -> int:
+        """Length in bytes from the file's status — one metadata round trip,
+        never a read."""
+        return int(self._fs.getFileStatus(self._Path(path)).getLen())
+
     def listdir(self, path: str) -> list[str]:
         p = self._Path(path)
         if not self._fs.exists(p):

@@ -518,7 +518,7 @@ def minhash_lsh_pairs(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
             )
-            .dropDuplicates(["id_a", "id_b"])
+            # dedupe deferred to after the prefilter — see the capped branch
         )
     else:
         wb = Window.partitionBy("band", "bucket")
@@ -537,10 +537,15 @@ def minhash_lsh_pairs(
                 ),
             )
         )
+        # NOTE no dropDuplicates here: the same pair repeats only when the
+        # docs agree on MULTIPLE bands (i.e. true near-dups — measured 209k
+        # raw vs 203k distinct on the sf0.1 planted corpus, 3%), so a
+        # pair-level exchange to dedupe the raw stream costs a full shuffle
+        # to remove almost nothing; the dedupe runs after the prefilter
+        # below, where the stream is candidate-survivors-sized.
         cand = (
             grouped.select(F.explode(pair_arr).alias("_p"))
             .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
         )
 
     # two-stage verify, both joined back BY ID so the banding shuffle never
@@ -561,6 +566,11 @@ def minhash_lsh_pairs(
         .join(sig_tbl.select(F.col("_sid").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
         .where(est >= est_floor)
         .select("id_a", "id_b")
+        # the deferred pair dedupe: cross-band repeats are true near-dups,
+        # so they always reach this point — deduping HERE (survivor-sized
+        # stream) instead of on the raw candidate stream saves a full
+        # candidate exchange per call (bench: 3.11s -> see commit)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
     # exact verify fetches TEXT for the candidate rows only and shingles it

@@ -78,7 +78,10 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
 #: content) for the multimodal operators — pair with
 #: `pathGlobFilter`/`recursiveFileLookup` options and feed `content`
 #: straight into multimodal.decode_pixels.
-SOURCE_FORMATS = ("parquet", "csv", "json", "orc", "text", "binaryFile")
+#: `xml` is built-in since Spark 4 (StaxXMLRecordReader); the reader needs a
+#: ``rowTag`` — a sensible default is applied so feed-style documents
+#: (<rows><row>...</row></rows>) read out of the box.
+SOURCE_FORMATS = ("parquet", "csv", "json", "orc", "text", "binaryFile", "xml")
 
 
 def read_source(
@@ -112,6 +115,14 @@ def read_source(
         # wholetext=false (default): one row per line — pass wholetext=true
         # for one document per file, the common corpus-shard layout
         options = {"lineSep": "\n", **options}
+    elif fmt == "xml":
+        # rowTag is mandatory for the XML reader; timestamps serialize as
+        # text, so pin the micro format for lossless roundtrips like csv
+        options = {
+            "rowTag": "row",
+            "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            **options,
+        }
     return reader.options(**options).format(fmt).load(path)
 
 

@@ -65,6 +65,9 @@ class DriftMonitorStream:
         counts = drift.bin_by_edges(batch_df, self.value_col, self.edges)
         (
             counts.withColumn("batch_id", F.lit(int(batch_id)))
+            # bounded by construction: `counts` is one row per histogram bin
+            # (len(edges)+1 rows, corpus-size-independent), so a single
+            # output file per batch is the right layout, never a bottleneck
             .repartition(1)
             .write.mode("overwrite")
             # enforce dynamic partition overwrite LOCALLY: on a session

@@ -20,7 +20,12 @@ def events(spark, sf_dir):
 #: csv/json serialize timestamps as text — default format is millis, so a
 #: microsecond format must be pinned on BOTH sides for lossless roundtrip
 _TS_FMT = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
-_TEXT_OPTS = {"csv": {"header": "true", **_TS_FMT}, "json": _TS_FMT}
+_TEXT_OPTS = {
+    "csv": {"header": "true", **_TS_FMT},
+    "json": _TS_FMT,
+    # xml writes need the row element name pinned to the reader's default
+    "xml": {"rowTag": "row", "rootTag": "rows", **_TS_FMT},
+}
 
 
 #: text/binaryFile are read-oriented (a text write keeps one string column;

@@ -66,6 +66,7 @@ from insert_by_timeperiod_spark.operators import (
     dedup,
     joins,
     lmscore,
+    logreg,
     multimodal,
     geo,
     packing,
@@ -6797,6 +6798,24 @@ _ATE_SRC_DUCK = """(
 )"""
 
 
+def _logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C241 (annex, EXACT oracle): the LLM-pipeline quality-classifier
+    chain — hash-vectorize documents (C228 features, dims=64), train a
+    logistic regression by 3 full-batch GD rounds on the doc_id%7<3 seed
+    (label = the arithmetic length>=300 split), score EVERY doc. The
+    oracle is the fully unrolled GD as chained CTEs on the same decimal
+    grid (operators/logreg.py) — a drifted weight, probability, or
+    rounding anywhere in 3 iterations flips the hash."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    feats = features.hashing_vectorizer(docs, dims=64)
+    labels = docs.where(F.col("doc_id") % 7 < 3).select(
+        "doc_id", (F.length("text") >= 300).cast("int").alias("label")
+    )
+    w = logreg.logreg_fit(feats, labels, iterations=3, lr=0.5)
+    return logreg.logreg_score(feats, docs, w)
+
+
 def _prob_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C240 (annex, EXACT oracle): Brier / log-loss / skill of a
     deterministic pseudo-probability (value percentile proxy) against
@@ -7160,6 +7179,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "forecast_accuracy_daily": _forecast_acc,
         "stratified_ate_events": _strat_ate,
         "prob_eval_purchase": _prob_eval,
+        "logreg_quality_docs": _logreg_quality,
     }
 
 
@@ -7923,6 +7943,10 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "prob_eval_purchase": features.prob_forecast_eval_sql(
             _PROBEVAL_SRC_DUCK, "y", "p", group_cols=["daytype"],
+        ),
+        "logreg_quality_docs": logreg.logreg_quality_sql(
+            "documents", label_expr="length(text) >= 300",
+            seed_pred="doc_id % 7 < 3", dims=64, iterations=3, lr=0.5,
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

@@ -1,0 +1,304 @@
+"""Distributed logistic regression — the quality-classifier trainer/scorer.
+
+SURVEY.md §2 C241. The fastText-style quality filter is a standard stage of
+LLM data pipelines (CCNet, LLaMA, GPT-3 data work all train a small linear
+classifier on a labeled seed set and score the whole corpus with it); the
+reference delegates any such modeling to the warehouse. This module trains
+the model WHERE THE DATA IS: full-batch gradient descent over sparse hashed
+features (C228's ``hashing_vectorizer`` output shape), with the model state
+(``dims``+1 weights) bounded and driver-held exactly like C81's k-means
+centroids — never corpus-sized.
+
+Scale shape (100 TB): per iteration, (1) score = features ⋈ BROADCAST
+weight map → one map-side-combined sum per doc (shuffle keyed by doc id);
+(2) gradient = residuals ⋈ features by doc id → one map-side-combined sum
+per dim (shuffle keyed by dim, output bounded by ``dims``); the collected
+gradient is ``dims``-sized, never O(rows). The labeled-seed feature slice is
+persisted once and reused across iterations. Corpus-sized sums run on the
+DECIMAL grid (exact, addition-order-free — a double sum would drift with
+partitioning); bounded per-value arithmetic runs in doubles and re-enters
+the 6-decimal grid each step, the same discipline as C232's raking, so the
+unrolled SQL twins are exact.
+
+Determinism contract: weights after every update, probabilities after every
+sigmoid, and scores all live on the 6-decimal grid; updates round HALF-UP
+(``decimal.ROUND_HALF_UP``) matching Spark's ``F.round`` and DuckDB's
+``round``.
+"""
+
+from __future__ import annotations
+
+import logging
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger("insert_by_timeperiod_spark")
+
+#: bias term rides as a synthetic feature dimension so the twin needs no
+#: special case; real hashed dims are >= 0
+BIAS_DIM = -1
+
+_DEC = "decimal(28,6)"
+_DEC_SUM = "decimal(38,6)"
+
+
+def _round6(x: float) -> float:
+    """Half-up to the 6-decimal grid — matches Spark F.round / DuckDB round
+    (Python's built-in round is banker's and would diverge on midpoints)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _with_bias(feats: DataFrame, ids: DataFrame, id_col: str,
+               dim_col: str, value_col: str) -> DataFrame:
+    """Features ∪ one (id, BIAS_DIM, 1) row per id — ids drawn from the
+    doc-id frame (NOT the feature frame), so empty-text docs still carry
+    the intercept and receive a score."""
+    bias = ids.select(
+        F.col(id_col),
+        F.lit(BIAS_DIM).alias(dim_col),
+        F.lit(1.0).alias(value_col),
+    )
+    return feats.select(id_col, dim_col, value_col).unionByName(bias)
+
+
+def _score_col(wmap, dim_col: str, value_col: str):
+    """Per-row contribution value·w(dim) on the exact DECIMAL grid."""
+    return (
+        F.col(value_col).cast(_DEC)
+        * F.coalesce(wmap[F.col(dim_col)], F.lit(0).cast(_DEC))
+    )
+
+
+def _weight_map(weights: dict[int, float]):
+    """Broadcast-literal weight lookup: dims are bounded (the hashing trick
+    fixes the feature space), so the model always fits in a map literal —
+    the join with corpus features is a scan-stage map lookup, no shuffle."""
+    entries = []
+    for d, w in sorted(weights.items()):
+        entries.append(F.lit(int(d)))
+        entries.append(F.lit(f"{w:.6f}").cast(_DEC))
+    return F.create_map(*entries)
+
+
+def logreg_fit(
+    feats: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    dim_col: str = "dim",
+    value_col: str = "value",
+    label_col: str = "label",
+    iterations: int = 3,
+    lr: float = 0.5,
+) -> dict[int, float]:
+    """Fit logistic-regression weights by full-batch gradient descent.
+
+    ``feats`` is sparse — (id, dim, value) rows, the C228 vectorizer shape;
+    ``labels`` is (id, label∈{0,1}) over the SEED set (ids absent from
+    ``labels`` are simply not trained on). Returns the fitted weights as a
+    dict {dim: weight} including the ``BIAS_DIM`` intercept — bounded by
+    the feature space, never by the corpus.
+
+    Every iteration: p = σ(Xw) on the 6-grid, gradient gⱼ = Σᵢ xᵢⱼ(pᵢ−yᵢ)
+    as an EXACT decimal sum, then wⱼ ← round(wⱼ − lr·gⱼ/n, 6). Weights
+    start at 0 (a deterministic, convex start — no RNG, no seed)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = feats.sparkSession
+    lab = labels.select(
+        F.col(id_col), F.col(label_col).cast("int").alias("_y")
+    )
+    bad = lab.where(~F.col("_y").isin(0, 1) | F.col("_y").isNull()).count()
+    if bad:
+        raise ValueError(f"logreg_fit: {bad} labels outside {{0,1}}")
+    n = lab.count()
+    if n == 0:
+        raise ValueError("logreg_fit: labels frame is empty")
+
+    # the training working set: seed-labeled feature rows + bias rows,
+    # persisted once — every iteration reuses it twice (score + gradient)
+    x = (
+        _with_bias(feats, lab.select(id_col), id_col, dim_col, value_col)
+        .join(lab, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(dim_col).cast("int").alias("_dim"),
+            F.col(value_col).cast(_DEC).alias("_x"),
+            F.col("_y"),
+        )
+        .persist()
+    )
+    try:
+        weights: dict[int, float] = {BIAS_DIM: 0.0}
+        for d in (r["_dim"] for r in x.select("_dim").distinct().collect()):
+            weights.setdefault(int(d), 0.0)
+        for _ in range(iterations):
+            wmap = _weight_map(weights)
+            z = x.groupBy("_id", "_y").agg(
+                F.sum(F.col("_x") * F.coalesce(wmap[F.col("_dim")],
+                                               F.lit(0).cast(_DEC))
+                      ).cast(_DEC_SUM).alias("_z")
+            )
+            resid = z.select(
+                "_id",
+                (
+                    F.round(
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-F.col("_z").cast("double"))),
+                        6,
+                    ).cast(_DEC)
+                    - F.col("_y").cast(_DEC)
+                ).alias("_r"),
+            )
+            grad = (
+                x.join(resid, "_id")
+                .groupBy("_dim")
+                .agg(F.sum(F.col("_x") * F.col("_r")).cast(_DEC_SUM).alias("_g"))
+                .collect()
+            )
+            for row in grad:
+                d = int(row["_dim"])
+                step = lr * float(row["_g"]) / n
+                weights[d] = _round6(weights[d] - step)
+    finally:
+        x.unpersist(blocking=False)
+    return weights
+
+
+def logreg_weights_df(spark, weights: dict[int, float]) -> DataFrame:
+    """The fitted model as a (dim, weight) frame — the persistable artifact
+    (write it next to the corpus; score any later snapshot with it)."""
+    return spark.createDataFrame(
+        [(int(d), float(w)) for d, w in sorted(weights.items())],
+        "dim int, weight double",
+    )
+
+
+def logreg_score(
+    feats: DataFrame,
+    ids: DataFrame,
+    weights: dict[int, float],
+    *,
+    id_col: str = "doc_id",
+    dim_col: str = "dim",
+    value_col: str = "value",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score docs with fitted weights: (id, score, pred). ``ids`` is the
+    frame of doc ids to score (docs with no feature rows still score —
+    bias-only). ONE map-side-combined sum per doc; the model rides as a
+    broadcast map literal, so scoring is a single shuffle keyed by doc id
+    at any corpus size."""
+    wmap = _weight_map(weights)
+    x = _with_bias(feats, ids.select(id_col), id_col, dim_col, value_col)
+    z = x.groupBy(id_col).agg(
+        F.sum(_score_col(wmap, dim_col, value_col)).cast(_DEC_SUM).alias("_z")
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z").cast("double"))), 6
+    )
+    return z.select(
+        id_col,
+        score.alias("score"),
+        (score >= F.lit(threshold)).cast("int").alias("pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact DuckDB twin: vectorize -> fit (unrolled) -> score, one statement
+# ---------------------------------------------------------------------------
+
+def logreg_quality_sql(
+    source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_expr: str | None = None,
+    seed_pred: str = "TRUE",
+    *,
+    dims: int = 64,
+    iterations: int = 3,
+    lr: float = 0.5,
+    threshold: float = 0.5,
+) -> str:
+    """Exact DuckDB twin of the composed chain hashing_vectorizer →
+    logreg_fit (on rows satisfying ``seed_pred``, labels from
+    ``label_expr``) → logreg_score over every doc: the SAME unrolled GD
+    iterations as chained CTEs, same decimal sums, same 6-grid rounding.
+    ``label_expr`` must be a deterministic 0/1 SQL expression (the planted
+    oracles derive it arithmetically from the row)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if label_expr is None:
+        raise ValueError("label_expr is required")
+    # same md5-prefix dimension hash as hashing_vectorizer_sql (both
+    # operands non-negative, so % == pmod)
+    dim_expr = f"CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {dims} AS INTEGER)"
+    steps = []
+    prev = "_w0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""_z{i} AS (
+    SELECT x._id, x._y,
+           CAST(SUM(x._x * COALESCE(w.w, CAST(0 AS DECIMAL(28,6)))) AS DECIMAL(38,6)) AS _z
+    FROM _x x LEFT JOIN {prev} w ON x._dim = w.dim
+    GROUP BY x._id, x._y
+), _r{i} AS (
+    SELECT _id,
+           CAST(round(1.0 / (1.0 + exp(-CAST(_z AS DOUBLE))), 6) AS DECIMAL(28,6))
+             - CAST(_y AS DECIMAL(28,6)) AS _r
+    FROM _z{i}
+), _g{i} AS (
+    SELECT x._dim AS dim, CAST(SUM(x._x * r._r) AS DECIMAL(38,6)) AS g
+    FROM _x x JOIN _r{i} r USING (_id)
+    GROUP BY x._dim
+), _w{i} AS (
+    SELECT w.dim,
+           CAST(round(CAST(w.w AS DOUBLE)
+                 - {lr!r} * CAST(COALESCE(g.g, 0) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM _seed), 6) AS DECIMAL(28,6)) AS w
+    FROM {prev} w LEFT JOIN _g{i} g USING (dim)
+)""")
+        prev = f"_w{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH _docs AS (
+    SELECT {id_col} AS _id, {text_col} AS _t,
+           CAST({label_expr} AS INT) AS _y,
+           ({seed_pred}) AS _seed
+    FROM {source}
+), _seed AS (
+    SELECT _id, _y FROM _docs WHERE _seed
+), _tok AS (
+    SELECT _id, w
+    FROM (
+        SELECT _id, regexp_split_to_array(lower(_t), '\\s+') AS ws
+        FROM _docs WHERE _t IS NOT NULL
+    ), unnest(ws) AS t(w)
+    WHERE w <> ''
+), _sparse AS (
+    SELECT _id, {dim_expr} AS _dim,
+           CAST(COUNT(*) AS DECIMAL(28,6)) AS _x
+    FROM _tok
+    GROUP BY _id, {dim_expr}
+), _all_x AS (
+    SELECT _id, _dim, _x FROM _sparse
+    UNION ALL
+    SELECT _id, {BIAS_DIM} AS _dim, CAST(1 AS DECIMAL(28,6)) AS _x FROM _docs
+), _x AS (
+    SELECT a._id, a._dim, a._x, s._y
+    FROM _all_x a JOIN _seed s ON a._id = s._id
+), _w0 AS (
+    SELECT DISTINCT _dim AS dim, CAST(0 AS DECIMAL(28,6)) AS w FROM _x
+),
+{chain},
+_zs AS (
+    SELECT a._id,
+           CAST(SUM(a._x * COALESCE(w.w, CAST(0 AS DECIMAL(28,6)))) AS DECIMAL(38,6)) AS _z
+    FROM _all_x a LEFT JOIN {prev} w ON a._dim = w.dim
+    GROUP BY a._id
+)
+SELECT _id AS {id_col},
+       round(1.0 / (1.0 + exp(-CAST(_z AS DOUBLE))), 6) AS score,
+       CAST(round(1.0 / (1.0 + exp(-CAST(_z AS DOUBLE))), 6) >= {threshold!r} AS INT) AS pred
+FROM _zs
+"""

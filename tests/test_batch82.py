@@ -1,0 +1,99 @@
+"""Pins for C241 (distributed logistic regression — the quality-classifier
+trainer/scorer)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import logreg
+from insert_by_timeperiod_spark.operators.features import hashing_vectorizer
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_logreg_learns_planted_separation(spark):
+    """Planted vocabulary split: 'good'-heavy docs labeled 1, 'bad'-heavy
+    docs labeled 0 — after a few full-batch GD rounds every doc scores on
+    the right side of 0.5, and a held-out doc of each vocabulary follows
+    its class."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "good great solid " * 5))
+        else:
+            rows.append((i, "bad awful broken " * 5))
+    df = _docs(spark, rows)
+    feats = hashing_vectorizer(df, dims=32)
+    labels = df.select("doc_id", (F.col("doc_id") % 2 == 0).cast("int").alias("label"))
+    w = logreg.logreg_fit(feats, labels, iterations=8, lr=0.5)
+    held = _docs(spark, [(100, "good great solid"), (101, "bad awful broken")])
+    hf = hashing_vectorizer(held, dims=32)
+    out = {r["doc_id"]: r for r in
+           logreg.logreg_score(hf, held, w).collect()}
+    assert out[100]["score"] > 0.5 > out[101]["score"]
+    assert out[100]["pred"] == 1 and out[101]["pred"] == 0
+    scored = logreg.logreg_score(feats, df, w).collect()
+    assert all((r["pred"] == 1) == (r["doc_id"] % 2 == 0) for r in scored)
+
+
+def test_logreg_bias_only_doc_still_scores(spark):
+    """Docs with NULL/empty text carry no feature rows but must still
+    receive a (bias-only) score — the ids frame, not the feature frame,
+    drives coverage."""
+    df = _docs(spark, [(1, "alpha beta"), (2, None), (3, "")])
+    feats = hashing_vectorizer(df, dims=8)
+    labels = _docs(spark, [(1, "x")]).select(
+        "doc_id", F.lit(1).alias("label"))
+    w = logreg.logreg_fit(feats, labels, iterations=1, lr=0.5)
+    out = logreg.logreg_score(feats, df, w).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+    assert all(r["score"] is not None for r in out)
+
+
+def test_logreg_contracts(spark):
+    df = _docs(spark, [(1, "a b"), (2, "c d")])
+    feats = hashing_vectorizer(df, dims=8)
+    with pytest.raises(ValueError, match="labels frame is empty"):
+        logreg.logreg_fit(feats, df.where("doc_id < 0").select(
+            "doc_id", F.lit(1).alias("label")))
+    with pytest.raises(ValueError, match="outside"):
+        logreg.logreg_fit(feats, df.select(
+            "doc_id", F.lit(2).alias("label")))
+    with pytest.raises(ValueError, match="iterations"):
+        logreg.logreg_fit(feats, df.select(
+            "doc_id", F.lit(1).alias("label")), iterations=0)
+    with pytest.raises(ValueError, match="label_expr"):
+        logreg.logreg_quality_sql("documents")
+
+
+def test_logreg_weights_df_roundtrip(spark):
+    w = {logreg.BIAS_DIM: -0.25, 3: 0.5}
+    df = logreg.logreg_weights_df(spark, w)
+    assert {(r["dim"], r["weight"]) for r in df.collect()} == {(-1, -0.25), (3, 0.5)}
+
+
+def test_logreg_quality_chain_matches_duckdb(spark, views, duck):
+    """The composed chain (hash-vectorize → fit on the doc_id%7<3 seed with
+    the arithmetic length>=300 label → score every doc) against the fully
+    unrolled DuckDB twin — EXACT on the 6-decimal grid."""
+    docs = spark.table("documents")
+    feats = hashing_vectorizer(docs, dims=64)
+    labels = docs.where(F.col("doc_id") % 7 < 3).select(
+        "doc_id", (F.length("text") >= 300).cast("int").alias("label"))
+    w = logreg.logreg_fit(feats, labels, iterations=3, lr=0.5)
+    out = logreg.logreg_score(feats, docs, w)
+    assert_df_matches_duck(
+        out, duck,
+        logreg.logreg_quality_sql(
+            "documents", label_expr="length(text) >= 300",
+            seed_pred="doc_id % 7 < 3", dims=64, iterations=3, lr=0.5,
+        ),
+    )
+    # and the classifier actually learned: longer docs score higher
+    j = out.join(docs, "doc_id").select(
+        F.corr(F.col("score"), F.length("text").cast("double")).alias("c")
+    ).first()
+    assert j["c"] > 0.3

@@ -67,6 +67,7 @@ from insert_by_timeperiod_spark.operators import (
     joins,
     lmscore,
     logreg,
+    preference,
     multimodal,
     geo,
     packing,
@@ -6816,6 +6817,33 @@ def _logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg.logreg_score(feats, docs, w)
 
 
+def _bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C242 (annex, EXACT oracle): Bradley-Terry strengths over the
+    deterministic event-type preference graph (each user's consecutive
+    event-type transitions read as current-beats-previous, lag ordered by
+    (ts, event_id) — a total order both engines share). Oracle = the fully
+    unrolled 10-round MM as MATERIALIZED chained CTEs on the same
+    6-decimal grid (operators/preference.py)."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    prev_type = F.expr(
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY unix_micros(ts), event_id)"
+    )
+    prefs = ev.select(
+        F.col("event_type").alias("winner"), prev_type.alias("loser")
+    ).where(F.col("loser").isNotNull())
+    return preference.bradley_terry(prefs, iterations=10)
+
+
+_BT_SRC_DUCK = (
+    "(SELECT * FROM (SELECT event_type AS winner,"
+    " lag(event_type) OVER (PARTITION BY user_id"
+    "   ORDER BY epoch_us(ts), event_id) AS loser"
+    " FROM events) WHERE loser IS NOT NULL)"
+)
+
+
 def _prob_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C240 (annex, EXACT oracle): Brier / log-loss / skill of a
     deterministic pseudo-probability (value percentile proxy) against
@@ -7180,6 +7208,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "stratified_ate_events": _strat_ate,
         "prob_eval_purchase": _prob_eval,
         "logreg_quality_docs": _logreg_quality,
+        "bradley_terry_events": _bradley_terry,
     }
 
 
@@ -7947,6 +7976,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "logreg_quality_docs": logreg.logreg_quality_sql(
             "documents", label_expr="length(text) >= 300",
             seed_pred="doc_id % 7 < 3", dims=64, iterations=3, lr=0.5,
+        ),
+        "bradley_terry_events": preference.bradley_terry_sql(
+            _BT_SRC_DUCK, iterations=10,
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

@@ -1,0 +1,198 @@
+"""Preference-data operators: Bradley-Terry strength fitting.
+
+SURVEY.md §2 C242. Pairwise human preferences (the raw material of
+RLHF/reward-model training) need a consistency readout before anyone
+trains on them: Bradley-Terry (1952) fits one latent strength per item so
+P(i beats j) = pᵢ/(pᵢ+pⱼ); items whose fitted strength disagrees with
+their raw win rate expose intransitive or imbalanced comparison graphs.
+
+Scale shape (100 TB of preference rows): the corpus collapses to the
+bounded pairwise-count frame in ONE map-side-combined aggregate — that is
+the only pass that sees the data. The MM iterations (Hunter 2004) then run
+on the DRIVER over the collected pair counts, exactly like C81's k-means
+centroids and C241's weights: the model state is items-sized, never
+corpus-sized. (An earlier DataFrame-loop draft rebuilt a self-referential
+join plan per round — 10 rounds of lineage made Catalyst analysis itself
+the bottleneck; bounded state belongs in Python, the corpus in Spark.)
+Every intermediate strength rounds to the 6-decimal grid (the C232
+discipline) so the unrolled SQL twin is exact.
+
+Assumes the ITEM set is bounded (arms, models, prompt variants — the
+preference-eval shape); the comparison COUNT is unbounded. A guard caps
+the collected pair frame at 2M rows (~1.4k items fully connected).
+"""
+
+from __future__ import annotations
+
+import logging
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger("insert_by_timeperiod_spark")
+
+#: collected pair-frame cap: past this, the "bounded item set" assumption
+#: is broken and the caller should aggregate items first
+MAX_PAIR_ROWS = 2_000_000
+
+
+def _round6(x: float) -> float:
+    """Half-up to the 6-decimal grid — matches Spark F.round / DuckDB
+    round (Python's built-in round is banker's)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    *,
+    iterations: int = 10,
+) -> DataFrame:
+    """Fit Bradley-Terry strengths from (winner, loser) preference rows.
+
+    Output one row per item: ``strength`` (normalized to sum 1 on the
+    6-grid), ``wins``, ``comparisons``, ``win_rate`` and ``rank`` (by
+    strength desc, item asc — total order). Self-comparisons
+    (winner = loser) carry no signal and are dropped; NULL items are
+    dropped. Items that never win fit toward 0 (never negative); items
+    that never lose fit toward the ceiling — both stay in the output.
+
+    MM update per round: pᵢ ← Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ), then normalize —
+    every intermediate on the 6-decimal grid, mirrored exactly by
+    :func:`bradley_terry_sql`."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = df.sparkSession
+    prefs = df.where(
+        F.col(winner_col).isNotNull()
+        & F.col(loser_col).isNotNull()
+        & (F.col(winner_col).cast("string") != F.col(loser_col).cast("string"))
+    )
+    lo = F.least(F.col(winner_col).cast("string"), F.col(loser_col).cast("string"))
+    hi = F.greatest(F.col(winner_col).cast("string"), F.col(loser_col).cast("string"))
+    pair_df = prefs.groupBy(lo.alias("_lo"), hi.alias("_hi")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col(winner_col).cast("string") == lo).cast("long")).alias("_w_lo"),
+    )
+    pairs = pair_df.limit(MAX_PAIR_ROWS + 1).collect()
+    if len(pairs) > MAX_PAIR_ROWS:
+        raise ValueError(
+            f"bradley_terry: > {MAX_PAIR_ROWS} distinct item pairs — the "
+            "item set is not bounded; aggregate items before fitting"
+        )
+
+    wins: dict[str, int] = {}
+    comps: dict[str, int] = {}
+    for r in pairs:
+        a, b, n, w_lo = r["_lo"], r["_hi"], int(r["_n"]), int(r["_w_lo"])
+        wins[a] = wins.get(a, 0) + w_lo
+        wins[b] = wins.get(b, 0) + (n - w_lo)
+        comps[a] = comps.get(a, 0) + n
+        comps[b] = comps.get(b, 0) + n
+    items = sorted(comps)
+    schema = (
+        "item string, strength double, wins long, comparisons long, "
+        "win_rate double, rank long"
+    )
+    if not items:
+        return spark.createDataFrame([], schema)
+
+    p = {i: _round6(1.0 / len(items)) for i in items}
+    pair_list = sorted((r["_lo"], r["_hi"], int(r["_n"])) for r in pairs)
+    inf = float("inf")
+    for _ in range(iterations):
+        denom: dict[str, float] = {i: 0.0 for i in items}
+        for a, b, n in pair_list:
+            s = p[a] + p[b]
+            # two all-zero-strength endpoints: n/0 is +inf in SQL float
+            # division; mirror it so the item's raw update becomes 0
+            t = (n / s) if s > 0 else inf
+            denom[a] += t
+            denom[b] += t
+        raw = {}
+        for i in items:
+            if denom[i] == inf:
+                raw[i] = 0.0
+            else:
+                d6 = _round6(denom[i])
+                raw[i] = _round6(wins[i] / d6) if d6 > 0 else 0.0
+        tot = sum(raw[i] for i in items)
+        p = {i: _round6(raw[i] / tot) for i in items}
+
+    ranked = sorted(items, key=lambda i: (-p[i], i))
+    rank = {i: k + 1 for k, i in enumerate(ranked)}
+    rows = [
+        (i, p[i], wins[i], comps[i], _round6(wins[i] / comps[i]), rank[i])
+        for i in items
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def bradley_terry_sql(
+    source: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    *,
+    iterations: int = 10,
+) -> str:
+    """Exact DuckDB twin of :func:`bradley_terry` — the SAME unrolled MM
+    rounds as chained CTEs, same 6-decimal grid."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    steps = []
+    prev = "_p0"
+    for i in range(1, iterations + 1):
+        # MATERIALIZED: each _d references the previous strengths TWICE, so
+        # default CTE inlining would expand the chain 2^iterations times
+        # (observed as a too-many-open-files parquet re-scan explosion)
+        steps.append(f"""_d{i} AS MATERIALIZED (
+    SELECT item, round(SUM(_t), 6) AS _d FROM (
+        SELECT q._lo AS item, q._n / (a._p + b._p) AS _t
+        FROM _pair q JOIN {prev} a ON q._lo = a.item JOIN {prev} b ON q._hi = b.item
+        UNION ALL
+        SELECT q._hi AS item, q._n / (a._p + b._p) AS _t
+        FROM _pair q JOIN {prev} a ON q._lo = a.item JOIN {prev} b ON q._hi = b.item
+    ) GROUP BY item
+), _r{i} AS MATERIALIZED (
+    SELECT p.item, p.wins, p.comparisons,
+           CASE WHEN d._d IS NOT NULL AND d._d > 0
+                THEN round(p.wins / d._d, 6) ELSE 0.0 END AS _raw
+    FROM {prev} p LEFT JOIN _d{i} d USING (item)
+), _p{i} AS MATERIALIZED (
+    SELECT item, wins, comparisons,
+           round(_raw / SUM(_raw) OVER (), 6) AS _p
+    FROM _r{i}
+)""")
+        prev = f"_p{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH _prefs AS (
+    SELECT CAST({winner_col} AS VARCHAR) AS _w, CAST({loser_col} AS VARCHAR) AS _l
+    FROM {source}
+    WHERE {winner_col} IS NOT NULL AND {loser_col} IS NOT NULL
+      AND CAST({winner_col} AS VARCHAR) <> CAST({loser_col} AS VARCHAR)
+), _pair AS MATERIALIZED (
+    SELECT least(_w, _l) AS _lo, greatest(_w, _l) AS _hi,
+           COUNT(*) AS _n,
+           SUM(CASE WHEN _w = least(_w, _l) THEN 1 ELSE 0 END) AS _w_lo
+    FROM _prefs GROUP BY 1, 2
+), _items AS MATERIALIZED (
+    SELECT item, SUM(_n) AS comparisons, SUM(_w) AS wins FROM (
+        SELECT _lo AS item, _n, _w_lo AS _w FROM _pair
+        UNION ALL
+        SELECT _hi AS item, _n, _n - _w_lo AS _w FROM _pair
+    ) GROUP BY item
+), _p0 AS MATERIALIZED (
+    SELECT item, wins, comparisons,
+           round(1.0 / (SELECT COUNT(*) FROM _items), 6) AS _p
+    FROM _items
+),
+{chain}
+SELECT item, _p AS strength,
+       CAST(wins AS BIGINT) AS wins,
+       CAST(comparisons AS BIGINT) AS comparisons,
+       round(wins / comparisons, 6) AS win_rate,
+       CAST(ROW_NUMBER() OVER (ORDER BY _p DESC, item ASC) AS BIGINT) AS rank
+FROM {prev}
+"""

@@ -1,0 +1,73 @@
+"""Pins for C242 (Bradley-Terry preference-strength fit)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import preference
+
+
+def _prefs(spark, rows):
+    return spark.createDataFrame(rows, "winner string, loser string")
+
+
+def test_bt_recovers_planted_ordering(spark):
+    """a beats b 9:1, b beats c 9:1, a beats c 9:1 — fitted strengths must
+    order a > b > c, ranks 1..3, and the strengths sum to ~1."""
+    rows = []
+    for pair in (("a", "b"), ("b", "c"), ("a", "c")):
+        rows += [pair] * 9 + [(pair[1], pair[0])]
+    out = {r["item"]: r for r in preference.bradley_terry(
+        _prefs(spark, rows), iterations=20).collect()}
+    assert out["a"]["strength"] > out["b"]["strength"] > out["c"]["strength"]
+    assert [out[i]["rank"] for i in "abc"] == [1, 2, 3]
+    assert sum(r["strength"] for r in out.values()) == pytest.approx(1.0, abs=1e-4)
+    assert out["a"]["wins"] == 18 and out["a"]["comparisons"] == 20
+
+
+def test_bt_drops_self_pairs_and_nulls(spark):
+    rows = [("a", "b")] * 3 + [("a", "a")] * 5 + [(None, "b"), ("a", None)]
+    out = preference.bradley_terry(_prefs(spark, rows)).collect()
+    assert {r["item"] for r in out} == {"a", "b"}
+    assert all(r["comparisons"] == 3 for r in out)
+
+
+def test_bt_never_wins_goes_to_zero_never_loses_to_top(spark):
+    rows = [("a", "b")] * 10 + [("b", "c")] * 10 + [("a", "c")] * 10
+    out = {r["item"]: r for r in preference.bradley_terry(
+        _prefs(spark, rows), iterations=30).collect()}
+    # c never wins: MM sends it to (rounded) zero; a never loses: top rank
+    assert out["c"]["strength"] <= 1e-4
+    assert out["a"]["rank"] == 1
+    assert out["c"]["win_rate"] == 0.0
+
+
+def test_bt_contracts(spark):
+    with pytest.raises(ValueError, match="iterations"):
+        preference.bradley_terry(_prefs(spark, [("a", "b")]), iterations=0)
+    with pytest.raises(ValueError, match="iterations"):
+        preference.bradley_terry_sql("t", iterations=0)
+
+
+def test_bt_twin_matches_duckdb(spark, views, duck):
+    """Preferences derived deterministically from events (each user's
+    consecutive event-type transitions: current beats previous) — the
+    Spark fit must hash-match the fully unrolled DuckDB MM twin."""
+    ev = spark.table("events")
+    w = F.expr(
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY unix_micros(ts), event_id)"
+    )
+    prefs = ev.select(
+        F.col("event_type").alias("winner"), w.alias("loser")
+    ).where(F.col("loser").isNotNull())
+    out = preference.bradley_terry(prefs, iterations=10)
+    src = (
+        "(SELECT * FROM (SELECT event_type AS winner,"
+        " lag(event_type) OVER (PARTITION BY user_id"
+        "   ORDER BY epoch_us(ts), event_id) AS loser"
+        " FROM events) WHERE loser IS NOT NULL)"
+    )
+    assert_df_matches_duck(
+        out, duck, preference.bradley_terry_sql(src, iterations=10)
+    )

@@ -2593,6 +2593,23 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C243 (annex, constant-threshold oracle like sim_ann/sim_ivf):
+    product-quantization ANN — per-subspace codebooks on a seeded bounded
+    sample, ADC shortlist over the m-int-per-vector encoded corpus, exact
+    re-rank of the shortlist. Row value = recall vs brute force (seeded
+    training + total-order ties make it deterministic)."""
+    from insert_by_timeperiod_spark.operators import pq as PQ
+
+    _prep(spark, sf_dir)
+    embs = spark.table("embeddings")
+    qs = embs.where("vec_id < 10")
+    return _recall_row(
+        PQ.pq_topk(embs, qs, k=3, shortlist=50, seed=42),
+        similarity.brute_force_topk(embs, qs, k=3),
+    )
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C93 (annex, constant-threshold oracle): persistent IVF index —
     build once (centroids + cell-partitioned corpus), then query through
@@ -6975,6 +6992,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_simhash_planted": _dedup_simhash,
         "text_fingerprint": _text_fingerprint,
         "sim_ivf_topk": _sim_ivf,
+        "sim_pq_topk": _sim_pq,
         "ivf_index_topk": _ivf_index,
         # A16 concurrent-staging variant: identical content/watermark to the
         # sequential loop by construction (publishes stay in grid order);
@@ -7307,6 +7325,7 @@ def pytest_only_oracles() -> dict[str, str]:
         # recall-vs-brute-force check against a constant threshold, the
         # same shape as the driver's sim_ann_topk row
         "sim_ivf_topk": SIM_ANN_DUCK,
+        "sim_pq_topk": SIM_ANN_DUCK,
         "ivf_index_topk": IVF_INDEX_DUCK,
         "sample_weighted": sampling.weighted_sample_sql(
             200, "n_chars", "doc_id", seed="ws", select="t.doc_id, t.source"

@@ -1,0 +1,261 @@
+"""Product-quantization ANN (SURVEY.md §2 C243; Jégou et al. 2011).
+
+The memory-bounded scale path of similarity search: C93's IVF prunes WHICH
+vectors are scored, PQ compresses WHAT is scored — each (normalized) vector
+becomes ``m`` one-byte-ish codes (subspace centroid ids), so a 64-dim
+float64 corpus row (512 B) shrinks to ``m`` small ints, and the scan side
+of a query never touches raw vectors. Asymmetric distance computation
+(ADC): a query builds an (m × k_codes) lookup table of exact subspace dot
+products once, then every corpus vector's approximate similarity is ``m``
+table lookups + a sum. IVF×PQ composes (assign cells, then PQ the
+residuals); this module keeps them orthogonal — the deliverable here is
+the PQ lane with the standard production shape: ADC SHORTLIST, then EXACT
+re-rank of the shortlist only.
+
+Scale shape (100 TB): codebooks train driver-side on a deterministic
+bounded sample (the C20/C81 rule — quality depends on sample size, not
+corpus size) and ride in Arrow-UDF closures (m·k·dsub floats, KBs).
+Encoding is one Arrow-batched corpus pass, no shuffle. Query scoring is
+mapInPandas over the ENCODED corpus: per Arrow batch only the per-query
+top-``shortlist`` survive, so the shuffle is (queries × shortlist ×
+batches) candidate rows — never corpus-sized scores. The exact re-rank
+joins raw vectors for the shortlist ids only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import cosine, train_ivf_centroids  # noqa: F401 (shared sampling doc)
+from .util import spread
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 20_000,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks from a bounded deterministic sample.
+
+    Returns an (m_subspaces, k_codes, dim//m_subspaces) float array. The
+    sample is the ``sample_limit`` rows with the smallest
+    ``xxhash64(id, seed)`` (partition-order-independent, same rule as
+    :func:`~.similarity.train_ivf_centroids`); vectors are L2-normalized
+    before splitting so ADC sums approximate cosine."""
+    if m_subspaces < 1 or k_codes < 2:
+        raise ValueError("m_subspaces >= 1 and k_codes >= 2 required")
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_h", "_id")
+        .limit(sample_limit)
+        .collect()
+    )
+    vecs = [r[0] for r in rows if r[0] is not None and len(r[0]) > 0]
+    if not vecs:
+        raise ValueError("no valid embeddings to train PQ codebooks from")
+    if dim is None:
+        lens: dict[int, int] = {}
+        for v in vecs:
+            lens[len(v)] = lens.get(len(v), 0) + 1
+        dim = max(sorted(lens), key=lens.get)  # majority, ties to largest
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"dim {dim} is not divisible by m_subspaces {m_subspaces}"
+        )
+    vecs = [v for v in vecs if len(v) == dim]
+    x = np.asarray(vecs, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m_subspaces, k_codes, dsub))
+    for mi in range(m_subspaces):
+        xs = x[:, mi * dsub : (mi + 1) * dsub]
+        k = min(k_codes, len(xs))
+        cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = xs[msk].mean(axis=0)
+        books[mi, :k] = cents
+        if k < k_codes:
+            books[mi, k:] = cents[0]  # degenerate sample: repeat a centroid
+    return books
+
+
+def _encode_udf(books: np.ndarray):
+    """Arrow-vectorized PQ encoder: batch-normalize, per subspace argmin-L2
+    against the codebook. NULL / wrong-length vectors encode to NULL (the
+    never-raise contract of every multimodal/embedding lane here)."""
+    m, k, dsub = books.shape
+    dim = m * dsub
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vecs)
+        ok_idx = [
+            i for i, v in enumerate(vecs) if v is not None and len(v) == dim
+        ]
+        if not ok_idx:
+            return pd.Series(out)
+        x = np.asarray([vecs.iloc[i] for i in ok_idx], dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(ok_idx), m), dtype=np.int32)
+        for mi in range(m):
+            xs = x[:, mi * dsub : (mi + 1) * dsub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²: argmin over centroids via
+            # one matmul, no (n,k,dsub) intermediate
+            cb = books[mi]
+            d2 = (cb**2).sum(axis=1)[None, :] - 2.0 * (xs @ cb.T)
+            codes[:, mi] = d2.argmin(axis=1)
+        for row, i in enumerate(ok_idx):
+            out[i] = codes[row]
+        return pd.Series(out)
+
+    return enc
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code) — the persistable compressed index: ``m`` ints per
+    vector regardless of dimensionality."""
+    enc = _encode_udf(books)
+    return spread(df.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col), enc(F.col(vec_col)).alias("pq_code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 50,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 20_000,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ ADC shortlist + exact re-rank.
+
+    Returns (query_id, neighbor_id, rank, sim) with ``sim`` the EXACT
+    cosine of the re-ranked survivors (ranking quality degrades gracefully
+    with ``shortlist``; the ADC scores themselves never leave the scan).
+    Queries are collected (the bounded-query-batch contract shared with
+    :func:`~.similarity.brute_force_topk`'s broadcast side)."""
+    if shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    books = train_pq_codebooks(
+        corpus, m_subspaces=m_subspaces, k_codes=k_codes, iters=iters,
+        seed=seed, id_col=id_col, vec_col=vec_col, sample_limit=sample_limit,
+    )
+    m, kc, dsub = books.shape
+    dim = m * dsub
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids, qvecs = [], []
+    for r in qrows:
+        if r[1] is not None and len(r[1]) == dim:
+            qids.append(r[0])
+            qvecs.append(r[1])
+    if not qids:
+        raise ValueError("no valid query vectors")
+    qm = np.asarray(qvecs, dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    # ADC lookup tables: luts[q, mi, code] = dot(q_mi, c_mi_code); built
+    # once per query batch, KBs, rides in the Arrow closure
+    luts = np.stack(
+        [qm[:, mi * dsub : (mi + 1) * dsub] @ books[mi].T for mi in range(m)],
+        axis=1,
+    )
+    qid_arr = list(qids)
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def score_batches(it):
+        for pdf in it:
+            codes_ok = [
+                (i, c) for i, c in enumerate(pdf["pq_code"]) if c is not None
+            ]
+            if not codes_ok:
+                continue
+            idx = [i for i, _ in codes_ok]
+            cm = np.asarray([c for _, c in codes_ok], dtype=np.int64)  # (n, m)
+            # sims[q, n] = Σ_mi luts[q, mi, cm[n, mi]]
+            sims = np.zeros((len(qid_arr), len(idx)))
+            for mi in range(m):
+                sims += luts[:, mi, cm[:, mi]]
+            ids = pdf["_nid"].to_numpy()[idx]
+            top = min(len(idx), shortlist)
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qid_arr)):
+                for ci in part[qi]:
+                    out_q.append(qid_arr[qi])
+                    out_n.append(ids[ci])
+                    out_s.append(sims[qi, ci])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "_adc": out_s}
+            )
+
+    encoded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("_nid"), "pq_code"
+    )
+    cand = encoded.mapInPandas(
+        score_batches,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, _adc double",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    # global shortlist per query (per-batch shortlists union here), then
+    # exact re-rank: fetch raw vectors for shortlist ids only
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(ws))
+        .where(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qdf = corpus.sparkSession.createDataFrame(
+        list(zip(qids, [list(map(float, v)) for v in qvecs])),
+        f"query_id {id_type}, _qv array<double>",
+    )
+    exact = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

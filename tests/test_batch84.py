@@ -1,0 +1,65 @@
+"""Pins for C243 (product-quantization ANN: ADC shortlist + exact re-rank)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import pq, similarity
+
+
+def test_pq_codebook_shape_and_determinism(spark, views):
+    embs = spark.table("embeddings")
+    b1 = pq.train_pq_codebooks(embs, m_subspaces=8, k_codes=16, seed=7)
+    b2 = pq.train_pq_codebooks(embs, m_subspaces=8, k_codes=16, seed=7)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.train_pq_codebooks(embs, m_subspaces=7)
+
+
+def test_pq_encode_nulls_and_wrong_length(spark, views):
+    embs = spark.table("embeddings")
+    books = pq.train_pq_codebooks(embs, m_subspaces=8, k_codes=16)
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["pq_code"] for r in pq.pq_encode(bad, books).collect()}
+    assert out[9001] is None and out[9002] is None
+    good = pq.pq_encode(embs.limit(20), books).collect()
+    assert all(len(r["pq_code"]) == 8 for r in good)
+    assert all(0 <= c < 16 for r in good for c in r["pq_code"])
+
+
+def test_pq_topk_recall_vs_brute_force(spark, views):
+    """ADC shortlist (50 of 500) + exact re-rank must recover most of the
+    exact top-3 — and the surviving `sim` values are EXACT cosines, so a
+    hit's sim equals the brute-force sim bit-for-bit."""
+    embs = spark.table("embeddings")
+    qs = embs.where("vec_id < 10")
+    approx = pq.pq_topk(embs, qs, k=3, shortlist=50, seed=42)
+    exact = similarity.brute_force_topk(embs, qs, k=3)
+    a = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    hits = set(a) & set(e)
+    recall = len(hits) / len(e)
+    assert recall >= 0.6, f"recall {recall}"
+    for key in hits:
+        assert a[key] == pytest.approx(e[key], abs=1e-12)
+
+
+def test_pq_topk_deterministic_and_contracts(spark, views):
+    embs = spark.table("embeddings")
+    qs = embs.where("vec_id < 5")
+    r1 = sorted(map(tuple, pq.pq_topk(embs, qs, k=3).collect()))
+    r2 = sorted(map(tuple, pq.pq_topk(embs, qs, k=3).collect()))
+    assert r1 == r2
+    with pytest.raises(ValueError, match="shortlist"):
+        pq.pq_topk(embs, qs, k=10, shortlist=5)
+    with pytest.raises(ValueError, match="no valid query"):
+        pq.pq_topk(
+            embs,
+            spark.createDataFrame(
+                [(1, [1.0])], "vec_id long, embedding array<double>"
+            ),
+        )

@@ -4130,6 +4130,33 @@ SELECT * FROM (VALUES
 _ACTROLL_DIR = _SKIP_DIR + "_actroll"
 
 
+def _topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C244 (annex, EXACT oracle): mergeable top-k digest rollup —
+    weekly event batches folded (one replayed: ledger no-op) into the
+    capacity-20 per-period digest state (each period keeps its 20
+    heaviest user_ids + its SpaceSaving error bound); the readout's
+    [count_lo, count_hi] arithmetic must equal the from-scratch twin."""
+    _prep(spark, sf_dir)
+    st = os.path.join(tempfile.mkdtemp(prefix="ibtp_topk_"), "state")
+    ev = spark.table("events").select(
+        F.col("user_id").cast("string").alias("item"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    )
+    weeks = sorted(r["wk"] for r in ev.select("wk").distinct().collect())
+    out = None
+    for i, wk in enumerate(weeks):
+        out = rollup.topk_rollup_update(
+            ev.where(F.col("wk") == F.lit(wk)), st, "item",
+            capacity=20, batch_id=str(wk),
+        )
+        if i == 0:  # deliberate replay: the ledger must no-op it
+            rollup.topk_rollup_update(
+                ev.where(F.col("wk") == F.lit(wk)), st, "item",
+                capacity=20, batch_id=str(wk),
+            )
+    return out
+
+
 def _actives_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C121 (annex, EXACT oracle): incremental growth accounting —
     events folded in three date-slice batches (one deliberately
@@ -7067,6 +7094,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "growth_report_events": _growth_report,
         "feature_table_events": _feature_table,
         "actives_rollup_periods": _actives_rollup,
+        "topk_rollup_users": _topk_rollup,
         "rolling_anomalies_events": _rolling_anoms,
         "schema_drift_report": _schema_drift,
         "join_size_estimate": _join_size_est,
@@ -7499,6 +7527,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "growth_report_events": pipeline_growth_report_sql("events"),
         "actives_rollup_periods": analytics.daily_actives_sql("events"),
+        "topk_rollup_users": rollup.topk_rollup_sql(
+            "events", "user_id", "date_trunc('week', ts)", capacity=20,
+        ),
         "rolling_anomalies_events": timeseries.rolling_anomalies_sql(
             "events", ["user_id"], "ts", "value", days=7, k_sigma=3.0,
             min_baseline=5, id_cols=["event_id"],

@@ -343,3 +343,171 @@ def actives_rollup_update(
     if update_state:
         _publish(fs, state_path, merged, done | {batch_id})
     return _actives_from_pairs(merged)
+
+
+# ---------------------------------------------------------------------------
+# C244: mergeable top-k digest rollup (SpaceSaving-style bounds)
+# ---------------------------------------------------------------------------
+
+def _topk_partial(
+    df: DataFrame, item_col: str, capacity: int, batch_id: str
+) -> DataFrame:
+    """One batch's digest: exact per-item counts, truncated to the
+    ``capacity`` heaviest (count desc, item asc — a total order, so the
+    digest is deterministic), plus ONE error row (item NULL, cnt = the
+    largest DROPPED count — every unretained item's true batch count is
+    <= that, the SpaceSaving bound; 0 when nothing dropped)."""
+    spark = df.sparkSession
+    c = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(F.col(item_col).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # capacity+1 heaviest via orderBy+limit = TakeOrderedAndProject
+    # (per-partition top-k + driver merge, NO single-reducer global sort
+    # over the distinct-item frame); the (capacity+1)-th count IS the
+    # largest dropped count, so the error bound rides the same ONE job —
+    # and the digest is capacity-bounded, so collecting it driver-side is
+    # O(capacity), never O(items)
+    rows = (
+        c.orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(capacity + 1)
+        .collect()
+    )
+    err = int(rows[capacity]["cnt"]) if len(rows) > capacity else 0
+    digest = [(batch_id, r["item"], int(r["cnt"])) for r in rows[:capacity]]
+    digest.append((batch_id, None, err))
+    return spark.createDataFrame(digest, "_batch string, item string, cnt long")
+
+
+def _topk_present(state: DataFrame) -> DataFrame:
+    """Merged readout over the bounded (capacity+1)×periods state:
+    ``count_lo`` = sum of retained counts; ``count_hi`` = count_lo plus the
+    error budget of every folded batch the item was NOT retained in — the
+    item's true total is provably inside [count_lo, count_hi]."""
+    from pyspark.sql import Window
+
+    kept = state.where(F.col("item").isNotNull())
+    errs = state.where(F.col("item").isNull()).select(
+        "_batch", F.col("cnt").alias("_e")
+    )
+    tot = errs.agg(F.coalesce(F.sum("_e"), F.lit(0)).alias("_te"))
+    per_item = (
+        kept.join(errs, "_batch")
+        .groupBy("item")
+        .agg(
+            F.sum("cnt").cast("long").alias("count_lo"),
+            F.sum("_e").cast("long").alias("_ep"),
+            F.countDistinct("_batch").cast("long").alias("n_periods"),
+        )
+    )
+    w = Window.orderBy(F.col("count_lo").desc(), F.col("item").asc())
+    return (
+        per_item.crossJoin(F.broadcast(tot))  # 1-row totals frame
+        .select(
+            "item",
+            "count_lo",
+            (F.col("count_lo") + F.col("_te") - F.col("_ep"))
+            .cast("long")
+            .alias("count_hi"),
+            "n_periods",
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def topk_rollup_update(
+    new_df: DataFrame,
+    state_path: str,
+    item_col: str,
+    *,
+    capacity: int = 100,
+    batch_id: str,
+    update_state: bool = True,
+) -> DataFrame:
+    """Fold one period batch into a mergeable top-k digest state
+    (SURVEY.md §2 C244; the SpaceSaving idea applied per period): keep only
+    each period's ``capacity`` heaviest items plus that period's error
+    bound, so heavy-hitter queries over ANY horizon cost O(capacity ×
+    periods) — never a re-scan of history, never a full per-period term
+    table. Same ledgered crash-retry contract as every rollup here:
+    re-folding a folded ``batch_id`` is a detected no-op.
+
+    Returns (item, count_lo, count_hi, n_periods, rank): the true total
+    count of ``item`` is provably in [count_lo, count_hi]; items never
+    retained anywhere simply don't appear (their bound is the total error
+    budget)."""
+    if not batch_id:
+        raise ValueError("topk_rollup_update: batch_id is required")
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    spark = new_df.sparkSession
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, state_path)
+    _recover(fs, state_path)
+    data = _data_dir(state_path)
+    done = _folded(fs, state_path)
+    if batch_id in done:
+        return _topk_present(spark.read.parquet(data))
+    batch = _topk_partial(new_df, item_col, capacity, batch_id)
+    if fs.is_dir(data):
+        merged = spark.read.parquet(data).unionByName(batch)
+    else:
+        merged = batch
+    merged = merged.localCheckpoint(eager=True)
+    if update_state:
+        _publish(fs, state_path, merged, done | {batch_id})
+    return _topk_present(merged)
+
+
+def topk_rollup_read(spark, state_path: str) -> DataFrame:
+    """Current digest readout without folding (heals a half-finished
+    swap first)."""
+    from ..fs import HadoopFS
+
+    fs = HadoopFS(spark, state_path)
+    _recover(fs, state_path)
+    return _topk_present(spark.read.parquet(_data_dir(state_path)))
+
+
+def topk_rollup_sql(
+    source: str,
+    item_col: str,
+    period_expr: str,
+    *,
+    capacity: int = 100,
+) -> str:
+    """Exact DuckDB twin: the from-scratch digest over everything folded —
+    the SAME deterministic per-period truncation (count desc, item asc)
+    and the same bound arithmetic, so the incrementally-maintained state
+    must match it bit-for-bit."""
+    return f"""
+WITH _c AS (
+    SELECT {period_expr} AS _b, CAST({item_col} AS VARCHAR) AS item,
+           COUNT(*) AS cnt
+    FROM {source}
+    WHERE {item_col} IS NOT NULL
+    GROUP BY 1, 2
+), _r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY _b
+              ORDER BY cnt DESC, item ASC) AS _rk
+    FROM _c
+), _kept AS (
+    SELECT _b, item, cnt FROM _r WHERE _rk <= {capacity}
+), _err AS (
+    SELECT _b, COALESCE(MAX(CASE WHEN _rk > {capacity} THEN cnt END), 0) AS _e
+    FROM _r GROUP BY _b
+), _per AS (
+    SELECT k.item, SUM(k.cnt) AS count_lo, SUM(e._e) AS _ep,
+           COUNT(DISTINCT k._b) AS n_periods
+    FROM _kept k JOIN _err e USING (_b)
+    GROUP BY k.item
+)
+SELECT item,
+       CAST(count_lo AS BIGINT) AS count_lo,
+       CAST(count_lo + (SELECT SUM(_e) FROM _err) - _ep AS BIGINT) AS count_hi,
+       CAST(n_periods AS BIGINT) AS n_periods,
+       CAST(ROW_NUMBER() OVER (ORDER BY count_lo DESC, item ASC) AS BIGINT) AS rank
+FROM _per
+"""

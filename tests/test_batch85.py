@@ -1,0 +1,79 @@
+"""Pins for C244 (mergeable top-k digest rollup with SpaceSaving bounds)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import rollup
+
+
+def _items(spark, rows):
+    return spark.createDataFrame([(x,) for x in rows], "item string")
+
+
+def test_topk_rollup_bounds_contain_truth(spark, tmp_path):
+    """Two folded batches with capacity=2: every reported item's true total
+    must sit inside [count_lo, count_hi], and an item retained in both
+    batches has exact bounds (lo == hi == truth)."""
+    st = str(tmp_path / "tk")
+    b1 = ["a"] * 10 + ["b"] * 7 + ["c"] * 3 + ["d"] * 1
+    b2 = ["a"] * 8 + ["c"] * 6 + ["b"] * 2 + ["e"] * 1
+    rollup.topk_rollup_update(_items(spark, b1), st, "item",
+                              capacity=2, batch_id="p1")
+    out = {r["item"]: r for r in rollup.topk_rollup_update(
+        _items(spark, b2), st, "item", capacity=2, batch_id="p2").collect()}
+    truth = {"a": 18, "b": 9, "c": 9}
+    # a retained in both: exact
+    assert out["a"]["count_lo"] == 18 and out["a"]["count_hi"] == 18
+    assert out["a"]["rank"] == 1
+    for item, r in out.items():
+        if item in truth:
+            assert r["count_lo"] <= truth[item] <= r["count_hi"], (item, r)
+    # b was dropped in batch 2 (count 2 < c's 6): lo=7 < truth=9 <= hi
+    assert out["b"]["count_lo"] == 7 and out["b"]["count_hi"] >= 9
+
+
+def test_topk_rollup_replay_is_noop_and_read_matches(spark, tmp_path):
+    st = str(tmp_path / "tk2")
+    b = ["x"] * 5 + ["y"] * 2
+    r1 = sorted(map(tuple, rollup.topk_rollup_update(
+        _items(spark, b), st, "item", capacity=5, batch_id="p1").collect()))
+    r2 = sorted(map(tuple, rollup.topk_rollup_update(
+        _items(spark, b), st, "item", capacity=5, batch_id="p1").collect()))
+    assert r1 == r2  # replaying a folded batch_id changes nothing
+    r3 = sorted(map(tuple, rollup.topk_rollup_read(spark, st).collect()))
+    assert r1 == r3
+
+
+def test_topk_rollup_contracts(spark, tmp_path):
+    df = _items(spark, ["a"])
+    with pytest.raises(ValueError, match="batch_id"):
+        rollup.topk_rollup_update(df, str(tmp_path / "x"), "item",
+                                  capacity=2, batch_id="")
+    with pytest.raises(ValueError, match="capacity"):
+        rollup.topk_rollup_update(df, str(tmp_path / "x"), "item",
+                                  capacity=0, batch_id="p")
+
+
+def test_topk_rollup_state_matches_from_scratch_twin(spark, views, duck, tmp_path):
+    """Fold weekly event batches (item = user_id) into the state, then
+    compare the incrementally-maintained readout against the from-scratch
+    DuckDB twin over the same folded rows — EXACT."""
+    st = str(tmp_path / "tkw")
+    ev = spark.table("events").select(
+        F.col("user_id").cast("string").alias("item"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    )
+    weeks = sorted(r["wk"] for r in ev.select("wk").distinct().collect())
+    out = None
+    for wk in weeks:
+        out = rollup.topk_rollup_update(
+            ev.where(F.col("wk") == F.lit(wk)), st, "item",
+            capacity=20, batch_id=str(wk),
+        )
+    assert_df_matches_duck(
+        out, duck,
+        rollup.topk_rollup_sql(
+            "events", "user_id", "date_trunc('week', ts)", capacity=20
+        ),
+    )

@@ -66,6 +66,7 @@ from insert_by_timeperiod_spark.operators import (
     dedup,
     joins,
     lmscore,
+    conversations,
     logreg,
     preference,
     multimodal,
@@ -6888,6 +6889,83 @@ _BT_SRC_DUCK = (
 )
 
 
+def _chat_convs(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic conversations from events: per-user
+    transcripts (first 8 events, roles alternating by turn parity), the
+    JSON built by identical string concatenation on both engines."""
+    from pyspark.sql import Window as _W
+
+    ev = spark.table("events")
+    rn = F.row_number().over(
+        _W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    )
+    msg = F.concat(
+        F.lit('{"role":"'),
+        F.when(F.col("_rn") % 2 == 1, F.lit("user")).otherwise(F.lit("assistant")),
+        F.lit('","content":"'),
+        F.col("event_type"), F.lit("#"), F.col("event_id").cast("string"),
+        F.lit('"}'),
+    )
+    return (
+        ev.select("user_id", "event_type", "event_id", rn.alias("_rn"))
+        .where(F.col("_rn") <= 8)
+        .withColumn("_msg", msg)
+        .groupBy(F.col("user_id").alias("conv_id"))
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_rn", "_msg"))),
+                        lambda x: x["_msg"],
+                    ),
+                    ",",
+                ),
+                F.lit("]"),
+            ).alias("conversation")
+        )
+    )
+
+
+_CHAT_CONV_DUCK = """
+(SELECT user_id AS conv_id,
+        '[' || string_agg(msg, ',' ORDER BY rn) || ']' AS conversation
+ FROM (
+   SELECT user_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS rn,
+          '{"role":"' ||
+          CASE WHEN (ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id)) % 2 = 1
+               THEN 'user' ELSE 'assistant' END ||
+          '","content":"' || event_type || '#' || event_id || '"}' AS msg
+   FROM events
+ ) WHERE rn <= 8
+ GROUP BY user_id)
+"""
+
+
+def _chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C245 (annex, EXACT oracle): conversation structure audit —
+    synthesize per-user transcripts, explode to typed turns
+    (never-raise JSON contract), audit role alternation / first-last
+    speaker / chars (operators/conversations.py)."""
+    _prep(spark, sf_dir)
+    return conversations.conversation_stats(
+        conversations.explode_turns(_chat_convs(spark))
+    )
+
+
+def _chat_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C246 (annex, EXACT oracle): SFT training-row assembly — every
+    assistant turn with prior context becomes (context, target), the
+    prefix rendered by ONE windowed pass per conversation."""
+    _prep(spark, sf_dir)
+    return conversations.chat_training_rows(
+        conversations.explode_turns(_chat_convs(spark))
+    )
+
+
 def _prob_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C240 (annex, EXACT oracle): Brier / log-loss / skill of a
     deterministic pseudo-probability (value percentile proxy) against
@@ -7255,6 +7333,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "prob_eval_purchase": _prob_eval,
         "logreg_quality_docs": _logreg_quality,
         "bradley_terry_events": _bradley_terry,
+        "chat_turn_stats_events": _chat_stats,
+        "chat_training_rows_events": _chat_training,
     }
 
 
@@ -8029,6 +8109,12 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "bradley_terry_events": preference.bradley_terry_sql(
             _BT_SRC_DUCK, iterations=10,
+        ),
+        "chat_turn_stats_events": conversations.conversation_stats_sql(
+            "(" + conversations.explode_turns_sql(_CHAT_CONV_DUCK) + ")",
+        ),
+        "chat_training_rows_events": conversations.chat_training_rows_sql(
+            "(" + conversations.explode_turns_sql(_CHAT_CONV_DUCK) + ")",
         ),
         "sessionize_incremental_events": f"""
             WITH s AS ({SESSIONIZE_DUCK})

@@ -1,0 +1,200 @@
+"""Conversation (chat-transcript) operators — the instruction-tuning lane.
+
+SURVEY.md §2 C245 (turn explode + structure stats) and C246 (training-row
+assembly). Post-training corpora arrive as conversations — a JSON array of
+{"role", "content"} messages per row — and the pipeline steps every SFT
+data build runs are: (1) explode to typed turns, (2) audit structure (role
+alternation, who speaks first/last, degenerate transcripts), (3) turn each
+assistant message into a training example carrying its prefix context.
+The reference has no analogue (north star /root/repo/BASELINE.json).
+
+Scale shape: explode is scan-stage (``from_json`` + ``posexplode``, zero
+shuffle); stats and training-row assembly are one window pass keyed by
+conversation id — context strings are built per assistant turn from the
+conversation's OWN turns only, so no state ever exceeds one conversation.
+Malformed / non-array JSON rows produce zero turns (never raise) — the
+same never-raise contract as the multimodal decoders; the audit makes the
+drop VISIBLE via n_turns=0 absence, and `explode_turns` keeps the parse
+filter in one place so the SQL twins can mirror it (`json_valid` +
+array-type check in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: the wire schema of one conversation: array of role/content messages
+TURNS_SCHEMA = "array<struct<role:string,content:string>>"
+
+
+def explode_turns(
+    df: DataFrame,
+    conv_col: str = "conversation",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """(id, turn_idx, role, content, content_chars) — one row per message,
+    0-based position preserved. Rows whose JSON is malformed or not an
+    array disappear (from_json yields NULL — the never-raise contract)."""
+    arr = F.from_json(F.col(conv_col), TURNS_SCHEMA)
+    return (
+        # the leading-[ check rejects JSON OBJECTS: Spark's from_json
+        # "helpfully" wraps an object into a 1-element array, but a
+        # conversation is an array by contract (and the DuckDB twin's
+        # json_type check agrees)
+        df.where(F.startswith(F.ltrim(F.col(conv_col)), F.lit("[")))
+        .select(F.col(id_col), arr.alias("_a"))
+        .where(F.col("_a").isNotNull())
+        .select(F.col(id_col), F.posexplode(F.col("_a")).alias("turn_idx", "_t"))
+        .select(
+            id_col,
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("_t.role").alias("role"),
+            F.col("_t.content").alias("content"),
+            F.length("_t.content").cast("int").alias("content_chars"),
+        )
+    )
+
+
+def explode_turns_sql(
+    source: str,
+    conv_col: str = "conversation",
+    id_col: str = "conv_id",
+) -> str:
+    """Exact DuckDB twin of :func:`explode_turns` (list_transform index
+    lambda supplies the 0-based position; json_valid + array check mirrors
+    Spark's NULL-on-malformed)."""
+    return f"""
+WITH _ok AS (
+    -- parse-filter BEFORE the lateral unnest: a lateral from_json on a
+    -- malformed row would raise before any outer WHERE could drop it;
+    -- the CASE guards evaluation order (SQL AND does not short-circuit)
+    SELECT {id_col}, {conv_col} AS _c
+    FROM {source}
+    WHERE {conv_col} IS NOT NULL
+      AND CASE WHEN json_valid({conv_col})
+               THEN json_type({conv_col}) = 'ARRAY'
+               ELSE FALSE END
+)
+SELECT {id_col},
+       CAST(u.s.i AS INTEGER) AS turn_idx,
+       json_extract_string(u.s.g, '$.role') AS role,
+       json_extract_string(u.s.g, '$.content') AS content,
+       CAST(length(json_extract_string(u.s.g, '$.content')) AS INTEGER)
+           AS content_chars
+FROM _ok,
+     unnest(list_transform(from_json(_c, '["json"]'),
+            (g, i) -> struct_pack(g := g, i := i - 1))) AS u(s)
+"""
+
+
+def conversation_stats(
+    turns: DataFrame,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Per-conversation structure audit over exploded turns: counts by
+    role, alternation violations (a turn whose role equals the previous
+    turn's), first/last speaker, total content chars. The SFT-data gate:
+    transcripts failing alternation or not user-led are what a curation
+    filter drops."""
+    w = Window.partitionBy(id_col).orderBy("turn_idx")
+    t = turns.withColumn("_prev", F.lag("role").over(w))
+    return t.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum((F.col("role") == F.col("_prev")).cast("long")).alias(
+            "alternation_violations"
+        ),
+        (F.min_by("role", "turn_idx") == F.lit("user")).alias("starts_with_user"),
+        (F.max_by("role", "turn_idx") == F.lit("assistant")).alias(
+            "ends_with_assistant"
+        ),
+        F.coalesce(F.sum("content_chars"), F.lit(0)).cast("long").alias(
+            "total_chars"
+        ),
+    )
+
+
+def conversation_stats_sql(turns_source: str, id_col: str = "conv_id") -> str:
+    """Exact DuckDB twin of :func:`conversation_stats` over the same
+    exploded-turns relation."""
+    return f"""
+WITH _t AS (
+    SELECT *, lag(role) OVER (PARTITION BY {id_col} ORDER BY turn_idx) AS _prev
+    FROM {turns_source}
+)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_assistant,
+       CAST(SUM(CASE WHEN role = _prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS alternation_violations,
+       (min_by(role, turn_idx) = 'user') AS starts_with_user,
+       (max_by(role, turn_idx) = 'assistant') AS ends_with_assistant,
+       CAST(COALESCE(SUM(content_chars), 0) AS BIGINT) AS total_chars
+FROM _t
+GROUP BY {id_col}
+"""
+
+
+def chat_training_rows(
+    turns: DataFrame,
+    id_col: str = "conv_id",
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """Each assistant turn with at least one prior turn becomes a training
+    example: (id, turn_idx, context, target, n_context_turns,
+    context_chars). ``context`` is the prefix transcript rendered as
+    "role: content" lines — built from the conversation's own turns via
+    one window pass (frame = everything before this turn), so assembly
+    is a single conversation-keyed shuffle at any corpus size. Prior
+    turns with NULL content render as nothing (both engines' aggregates
+    skip NULLs — parity pinned in tests)."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    line = F.concat(F.col("role"), F.lit(": "), F.col("content"))
+    t = turns.withColumn(
+        "context", F.array_join(F.collect_list(line).over(w), sep)
+    )
+    return (
+        t.where((F.col("role") == "assistant") & (F.col("turn_idx") >= 1))
+        .select(
+            id_col,
+            "turn_idx",
+            "context",
+            F.col("content").alias("target"),
+            F.col("turn_idx").cast("int").alias("n_context_turns"),
+            F.length("context").cast("int").alias("context_chars"),
+        )
+    )
+
+
+def chat_training_rows_sql(
+    turns_source: str,
+    id_col: str = "conv_id",
+    *,
+    sep: str = "\n",
+) -> str:
+    """Exact DuckDB twin of :func:`chat_training_rows` (windowed
+    string_agg with the same before-this-turn frame)."""
+    sep_sql = sep.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH _t AS (
+    SELECT *,
+           COALESCE(string_agg(role || ': ' || content, '{sep_sql}')
+               OVER (PARTITION BY {id_col} ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             '') AS context
+    FROM {turns_source}
+)
+SELECT {id_col}, turn_idx, context, content AS target,
+       CAST(turn_idx AS INTEGER) AS n_context_turns,
+       CAST(length(context) AS INTEGER) AS context_chars
+FROM _t
+WHERE role = 'assistant' AND turn_idx >= 1
+"""

@@ -1,0 +1,153 @@
+"""Pins for C245 (conversation turn explode + structure stats) and C246
+(chat training-row assembly)."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import conversations as CV
+
+
+def _convs(spark, rows):
+    return spark.createDataFrame(rows, "conv_id long, conversation string")
+
+
+GOOD = (
+    '[{"role":"user","content":"hi"},'
+    '{"role":"assistant","content":"hello"},'
+    '{"role":"user","content":"how?"},'
+    '{"role":"assistant","content":"fine"}]'
+)
+VIOL = (
+    '[{"role":"assistant","content":"unprompted"},'
+    '{"role":"assistant","content":"again"},'
+    '{"role":"user","content":"??"}]'
+)
+
+
+def test_explode_turns_positions_and_never_raise(spark):
+    df = _convs(spark, [
+        (1, GOOD),
+        (2, "not json at all"),
+        (3, '{"role":"user","content":"an object, not an array"}'),
+        (4, None),
+        (5, '[{"role":"user"}]'),  # missing content -> NULL field
+    ])
+    out = CV.explode_turns(df).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["conv_id"], []).append(r)
+    assert set(by_id) == {1, 5}  # malformed/object/NULL rows vanish
+    g = sorted(by_id[1], key=lambda r: r["turn_idx"])
+    assert [r["turn_idx"] for r in g] == [0, 1, 2, 3]
+    assert g[0]["role"] == "user" and g[1]["content"] == "hello"
+    assert g[1]["content_chars"] == 5
+    assert by_id[5][0]["content"] is None
+
+
+def test_conversation_stats_alternation_audit(spark):
+    turns = CV.explode_turns(_convs(spark, [(1, GOOD), (2, VIOL)]))
+    out = {r["conv_id"]: r for r in CV.conversation_stats(turns).collect()}
+    assert out[1]["n_turns"] == 4 and out[1]["alternation_violations"] == 0
+    assert out[1]["starts_with_user"] and out[1]["ends_with_assistant"]
+    assert out[2]["alternation_violations"] == 1
+    assert not out[2]["starts_with_user"] and not out[2]["ends_with_assistant"]
+    assert out[1]["total_chars"] == len("hi") + len("hello") + len("how?") + len("fine")
+
+
+def test_chat_training_rows_prefix_context(spark):
+    turns = CV.explode_turns(_convs(spark, [(1, GOOD)]))
+    out = sorted(CV.chat_training_rows(turns).collect(),
+                 key=lambda r: r["turn_idx"])
+    assert [r["turn_idx"] for r in out] == [1, 3]
+    assert out[0]["context"] == "user: hi"
+    assert out[0]["target"] == "hello"
+    assert out[1]["context"] == "user: hi\nassistant: hello\nuser: how?"
+    assert out[1]["n_context_turns"] == 3
+    assert out[1]["context_chars"] == len(out[1]["context"])
+    # assistant turn at index 0 (no prior context) is NOT a training row
+    turns2 = CV.explode_turns(_convs(spark, [(9, VIOL)]))
+    rows2 = CV.chat_training_rows(turns2).collect()
+    assert [r["turn_idx"] for r in rows2] == [1]
+
+
+def test_null_content_prior_turn_parity(spark, duck):
+    """A NULL-content prior turn renders as nothing in the context on BOTH
+    engines (aggregates skip NULL elements)."""
+    conv = ('[{"role":"user"},'
+            '{"role":"user","content":"real"},'
+            '{"role":"assistant","content":"ok"}]')
+    df = _convs(spark, [(1, conv)])
+    out = CV.chat_training_rows(CV.explode_turns(df)).collect()
+    assert len(out) == 1 and out[0]["context"] == "user: real"
+    esc = conv.replace("'", "''")
+    duck.execute(
+        "CREATE OR REPLACE TEMP VIEW _convs AS "
+        f"SELECT 1 AS conv_id, '{esc}' AS conversation"
+    )
+    want = duck.sql(CV.chat_training_rows_sql(
+        f"({CV.explode_turns_sql('_convs')})")).fetchall()
+    assert len(want) == 1 and want[0][2] == "user: real"
+
+
+def test_conversation_chain_matches_duckdb(spark, views, duck):
+    """End-to-end twin on conversations synthesized deterministically from
+    events (per-user transcripts, roles by turn parity): explode → stats
+    and explode → training rows both hash-match DuckDB."""
+    ev = spark.table("events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    )
+    msg = F.concat(
+        F.lit('{"role":"'),
+        F.when(F.col("_rn") % 2 == 1, F.lit("user")).otherwise(F.lit("assistant")),
+        F.lit('","content":"'),
+        F.col("event_type"), F.lit("#"), F.col("event_id").cast("string"),
+        F.lit('"}'),
+    )
+    convs = (
+        ev.select("user_id", "event_type", "event_id",
+                  rn.alias("_rn"))
+        .where(F.col("_rn") <= 8)
+        .withColumn("_msg", msg)
+        .groupBy(F.col("user_id").alias("conv_id"))
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_rn", "_msg"))),
+                        lambda x: x["_msg"],
+                    ),
+                    ",",
+                ),
+                F.lit("]"),
+            ).alias("conversation")
+        )
+    )
+    turns = CV.explode_turns(convs)
+    duck_conv = """
+(SELECT user_id AS conv_id,
+        '[' || string_agg(msg, ',' ORDER BY rn) || ']' AS conversation
+ FROM (
+   SELECT user_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS rn,
+          '{"role":"' ||
+          CASE WHEN (ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id)) % 2 = 1
+               THEN 'user' ELSE 'assistant' END ||
+          '","content":"' || event_type || '#' || event_id || '"}' AS msg
+   FROM events
+ ) WHERE rn <= 8
+ GROUP BY user_id)
+"""
+    turns_sql = f"({CV.explode_turns_sql(duck_conv)})"
+    assert_df_matches_duck(
+        CV.conversation_stats(turns), duck,
+        CV.conversation_stats_sql(turns_sql),
+    )
+    assert_df_matches_duck(
+        CV.chat_training_rows(turns), duck,
+        CV.chat_training_rows_sql(turns_sql),
+    )

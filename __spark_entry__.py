@@ -6945,6 +6945,19 @@ _CHAT_CONV_DUCK = """
 """
 
 
+def _length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C247 (annex, EXACT oracle): length-bucketed batching audit over
+    documents (char lengths standing in for token counts) — the padding
+    economics (per-bucket waste vs flat max-length batching) that decide
+    bucketed-vs-packed batching (operators/packing.py)."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.length("text").cast("long").alias("n_chars")
+    )
+    return packing.length_bucket_audit(docs, "n_chars",
+                                       min_bucket=64, max_bucket=512)
+
+
 def _chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C245 (annex, EXACT oracle): conversation structure audit —
     synthesize per-user transcripts, explode to typed turns
@@ -7334,6 +7347,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "logreg_quality_docs": _logreg_quality,
         "bradley_terry_events": _bradley_terry,
         "chat_turn_stats_events": _chat_stats,
+        "length_buckets_docs": _length_buckets,
         "chat_training_rows_events": _chat_training,
     }
 
@@ -8109,6 +8123,10 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "bradley_terry_events": preference.bradley_terry_sql(
             _BT_SRC_DUCK, iterations=10,
+        ),
+        "length_buckets_docs": packing.length_bucket_audit_sql(
+            "(SELECT CAST(length(text) AS BIGINT) AS n_chars FROM documents)",
+            "n_chars", min_bucket=64, max_bucket=512,
         ),
         "chat_turn_stats_events": conversations.conversation_stats_sql(
             "(" + conversations.explode_turns_sql(_CHAT_CONV_DUCK) + ")",

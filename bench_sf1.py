@@ -156,6 +156,35 @@ QUERIES = [
     "pr_curve_scores",
     "cuped_user_value",
     "srm_check_assignment",
+    # round-8 batch-73+ operators: the quality-classifier feature/train
+    # chain, conformal/backtest/off-policy evaluation family, raking,
+    # the rank/survival/design readouts, proper scoring, incremental
+    # sessionization (write-path state fold), and the batch-82+ lanes:
+    # logistic regression, Bradley-Terry, PQ ANN (the row includes its
+    # own brute-force baseline — the ratio is the cost of recall
+    # measurement, the PQ path itself is the delta), the top-k digest
+    # rollup (write-path state fold), and the conversation lane
+    "hashing_vectorizer_docs",
+    "conformal_value_by_type",
+    "rolling_origin_folds_events",
+    "replay_policy_events",
+    "rake_weights_events",
+    "ips_policy_events",
+    "twap_user_value",
+    "mann_whitney_value",
+    "logrank_user_lifetime",
+    "mde_value_by_type",
+    "forecast_accuracy_daily",
+    "stratified_ate_events",
+    "prob_eval_purchase",
+    "sessionize_incremental_events",
+    "logreg_quality_docs",
+    "bradley_terry_events",
+    "sim_pq_topk",
+    "topk_rollup_users",
+    "chat_turn_stats_events",
+    "chat_training_rows_events",
+    "length_buckets_docs",
 ]
 
 
@@ -330,6 +359,10 @@ def main() -> None:
         # shard files / streamed txnlog commits; oracles only compute
         "jsonl_export_roundtrip",
         "stream_cdc_apply",
+        # ledgered state folds (per-period digests / open-session state);
+        # oracles compute from scratch without the writes
+        "topk_rollup_users",
+        "sessionize_incremental_events",
     }
     q_only = {
         k: v

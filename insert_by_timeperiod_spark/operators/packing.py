@@ -151,3 +151,135 @@ def greedy_packing(
     out_schema = "_id long, n_tok long, bucket int, pack_id long, pack_offset long"
     out = slim.mapInPandas(pack, out_schema)
     return out.withColumnRenamed("_id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# C247: length-bucketed batching audit
+# ---------------------------------------------------------------------------
+
+def length_bucket_audit(
+    df: DataFrame,
+    length_col: str,
+    *,
+    min_bucket: int = 128,
+    max_bucket: int = 8192,
+) -> DataFrame:
+    """Length-bucketed batching efficiency audit (SURVEY.md §2 C247): assign
+    each sequence to the smallest power-of-two bucket that holds it
+    (geometric ladder ``min_bucket``..``max_bucket``; longer sequences are
+    counted as TRUNCATED into the top bucket) and report, per bucket, the
+    padding economics that decide a batching strategy: rows, total real
+    tokens, padded tokens at the bucket length, padding waste, and the
+    waste a SINGLE max-length batcher would have paid for the same rows —
+    the concrete "bucketing saves X% of step tokens" number every trainer
+    wants before choosing bucketed vs packed (C24) batching.
+
+    Scale shape: pure scan-stage column arithmetic + ONE map-side-combined
+    aggregate to the ladder-sized frame; nothing is corpus-sized. NULL or
+    non-positive lengths are excluded and COUNTED via the bucket=-1 row
+    (dropping them silently would overstate corpus coverage).
+
+    Output: (bucket, n_rows, real_tokens, padded_tokens, pad_waste_pct,
+    flat_padded_tokens, n_truncated) where ``bucket`` is the bucket's
+    sequence length (-1 = the excluded-rows row), ``flat_padded_tokens``
+    is rows × max_bucket (what max-length batching costs), and
+    ``pad_waste_pct`` is on the 6-decimal grid."""
+    if min_bucket < 1 or max_bucket < min_bucket:
+        raise ValueError("need 1 <= min_bucket <= max_bucket")
+    if max_bucket & (max_bucket - 1) or min_bucket & (min_bucket - 1):
+        raise ValueError("buckets must be powers of two")
+    L = F.col(length_col).cast("long")
+    # smallest power-of-two >= L, clamped to the ladder: ceil(log2) via the
+    # integer bit trick is not portable SQL — both engines share the
+    # ceil(log2(x)) float form, exact for x <= 2^47 because log2 of an
+    # exact power is representable and ceil snaps the in-between values
+    raw = F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(L, F.lit(1)))))
+    bucket = F.when(
+        L.isNull() | (L <= 0), F.lit(-1)
+    ).otherwise(
+        F.least(
+            F.greatest(raw.cast("long"), F.lit(min_bucket)),
+            F.lit(max_bucket),
+        )
+    )
+    b = df.select(
+        bucket.alias("bucket"),
+        L.alias("_len"),
+    )
+    real = F.when(
+        F.col("bucket") == -1, F.lit(0)
+    ).otherwise(F.least(F.col("_len"), F.lit(max_bucket)))
+    out = (
+        b.withColumn("_real", real)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_real").cast("long").alias("real_tokens"),
+            F.sum(
+                (F.col("_len") > F.lit(max_bucket)).cast("long")
+            ).alias("n_truncated"),
+        )
+    )
+    padded = F.when(
+        F.col("bucket") == -1, F.lit(0)
+    ).otherwise(F.col("bucket") * F.col("n_rows"))
+    flat = F.when(
+        F.col("bucket") == -1, F.lit(0)
+    ).otherwise(F.lit(max_bucket) * F.col("n_rows"))
+    return out.select(
+        "bucket",
+        "n_rows",
+        "real_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        F.when(F.col("bucket") == -1, F.lit(None).cast("double")).otherwise(
+            F.round(
+                (padded - F.col("real_tokens")) / padded.cast("double"), 6
+            )
+        ).alias("pad_waste_pct"),
+        flat.cast("long").alias("flat_padded_tokens"),
+        F.coalesce(F.col("n_truncated"), F.lit(0)).cast("long").alias(
+            "n_truncated"
+        ),
+    )
+
+
+def length_bucket_audit_sql(
+    source: str,
+    length_col: str,
+    *,
+    min_bucket: int = 128,
+    max_bucket: int = 8192,
+) -> str:
+    """Exact DuckDB twin of :func:`length_bucket_audit` (same
+    ceil-log2 ladder, same -1 excluded-rows row, same 6-grid)."""
+    return f"""
+WITH _b AS (
+    SELECT CASE WHEN {length_col} IS NULL OR {length_col} <= 0 THEN -1
+                ELSE least(greatest(
+                       CAST(pow(2.0, ceil(log2(greatest(CAST({length_col} AS BIGINT), 1)))) AS BIGINT),
+                       {min_bucket}), {max_bucket})
+           END AS bucket,
+           CAST({length_col} AS BIGINT) AS _len
+    FROM {source}
+), _g AS (
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN bucket = -1 THEN 0
+                    ELSE least(_len, {max_bucket}) END) AS real_tokens,
+           SUM(CASE WHEN _len > {max_bucket} THEN 1 ELSE 0 END) AS n_truncated
+    FROM _b GROUP BY bucket
+)
+SELECT bucket,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(real_tokens AS BIGINT) AS real_tokens,
+       CAST(CASE WHEN bucket = -1 THEN 0 ELSE bucket * n_rows END AS BIGINT)
+           AS padded_tokens,
+       CASE WHEN bucket = -1 THEN NULL
+            ELSE round((bucket * n_rows - real_tokens)
+                       / CAST(bucket * n_rows AS DOUBLE), 6) END
+           AS pad_waste_pct,
+       CAST(CASE WHEN bucket = -1 THEN 0 ELSE {max_bucket} * n_rows END AS BIGINT)
+           AS flat_padded_tokens,
+       CAST(COALESCE(n_truncated, 0) AS BIGINT) AS n_truncated
+FROM _g
+"""

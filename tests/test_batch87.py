@@ -1,0 +1,49 @@
+"""Pins for C247 (length-bucketed batching efficiency audit)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_duck
+from insert_by_timeperiod_spark.operators import packing
+
+
+def _lens(spark, rows):
+    return spark.createDataFrame([(x,) for x in rows], "n long")
+
+
+def test_bucket_assignment_hand_case(spark):
+    df = _lens(spark, [1, 100, 128, 129, 500, 8192, 9000, None, 0])
+    out = {r["bucket"]: r for r in packing.length_bucket_audit(
+        df, "n", min_bucket=128, max_bucket=8192).collect()}
+    # 1,100,128 -> 128; 129 -> 256; 500 -> 512; 8192,9000 -> 8192 (9000 truncated)
+    assert out[128]["n_rows"] == 3 and out[128]["real_tokens"] == 229
+    assert out[256]["n_rows"] == 1 and out[512]["n_rows"] == 1
+    assert out[8192]["n_rows"] == 2 and out[8192]["n_truncated"] == 1
+    assert out[8192]["real_tokens"] == 8192 * 2  # 9000 counted truncated
+    assert out[-1]["n_rows"] == 2 and out[-1]["pad_waste_pct"] is None
+    # waste arithmetic: 128-bucket holds 229 real of 384 padded
+    assert out[128]["padded_tokens"] == 384
+    assert out[128]["pad_waste_pct"] == pytest.approx(1 - 229 / 384, abs=1e-6)
+    assert out[128]["flat_padded_tokens"] == 3 * 8192
+
+
+def test_bucket_contracts(spark):
+    df = _lens(spark, [1])
+    with pytest.raises(ValueError, match="powers of two"):
+        packing.length_bucket_audit(df, "n", min_bucket=100)
+    with pytest.raises(ValueError, match="min_bucket"):
+        packing.length_bucket_audit(df, "n", min_bucket=0)
+
+
+def test_bucket_audit_matches_duckdb(spark, views, duck):
+    docs = spark.table("documents").select(
+        F.length("text").cast("long").alias("n_chars"))
+    out = packing.length_bucket_audit(docs, "n_chars",
+                                      min_bucket=64, max_bucket=512)
+    assert_df_matches_duck(
+        out, duck,
+        packing.length_bucket_audit_sql(
+            "(SELECT CAST(length(text) AS BIGINT) AS n_chars FROM documents)",
+            "n_chars", min_bucket=64, max_bucket=512,
+        ),
+    )

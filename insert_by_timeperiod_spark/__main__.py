@@ -63,11 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-batch job latency")
     p.add_argument("--concurrent-min-batch-bytes", type=int, default=None,
                    metavar="BYTES",
-                   help="auto-gate for --concurrent-batches: below this "
-                        "estimated input volume per batch the run stays "
-                        "sequential (thread overlap costs more than it saves "
-                        "on small batches). Default 256 MiB; 0 forces "
-                        "concurrency regardless of size")
+                   help="OPT-IN gate for --concurrent-batches: when > 0, "
+                        "runs sequentially below this estimated input "
+                        "volume per batch. Default 0 (never gate): overlap "
+                        "amortizes fixed per-job latency and wins even on "
+                        "small batches (sf1: 25.9s sequential vs 7.4s at "
+                        "N=4); set a measured crossover for clusters where "
+                        "staging I/O makes overlap a net loss")
     p.add_argument("--period-additive-model", action="store_true",
                    help="declare the model period-additive: a batch compiles one "
                         "widened plan instead of an N-way union (NOT for "

@@ -136,17 +136,20 @@ class IBTPConfig:
     periods_per_commit: int = 1
     period_additive_model: bool = False
     concurrent_batches: int = 1
-    #: auto-gate for concurrent_batches: when the estimated input volume per
-    #: batch (metadata-only — partition-pruned file listing + file sizes)
-    #: falls below this many bytes, the engine runs sequentially even if
-    #: concurrent_batches > 1. Thread overlap pays fixed costs (staging
-    #: dirs, gateway contention, per-batch job setup) that exceed its win on
-    #: small batches — measured at sf1: concurrent 7.4s vs sequential 2.6s
-    #: on ~MB-sized weekly batches (VERDICT r7). The 256 MiB default is well
-    #: under the reference's 6–60M-rows-per-chunk production sweet spot
-    #: (/root/reference/README.md:104), so real cluster batches stay
-    #: concurrent; set 0 to force concurrency regardless of size.
-    concurrent_min_batch_bytes: int = 256 << 20
+    #: OPT-IN work gate for concurrent_batches: when set > 0 and the
+    #: estimated input volume per batch (metadata-only — partition-pruned
+    #: file listing + file sizes) falls below this many bytes, the engine
+    #: runs sequentially even if concurrent_batches > 1. Default 0 = never
+    #: gate: measured at sf1 (16 daily batches over 1M events), the SAME
+    #: workload runs 25.9s sequential vs 7.4s with concurrent_batches=4 —
+    #: overlap amortizes fixed per-job latency and WINS on small batches,
+    #: so disabling it by size is usually wrong (the r7 comparison that
+    #: suggested otherwise held the concurrent 16-batch day loop against
+    #: the 5-batch fused week loop — different workloads). The knob exists
+    #: for clusters where staging-dir I/O or scheduler contention makes
+    #: overlap a net loss; there, set the threshold to your measured
+    #: crossover.
+    concurrent_min_batch_bytes: int = 0
 
     def __post_init__(self) -> None:
         if self.periods_per_commit < 1:

@@ -442,13 +442,15 @@ class InsertByTimeperiod:
             )
             conc = 1
         if conc > 1 and not keyed and self.config.concurrent_min_batch_bytes:
-            # work-threshold auto-gate: thread overlap pays fixed costs
-            # (private staging dirs, py4j gateway contention, per-batch job
-            # setup) that outweigh its win on small batches — measured 2.9×
-            # SLOWER than sequential on ~MB weekly batches (VERDICT r7).
-            # The estimate is metadata-only (partition-pruned file listing
-            # + file stats); unknowable inputs (non-file sources, huge
-            # listings) keep the caller's setting.
+            # OPT-IN work-threshold gate (config.concurrent_min_batch_bytes,
+            # default 0 = off): measured at sf1, overlap WINS on small
+            # batches (same 16-batch day loop: 25.9s sequential vs 7.4s at
+            # conc=4 — it amortizes fixed per-job latency), so gating is
+            # for clusters where staging I/O or scheduler contention makes
+            # overlap a net loss. The estimate is metadata-only
+            # (partition-pruned file listing + file stats); unknowable
+            # inputs (non-file sources, huge listings) keep the caller's
+            # setting.
             per_batch = self._estimate_batch_bytes(batches)
             if (
                 per_batch is not None

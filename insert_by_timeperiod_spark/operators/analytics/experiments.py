@@ -11,7 +11,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._util import _q, _UNIT_DAYS
+from ._util import _exact_global_ntile, _q, _UNIT_DAYS
 
 __all__ = ['ab_test', 'ab_test_sql', 'bootstrap_mean_ci', 'bootstrap_mean_ci_sql', 'chi2_independence', 'chi2_independence_sql', 'bh_adjust', 'bh_adjust_sql', 'cuped_adjust', 'cuped_sql', 'srm_check', 'srm_sql']
 
@@ -2300,6 +2300,9 @@ FROM _st
 """
 
 
+
+
+
 def stratified_ate(
     df: DataFrame,
     treat_col: str,
@@ -2342,10 +2345,19 @@ def stratified_ate(
         p.alias("_p"),
         F.col(id_col).alias("_id"),
     )
-    w = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(
-        F.col("_p").asc(), F.col("_id").asc()
-    )
-    strat = src.withColumn("_s", F.ntile(n_strata).over(w))
+    if gcols:
+        # grouped: the window partitions by group — parallel across groups
+        w = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(
+            F.col("_p").asc(), F.col("_id").asc()
+        )
+        strat = src.withColumn("_s", F.ntile(n_strata).over(w))
+    else:
+        # ungrouped: a bare ntile window is a SINGLE-REDUCER global sort
+        # (WindowExec moves everything to one partition — measured 3.6s at
+        # sf1 and fatal at 100×); identical tile assignment distributed
+        strat = _exact_global_ntile(
+            src, [F.col("_p").asc(), F.col("_id").asc()], n_strata, "_s"
+        )
     dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
     is_t = F.col("_t") == 1
     cells = strat.groupBy(*gcols, "_s").agg(

@@ -11,7 +11,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._util import _q, _UNIT_DAYS
+from ._util import _exact_global_ntile, _q, _UNIT_DAYS
 
 __all__ = ['funnel', 'funnel_sql', 'retention_cohorts', 'retention_sql', 'event_transitions', 'event_transitions_sql', 'association_rules', 'association_rules_sql', 'attribution', 'attribution_sql', 'daily_actives', 'daily_actives_sql', 'time_to_convert', 'time_to_convert_sql', 'rfm_segments', 'rfm_segments_sql', 'time_to_nth_event', 'time_to_nth_sql', 'rolling_actives', 'rolling_actives_sql', 'ltv_curve', 'ltv_curve_sql']
 
@@ -1186,8 +1186,11 @@ def lift_chart(
         F.col(score_col).cast("double").alias("_s"),
         F.col(label_col).cast("int").alias("_y"),
     )
-    w = Window.orderBy(F.col("_s").desc(), F.col("_id").asc())
-    bucketed = src.withColumn("bucket", F.ntile(k).over(w))
+    # distributed exact ntile: a bare global window would single-reduce
+    # the scored corpus (same defect class as stratified_ate, fixed there)
+    bucketed = _exact_global_ntile(
+        src, [F.col("_s").desc(), F.col("_id").asc()], k, "bucket"
+    )
     per = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_y").alias("positives")
     )

@@ -144,3 +144,32 @@ def test_prob_eval_matches_twin(spark):
         features.prob_forecast_eval(df, "y", "p", eps=0.001),
         con, features.prob_forecast_eval_sql("e", "y", "p", eps=0.001))
     con.close()
+
+
+def test_exact_global_ntile_equals_window_ntile(spark):
+    """The distributed global ntile (range-repartition + offsets) must
+    equal the single-reducer window ntile bit-for-bit, including the
+    total<k and total%k!=0 edges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from insert_by_timeperiod_spark.operators.analytics._util import (
+        _exact_global_ntile,
+    )
+
+    for n_rows, k in ((997, 5), (3, 7), (64, 8)):
+        df = spark.range(n_rows).select(
+            (F.col("id") * 37 % 101).alias("v"), F.col("id")
+        )
+        order = [F.col("v").asc(), F.col("id").asc()]
+        want = {
+            (r["id"]): r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy(*order))
+            ).collect()
+        }
+        got = {
+            (r["id"]): r["t"]
+            for r in _exact_global_ntile(df, order, k, "t").collect()
+        }
+        assert got == want, (n_rows, k)

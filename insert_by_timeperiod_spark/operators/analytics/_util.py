@@ -59,3 +59,52 @@ def _exact_global_ntile(df: DataFrame, order_exprs, k: int, out_col: str) -> Dat
         .withColumn(out_col, tile.cast("int"))
         .drop("_pid", "_lrn", "_off", "_total")
     )
+
+
+def _dist_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """INCLUSIVE cumulative sum of ``value_col`` over ``order_exprs``
+    within each group, WITHOUT per-group single-reducer windows: a plain
+    ``sum().over(Window.partitionBy(group).orderBy(...))`` funnels each
+    group through ONE task (5 groups = 5-way parallelism regardless of
+    cluster size). Here: range-repartition on (group, order) — groups
+    span partitions — run the window WITHIN each physical partition
+    (parallel), and add per-(group, partition) offsets from the bounded
+    (groups × partitions) count frame, joined back by broadcast. Both
+    consumers of the ranged frame share ONE shuffle via ReuseExchange.
+    ``order_exprs`` must order rows uniquely WITHIN (group, partition) for
+    a row-deterministic cumsum — for per-distinct-value frames (the rank
+    use case) the value itself is unique per group."""
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    gx = [F.col(g) for g in group_cols]
+    d = df.repartitionByRange(nparts, *gx, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_lcs", F.sum(F.col(value_col)).over(wloc))
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.groupBy("_pid", *group_cols)
+        .agg(F.sum(F.col(value_col)).alias("_psum"))
+        .withColumn("_off", F.coalesce(F.sum("_psum").over(woff), F.lit(0.0)))
+        .select("_pid", *group_cols, "_off")
+    )
+    join_keys = ["_pid", *group_cols]
+    return (
+        local.join(F.broadcast(offs), join_keys)
+        .withColumn(out_col, F.col("_off") + F.col("_lcs"))
+        .drop("_pid", "_lcs", "_off")
+    )

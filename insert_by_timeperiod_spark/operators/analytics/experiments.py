@@ -11,7 +11,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._util import _exact_global_ntile, _q, _UNIT_DAYS
+from ._util import _dist_cumsum, _exact_global_ntile, _q, _UNIT_DAYS
 
 __all__ = ['ab_test', 'ab_test_sql', 'bootstrap_mean_ci', 'bootstrap_mean_ci_sql', 'chi2_independence', 'chi2_independence_sql', 'bh_adjust', 'bh_adjust_sql', 'cuped_adjust', 'cuped_sql', 'srm_check', 'srm_sql']
 
@@ -1898,24 +1898,28 @@ def mann_whitney_u(
         F.col(arm_col).cast("string").alias("_arm"),
         y.alias("_y"),
     )
-    wr = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(F.col("_y").asc())
-    wt = Window.partitionBy(*[F.col(g) for g in gcols], F.col("_y"))
-    ties = F.count(F.lit(1)).over(wt).cast("double")
-    ranked = src.select(
-        *gcols,
-        "_arm",
-        (F.rank().over(wr) + (ties - 1.0) / 2.0).alias("_r"),
-        ties.alias("_t"),
+    # collapse the corpus to the per-(group, value) count frame FIRST (one
+    # map-side-combined aggregate) and derive average ranks from an
+    # inclusive cumulative count: avg_rank(v) = cum(v) − (t(v)−1)/2. A
+    # per-row rank window partitioned by group funnels each group through
+    # ONE task (measured 13.4s at sf10 over 5 event-type groups); the
+    # cumulative runs distributed via _dist_cumsum. Ranks live on the
+    # exact .5 grid and counts are integers, so every term below is exact
+    # in double — identical to the per-row form the SQL twin uses.
+    is_a_row = F.col("_arm") == str(arm_a)
+    counts = src.groupBy(*gcols, "_y").agg(
+        F.count(F.lit(1)).cast("double").alias("_t"),
+        F.sum(F.when(is_a_row, 1).otherwise(0)).cast("double").alias("_ca"),
     )
+    cum = _dist_cumsum(counts, gcols, [F.col("_y").asc()], "_t", "_cum")
+    avg_rank = F.col("_cum") - (F.col("_t") - 1.0) / 2.0
     dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    is_a = F.col("_arm") == str(arm_a)
-    st = ranked.groupBy(*gcols).agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_na"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).cast("double").alias("_nb"),
-        dec(F.when(is_a, F.col("_r"))).alias("_ra"),
-        # Σ(t³−t): each member of a t-sized tie group contributes (t³−t)/t
-        # = t²−1, so the per-value tie term needs no distinct pass
-        dec(F.col("_t") * F.col("_t") - 1.0).alias("_tie"),
+    st = cum.groupBy(*gcols).agg(
+        F.sum("_ca").alias("_na"),
+        F.sum(F.col("_t") - F.col("_ca")).alias("_nb"),
+        dec(F.col("_ca") * avg_rank).alias("_ra"),
+        # Σ(t³−t) directly per distinct value
+        dec(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_tie"),
     )
     na, nb = F.col("_na"), F.col("_nb")
     n = na + nb

@@ -531,13 +531,15 @@ def auc_score(
     per group: ``auc``, ``n_pos``, ``n_neg`` (NULL auc when either class
     is absent — undefined, not 0.5).
 
-    Scale shape: ONE window shuffle (rank by score within group); the
-    average tie rank is (2·min_rank + cnt − 1)/2 assembled from rank()
-    plus a per-(group, score) count — the second window shares the first
-    window's exchange. Everything after is a groups-sized aggregate.
-    Exactness: ranks and counts are exact integers; one final IEEE
+    Scale shape: the corpus collapses to the per-(group, score) count
+    frame in ONE map-side-combined aggregate; average ranks derive from a
+    DISTRIBUTED inclusive cumulative count (avg_rank = cum − (t−1)/2 —
+    a per-row rank window partitioned by group caps parallelism at the
+    group count, the defect class fixed across MW/ATE/lift in round 8).
+    Everything after is a groups-sized aggregate. Exactness: ranks live
+    on the exact .5 grid and counts are integers; one final IEEE
     division — twin-exact."""
-    from pyspark.sql import Window
+    from .analytics._util import _dist_cumsum
 
     gcols = list(group_cols or [])
     p = F.col(pred_col).cast("double")
@@ -545,20 +547,18 @@ def auc_score(
     src = df.where(p.isNotNull() & y.isNotNull()).select(
         *gcols, p.alias("_p"), y.alias("_y")
     )
-    w = Window.partitionBy(*gcols).orderBy(F.col("_p"))
-    wt = Window.partitionBy(*gcols, "_p")
-    ranked = src.select(
-        *gcols,
-        "_y",
-        # average rank of a tie block: (2*min_rank + cnt - 1) / 2
-        (
-            (2.0 * F.rank().over(w) + F.count(F.lit(1)).over(wt) - 1.0) / 2.0
-        ).alias("_ar"),
+    counts = src.groupBy(*gcols, "_p").agg(
+        F.count(F.lit(1)).cast("double").alias("_t"),
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("_cp"),
     )
-    agg = ranked.groupBy(*gcols).agg(
-        F.sum(F.when(F.col("_y") == 1, F.col("_ar"))).alias("_rsum"),
-        F.count(F.when(F.col("_y") == 1, 1)).cast("bigint").alias("n_pos"),
-        F.count(F.when(F.col("_y") == 0, 1)).cast("bigint").alias("n_neg"),
+    cum = _dist_cumsum(counts, gcols, [F.col("_p").asc()], "_t", "_cum")
+    avg_rank = F.col("_cum") - (F.col("_t") - 1.0) / 2.0
+    agg = cum.groupBy(*gcols).agg(
+        F.sum(F.col("_cp") * avg_rank).alias("_rsum"),
+        F.sum("_cp").cast("bigint").alias("n_pos"),
+        F.sum(F.col("_t") - F.col("_cp")).cast("bigint").alias("n_neg"),
     )
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),

@@ -617,9 +617,15 @@ def spearman(
     NULL on either side are excluded. Output per group: ``n``, ``rho``
     (NULL when either side is constant).
 
-    Scale shape: two rank windows on the same group partitioning + one
-    map-side-combined sufficient-statistics reduce on the DECIMAL
-    grid — :func:`spearman_sql` is exact."""
+    Scale shape: each side collapses to its per-(group, value) count
+    frame (map-side-combined); average ranks derive from DISTRIBUTED
+    cumulative counts and join back to rows null-safely by (group,
+    value) — per-row rank windows partitioned by group cap parallelism
+    at the group count (the round-8 defect class fixed across
+    MW/AUC/ATE/lift) — then one map-side-combined sufficient-statistics
+    reduce on the DECIMAL grid — :func:`spearman_sql` is exact."""
+    from ._util import _dist_cumsum
+
     gcols = list(group_cols or [])
     x = F.col(col_x).cast("double")
     y = F.col(col_y).cast("double")
@@ -627,13 +633,28 @@ def spearman(
         *gcols, x.alias("_x"), y.alias("_y")
     )
 
-    def avg_rank(c):
-        wr = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(F.col(c).asc())
-        wt = Window.partitionBy(*[F.col(g) for g in gcols], F.col(c))
-        return F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+    def rank_tbl(c: str, out: str):
+        gk = [f"_g_{g}" for g in gcols]
+        counts = src.groupBy(
+            *[F.col(g).alias(k) for g, k in zip(gcols, gk)],
+            F.col(c).alias("_v"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        cum = _dist_cumsum(counts, gk, [F.col("_v").asc()], "_t", "_cum")
+        return cum.select(
+            *gk, "_v",
+            (F.col("_cum") - (F.col("_t") - 1.0) / 2.0).alias(out),
+        )
 
-    ranked = src.select(
-        *gcols, avg_rank("_x").alias("_rx"), avg_rank("_y").alias("_ry")
+    def join_back(d: DataFrame, tbl: DataFrame, c: str) -> DataFrame:
+        cond = F.col(c).eqNullSafe(F.col("_v"))
+        for g in gcols:
+            cond = cond & F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+        return d.join(tbl, cond).drop("_v", *[f"_g_{g}" for g in gcols])
+
+    ranked = join_back(
+        join_back(src, rank_tbl("_x", "_rx"), "_x"),
+        rank_tbl("_y", "_ry"),
+        "_y",
     )
     dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
     rx, ry = F.col("_rx"), F.col("_ry")

@@ -108,3 +108,39 @@ def _dist_cumsum(
         .withColumn(out_col, F.col("_off") + F.col("_lcs"))
         .drop("_pid", "_lcs", "_off")
     )
+
+
+def _pct_rank_join(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str,
+) -> DataFrame:
+    """Per-row percent_rank ((min_rank − 1)/(n − 1), ties share min rank;
+    single-row group → 0) WITHOUT per-group single-reducer windows: the
+    per-(group, value) count frame + distributed cumulative gives each
+    distinct value its min-rank; rows pick theirs up by a null-safe
+    (group, value) join. NULL values must be pre-filtered by the caller
+    (a NULL has no rank). Returns ``df``'s columns plus UNROUNDED
+    ``out_col`` — callers choose their own grid."""
+    gk = [f"_g_{g}" for g in group_cols]
+    counts = df.groupBy(
+        *[F.col(g).alias(k) for g, k in zip(group_cols, gk)],
+        F.col(value_col).alias("_v"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("_t"))
+    cum = _dist_cumsum(counts, gk, [F.col("_v").asc()], "_t", "_cum")
+    if gk:
+        totals = cum.groupBy(*gk).agg(F.sum("_t").alias("_n"))
+        tbl = cum.join(totals, gk)
+    else:
+        totals = cum.groupBy().agg(F.sum("_t").alias("_n"))
+        tbl = cum.crossJoin(F.broadcast(totals))  # 1-row totals frame
+    pr = F.when(
+        F.col("_n") > 1.0,
+        (F.col("_cum") - F.col("_t")) / (F.col("_n") - 1.0),
+    ).otherwise(F.lit(0.0))
+    tbl = tbl.select(*gk, "_v", pr.alias(out_col))
+    cond = F.col(value_col).eqNullSafe(F.col("_v"))
+    for g, k in zip(group_cols, gk):
+        cond = cond & F.col(g).eqNullSafe(F.col(k))
+    return df.join(tbl, cond).drop("_v", *gk)

@@ -99,35 +99,12 @@ def percentile_normalize(
     funnels each group through ONE task (the round-8 defect class fixed
     across MW/AUC/ATE/lift), and with no groups it single-reduces the
     whole corpus."""
-    from ._util import _dist_cumsum
+    from ._util import _pct_rank_join
 
     gcols = list(by or [])
     src = df.where(F.col(value_col).isNotNull())
-    counts = src.groupBy(
-        *[F.col(g).alias(f"_g_{g}") for g in gcols],
-        F.col(value_col).alias("_v"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("_t"))
-    cum = _dist_cumsum(
-        counts, [f"_g_{g}" for g in gcols], [F.col("_v").asc()], "_t", "_cum"
-    )
-    totals = cum.groupBy(*[f"_g_{g}" for g in gcols]).agg(
-        F.sum("_t").alias("_n")
-    )
-    if gcols:
-        rank_tbl = cum.join(totals, [f"_g_{g}" for g in gcols])
-    else:
-        rank_tbl = cum.crossJoin(F.broadcast(totals))  # 1-row totals frame
-    pr = F.when(
-        F.col("_n") > 1.0,
-        (F.col("_cum") - F.col("_t")) / (F.col("_n") - 1.0),
-    ).otherwise(F.lit(0.0))
-    rank_tbl = rank_tbl.select(
-        *[f"_g_{g}" for g in gcols], "_v", F.round(pr, 6).alias(out_col)
-    )
-    cond = F.col(value_col).eqNullSafe(F.col("_v"))  # value non-null; keys may not be
-    for g in gcols:
-        cond = cond & F.col(g).eqNullSafe(F.col(f"_g_{g}"))
-    return src.join(rank_tbl, cond).drop("_v", *[f"_g_{g}" for g in gcols])
+    ranked = _pct_rank_join(src, value_col, gcols, "_pr_raw")
+    return ranked.withColumn(out_col, F.round(F.col("_pr_raw"), 6)).drop("_pr_raw")
 
 
 def percentile_normalize_sql(

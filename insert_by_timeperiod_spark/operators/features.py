@@ -1219,10 +1219,20 @@ def quantile_match(
             ).alias("_ks")
         )
     )
-    w = Window.partitionBy(*group_cols).orderBy(v.asc())
+    # percent_rank via the distributed count-frame join (a per-group
+    # window caps parallelism at the group count — round-8 defect class).
+    # Note the rank is over round(value, 6) exactly as the window form
+    # ordered by `v`, so ties collapse identically on both engines.
+    from .analytics._util import _pct_rank_join
+
     ranked = (
-        df.where(F.col(value_col).isNotNull())
-        .withColumn("_pr", F.percent_rank().over(w))
+        _pct_rank_join(
+            df.where(F.col(value_col).isNotNull()).withColumn("_v6", v),
+            "_v6",
+            list(group_cols),
+            "_pr",
+        )
+        .drop("_v6")
         .crossJoin(F.broadcast(ref))
     )
     p = F.col("_pr") * F.lit(float(knots - 1))

@@ -4131,6 +4131,49 @@ SELECT * FROM (VALUES
 _ACTROLL_DIR = _SKIP_DIR + "_actroll"
 
 
+def _stream_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C248 (annex, EXACT oracle): STREAMING top-k digest — events
+    replayed as a real 3-file stream (time-sliced, one file per
+    micro-batch), each batch folding one capacity-20 digest into the
+    C244 state; the oracle is the from-scratch twin over the SAME
+    slices (digest content depends on batch boundaries, so the twin's
+    period expression replays them)."""
+    from insert_by_timeperiod_spark.streaming.rollups import TopkRollupStream
+
+    _prep(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ibtp_tkstream_")
+    src = base + "/src"
+    ev = spark.table("events").select(
+        F.col("user_id").cast("string").alias("item"), F.col("ts")
+    )
+    for lo, hi in (
+        (None, "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", None),
+    ):
+        sl = ev
+        if lo:
+            sl = sl.where(F.to_date("ts") >= F.lit(lo))
+        if hi:
+            sl = sl.where(F.to_date("ts") < F.lit(hi))
+        sl.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    TopkRollupStream(base + "/state", "item", capacity=20).run_available_now(
+        stream, base + "/ck"
+    )
+    return rollup.topk_rollup_read(spark, base + "/state")
+
+
+_STREAM_TOPK_SLICES = (
+    "(CASE WHEN ts < DATE '2024-01-11' THEN 0"
+    " WHEN ts < DATE '2024-01-21' THEN 1 ELSE 2 END)"
+)
+
+
 def _topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C244 (annex, EXACT oracle): mergeable top-k digest rollup —
     weekly event batches folded (one replayed: ledger no-op) into the
@@ -7186,6 +7229,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "feature_table_events": _feature_table,
         "actives_rollup_periods": _actives_rollup,
         "topk_rollup_users": _topk_rollup,
+        "stream_topk_rollup": _stream_topk_rollup,
         "rolling_anomalies_events": _rolling_anoms,
         "schema_drift_report": _schema_drift,
         "join_size_estimate": _join_size_est,
@@ -7623,6 +7667,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "actives_rollup_periods": analytics.daily_actives_sql("events"),
         "topk_rollup_users": rollup.topk_rollup_sql(
             "events", "user_id", "date_trunc('week', ts)", capacity=20,
+        ),
+        "stream_topk_rollup": rollup.topk_rollup_sql(
+            "events", "user_id", _STREAM_TOPK_SLICES, capacity=20,
         ),
         "rolling_anomalies_events": timeseries.rolling_anomalies_sql(
             "events", ["user_id"], "ts", "value", days=7, k_sigma=3.0,

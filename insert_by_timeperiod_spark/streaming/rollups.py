@@ -62,3 +62,36 @@ class RollupStream:
             .start()
         )
         q.awaitTermination()
+
+
+class TopkRollupStream:
+    """Streaming twin of the C244 mergeable top-k digest (SURVEY.md §2
+    C248): every micro-batch becomes one period digest in the SAME
+    ledgered state a batch fold writes — capacity heaviest items + the
+    batch's SpaceSaving error bound — so heavy-hitter bounds over the
+    whole stream history stay O(capacity × batches) and the standing
+    readout (`topk_rollup_read`) is available to any reader while the
+    stream runs. Replayed epochs re-deliver the same ``batch_id`` and
+    the ledger no-ops them (the C91 exactly-once argument, inherited)."""
+
+    def __init__(self, state_path: str, item_col: str, *, capacity: int = 100):
+        self.state_path, self.item_col, self.capacity = (
+            state_path, item_col, capacity,
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.rollup import topk_rollup_update
+
+        topk_rollup_update(
+            batch_df, self.state_path, self.item_col,
+            capacity=self.capacity, batch_id=f"stream-{batch_id}",
+        )
+
+    def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
+        q = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

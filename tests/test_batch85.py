@@ -77,3 +77,57 @@ def test_topk_rollup_state_matches_from_scratch_twin(spark, views, duck, tmp_pat
             "events", "user_id", "date_trunc('week', ts)", capacity=20
         ),
     )
+
+
+def test_streaming_topk_rollup_matches_batch_fold(spark, tmp_path):
+    """C248: the streaming twin — micro-batches (one file each) fold into
+    the SAME digest state a batch fold writes; the final readout equals a
+    one-shot batch fold of all rows, and a second identical run (replayed
+    epochs) changes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from insert_by_timeperiod_spark.streaming.rollups import TopkRollupStream
+
+    src = str(tmp_path / "src")
+    rows1 = ["a"] * 9 + ["b"] * 5 + ["c"] * 2
+    rows2 = ["a"] * 3 + ["c"] * 8 + ["d"] * 1
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame([(x,) for x in rows], "item string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    st = str(tmp_path / "tkstream")
+    TopkRollupStream(st, "item", capacity=2).run_available_now(
+        stream, str(tmp_path / "ck")
+    )
+    got = sorted(map(tuple, rollup.topk_rollup_read(spark, st).collect()))
+    # batch twin: fold the same two file-batches with the same capacity
+    st2 = str(tmp_path / "tkbatch")
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    out = None
+    for i, f in enumerate(files):
+        out = rollup.topk_rollup_update(
+            spark.read.parquet(f), st2, "item", capacity=2,
+            batch_id=f"stream-{i}",
+        )
+    want = sorted(map(tuple, out.collect()))
+    assert got == want
+    # a replayed run over the same source is a ledgered no-op
+    stream2 = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    TopkRollupStream(st, "item", capacity=2).run_available_now(
+        stream2, str(tmp_path / "ck2")
+    )
+    again = sorted(map(tuple, rollup.topk_rollup_read(spark, st).collect()))
+    assert again == got

@@ -6988,6 +6988,24 @@ _CHAT_CONV_DUCK = """
 """
 
 
+_MIX_WEIGHTS = {"de": 1.0, "en": 3.0, "es": 1.0, "fr": 2.0}  # zh stays weight-0 (excluded-domain lane)
+
+
+def _mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C249 (annex, EXACT oracle): dataset-mixing epoch plan — per-lang
+    token supply from documents (char lengths as tokens), a fixed target
+    mixture, 1M-token budget, 3-epoch repetition cap; capped shortfall
+    reported, nothing silently redistributed (operators/sampling.py)."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "lang", F.length("text").cast("double").alias("toks")
+    )
+    return sampling.mixing_epoch_plan(
+        docs, "lang", "toks", _MIX_WEIGHTS,
+        total_tokens=1_000_000.0, max_epochs=3.0,
+    )
+
+
 def _length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C247 (annex, EXACT oracle): length-bucketed batching audit over
     documents (char lengths standing in for token counts) — the padding
@@ -7392,6 +7410,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bradley_terry_events": _bradley_terry,
         "chat_turn_stats_events": _chat_stats,
         "length_buckets_docs": _length_buckets,
+        "mixing_plan_docs": _mixing_plan,
         "chat_training_rows_events": _chat_training,
     }
 
@@ -8170,6 +8189,11 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "bradley_terry_events": preference.bradley_terry_sql(
             _BT_SRC_DUCK, iterations=10,
+        ),
+        "mixing_plan_docs": sampling.mixing_epoch_plan_sql(
+            "(SELECT lang AS domain, CAST(length(text) AS DOUBLE) AS toks"
+            " FROM documents)",
+            "domain", "toks", _MIX_WEIGHTS, 1_000_000.0, max_epochs=3.0,
         ),
         "length_buckets_docs": packing.length_bucket_audit_sql(
             "(SELECT CAST(length(text) AS BIGINT) AS n_chars FROM documents)",

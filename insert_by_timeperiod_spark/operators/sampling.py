@@ -788,3 +788,153 @@ SELECT _a AS {col_a}, _b AS {col_b}, CAST(n AS BIGINT) AS n,
        round(MAX(_err) OVER (), 6) AS max_margin_err
 FROM _fit
 """
+
+
+# ---------------------------------------------------------------------------
+# C249: dataset-mixing epoch plan
+# ---------------------------------------------------------------------------
+
+def mixing_epoch_plan(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    total_tokens: float,
+    *,
+    max_epochs: float | None = None,
+) -> DataFrame:
+    """Dataset-mixing epoch plan (SURVEY.md §2 C249): given the corpus'
+    per-domain token supply and a target mixture, compute what every
+    training-data assembly actually schedules — per-domain token targets
+    under ``total_tokens`` and the EPOCH (repeat) factor each domain needs
+    to hit its target (the "Wikipedia is seen 3.4 times" number in the
+    LLaMA/GPT-3 data tables). C128 picks the weights, C43 fills budgets by
+    draw order; this is the planning readout between them.
+
+    ``max_epochs`` caps repetition (over-repeating a small domain degrades
+    models); capped domains report their shortfall in ``unallocated`` —
+    NOTHING silently redistributes (the honest-accounting rule: a silent
+    rebalance would change the mixture the caller asked for).
+
+    Output per target domain: ``available`` (corpus supply), ``weight``
+    (normalized), ``target`` (6-grid), ``planned`` (after the cap),
+    ``epochs`` (planned/available, 6-grid), ``unallocated``, and
+    ``planned_share`` (the ACHIEVED mixture, which differs from ``weight``
+    exactly when a cap binds). Domains in the corpus but not in
+    ``weights`` get weight 0 (excluded, visible); target domains ABSENT
+    from the corpus raise — a mixture naming a domain with zero supply is
+    a config error, not a 0-row.
+
+    Scale shape: ONE map-side-combined corpus aggregate to the
+    domains-sized frame; everything after is arithmetic on that frame.
+    :func:`mixing_epoch_plan_sql` is exact."""
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be > 0")
+    if max_epochs is not None and max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    wtot = sum(weights.values())
+    if wtot <= 0:
+        raise ValueError("weights must sum > 0")
+    supply = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).cast("string").alias("domain"))
+        .agg(F.sum(F.col(tokens_col).cast("decimal(38,6)")).alias("_avail"))
+    )
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items())
+          for x in (F.lit(str(k)), F.lit(v / wtot))]
+    )
+    planned = supply.withColumn("weight", F.coalesce(wmap[F.col("domain")], F.lit(0.0)))
+    missing = set(weights) - {
+        r["domain"] for r in planned.select("domain").collect()
+    }
+    if missing:
+        raise ValueError(
+            f"mixing_epoch_plan: target domains absent from the corpus: "
+            f"{sorted(missing)}"
+        )
+    target = F.round(F.lit(float(total_tokens)) * F.col("weight"), 6)
+    avail = F.col("_avail").cast("double")
+    cap = (
+        F.round(avail * F.lit(float(max_epochs)), 6)
+        if max_epochs is not None
+        else None
+    )
+    plan = F.least(target, cap) if cap is not None else target
+    out = planned.where(F.col("weight") > 0.0).select(
+        "domain",
+        avail.alias("available"),
+        F.col("weight").alias("_w_raw"),
+        target.alias("target"),
+        F.round(plan, 6).alias("planned"),
+        F.when(avail > 0.0, F.round(plan / avail, 6)).alias("epochs"),
+        F.round(target - plan, 6).alias("unallocated"),
+    )
+    wall = Window.partitionBy()
+    return out.withColumn(
+        "planned_share",
+        F.when(
+            F.sum("planned").over(wall) > 0.0,
+            F.round(F.col("planned") / F.sum("planned").over(wall), 6),
+        ),
+    ).select(
+        "domain", "available",
+        F.round(F.col("_w_raw"), 6).alias("weight"),
+        "target", "planned", "epochs", "unallocated", "planned_share",
+    )
+
+
+def mixing_epoch_plan_sql(
+    source: str,
+    domain_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    total_tokens: float,
+    *,
+    max_epochs: float | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`mixing_epoch_plan` (same normalized
+    weights, same 6-grid, same cap/no-redistribution arithmetic)."""
+    wtot = sum(weights.values())
+    if wtot <= 0:
+        raise ValueError("weights must sum > 0")
+    # CAST: DuckDB types a 16-digit numeric literal as DECIMAL, and the
+    # downstream multiplications then overflow DECIMAL(18); doubles match
+    # the Spark arithmetic anyway
+    wcase = " ".join(
+        f"WHEN '{str(k).replace(chr(39), chr(39)*2)}' "
+        f"THEN CAST({v / wtot!r} AS DOUBLE)"
+        for k, v in sorted(weights.items())
+    )
+    plan_expr = f"round({float(total_tokens)!r} * _w, 6)"
+    if max_epochs is not None:
+        plan_expr = (
+            f"least({plan_expr}, round(CAST(_avail AS DOUBLE) * "
+            f"{float(max_epochs)!r}, 6))"
+        )
+    return f"""
+WITH _s AS (
+    SELECT CAST({domain_col} AS VARCHAR) AS domain,
+           SUM(CAST({tokens_col} AS DECIMAL(38,6))) AS _avail
+    FROM {source}
+    WHERE {domain_col} IS NOT NULL
+    GROUP BY 1
+), _p AS (
+    SELECT domain, CAST(_avail AS DOUBLE) AS available,
+           COALESCE(CASE domain {wcase} END, 0.0) AS _w,
+           _avail
+    FROM _s
+), _q AS (
+    SELECT domain, available, _w,
+           round({float(total_tokens)!r} * _w, 6) AS target,
+           {plan_expr} AS planned
+    FROM _p
+)
+SELECT domain, available, round(_w, 6) AS weight, target, round(planned, 6) AS planned,
+       CASE WHEN available > 0 THEN round(planned / available, 6) END AS epochs,
+       round(target - planned, 6) AS unallocated,
+       CASE WHEN SUM(planned) OVER () > 0
+            THEN round(planned / SUM(planned) OVER (), 6) END AS planned_share
+FROM _q
+WHERE _w > 0
+"""

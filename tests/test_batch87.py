@@ -47,3 +47,56 @@ def test_bucket_audit_matches_duckdb(spark, views, duck):
             "n_chars", min_bucket=64, max_bucket=512,
         ),
     )
+
+
+def test_mixing_epoch_plan_hand_case(spark):
+    from insert_by_timeperiod_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("wiki", 100.0), ("web", 1000.0), ("junk", 50.0)],
+        "domain string, tokens double",
+    )
+    out = {r["domain"]: r for r in sampling.mixing_epoch_plan(
+        df, "domain", "tokens", {"wiki": 0.3, "web": 0.7},
+        total_tokens=1000.0, max_epochs=2.0).collect()}
+    assert set(out) == {"wiki", "web"}  # junk has weight 0 -> excluded
+    # wiki target 300 capped at 2 epochs x 100 = 200; shortfall visible
+    assert out["wiki"]["target"] == 300.0 and out["wiki"]["planned"] == 200.0
+    assert out["wiki"]["epochs"] == 2.0 and out["wiki"]["unallocated"] == 100.0
+    assert out["web"]["planned"] == 700.0 and out["web"]["epochs"] == 0.7
+    # achieved mixture shifts because the cap binds — reported, not hidden
+    assert out["web"]["planned_share"] == pytest.approx(700 / 900, abs=1e-6)
+
+
+def test_mixing_epoch_plan_contracts(spark):
+    from insert_by_timeperiod_spark.operators import sampling
+
+    df = spark.createDataFrame([("a", 10.0)], "domain string, tokens double")
+    with pytest.raises(ValueError, match="absent from the corpus"):
+        sampling.mixing_epoch_plan(df, "domain", "tokens",
+                                   {"a": 0.5, "ghost": 0.5}, 100.0)
+    with pytest.raises(ValueError, match="total_tokens"):
+        sampling.mixing_epoch_plan(df, "domain", "tokens", {"a": 1.0}, 0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.mixing_epoch_plan(df, "domain", "tokens", {"a": 1.0},
+                                   10.0, max_epochs=0)
+
+
+def test_mixing_epoch_plan_matches_duckdb(spark, views, duck):
+    from insert_by_timeperiod_spark.operators import sampling
+
+    docs = spark.table("documents").select(
+        "lang", F.length("text").cast("double").alias("toks"))
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()
+             if r["lang"] is not None]
+    weights = {l: 1.0 + (i % 3) for i, l in enumerate(sorted(langs))}
+    out = sampling.mixing_epoch_plan(docs, "lang", "toks", weights,
+                                     total_tokens=1_000_000.0, max_epochs=3.0)
+    assert_df_matches_duck(
+        out, duck,
+        sampling.mixing_epoch_plan_sql(
+            "(SELECT lang AS domain, CAST(length(text) AS DOUBLE) AS toks"
+            " FROM documents)",
+            "domain", "toks", weights, 1_000_000.0, max_epochs=3.0,
+        ),
+    )

@@ -6991,6 +6991,19 @@ _CHAT_CONV_DUCK = """
 _MIX_WEIGHTS = {"de": 1.0, "en": 3.0, "es": 1.0, "fr": 2.0}  # zh stays weight-0 (excluded-domain lane)
 
 
+def _fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C250 (annex, EXACT oracle): tokenizer-fertility equity — per-lang
+    chars/token vs the corpus baseline over the whitespace counter (the
+    twin-exact lane; the same readout runs over C33's exact BPE counts)."""
+    _prep(spark, sf_dir)
+    from insert_by_timeperiod_spark.functions.text import token_count
+
+    docs = spark.table("documents")
+    return sampling.tokenizer_fertility(
+        docs, "lang", "text", token_count(F.col("text"))
+    )
+
+
 def _mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C249 (annex, EXACT oracle): dataset-mixing epoch plan — per-lang
     token supply from documents (char lengths as tokens), a fixed target
@@ -7411,6 +7424,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "chat_turn_stats_events": _chat_stats,
         "length_buckets_docs": _length_buckets,
         "mixing_plan_docs": _mixing_plan,
+        "tokenizer_fertility_docs": _fertility,
         "chat_training_rows_events": _chat_training,
     }
 
@@ -8189,6 +8203,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "bradley_terry_events": preference.bradley_terry_sql(
             _BT_SRC_DUCK, iterations=10,
+        ),
+        "tokenizer_fertility_docs": sampling.tokenizer_fertility_sql(
+            "documents", "lang", "text",
         ),
         "mixing_plan_docs": sampling.mixing_epoch_plan_sql(
             "(SELECT lang AS domain, CAST(length(text) AS DOUBLE) AS toks"

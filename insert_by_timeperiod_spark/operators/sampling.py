@@ -938,3 +938,115 @@ SELECT domain, available, round(_w, 6) AS weight, target, round(planned, 6) AS p
 FROM _q
 WHERE _w > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# C250: tokenizer-fertility equity readout
+# ---------------------------------------------------------------------------
+
+def tokenizer_fertility(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    token_count_col,
+    *,
+    flag_ratio: float = 2.0,
+) -> DataFrame:
+    """Per-domain tokenizer fertility (SURVEY.md §2 C250): chars per token
+    by domain vs the corpus baseline — the tokenizer-equity table every
+    multilingual data effort publishes (a domain whose fertility is 3× the
+    baseline pays 3× the compute per character of content, and its mixing
+    weight (C249) is silently 3× smaller in CONTENT terms than in token
+    terms). ``token_count_col`` is a COLUMN EXPRESSION so the same readout
+    serves the SQL-twinnable regex counters (functions/text) and the exact
+    BPE lane (C33) alike.
+
+    Output per domain: ``n_docs``, ``chars``, ``tokens``, ``fertility``
+    (chars/token, 6-grid), ``baseline`` (corpus-wide chars/token, repeated),
+    ``ratio_to_baseline``, and ``flagged`` (ratio ≥ ``flag_ratio``).
+    Zero-token domains yield NULL fertility and are never flagged.
+
+    Scale shape: per-row counting is scan-stage column arithmetic; ONE
+    map-side-combined aggregate to the domains-sized frame; the baseline is
+    a window over that frame. :func:`tokenizer_fertility_sql` twins the
+    whitespace counter exactly."""
+    if flag_ratio <= 0:
+        raise ValueError("flag_ratio must be > 0")
+    src = df.where(
+        F.col(domain_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(domain_col).cast("string").alias("domain"),
+        F.length(F.col(text_col)).cast("long").alias("_c"),
+        token_count_col.cast("long").alias("_t"),
+    )
+    per = src.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_c").cast("long").alias("chars"),
+        F.sum("_t").cast("long").alias("tokens"),
+    )
+    wall = Window.partitionBy()
+    fert = F.when(
+        F.col("tokens") > 0, F.round(F.col("chars") / F.col("tokens"), 6)
+    )
+    base = F.round(
+        F.sum("chars").over(wall) / F.sum("tokens").over(wall), 6
+    )
+    ratio = F.when(
+        fert.isNotNull() & (base > 0), F.round(fert / base, 6)
+    )
+    return per.select(
+        "domain", "n_docs", "chars", "tokens",
+        fert.alias("fertility"),
+        base.alias("baseline"),
+        ratio.alias("ratio_to_baseline"),
+        F.coalesce(ratio >= F.lit(float(flag_ratio)), F.lit(False)).alias(
+            "flagged"
+        ),
+    )
+
+
+def tokenizer_fertility_sql(
+    source: str,
+    domain_col: str,
+    text_col: str,
+    *,
+    flag_ratio: float = 2.0,
+) -> str:
+    """Exact DuckDB twin of :func:`tokenizer_fertility` over the
+    WHITESPACE token counter (size(split(trim(x), '\\s+')), empty → 0 —
+    the functions/text.token_count contract)."""
+    tok = (
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text_col}), '\\s+')) END"
+    )
+    return f"""
+WITH _per AS (
+    SELECT CAST({domain_col} AS VARCHAR) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length({text_col})) AS BIGINT) AS chars,
+           CAST(SUM({tok}) AS BIGINT) AS tokens
+    FROM {source}
+    WHERE {domain_col} IS NOT NULL AND {text_col} IS NOT NULL
+    GROUP BY 1
+)
+SELECT domain, n_docs, chars, tokens,
+       CASE WHEN tokens > 0 THEN round(chars / CAST(tokens AS DOUBLE), 6) END
+           AS fertility,
+       round(SUM(chars) OVER () / CAST(SUM(tokens) OVER () AS DOUBLE), 6)
+           AS baseline,
+       CASE WHEN tokens > 0
+             AND SUM(chars) OVER () / CAST(SUM(tokens) OVER () AS DOUBLE) > 0
+            THEN round(round(chars / CAST(tokens AS DOUBLE), 6)
+                       / round(SUM(chars) OVER ()
+                               / CAST(SUM(tokens) OVER () AS DOUBLE), 6), 6)
+       END AS ratio_to_baseline,
+       COALESCE(
+         CASE WHEN tokens > 0
+               AND SUM(chars) OVER () / CAST(SUM(tokens) OVER () AS DOUBLE) > 0
+              THEN round(round(chars / CAST(tokens AS DOUBLE), 6)
+                         / round(SUM(chars) OVER ()
+                                 / CAST(SUM(tokens) OVER () AS DOUBLE), 6), 6)
+                   >= {float(flag_ratio)!r}
+         END, FALSE) AS flagged
+FROM _per
+"""

@@ -100,3 +100,45 @@ def test_mixing_epoch_plan_matches_duckdb(spark, views, duck):
             "domain", "toks", weights, 1_000_000.0, max_epochs=3.0,
         ),
     )
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    from insert_by_timeperiod_spark.functions.text import token_count
+    from insert_by_timeperiod_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [
+            ("en", "two words"),          # 9 chars, 2 tokens
+            ("en", "three more words"),   # 16 chars, 3 tokens
+            ("zh", "好好好好好好好好好好"),  # 10 chars, 1 token
+            ("empty", ""),                # 0 chars, 0 tokens
+        ],
+        "lang string, text string",
+    )
+    out = {r["domain"]: r for r in sampling.tokenizer_fertility(
+        df, "lang", "text", token_count(F.col("text")), flag_ratio=1.5
+    ).collect()}
+    assert out["en"]["fertility"] == pytest.approx(25 / 5, abs=1e-6)
+    assert out["zh"]["fertility"] == 10.0
+    assert out["empty"]["fertility"] is None and not out["empty"]["flagged"]
+    base = 35 / 6
+    assert out["zh"]["baseline"] == pytest.approx(base, abs=1e-6)
+    assert out["zh"]["flagged"]          # 10/5.83 = 1.71 >= 1.5
+    assert not out["en"]["flagged"]
+    with pytest.raises(ValueError, match="flag_ratio"):
+        sampling.tokenizer_fertility(df, "lang", "text",
+                                     token_count(F.col("text")), flag_ratio=0)
+
+
+def test_tokenizer_fertility_matches_duckdb(spark, views, duck):
+    from insert_by_timeperiod_spark.functions.text import token_count
+    from insert_by_timeperiod_spark.operators import sampling
+
+    docs = spark.table("documents")
+    out = sampling.tokenizer_fertility(
+        docs, "lang", "text", token_count(F.col("text"))
+    )
+    assert_df_matches_duck(
+        out, duck,
+        sampling.tokenizer_fertility_sql("documents", "lang", "text"),
+    )

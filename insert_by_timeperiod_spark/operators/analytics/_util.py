@@ -14,6 +14,27 @@ def _q(s: str) -> str:
 # ---------------------------------------------------------------- funnel
 
 
+def _pin_ranged(d: DataFrame) -> DataFrame:
+    """Pin a range-partitioned frame that is consumed by TWO plan branches.
+
+    ``_exact_global_ntile`` / ``_dist_cumsum`` read the ranged frame twice
+    (local ranks + per-partition offsets) and require both branches to see
+    the SAME ``spark_partition_id`` assignment. With ``spark.sql
+    .exchange.reuse`` (default on) the identical range exchange is
+    physically executed once, so the ids agree by construction. With reuse
+    disabled, each branch re-samples range boundaries independently and the
+    assignments diverge (measured: 519/10000 wrong tiles) — so in that case
+    pin the partitioning physically with a lazy ``localCheckpoint``: both
+    branches then read the one materialized RDD. The checkpoint is the
+    exception path only; the default path stays zero-materialization."""
+    reuse = str(
+        d.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    ).lower()
+    if reuse == "true":
+        return d
+    return d.localCheckpoint(eager=False)
+
+
 def _exact_global_ntile(df: DataFrame, order_exprs, k: int, out_col: str) -> DataFrame:
     """EXACT global ntile WITHOUT a single-reducer window.
 
@@ -30,8 +51,10 @@ def _exact_global_ntile(df: DataFrame, order_exprs, k: int, out_col: str) -> Dat
     mirrors SQL NTILE: the first ``total % k`` tiles take
     ``total div k + 1`` rows."""
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    d = df.repartitionByRange(nparts, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
+    d = _pin_ranged(
+        df.repartitionByRange(nparts, *order_exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     local = d.withColumn(
         "_lrn",
@@ -82,8 +105,10 @@ def _dist_cumsum(
     use case) the value itself is unique per group."""
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     gx = [F.col(g) for g in group_cols]
-    d = df.repartitionByRange(nparts, *gx, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
+    d = _pin_ranged(
+        df.repartitionByRange(nparts, *gx, *order_exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     wloc = (
         Window.partitionBy("_pid", *group_cols)

@@ -67,12 +67,18 @@ def explode_turns_sql(
 WITH _ok AS (
     -- parse-filter BEFORE the lateral unnest: a lateral from_json on a
     -- malformed row would raise before any outer WHERE could drop it;
-    -- the CASE guards evaluation order (SQL AND does not short-circuit)
+    -- the CASE guards evaluation order (SQL AND does not short-circuit).
+    -- Element-shape gate mirrors Spark's from_json(array<struct>) exactly
+    -- (probed, r9): a JSON null element parses to a NULL struct (turn with
+    -- NULL role/content), but ANY non-null non-object element nulls the
+    -- WHOLE parse — the row contributes zero turns.
     SELECT {id_col}, {conv_col} AS _c
     FROM {source}
     WHERE {conv_col} IS NOT NULL
       AND CASE WHEN json_valid({conv_col})
                THEN json_type({conv_col}) = 'ARRAY'
+                AND len(list_filter(from_json({conv_col}, '["json"]'),
+                        g -> json_type(g) NOT IN ('OBJECT', 'NULL'))) = 0
                ELSE FALSE END
 )
 SELECT {id_col},

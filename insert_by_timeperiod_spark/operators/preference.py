@@ -100,24 +100,36 @@ def bradley_terry(
 
     p = {i: _round6(1.0 / len(items)) for i in items}
     pair_list = sorted((r["_lo"], r["_hi"], int(r["_n"])) for r in pairs)
-    inf = float("inf")
+    grid = Decimal("0.000001")
     for _ in range(iterations):
-        denom: dict[str, float] = {i: 0.0 for i in items}
+        # each per-pair MM term rounds to the 6-grid BEFORE summing, and
+        # the sums run as exact Decimals — order-free, so the SQL twin's
+        # arbitrary-order SUM over DECIMAL(38,6) is bit-identical (the
+        # logreg.py discipline; a raw double sum differed in the last ulp
+        # between engines and could flip the 6-grid rounding)
+        denom: dict[str, Decimal] = {i: Decimal(0) for i in items}
+        # two all-zero-strength endpoints: the term is +inf; track the
+        # flag instead of the value so the item's raw update becomes 0
+        # (a DECIMAL column can't hold inf)
+        is_inf: dict[str, bool] = {i: False for i in items}
         for a, b, n in pair_list:
             s = p[a] + p[b]
-            # two all-zero-strength endpoints: n/0 is +inf in SQL float
-            # division; mirror it so the item's raw update becomes 0
-            t = (n / s) if s > 0 else inf
-            denom[a] += t
-            denom[b] += t
+            if s > 0:
+                t = Decimal(repr(n / s)).quantize(grid, ROUND_HALF_UP)
+                denom[a] += t
+                denom[b] += t
+            else:
+                is_inf[a] = True
+                is_inf[b] = True
         raw = {}
         for i in items:
-            if denom[i] == inf:
+            d6 = float(denom[i])
+            if is_inf[i] or d6 <= 0:
                 raw[i] = 0.0
             else:
-                d6 = _round6(denom[i])
-                raw[i] = _round6(wins[i] / d6) if d6 > 0 else 0.0
-        tot = sum(raw[i] for i in items)
+                raw[i] = _round6(wins[i] / d6)
+        # raw values sit on the 6-grid already: their Decimal sum is exact
+        tot = float(sum(Decimal(repr(raw[i])) for i in items))
         p = {i: _round6(raw[i] / tot) for i in items}
 
     ranked = sorted(items, key=lambda i: (-p[i], i))
@@ -146,22 +158,42 @@ def bradley_terry_sql(
         # MATERIALIZED: each _d references the previous strengths TWICE, so
         # default CTE inlining would expand the chain 2^iterations times
         # (observed as a too-many-open-files parquet re-scan explosion)
+        # per-pair terms round to the 6-grid then sum as DECIMAL(38,6) —
+        # order-free exact, matching the Python driver loop's Decimal sums
+        # (a plain double SUM aggregates in arbitrary order and can differ
+        # from Python's sorted-order sum in the last ulp, flipping the
+        # 6-grid rounding). A zero-strength pair (s = 0) contributes NULL
+        # to the sum and raises the _inf flag instead — DECIMAL can't
+        # hold the +inf the old double division produced.
         steps.append(f"""_d{i} AS MATERIALIZED (
-    SELECT item, round(SUM(_t), 6) AS _d FROM (
-        SELECT q._lo AS item, q._n / (a._p + b._p) AS _t
+    SELECT item, CAST(SUM(_t) AS DECIMAL(38,6)) AS _d,
+           BOOL_OR(_t IS NULL) AS _inf
+    FROM (
+        SELECT q._lo AS item,
+               CASE WHEN a._p + b._p > 0
+                    THEN CAST(round(q._n / (a._p + b._p), 6) AS DECIMAL(28,6))
+               END AS _t
         FROM _pair q JOIN {prev} a ON q._lo = a.item JOIN {prev} b ON q._hi = b.item
         UNION ALL
-        SELECT q._hi AS item, q._n / (a._p + b._p) AS _t
+        SELECT q._hi AS item,
+               CASE WHEN a._p + b._p > 0
+                    THEN CAST(round(q._n / (a._p + b._p), 6) AS DECIMAL(28,6))
+               END AS _t
         FROM _pair q JOIN {prev} a ON q._lo = a.item JOIN {prev} b ON q._hi = b.item
     ) GROUP BY item
 ), _r{i} AS MATERIALIZED (
     SELECT p.item, p.wins, p.comparisons,
-           CASE WHEN d._d IS NOT NULL AND d._d > 0
-                THEN round(p.wins / d._d, 6) ELSE 0.0 END AS _raw
+           CASE WHEN d._d IS NOT NULL AND NOT d._inf
+                 AND CAST(d._d AS DOUBLE) > 0
+                THEN CAST(round(p.wins / CAST(d._d AS DOUBLE), 6)
+                          AS DECIMAL(28,6))
+                ELSE CAST(0 AS DECIMAL(28,6)) END AS _raw
     FROM {prev} p LEFT JOIN _d{i} d USING (item)
 ), _p{i} AS MATERIALIZED (
     SELECT item, wins, comparisons,
-           round(_raw / SUM(_raw) OVER (), 6) AS _p
+           round(CAST(_raw AS DOUBLE)
+                 / CAST(CAST(SUM(_raw) OVER () AS DECIMAL(38,6)) AS DOUBLE),
+                 6) AS _p
     FROM _r{i}
 )""")
         prev = f"_p{i}"

@@ -116,6 +116,18 @@ def read_source(
         # for one document per file, the common corpus-shard layout
         options = {"lineSep": "\n", **options}
     elif fmt == "xml":
+        # built-in only since Spark 4 (ADVICE r8: the package floor is
+        # pyspark>=3.5, where `xml` resolves only if the spark-xml package
+        # is installed) — fail with a clear message instead of Spark's
+        # unresolved-datasource error
+        major = int(spark.version.split(".", 1)[0])
+        if major < 4:
+            raise ValueError(
+                f"fmt='xml' needs the built-in Spark 4+ XML reader (this "
+                f"session is Spark {spark.version}); on 3.x install the "
+                "com.databricks:spark-xml package and use "
+                "spark.read.format('xml') directly"
+            )
         # rowTag is mandatory for the XML reader; timestamps serialize as
         # text, so pin the micro format for lossless roundtrips like csv
         options = {

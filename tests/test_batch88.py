@@ -1,0 +1,187 @@
+"""Round-9 batch 88: exchange-reuse pinning for the distributed-rank
+helpers (ADVICE r8 medium).
+
+``_exact_global_ntile`` / ``_dist_cumsum`` consume one range-partitioned
+frame from two plan branches; their ``spark_partition_id`` tags only agree
+if the range exchange executes once. With ``spark.sql.exchange.reuse=false``
+each branch re-samples boundaries independently (r8 advisor measured
+519/10000 wrong tiles). ``_util._pin_ranged`` now localCheckpoints the
+ranged frame in that configuration — these tests pin exactness under the
+hostile conf.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators.analytics._util import (
+    _dist_cumsum,
+    _exact_global_ntile,
+    _pct_rank_join,
+)
+
+
+def _with_conf(spark, key, value):
+    class _Ctx:
+        def __enter__(self):
+            self.old = spark.conf.get(key, None)
+            spark.conf.set(key, value)
+
+        def __exit__(self, *a):
+            if self.old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, self.old)
+
+    return _Ctx()
+
+
+def test_global_ntile_exact_without_exchange_reuse(spark):
+    """10k rows, reuse disabled: the distributed ntile must still equal
+    the single-reducer window ntile bit-for-bit (r8 repro scenario)."""
+    with _with_conf(spark, "spark.sql.exchange.reuse", "false"):
+        df = spark.range(10_000).select(
+            (F.col("id") * 2654435761 % 4093).alias("v"), F.col("id")
+        )
+        order = [F.col("v").asc(), F.col("id").asc()]
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(10).over(Window.orderBy(*order))
+            ).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in _exact_global_ntile(df, order, 10, "t").collect()
+        }
+    n_bad = sum(1 for k, v in got.items() if want[k] != v)
+    assert n_bad == 0, f"{n_bad}/10000 rows got wrong tiles"
+
+
+def test_dist_cumsum_exact_without_exchange_reuse(spark):
+    """Grouped cumulative sum must match the plain window under the
+    hostile conf too (covers _pct_rank_join and its seven callers)."""
+    with _with_conf(spark, "spark.sql.exchange.reuse", "false"):
+        df = spark.range(5_000).select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 48271 % 997).cast("double").alias("x"),
+            F.col("id"),
+        )
+        order = [F.col("x").asc(), F.col("id").asc()]
+        w = (
+            Window.partitionBy("g")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r["id"]: r["c"]
+            for r in df.withColumn("c", F.sum("x").over(w)).collect()
+        }
+        got = {
+            r["id"]: r["c"]
+            for r in _dist_cumsum(df, ["g"], order, "x", "c").collect()
+        }
+    bad = [k for k in got if abs(got[k] - want[k]) > 1e-6]
+    assert not bad, f"{len(bad)} rows diverged, e.g. id={bad[:3]}"
+
+
+def test_pct_rank_join_exact_without_exchange_reuse(spark):
+    """percent_rank via the distributed path == window percent_rank."""
+    with _with_conf(spark, "spark.sql.exchange.reuse", "false"):
+        df = spark.range(4_000).select(
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 31 % 211).cast("double").alias("x"),
+            F.col("id"),
+        )
+        w = Window.partitionBy("g").orderBy(F.col("x").asc())
+        want = {
+            r["id"]: r["p"]
+            for r in df.withColumn("p", F.percent_rank().over(w)).collect()
+        }
+        got = {
+            r["id"]: r["p"]
+            for r in _pct_rank_join(df, "x", ["g"], "p").collect()
+        }
+    bad = [k for k in got if abs(got[k] - want[k]) > 1e-9]
+    assert not bad, f"{len(bad)} rows diverged"
+
+
+def test_explode_turns_non_object_element_parity(spark, duck):
+    """ADVICE r8 low: a JSON array holding a non-object element. Spark's
+    from_json(array<struct>) nulls the WHOLE parse for any non-null
+    non-object element (probed r9: '["hi"]', '[123]', '[[1,2]]', mixed)
+    but yields a NULL-struct turn for a JSON null element. The DuckDB twin
+    must agree row-for-row on every shape."""
+    from insert_by_timeperiod_spark.operators import conversations as CV
+    from conftest import assert_df_matches_duck
+
+    shapes = [
+        ("a", '["hi"]'),                                   # string elem: 0 turns
+        ("b", '[{"role":"user","content":"hi"},"x"]'),     # mixed: 0 turns
+        ("c", '[null]'),                                   # null elem: NULL turn
+        ("d", '[{"role":"user","content":"hi"},null]'),    # obj + null: 2 turns
+        ("e", '[123]'),                                    # number elem: 0 turns
+        ("f", '[[1,2]]'),                                  # nested array: 0 turns
+        ("g", '[{"role":"user"}]'),                        # partial obj: 1 turn
+        ("h", '[]'),                                       # empty: 0 turns
+        ("i", '{"role":"user"}'),                          # bare object: 0 turns
+        ("j", "not json"),                                 # malformed: 0 turns
+        ("k", None),                                       # NULL: 0 turns
+    ]
+    df = spark.createDataFrame(shapes, "conv_id string, conversation string")
+    rows = ", ".join(
+        "({}, {})".format(
+            f"'{cid}'",
+            "NULL" if c is None else "'" + c.replace("'", "''") + "'",
+        )
+        for cid, c in shapes
+    )
+    duck.execute(
+        "CREATE OR REPLACE TEMP VIEW _shape_convs AS "
+        f"SELECT * FROM (VALUES {rows}) AS t(conv_id, conversation)"
+    )
+    assert_df_matches_duck(
+        CV.explode_turns(df), duck, CV.explode_turns_sql("_shape_convs")
+    )
+
+
+def test_bt_decimal_sums_many_items_parity(spark, duck):
+    """ADVICE r8 low: BT's MM denominators and normalizer now sum on the
+    6-decimal grid as exact decimals on BOTH engines (order-free). Stress
+    with a 40-item, 700-pair deterministic tournament — enough addends
+    that a double sum would be order-sensitive — and require the full
+    hash-match across 12 unrolled rounds."""
+    from conftest import assert_df_matches_duck
+    from insert_by_timeperiod_spark.operators import preference
+
+    rows = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            n = (i * 7 + j * 13) % 4
+            rows += [(f"m{i:02d}", f"m{j:02d}")] * n
+            rows += [(f"m{j:02d}", f"m{i:02d}")] * ((i + j) % 3)
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    vals = ", ".join(f"('{w}', '{l}')" for w, l in rows)
+    duck.execute(
+        "CREATE OR REPLACE TEMP VIEW _bt_prefs AS "
+        f"SELECT * FROM (VALUES {vals}) AS t(winner, loser)"
+    )
+    assert_df_matches_duck(
+        preference.bradley_terry(df, iterations=12),
+        duck,
+        preference.bradley_terry_sql("_bt_prefs", iterations=12),
+    )
+
+
+def test_read_source_xml_version_gate(spark, monkeypatch):
+    """ADVICE r8 low: fmt='xml' resolves only on Spark 4+ (the pyproject
+    floor is 3.5) — on an older runtime read_source must raise a clear
+    typed error, not Spark's unresolved-datasource failure."""
+    import pytest as _pytest
+
+    from insert_by_timeperiod_spark import sources
+
+    monkeypatch.setattr(
+        type(spark), "version", property(lambda self: "3.5.1")
+    )
+    with _pytest.raises(ValueError, match="Spark 4"):
+        sources.read_source(spark, "/tmp/nope.xml", fmt="xml")

@@ -5149,12 +5149,21 @@ _CDC_LOG_SEL = ", ".join(_CDC_LOG_EXPRS)
 
 def _stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT C142 (annex, EXACT oracle): STREAMING CDC apply — an
-    op/key/ts changelog derived from events replays as a real 3-file
-    stream (one file per micro-batch, time-sliced so per-key order holds
-    across batches — the CDC transport contract), each batch folding into
-    the txnlog table as one atomic merge commit. The final table must
+    op/key/ts changelog derived from events replays as a real
+    time-sliced file stream, each micro-batch folding into the txnlog
+    table as one atomic file-granular merge commit. The final table must
     equal the one-shot batch compaction (C101), whose SQL twin is the
-    oracle: latest row per key, delete-latest keys absent."""
+    oracle: latest row per key, delete-latest keys absent.
+
+    Transport layout (r9): each time slice writes KEY-PARTITIONED files
+    (repartition by key → a key's slice rows live in exactly one file),
+    in parallel. Per-key order across batches then holds for ANY trigger
+    grouping: a key's older-slice file always carries an older mtime
+    than its newer-slice file, FileStreamSource processes in mtime
+    order, and rows of one key that share a batch are arbitrated by the
+    sink's (ts, seq) arg-max. The r8 harness serialized every slice
+    through coalesce(1) — the single-task parquet encode, not the
+    operator, dominated the sf10 wall."""
     import uuid as _uuid
 
     from insert_by_timeperiod_spark.streaming.cdc import CdcApplyStream
@@ -5163,9 +5172,10 @@ def _stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="ibtp_cdcs_")
     src = base + "/log"
+    files_per_slice = 8
     log = spark.table("events").selectExpr(*_CDC_LOG_EXPRS)
     # three SEQUENTIAL time-sliced appends: FileStreamSource replays by
-    # mtime, and the ordering contract is per-key ACROSS batches
+    # mtime, and the ordering contract is per-key ACROSS slices
     for lo, hi in (
         (None, "2024-01-11"),
         ("2024-01-11", "2024-01-21"),
@@ -5176,10 +5186,10 @@ def _stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             sl = sl.where(F.to_date("ts") >= F.lit(lo))
         if hi:
             sl = sl.where(F.to_date("ts") < F.lit(hi))
-        sl.coalesce(1).write.mode("append").parquet(src)
+        sl.repartition(files_per_slice, "kid").write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_slice)
         .parquet(src)
     )
     table = TxnLogTable(spark, base + "/tbl")

@@ -185,7 +185,42 @@ QUERIES = [
     "chat_turn_stats_events",
     "chat_training_rows_events",
     "length_buckets_docs",
+    # round-9: the LLM-pipeline FLAGSHIPS (r8 advice #1) — the LSH/dedup
+    # family and the engine lifecycle are what the north star exists for
+    # and were the least-measured lanes at volume
+    "dedup_minhash_planted",
+    "dedup_near_clusters",
+    "dedup_incremental_near_scale",
+    "engine_lifecycle",
 ]
+
+
+def _incr_near_dedup_scale(spark, sf_dir):
+    """Scale-shaped incremental near-dedup (the battery row probes a fixed
+    200-doc slice regardless of sf — useless as a volume point): fold the
+    WHOLE scaled documents table through the persistent LSH state in two
+    half-corpus batches, so the measured quantity is signature build +
+    state bucket-join at volume. Rows-only (the LSH state has no SQL
+    twin); the correctness pins live in tests/test_ext_operators.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from insert_by_timeperiod_spark.operators import dedup
+    from insert_by_timeperiod_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="ibtp_neardup_scale_")
+    state = root + "/state"
+    try:
+        # materialize INSIDE the call — the runner's timer wraps the whole
+        # callable, and the state dir must outlive both folds
+        dedup.incremental_near_dedup(docs.where(F.col("doc_id") <= mid), state).count()
+        n = dedup.incremental_near_dedup(docs.where(F.col("doc_id") > mid), state).count()
+        return spark.createDataFrame([(n,)], "n_kept long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def generate(spark) -> None:
@@ -232,6 +267,7 @@ def main() -> None:
 
     queries = {**entrymod.queries(), **entrymod.pytest_only_queries()}
     oracles = {**entrymod.oracle_sql(), **entrymod.pytest_only_oracles()}
+    queries["dedup_incremental_near_scale"] = _incr_near_dedup_scale
 
     # Production posture by default: the DECIMAL-sum exactness contract is
     # oracle plumbing, not engine semantics — the scale study sums native
@@ -314,12 +350,15 @@ def main() -> None:
         print(f"[bench] {name}", flush=True)
         spark_s, duck_s = [], []
         oracle_timed_out = False
+        # rows-only lanes (no SQL-expressible twin — LSH state folds etc.)
+        # are measured spark-only; the row records why
+        no_twin = name not in oracles
         try:
             for _ in range(repeat):
                 t0 = time.monotonic()
                 queries[name](spark, DST).write.mode("overwrite").format("noop").save()
                 spark_s.append(time.monotonic() - t0)
-                if oracle_timed_out:
+                if oracle_timed_out or no_twin:
                     continue  # one timeout is proof enough; keep spark samples
                 try:
                     duck_s.append(timed_oracle(oracles[name]))
@@ -333,7 +372,10 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {failed[name]}", flush=True)
             continue
         row = {"spark": round(min(spark_s), 3)}
-        if duck_s:
+        if no_twin:
+            row["duck"] = None
+            row["note"] = "no SQL twin (rows-only lane); spark-only"
+        elif duck_s:
             row["duck"] = round(min(duck_s), 3)
         else:
             # the SPARK measurement stands; the twin is the one that
@@ -351,6 +393,7 @@ def main() -> None:
     # apples-to-apples ratio over the pure-query entries
     materializing = {
         "dedup_incremental",
+        "dedup_incremental_near_scale",
         "txnlog_vacuum",
         # ledgered state folds / index build write parquet; their oracles
         # only compute the query

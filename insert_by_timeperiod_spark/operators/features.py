@@ -238,13 +238,18 @@ def encode_categories(
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     pre = out_prefix or cat_col
+    # limit-then-rank (the bm25.py:118 pattern): elect the vocabulary with
+    # a distributed TakeOrderedAndProject, then rank WITHIN the ≤top_n
+    # winners — the old rank-then-filter window pushed every distinct
+    # category (id-like columns: corpus-cardinality) through one reducer
     w = Window.orderBy(F.col("_cnt").desc(), F.col(cat_col).asc())
     vocab = (
         df.where(F.col(cat_col).isNotNull())
         .groupBy(cat_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col(cat_col).asc())
+        .limit(int(top_n))
         .withColumn("_idx", F.row_number().over(w) - 1)
-        .where(F.col("_idx") < top_n)
         .select(cat_col, "_idx")
     )
     joined = df.join(F.broadcast(vocab), [cat_col], "left")

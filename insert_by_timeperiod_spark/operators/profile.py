@@ -618,15 +618,17 @@ def fd_audit(
             "example_values"
         ),
     )
-    w = Window.orderBy(
-        F.col("n_distinct_dependent").desc(),
-        *[F.col(c).asc() for c in determinant_cols],
-    )
+    # limit-then-rank (bm25.py:118): distinct determinant values are
+    # corpus-cardinality for id-like columns — a rank-then-filter window
+    # would single-reduce them all; orderBy().limit() plans as a
+    # distributed TakeOrderedAndProject
     return (
         groups.where(F.col("n_distinct_dependent") > 1)
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= max_examples)
-        .drop("_r")
+        .orderBy(
+            F.col("n_distinct_dependent").desc(),
+            *[F.col(c).asc() for c in determinant_cols],
+        )
+        .limit(int(max_examples))
     )
 
 

@@ -136,10 +136,13 @@ def top_paths(
     counts = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
-    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    # limit-then-rank (the bm25.py:118 pattern): orderBy().limit() plans as
+    # a distributed TakeOrderedAndProject — a bare rank-then-filter window
+    # would funnel EVERY distinct path (corpus-cardinality at web scale)
+    # through one WindowExec reducer before dropping all but top_k
     return (
-        counts.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= top_k)
+        counts.orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(top_k)
         .select("path", "n_sessions")
     )
 

@@ -6,34 +6,47 @@ history, C65 diffs table versions; this one keeps a queryable current
 state continuously fresh.
 
 Per micro-batch (one atomic txnlog commit each):
-1. compact the batch to latest-per-key — C101's window, deletes kept;
-2. find the partitions holding current rows for the batch's keys plus
-   the partitions the upserted rows land in (bounded collect: touched
-   partitions, never rows);
-3. rewrite exactly those partitions: current rows minus batch keys,
-   union the upserts — a MERGE expressed as the backend's atomic
-   partition rewrite. Deleted keys simply don't come back; unknown
-   delete keys are no-ops.
+1. compact the batch to latest-per-key — an ``max_by`` AGGREGATE, not a
+   ``row_number`` window: partial aggregation combines map-side, so a
+   40-key 60M-row batch reduces to ≤40 rows per task BEFORE the shuffle
+   instead of funnelling every row through 40 window partitions;
+2. prune the table's file manifest to the batch's key-hash buckets
+   (files are written bucket-split — ``TxnLogTable._stage_files``'s
+   ``bucket`` layout; bucket-untagged files from other writers are
+   always-candidate), then probe ONLY those files for rows whose key is
+   in the batch, via ``input_file_name`` — yielding the exact file set
+   containing affected rows;
+3. rewrite exactly those FILES: their rows minus batch keys, union the
+   upserts — a file-granular MERGE as one atomic commit. Untouched
+   files survive verbatim even inside touched partitions. Deleted keys
+   simply don't come back; unknown delete keys are no-ops.
+
+Write amplification: r8 flagged the previous partition-granular rewrite
+as the scale-killer (a micro-batch whose keys span every date rewrote
+the whole table). Now a batch rewrites O(files containing its keys):
+with B buckets and k distinct batch keys, the probe reads ≤ min(k,B)/B
+of the table and the rewrite touches only files that actually hold a
+matched row.
 
 Exactly-once posture: the commit is CONTENT-idempotent — a replayed
 batch (crash between the commit and the checkpoint record) recomputes
-the identical partition contents, so the state is unchanged (a new
-version appears; C65's diff shows zero net change). This is the same
-posture as the ledgered rollups (C91), without needing their ledger.
+the identical net state (a new version appears; C65's diff shows zero
+net change). This is the same posture as the ledgered rollups (C91),
+without needing their ledger.
 
 Ordering contract (load-bearing): batches must deliver each key's
 changes in (ts, seq) order — the order every log-backed CDC transport
-provides. Within a batch any order is fine (the window sorts); ACROSS
-batches an out-of-order old row would overwrite a newer one, because
-the table keeps no tombstones to arbitrate (sequence-arbitrated merge
-is the documented swap point — add a seq column to the table and a
-recency guard in step 3). The golden test pins the in-order contract
-with time-sliced replay files.
+provides. Within a batch any order is fine (the aggregate arg-maxes on
+(ts, seq)); ACROSS batches an out-of-order old row would overwrite a
+newer one, because the table keeps no tombstones to arbitrate
+(sequence-arbitrated merge is the documented swap point — add a seq
+column to the table and a recency guard in step 3). The golden test
+pins the in-order contract with time-sliced replay files.
 
-Scale shape: the window shuffle is batch-sized; the rewrite touches
-only match-containing partitions (the C130 DML property); the
-batch-keys probe of the current table is one key equi-join that prunes
-to those partitions. No corpus-sized work per batch.
+Maintenance note: ``TxnLogTable.optimize()`` compaction rewrites files
+WITHOUT bucket tags — compacted files degrade to always-candidate (the
+probe reads them every batch) until the next batch that hits them
+re-buckets their rows. Correctness is unaffected.
 
 Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
 """
@@ -42,7 +55,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..txnlog import TxnLogTable
+from ..txnlog import TxnLogTable, bucket_id
 
 
 class CdcApplyStream:
@@ -50,7 +63,8 @@ class CdcApplyStream:
     :class:`TxnLogTable`. Columns: ``key_cols`` identify the row,
     ``ts_col`` (+ optional ``seq_col``) order its changes, ``op_col``
     holds I/U/``delete_op``; everything except ``op_col`` and
-    ``seq_col`` lands in the table."""
+    ``seq_col`` lands in the table. ``n_buckets`` sizes the key-hash
+    file layout that bounds per-batch write amplification."""
 
     def __init__(
         self,
@@ -62,26 +76,42 @@ class CdcApplyStream:
         seq_col: str | None = None,
         delete_op: str = "D",
         partition_col: str | None = None,
+        n_buckets: int = 64,
     ):
         if not key_cols:
             raise ValueError("CdcApplyStream: key_cols required")
+        if n_buckets < 1:
+            raise ValueError("CdcApplyStream: n_buckets must be >= 1")
         self.table = table
         self.key_cols, self.ts_col = key_cols, ts_col
         self.op_col, self.seq_col, self.delete_op = op_col, seq_col, delete_op
         self.partition_col = partition_col
+        self.n_buckets = n_buckets
+
+    def _latest_per_key(self, batch_df: DataFrame) -> DataFrame:
+        """Batch compaction as an arg-max AGGREGATE (map-side combined);
+        ties on (ts, seq) are arbitrary, same as the window it replaces."""
+        ord_cols = [F.col(self.ts_col)]
+        if self.seq_col:
+            ord_cols.append(F.col(self.seq_col))
+        payload = [c for c in batch_df.columns if c not in self.key_cols]
+        return (
+            batch_df.groupBy(*self.key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in payload]), F.struct(*ord_cols)
+                ).alias("_r")
+            )
+            .select(*self.key_cols, "_r.*")
+        )
+
+    def _stage_bucketed(self, df: DataFrame) -> list[dict]:
+        return self.table._stage_files(
+            df, self.table.partition_col, bucket=(self.key_cols, self.n_buckets)
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        order = [F.col(self.ts_col).desc()]
-        if self.seq_col:
-            order.append(F.col(self.seq_col).desc())
-        w = Window.partitionBy(*self.key_cols).orderBy(*order)
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        latest = self._latest_per_key(batch_df)
         drop = [self.op_col] + ([self.seq_col] if self.seq_col else [])
         ups = latest.where(F.col(self.op_col) != self.delete_op).drop(*drop)
         if not self.table.exists():
@@ -90,30 +120,75 @@ class CdcApplyStream:
                     "CdcApplyStream: table does not exist and no "
                     "partition_col was given to create it"
                 )
-            self.table.create(ups, self.partition_col)
+            self.table.create_empty(ups.schema, self.partition_col)
+            adds = self._stage_bucketed(ups)
+            if adds:
+                self.table._commit(adds, [])
             return
-        part = self.table.partition_col
-        keys = latest.select(*self.key_cols).distinct()
-        current = self.table.read()
-        touched = {
+
+        # the compacted batch drives THREE bounded jobs (buckets, probe,
+        # keep∪ups classification) — persist it so the changelog scan +
+        # arg-max aggregate run once, not three times
+        latest = latest.localCheckpoint()
+        ups = latest.where(F.col(self.op_col) != self.delete_op).drop(*drop)
+        keys = latest.select(*self.key_cols)
+
+        # 1. manifest pruning: only files whose bucket can contain a
+        #    batch key (bucket-untagged files are always-candidate)
+        batch_buckets = {
             r[0]
-            for r in current.join(keys, self.key_cols, "left_semi")
-            .select(part)
+            for r in keys.select(
+                bucket_id(self.key_cols, self.n_buckets).alias("_b")
+            )
             .distinct()
             .collect()
         }
-        touched |= {r[0] for r in ups.select(part).distinct().collect()}
-        if not touched:
-            return
-        keep = current.where(
-            F.col(part).isin([t for t in touched if t is not None])
-            | (F.col(part).isNull() if None in touched else F.lit(False))
-        ).join(keys, self.key_cols, "left_anti")
-        self.table.rewrite_partitions(
-            keep.unionByName(ups.select(*keep.columns)), sorted(
-                touched, key=lambda d: (d is None, d)
+        entries = self.table._snapshot_entries()
+        cand = [
+            f
+            for f, e in sorted(entries.items())
+            if e.get("b") is None or e["b"] in batch_buckets
+        ]
+
+        # 2. file-granular probe: the exact files holding a batch key
+        hit_files: list[str] = []
+        if cand:
+            probe = (
+                self.table._read_rel(cand)
+                .select(*self.key_cols)
+                .withColumn("_file", F.input_file_name())
+                .join(keys, self.key_cols, "left_semi")
+                .select("_file")
+                .distinct()
             )
-        )
+            hit_abs = {r[0] for r in probe.collect()}
+            by_base: dict[str, list[str]] = {}
+            for f in cand:
+                by_base.setdefault(f.rsplit("/", 1)[1], []).append(f)
+            for a in hit_abs:
+                matches = [
+                    f for f in by_base.get(a.rsplit("/", 1)[1], [])
+                    if a.endswith(f)
+                ]
+                if len(matches) != 1:  # pragma: no cover — defensive
+                    raise RuntimeError(
+                        f"CdcApplyStream: ambiguous probe file {a!r}"
+                    )
+                hit_files.append(matches[0])
+
+        # 3. file-granular merge: hit files' rows minus batch keys, plus
+        #    the upserts, staged bucket-split; ONE atomic commit swaps
+        #    them for the hit files. No-op batches commit nothing.
+        if hit_files:
+            keep = self.table._read_rel(sorted(hit_files)).join(
+                keys, self.key_cols, "left_anti"
+            )
+            new_data = keep.unionByName(ups.select(*keep.columns))
+        else:
+            new_data = ups
+        adds = self._stage_bucketed(new_data)
+        if adds or hit_files:
+            self.table._commit(adds, sorted(hit_files))
 
     def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
         q = (

@@ -54,6 +54,15 @@ DATA_DIR = "data"
 NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
+def bucket_id(key_cols: list[str], n_buckets: int) -> F.Column:
+    """Deterministic key-hash bucket: pmod(xxhash64(keys), n). One
+    definition shared by the bucketed stage writer and every bucket-pruned
+    reader — the pruning is only sound if both sides hash identically."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
 class TxnLogTable(ParquetTable):
     """Drop-in ``ParquetTable`` replacement with log-based transactions.
 
@@ -268,23 +277,47 @@ class TxnLogTable(ParquetTable):
     # ---- write -----------------------------------------------------------
 
     def _stage_files(
-        self, df: DataFrame, partition_col: str, *, shaped: bool = False
+        self,
+        df: DataFrame,
+        partition_col: str,
+        *,
+        shaped: bool = False,
+        bucket: tuple[list[str], int] | None = None,
     ) -> list[dict]:
         """Write ``df`` once under data/<uuid>/, physically split per
         partition value but KEEPING the partition column in the data (a
         duplicated ``__part`` drives the split), and return add-entries.
         ``shaped=True`` trusts the caller's partitioning/sort (Z-order
-        rewrites pre-arrange the tasks) instead of the rebalance hint."""
+        rewrites pre-arrange the tasks) instead of the rebalance hint.
+
+        ``bucket=(key_cols, n)`` additionally splits each partition into
+        ``n`` key-hash buckets (``__bucket`` dir level) and tags each
+        add-entry with ``"b"`` — the layout the streaming CDC apply uses
+        for file-granular merges: a batch then rewrites only the files
+        whose bucket can contain its keys. Files WITHOUT a ``"b"`` tag
+        (every other writer) are bucket-unknown and stay compatible:
+        bucket-pruned readers must treat them as always-candidate."""
         cid = uuid.uuid4().hex
         out = f"{self.path}/{DATA_DIR}/{cid}"
         from .table import optimized_layout
 
-        laid = df if shaped else optimized_layout(df, partition_col)
+        pcols = ["__part"]
+        if bucket is not None:
+            key_cols, n_buckets = bucket
+            w = df.withColumn("__bucket", bucket_id(key_cols, n_buckets))
+            # rebalance on (part, bucket) so each leaf dir gets its rows
+            # from as few tasks as fit the AQE advisory size
+            laid = w if shaped else normalize_ntz(w).hint(
+                "rebalance", partition_col, "__bucket"
+            )
+            pcols.append("__bucket")
+        else:
+            laid = df if shaped else optimized_layout(df, partition_col)
         (
             laid
             .withColumn("__part", F.col(partition_col).cast("string"))
             .write.mode("overwrite")
-            .partitionBy("__part")
+            .partitionBy(*pcols)
             .parquet(out)
         )
         adds: list[dict] = []
@@ -294,9 +327,20 @@ class TxnLogTable(ParquetTable):
                 continue
             pval = part_dir.split("=", 1)[1]
             p = None if pval == NULL_PART else pval
-            for fname in self.fs.listdir(f"{out}/{part_dir}"):
-                if fname.endswith(".parquet"):
-                    adds.append({"f": f"{rel_base}/{part_dir}/{fname}", "p": p})
+            for name in self.fs.listdir(f"{out}/{part_dir}"):
+                if name.startswith("__bucket="):
+                    b = int(name.split("=", 1)[1])
+                    for fname in self.fs.listdir(f"{out}/{part_dir}/{name}"):
+                        if fname.endswith(".parquet"):
+                            adds.append(
+                                {
+                                    "f": f"{rel_base}/{part_dir}/{name}/{fname}",
+                                    "p": p,
+                                    "b": b,
+                                }
+                            )
+                elif name.endswith(".parquet"):
+                    adds.append({"f": f"{rel_base}/{part_dir}/{name}", "p": p})
         return adds
 
     def _append(self, df: DataFrame, partition_col: str) -> None:
@@ -383,14 +427,19 @@ class TxnLogTable(ParquetTable):
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read; pass ``version`` to time-travel."""
+        return self._read_rel(sorted(self.snapshot(version)))
+
+    def _read_rel(self, files: list[str]) -> DataFrame:
+        """Read a subset of the table's data files (table-relative paths)
+        with the table schema — the file-pruned read under bucket-granular
+        merges and diffs."""
         meta = self._read_meta()
         schema = _schema_without_ntz(
             T.StructType.fromJson(json.loads(meta["schema"]))
         )
-        files = self.snapshot(version)
         if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [f"{self.path}/{f}" for f in sorted(files)]
+        paths = [f"{self.path}/{f}" for f in files]
         return normalize_ntz(self.spark.read.schema(schema).parquet(*paths))
 
     def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:

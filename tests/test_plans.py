@@ -463,3 +463,41 @@ def test_daily_actives_aggregates_are_partial(spark):
     plan = explain_str(df, formatted=False)
     assert plan.lower().count("partial") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_limit_then_rank_sweep_plans(spark):
+    """r8 advice #4: session_top_paths, encode_categories' vocab election,
+    and fd_audit's example cap must plan their global top-k as a
+    distributed TakeOrderedAndProject, never a rank-then-filter window
+    funnelling all distinct paths/categories/determinants through one
+    reducer."""
+    from insert_by_timeperiod_spark.operators import features as FE
+    from insert_by_timeperiod_spark.operators import profile as PR
+    from insert_by_timeperiod_spark.operators import sessions as SE
+    from insert_by_timeperiod_spark.plans import explain_str
+
+    ev = spark.table("events")
+    # top_paths keeps its per-user sessionization window (partitioned —
+    # fine); the pin is that the final top-k is the distributed operator
+    # and no window orders by the global count
+    tp_plan = explain_str(
+        SE.top_paths(ev, "user_id", "ts", "event_type", top_k=5),
+        formatted=False,
+    )
+    assert "TakeOrderedAndProject" in tp_plan
+    assert "row_number" not in tp_plan
+    fd_plan = explain_str(
+        PR.fd_audit(ev, ["event_type"], "user_id", max_examples=3),
+        formatted=False,
+    )
+    assert "TakeOrderedAndProject" in fd_plan
+    assert "Window" not in fd_plan
+    # encode_categories ranks WITHIN the ≤top_n winners (bounded window is
+    # fine); the election itself must be the distributed top-k
+    vocab_plan = explain_str(
+        FE.encode_categories(
+            ev.select("event_id", "event_type"), "event_type", top_n=3
+        ),
+        formatted=False,
+    )
+    assert "TakeOrderedAndProject" in vocab_plan

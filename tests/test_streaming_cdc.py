@@ -115,3 +115,36 @@ def test_cdc_apply_validates(spark, tmp_path):
     sink = CdcApplyStream(t, ["kid"], "ts")  # no partition_col
     with pytest.raises(ValueError, match="partition_col"):
         sink.process_batch(_batch(spark, [_row(1, 1, 1, "a")]), 0)
+
+
+def test_cdc_apply_rewrites_only_files_containing_batch_keys(spark, tmp_path):
+    """r9: the apply is FILE-granular — a batch rewrites only the data
+    files that actually hold one of its keys (plus new files for the
+    upserts); every other file survives verbatim, even files in the same
+    partition whose bucket the batch didn't touch. Manifest entries carry
+    the bucket tag that makes the pruning possible."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    sink = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="event_date",
+        n_buckets=16,
+    )
+    # 8 keys spread over two dates
+    sink.process_batch(
+        _batch(spark, [_row(k, 1 + k % 2, k, f"v{k}") for k in range(8)]), 0
+    )
+    entries0 = t._snapshot_entries()
+    assert all("b" in e for e in entries0.values()), "bucket tags missing"
+    # update ONE key: only files whose content includes kid=3 may churn
+    from insert_by_timeperiod_spark.txnlog import bucket_id
+
+    sink.process_batch(_batch(spark, [_row(3, 2, 59, "v3b")]), 1)
+    entries1 = t._snapshot_entries()
+    b3 = spark.createDataFrame([(3,)], "kid int").select(
+        bucket_id(["kid"], 16).alias("b")
+    ).collect()[0]["b"]
+    for f, e in entries0.items():
+        if e["b"] != b3:
+            assert f in entries1, f"file {f} (bucket {e['b']}) was rewritten"
+    # state is correct
+    got = {r["kid"]: r["v"] for r in t.read().collect()}
+    assert got[3] == "v3b" and len(got) == 8

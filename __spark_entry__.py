@@ -103,6 +103,37 @@ from insert_by_timeperiod_spark.streaming import StreamToPeriodTable, event_time
 START, STOP = "2024-01-01", "2024-02-01"  # events span Jan 2024 at every sf
 
 
+def register_oracle_udfs(con) -> None:
+    """Register Spark's xxhash64 (and the HLL register decomposition) as
+    DuckDB Python UDFs, making the hash-based lanes (HLL, SimHash,
+    fingerprints) EXACTLY oracle-able — the pure-Python reference lives in
+    insert_by_timeperiod_spark/functions/xxh64_py.py. Idempotent per
+    connection. Called by tests/conftest.py's duck fixture and bench_sf1;
+    the driver's 50-row battery never references these functions."""
+    from duckdb.typing import BIGINT, INTEGER, VARCHAR
+
+    from insert_by_timeperiod_spark.functions import xxh64_py as XX
+
+    def _hll_idx(h: int, p: int) -> int:
+        return (h & ((1 << 64) - 1)) >> (64 - p)
+
+    def _hll_rank(h: int, p: int) -> int:
+        rest = h & ((1 << (64 - p)) - 1)
+        return (64 - p + 1) - (rest.bit_length() if rest else 0)
+
+    for name, fn, args in (
+        ("spark_xxhash64", XX.spark_xxhash64_str, [VARCHAR]),
+        ("spark_xxhash64_long", XX.spark_xxhash64_long, [BIGINT]),
+        ("spark_hll_idx", _hll_idx, [BIGINT, INTEGER]),
+        ("spark_hll_rank", _hll_rank, [BIGINT, INTEGER]),
+    ):
+        try:
+            con.create_function(name, fn, args, BIGINT)
+        except Exception as e:  # already registered on this connection
+            if "already" not in str(e).lower():
+                raise
+
+
 #: per-session view-registration cache: weak session ref -> {(appId, sf_dir)}.
 #: Weak keys (not id(spark)) because CPython can reuse an id() for a brand-new
 #: session after an old one is collected, which would silently skip
@@ -1788,11 +1819,134 @@ FROM walk
 
 
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (xxhash64 has no DuckDB equivalent)."""
+    """EXT (EXACT oracle since r9): 1-permutation MinHash document
+    fingerprint — min xxhash64 over 3-word shingles. The twin hashes the
+    identical shingles through the registered spark_xxhash64 UDF
+    (functions/xxh64_py.py)."""
     _prep(spark, sf_dir)
     return spark.table("documents").select(
         "doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")
     )
+
+
+TEXT_FINGERPRINT_DUCK = r"""
+WITH _w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS _ws
+    FROM documents
+), _sh AS (
+    -- word_shingles(text, 3): n<3 collapses to ONE whitespace-normalized
+    -- shingle; else every 3-word window (distinct is irrelevant under MIN)
+    SELECT doc_id,
+           CASE WHEN len(_ws) < 3 THEN [array_to_string(_ws, ' ')]
+                ELSE [_ws[i] || ' ' || _ws[i+1] || ' ' || _ws[i+2]
+                      for i in range(1, len(_ws) - 1)]
+           END AS _ss
+    FROM _w
+), _ex AS (
+    SELECT doc_id, unnest(_ss) AS _s FROM _sh
+)
+SELECT doc_id, MIN(spark_xxhash64(_s)) AS fp FROM _ex GROUP BY doc_id
+"""
+
+
+def _hll_estimate_duck(alias: str, p: int = 12) -> str:
+    """DuckDB twin of sketch.hll_sketch→hll_merge→hll_estimate over
+    (event_type, user_id): register max commutes with the per-day merge,
+    so the direct per-type register frame IS the merged sketch. Register
+    index/rank come from the registered exact-hash UDFs; the estimate
+    repeats hll_estimate's bias-corrected formula + linear-counting
+    branch."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)  # sketch._alpha for m > 64
+    # pre-fold alpha*m*m in Python (mirrors F.lit(_alpha(m)*m*m)); the e0
+    # suffix makes DuckDB parse the literal directly as DOUBLE (a plain
+    # decimal literal becomes DECIMAL(18) and overflows / re-rounds)
+    amm = f"{alpha * m * m!r}e0"
+    return f"""
+WITH _h AS (
+    SELECT event_type,
+           spark_hll_idx(spark_xxhash64_long(user_id), {p}) AS _i,
+           spark_hll_rank(spark_xxhash64_long(user_id), {p}) AS _r
+    FROM events WHERE user_id IS NOT NULL
+), _regs AS (
+    SELECT event_type, _i, MAX(_r) AS _r FROM _h GROUP BY 1, 2
+), _agg AS (
+    SELECT event_type,
+           SUM(POWER(2.0, -_r)) + ({m} - COUNT(*)) AS _s,
+           {m} - COUNT(*) AS _z
+    FROM _regs GROUP BY 1
+)
+SELECT event_type,
+       CAST(ROUND(CASE WHEN {amm} / _s <= 2.5 * {m}
+                        AND _z > 0
+                       THEN {m} * LN({m} / CAST(_z AS DOUBLE))
+                       ELSE {amm} / _s END)
+            AS BIGINT) AS {alias}
+FROM _agg
+"""
+
+
+BLOOM_SEEN_DUCK = """
+-- the no-false-negative CONTRACT is the oracle: every probed row must hit,
+-- so n_hits == n_rows exactly; any dropped bit in bloom_build/bloom_merge
+-- flips the value hash
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM events GROUP BY event_type
+"""
+
+
+def _simhash_planted_duck() -> str:
+    """DuckDB twin of add_simhash over the planted corpus: identical
+    5-char distinct shingles, the registered exact xxhash64 per shingle,
+    64 strict-majority bit sums reassembled into a signed BIGINT (two's
+    complement via HUGEINT), then the same Hamming join."""
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (_h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS _c{i}"
+        for i in range(64)
+    )
+    lo = " + ".join(
+        f"CASE WHEN _c{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    hi = " + ".join(
+        f"CASE WHEN _c{i + 32} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH _corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || ' tail' AS text
+    FROM documents WHERE doc_id < 20
+), _sh AS (
+    SELECT doc_id,
+           CASE WHEN length(text) < 5 THEN [text]
+                ELSE list_distinct(
+                    [substr(text, i, 5) for i in range(1, length(text) - 3)])
+           END AS _ss
+    FROM _corpus
+), _ex AS (
+    SELECT doc_id, unnest(_ss) AS _s FROM _sh
+), _hx AS (
+    SELECT doc_id, spark_xxhash64(_s) AS _h FROM _ex
+), _bits AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM _hx GROUP BY doc_id
+), _fp AS (
+    SELECT doc_id,
+           CAST(CASE WHEN _u >= 9223372036854775808
+                     THEN _u - 18446744073709551616 ELSE _u END AS BIGINT)
+               AS simhash
+    FROM (SELECT doc_id,
+                 CAST({hi} AS HUGEINT) * 4294967296 + ({lo}) AS _u
+          FROM _bits)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM _fp a JOIN _fp b ON a.doc_id + 2000000 = b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+"""
 
 
 _COS = (
@@ -7458,6 +7612,15 @@ def pytest_only_oracles() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
             FROM events GROUP BY user_id, CAST(ts AS DATE)
         """,
+        # r9: hash-based lanes gain EXACT twins via the registered
+        # spark_xxhash64 UDFs (register_oracle_udfs; conftest + bench
+        # connections call it — the driver's 50-row battery does not
+        # reference these functions)
+        "text_fingerprint": TEXT_FINGERPRINT_DUCK,
+        "hll_distinct_users": _hll_estimate_duck("distinct_users_est"),
+        "hll_rollup_periods": _hll_estimate_duck("distinct_est"),
+        "bloom_seen_users": BLOOM_SEEN_DUCK,
+        "dedup_simhash_planted": _simhash_planted_duck(),
         "cube_acctbal": CUBE_SQL,
         "q6_forecast_revenue": Q6_FORECAST,
         "q14_promo_revenue": Q14_PROMO,

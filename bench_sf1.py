@@ -297,6 +297,7 @@ def main() -> None:
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET memory_limit='40GB'")
+    entrymod.register_oracle_udfs(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{DST}/{t}.parquet/*.parquet')"

@@ -1,0 +1,104 @@
+"""Pure-Python XXH64 matching Spark's ``xxhash64`` bit-for-bit.
+
+Spark's ``F.xxhash64`` (sql/catalyst XXH64, seed 42) is the base hash of
+the sketch/dedup family (HLL registers, Bloom bits, SimHash, MinHash,
+document fingerprints). No SQL engine ships the same hash, which is why
+those lanes were rows-only in the oracle battery — this module is the
+cross-engine REFERENCE implementation (stdlib only; XXH64 is a public
+specification), registered as DuckDB Python UDFs by
+``__spark_entry__.register_oracle_udfs`` so the twins become exact.
+
+Parity pinned in tests/test_batch88.py against Spark on strings (UTF-8
+byte path) and longs (Spark's specialized 8-byte block path); signed
+64-bit outputs match Spark's BIGINT representation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MASK = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+SPARK_SEED = 42
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, inp: int) -> int:
+    return (_rotl((acc + inp * _P2) & _MASK, 31) * _P1) & _MASK
+
+
+def _merge_round(acc: int, val: int) -> int:
+    return ((acc ^ _round(0, val)) * _P1 + _P4) & _MASK
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def xxh64_bytes(data: bytes, seed: int = SPARK_SEED) -> int:
+    """XXH64 over a byte string (Spark's string/binary path), unsigned."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed & _MASK
+        v4 = (seed - _P1) & _MASK
+        while i <= n - 32:
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1, v2 = _round(v1, a), _round(v2, b)
+            v3, v4 = _round(v3, c), _round(v4, d)
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        for v in (v1, v2, v3, v4):
+            h = _merge_round(h, v)
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i <= n - 8:
+        (k1,) = struct.unpack_from("<Q", data, i)
+        h = (_rotl(h ^ _round(0, k1), 27) * _P1 + _P4) & _MASK
+        i += 8
+    if i <= n - 4:
+        (k1,) = struct.unpack_from("<I", data, i)
+        h = (_rotl(h ^ ((k1 * _P1) & _MASK), 23) * _P2 + _P3) & _MASK
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _MASK), 11) * _P1) & _MASK
+        i += 1
+    return _fmix(h)
+
+
+def xxh64_long(value: int, seed: int = SPARK_SEED) -> int:
+    """XXH64 of one long — Spark's specialized ``hashLong`` (a single
+    8-byte block, NOT the byte-string path), unsigned."""
+    h = (seed + _P5 + 8) & _MASK
+    h = (_rotl(h ^ _round(0, value & _MASK), 27) * _P1 + _P4) & _MASK
+    return _fmix(h)
+
+
+def _signed(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def spark_xxhash64_str(s: str) -> int:
+    """== ``F.xxhash64(string_col)`` (signed BIGINT)."""
+    return _signed(xxh64_bytes(s.encode("utf-8")))
+
+
+def spark_xxhash64_long(v: int) -> int:
+    """== ``F.xxhash64(long_col)`` (signed BIGINT)."""
+    return _signed(xxh64_long(v & _MASK))

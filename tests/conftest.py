@@ -42,6 +42,10 @@ def duck(sf_dir):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
+    # exact spark_xxhash64 twins for the hash-based lanes (r9)
+    import __spark_entry__ as _entry
+
+    _entry.register_oracle_udfs(con)
     yield con
     con.close()
 

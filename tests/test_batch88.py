@@ -185,3 +185,26 @@ def test_read_source_xml_version_gate(spark, monkeypatch):
     )
     with _pytest.raises(ValueError, match="Spark 4"):
         sources.read_source(spark, "/tmp/nope.xml", fmt="xml")
+
+
+def test_xxh64_py_matches_spark(spark):
+    """functions/xxh64_py.py is the cross-engine oracle reference for
+    Spark's xxhash64 — pin exact parity on the string path (UTF-8 bytes,
+    incl. >32-byte block loop and multi-byte chars) and the long path
+    (Spark's specialized 8-byte block)."""
+    from pyspark.sql import functions as F
+
+    from insert_by_timeperiod_spark.functions import xxh64_py as XX
+
+    rows = [
+        ("", 0), ("a", 1), ("hello world", -1), ("x" * 100, 2**62),
+        ("ünïcødé ✓ → ∑", -(2**62)), ("abcdefghijklmnopqrstuvwxyz012345", 42),
+        ("tab\tnew\nline", -9223372036854775808),
+    ]
+    df = spark.createDataFrame(rows, "s string, v long")
+    got = df.select(
+        "s", "v", F.xxhash64("s").alias("hs"), F.xxhash64("v").alias("hv")
+    ).collect()
+    for r in got:
+        assert XX.spark_xxhash64_str(r["s"]) == r["hs"], r["s"]
+        assert XX.spark_xxhash64_long(r["v"]) == r["hv"], r["v"]

@@ -1,0 +1,695 @@
+"""Causal-adjustment designs (split from experiments.py, r9): CUPED,
+difference-in-differences, CMH stratified odds ratio, stratified ATE,
+ratio-metric delta method.
+
+``analytics.experiments`` re-exports everything; call sites unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import _exact_global_ntile, _q, _UNIT_DAYS
+
+
+__all__ = ['cuped_adjust', 'cuped_sql', 'did_readout', 'did_sql', 'cmh_odds_ratio', 'cmh_sql', 'stratified_ate', 'stratified_ate_sql', 'ratio_metric_ab', 'ratio_metric_sql']
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    out_col: str = "metric_cuped",
+) -> DataFrame:
+    """CUPED variance reduction (SURVEY.md §2 C205; Deng et al. 2013):
+    y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x) over a PRE-experiment
+    covariate — the standard trick that shrinks A/B metric variance by
+    the covariate's explained share, often halving C118's required
+    sample size. θ and x̄ are computed POOLED (never per experiment
+    arm — per-arm θ reintroduces bias; group_cols here scope separate
+    EXPERIMENTS, not arms). Rows with a NULL covariate keep their raw
+    metric (no adjustment evidence). Output: input rows +
+    ``out_col`` (+ per-group ``theta`` for the readout).
+
+    Scale shape: one map-side-combined aggregate to (n, Σx, Σy, Σxy,
+    Σx²) on the DECIMAL grid per group, joined back group-keyed (1-row
+    broadcast when ungrouped); the adjustment is a scan-stage
+    expression — :func:`cuped_sql` is exact."""
+    gcols = list(group_cols or [])
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    src = df
+    stats = (
+        src.where(x.isNotNull() & y.isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            dec(x).alias("_sx"),
+            dec(y).alias("_sy"),
+            dec(x * y).alias("_sxy"),
+            dec(x * x).alias("_sxx"),
+        )
+    )
+    # LEFT join: a group with zero valid (covariate, metric) pairs has
+    # no stats row — its rows must still pass through with theta=0 and
+    # the raw metric (the documented NULL-covariate contract), not be
+    # dropped by an inner join.
+    if gcols:
+        joined = src.join(F.broadcast(stats), gcols, "left")
+    else:
+        joined = src.withColumn("_cj", F.lit(1)).join(
+            F.broadcast(stats.withColumn("_cj", F.lit(1))), "_cj", "left"
+        ).drop("_cj")
+    varx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    theta = F.when(
+        F.col("_n").isNotNull() & (varx > 0.0),
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / varx,
+    ).otherwise(F.lit(0.0))
+    xbar = F.col("_sx") / F.col("_n")
+    adj = F.when(
+        x.isNotNull() & y.isNotNull() & F.col("_n").isNotNull(),
+        y - theta * (x - xbar),
+    ).otherwise(y)
+    return joined.withColumn(out_col, F.round(adj, 6)).withColumn(
+        "theta", F.round(theta, 6)
+    ).drop("_n", "_sx", "_sy", "_sxy", "_sxx")
+
+def cuped_sql(
+    source: str,
+    metric_col: str,
+    covariate_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    out_col: str = "metric_cuped",
+    select: str = "*",
+) -> str:
+    """Exact DuckDB twin of :func:`cuped_adjust`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    join = f"LEFT JOIN _st USING ({g})" if g else "LEFT JOIN _st ON TRUE"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    x = f"CAST({covariate_col} AS DOUBLE)"
+    y = f"CAST({metric_col} AS DOUBLE)"
+    theta = (
+        "CASE WHEN _n IS NOT NULL AND _n * _sxx - _sx * _sx > 0.0 "
+        "THEN (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx) ELSE 0.0 END"
+    )
+    return f"""
+WITH _st AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v=x)} AS _sx,
+           {dec.format(v=y)} AS _sy,
+           {dec.format(v=f"{x} * {y}")} AS _sxy,
+           {dec.format(v=f"{x} * {x}")} AS _sxx
+    FROM {source}
+    WHERE {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {select},
+       round(CASE WHEN {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
+                       AND _n IS NOT NULL
+                  THEN {y} - ({theta}) * ({x} - _sx / _n)
+                  ELSE {y} END, 6) AS {out_col},
+       round({theta}, 6) AS theta
+FROM {source} {join}
+"""
+
+def did_readout(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    metric_col: str,
+    *,
+    treat_value: str,
+    post_value: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Difference-in-differences readout (SURVEY.md §2 C208): the 2×2
+    natural-experiment estimator — effect = (treated post − treated
+    pre) − (control post − control pre) — for rollouts WITHOUT random
+    assignment (geo launches, staged releases), where C118/C205 don't
+    apply because the arms differ at baseline; the pre-period
+    difference is subtracted out (the parallel-trends assumption does
+    the identification). Rows whose arm ≠ ``treat_value`` are control;
+    period ≠ ``post_value`` is pre. Output per group: the four cell
+    ``n_*``/``mean_*`` columns (the audit surface), ``did_effect``,
+    ``se`` (four-cell Welch combination), ``z``, and the |z| ≥ 1.96
+    ``significant`` flag (fixed critical value — twin-exact, no erf).
+    Cells with n < 2 yield NULL se/z (no variance evidence).
+
+    Scale shape: ONE map-side-combined aggregate to per-group
+    sufficient statistics (n, Σy, Σy² per cell as conditional sums on
+    the DECIMAL grid); everything after is groups-sized column algebra
+    — :func:`did_sql` is exact."""
+    gcols = list(group_cols or [])
+    y = F.col(metric_col).cast("double")
+    t = F.col(arm_col).cast("string") == str(treat_value)
+    p = F.col(period_col).cast("string") == str(post_value)
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    cells = {"tp": t & p, "tq": t & ~p, "cp": ~t & p, "cq": ~t & ~p}
+    aggs = []
+    for k, cond in cells.items():
+        w = F.when(cond & y.isNotNull(), 1).otherwise(0)
+        aggs += [
+            F.sum(w).cast("double").alias(f"_n_{k}"),
+            dec(F.when(cond, y).otherwise(F.lit(None))).alias(f"_s_{k}"),
+            dec(F.when(cond, y * y).otherwise(F.lit(None))).alias(f"_ss_{k}"),
+        ]
+    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
+
+    def mean(k):
+        return F.when(F.col(f"_n_{k}") > 0, F.col(f"_s_{k}") / F.col(f"_n_{k}"))
+
+    def sem2(k):
+        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
+        var = (n * ss - s * s) / (n * (n - 1.0))
+        return F.when(n >= 2, var / n)
+
+    did = (mean("tp") - mean("tq")) - (mean("cp") - mean("cq"))
+    se = F.sqrt(sem2("tp") + sem2("tq") + sem2("cp") + sem2("cq"))
+    z = F.when(se > 0.0, did / se)
+    out = st.select(
+        *gcols,
+        *[F.col(f"_n_{k}").cast("long").alias(f"n_{k}") for k in cells],
+        *[F.round(mean(k), 6).alias(f"mean_{k}") for k in cells],
+        F.round(did, 6).alias("did_effect"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+    )
+    return out.withColumn(
+        "significant",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
+    )
+
+def did_sql(
+    source: str,
+    arm_col: str,
+    period_col: str,
+    metric_col: str,
+    *,
+    treat_value: str,
+    post_value: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`did_readout` (same DECIMAL
+    sufficient statistics, same four-cell Welch se, same 1.96 flag)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    y = f"CAST({metric_col} AS DOUBLE)"
+    t = f"CAST({arm_col} AS VARCHAR) = '{_q(str(treat_value))}'"
+    p = f"CAST({period_col} AS VARCHAR) = '{_q(str(post_value))}'"
+    conds = {"tp": f"({t}) AND ({p})", "tq": f"({t}) AND NOT ({p})",
+             "cp": f"NOT ({t}) AND ({p})", "cq": f"NOT ({t}) AND NOT ({p})"}
+    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
+           " AS DECIMAL(38,6))) AS DOUBLE)")
+    cell_sql = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
+        f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
+        f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
+        for k, c in conds.items()
+    )
+    mean = lambda k: f"(CASE WHEN _n_{k} > 0 THEN _s_{k} / _n_{k} END)"
+    sem2 = lambda k: (
+        f"(CASE WHEN _n_{k} >= 2 THEN"
+        f" ((_n_{k} * _ss_{k} - _s_{k} * _s_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
+        f" / _n_{k} END)"
+    )
+    did = (f"(({mean('tp')}) - ({mean('tq')}))"
+           f" - (({mean('cp')}) - ({mean('cq')}))")
+    se = f"sqrt({sem2('tp')} + {sem2('tq')} + {sem2('cp')} + {sem2('cq')})"
+    z = f"(CASE WHEN {se} > 0.0 THEN ({did}) / ({se}) END)"
+    means = ", ".join(f"round({mean(k)}, 6) AS mean_{k}" for k in conds)
+    ns = ", ".join(f"CAST(_n_{k} AS BIGINT) AS n_{k}" for k in conds)
+    return f"""
+WITH _st AS (
+    SELECT {gsel}{cell_sql}
+    FROM {source} WHERE {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {gsel}{ns}, {means},
+       round({did}, 6) AS did_effect,
+       round({se}, 6) AS se,
+       round({z}, 6) AS z,
+       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
+           AS significant
+FROM _st
+"""
+
+def cmh_odds_ratio(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+    *,
+    treat_value: str,
+    positive_value: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio (SURVEY.md §2 C215):
+    the stratified 2×2 test — "does treatment lift conversion AFTER
+    controlling for the stratum" — the Simpson's-paradox-proof readout
+    C154's single-table chi-square cannot give (a confounder that
+    correlates with both arm and outcome flips naive pooled rates;
+    Novick/Berkeley-admissions class of bug). OR_MH = Σ(aᵢdᵢ/nᵢ) /
+    Σ(bᵢcᵢ/nᵢ); the CMH chi-square uses the standard continuity
+    correction (|Σaᵢ − ΣEᵢ| − 0.5)²/ΣVᵢ against the dof-1 critical
+    value 3.841. Strata with any empty margin contribute nothing to
+    the variance (Vᵢ = 0) and n<2 strata are excluded entirely.
+    Output one row: ``n_strata``, ``or_mh``, ``chi2``,
+    ``significant``.
+
+    Scale shape: ONE map-side-combined count aggregate to per-stratum
+    2×2 cells; every term after is strata-sized DECIMAL-grid algebra —
+    :func:`cmh_sql` is exact."""
+    t = F.col(arm_col).cast("string") == str(treat_value)
+    pos = F.col(outcome_col).cast("string") == str(positive_value)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("double")
+    cells = (
+        df.where(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("_s"))
+        .agg(
+            cnt(t & pos).alias("_a"),
+            cnt(t & ~pos).alias("_b"),
+            cnt(~t & pos).alias("_c"),
+            cnt(~t & ~pos).alias("_d"),
+        )
+        .withColumn("_n", F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d"))
+        .where(F.col("_n") >= 2)
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    a, b, c, d, n = (F.col(x) for x in ("_a", "_b", "_c", "_d", "_n"))
+    e = (a + b) * (a + c) / n
+    v = (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0))
+    st = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        dec(a * d / n).alias("_sad"),
+        dec(b * c / n).alias("_sbc"),
+        dec(a).alias("_sa"),
+        dec(e).alias("_se"),
+        dec(v).alias("_sv"),
+    )
+    or_mh = F.when(F.col("_sbc") > 0.0, F.col("_sad") / F.col("_sbc"))
+    dev = F.abs(F.col("_sa") - F.col("_se")) - 0.5
+    chi2 = F.when(
+        F.col("_sv") > 0.0,
+        F.when(dev > 0.0, dev * dev / F.col("_sv")).otherwise(0.0),
+    )
+    return st.select(
+        "n_strata",
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2.isNotNull(), F.round(chi2, 6) > 3.841).alias("significant"),
+    )
+
+def cmh_sql(
+    source: str,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+    *,
+    treat_value: str,
+    positive_value: str,
+) -> str:
+    """Exact DuckDB twin of :func:`cmh_odds_ratio` (same DECIMAL term
+    grid, same continuity correction, same 3.841 critical value)."""
+    t = f"CAST({arm_col} AS VARCHAR) = '{_q(str(treat_value))}'"
+    pos = f"CAST({outcome_col} AS VARCHAR) = '{_q(str(positive_value))}'"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    e = "(_a + _b) * (_a + _c) / _n"
+    v = "(_a + _b) * (_c + _d) * (_a + _c) * (_b + _d) / (_n * _n * (_n - 1.0))"
+    chi2 = ("CASE WHEN _sv > 0.0 THEN"
+            " CASE WHEN abs(_sa - _se) - 0.5 > 0.0"
+            " THEN (abs(_sa - _se) - 0.5) * (abs(_sa - _se) - 0.5) / _sv"
+            " ELSE 0.0 END END")
+    return f"""
+WITH _cells AS (
+    SELECT {stratum_col} AS _s,
+           CAST(SUM(CASE WHEN ({t}) AND ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _a,
+           CAST(SUM(CASE WHEN ({t}) AND NOT ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _b,
+           CAST(SUM(CASE WHEN NOT ({t}) AND ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _c,
+           CAST(SUM(CASE WHEN NOT ({t}) AND NOT ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _d
+    FROM {source} WHERE {stratum_col} IS NOT NULL
+    GROUP BY {stratum_col}
+), _ok AS (
+    SELECT *, _a + _b + _c + _d AS _n FROM _cells
+    WHERE _a + _b + _c + _d >= 2
+), _st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           {dec.format(v="_a * _d / _n")} AS _sad,
+           {dec.format(v="_b * _c / _n")} AS _sbc,
+           {dec.format(v="_a")} AS _sa,
+           {dec.format(v=e)} AS _se,
+           {dec.format(v=v)} AS _sv
+    FROM _ok
+)
+SELECT n_strata,
+       round(CASE WHEN _sbc > 0.0 THEN _sad / _sbc END, 6) AS or_mh,
+       round({chi2}, 6) AS chi2,
+       CASE WHEN ({chi2}) IS NOT NULL THEN round({chi2}, 6) > 3.841 END
+           AS significant
+FROM _st
+"""
+
+
+
+def stratified_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    id_col: str,
+    *,
+    n_strata: int = 5,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Propensity-stratified average treatment effect (SURVEY.md §2
+    C239; Rosenbaum & Rubin 1984): the OBSERVATIONAL companion to the
+    randomized readouts C118/C209 — when treatment was self-selected
+    (feature adopters, early upgraders), a raw mean diff confounds who
+    opts in with what the feature does. Stratify on a supplied
+    propensity score (e.g. C156's model output), read the treated-vs-
+    control diff WITHIN each stratum where like compares with like, and
+    weight strata by population share. Strata missing an arm are
+    EXCLUDED from the ATE and counted (``n_strata_used``) — a stratum
+    with no controls has no counterfactual and fabricating one would be
+    worse than narrowing the estimand. SE via within-stratum variances:
+    √Σ w²(s²_t/n_t + s²_c/n_c). Propensity ties break on ``id_col`` so
+    ntile stratum assignment is total and engine-identical (the C221
+    rule). Output per group: ``n_treat``, ``n_ctrl``,
+    ``n_strata_used``, ``ate``, ``se``, ``z``, ``significant``.
+
+    Scale shape: ONE ntile window on the (group) partitioning + ONE
+    map-side-combined DECIMAL reduce per (group, stratum) + a strata-
+    sized rollup — :func:`stratified_ate_sql` is exact."""
+    gcols = list(group_cols or [])
+    if n_strata < 2:
+        raise ValueError("stratified_ate: n_strata must be >= 2")
+    y = F.col(outcome_col).cast("double")
+    p = F.col(propensity_col).cast("double")
+    t = (F.col(treat_col).cast("double") != 0.0).cast("int")
+    src = df.where(y.isNotNull() & p.isNotNull()).select(
+        *gcols,
+        t.alias("_t"),
+        y.alias("_y"),
+        p.alias("_p"),
+        F.col(id_col).alias("_id"),
+    )
+    if gcols:
+        # grouped: the window partitions by group — parallel across groups
+        w = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(
+            F.col("_p").asc(), F.col("_id").asc()
+        )
+        strat = src.withColumn("_s", F.ntile(n_strata).over(w))
+    else:
+        # ungrouped: a bare ntile window is a SINGLE-REDUCER global sort
+        # (WindowExec moves everything to one partition — measured 3.6s at
+        # sf1 and fatal at 100×); identical tile assignment distributed
+        strat = _exact_global_ntile(
+            src, [F.col("_p").asc(), F.col("_id").asc()], n_strata, "_s"
+        )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    is_t = F.col("_t") == 1
+    cells = strat.groupBy(*gcols, "_s").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("double").alias("_nt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("double").alias("_nc"),
+        dec(F.when(is_t, F.col("_y"))).alias("_st"),
+        dec(F.when(~is_t, F.col("_y"))).alias("_sc"),
+        dec(F.when(is_t, F.col("_y") * F.col("_y"))).alias("_sst"),
+        dec(F.when(~is_t, F.col("_y") * F.col("_y"))).alias("_ssc"),
+    )
+    nt, nc = F.col("_nt"), F.col("_nc")
+    usable = (nt > 0.0) & (nc > 0.0)
+    diff = F.col("_st") / nt - F.col("_sc") / nc
+    vt = F.when(nt >= 2.0,
+                (nt * F.col("_sst") - F.col("_st") * F.col("_st"))
+                / (nt * (nt - 1.0)))
+    vc = F.when(nc >= 2.0,
+                (nc * F.col("_ssc") - F.col("_sc") * F.col("_sc"))
+                / (nc * (nc - 1.0)))
+    # per-stratum terms ride the DECIMAL grid into the rollup
+    terms = cells.select(
+        *gcols,
+        nt.alias("_nt"), nc.alias("_nc"),
+        F.when(usable, nt + nc).otherwise(F.lit(0.0)).alias("_wn"),
+        F.when(usable, F.round(diff * (nt + nc), 6).cast("decimal(38,6)"))
+        .alias("_wd"),
+        F.when(
+            usable,
+            F.round((vt / nt + vc / nc) * (nt + nc) * (nt + nc), 6)
+            .cast("decimal(38,6)"),
+        ).alias("_wv"),
+        F.when(usable, 1).otherwise(0).alias("_used"),
+    )
+    st = terms.groupBy(*gcols).agg(
+        F.sum("_nt").cast("long").alias("n_treat"),
+        F.sum("_nc").cast("long").alias("n_ctrl"),
+        F.sum("_used").cast("long").alias("n_strata_used"),
+        F.sum("_wn").alias("_tw"),
+        F.sum("_wd").cast("double").alias("_td"),
+        F.sum("_wv").cast("double").alias("_tv"),
+    )
+    ate = F.when(F.col("_tw") > 0.0, F.col("_td") / F.col("_tw"))
+    se = F.when(
+        F.col("_tw") > 0.0,
+        F.sqrt(F.col("_tv")) / F.col("_tw"),
+    )
+    z = F.when(se > 0.0, ate / se)
+    return st.select(
+        *gcols,
+        "n_treat", "n_ctrl", "n_strata_used",
+        F.round(ate, 6).alias("ate"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), F.abs(F.round(z, 6)) >= 1.96).alias("significant"),
+    )
+
+def stratified_ate_sql(
+    source: str,
+    treat_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    id_col: str,
+    *,
+    n_strata: int = 5,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`stratified_ate` (same tie-broken
+    ntile strata, same exclusion rule, same DECIMAL term grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    grp_s = f"GROUP BY {g}, _s" if g else "GROUP BY _s"
+    part = f"PARTITION BY {g} " if g else ""
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    vt = ("CASE WHEN _nt >= 2.0 THEN"
+          " (_nt * _sst - _st * _st) / (_nt * (_nt - 1.0)) END")
+    vc = ("CASE WHEN _nc >= 2.0 THEN"
+          " (_nc * _ssc - _sc * _sc) / (_nc * (_nc - 1.0)) END")
+    return f"""
+WITH _src AS (
+    SELECT {gsel}
+           CASE WHEN CAST({treat_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END AS _t,
+           CAST({outcome_col} AS DOUBLE) AS _y,
+           CAST({propensity_col} AS DOUBLE) AS _p,
+           {id_col} AS _id
+    FROM {source}
+    WHERE {outcome_col} IS NOT NULL AND {propensity_col} IS NOT NULL
+), _strat AS (
+    SELECT *, NTILE({n_strata}) OVER ({part}ORDER BY _p ASC, _id ASC) AS _s
+    FROM _src
+), _cells AS (
+    SELECT {gsel}_s,
+           CAST(SUM(CASE WHEN _t = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS _nt,
+           CAST(SUM(CASE WHEN _t = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS _nc,
+           {dec.format(v="CASE WHEN _t = 1 THEN _y END")} AS _st,
+           {dec.format(v="CASE WHEN _t = 0 THEN _y END")} AS _sc,
+           {dec.format(v="CASE WHEN _t = 1 THEN _y * _y END")} AS _sst,
+           {dec.format(v="CASE WHEN _t = 0 THEN _y * _y END")} AS _ssc
+    FROM _strat
+    {grp_s}
+), _terms AS (
+    SELECT {gsel}_nt, _nc,
+           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN _nt + _nc ELSE 0.0 END AS _wn,
+           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN
+             CAST(round((_st / _nt - _sc / _nc) * (_nt + _nc), 6)
+                  AS DECIMAL(38,6)) END AS _wd,
+           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN
+             CAST(round((({vt}) / _nt + ({vc}) / _nc)
+                        * (_nt + _nc) * (_nt + _nc), 6)
+                  AS DECIMAL(38,6)) END AS _wv,
+           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN 1 ELSE 0 END AS _used
+    FROM _cells
+), _st2 AS (
+    SELECT {gsel}CAST(SUM(_nt) AS BIGINT) AS n_treat,
+           CAST(SUM(_nc) AS BIGINT) AS n_ctrl,
+           CAST(SUM(_used) AS BIGINT) AS n_strata_used,
+           SUM(_wn) AS _tw,
+           CAST(SUM(_wd) AS DOUBLE) AS _td,
+           CAST(SUM(_wv) AS DOUBLE) AS _tv
+    FROM _terms
+    {grp}
+)
+SELECT {gsel}n_treat, n_ctrl, n_strata_used,
+       round(CASE WHEN _tw > 0.0 THEN _td / _tw END, 6) AS ate,
+       round(CASE WHEN _tw > 0.0 THEN sqrt(_tv) / _tw END, 6) AS se,
+       round(CASE WHEN _tw > 0.0 AND sqrt(_tv) / _tw > 0.0
+                  THEN (_td / _tw) / (sqrt(_tv) / _tw) END, 6) AS z,
+       CASE WHEN _tw > 0.0 AND sqrt(_tv) / _tw > 0.0
+            THEN abs(round((_td / _tw) / (sqrt(_tv) / _tw), 6)) >= 1.96 END
+           AS significant
+FROM _st2
+"""
+
+def ratio_metric_ab(
+    df: DataFrame,
+    arm_col: str,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Delta-method ratio-metric readout (SURVEY.md §2 C222): compare
+    RATIO-OF-SUMS metrics (revenue per session, clicks per impression)
+    between two arms — the readout C209's mean test silently gets
+    wrong: the unit of randomization is the USER but the metric's
+    denominator is events-per-user, so the naive per-event variance
+    ignores within-user correlation (Deng et al. 2017). Per arm the
+    metric is r = Σx/Σy over user-level sums; its variance comes from
+    the delta method over the per-user (x_i, y_i) pairs:
+    Var(r̂) ≈ (s_x² + r̂²·s_y² − 2·r̂·s_xy) / (n·ȳ²). Output one row:
+    per-arm ``n``/``ratio``, ``diff``, ``se``, ``z``, the |z| ≥ 1.96
+    ``significant`` flag. Arms with n < 2 or Σy = 0 yield NULLs.
+
+    Scale shape: ONE map-side-combined aggregate to per-(arm, unit)
+    sums (DECIMAL grid), ONE reduce to per-arm sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²); the test is closed-form scalar algebra
+    — :func:`ratio_metric_sql` is exact."""
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    per_unit = (
+        df.where(
+            F.col(unit_col).isNotNull()
+            & F.col(arm_col).cast("string").isin(str(arm_a), str(arm_b))
+        )
+        .groupBy(F.col(arm_col).cast("string").alias("_arm"), F.col(unit_col))
+        .agg(
+            F.round(F.coalesce(F.sum(x), F.lit(0.0)), 6).alias("_x"),
+            F.round(F.coalesce(F.sum(y), F.lit(0.0)), 6).alias("_y"),
+        )
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    xs, ys = F.col("_x"), F.col("_y")
+    st = per_unit.groupBy("_arm").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(xs).alias("_sx"),
+        dec(ys).alias("_sy"),
+        dec(xs * ys).alias("_sxy"),
+        dec(xs * xs).alias("_sxx"),
+        dec(ys * ys).alias("_syy"),
+    )
+    cols = {}
+    for k, v in (("a", str(arm_a)), ("b", str(arm_b))):
+        side = st.where(F.col("_arm") == v).select(
+            *[F.col(c).alias(f"{c}_{k}") for c in ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")]
+        )
+        cols[k] = side
+    j = cols["a"].crossJoin(cols["b"])
+
+    def stats(k):
+        n = F.col(f"_n_{k}")
+        sx, sy = F.col(f"_sx_{k}"), F.col(f"_sy_{k}")
+        sxy, sxx, syy = (F.col(f"_s{c}_{k}") for c in ("xy", "xx", "yy"))
+        r = F.when(sy != 0.0, sx / sy)
+        ybar = sy / n
+        vx = (n * sxx - sx * sx) / (n * (n - 1.0))
+        vy = (n * syy - sy * sy) / (n * (n - 1.0))
+        vxy = (n * sxy - sx * sy) / (n * (n - 1.0))
+        var_r = F.when(
+            (n >= 2) & (sy != 0.0),
+            (vx + r * r * vy - 2.0 * r * vxy) / (n * ybar * ybar),
+        )
+        return r, var_r, n
+
+    ra, va, na = stats("a")
+    rb, vb, nb = stats("b")
+    se = F.sqrt(va + vb)
+    z = F.when(se > 0.0, (ra - rb) / se)
+    zr = F.round(z, 6)
+    return j.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ra, 6).alias("ratio_a"),
+        F.round(rb, 6).alias("ratio_b"),
+        F.round(ra - rb, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        zr.alias("z"),
+        F.when(zr.isNotNull(), F.abs(zr) >= 1.96).alias("significant"),
+    )
+
+def ratio_metric_sql(
+    source: str,
+    arm_col: str,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+) -> str:
+    """Exact DuckDB twin of :func:`ratio_metric_ab` (same per-unit
+    DECIMAL sums, same delta-method algebra, same 1.96 flag)."""
+    x = f"CAST({num_col} AS DOUBLE)"
+    y = f"CAST({den_col} AS DOUBLE)"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    stats = lambda k: (
+        f"(CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)",
+        f"(CASE WHEN _n_{k} >= 2 AND _sy_{k} <> 0.0 THEN"
+        f" (((_n_{k} * _sxx_{k} - _sx_{k} * _sx_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
+        f" + (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
+        f"   * (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
+        f"   * ((_n_{k} * _syy_{k} - _sy_{k} * _sy_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
+        f" - 2.0 * (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
+        f"   * ((_n_{k} * _sxy_{k} - _sx_{k} * _sy_{k}) / (_n_{k} * (_n_{k} - 1.0))))"
+        f" / (_n_{k} * (_sy_{k} / _n_{k}) * (_sy_{k} / _n_{k})) END)",
+    )
+    ra, va = stats("a")
+    rb, vb = stats("b")
+    se = f"sqrt({va} + {vb})"
+    z = f"(CASE WHEN {se} > 0.0 THEN (({ra}) - ({rb})) / ({se}) END)"
+    per_arm = lambda k, v: f"""
+    SELECT CAST(COUNT(*) AS DOUBLE) AS _n_{k},
+           {dec.format(v="_x")} AS _sx_{k},
+           {dec.format(v="_y")} AS _sy_{k},
+           {dec.format(v="_x * _y")} AS _sxy_{k},
+           {dec.format(v="_x * _x")} AS _sxx_{k},
+           {dec.format(v="_y * _y")} AS _syy_{k}
+    FROM (
+        SELECT round(coalesce(SUM({x}), 0.0), 6) AS _x,
+               round(coalesce(SUM({y}), 0.0), 6) AS _y
+        FROM {source}
+        WHERE {unit_col} IS NOT NULL
+          AND CAST({arm_col} AS VARCHAR) = '{_q(v)}'
+        GROUP BY {unit_col}
+    )"""
+    return f"""
+WITH _a AS ({per_arm("a", str(arm_a))}), _b AS ({per_arm("b", str(arm_b))})
+SELECT CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
+       round({ra}, 6) AS ratio_a, round({rb}, 6) AS ratio_b,
+       round(({ra}) - ({rb}), 6) AS diff,
+       round({se}, 6) AS se,
+       round({z}, 6) AS z,
+       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
+           AS significant
+FROM _a CROSS JOIN _b
+"""

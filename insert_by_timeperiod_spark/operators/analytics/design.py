@@ -1,0 +1,677 @@
+"""Experiment design / sequential monitoring / uncertainty (split from
+experiments.py, r9): SRM guardrail, O'Brien-Fleming boundaries, MDE
+planning, bootstrap CIs, split-conformal intervals.
+
+``analytics.experiments`` re-exports everything; call sites unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import _q, _UNIT_DAYS
+
+#: md5-preimage separator (operators/sampling.py convention)
+_BSEP = "\x1f"
+
+_POIS1_CDF = [
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851,
+]
+
+#: O'Brien-Fleming critical constants c_K for overall two-sided α=0.05 at
+#: K equally-spaced looks (Jennison & Turnbull 2000, Table 2.3); the look-k
+#: boundary is c_K·sqrt(K/k)
+_OBF_C = {1: 1.960, 2: 1.977, 3: 2.004, 4: 2.024, 5: 2.040,
+          6: 2.053, 7: 2.063, 8: 2.072, 9: 2.080, 10: 2.087}
+
+
+__all__ = ['srm_check', 'srm_sql', 'obrien_fleming', 'obrien_fleming_sql', 'mde_readout', 'mde_sql', 'bootstrap_mean_ci', 'bootstrap_mean_ci_sql', 'split_conformal', 'split_conformal_sql']
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (SURVEY.md §2 C206): chi-square
+    of observed experiment-arm counts against the DESIGNED weights —
+    the first thing to check before reading ANY A/B result (a 50/50
+    experiment landing 52/48 at scale means broken assignment, and
+    every downstream readout, C118/C205 included, is garbage). Output
+    one row per arm: ``arm``, ``n``, ``expected_n``, plus the repeated
+    ``chi2``, ``dof``, ``srm_suspected`` (chi2 above the α=0.001
+    critical value — SRM checks run at paranoid thresholds by
+    convention). Arms observed but not in ``expected`` raise (a typo'd
+    weight table must not silently pass).
+
+    Scale shape: one map-side-combined count aggregate; everything
+    after is arms-sized. Exact integer counts; the chi-square rides
+    the DECIMAL term grid — :func:`srm_sql` is exact."""
+    if not expected:
+        raise ValueError("srm_check: expected weights required")
+    tot_w = sum(expected.values())
+    if tot_w <= 0:
+        raise ValueError("srm_check: weights must sum > 0")
+    # chi-square critical values at alpha=0.001 for dof 1..9
+    crit = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
+            6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877}
+    dof = len(expected) - 1
+    if dof not in crit:
+        raise ValueError(f"srm_check: supports 2..10 arms, got {len(expected)}")
+    counts = (
+        df.where(F.col(arm_col).isNotNull())
+        .groupBy(F.col(arm_col).cast("string").alias("arm"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seen = {r["arm"] for r in counts.select("arm").collect()}
+    unknown = sorted(seen - set(expected))
+    if unknown:
+        raise ValueError(f"srm_check: unexpected arms {unknown}")
+    # Right-join observed counts against the FULL designed-arm set: an
+    # arm that received ZERO traffic is the worst possible mismatch and
+    # must contribute its (0-E)^2/E term rather than silently vanish.
+    designed = df.sparkSession.createDataFrame(
+        [(a, wgt / tot_w) for a, wgt in sorted(expected.items())],
+        "arm string, _w double",
+    )
+    wall = Window.partitionBy()
+    arms = (
+        designed.join(counts, "arm", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("_tot", F.sum("n").over(wall))
+    )
+    exp_n = F.col("_w") * F.col("_tot")
+    term = (
+        F.round((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6)
+        .cast("decimal(38,6)")
+    )
+    scored = arms.withColumn("_t", term).withColumn(
+        "chi2", F.round(F.sum("_t").over(wall).cast("double"), 6)
+    )
+    return scored.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.round(exp_n, 6).alias("expected_n"),
+        "chi2",
+        F.lit(dof).alias("dof"),
+        (F.col("chi2") > crit[dof]).alias("srm_suspected"),
+    )
+
+def srm_sql(source: str, arm_col: str, expected: dict[str, float]) -> str:
+    """Exact DuckDB twin of :func:`srm_check` (same normalized weights,
+    same DECIMAL term grid, same α=0.001 critical value)."""
+    if not expected:
+        raise ValueError("srm_sql: expected weights required")
+    tot_w = sum(expected.values())
+    if tot_w <= 0:
+        raise ValueError("srm_sql: weights must sum > 0")
+    crit = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
+            6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877}
+    dof = len(expected) - 1
+    if dof not in crit:
+        raise ValueError(f"srm_sql: supports 2..10 arms, got {len(expected)}")
+    designed = ", ".join(
+        f"('{a}', CAST({wgt / tot_w!r} AS DOUBLE))"
+        for a, wgt in sorted(expected.items())
+    )
+    return f"""
+WITH _designed(arm, _w) AS (
+    VALUES {designed}
+), _counts AS (
+    SELECT CAST({arm_col} AS VARCHAR) AS arm, COUNT(*) AS n
+    FROM {source} WHERE {arm_col} IS NOT NULL
+    GROUP BY CAST({arm_col} AS VARCHAR)
+), _rich AS (
+    SELECT d.arm, COALESCE(c.n, 0) AS n,
+           d._w * SUM(COALESCE(c.n, 0)) OVER () AS _en
+    FROM _designed d LEFT JOIN _counts c ON c.arm = d.arm
+), _terms AS (
+    SELECT *, CAST(round((n - _en) * (n - _en) / _en, 6) AS DECIMAL(38,6)) AS _t
+    FROM _rich
+)
+SELECT arm, CAST(n AS BIGINT) AS n, round(_en, 6) AS expected_n,
+       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) AS chi2,
+       {dof} AS dof,
+       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) > {crit[dof]!r} AS srm_suspected
+FROM _terms
+"""
+
+def obrien_fleming(
+    df: DataFrame,
+    ts_col: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    looks: int = 5,
+) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming boundaries
+    (SURVEY.md §2 C219): the peeking-proof readout — checking a fixed
+    1.96 threshold every day inflates false positives severalfold, so
+    sequential practice spends the α budget across ``looks`` scheduled
+    analyses with boundaries that start very conservative
+    (c_K·sqrt(K/k)) and relax to ≈1.96-ish at the end. The observed
+    time range splits into K equal calendar slices (pure integer
+    microsecond arithmetic — cross-engine exact); each look reads the
+    CUMULATIVE Welch z of ``arm_a`` − ``arm_b``. Output per look:
+    ``look``, ``info_frac``, cumulative ``n_a``/``n_b``/means, ``z``,
+    ``boundary``, ``crossed`` — the first crossed look is where a
+    monitored experiment would have stopped.
+
+    Scale shape: one 1-row min/max broadcast, ONE map-side-combined
+    aggregate to per-(look, arm) sufficient statistics, cumulative
+    window over the K-row frame; DECIMAL grid throughout —
+    :func:`obrien_fleming_sql` is exact."""
+    if looks not in _OBF_C:
+        raise ValueError(f"looks must be in 1..10, got {looks}")
+    y = F.col(metric_col).cast("double")
+    e = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    src = df.where(
+        F.col(ts_col).isNotNull()
+        & y.isNotNull()
+        & F.col(arm_col).cast("string").isin(str(arm_a), str(arm_b))
+    )
+    rng = src.agg(
+        F.min(e).alias("_emin"), F.max(e).alias("_emax")
+    )
+    j = src.crossJoin(F.broadcast(rng))
+    look = F.least(
+        F.lit(looks),
+        F.floor(
+            (e - F.col("_emin")) * looks / (F.col("_emax") - F.col("_emin") + 1)
+        ).cast("long") + 1,
+    )
+    is_a = F.col(arm_col).cast("string") == str(arm_a)
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    per_look = j.groupBy(look.alias("look")).agg(
+        *[x for k, cond in (("a", is_a), ("b", ~is_a)) for x in (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
+            dec(F.when(cond, y)).alias(f"_s_{k}"),
+            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
+        )]
+    )
+    w = Window.orderBy(F.col("look").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_look.select(
+        "look",
+        *[F.sum(f"_n_{k}").over(w).alias(f"_cn_{k}") for k in "ab"],
+        *[F.sum(f"_s_{k}").over(w).alias(f"_cs_{k}") for k in "ab"],
+        *[F.sum(f"_ss_{k}").over(w).alias(f"_css_{k}") for k in "ab"],
+    )
+
+    def mean(k):
+        return F.when(F.col(f"_cn_{k}") > 0, F.col(f"_cs_{k}") / F.col(f"_cn_{k}"))
+
+    def va_n(k):
+        n, s, ss = (F.col(f"_c{x}_{k}") for x in ("n", "s", "ss"))
+        return F.when(n >= 2, (n * ss - s * s) / (n * (n - 1.0))) / n
+
+    se = F.sqrt(va_n("a") + va_n("b"))
+    z = F.when(se > 0.0, (mean("a") - mean("b")) / se)
+    c = _OBF_C[looks]
+    boundary = F.round(
+        F.lit(c) * F.sqrt(F.lit(float(looks)) / F.col("look")), 6
+    )
+    zr = F.round(z, 6)
+    return cum.select(
+        F.col("look").cast("int").alias("look"),
+        F.round(F.col("look") / F.lit(float(looks)), 6).alias("info_frac"),
+        F.col("_cn_a").cast("long").alias("n_a"),
+        F.col("_cn_b").cast("long").alias("n_b"),
+        F.round(mean("a"), 6).alias("mean_a"),
+        F.round(mean("b"), 6).alias("mean_b"),
+        zr.alias("z"),
+        boundary.alias("boundary"),
+        F.when(zr.isNotNull(), F.abs(zr) >= boundary).alias("crossed"),
+    )
+
+def obrien_fleming_sql(
+    source: str,
+    ts_col: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    looks: int = 5,
+) -> str:
+    """Exact DuckDB twin of :func:`obrien_fleming` (same integer-µs look
+    assignment, same DECIMAL cumulative grid, same published c_K)."""
+    if looks not in _OBF_C:
+        raise ValueError(f"looks must be in 1..10, got {looks}")
+    c = _OBF_C[looks]
+    y = f"CAST({metric_col} AS DOUBLE)"
+    a = f"CAST({arm_col} AS VARCHAR) = '{_q(str(arm_a))}'"
+    e = f"epoch_us(CAST({ts_col} AS TIMESTAMP))"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    cells = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
+        f"           {dec.format(v=f'CASE WHEN {cond} THEN {y} END')} AS _s_{k},\n"
+        f"           {dec.format(v=f'CASE WHEN {cond} THEN {y} * {y} END')} AS _ss_{k}"
+        for k, cond in (("a", f"({a})"), ("b", f"NOT ({a})"))
+    )
+    mean = lambda k: f"(CASE WHEN _cn_{k} > 0 THEN _cs_{k} / _cn_{k} END)"
+    va_n = lambda k: (
+        f"((CASE WHEN _cn_{k} >= 2 THEN (_cn_{k} * _css_{k} - _cs_{k} * _cs_{k})"
+        f" / (_cn_{k} * (_cn_{k} - 1.0)) END) / _cn_{k})"
+    )
+    se = f"sqrt({va_n('a')} + {va_n('b')})"
+    z = f"(CASE WHEN {se} > 0.0 THEN (({mean('a')}) - ({mean('b')})) / ({se}) END)"
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {metric_col} IS NOT NULL
+      AND CAST({arm_col} AS VARCHAR) IN ('{_q(str(arm_a))}', '{_q(str(arm_b))}')
+), _rng AS (
+    SELECT MIN({e}) AS _emin, MAX({e}) AS _emax FROM _src
+), _per AS (
+    SELECT least({looks}, CAST(floor(({e} - _emin) * {looks}
+               / (_emax - _emin + 1)) AS BIGINT) + 1) AS look,
+           {cells}
+    FROM _src CROSS JOIN _rng
+    GROUP BY 1
+), _cum AS (
+    SELECT look,
+           SUM(_n_a) OVER _w AS _cn_a, SUM(_n_b) OVER _w AS _cn_b,
+           SUM(_s_a) OVER _w AS _cs_a, SUM(_s_b) OVER _w AS _cs_b,
+           SUM(_ss_a) OVER _w AS _css_a, SUM(_ss_b) OVER _w AS _css_b
+    FROM _per
+    WINDOW _w AS (ORDER BY look ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)
+)
+SELECT CAST(look AS INTEGER) AS look,
+       round(look / CAST({looks} AS DOUBLE), 6) AS info_frac,
+       CAST(_cn_a AS BIGINT) AS n_a, CAST(_cn_b AS BIGINT) AS n_b,
+       round({mean('a')}, 6) AS mean_a, round({mean('b')}, 6) AS mean_b,
+       round({z}, 6) AS z,
+       round({c!r} * sqrt({looks} / CAST(look AS DOUBLE)), 6) AS boundary,
+       CASE WHEN {z} IS NOT NULL
+            THEN abs(round({z}, 6))
+                 >= round({c!r} * sqrt({looks} / CAST(look AS DOUBLE)), 6)
+       END AS crossed
+FROM _cum
+"""
+
+def mde_readout(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+    target_rel_effect: float = 0.01,
+) -> DataFrame:
+    """Minimum-detectable-effect / power readout (SURVEY.md §2 C237):
+    the experiment-DESIGN number the C209/C118 readouts assume someone
+    already computed — "at the traffic you actually have, what lift
+    could this experiment even see?" and its inverse "how many users
+    per arm until a ``target_rel_effect`` is visible?". Standard 80%
+    power at two-sided α=5%: MDE_abs = (z_{α/2}+z_{0.8}) · s_p ·
+    √(1/n_a+1/n_b) with the pooled sample sd s_p; required n per arm =
+    2·((z_{α/2}+z_{0.8})·s_p/Δ)² at Δ = target_rel_effect · mean_a
+    (arm a is the baseline). Arms with n < 2, zero pooled variance, or
+    a zero baseline mean yield NULLs rather than fabricated power.
+    Output per group: ``n_a``, ``n_b``, ``mean_a``, ``pooled_sd``,
+    ``mde_abs``, ``mde_rel``, ``required_n_per_arm``.
+
+    Scale shape: ONE map-side-combined DECIMAL aggregate to per-arm
+    (n, Σy, Σy²); everything after is groups-sized column algebra —
+    :func:`mde_sql` is exact. z constants pinned to 6 decimals
+    (1.959964 + 0.841621) so both engines share the exact multiplier."""
+    gcols = list(group_cols or [])
+    arms = [str(arm_a), str(arm_b)]
+    if arms[0] == arms[1]:
+        raise ValueError("mde_readout: arm_a and arm_b must differ")
+    if not target_rel_effect > 0.0:
+        raise ValueError("mde_readout: target_rel_effect must be > 0")
+    zsum = 1.959964 + 0.841621
+    y = F.col(metric_col).cast("double")
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    aggs = []
+    for k, v in (("a", arms[0]), ("b", arms[1])):
+        cond = F.col(arm_col).cast("string") == v
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
+            dec(F.when(cond, y)).alias(f"_s_{k}"),
+            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
+        ]
+    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
+    na, nb = F.col("_n_a"), F.col("_n_b")
+
+    def ssq(k):
+        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
+        return ss - s * s / n
+
+    sp2 = F.when(
+        (na >= 2.0) & (nb >= 2.0), (ssq("a") + ssq("b")) / (na + nb - 2.0)
+    )
+    sp = F.when(sp2 > 0.0, F.sqrt(sp2))
+    mean_a = F.when(na > 0.0, F.col("_s_a") / na)
+    mde_abs = zsum * sp * F.sqrt(1.0 / na + 1.0 / nb)
+    mde_rel = F.when(F.abs(mean_a) > 0.0, mde_abs / F.abs(mean_a))
+    delta = target_rel_effect * F.abs(mean_a)
+    # round to the 6-decimal grid BEFORE ceil so an 8.000000000001-style
+    # FP tail never splits the two engines across an integer boundary
+    req_n = F.when(
+        delta > 0.0,
+        F.ceil(F.round(2.0 * (zsum * sp / delta) * (zsum * sp / delta), 6)),
+    )
+    return st.select(
+        *gcols,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.round(mde_rel, 6).alias("mde_rel"),
+        req_n.cast("long").alias("required_n_per_arm"),
+    )
+
+def mde_sql(
+    source: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+    target_rel_effect: float = 0.01,
+) -> str:
+    """Exact DuckDB twin of :func:`mde_readout` (same pinned z-sum, same
+    DECIMAL sufficient statistics, same ceil)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    a, b = _q(str(arm_a)), _q(str(arm_b))
+    zsum = 1.959964 + 0.841621
+    y = f"CAST({metric_col} AS DOUBLE)"
+    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
+           " AS DECIMAL(38,6))) AS DOUBLE)")
+    cells = []
+    for k, v in (("a", a), ("b", b)):
+        c = f"CAST({arm_col} AS VARCHAR) = '{v}'"
+        cells.append(
+            f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
+            f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
+            f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
+        )
+    cell_sql = ",\n           ".join(cells)
+    sp2 = ("CASE WHEN _n_a >= 2.0 AND _n_b >= 2.0 THEN"
+           " ((_ss_a - _s_a * _s_a / _n_a) + (_ss_b - _s_b * _s_b / _n_b))"
+           " / (_n_a + _n_b - 2.0) END")
+    sp = f"(CASE WHEN ({sp2}) > 0.0 THEN sqrt({sp2}) END)"
+    mean_a = "(CASE WHEN _n_a > 0.0 THEN _s_a / _n_a END)"
+    mde_abs = f"({zsum!r} * {sp} * sqrt(1.0 / _n_a + 1.0 / _n_b))"
+    mde_rel = (f"(CASE WHEN abs({mean_a}) > 0.0"
+               f" THEN {mde_abs} / abs({mean_a}) END)")
+    delta = f"({target_rel_effect!r} * abs({mean_a}))"
+    req_n = (f"(CASE WHEN {delta} > 0.0 THEN CAST(ceil(round(2.0 *"
+             f" ({zsum!r} * {sp} / {delta}) * ({zsum!r} * {sp} / {delta}), 6))"
+             f" AS BIGINT) END)")
+    return f"""
+WITH _st AS (
+    SELECT {gsel}{cell_sql}
+    FROM {source} WHERE {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
+       round({mean_a}, 6) AS mean_a,
+       round({sp}, 6) AS pooled_sd,
+       round({mde_abs}, 6) AS mde_abs,
+       round({mde_rel}, 6) AS mde_rel,
+       {req_n} AS required_n_per_arm
+FROM _st
+"""
+
+def _boot_weight(u):  # Column: Poisson(1) draw from a uniform via the ladder
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[k], F.lit(k)).otherwise(w)
+    return w
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    n_boot: int = 100,
+    conf: float = 0.95,
+    seed: str = "boot",
+) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the per-group mean
+    (SURVEY.md §2 C151): the uncertainty readout C118's z-test can't give
+    for non-proportion metrics (revenue per user, latency means) without
+    normality assumptions. Poissonized bootstrap — each row enters each
+    of ``n_boot`` replicates with an independent Poisson(1) weight, the
+    standard resampling form that distributes (a with-replacement draw
+    needs global coordination; Poisson weights are row-local and converge
+    to the same distribution). Weights derive from the md5-draw primitive
+    keyed by (seed, replicate, id_cols), so the release is deterministic,
+    engine-portable, and idempotent — the sampling-module posture.
+
+    Output per group: n, mean, ci_lo, ci_hi ((1−conf)/2 and 1−(1−conf)/2
+    R-7 quantiles of the replicate means). Scale shape: one n_boot-way
+    row explosion (bounded, documented — subsample first at extreme
+    corpus sizes), one map-side-combined (group, replicate) aggregate,
+    then a groups-sized quantile pass. Exactness: integer weights,
+    Σ w·round(x,6) on the DECIMAL grid, R-7 quantiles — exact twin."""
+    if not 0 < conf < 1:
+        raise ValueError(f"conf must be in (0, 1), got {conf}")
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not id_cols:
+        raise ValueError("bootstrap_mean_ci: id_cols required")
+    gcols = list(group_cols or [])
+    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
+    src = df.where(F.col(value_col).isNotNull())
+    b = F.explode(F.array(*[F.lit(i) for i in range(n_boot)])).alias("_b")
+    rep = src.select(
+        *gcols,
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(28,6)")
+        .alias("_x"),
+        *[F.col(c) for c in id_cols],
+        b,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        _BSEP,
+                        F.lit(seed),
+                        F.col("_b").cast("string"),
+                        *[F.col(c).cast("string") for c in id_cols],
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    weighted = rep.withColumn("_w", _boot_weight(u))
+    means = (
+        weighted.groupBy(*gcols, "_b")
+        .agg(
+            (
+                F.sum(F.col("_x") * F.col("_w")).cast("double")
+                / F.sum("_w")
+            ).alias("_m")
+        )
+        .where(F.col("_m").isNotNull())  # all-zero-weight replicate: drop
+    )
+    point = src.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    ci = means.groupBy(*gcols).agg(
+        F.expr(f"percentile(_m, {lo_q!r})").alias("ci_lo"),
+        F.expr(f"percentile(_m, {hi_q!r})").alias("ci_hi"),
+    )
+    if gcols:
+        return point.join(ci, gcols)
+    return point.crossJoin(F.broadcast(ci))
+
+def bootstrap_mean_ci_sql(
+    source: str,
+    value_col: str,
+    id_cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    n_boot: int = 100,
+    conf: float = 0.95,
+    seed: str = "boot",
+) -> str:
+    """Exact DuckDB twin of :func:`bootstrap_mean_ci` — identical md5
+    draws, identical Poisson ladder, identical DECIMAL grid and R-7
+    quantiles."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    gj = f"USING ({g})" if g else "ON TRUE"
+    key_sql = ", ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
+    u = (
+        "((CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+        f"'{seed}', CAST(_b AS VARCHAR), {key_sql})), 1, 8)) AS BIGINT)"
+        " + 0.5) / 4294967296.0)"
+    )
+    ladder = f"CASE WHEN {u} < {_POIS1_CDF[0]!r} THEN 0"
+    for k in range(1, len(_POIS1_CDF)):
+        ladder += f" WHEN {u} < {_POIS1_CDF[k]!r} THEN {k}"
+    ladder += f" ELSE {len(_POIS1_CDF)} END"
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source} WHERE {value_col} IS NOT NULL
+), _rep AS (
+    SELECT {gsel}CAST(round(CAST({value_col} AS DOUBLE), 6)
+                      AS DECIMAL(28,6)) AS _x,
+           {", ".join(id_cols)}, b.range AS _b
+    FROM _src, range({int(n_boot)}) b
+), _means AS (
+    SELECT {gsel}_b,
+           CAST(SUM(_x * ({ladder})) AS DOUBLE) / SUM({ladder}) AS _m
+    FROM _rep GROUP BY {gsel}_b
+), _point AS (
+    SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(CAST({value_col} AS DOUBLE), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean
+    FROM _src {f"GROUP BY {g}" if g else ""}
+), _ci AS (
+    SELECT {gsel}quantile_cont(_m, {lo_q!r}) AS ci_lo,
+           quantile_cont(_m, {hi_q!r}) AS ci_hi
+    FROM _means WHERE _m IS NOT NULL {f"GROUP BY {g}" if g else ""}
+)
+SELECT p.*, c.ci_lo, c.ci_hi FROM _point p JOIN _ci c {gj}
+"""
+
+def split_conformal(
+    df: DataFrame,
+    y_col: str,
+    yhat_col: str,
+    *,
+    alpha: float = 0.1,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split-conformal interval calibration (SURVEY.md §2 C229; Vovk et
+    al.; Lei et al. 2018): from a held-out calibration set of (truth,
+    prediction) pairs, the half-width q̂ such that ŷ ± q̂ covers the
+    truth with probability ≥ 1−α on exchangeable data — the
+    DISTRIBUTION-FREE guarantee bolt-on for ANY point model (C156 asks
+    "are the probabilities honest"; this manufactures honest
+    INTERVALS). q̂ is the k-th smallest absolute residual with
+    k = ⌈(n+1)(1−α)⌉ — an exact ORDER STATISTIC, integer rank, no
+    interpolation, so the twin is trivially exact. Groups with k > n
+    (too few calibration points for the requested coverage) yield NULL
+    q̂ — the honest answer is "no finite interval". Output per group:
+    ``n``, ``k``, ``qhat``, plus ``coverage_target``.
+
+    Scale shape: one residual projection in the scan stage, one rank
+    window per group, one row per group out —
+    :func:`split_conformal_sql` is exact."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gcols = list(group_cols or [])
+    r = F.round(
+        F.abs(F.col(y_col).cast("double") - F.col(yhat_col).cast("double")), 6
+    )
+    src = df.where(
+        F.col(y_col).isNotNull() & F.col(yhat_col).isNotNull()
+    ).select(*gcols, r.alias("_r"))
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(F.col("_r").asc())
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    ranked = src.select(
+        *gcols,
+        "_r",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    # k = ceil((n+1)(1-alpha)) in exact integer arithmetic would need
+    # rational alpha; both engines compute the SAME double product then
+    # ceil — identical IEEE ops, identical k
+    k = F.ceil((F.col("_n") + 1) * F.lit(1.0 - float(alpha))).cast("long")
+    picked = ranked.withColumn("_k", k).where(
+        (F.col("_rn") == F.col("_k")) | ((F.col("_k") > F.col("_n")) & (F.col("_rn") == 1))
+    )
+    return picked.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        F.when(F.col("_k") <= F.col("_n"), F.col("_r")).alias("qhat"),
+        F.round(F.lit(1.0 - float(alpha)), 6).alias("coverage_target"),
+    )
+
+def split_conformal_sql(
+    source: str,
+    y_col: str,
+    yhat_col: str,
+    *,
+    alpha: float = 0.1,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`split_conformal` (same residual grid,
+    same integer order statistic, same too-few-points contract)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    r = (
+        f"round(abs(CAST({y_col} AS DOUBLE) - CAST({yhat_col} AS DOUBLE)), 6)"
+    )
+    return f"""
+WITH _src AS (
+    SELECT {gsel}{r} AS _r FROM {source}
+    WHERE {y_col} IS NOT NULL AND {yhat_col} IS NOT NULL
+), _ranked AS (
+    SELECT {gsel}_r,
+           ROW_NUMBER() OVER ({part} ORDER BY _r ASC) AS _rn,
+           COUNT(*) OVER ({part}) AS _n
+    FROM _src
+), _picked AS (
+    SELECT *, CAST(ceil((_n + 1) * {1.0 - float(alpha)!r}) AS BIGINT) AS _k
+    FROM _ranked
+)
+SELECT {gsel}CAST(_n AS BIGINT) AS n, _k AS k,
+       CASE WHEN _k <= _n THEN _r END AS qhat,
+       round({1.0 - float(alpha)!r}, 6) AS coverage_target
+FROM _picked
+WHERE _rn = _k OR (_k > _n AND _rn = 1)
+"""

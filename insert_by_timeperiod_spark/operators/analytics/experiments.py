@@ -1,2498 +1,22 @@
-"""Experimentation & statistical inference readouts (SURVEY.md §2): A/B readouts, CUPED variance reduction, the SRM guardrail, bootstrap CIs, chi-square independence, BH FDR adjustment.
+"""Experimentation & statistical inference readouts (SURVEY.md §2).
 
-Split from the original single-module analytics.py (round 8); the
-``operators.analytics`` package __init__ re-exports everything, so
-``analytics.ab_test`` call sites are unchanged.
+r8 split analytics.py into this package; r9 splits THIS module (it had
+grown to 2498 lines) into four themed siblings. This module remains the
+compatibility seam: every name re-exports here, so both
+``analytics.experiments.ab_test`` and the package-level
+``analytics.ab_test`` call sites keep working unchanged.
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame, Window, functions as F
-
-from ._util import _dist_cumsum, _exact_global_ntile, _q, _UNIT_DAYS
-
-__all__ = ['ab_test', 'ab_test_sql', 'bootstrap_mean_ci', 'bootstrap_mean_ci_sql', 'chi2_independence', 'chi2_independence_sql', 'bh_adjust', 'bh_adjust_sql', 'cuped_adjust', 'cuped_sql', 'srm_check', 'srm_sql']
-
-def ab_test(
-    df: DataFrame,
-    variant_col: str,
-    *,
-    conversion_type: str,
-    control: str,
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-) -> DataFrame:
-    """A/B experiment readout (SURVEY.md §2 C118): per variant — exposed
-    users, converted users, conversion rate, and against the named
-    ``control`` variant the pooled two-proportion z statistic with the
-    |z| ≥ 1.96 significance flag (the standard 5%-level test). The
-    decision table every experiment pipeline ends in.
-
-    Scale shape: ONE per-(variant, user) aggregate (map-side combined —
-    a user counts once however many events they fired; conversion =
-    BOOL_OR over their events), ONE per-variant rollup on
-    variant-count-sized data, control row broadcast back. The z
-    statistic is a fixed IEEE expression of exact integer counts —
-    twin-exact with no erf/p-value dependency (flag at the 1.96
-    critical value instead, identical in any engine)."""
-    per_user = (
-        df.where(F.col(user_col).isNotNull())
-        .groupBy(F.col(variant_col).alias("variant"), F.col(user_col))
-        .agg(
-            F.max((F.col(type_col) == conversion_type).cast("int")).alias(
-                "_conv"
-            )
-        )
-    )
-    per_variant = per_user.groupBy("variant").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("_conv").cast("bigint").alias("n_converted"),
-    )
-    ctrl = per_variant.where(F.col("variant") == control).select(
-        F.col("n_users").alias("_cn"), F.col("n_converted").alias("_cc")
-    )
-    j = per_variant.crossJoin(F.broadcast(ctrl))
-    rate = F.col("n_converted") / F.col("n_users").cast("double")
-    crate = F.col("_cc") / F.col("_cn").cast("double")
-    pooled = (F.col("n_converted") + F.col("_cc")) / (
-        F.col("n_users") + F.col("_cn")
-    ).cast("double")
-    se = F.sqrt(
-        pooled
-        * (F.lit(1.0) - pooled)
-        * (
-            F.lit(1.0) / F.col("n_users")
-            + F.lit(1.0) / F.col("_cn")
-        )
-    )
-    z = F.when(
-        (F.col("variant") != control) & (se > 0), (rate - crate) / se
-    )
-    return j.select(
-        "variant",
-        "n_users",
-        "n_converted",
-        rate.alias("rate"),
-        z.alias("z_vs_control"),
-        F.when(z.isNotNull(), F.abs(z) >= 1.96).alias("significant"),
-    )
-
-
-def ab_test_sql(
-    source: str,
-    variant_col: str,
-    *,
-    conversion_type: str,
-    control: str,
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-) -> str:
-    """Exact DuckDB twin of :func:`ab_test`."""
-    return f"""
-WITH _pu AS (
-    SELECT {variant_col} AS variant, {user_col},
-           MAX(CASE WHEN {type_col} = '{_q(conversion_type)}'
-                    THEN 1 ELSE 0 END) AS _conv
-    FROM {source} WHERE {user_col} IS NOT NULL
-    GROUP BY {variant_col}, {user_col}
-), _pv AS (
-    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(_conv) AS BIGINT) AS n_converted
-    FROM _pu GROUP BY variant
-), _ctrl AS (
-    SELECT n_users AS _cn, n_converted AS _cc FROM _pv
-    WHERE variant = '{_q(control)}'
-), _j AS (
-    SELECT p.*, c._cn, c._cc,
-           p.n_converted / CAST(p.n_users AS DOUBLE) AS rate,
-           CASE WHEN p.variant <> '{_q(control)}'
-                 AND sqrt(
-                   ((p.n_converted + c._cc)
-                    / CAST(p.n_users + c._cn AS DOUBLE))
-                   * (1.0 - (p.n_converted + c._cc)
-                      / CAST(p.n_users + c._cn AS DOUBLE))
-                   * (1.0 / p.n_users + 1.0 / c._cn)) > 0
-                THEN (p.n_converted / CAST(p.n_users AS DOUBLE)
-                      - c._cc / CAST(c._cn AS DOUBLE))
-                     / sqrt(
-                   ((p.n_converted + c._cc)
-                    / CAST(p.n_users + c._cn AS DOUBLE))
-                   * (1.0 - (p.n_converted + c._cc)
-                      / CAST(p.n_users + c._cn AS DOUBLE))
-                   * (1.0 / p.n_users + 1.0 / c._cn))
-           END AS z_vs_control
-    FROM _pv p CROSS JOIN _ctrl c
-)
-SELECT variant, n_users, n_converted, rate, z_vs_control,
-       CASE WHEN z_vs_control IS NOT NULL
-            THEN abs(z_vs_control) >= 1.96 END AS significant
-FROM _j
-"""
-
-
-_BSEP = "\x1f"
-
-_POIS1_CDF = [
-    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
-    0.996340153173, 0.999405815182, 0.999916758851,
-]
-
-#: md5-preimage separator (operators/sampling.py convention)
-
-
-def _boot_weight(u):  # Column: Poisson(1) draw from a uniform via the ladder
-    w = F.lit(len(_POIS1_CDF))
-    for k in range(len(_POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < _POIS1_CDF[k], F.lit(k)).otherwise(w)
-    return w
-
-
-def bootstrap_mean_ci(
-    df: DataFrame,
-    value_col: str,
-    id_cols: list[str],
-    *,
-    group_cols: list[str] | None = None,
-    n_boot: int = 100,
-    conf: float = 0.95,
-    seed: str = "boot",
-) -> DataFrame:
-    """Deterministic bootstrap confidence interval for the per-group mean
-    (SURVEY.md §2 C151): the uncertainty readout C118's z-test can't give
-    for non-proportion metrics (revenue per user, latency means) without
-    normality assumptions. Poissonized bootstrap — each row enters each
-    of ``n_boot`` replicates with an independent Poisson(1) weight, the
-    standard resampling form that distributes (a with-replacement draw
-    needs global coordination; Poisson weights are row-local and converge
-    to the same distribution). Weights derive from the md5-draw primitive
-    keyed by (seed, replicate, id_cols), so the release is deterministic,
-    engine-portable, and idempotent — the sampling-module posture.
-
-    Output per group: n, mean, ci_lo, ci_hi ((1−conf)/2 and 1−(1−conf)/2
-    R-7 quantiles of the replicate means). Scale shape: one n_boot-way
-    row explosion (bounded, documented — subsample first at extreme
-    corpus sizes), one map-side-combined (group, replicate) aggregate,
-    then a groups-sized quantile pass. Exactness: integer weights,
-    Σ w·round(x,6) on the DECIMAL grid, R-7 quantiles — exact twin."""
-    if not 0 < conf < 1:
-        raise ValueError(f"conf must be in (0, 1), got {conf}")
-    if n_boot < 2:
-        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    if not id_cols:
-        raise ValueError("bootstrap_mean_ci: id_cols required")
-    gcols = list(group_cols or [])
-    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
-    src = df.where(F.col(value_col).isNotNull())
-    b = F.explode(F.array(*[F.lit(i) for i in range(n_boot)])).alias("_b")
-    rep = src.select(
-        *gcols,
-        F.round(F.col(value_col).cast("double"), 6)
-        .cast("decimal(28,6)")
-        .alias("_x"),
-        *[F.col(c) for c in id_cols],
-        b,
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        _BSEP,
-                        F.lit(seed),
-                        F.col("_b").cast("string"),
-                        *[F.col(c).cast("string") for c in id_cols],
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + 0.5
-    ) / F.lit(4294967296.0)
-    weighted = rep.withColumn("_w", _boot_weight(u))
-    means = (
-        weighted.groupBy(*gcols, "_b")
-        .agg(
-            (
-                F.sum(F.col("_x") * F.col("_w")).cast("double")
-                / F.sum("_w")
-            ).alias("_m")
-        )
-        .where(F.col("_m").isNotNull())  # all-zero-weight replicate: drop
-    )
-    point = src.groupBy(*gcols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (
-            F.sum(
-                F.round(F.col(value_col).cast("double"), 6).cast(
-                    "decimal(28,6)"
-                )
-            ).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean"),
-    )
-    ci = means.groupBy(*gcols).agg(
-        F.expr(f"percentile(_m, {lo_q!r})").alias("ci_lo"),
-        F.expr(f"percentile(_m, {hi_q!r})").alias("ci_hi"),
-    )
-    if gcols:
-        return point.join(ci, gcols)
-    return point.crossJoin(F.broadcast(ci))
-
-
-def bootstrap_mean_ci_sql(
-    source: str,
-    value_col: str,
-    id_cols: list[str],
-    *,
-    group_cols: list[str] | None = None,
-    n_boot: int = 100,
-    conf: float = 0.95,
-    seed: str = "boot",
-) -> str:
-    """Exact DuckDB twin of :func:`bootstrap_mean_ci` — identical md5
-    draws, identical Poisson ladder, identical DECIMAL grid and R-7
-    quantiles."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    gj = f"USING ({g})" if g else "ON TRUE"
-    key_sql = ", ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
-    lo_q, hi_q = (1.0 - conf) / 2.0, 1.0 - (1.0 - conf) / 2.0
-    u = (
-        "((CAST(concat('0x', substr(md5(concat_ws(chr(31), "
-        f"'{seed}', CAST(_b AS VARCHAR), {key_sql})), 1, 8)) AS BIGINT)"
-        " + 0.5) / 4294967296.0)"
-    )
-    ladder = f"CASE WHEN {u} < {_POIS1_CDF[0]!r} THEN 0"
-    for k in range(1, len(_POIS1_CDF)):
-        ladder += f" WHEN {u} < {_POIS1_CDF[k]!r} THEN {k}"
-    ladder += f" ELSE {len(_POIS1_CDF)} END"
-    return f"""
-WITH _src AS (
-    SELECT * FROM {source} WHERE {value_col} IS NOT NULL
-), _rep AS (
-    SELECT {gsel}CAST(round(CAST({value_col} AS DOUBLE), 6)
-                      AS DECIMAL(28,6)) AS _x,
-           {", ".join(id_cols)}, b.range AS _b
-    FROM _src, range({int(n_boot)}) b
-), _means AS (
-    SELECT {gsel}_b,
-           CAST(SUM(_x * ({ladder})) AS DOUBLE) / SUM({ladder}) AS _m
-    FROM _rep GROUP BY {gsel}_b
-), _point AS (
-    SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(round(CAST({value_col} AS DOUBLE), 6)
-                         AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean
-    FROM _src {f"GROUP BY {g}" if g else ""}
-), _ci AS (
-    SELECT {gsel}quantile_cont(_m, {lo_q!r}) AS ci_lo,
-           quantile_cont(_m, {hi_q!r}) AS ci_hi
-    FROM _means WHERE _m IS NOT NULL {f"GROUP BY {g}" if g else ""}
-)
-SELECT p.*, c.ci_lo, c.ci_hi FROM _point p JOIN _ci c {gj}
-"""
-
-
-def chi2_independence(
-    df: DataFrame,
-    col_a: str,
-    col_b: str,
-) -> DataFrame:
-    """Chi-square test of independence between two categorical columns
-    (SURVEY.md §2 C154): are quality flags independent of language? is
-    event type independent of market segment? — the categorical sibling
-    of C118's two-proportion z and C151's bootstrap. Returns ONE row:
-    ``chi2``, ``dof``, ``n`` (p-values need an incomplete-gamma the SQL
-    side lacks; compare chi2 against the critical value for your dof —
-    the standard warehouse posture).
-
-    Semantics: rows with a NULL in either column are excluded (a missing
-    label is not a category — the portable rule). Expected counts are
-    ``row_total·col_total/n``; cells with observed 0 still contribute
-    (their expected mass does), which falls out of joining the full
-    marginal cross product, not the observed cells.
-
-    Scale shape: ONE map-side-combined (a, b) count aggregate
-    (cells-sized output), marginals reduce over the cell table, the
-    cross join of marginals is cells-sized × cells-sized at worst —
-    never corpus-sized. Exactness: integer counts; each cell's
-    (obs−exp)²/exp rounds to the 6-decimal grid and sums as DECIMAL —
-    order-independent, twin-exact."""
-    src = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
-    cells = src.groupBy(
-        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
-    ).agg(F.count(F.lit(1)).alias("_o"))
-    cells = cells.localCheckpoint(eager=True)  # 3 consumers below
-    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
-    rb = cells.groupBy("_b").agg(F.sum("_o").alias("_rb"))
-    n = cells.agg(F.sum("_o").alias("_n"))
-    grid = ra.crossJoin(rb).crossJoin(F.broadcast(n))
-    full = grid.join(cells, ["_a", "_b"], "left").select(
-        "_a", "_b", "_ra", "_rb", "_n",
-        F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
-    )
-    exp = (
-        F.col("_ra").cast("double")
-        * F.col("_rb").cast("double")
-        / F.col("_n").cast("double")
-    )
-    term = F.round(
-        (F.col("_o").cast("double") - exp) * (F.col("_o").cast("double") - exp)
-        / exp,
-        6,
-    ).cast("decimal(38,6)")
-    stats = full.agg(
-        F.sum(term).cast("double").alias("chi2"),
-        F.countDistinct("_a").alias("_na"),
-        F.countDistinct("_b").alias("_nb"),
-        F.max("_n").cast("bigint").alias("n"),
-    )
-    return stats.select(
-        "chi2",
-        ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("bigint").alias("dof"),
-        "n",
-    )
-
-
-def chi2_independence_sql(source: str, col_a: str, col_b: str) -> str:
-    """Exact DuckDB twin of :func:`chi2_independence` — identical
-    marginal cross product, zero-cell handling, 6-decimal/DECIMAL term
-    grid."""
-    return f"""
-WITH _src AS (
-    SELECT {col_a} AS _a, {col_b} AS _b FROM {source}
-    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
-), _cells AS (
-    SELECT _a, _b, COUNT(*) AS _o FROM _src GROUP BY _a, _b
-), _ra AS (
-    SELECT _a, SUM(_o) AS _ra FROM _cells GROUP BY _a
-), _rb AS (
-    SELECT _b, SUM(_o) AS _rb FROM _cells GROUP BY _b
-), _n AS (
-    SELECT SUM(_o) AS _n FROM _cells
-), _full AS (
-    SELECT ra._a, rb._b, ra._ra, rb._rb, n._n,
-           COALESCE(c._o, 0) AS _o
-    FROM _ra ra CROSS JOIN _rb rb CROSS JOIN _n n
-    LEFT JOIN _cells c ON c._a = ra._a AND c._b = rb._b
-)
-SELECT CAST(SUM(CAST(round(
-           (CAST(_o AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE))
-           * (CAST(_o AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE))
-           / (CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE)),
-           6) AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
-       CAST((COUNT(DISTINCT _a) - 1) * (COUNT(DISTINCT _b) - 1) AS BIGINT) AS dof,
-       CAST(MAX(_n) AS BIGINT) AS n
-FROM _full
-"""
-
-
-def bh_adjust(
-    df: DataFrame,
-    p_col: str,
-    *,
-    group_cols: list[str] | None = None,
-    alpha: float = 0.05,
-    keep_cols: list[str] | None = None,
-) -> DataFrame:
-    """Benjamini-Hochberg FDR adjustment (SURVEY.md §2 C172): adjusted
-    p = min over j ≥ rank of (p_j·n/j), capped at 1 — the multiple-
-    comparisons correction the C118/C154 significance readouts need the
-    moment they run per-segment (testing 100 segments at α=0.05 expects
-    5 false alarms; BH controls the false-DISCOVERY rate instead).
-    Tied p-values provably receive equal adjusted values under any tie
-    ordering (the suffix-min absorbs the rank split), so the output is
-    deterministic and :func:`bh_adjust_sql` is exact. NULL p rows drop.
-
-    Scale shape: two windows on the group partition (ascending rank,
-    descending running-min) sharing one exchange; nothing leaves the
-    group frame. Output: keep_cols, group cols, ``p_value``, ``p_adj``,
-    ``reject`` (p_adj ≤ alpha)."""
-    if not 0.0 < alpha < 1.0:
-        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
-    gcols = list(group_cols or [])
-    kcols = list(keep_cols or [])
-    src = df.where(F.col(p_col).isNotNull()).select(
-        *kcols, *gcols, F.col(p_col).cast("double").alias("_p")
-    )
-    wasc = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
-        F.col("_p").asc()
-    )
-    wall = Window.partitionBy(*[F.col(c) for c in gcols])
-    ranked = src.select(
-        *kcols,
-        *gcols,
-        "_p",
-        F.row_number().over(wasc).alias("_r"),
-        F.count(F.lit(1)).over(wall).alias("_n"),
-    ).withColumn("_term", F.col("_p") * F.col("_n") / F.col("_r"))
-    # suffix-min over RANK descending (not p descending): with tied p the
-    # p-desc frame would hand the rank-1 tie a larger running min — found
-    # by the tie pin; rank-desc gives every tied row min over j >= rank,
-    # which is provably equal across the tie block
-    wdesc = (
-        Window.partitionBy(*[F.col(c) for c in gcols])
-        .orderBy(F.col("_r").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    adj = F.least(F.min("_term").over(wdesc), F.lit(1.0))
-    return ranked.select(
-        *kcols,
-        *gcols,
-        F.col("_p").alias("p_value"),
-        F.round(adj, 6).alias("p_adj"),
-        (F.round(adj, 6) <= F.lit(alpha)).alias("reject"),
-    )
-
-
-def bh_adjust_sql(
-    source: str,
-    p_col: str,
-    *,
-    group_cols: list[str] | None = None,
-    alpha: float = 0.05,
-    keep_cols: list[str] | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`bh_adjust`."""
-    if not 0.0 < alpha < 1.0:
-        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
-    gcols = list(group_cols or [])
-    kcols = list(keep_cols or [])
-    g = ", ".join(gcols)
-    ksel = "".join(f"{c}, " for c in kcols)
-    gsel = f"{g}, " if g else ""
-    part = f"PARTITION BY {g} " if g else ""
-    return f"""
-WITH _src AS (
-    SELECT {ksel}{gsel}CAST({p_col} AS DOUBLE) AS _p
-    FROM {source} WHERE {p_col} IS NOT NULL
-), _ranked AS (
-    SELECT {ksel}{gsel}_p,
-           ROW_NUMBER() OVER ({part}ORDER BY _p ASC) AS _r,
-           _p * COUNT(*) OVER ({part.rstrip() or ''})
-              / ROW_NUMBER() OVER ({part}ORDER BY _p ASC) AS _term
-    FROM _src
-)
-SELECT {ksel}{gsel}_p AS p_value,
-       round(least(MIN(_term) OVER ({part}ORDER BY _r DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS p_adj,
-       round(least(MIN(_term) OVER ({part}ORDER BY _r DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) <= {alpha!r}
-           AS reject
-FROM _ranked
-"""
-
-
-def cuped_adjust(
-    df: DataFrame,
-    metric_col: str,
-    covariate_col: str,
-    *,
-    group_cols: list[str] | None = None,
-    out_col: str = "metric_cuped",
-) -> DataFrame:
-    """CUPED variance reduction (SURVEY.md §2 C205; Deng et al. 2013):
-    y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x) over a PRE-experiment
-    covariate — the standard trick that shrinks A/B metric variance by
-    the covariate's explained share, often halving C118's required
-    sample size. θ and x̄ are computed POOLED (never per experiment
-    arm — per-arm θ reintroduces bias; group_cols here scope separate
-    EXPERIMENTS, not arms). Rows with a NULL covariate keep their raw
-    metric (no adjustment evidence). Output: input rows +
-    ``out_col`` (+ per-group ``theta`` for the readout).
-
-    Scale shape: one map-side-combined aggregate to (n, Σx, Σy, Σxy,
-    Σx²) on the DECIMAL grid per group, joined back group-keyed (1-row
-    broadcast when ungrouped); the adjustment is a scan-stage
-    expression — :func:`cuped_sql` is exact."""
-    gcols = list(group_cols or [])
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    x = F.col(covariate_col).cast("double")
-    y = F.col(metric_col).cast("double")
-    src = df
-    stats = (
-        src.where(x.isNotNull() & y.isNotNull())
-        .groupBy(*gcols)
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("_n"),
-            dec(x).alias("_sx"),
-            dec(y).alias("_sy"),
-            dec(x * y).alias("_sxy"),
-            dec(x * x).alias("_sxx"),
-        )
-    )
-    # LEFT join: a group with zero valid (covariate, metric) pairs has
-    # no stats row — its rows must still pass through with theta=0 and
-    # the raw metric (the documented NULL-covariate contract), not be
-    # dropped by an inner join.
-    if gcols:
-        joined = src.join(F.broadcast(stats), gcols, "left")
-    else:
-        joined = src.withColumn("_cj", F.lit(1)).join(
-            F.broadcast(stats.withColumn("_cj", F.lit(1))), "_cj", "left"
-        ).drop("_cj")
-    varx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    theta = F.when(
-        F.col("_n").isNotNull() & (varx > 0.0),
-        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / varx,
-    ).otherwise(F.lit(0.0))
-    xbar = F.col("_sx") / F.col("_n")
-    adj = F.when(
-        x.isNotNull() & y.isNotNull() & F.col("_n").isNotNull(),
-        y - theta * (x - xbar),
-    ).otherwise(y)
-    return joined.withColumn(out_col, F.round(adj, 6)).withColumn(
-        "theta", F.round(theta, 6)
-    ).drop("_n", "_sx", "_sy", "_sxy", "_sxx")
-
-
-def cuped_sql(
-    source: str,
-    metric_col: str,
-    covariate_col: str,
-    *,
-    group_cols: list[str] | None = None,
-    out_col: str = "metric_cuped",
-    select: str = "*",
-) -> str:
-    """Exact DuckDB twin of :func:`cuped_adjust`."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    grp = f"GROUP BY {g}" if g else ""
-    join = f"LEFT JOIN _st USING ({g})" if g else "LEFT JOIN _st ON TRUE"
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    x = f"CAST({covariate_col} AS DOUBLE)"
-    y = f"CAST({metric_col} AS DOUBLE)"
-    theta = (
-        "CASE WHEN _n IS NOT NULL AND _n * _sxx - _sx * _sx > 0.0 "
-        "THEN (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx) ELSE 0.0 END"
-    )
-    return f"""
-WITH _st AS (
-    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _n,
-           {dec.format(v=x)} AS _sx,
-           {dec.format(v=y)} AS _sy,
-           {dec.format(v=f"{x} * {y}")} AS _sxy,
-           {dec.format(v=f"{x} * {x}")} AS _sxx
-    FROM {source}
-    WHERE {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
-    {grp}
-)
-SELECT {select},
-       round(CASE WHEN {covariate_col} IS NOT NULL AND {metric_col} IS NOT NULL
-                       AND _n IS NOT NULL
-                  THEN {y} - ({theta}) * ({x} - _sx / _n)
-                  ELSE {y} END, 6) AS {out_col},
-       round({theta}, 6) AS theta
-FROM {source} {join}
-"""
-
-
-def srm_check(
-    df: DataFrame,
-    arm_col: str,
-    expected: dict[str, float],
-) -> DataFrame:
-    """Sample-ratio-mismatch guardrail (SURVEY.md §2 C206): chi-square
-    of observed experiment-arm counts against the DESIGNED weights —
-    the first thing to check before reading ANY A/B result (a 50/50
-    experiment landing 52/48 at scale means broken assignment, and
-    every downstream readout, C118/C205 included, is garbage). Output
-    one row per arm: ``arm``, ``n``, ``expected_n``, plus the repeated
-    ``chi2``, ``dof``, ``srm_suspected`` (chi2 above the α=0.001
-    critical value — SRM checks run at paranoid thresholds by
-    convention). Arms observed but not in ``expected`` raise (a typo'd
-    weight table must not silently pass).
-
-    Scale shape: one map-side-combined count aggregate; everything
-    after is arms-sized. Exact integer counts; the chi-square rides
-    the DECIMAL term grid — :func:`srm_sql` is exact."""
-    if not expected:
-        raise ValueError("srm_check: expected weights required")
-    tot_w = sum(expected.values())
-    if tot_w <= 0:
-        raise ValueError("srm_check: weights must sum > 0")
-    # chi-square critical values at alpha=0.001 for dof 1..9
-    crit = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
-            6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877}
-    dof = len(expected) - 1
-    if dof not in crit:
-        raise ValueError(f"srm_check: supports 2..10 arms, got {len(expected)}")
-    counts = (
-        df.where(F.col(arm_col).isNotNull())
-        .groupBy(F.col(arm_col).cast("string").alias("arm"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    seen = {r["arm"] for r in counts.select("arm").collect()}
-    unknown = sorted(seen - set(expected))
-    if unknown:
-        raise ValueError(f"srm_check: unexpected arms {unknown}")
-    # Right-join observed counts against the FULL designed-arm set: an
-    # arm that received ZERO traffic is the worst possible mismatch and
-    # must contribute its (0-E)^2/E term rather than silently vanish.
-    designed = df.sparkSession.createDataFrame(
-        [(a, wgt / tot_w) for a, wgt in sorted(expected.items())],
-        "arm string, _w double",
-    )
-    wall = Window.partitionBy()
-    arms = (
-        designed.join(counts, "arm", "left")
-        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
-        .withColumn("_tot", F.sum("n").over(wall))
-    )
-    exp_n = F.col("_w") * F.col("_tot")
-    term = (
-        F.round((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6)
-        .cast("decimal(38,6)")
-    )
-    scored = arms.withColumn("_t", term).withColumn(
-        "chi2", F.round(F.sum("_t").over(wall).cast("double"), 6)
-    )
-    return scored.select(
-        "arm",
-        F.col("n").cast("long").alias("n"),
-        F.round(exp_n, 6).alias("expected_n"),
-        "chi2",
-        F.lit(dof).alias("dof"),
-        (F.col("chi2") > crit[dof]).alias("srm_suspected"),
-    )
-
-
-def srm_sql(source: str, arm_col: str, expected: dict[str, float]) -> str:
-    """Exact DuckDB twin of :func:`srm_check` (same normalized weights,
-    same DECIMAL term grid, same α=0.001 critical value)."""
-    if not expected:
-        raise ValueError("srm_sql: expected weights required")
-    tot_w = sum(expected.values())
-    if tot_w <= 0:
-        raise ValueError("srm_sql: weights must sum > 0")
-    crit = {1: 10.828, 2: 13.816, 3: 16.266, 4: 18.467, 5: 20.515,
-            6: 22.458, 7: 24.322, 8: 26.124, 9: 27.877}
-    dof = len(expected) - 1
-    if dof not in crit:
-        raise ValueError(f"srm_sql: supports 2..10 arms, got {len(expected)}")
-    designed = ", ".join(
-        f"('{a}', CAST({wgt / tot_w!r} AS DOUBLE))"
-        for a, wgt in sorted(expected.items())
-    )
-    return f"""
-WITH _designed(arm, _w) AS (
-    VALUES {designed}
-), _counts AS (
-    SELECT CAST({arm_col} AS VARCHAR) AS arm, COUNT(*) AS n
-    FROM {source} WHERE {arm_col} IS NOT NULL
-    GROUP BY CAST({arm_col} AS VARCHAR)
-), _rich AS (
-    SELECT d.arm, COALESCE(c.n, 0) AS n,
-           d._w * SUM(COALESCE(c.n, 0)) OVER () AS _en
-    FROM _designed d LEFT JOIN _counts c ON c.arm = d.arm
-), _terms AS (
-    SELECT *, CAST(round((n - _en) * (n - _en) / _en, 6) AS DECIMAL(38,6)) AS _t
-    FROM _rich
-)
-SELECT arm, CAST(n AS BIGINT) AS n, round(_en, 6) AS expected_n,
-       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) AS chi2,
-       {dof} AS dof,
-       round(CAST(SUM(_t) OVER () AS DOUBLE), 6) > {crit[dof]!r} AS srm_suspected
-FROM _terms
-"""
-
-
-def did_readout(
-    df: DataFrame,
-    arm_col: str,
-    period_col: str,
-    metric_col: str,
-    *,
-    treat_value: str,
-    post_value: str,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """Difference-in-differences readout (SURVEY.md §2 C208): the 2×2
-    natural-experiment estimator — effect = (treated post − treated
-    pre) − (control post − control pre) — for rollouts WITHOUT random
-    assignment (geo launches, staged releases), where C118/C205 don't
-    apply because the arms differ at baseline; the pre-period
-    difference is subtracted out (the parallel-trends assumption does
-    the identification). Rows whose arm ≠ ``treat_value`` are control;
-    period ≠ ``post_value`` is pre. Output per group: the four cell
-    ``n_*``/``mean_*`` columns (the audit surface), ``did_effect``,
-    ``se`` (four-cell Welch combination), ``z``, and the |z| ≥ 1.96
-    ``significant`` flag (fixed critical value — twin-exact, no erf).
-    Cells with n < 2 yield NULL se/z (no variance evidence).
-
-    Scale shape: ONE map-side-combined aggregate to per-group
-    sufficient statistics (n, Σy, Σy² per cell as conditional sums on
-    the DECIMAL grid); everything after is groups-sized column algebra
-    — :func:`did_sql` is exact."""
-    gcols = list(group_cols or [])
-    y = F.col(metric_col).cast("double")
-    t = F.col(arm_col).cast("string") == str(treat_value)
-    p = F.col(period_col).cast("string") == str(post_value)
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    cells = {"tp": t & p, "tq": t & ~p, "cp": ~t & p, "cq": ~t & ~p}
-    aggs = []
-    for k, cond in cells.items():
-        w = F.when(cond & y.isNotNull(), 1).otherwise(0)
-        aggs += [
-            F.sum(w).cast("double").alias(f"_n_{k}"),
-            dec(F.when(cond, y).otherwise(F.lit(None))).alias(f"_s_{k}"),
-            dec(F.when(cond, y * y).otherwise(F.lit(None))).alias(f"_ss_{k}"),
-        ]
-    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
-
-    def mean(k):
-        return F.when(F.col(f"_n_{k}") > 0, F.col(f"_s_{k}") / F.col(f"_n_{k}"))
-
-    def sem2(k):
-        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
-        var = (n * ss - s * s) / (n * (n - 1.0))
-        return F.when(n >= 2, var / n)
-
-    did = (mean("tp") - mean("tq")) - (mean("cp") - mean("cq"))
-    se = F.sqrt(sem2("tp") + sem2("tq") + sem2("cp") + sem2("cq"))
-    z = F.when(se > 0.0, did / se)
-    out = st.select(
-        *gcols,
-        *[F.col(f"_n_{k}").cast("long").alias(f"n_{k}") for k in cells],
-        *[F.round(mean(k), 6).alias(f"mean_{k}") for k in cells],
-        F.round(did, 6).alias("did_effect"),
-        F.round(se, 6).alias("se"),
-        F.round(z, 6).alias("z"),
-    )
-    return out.withColumn(
-        "significant",
-        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
-    )
-
-
-def did_sql(
-    source: str,
-    arm_col: str,
-    period_col: str,
-    metric_col: str,
-    *,
-    treat_value: str,
-    post_value: str,
-    group_cols: list[str] | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`did_readout` (same DECIMAL
-    sufficient statistics, same four-cell Welch se, same 1.96 flag)."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    grp = f"GROUP BY {g}" if g else ""
-    y = f"CAST({metric_col} AS DOUBLE)"
-    t = f"CAST({arm_col} AS VARCHAR) = '{_q(str(treat_value))}'"
-    p = f"CAST({period_col} AS VARCHAR) = '{_q(str(post_value))}'"
-    conds = {"tp": f"({t}) AND ({p})", "tq": f"({t}) AND NOT ({p})",
-             "cp": f"NOT ({t}) AND ({p})", "cq": f"NOT ({t}) AND NOT ({p})"}
-    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
-           " AS DECIMAL(38,6))) AS DOUBLE)")
-    cell_sql = ",\n           ".join(
-        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
-        f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
-        f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
-        for k, c in conds.items()
-    )
-    mean = lambda k: f"(CASE WHEN _n_{k} > 0 THEN _s_{k} / _n_{k} END)"
-    sem2 = lambda k: (
-        f"(CASE WHEN _n_{k} >= 2 THEN"
-        f" ((_n_{k} * _ss_{k} - _s_{k} * _s_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
-        f" / _n_{k} END)"
-    )
-    did = (f"(({mean('tp')}) - ({mean('tq')}))"
-           f" - (({mean('cp')}) - ({mean('cq')}))")
-    se = f"sqrt({sem2('tp')} + {sem2('tq')} + {sem2('cp')} + {sem2('cq')})"
-    z = f"(CASE WHEN {se} > 0.0 THEN ({did}) / ({se}) END)"
-    means = ", ".join(f"round({mean(k)}, 6) AS mean_{k}" for k in conds)
-    ns = ", ".join(f"CAST(_n_{k} AS BIGINT) AS n_{k}" for k in conds)
-    return f"""
-WITH _st AS (
-    SELECT {gsel}{cell_sql}
-    FROM {source} WHERE {metric_col} IS NOT NULL
-    {grp}
-)
-SELECT {gsel}{ns}, {means},
-       round({did}, 6) AS did_effect,
-       round({se}, 6) AS se,
-       round({z}, 6) AS z,
-       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
-           AS significant
-FROM _st
-"""
-
-
-def welch_ab(
-    df: DataFrame,
-    arm_col: str,
-    metric_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """Welch two-sample mean comparison (SURVEY.md §2 C209): per
-    optional segment, the unequal-variance test of a CONTINUOUS metric
-    between two named arms — the readout C118 cannot give (it tests
-    conversion PROPORTIONS; revenue/latency experiments need means),
-    and with ``group_cols`` the heterogeneous-treatment-effect slice
-    ("the feature helps mobile, hurts desktop" that a pooled readout
-    averages away). Output per segment: per-arm ``n``/``mean``/``var``
-    (sample variance), ``diff`` (a − b), ``se``, Welch-Satterthwaite
-    ``dof``, ``z``, |z| ≥ 1.96 ``significant``. Arms with n < 2 yield
-    NULL se/z. Pair with C206's SRM before trusting any row.
-
-    Scale shape: ONE map-side-combined aggregate to (n, Σy, Σy²) per
-    (segment, arm) on the DECIMAL grid; the test is segments-sized
-    column algebra — :func:`welch_ab_sql` is exact."""
-    gcols = list(group_cols or [])
-    y = F.col(metric_col).cast("double")
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    arms = {"a": str(arm_a), "b": str(arm_b)}
-    aggs = []
-    for k, v in arms.items():
-        cond = F.col(arm_col).cast("string") == v
-        aggs += [
-            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
-            dec(F.when(cond, y)).alias(f"_s_{k}"),
-            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
-        ]
-    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
-
-    def mean(k):
-        return F.when(F.col(f"_n_{k}") > 0, F.col(f"_s_{k}") / F.col(f"_n_{k}"))
-
-    def var(k):
-        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
-        return F.when(n >= 2, (n * ss - s * s) / (n * (n - 1.0)))
-
-    va_n = var("a") / F.col("_n_a")
-    vb_n = var("b") / F.col("_n_b")
-    se = F.sqrt(va_n + vb_n)
-    diff = mean("a") - mean("b")
-    dof = (va_n + vb_n) * (va_n + vb_n) / (
-        va_n * va_n / (F.col("_n_a") - 1.0) + vb_n * vb_n / (F.col("_n_b") - 1.0)
-    )
-    z = F.when(se > 0.0, diff / se)
-    out = st.select(
-        *gcols,
-        F.col("_n_a").cast("long").alias("n_a"),
-        F.col("_n_b").cast("long").alias("n_b"),
-        F.round(mean("a"), 6).alias("mean_a"),
-        F.round(mean("b"), 6).alias("mean_b"),
-        F.round(var("a"), 6).alias("var_a"),
-        F.round(var("b"), 6).alias("var_b"),
-        F.round(diff, 6).alias("diff"),
-        F.round(se, 6).alias("se"),
-        F.round(dof, 6).alias("dof"),
-        F.round(z, 6).alias("z"),
-    )
-    return out.withColumn(
-        "significant",
-        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
-    )
-
-
-def welch_ab_sql(
-    source: str,
-    arm_col: str,
-    metric_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    group_cols: list[str] | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`welch_ab` (same DECIMAL sufficient
-    statistics, same Welch se/dof, same 1.96 flag)."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    grp = f"GROUP BY {g}" if g else ""
-    y = f"CAST({metric_col} AS DOUBLE)"
-    arms = {"a": str(arm_a), "b": str(arm_b)}
-    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
-           " AS DECIMAL(38,6))) AS DOUBLE)")
-    cell_sql = ",\n           ".join(
-        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
-        f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
-        f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
-        for k, c in (
-            (k, f"CAST({arm_col} AS VARCHAR) = '{_q(v)}'")
-            for k, v in arms.items()
-        )
-    )
-    mean = lambda k: f"(CASE WHEN _n_{k} > 0 THEN _s_{k} / _n_{k} END)"
-    var = lambda k: (
-        f"(CASE WHEN _n_{k} >= 2 THEN"
-        f" (_n_{k} * _ss_{k} - _s_{k} * _s_{k}) / (_n_{k} * (_n_{k} - 1.0)) END)"
-    )
-    va_n = f"(({var('a')}) / _n_a)"
-    vb_n = f"(({var('b')}) / _n_b)"
-    se = f"sqrt({va_n} + {vb_n})"
-    diff = f"(({mean('a')}) - ({mean('b')}))"
-    dof = (f"(({va_n} + {vb_n}) * ({va_n} + {vb_n})"
-           f" / ({va_n} * {va_n} / (_n_a - 1.0)"
-           f" + {vb_n} * {vb_n} / (_n_b - 1.0)))")
-    z = f"(CASE WHEN {se} > 0.0 THEN ({diff}) / ({se}) END)"
-    return f"""
-WITH _st AS (
-    SELECT {gsel}{cell_sql}
-    FROM {source} WHERE {metric_col} IS NOT NULL
-    {grp}
-)
-SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
-       round({mean('a')}, 6) AS mean_a, round({mean('b')}, 6) AS mean_b,
-       round({var('a')}, 6) AS var_a, round({var('b')}, 6) AS var_b,
-       round({diff}, 6) AS diff,
-       round({se}, 6) AS se,
-       round({dof}, 6) AS dof,
-       round({z}, 6) AS z,
-       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
-           AS significant
-FROM _st
-"""
-
-
-def fleiss_kappa(
-    df: DataFrame,
-    item_col: str,
-    label_col: str,
-    *,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """Fleiss' kappa inter-annotator agreement (SURVEY.md §2 C214;
-    Fleiss 1971): chance-corrected agreement over an annotation table
-    (one row per rating) — the label-quality gate a training-data
-    pipeline runs BEFORE trusting human labels for C112's target
-    encoding or eval sets (κ < 0.4 means the labeling guide, not the
-    model, is the problem). Input: one row per (item, rating); every
-    item must carry the SAME number of ratings n (the Fleiss design) —
-    instead of silently mis-weighting, an unbalanced table yields
-    ``balanced = false`` and NULL κ. κ = (P̄ − Pe)/(1 − Pe); all-raters-
-    one-category tables have Pe = 1 and NULL κ (undefined). Output per
-    group: ``n_items``, ``n_raters``, ``p_bar``, ``p_e``, ``kappa``,
-    ``balanced``.
-
-    Scale shape: one map-side-combined count to (item, label) cells,
-    one items-sized reduce of per-item agreement, one labels-sized
-    reduce of category shares; per-item terms ride the DECIMAL grid —
-    :func:`fleiss_kappa_sql` is exact."""
-    gcols = list(group_cols or [])
-    cells = (
-        df.where(F.col(item_col).isNotNull() & F.col(label_col).isNotNull())
-        .groupBy(*gcols, F.col(item_col).alias("_it"), F.col(label_col).alias("_lb"))
-        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
-    )
-    items = cells.groupBy(*gcols, "_it").agg(
-        F.sum("_c").alias("_n"),
-        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
-    )
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    per_item = F.when(
-        F.col("_n") >= 2,
-        (F.col("_c2") - F.col("_n")) / (F.col("_n") * (F.col("_n") - 1.0)),
-    )
-    istats = items.groupBy(*gcols).agg(
-        F.count(F.lit(1)).cast("double").alias("_ni"),
-        dec(per_item).alias("_sp"),
-        F.min("_n").alias("_nmin"),
-        F.max("_n").alias("_nmax"),
-    )
-    labels = cells.groupBy(*gcols, "_lb").agg(F.sum("_c").alias("_ck"))
-    wall = Window.partitionBy(*[F.col(c) for c in gcols]) if gcols else Window.partitionBy()
-    shares = labels.withColumn("_tot", F.sum("_ck").over(wall))
-    pe = shares.groupBy(*gcols).agg(
-        dec((F.col("_ck") / F.col("_tot")) * (F.col("_ck") / F.col("_tot"))).alias("_pe")
-    )
-    j = istats.join(pe, gcols) if gcols else istats.crossJoin(pe)
-    balanced = (F.col("_nmin") == F.col("_nmax")) & (F.col("_nmin") >= 2)
-    p_bar = F.col("_sp") / F.col("_ni")
-    kappa = F.when(
-        balanced & (F.col("_pe") < 1.0), (p_bar - F.col("_pe")) / (1.0 - F.col("_pe"))
-    )
-    return j.select(
-        *gcols,
-        F.col("_ni").cast("long").alias("n_items"),
-        F.when(balanced, F.col("_nmin")).cast("int").alias("n_raters"),
-        F.round(F.when(balanced, p_bar), 6).alias("p_bar"),
-        F.round(F.col("_pe"), 6).alias("p_e"),
-        F.round(kappa, 6).alias("kappa"),
-        balanced.alias("balanced"),
-    )
-
-
-def fleiss_kappa_sql(
-    source: str,
-    item_col: str,
-    label_col: str,
-    *,
-    group_cols: list[str] | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`fleiss_kappa` (same DECIMAL per-item
-    and category-share grids, same balanced/degenerate contracts)."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    grp = f"GROUP BY {g}" if g else ""
-    join = f"USING ({g})" if g else "ON TRUE"
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    per_item = "CASE WHEN _n >= 2 THEN (_c2 - _n) / (_n * (_n - 1.0)) END"
-    return f"""
-WITH _cells AS (
-    SELECT {gsel}{item_col} AS _it, {label_col} AS _lb,
-           CAST(COUNT(*) AS DOUBLE) AS _c
-    FROM {source}
-    WHERE {item_col} IS NOT NULL AND {label_col} IS NOT NULL
-    GROUP BY {gsel}{item_col}, {label_col}
-), _items AS (
-    SELECT {gsel}_it, SUM(_c) AS _n, SUM(_c * _c) AS _c2
-    FROM _cells GROUP BY {gsel}_it
-), _istats AS (
-    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _ni,
-           {dec.format(v=per_item)} AS _sp,
-           MIN(_n) AS _nmin, MAX(_n) AS _nmax
-    FROM _items {grp}
-), _labels AS (
-    SELECT {gsel}_lb, SUM(_c) AS _ck FROM _cells GROUP BY {gsel}_lb
-), _shares AS (
-    SELECT *, SUM(_ck) OVER ({("PARTITION BY " + g) if g else ""}) AS _tot
-    FROM _labels
-), _pe AS (
-    SELECT {gsel}{dec.format(v="(_ck / _tot) * (_ck / _tot)")} AS _pe
-    FROM _shares {grp}
-)
-SELECT {gsel}CAST(_ni AS BIGINT) AS n_items,
-       CAST(CASE WHEN _nmin = _nmax AND _nmin >= 2 THEN _nmin END AS INTEGER)
-           AS n_raters,
-       round(CASE WHEN _nmin = _nmax AND _nmin >= 2 THEN _sp / _ni END, 6)
-           AS p_bar,
-       round(_pe, 6) AS p_e,
-       round(CASE WHEN _nmin = _nmax AND _nmin >= 2 AND _pe < 1.0
-                  THEN (_sp / _ni - _pe) / (1.0 - _pe) END, 6) AS kappa,
-       (_nmin = _nmax AND _nmin >= 2) AS balanced
-FROM _istats JOIN _pe {join}
-"""
-
-
-def cmh_odds_ratio(
-    df: DataFrame,
-    stratum_col: str,
-    arm_col: str,
-    outcome_col: str,
-    *,
-    treat_value: str,
-    positive_value: str,
-) -> DataFrame:
-    """Cochran-Mantel-Haenszel pooled odds ratio (SURVEY.md §2 C215):
-    the stratified 2×2 test — "does treatment lift conversion AFTER
-    controlling for the stratum" — the Simpson's-paradox-proof readout
-    C154's single-table chi-square cannot give (a confounder that
-    correlates with both arm and outcome flips naive pooled rates;
-    Novick/Berkeley-admissions class of bug). OR_MH = Σ(aᵢdᵢ/nᵢ) /
-    Σ(bᵢcᵢ/nᵢ); the CMH chi-square uses the standard continuity
-    correction (|Σaᵢ − ΣEᵢ| − 0.5)²/ΣVᵢ against the dof-1 critical
-    value 3.841. Strata with any empty margin contribute nothing to
-    the variance (Vᵢ = 0) and n<2 strata are excluded entirely.
-    Output one row: ``n_strata``, ``or_mh``, ``chi2``,
-    ``significant``.
-
-    Scale shape: ONE map-side-combined count aggregate to per-stratum
-    2×2 cells; every term after is strata-sized DECIMAL-grid algebra —
-    :func:`cmh_sql` is exact."""
-    t = F.col(arm_col).cast("string") == str(treat_value)
-    pos = F.col(outcome_col).cast("string") == str(positive_value)
-    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("double")
-    cells = (
-        df.where(F.col(stratum_col).isNotNull())
-        .groupBy(F.col(stratum_col).alias("_s"))
-        .agg(
-            cnt(t & pos).alias("_a"),
-            cnt(t & ~pos).alias("_b"),
-            cnt(~t & pos).alias("_c"),
-            cnt(~t & ~pos).alias("_d"),
-        )
-        .withColumn("_n", F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d"))
-        .where(F.col("_n") >= 2)
-    )
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    a, b, c, d, n = (F.col(x) for x in ("_a", "_b", "_c", "_d", "_n"))
-    e = (a + b) * (a + c) / n
-    v = (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0))
-    st = cells.agg(
-        F.count(F.lit(1)).cast("long").alias("n_strata"),
-        dec(a * d / n).alias("_sad"),
-        dec(b * c / n).alias("_sbc"),
-        dec(a).alias("_sa"),
-        dec(e).alias("_se"),
-        dec(v).alias("_sv"),
-    )
-    or_mh = F.when(F.col("_sbc") > 0.0, F.col("_sad") / F.col("_sbc"))
-    dev = F.abs(F.col("_sa") - F.col("_se")) - 0.5
-    chi2 = F.when(
-        F.col("_sv") > 0.0,
-        F.when(dev > 0.0, dev * dev / F.col("_sv")).otherwise(0.0),
-    )
-    return st.select(
-        "n_strata",
-        F.round(or_mh, 6).alias("or_mh"),
-        F.round(chi2, 6).alias("chi2"),
-        F.when(chi2.isNotNull(), F.round(chi2, 6) > 3.841).alias("significant"),
-    )
-
-
-def cmh_sql(
-    source: str,
-    stratum_col: str,
-    arm_col: str,
-    outcome_col: str,
-    *,
-    treat_value: str,
-    positive_value: str,
-) -> str:
-    """Exact DuckDB twin of :func:`cmh_odds_ratio` (same DECIMAL term
-    grid, same continuity correction, same 3.841 critical value)."""
-    t = f"CAST({arm_col} AS VARCHAR) = '{_q(str(treat_value))}'"
-    pos = f"CAST({outcome_col} AS VARCHAR) = '{_q(str(positive_value))}'"
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    e = "(_a + _b) * (_a + _c) / _n"
-    v = "(_a + _b) * (_c + _d) * (_a + _c) * (_b + _d) / (_n * _n * (_n - 1.0))"
-    chi2 = ("CASE WHEN _sv > 0.0 THEN"
-            " CASE WHEN abs(_sa - _se) - 0.5 > 0.0"
-            " THEN (abs(_sa - _se) - 0.5) * (abs(_sa - _se) - 0.5) / _sv"
-            " ELSE 0.0 END END")
-    return f"""
-WITH _cells AS (
-    SELECT {stratum_col} AS _s,
-           CAST(SUM(CASE WHEN ({t}) AND ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _a,
-           CAST(SUM(CASE WHEN ({t}) AND NOT ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _b,
-           CAST(SUM(CASE WHEN NOT ({t}) AND ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _c,
-           CAST(SUM(CASE WHEN NOT ({t}) AND NOT ({pos}) THEN 1 ELSE 0 END) AS DOUBLE) AS _d
-    FROM {source} WHERE {stratum_col} IS NOT NULL
-    GROUP BY {stratum_col}
-), _ok AS (
-    SELECT *, _a + _b + _c + _d AS _n FROM _cells
-    WHERE _a + _b + _c + _d >= 2
-), _st AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
-           {dec.format(v="_a * _d / _n")} AS _sad,
-           {dec.format(v="_b * _c / _n")} AS _sbc,
-           {dec.format(v="_a")} AS _sa,
-           {dec.format(v=e)} AS _se,
-           {dec.format(v=v)} AS _sv
-    FROM _ok
-)
-SELECT n_strata,
-       round(CASE WHEN _sbc > 0.0 THEN _sad / _sbc END, 6) AS or_mh,
-       round({chi2}, 6) AS chi2,
-       CASE WHEN ({chi2}) IS NOT NULL THEN round({chi2}, 6) > 3.841 END
-           AS significant
-FROM _st
-"""
-
-
-#: O'Brien-Fleming critical constants c_K for overall two-sided α=0.05 at
-#: K equally-spaced looks (Jennison & Turnbull 2000, Table 2.3); the look-k
-#: boundary is c_K·sqrt(K/k)
-_OBF_C = {1: 1.960, 2: 1.977, 3: 2.004, 4: 2.024, 5: 2.040,
-          6: 2.053, 7: 2.063, 8: 2.072, 9: 2.080, 10: 2.087}
-
-
-def obrien_fleming(
-    df: DataFrame,
-    ts_col: str,
-    arm_col: str,
-    metric_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    looks: int = 5,
-) -> DataFrame:
-    """Group-sequential A/B monitoring with O'Brien-Fleming boundaries
-    (SURVEY.md §2 C219): the peeking-proof readout — checking a fixed
-    1.96 threshold every day inflates false positives severalfold, so
-    sequential practice spends the α budget across ``looks`` scheduled
-    analyses with boundaries that start very conservative
-    (c_K·sqrt(K/k)) and relax to ≈1.96-ish at the end. The observed
-    time range splits into K equal calendar slices (pure integer
-    microsecond arithmetic — cross-engine exact); each look reads the
-    CUMULATIVE Welch z of ``arm_a`` − ``arm_b``. Output per look:
-    ``look``, ``info_frac``, cumulative ``n_a``/``n_b``/means, ``z``,
-    ``boundary``, ``crossed`` — the first crossed look is where a
-    monitored experiment would have stopped.
-
-    Scale shape: one 1-row min/max broadcast, ONE map-side-combined
-    aggregate to per-(look, arm) sufficient statistics, cumulative
-    window over the K-row frame; DECIMAL grid throughout —
-    :func:`obrien_fleming_sql` is exact."""
-    if looks not in _OBF_C:
-        raise ValueError(f"looks must be in 1..10, got {looks}")
-    y = F.col(metric_col).cast("double")
-    e = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    src = df.where(
-        F.col(ts_col).isNotNull()
-        & y.isNotNull()
-        & F.col(arm_col).cast("string").isin(str(arm_a), str(arm_b))
-    )
-    rng = src.agg(
-        F.min(e).alias("_emin"), F.max(e).alias("_emax")
-    )
-    j = src.crossJoin(F.broadcast(rng))
-    look = F.least(
-        F.lit(looks),
-        F.floor(
-            (e - F.col("_emin")) * looks / (F.col("_emax") - F.col("_emin") + 1)
-        ).cast("long") + 1,
-    )
-    is_a = F.col(arm_col).cast("string") == str(arm_a)
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    per_look = j.groupBy(look.alias("look")).agg(
-        *[x for k, cond in (("a", is_a), ("b", ~is_a)) for x in (
-            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
-            dec(F.when(cond, y)).alias(f"_s_{k}"),
-            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
-        )]
-    )
-    w = Window.orderBy(F.col("look").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_look.select(
-        "look",
-        *[F.sum(f"_n_{k}").over(w).alias(f"_cn_{k}") for k in "ab"],
-        *[F.sum(f"_s_{k}").over(w).alias(f"_cs_{k}") for k in "ab"],
-        *[F.sum(f"_ss_{k}").over(w).alias(f"_css_{k}") for k in "ab"],
-    )
-
-    def mean(k):
-        return F.when(F.col(f"_cn_{k}") > 0, F.col(f"_cs_{k}") / F.col(f"_cn_{k}"))
-
-    def va_n(k):
-        n, s, ss = (F.col(f"_c{x}_{k}") for x in ("n", "s", "ss"))
-        return F.when(n >= 2, (n * ss - s * s) / (n * (n - 1.0))) / n
-
-    se = F.sqrt(va_n("a") + va_n("b"))
-    z = F.when(se > 0.0, (mean("a") - mean("b")) / se)
-    c = _OBF_C[looks]
-    boundary = F.round(
-        F.lit(c) * F.sqrt(F.lit(float(looks)) / F.col("look")), 6
-    )
-    zr = F.round(z, 6)
-    return cum.select(
-        F.col("look").cast("int").alias("look"),
-        F.round(F.col("look") / F.lit(float(looks)), 6).alias("info_frac"),
-        F.col("_cn_a").cast("long").alias("n_a"),
-        F.col("_cn_b").cast("long").alias("n_b"),
-        F.round(mean("a"), 6).alias("mean_a"),
-        F.round(mean("b"), 6).alias("mean_b"),
-        zr.alias("z"),
-        boundary.alias("boundary"),
-        F.when(zr.isNotNull(), F.abs(zr) >= boundary).alias("crossed"),
-    )
-
-
-def obrien_fleming_sql(
-    source: str,
-    ts_col: str,
-    arm_col: str,
-    metric_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    looks: int = 5,
-) -> str:
-    """Exact DuckDB twin of :func:`obrien_fleming` (same integer-µs look
-    assignment, same DECIMAL cumulative grid, same published c_K)."""
-    if looks not in _OBF_C:
-        raise ValueError(f"looks must be in 1..10, got {looks}")
-    c = _OBF_C[looks]
-    y = f"CAST({metric_col} AS DOUBLE)"
-    a = f"CAST({arm_col} AS VARCHAR) = '{_q(str(arm_a))}'"
-    e = f"epoch_us(CAST({ts_col} AS TIMESTAMP))"
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    cells = ",\n           ".join(
-        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
-        f"           {dec.format(v=f'CASE WHEN {cond} THEN {y} END')} AS _s_{k},\n"
-        f"           {dec.format(v=f'CASE WHEN {cond} THEN {y} * {y} END')} AS _ss_{k}"
-        for k, cond in (("a", f"({a})"), ("b", f"NOT ({a})"))
-    )
-    mean = lambda k: f"(CASE WHEN _cn_{k} > 0 THEN _cs_{k} / _cn_{k} END)"
-    va_n = lambda k: (
-        f"((CASE WHEN _cn_{k} >= 2 THEN (_cn_{k} * _css_{k} - _cs_{k} * _cs_{k})"
-        f" / (_cn_{k} * (_cn_{k} - 1.0)) END) / _cn_{k})"
-    )
-    se = f"sqrt({va_n('a')} + {va_n('b')})"
-    z = f"(CASE WHEN {se} > 0.0 THEN (({mean('a')}) - ({mean('b')})) / ({se}) END)"
-    return f"""
-WITH _src AS (
-    SELECT * FROM {source}
-    WHERE {ts_col} IS NOT NULL AND {metric_col} IS NOT NULL
-      AND CAST({arm_col} AS VARCHAR) IN ('{_q(str(arm_a))}', '{_q(str(arm_b))}')
-), _rng AS (
-    SELECT MIN({e}) AS _emin, MAX({e}) AS _emax FROM _src
-), _per AS (
-    SELECT least({looks}, CAST(floor(({e} - _emin) * {looks}
-               / (_emax - _emin + 1)) AS BIGINT) + 1) AS look,
-           {cells}
-    FROM _src CROSS JOIN _rng
-    GROUP BY 1
-), _cum AS (
-    SELECT look,
-           SUM(_n_a) OVER _w AS _cn_a, SUM(_n_b) OVER _w AS _cn_b,
-           SUM(_s_a) OVER _w AS _cs_a, SUM(_s_b) OVER _w AS _cs_b,
-           SUM(_ss_a) OVER _w AS _css_a, SUM(_ss_b) OVER _w AS _css_b
-    FROM _per
-    WINDOW _w AS (ORDER BY look ASC ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND CURRENT ROW)
-)
-SELECT CAST(look AS INTEGER) AS look,
-       round(look / CAST({looks} AS DOUBLE), 6) AS info_frac,
-       CAST(_cn_a AS BIGINT) AS n_a, CAST(_cn_b AS BIGINT) AS n_b,
-       round({mean('a')}, 6) AS mean_a, round({mean('b')}, 6) AS mean_b,
-       round({z}, 6) AS z,
-       round({c!r} * sqrt({looks} / CAST(look AS DOUBLE)), 6) AS boundary,
-       CASE WHEN {z} IS NOT NULL
-            THEN abs(round({z}, 6))
-                 >= round({c!r} * sqrt({looks} / CAST(look AS DOUBLE)), 6)
-       END AS crossed
-FROM _cum
-"""
-
-
-def ratio_metric_ab(
-    df: DataFrame,
-    arm_col: str,
-    num_col: str,
-    den_col: str,
-    unit_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-) -> DataFrame:
-    """Delta-method ratio-metric readout (SURVEY.md §2 C222): compare
-    RATIO-OF-SUMS metrics (revenue per session, clicks per impression)
-    between two arms — the readout C209's mean test silently gets
-    wrong: the unit of randomization is the USER but the metric's
-    denominator is events-per-user, so the naive per-event variance
-    ignores within-user correlation (Deng et al. 2017). Per arm the
-    metric is r = Σx/Σy over user-level sums; its variance comes from
-    the delta method over the per-user (x_i, y_i) pairs:
-    Var(r̂) ≈ (s_x² + r̂²·s_y² − 2·r̂·s_xy) / (n·ȳ²). Output one row:
-    per-arm ``n``/``ratio``, ``diff``, ``se``, ``z``, the |z| ≥ 1.96
-    ``significant`` flag. Arms with n < 2 or Σy = 0 yield NULLs.
-
-    Scale shape: ONE map-side-combined aggregate to per-(arm, unit)
-    sums (DECIMAL grid), ONE reduce to per-arm sufficient statistics
-    (n, Σx, Σy, Σxy, Σx², Σy²); the test is closed-form scalar algebra
-    — :func:`ratio_metric_sql` is exact."""
-    x = F.col(num_col).cast("double")
-    y = F.col(den_col).cast("double")
-    per_unit = (
-        df.where(
-            F.col(unit_col).isNotNull()
-            & F.col(arm_col).cast("string").isin(str(arm_a), str(arm_b))
-        )
-        .groupBy(F.col(arm_col).cast("string").alias("_arm"), F.col(unit_col))
-        .agg(
-            F.round(F.coalesce(F.sum(x), F.lit(0.0)), 6).alias("_x"),
-            F.round(F.coalesce(F.sum(y), F.lit(0.0)), 6).alias("_y"),
-        )
-    )
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    xs, ys = F.col("_x"), F.col("_y")
-    st = per_unit.groupBy("_arm").agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
-        dec(xs).alias("_sx"),
-        dec(ys).alias("_sy"),
-        dec(xs * ys).alias("_sxy"),
-        dec(xs * xs).alias("_sxx"),
-        dec(ys * ys).alias("_syy"),
-    )
-    cols = {}
-    for k, v in (("a", str(arm_a)), ("b", str(arm_b))):
-        side = st.where(F.col("_arm") == v).select(
-            *[F.col(c).alias(f"{c}_{k}") for c in ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")]
-        )
-        cols[k] = side
-    j = cols["a"].crossJoin(cols["b"])
-
-    def stats(k):
-        n = F.col(f"_n_{k}")
-        sx, sy = F.col(f"_sx_{k}"), F.col(f"_sy_{k}")
-        sxy, sxx, syy = (F.col(f"_s{c}_{k}") for c in ("xy", "xx", "yy"))
-        r = F.when(sy != 0.0, sx / sy)
-        ybar = sy / n
-        vx = (n * sxx - sx * sx) / (n * (n - 1.0))
-        vy = (n * syy - sy * sy) / (n * (n - 1.0))
-        vxy = (n * sxy - sx * sy) / (n * (n - 1.0))
-        var_r = F.when(
-            (n >= 2) & (sy != 0.0),
-            (vx + r * r * vy - 2.0 * r * vxy) / (n * ybar * ybar),
-        )
-        return r, var_r, n
-
-    ra, va, na = stats("a")
-    rb, vb, nb = stats("b")
-    se = F.sqrt(va + vb)
-    z = F.when(se > 0.0, (ra - rb) / se)
-    zr = F.round(z, 6)
-    return j.select(
-        na.cast("long").alias("n_a"),
-        nb.cast("long").alias("n_b"),
-        F.round(ra, 6).alias("ratio_a"),
-        F.round(rb, 6).alias("ratio_b"),
-        F.round(ra - rb, 6).alias("diff"),
-        F.round(se, 6).alias("se"),
-        zr.alias("z"),
-        F.when(zr.isNotNull(), F.abs(zr) >= 1.96).alias("significant"),
-    )
-
-
-def ratio_metric_sql(
-    source: str,
-    arm_col: str,
-    num_col: str,
-    den_col: str,
-    unit_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-) -> str:
-    """Exact DuckDB twin of :func:`ratio_metric_ab` (same per-unit
-    DECIMAL sums, same delta-method algebra, same 1.96 flag)."""
-    x = f"CAST({num_col} AS DOUBLE)"
-    y = f"CAST({den_col} AS DOUBLE)"
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    stats = lambda k: (
-        f"(CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)",
-        f"(CASE WHEN _n_{k} >= 2 AND _sy_{k} <> 0.0 THEN"
-        f" (((_n_{k} * _sxx_{k} - _sx_{k} * _sx_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
-        f" + (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
-        f"   * (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
-        f"   * ((_n_{k} * _syy_{k} - _sy_{k} * _sy_{k}) / (_n_{k} * (_n_{k} - 1.0)))"
-        f" - 2.0 * (CASE WHEN _sy_{k} <> 0.0 THEN _sx_{k} / _sy_{k} END)"
-        f"   * ((_n_{k} * _sxy_{k} - _sx_{k} * _sy_{k}) / (_n_{k} * (_n_{k} - 1.0))))"
-        f" / (_n_{k} * (_sy_{k} / _n_{k}) * (_sy_{k} / _n_{k})) END)",
-    )
-    ra, va = stats("a")
-    rb, vb = stats("b")
-    se = f"sqrt({va} + {vb})"
-    z = f"(CASE WHEN {se} > 0.0 THEN (({ra}) - ({rb})) / ({se}) END)"
-    per_arm = lambda k, v: f"""
-    SELECT CAST(COUNT(*) AS DOUBLE) AS _n_{k},
-           {dec.format(v="_x")} AS _sx_{k},
-           {dec.format(v="_y")} AS _sy_{k},
-           {dec.format(v="_x * _y")} AS _sxy_{k},
-           {dec.format(v="_x * _x")} AS _sxx_{k},
-           {dec.format(v="_y * _y")} AS _syy_{k}
-    FROM (
-        SELECT round(coalesce(SUM({x}), 0.0), 6) AS _x,
-               round(coalesce(SUM({y}), 0.0), 6) AS _y
-        FROM {source}
-        WHERE {unit_col} IS NOT NULL
-          AND CAST({arm_col} AS VARCHAR) = '{_q(v)}'
-        GROUP BY {unit_col}
-    )"""
-    return f"""
-WITH _a AS ({per_arm("a", str(arm_a))}), _b AS ({per_arm("b", str(arm_b))})
-SELECT CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
-       round({ra}, 6) AS ratio_a, round({rb}, 6) AS ratio_b,
-       round(({ra}) - ({rb}), 6) AS diff,
-       round({se}, 6) AS se,
-       round({z}, 6) AS z,
-       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
-           AS significant
-FROM _a CROSS JOIN _b
-"""
-
-
-def split_conformal(
-    df: DataFrame,
-    y_col: str,
-    yhat_col: str,
-    *,
-    alpha: float = 0.1,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """Split-conformal interval calibration (SURVEY.md §2 C229; Vovk et
-    al.; Lei et al. 2018): from a held-out calibration set of (truth,
-    prediction) pairs, the half-width q̂ such that ŷ ± q̂ covers the
-    truth with probability ≥ 1−α on exchangeable data — the
-    DISTRIBUTION-FREE guarantee bolt-on for ANY point model (C156 asks
-    "are the probabilities honest"; this manufactures honest
-    INTERVALS). q̂ is the k-th smallest absolute residual with
-    k = ⌈(n+1)(1−α)⌉ — an exact ORDER STATISTIC, integer rank, no
-    interpolation, so the twin is trivially exact. Groups with k > n
-    (too few calibration points for the requested coverage) yield NULL
-    q̂ — the honest answer is "no finite interval". Output per group:
-    ``n``, ``k``, ``qhat``, plus ``coverage_target``.
-
-    Scale shape: one residual projection in the scan stage, one rank
-    window per group, one row per group out —
-    :func:`split_conformal_sql` is exact."""
-    if not 0.0 < alpha < 1.0:
-        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    gcols = list(group_cols or [])
-    r = F.round(
-        F.abs(F.col(y_col).cast("double") - F.col(yhat_col).cast("double")), 6
-    )
-    src = df.where(
-        F.col(y_col).isNotNull() & F.col(yhat_col).isNotNull()
-    ).select(*gcols, r.alias("_r"))
-    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(F.col("_r").asc())
-    wall = Window.partitionBy(*[F.col(c) for c in gcols])
-    ranked = src.select(
-        *gcols,
-        "_r",
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wall).alias("_n"),
-    )
-    # k = ceil((n+1)(1-alpha)) in exact integer arithmetic would need
-    # rational alpha; both engines compute the SAME double product then
-    # ceil — identical IEEE ops, identical k
-    k = F.ceil((F.col("_n") + 1) * F.lit(1.0 - float(alpha))).cast("long")
-    picked = ranked.withColumn("_k", k).where(
-        (F.col("_rn") == F.col("_k")) | ((F.col("_k") > F.col("_n")) & (F.col("_rn") == 1))
-    )
-    return picked.select(
-        *gcols,
-        F.col("_n").cast("long").alias("n"),
-        F.col("_k").cast("long").alias("k"),
-        F.when(F.col("_k") <= F.col("_n"), F.col("_r")).alias("qhat"),
-        F.round(F.lit(1.0 - float(alpha)), 6).alias("coverage_target"),
-    )
-
-
-def split_conformal_sql(
-    source: str,
-    y_col: str,
-    yhat_col: str,
-    *,
-    alpha: float = 0.1,
-    group_cols: list[str] | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`split_conformal` (same residual grid,
-    same integer order statistic, same too-few-points contract)."""
-    if not 0.0 < alpha < 1.0:
-        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    part = f"PARTITION BY {g}" if g else ""
-    r = (
-        f"round(abs(CAST({y_col} AS DOUBLE) - CAST({yhat_col} AS DOUBLE)), 6)"
-    )
-    return f"""
-WITH _src AS (
-    SELECT {gsel}{r} AS _r FROM {source}
-    WHERE {y_col} IS NOT NULL AND {yhat_col} IS NOT NULL
-), _ranked AS (
-    SELECT {gsel}_r,
-           ROW_NUMBER() OVER ({part} ORDER BY _r ASC) AS _rn,
-           COUNT(*) OVER ({part}) AS _n
-    FROM _src
-), _picked AS (
-    SELECT *, CAST(ceil((_n + 1) * {1.0 - float(alpha)!r}) AS BIGINT) AS _k
-    FROM _ranked
-)
-SELECT {gsel}CAST(_n AS BIGINT) AS n, _k AS k,
-       CASE WHEN _k <= _n THEN _r END AS qhat,
-       round({1.0 - float(alpha)!r}, 6) AS coverage_target
-FROM _picked
-WHERE _rn = _k OR (_k > _n AND _rn = 1)
-"""
-
-
-def replay_policy_value(
-    df: DataFrame,
-    segment_col: str,
-    arm_col: str,
-    reward_col: str,
-    policy: dict[str, str],
-    *,
-    default_arm: str | None = None,
-) -> DataFrame:
-    """Bandit policy replay evaluation (SURVEY.md §2 C231; Li et al.
-    2011): estimate what a NEW deterministic policy (segment → arm)
-    would have earned from logs collected under UNIFORM-RANDOM
-    assignment — the offline evaluator that decides whether a
-    personalization rule ships without an online test. Replay keeps
-    exactly the logged rows where the logged arm equals the policy's
-    choice; under uniform logging those rows are an unbiased sample of
-    the policy's on-policy traffic, so V̂(π) = Σ r·match / Σ match.
-    Segments absent from ``policy`` use ``default_arm`` (or never
-    match when None). Output one row: ``n_logged``, ``n_matched``,
-    ``match_rate``, ``value`` (mean reward over matches, NULL when
-    nothing matches), ``value_logged`` (the logged policy's mean — the
-    do-nothing baseline to beat).
-
-    Scale shape: the policy map is a broadcast literal join; the
-    estimate is ONE map-side-combined aggregate on the DECIMAL grid —
-    :func:`replay_policy_sql` is exact."""
-    if not policy and default_arm is None:
-        raise ValueError("replay_policy_value: empty policy and no default_arm")
-    spark = df.sparkSession
-    pmap = spark.createDataFrame(
-        [(str(k), str(v)) for k, v in sorted(policy.items())] or [("", "")],
-        "_seg string, _choice string",
-    )
-    if not policy:
-        pmap = pmap.limit(0)
-    src = df.select(
-        F.col(segment_col).cast("string").alias("_seg"),
-        F.col(arm_col).cast("string").alias("_arm"),
-        F.col(reward_col).cast("double").alias("_r"),
-    ).where(F.col("_r").isNotNull())
-    j = src.join(F.broadcast(pmap), "_seg", "left")
-    choice = (
-        F.coalesce(F.col("_choice"), F.lit(str(default_arm)))
-        if default_arm is not None
-        else F.col("_choice")
-    )
-    match = choice.isNotNull() & (F.col("_arm") == choice)
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    st = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_logged"),
-        F.sum(match.cast("int")).cast("long").alias("n_matched"),
-        dec(F.when(match, F.col("_r"))).alias("_sr"),
-        dec(F.col("_r")).alias("_sall"),
-    )
-    return st.select(
-        "n_logged",
-        "n_matched",
-        F.round(F.col("n_matched") / F.col("n_logged").cast("double"), 6).alias(
-            "match_rate"
-        ),
-        F.round(
-            F.when(F.col("n_matched") > 0, F.col("_sr") / F.col("n_matched")), 6
-        ).alias("value"),
-        F.round(F.col("_sall") / F.col("n_logged"), 6).alias("value_logged"),
-    )
-
-
-def replay_policy_sql(
-    source: str,
-    segment_col: str,
-    arm_col: str,
-    reward_col: str,
-    policy: dict[str, str],
-    *,
-    default_arm: str | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`replay_policy_value` (same broadcast
-    policy map, same DECIMAL reward grid)."""
-    if not policy and default_arm is None:
-        raise ValueError("replay_policy_sql: empty policy and no default_arm")
-    vals = ", ".join(
-        f"('{_q(str(k))}', '{_q(str(v))}')" for k, v in sorted(policy.items())
-    ) or "('', '')"
-    empty_guard = "" if policy else "WHERE FALSE"
-    choice = (
-        f"COALESCE(p._choice, '{_q(str(default_arm))}')"
-        if default_arm is not None
-        else "p._choice"
-    )
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    return f"""
-WITH _p AS (
-    SELECT * FROM (VALUES {vals}) v(_seg, _choice) {empty_guard}
-), _j AS (
-    SELECT CAST({reward_col} AS DOUBLE) AS _r,
-           ({choice}) IS NOT NULL
-             AND CAST({arm_col} AS VARCHAR) = ({choice}) AS _m
-    FROM {source} s
-    LEFT JOIN _p p ON p._seg = CAST(s.{segment_col} AS VARCHAR)
-    WHERE {reward_col} IS NOT NULL
-), _st AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
-           CAST(SUM(CASE WHEN _m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-           {dec.format(v="CASE WHEN _m THEN _r END")} AS _sr,
-           {dec.format(v="_r")} AS _sall
-    FROM _j
-)
-SELECT n_logged, n_matched,
-       round(n_matched / CAST(n_logged AS DOUBLE), 6) AS match_rate,
-       round(CASE WHEN n_matched > 0 THEN _sr / n_matched END, 6) AS value,
-       round(_sall / n_logged, 6) AS value_logged
-FROM _st
-"""
-
-
-def ips_policy_value(
-    df: DataFrame,
-    segment_col: str,
-    arm_col: str,
-    reward_col: str,
-    propensity_col: str,
-    policy: dict[str, str],
-    *,
-    default_arm: str | None = None,
-    clip: float | None = None,
-) -> DataFrame:
-    """Inverse-propensity off-policy evaluation (SURVEY.md §2 C233;
-    Horvitz-Thompson / SNIPS): estimate a deterministic policy's value
-    from logs collected under ANY stochastic logging policy — the
-    generalization C231's replay needs when logging was not uniform
-    (production traffic rarely is). Each matching row weights by
-    1/propensity (optionally clipped at ``clip`` — the standard
-    variance/bias trade); reported are the unbiased IPS mean, the
-    self-normalized SNIPS mean (lower variance, slight bias), and the
-    effective sample size (Σw)²/Σw² — the honesty diagnostic: an ESS
-    of 40 on a million logged rows says the estimate rests on ~40
-    rows. Rows with NULL/non-positive propensity are excluded (bad
-    logging is not evidence). Output one row: ``n_logged``,
-    ``n_matched``, ``ips_value``, ``snips_value``, ``ess``.
-
-    Scale shape: broadcast policy-map join + ONE map-side-combined
-    DECIMAL aggregate — :func:`ips_policy_sql` is exact."""
-    if not policy and default_arm is None:
-        raise ValueError("ips_policy_value: empty policy and no default_arm")
-    if clip is not None and clip <= 0:
-        raise ValueError(f"clip must be > 0, got {clip}")
-    spark = df.sparkSession
-    pmap = spark.createDataFrame(
-        [(str(k), str(v)) for k, v in sorted(policy.items())] or [("", "")],
-        "_seg string, _choice string",
-    )
-    if not policy:
-        pmap = pmap.limit(0)
-    src = df.select(
-        F.col(segment_col).cast("string").alias("_seg"),
-        F.col(arm_col).cast("string").alias("_arm"),
-        F.col(reward_col).cast("double").alias("_r"),
-        F.col(propensity_col).cast("double").alias("_p"),
-    ).where(F.col("_r").isNotNull() & (F.col("_p") > 0.0))
-    j = src.join(F.broadcast(pmap), "_seg", "left")
-    choice = (
-        F.coalesce(F.col("_choice"), F.lit(str(default_arm)))
-        if default_arm is not None
-        else F.col("_choice")
-    )
-    match = choice.isNotNull() & (F.col("_arm") == choice)
-    raw_w = F.lit(1.0) / F.col("_p")
-    w0 = F.least(raw_w, F.lit(float(clip))) if clip is not None else raw_w
-    w = F.round(F.when(match, w0).otherwise(F.lit(0.0)), 6)
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    st = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_logged"),
-        F.sum(match.cast("int")).cast("long").alias("n_matched"),
-        dec(w).alias("_sw"),
-        dec(w * w).alias("_sww"),
-        dec(w * F.col("_r")).alias("_swr"),
-    )
-    return st.select(
-        "n_logged",
-        "n_matched",
-        F.round(F.col("_swr") / F.col("n_logged"), 6).alias("ips_value"),
-        F.round(
-            F.when(F.col("_sw") > 0.0, F.col("_swr") / F.col("_sw")), 6
-        ).alias("snips_value"),
-        F.round(
-            F.when(F.col("_sww") > 0.0, F.col("_sw") * F.col("_sw") / F.col("_sww")),
-            6,
-        ).alias("ess"),
-    )
-
-
-def ips_policy_sql(
-    source: str,
-    segment_col: str,
-    arm_col: str,
-    reward_col: str,
-    propensity_col: str,
-    policy: dict[str, str],
-    *,
-    default_arm: str | None = None,
-    clip: float | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`ips_policy_value` (same weight grid,
-    same clip, same SNIPS/ESS algebra)."""
-    if not policy and default_arm is None:
-        raise ValueError("ips_policy_sql: empty policy and no default_arm")
-    if clip is not None and clip <= 0:
-        raise ValueError(f"clip must be > 0, got {clip}")
-    vals = ", ".join(
-        f"('{_q(str(k))}', '{_q(str(v))}')" for k, v in sorted(policy.items())
-    ) or "('', '')"
-    empty_guard = "" if policy else "WHERE FALSE"
-    choice = (
-        f"COALESCE(p._choice, '{_q(str(default_arm))}')"
-        if default_arm is not None
-        else "p._choice"
-    )
-    w0 = "1.0 / _pp" if clip is None else f"least(1.0 / _pp, {float(clip)!r})"
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    return f"""
-WITH _p AS (
-    SELECT * FROM (VALUES {vals}) v(_seg, _choice) {empty_guard}
-), _j AS (
-    SELECT CAST({reward_col} AS DOUBLE) AS _r,
-           CAST({propensity_col} AS DOUBLE) AS _pp,
-           ({choice}) IS NOT NULL
-             AND CAST({arm_col} AS VARCHAR) = ({choice}) AS _m
-    FROM {source} s
-    LEFT JOIN _p p ON p._seg = CAST(s.{segment_col} AS VARCHAR)
-    WHERE {reward_col} IS NOT NULL
-      AND CAST({propensity_col} AS DOUBLE) > 0.0
-), _w AS (
-    SELECT _r, _m,
-           round(CASE WHEN _m THEN {w0} ELSE 0.0 END, 6) AS _wt
-    FROM _j
-), _st AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
-           CAST(SUM(CASE WHEN _m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-           {dec.format(v="_wt")} AS _sw,
-           {dec.format(v="_wt * _wt")} AS _sww,
-           {dec.format(v="_wt * _r")} AS _swr
-    FROM _w
-)
-SELECT n_logged, n_matched,
-       round(_swr / n_logged, 6) AS ips_value,
-       round(CASE WHEN _sw > 0.0 THEN _swr / _sw END, 6) AS snips_value,
-       round(CASE WHEN _sww > 0.0 THEN _sw * _sw / _sww END, 6) AS ess
-FROM _st
-"""
-
-
-def mann_whitney_u(
-    df: DataFrame,
-    arm_col: str,
-    metric_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """Mann-Whitney U rank-sum test (SURVEY.md §2 C235; Mann & Whitney
-    1947): the DISTRIBUTION-FREE two-sample comparison for metrics where
-    C209's Welch test is wrong — latency and revenue are heavy-tailed
-    enough that a handful of whales own the mean; the rank test asks
-    "does one arm stochastically dominate" instead. Pooled AVERAGE
-    ranks (ties = min-rank + (ties−1)/2, the exact .5-grid rule shared
-    with C226), U_a = R_a − n_a(n_a+1)/2, normal approximation WITH the
-    tie correction Σ(t³−t) and no continuity correction (documented;
-    both engines agree bit-for-bit so the flag is stable). Rows outside
-    the two named arms or with a NULL metric are excluded. Output per
-    group: ``n_a``, ``n_b``, ``u_a``, ``mu``, ``sigma``, ``z``,
-    ``significant`` (|z| ≥ 1.96); degenerate groups (an empty arm, or
-    all values tied so σ = 0) yield NULL z.
-
-    Scale shape: one rank window on the (group) partitioning + one
-    tie-count window on (group, value) — no self-join, no pair
-    explosion — then ONE map-side-combined DECIMAL reduce;
-    :func:`mann_whitney_sql` is exact."""
-    gcols = list(group_cols or [])
-    arms = [str(arm_a), str(arm_b)]
-    if arms[0] == arms[1]:
-        raise ValueError("mann_whitney_u: arm_a and arm_b must differ")
-    y = F.col(metric_col).cast("double")
-    src = df.where(
-        y.isNotNull() & F.col(arm_col).cast("string").isin(*arms)
-    ).select(
-        *gcols,
-        F.col(arm_col).cast("string").alias("_arm"),
-        y.alias("_y"),
-    )
-    # collapse the corpus to the per-(group, value) count frame FIRST (one
-    # map-side-combined aggregate) and derive average ranks from an
-    # inclusive cumulative count: avg_rank(v) = cum(v) − (t(v)−1)/2. A
-    # per-row rank window partitioned by group funnels each group through
-    # ONE task (measured 13.4s at sf10 over 5 event-type groups); the
-    # cumulative runs distributed via _dist_cumsum. Ranks live on the
-    # exact .5 grid and counts are integers, so every term below is exact
-    # in double — identical to the per-row form the SQL twin uses.
-    is_a_row = F.col("_arm") == str(arm_a)
-    counts = src.groupBy(*gcols, "_y").agg(
-        F.count(F.lit(1)).cast("double").alias("_t"),
-        F.sum(F.when(is_a_row, 1).otherwise(0)).cast("double").alias("_ca"),
-    )
-    cum = _dist_cumsum(counts, gcols, [F.col("_y").asc()], "_t", "_cum")
-    avg_rank = F.col("_cum") - (F.col("_t") - 1.0) / 2.0
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    st = cum.groupBy(*gcols).agg(
-        F.sum("_ca").alias("_na"),
-        F.sum(F.col("_t") - F.col("_ca")).alias("_nb"),
-        dec(F.col("_ca") * avg_rank).alias("_ra"),
-        # Σ(t³−t) directly per distinct value
-        dec(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_tie"),
-    )
-    na, nb = F.col("_na"), F.col("_nb")
-    n = na + nb
-    u_a = F.col("_ra") - na * (na + 1.0) / 2.0
-    mu = na * nb / 2.0
-    sig2 = F.when(
-        n >= 2.0,
-        (na * nb / 12.0) * ((n + 1.0) - F.col("_tie") / (n * (n - 1.0))),
-    )
-    sigma = F.when(sig2 > 0.0, F.sqrt(sig2))
-    z = F.when((na > 0.0) & (nb > 0.0), (u_a - mu) / sigma)
-    out = st.select(
-        *gcols,
-        na.cast("long").alias("n_a"),
-        nb.cast("long").alias("n_b"),
-        F.round(u_a, 6).alias("u_a"),
-        F.round(mu, 6).alias("mu"),
-        F.round(sigma, 6).alias("sigma"),
-        F.round(z, 6).alias("z"),
-    )
-    return out.withColumn(
-        "significant",
-        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
-    )
-
-
-def mann_whitney_sql(
-    source: str,
-    arm_col: str,
-    metric_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    group_cols: list[str] | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`mann_whitney_u` (same average-rank
-    construction, same tie correction, same 1.96 flag)."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    grp = f"GROUP BY {g}" if g else ""
-    part = f"PARTITION BY {g} " if g else ""
-    tpart = f"PARTITION BY {g}, _y" if g else "PARTITION BY _y"
-    a, b = _q(str(arm_a)), _q(str(arm_b))
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    return f"""
-WITH _src AS (
-    SELECT {gsel}CAST({arm_col} AS VARCHAR) AS _arm,
-           CAST({metric_col} AS DOUBLE) AS _y
-    FROM {source}
-    WHERE {metric_col} IS NOT NULL
-      AND CAST({arm_col} AS VARCHAR) IN ('{a}', '{b}')
-), _ranked AS (
-    SELECT {gsel}_arm,
-           RANK() OVER ({part}ORDER BY _y ASC)
-             + (CAST(COUNT(*) OVER ({tpart}) AS DOUBLE) - 1.0) / 2.0 AS _r,
-           CAST(COUNT(*) OVER ({tpart}) AS DOUBLE) AS _t
-    FROM _src
-), _st AS (
-    SELECT {gsel}
-           CAST(SUM(CASE WHEN _arm = '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _na,
-           CAST(SUM(CASE WHEN _arm <> '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _nb,
-           {dec.format(v="CASE WHEN _arm = '" + a + "' THEN _r END")} AS _ra,
-           {dec.format(v="_t * _t - 1.0")} AS _tie
-    FROM _ranked
-    {grp}
-), _calc AS (
-    SELECT {gsel}_na, _nb,
-           _ra - _na * (_na + 1.0) / 2.0 AS _ua,
-           _na * _nb / 2.0 AS _mu,
-           CASE WHEN _na + _nb >= 2.0 THEN
-             (_na * _nb / 12.0) * ((_na + _nb + 1.0)
-               - _tie / ((_na + _nb) * (_na + _nb - 1.0))) END AS _s2
-    FROM _st
-)
-SELECT {gsel}CAST(_na AS BIGINT) AS n_a, CAST(_nb AS BIGINT) AS n_b,
-       round(_ua, 6) AS u_a, round(_mu, 6) AS mu,
-       round(CASE WHEN _s2 > 0.0 THEN sqrt(_s2) END, 6) AS sigma,
-       round(CASE WHEN _na > 0.0 AND _nb > 0.0 AND _s2 > 0.0
-                  THEN (_ua - _mu) / sqrt(_s2) END, 6) AS z,
-       CASE WHEN _na > 0.0 AND _nb > 0.0 AND _s2 > 0.0
-            THEN abs(round((_ua - _mu) / sqrt(_s2), 6)) >= 1.96 END
-           AS significant
-FROM _calc
-"""
-
-
-def logrank_test(
-    df: DataFrame,
-    duration_col: str,
-    event_col: str,
-    arm_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """Log-rank survival comparison (SURVEY.md §2 C236; Mantel 1966):
-    the hypothesis test to C161's Kaplan-Meier PICTURE — "is arm a's
-    churn curve actually different from arm b's", censoring handled
-    correctly, which neither C209 (means ignore censoring) nor C235
-    (ranks treat a censored 30 days as a death at 30 days) can answer.
-    Same row contract as C161: ``duration_col`` numeric time,
-    ``event_col`` nonzero = observed event, 0 = right-censored. At each
-    pooled event time t: observed arm-a events d_at vs hypergeometric
-    expectation d_t·n_at/n_t and variance d_t(n_t−d_t)n_at·n_bt /
-    (n_t²(n_t−1)); O−E sums over times, χ² = (O−E)²/V on 1 dof,
-    ``significant`` at the 3.841 5%-critical value. Output per group:
-    ``n_a``, ``n_b``, ``obs_a``, ``exp_a``, ``var_a``, ``chi2``, ``z``;
-    degenerate groups (no events, or V = 0) yield NULL χ².
-
-    Scale shape: the corpus collapses to (group, duration) cells in ONE
-    map-side-combined aggregate; at-risk counts are reverse-cumulative
-    windows over that tiny cell frame; terms reduce on the DECIMAL
-    grid — :func:`logrank_sql` is exact."""
-    gcols = list(group_cols or [])
-    arms = [str(arm_a), str(arm_b)]
-    if arms[0] == arms[1]:
-        raise ValueError("logrank_test: arm_a and arm_b must differ")
-    t = F.col(duration_col).cast("double")
-    ev = (F.col(event_col).cast("double") != 0.0).cast("int")
-    src = df.where(
-        t.isNotNull() & F.col(arm_col).cast("string").isin(*arms)
-    ).select(
-        *gcols,
-        F.col(arm_col).cast("string").alias("_arm"),
-        t.alias("_t"),
-        ev.alias("_e"),
-    )
-    is_a = F.col("_arm") == arms[0]
-    cells = src.groupBy(*gcols, "_t").agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_ca"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).cast("double").alias("_cb"),
-        F.sum(F.when(is_a, F.col("_e")).otherwise(0)).cast("double").alias("_da"),
-        F.sum(F.when(~is_a, F.col("_e")).otherwise(0)).cast("double").alias("_db"),
-    )
-    wrev = (
-        Window.partitionBy(*[F.col(g) for g in gcols])
-        .orderBy(F.col("_t").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    at_risk = cells.select(
-        *gcols,
-        "_t", "_da", "_db",
-        F.sum("_ca").over(wrev).alias("_na"),
-        F.sum("_cb").over(wrev).alias("_nb"),
-    )
-    dt = F.col("_da") + F.col("_db")
-    nt = F.col("_na") + F.col("_nb")
-    e_a = dt * F.col("_na") / nt
-    v_a = F.when(
-        nt > 1.0,
-        dt * (nt - dt) * F.col("_na") * F.col("_nb") / (nt * nt * (nt - 1.0)),
-    ).otherwise(F.lit(0.0))
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    terms = at_risk.where(dt > 0.0)
-    st = terms.groupBy(*gcols).agg(
-        F.max(F.col("_na")).alias("_n_a"),
-        F.max(F.col("_nb")).alias("_n_b"),
-        dec(F.col("_da")).alias("_oa"),
-        dec(e_a).alias("_ea"),
-        dec(v_a).alias("_va"),
-    )
-    diff = F.col("_oa") - F.col("_ea")
-    chi2 = F.when(F.col("_va") > 0.0, diff * diff / F.col("_va"))
-    z = F.when(F.col("_va") > 0.0, diff / F.sqrt(F.col("_va")))
-    return st.select(
-        *gcols,
-        F.col("_n_a").cast("long").alias("n_a"),
-        F.col("_n_b").cast("long").alias("n_b"),
-        F.col("_oa").cast("long").alias("obs_a"),
-        F.round(F.col("_ea"), 6).alias("exp_a"),
-        F.round(F.col("_va"), 6).alias("var_a"),
-        F.round(chi2, 6).alias("chi2"),
-        F.round(z, 6).alias("z"),
-        F.when(chi2.isNotNull(), F.round(chi2, 6) >= 3.841).alias("significant"),
-    )
-
-
-def logrank_sql(
-    source: str,
-    duration_col: str,
-    event_col: str,
-    arm_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    group_cols: list[str] | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`logrank_test` (same cell collapse,
-    same reverse-cumulative at-risk windows, same DECIMAL term grid)."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    grp_t = f"GROUP BY {g}, _t" if g else "GROUP BY _t"
-    grp = f"GROUP BY {g}" if g else ""
-    part = f"PARTITION BY {g} " if g else ""
-    a, b = _q(str(arm_a)), _q(str(arm_b))
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    e_a = "(_da + _db) * _na / (_na + _nb)"
-    v_a = ("CASE WHEN _na + _nb > 1.0 THEN (_da + _db)"
-           " * (_na + _nb - _da - _db) * _na * _nb"
-           " / ((_na + _nb) * (_na + _nb) * (_na + _nb - 1.0))"
-           " ELSE 0.0 END")
-    return f"""
-WITH _src AS (
-    SELECT {gsel}CAST({arm_col} AS VARCHAR) AS _arm,
-           CAST({duration_col} AS DOUBLE) AS _t,
-           CASE WHEN CAST({event_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END AS _e
-    FROM {source}
-    WHERE {duration_col} IS NOT NULL
-      AND CAST({arm_col} AS VARCHAR) IN ('{a}', '{b}')
-), _cells AS (
-    SELECT {gsel}_t,
-           CAST(SUM(CASE WHEN _arm = '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _ca,
-           CAST(SUM(CASE WHEN _arm <> '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _cb,
-           CAST(SUM(CASE WHEN _arm = '{a}' THEN _e ELSE 0 END) AS DOUBLE) AS _da,
-           CAST(SUM(CASE WHEN _arm <> '{a}' THEN _e ELSE 0 END) AS DOUBLE) AS _db
-    FROM _src
-    {grp_t}
-), _risk AS (
-    SELECT {gsel}_t, _da, _db,
-           SUM(_ca) OVER ({part}ORDER BY _t DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _na,
-           SUM(_cb) OVER ({part}ORDER BY _t DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _nb
-    FROM _cells
-), _st AS (
-    SELECT {gsel}MAX(_na) AS _n_a, MAX(_nb) AS _n_b,
-           {dec.format(v="_da")} AS _oa,
-           {dec.format(v=e_a)} AS _ea,
-           {dec.format(v=v_a)} AS _va
-    FROM _risk
-    WHERE _da + _db > 0.0
-    {grp}
-)
-SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
-       CAST(_oa AS BIGINT) AS obs_a,
-       round(_ea, 6) AS exp_a, round(_va, 6) AS var_a,
-       round(CASE WHEN _va > 0.0 THEN (_oa - _ea) * (_oa - _ea) / _va END, 6)
-           AS chi2,
-       round(CASE WHEN _va > 0.0 THEN (_oa - _ea) / sqrt(_va) END, 6) AS z,
-       CASE WHEN _va > 0.0
-            THEN round((_oa - _ea) * (_oa - _ea) / _va, 6) >= 3.841 END
-           AS significant
-FROM _st
-"""
-
-
-def mde_readout(
-    df: DataFrame,
-    arm_col: str,
-    metric_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    group_cols: list[str] | None = None,
-    target_rel_effect: float = 0.01,
-) -> DataFrame:
-    """Minimum-detectable-effect / power readout (SURVEY.md §2 C237):
-    the experiment-DESIGN number the C209/C118 readouts assume someone
-    already computed — "at the traffic you actually have, what lift
-    could this experiment even see?" and its inverse "how many users
-    per arm until a ``target_rel_effect`` is visible?". Standard 80%
-    power at two-sided α=5%: MDE_abs = (z_{α/2}+z_{0.8}) · s_p ·
-    √(1/n_a+1/n_b) with the pooled sample sd s_p; required n per arm =
-    2·((z_{α/2}+z_{0.8})·s_p/Δ)² at Δ = target_rel_effect · mean_a
-    (arm a is the baseline). Arms with n < 2, zero pooled variance, or
-    a zero baseline mean yield NULLs rather than fabricated power.
-    Output per group: ``n_a``, ``n_b``, ``mean_a``, ``pooled_sd``,
-    ``mde_abs``, ``mde_rel``, ``required_n_per_arm``.
-
-    Scale shape: ONE map-side-combined DECIMAL aggregate to per-arm
-    (n, Σy, Σy²); everything after is groups-sized column algebra —
-    :func:`mde_sql` is exact. z constants pinned to 6 decimals
-    (1.959964 + 0.841621) so both engines share the exact multiplier."""
-    gcols = list(group_cols or [])
-    arms = [str(arm_a), str(arm_b)]
-    if arms[0] == arms[1]:
-        raise ValueError("mde_readout: arm_a and arm_b must differ")
-    if not target_rel_effect > 0.0:
-        raise ValueError("mde_readout: target_rel_effect must be > 0")
-    zsum = 1.959964 + 0.841621
-    y = F.col(metric_col).cast("double")
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    aggs = []
-    for k, v in (("a", arms[0]), ("b", arms[1])):
-        cond = F.col(arm_col).cast("string") == v
-        aggs += [
-            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
-            dec(F.when(cond, y)).alias(f"_s_{k}"),
-            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
-        ]
-    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
-    na, nb = F.col("_n_a"), F.col("_n_b")
-
-    def ssq(k):
-        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
-        return ss - s * s / n
-
-    sp2 = F.when(
-        (na >= 2.0) & (nb >= 2.0), (ssq("a") + ssq("b")) / (na + nb - 2.0)
-    )
-    sp = F.when(sp2 > 0.0, F.sqrt(sp2))
-    mean_a = F.when(na > 0.0, F.col("_s_a") / na)
-    mde_abs = zsum * sp * F.sqrt(1.0 / na + 1.0 / nb)
-    mde_rel = F.when(F.abs(mean_a) > 0.0, mde_abs / F.abs(mean_a))
-    delta = target_rel_effect * F.abs(mean_a)
-    # round to the 6-decimal grid BEFORE ceil so an 8.000000000001-style
-    # FP tail never splits the two engines across an integer boundary
-    req_n = F.when(
-        delta > 0.0,
-        F.ceil(F.round(2.0 * (zsum * sp / delta) * (zsum * sp / delta), 6)),
-    )
-    return st.select(
-        *gcols,
-        na.cast("long").alias("n_a"),
-        nb.cast("long").alias("n_b"),
-        F.round(mean_a, 6).alias("mean_a"),
-        F.round(sp, 6).alias("pooled_sd"),
-        F.round(mde_abs, 6).alias("mde_abs"),
-        F.round(mde_rel, 6).alias("mde_rel"),
-        req_n.cast("long").alias("required_n_per_arm"),
-    )
-
-
-def mde_sql(
-    source: str,
-    arm_col: str,
-    metric_col: str,
-    *,
-    arm_a: str,
-    arm_b: str,
-    group_cols: list[str] | None = None,
-    target_rel_effect: float = 0.01,
-) -> str:
-    """Exact DuckDB twin of :func:`mde_readout` (same pinned z-sum, same
-    DECIMAL sufficient statistics, same ceil)."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    grp = f"GROUP BY {g}" if g else ""
-    a, b = _q(str(arm_a)), _q(str(arm_b))
-    zsum = 1.959964 + 0.841621
-    y = f"CAST({metric_col} AS DOUBLE)"
-    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
-           " AS DECIMAL(38,6))) AS DOUBLE)")
-    cells = []
-    for k, v in (("a", a), ("b", b)):
-        c = f"CAST({arm_col} AS VARCHAR) = '{v}'"
-        cells.append(
-            f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
-            f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
-            f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
-        )
-    cell_sql = ",\n           ".join(cells)
-    sp2 = ("CASE WHEN _n_a >= 2.0 AND _n_b >= 2.0 THEN"
-           " ((_ss_a - _s_a * _s_a / _n_a) + (_ss_b - _s_b * _s_b / _n_b))"
-           " / (_n_a + _n_b - 2.0) END")
-    sp = f"(CASE WHEN ({sp2}) > 0.0 THEN sqrt({sp2}) END)"
-    mean_a = "(CASE WHEN _n_a > 0.0 THEN _s_a / _n_a END)"
-    mde_abs = f"({zsum!r} * {sp} * sqrt(1.0 / _n_a + 1.0 / _n_b))"
-    mde_rel = (f"(CASE WHEN abs({mean_a}) > 0.0"
-               f" THEN {mde_abs} / abs({mean_a}) END)")
-    delta = f"({target_rel_effect!r} * abs({mean_a}))"
-    req_n = (f"(CASE WHEN {delta} > 0.0 THEN CAST(ceil(round(2.0 *"
-             f" ({zsum!r} * {sp} / {delta}) * ({zsum!r} * {sp} / {delta}), 6))"
-             f" AS BIGINT) END)")
-    return f"""
-WITH _st AS (
-    SELECT {gsel}{cell_sql}
-    FROM {source} WHERE {metric_col} IS NOT NULL
-    {grp}
-)
-SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
-       round({mean_a}, 6) AS mean_a,
-       round({sp}, 6) AS pooled_sd,
-       round({mde_abs}, 6) AS mde_abs,
-       round({mde_rel}, 6) AS mde_rel,
-       {req_n} AS required_n_per_arm
-FROM _st
-"""
-
-
-
-
-
-def stratified_ate(
-    df: DataFrame,
-    treat_col: str,
-    outcome_col: str,
-    propensity_col: str,
-    id_col: str,
-    *,
-    n_strata: int = 5,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """Propensity-stratified average treatment effect (SURVEY.md §2
-    C239; Rosenbaum & Rubin 1984): the OBSERVATIONAL companion to the
-    randomized readouts C118/C209 — when treatment was self-selected
-    (feature adopters, early upgraders), a raw mean diff confounds who
-    opts in with what the feature does. Stratify on a supplied
-    propensity score (e.g. C156's model output), read the treated-vs-
-    control diff WITHIN each stratum where like compares with like, and
-    weight strata by population share. Strata missing an arm are
-    EXCLUDED from the ATE and counted (``n_strata_used``) — a stratum
-    with no controls has no counterfactual and fabricating one would be
-    worse than narrowing the estimand. SE via within-stratum variances:
-    √Σ w²(s²_t/n_t + s²_c/n_c). Propensity ties break on ``id_col`` so
-    ntile stratum assignment is total and engine-identical (the C221
-    rule). Output per group: ``n_treat``, ``n_ctrl``,
-    ``n_strata_used``, ``ate``, ``se``, ``z``, ``significant``.
-
-    Scale shape: ONE ntile window on the (group) partitioning + ONE
-    map-side-combined DECIMAL reduce per (group, stratum) + a strata-
-    sized rollup — :func:`stratified_ate_sql` is exact."""
-    gcols = list(group_cols or [])
-    if n_strata < 2:
-        raise ValueError("stratified_ate: n_strata must be >= 2")
-    y = F.col(outcome_col).cast("double")
-    p = F.col(propensity_col).cast("double")
-    t = (F.col(treat_col).cast("double") != 0.0).cast("int")
-    src = df.where(y.isNotNull() & p.isNotNull()).select(
-        *gcols,
-        t.alias("_t"),
-        y.alias("_y"),
-        p.alias("_p"),
-        F.col(id_col).alias("_id"),
-    )
-    if gcols:
-        # grouped: the window partitions by group — parallel across groups
-        w = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(
-            F.col("_p").asc(), F.col("_id").asc()
-        )
-        strat = src.withColumn("_s", F.ntile(n_strata).over(w))
-    else:
-        # ungrouped: a bare ntile window is a SINGLE-REDUCER global sort
-        # (WindowExec moves everything to one partition — measured 3.6s at
-        # sf1 and fatal at 100×); identical tile assignment distributed
-        strat = _exact_global_ntile(
-            src, [F.col("_p").asc(), F.col("_id").asc()], n_strata, "_s"
-        )
-    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
-    is_t = F.col("_t") == 1
-    cells = strat.groupBy(*gcols, "_s").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).cast("double").alias("_nt"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).cast("double").alias("_nc"),
-        dec(F.when(is_t, F.col("_y"))).alias("_st"),
-        dec(F.when(~is_t, F.col("_y"))).alias("_sc"),
-        dec(F.when(is_t, F.col("_y") * F.col("_y"))).alias("_sst"),
-        dec(F.when(~is_t, F.col("_y") * F.col("_y"))).alias("_ssc"),
-    )
-    nt, nc = F.col("_nt"), F.col("_nc")
-    usable = (nt > 0.0) & (nc > 0.0)
-    diff = F.col("_st") / nt - F.col("_sc") / nc
-    vt = F.when(nt >= 2.0,
-                (nt * F.col("_sst") - F.col("_st") * F.col("_st"))
-                / (nt * (nt - 1.0)))
-    vc = F.when(nc >= 2.0,
-                (nc * F.col("_ssc") - F.col("_sc") * F.col("_sc"))
-                / (nc * (nc - 1.0)))
-    # per-stratum terms ride the DECIMAL grid into the rollup
-    terms = cells.select(
-        *gcols,
-        nt.alias("_nt"), nc.alias("_nc"),
-        F.when(usable, nt + nc).otherwise(F.lit(0.0)).alias("_wn"),
-        F.when(usable, F.round(diff * (nt + nc), 6).cast("decimal(38,6)"))
-        .alias("_wd"),
-        F.when(
-            usable,
-            F.round((vt / nt + vc / nc) * (nt + nc) * (nt + nc), 6)
-            .cast("decimal(38,6)"),
-        ).alias("_wv"),
-        F.when(usable, 1).otherwise(0).alias("_used"),
-    )
-    st = terms.groupBy(*gcols).agg(
-        F.sum("_nt").cast("long").alias("n_treat"),
-        F.sum("_nc").cast("long").alias("n_ctrl"),
-        F.sum("_used").cast("long").alias("n_strata_used"),
-        F.sum("_wn").alias("_tw"),
-        F.sum("_wd").cast("double").alias("_td"),
-        F.sum("_wv").cast("double").alias("_tv"),
-    )
-    ate = F.when(F.col("_tw") > 0.0, F.col("_td") / F.col("_tw"))
-    se = F.when(
-        F.col("_tw") > 0.0,
-        F.sqrt(F.col("_tv")) / F.col("_tw"),
-    )
-    z = F.when(se > 0.0, ate / se)
-    return st.select(
-        *gcols,
-        "n_treat", "n_ctrl", "n_strata_used",
-        F.round(ate, 6).alias("ate"),
-        F.round(se, 6).alias("se"),
-        F.round(z, 6).alias("z"),
-        F.when(z.isNotNull(), F.abs(F.round(z, 6)) >= 1.96).alias("significant"),
-    )
-
-
-def stratified_ate_sql(
-    source: str,
-    treat_col: str,
-    outcome_col: str,
-    propensity_col: str,
-    id_col: str,
-    *,
-    n_strata: int = 5,
-    group_cols: list[str] | None = None,
-) -> str:
-    """Exact DuckDB twin of :func:`stratified_ate` (same tie-broken
-    ntile strata, same exclusion rule, same DECIMAL term grid)."""
-    gcols = list(group_cols or [])
-    g = ", ".join(gcols)
-    gsel = f"{g}, " if g else ""
-    grp = f"GROUP BY {g}" if g else ""
-    grp_s = f"GROUP BY {g}, _s" if g else "GROUP BY _s"
-    part = f"PARTITION BY {g} " if g else ""
-    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
-    vt = ("CASE WHEN _nt >= 2.0 THEN"
-          " (_nt * _sst - _st * _st) / (_nt * (_nt - 1.0)) END")
-    vc = ("CASE WHEN _nc >= 2.0 THEN"
-          " (_nc * _ssc - _sc * _sc) / (_nc * (_nc - 1.0)) END")
-    return f"""
-WITH _src AS (
-    SELECT {gsel}
-           CASE WHEN CAST({treat_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END AS _t,
-           CAST({outcome_col} AS DOUBLE) AS _y,
-           CAST({propensity_col} AS DOUBLE) AS _p,
-           {id_col} AS _id
-    FROM {source}
-    WHERE {outcome_col} IS NOT NULL AND {propensity_col} IS NOT NULL
-), _strat AS (
-    SELECT *, NTILE({n_strata}) OVER ({part}ORDER BY _p ASC, _id ASC) AS _s
-    FROM _src
-), _cells AS (
-    SELECT {gsel}_s,
-           CAST(SUM(CASE WHEN _t = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS _nt,
-           CAST(SUM(CASE WHEN _t = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS _nc,
-           {dec.format(v="CASE WHEN _t = 1 THEN _y END")} AS _st,
-           {dec.format(v="CASE WHEN _t = 0 THEN _y END")} AS _sc,
-           {dec.format(v="CASE WHEN _t = 1 THEN _y * _y END")} AS _sst,
-           {dec.format(v="CASE WHEN _t = 0 THEN _y * _y END")} AS _ssc
-    FROM _strat
-    {grp_s}
-), _terms AS (
-    SELECT {gsel}_nt, _nc,
-           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN _nt + _nc ELSE 0.0 END AS _wn,
-           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN
-             CAST(round((_st / _nt - _sc / _nc) * (_nt + _nc), 6)
-                  AS DECIMAL(38,6)) END AS _wd,
-           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN
-             CAST(round((({vt}) / _nt + ({vc}) / _nc)
-                        * (_nt + _nc) * (_nt + _nc), 6)
-                  AS DECIMAL(38,6)) END AS _wv,
-           CASE WHEN _nt > 0.0 AND _nc > 0.0 THEN 1 ELSE 0 END AS _used
-    FROM _cells
-), _st2 AS (
-    SELECT {gsel}CAST(SUM(_nt) AS BIGINT) AS n_treat,
-           CAST(SUM(_nc) AS BIGINT) AS n_ctrl,
-           CAST(SUM(_used) AS BIGINT) AS n_strata_used,
-           SUM(_wn) AS _tw,
-           CAST(SUM(_wd) AS DOUBLE) AS _td,
-           CAST(SUM(_wv) AS DOUBLE) AS _tv
-    FROM _terms
-    {grp}
-)
-SELECT {gsel}n_treat, n_ctrl, n_strata_used,
-       round(CASE WHEN _tw > 0.0 THEN _td / _tw END, 6) AS ate,
-       round(CASE WHEN _tw > 0.0 THEN sqrt(_tv) / _tw END, 6) AS se,
-       round(CASE WHEN _tw > 0.0 AND sqrt(_tv) / _tw > 0.0
-                  THEN (_td / _tw) / (sqrt(_tv) / _tw) END, 6) AS z,
-       CASE WHEN _tw > 0.0 AND sqrt(_tv) / _tw > 0.0
-            THEN abs(round((_td / _tw) / (sqrt(_tv) / _tw), 6)) >= 1.96 END
-           AS significant
-FROM _st2
-"""
+from .causal import *  # noqa: F401,F403
+from .causal import __all__ as _causal_all
+from .design import *  # noqa: F401,F403
+from .design import __all__ as _design_all
+from .design import _BSEP, _boot_weight, _OBF_C, _POIS1_CDF  # noqa: F401 — pinned helpers
+from .offpolicy import *  # noqa: F401,F403
+from .offpolicy import __all__ as _offpolicy_all
+from .testing import *  # noqa: F401,F403
+from .testing import __all__ as _testing_all
+
+__all__ = sorted(_testing_all + _causal_all + _design_all + _offpolicy_all)

@@ -1,0 +1,262 @@
+"""Off-policy evaluation (split from experiments.py, r9): replay
+(exact-match) policy value and IPS with self-normalized variant.
+
+``analytics.experiments`` re-exports everything; call sites unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import _q
+
+
+__all__ = ['replay_policy_value', 'replay_policy_sql', 'ips_policy_value', 'ips_policy_sql']
+
+
+def replay_policy_value(
+    df: DataFrame,
+    segment_col: str,
+    arm_col: str,
+    reward_col: str,
+    policy: dict[str, str],
+    *,
+    default_arm: str | None = None,
+) -> DataFrame:
+    """Bandit policy replay evaluation (SURVEY.md §2 C231; Li et al.
+    2011): estimate what a NEW deterministic policy (segment → arm)
+    would have earned from logs collected under UNIFORM-RANDOM
+    assignment — the offline evaluator that decides whether a
+    personalization rule ships without an online test. Replay keeps
+    exactly the logged rows where the logged arm equals the policy's
+    choice; under uniform logging those rows are an unbiased sample of
+    the policy's on-policy traffic, so V̂(π) = Σ r·match / Σ match.
+    Segments absent from ``policy`` use ``default_arm`` (or never
+    match when None). Output one row: ``n_logged``, ``n_matched``,
+    ``match_rate``, ``value`` (mean reward over matches, NULL when
+    nothing matches), ``value_logged`` (the logged policy's mean — the
+    do-nothing baseline to beat).
+
+    Scale shape: the policy map is a broadcast literal join; the
+    estimate is ONE map-side-combined aggregate on the DECIMAL grid —
+    :func:`replay_policy_sql` is exact."""
+    if not policy and default_arm is None:
+        raise ValueError("replay_policy_value: empty policy and no default_arm")
+    spark = df.sparkSession
+    pmap = spark.createDataFrame(
+        [(str(k), str(v)) for k, v in sorted(policy.items())] or [("", "")],
+        "_seg string, _choice string",
+    )
+    if not policy:
+        pmap = pmap.limit(0)
+    src = df.select(
+        F.col(segment_col).cast("string").alias("_seg"),
+        F.col(arm_col).cast("string").alias("_arm"),
+        F.col(reward_col).cast("double").alias("_r"),
+    ).where(F.col("_r").isNotNull())
+    j = src.join(F.broadcast(pmap), "_seg", "left")
+    choice = (
+        F.coalesce(F.col("_choice"), F.lit(str(default_arm)))
+        if default_arm is not None
+        else F.col("_choice")
+    )
+    match = choice.isNotNull() & (F.col("_arm") == choice)
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    st = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.sum(match.cast("int")).cast("long").alias("n_matched"),
+        dec(F.when(match, F.col("_r"))).alias("_sr"),
+        dec(F.col("_r")).alias("_sall"),
+    )
+    return st.select(
+        "n_logged",
+        "n_matched",
+        F.round(F.col("n_matched") / F.col("n_logged").cast("double"), 6).alias(
+            "match_rate"
+        ),
+        F.round(
+            F.when(F.col("n_matched") > 0, F.col("_sr") / F.col("n_matched")), 6
+        ).alias("value"),
+        F.round(F.col("_sall") / F.col("n_logged"), 6).alias("value_logged"),
+    )
+
+def replay_policy_sql(
+    source: str,
+    segment_col: str,
+    arm_col: str,
+    reward_col: str,
+    policy: dict[str, str],
+    *,
+    default_arm: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`replay_policy_value` (same broadcast
+    policy map, same DECIMAL reward grid)."""
+    if not policy and default_arm is None:
+        raise ValueError("replay_policy_sql: empty policy and no default_arm")
+    vals = ", ".join(
+        f"('{_q(str(k))}', '{_q(str(v))}')" for k, v in sorted(policy.items())
+    ) or "('', '')"
+    empty_guard = "" if policy else "WHERE FALSE"
+    choice = (
+        f"COALESCE(p._choice, '{_q(str(default_arm))}')"
+        if default_arm is not None
+        else "p._choice"
+    )
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"""
+WITH _p AS (
+    SELECT * FROM (VALUES {vals}) v(_seg, _choice) {empty_guard}
+), _j AS (
+    SELECT CAST({reward_col} AS DOUBLE) AS _r,
+           ({choice}) IS NOT NULL
+             AND CAST({arm_col} AS VARCHAR) = ({choice}) AS _m
+    FROM {source} s
+    LEFT JOIN _p p ON p._seg = CAST(s.{segment_col} AS VARCHAR)
+    WHERE {reward_col} IS NOT NULL
+), _st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+           CAST(SUM(CASE WHEN _m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           {dec.format(v="CASE WHEN _m THEN _r END")} AS _sr,
+           {dec.format(v="_r")} AS _sall
+    FROM _j
+)
+SELECT n_logged, n_matched,
+       round(n_matched / CAST(n_logged AS DOUBLE), 6) AS match_rate,
+       round(CASE WHEN n_matched > 0 THEN _sr / n_matched END, 6) AS value,
+       round(_sall / n_logged, 6) AS value_logged
+FROM _st
+"""
+
+def ips_policy_value(
+    df: DataFrame,
+    segment_col: str,
+    arm_col: str,
+    reward_col: str,
+    propensity_col: str,
+    policy: dict[str, str],
+    *,
+    default_arm: str | None = None,
+    clip: float | None = None,
+) -> DataFrame:
+    """Inverse-propensity off-policy evaluation (SURVEY.md §2 C233;
+    Horvitz-Thompson / SNIPS): estimate a deterministic policy's value
+    from logs collected under ANY stochastic logging policy — the
+    generalization C231's replay needs when logging was not uniform
+    (production traffic rarely is). Each matching row weights by
+    1/propensity (optionally clipped at ``clip`` — the standard
+    variance/bias trade); reported are the unbiased IPS mean, the
+    self-normalized SNIPS mean (lower variance, slight bias), and the
+    effective sample size (Σw)²/Σw² — the honesty diagnostic: an ESS
+    of 40 on a million logged rows says the estimate rests on ~40
+    rows. Rows with NULL/non-positive propensity are excluded (bad
+    logging is not evidence). Output one row: ``n_logged``,
+    ``n_matched``, ``ips_value``, ``snips_value``, ``ess``.
+
+    Scale shape: broadcast policy-map join + ONE map-side-combined
+    DECIMAL aggregate — :func:`ips_policy_sql` is exact."""
+    if not policy and default_arm is None:
+        raise ValueError("ips_policy_value: empty policy and no default_arm")
+    if clip is not None and clip <= 0:
+        raise ValueError(f"clip must be > 0, got {clip}")
+    spark = df.sparkSession
+    pmap = spark.createDataFrame(
+        [(str(k), str(v)) for k, v in sorted(policy.items())] or [("", "")],
+        "_seg string, _choice string",
+    )
+    if not policy:
+        pmap = pmap.limit(0)
+    src = df.select(
+        F.col(segment_col).cast("string").alias("_seg"),
+        F.col(arm_col).cast("string").alias("_arm"),
+        F.col(reward_col).cast("double").alias("_r"),
+        F.col(propensity_col).cast("double").alias("_p"),
+    ).where(F.col("_r").isNotNull() & (F.col("_p") > 0.0))
+    j = src.join(F.broadcast(pmap), "_seg", "left")
+    choice = (
+        F.coalesce(F.col("_choice"), F.lit(str(default_arm)))
+        if default_arm is not None
+        else F.col("_choice")
+    )
+    match = choice.isNotNull() & (F.col("_arm") == choice)
+    raw_w = F.lit(1.0) / F.col("_p")
+    w0 = F.least(raw_w, F.lit(float(clip))) if clip is not None else raw_w
+    w = F.round(F.when(match, w0).otherwise(F.lit(0.0)), 6)
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    st = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.sum(match.cast("int")).cast("long").alias("n_matched"),
+        dec(w).alias("_sw"),
+        dec(w * w).alias("_sww"),
+        dec(w * F.col("_r")).alias("_swr"),
+    )
+    return st.select(
+        "n_logged",
+        "n_matched",
+        F.round(F.col("_swr") / F.col("n_logged"), 6).alias("ips_value"),
+        F.round(
+            F.when(F.col("_sw") > 0.0, F.col("_swr") / F.col("_sw")), 6
+        ).alias("snips_value"),
+        F.round(
+            F.when(F.col("_sww") > 0.0, F.col("_sw") * F.col("_sw") / F.col("_sww")),
+            6,
+        ).alias("ess"),
+    )
+
+def ips_policy_sql(
+    source: str,
+    segment_col: str,
+    arm_col: str,
+    reward_col: str,
+    propensity_col: str,
+    policy: dict[str, str],
+    *,
+    default_arm: str | None = None,
+    clip: float | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`ips_policy_value` (same weight grid,
+    same clip, same SNIPS/ESS algebra)."""
+    if not policy and default_arm is None:
+        raise ValueError("ips_policy_sql: empty policy and no default_arm")
+    if clip is not None and clip <= 0:
+        raise ValueError(f"clip must be > 0, got {clip}")
+    vals = ", ".join(
+        f"('{_q(str(k))}', '{_q(str(v))}')" for k, v in sorted(policy.items())
+    ) or "('', '')"
+    empty_guard = "" if policy else "WHERE FALSE"
+    choice = (
+        f"COALESCE(p._choice, '{_q(str(default_arm))}')"
+        if default_arm is not None
+        else "p._choice"
+    )
+    w0 = "1.0 / _pp" if clip is None else f"least(1.0 / _pp, {float(clip)!r})"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"""
+WITH _p AS (
+    SELECT * FROM (VALUES {vals}) v(_seg, _choice) {empty_guard}
+), _j AS (
+    SELECT CAST({reward_col} AS DOUBLE) AS _r,
+           CAST({propensity_col} AS DOUBLE) AS _pp,
+           ({choice}) IS NOT NULL
+             AND CAST({arm_col} AS VARCHAR) = ({choice}) AS _m
+    FROM {source} s
+    LEFT JOIN _p p ON p._seg = CAST(s.{segment_col} AS VARCHAR)
+    WHERE {reward_col} IS NOT NULL
+      AND CAST({propensity_col} AS DOUBLE) > 0.0
+), _w AS (
+    SELECT _r, _m,
+           round(CASE WHEN _m THEN {w0} ELSE 0.0 END, 6) AS _wt
+    FROM _j
+), _st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+           CAST(SUM(CASE WHEN _m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           {dec.format(v="_wt")} AS _sw,
+           {dec.format(v="_wt * _wt")} AS _sww,
+           {dec.format(v="_wt * _r")} AS _swr
+    FROM _w
+)
+SELECT n_logged, n_matched,
+       round(_swr / n_logged, 6) AS ips_value,
+       round(CASE WHEN _sw > 0.0 THEN _swr / _sw END, 6) AS snips_value,
+       round(CASE WHEN _sww > 0.0 THEN _sw * _sw / _sww END, 6) AS ess
+FROM _st
+"""

@@ -1,0 +1,875 @@
+"""Hypothesis-testing readouts (split from experiments.py, r9):
+A/B conversion test, chi-square independence, BH FDR adjustment, Welch
+t-test, Mann-Whitney U, Fleiss kappa, log-rank survival test.
+
+Split from the r8 experiments.py grab-bag before it calcified (the same
+move analytics.py got in r8); ``analytics.experiments`` re-exports
+everything, so call sites are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import _dist_cumsum, _q, _UNIT_DAYS
+
+
+__all__ = ['ab_test', 'ab_test_sql', 'chi2_independence', 'chi2_independence_sql', 'bh_adjust', 'bh_adjust_sql', 'welch_ab', 'welch_ab_sql', 'mann_whitney_u', 'mann_whitney_sql', 'fleiss_kappa', 'fleiss_kappa_sql', 'logrank_test', 'logrank_sql']
+
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    *,
+    conversion_type: str,
+    control: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """A/B experiment readout (SURVEY.md §2 C118): per variant — exposed
+    users, converted users, conversion rate, and against the named
+    ``control`` variant the pooled two-proportion z statistic with the
+    |z| ≥ 1.96 significance flag (the standard 5%-level test). The
+    decision table every experiment pipeline ends in.
+
+    Scale shape: ONE per-(variant, user) aggregate (map-side combined —
+    a user counts once however many events they fired; conversion =
+    BOOL_OR over their events), ONE per-variant rollup on
+    variant-count-sized data, control row broadcast back. The z
+    statistic is a fixed IEEE expression of exact integer counts —
+    twin-exact with no erf/p-value dependency (flag at the 1.96
+    critical value instead, identical in any engine)."""
+    per_user = (
+        df.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(variant_col).alias("variant"), F.col(user_col))
+        .agg(
+            F.max((F.col(type_col) == conversion_type).cast("int")).alias(
+                "_conv"
+            )
+        )
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("_conv").cast("bigint").alias("n_converted"),
+    )
+    ctrl = per_variant.where(F.col("variant") == control).select(
+        F.col("n_users").alias("_cn"), F.col("n_converted").alias("_cc")
+    )
+    j = per_variant.crossJoin(F.broadcast(ctrl))
+    rate = F.col("n_converted") / F.col("n_users").cast("double")
+    crate = F.col("_cc") / F.col("_cn").cast("double")
+    pooled = (F.col("n_converted") + F.col("_cc")) / (
+        F.col("n_users") + F.col("_cn")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_users")
+            + F.lit(1.0) / F.col("_cn")
+        )
+    )
+    z = F.when(
+        (F.col("variant") != control) & (se > 0), (rate - crate) / se
+    )
+    return j.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        rate.alias("rate"),
+        z.alias("z_vs_control"),
+        F.when(z.isNotNull(), F.abs(z) >= 1.96).alias("significant"),
+    )
+
+def ab_test_sql(
+    source: str,
+    variant_col: str,
+    *,
+    conversion_type: str,
+    control: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """Exact DuckDB twin of :func:`ab_test`."""
+    return f"""
+WITH _pu AS (
+    SELECT {variant_col} AS variant, {user_col},
+           MAX(CASE WHEN {type_col} = '{_q(conversion_type)}'
+                    THEN 1 ELSE 0 END) AS _conv
+    FROM {source} WHERE {user_col} IS NOT NULL
+    GROUP BY {variant_col}, {user_col}
+), _pv AS (
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(_conv) AS BIGINT) AS n_converted
+    FROM _pu GROUP BY variant
+), _ctrl AS (
+    SELECT n_users AS _cn, n_converted AS _cc FROM _pv
+    WHERE variant = '{_q(control)}'
+), _j AS (
+    SELECT p.*, c._cn, c._cc,
+           p.n_converted / CAST(p.n_users AS DOUBLE) AS rate,
+           CASE WHEN p.variant <> '{_q(control)}'
+                 AND sqrt(
+                   ((p.n_converted + c._cc)
+                    / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 - (p.n_converted + c._cc)
+                      / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 / p.n_users + 1.0 / c._cn)) > 0
+                THEN (p.n_converted / CAST(p.n_users AS DOUBLE)
+                      - c._cc / CAST(c._cn AS DOUBLE))
+                     / sqrt(
+                   ((p.n_converted + c._cc)
+                    / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 - (p.n_converted + c._cc)
+                      / CAST(p.n_users + c._cn AS DOUBLE))
+                   * (1.0 / p.n_users + 1.0 / c._cn))
+           END AS z_vs_control
+    FROM _pv p CROSS JOIN _ctrl c
+)
+SELECT variant, n_users, n_converted, rate, z_vs_control,
+       CASE WHEN z_vs_control IS NOT NULL
+            THEN abs(z_vs_control) >= 1.96 END AS significant
+FROM _j
+"""
+
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (SURVEY.md §2 C154): are quality flags independent of language? is
+    event type independent of market segment? — the categorical sibling
+    of C118's two-proportion z and C151's bootstrap. Returns ONE row:
+    ``chi2``, ``dof``, ``n`` (p-values need an incomplete-gamma the SQL
+    side lacks; compare chi2 against the critical value for your dof —
+    the standard warehouse posture).
+
+    Semantics: rows with a NULL in either column are excluded (a missing
+    label is not a category — the portable rule). Expected counts are
+    ``row_total·col_total/n``; cells with observed 0 still contribute
+    (their expected mass does), which falls out of joining the full
+    marginal cross product, not the observed cells.
+
+    Scale shape: ONE map-side-combined (a, b) count aggregate
+    (cells-sized output), marginals reduce over the cell table, the
+    cross join of marginals is cells-sized × cells-sized at worst —
+    never corpus-sized. Exactness: integer counts; each cell's
+    (obs−exp)²/exp rounds to the 6-decimal grid and sums as DECIMAL —
+    order-independent, twin-exact."""
+    src = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = src.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    cells = cells.localCheckpoint(eager=True)  # 3 consumers below
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    rb = cells.groupBy("_b").agg(F.sum("_o").alias("_rb"))
+    n = cells.agg(F.sum("_o").alias("_n"))
+    grid = ra.crossJoin(rb).crossJoin(F.broadcast(n))
+    full = grid.join(cells, ["_a", "_b"], "left").select(
+        "_a", "_b", "_ra", "_rb", "_n",
+        F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+    )
+    exp = (
+        F.col("_ra").cast("double")
+        * F.col("_rb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = F.round(
+        (F.col("_o").cast("double") - exp) * (F.col("_o").cast("double") - exp)
+        / exp,
+        6,
+    ).cast("decimal(38,6)")
+    stats = full.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        F.countDistinct("_a").alias("_na"),
+        F.countDistinct("_b").alias("_nb"),
+        F.max("_n").cast("bigint").alias("n"),
+    )
+    return stats.select(
+        "chi2",
+        ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("bigint").alias("dof"),
+        "n",
+    )
+
+def chi2_independence_sql(source: str, col_a: str, col_b: str) -> str:
+    """Exact DuckDB twin of :func:`chi2_independence` — identical
+    marginal cross product, zero-cell handling, 6-decimal/DECIMAL term
+    grid."""
+    return f"""
+WITH _src AS (
+    SELECT {col_a} AS _a, {col_b} AS _b FROM {source}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+), _cells AS (
+    SELECT _a, _b, COUNT(*) AS _o FROM _src GROUP BY _a, _b
+), _ra AS (
+    SELECT _a, SUM(_o) AS _ra FROM _cells GROUP BY _a
+), _rb AS (
+    SELECT _b, SUM(_o) AS _rb FROM _cells GROUP BY _b
+), _n AS (
+    SELECT SUM(_o) AS _n FROM _cells
+), _full AS (
+    SELECT ra._a, rb._b, ra._ra, rb._rb, n._n,
+           COALESCE(c._o, 0) AS _o
+    FROM _ra ra CROSS JOIN _rb rb CROSS JOIN _n n
+    LEFT JOIN _cells c ON c._a = ra._a AND c._b = rb._b
+)
+SELECT CAST(SUM(CAST(round(
+           (CAST(_o AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE))
+           * (CAST(_o AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE))
+           / (CAST(_ra AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(_n AS DOUBLE)),
+           6) AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT _a) - 1) * (COUNT(DISTINCT _b) - 1) AS BIGINT) AS dof,
+       CAST(MAX(_n) AS BIGINT) AS n
+FROM _full
+"""
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment (SURVEY.md §2 C172): adjusted
+    p = min over j ≥ rank of (p_j·n/j), capped at 1 — the multiple-
+    comparisons correction the C118/C154 significance readouts need the
+    moment they run per-segment (testing 100 segments at α=0.05 expects
+    5 false alarms; BH controls the false-DISCOVERY rate instead).
+    Tied p-values provably receive equal adjusted values under any tie
+    ordering (the suffix-min absorbs the rank split), so the output is
+    deterministic and :func:`bh_adjust_sql` is exact. NULL p rows drop.
+
+    Scale shape: two windows on the group partition (ascending rank,
+    descending running-min) sharing one exchange; nothing leaves the
+    group frame. Output: keep_cols, group cols, ``p_value``, ``p_adj``,
+    ``reject`` (p_adj ≤ alpha)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    gcols = list(group_cols or [])
+    kcols = list(keep_cols or [])
+    src = df.where(F.col(p_col).isNotNull()).select(
+        *kcols, *gcols, F.col(p_col).cast("double").alias("_p")
+    )
+    wasc = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_p").asc()
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    ranked = src.select(
+        *kcols,
+        *gcols,
+        "_p",
+        F.row_number().over(wasc).alias("_r"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    ).withColumn("_term", F.col("_p") * F.col("_n") / F.col("_r"))
+    # suffix-min over RANK descending (not p descending): with tied p the
+    # p-desc frame would hand the rank-1 tie a larger running min — found
+    # by the tie pin; rank-desc gives every tied row min over j >= rank,
+    # which is provably equal across the tie block
+    wdesc = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = F.least(F.min("_term").over(wdesc), F.lit(1.0))
+    return ranked.select(
+        *kcols,
+        *gcols,
+        F.col("_p").alias("p_value"),
+        F.round(adj, 6).alias("p_adj"),
+        (F.round(adj, 6) <= F.lit(alpha)).alias("reject"),
+    )
+
+def bh_adjust_sql(
+    source: str,
+    p_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    keep_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`bh_adjust`."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    gcols = list(group_cols or [])
+    kcols = list(keep_cols or [])
+    g = ", ".join(gcols)
+    ksel = "".join(f"{c}, " for c in kcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _src AS (
+    SELECT {ksel}{gsel}CAST({p_col} AS DOUBLE) AS _p
+    FROM {source} WHERE {p_col} IS NOT NULL
+), _ranked AS (
+    SELECT {ksel}{gsel}_p,
+           ROW_NUMBER() OVER ({part}ORDER BY _p ASC) AS _r,
+           _p * COUNT(*) OVER ({part.rstrip() or ''})
+              / ROW_NUMBER() OVER ({part}ORDER BY _p ASC) AS _term
+    FROM _src
+)
+SELECT {ksel}{gsel}_p AS p_value,
+       round(least(MIN(_term) OVER ({part}ORDER BY _r DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS p_adj,
+       round(least(MIN(_term) OVER ({part}ORDER BY _r DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) <= {alpha!r}
+           AS reject
+FROM _ranked
+"""
+
+def welch_ab(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Welch two-sample mean comparison (SURVEY.md §2 C209): per
+    optional segment, the unequal-variance test of a CONTINUOUS metric
+    between two named arms — the readout C118 cannot give (it tests
+    conversion PROPORTIONS; revenue/latency experiments need means),
+    and with ``group_cols`` the heterogeneous-treatment-effect slice
+    ("the feature helps mobile, hurts desktop" that a pooled readout
+    averages away). Output per segment: per-arm ``n``/``mean``/``var``
+    (sample variance), ``diff`` (a − b), ``se``, Welch-Satterthwaite
+    ``dof``, ``z``, |z| ≥ 1.96 ``significant``. Arms with n < 2 yield
+    NULL se/z. Pair with C206's SRM before trusting any row.
+
+    Scale shape: ONE map-side-combined aggregate to (n, Σy, Σy²) per
+    (segment, arm) on the DECIMAL grid; the test is segments-sized
+    column algebra — :func:`welch_ab_sql` is exact."""
+    gcols = list(group_cols or [])
+    y = F.col(metric_col).cast("double")
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    arms = {"a": str(arm_a), "b": str(arm_b)}
+    aggs = []
+    for k, v in arms.items():
+        cond = F.col(arm_col).cast("string") == v
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"_n_{k}"),
+            dec(F.when(cond, y)).alias(f"_s_{k}"),
+            dec(F.when(cond, y * y)).alias(f"_ss_{k}"),
+        ]
+    st = df.where(y.isNotNull()).groupBy(*gcols).agg(*aggs)
+
+    def mean(k):
+        return F.when(F.col(f"_n_{k}") > 0, F.col(f"_s_{k}") / F.col(f"_n_{k}"))
+
+    def var(k):
+        n, s, ss = F.col(f"_n_{k}"), F.col(f"_s_{k}"), F.col(f"_ss_{k}")
+        return F.when(n >= 2, (n * ss - s * s) / (n * (n - 1.0)))
+
+    va_n = var("a") / F.col("_n_a")
+    vb_n = var("b") / F.col("_n_b")
+    se = F.sqrt(va_n + vb_n)
+    diff = mean("a") - mean("b")
+    dof = (va_n + vb_n) * (va_n + vb_n) / (
+        va_n * va_n / (F.col("_n_a") - 1.0) + vb_n * vb_n / (F.col("_n_b") - 1.0)
+    )
+    z = F.when(se > 0.0, diff / se)
+    out = st.select(
+        *gcols,
+        F.col("_n_a").cast("long").alias("n_a"),
+        F.col("_n_b").cast("long").alias("n_b"),
+        F.round(mean("a"), 6).alias("mean_a"),
+        F.round(mean("b"), 6).alias("mean_b"),
+        F.round(var("a"), 6).alias("var_a"),
+        F.round(var("b"), 6).alias("var_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(dof, 6).alias("dof"),
+        F.round(z, 6).alias("z"),
+    )
+    return out.withColumn(
+        "significant",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
+    )
+
+def welch_ab_sql(
+    source: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`welch_ab` (same DECIMAL sufficient
+    statistics, same Welch se/dof, same 1.96 flag)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    y = f"CAST({metric_col} AS DOUBLE)"
+    arms = {"a": str(arm_a), "b": str(arm_b)}
+    dec = ("CAST(SUM(CAST(round(CASE WHEN {c} THEN {v} END, 6)"
+           " AS DECIMAL(38,6))) AS DOUBLE)")
+    cell_sql = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) AS _n_{k},\n"
+        f"           {dec.format(c=c, v=y)} AS _s_{k},\n"
+        f"           {dec.format(c=c, v=f'{y} * {y}')} AS _ss_{k}"
+        for k, c in (
+            (k, f"CAST({arm_col} AS VARCHAR) = '{_q(v)}'")
+            for k, v in arms.items()
+        )
+    )
+    mean = lambda k: f"(CASE WHEN _n_{k} > 0 THEN _s_{k} / _n_{k} END)"
+    var = lambda k: (
+        f"(CASE WHEN _n_{k} >= 2 THEN"
+        f" (_n_{k} * _ss_{k} - _s_{k} * _s_{k}) / (_n_{k} * (_n_{k} - 1.0)) END)"
+    )
+    va_n = f"(({var('a')}) / _n_a)"
+    vb_n = f"(({var('b')}) / _n_b)"
+    se = f"sqrt({va_n} + {vb_n})"
+    diff = f"(({mean('a')}) - ({mean('b')}))"
+    dof = (f"(({va_n} + {vb_n}) * ({va_n} + {vb_n})"
+           f" / ({va_n} * {va_n} / (_n_a - 1.0)"
+           f" + {vb_n} * {vb_n} / (_n_b - 1.0)))")
+    z = f"(CASE WHEN {se} > 0.0 THEN ({diff}) / ({se}) END)"
+    return f"""
+WITH _st AS (
+    SELECT {gsel}{cell_sql}
+    FROM {source} WHERE {metric_col} IS NOT NULL
+    {grp}
+)
+SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
+       round({mean('a')}, 6) AS mean_a, round({mean('b')}, 6) AS mean_b,
+       round({var('a')}, 6) AS var_a, round({var('b')}, 6) AS var_b,
+       round({diff}, 6) AS diff,
+       round({se}, 6) AS se,
+       round({dof}, 6) AS dof,
+       round({z}, 6) AS z,
+       CASE WHEN {z} IS NOT NULL THEN abs(round({z}, 6)) >= 1.96 END
+           AS significant
+FROM _st
+"""
+
+def mann_whitney_u(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (SURVEY.md §2 C235; Mann & Whitney
+    1947): the DISTRIBUTION-FREE two-sample comparison for metrics where
+    C209's Welch test is wrong — latency and revenue are heavy-tailed
+    enough that a handful of whales own the mean; the rank test asks
+    "does one arm stochastically dominate" instead. Pooled AVERAGE
+    ranks (ties = min-rank + (ties−1)/2, the exact .5-grid rule shared
+    with C226), U_a = R_a − n_a(n_a+1)/2, normal approximation WITH the
+    tie correction Σ(t³−t) and no continuity correction (documented;
+    both engines agree bit-for-bit so the flag is stable). Rows outside
+    the two named arms or with a NULL metric are excluded. Output per
+    group: ``n_a``, ``n_b``, ``u_a``, ``mu``, ``sigma``, ``z``,
+    ``significant`` (|z| ≥ 1.96); degenerate groups (an empty arm, or
+    all values tied so σ = 0) yield NULL z.
+
+    Scale shape: one rank window on the (group) partitioning + one
+    tie-count window on (group, value) — no self-join, no pair
+    explosion — then ONE map-side-combined DECIMAL reduce;
+    :func:`mann_whitney_sql` is exact."""
+    gcols = list(group_cols or [])
+    arms = [str(arm_a), str(arm_b)]
+    if arms[0] == arms[1]:
+        raise ValueError("mann_whitney_u: arm_a and arm_b must differ")
+    y = F.col(metric_col).cast("double")
+    src = df.where(
+        y.isNotNull() & F.col(arm_col).cast("string").isin(*arms)
+    ).select(
+        *gcols,
+        F.col(arm_col).cast("string").alias("_arm"),
+        y.alias("_y"),
+    )
+    # collapse the corpus to the per-(group, value) count frame FIRST (one
+    # map-side-combined aggregate) and derive average ranks from an
+    # inclusive cumulative count: avg_rank(v) = cum(v) − (t(v)−1)/2. A
+    # per-row rank window partitioned by group funnels each group through
+    # ONE task (measured 13.4s at sf10 over 5 event-type groups); the
+    # cumulative runs distributed via _dist_cumsum. Ranks live on the
+    # exact .5 grid and counts are integers, so every term below is exact
+    # in double — identical to the per-row form the SQL twin uses.
+    is_a_row = F.col("_arm") == str(arm_a)
+    counts = src.groupBy(*gcols, "_y").agg(
+        F.count(F.lit(1)).cast("double").alias("_t"),
+        F.sum(F.when(is_a_row, 1).otherwise(0)).cast("double").alias("_ca"),
+    )
+    cum = _dist_cumsum(counts, gcols, [F.col("_y").asc()], "_t", "_cum")
+    avg_rank = F.col("_cum") - (F.col("_t") - 1.0) / 2.0
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    st = cum.groupBy(*gcols).agg(
+        F.sum("_ca").alias("_na"),
+        F.sum(F.col("_t") - F.col("_ca")).alias("_nb"),
+        dec(F.col("_ca") * avg_rank).alias("_ra"),
+        # Σ(t³−t) directly per distinct value
+        dec(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_tie"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u_a = F.col("_ra") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sig2 = F.when(
+        n >= 2.0,
+        (na * nb / 12.0) * ((n + 1.0) - F.col("_tie") / (n * (n - 1.0))),
+    )
+    sigma = F.when(sig2 > 0.0, F.sqrt(sig2))
+    z = F.when((na > 0.0) & (nb > 0.0), (u_a - mu) / sigma)
+    out = st.select(
+        *gcols,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(mu, 6).alias("mu"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(z, 6).alias("z"),
+    )
+    return out.withColumn(
+        "significant",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= 1.96),
+    )
+
+def mann_whitney_sql(
+    source: str,
+    arm_col: str,
+    metric_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`mann_whitney_u` (same average-rank
+    construction, same tie correction, same 1.96 flag)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    tpart = f"PARTITION BY {g}, _y" if g else "PARTITION BY _y"
+    a, b = _q(str(arm_a)), _q(str(arm_b))
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({arm_col} AS VARCHAR) AS _arm,
+           CAST({metric_col} AS DOUBLE) AS _y
+    FROM {source}
+    WHERE {metric_col} IS NOT NULL
+      AND CAST({arm_col} AS VARCHAR) IN ('{a}', '{b}')
+), _ranked AS (
+    SELECT {gsel}_arm,
+           RANK() OVER ({part}ORDER BY _y ASC)
+             + (CAST(COUNT(*) OVER ({tpart}) AS DOUBLE) - 1.0) / 2.0 AS _r,
+           CAST(COUNT(*) OVER ({tpart}) AS DOUBLE) AS _t
+    FROM _src
+), _st AS (
+    SELECT {gsel}
+           CAST(SUM(CASE WHEN _arm = '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _na,
+           CAST(SUM(CASE WHEN _arm <> '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _nb,
+           {dec.format(v="CASE WHEN _arm = '" + a + "' THEN _r END")} AS _ra,
+           {dec.format(v="_t * _t - 1.0")} AS _tie
+    FROM _ranked
+    {grp}
+), _calc AS (
+    SELECT {gsel}_na, _nb,
+           _ra - _na * (_na + 1.0) / 2.0 AS _ua,
+           _na * _nb / 2.0 AS _mu,
+           CASE WHEN _na + _nb >= 2.0 THEN
+             (_na * _nb / 12.0) * ((_na + _nb + 1.0)
+               - _tie / ((_na + _nb) * (_na + _nb - 1.0))) END AS _s2
+    FROM _st
+)
+SELECT {gsel}CAST(_na AS BIGINT) AS n_a, CAST(_nb AS BIGINT) AS n_b,
+       round(_ua, 6) AS u_a, round(_mu, 6) AS mu,
+       round(CASE WHEN _s2 > 0.0 THEN sqrt(_s2) END, 6) AS sigma,
+       round(CASE WHEN _na > 0.0 AND _nb > 0.0 AND _s2 > 0.0
+                  THEN (_ua - _mu) / sqrt(_s2) END, 6) AS z,
+       CASE WHEN _na > 0.0 AND _nb > 0.0 AND _s2 > 0.0
+            THEN abs(round((_ua - _mu) / sqrt(_s2), 6)) >= 1.96 END
+           AS significant
+FROM _calc
+"""
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fleiss' kappa inter-annotator agreement (SURVEY.md §2 C214;
+    Fleiss 1971): chance-corrected agreement over an annotation table
+    (one row per rating) — the label-quality gate a training-data
+    pipeline runs BEFORE trusting human labels for C112's target
+    encoding or eval sets (κ < 0.4 means the labeling guide, not the
+    model, is the problem). Input: one row per (item, rating); every
+    item must carry the SAME number of ratings n (the Fleiss design) —
+    instead of silently mis-weighting, an unbalanced table yields
+    ``balanced = false`` and NULL κ. κ = (P̄ − Pe)/(1 − Pe); all-raters-
+    one-category tables have Pe = 1 and NULL κ (undefined). Output per
+    group: ``n_items``, ``n_raters``, ``p_bar``, ``p_e``, ``kappa``,
+    ``balanced``.
+
+    Scale shape: one map-side-combined count to (item, label) cells,
+    one items-sized reduce of per-item agreement, one labels-sized
+    reduce of category shares; per-item terms ride the DECIMAL grid —
+    :func:`fleiss_kappa_sql` is exact."""
+    gcols = list(group_cols or [])
+    cells = (
+        df.where(F.col(item_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*gcols, F.col(item_col).alias("_it"), F.col(label_col).alias("_lb"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    items = cells.groupBy(*gcols, "_it").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    per_item = F.when(
+        F.col("_n") >= 2,
+        (F.col("_c2") - F.col("_n")) / (F.col("_n") * (F.col("_n") - 1.0)),
+    )
+    istats = items.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("double").alias("_ni"),
+        dec(per_item).alias("_sp"),
+        F.min("_n").alias("_nmin"),
+        F.max("_n").alias("_nmax"),
+    )
+    labels = cells.groupBy(*gcols, "_lb").agg(F.sum("_c").alias("_ck"))
+    wall = Window.partitionBy(*[F.col(c) for c in gcols]) if gcols else Window.partitionBy()
+    shares = labels.withColumn("_tot", F.sum("_ck").over(wall))
+    pe = shares.groupBy(*gcols).agg(
+        dec((F.col("_ck") / F.col("_tot")) * (F.col("_ck") / F.col("_tot"))).alias("_pe")
+    )
+    j = istats.join(pe, gcols) if gcols else istats.crossJoin(pe)
+    balanced = (F.col("_nmin") == F.col("_nmax")) & (F.col("_nmin") >= 2)
+    p_bar = F.col("_sp") / F.col("_ni")
+    kappa = F.when(
+        balanced & (F.col("_pe") < 1.0), (p_bar - F.col("_pe")) / (1.0 - F.col("_pe"))
+    )
+    return j.select(
+        *gcols,
+        F.col("_ni").cast("long").alias("n_items"),
+        F.when(balanced, F.col("_nmin")).cast("int").alias("n_raters"),
+        F.round(F.when(balanced, p_bar), 6).alias("p_bar"),
+        F.round(F.col("_pe"), 6).alias("p_e"),
+        F.round(kappa, 6).alias("kappa"),
+        balanced.alias("balanced"),
+    )
+
+def fleiss_kappa_sql(
+    source: str,
+    item_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`fleiss_kappa` (same DECIMAL per-item
+    and category-share grids, same balanced/degenerate contracts)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    join = f"USING ({g})" if g else "ON TRUE"
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    per_item = "CASE WHEN _n >= 2 THEN (_c2 - _n) / (_n * (_n - 1.0)) END"
+    return f"""
+WITH _cells AS (
+    SELECT {gsel}{item_col} AS _it, {label_col} AS _lb,
+           CAST(COUNT(*) AS DOUBLE) AS _c
+    FROM {source}
+    WHERE {item_col} IS NOT NULL AND {label_col} IS NOT NULL
+    GROUP BY {gsel}{item_col}, {label_col}
+), _items AS (
+    SELECT {gsel}_it, SUM(_c) AS _n, SUM(_c * _c) AS _c2
+    FROM _cells GROUP BY {gsel}_it
+), _istats AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _ni,
+           {dec.format(v=per_item)} AS _sp,
+           MIN(_n) AS _nmin, MAX(_n) AS _nmax
+    FROM _items {grp}
+), _labels AS (
+    SELECT {gsel}_lb, SUM(_c) AS _ck FROM _cells GROUP BY {gsel}_lb
+), _shares AS (
+    SELECT *, SUM(_ck) OVER ({("PARTITION BY " + g) if g else ""}) AS _tot
+    FROM _labels
+), _pe AS (
+    SELECT {gsel}{dec.format(v="(_ck / _tot) * (_ck / _tot)")} AS _pe
+    FROM _shares {grp}
+)
+SELECT {gsel}CAST(_ni AS BIGINT) AS n_items,
+       CAST(CASE WHEN _nmin = _nmax AND _nmin >= 2 THEN _nmin END AS INTEGER)
+           AS n_raters,
+       round(CASE WHEN _nmin = _nmax AND _nmin >= 2 THEN _sp / _ni END, 6)
+           AS p_bar,
+       round(_pe, 6) AS p_e,
+       round(CASE WHEN _nmin = _nmax AND _nmin >= 2 AND _pe < 1.0
+                  THEN (_sp / _ni - _pe) / (1.0 - _pe) END, 6) AS kappa,
+       (_nmin = _nmax AND _nmin >= 2) AS balanced
+FROM _istats JOIN _pe {join}
+"""
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    arm_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Log-rank survival comparison (SURVEY.md §2 C236; Mantel 1966):
+    the hypothesis test to C161's Kaplan-Meier PICTURE — "is arm a's
+    churn curve actually different from arm b's", censoring handled
+    correctly, which neither C209 (means ignore censoring) nor C235
+    (ranks treat a censored 30 days as a death at 30 days) can answer.
+    Same row contract as C161: ``duration_col`` numeric time,
+    ``event_col`` nonzero = observed event, 0 = right-censored. At each
+    pooled event time t: observed arm-a events d_at vs hypergeometric
+    expectation d_t·n_at/n_t and variance d_t(n_t−d_t)n_at·n_bt /
+    (n_t²(n_t−1)); O−E sums over times, χ² = (O−E)²/V on 1 dof,
+    ``significant`` at the 3.841 5%-critical value. Output per group:
+    ``n_a``, ``n_b``, ``obs_a``, ``exp_a``, ``var_a``, ``chi2``, ``z``;
+    degenerate groups (no events, or V = 0) yield NULL χ².
+
+    Scale shape: the corpus collapses to (group, duration) cells in ONE
+    map-side-combined aggregate; at-risk counts are reverse-cumulative
+    windows over that tiny cell frame; terms reduce on the DECIMAL
+    grid — :func:`logrank_sql` is exact."""
+    gcols = list(group_cols or [])
+    arms = [str(arm_a), str(arm_b)]
+    if arms[0] == arms[1]:
+        raise ValueError("logrank_test: arm_a and arm_b must differ")
+    t = F.col(duration_col).cast("double")
+    ev = (F.col(event_col).cast("double") != 0.0).cast("int")
+    src = df.where(
+        t.isNotNull() & F.col(arm_col).cast("string").isin(*arms)
+    ).select(
+        *gcols,
+        F.col(arm_col).cast("string").alias("_arm"),
+        t.alias("_t"),
+        ev.alias("_e"),
+    )
+    is_a = F.col("_arm") == arms[0]
+    cells = src.groupBy(*gcols, "_t").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_ca"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("double").alias("_cb"),
+        F.sum(F.when(is_a, F.col("_e")).otherwise(0)).cast("double").alias("_da"),
+        F.sum(F.when(~is_a, F.col("_e")).otherwise(0)).cast("double").alias("_db"),
+    )
+    wrev = (
+        Window.partitionBy(*[F.col(g) for g in gcols])
+        .orderBy(F.col("_t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = cells.select(
+        *gcols,
+        "_t", "_da", "_db",
+        F.sum("_ca").over(wrev).alias("_na"),
+        F.sum("_cb").over(wrev).alias("_nb"),
+    )
+    dt = F.col("_da") + F.col("_db")
+    nt = F.col("_na") + F.col("_nb")
+    e_a = dt * F.col("_na") / nt
+    v_a = F.when(
+        nt > 1.0,
+        dt * (nt - dt) * F.col("_na") * F.col("_nb") / (nt * nt * (nt - 1.0)),
+    ).otherwise(F.lit(0.0))
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    terms = at_risk.where(dt > 0.0)
+    st = terms.groupBy(*gcols).agg(
+        F.max(F.col("_na")).alias("_n_a"),
+        F.max(F.col("_nb")).alias("_n_b"),
+        dec(F.col("_da")).alias("_oa"),
+        dec(e_a).alias("_ea"),
+        dec(v_a).alias("_va"),
+    )
+    diff = F.col("_oa") - F.col("_ea")
+    chi2 = F.when(F.col("_va") > 0.0, diff * diff / F.col("_va"))
+    z = F.when(F.col("_va") > 0.0, diff / F.sqrt(F.col("_va")))
+    return st.select(
+        *gcols,
+        F.col("_n_a").cast("long").alias("n_a"),
+        F.col("_n_b").cast("long").alias("n_b"),
+        F.col("_oa").cast("long").alias("obs_a"),
+        F.round(F.col("_ea"), 6).alias("exp_a"),
+        F.round(F.col("_va"), 6).alias("var_a"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(z, 6).alias("z"),
+        F.when(chi2.isNotNull(), F.round(chi2, 6) >= 3.841).alias("significant"),
+    )
+
+def logrank_sql(
+    source: str,
+    duration_col: str,
+    event_col: str,
+    arm_col: str,
+    *,
+    arm_a: str,
+    arm_b: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`logrank_test` (same cell collapse,
+    same reverse-cumulative at-risk windows, same DECIMAL term grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp_t = f"GROUP BY {g}, _t" if g else "GROUP BY _t"
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    a, b = _q(str(arm_a)), _q(str(arm_b))
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    e_a = "(_da + _db) * _na / (_na + _nb)"
+    v_a = ("CASE WHEN _na + _nb > 1.0 THEN (_da + _db)"
+           " * (_na + _nb - _da - _db) * _na * _nb"
+           " / ((_na + _nb) * (_na + _nb) * (_na + _nb - 1.0))"
+           " ELSE 0.0 END")
+    return f"""
+WITH _src AS (
+    SELECT {gsel}CAST({arm_col} AS VARCHAR) AS _arm,
+           CAST({duration_col} AS DOUBLE) AS _t,
+           CASE WHEN CAST({event_col} AS DOUBLE) <> 0.0 THEN 1 ELSE 0 END AS _e
+    FROM {source}
+    WHERE {duration_col} IS NOT NULL
+      AND CAST({arm_col} AS VARCHAR) IN ('{a}', '{b}')
+), _cells AS (
+    SELECT {gsel}_t,
+           CAST(SUM(CASE WHEN _arm = '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _ca,
+           CAST(SUM(CASE WHEN _arm <> '{a}' THEN 1 ELSE 0 END) AS DOUBLE) AS _cb,
+           CAST(SUM(CASE WHEN _arm = '{a}' THEN _e ELSE 0 END) AS DOUBLE) AS _da,
+           CAST(SUM(CASE WHEN _arm <> '{a}' THEN _e ELSE 0 END) AS DOUBLE) AS _db
+    FROM _src
+    {grp_t}
+), _risk AS (
+    SELECT {gsel}_t, _da, _db,
+           SUM(_ca) OVER ({part}ORDER BY _t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _na,
+           SUM(_cb) OVER ({part}ORDER BY _t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _nb
+    FROM _cells
+), _st AS (
+    SELECT {gsel}MAX(_na) AS _n_a, MAX(_nb) AS _n_b,
+           {dec.format(v="_da")} AS _oa,
+           {dec.format(v=e_a)} AS _ea,
+           {dec.format(v=v_a)} AS _va
+    FROM _risk
+    WHERE _da + _db > 0.0
+    {grp}
+)
+SELECT {gsel}CAST(_n_a AS BIGINT) AS n_a, CAST(_n_b AS BIGINT) AS n_b,
+       CAST(_oa AS BIGINT) AS obs_a,
+       round(_ea, 6) AS exp_a, round(_va, 6) AS var_a,
+       round(CASE WHEN _va > 0.0 THEN (_oa - _ea) * (_oa - _ea) / _va END, 6)
+           AS chi2,
+       round(CASE WHEN _va > 0.0 THEN (_oa - _ea) / sqrt(_va) END, 6) AS z,
+       CASE WHEN _va > 0.0
+            THEN round((_oa - _ea) * (_oa - _ea) / _va, 6) >= 3.841 END
+           AS significant
+FROM _st
+"""

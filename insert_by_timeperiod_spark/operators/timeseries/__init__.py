@@ -1,0 +1,26 @@
+"""Time-series operators (SURVEY.md §2 C58, C63, C67, C83, C102, C118,
+C160-series...): regularization onto calendar grids, smoothing and drift
+alarms, seasonal structure, temporal diagnostics, and forecast
+backtesting.
+
+r9 split the 1884-line module into this themed package (the same move
+analytics.py got in r8); this ``__init__`` re-exports every name, so
+``operators.timeseries.resample``-style call sites are unchanged.
+"""
+
+from .backtest import *  # noqa: F401,F403
+from .backtest import __all__ as _backtest_all
+from .diagnostics import *  # noqa: F401,F403
+from .diagnostics import __all__ as _diagnostics_all
+from .grid import *  # noqa: F401,F403
+from .grid import _SPINE_STEP, _UNITS  # noqa: F401 — pinned helpers
+from .grid import __all__ as _grid_all
+from .seasonal import *  # noqa: F401,F403
+from .seasonal import _POP_PERIODS  # noqa: F401 — pinned helper
+from .seasonal import __all__ as _seasonal_all
+from .smoothing import *  # noqa: F401,F403
+from .smoothing import __all__ as _smoothing_all
+
+__all__ = sorted(
+    _grid_all + _smoothing_all + _seasonal_all + _diagnostics_all + _backtest_all
+)

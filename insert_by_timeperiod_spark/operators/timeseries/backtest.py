@@ -1,0 +1,284 @@
+"""Forecast backtesting (split from the timeseries module, r9):
+rolling-origin fold assignment and forecast-accuracy scoring.
+
+``operators.timeseries`` re-exports everything; call sites unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+__all__ = ['rolling_origin_folds', 'rolling_origin_sql', 'forecast_accuracy', 'forecast_accuracy_sql']
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    n_folds: int = 5,
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Rolling-origin backtest folds (SURVEY.md §2 C230; the time-series
+    cross-validation that replaces k-fold when rows are ordered — random
+    folds leak the future into training): the last ``n_folds`` ×
+    ``horizon_days`` of the observed range split into consecutive test
+    windows; each fold trains on EVERYTHING before its test window and
+    tests on the window — so later folds have more training data, the
+    production retrain cadence in miniature. Output per fold: ``fold``
+    (1 = earliest), ``train_end`` == ``test_start``, ``test_end``
+    (half-open), ``n_train``, ``n_test``. Folds whose training side
+    would be empty still emit (n_train = 0) — the caller decides the
+    minimum. Day boundaries are CALENDAR days anchored at the range
+    maximum's next midnight, so fold edges are stable, reproducible
+    dates.
+
+    Scale shape: one 1-row min/max aggregate broadcast; the fold table
+    is built by a range join of that constant frame against the corpus
+    ONCE (each row lands in ≤1 test fold by integer day arithmetic and
+    contributes to every later fold's train count via a cumulative sum
+    over the K-row frame) — no per-fold rescan.
+    :func:`rolling_origin_sql` is exact."""
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    if horizon_days < 1:
+        raise ValueError(f"horizon_days must be >= 1, got {horizon_days}")
+    src = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(ts_col).cast("timestamp").alias("_ts")
+    )
+    rng = src.agg(
+        F.date_add(F.max("_ts").cast("date"), 1).alias("_anchor")
+    )
+    j = src.crossJoin(F.broadcast(rng))
+    # fold index of the TEST window a row falls in: day-distance back
+    # from the anchor, divided by the horizon; rows older than all test
+    # windows get fold 0 (train-only)
+    back = F.datediff(F.col("_anchor"), F.col("_ts").cast("date")) - 1
+    fold_of = F.lit(n_folds) - F.floor(back / horizon_days).cast("int")
+    tagged = j.select(
+        F.when(fold_of >= 1, fold_of).otherwise(F.lit(0)).alias("_f"),
+        F.col("_anchor"),
+    )
+    per = tagged.groupBy("_f", "_anchor").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(F.col("_f").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    folds = df.sparkSession.range(1, n_folds + 1).select(
+        F.col("id").cast("int").alias("fold")
+    )
+    counted = folds.join(
+        per.select(F.col("_f").alias("fold"), "_n", "_anchor"), "fold", "left"
+    ).crossJoin(
+        F.broadcast(
+            per.groupBy().agg(
+                F.max("_anchor").alias("_a"),
+                F.sum(F.when(F.col("_f") == 0, F.col("_n")).otherwise(0)).alias(
+                    "_base"
+                ),
+            )
+        )
+    )
+    wcum = Window.orderBy(F.col("fold").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_test = F.coalesce(F.col("_n"), F.lit(0))
+    return counted.select(
+        "fold",
+        F.expr(
+            f"date_sub(_a, ({n_folds} - fold + 1) * {horizon_days})"
+        ).alias("train_end"),
+        F.expr(
+            f"date_sub(_a, ({n_folds} - fold + 1) * {horizon_days})"
+        ).alias("test_start"),
+        F.expr(
+            f"date_sub(_a, ({n_folds} - fold) * {horizon_days})"
+        ).alias("test_end"),
+        (F.col("_base") + F.coalesce(F.sum(n_test).over(wcum), F.lit(0)))
+        .cast("long")
+        .alias("n_train"),
+        n_test.cast("long").alias("n_test"),
+    )
+
+
+def rolling_origin_sql(
+    source: str,
+    ts_col: str,
+    *,
+    n_folds: int = 5,
+    horizon_days: int = 7,
+) -> str:
+    """Exact DuckDB twin of :func:`rolling_origin_folds` (same anchored
+    calendar grid, same integer day arithmetic)."""
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    if horizon_days < 1:
+        raise ValueError(f"horizon_days must be >= 1, got {horizon_days}")
+    return f"""
+WITH _rng AS (
+    SELECT CAST(MAX(CAST({ts_col} AS TIMESTAMP)) AS DATE) + 1 AS _a
+    FROM {source} WHERE {ts_col} IS NOT NULL
+), _tagged AS (
+    SELECT CASE WHEN {n_folds} - CAST(floor(
+                 (date_diff('day', CAST(CAST({ts_col} AS TIMESTAMP) AS DATE), _a) - 1)
+                 / CAST({horizon_days} AS DOUBLE)) AS INTEGER) >= 1
+                THEN {n_folds} - CAST(floor(
+                 (date_diff('day', CAST(CAST({ts_col} AS TIMESTAMP) AS DATE), _a) - 1)
+                 / CAST({horizon_days} AS DOUBLE)) AS INTEGER)
+                ELSE 0 END AS _f
+    FROM {source} CROSS JOIN _rng
+    WHERE {ts_col} IS NOT NULL
+), _per AS (
+    SELECT _f, COUNT(*) AS _n FROM _tagged GROUP BY _f
+), _folds AS (
+    SELECT UNNEST(generate_series(1, {n_folds})) AS fold
+)
+SELECT CAST(f.fold AS INTEGER) AS fold,
+       _a - CAST(({n_folds} - f.fold + 1) * {horizon_days} AS INTEGER)
+           AS train_end,
+       _a - CAST(({n_folds} - f.fold + 1) * {horizon_days} AS INTEGER)
+           AS test_start,
+       _a - CAST(({n_folds} - f.fold) * {horizon_days} AS INTEGER)
+           AS test_end,
+       CAST(COALESCE((SELECT SUM(_n) FROM _per p2
+                      WHERE p2._f < f.fold), 0) AS BIGINT) AS n_train,
+       CAST(COALESCE((SELECT _n FROM _per p3 WHERE p3._f = f.fold), 0)
+            AS BIGINT) AS n_test
+FROM _folds f CROSS JOIN _rng
+"""
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    time_col: str,
+    actual_col: str,
+    pred_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    season: int = 1,
+) -> DataFrame:
+    """Forecast accuracy scorecard (SURVEY.md §2 C238; Hyndman &
+    Koehler 2006): the metric row a C230 backtest fold or any deployed
+    forecast feeds into — MAE, RMSE, MAPE (zero-actual rows excluded
+    and COUNTED, never divided by), sMAPE (200·|a−p|/(|a|+|p|),
+    both-zero rows excluded), and MASE: MAE over the in-sample naive
+    scale mean|a_t − a_{t−season}| on the time-ordered series — the
+    scale-free number that makes "good" comparable across series of
+    wildly different magnitude (MAPE's asymmetry/zero problems are why
+    MASE exists). The naive lag is POSITIONAL over the time order (the
+    textbook MASE denominator), season > 1 = seasonal-naive. Rows with
+    a NULL actual or prediction are excluded. Output per group: ``n``,
+    ``mae``, ``rmse``, ``n_mape``, ``mape``, ``smape``,
+    ``naive_scale``, ``mase`` (NULL when the naive scale is 0 or the
+    series is shorter than season+1).
+
+    Scale shape: one lag window on the (group, time) ordering + ONE
+    map-side-combined DECIMAL reduce — :func:`forecast_accuracy_sql`
+    is exact. Ties on ``time_col`` break by the actual value so both
+    engines lag the identical ordering."""
+    gcols = list(group_cols or [])
+    if season < 1:
+        raise ValueError("forecast_accuracy: season must be >= 1")
+    a = F.col(actual_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    src = df.where(a.isNotNull() & p.isNotNull()).select(
+        *gcols, F.col(time_col).alias("_t"), a.alias("_a"), p.alias("_p")
+    )
+    w = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy(
+        F.col("_t").asc(), F.col("_a").asc()
+    )
+    lagged = src.select(
+        *gcols, "_a", "_p", F.lag("_a", season).over(w).alias("_al")
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    err = F.col("_a") - F.col("_p")
+    ape = F.when(F.abs(F.col("_a")) > 0.0, F.abs(err) / F.abs(F.col("_a")))
+    sden = F.abs(F.col("_a")) + F.abs(F.col("_p"))
+    sape = F.when(sden > 0.0, 200.0 * F.abs(err) / sden)
+    nd = F.when(F.col("_al").isNotNull(), F.abs(F.col("_a") - F.col("_al")))
+    st = lagged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(F.abs(err)).alias("_sae"),
+        dec(err * err).alias("_sse"),
+        F.sum(F.when(ape.isNotNull(), 1).otherwise(0)).cast("double").alias("_nm"),
+        dec(ape).alias("_sape_"),
+        F.sum(F.when(sape.isNotNull(), 1).otherwise(0)).cast("double").alias("_ns"),
+        dec(sape).alias("_ssm"),
+        F.sum(F.when(nd.isNotNull(), 1).otherwise(0)).cast("double").alias("_nn"),
+        dec(nd).alias("_snd"),
+    )
+    n = F.col("_n")
+    mae = F.col("_sae") / n
+    scale = F.when(F.col("_nn") > 0.0, F.col("_snd") / F.col("_nn"))
+    return st.select(
+        *gcols,
+        n.cast("long").alias("n"),
+        F.round(mae, 6).alias("mae"),
+        F.round(F.sqrt(F.col("_sse") / n), 6).alias("rmse"),
+        F.col("_nm").cast("long").alias("n_mape"),
+        F.round(
+            F.when(F.col("_nm") > 0.0, 100.0 * F.col("_sape_") / F.col("_nm")), 6
+        ).alias("mape"),
+        F.round(
+            F.when(F.col("_ns") > 0.0, F.col("_ssm") / F.col("_ns")), 6
+        ).alias("smape"),
+        F.round(scale, 6).alias("naive_scale"),
+        F.round(F.when(scale > 0.0, mae / scale), 6).alias("mase"),
+    )
+
+
+def forecast_accuracy_sql(
+    source: str,
+    time_col: str,
+    actual_col: str,
+    pred_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    season: int = 1,
+) -> str:
+    """Exact DuckDB twin of :func:`forecast_accuracy` (same positional
+    seasonal-naive lag, same exclusion rules, same DECIMAL grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    ape = "CASE WHEN abs(_a) > 0.0 THEN abs(_a - _p) / abs(_a) END"
+    sape = ("CASE WHEN abs(_a) + abs(_p) > 0.0"
+            " THEN 200.0 * abs(_a - _p) / (abs(_a) + abs(_p)) END")
+    nd = "CASE WHEN _al IS NOT NULL THEN abs(_a - _al) END"
+    return f"""
+WITH _src AS (
+    SELECT {gsel}{time_col} AS _t,
+           CAST({actual_col} AS DOUBLE) AS _a,
+           CAST({pred_col} AS DOUBLE) AS _p
+    FROM {source}
+    WHERE {actual_col} IS NOT NULL AND {pred_col} IS NOT NULL
+), _lag AS (
+    SELECT {gsel}_a, _p,
+           LAG(_a, {season}) OVER ({part}ORDER BY _t ASC, _a ASC) AS _al
+    FROM _src
+), _st AS (
+    SELECT {gsel}CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v="abs(_a - _p)")} AS _sae,
+           {dec.format(v="(_a - _p) * (_a - _p)")} AS _sse,
+           CAST(SUM(CASE WHEN ({ape}) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS _nm,
+           {dec.format(v=ape)} AS _sape_,
+           CAST(SUM(CASE WHEN ({sape}) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS _ns,
+           {dec.format(v=sape)} AS _ssm,
+           CAST(SUM(CASE WHEN _al IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS _nn,
+           {dec.format(v=nd)} AS _snd
+    FROM _lag
+    {grp}
+)
+SELECT {gsel}CAST(_n AS BIGINT) AS n,
+       round(_sae / _n, 6) AS mae,
+       round(sqrt(_sse / _n), 6) AS rmse,
+       CAST(_nm AS BIGINT) AS n_mape,
+       round(CASE WHEN _nm > 0.0 THEN 100.0 * _sape_ / _nm END, 6) AS mape,
+       round(CASE WHEN _ns > 0.0 THEN _ssm / _ns END, 6) AS smape,
+       round(CASE WHEN _nn > 0.0 THEN _snd / _nn END, 6) AS naive_scale,
+       round(CASE WHEN _nn > 0.0 AND _snd / _nn > 0.0
+                  THEN (_sae / _n) / (_snd / _nn) END, 6) AS mase
+FROM _st
+"""

@@ -1,0 +1,424 @@
+"""Temporal diagnostics (split from the timeseries module, r9): ACF,
+CCF, and CUSUM-of-squares changepoint localization.
+
+``operators.timeseries`` re-exports everything; call sites unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+__all__ = ['acf', 'acf_sql', 'ccf', 'ccf_sql', 'changepoint', 'changepoint_sql']
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Autocorrelation function (SURVEY.md §2 C201): per group and lag
+    1..max_lag, the Pearson correlation of the daily series with itself
+    lagged — the "does this metric have weekly memory" diagnostic that
+    TELLS you which seasonal period C167 should remove (a spike at lag
+    7 = weekday cycle) and whether C109/C135's smoothing has anything
+    to smooth. Computed over the (y_t, y_{t−lag}) pairs aligned by GRID
+    POSITION on the daily frame (gap days simply contribute no pair —
+    but a pair k calendar days apart ACROSS a gap still counts).
+    Output per (group, lag): ``n_pairs``, ``r`` (NULL when either
+    side's variance is 0).
+
+    Scale shape: one corpus shuffle to (group, date); all lags pair in
+    ONE calendar self-join of the tiny daily frame (rows = group-days ×
+    max_lag, shuffled on (group, date)); sufficient statistics on the
+    DECIMAL grid, so :func:`acf_sql` is exact."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    gcols = list(group_cols or [])
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("_d"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("double")), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("_y"),
+        )
+    )
+    # Pair on the CALENDAR grid via a per-lag self-join of the daily
+    # frame (mirroring the SQL twin's b._d = a._d - lag): a row-offset
+    # lag() misses pairs separated by gaps (days {1,2,4} must still
+    # pair (4,2) at lag 2 even though an intermediate day is absent).
+    left = daily.select(
+        *gcols,
+        "_d",
+        F.col("_y").alias("_a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("_dprev", F.date_sub(F.col("_d"), F.col("lag")))
+    right = daily.select(
+        *[F.col(c).alias(f"_r_{c}") for c in gcols],
+        F.col("_d").alias("_rd"),
+        F.col("_y").alias("_b"),
+    )
+    cond = [F.col(c).eqNullSafe(F.col(f"_r_{c}")) for c in gcols]
+    cond.append(F.col("_dprev") == F.col("_rd"))
+    pairs = left.join(right, functools.reduce(lambda a, b: a & b, cond)).select(
+        *gcols, "lag", "_a", "_b"
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    stats = pairs.groupBy(*gcols, "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(F.col("_a")).alias("_sa"),
+        dec(F.col("_b")).alias("_sb"),
+        dec(F.col("_a") * F.col("_b")).alias("_sab"),
+        dec(F.col("_a") * F.col("_a")).alias("_saa"),
+        dec(F.col("_b") * F.col("_b")).alias("_sbb"),
+    )
+    n = F.col("_n")
+    cov = n * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    va = n * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    vb = n * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    return stats.select(
+        *gcols,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.round(
+            F.when((va > 0.0) & (vb > 0.0), cov / F.sqrt(va * vb)), 6
+        ).alias("r"),
+    )
+
+
+def acf_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`acf` (same calendar-gap pairing, same
+    DECIMAL sufficient statistics)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    on_g = " AND ".join(f"b.{c} = a.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    lags = ", ".join(str(k) for k in range(1, max_lag + 1))
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS _d,
+           CAST(CAST(round(SUM(CAST({value_col} AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS DOUBLE) AS _y
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _pairs AS (
+    SELECT {asel}l.lag, a._y AS _a, b._y AS _b
+    FROM _daily a
+    CROSS JOIN (SELECT UNNEST([{lags}]) AS lag) l
+    JOIN _daily b ON {on_g} AND b._d = a._d - l.lag
+), _stats AS (
+    SELECT {gsel}lag,
+           CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v="_a")} AS _sa,
+           {dec.format(v="_b")} AS _sb,
+           {dec.format(v="_a * _b")} AS _sab,
+           {dec.format(v="_a * _a")} AS _saa,
+           {dec.format(v="_b * _b")} AS _sbb
+    FROM _pairs GROUP BY {gsel}lag
+)
+SELECT {gsel}CAST(lag AS INTEGER) AS lag, CAST(_n AS BIGINT) AS n_pairs,
+       round(CASE WHEN _n * _saa - _sa * _sa > 0.0
+                   AND _n * _sbb - _sb * _sb > 0.0
+                  THEN (_n * _sab - _sa * _sb)
+                       / sqrt((_n * _saa - _sa * _sa) * (_n * _sbb - _sb * _sb))
+             END, 6) AS r
+FROM _stats
+"""
+
+
+def ccf(
+    df: DataFrame,
+    ts_col: str,
+    col_a: str,
+    col_b: str,
+    *,
+    max_lag: int = 7,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cross-correlation function (SURVEY.md §2 C203): per group and lag
+    −max_lag..max_lag, the Pearson correlation of daily a(t) with
+    b(t−lag) — the lead-lag discovery readout ("signups lead purchases
+    by 2 days" = the peak sits at lag 2); C201's ACF is the a==b
+    diagonal of this. Positive lag = a FOLLOWS b by that many days.
+    Same calendar-gap-aware pairing as the ACF. Output per (group,
+    lag): ``n_pairs``, ``r``.
+
+    Scale shape: one shuffle to the daily frame (both metrics
+    aggregated in the same pass); all lags pair in ONE calendar
+    self-join of that tiny frame; DECIMAL sufficient statistics —
+    :func:`ccf_sql` is exact."""
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    gcols = list(group_cols or [])
+    dsum = lambda c: (
+        F.round(F.sum(F.col(c).cast("double")), 6)
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("_d"))
+        .agg(dsum(col_a).alias("_a"), dsum(col_b).alias("_b"))
+    )
+    # Calendar self-join per lag (matching the SQL twin's
+    # b._d = a._d - lag): a(t) pairs with b(t-lag) whenever BOTH
+    # calendar dates exist, regardless of intervening gaps — a
+    # row-offset lag() understates n_pairs on any gapped series.
+    left = daily.select(
+        *gcols,
+        "_d",
+        F.col("_a").alias("_x"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(-max_lag, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("_dprev", F.date_sub(F.col("_d"), F.col("lag")))
+    right = daily.select(
+        *[F.col(c).alias(f"_r_{c}") for c in gcols],
+        F.col("_d").alias("_rd"),
+        F.col("_b").alias("_y"),
+    )
+    cond = [F.col(c).eqNullSafe(F.col(f"_r_{c}")) for c in gcols]
+    cond.append(F.col("_dprev") == F.col("_rd"))
+    pairs = left.join(right, functools.reduce(lambda a, b: a & b, cond)).select(
+        *gcols, "lag", "_x", "_y"
+    )
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    stats = pairs.groupBy(*gcols, "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(F.col("_x")).alias("_sx"),
+        dec(F.col("_y")).alias("_sy"),
+        dec(F.col("_x") * F.col("_y")).alias("_sxy"),
+        dec(F.col("_x") * F.col("_x")).alias("_sxx"),
+        dec(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_n")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return stats.select(
+        *gcols,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.round(
+            F.when((vx > 0.0) & (vy > 0.0), cov / F.sqrt(vx * vy)), 6
+        ).alias("r"),
+    )
+
+
+def ccf_sql(
+    source: str,
+    ts_col: str,
+    col_a: str,
+    col_b: str,
+    *,
+    max_lag: int = 7,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`ccf` (a(t) joined to b(t−lag) on the
+    calendar grid for every lag in −max..max)."""
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    on_g = " AND ".join(f"b.{c} = a.{c}" for c in gcols) or "TRUE"
+    asel = "".join(f"a.{c}, " for c in gcols)
+    dec = "CAST(SUM(CAST(round({v}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    lags = ", ".join(str(k) for k in range(-max_lag, max_lag + 1))
+    dv = (
+        "CAST(CAST(round(SUM(CAST({c} AS DOUBLE)), 6) AS DECIMAL(38,6))"
+        " AS DOUBLE)"
+    )
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS _d,
+           {dv.format(c=col_a)} AS _a,
+           {dv.format(c=col_b)} AS _b
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _pairs AS (
+    SELECT {asel}l.lag, a._a AS _x, b._b AS _y
+    FROM _daily a
+    CROSS JOIN (SELECT UNNEST([{lags}]) AS lag) l
+    JOIN _daily b ON {on_g} AND b._d = a._d - l.lag
+), _stats AS (
+    SELECT {gsel}lag,
+           CAST(COUNT(*) AS DOUBLE) AS _n,
+           {dec.format(v="_x")} AS _sx,
+           {dec.format(v="_y")} AS _sy,
+           {dec.format(v="_x * _y")} AS _sxy,
+           {dec.format(v="_x * _x")} AS _sxx,
+           {dec.format(v="_y * _y")} AS _syy
+    FROM _pairs GROUP BY {gsel}lag
+)
+SELECT {gsel}CAST(lag AS INTEGER) AS lag, CAST(_n AS BIGINT) AS n_pairs,
+       round(CASE WHEN _n * _sxx - _sx * _sx > 0.0
+                   AND _n * _syy - _sy * _sy > 0.0
+                  THEN (_n * _sxy - _sx * _sy)
+                       / sqrt((_n * _sxx - _sx * _sx) * (_n * _syy - _sy * _sy))
+             END, 6) AS r
+FROM _stats
+"""
+
+
+def changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Single changepoint localization (SURVEY.md §2 C204): per group,
+    the split of the daily series that minimizes SSE_left + SSE_right —
+    binary segmentation's first step (Scott & Knott 1974), the "WHEN
+    did the level shift" companion to C137's CUSUM (which detects THAT
+    drift started) and C123's rolling flags. Output per group:
+    ``split_date`` (last day of the left segment), ``mean_left``,
+    ``mean_right``, ``sse_total``, ``sse_split``, ``reduction`` (the
+    fraction of total SSE the split removes; 0 for a flat series).
+    Ties in cost break toward the EARLIEST split. Groups with fewer
+    than 2 days emit nothing (no split exists).
+
+    Scale shape: one shuffle to the daily frame, prefix sums in one
+    ordered window, candidate costs in closed form from the prefixes
+    (never a per-candidate rescan), argmin via one rank window on the
+    same partitioning; DECIMAL-grid prefixes — :func:`changepoint_sql`
+    is exact."""
+    gcols = list(group_cols or [])
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("_d"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("double")), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("_y"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    dec = lambda c: F.round(c, 6).cast("decimal(38,6)")
+    pre = daily.select(
+        *gcols,
+        "_d",
+        F.row_number()
+        .over(
+            Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+                F.col("_d").asc()
+            )
+        )
+        .alias("_i"),
+        F.sum(dec(F.col("_y"))).over(w).cast("double").alias("_cs"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).over(w).cast("double").alias("_css"),
+        F.sum(dec(F.col("_y"))).over(wall).cast("double").alias("_S"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).over(wall).cast("double").alias("_SS"),
+        F.count(F.lit(1)).over(wall).alias("_N"),
+    )
+    cand = pre.where(F.col("_i") < F.col("_N"))
+    i = F.col("_i").cast("double")
+    nr = (F.col("_N") - F.col("_i")).cast("double")
+    sse_l = F.col("_css") - F.col("_cs") * F.col("_cs") / i
+    rs = F.col("_S") - F.col("_cs")
+    rss = F.col("_SS") - F.col("_css")
+    sse_r = rss - rs * rs / nr
+    cost = F.round(sse_l + sse_r, 6)
+    scored = cand.select(
+        *gcols,
+        F.col("_d").alias("split_date"),
+        F.round(F.col("_cs") / i, 6).alias("mean_left"),
+        F.round(rs / nr, 6).alias("mean_right"),
+        F.round(F.col("_SS") - F.col("_S") * F.col("_S") / F.col("_N").cast("double"), 6).alias(
+            "sse_total"
+        ),
+        cost.alias("sse_split"),
+    )
+    wr = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("sse_split").asc(), F.col("split_date").asc()
+    )
+    best = scored.withColumn("_r", F.row_number().over(wr)).where(
+        F.col("_r") == 1
+    ).drop("_r")
+    red = F.when(
+        F.col("sse_total") > 0.0,
+        (F.col("sse_total") - F.col("sse_split")) / F.col("sse_total"),
+    ).otherwise(F.lit(0.0))
+    return best.withColumn("reduction", F.round(red, 6))
+
+
+def changepoint_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`changepoint`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    partb = f"PARTITION BY {g}" if g else ""
+    dec = "CAST(round({v}, 6) AS DECIMAL(38,6))"
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS _d,
+           CAST(CAST(round(SUM(CAST({value_col} AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS DOUBLE) AS _y
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _pre AS (
+    SELECT {gsel}_d,
+           ROW_NUMBER() OVER ({part}ORDER BY _d ASC) AS _i,
+           CAST(SUM({dec.format(v="_y")}) OVER ({part}ORDER BY _d ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS _cs,
+           CAST(SUM({dec.format(v="_y * _y")}) OVER ({part}ORDER BY _d ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS _css,
+           CAST(SUM({dec.format(v="_y")}) OVER ({partb}) AS DOUBLE) AS _S,
+           CAST(SUM({dec.format(v="_y * _y")}) OVER ({partb}) AS DOUBLE) AS _SS,
+           COUNT(*) OVER ({partb}) AS _N
+    FROM _daily
+), _scored AS (
+    SELECT {gsel}_d AS split_date,
+           round(_cs / _i, 6) AS mean_left,
+           round((_S - _cs) / (_N - _i), 6) AS mean_right,
+           round(_SS - _S * _S / CAST(_N AS DOUBLE), 6) AS sse_total,
+           round((_css - _cs * _cs / _i)
+                 + ((_SS - _css) - (_S - _cs) * (_S - _cs) / (_N - _i)),
+                 6) AS sse_split
+    FROM _pre WHERE _i < _N
+), _best AS (
+    SELECT *,
+           ROW_NUMBER() OVER ({part}ORDER BY sse_split ASC, split_date ASC) AS _r
+    FROM _scored
+)
+SELECT {gsel}split_date, mean_left, mean_right, sse_total, sse_split,
+       round(CASE WHEN sse_total > 0.0
+                  THEN (sse_total - sse_split) / sse_total ELSE 0.0 END,
+             6) AS reduction
+FROM _best WHERE _r = 1
+"""

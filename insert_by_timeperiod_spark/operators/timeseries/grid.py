@@ -1,0 +1,484 @@
+"""Time-series regularization (SURVEY.md §2 C58): resample an event stream
+onto a fixed per-key calendar grid (day/week/month), surfacing the gaps a
+raw GROUP BY silently skips, and forward-fill the last observed value
+across them — the standard shaping step before trend/anomaly analysis or
+feature windows over irregular telemetry.
+
+Scale shape:
+- The ONLY corpus-sized shuffle is the (key, bucket) aggregate, and it is
+  map-side combined. Everything after — the per-key min/max range, the
+  spine explode, the densifying join, the forward-fill window — runs over
+  AGGREGATED rows (keys × buckets), orders of magnitude smaller than the
+  input at telemetry densities.
+- The aggregate is materialized once (``localCheckpoint``) because two
+  consumers read it (range agg + densify join); a lazy plan would scan the
+  corpus twice (the repo's recurring multi-consumer lesson, plans/audit.py).
+- The spine is generated per key from that key's own [min, max] bucket via
+  ``sequence`` + ``explode`` — pure column algebra, no driver loop, no
+  cartesian with a global calendar.
+- Forward-fill is ONE window pass per key ordered by bucket
+  (``last(ignorenulls)`` over an unbounded-preceding frame).
+
+Cross-engine float contract: per-bucket totals sum as DECIMAL(18,6) and
+cast to double (order-independent), so the DuckDB twin (`resample_sql`) is
+exact; the fill merely copies those values. The twin expresses forward-fill
+with the portable count-partition trick (COUNT(val) OVER ... as a group id,
+then MAX per group) — identical semantics to ``last(ignorenulls)``,
+including NULL for leading gaps before the first observation.
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
+"""
+
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_UNITS = {"day": "1 day", "week": "1 week", "month": "1 month"}
+
+_SPINE_STEP = {"day": "interval 1 day", "week": "interval 7 day",
+               "month": "interval 1 month"}
+
+
+
+__all__ = ['resample', 'resample_sql', 'date_spine', 'date_spine_sql', 'rolling_window', 'rolling_window_sql', 'time_weighted_avg', 'time_weighted_avg_sql', 'concurrency_profile', 'concurrency_profile_sql']
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    *,
+    unit: str = "day",
+) -> DataFrame:
+    """Dense per-key calendar of (``*key_cols``, bucket, n, total,
+    total_ffill): one row per ``unit`` bucket between each key's first and
+    last event, ``n = 0`` and ``total = NULL`` on gap buckets, and
+    ``total_ffill`` carrying the last observed total forward (NULL before
+    the first observation). Rows with a NULL key are dropped (a NULL key
+    has no well-defined timeline).
+    """
+    if unit not in _UNITS:
+        raise ValueError(f"resample: unit must be one of {sorted(_UNITS)}")
+    keys = list(key_cols or [])
+    if not keys:
+        raise ValueError("resample: at least one key column required")
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    base = df
+    for k in keys:
+        base = base.where(F.col(k).isNotNull())
+    agg = (
+        base.groupBy(*keys, bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        # two consumers: the per-key range aggregate and the densify join
+        .localCheckpoint(eager=True)
+    )
+    spine = (
+        agg.groupBy(*keys)
+        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("_b0", "_b1", F.expr(f"interval {_UNITS[unit]}"))
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(agg, keys + ["bucket"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        *keys,
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        "total",
+        F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
+    )
+
+
+def resample_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    *,
+    unit: str = "day",
+) -> str:
+    """Exact DuckDB twin of :func:`resample` (same truncation, same DECIMAL
+    totals, portable forward-fill)."""
+    if unit not in _UNITS:
+        raise ValueError(f"resample_sql: unit must be one of {sorted(_UNITS)}")
+    keys = list(key_cols or [])
+    ks = ", ".join(keys)
+    notnull = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+    on = " AND ".join([f"s.{k} = a.{k}" for k in keys] + ["s.bucket = a.bucket"])
+    sk = ", ".join(f"s.{k}" for k in keys)
+    interval = _UNITS[unit].upper()
+    return f"""
+WITH _agg AS (
+    SELECT {ks}, date_trunc('{unit}', {ts_col})::DATE AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM {table} WHERE {notnull}
+    GROUP BY {ks}, date_trunc('{unit}', {ts_col})::DATE
+), _spine AS (
+    SELECT {ks},
+           unnest(generate_series(MIN(bucket), MAX(bucket),
+                                  INTERVAL {interval}))::DATE AS bucket
+    FROM _agg GROUP BY {ks}
+), _dense AS (
+    SELECT {sk}, s.bucket, COALESCE(a.n, 0) AS n, a.total
+    FROM _spine s LEFT JOIN _agg a ON {on}
+), _grp AS (
+    SELECT *, COUNT(total) OVER (PARTITION BY {ks} ORDER BY bucket) AS _g
+    FROM _dense
+)
+SELECT {ks}, bucket, CAST(n AS BIGINT) AS n, total,
+       MAX(total) OVER (PARTITION BY {ks}, _g) AS total_ffill
+FROM _grp
+"""
+
+
+def date_spine(
+    spark,
+    start: str,
+    stop: str,
+    *,
+    period: str = "day",
+    out_col: str = "spine_date",
+) -> DataFrame:
+    """Calendar spine dimension (SURVEY.md §2 C152): every ``period``
+    boundary in ``[start, stop)`` as a one-column DataFrame — the join
+    target that makes absent periods VISIBLE (gap-filled rollups, A17
+    count monitoring where a missing day must read 0, dbt's date_spine
+    idiom). C58's resample builds one internally; this is the public,
+    oracled form. Half-open like every engine window: ``stop`` itself is
+    excluded, matching `periods.py`'s grid discipline.
+
+    Scale shape: one `sequence()` literal exploded — spine-sized (days,
+    not rows), no input scan at all."""
+    if period not in _SPINE_STEP:
+        raise ValueError(
+            f"period must be one of {sorted(_SPINE_STEP)}, got {period!r}"
+        )
+    return spark.range(1).select(
+        F.explode(
+            F.expr(
+                f"sequence(to_date('{start}'), to_date('{stop}'),"
+                f" {_SPINE_STEP[period]})"
+            )
+        ).alias(out_col)
+    ).where(F.col(out_col) < F.lit(stop).cast("date"))
+
+
+def date_spine_sql(
+    start: str,
+    stop: str,
+    *,
+    period: str = "day",
+    out_col: str = "spine_date",
+) -> str:
+    """Exact DuckDB twin of :func:`date_spine` — generate_series with the
+    identical step and the identical exclusive-stop filter."""
+    if period not in _SPINE_STEP:
+        raise ValueError(
+            f"period must be one of {sorted(_SPINE_STEP)}, got {period!r}"
+        )
+    step = _SPINE_STEP[period].replace("interval ", "INTERVAL ")
+    return f"""
+SELECT {out_col} FROM (
+    SELECT CAST(unnest(generate_series(
+        DATE '{start}', DATE '{stop}', {step})) AS DATE) AS {out_col}
+) WHERE {out_col} < DATE '{stop}'
+"""
+
+
+def rolling_window(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trailing time-RANGE aggregates (SURVEY.md §2 C108): at every
+    event, the key's last-``days`` totals — count, DECIMAL-exact sum,
+    and their ratio — over a RANGE frame on event time ([ts − days, ts],
+    both ends inclusive), NOT a rows frame: gaps and bursts weigh by
+    TIME, which is what "7-day rolling revenue per user" means. The
+    rolling readout on exactly the per-period tables this engine
+    materializes (C10's window_running is the rows-frame cousin).
+
+    Scale shape: ONE shuffle (the window partition); the RANGE frame
+    orders by epoch MICROS — sub-second timestamps keep full precision,
+    and peers at the same instant share a frame, so no tiebreak is
+    needed for determinism. Sum rides the engine's DECIMAL grid; avg is
+    a single IEEE division of exact terms — the twin is exact."""
+    if days < 1:
+        raise ValueError(f"days must be >= 1, got {days}")
+    if not key_cols:
+        raise ValueError("rolling_window: key_cols required")
+    span_us = days * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-span_us, 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    out_cols = [*key_cols, *(id_cols or []), ts_col]
+    return df.select(
+        *out_cols,
+        F.count(F.lit(1)).over(w).cast("bigint").alias(f"n_{days}d"),
+        F.sum(dec).over(w).cast("double").alias(f"total_{days}d"),
+        (
+            F.sum(dec).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias(f"avg_{days}d"),
+    )
+
+
+def rolling_window_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+    id_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`rolling_window`."""
+    span_us = int(days) * 86_400 * 1_000_000
+    k = ", ".join(key_cols)
+    sel = ", ".join([*key_cols, *(id_cols or []), ts_col])
+    frame = (
+        f"PARTITION BY {k} ORDER BY epoch_us({ts_col}) "
+        f"RANGE BETWEEN {span_us} PRECEDING AND CURRENT ROW"
+    )
+    return f"""
+SELECT {sel},
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_{days}d,
+       CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           AS total_{days}d,
+       CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_{days}d
+FROM {source}
+WINDOW w AS ({frame})
+"""
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_start,
+    window_end,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average of a piecewise-constant signal (SURVEY.md
+    §2 C234): events are STATE CHANGES (plan tier, replica count, spot
+    price) — each value holds until the key's next event — and the
+    readout is the signal's average over [``window_start``,
+    ``window_end``): Σ value·held-duration / covered-duration. This is
+    the metering/billing number a plain AVG gets wrong (AVG weights by
+    event COUNT, so one flappy hour outvotes a stable month). The last
+    pre-window event supplies the initial state (its clipped segment
+    starts at the window edge — earlier events clip to zero length and
+    drop out); time before the key's first event is UNCOVERED and
+    reported, never imputed. Durations are integer microseconds.
+    Output per key: ``twap`` (NULL when nothing covers the window),
+    ``covered_us``, ``coverage`` (covered / window).
+
+    Scale shape: one window shuffle per key for the lead(), everything
+    else scan-stage interval clipping + a map-side-combined DECIMAL
+    aggregate — :func:`time_weighted_avg_sql` is exact."""
+    ws = F.lit(window_start).cast("timestamp")
+    we = F.lit(window_end).cast("timestamp")
+    src = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(ts_col) < we)
+    ).select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
+    )
+    # order by the ALIASED columns — ordering a renamed column by its
+    # original name fails analysis (memory: exactness hazards)
+    order = [F.col("_ts").asc()] + ([F.col("_tb").asc()] if tiebreak else [])
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    seg = src.select(
+        *key_cols,
+        "_v",
+        F.greatest(F.unix_micros("_ts"), F.unix_micros(ws)).alias("_a"),
+        F.least(
+            F.coalesce(F.unix_micros(F.lead("_ts").over(w)), F.unix_micros(we)),
+            F.unix_micros(we),
+        ).alias("_b"),
+    ).where(F.col("_b") > F.col("_a"))
+    dur = (F.col("_b") - F.col("_a")).cast("double")
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+    st = seg.groupBy(*key_cols).agg(
+        dec(F.col("_v") * dur / 1_000_000.0).alias("_vw"),
+        F.sum(F.col("_b") - F.col("_a")).cast("long").alias("covered_us"),
+    )
+    win_us = F.unix_micros(we) - F.unix_micros(ws)
+    return st.select(
+        *key_cols,
+        F.round(
+            F.when(
+                F.col("covered_us") > 0,
+                F.col("_vw") / (F.col("covered_us") / 1_000_000.0),
+            ),
+            6,
+        ).alias("twap"),
+        "covered_us",
+        F.round(F.col("covered_us") / win_us.cast("double"), 6).alias("coverage"),
+    )
+
+
+def time_weighted_avg_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_start: str,
+    window_end: str,
+    *,
+    tiebreak: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`time_weighted_avg` (same integer-µs
+    clipping, same DECIMAL value-time grid)."""
+    k = ", ".join(key_cols)
+    tbsel = f", {tiebreak} AS _tb" if tiebreak else ""
+    tb = ", _tb ASC" if tiebreak else ""
+    return f"""
+WITH _src AS (
+    SELECT {k}, {ts_col} AS _ts, CAST({value_col} AS DOUBLE) AS _v{tbsel}
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+      AND {ts_col} < TIMESTAMP '{window_end}'
+), _seg AS (
+    SELECT {k}, _v,
+           greatest(epoch_us(_ts), epoch_us(TIMESTAMP '{window_start}')) AS _a,
+           least(coalesce(epoch_us(LEAD(_ts) OVER (
+                     PARTITION BY {k} ORDER BY _ts ASC{tb})),
+                 epoch_us(TIMESTAMP '{window_end}')),
+                 epoch_us(TIMESTAMP '{window_end}')) AS _b
+    FROM _src
+), _kept AS (
+    SELECT * FROM _seg WHERE _b > _a
+), _st AS (
+    SELECT {k},
+           CAST(SUM(CAST(round(_v * (_b - _a) / 1000000.0, 6)
+                AS DECIMAL(38,6))) AS DOUBLE) AS _vw,
+           CAST(SUM(_b - _a) AS BIGINT) AS covered_us
+    FROM _kept GROUP BY {k}
+)
+SELECT {k},
+       round(CASE WHEN covered_us > 0
+                  THEN _vw / (covered_us / 1000000.0) END, 6) AS twap,
+       covered_us,
+       round(covered_us / CAST(epoch_us(TIMESTAMP '{window_end}')
+             - epoch_us(TIMESTAMP '{window_start}') AS DOUBLE), 6) AS coverage
+FROM _st
+"""
+
+
+def concurrency_profile(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency profile (SURVEY.md §2 C183): per group,
+    the piecewise-constant "how many intervals are active" function —
+    one row per change-point segment (``seg_start``, ``seg_end``,
+    ``n_active``) over half-open [start, end) intervals — peak sessions
+    online, concurrent jobs, overlapping incidents; the aggregate
+    readout C182's overlap join (which names the PAIRS) doesn't give.
+    The final segment (everything ended, concurrency 0) is dropped.
+    NULL or inverted intervals drop.
+
+    Scale shape: intervals become ±1 deltas, ONE aggregate collapses
+    simultaneous starts/ends per instant (so tie order can't matter),
+    one ordered window per group builds the running sum and the
+    next-change-point boundary. Exact integer counts —
+    :func:`concurrency_profile_sql` is exact."""
+    gcols = list(group_cols or [])
+    src = df.where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(start_col) < F.col(end_col))
+    )
+    deltas = (
+        src.select(*gcols, F.col(start_col).alias("_t"), F.lit(1).alias("_d"))
+        .unionByName(
+            src.select(*gcols, F.col(end_col).alias("_t"), F.lit(-1).alias("_d"))
+        )
+        .groupBy(*gcols, "_t")
+        .agg(F.sum("_d").alias("_delta"))
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("_t").asc()
+    )
+    prof = deltas.select(
+        *gcols,
+        F.col("_t").alias("seg_start"),
+        F.lead("_t").over(wlead).alias("seg_end"),
+        F.sum("_delta").over(w).cast("long").alias("n_active"),
+    )
+    return prof.where(F.col("seg_end").isNotNull())
+
+
+def concurrency_profile_sql(
+    source: str,
+    start_col: str,
+    end_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`concurrency_profile`."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _src AS (
+    SELECT * FROM {source}
+    WHERE {start_col} IS NOT NULL AND {end_col} IS NOT NULL
+      AND {start_col} < {end_col}
+), _deltas AS (
+    SELECT {gsel}_t, SUM(_d) AS _delta FROM (
+        SELECT {gsel}{start_col} AS _t, 1 AS _d FROM _src
+        UNION ALL
+        SELECT {gsel}{end_col} AS _t, -1 AS _d FROM _src
+    ) GROUP BY {gsel}_t
+)
+SELECT * FROM (
+    SELECT {gsel}_t AS seg_start,
+           LEAD(_t) OVER ({part}ORDER BY _t ASC) AS seg_end,
+           CAST(SUM(_delta) OVER ({part}ORDER BY _t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_active
+    FROM _deltas
+) WHERE seg_end IS NOT NULL
+"""

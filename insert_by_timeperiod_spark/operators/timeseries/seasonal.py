@@ -1,0 +1,298 @@
+"""Seasonal structure (split from the timeseries module, r9):
+moving-average decomposition, period-over-period comparison, and
+deseasonalized anomaly detection.
+
+``operators.timeseries`` re-exports everything; call sites unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_POP_PERIODS = ("day", "week", "month", "year")
+
+
+__all__ = ['seasonal_decompose', 'seasonal_decompose_sql', 'period_compare', 'period_compare_sql', 'deseasonalized_anomalies', 'deseasonalized_anomalies_sql']
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Additive weekday decomposition (SURVEY.md §2 C167): collapse to a
+    daily series per group, then split y(d) = level + seasonal(dow) +
+    residual, where level is the group mean and seasonal is the
+    dow-mean minus level — the classical seasonal-means decomposition
+    (the fixed-period additive core of STL without loess). This is the
+    "is Monday supposed to look like that" readout that C61/C123's
+    anomaly flags assume you've already done; residuals from here feed
+    them a deseasonalized series.
+
+    Scale shape: one corpus shuffle to (group, date); level/seasonal are
+    window means over the small daily frame (group and group×dow
+    partitions). Daily sums ride the 6-decimal/DECIMAL grid so the
+    means divide exact integers-scaled sums and
+    :func:`seasonal_decompose_sql` is exact. Output per (group, date):
+    ``event_date``, ``dow`` (1=Sunday … 7=Saturday, both engines'
+    shared convention), ``y``, ``level``, ``seasonal``, ``residual``.
+    Seasonal components sum to ~0 BY CONSTRUCTION only when every dow
+    is equally represented; the decomposition is exact regardless."""
+    gcols = list(group_cols or [])
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.col(ts_col).cast("date").alias("event_date"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("double")), 6)
+            .cast("decimal(38,6)")
+            .alias("_y"),
+        )
+        .withColumn("dow", F.dayofweek("event_date"))
+    )
+    wg = Window.partitionBy(*[F.col(c) for c in gcols])
+    wdow = Window.partitionBy(*[F.col(c) for c in gcols], F.col("dow"))
+    level = F.sum("_y").over(wg).cast("double") / F.count(F.lit(1)).over(wg)
+    dow_mean = (
+        F.sum("_y").over(wdow).cast("double") / F.count(F.lit(1)).over(wdow)
+    )
+    out = daily.select(
+        *gcols,
+        "event_date",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("_y").cast("double").alias("y"),
+        F.round(level, 6).alias("level"),
+        F.round(dow_mean - level, 6).alias("seasonal"),
+        F.round(
+            F.col("_y").cast("double") - level - (dow_mean - level), 6
+        ).alias("residual"),
+    )
+    return out.withColumn("y", F.round("y", 6))
+
+
+def seasonal_decompose_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`seasonal_decompose` (dayofweek
+    aligned: DuckDB's dayofweek is 0=Sunday..6=Saturday, Spark's is
+    1..7 — the twin shifts by one; daily sums on the shared
+    6-decimal/DECIMAL grid)."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    partd = f"PARTITION BY {gsel}dow" if g else "PARTITION BY dow"
+    return f"""
+WITH _daily AS (
+    SELECT {gsel}CAST({ts_col} AS DATE) AS event_date,
+           CAST(round(SUM(CAST({value_col} AS DOUBLE)), 6) AS DECIMAL(38,6)) AS _y,
+           CAST(dayofweek(CAST({ts_col} AS DATE)) + 1 AS INTEGER) AS dow
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST({ts_col} AS DATE)
+), _parts AS (
+    SELECT *,
+           CAST(SUM(_y) OVER ({part}) AS DOUBLE) / COUNT(*) OVER ({part}) AS _level,
+           CAST(SUM(_y) OVER ({partd}) AS DOUBLE) / COUNT(*) OVER ({partd}) AS _dm
+    FROM _daily
+)
+SELECT {gsel}event_date, dow,
+       round(CAST(_y AS DOUBLE), 6) AS y,
+       round(_level, 6) AS level,
+       round(_dm - _level, 6) AS seasonal,
+       round(CAST(_y AS DOUBLE) - _level - (_dm - _level), 6) AS residual
+FROM _parts
+"""
+
+
+_POP_PERIODS = ("day", "week", "month", "year")
+
+
+def period_compare(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: str = "week",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Period-over-period comparison (SURVEY.md §2 C176): per group and
+    calendar period, the value total, previous period's total, absolute
+    delta, and percent change — the WoW/MoM/YoY table every BI readout
+    opens with, aligned to the ENGINE'S OWN period grid (A4/A5's
+    date_trunc boundaries: week = Monday, both engines agree).
+    ``prev_total`` is the lag by GRID POSITION (previous row in period
+    order), so a silent gap period shows against the last seen period —
+    pair with C152's date spine to force missing periods to zero rows
+    first when strict-adjacency semantics are wanted. pct_change is NULL
+    when there is no previous period or it totals 0.
+
+    Scale shape: one corpus shuffle to (group, period); the lag window
+    rides the same group partitioning. Totals on the 6-decimal/DECIMAL
+    grid; :func:`period_compare_sql` is exact."""
+    if period not in _POP_PERIODS:
+        raise ValueError(f"period must be one of {_POP_PERIODS}, got {period!r}")
+    gcols = list(group_cols or [])
+    per = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            *gcols,
+            F.date_trunc(period, F.col(ts_col)).cast("date").alias("period_start"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast("decimal(38,6)")
+            ).alias("_tot"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("period_start").asc()
+    )
+    tot = F.col("_tot").cast("double")
+    prev = F.lag("_tot").over(w).cast("double")
+    return per.select(
+        *gcols,
+        "period_start",
+        F.col("n").cast("long").alias("n"),
+        F.round(tot, 6).alias("total"),
+        F.round(prev, 6).alias("prev_total"),
+        F.round(tot - prev, 6).alias("delta"),
+        F.round(
+            F.when(prev.isNotNull() & (prev != 0.0), (tot - prev) / F.abs(prev)),
+            6,
+        ).alias("pct_change"),
+    )
+
+
+def period_compare_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: str = "week",
+    group_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`period_compare`."""
+    if period not in _POP_PERIODS:
+        raise ValueError(f"period must be one of {_POP_PERIODS}, got {period!r}")
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""
+WITH _per AS (
+    SELECT {gsel}CAST(date_trunc('{period}', {ts_col}) AS DATE) AS period_start,
+           SUM(CAST(round(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(38,6))) AS _tot,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {source} WHERE {ts_col} IS NOT NULL
+    GROUP BY {gsel}CAST(date_trunc('{period}', {ts_col}) AS DATE)
+), _lagged AS (
+    SELECT *,
+           LAG(_tot) OVER ({part}ORDER BY period_start ASC) AS _prev
+    FROM _per
+)
+SELECT {gsel}period_start, n,
+       round(CAST(_tot AS DOUBLE), 6) AS total,
+       round(CAST(_prev AS DOUBLE), 6) AS prev_total,
+       round(CAST(_tot AS DOUBLE) - CAST(_prev AS DOUBLE), 6) AS delta,
+       round(CASE WHEN _prev IS NOT NULL AND CAST(_prev AS DOUBLE) <> 0.0
+                  THEN (CAST(_tot AS DOUBLE) - CAST(_prev AS DOUBLE))
+                       / abs(CAST(_prev AS DOUBLE)) END, 6) AS pct_change
+FROM _lagged
+"""
+
+
+def deseasonalized_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Deseasonalized anomaly flags (SURVEY.md §2 C191): the composed
+    chain C167 → C61 — remove the weekday effect with
+    :func:`seasonal_decompose`, then score the RESIDUALS with the
+    per-group modified z (0.6745·(r − median)/MAD, Iglewicz & Hoaglin
+    1993). A raw robust-z (C123's posture) flags every ordinary Monday
+    of a weekly-cycled series; scoring residuals flags the Monday that
+    is anomalous FOR A MONDAY. Output per (group, date): ``y``,
+    ``seasonal``, ``residual``, ``rz``, ``is_anomaly`` (rz NULL when
+    the group's residual MAD is 0).
+
+    Scale shape: inherits C167's one corpus shuffle; the median/MAD
+    reduce over the daily frame per group and ride back group-keyed.
+    Exact on the shared grid — :func:`deseasonalized_anomalies_sql`
+    chains the exact twins end-to-end."""
+    gcols = list(group_cols or [])
+    dec = seasonal_decompose(df, ts_col, value_col, group_cols=gcols)
+    dec = dec.localCheckpoint()  # consumers: median agg, MAD agg, projection
+    med = dec.groupBy(*gcols).agg(
+        F.percentile("residual", F.lit(0.5)).alias("_med")
+    )
+    devs = dec.join(F.broadcast(med), gcols) if gcols else dec.crossJoin(
+        F.broadcast(med)
+    )
+    mad = devs.groupBy(*gcols).agg(
+        F.percentile(F.abs(F.col("residual") - F.col("_med")), F.lit(0.5)).alias(
+            "_mad"
+        )
+    )
+    scored = devs.join(F.broadcast(mad), gcols) if gcols else devs.crossJoin(
+        F.broadcast(mad)
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("residual") - F.col("_med")) / F.col("_mad"), 6
+    )
+    return scored.select(
+        *gcols,
+        "event_date",
+        "y",
+        "seasonal",
+        "residual",
+        F.when(F.col("_mad") > 0, z).alias("rz"),
+        (
+            (F.col("_mad") > 0) & (F.abs(F.when(F.col("_mad") > 0, z)) > threshold)
+        ).alias("is_anomaly"),
+    )
+
+
+def deseasonalized_anomalies_sql(
+    source: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+) -> str:
+    """Exact DuckDB twin of :func:`deseasonalized_anomalies` — chains
+    the C167 twin and the C61 median/MAD formulas."""
+    gcols = list(group_cols or [])
+    g = ", ".join(gcols)
+    gsel = f"{g}, " if g else ""
+    grp = f"GROUP BY {g}" if g else ""
+    join_g = f"USING ({g})" if g else "ON TRUE"
+    inner = seasonal_decompose_sql(
+        source, ts_col, value_col, group_cols=gcols
+    )
+    z = "round(0.6745 * (d.residual - m._med) / a._mad, 6)"
+    return f"""
+WITH _dec AS (
+{inner}
+), _med AS (
+    SELECT {gsel}median(residual) AS _med FROM _dec {grp}
+), _mad AS (
+    SELECT {gsel}median(abs(d.residual - m._med)) AS _mad
+    FROM _dec d JOIN _med m {join_g} {grp}
+)
+SELECT {gsel}d.event_date, d.y, d.seasonal, d.residual,
+       CASE WHEN a._mad > 0 THEN {z} END AS rz,
+       (a._mad > 0 AND abs(CASE WHEN a._mad > 0 THEN {z} END) > {threshold!r})
+           AS is_anomaly
+FROM _dec d JOIN _med m {join_g} JOIN _mad a {join_g}
+"""

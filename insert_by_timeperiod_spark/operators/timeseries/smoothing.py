@@ -1,0 +1,459 @@
+"""Smoothing / recursive-state series operators (split from the
+timeseries module, r9): EWMA, rolling robust anomalies, Holt double
+exponential smoothing, CUSUM drift alarm.
+
+``operators.timeseries`` (now a package) re-exports everything; call
+sites are unchanged.
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .grid import _SPINE_STEP
+
+
+__all__ = ['ewma', 'ewma_sql', 'rolling_anomalies', 'rolling_anomalies_sql', 'holt', 'holt_sql', 'cusum', 'cusum_sql']
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    tiebreak: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (SURVEY.md §2 C109):
+    ``s_i = α·x_i + (1−α)·s_{i−1}`` in (ts, tiebreak) order, seeded with
+    ``s_1 = x_1`` — the standard smoothing for drift/latency monitoring.
+    Like C103's debounce this is a SEQUENTIAL recurrence (no closed
+    window form that doesn't overflow: the algebraic rewrite needs
+    (1−α)^{−i}), so it is the Arrow lane's second legitimate home: ONE
+    shuffle groups each key, one ordered walk per key. Cross-engine
+    exactness needs NO grid here: the recurrence is a FIXED sequence of
+    scalar IEEE-754 ops (two multiplies, one add per step — no
+    reassociation freedom), so Python's float and DuckDB's DOUBLE
+    recursive CTE produce bit-identical trajectories; a per-step decimal
+    ROUND would actually BREAK parity (Python rounds half-even, DuckDB
+    half-away — a tie at the 10th digit diverges)."""
+    if not key_cols:
+        raise ValueError("ewma: key_cols required")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    # fresh StructType — df.schema is cached on the DataFrame and
+    # StructType.add MUTATES, which would corrupt src's own schema
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        s = None
+        out = []
+        one_m = 1.0 - alpha
+        for x in pdf[value_col].astype(float):
+            s = x if s is None else alpha * x + one_m * s
+            out.append(s)
+        pdf = pdf.copy()
+        pdf[out_col] = out
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(walk, schema=schema)
+
+
+def ewma_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    tiebreak: str | None = None,
+    out_col: str = "ewma",
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`ewma` — the recurrence as a recursive
+    CTE stepping every key one row per iteration."""
+    a = float(alpha)
+    one_m = 1.0 - a
+    k = ", ".join(key_cols)
+    tb = f", {tiebreak}" if tiebreak else ""
+    kj = " AND ".join(f"r.{c} = w.{c}" for c in key_cols)
+    cols = select or f"* EXCLUDE (_rn)"
+    return f"""
+WITH RECURSIVE _r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {k} ORDER BY {ts_col}{tb}
+    ) AS _rn
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+), _walk AS (
+    SELECT *, CAST({value_col} AS DOUBLE) AS {out_col}
+    FROM _r WHERE _rn = 1
+    UNION ALL
+    SELECT r.*,
+           {a} * CAST(r.{value_col} AS DOUBLE)
+               + ({one_m}) * w.{out_col}
+    FROM _walk w JOIN _r r ON {kj} AND r._rn = w._rn + 1
+)
+SELECT {cols} FROM _walk
+"""
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+    k_sigma: float = 3.0,
+    min_baseline: int = 5,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rolling-baseline anomaly flags (SURVEY.md §2 C123): an event is
+    anomalous when its value sits more than ``k_sigma`` population
+    standard deviations from its OWN key's trailing-``days`` baseline —
+    the streaming-telemetry alert rule, per entity, with the baseline
+    window EXCLUDING the current value (an outlier must not get to vote
+    on its own baseline). Keys need ``min_baseline`` prior points before
+    they can alarm (a 2-point history calling everything anomalous is
+    noise). The per-event companion of C61's per-period MAD detector.
+
+    Scale shape: ONE shuffle — the same epoch-micros RANGE frame as
+    C108, shifted one microsecond back to exclude the current row;
+    baseline mean/std come from DECIMAL-grid sufficient statistics in
+    that frame (exact twin), the flag is a fixed IEEE expression."""
+    if days < 1:
+        raise ValueError(f"days must be >= 1, got {days}")
+    if k_sigma <= 0:
+        raise ValueError(f"k_sigma must be > 0, got {k_sigma}")
+    span_us = days * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-span_us, -1)
+    )
+    dec = F.round(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dec).over(w).cast("double")
+    ss = F.sum((dec * dec).cast("decimal(38,12)")).over(w).cast("double")
+    mean = s / n
+    var = F.greatest(ss / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    dev = F.abs(F.col(value_col) - mean)
+    flag = F.when(
+        n >= min_baseline,
+        (std > 0) & (dev > F.lit(float(k_sigma)) * std),
+    )
+    out_cols = [*key_cols, *(id_cols or []), ts_col, value_col]
+    return df.select(
+        *out_cols,
+        n.cast("bigint").alias("n_baseline"),
+        F.when(n > 0, mean).alias("baseline_mean"),
+        flag.alias("is_anomaly"),
+    )
+
+
+def rolling_anomalies_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+    k_sigma: float = 3.0,
+    min_baseline: int = 5,
+    id_cols: list[str] | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`rolling_anomalies`."""
+    span_us = int(days) * 86_400 * 1_000_000
+    ksig = float(k_sigma)
+    k = ", ".join(key_cols)
+    sel = ", ".join([*key_cols, *(id_cols or []), ts_col, value_col])
+    dec = f"CAST(ROUND(CAST({value_col} AS DOUBLE), 6) AS DECIMAL(28,6))"
+    frame = (
+        f"PARTITION BY {k} ORDER BY epoch_us({ts_col}) "
+        f"RANGE BETWEEN {span_us} PRECEDING AND 1 PRECEDING"
+    )
+    return f"""
+WITH _b AS (
+    SELECT {sel},
+           COUNT(*) OVER w AS _n,
+           CAST(SUM({dec}) OVER w AS DOUBLE) AS _s,
+           CAST(SUM(CAST({dec} * {dec} AS DECIMAL(38,12))) OVER w AS DOUBLE)
+               AS _ss
+    FROM {source}
+    WINDOW w AS ({frame})
+)
+SELECT {sel},
+       CAST(_n AS BIGINT) AS n_baseline,
+       CASE WHEN _n > 0 THEN _s / _n END AS baseline_mean,
+       CASE WHEN _n >= {int(min_baseline)} THEN
+            sqrt(greatest(_ss / _n - (_s / _n) * (_s / _n), 0.0)) > 0
+            AND abs({value_col} - _s / _n)
+                > {ksig} * sqrt(greatest(_ss / _n - (_s / _n) * (_s / _n),
+                                         0.0))
+       END AS is_anomaly
+FROM _b
+"""
+
+
+def holt(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    beta: float,
+    tiebreak: str | None = None,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (SURVEY.md §2 C135):
+    ``l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})``,
+    ``b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}`` in (ts, tiebreak) order,
+    seeded ``l_1 = x_1, b_1 = 0`` — the one-step-ahead level+trend
+    forecast (``l_i + b_i``) that EWMA (C109) can't express: a series
+    drifting upward leaves EWMA permanently lagging, while the trend term
+    closes the gap. The standard capacity-planning smoother over A17's
+    per-period row counts.
+
+    Like EWMA this is a SEQUENTIAL recurrence (each state needs the
+    previous), so it runs in the Arrow lane: ONE shuffle groups each key,
+    one ordered walk per key. Cross-engine exactness: the recurrence is a
+    FIXED sequence of scalar IEEE-754 ops — the twin (:func:`holt_sql`)
+    writes the identical expression shapes, so Python float and DuckDB
+    DOUBLE produce bit-identical trajectories (the C109 lesson: no
+    per-step rounding, which would diverge on tie rules)."""
+    if not key_cols:
+        raise ValueError("holt: key_cols required")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    src = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField(level_col, T.DoubleType()),
+            T.StructField(trend_col, T.DoubleType()),
+        ]
+    )
+    one_a, one_b = 1.0 - alpha, 1.0 - beta
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        levels, trends = [], []
+        l = b = None
+        for x in pdf[value_col].astype(float):
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_prev = l
+                l = alpha * x + one_a * (l_prev + b)
+                b = beta * (l - l_prev) + one_b * b
+            levels.append(l)
+            trends.append(b)
+        pdf = pdf.copy()
+        pdf[level_col] = levels
+        pdf[trend_col] = trends
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(walk, schema=schema)
+
+
+def holt_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    beta: float,
+    tiebreak: str | None = None,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`holt` — the recurrence as a recursive
+    CTE, expression shapes written to match the Python walk op-for-op."""
+    a, b_ = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b_
+    k = ", ".join(key_cols)
+    tb = f", {tiebreak}" if tiebreak else ""
+    kj = " AND ".join(f"r.{c} = w.{c}" for c in key_cols)
+    cols = select or "* EXCLUDE (_rn)"
+    return f"""
+WITH RECURSIVE _r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {k} ORDER BY {ts_col}{tb}
+    ) AS _rn
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+), _walk AS (
+    SELECT *, CAST({value_col} AS DOUBLE) AS {level_col},
+           CAST(0 AS DOUBLE) AS {trend_col}
+    FROM _r WHERE _rn = 1
+    UNION ALL
+    SELECT r.*,
+           {a!r} * CAST(r.{value_col} AS DOUBLE)
+               + {one_a!r} * (w.{level_col} + w.{trend_col}),
+           {b_!r} * (({a!r} * CAST(r.{value_col} AS DOUBLE)
+                      + {one_a!r} * (w.{level_col} + w.{trend_col}))
+                     - w.{level_col})
+               + {one_b!r} * w.{trend_col}
+    FROM _walk w JOIN _r r ON {kj} AND r._rn = w._rn + 1
+)
+SELECT {cols} FROM _walk
+"""
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    target: float,
+    slack: float = 0.0,
+    threshold: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key two-sided CUSUM change detection (SURVEY.md §2 C137):
+    ``hi_i = max(0, hi_{i−1} + (x_i − target − slack))``,
+    ``lo_i = max(0, lo_{i−1} + (target − x_i − slack))`` in (ts, tiebreak)
+    order, alarm when either side exceeds ``threshold`` — Page's classic
+    sequential test, the change-point detector that catches small
+    SUSTAINED shifts the per-point detectors here can't: C64's MAD flags
+    single outliers, C123's rolling baseline needs the shift to clear a
+    zscore per point, while CUSUM accumulates evidence across points. The
+    alarmed side resets to 0 (standard restart), so repeated shifts keep
+    firing.
+
+    Third member of the Arrow-lane recurrence family (C109 EWMA, C135
+    Holt): one shuffle groups each key, one ordered walk per key, and the
+    fixed IEEE op sequence makes :func:`cusum_sql`'s recursive CTE a
+    bit-exact DuckDB twin (no rounding grid — the C109 lesson)."""
+    if not key_cols:
+        raise ValueError("cusum: key_cols required")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    src = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField("cusum_hi", T.DoubleType()),
+            T.StructField("cusum_lo", T.DoubleType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+    tgt, k, h = float(target), float(slack), float(threshold)
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        hi = lo = 0.0
+        his, los, alarms = [], [], []
+        for x in pdf[value_col].astype(float):
+            hi = max(0.0, hi + (x - tgt - k))
+            lo = max(0.0, lo + (tgt - x - k))
+            fired = hi > h or lo > h
+            his.append(hi)
+            los.append(lo)
+            alarms.append(fired)
+            if fired:
+                hi = lo = 0.0
+        pdf = pdf.copy()
+        pdf["cusum_hi"] = his
+        pdf["cusum_lo"] = los
+        pdf["alarm"] = alarms
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(walk, schema=schema)
+
+
+def cusum_sql(
+    source: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    target: float,
+    slack: float = 0.0,
+    threshold: float,
+    tiebreak: str | None = None,
+    select: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`cusum` — the recurrence (including the
+    post-alarm reset) as a recursive CTE, expression shapes matching the
+    Python walk op-for-op."""
+    tgt, k, h = float(target), float(slack), float(threshold)
+    kcols = ", ".join(key_cols)
+    tb = f", {tiebreak}" if tiebreak else ""
+    kj = " AND ".join(f"r.{c} = w.{c}" for c in key_cols)
+    cols = select or "* EXCLUDE (_rn, _hi_c, _lo_c)"
+    # carried state (_hi_c/_lo_c) is the post-reset value; the emitted
+    # cusum_hi/cusum_lo are the pre-reset sums, like the Python walk
+    return f"""
+WITH RECURSIVE _r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {kcols} ORDER BY {ts_col}{tb}
+    ) AS _rn
+    FROM {source}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+), _walk AS (
+    SELECT *,
+           greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) AS cusum_hi,
+           greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) AS cusum_lo,
+           (greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+            OR greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) > {h!r}) AS alarm,
+           CASE WHEN greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+                  OR greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) > {h!r}
+                THEN 0.0
+                ELSE greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) END AS _hi_c,
+           CASE WHEN greatest(0.0, 0.0 + (CAST({value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+                  OR greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) > {h!r}
+                THEN 0.0
+                ELSE greatest(0.0, 0.0 + ({tgt!r} - CAST({value_col} AS DOUBLE) - {k!r})) END AS _lo_c
+    FROM _r WHERE _rn = 1
+    UNION ALL
+    SELECT r.*,
+           greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})),
+           greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})),
+           (greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+            OR greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})) > {h!r}),
+           CASE WHEN greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+                  OR greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})) > {h!r}
+                THEN 0.0
+                ELSE greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})) END,
+           CASE WHEN greatest(0.0, w._hi_c + (CAST(r.{value_col} AS DOUBLE) - {tgt!r} - {k!r})) > {h!r}
+                  OR greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})) > {h!r}
+                THEN 0.0
+                ELSE greatest(0.0, w._lo_c + ({tgt!r} - CAST(r.{value_col} AS DOUBLE) - {k!r})) END
+    FROM _walk w JOIN _r r ON {kj} AND r._rn = w._rn + 1
+)
+SELECT {cols} FROM _walk
+"""
+
+
+_SPINE_STEP = {"day": "interval 1 day", "week": "interval 7 day",
+               "month": "interval 1 month"}

@@ -1,0 +1,35 @@
+"""Count hygiene (r8 advice #7): the README's battery-status claim must
+match the numbers computed from the source of truth (SURVEY §2 rows +
+__spark_entry__ registries) — close notes drifted twice when counted by
+hand. Regenerate with ``python tools/component_counts.py`` after adding
+components."""
+
+import os
+import re
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from component_counts import ROOT, counts
+
+
+def test_readme_battery_claim_matches_registries():
+    c = counts()
+    readme = open(os.path.join(ROOT, "README.md")).read()
+    m = re.search(
+        r"(\d+) oracle-paired queries of (\d+) battery entries", readme
+    )
+    assert m, "README battery-status line missing"
+    assert int(m.group(1)) == c["oracle_paired"], (
+        f"README claims {m.group(1)} oracle-paired, registries say "
+        f"{c['oracle_paired']} — run tools/component_counts.py and update"
+    )
+    assert int(m.group(2)) == c["checked_queries"]
+
+
+def test_driver_battery_size_within_recording_cap():
+    c = counts()
+    assert c["driver_queries"] <= 50
+    assert c["survey_c_rows"] == c["survey_c_max"], "gap in SURVEY C-row ids"

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Chunk-band engine measurement (r8 advice #5).
+
+The reference's own sizing guidance (/root/reference/README.md:104) says to
+pick the materialisation period so most loads arrive in chunks of 6M-60M
+rows. This script builds a fixture INSIDE that band — 6M rows/day over 3
+days, derived from the sf0.1 events fixture by key-shifted replication —
+and runs the daily period loop over it end-to-end (engine staging + atomic
+per-period publishes), printing wall seconds and rows/s. The result is
+recorded in BASELINE.md as the measured proof that the engine holds the
+reference's own chunk-sizing sweet spot.
+
+Usage: python tools/chunk_band_run.py [rows_per_day] [days]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark import (
+    IBTPConfig,
+    InsertByTimeperiod,
+    RunVars,
+    get_spark,
+)
+from insert_by_timeperiod_spark.sources import load_table
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+MODEL = """
+SELECT event_id, user_id, ts, CAST(ts AS DATE) AS event_date,
+       event_type, value
+FROM chunk_events
+WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+"""
+
+
+def build_fixture(spark, rows_per_day: int, days: int, path: str) -> None:
+    """Replicate sf0.1 events (100k rows) into `days` uniform days of
+    `rows_per_day` each: key-shifted copies (the bench_sf1 recipe), ts
+    remapped to spread one source day's worth across each target day."""
+    if os.path.exists(os.path.join(path, "_DONE")):
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    base = load_table(spark, SRC, "events")
+    n_src = base.count()
+    copies = (rows_per_day * days + n_src - 1) // n_src
+    rep = (
+        spark.range(copies)
+        .select(F.col("id").alias("_rep"))
+        .crossJoin(base)
+        .withColumn("event_id", F.col("event_id") + F.col("_rep") * 10_000_000)
+    )
+    # deterministic uniform spread over the target days: day/offset from
+    # the replicated key, NOT the source ts (whose Jan profile is skewed)
+    total = rows_per_day * days
+    rn = F.pmod(F.xxhash64("event_id"), F.lit(total))
+    day = (rn / rows_per_day).cast("long")
+    us_in_day = F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(86_400_000_000))
+    out = (
+        rep.withColumn(
+            "ts",
+            F.timestamp_micros(
+                (
+                    F.unix_micros(F.to_timestamp(F.lit("2024-03-01")))
+                    + day * F.lit(86_400_000_000)
+                    + us_in_day
+                ).cast("long")
+            ),
+        )
+        .drop("_rep")
+        .limit(total)
+    )
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    open(os.path.join(path, "_DONE"), "w").write("ok")
+
+
+def main() -> None:
+    rows_per_day = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+    days = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    fixture = f"/tmp/ibtp_chunkband_{rows_per_day}x{days}"
+    spark = get_spark("ibtp-chunkband")
+    build_fixture(spark, rows_per_day, days, fixture)
+    src = spark.read.parquet(os.path.join(fixture, "events.parquet"))
+    src.createOrReplaceTempView("chunk_events")
+    n_rows = src.count()
+
+    tgt = tempfile.mkdtemp(prefix="ibtp_chunkband_tgt_") + "/t"
+    cfg = IBTPConfig(
+        timestamp_field="event_date",
+        period="day",
+        start_date="2024-03-01",
+        stop_date=f"2024-03-0{1 + days}" if days < 9 else None,
+    )
+    eng = InsertByTimeperiod(spark, MODEL, cfg, tgt, count_rows=False)
+    t0 = time.time()
+    res = eng.run(RunVars())
+    wall = time.time() - t0
+    written = spark.read.parquet(tgt).count()
+    assert written == n_rows, (written, n_rows)
+    out = {
+        "rows_per_chunk": rows_per_day,
+        "chunks": days,
+        "total_rows": n_rows,
+        "wall_sec": round(wall, 1),
+        "rows_per_sec": int(n_rows / wall),
+        "periods_written": len(res.periods),
+    }
+    print(json.dumps(out))
+    shutil.rmtree(os.path.dirname(tgt), ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Canonical component / battery counts (r8 advice #7: close notes kept
+drifting from reality when counted by hand).
+
+Source of truth: SURVEY.md §2's table rows + ``__spark_entry__``'s query
+registries. Run this BEFORE writing any close note / README status line;
+``tests/test_counts.py`` asserts the README claim matches this output, so
+a stale number turns the suite red instead of rotting silently.
+
+Usage: python tools/component_counts.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def counts() -> dict:
+    import __spark_entry__ as E
+
+    survey = open(os.path.join(ROOT, "SURVEY.md")).read()
+    a_rows = sorted({int(m) for m in re.findall(r"^\| A(\d+)[ /]", survey, re.M)})
+    b_rows = sorted({int(m) for m in re.findall(r"^\| B(\d+)[ /]", survey, re.M)})
+    c_rows = sorted({int(m) for m in re.findall(r"^\| C(\d+) ", survey, re.M)})
+    # combined rows like "| A4/A5 |" count both ids
+    for a, b in re.findall(r"^\| A(\d+)/A(\d+) ", survey, re.M):
+        a_rows = sorted(set(a_rows) | {int(a), int(b)})
+
+    driver_q = set(E.queries())
+    annex_q = set(E.pytest_only_queries())
+    oracled = (set(E.oracle_sql()) | set(E.pytest_only_oracles())) & (
+        driver_q | annex_q
+    )
+    rows_only = (driver_q | annex_q) - oracled
+    return {
+        "survey_a_rows": len(a_rows),
+        "survey_b_rows": len(b_rows),
+        "survey_c_rows": len(c_rows),
+        "survey_c_max": max(c_rows) if c_rows else 0,
+        "components_total": len(a_rows) + len(b_rows) + len(c_rows),
+        "driver_queries": len(driver_q),
+        "annex_queries": len(annex_q),
+        "checked_queries": len(driver_q | annex_q),
+        "oracle_paired": len(oracled),
+        "rows_only": len(rows_only),
+        "rows_only_names": sorted(rows_only),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(counts(), indent=2))

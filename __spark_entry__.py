@@ -1179,6 +1179,83 @@ def _dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_near_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C251 (annex, EXACT oracle): QUALITY-AWARE near-dedup
+    (dedup.near_dedup_by) — LSH clusters elect their highest-score member
+    (id-asc tiebreak) instead of the min id, so a planted near-dup with a
+    higher quality score REPLACES its original. Oracle: the exact-Jaccard
+    + recursive-closure clustering of NEAR_CLUSTERS_DUCK with a QUALIFY
+    election per cluster; scores are deterministic id arithmetic, chosen
+    so some plants win and some lose."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    near = (
+        docs.where(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xyzzy")))
+    )
+    corpus = docs.unionByName(near).withColumn(
+        "q", F.pmod(F.col("doc_id"), F.lit(97)).cast("int")
+    )
+    return dedup.near_dedup_by(corpus, "q", jaccard_threshold=0.7).select(
+        "doc_id", "q"
+    )
+
+
+NEAR_BEST_DUCK = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' xyzzy' AS text
+  FROM documents WHERE doc_id < 20
+), scored_corpus AS (
+  SELECT doc_id, text, CAST(doc_id % 97 AS INTEGER) AS q FROM corpus
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 5 THEN [text]
+              ELSE list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i::INT, 5)))
+         END AS s
+  FROM scored_corpus
+), shing AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shing a JOIN shing b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), edges AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT a AS node, b AS lbl FROM sym
+  UNION
+  SELECT r.node, s.b AS lbl FROM reach r JOIN sym s ON s.a = r.lbl
+), members AS (
+  SELECT node, least(node, MIN(lbl)) AS cluster FROM reach GROUP BY node
+), losers AS (
+  -- per-cluster election: highest q wins, id-asc tiebreak; everyone else drops
+  SELECT node FROM (
+    SELECT m.node,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.cluster
+             ORDER BY sc.q DESC, m.node ASC
+           ) AS rk
+    FROM members m JOIN scored_corpus sc ON sc.doc_id = m.node
+  ) WHERE rk > 1
+)
+SELECT doc_id, q FROM scored_corpus
+WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: simhash fingerprints + planted near-dup Hamming pairs."""
     _prep(spark, sf_dir)
@@ -2141,6 +2218,53 @@ def _hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch.hll_rollup_update(b1, state, ["event_type"], "user_id")
     out = sketch.hll_rollup_update(b2, state, ["event_type"], "user_id")
     return out.select("event_type", "distinct_est").orderBy("event_type")
+
+
+def _hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C252 (annex, EXACT oracle): sliding 7-day distinct users per
+    observed day from mergeable daily HLL sketches — the windowed
+    distinct readout that at 100 TB would otherwise re-scan 7 days of
+    corpus per day. Exactly oracle-able since r9: the registered
+    spark_xxhash64 UDFs replay the register decomposition in SQL, so the
+    twin computes the IDENTICAL estimate (deterministic hash arithmetic),
+    not a tolerance check."""
+    _prep(spark, sf_dir)
+    return sketch.hll_sliding_distinct(
+        spark.table("events"), "ts", "user_id", window_days=7
+    )
+
+
+def _hll_sliding_duck(p: int = 12, window_days: int = 7) -> str:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    amm = f"{alpha * m * m!r}e0"
+    return f"""
+WITH _daily AS (
+    SELECT CAST(ts AS DATE) AS _d,
+           spark_hll_idx(spark_xxhash64_long(user_id), {p}) AS _i,
+           MAX(spark_hll_rank(spark_xxhash64_long(user_id), {p})) AS _r
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+), _obs AS (
+    SELECT DISTINCT _d AS window_end FROM _daily
+), _fan AS (
+    SELECT o.window_end, d._i, MAX(d._r) AS _r
+    FROM _daily d
+    JOIN _obs o
+      ON o.window_end BETWEEN d._d AND d._d + INTERVAL {window_days - 1} DAY
+    GROUP BY 1, 2
+), _agg AS (
+    SELECT window_end,
+           SUM(POWER(2.0, -_r)) + ({m} - COUNT(*)) AS _s,
+           {m} - COUNT(*) AS _z
+    FROM _fan GROUP BY 1
+)
+SELECT window_end,
+       CAST(ROUND(CASE WHEN {amm} / _s <= 2.5 * {m} AND _z > 0
+                       THEN {m} * LN({m} / CAST(_z AS DOUBLE))
+                       ELSE {amm} / _s END) AS BIGINT) AS distinct_est
+FROM _agg
+"""
 
 
 def _cm_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7325,6 +7449,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "chunk_documents": _chunk_docs,
         "hll_distinct_users": _hll_users,
         "hll_rollup_periods": _hll_rollup,
+        "hll_sliding_users": _hll_sliding,
         "cm_topk_words": _cm_topk_words,
         "dd_latency_quantiles": _dd_latency,
         "dedup_incremental": _incr_dedup,
@@ -7346,6 +7471,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "audio_near_dups": _audio_near_dups,
         "multimodal_video_frames": _multimodal_video,
         "dedup_simhash_planted": _dedup_simhash,
+        "dedup_near_best": _dedup_near_best,
         "text_fingerprint": _text_fingerprint,
         "sim_ivf_topk": _sim_ivf,
         "sim_pq_topk": _sim_pq,
@@ -7619,8 +7745,10 @@ def pytest_only_oracles() -> dict[str, str]:
         "text_fingerprint": TEXT_FINGERPRINT_DUCK,
         "hll_distinct_users": _hll_estimate_duck("distinct_users_est"),
         "hll_rollup_periods": _hll_estimate_duck("distinct_est"),
+        "hll_sliding_users": _hll_sliding_duck(),
         "bloom_seen_users": BLOOM_SEEN_DUCK,
         "dedup_simhash_planted": _simhash_planted_duck(),
+        "dedup_near_best": NEAR_BEST_DUCK,
         "cube_acctbal": CUBE_SQL,
         "q6_forecast_revenue": Q6_FORECAST,
         "q14_promo_revenue": Q14_PROMO,

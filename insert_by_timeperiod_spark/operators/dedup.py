@@ -716,6 +716,48 @@ def near_dedup(
     return df.join(drop, id_col, "left_anti")
 
 
+def near_dedup_by(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    jaccard_threshold: float = 0.85,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Quality-aware corpus near-dedup (SURVEY.md §2 C251): LSH pairs →
+    connected components → keep each cluster's BEST member (highest
+    ``score_col``, id-asc tiebreak) instead of :func:`near_dedup`'s
+    min-id representative — :func:`exact_dedup_by`'s C129 election rule
+    lifted to NEAR duplicates. When a page and its boilerplate-mangled
+    mirror collapse into one cluster, the curation pipeline keeps the
+    higher-quality copy (its metadata rides along), not the one with the
+    smaller id.
+
+    Scale shape: identical to near_dedup up to the components fold; the
+    election is ONE window over cluster-partitioned members (clusters are
+    small cliques — parallel across clusters, bounded within), scores
+    joined in by id. Documents in no pair never enter the component
+    computation and always keep themselves."""
+    prs = minhash_lsh_pairs(
+        df, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
+    )
+    comp = connected_components(prs)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        "node",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_s").desc(), F.col("node").asc()
+    )
+    losers = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -539,3 +539,73 @@ def cm_inner_product(a: Column, b: Column, *, depth: int = CM_DEPTH) -> Column:
         ]
     )
     return F.array_min(row_sums)
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_days: int = 7,
+    p: int = DEFAULT_P,
+    out_col: str = "distinct_est",
+) -> DataFrame:
+    """Sliding-window distinct count from mergeable daily sketches
+    (SURVEY.md §2 C252): for every observed day D, the HLL estimate of
+    distinct ``value_col`` over [D−(window_days−1), D] — the "7-day
+    active users, daily" readout. An exact windowed COUNT(DISTINCT) at
+    100 TB either re-scans window_days of raw corpus per day or holds
+    per-day value sets; here each day folds once into a daily register
+    frame, and every window is a register-max union of its days (the
+    pinned C35 merge-exactness invariant).
+
+    Scale shape: ONE corpus aggregate (day, register) → max rank —
+    map-side combined, ≤ days × 2^p rows ever shuffle; each register row
+    then fans to the ≤window_days window-ends it serves (bounded
+    arithmetic explode, no corpus re-read), a second bounded aggregate
+    takes the per-(window, register) max, and the estimate is the C35
+    column fold. Output rows only for days actually observed (a window
+    anchored on a silent day is reported by the next observed day).
+
+    Exact DuckDB twin via the registered spark_xxhash64 UDFs (r9) — the
+    estimate is deterministic hash arithmetic, not an approximation of
+    the TEST."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.to_date(F.col(ts_col))
+    idx, rank = _reg_and_rank(F.col(value_col), p)
+    daily = (
+        df.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(day.alias("_d"), idx.alias("_i"), rank.alias("_r"))
+        .groupBy("_d", "_i")
+        .agg(F.max("_r").alias("_r"))
+        # two consumers below (fan-out + observed-days) — pin the bounded
+        # (days × 2^p) frame so the corpus aggregate runs once
+        .localCheckpoint()
+    )
+    # each day's registers serve the window_days windows ending on
+    # [d, d + window_days - 1]; keep only window-ends that are observed
+    # days (broadcast semi join against the tiny distinct-days frame)
+    fanned = daily.withColumn(
+        "window_end",
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.date_add(F.col("_d"), window_days - 1)
+            )
+        ),
+    )
+    observed = daily.select(F.col("_d").alias("window_end")).distinct()
+    slid = (
+        fanned.join(F.broadcast(observed), "window_end", "left_semi")
+        .groupBy("window_end", "_i")
+        .agg(F.max("_r").alias("_r"))
+        .groupBy("window_end")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_i", "_r")))
+            ).alias("hll")
+        )
+    )
+    return slid.select(
+        "window_end", hll_estimate(F.col("hll"), p=p).alias(out_col)
+    ).orderBy("window_end")

@@ -1,0 +1,59 @@
+"""Round-9 batch 89: C251 quality-aware near-dedup representative
+election and C252 sliding-window HLL distinct."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from insert_by_timeperiod_spark.operators import dedup, sketch
+
+
+def test_near_dedup_by_elects_best_scored_member(spark):
+    """One near-dup cluster of three: the highest-q member wins (id-asc on
+    ties), NOT the min id; singletons always keep themselves; the winner's
+    metadata rides along."""
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        (1, base, 5),
+        (2, base + " tail-a", 9),          # tied best score...
+        (3, base + " tail-b", 9),          # ...id 2 wins the tie
+        (50, "completely unrelated text about spark engines " * 15, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q int")
+    kept = {r["doc_id"]: r["q"] for r in
+            dedup.near_dedup_by(df, "q", jaccard_threshold=0.7).collect()}
+    assert kept == {2: 9, 50: 1}
+    # contrast: plain near_dedup keeps min id
+    kept_min = {r["doc_id"] for r in
+                dedup.near_dedup(df, jaccard_threshold=0.7).collect()}
+    assert kept_min == {1, 50}
+
+
+def test_hll_sliding_distinct_equals_oneshot_window_sketches(spark):
+    """Merge exactness (the pinned C35 invariant) means the sliding fold
+    must equal, BIT-FOR-BIT, the one-shot sketch estimate over each
+    window's raw rows — and window_days=1 is exactly the daily rollup."""
+    rows = []
+    for d in range(10):
+        for u in range(20 + 13 * d):
+            rows.append((dt.datetime(2024, 3, 1 + d, 8, 0, 0), (u * 7919 + d) % 1500))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {r["window_end"]: r["distinct_est"] for r in
+           sketch.hll_sliding_distinct(df, "ts", "user_id", window_days=7).collect()}
+    assert len(out) == 10
+    for d in (0, 4, 9):
+        end = dt.date(2024, 3, 1 + d)
+        lo = end - dt.timedelta(days=6)
+        win = df.where(
+            (F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(end))
+        )
+        one = win.select(F.lit(1).alias("g"), "user_id")
+        sk = sketch.hll_sketch(one, ["g"], "user_id")
+        want = sk.select(sketch.hll_estimate(F.col("hll")).alias("e")).collect()[0]["e"]
+        assert out[end] == want, (end, out[end], want)
+    # window_days=1 == per-day estimates
+    daily = {r["window_end"]: r["distinct_est"] for r in
+             sketch.hll_sliding_distinct(df, "ts", "user_id", window_days=1).collect()}
+    for d in range(10):
+        end = dt.date(2024, 3, 1 + d)
+        assert daily[end] <= out[end] or d == 0

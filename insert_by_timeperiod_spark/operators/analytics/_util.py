@@ -84,6 +84,55 @@ def _exact_global_ntile(df: DataFrame, order_exprs, k: int, out_col: str) -> Dat
     )
 
 
+def _dist_cumsum_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs,
+    value_cols: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """:func:`_dist_cumsum` for SEVERAL value columns in ONE ranged
+    shuffle (the KS ECDF needs two cumulative counts over the same
+    order; two separate calls would range-partition the frame twice)."""
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    gx = [F.col(g) for g in group_cols]
+    d = _pin_ranged(
+        df.repartitionByRange(nparts, *gx, *order_exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    wloc = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d
+    for v, o in zip(value_cols, out_cols):
+        local = local.withColumn(f"_lcs_{o}", F.sum(F.col(v)).over(wloc))
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = d.groupBy("_pid", *group_cols).agg(
+        *[F.sum(F.col(v)).alias(f"_psum_{o}") for v, o in zip(value_cols, out_cols)]
+    )
+    for o in out_cols:
+        offs = offs.withColumn(
+            f"_off_{o}", F.coalesce(F.sum(f"_psum_{o}").over(woff), F.lit(0.0))
+        )
+    offs = offs.select("_pid", *group_cols, *[f"_off_{o}" for o in out_cols])
+    join_keys = ["_pid", *group_cols]
+    out = local.join(F.broadcast(offs), join_keys)
+    for o in out_cols:
+        out = out.withColumn(o, F.col(f"_off_{o}") + F.col(f"_lcs_{o}"))
+    return out.drop(
+        "_pid",
+        *[f"_lcs_{o}" for o in out_cols],
+        *[f"_off_{o}" for o in out_cols],
+    )
+
+
 def _dist_cumsum(
     df: DataFrame,
     group_cols: list[str],

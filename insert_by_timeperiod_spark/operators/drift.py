@@ -334,12 +334,15 @@ def ks_statistic(
     Output one row: ``d_stat``, the value it's attained at (smallest
     such value — a deterministic tiebreak), and both sample sizes.
 
-    Scale shape: one union + per-value count aggregate, ONE window pass
-    (ordered by value) building both step ECDFs from cumulative counts,
-    then a global max. ECDF counts are exact integers divided once, so
-    :func:`ks_sql` is exact cross-engine. The single-partition window
-    runs over the DISTINCT-values frame (already aggregated), not the
-    corpus — at 100 TB bucket values first if truly continuous."""
+    Scale shape (r9): one union + per-value count aggregate, then BOTH
+    step ECDFs as distributed cumulative counts over the distinct-values
+    frame in ONE ranged shuffle (`_dist_cumsum_multi` — no
+    single-partition window even for truly continuous metrics), totals
+    as a 1-row broadcast, and the (d_stat, at_value) election as one
+    arg-max aggregate. ECDF counts are exact integers divided once, so
+    :func:`ks_sql` is exact cross-engine (integer sums are order-free)."""
+    from .analytics._util import _dist_cumsum_multi
+
     b = base.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("_v"), F.lit(1).alias("_isb")
     )
@@ -354,24 +357,24 @@ def ks_statistic(
             F.sum(F.lit(1) - F.col("_isb")).alias("_nc"),
         )
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    ecdf = per_v.select(
+    cum = _dist_cumsum_multi(
+        per_v, [], [F.col("_v").asc()], ["_nb", "_nc"], ["_cb", "_cc"]
+    )
+    totals = per_v.groupBy().agg(
+        F.sum("_nb").alias("_tb"), F.sum("_nc").alias("_tc")
+    )
+    ecdf = cum.crossJoin(F.broadcast(totals)).select(
         "_v",
-        (F.sum("_nb").over(w) / F.sum("_nb").over(wall)).alias("_fb"),
-        (F.sum("_nc").over(w) / F.sum("_nc").over(wall)).alias("_fc"),
-        F.sum("_nb").over(wall).alias("_tb"),
-        F.sum("_nc").over(wall).alias("_tc"),
-    ).select(
-        "_v",
-        F.round(F.abs(F.col("_fb") - F.col("_fc")), 9).alias("_d"),
+        F.round(
+            F.abs(F.col("_cb") / F.col("_tb") - F.col("_cc") / F.col("_tc")), 9
+        ).alias("_d"),
         "_tb",
         "_tc",
     )
-    flagged = ecdf.withColumn("_dmax", F.max("_d").over(wall))
-    return flagged.groupBy().agg(
+    return ecdf.groupBy().agg(
         F.round(F.max("_d"), 6).alias("d_stat"),
-        F.min(F.when(F.col("_d") == F.col("_dmax"), F.col("_v"))).alias(
+        # min _v among rows attaining max _d: one arg-min on (-d, v)
+        F.min_by("_v", F.struct((-F.col("_d")).alias("d"), F.col("_v").alias("v"))).alias(
             "at_value"
         ),
         F.max("_tb").cast("long").alias("n_base"),

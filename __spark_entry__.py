@@ -7212,6 +7212,24 @@ def _bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference.bradley_terry(prefs, iterations=10)
 
 
+def _preference_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C253 (annex, EXACT oracle): intransitivity audit of the same
+    deterministic preference graph C242 fits — majority-direction edges,
+    directed 3-cycle count vs the triangle census. The structural
+    consistency gate to run BEFORE trusting a single-strength-per-item
+    model."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    prev_type = F.expr(
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY unix_micros(ts), event_id)"
+    )
+    prefs = ev.select(
+        F.col("event_type").alias("winner"), prev_type.alias("loser")
+    ).where(F.col("loser").isNotNull())
+    return preference.preference_cycles(prefs)
+
+
 _BT_SRC_DUCK = (
     "(SELECT * FROM (SELECT event_type AS winner,"
     " lag(event_type) OVER (PARTITION BY user_id"
@@ -7711,6 +7729,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "prob_eval_purchase": _prob_eval,
         "logreg_quality_docs": _logreg_quality,
         "bradley_terry_events": _bradley_terry,
+        "preference_cycles_events": _preference_cycles,
         "chat_turn_stats_events": _chat_stats,
         "length_buckets_docs": _length_buckets,
         "mixing_plan_docs": _mixing_plan,
@@ -8504,6 +8523,9 @@ def pytest_only_oracles() -> dict[str, str]:
         ),
         "bradley_terry_events": preference.bradley_terry_sql(
             _BT_SRC_DUCK, iterations=10,
+        ),
+        "preference_cycles_events": preference.preference_cycles_sql(
+            _BT_SRC_DUCK,
         ),
         "tokenizer_fertility_docs": sampling.tokenizer_fertility_sql(
             "documents", "lang", "text",

@@ -228,3 +228,156 @@ SELECT item, _p AS strength,
        CAST(ROW_NUMBER() OVER (ORDER BY _p DESC, item ASC) AS BIGINT) AS rank
 FROM {prev}
 """
+
+
+def preference_cycles(
+    df: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Intransitivity audit of a preference corpus (SURVEY.md §2 C253):
+    count directed 3-cycles (a beats b beats c beats a) among the
+    MAJORITY-direction edges — the consistency readout to run BEFORE
+    trusting C242's Bradley-Terry fit, whose single-strength-per-item
+    model assumes the comparison graph is (mostly) transitive. A high
+    cycle rate means the raters disagree structurally, not noisily.
+
+    Edges: one per unordered pair with a STRICT majority winner (ties
+    carry no direction and are excluded). Output one row: ``n_items``,
+    ``n_edges``, ``n_triangles`` (triples with all three pairwise edges,
+    either orientation), ``n_cycles`` (cyclically oriented triangles),
+    ``cycle_rate`` = cycles/triangles (NULL when no triangles).
+
+    Scale shape: the corpus collapses to the bounded pairwise-count
+    frame in ONE map-side-combined aggregate (the C242 posture and the
+    same 2M-pair guard); the triangle joins run on the edges frame —
+    items-sized, never corpus-sized. Exact twin:
+    :func:`preference_cycles_sql`."""
+    spark = df.sparkSession
+    prefs = df.where(
+        F.col(winner_col).isNotNull()
+        & F.col(loser_col).isNotNull()
+        & (F.col(winner_col).cast("string") != F.col(loser_col).cast("string"))
+    )
+    lo = F.least(F.col(winner_col).cast("string"), F.col(loser_col).cast("string"))
+    hi = F.greatest(F.col(winner_col).cast("string"), F.col(loser_col).cast("string"))
+    pair = (
+        prefs.groupBy(lo.alias("_lo"), hi.alias("_hi"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum((F.col(winner_col).cast("string") == lo).cast("long")).alias(
+                "_w_lo"
+            ),
+        )
+        # two consumers (guard count + edges): pin so the corpus aggregate
+        # runs once
+        .localCheckpoint()
+    )
+    if pair.limit(MAX_PAIR_ROWS + 1).count() > MAX_PAIR_ROWS:
+        raise ValueError(
+            f"preference_cycles: > {MAX_PAIR_ROWS} distinct item pairs — "
+            "the item set is not bounded; aggregate items before auditing"
+        )
+    # strict-majority directed edge per pair; ties drop. Two consumers
+    # below (directed + undirected triangle counts) — pin the bounded frame
+    edges = (
+        pair.where(F.col("_w_lo") * 2 != F.col("_n"))
+        .select(
+            F.when(F.col("_w_lo") * 2 > F.col("_n"), F.col("_lo"))
+            .otherwise(F.col("_hi"))
+            .alias("src"),
+            F.when(F.col("_w_lo") * 2 > F.col("_n"), F.col("_hi"))
+            .otherwise(F.col("_lo"))
+            .alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    cycles = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e2.dst") == F.col("e3.src"))
+            & (F.col("e3.dst") == F.col("e1.src")),
+        )
+        # each cycle appears once per rotation; anchor on its min member
+        .where(
+            (F.col("e1.src") < F.col("e2.src")) & (F.col("e1.src") < F.col("e3.src"))
+        )
+        .count()
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("_a"), F.greatest("src", "dst").alias("_b")
+    )
+    u1, u2, u3 = und.alias("u1"), und.alias("u2"), und.alias("u3")
+    triangles = (
+        u1.join(
+            u2, (F.col("u1._a") == F.col("u2._a")) & (F.col("u1._b") < F.col("u2._b"))
+        )
+        .join(
+            u3,
+            (F.col("u3._a") == F.col("u1._b")) & (F.col("u3._b") == F.col("u2._b")),
+        )
+        .count()
+    )
+    n_items = (
+        edges.select(F.col("src").alias("i"))
+        .unionByName(edges.select(F.col("dst").alias("i")))
+        .distinct()
+        .count()
+    )
+    n_edges = edges.count()
+    rate = round(cycles / triangles, 6) if triangles else None
+    return spark.createDataFrame(
+        [(n_items, n_edges, triangles, cycles, rate)],
+        "n_items long, n_edges long, n_triangles long, n_cycles long, "
+        "cycle_rate double",
+    )
+
+
+def preference_cycles_sql(
+    source: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> str:
+    """Exact DuckDB twin of :func:`preference_cycles` (same majority-edge
+    rule, same rotation-anchored cycle count, same triangle census)."""
+    return f"""
+WITH _prefs AS (
+    SELECT CAST({winner_col} AS VARCHAR) AS _w, CAST({loser_col} AS VARCHAR) AS _l
+    FROM {source}
+    WHERE {winner_col} IS NOT NULL AND {loser_col} IS NOT NULL
+      AND CAST({winner_col} AS VARCHAR) <> CAST({loser_col} AS VARCHAR)
+), _pair AS MATERIALIZED (
+    SELECT least(_w, _l) AS _lo, greatest(_w, _l) AS _hi,
+           COUNT(*) AS _n,
+           SUM(CASE WHEN _w = least(_w, _l) THEN 1 ELSE 0 END) AS _w_lo
+    FROM _prefs GROUP BY 1, 2
+), _edges AS MATERIALIZED (
+    SELECT CASE WHEN _w_lo * 2 > _n THEN _lo ELSE _hi END AS src,
+           CASE WHEN _w_lo * 2 > _n THEN _hi ELSE _lo END AS dst
+    FROM _pair WHERE _w_lo * 2 <> _n
+), _cyc AS (
+    SELECT COUNT(*) AS n_cycles
+    FROM _edges e1
+    JOIN _edges e2 ON e1.dst = e2.src
+    JOIN _edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+    WHERE e1.src < e2.src AND e1.src < e3.src
+), _und AS MATERIALIZED (
+    SELECT least(src, dst) AS _a, greatest(src, dst) AS _b FROM _edges
+), _tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM _und u1
+    JOIN _und u2 ON u1._a = u2._a AND u1._b < u2._b
+    JOIN _und u3 ON u3._a = u1._b AND u3._b = u2._b
+)
+SELECT (SELECT COUNT(DISTINCT i) FROM
+         (SELECT src AS i FROM _edges UNION ALL SELECT dst FROM _edges))
+           AS n_items,
+       (SELECT COUNT(*) FROM _edges) AS n_edges,
+       n_triangles, n_cycles,
+       CASE WHEN n_triangles > 0
+            THEN round(CAST(n_cycles AS DOUBLE) / n_triangles, 6) END
+           AS cycle_rate
+FROM _tri, _cyc
+"""

@@ -57,3 +57,34 @@ def test_hll_sliding_distinct_equals_oneshot_window_sketches(spark):
     for d in range(10):
         end = dt.date(2024, 3, 1 + d)
         assert daily[end] <= out[end] or d == 0
+
+
+def test_preference_cycles_planted_cycle_and_transitive(spark):
+    """C253 hand case: a>b>c>a (one cycle) plus x>y>z with x>z
+    (transitive) plus a tied pair (drops, no direction) — counts must be
+    exact, and the twin must agree on the fixture."""
+    import duckdb
+
+    from insert_by_timeperiod_spark.operators import preference
+
+    rows = (
+        [("a", "b")] * 3 + [("b", "a")]          # a beats b (3:1)
+        + [("b", "c")] * 2                       # b beats c
+        + [("c", "a")] * 2                       # c beats a  -> cycle
+        + [("x", "y")] * 2 + [("y", "z")] * 2 + [("x", "z")] * 2  # transitive
+        + [("p", "q"), ("q", "p")]               # tie -> no edge
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = preference.preference_cycles(df).collect()[0]
+    assert out["n_items"] == 6          # p/q drop with the tied edge
+    assert out["n_edges"] == 6
+    assert out["n_triangles"] == 2 and out["n_cycles"] == 1
+    assert out["cycle_rate"] == 0.5
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}','{l}')" for w, l in rows)
+    con.execute(
+        "CREATE TEMP VIEW _pc AS SELECT * FROM (VALUES "
+        + vals + ") t(winner, loser)"
+    )
+    want = con.sql(preference.preference_cycles_sql("_pc")).fetchone()
+    assert tuple(out) == want

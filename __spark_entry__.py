@@ -2033,6 +2033,17 @@ _COS = (
 )
 
 
+def _prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT C254 (annex, EXACT oracle): matryoshka prefix-energy audit of
+    the embeddings table at d in {8, 16, 32, 64} — the go/no-go readout
+    before truncating the ANN index to a prefix (cosine degradation under
+    truncation is bounded by the energy both vectors drop)."""
+    _prep(spark, sf_dir)
+    return similarity.prefix_energy_audit(
+        spark.table("embeddings"), [8, 16, 32, 64]
+    )
+
+
 def _sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     embs = spark.table("embeddings")
@@ -7468,6 +7479,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "hll_distinct_users": _hll_users,
         "hll_rollup_periods": _hll_rollup,
         "hll_sliding_users": _hll_sliding,
+        "embedding_prefix_energy": _prefix_energy,
         "cm_topk_words": _cm_topk_words,
         "dd_latency_quantiles": _dd_latency,
         "dedup_incremental": _incr_dedup,
@@ -7765,6 +7777,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "hll_distinct_users": _hll_estimate_duck("distinct_users_est"),
         "hll_rollup_periods": _hll_estimate_duck("distinct_est"),
         "hll_sliding_users": _hll_sliding_duck(),
+        "embedding_prefix_energy": similarity.prefix_energy_sql(
+            "embeddings", [8, 16, 32, 64],
+        ),
         "bloom_seen_users": BLOOM_SEEN_DUCK,
         "dedup_simhash_planted": _simhash_planted_duck(),
         "dedup_near_best": NEAR_BEST_DUCK,

@@ -773,3 +773,109 @@ def hard_negative_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def prefix_energy_audit(
+    df: DataFrame,
+    dims: list[int],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation audit (SURVEY.md §2 C254; Kusupati et al.
+    2022 arXiv:2205.13147): per candidate prefix length d, how much of
+    each vector's squared L2 energy the first d coordinates retain —
+    ``energy = Σ_{i<d} v_i² / Σ_i v_i²``. The go/no-go readout before
+    truncating the ANN index (C38/C39/C43) to a prefix: MRL-trained
+    embeddings front-load energy, PCA-rotated ones decay by eigenvalue,
+    and untreated embeddings spread uniformly (energy ≈ d/D — truncation
+    would destroy geometry). Cosine under truncation degrades with the
+    energy BOTH vectors drop, so the per-d distribution bounds the
+    similarity error a prefix index can introduce.
+
+    Output one row per d: ``dim``, ``n_vectors``, ``mean_energy``,
+    ``min_energy``, ``frac_ge_half`` (fraction of vectors retaining at
+    least half their energy at d — an exact counting statistic; an
+    interpolated median's (a+b)/2 midpoint rounds differently across
+    engines at half-ulp boundaries, so it is deliberately NOT used).
+    Zero-norm / NULL / shorter-than-d vectors are excluded (``n_vectors``
+    makes the exclusion visible).
+
+    Scale shape: pure scan-stage column folds (one `aggregate` per d over
+    the prefix slice + one for the full norm) into a map-side-combined
+    per-d aggregate — the shuffle carries |dims| × 5 numbers however
+    large the corpus. Per-row ratios round to the 6-grid so the exact
+    median (and the DECIMAL mean) are engine-portable:
+    :func:`prefix_energy_sql` is exact."""
+    if not dims or any(d < 1 for d in dims):
+        raise ValueError(f"dims must be non-empty positive ints, got {dims}")
+    v = F.col(vec_col)
+    # cast BEFORE multiplying: float32 squares then double-summed would
+    # diverge from the twin's double arithmetic in the last ulps
+    sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    full = F.aggregate(F.transform(v, sq), F.lit(0.0), lambda a, x: a + x)
+    rows = []
+    for d in sorted(set(dims)):
+        pre = F.aggregate(
+            F.transform(F.slice(v, 1, d), sq), F.lit(0.0), lambda a, x: a + x
+        )
+        e = F.round(pre / full, 6)
+        rows.append(
+            df.where(v.isNotNull() & (F.size(v) >= d) & (full > 0))
+            .select(e.alias("_e"))
+            .groupBy()
+            .agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.round(
+                    F.sum(F.col("_e").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mean_energy"),
+                F.round(F.min("_e"), 6).alias("min_energy"),
+                F.round(
+                    F.sum((F.col("_e") >= 0.5).cast("long"))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("frac_ge_half"),
+            )
+            .select(
+                "dim", "n_vectors", "mean_energy", "min_energy", "frac_ge_half"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("dim")
+
+
+def prefix_energy_sql(
+    source: str,
+    dims: list[int],
+    *,
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB twin of :func:`prefix_energy_audit` (same 6-grid
+    per-row ratio, DECIMAL mean, same counting statistic)."""
+    if not dims or any(d < 1 for d in dims):
+        raise ValueError(f"dims must be non-empty positive ints, got {dims}")
+    parts = []
+    for d in sorted(set(dims)):
+        parts.append(f"""
+SELECT CAST({d} AS INTEGER) AS dim,
+       COUNT(*) AS n_vectors,
+       round(CAST(SUM(CAST(_e AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_energy,
+       round(MIN(_e), 6) AS min_energy,
+       round(CAST(SUM(CASE WHEN _e >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS frac_ge_half
+FROM (
+    SELECT round(
+        list_sum(list_transform({vec_col}[1:{d}], x -> CAST(x AS DOUBLE) * x))
+        / list_sum(list_transform({vec_col}, x -> CAST(x AS DOUBLE) * x)), 6
+    ) AS _e
+    FROM {source}
+    WHERE {vec_col} IS NOT NULL AND len({vec_col}) >= {d}
+      AND list_sum(list_transform({vec_col}, x -> CAST(x AS DOUBLE) * x)) > 0
+)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY dim"

@@ -88,3 +88,26 @@ def test_preference_cycles_planted_cycle_and_transitive(spark):
     )
     want = con.sql(preference.preference_cycles_sql("_pc")).fetchone()
     assert tuple(out) == want
+
+
+def test_prefix_energy_audit_hand_case(spark):
+    """C254 hand case: unit-prefix vectors give exact energies; a zero
+    vector and a too-short vector drop from n_vectors."""
+    from insert_by_timeperiod_spark.operators import similarity as SIM
+
+    rows = [
+        (1, [3.0, 4.0, 0.0, 0.0]),    # energy@2 = 1.0
+        (2, [1.0, 0.0, 1.0, 0.0]),    # energy@2 = 0.5
+        (3, [0.0, 0.0, 1.0, 1.0]),    # energy@2 = 0.0
+        (4, [0.0, 0.0, 0.0, 0.0]),    # zero norm -> excluded
+        (5, [1.0]),                   # shorter than d -> excluded at d=2,4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in
+           SIM.prefix_energy_audit(df, [1, 2, 4]).collect()}
+    assert out[2]["n_vectors"] == 3
+    assert out[2]["mean_energy"] == 0.5
+    assert out[2]["min_energy"] == 0.0
+    assert out[2]["frac_ge_half"] == round(2 / 3, 6)
+    assert out[4]["mean_energy"] == 1.0 and out[4]["frac_ge_half"] == 1.0
+    assert out[1]["n_vectors"] == 4   # the length-1 vector counts at d=1

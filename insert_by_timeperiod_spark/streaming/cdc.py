@@ -144,10 +144,15 @@ class CdcApplyStream:
             .collect()
         }
         entries = self.table._snapshot_entries()
+        # prune ONLY files whose tag was computed under THIS modulus: a tag
+        # from a different n_buckets (layout reconfigured mid-life) doesn't
+        # mean the same key subset, so such files stay always-candidate
         cand = [
             f
             for f, e in sorted(entries.items())
-            if e.get("b") is None or e["b"] in batch_buckets
+            if e.get("b") is None
+            or e.get("nb") != self.n_buckets
+            or e["b"] in batch_buckets
         ]
 
         # 2. file-granular probe: the exact files holding a batch key

@@ -302,6 +302,7 @@ class TxnLogTable(ParquetTable):
         from .table import optimized_layout
 
         pcols = ["__part"]
+        n_buckets = None
         if bucket is not None:
             key_cols, n_buckets = bucket
             w = df.withColumn("__bucket", bucket_id(key_cols, n_buckets))
@@ -337,6 +338,12 @@ class TxnLogTable(ParquetTable):
                                     "f": f"{rel_base}/{part_dir}/{name}/{fname}",
                                     "p": p,
                                     "b": b,
+                                    # the modulus the tag was computed under:
+                                    # a reader pruning with a DIFFERENT
+                                    # n_buckets must treat this file as
+                                    # always-candidate (tag semantics don't
+                                    # transfer across moduli)
+                                    "nb": n_buckets,
                                 }
                             )
                 elif name.endswith(".parquet"):

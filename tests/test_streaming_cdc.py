@@ -148,3 +148,25 @@ def test_cdc_apply_rewrites_only_files_containing_batch_keys(spark, tmp_path):
     # state is correct
     got = {r["kid"]: r["v"] for r in t.read().collect()}
     assert got[3] == "v3b" and len(got) == 8
+
+
+def test_cdc_apply_rebucket_never_misses_keys(spark, tmp_path):
+    """r9: bucket tags record the modulus they were computed under ('nb');
+    a sink reconfigured with a DIFFERENT n_buckets must treat old files as
+    always-candidate (a mod-16 tag says nothing about mod-64 membership) —
+    the update must land, never silently miss."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    s16 = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="event_date",
+        n_buckets=16,
+    )
+    s16.process_batch(
+        _batch(spark, [_row(k, 1, k, f"v{k}") for k in range(6)]), 0
+    )
+    s64 = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="event_date",
+        n_buckets=64,
+    )
+    s64.process_batch(_batch(spark, [_row(2, 2, 50, "v2-new")]), 1)
+    got = {r["kid"]: r["v"] for r in t.read().collect()}
+    assert got[2] == "v2-new" and len(got) == 6

@@ -262,6 +262,11 @@ def generate(spark) -> None:
 
 
 def main() -> None:
+    # the study holds one JVM across 110 queries at up to 60M-row inputs;
+    # cached blocks accumulate across rows, and the library default (8g)
+    # proved marginal at sf10 (an OOM killed the r9 first pass mid-study).
+    # The study box has 128 GiB — give the measurement headroom.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("ibtp-bench-sf1")
     generate(spark)
 

@@ -279,8 +279,13 @@ def association_rules(
     b = (
         b.join(sized.where(F.col("_sz") <= max_basket_items), "_b")
         .select("_b", "_i")
-        # three consumers: the total, the item counts, both pair-join sides
-        .localCheckpoint(eager=True)
+        # three consumers: the total, the item counts, both pair-join
+        # sides. persist(), NOT localCheckpoint: the frame is
+        # CORPUS-sized, and localCheckpoint stores deserialized Java rows
+        # (measured: OOM'd an 8g heap at the sf10 study on this exact
+        # frame) while persist uses the compressed columnar cache and
+        # spills — ~10x smaller and disk-safe at any scale
+        .persist()
     )
     n_baskets = b.select("_b").distinct().agg(
         F.count(F.lit(1)).alias("_n")

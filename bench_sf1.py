@@ -356,6 +356,7 @@ def main() -> None:
         print(f"[bench] {name}", flush=True)
         spark_s, duck_s = [], []
         oracle_timed_out = False
+        oracle_err = f"oracle exceeded {oracle_budget:.0f}s"
         # rows-only lanes (no SQL-expressible twin — LSH state folds etc.)
         # are measured spark-only; the row records why
         no_twin = name not in oracles
@@ -369,10 +370,13 @@ def main() -> None:
                 try:
                     duck_s.append(timed_oracle(oracles[name]))
                 except Exception as oe:
+                    # an oracle that times out, spills the disk full, or
+                    # otherwise dies is a TWIN failure — the Spark
+                    # measurement stands and the row records why
+                    oracle_timed_out = True
+                    oracle_err = f"{type(oe).__name__}: {oe}"[:200]
                     if "INTERRUPT" in str(oe).upper():
-                        oracle_timed_out = True
-                    else:
-                        raise
+                        oracle_err = f"oracle exceeded {oracle_budget:.0f}s"
         except Exception as e:  # record and keep the study alive
             failed[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"[bench] {name} FAILED: {failed[name]}", flush=True)
@@ -387,7 +391,7 @@ def main() -> None:
             # the SPARK measurement stands; the twin is the one that
             # cannot do this query at volume — exactly worth recording
             row["duck"] = None
-            row["note"] = f"oracle exceeded {oracle_budget:.0f}s; spark-only"
+            row["note"] = f"{oracle_err}; spark-only"
         out[name] = row
 
     both = {k: v for k, v in out.items() if v.get("duck") is not None}

@@ -5452,7 +5452,13 @@ def _stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, and rows of one key that share a batch are arbitrated by the
     sink's (ts, seq) arg-max. The r8 harness serialized every slice
     through coalesce(1) — the single-task parquet encode, not the
-    operator, dominated the sf10 wall."""
+    operator, dominated the sf10 wall.
+
+    r10 (ADVICE): files of adjacent slices written back-to-back could
+    TIE on filesystems with coarse (1s) mtime granularity, replaying
+    out of order — so each slice's files are explicitly stamped with a
+    strictly increasing per-slice mtime (os.utime) after the write;
+    ordering no longer rests on write-clock resolution."""
     import uuid as _uuid
 
     from insert_by_timeperiod_spark.streaming.cdc import CdcApplyStream
@@ -5465,10 +5471,13 @@ def _stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = spark.table("events").selectExpr(*_CDC_LOG_EXPRS)
     # three SEQUENTIAL time-sliced appends: FileStreamSource replays by
     # mtime, and the ordering contract is per-key ACROSS slices
-    for lo, hi in (
-        (None, "2024-01-11"),
-        ("2024-01-11", "2024-01-21"),
-        ("2024-01-21", None),
+    stamped: set[str] = set()
+    for i, (lo, hi) in enumerate(
+        (
+            (None, "2024-01-11"),
+            ("2024-01-11", "2024-01-21"),
+            ("2024-01-21", None),
+        )
     ):
         sl = log
         if lo:
@@ -5476,6 +5485,14 @@ def _stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         if hi:
             sl = sl.where(F.to_date("ts") < F.lit(hi))
         sl.repartition(files_per_slice, "kid").write.mode("append").parquet(src)
+        # stamp THIS slice's new files with a strictly increasing mtime
+        # (whole seconds, far apart) so FileStreamSource's mtime order
+        # equals slice order regardless of fs timestamp granularity
+        slice_t = 946684800 + i * 3600  # 2000-01-01 + i hours
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and name not in stamped:
+                os.utime(os.path.join(src, name), (slice_t, slice_t))
+                stamped.add(name)
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", files_per_slice)

@@ -53,6 +53,8 @@ Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..txnlog import TxnLogTable, bucket_id
@@ -87,6 +89,18 @@ class CdcApplyStream:
         self.op_col, self.seq_col, self.delete_op = op_col, seq_col, delete_op
         self.partition_col = partition_col
         self.n_buckets = n_buckets
+        self._key_types_cache: dict | None = None
+
+    def _table_key_types(self) -> dict:
+        """The table's dtypes for ``key_cols`` (cached: CDC key columns
+        are schema-stable for a sink's lifetime; the payload may evolve
+        but a key-type change would re-key the bucket layout)."""
+        if self._key_types_cache is None:
+            sch = {f.name: f.dataType for f in self.table.read().schema.fields}
+            self._key_types_cache = {
+                c: sch[c] for c in self.key_cols if c in sch
+            }
+        return self._key_types_cache
 
     def _latest_per_key(self, batch_df: DataFrame) -> DataFrame:
         """Batch compaction as an arg-max AGGREGATE (map-side combined);
@@ -126,6 +140,16 @@ class CdcApplyStream:
                 self.table._commit(adds, [])
             return
 
+        # r10: cast batch key columns to the TABLE's key dtypes before
+        # anything hashes or joins them — Spark's xxhash64 hashes INT and
+        # BIGINT of the same number differently, so a batch whose key
+        # dtype drifts from the table's (int vs bigint) would bucket-prune
+        # to the WRONG files and the probe semi-join could miss rows:
+        # deletes/updates silently no-op and deleted keys resurrect.
+        for c, t in self._table_key_types().items():
+            if latest.schema[c].dataType != t:
+                latest = latest.withColumn(c, F.col(c).cast(t))
+
         # the compacted batch drives THREE bounded jobs (buckets, probe,
         # keep∪ups classification) — persist it so the changelog scan +
         # arg-max aggregate run once, not three times
@@ -146,13 +170,15 @@ class CdcApplyStream:
         entries = self.table._snapshot_entries()
         # prune ONLY files whose tag was computed under THIS modulus: a tag
         # from a different n_buckets (layout reconfigured mid-life) doesn't
-        # mean the same key subset, so such files stay always-candidate
+        # mean the same key subset, so such files stay always-candidate.
+        # Bucket tags live under "bk" (r10); pre-r10 entries carried the
+        # tag under "b" alongside "nb" — accept both.
         cand = [
             f
             for f, e in sorted(entries.items())
-            if e.get("b") is None
+            if (bt := e.get("bk", e.get("b") if "nb" in e else None)) is None
             or e.get("nb") != self.n_buckets
-            or e["b"] in batch_buckets
+            or bt in batch_buckets
         ]
 
         # 2. file-granular probe: the exact files holding a batch key
@@ -171,9 +197,15 @@ class CdcApplyStream:
             for f in cand:
                 by_base.setdefault(f.rsplit("/", 1)[1], []).append(f)
             for a in hit_abs:
+                # input_file_name() returns a URI: partition values with
+                # spaces/special chars come back percent-encoded, while
+                # manifest paths hold the raw values — decode before the
+                # suffix match or valid data aborts on 'ambiguous probe
+                # file' (r10, ADVICE)
+                a_dec = unquote(a)
                 matches = [
-                    f for f in by_base.get(a.rsplit("/", 1)[1], [])
-                    if a.endswith(f)
+                    f for f in by_base.get(a_dec.rsplit("/", 1)[1], [])
+                    if a_dec.endswith(f)
                 ]
                 if len(matches) != 1:  # pragma: no cover — defensive
                     raise RuntimeError(

@@ -292,11 +292,19 @@ class TxnLogTable(ParquetTable):
 
         ``bucket=(key_cols, n)`` additionally splits each partition into
         ``n`` key-hash buckets (``__bucket`` dir level) and tags each
-        add-entry with ``"b"`` — the layout the streaming CDC apply uses
+        add-entry with ``"bk"`` — the layout the streaming CDC apply uses
         for file-granular merges: a batch then rewrites only the files
-        whose bucket can contain its keys. Files WITHOUT a ``"b"`` tag
+        whose bucket can contain its keys. Files WITHOUT a bucket tag
         (every other writer) are bucket-unknown and stay compatible:
-        bucket-pruned readers must treat them as always-candidate."""
+        bucket-pruned readers must treat them as always-candidate.
+
+        Manifest-key note (r10): bucket tags use ``"bk"``; the STREAM
+        batch id in :meth:`commit_stream_batch` uses ``"b"``. They used
+        to share ``"b"``, so a replayed (or colliding) stream batch id
+        could match a CDC bucket tag and the replay cleanup would delete
+        live bucket files. Legacy entries written before r10 carry
+        ``"b"`` + ``"nb"`` for the bucket tag; readers accept both and
+        the stream-replay predicate requires the absence of ``"nb"``."""
         cid = uuid.uuid4().hex
         out = f"{self.path}/{DATA_DIR}/{cid}"
         from .table import optimized_layout
@@ -337,7 +345,7 @@ class TxnLogTable(ParquetTable):
                                 {
                                     "f": f"{rel_base}/{part_dir}/{name}/{fname}",
                                     "p": p,
-                                    "b": b,
+                                    "bk": b,
                                     # the modulus the tag was computed under:
                                     # a reader pruning with a DIFFERENT
                                     # n_buckets must treat this file as
@@ -828,7 +836,10 @@ class TxnLogTable(ParquetTable):
         removes = [
             f
             for f, e in self._snapshot_entries().items()
-            if e.get("b") == batch_id
+            # "b" is a stream batch id ONLY when the entry carries no
+            # bucket tag: legacy CDC bucket entries used "b"+"nb" and a
+            # numerically colliding batch id must never delete them
+            if e.get("b") == batch_id and "nb" not in e and "bk" not in e
         ]
         self._commit(adds, removes)
         touched = set()

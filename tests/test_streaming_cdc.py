@@ -133,7 +133,7 @@ def test_cdc_apply_rewrites_only_files_containing_batch_keys(spark, tmp_path):
         _batch(spark, [_row(k, 1 + k % 2, k, f"v{k}") for k in range(8)]), 0
     )
     entries0 = t._snapshot_entries()
-    assert all("b" in e for e in entries0.values()), "bucket tags missing"
+    assert all("bk" in e for e in entries0.values()), "bucket tags missing"
     # update ONE key: only files whose content includes kid=3 may churn
     from insert_by_timeperiod_spark.txnlog import bucket_id
 
@@ -143,8 +143,8 @@ def test_cdc_apply_rewrites_only_files_containing_batch_keys(spark, tmp_path):
         bucket_id(["kid"], 16).alias("b")
     ).collect()[0]["b"]
     for f, e in entries0.items():
-        if e["b"] != b3:
-            assert f in entries1, f"file {f} (bucket {e['b']}) was rewritten"
+        if e["bk"] != b3:
+            assert f in entries1, f"file {f} (bucket {e['bk']}) was rewritten"
     # state is correct
     got = {r["kid"]: r["v"] for r in t.read().collect()}
     assert got[3] == "v3b" and len(got) == 8
@@ -170,3 +170,100 @@ def test_cdc_apply_rebucket_never_misses_keys(spark, tmp_path):
     s64.process_batch(_batch(spark, [_row(2, 2, 50, "v2-new")]), 1)
     got = {r["kid"]: r["v"] for r in t.read().collect()}
     assert got[2] == "v2-new" and len(got) == 6
+
+
+def test_stream_batch_replay_never_deletes_cdc_bucket_files(spark, tmp_path):
+    """r10 (ADVICE): commit_stream_batch's crash-replay cleanup removes
+    live files whose "b" equals the incoming batch id — and CDC bucket
+    tags used to live under "b" too, so a numerically colliding stream
+    batch id silently deleted live CDC bucket files. Bucket tags now use
+    "bk"; the replay predicate also refuses legacy "b"+"nb" entries."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    sink = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="event_date",
+        n_buckets=4,
+    )
+    sink.process_batch(
+        _batch(spark, [_row(k, 1, k, f"v{k}") for k in range(8)]), 0
+    )
+    entries = t._snapshot_entries()
+    assert entries and all(
+        "bk" in e and "b" not in e for e in entries.values()
+    )
+    bucket_ids = sorted({e["bk"] for e in entries.values()})
+    # simulate a PRE-r10 table: rewrite one entry to the legacy shape
+    # (bucket tag under "b", modulus under "nb") exactly as old commits
+    # recorded it — the fold's add-overwrite swaps the entry in place
+    legacy_f, legacy_e = sorted(entries.items())[0]
+    legacy = {k: v for k, v in legacy_e.items() if k != "bk"}
+    legacy["b"] = legacy_e["bk"]
+    t._commit([legacy], [])
+    before = _state(t)
+
+    # a stream batch whose batch_id collides with a live bucket id:
+    # replay cleanup must not remove any bucketed file (new OR legacy)
+    extra = spark.createDataFrame(
+        [(100, dt.datetime(2024, 1, 1), "x", dt.date(2024, 1, 1))],
+        "kid int, ts timestamp, v string, event_date date",
+    )
+    t.commit_stream_batch(extra, "event_date", int(bucket_ids[0]))
+    after = _state(t)
+    assert after.pop(100) == ("x", dt.date(2024, 1, 1))
+    assert after == before, "replay cleanup deleted live bucket files"
+    # and the legacy-shaped entry still prunes correctly as a bucket tag
+    sink.process_batch(_batch(spark, [_row(0, 1, 59, "v0b")]), 1)
+    assert _state(t)[0] == ("v0b", dt.date(2024, 1, 1))
+
+
+def test_cdc_apply_key_dtype_drift_still_lands(spark, tmp_path):
+    """r10 (ADVICE): xxhash64(int 3) != xxhash64(bigint 3) — a batch
+    whose key dtype drifts from the table's would bucket-prune to the
+    WRONG files, deletes/updates would miss, deleted keys resurrect.
+    Keys are cast to the table's key dtypes before hashing/probing."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    sink = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="event_date",
+        n_buckets=16,
+    )
+    big = spark.createDataFrame(
+        [_row(k, 1, k, f"v{k}") for k in range(8)],
+        "kid bigint, ts timestamp, seq int, v string, "
+        "event_date date, op string",
+    )
+    sink.process_batch(big, 0)  # table created with BIGINT keys
+    # later batch delivers INT keys: update kid=3, delete kid=5
+    sink.process_batch(
+        _batch(spark, [_row(3, 1, 50, "v3b"), _row(5, 1, 51, None, op="D")]),
+        1,
+    )
+    got = _state(t)
+    assert got[3] == ("v3b", dt.date(2024, 1, 1))
+    assert 5 not in got and len(got) == 7
+
+
+def test_cdc_apply_probe_handles_encoded_partition_values(spark, tmp_path):
+    """r10 (ADVICE): input_file_name() returns a percent-encoded URI; a
+    partition value containing a space must not abort the probe with
+    'ambiguous probe file' — the probed path is URL-decoded before the
+    manifest suffix match."""
+    t = TxnLogTable(spark, str(tmp_path / "t"))
+    sink = CdcApplyStream(
+        t, ["kid"], "ts", seq_col="seq", partition_col="cat", n_buckets=4
+    )
+
+    def _cbatch(rows):
+        return spark.createDataFrame(
+            rows,
+            "kid int, ts timestamp, seq int, v string, cat string, op string",
+        )
+
+    def _crow(kid, seq, v, op="U"):
+        return (kid, dt.datetime(2024, 1, 1, 12, 0, seq), seq, v,
+                "a b/c%20d", op)
+
+    sink.process_batch(_cbatch([_crow(k, k, f"v{k}") for k in range(4)]), 0)
+    # second batch hits existing keys -> exercises the probe path over
+    # files whose partition dir is percent-encoded in input_file_name()
+    sink.process_batch(_cbatch([_crow(1, 50, "v1b")]), 1)
+    got = {r["kid"]: (r["v"], r["cat"]) for r in t.read().collect()}
+    assert got[1] == ("v1b", "a b/c%20d") and len(got) == 4

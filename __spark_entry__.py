@@ -121,14 +121,20 @@ def register_oracle_udfs(con) -> None:
         rest = h & ((1 << (64 - p)) - 1)
         return (64 - p + 1) - (rest.bit_length() if rest else 0)
 
-    for name, fn, args in (
-        ("spark_xxhash64", XX.spark_xxhash64_str, [VARCHAR]),
-        ("spark_xxhash64_long", XX.spark_xxhash64_long, [BIGINT]),
-        ("spark_hll_idx", _hll_idx, [BIGINT, INTEGER]),
-        ("spark_hll_rank", _hll_rank, [BIGINT, INTEGER]),
+    from insert_by_timeperiod_spark.functions import minhash_py as MH
+
+    for name, fn, args, ret in (
+        ("spark_xxhash64", XX.spark_xxhash64_str, [VARCHAR], BIGINT),
+        ("spark_xxhash64_long", XX.spark_xxhash64_long, [BIGINT], BIGINT),
+        ("spark_hll_idx", _hll_idx, [BIGINT, INTEGER], BIGINT),
+        ("spark_hll_rank", _hll_rank, [BIGINT, INTEGER], BIGINT),
+        # r10: the engine's MinHash signature (pure-Python twin of the
+        # Arrow lane, functions/minhash_py.py) — makes the incremental
+        # near-dedup state fold exactly oracle-able
+        ("spark_minhash_sig", MH.spark_minhash_sig, [VARCHAR], "BIGINT[]"),
     ):
         try:
-            con.create_function(name, fn, args, BIGINT)
+            con.create_function(name, fn, args, ret)
         except Exception as e:  # already registered on this connection
             if "already" not in str(e).lower():
                 raise
@@ -2740,13 +2746,18 @@ def _wds_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incr_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT C49 (rows-only): incremental NEAR-dedup against a persistent
-    LSH signature state (operators/dedup.py `incremental_near_dedup`).
-    Two batches with a 50-doc exact-text overlap plus 5 planted copies:
-    batch 2's overlap and plants must anchor to batch 1's state entries
-    and drop. No SQL engine expresses the MinHash/banding state, so this
-    row records rows + schema; the REAL checks (lifecycle, anchored-
-    cluster drop, idempotency, state growth) are pytest."""
+    """EXT C49 (annex, EXACT oracle since r10): incremental NEAR-dedup
+    against a persistent LSH signature state (operators/dedup.py
+    `incremental_near_dedup`). Two batches with a 50-doc exact-text
+    overlap plus 5 planted copies: batch 2's overlap and plants must
+    anchor to batch 1's state entries and drop. The DuckDB twin
+    (INCR_NEAR_DUCK) replays the two-batch state fold as chained CTEs:
+    signatures via the pure-Python `spark_minhash_sig` UDF
+    (functions/minhash_py.py, bit-for-bit the Arrow lane), banding via
+    `spark_xxhash64` over the same comma-joined signature slices
+    (_band_rows, dedup.py:379), signature-agreement edges, recursive-CTE
+    components, and the survivor-state anchor join. Additional pytest
+    pins: lifecycle, anchored-cluster drop, idempotency, state growth."""
     _prep(spark, sf_dir)
     import shutil
 
@@ -2767,6 +2778,104 @@ def _incr_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(state), ignore_errors=True)
+
+
+def _incr_near_duck() -> str:
+    """DuckDB twin of `_incr_near_dedup` (r10): the two-batch survivor-
+    state fold as chained CTEs. Signatures come from the pure-Python
+    `spark_minhash_sig` UDF; banding mirrors `_band_rows` exactly
+    (CAST sig lanes to VARCHAR, comma-join the band's 4-lane slice,
+    spark_xxhash64). The engine's max_bucket_size=500 cap never binds at
+    <=155 docs/batch, so the twin omits it."""
+
+    def band(src: str) -> str:
+        return (
+            f"SELECT doc_id, bb.band, spark_xxhash64(array_to_string("
+            f"list_transform(sig, x -> CAST(x AS VARCHAR))"
+            f"[bb.band*4+1 : bb.band*4+4], ',')) AS bucket "
+            f"FROM {src}, (SELECT unnest(range(0,16)) AS band) bb"
+        )
+
+    def agree(a: str, b: str) -> str:
+        return (
+            f"len(list_filter(range(1,65), i -> {a}[i] = {b}[i])) / 64.0"
+            " >= 0.7"
+        )
+
+    def batch_clusters(n: str) -> str:
+        """pairs/edges/closure/components CTE chain for batch ``n``."""
+        return f"""
+pairs{n} AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands{n} a JOIN bands{n} c
+    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+),
+edges{n} AS (
+  SELECT id_a, id_b FROM pairs{n}
+  JOIN ws{n} sa ON sa.doc_id = id_a
+  JOIN ws{n} sb ON sb.doc_id = id_b
+  WHERE {agree('sa.sig', 'sb.sig')}
+),
+sym{n} AS (
+  SELECT id_a AS a, id_b AS b FROM edges{n}
+  UNION ALL SELECT id_b, id_a FROM edges{n}
+),
+reach{n} AS (
+  SELECT a AS node, b AS lbl FROM sym{n}
+  UNION
+  SELECT r.node, s.b AS lbl FROM reach{n} r JOIN sym{n} s ON s.a = r.lbl
+),
+comp{n} AS (
+  SELECT node, least(node, MIN(lbl)) AS cluster FROM reach{n} GROUP BY node
+)"""
+
+    return f"""
+WITH RECURSIVE
+b1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+b2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 100 AND doc_id < 200
+  UNION ALL
+  SELECT doc_id + 90000 AS doc_id, text FROM documents WHERE doc_id < 5
+),
+s1 AS (SELECT doc_id, spark_minhash_sig(text) AS sig FROM b1),
+ws1 AS (SELECT * FROM s1 WHERE sig IS NOT NULL),
+bands1 AS ({band('ws1')}),
+{batch_clusters('1')},
+drop1 AS (SELECT node AS doc_id FROM comp1 WHERE node != cluster),
+state1 AS (
+  SELECT doc_id, sig FROM ws1
+  WHERE doc_id NOT IN (SELECT doc_id FROM drop1)
+),
+stbands AS ({band('state1')}),
+s2 AS (SELECT doc_id, spark_minhash_sig(text) AS sig FROM b2),
+ws2 AS (SELECT * FROM s2 WHERE sig IS NOT NULL),
+bands2 AS ({band('ws2')}),
+cand2 AS (
+  SELECT DISTINCT a.doc_id AS bid, s.doc_id AS sid
+  FROM bands2 a JOIN stbands s ON a.band = s.band AND a.bucket = s.bucket
+),
+anchors2 AS (
+  SELECT DISTINCT c.bid AS doc_id FROM cand2 c
+  JOIN ws2 w ON w.doc_id = c.bid
+  JOIN state1 st ON st.doc_id = c.sid
+  WHERE {agree('w.sig', 'st.sig')}
+),
+{batch_clusters('2')},
+anchcl AS (
+  SELECT DISTINCT cluster FROM comp2
+  JOIN anchors2 ON comp2.node = anchors2.doc_id
+),
+drop2 AS (
+  SELECT node AS doc_id FROM comp2 WHERE node != cluster
+  UNION
+  SELECT node FROM comp2 WHERE cluster IN (SELECT cluster FROM anchcl)
+  UNION
+  SELECT doc_id FROM anchors2
+)
+SELECT CAST(b2.doc_id AS BIGINT) AS doc_id FROM b2
+WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+ORDER BY doc_id
+"""
 
 
 _BM25_TERMS = ["spark", "window", "merge"]
@@ -7800,6 +7909,9 @@ def pytest_only_oracles() -> dict[str, str]:
         "bloom_seen_users": BLOOM_SEEN_DUCK,
         "dedup_simhash_planted": _simhash_planted_duck(),
         "dedup_near_best": NEAR_BEST_DUCK,
+        # r10: the incremental near-dedup state fold gains an EXACT twin
+        # via the spark_minhash_sig UDF (functions/minhash_py.py)
+        "dedup_incremental_near": _incr_near_duck(),
         "cube_acctbal": CUBE_SQL,
         "q6_forecast_revenue": Q6_FORECAST,
         "q14_promo_revenue": Q14_PROMO,

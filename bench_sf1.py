@@ -30,9 +30,10 @@ from insert_by_timeperiod_spark.sources import load_table
 SRC = "/root/testdata/sf0.1"
 COPIES = int(os.environ.get("IBTP_SCALE_COPIES", "10"))
 # keyed by the exact copy count so changing IBTP_SCALE_COPIES never reuses a
-# dataset generated at a different scale; the _v2 suffix invalidates caches
-# generated before documents were scaled
-DST = f"/tmp/ibtp_scale_{COPIES}x_v2"
+# dataset generated at a different scale; the _v3 suffix invalidates caches
+# generated before the r10 fixture fix (replica text is now genuinely
+# distinct; near-dups are PLANTED at a constant fraction)
+DST = f"/tmp/ibtp_scale_{COPIES}x_v3"
 SHIFT = 10_000_000  # key shift per replica (above every sf0.1 key domain)
 
 TABLES = [
@@ -245,10 +246,58 @@ def generate(spark) -> None:
                 for c in shifts[t]:
                     d = d.withColumn(c, F.col(c) + F.lit(i * SHIFT))
                 if t == "documents" and i > 0:
-                    # vary replica text so exact-dedup groups stay realistic
-                    # (100 identical copies of every doc would make the
-                    # dedup measurement a degenerate all-dup corpus)
-                    d = d.withColumn("text", F.concat(F.col("text"), F.lit(f" #{i}")))
+                    # r10 fixture fix (VERDICT r9 #1): the old " #i" suffix
+                    # left every replica a Jaccard≈0.99 twin of its base —
+                    # every doc had ~99 true near-dups and the LSH flagship
+                    # walls grew with the QUADRATIC true-pair output, not
+                    # the corpus. Now each replica's text is a per-replica
+                    # hash-permutation of the base words (same multiset —
+                    # exact-dup groups WITHIN a replica survive — but
+                    # shingle Jaccard across replicas ≈ 0), EXCEPT a
+                    # disjoint ~2% planted slice (doc_id % 50 == i) that
+                    # keeps the base text + a short suffix: each planted
+                    # doc is a near-dup of exactly its replica-0 copy, so
+                    # true pairs grow LINEARLY with the corpus at a
+                    # constant planted fraction.
+                    # per-char case flip keyed by (char, position, replica):
+                    # word permutation alone leaves INTRA-word shingles
+                    # shared (measured residual Jaccard 0.27 avg / 0.55
+                    # max — enough for LSH band collisions); the case flip
+                    # takes cross-replica Jaccard to 0.02-0.09, below any
+                    # banding noise floor. Length is preserved exactly.
+                    chars = F.split(F.col("text"), "")
+                    flipped = F.concat_ws(
+                        "",
+                        F.transform(
+                            chars,
+                            lambda c, p: F.when(
+                                F.pmod(F.xxhash64(c, p, F.lit(i)), F.lit(2))
+                                == 0,
+                                F.upper(c),
+                            ).otherwise(F.lower(c)),
+                        ),
+                    )
+                    words = F.split(flipped, " ")
+                    keyed = F.transform(
+                        words,
+                        lambda w: F.concat(
+                            F.lpad(F.hex(F.xxhash64(w, F.lit(i))), 16, "0"), w
+                        ),
+                    )
+                    shuffled = F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(keyed),
+                            lambda s: F.substring(s, 17, 2147483646),
+                        ),
+                    )
+                    planted = F.concat(F.col("text"), F.lit(f" ~{i}"))
+                    d = d.withColumn(
+                        "text",
+                        F.when(
+                            F.col("doc_id") % 50 == i % 50, planted
+                        ).otherwise(shuffled),
+                    )
                 parts.append(d)
             out = parts[0]
             for p in parts[1:]:
@@ -344,6 +393,12 @@ def main() -> None:
     only = {
         s for s in os.environ.get("IBTP_BENCH_ONLY", "").split(",") if s
     }
+    PAIR_COUNT_ROWS = {
+        "dedup_minhash_planted",
+        "dedup_near_clusters",
+        "dup_spans_planted",
+        "prefix_jaccard_dups",
+    }
     out: dict[str, dict] = {}
     failed: dict[str, str] = {}
     for name in QUERIES:
@@ -382,6 +437,14 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {failed[name]}", flush=True)
             continue
         row = {"spark": round(min(spark_s), 3)}
+        if name in PAIR_COUNT_ROWS:
+            # output-bound lanes: record the emitted row count so a wall
+            # that grows with sf is self-explaining (r9 VERDICT: the old
+            # fixture's quadratic true-pair output read as a scale failure)
+            try:
+                row["n_rows_emitted"] = queries[name](spark, DST).count()
+            except Exception:
+                pass
         if no_twin:
             row["duck"] = None
             row["note"] = "no SQL twin (rows-only lane); spark-only"
@@ -440,7 +503,10 @@ def main() -> None:
         "exact_decimal_sums": exact_sums,
         "failed": failed,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_SF{COPIES // 10}.json"), "w") as f:
+    # an ONLY-filtered run is a probe, not the study: never overwrite the
+    # round artifact with a partial result
+    suffix = "_partial" if only else ""
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_SF{COPIES // 10}{suffix}.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

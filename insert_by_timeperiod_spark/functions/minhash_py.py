@@ -1,0 +1,66 @@
+"""Pure-Python MinHash signature, bit-for-bit equal to the engine's
+Arrow lane (operators/dedup.py `minhash_text_vec`) — ORACLE PLUMBING
+ONLY, registered as a DuckDB UDF by `__spark_entry__.register_oracle_udfs`
+so the incremental near-dedup lane (SURVEY.md §2 C49) gets an EXACT
+DuckDB twin instead of a rows-only pin (r10, VERDICT r9 #6).
+
+The signature spec (documented at `minhash_text_vec`):
+
+- shingles: byte-level k-grams of the UTF-8 encoding; texts shorter than
+  ``k`` bytes (or NULL) -> NULL signature;
+- per-shingle base hash: FNV-prime polynomial over the k bytes,
+  ``h_i = sum_j byte[i+j] * FNV^(k-1-j) mod 2^64``;
+- lane ``j`` of the signature: ``min_i((mul_j * h_i + add_j) mod 2^64)``
+  reinterpreted as a SIGNED 64-bit value (two's complement), where the
+  odd multipliers / offsets derive from numpy's seeded PCG64 exactly as
+  the engine derives them — the constants are part of the spec, the
+  arithmetic here is stdlib big-int, written independently of the numpy
+  sliding-window/reduceat implementation it cross-checks.
+
+No Spark/Arrow imports: this module must be importable inside a DuckDB
+Python UDF with nothing but numpy (constants) + stdlib.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+_FNV = 1099511628211
+
+
+def _lane_constants(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    mul = (
+        rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+        << np.uint64(1)
+    ) | np.uint64(1)
+    add = rng.integers(0, 2**64, size=num_hashes, dtype=np.uint64)
+    return [int(x) for x in mul], [int(x) for x in add]
+
+
+_MUL, _ADD = _lane_constants(64, 42)
+_POW5 = [pow(_FNV, 5 - 1 - j, 1 << 64) for j in range(5)]
+
+
+def spark_minhash_sig(text: str | None) -> list[int] | None:
+    """64-lane / k=5 / seed=42 signature of ``text`` (the engine's default
+    parameterization), as signed 64-bit ints; None for un-shingleable
+    input — the exact contract of ``minhash_text_vec()``."""
+    if text is None:
+        return None
+    b = text.encode("utf-8")
+    n = len(b)
+    if n < 5:
+        return None
+    p0, p1, p2, p3, p4 = _POW5
+    hashes = [
+        (b[i] * p0 + b[i + 1] * p1 + b[i + 2] * p2 + b[i + 3] * p3 + b[i + 4] * p4)
+        & _M64
+        for i in range(n - 4)
+    ]
+    out = []
+    for mul, add in zip(_MUL, _ADD):
+        best = min((mul * h + add) & _M64 for h in hashes)
+        out.append(best - (1 << 64) if best >= (1 << 63) else best)
+    return out

@@ -33,3 +33,39 @@ def test_driver_battery_size_within_recording_cap():
     c = counts()
     assert c["driver_queries"] <= 50
     assert c["survey_c_rows"] == c["survey_c_max"], "gap in SURVEY C-row ids"
+
+
+def test_readme_annex_count_matches_registry():
+    """r10 (VERDICT r9 #7): the annex-size prose rotted twice when counted
+    by hand — pin it to the registry."""
+    c = counts()
+    readme = open(os.path.join(ROOT, "README.md")).read()
+    m = re.search(r"plus a (\d+)-row\s+pytest-only annex", readme)
+    assert m, "README annex-size line missing"
+    assert int(m.group(1)) == c["annex_queries"], (
+        f"README claims a {m.group(1)}-row annex, registries say "
+        f"{c['annex_queries']}"
+    )
+
+
+def test_readme_study_claims_match_artifacts():
+    """r10 (VERDICT r9 #7): the scale-study prose (query counts + ratios)
+    must match the recorded BENCH_SF{1,10}.json artifacts."""
+    import json
+
+    readme = open(os.path.join(ROOT, "README.md")).read()
+    m = re.search(
+        r"cover (\d+)\s+queries each with zero failures: at sf1 the "
+        r"aggregate Spark/DuckDB\s+ratio is ([\d.]+) \(query-only ([\d.]+)\); "
+        r"at sf10 it is ([\d.]+) \(query-only ([\d.]+)\)",
+        readme,
+    )
+    assert m, "README study-claim sentence missing or reworded"
+    sf1 = json.load(open(os.path.join(ROOT, "BENCH_SF1.json")))
+    sf10 = json.load(open(os.path.join(ROOT, "BENCH_SF10.json")))
+    assert int(m.group(1)) == len(sf1["queries"]) == len(sf10["queries"])
+    assert not sf1["failed"] and not sf10["failed"]
+    assert float(m.group(2)) == sf1["ratio"]
+    assert float(m.group(3)) == sf1["query_only_ratio"]
+    assert float(m.group(4)) == sf10["ratio"]
+    assert float(m.group(5)) == sf10["query_only_ratio"]

@@ -18,6 +18,25 @@ from __future__ import annotations
 
 import sys
 
+#: rows the audit cannot compile lazily: streaming rows RUN a query during
+#: construction, engine rows DRIVE a multi-job lifecycle. Shared with the
+#: PLANS_AUDIT.md freshness pin (tests/test_plans.py) so the audited set
+#: and the pinned set can never drift apart.
+SKIP = frozenset(
+    {
+        "streaming_windowed_counts",
+        "streaming_ingest_table",
+        "streaming_sessionize",
+    }
+)
+
+
+def audited_names(registry: dict) -> set[str]:
+    """The registry subset the audit compiles (everything lazy)."""
+    return {
+        n for n in registry if n not in SKIP and not n.startswith("engine")
+    }
+
 
 def main(sf: str = "/root/testdata/sf0.001") -> int:
     from insert_by_timeperiod_spark.plans import exchange_count, explain_str
@@ -28,13 +47,10 @@ def main(sf: str = "/root/testdata/sf0.001") -> int:
 
     spark = get_spark("plan-audit", shuffle_partitions=8)
     qs = {**entry.queries(), **entry.pytest_only_queries()}
-    skip = {
-        "streaming_windowed_counts", "streaming_ingest_table",
-        "streaming_sessionize",
-    }
+    todo = audited_names(qs)
     rows = []
     for name, fn in qs.items():
-        if name in skip or name.startswith("engine"):
+        if name not in todo:
             continue  # streaming/engine rows RUN during construction
         try:
             df = fn(spark, sf)

@@ -501,3 +501,34 @@ def test_limit_then_rank_sweep_plans(spark):
         formatted=False,
     )
     assert "TakeOrderedAndProject" in vocab_plan
+
+
+def test_plans_audit_md_is_fresh():
+    """r10 (VERDICT r9 #2): PLANS_AUDIT.md went stale for three rounds —
+    pin its audited-query list to the LIVE registry, via the same
+    audited_names() the audit itself uses, so adding a battery row
+    without regenerating the audit fails CI. Also asserts the recorded
+    run was clean (no CARTESIAN/ERR flags)."""
+    import os
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import __spark_entry__ as entry
+    from insert_by_timeperiod_spark.plans.audit import audited_names
+
+    expected = audited_names(
+        {**entry.queries(), **entry.pytest_only_queries()}
+    )
+    text = open(os.path.join(root, "PLANS_AUDIT.md")).read()
+    lines = re.findall(r"^ *(-?\d+) {2}(\S+)( .*)?$", text, re.M)
+    audited = {name for _, name, _ in lines}
+    assert audited == expected, (
+        f"PLANS_AUDIT.md is stale: missing {sorted(expected - audited)[:5]}, "
+        f"extra {sorted(audited - expected)[:5]} — regenerate with "
+        f"python -m insert_by_timeperiod_spark.plans.audit"
+    )
+    flagged = [(n, f) for _, n, f in lines if f and f.strip()]
+    assert not flagged, f"audit recorded flags: {flagged[:5]}"
+    assert all(int(n) >= 0 for n, _, _ in lines)

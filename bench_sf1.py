@@ -193,6 +193,14 @@ QUERIES = [
     "dedup_near_clusters",
     "dedup_incremental_near_scale",
     "engine_lifecycle",
+    # round-10 tail: C255-C258 over the scaled corpus — the overlap
+    # matrix and the repetition grid are documents-volume lanes, the
+    # secrets audit is a pure scan-stage regex lane, preference pairs is
+    # one struct-election aggregate over scaled events
+    "corpus_overlap_sources",
+    "repeated_ngram_docs",
+    "secrets_audit_docs",
+    "preference_pairs_events",
 ]
 
 

@@ -373,3 +373,147 @@ def flesch_sql(text_expr: str) -> str:
         f"CASE WHEN {w} > 0 THEN 206.835 - 1.015 * (CAST({w} AS DOUBLE)"
         f" / {s}) - 84.6 * (CAST({syl} AS DOUBLE) / {w}) END"
     )
+
+
+#: the Gopher repetition grid (Rae et al. 2021 §A1.1, table A1): the most
+#: frequent n-gram's character mass for short n, the total character mass
+#: of DUPLICATED n-grams for long n
+TOP_NGRAM_NS = (2, 3, 4)
+DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+
+
+def repeated_ngram_stats_batch(df, text_col: str = "text", *,
+                               out_col: str = "rep_ngrams"):
+    """The character-mass repetition grid of Gopher §A1.1 (SURVEY.md §2
+    C256), completing C25's count-based signals: per document,
+    ``top_{n}gram_char_frac`` (n=2,3,4) — the character mass of the most
+    frequent word n-gram — and ``dup_{n}gram_char_frac`` (n=5..10) — the
+    character mass of all n-grams occurring more than once (overlap
+    double-counted by definition, capped at 1.0).
+
+    Definition (identical in the DuckDB twin :func:`repeated_ngram_sql`):
+    words = NON-EMPTY ``\\s+`` tokens of the space-trimmed text; an
+    n-gram's character mass = the sum of its words' lengths (equivalently
+    ``len(join)-(n-1)``); the denominator is the total word-character
+    count. Fewer than n words (or zero word chars) -> 0.0; NULL text ->
+    NULL struct.
+
+    Scale shape: one Arrow lane, zero shuffle — a Counter pass per (doc,
+    n); cost O(words · |ns|) per document, embarrassingly parallel. The
+    per-doc gram frequency map never leaves the row (the SQL twin's
+    per-doc unnest+groupBy is exactly the shuffle this lane avoids)."""
+    from collections import Counter
+
+    from ..operators.util import spread
+
+    df = spread(df)
+    ws = re.compile(r"\s+", re.ASCII)
+    fields = [f"top_{n}gram_char_frac:double" for n in TOP_NGRAM_NS] + [
+        f"dup_{n}gram_char_frac:double" for n in DUP_NGRAM_NS
+    ]
+
+    @F.pandas_udf("struct<" + ",".join(fields) + ">")
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        names = [f.split(":")[0] for f in fields]
+        rows = []
+        for s in texts:
+            if s is None:
+                rows.append(dict.fromkeys(names))
+                continue
+            trimmed = s.strip(" ")
+            words = [w for w in ws.split(trimmed) if w] if trimmed else []
+            lens = [len(w) for w in words]
+            tot = sum(lens)
+            row = {}
+            for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS):
+                key = (
+                    f"top_{n}gram_char_frac"
+                    if n in TOP_NGRAM_NS
+                    else f"dup_{n}gram_char_frac"
+                )
+                if len(words) < n or tot == 0:
+                    row[key] = 0.0
+                    continue
+                grams = Counter(
+                    tuple(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                if n in TOP_NGRAM_NS:
+                    row[key] = max(
+                        c * sum(len(w) for w in g) for g, c in grams.items()
+                    ) / tot
+                else:
+                    mass = sum(
+                        c * sum(len(w) for w in g)
+                        for g, c in grams.items()
+                        if c >= 2
+                    )
+                    row[key] = min(1.0, mass / tot)
+            rows.append(row)
+        return pd.DataFrame(rows, columns=names)
+
+    return df.withColumn(out_col, stats(F.col(text_col)))
+
+
+def repeated_ngram_sql(table: str, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Exact DuckDB twin of :func:`repeated_ngram_stats_batch`, flattened
+    to one row per document (id + the nine fraction columns). The twin
+    takes the per-doc unnest + group-by road this operator's Arrow lane
+    exists to avoid — independent implementations of one definition."""
+    words = (
+        f"list_filter(str_split_regex(trim({text_col}, ' '), '\\s+'),"
+        " x -> x != '')"
+    )
+    ctes, cols = [], []
+    for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS):
+        kind = "top" if n in TOP_NGRAM_NS else "dup"
+        col = f"{kind}_{n}gram_char_frac"
+        cols.append(col)
+        # per-doc gram rows -> freq -> char-mass aggregate
+        ctes.append(f"""
+g{n} AS (
+  SELECT {id_col}, gram, COUNT(*) AS c,
+         length(gram) - {n - 1} AS wchars
+  FROM (
+    SELECT {id_col},
+           unnest(list_transform(
+             range(1, greatest(len(w) - {n} + 2, 1)),
+             i -> array_to_string(w[i : i + {n - 1}], ' '))) AS gram
+    FROM wd
+  )
+  GROUP BY {id_col}, gram
+),
+m{n} AS (
+  SELECT {id_col},
+         {"MAX(c * wchars)" if kind == "top" else
+          "SUM(CASE WHEN c >= 2 THEN c * wchars ELSE 0 END)"} AS mass
+  FROM g{n} GROUP BY {id_col}
+)""")
+        # assembled below
+    mass_exprs = []
+    for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS):
+        kind = "top" if n in TOP_NGRAM_NS else "dup"
+        col = f"{kind}_{n}gram_char_frac"
+        base = (
+            f"CASE WHEN wd.nw < {n} OR wd.tot = 0 THEN 0.0 "
+            f"ELSE COALESCE(m{n}.mass, 0) / CAST(wd.tot AS DOUBLE) END"
+        )
+        if kind == "dup":
+            base = f"least(1.0, {base})"
+        mass_exprs.append(f"{base} AS {col}")
+    joins = "".join(
+        f" LEFT JOIN m{n} ON m{n}.{id_col} = wd.{id_col}"
+        for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS)
+    )
+    return f"""
+WITH wd AS (
+  SELECT {id_col}, {words} AS w, len({words}) AS nw,
+         list_sum(list_transform({words}, x -> length(x))) AS tot
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+{",".join(ctes)}
+SELECT wd.{id_col}, {", ".join(mass_exprs)}
+FROM wd{joins}
+ORDER BY wd.{id_col}
+"""

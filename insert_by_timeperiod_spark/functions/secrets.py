@@ -1,0 +1,115 @@
+"""Secret/credential scanning for code-bearing corpora (SURVEY.md §2
+C257) — the BigCode/The-Stack-style hygiene pass that runs NEXT TO the
+prose PII pass (functions/text.py C21): API keys, cloud credentials,
+private-key blocks and bearer tokens must not survive into a pre-training
+corpus, and a per-document detection count is the audit a curation
+pipeline gates on.
+
+Extension beyond the reference's surface (north star
+/root/repo/BASELINE.json); the reference's macro layer delegates all
+expression evaluation to the warehouse (SURVEY.md §2 Part C).
+
+Like PII_PATTERNS, every pattern stays inside the regex subset shared by
+Java regex (Spark) and RE2 (DuckDB) — no backreferences, no lookaround —
+so the IDENTICAL strings drive both engines and the oracle comparison is
+exact. Patterns target PREFIXED token formats (AKIA…, ghp_…, xoxb-…,
+AIza…, sk-…, eyJ…, -----BEGIN … PRIVATE KEY-----): prefix formats detect
+with near-zero false positives, while unprefixed high-entropy strings are
+a statistical call — that variant belongs behind an entropy threshold,
+not a regex, and is out of scope here (documented library-scope trade,
+same posture as the PII list's "conservative by design").
+
+Scale shape: pure scan-stage column algebra — ``regexp_count`` per
+pattern fused into one projection, zero shuffle, no UDF; the redaction
+variant chains ``regexp_replace`` exactly like ``redact_pii``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: (kind, pattern, replacement) applied IN ORDER; private-key blocks first
+#: so a PEM body's base64 lines can't be half-eaten by the token rules.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\s]*"
+        r"-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    ("aws_access_key", r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36,255}\b", "<GH_TOKEN>"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b", "<SLACK_TOKEN>"),
+    ("google_api_key", r"\bAIza[0-9A-Za-z_-]{35}\b", "<GOOGLE_KEY>"),
+    ("openai_key", r"\bsk-[A-Za-z0-9]{20,}\b", "<OPENAI_KEY>"),
+    (
+        "jwt",
+        r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]+\b",
+        "<JWT>",
+    ),
+]
+
+
+def secret_counts(col: Column) -> Column:
+    """Per-document detection counts as a map<kind, int> plus callers can
+    gate on ``secret_total``; one fused projection, scan-stage."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _, _ in SECRET_PATTERNS]),
+        F.array(
+            *[
+                F.regexp_count(col, F.lit(p)).cast("int")
+                for _, p, _ in SECRET_PATTERNS
+            ]
+        ),
+    )
+
+
+def redact_secrets(col: Column, kinds: list[str] | None = None) -> Column:
+    """Replace detected secrets with typed placeholders — the C21
+    ``redact_pii`` chain shape over the secret grid."""
+    out = col
+    for kind, pat, repl in SECRET_PATTERNS:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def secrets_audit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flat per-document audit: one count column per kind + the total —
+    the gating frame (``WHERE secret_total > 0`` is the quarantine set).
+    NULL text -> zero counts (nothing to detect), same as the twin."""
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(src, F.lit(p)).cast("int").alias(f"n_{k}")
+        for k, p, _ in SECRET_PATTERNS
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = sum(
+        (F.col(f"n_{k}") for k, _, _ in SECRET_PATTERNS),
+        F.lit(0),
+    )
+    return out.withColumn("secret_total", total.cast("int"))
+
+
+def secrets_audit_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Exact DuckDB twin of :func:`secrets_audit` — the identical pattern
+    strings via RE2 ``len(regexp_extract_all(...))``."""
+    cols = []
+    # DuckDB '...' literals are NOT escape-processed (standard SQL):
+    # backslashes pass through verbatim; only quotes need doubling
+    for kind, pat, _ in SECRET_PATTERNS:
+        esc = pat.replace("'", "''")
+        cols.append(
+            f"CAST(len(regexp_extract_all(COALESCE({text_col}, ''),"
+            f" '{esc}')) AS INT) AS n_{kind}"
+        )
+    total = " + ".join(f"n_{k}" for k, _, _ in SECRET_PATTERNS)
+    return (
+        f"SELECT {id_col}, {', '.join(cols)},"
+        f" CAST({total} AS INT) AS secret_total"
+        f" FROM {table} ORDER BY {id_col}"
+    )

@@ -1,0 +1,172 @@
+"""Corpus overlap matrix (SURVEY.md §2 C255): pairwise document overlap
+between SOURCES/datasets — the multi-dataset curation readout ("how much
+of Dataset A is already in Dataset B") that precedes cross-dataset dedup
+(C19) and mixing-weight decisions (C128/C249).
+
+Extension beyond the reference's surface (north star /root/repo/BASELINE.json);
+the reference's macro layer (/root/reference/macros/*.sql) delegates all
+model-body analytics to the warehouse engine.
+
+Scale shape: ONE shuffle. Documents collapse to (md5-digest, source-set)
+via a map-side-combined ``collect_set`` keyed by the 16-byte digest —
+the set is bounded by the number of sources, never by corpus size; the
+pair counts explode combinations WITHIN each digest's sorted source set
+(sources² tiny rows per digest, only for digests shared across sources);
+per-source totals reduce from the same digest-level frame. The final
+matrix assembly joins frames whose size is O(sources²) — broadcast
+territory at any corpus size. At 100 TB nothing but 16-byte digests and
+source ids ever moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def corpus_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per unordered source pair (source_a < source_b): distinct-
+    document counts, shared distinct documents (by exact md5 digest —
+    the C19 exact-dedup identity), Jaccard, and both containments
+    (shared/n_a, shared/n_b — the asymmetric "A is 80% inside B" number
+    Jaccard hides). Pairs that share nothing still appear (shared=0):
+    the MATRIX is the deliverable, absence of overlap is a finding.
+    NULL texts and NULL sources are excluded (no digest / no dataset).
+    """
+    ds = (
+        df.where(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.array_sort(F.collect_set(F.col(source_col))).alias("_srcs"))
+    )
+    # digest-level frame feeds totals AND pair counts — tiny (distinct
+    # digests × a source array), but two consumers: pin it
+    ds = ds.persist()
+    totals = (
+        ds.select(F.explode("_srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_srcs"), i + 2, F.size(F.col("_srcs"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    shared = (
+        ds.where(F.size("_srcs") >= 2)
+        .select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.source_a").alias("source_a"),
+                 F.col("_p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    # full matrix: every a<b pair of observed sources, zero-filled —
+    # a non-equi join of two sources-sized relations (broadcast NLJ)
+    grid = ta.join(tb, F.col("source_a") < F.col("source_b"))
+    den = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return (
+        grid.join(shared, ["source_a", "source_b"], "left")
+        .withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
+        # integer-valued doubles divide bit-identically across engines
+        .withColumn("jaccard", F.col("shared") / den.cast("double"))
+        .withColumn(
+            "containment_a", F.col("shared") / F.col("n_a").cast("double")
+        )
+        .withColumn(
+            "containment_b", F.col("shared") / F.col("n_b").cast("double")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def corpus_overlap_sql(table: str, source_col: str = "source",
+                       text_col: str = "text") -> str:
+    """Exact DuckDB twin of :func:`corpus_overlap_matrix` — same digest
+    identity (md5), same zero-filled a<b grid, same IEEE divisions."""
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT md5({text_col}) AS h, {source_col} AS source
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {source_col} IS NOT NULL
+), tot AS (
+  SELECT source, COUNT(*) AS n FROM ds GROUP BY source
+), pair AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ta.source AS source_a, tb.source AS source_b,
+       ta.n AS n_a, tb.n AS n_b,
+       COALESCE(p.shared, 0) AS shared,
+       CAST(COALESCE(p.shared, 0) AS DOUBLE)
+         / CAST(ta.n + tb.n - COALESCE(p.shared, 0) AS DOUBLE) AS jaccard,
+       CAST(COALESCE(p.shared, 0) AS DOUBLE) / CAST(ta.n AS DOUBLE)
+         AS containment_a,
+       CAST(COALESCE(p.shared, 0) AS DOUBLE) / CAST(tb.n AS DOUBLE)
+         AS containment_b
+FROM tot ta JOIN tot tb ON ta.source < tb.source
+LEFT JOIN pair p ON p.source_a = ta.source AND p.source_b = tb.source
+ORDER BY source_a, source_b
+"""
+
+
+def corpus_overlap_matrix_kmv(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    *,
+    k: int = 4096,
+) -> DataFrame:
+    """Sketch-path variant for when even the exact path's digest shuffle
+    is too much (C96 theta sketches): ONE KMV sketch per source (k
+    smallest distinct draws — a k-row sample per source, corpus-size-
+    independent), then every pairwise estimate computes driver-free on
+    the sources-sized sketch frame. Estimates are EXACT whenever a
+    source's distinct count is below k (the sketch then IS its hash
+    set), which is what the pytest pin exploits: at test scale the KMV
+    matrix must EQUAL the exact matrix's shared counts.
+
+    Trade vs :func:`corpus_overlap_matrix`: shuffle volume drops from
+    O(distinct digests) to O(sources·k), in exchange for ±1/√k relative
+    error on shared counts above k. Same output shape (counts become
+    DOUBLE estimates)."""
+    from .sketch import kmv_estimate, kmv_intersect_estimate, kmv_sketch
+
+    src = df.where(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    ).select(
+        F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("_h")
+    )
+    sk = kmv_sketch(src, ["source"], "_h", k=k)
+    a = sk.select(F.col("source").alias("source_a"), F.col("kmv").alias("_ka"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("kmv").alias("_kb"))
+    grid = a.join(b, F.col("source_a") < F.col("source_b"))
+    shared = kmv_intersect_estimate(F.col("_ka"), F.col("_kb"), k=k)
+    na = kmv_estimate(F.col("_ka"), k=k)
+    nb = kmv_estimate(F.col("_kb"), k=k)
+    return (
+        grid.select(
+            "source_a",
+            "source_b",
+            na.alias("n_a_est"),
+            nb.alias("n_b_est"),
+            shared.alias("shared_est"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.col("shared_est")
+            / (F.col("n_a_est") + F.col("n_b_est") - F.col("shared_est")),
+        )
+        .orderBy("source_a", "source_b")
+    )

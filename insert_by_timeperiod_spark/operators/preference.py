@@ -381,3 +381,89 @@ SELECT (SELECT COUNT(DISTINCT i) FROM
            AS cycle_rate
 FROM _tri, _cyc
 """
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_col: str,
+    *,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Chosen/rejected pair construction (SURVEY.md §2 C258) — the
+    DPO/reward-model data-prep step between scoring (C231 logreg, C155
+    quality, human ratings) and training: per group (prompt), elect the
+    best- and worst-scored candidates and emit one (chosen, rejected,
+    margin) row; groups with no strict margin (``margin <= min_margin``,
+    including single-candidate groups) drop — an equal-scored pair is not
+    a learnable preference.
+
+    Tiebreaks are deterministic and engine-exact: chosen = max of
+    (score, item) — score first, larger item on ties; rejected = min of
+    (score, item) — smaller item on ties.
+
+    Scale shape: ONE map-side-combined aggregate — two struct min/max
+    lanes + a count collapse each group before the shuffle, so the
+    exchange carries one row per group regardless of candidates per
+    group. No window, no self-join. NULL scores are excluded up front
+    (an unscored candidate can't be elected either way)."""
+    src = df.where(F.col(score_col).isNotNull())
+    s = F.col(score_col).cast("double")
+    agg = src.groupBy(F.col(group_col)).agg(
+        F.max(F.struct(s.alias("score"), F.col(item_col).alias("item"))).alias(
+            "_c"
+        ),
+        F.min(F.struct(s.alias("score"), F.col(item_col).alias("item"))).alias(
+            "_r"
+        ),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        agg.select(
+            F.col(group_col),
+            F.col("_c.item").alias("chosen_item"),
+            F.col("_c.score").alias("chosen_score"),
+            F.col("_r.item").alias("rejected_item"),
+            F.col("_r.score").alias("rejected_score"),
+            (F.col("_c.score") - F.col("_r.score")).alias("margin"),
+            F.col("n_candidates"),
+        )
+        .where(F.col("margin") > F.lit(float(min_margin)))
+        .orderBy(group_col)
+    )
+
+
+def preference_pairs_sql(
+    table: str,
+    group_col: str,
+    item_col: str,
+    score_col: str,
+    *,
+    min_margin: float = 0.0,
+) -> str:
+    """Exact DuckDB twin of :func:`preference_pairs` — the same
+    (score, item) struct orderings expressed as window ranks."""
+    return f"""
+WITH src AS (
+  SELECT {group_col} AS grp, {item_col} AS item,
+         CAST({score_col} AS DOUBLE) AS score
+  FROM {table} WHERE {score_col} IS NOT NULL
+), ranked AS (
+  SELECT grp, item, score,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY score DESC, item DESC) AS rc,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY score ASC, item ASC) AS rr,
+         COUNT(*) OVER (PARTITION BY grp) AS n_candidates
+  FROM src
+)
+SELECT c.grp AS {group_col},
+       c.item AS chosen_item, c.score AS chosen_score,
+       r.item AS rejected_item, r.score AS rejected_score,
+       c.score - r.score AS margin,
+       c.n_candidates
+FROM ranked c JOIN ranked r ON c.grp = r.grp AND c.rc = 1 AND r.rr = 1
+WHERE c.score - r.score > {float(min_margin)!r}
+ORDER BY {group_col}
+"""

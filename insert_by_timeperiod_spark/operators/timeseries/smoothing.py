@@ -139,15 +139,37 @@ def rolling_anomalies(
     if k_sigma <= 0:
         raise ValueError(f"k_sigma must be > 0, got {k_sigma}")
     span_us = days * 86_400 * 1_000_000
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.unix_micros(F.col(ts_col)))
-        .rangeBetween(-span_us, -1)
+    # r10: the direct rangeBetween(-span, -1) frame is the same
+    # superlinear shape C108 measured (Spark re-evaluates the moving
+    # frame per row); the trailing baseline sums now come from the
+    # shared prefix machinery with exclude_instant=True ([t−span, t−1µs]
+    # = cumulative − boundary carry − same-instant peers). DECIMAL
+    # accumulators keep the subtraction exact — pinned bit-identical to
+    # the direct frame in tests.
+    from .grid import trailing_prefix_sums
+
+    out_cols = [*key_cols, *(id_cols or []), ts_col, value_col]
+    dec = F.round(F.col("_v").cast("double"), 6).cast("decimal(28,6)")
+    tr = trailing_prefix_sums(
+        df.select(*out_cols, F.col(value_col).alias("_v")),
+        key_cols,
+        ts_col,
+        [
+            ("n", F.lit(1), "bigint"),
+            ("s", dec, "decimal(38,6)"),
+            ("ss", (dec * dec).cast("decimal(38,12)"), "decimal(38,12)"),
+            # non-null VALUE count: a frame holding only NULL values
+            # must read NULL sums (the direct form's semantics), which
+            # the exact-zero subtraction alone can't signal
+            ("v", F.when(F.col("_v").isNotNull(), 1), "bigint"),
+        ],
+        span_us,
+        exclude_instant=True,
     )
-    dec = F.round(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum(dec).over(w).cast("double")
-    ss = F.sum((dec * dec).cast("decimal(38,12)")).over(w).cast("double")
+    n = F.col("_tr_n")
+    nv = F.col("_tr_v")
+    s = F.when(nv > 0, F.col("_tr_s")).cast("double")
+    ss = F.when(nv > 0, F.col("_tr_ss")).cast("double")
     mean = s / n
     var = F.greatest(ss / n - mean * mean, F.lit(0.0))
     std = F.sqrt(var)
@@ -156,8 +178,7 @@ def rolling_anomalies(
         n >= min_baseline,
         (std > 0) & (dev > F.lit(float(k_sigma)) * std),
     )
-    out_cols = [*key_cols, *(id_cols or []), ts_col, value_col]
-    return df.select(
+    return tr.select(
         *out_cols,
         n.cast("bigint").alias("n_baseline"),
         F.when(n > 0, mean).alias("baseline_mean"),

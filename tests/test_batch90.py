@@ -204,3 +204,118 @@ def test_preference_pairs_hand_case(spark):
     # min_margin gates strictly
     wide = preference_pairs(df, "prompt", "resp", "s", min_margin=0.8)
     assert wide.count() == 0
+
+
+def test_rolling_window_prefix_equals_direct_frame(spark):
+    """C108 r10: the prefix-sum formulation (G(t) − G(t−span−1µs), one
+    cumulative window + carried boundary) must be BIT-IDENTICAL to the
+    direct sliding RANGE frame it replaced — including same-instant
+    peers, NULL values, and a key whose frame goes all-NULL."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window
+    from insert_by_timeperiod_spark.operators import timeseries as TS
+
+    random.seed(11)
+    rows, eid = [], 0
+    for u in range(9):
+        for _ in range(random.randint(1, 60)):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(
+                seconds=random.randint(0, 30 * 86400),
+                microseconds=random.randint(0, 999999),
+            )
+            v = None if random.random() < 0.1 else round(
+                random.uniform(-9, 9), 4
+            )
+            rows.append((u, eid, ts, v))
+            eid += 1
+    tie = dt.datetime(2024, 1, 15, 12, 0, 0)
+    rows += [(2, eid, tie, 1.5), (2, eid + 1, tie, 2.5)]
+    # a key whose trailing frame is entirely NULL mid-stream
+    rows += [
+        (99, eid + 2, dt.datetime(2024, 1, 1), 4.0),
+        (99, eid + 3, dt.datetime(2024, 1, 20), None),
+        (99, eid + 4, dt.datetime(2024, 1, 21), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id long, ts timestamp, value double"
+    )
+    got = TS.rolling_window(
+        df, ["user_id"], "ts", "value", days=7, id_cols=["event_id"]
+    )
+    span = 7 * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-span, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    ref = df.select(
+        "user_id", "event_id", "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.sum(dec).over(w).cast("double").alias("total_7d"),
+        (F.sum(dec).over(w).cast("double")
+         / F.count(F.lit(1)).over(w).cast("double")).alias("avg_7d"),
+    )
+    g = [tuple(r) for r in got.orderBy("user_id", "event_id").collect()]
+    r = [tuple(r) for r in ref.orderBy("user_id", "event_id").collect()]
+    assert g == r and len(g) == len(rows)
+
+
+def test_rolling_anomalies_prefix_equals_direct_frame(spark):
+    """C123 r10: the exclude-instant prefix formulation must be
+    BIT-IDENTICAL to the direct [t−span, t−1µs] RANGE frame, including
+    same-instant peer groups and NULL values."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window
+    from insert_by_timeperiod_spark.operators import timeseries as TS
+
+    random.seed(5)
+    rows, eid = [], 0
+    for u in range(7):
+        for _ in range(random.randint(1, 50)):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(
+                seconds=random.randint(0, 25 * 86400),
+                microseconds=random.randint(0, 999999),
+            )
+            v = None if random.random() < 0.08 else round(
+                random.uniform(-15, 15), 4
+            )
+            rows.append((u, eid, ts, v))
+            eid += 1
+    tie = dt.datetime(2024, 1, 12, 8, 0, 0)
+    rows += [(1, eid, tie, 3.0), (1, eid + 1, tie, -4.0),
+             (1, eid + 2, tie, 90.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id long, ts timestamp, value double"
+    )
+    got = TS.rolling_anomalies(
+        df, ["user_id"], "ts", "value", days=7, id_cols=["event_id"]
+    )
+    span = 7 * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-span, -1)
+    )
+    dec = F.round(F.col("value").cast("double"), 6).cast("decimal(28,6)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dec).over(w).cast("double")
+    ss = F.sum((dec * dec).cast("decimal(38,12)")).over(w).cast("double")
+    mean = s / n
+    std = F.sqrt(F.greatest(ss / n - mean * mean, F.lit(0.0)))
+    flag = F.when(
+        n >= 5, (std > 0) & (F.abs(F.col("value") - mean) > 3.0 * std)
+    )
+    ref = df.select(
+        "user_id", "event_id", "ts", "value",
+        n.cast("bigint").alias("n_baseline"),
+        F.when(n > 0, mean).alias("baseline_mean"),
+        flag.alias("is_anomaly"),
+    )
+    g = [tuple(r) for r in got.orderBy("user_id", "event_id").collect()]
+    r = [tuple(r) for r in ref.orderBy("user_id", "event_id").collect()]
+    assert g == r and len(g) == len(rows)

@@ -386,8 +386,10 @@ def repeated_ngram_stats_batch(df, text_col: str = "text", *,
                                out_col: str = "rep_ngrams"):
     """The character-mass repetition grid of Gopher §A1.1 (SURVEY.md §2
     C256), completing C25's count-based signals: per document,
-    ``top_{n}gram_char_frac`` (n=2,3,4) — the character mass of the most
-    frequent word n-gram — and ``dup_{n}gram_char_frac`` (n=5..10) — the
+    ``top_{n}gram_char_frac`` (n=2,3,4) — the character mass of the MOST
+    FREQUENT word n-gram (argmax by occurrence count per the paper; count
+    ties broken toward the larger char mass, the only tiebreak the value
+    can observe) — and ``dup_{n}gram_char_frac`` (n=5..10) — the
     character mass of all n-grams occurring more than once (overlap
     double-counted by definition, capped at 1.0).
 
@@ -439,9 +441,17 @@ def repeated_ngram_stats_batch(df, text_col: str = "text", *,
                     for i in range(len(words) - n + 1)
                 )
                 if n in TOP_NGRAM_NS:
-                    row[key] = max(
-                        c * sum(len(w) for w in g) for g, c in grams.items()
-                    ) / tot
+                    # Gopher A1.1: the MOST FREQUENT gram's char mass —
+                    # argmax by count first (r11, ADVICE r10), count ties
+                    # broken toward the larger char mass (deterministic,
+                    # and the only tiebreak the metric value can see)
+                    c_star = max(grams.values())
+                    wmax = max(
+                        sum(len(w) for w in g)
+                        for g, c in grams.items()
+                        if c == c_star
+                    )
+                    row[key] = c_star * wmax / tot
                 else:
                     mass = sum(
                         c * sum(len(w) for w in g)
@@ -485,10 +495,14 @@ g{n} AS (
   GROUP BY {id_col}, gram
 ),
 m{n} AS (
-  SELECT {id_col},
-         {"MAX(c * wchars)" if kind == "top" else
-          "SUM(CASE WHEN c >= 2 THEN c * wchars ELSE 0 END)"} AS mass
-  FROM g{n} GROUP BY {id_col}
+  {"SELECT " + id_col + ", cm * MAX(CASE WHEN c = cm THEN wchars END)"
+   " AS mass FROM (SELECT " + id_col + ", c, wchars,"
+   " MAX(c) OVER (PARTITION BY " + id_col + ") AS cm FROM g" + str(n) +
+   ") GROUP BY " + id_col + ", cm"
+   if kind == "top" else
+   "SELECT " + id_col +
+   ", SUM(CASE WHEN c >= 2 THEN c * wchars ELSE 0 END) AS mass FROM g" +
+   str(n) + " GROUP BY " + id_col}
 )""")
         # assembled below
     mass_exprs = []

@@ -20,7 +20,18 @@ source ids ever moves.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
+
+# At most ONE digest-frame cache alive per session (r11, ADVICE r10: the
+# bare persist() leaked one cached RDD per call for the application
+# lifetime). Same registry discipline as dedup.py's _SIGS_CACHE: a
+# lazy-returning function can never unpersist its own cache, so each
+# call evicts the previous call's — a caller still holding the old
+# result loses only the cache, never correctness.
+_DS_LOCK = threading.Lock()
+_DS_CACHE: list[DataFrame] = []
 
 
 def corpus_overlap_matrix(
@@ -42,8 +53,16 @@ def corpus_overlap_matrix(
         .agg(F.array_sort(F.collect_set(F.col(source_col))).alias("_srcs"))
     )
     # digest-level frame feeds totals AND pair counts — tiny (distinct
-    # digests × a source array), but two consumers: pin it
-    ds = ds.persist()
+    # digests × a source array), but two consumers: pin it (evicting the
+    # previous call's pin first — see _DS_CACHE above)
+    with _DS_LOCK:
+        while _DS_CACHE:
+            try:
+                _DS_CACHE.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+        ds = ds.persist()
+        _DS_CACHE.append(ds)
     totals = (
         ds.select(F.explode("_srcs").alias("source"))
         .groupBy("source")

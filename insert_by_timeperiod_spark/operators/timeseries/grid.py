@@ -231,7 +231,15 @@ def trailing_prefix_sums(
     must absorb the CUMULATIVE sum exactly (decimal(38,x) / bigint) —
     exact subtraction is what makes the result bit-identical to the
     direct frame form (pinned in tests). An empty frame yields 0, not
-    NULL — track a count term and gate if NULL semantics are needed."""
+    NULL — track a count term and gate if NULL semantics are needed.
+
+    NULL-``ts_col`` rows follow SQL-standard RANGE semantics (verified
+    identical in Spark direct frames and DuckDB, r11): rows with a NULL
+    sort key are peers of each other, and a RANGE frame for a NULL row
+    is the ENTIRE NULL peer group regardless of bounds — even the
+    exclusive [t−span, t−1µs] frame includes the current row. The
+    cumulative window already evaluates to exactly that peer-group sum
+    for NULL rows, so they bypass the boundary/instant subtraction."""
     t = F.unix_micros(F.col(ts_col))
     wcum = (
         Window.partitionBy(*key_cols)
@@ -282,6 +290,10 @@ def trailing_prefix_sums(
         )
         if exclude_instant:
             tr = tr - F.coalesce(F.col(f"_i_{name}"), F.lit(0).cast(dt_))
+        # NULL sort key: the direct RANGE frame is the whole NULL peer
+        # group (bounds ignored, current row included even under
+        # exclude_instant) — which is exactly the cumulative value
+        tr = F.when(F.col("_t").isNull(), F.col(f"_c_{name}")).otherwise(tr)
         out = out.withColumn(f"_tr_{name}", tr)
     return out
 

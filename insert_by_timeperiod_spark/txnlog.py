@@ -271,19 +271,23 @@ class TxnLogTable(ParquetTable):
         # Concurrent commits from other processes are just pending
         # versions and fold in normally. Time-travel reads (version=X)
         # bypass the cache when X != the cached head.
+        # Entry dicts are copied at every return below (r11, ADVICE r10):
+        # the cache must never share entry dicts with callers, or an
+        # in-place mutation of a returned entry would silently poison
+        # every subsequent cached snapshot.
         cached = self._snap_cache
         if cached is not None and versions:
             cv, cfiles = cached
             head = versions[-1]
             if cv == head and (version is None or version == head):
-                return dict(cfiles)
+                return {f: dict(e) for f, e in cfiles.items()}
             pending = [v for v in versions if v > cv]
             if (
                 cv < head
                 and (version is None or version == head)
                 and pending == list(range(cv + 1, head + 1))
             ):
-                files = dict(cfiles)
+                files = {f: dict(e) for f, e in cfiles.items()}
                 for v in pending:
                     c = self._read_commit(v)
                     if c.get("checkpoint"):
@@ -293,7 +297,7 @@ class TxnLogTable(ParquetTable):
                         files[a["f"]] = a
                     for r in c["removes"]:
                         files.pop(r, None)
-                self._snap_cache = (head, dict(files))
+                self._snap_cache = (head, {f: dict(e) for f, e in files.items()})
                 return files
         files = {}
         head0 = versions[-1] if versions else -1
@@ -314,7 +318,7 @@ class TxnLogTable(ParquetTable):
             for r in c["removes"]:
                 files.pop(r, None)
         if head0 >= 0 and version is None:
-            self._snap_cache = (head0, dict(files))
+            self._snap_cache = (head0, {f: dict(e) for f, e in files.items()})
         return files
 
     # ---- write -----------------------------------------------------------

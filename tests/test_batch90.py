@@ -45,6 +45,19 @@ def test_overlap_matrix_hand_case(spark):
     assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
 
 
+def test_overlap_matrix_cache_registry_holds_one(spark):
+    """r11 (ADVICE r10): repeated calls must not leak cached RDDs — the
+    digest-frame registry keeps at most ONE persist alive per session."""
+    from insert_by_timeperiod_spark.operators import overlap as OV
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "y")], "source string, text string"
+    )
+    for _ in range(3):
+        assert corpus_overlap_matrix(df).count() == 1
+    assert len(OV._DS_CACHE) == 1
+
+
 def test_overlap_matrix_excludes_nulls(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("a", None), (None, "x"), ("b", "x")],
@@ -82,6 +95,30 @@ def test_repeated_ngram_hand_cases(spark):
     r4 = _rep(spark, "only three words")
     assert r4["dup_5gram_char_frac"] == 0.0
     assert r4["top_4gram_char_frac"] == 0.0
+
+
+def test_repeated_ngram_top_is_argmax_by_count(spark):
+    """r11 (ADVICE r10): Gopher A1.1 takes the MOST FREQUENT n-gram, then
+    its char fraction — NOT max over grams of count*mass. Here ('a','b')
+    occurs 3x (mass 2, product 6) while ('X'*16,'Y'*16) occurs once
+    (mass 32, product 32): the paper's value is 3*2/38, and the max-mass
+    variant's 32/38 must NOT come back. Both lanes pinned."""
+    import duckdb
+
+    from insert_by_timeperiod_spark.functions.quality import (
+        repeated_ngram_sql,
+    )
+
+    text = "a b a b a b " + "X" * 16 + " " + "Y" * 16
+    want = 6 / 38
+    r = _rep(spark, text)
+    assert r["top_2gram_char_frac"] == pytest.approx(want)
+    assert r["top_2gram_char_frac"] < 32 / 38 - 0.1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    got = con.execute(repeated_ngram_sql("documents")).fetchdf()
+    assert got["top_2gram_char_frac"][0] == pytest.approx(want)
 
 
 def test_repeated_ngram_null_and_empty(spark):
@@ -210,7 +247,9 @@ def test_rolling_window_prefix_equals_direct_frame(spark):
     """C108 r10: the prefix-sum formulation (G(t) − G(t−span−1µs), one
     cumulative window + carried boundary) must be BIT-IDENTICAL to the
     direct sliding RANGE frame it replaced — including same-instant
-    peers, NULL values, and a key whose frame goes all-NULL."""
+    peers, NULL values, a key whose frame goes all-NULL, and (r11)
+    NULL TIMESTAMPS, whose SQL-standard RANGE frame is the entire NULL
+    peer group."""
     import datetime as dt
     import random
 
@@ -221,9 +260,12 @@ def test_rolling_window_prefix_equals_direct_frame(spark):
     rows, eid = [], 0
     for u in range(9):
         for _ in range(random.randint(1, 60)):
-            ts = dt.datetime(2024, 1, 1) + dt.timedelta(
-                seconds=random.randint(0, 30 * 86400),
-                microseconds=random.randint(0, 999999),
+            # r11: 12% NULL timestamps mixed into every key
+            ts = None if random.random() < 0.12 else (
+                dt.datetime(2024, 1, 1) + dt.timedelta(
+                    seconds=random.randint(0, 30 * 86400),
+                    microseconds=random.randint(0, 999999),
+                )
             )
             v = None if random.random() < 0.1 else round(
                 random.uniform(-9, 9), 4
@@ -238,6 +280,9 @@ def test_rolling_window_prefix_equals_direct_frame(spark):
         (99, eid + 3, dt.datetime(2024, 1, 20), None),
         (99, eid + 4, dt.datetime(2024, 1, 21), None),
     ]
+    # a key whose timestamps are ALL NULL (pure NULL peer group)
+    rows += [(98, eid + 5, None, 1.0), (98, eid + 6, None, None),
+             (98, eid + 7, None, 3.0)]
     df = spark.createDataFrame(
         rows, "user_id int, event_id long, ts timestamp, value double"
     )
@@ -266,7 +311,9 @@ def test_rolling_window_prefix_equals_direct_frame(spark):
 def test_rolling_anomalies_prefix_equals_direct_frame(spark):
     """C123 r10: the exclude-instant prefix formulation must be
     BIT-IDENTICAL to the direct [t−span, t−1µs] RANGE frame, including
-    same-instant peer groups and NULL values."""
+    same-instant peer groups, NULL values, and (r11) NULL timestamps —
+    whose frame is the whole NULL peer group INCLUDING the current row,
+    even though the frame bound is exclusive."""
     import datetime as dt
     import random
 
@@ -277,9 +324,12 @@ def test_rolling_anomalies_prefix_equals_direct_frame(spark):
     rows, eid = [], 0
     for u in range(7):
         for _ in range(random.randint(1, 50)):
-            ts = dt.datetime(2024, 1, 1) + dt.timedelta(
-                seconds=random.randint(0, 25 * 86400),
-                microseconds=random.randint(0, 999999),
+            # r11: 12% NULL timestamps mixed into every key
+            ts = None if random.random() < 0.12 else (
+                dt.datetime(2024, 1, 1) + dt.timedelta(
+                    seconds=random.randint(0, 25 * 86400),
+                    microseconds=random.randint(0, 999999),
+                )
             )
             v = None if random.random() < 0.08 else round(
                 random.uniform(-15, 15), 4
@@ -289,6 +339,8 @@ def test_rolling_anomalies_prefix_equals_direct_frame(spark):
     tie = dt.datetime(2024, 1, 12, 8, 0, 0)
     rows += [(1, eid, tie, 3.0), (1, eid + 1, tie, -4.0),
              (1, eid + 2, tie, 90.0)]
+    rows += [(97, eid + 3, None, 2.0), (97, eid + 4, None, 8.0),
+             (97, eid + 5, None, None)]
     df = spark.createDataFrame(
         rows, "user_id int, event_id long, ts timestamp, value double"
     )

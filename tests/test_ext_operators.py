@@ -2941,6 +2941,9 @@ def test_rolling_anomalies_flags_spike_not_baseline(spark):
     rows = [(1, i, t0 + TD(hours=i), 10.0 + (i % 3) * 0.1) for i in range(12)]
     rows.append((1, 99, t0 + TD(hours=13), 500.0))   # the spike
     rows.append((1, 100, t0 + TD(hours=14), 10.1))   # normal after spike
+    # r11: NULL-ts rows — frame is the NULL peer group in BOTH engines
+    rows.append((1, 101, None, 10.0))
+    rows.append((1, 102, None, 10.2))
     df = spark.createDataFrame(rows, "k int, eid int, ts timestamp, v double")
     out = {
         r["eid"]: (r["is_anomaly"], r["n_baseline"])

@@ -245,6 +245,31 @@ def test_concurrent_writers_lose_no_commits(spark):
     assert t.read().count() == n0 + 16
 
 
+def test_snapshot_entries_are_mutation_safe_copies(spark):
+    """r11 (ADVICE r10): the incremental snapshot-fold cache must never
+    share entry dicts with callers — mutating a returned entry in place
+    must not poison subsequent cached snapshots (cold fold, cache hit,
+    and incremental-fold paths all covered)."""
+    eng = _engine(spark)
+    eng.run(RunVars(stop_date="2024-01-08"))
+    t = eng.table
+    clean = {f: dict(e) for f, e in t._snapshot_entries().items()}
+    # cache-hit path: mutate the returned entries, re-read, compare
+    got = t._snapshot_entries()
+    for e in got.values():
+        e["p"] = "9999-12-31"
+        e["poison"] = True
+    assert t._snapshot_entries() == clean
+    # incremental-fold path: commit once more, then poison that result too
+    t.append(t.read().limit(1))
+    after = t._snapshot_entries()
+    for e in after.values():
+        e.clear()
+    again = t._snapshot_entries()
+    assert again and all(e.get("f") for e in again.values())
+    assert t.snapshot()  # still a valid path->partition mapping
+
+
 def test_auto_checkpoint_bounds_fold_and_preserves_semantics(spark):
     from insert_by_timeperiod_spark.txnlog import TxnLogTable
 

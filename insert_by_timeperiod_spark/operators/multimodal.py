@@ -329,7 +329,9 @@ def text_to_bmp_payload(
 ) -> DataFrame:
     """Derive a REAL (decodable) BMP payload per row from the first
     ``w*h*3`` text bytes — deterministic image fixtures for corpora that
-    carry no binary column. Arrow-batched; zero shuffle."""
+    carry no binary column. Arrow-batched; the CPU-bound encode lane is
+    ``spread`` so a one-split input doesn't serialize it (no-op on
+    well-partitioned inputs)."""
     n = w * h * 3
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -344,8 +346,8 @@ def text_to_bmp_payload(
                 {"asset_id": pdf[id_col], "media_type": "image/bmp", "payload": payloads}
             )
 
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col)
+    return spread(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)), id_col
     ).mapInPandas(op, "asset_id long, media_type string, payload binary")
 
 
@@ -372,8 +374,8 @@ def text_to_gif_payload(
                 {"asset_id": pdf[id_col], "media_type": "image/gif", "payload": payloads}
             )
 
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col)
+    return spread(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)), id_col
     ).mapInPandas(op, "asset_id long, media_type string, payload binary")
 
 
@@ -405,8 +407,8 @@ def text_to_jpeg_payload(
                 {"asset_id": pdf[id_col], "media_type": "image/jpeg", "payload": payloads}
             )
 
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col)
+    return spread(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)), id_col
     ).mapInPandas(op, "asset_id long, media_type string, payload binary")
 
 

@@ -1,0 +1,55 @@
+"""Capture .explain("formatted") for declared queries into plans/r11/.
+
+Usage:
+  python tools/capture_plans.py before [name ...]   # -> plans/r11/<q>_before.txt
+  python tools/capture_plans.py after  [name ...]   # -> plans/r11/<q>_after.txt
+
+With no names, captures every entry in queries() that returns a DataFrame
+plan cheaply (engine_* scenarios RUN the engine to produce their frame, so
+their capture cost is a real engine run — they are included only when named
+explicitly or with --all).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import __spark_entry__ as entrymod
+from insert_by_timeperiod_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r11")
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = [a for a in sys.argv[2:] if not a.startswith("-")]
+    include_engine = "--all" in sys.argv or bool(names)
+    os.makedirs(OUT, exist_ok=True)
+    spark = get_spark("ibtp-plan-capture")
+    qs = {**entrymod.queries(), **entrymod.pytest_only_queries()}
+    targets = names or [
+        n
+        for n in qs
+        if include_engine
+        or not (n.startswith("engine_") or n.startswith("streaming_") or n.startswith("txnlog"))
+    ]
+    for name in targets:
+        try:
+            df = qs[name](spark, SF_DIR)
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # capture what we can; note the failure
+            txt = f"<capture failed: {e}>"
+        path = os.path.join(OUT, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

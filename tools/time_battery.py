@@ -1,0 +1,67 @@
+"""Time every declared query (queries() + pytest_only_queries()) into the
+noop sink, best-of-N (IBTP_TIME_REPEAT, default 2), one warm session —
+the same methodology as bench.py but over the whole battery. Writes JSON to
+stdout and /tmp/battery_times.json. Purely a profiling aid for the
+optimization rounds; the recorded artifact stays bench.py's.
+
+Usage: python tools/time_battery.py [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import __spark_entry__ as entrymod
+from insert_by_timeperiod_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    spark = get_spark("ibtp-time-battery")
+    qs = {**entrymod.queries(), **entrymod.pytest_only_queries()}
+    targets = names or list(entrymod.queries())
+    # warm-up (same as bench.py): codegen, parquet committer, Arrow workers
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["cte_union_minmax"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    def _warm(batches):
+        import numpy as _np
+
+        for b in batches:
+            yield b.assign(id=_np.asarray(b["id"]))
+
+    spark.range(0, 64, 1, 64).mapInPandas(_warm, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    repeat = int(os.environ.get("IBTP_TIME_REPEAT", "2"))
+    times: dict[str, float] = {}
+    for name in targets:
+        spark.sparkContext.setJobDescription(name)
+        best = None
+        try:
+            for _ in range(repeat):
+                t0 = time.monotonic()
+                df = qs[name](spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+        except Exception as e:
+            times[name] = f"ERR: {e}"[:200]
+        print(f"{name}: {times[name]}", file=sys.stderr)
+    out = {"sf_dir": SF_DIR, "times": times}
+    with open("/tmp/battery_times.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

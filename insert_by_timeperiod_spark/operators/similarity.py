@@ -46,6 +46,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms: ``dot(a,b) / (na * nb)``.
+
+    Bit-identical to :func:`cosine` when ``na``/``nb`` are ``l2_norm`` of the
+    same vectors — IEEE doubles are deterministic, so hoisting
+    ``sqrt(dot(v,v))`` out of the per-pair expression into a once-per-vector
+    projection changes WHERE the fold runs, never its value. The win (guide
+    §1.2 per-task work): each ``dot`` is a zip_with+aggregate Catalyst fold
+    that materializes an intermediate array — per candidate PAIR the plain
+    form runs three 64-element folds, this form runs one."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,19 +78,21 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
     # spread guards the compact-input case (one parquet split would score
     # every pair on a single core); at real scale it's a no-op
     c = spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     pairs = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        cosine_pre(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -216,11 +231,12 @@ def lsh_topk(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
             )
-        ),
+        ).withColumn("_cn", l2_norm(F.col("_cv"))),
         dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed, vec_col="_cv",
     )
     q = _add_lsh_tables(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv"))),
         dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed, vec_col="_qv",
         multi_probe=multi_probe,
     )
@@ -228,7 +244,11 @@ def lsh_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id",
+        "neighbor_id",
+        cosine_pre(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -355,18 +375,29 @@ def ivf_topk(
     assign1 = _cell_assign_udf(cents, 1)
     assignN = _cell_assign_udf(cents, nprobe)
 
-    c = spread(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    ).withColumn("cell", assign1(F.col("_cv"))[0])
+    c = (
+        spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+            )
+        )
+        .withColumn("cell", assign1(F.col("_cv"))[0])
+        .withColumn("_cn", l2_norm(F.col("_cv")))
+    )
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
         .withColumn("cell", F.explode(assignN(F.col("_qv"))))
     )
     cand = c.join(F.broadcast(q), "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id",
+        "neighbor_id",
+        cosine_pre(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -419,11 +450,33 @@ def embedding_cosine_dupes(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    ).withColumn("_nv", l2_norm(F.col("_v")))
     return (
-        pairs.join(vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va")), "id_a")
-        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        pairs.join(
+            vecs.select(
+                F.col("_vid").alias("id_a"),
+                F.col("_v").alias("va"),
+                F.col("_nv").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("id_b"),
+                F.col("_v").alias("vb"),
+                F.col("_nv").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
         .where(F.col("sim") >= threshold)
     )
 
@@ -645,6 +698,7 @@ def ivf_query(
     assignN = _cell_assign_udf(cents, nprobe)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
         .withColumn("cell", F.explode(assignN(F.col("_qv"))))
         .localCheckpoint(eager=True)  # two consumers: probe list + join
     )
@@ -659,12 +713,17 @@ def ivf_query(
             F.col(vec_col).alias("_cv"),
             "cell",
         )
+        .withColumn("_cn", l2_norm(F.col("_cv")))
     )
     cand = c.join(F.broadcast(q), "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id",
+        "neighbor_id",
+        cosine_pre(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -751,19 +810,21 @@ def hard_negative_topk(
         )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
         )
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     pairs = c.join(F.broadcast(q), how="cross").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        cosine_pre(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("sim"),
     ).where(F.col("sim") < exclude_above)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")

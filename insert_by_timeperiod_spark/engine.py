@@ -742,28 +742,32 @@ class InsertByTimeperiod:
 
             target = self._probe_target(p)
             keys = df.select(key).distinct()
-            affected = {
+            # ONE action answers both probe questions (they are only ever
+            # consumed unioned): key-matched target partitions, plus the
+            # batch's own output dates — normally within the span, but a
+            # model may compute dates outside it; the reference INSERTs
+            # every model row, so those partitions join the rewrite set
+            # rather than being silently dropped by the swap loop (df is
+            # persisted; that branch is a scan of the cache). Previously two
+            # sequential collect() jobs per batch — same rows, half the
+            # fixed per-job latency in the period loop.
+            probe_dates = {
                 r[0]
                 for r in target.join(keys, key, "left_semi")
                 .select(pcol)
                 .distinct()
+                .unionAll(df.select(pcol).distinct())
                 .collect()
             }
-            # the batch's own output dates: normally within the span, but a
-            # model may compute dates outside it — the reference INSERTs
-            # every model row, so those partitions join the rewrite set
-            # rather than being silently dropped by the swap loop (df is
-            # persisted; this is a scan of the cache)
-            df_dates = {r[0] for r in df.select(pcol).distinct().collect()}
             # NULL-date contract (matches the fresh-target fast path and the
             # reference's INSERT-every-row semantics): NULL-date model rows
             # are kept — they live in the hive default partition, which is
             # rewritten like any other when the batch emits NULL dates or a
             # target NULL-date row matches a batch key
-            touch_null = None in affected or None in df_dates
+            touch_null = None in probe_dates
             # rewrite set: key-matched partitions + span days + output dates
             dates: list[dt.date | None] = sorted(
-                (affected | df_dates | {d.start for d in period_grid(p.start, p.end, "day")})
+                (probe_dates | {d.start for d in period_grid(p.start, p.end, "day")})
                 - {None}
             )
             # survivors come from the UNFILTERED target pruned to the rewrite

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import re
 import tempfile
 import weakref
 from collections.abc import Callable
@@ -188,6 +189,36 @@ def _sql(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark, sf_dir)
         return spark.sql(spark_sql)
+
+    return run
+
+
+def _sql_spread(
+    spark_sql: str, table: str, key: str
+) -> Callable[[SparkSession, str], DataFrame]:
+    """``_sql`` plus the operators' conditional ``spread`` guard (guide §2.5
+    "input skew"): the sf fixtures are single-file, single-row-group
+    parquets, so the scan — and every expression Catalyst fuses into the
+    scan stage, here the DECIMAL-exact aggregation contract — runs on ONE
+    core of 32. When (and only when) ``table`` arrives with fewer splits
+    than ``defaultParallelism``, re-key it by the high-cardinality ``key``
+    into a temp view and point the query there; at real scale the input
+    already has thousands of splits and the query text is used untouched.
+
+    Value-exact by construction: applied ONLY to queries whose aggregates
+    are order-independent (DECIMAL sums — exact arithmetic — plus
+    COUNT/MIN/MAX); native double sums would be partition-order-sensitive
+    and stay on plain ``_sql``."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark, sf_dir)
+        sc = spark.sparkContext
+        base = spark.table(table)
+        if base.rdd.getNumPartitions() >= sc.defaultParallelism:
+            return spark.sql(spark_sql)
+        view = f"_ibtp_spread_{table}"
+        base.repartition(sc.defaultParallelism, key).createOrReplaceTempView(view)
+        return spark.sql(re.sub(rf"\b{table}\b", view, spark_sql))
 
     return run
 
@@ -3541,9 +3572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         {
             # Part C: aggregation / joins / subqueries
-            "q1_pricing_summary": _sql(Q1_PRICING),
-            "q3_top_revenue": _sql(Q3_TOP_REVENUE),
-            "region_revenue": _sql(REGION_REVENUE),
+            "q1_pricing_summary": _sql_spread(Q1_PRICING, "lineitem", "l_orderkey"),
+            "q3_top_revenue": _sql_spread(Q3_TOP_REVENUE, "lineitem", "l_orderkey"),
+            "region_revenue": _sql_spread(REGION_REVENUE, "orders", "o_orderkey"),
             "semi_join_customers": _sql(SEMI_JOIN),
             "in_subquery_orders": _sql(IN_SUBQUERY),
             "range_band_join": _range_bands,

@@ -580,9 +580,13 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MODEL_DAILY groups by (user, day), so it is period-additive: each
     # batch compiles ONE widened plan instead of a 16-way union
     # (golden-tested equal; window-function models must not set this).
+    # concurrent_batches=2 (guide §2.6 overlap): the two commit cycles stage
+    # concurrently — private staging dirs, publishes strictly in grid order,
+    # so every commit boundary's observable state (and the final content,
+    # golden-pinned batched==sequential) is identical to the sequential loop
     "engine_daily_full_build": _engine(
         MODEL_DAILY, [RunVars()], "daily", period="day", periods_per_commit=16,
-        period_additive_model=True,
+        period_additive_model=True, concurrent_batches=2,
     ),
     # A8/A10/A12/A20 combined: corrupt->refresh, resume, corrupt->backfill
     "engine_lifecycle": _engine_lifecycle,
@@ -616,7 +620,8 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # commits while 31 day-jobs collapse into 4 (tests/test_engine.py pins
     # batched == sequential on windowed models)
     "engine_windowed_model": _engine(
-        MODEL_WINDOWED, [RunVars()], "windowed", period="day", periods_per_commit=8
+        MODEL_WINDOWED, [RunVars()], "windowed", period="day", periods_per_commit=8,
+        concurrent_batches=2,
     ),
     # C5 through the engine: dimension join inside the model
     "engine_joined_model": _engine(MODEL_JOINED, [RunVars()], "joined"),

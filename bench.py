@@ -105,6 +105,20 @@ def main() -> None:
             best = dt_ if best is None else min(best, dt_)
         times[name] = round(best, 3)
 
+    # contention self-flag (stderr only — the recorded JSON contract is
+    # unchanged): this host shows multi-minute load waves that have polluted
+    # two rounds of recorded benches; a recording taken under load now says
+    # so in its own captured tail.
+    try:
+        la = os.getloadavg()
+        print(
+            f"[bench] loadavg at finish: {la[0]:.2f} {la[1]:.2f} {la[2]:.2f}"
+            + (" (CONTENDED RECORDING — rerun on a quiet host)" if la[1] > 8 else ""),
+            file=sys.stderr,
+        )
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {

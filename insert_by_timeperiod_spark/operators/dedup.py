@@ -581,12 +581,15 @@ def minhash_lsh_pairs(
     # exact verify fetches TEXT for the candidate rows only and shingles it
     # in the projection after the join — the expensive shingle expression
     # never runs over the full corpus a second time, and the join moves
-    # candidate texts, not 60k shingle arrays. The shingle sets are
-    # xxhash64'd to longs in a dedicated projection (referenced twice, so
+    # candidate texts, not 60k shingle arrays. The shingle sets land in a
+    # dedicated projection (each referenced twice — intersect + size — so
     # CollapseProject keeps them materialized once) and |union| is derived
-    # as na + nb - c — value-exact (set identity; distinct grams ->
-    # distinct hashes at 2^-64 collision odds, the lane's standing
-    # contract) while skipping the second O(n) array pass per pair.
+    # as na + nb - c (set identity, value-exact), skipping the second O(n)
+    # array pass per pair. Shingles stay STRINGS here: this lane shingles
+    # per PAIR (texts arrive via the candidate join), so an xxhash64
+    # re-keying would itself be a per-pair O(n) pass — measured a wash at
+    # best, unlike ngram_jaccard_pairs where hashing happens once per DOC
+    # before the self-join.
     txt = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
     pairs = (
         prefiltered.join(
@@ -595,20 +598,16 @@ def minhash_lsh_pairs(
             txt.select(F.col("_tid").alias("id_b"), F.col("_txt").alias("txt_b")), "id_b"
         )
     )
-    hashed = pairs.select(
+    shingled = pairs.select(
         "id_a",
         "id_b",
-        F.transform(
-            char_shingles(F.col("txt_a"), shingle_k), lambda g: F.xxhash64(g)
-        ).alias("_ha"),
-        F.transform(
-            char_shingles(F.col("txt_b"), shingle_k), lambda g: F.xxhash64(g)
-        ).alias("_hb"),
+        char_shingles(F.col("txt_a"), shingle_k).alias("_sa"),
+        char_shingles(F.col("txt_b"), shingle_k).alias("_sb"),
     )
-    common = F.size(F.array_intersect("_ha", "_hb"))
-    jac = common / (F.size("_ha") + F.size("_hb") - common)
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    jac = common / (F.size("_sa") + F.size("_sb") - common)
     return (
-        hashed.withColumn("jaccard", jac.cast("double"))
+        shingled.withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

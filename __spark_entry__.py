@@ -511,7 +511,16 @@ def _engine_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     old periods read NULL for it (sidecar-schema read semantics)."""
     _prep(spark, sf_dir)
     tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_evo_"), "t")
-    cfg = dict(timestamp_field="event_date", period="week", start_date=START, stop_date=STOP)
+    # both models group by (user, day) -> period-additive; each leg's weeks
+    # batch into one job/commit. The evolution semantics are unchanged: the
+    # second engine's single batch carries the new column, _align_to_target
+    # appends it to the sidecar schema once, and the pre-evolution rows
+    # still read NULL for it (concurrent_batches stays 1 — the engine
+    # auto-disables overlap under evolving on_schema_change policies).
+    cfg = dict(
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=5, period_additive_model=True,
+    )
     InsertByTimeperiod(spark, MODEL_DAILY, IBTPConfig(**cfg), tgt, count_rows=False).run(
         RunVars(stop_date="2024-01-11")
     )
@@ -545,8 +554,16 @@ def _engine_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_engine.py — the month/srcscan battery rows moved there."""
     _prep(spark, sf_dir)
     tgt = os.path.join(tempfile.mkdtemp(prefix="ibtp_lifecycle_"), "t")
+    # periods_per_commit batches each leg's contiguous weeks into one
+    # job/commit (MODEL_DAILY is period-additive — same declaration as
+    # engine_daily_full_build; batched == sequential content is
+    # golden-pinned in tests/test_engine.py). Every semantic this row
+    # exercises is per-RUN, not per-commit: the watermark still lands on
+    # each leg's stop, the refresh still swaps, the backfill still
+    # delete+reinserts — only the commit granularity inside a leg widens.
     cfg = IBTPConfig(
-        timestamp_field="event_date", period="week", start_date=START, stop_date=STOP
+        timestamp_field="event_date", period="week", start_date=START,
+        stop_date=STOP, periods_per_commit=5, period_additive_model=True,
     )
     eng = InsertByTimeperiod(spark, MODEL_DAILY, cfg, tgt, count_rows=False)
     eng.run(RunVars(stop_date="2024-01-11"))
@@ -623,8 +640,15 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         MODEL_WINDOWED, [RunVars()], "windowed", period="day", periods_per_commit=8,
         concurrent_batches=2,
     ),
-    # C5 through the engine: dimension join inside the model
-    "engine_joined_model": _engine(MODEL_JOINED, [RunVars()], "joined"),
+    # C5 through the engine: dimension join inside the model. Batched like
+    # the daily flagship: MODEL_JOINED groups by (segment, day) so it is
+    # period-additive across the week grid's day-boundary splits — the five
+    # weekly commit cycles collapse into ONE widened scan+join+agg job
+    # (identical content by additivity; same ORACLE_JOINED hash).
+    "engine_joined_model": _engine(
+        MODEL_JOINED, [RunVars()], "joined", periods_per_commit=5,
+        period_additive_model=True,
+    ),
     # A15: schema evolution mid-run
     "engine_schema_evolution": _engine_evolution,
 }

@@ -94,6 +94,20 @@ def main() -> None:
     # burst; the minimum is the contention-free estimate — the same
     # methodology the sf1/sf10 scale study already uses (bench_sf1.py)
     repeat = int(os.environ.get("IBTP_BENCH_REPEAT", "3"))
+
+    def _cpu_jiffies() -> tuple[int, int] | None:
+        # (steal, total) jiffies from /proc/stat — loadavg misses hypervisor
+        # steal entirely (observed 16-22% steal waves at loadavg ~4 on this
+        # class of host), so the contention self-flag samples both
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        except (OSError, ValueError, IndexError):
+            return None
+
+    jif0 = _cpu_jiffies()
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = None
@@ -118,6 +132,17 @@ def main() -> None:
         )
     except OSError:
         pass
+    jif1 = _cpu_jiffies()
+    if jif0 and jif1 and jif1[1] > jif0[1]:
+        steal_pct = 100.0 * (jif1[0] - jif0[0]) / (jif1[1] - jif0[1])
+        print(
+            f"[bench] hypervisor steal over run: {steal_pct:.1f}%"
+            + (
+                " (STEAL-CONTENDED RECORDING — rerun in a quieter window)"
+                if steal_pct > 5 else ""
+            ),
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

@@ -68,12 +68,27 @@ def sessionize_stream(
         chunks = list(pdfs)
         pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(ts_col)
         ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
-        seqs = []
-        for t in ts_us:
-            if last_ts is None or (t - last_ts) > gap_us:
-                seq += 1
-            last_ts = int(t)
-            seqs.append(seq)
+        if len(ts_us):
+            # vectorized gap scan (guide §4.2 — the per-row Python loop was
+            # the per-task hot path): last_ts advances unconditionally, so
+            # each row's predecessor is just the shifted array (seeded with
+            # the carried state) and session_seq is seq + cumsum(new-session
+            # flags). Identical integer arithmetic to the scalar loop.
+            import numpy as np
+
+            prev = np.empty_like(ts_us)
+            prev[1:] = ts_us[:-1]
+            new_flag = np.empty(len(ts_us), dtype=bool)
+            if last_ts is None:
+                new_flag[0] = True
+            else:
+                prev[0] = last_ts
+                new_flag[0] = (ts_us[0] - prev[0]) > gap_us
+            new_flag[1:] = (ts_us[1:] - prev[1:]) > gap_us
+            seqs = seq + np.cumsum(new_flag)
+            last_ts, seq = int(ts_us[-1]), int(seqs[-1])
+        else:
+            seqs = []
         out = pd.DataFrame({user_col: pdf[user_col].to_numpy()})
         for c in carry:
             out[c] = pdf[c].to_numpy()

@@ -270,6 +270,51 @@ def test_snapshot_entries_are_mutation_safe_copies(spark):
     assert t.snapshot()  # still a valid path->partition mapping
 
 
+def test_snapshot_fold_cache_two_table_objects_interleave(spark):
+    """r11 (VERDICT r10 #2): the incremental snapshot-fold cache under TWO
+    TxnLogTable objects sharing one log — the multi-process scenario the
+    contiguity guard exists for. The other object's commits are pending
+    versions and fold in incrementally; a history truncation that deletes
+    the cached head forces a FULL fold; every read stays snapshot-
+    consistent with a cache-free fresh object's ground truth."""
+    tgt = tempfile.mkdtemp(prefix="ibtp_txn2_") + "/t"
+    df = lambda d, n: spark.range(n).select(
+        F.col("id"), F.lit(d).cast("date").alias("event_date")
+    )
+    t1 = TxnLogTable(spark, tgt)
+    t1.create(df("2024-01-01", 4), "event_date")
+    t2 = TxnLogTable(spark, tgt)
+
+    def truth():
+        return TxnLogTable(spark, tgt).snapshot()  # fresh object: full fold
+
+    # warm both caches, then interleave: each object's next read must fold
+    # the OTHER object's commits (pending, contiguous from its cached head)
+    assert t1.snapshot() == truth() and t2.snapshot() == truth()
+    t1.append(df("2024-01-02", 3))
+    assert t2.snapshot() == truth()
+    t2.append(df("2024-01-03", 2))
+    assert t1.snapshot() == truth()
+    t1.replace_date_range(
+        df("2024-01-02", 5), dt.date(2024, 1, 2), dt.date(2024, 1, 3)
+    )
+    assert t2.snapshot() == truth() and t1.snapshot() == truth()
+    assert t2.read().count() == 4 + 5 + 2
+    # pin t2's cache, advance the log PAST it, then truncate: every version
+    # at or below t2's cached head is deleted, so t2's pending range is
+    # non-contiguous and the guard must fall back to a full fold
+    t2.snapshot()
+    t1.append(df("2024-01-04", 1))
+    t1.append(df("2024-01-05", 6))
+    t1.truncate_history()
+    assert t2.snapshot() == truth()
+    assert t2.read().count() == 4 + 5 + 2 + 1 + 6
+    # and the incremental path keeps working from the rebuilt cache
+    t1.append(df("2024-01-06", 2))
+    assert t2.snapshot() == truth()
+    assert t2.read().count() == 4 + 5 + 2 + 1 + 6 + 2
+
+
 def test_auto_checkpoint_bounds_fold_and_preserves_semantics(spark):
     from insert_by_timeperiod_spark.txnlog import TxnLogTable
 

@@ -40,9 +40,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _dist(point_cols: list[str], centroid: tuple) -> Column:
+    # `v + 0.0` normalizes a data-derived -0.0 coordinate to +0.0 BEFORE it
+    # becomes a Catalyst literal: Spark 4.1.2's whole-stage-codegen
+    # subexpression elimination mis-evaluates a projection that holds one
+    # CSE-shared term next to a sibling differing only in the sign of a zero
+    # literal (e.g. centroids (0.0, ...) and (-0.0, ...) from seed rows —
+    # observed (x-0.0)*(x-0.0) returning 0 for x=50). Value-preserving here:
+    # the difference is squared, and (x - 0.0)^2 == (x - -0.0)^2 bit-exactly
+    # for every double x, so distances, argmins and means are unchanged.
     terms = [
         F.round(
-            (F.col(c) - F.lit(v)) * (F.col(c) - F.lit(v)), 6
+            (F.col(c) - F.lit(v + 0.0)) * (F.col(c) - F.lit(v + 0.0)), 6
         ).cast("decimal(38,6)")
         for c, v in zip(point_cols, centroid)
     ]

@@ -78,6 +78,28 @@ def test_kmeans_partitioning_invariant(spark, pts):
     assert all(0 <= c < k for _, c in a)
 
 
+def test_kmeans_negative_zero_centroid_layout_invariant(spark):
+    """Regression pin (hypothesis-found, round 11): seed points at 0.0 and
+    -0.0 produce centroid literals differing only in the sign of a zero,
+    which trips Spark 4.1.2's whole-stage-codegen subexpression elimination
+    (a CSE-shared distance term next to a sign-of-zero-differing sibling
+    returns another value entirely — observed (x-0.0)^2 = 0 for x = 50).
+    kmeans_assign normalizes -0.0 coordinates at literal-embed time, which
+    is value-exact because the difference is squared."""
+    pts = [(0.0, 0.0), (-0.0, 0.0), (0.0, 1.0013580322265625e-05),
+           (0.0, 0.0), (0.0, 0.0), (50.0, 0.0), (0.0, 0.0)]
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    a = sorted(map(tuple, cluster.kmeans_assign(df, ["x", "y"], k=3, n_iter=2).collect()))
+    b = sorted(map(tuple,
+                   cluster.kmeans_assign(df.repartition(7), ["x", "y"], k=3, n_iter=2).collect()))
+    assert a == b
+    # the far point must sit alone: distances to it are ~2500, and a correct
+    # evaluation never reports them as 0
+    far_label = dict(a)[5]
+    assert [lbl for _, lbl in a].count(far_label) == 1
+
+
 _url_parts = st.tuples(
     st.sampled_from(["http", "HTTPS", "https"]),
     st.sampled_from(["www.Example.COM", "a.b.co.uk", "HOST9.net"]),

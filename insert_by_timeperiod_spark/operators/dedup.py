@@ -38,6 +38,34 @@ from .util import spread
 log = logging.getLogger("insert_by_timeperiod_spark")
 
 
+def _threshold_pairs(step: DataFrame, threshold: float) -> DataFrame:
+    """Emit (id_a, id_b, jaccard) rows with jaccard >= threshold from a
+    frame of (id_a, id_b, _na, _nb, _c) WITHOUT a pushable Filter.
+
+    Why not ``.where(jaccard >= t)``: Catalyst pushes a filter over a
+    projected expression through the projection by SUBSTITUTION, landing the
+    whole jaccard expression (and everything feeding it — per-pair
+    array_intersect, even the per-pair shingle arrays) inside the upstream
+    JOIN CONDITION, where it is evaluated per candidate pair with NO
+    subexpression elimination (r11 measured plans: array_intersect twice and
+    char_shingles up to three times per text per pair in the executed join
+    condition; survivors then re-evaluated all of it in the projection).
+    Encoding the threshold as ``explode(when(jac >= t, array(row)))``
+    replaces the Filter with a Generate — nothing to push — so the expensive
+    ``_c`` stays materialized exactly once per pair in its own projection
+    (CollapseProject keeps non-cheap aliases referenced >1 time in place),
+    and the cheap arithmetic on ``_c`` runs above it. Value-exact: explode
+    of a NULL array yields no row, so row set and jaccard values are
+    identical to the filter form."""
+    jac = F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c"))
+    hit = F.struct(
+        F.col("id_a"), F.col("id_b"), jac.cast("double").alias("jaccard")
+    )
+    return step.select(
+        F.explode(F.when(jac >= threshold, F.array(hit))).alias("_r")
+    ).select("_r.id_a", "_r.id_b", "_r.jaccard")
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -604,13 +632,20 @@ def minhash_lsh_pairs(
         char_shingles(F.col("txt_a"), shingle_k).alias("_sa"),
         char_shingles(F.col("txt_b"), shingle_k).alias("_sb"),
     )
-    common = F.size(F.array_intersect("_sa", "_sb"))
-    jac = common / (F.size("_sa") + F.size("_sb") - common)
-    return (
-        shingled.withColumn("jaccard", jac.cast("double"))
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+    # threshold WITHOUT a pushable Filter (see _threshold_pairs): the old
+    # `.where(jaccard >= t)` was substituted back into the candidate JOIN
+    # CONDITION, which re-shingled each text up to three times and ran
+    # array_intersect twice PER CANDIDATE PAIR in the executed r11 plan —
+    # the dedicated projections below keep shingles and intersect at exactly
+    # one evaluation per pair.
+    sized = shingled.select(
+        "id_a",
+        "id_b",
+        F.size("_sa").alias("_na"),
+        F.size("_sb").alias("_nb"),
+        F.size(F.array_intersect("_sa", "_sb")).alias("_c"),
     )
+    return _threshold_pairs(sized, jaccard_threshold)
 
 
 # --------------------------------------------------------------------------
@@ -908,28 +943,37 @@ def ngram_jaccard_pairs(
         id_col,
     )
     a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # the size-ratio guard joins the cheap conjuncts IN the join condition
+    # (integer/double compares only — no array work): a pair failing it can
+    # never reach the threshold (J <= min/max), so the survivor set is
+    # unchanged. The expensive array_intersect is deliberately NOT in the
+    # condition: it lands once per guard-passing pair in the projection
+    # below, and _threshold_pairs applies the threshold without a pushable
+    # Filter (r11: the old `.where(jaccard >= t)` was pushed back into the
+    # join condition by substitution, evaluating array_intersect twice per
+    # pair — measured 2x the per-pair cost of this shape).
+    # coalesce makes the guard null-TOLERANT so Catalyst does not infer
+    # isnotnull(_n) — that inference pushed the whole shingle expression
+    # into the per-doc scan Filter (shingles evaluated twice per document).
+    # Value-exact: a NULL-text doc has _n NULL -> 0; 0 >= t*n fails against
+    # any real doc, and a NULL-NULL pair dies later on a NULL jaccard —
+    # the same empty contribution as the old NULL-guard CASE.
+    na, nb = F.coalesce(F.col("a._n"), F.lit(0)), F.coalesce(F.col("b._n"), F.lit(0))
+    cond = (
+        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (na >= threshold * nb)
+        & (nb >= threshold * na)
+    )
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    guard_ok = (
-        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        & (F.col("a._n") >= threshold * F.col("b._n"))
-        & (F.col("b._n") >= threshold * F.col("a._n"))
+    step = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a._n").alias("_na"),
+        F.col("b._n").alias("_nb"),
+        F.size(F.array_intersect("a._sh", "b._sh")).alias("_c"),
     )
-    common = F.size(F.array_intersect("a._sh", "b._sh"))
-    jac = F.when(
-        guard_ok,
-        common / (F.col("a._n") + F.col("b._n") - common),
-    ).otherwise(F.lit(-1.0))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            jac.cast("double").alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _threshold_pairs(step, threshold)
 
 
 # ---------------------------------------------------------------------------

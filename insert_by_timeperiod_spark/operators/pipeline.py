@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as TX
 from .dedup import exact_dedup
+from .util import gate
 
 
 def clean_documents(
@@ -43,14 +44,18 @@ def clean_documents(
         TX.lang_id(t).alias("lang_guess"),
         TX.quality_score(t).alias("quality"),
     )
-    out = feats.where(
+    # gate() instead of where(): the pushed-down filter re-evaluated the
+    # quality/token/lang expressions at the corpus scan (per RAW doc) while
+    # the projection computed them again for survivors — the barrier keeps
+    # each feature at ONE evaluation, and only for post-dedup documents
+    pred = (
         (F.col("quality") >= min_quality)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
     )
     if langs:
-        out = out.where(F.col("lang_guess").isin(langs))
-    return out
+        pred = pred & F.col("lang_guess").isin(langs)
+    return gate(feats, pred)
 
 
 def curate_corpus(
@@ -96,13 +101,14 @@ def curate_corpus(
     )
     deduped = exact_dedup(cleaned, "clean_text", id_col)
     t = F.col("clean_text")
-    gated = deduped.select(
-        F.col(id_col),
-        t.alias("clean_text"),
-        QL.word_count(t).cast("bigint").alias("n_words"),
-        QL.dup_line_frac(t).alias("_dup"),
-    ).where(
-        (F.col("n_words") >= min_words) & (F.col("_dup") <= max_dup_line_frac)
+    gated = gate(
+        deduped.select(
+            F.col(id_col),
+            t.alias("clean_text"),
+            QL.word_count(t).cast("bigint").alias("n_words"),
+            QL.dup_line_frac(t).alias("_dup"),
+        ),
+        (F.col("n_words") >= min_words) & (F.col("_dup") <= max_dup_line_frac),
     )
     return assign_splits(
         gated.drop("_dup"),

@@ -18,6 +18,32 @@ def _hashable(dt: T.DataType) -> bool:
     return True
 
 
+def gate(df: DataFrame, predicate) -> DataFrame:
+    """``df.where(predicate)`` WITHOUT letting Catalyst push the predicate
+    below the projection that computes its inputs.
+
+    A Filter over projected columns is pushed through the Project by
+    SUBSTITUTION: the filter lands at the scan (or in a join condition)
+    with the full defining expressions inlined, so every expensive derived
+    column referenced by the predicate (quality scores, language guesses,
+    per-pair set intersections) is evaluated twice per row — once in the
+    relocated filter, once in the projection that still has to output it.
+    Parquet cannot push derived-expression predicates anyway, so the early
+    placement buys nothing on the scan side.
+
+    Encoding the filter as ``explode(when(pred, array(struct(*cols))))``
+    replaces it with a Generate, which predicate pushdown cannot cross;
+    the projection's aliases are evaluated exactly once per row and the
+    predicate runs over cheap attribute references. Value-exact: explode
+    of a NULL array emits no row, so the kept row set (predicate strictly
+    true) and all column values are identical to ``where``.
+    """
+    st = F.struct(*[F.col(c) for c in df.columns])
+    return df.select(F.explode(F.when(predicate, F.array(st))).alias("_r")).select(
+        "_r.*"
+    )
+
+
 def spread(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame:
     """Repartition ONLY when the input arrives with too little parallelism.
 

@@ -874,39 +874,63 @@ def prefix_energy_audit(
     # diverge from the twin's double arithmetic in the last ulps
     sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
     full = F.aggregate(F.transform(v, sq), F.lit(0.0), lambda a, x: a + x)
-    rows = []
-    for d in sorted(set(dims)):
-        pre = F.aggregate(
-            F.transform(F.slice(v, 1, d), sq), F.lit(0.0), lambda a, x: a + x
-        )
-        e = F.round(pre / full, 6)
-        rows.append(
-            df.where(v.isNotNull() & (F.size(v) >= d) & (full > 0))
-            .select(e.alias("_e"))
-            .groupBy()
-            .agg(
+    ds = sorted(set(dims))
+    # ONE corpus pass for every d (r11; was one unioned scan PER d, each
+    # evaluating the full-norm fold twice per row — once in the pushed
+    # eligibility filter, once in the energy projection): the full norm
+    # lands in its own projection (referenced by every d — CollapseProject
+    # keeps non-cheap multiply-referenced aliases in place), each d's
+    # energy is a CONDITIONAL column (NULL exactly when the old per-d
+    # filter dropped the row: isNotNull/size/positive-norm are the same
+    # predicates), and one map-side-combined global aggregate carries
+    # |dims| x 4 numbers. Per-d stats over the non-NULL energies are the
+    # identical count/DECIMAL-sum/min/threshold-count expressions, so the
+    # output is value-exact vs the unioned form and the SQL twin.
+    base = df.select(v.alias("_v"), full.alias("_full"))
+    vv = F.col("_v")
+    e_cols = [
+        F.when(
+            vv.isNotNull() & (F.size(vv) >= d) & (F.col("_full") > 0),
+            F.round(
+                F.aggregate(
+                    F.transform(F.slice(vv, 1, d), sq),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.col("_full"),
+                6,
+            ),
+        ).alias(f"_e{d}")
+        for d in ds
+    ]
+    aggs = []
+    for d in ds:
+        e = F.col(f"_e{d}")
+        n = F.count(e)  # non-NULL = rows the old per-d filter kept
+        aggs += [
+            n.alias(f"_n{d}"),
+            F.round(
+                F.sum(e.cast("decimal(28,6)")).cast("double") / n, 6
+            ).alias(f"_m{d}"),
+            F.round(F.min(e), 6).alias(f"_min{d}"),
+            F.round(F.sum((e >= 0.5).cast("long")) / n, 6).alias(f"_f{d}"),
+        ]
+    one = base.select(*e_cols).groupBy().agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(d).cast("int").alias("dim"),
-                F.count(F.lit(1)).alias("n_vectors"),
-                F.round(
-                    F.sum(F.col("_e").cast("decimal(28,6)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("mean_energy"),
-                F.round(F.min("_e"), 6).alias("min_energy"),
-                F.round(
-                    F.sum((F.col("_e") >= 0.5).cast("long"))
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("frac_ge_half"),
+                F.col(f"_n{d}").alias("n_vectors"),
+                F.col(f"_m{d}").alias("mean_energy"),
+                F.col(f"_min{d}").alias("min_energy"),
+                F.col(f"_f{d}").alias("frac_ge_half"),
             )
-            .select(
-                "dim", "n_vectors", "mean_energy", "min_energy", "frac_ge_half"
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("dim")
+            for d in ds
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("_r")).select("_r.*").orderBy("dim")
+    )
 
 
 def prefix_energy_sql(

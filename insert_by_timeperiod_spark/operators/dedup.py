@@ -1081,19 +1081,31 @@ def prefix_jaccard_pairs(
         F.col("_set").alias("_sb"),
         F.col("_n").alias("_nb"),
     )
-    n_common = F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
-    return (
+    # threshold WITHOUT a pushable Filter (see _threshold_pairs): the old
+    # `.where(jaccard >= t)` was substituted into the verify join condition,
+    # running array_intersect twice per candidate in the executed plan; the
+    # dedicated projection keeps it at one evaluation per candidate.
+    sized = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("n_common", n_common)
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("_na") + F.col("_nb") - F.col("n_common")).cast("double"),
+        .select(
+            "id_a",
+            "id_b",
+            "_na",
+            "_nb",
+            F.size(F.array_intersect("_sa", "_sb")).cast("bigint").alias("_c"),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
     )
+    jac = F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")).cast("double")
+    hit = F.struct(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("_c").alias("n_common"),
+        jac.alias("jaccard"),
+    )
+    return sized.select(
+        F.explode(F.when(jac >= threshold, F.array(hit))).alias("_r")
+    ).select("_r.id_a", "_r.id_b", "_r.n_common", "_r.jaccard")
 
 
 def prefix_jaccard_pairs_sql(

@@ -887,7 +887,14 @@ def simhash64_vec():
 def add_simhash(
     df: DataFrame, text_col: str = "text", *, shingle_k: int = 5
 ) -> DataFrame:
-    sh64 = simhash64_vec()
+    # asNondeterministic stops the optimizer duplicating the Arrow UDF: a
+    # downstream join on `simhash` infers isnotnull(simhash), and pushing
+    # that filter below the projection re-evaluated the whole signature
+    # lane in a SECOND ArrowEvalPython node per branch (2x the per-row
+    # Python cost — r11 executed plan showed sh64 twice per input). The
+    # function is actually deterministic, so results are unchanged; the
+    # marker only pins its single evaluation site (guide-standard use).
+    sh64 = simhash64_vec().asNondeterministic()
     return df.withColumn(
         "simhash", sh64(shingle_hashes(char_shingles(F.col(text_col), shingle_k)))
     )

@@ -543,3 +543,57 @@ def test_plans_audit_md_is_fresh():
     flagged = [(n, f) for _, n, f in lines if f and f.strip()]
     assert not flagged, f"audit recorded flags: {flagged[:5]}"
     assert all(int(n) >= 0 for n, _, _ in lines)
+
+
+def test_jaccard_threshold_is_not_a_pushable_filter(spark):
+    """r11 pin: the pair threshold must reach the plan as a Generate
+    (explode barrier), never as a Filter — Catalyst pushes a filter over
+    the projected jaccard into the JOIN CONDITION by substitution, where
+    array_intersect runs twice per pair (join-condition codegen has no
+    subexpression elimination). Pin: exactly one array_intersect in the
+    plan, and no join condition contains it."""
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    df = spark.table("documents").limit(200)
+    plan = (
+        D.ngram_jaccard_pairs(df, shingle_k=3, threshold=0.6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("array_intersect") == 1, plan
+    cond_lines = [l for l in plan.splitlines() if "condition" in l.lower()]
+    assert not any("array_intersect" in l for l in cond_lines), cond_lines
+
+
+def test_simhash_udf_evaluates_once_under_downstream_filter(spark):
+    """r11 pin (guide §4.4): a downstream null filter on the simhash
+    column must not duplicate the Arrow UDF below the pushed filter — the
+    executed plan once held TWO ArrowEvalPython nodes computing the same
+    signature per row. asNondeterministic() pins a single evaluation."""
+    from insert_by_timeperiod_spark.operators import dedup as D
+
+    df = D.add_simhash(spark.table("documents").limit(100)).where(
+        F.col("simhash").isNotNull()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_gate_keeps_derived_predicate_above_projection(spark):
+    """r11 pin: gate() must evaluate the predicate over attribute
+    references (one evaluation of the defining expression), not let the
+    optimizer substitute the expression into a relocated Filter — the
+    plan holds the expensive expression exactly once."""
+    from insert_by_timeperiod_spark.operators.util import gate
+
+    base = spark.table("documents").select(
+        "doc_id", F.length(F.regexp_replace("text", "a", "")).alias("_q")
+    )
+    plan = (
+        gate(base, F.col("_q") > 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_replace") == 1, plan

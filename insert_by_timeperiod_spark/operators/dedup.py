@@ -920,15 +920,16 @@ def ngram_jaccard_pairs(
     A size-ratio prune guards the set ops: J(A,B) <= min(|A|,|B|) /
     max(|A|,|B|) (intersection is at most the smaller set, union at least
     the larger), so any pair failing ``min/max >= threshold`` can't reach
-    the threshold. The guard lives INSIDE the jaccard expression as a CASE:
-    Catalyst pushes the ``jaccard >= threshold`` filter into the join
-    condition ahead of the cheap conjuncts (observed in the executed plan),
-    and a bare conjunct ordering would still evaluate array_intersect on
-    every blocked pair — the CASE forces the integer compares to
-    short-circuit first wherever the predicate lands. Exact: survivors have
-    the guard true, so the output jaccard equals the unguarded value. The
-    input is also repartitioned: a compact table arriving as one parquet
-    split would otherwise run the whole quadratic probe on a single core.
+    the threshold. Shape (r11): the guard lives in the JOIN CONDITION as
+    cheap null-tolerant integer conjuncts (``coalesce(_n, 0)`` compares —
+    no array work there), ``array_intersect`` is computed exactly once per
+    guard-passing pair in a dedicated projection, and the threshold is
+    applied via the ``_threshold_pairs`` explode barrier so predicate
+    pushdown cannot substitute the intersect expression back into the join
+    condition. Exact: survivors have the guard true, so the output jaccard
+    equals the unguarded value. The input is also repartitioned: a compact
+    table arriving as one parquet split would otherwise run the whole
+    quadratic probe on a single core.
 
     Per-pair cost (r11): shingles are xxhash64'd to longs once per DOC, so
     the per-PAIR ``array_intersect`` compares 8-byte longs instead of
@@ -962,9 +963,11 @@ def ngram_jaccard_pairs(
     # coalesce makes the guard null-TOLERANT so Catalyst does not infer
     # isnotnull(_n) — that inference pushed the whole shingle expression
     # into the per-doc scan Filter (shingles evaluated twice per document).
-    # Value-exact: a NULL-text doc has _n NULL -> 0; 0 >= t*n fails against
-    # any real doc, and a NULL-NULL pair dies later on a NULL jaccard —
-    # the same empty contribution as the old NULL-guard CASE.
+    # Value-exact: a NULL-text doc has _n NULL -> 0; for threshold > 0,
+    # 0 >= t*n fails against any real doc. The guard is NOT load-bearing at
+    # threshold = 0: there a NULL-text pair passes the coalesced guard and
+    # is only dropped later by its NULL jaccard in _threshold_pairs — the
+    # same empty contribution as the old NULL-guard CASE either way.
     na, nb = F.coalesce(F.col("a._n"), F.lit(0)), F.coalesce(F.col("b._n"), F.lit(0))
     cond = (
         (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

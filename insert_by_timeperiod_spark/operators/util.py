@@ -37,14 +37,38 @@ def gate(df: DataFrame, predicate) -> DataFrame:
     predicate runs over cheap attribute references. Value-exact: explode
     of a NULL array emits no row, so the kept row set (predicate strictly
     true) and all column values are identical to ``where``.
+
+    Trade-off: the Generate is a barrier for ALL downstream pushdown and
+    pruning, not just the expensive predicate — every output attribute is
+    generator-produced, so a later cheap filter on a passthrough column
+    (a doc id, a partition column) can no longer reach the parquet scan.
+    Callers should apply scan/partition-column filters BEFORE the gated
+    operator; gate() is only for predicates over expensively-derived
+    columns.
+
+    Requires unique column names: the struct is built by name, and a frame
+    with duplicate names (legal after some joins) would hit an ambiguous-
+    reference error deep inside Spark — fail fast with a clear message
+    instead.
     """
+    if len(set(df.columns)) != len(df.columns):
+        dupes = sorted({c for c in df.columns if df.columns.count(c) > 1})
+        raise ValueError(
+            f"gate() needs unique column names; duplicates: {dupes} — "
+            "alias or drop the colliding columns before the gated operator"
+        )
     st = F.struct(*[F.col(c) for c in df.columns])
     return df.select(F.explode(F.when(predicate, F.array(st))).alias("_r")).select(
         "_r.*"
     )
 
 
-def spread(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    *cols: str,
+    min_parts: int | None = None,
+    unique_rows: bool = True,
+) -> DataFrame:
     """Repartition ONLY when the input arrives with too little parallelism.
 
     Expensive per-row lanes (Arrow UDF signatures, pixel decode, quadratic
@@ -66,6 +90,15 @@ def spread(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame
     measured ~20% faster on the scan-spread path. Frames with no hashable
     column (all map/variant) keep the round-robin fallback.
 
+    CONTRACT of the keyless hash form: rows must be (near-)distinct.
+    Identical rows hash identically, so a duplicate-heavy frame would pile
+    onto few partitions — and no content-derived key can separate equal
+    rows. Only POSITION can, and a positional key is retry-stable only via
+    round-robin's sort-before-repartition machinery — so callers spreading
+    a frame that may be duplicate-heavy pass ``unique_rows=False`` to get
+    the round-robin fallback (pays the local sort, balances regardless of
+    content). Every current keyless caller feeds unique-id corpora.
+
     The partition-count probe uses the DataFrame's RDD lineage — plan
     conversion only, no job is triggered.
     """
@@ -78,6 +111,6 @@ def spread(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame
     if cols:
         return df.repartition(target, *cols)
     hashable = [f.name for f in df.schema.fields if _hashable(f.dataType)]
-    if hashable:
+    if unique_rows and hashable:
         return df.repartition(target, F.xxhash64(*[F.col(c) for c in hashable]))
     return df.repartition(target)

@@ -19,19 +19,24 @@ def _pin_ranged(d: DataFrame) -> DataFrame:
 
     ``_exact_global_ntile`` / ``_dist_cumsum`` read the ranged frame twice
     (local ranks + per-partition offsets) and require both branches to see
-    the SAME ``spark_partition_id`` assignment. With ``spark.sql
-    .exchange.reuse`` (default on) the identical range exchange is
-    physically executed once, so the ids agree by construction. With reuse
-    disabled, each branch re-samples range boundaries independently and the
-    assignments diverge (measured: 519/10000 wrong tiles) — so in that case
-    pin the partitioning physically with a lazy ``localCheckpoint``: both
-    branches then read the one materialized RDD. The checkpoint is the
-    exception path only; the default path stays zero-materialization."""
-    reuse = str(
-        d.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
-    ).lower()
-    if reuse == "true":
-        return d
+    the SAME ``spark_partition_id`` assignment. A lazy ``localCheckpoint``
+    pins that physically: plan→RDD conversion happens once, so both
+    branches share ONE range shuffle (one boundary sample) and read the one
+    materialized RDD.
+
+    This must be unconditional (r12). The previous fast path relied on
+    ReuseExchange to share the range exchange when ``spark.sql.exchange
+    .reuse`` is on — but each consumer branch prunes DIFFERENT columns
+    below the exchange (the offsets branch drops everything but the count),
+    so the two exchange subtrees no longer canonicalize equal and reuse
+    silently does not fire. Each branch then re-samples range boundaries
+    independently, and rows near a boundary land in different ``_pid``s per
+    branch — local cumsums join the WRONG offsets. Invisible on fixtures
+    small enough that the boundary sample is exhaustive (every test SF),
+    measured wrong at sf0.1: every mann_whitney_value group's u_a/z
+    diverged from the DuckDB oracle; 519/10000 wrong tiles in the original
+    reuse-off repro. The checkpoint is also the cheaper plan: the pruned
+    re-scan duplicated the whole scan→aggregate→range ladder per branch."""
     return d.localCheckpoint(eager=False)
 
 

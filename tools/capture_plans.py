@@ -21,7 +21,7 @@ import __spark_entry__ as entrymod
 from insert_by_timeperiod_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r11")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", os.environ.get("IBTP_PLANS_ROUND", "r12"))
 
 
 def main() -> None:

@@ -748,17 +748,41 @@ class InsertByTimeperiod:
             # model may compute dates outside it; the reference INSERTs
             # every model row, so those partitions join the rewrite set
             # rather than being silently dropped by the swap loop (df is
-            # persisted; that branch is a scan of the cache). Previously two
-            # sequential collect() jobs per batch — same rows, half the
-            # fixed per-job latency in the period loop.
-            probe_dates = {
-                r[0]
-                for r in target.join(keys, key, "left_semi")
+            # persisted; that branch is a scan of the cache). r11 halved
+            # this from two sequential collect() jobs; r12 applies ONE
+            # distinct over the union (the driver builds a set anyway, and
+            # two per-branch distincts paid an extra exchange) and compiles
+            # the probe NON-adaptively: AQE materializes every exchange of
+            # this tiny-result diagnostic query as its own job — measured
+            # ~8 fixed-latency jobs per batch vs 1 without AQE, dominating
+            # the keyed loop at small batch sizes — while its runtime
+            # re-planning has nothing to improve here (the probe output is
+            # a handful of dates; the scan is already partition-pruned by
+            # upsert_probe_window). Plans compiled OUTSIDE this window are
+            # untouched; the previous value is restored immediately after
+            # the plan is built (conf is read at plan time).
+            probe = (
+                target.join(keys, key, "left_semi")
                 .select(pcol)
+                .unionAll(df.select(pcol))
                 .distinct()
-                .unionAll(df.select(pcol).distinct())
-                .collect()
-            }
+            )
+            if rows is None:
+                # fill the persisted cache OUTSIDE the AQE-off window: the
+                # model computation (scan+joins+aggs at scale) rides the
+                # first action over df, and it must keep adaptive planning
+                # — only the probe over the already-cached rows goes
+                # non-adaptive. One extra fixed-latency job per batch,
+                # repaid by the ~7 AQE probe-stage jobs it avoids.
+                df.write.mode("overwrite").format("noop").save()
+            conf = self.spark.conf
+            prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+            try:
+                conf.set("spark.sql.adaptive.enabled", "false")
+                probe_rows = probe.collect()
+            finally:
+                conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            probe_dates = {r[0] for r in probe_rows}
             # NULL-date contract (matches the fresh-target fast path and the
             # reference's INSERT-every-row semantics): NULL-date model rows
             # are kept — they live in the hive default partition, which is

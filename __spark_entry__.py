@@ -208,7 +208,20 @@ def _sql_spread(
     Value-exact by construction: applied ONLY to queries whose aggregates
     are order-independent (DECIMAL sums — exact arithmetic — plus
     COUNT/MIN/MAX); native double sums would be partition-order-sensitive
-    and stay on plain ``_sql``."""
+    and stay on plain ``_sql``.
+
+    Width (r12, guide §2.5 "size partitions to data"): ``defaultParallelism``
+    flat was wrong for small tables — 32 repartition tasks over ~150k orders
+    rows cost more in per-task overhead than the parallelism returned
+    (region_revenue measured 0.62s at 32-way vs 0.33s at 4-way; its r11
+    8-core run beat its 32-core run for exactly this reason). The width is
+    now derived from the table's compressed input bytes: one partition per
+    ``IBTP_SPREAD_TARGET_BYTES`` (default 512 KiB compressed ≈ a few MB of
+    rows ≈ ~100ms of DECIMAL-aggregation work per task), clamped to
+    [2, defaultParallelism]. Width sweep at sf0.1/32 cores (best-of-3,
+    noop sink): region 4-way 0.325s / 8-way 0.354 / 32-way 0.622; q3 8-way
+    0.948 / 32-way 1.075; q1 flat 1.1-1.35 across 8..32. At real scale the
+    whole branch is a no-op (splits >= parallelism)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark, sf_dir)
@@ -216,8 +229,16 @@ def _sql_spread(
         base = spark.table(table)
         if base.rdd.getNumPartitions() >= sc.defaultParallelism:
             return spark.sql(spark_sql)
+        target = int(os.environ.get("IBTP_SPREAD_TARGET_BYTES", str(512 * 1024)))
+        try:
+            size = int(
+                base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # stats unavailable: fall back to full width
+            size = target * sc.defaultParallelism
+        width = max(2, min(sc.defaultParallelism, -(-size // target)))
         view = f"_ibtp_spread_{table}"
-        base.repartition(sc.defaultParallelism, key).createOrReplaceTempView(view)
+        base.repartition(width, key).createOrReplaceTempView(view)
         return spark.sql(re.sub(rf"\b{table}\b", view, spark_sql))
 
     return run

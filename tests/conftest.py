@@ -97,3 +97,23 @@ def assert_df_matches_duck(spark_df, duck_con, sql, float_digits=6):
     )
     assert len(got) == len(want), f"row count: spark={len(got)} duck={len(want)}"
     assert got == want
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the ``slow`` marker from tests/slow_tests.txt (measured node
+    ids, --durations profile r12). The default run deselects them via
+    ``addopts = -m "not slow"`` so the driver's budgeted `pytest tests/`
+    completes; run EVERYTHING with `pytest tests/ -m ""` (the builder's
+    full-suite gate before each round ends)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slow_tests.txt")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        slow = {ln.strip() for ln in f if ln.strip() and not ln.startswith("#")}
+    if not slow:
+        return
+    marker = pytest.mark.slow
+    for item in items:
+        nid = item.nodeid
+        if nid in slow or f"tests/{nid}" in slow:
+            item.add_marker(marker)

@@ -30,7 +30,9 @@ Extension beyond the reference's surface (north star /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import uuid
+
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 
 def pagerank(
@@ -482,8 +484,10 @@ def k_core(
     survivor set may be corpus-sized, never broadcast), ONE
     map-side-combined degree count; survivors are ``localCheckpoint``-ed
     (iterative lineage otherwise re-executes all prior rounds), and the
-    driver reads back ONE count per round for the early exit. Returns
-    (node, core_degree) — degree within the final core."""
+    early-exit count rides the checkpoint job as an ``Observation`` (r12,
+    the connected_components pattern: one job per round instead of
+    checkpoint + count). Returns (node, core_degree) — degree within the
+    final core."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if max_iter < 1:
@@ -499,22 +503,28 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    alive = sym.select(F.col("_s").alias("node")).distinct().localCheckpoint(
-        eager=True
+    obs0 = Observation(f"ibtp_kcore_init_{uuid.uuid4().hex[:8]}")
+    alive = (
+        sym.select(F.col("_s").alias("node"))
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    n_alive = alive.count()
-    for _ in range(max_iter):
+    n_alive = obs0.get["n"]
+    for it in range(max_iter):
         kept = (
             sym.join(alive.withColumnRenamed("node", "_s"), "_s", "left_semi")
             .join(alive.withColumnRenamed("node", "_d"), "_d", "left_semi")
         )
         deg = kept.groupBy("_s").agg(F.count(F.lit(1)).alias("core_degree"))
+        obs = Observation(f"ibtp_kcore_{it}_{uuid.uuid4().hex[:8]}")
         alive = (
             deg.where(F.col("core_degree") >= k)
             .select(F.col("_s").alias("node"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_next = alive.count()
+        n_next = obs.get["n"]
         if n_next == n_alive:
             break
         n_alive = n_next
